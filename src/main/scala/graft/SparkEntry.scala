@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.Num.{davg, dsum}
+import graft.ops.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,6 +106,200 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ------------------------------------------------- relational completion
+
+  /** Broadcast-style join fact⋈dim (SURVEY §2.8): revenue by part brand.
+    * part is unbounded across SFs, so no explicit hint — AQE promotes to
+    * broadcast at runtime when the built side is small enough. */
+  private def qJoinBrandRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Large-to-large shuffle join lineitem⋈orders on the natural key. */
+  private def qJoinOrderPriority(s: SparkSession, dir: String): DataFrame =
+    Relational.shuffleJoin(
+      Tables.load(s, dir, "lineitem"),
+      Tables.load(s, dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Star join orders⋈customer⋈nation⋈region with bounded dims
+    * broadcast (nation=25, region=5 at any SF). */
+  private def qJoinStarRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")
+        .withColumnRenamed("n_nationkey", "c_nationkey")), Seq("c_nationkey"))
+      .join(broadcast(Tables.load(s, dir, "region")
+        .withColumnRenamed("r_regionkey", "n_regionkey")), Seq("n_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Left-semi join (EXISTS): customers having ≥1 order, by segment. */
+  private def qSemiJoinActive(s: SparkSession, dir: String): DataFrame =
+    Relational.semiJoin(
+      Tables.load(s, dir, "customer"),
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders, by segment. */
+  private def qAntiJoinInactive(s: SparkSession, dir: String): DataFrame =
+    Relational.antiJoin(
+      Tables.load(s, dir, "customer"),
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-outer join preserving unmatched rows: distribution of
+    * orders-per-customer including zero. */
+  private def qOuterJoinOrderDist(s: SparkSession, dir: String): DataFrame =
+    Relational.shuffleJoin(
+      Tables.load(s, dir, "customer"),
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+      Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  /** UNION ALL of conformed projections, then aggregate. */
+  private def qUnionParties(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .unionAll(Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_parties"))
+      .orderBy(col("nationkey"))
+
+  /** INTERSECT (set semantics): ids that are both custkey and suppkey. */
+  private def qIntersectKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(col("c_custkey").as("key"))
+      .intersect(Tables.load(s, dir, "supplier").select(col("s_suppkey").as("key")))
+      .orderBy(col("key"))
+
+  /** EXCEPT (set semantics): customers that never ordered. */
+  private def qExceptKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(col("c_custkey").as("key"))
+      .except(Tables.load(s, dir, "orders").select(col("o_custkey").as("key")))
+      .orderBy(col("key"))
+
+  /** DISTINCT on a multi-column projection. */
+  private def qDistinctStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Window ranking: top-3 orders per customer (row_number, total order). */
+  private def qWindowTopOrders(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+      Tables.load(s, dir, "orders"), 3,
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .select(
+        col("o_custkey"), col("rnk").cast("long").as("rnk"), col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+
+  /** Window running total per customer in exact decimal space. */
+  private def qWindowRunningTotal(s: SparkSession, dir: String): DataFrame =
+    Relational.runningTotal(
+      Tables.load(s, dir, "orders"),
+      col("o_totalprice"),
+      Seq(col("o_custkey")),
+      Seq(col("o_orderdate"), col("o_orderkey")),
+      "running_total")
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  /** Window lag: mean inter-event gap (µs) per user. */
+  private def qWindowEventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROLLUP hierarchy totals; grouping nulls coalesced to 'ALL' so both
+    * engines label subtotal rows identically. */
+  private def qRollupLineStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  private def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("n_urgent"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT", 1L).otherwise(0L))
+          .as("n_other"),
+        dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(lit(0.0))).as("urgent_sales"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Semi-structured extraction: JSON property → typed column → agg. */
+  private def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_events"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Gap-based sessionization (30-min) — single shuffle on user_id. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionize(
+      Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts"))),
+      col("user_id"), col("ts_us"), col("event_id"),
+      gapMicros = 30L * 60 * 1000000)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -116,6 +311,23 @@ object SparkEntry {
     "q06_silver_projection" -> (qSilverProjection _),
     "q07_top_customers" -> (qTopCustomers _),
     "q08_pricing_summary" -> (qPricingSummary _),
+    "q10_join_brand_revenue" -> (qJoinBrandRevenue _),
+    "q11_join_order_priority" -> (qJoinOrderPriority _),
+    "q12_join_star_revenue" -> (qJoinStarRevenue _),
+    "q13_semi_join_active" -> (qSemiJoinActive _),
+    "q14_anti_join_inactive" -> (qAntiJoinInactive _),
+    "q15_outer_join_order_dist" -> (qOuterJoinOrderDist _),
+    "q16_union_parties" -> (qUnionParties _),
+    "q17_intersect_keys" -> (qIntersectKeys _),
+    "q18_except_keys" -> (qExceptKeys _),
+    "q19_distinct_status" -> (qDistinctStatus _),
+    "q20_window_top_orders" -> (qWindowTopOrders _),
+    "q21_window_running_total" -> (qWindowRunningTotal _),
+    "q22_window_event_gaps" -> (qWindowEventGaps _),
+    "q23_rollup_line_status" -> (qRollupLineStatus _),
+    "q24_conditional_agg" -> (qConditionalAgg _),
+    "q25_events_json" -> (qEventsJson _),
+    "q26_sessionize" -> (qSessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +373,113 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q10_join_brand_revenue" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q11_join_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q12_join_star_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+         count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q13_semi_join_active" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q14_anti_join_inactive" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q15_outer_join_order_dist" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY n_orders ORDER BY n_orders""",
+    "q16_union_parties" ->
+      """SELECT nationkey, count(*) AS n_parties FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier)
+         GROUP BY nationkey ORDER BY nationkey""",
+    "q17_intersect_keys" ->
+      """SELECT c_custkey AS key FROM customer
+         INTERSECT SELECT s_suppkey FROM supplier ORDER BY key""",
+    "q18_except_keys" ->
+      """SELECT c_custkey AS key FROM customer
+         EXCEPT SELECT o_custkey FROM orders ORDER BY key""",
+    "q19_distinct_status" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q20_window_top_orders" ->
+      """SELECT o_custkey, rnk, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+               FROM orders)
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q21_window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q22_window_event_gaps" ->
+      """SELECT user_id, count(gap_us) AS n_gaps,
+         CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us
+         FROM (SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+               FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+    "q23_rollup_line_status" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q24_conditional_agg" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+         CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_sales
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q25_events_json" ->
+      """SELECT event_type, count(k) AS n_events,
+         CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    "q26_sessionize" ->
+      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM (SELECT user_id,
+                 sum(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                         IS NULL THEN 1
+                         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                           > 1800000000 THEN 1
+                         ELSE 0 END AS is_new
+                     FROM events))
+         GROUP BY user_id ORDER BY user_id""",
   )
 }

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational completion: the operator families the reference lacks
+  * entirely (SURVEY.md §2.8 — joins, windows, set ops, dedup, top-k)
+  * but any real workload on its schema needs. All stock DataFrame API —
+  * Catalyst supplies pushdown/pruning/join-selection/AQE.
+  *
+  * Scale notes (100 TB):
+  *  - `broadcast()` hints are applied only to genuinely bounded
+  *    dimensions (nation=25, region=5 rows at any SF). Unbounded sides
+  *    go through shuffle joins where AQE picks broadcast at runtime if a
+  *    side turns out small.
+  *  - Window/group operators shuffle once on their partition key and
+  *    reuse that partitioning for nested windows (e.g. sessionize).
+  *  - Nothing collects to the driver; everything stays partition-parallel.
+  */
+object Relational {
+
+  /** Broadcast-hash equi-join: replicate the (bounded) build side to every
+    * executor; no shuffle of the probe side. */
+  def broadcastJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys)
+
+  /** Shuffle equi-join for two unbounded sides. AQE converts to broadcast
+    * at runtime when one side's actual size is below the threshold. */
+  def shuffleJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  how: String = "inner"): DataFrame =
+    left.join(right, keys, how)
+
+  /** EXISTS: keep left rows with ≥1 match. No right columns materialize,
+    * and Spark short-circuits per key — cheaper than join+distinct. */
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** NOT EXISTS: keep left rows with no match. */
+  def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  /** Top-k rows per group, totally ordered (tiebreak keys must make the
+    * ordering unique for deterministic output). Partial top-k runs
+    * map-side inside the window exec after one shuffle on the group key. */
+  def topKPerGroup(df: DataFrame, k: Int, partitionKeys: Seq[Column],
+                   order: Seq[Column], rankCol: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(partitionKeys: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Exact running total of a double column in decimal space (prefix sums
+    * stay associative/exact → identical across engines and partitionings). */
+  def runningTotal(df: DataFrame, value: Column, partitionKeys: Seq[Column],
+                   order: Seq[Column], as: String, scale: Int = 2): DataFrame = {
+    val w = Window.partitionBy(partitionKeys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(value.cast(DecimalType(18, scale))).over(w).cast("double"))
+  }
+
+  /** Gap-based sessionization (batch): a new session starts when the gap
+    * to the previous event of the same key exceeds `gapMicros`. Both the
+    * lag and the running session counter reuse ONE hash partitioning on
+    * the key — a single shuffle end-to-end, which is the property that
+    * survives a 1000-executor scale-up.
+    *
+    * Expects an integral microsecond column `tsUs`; emits `session_id`
+    * (1-based per key). */
+  def sessionize(df: DataFrame, key: Column, tsUs: Column, orderTiebreak: Column,
+                 gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsUs, orderTiebreak)
+    val isNew = when(
+      lag(tsUs, 1).over(w).isNull ||
+        tsUs - lag(tsUs, 1).over(w) > gapMicros, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}

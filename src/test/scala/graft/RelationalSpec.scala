@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semiJoin keeps only matched left rows, no right columns") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val right = Seq(Tuple1(1), Tuple1(3), Tuple1(3)).toDF("k")
+    val got = Relational.semiJoin(left, right, Seq("k"))
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.select("k").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("antiJoin keeps only unmatched left rows") {
+    val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val right = Seq(Tuple1(1), Tuple1(3)).toDF("k")
+    val got = Relational.antiJoin(left, right, Seq("k"))
+    assert(got.select("k").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("topKPerGroup returns k best rows per group in rank order") {
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 30.0), ("g1", 3L, 20.0),
+      ("g2", 4L, 5.0)).toDF("g", "id", "score")
+    val got = Relational.topKPerGroup(df, 2, Seq(col("g")),
+      Seq(col("score").desc, col("id")))
+      .select("g", "id", "rnk").as[(String, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(("g1", 2L, 1), ("g1", 3L, 2), ("g2", 4L, 1)))
+  }
+
+  test("runningTotal computes exact ordered prefix sums") {
+    val df = Seq(("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3))
+      .toDF("g", "id", "x")
+    val got = Relational.runningTotal(df, col("x"), Seq(col("g")),
+      Seq(col("id")), "run")
+      .orderBy("id").select("run").as[Double].collect().toSeq
+    assert(got == Seq(0.1, 0.3, 0.6)) // exact via decimal, no fp drift
+  }
+
+  test("sessionize splits on gaps > threshold per key") {
+    val us = 1000000L
+    val df = Seq(
+      (1L, 10L, 0L * us), (1L, 11L, 60L * us), (1L, 12L, 2000L * us),
+      (2L, 20L, 0L * us))
+      .toDF("user_id", "event_id", "ts_us")
+    val got = Relational.sessionize(df, col("user_id"), col("ts_us"),
+      col("event_id"), gapMicros = 1000L * us)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
+  }
+}
