@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.Num.{davg, dsum}
-import graft.ops.Relational
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -300,6 +300,132 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  // ------------------------------------- training-data pipeline extensions
+
+  /** Exact dedup groups: md5 content key → deterministic keeper + count. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicateGroups(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("keep_id"))
+
+  /** Corpus dedup summary: total vs content-distinct docs. */
+  private def qDedupSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+
+  /** 3-token-shingle jaccard near-dup scan: 20 probe docs vs the corpus.
+    * Set sizes are integers, so the jaccard double is engine-exact.
+    * Shingle SETS stay as strings for oracle parity, but the intersection
+    * runs on sorted distinct arrays — and the jaccard is derived purely
+    * from set sizes, which DuckDB reproduces exactly. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .repartition(col("doc_id")) // parallelize shingling beyond file count
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), TextAnalysis.shingleSet(col("toks"), 3).as("sh"))
+    val probes = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    probes.hint("broadcast")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        col("id_b") > col("id_a"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash-LSH near-dup sweep over the whole corpus (no SQL oracle:
+    * buckets derive from Spark's murmur3). Emits a 1-row audit so the
+    * rows-only check always has a row. */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .agg(
+        count(lit(1)).as("n_near_dup_pairs"),
+        coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
+
+  /** SimHash signatures (rows-only: xxhash64-derived). */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashSignatures(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100),
+      col("doc_id"), TextAnalysis.tokens(col("text")))
+      .orderBy(col("doc_id"))
+
+  /** Per-language token statistics. */
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality metrics (probe slice for output size). */
+  private def qQualityMetrics(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100), col("text"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("n_distinct_tokens"), col("distinct_ratio"), col("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-based language-ID heuristic + agreement with the stored label
+    * (rows-only: argmax tiebreak via Spark struct ordering). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100), col("text"),
+      Map(
+        "en" -> Seq("the", "and", "of", "to", "a"),
+        "de" -> Seq("der", "und", "die", "das", "ist"),
+        "es" -> Seq("el", "la", "de", "que", "y"),
+        "fr" -> Seq("le", "la", "et", "les", "des")))
+      .select(col("doc_id"), col("predicted_lang"), col("lang_score"),
+        col("lang").as("stored_lang"),
+        (col("predicted_lang") === col("lang")).as("agrees"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprints (rows-only: xxhash64-derived). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .withColumn("fingerprint",
+        TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private def embQueries(s: SparkSession, dir: String, maxId: Long): DataFrame =
+    Tables.load(s, dir, "embeddings").filter(col("vec_id") < maxId)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.Vec.toDouble(col("embedding")).as("qv"))
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.Vec.toDouble(col("embedding")).as("v"))
+
+  /** Exact brute-force cosine top-5 neighbors for 10 probe vectors. */
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embCorpus(s, dir), embQueries(s, dir, 10), 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Embedding near-dup pairs above cosine 0.3 (200 probes vs corpus). */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDuplicates(
+      embCorpus(s, dir), embQueries(s, dir, 200), 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH-bucketed approximate top-3 (rows-only: hyperplane constants are
+    * plan literals; scale path for ANN at 100 TB). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embCorpus(s, dir), embQueries(s, dir, 10), 3)
+      .orderBy(col("query_id"), col("rank"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,6 +454,18 @@ object SparkEntry {
     "q24_conditional_agg" -> (qConditionalAgg _),
     "q25_events_json" -> (qEventsJson _),
     "q26_sessionize" -> (qSessionize _),
+    "q30_dedup_exact" -> (qDedupExact _),
+    "q31_dedup_summary" -> (qDedupSummary _),
+    "q32_ngram_jaccard" -> (qNgramJaccard _),
+    "q33_minhash_lsh" -> (qMinhashLsh _),
+    "q34_simhash" -> (qSimhash _),
+    "q35_token_stats" -> (qTokenStats _),
+    "q36_quality_metrics" -> (qQualityMetrics _),
+    "q37_langid" -> (qLangId _),
+    "q38_fingerprint" -> (qFingerprint _),
+    "q40_cosine_topk" -> (qCosineTopK _),
+    "q41_embed_neardup" -> (qEmbedNearDup _),
+    "q42_ann_lsh" -> (qAnnLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -481,5 +619,73 @@ object SparkEntry {
                          ELSE 0 END AS is_new
                      FROM events))
          GROUP BY user_id ORDER BY user_id""",
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q31_dedup_summary" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_unique FROM documents""",
+    "q32_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+             i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS s
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < 20 AND b.doc_id > a.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+         ORDER BY id_a, id_b""",
+    "q35_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avg_tokens,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q36_quality_metrics" ->
+      """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct_tokens,
+         CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           / len(string_split(text,' ')) AS distinct_ratio,
+         CAST(len(list_filter(string_split(text,' '),
+             t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+           / len(string_split(text,' ')) AS stopword_ratio
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q40_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT query_id, vec_id,
+             round(list_inner_product(qv, v)
+               / sqrt(list_inner_product(qv, qv) * list_inner_product(v, v)), 6) AS cos
+           FROM q, c WHERE vec_id <> query_id)
+         SELECT query_id, rank, vec_id, cos FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+           FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q41_embed_neardup" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 200),
+         c AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT query_id AS id_a, vec_id AS id_b,
+           round(list_inner_product(qv, v)
+             / sqrt(list_inner_product(qv, qv) * list_inner_product(v, v)), 6) AS cos
+         FROM q, c
+         WHERE query_id < vec_id
+           AND round(list_inner_product(qv, v)
+             / sqrt(list_inner_product(qv, qv) * list_inner_product(v, v)), 6) >= 0.3
+         ORDER BY id_a, id_b""",
   )
 }

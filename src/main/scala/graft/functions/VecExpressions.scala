@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`)
+  * are CodegenFallback — every element evaluation goes through an
+  * interpreted lambda, which profiled ~100× slower than a fused loop on
+  * 64-dim embeddings. These expressions generate tight Java loops inside
+  * whole-stage codegen instead (SURVEY.md §7.4 preference order: custom
+  * `Expression` before UDF).
+  *
+  * Summation order is strictly sequential left-to-right, matching both
+  * the higher-order-function formulation and DuckDB's
+  * `list_inner_product`, so results are bit-identical to the oracle.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double s = 0.0;
+      |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
+      |${ev.value} = s;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine similarity: one pass computes dot(a,b), dot(a,a),
+  * dot(b,b) — a third of the traversals of the composed form, with each
+  * accumulator still summed left-to-right (oracle-identical). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      s += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    s / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double s = 0.0; double na = 0.0; double nb = 0.0;
+      |for (int i = 0; i < n; i++) {
+      |  double xv = $a.getDouble(i); double yv = $b.getDouble(i);
+      |  s += xv * yv; na += xv * xv; nb += yv * yv;
+      |}
+      |${ev.value} = s / java.lang.Math.sqrt(na * nb);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sign-LSH bucket id: bit p of the result is set iff v · planes(p) > 0.
+  * The hyperplane matrix rides along as a codegen reference object — not
+  * as 6×64 literal CreateArray nodes per row, which bloat generated code
+  * and janino compile time. */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(x.numElements(), plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * plane(i); i += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      |long bucket = 0L;
+      |for (int p = 0; p < $planesRef.length; p++) {
+      |  double[] plane = $planesRef[p];
+      |  int n = java.lang.Math.min($a.numElements(), plane.length);
+      |  double s = 0.0;
+      |  for (int i = 0; i < n; i++) { s += $a.getDouble(i) * plane[i]; }
+      |  if (s > 0) bucket |= (1L << p);
+      |}
+      |${ev.value} = bucket;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VecExpressions {
+  def dotNative(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosineNative(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def lshBucketNative(v: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(LshBucket(GraftBridge.expression(v), planes))
+}

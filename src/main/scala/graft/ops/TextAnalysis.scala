@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * shingling, quality metrics, language-ID, fingerprinting. All built on
+  * codegen'd builtins/higher-order functions — no UDFs, so every operator
+  * is partition-parallel and pushdown-friendly at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization on single spaces (the corpus' delimiter;
+    * engine-portable, unlike locale-aware analyzers). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** n-token shingles joined by spaces; empty when the doc is shorter
+    * than n (guarded: Spark's sequence(1,0) counts DOWN, it is not empty). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+
+  /** The distinct shingle set used for jaccard comparisons.
+    *
+    * IMPORTANT: `toks` must be a materialized column (e.g. via
+    * `.withColumn("toks", tokens(col))`), NOT an inline `split(...)`
+    * expression — lambda bodies re-evaluate their captured expressions per
+    * element, so an inlined split makes shingling quadratic in tokens
+    * (profiled: one 5000-doc partition took >10 min; materialized, <2 s). */
+  def shingleSet(toks: Column, n: Int): Column =
+    array_distinct(shingles(toks, n))
+
+  /** Jaccard similarity of two pre-distinct arrays, computed from set
+    * sizes only (|A∩B| / (|A|+|B|-|A∩B|)) — integer arithmetic until one
+    * exact double division, so any engine agrees exactly. */
+  def jaccard(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    inter / (size(setA) + size(setB) - size(array_intersect(setA, setB)))
+  }
+
+  /** Small conventional stopword marker set (quality scoring). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality metrics: char/token counts, distinct-token
+    * ratio, stopword ratio. Ratios are int/int → exact doubles. */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val stopArr = array(Stopwords.map(lit): _*)
+    df
+      .withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+          / col("n_tokens"))
+  }
+
+  /** Marker-token language scorer: per language, how many tokens hit its
+    * marker list. Argmax with deterministic lexicographic tiebreak via
+    * struct ordering (score first, then language code). */
+  def langId(df: DataFrame, text: Column,
+             markers: Map[String, Seq[String]]): DataFrame = {
+    val toks = tokens(text)
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(arr, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    df.withColumn("lang_scores", array(scored: _*))
+      .withColumn("predicted_lang", array_max(col("lang_scores")).getField("lang"))
+      .withColumn("lang_score", array_max(col("lang_scores")).getField("score").cast("long"))
+      .drop("lang_scores")
+  }
+
+  /** Polynomial rolling fingerprint over token hashes, mod 2^31−1 at
+    * every step so the fold can never overflow a long under ANSI mode:
+    * fp = ((fp·31 mod p) + (xxhash64(token) mod p)) mod p. Pure
+    * arithmetic over a deterministic hash → stable across runs/partitions. */
+  def fingerprint(toks: Column): Column = {
+    val p = lit(2147483647L)
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(pmod(acc * 31, p) + pmod(xxhash64(t), p), p))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's medallion architecture (Bronze → Silver → Gold over
+  * parquet layers + catalog registration), as composable stages. Each
+  * stage is a pure DataFrame function; sinks (SURVEY.md §2.2 K1–K7) live
+  * in `write*`/`registerExternal`.
+  *
+  * The session catalog's `CREATE TABLE ... USING PARQUET LOCATION` stands
+  * in for AWS Glue — the reference's own fallback path
+  * (spark/jobs/mysql_gold_aggregation.py:168-176).
+  */
+object Medallion {
+
+  // ------------------------------------------------------------- stages
+
+  /** Bronze: raw + ingestion audit columns (reference:
+    * spark/jobs/mysql_bronze_ingestion.py:85-88). `ingestionTs` is
+    * injectable so pipelines stay deterministic/testable — the
+    * reference's bare current_timestamp() cannot be oracle-checked. */
+  def toBronze(raw: DataFrame, sourceSystem: String, sourceTable: String,
+               ingestionTs: Column = current_timestamp()): DataFrame =
+    raw
+      .withColumn("ingestion_timestamp", ingestionTs)
+      .withColumn("source_system", lit(sourceSystem))
+      .withColumn("source_table", lit(sourceTable))
+
+  /** Silver: cast money columns to decimal(10,2), date columns to date,
+    * drop rows with nulls in required columns, add audit metadata
+    * (reference: spark/jobs/mysql_silver_transformation.py:59-67). */
+  def toSilver(bronze: DataFrame,
+               moneyCols: Seq[String] = Seq.empty,
+               dateCols: Seq[String] = Seq.empty,
+               lowercaseCols: Seq[String] = Seq.empty,
+               requiredCols: Seq[String] = Seq.empty,
+               transformTs: Column = current_timestamp()): DataFrame = {
+    val cast1 = moneyCols.foldLeft(bronze)((df, c) =>
+      df.withColumn(c, col(c).cast(DecimalType(10, 2))))
+    val cast2 = dateCols.foldLeft(cast1)((df, c) =>
+      df.withColumn(c, col(c).cast("date")))
+    val cast3 = lowercaseCols.foldLeft(cast2)((df, c) =>
+      df.withColumn(c, lower(col(c))))
+    val cleaned =
+      if (requiredCols.nonEmpty) cast3.na.drop(requiredCols) else cast3
+    cleaned
+      .withColumn("transformation_timestamp", transformTs)
+      .withColumn("data_quality_check",
+        lit("passed")) // reference parity: a placeholder audit column
+  }
+
+  /** Gold: grouped aggregation with pinned output types (reference:
+    * spark/jobs/gold_aggregation.py:97-104). */
+  def toGold(silver: DataFrame, groupKeys: Seq[Column],
+             aggs: Seq[Column]): DataFrame =
+    silver.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
+
+  // -------------------------------------------------------------- sinks
+
+  /** K1/K3: parquet overwrite (snappy is Spark's default codec). */
+  def writeOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+
+  /** K2: Hive-style partitioned write
+    * (reference: spark/jobs/silver_transformation.py:61-64). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(path)
+
+  /** K4: single-file gold output (reference coalesce(1) —
+    * spark/jobs/gold_aggregation.py:111). Only sane for small aggregates;
+    * never use on unbounded data. */
+  def writeSingleFile(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** K5: write-then-verify round trip (reference:
+    * spark/jobs/mysql_bronze_ingestion.py:117-120). Returns the re-read
+    * row count. */
+  def writeAndVerify(df: DataFrame, path: String): Long = {
+    writeOverwrite(df, path)
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** K6/K7: register the written location as an external table in the
+    * session catalog (reference's Glue fallback:
+    * spark/jobs/mysql_gold_aggregation.py:160-176). */
+  def registerExternal(spark: SparkSession, db: String, table: String,
+                       location: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    spark.sql(
+      s"CREATE TABLE $db.$table USING PARQUET LOCATION '$location'")
+    spark.sql(s"REFRESH TABLE $db.$table")
+  }
+}

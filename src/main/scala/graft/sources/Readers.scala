@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source scans (SURVEY.md §2.1, S1–S7). Explicit `StructType` first —
+  * the reference's best habit (spark/jobs/silver_transformation.py:25-44)
+  * — schema inference only where the reference inferred.
+  *
+  * Scale notes: CSV/JSON/XML scans parallelize by file split; JDBC needs
+  * an explicit partitionColumn to parallelize (the reference's
+  * single-partition scan — mysql_bronze_ingestion.py:72-75 — is the
+  * anti-pattern `jdbcPartitioned` fixes).
+  */
+object Readers {
+
+  /** S1: CSV with header, inferred schema
+    * (reference: spark/jobs/bronze_ingestion.py:23-26). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S1b: CSV with a pinned schema (no inference pass over the data). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S2: JSON with explicit schema
+    * (reference: spark/jobs/api_bronze_ingestion.py:12-26). multiLine
+    * handles pretty-printed JSON arrays — the reference's users.json is
+    * one (scripts/ingest_api_data.py:15 writes indent=4; a bare read
+    * yields only _corrupt_record). */
+  def json(spark: SparkSession, path: String, schema: StructType,
+           multiLine: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("multiLine", multiLine.toString).json(path)
+
+  /** S3: XML with rowTag (reference: spark/jobs/xml_bronze_ingestion.py:27-30;
+    * native in Spark 4.x — no external spark-xml package). */
+  def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  /** S4: JDBC full-table scan (reference:
+    * spark/jobs/mysql_bronze_ingestion.py:65-94 — single partition). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** S4 at scale: range-partitioned JDBC scan — `numPartitions` parallel
+    * readers over `partitionColumn` strides. This is what the reference's
+    * single-partition scan must become on any table that matters. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lowerBound: Long,
+                      upperBound: Long, numPartitions: Int,
+                      props: Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+
+  /** S5: self-describing Parquet scan
+    * (reference: spark/jobs/mysql_silver_transformation.py:42). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S6: Parquet with declared schema
+    * (reference: spark/jobs/silver_transformation.py:25-44). */
+  def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** S7: catalog table scan via SQL
+    * (reference: spark/jobs/mysql_gold_aggregation.py:179). */
+  def table(spark: SparkSession, db: String, table: String): DataFrame =
+    spark.sql(s"SELECT * FROM $db.$table")
+}
