@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // executor threads GC-thrashes allocation-heavy queries (profiled: one
   // query 3.7s alone → 88s in a loaded session).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // Pre-commit the heap: wide codegen'd hash-aggregates allocate ~37MB of
+  // fast-map batch per task; growing the heap on demand under 32
+  // concurrent tasks costs tens of seconds in page faults + growth GCs
+  // (profiled: first 64-column agg run 77s → ~3s with a committed heap).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

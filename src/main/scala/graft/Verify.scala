@@ -16,9 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Contract: a file literally at outDir/<name>.parquet. Spark writes
+        // a directory, so write to a scratch dir and move the single part
+        // file into place (coalesce(1) guarantees exactly one part).
+        val scratch = s"$outDir/.tmp_$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $scratch"))
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

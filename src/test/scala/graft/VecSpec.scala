@@ -102,7 +102,8 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("shingles are empty below width and windowed above") {
     val df = Seq("a b", "a b c d").toDF("text")
-      .select(TextAnalysis.shingleSet(col("text"), 3).as("sh"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(TextAnalysis.shingleSet(col("toks"), 3).as("sh"))
     val got = df.as[Seq[String]].collect().toSeq
     assert(got.head == Seq())
     assert(got(1) == Seq("a b c", "b c d"))

@@ -35,7 +35,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            got = canon(pd.read_parquet(f"{out_dir}/{name}.parquet"))
             exp = canon(con.execute(sql).fetchdf())
         except Exception as ex:
             print(f"FAIL {name}: {ex}")
