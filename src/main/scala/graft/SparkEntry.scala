@@ -69,9 +69,16 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   /** P4-P12 (silver_transformation.py:52-53 et al.): projection with
-    * casts, lower(), date derivation — the silver-layer expression set. */
+    * casts, lower(), date derivation — the silver-layer expression set.
+    * Reads through the S6 explicit-schema parquet scan (declared column
+    * subset = schema-level pruning; silver_transformation.py:25-44). */
   private def qSilverProjection(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "orders")
+    graft.sources.Readers.parquet(s, s"$dir/orders.parquet",
+      StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))))
       .select(
         col("o_orderkey"),
         col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("price_norm"),
@@ -105,6 +112,89 @@ object SparkEntry {
         davg(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Medallion pipeline (SURVEY §1.1): bronze audit columns → silver
+    * casts/cleaning → gold aggregate, composed in-memory. Money follows
+    * the reference's decimal(10,2) contract
+    * (silver_transformation.py:52, mysql_gold_aggregation.py:121). */
+  private def qMedallionGold(s: SparkSession, dir: String): DataFrame = {
+    val bronze = graft.pipeline.Medallion.toBronze(
+      Tables.load(s, dir, "orders"), "testdata", "orders")
+    val silver = graft.pipeline.Medallion.toSilver(bronze,
+      moneyCols = Seq("o_totalprice"),
+      dateCols = Seq("o_orderdate"),
+      lowercaseCols = Seq("o_orderpriority"),
+      requiredCols = Seq("o_totalprice", "o_orderdate"))
+    graft.pipeline.Medallion.toGold(silver,
+      Seq(col("o_orderpriority")),
+      Seq(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("total_amount")))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --------------------------------------------------------------- sources
+
+  /** Deterministic per-SF scratch dir for source-format fixtures. */
+  private def fixtureDir(kind: String, dir: String): String =
+    s"/tmp/graft_fixtures/${kind}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** S1+K1 (bronze_ingestion.py:23-26): distributed CSV write of nation,
+    * schema-inferred CSV scan back, aggregate. The oracle runs on the
+    * original table, so the round trip itself is what's checked. */
+  private def qCsvSource(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("csv_nation", dir)
+    Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    graft.sources.Readers.csvInferred(s, path)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** S2 (api_bronze_ingestion.py:12-26): JSON write + explicit-schema
+    * JSON scan (line-delimited; the reference's multiLine array variant
+    * is covered by Readers.json's default). */
+  private def qJsonSource(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("json_orders", dir)
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 4096)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    graft.sources.Readers.json(s, path, schema, multiLine = false)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** S3 (xml_bronze_ingestion.py:27-30): native Spark-4 XML write +
+    * rowTag scan with schema inference. */
+  private def qXmlSource(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("xml_supplier", dir)
+    Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.format("xml").option("rowTag", "supplier").mode("overwrite").save(path)
+    graft.sources.Readers.xml(s, path, "supplier")
+      // XML inference widens integers to long; repin to the table's int32
+      .withColumn("s_nationkey", col("s_nationkey").cast("int"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** S7 (mysql_gold_aggregation.py:179): SQL over catalog-registered
+    * views — the spark.sql query-language surface. */
+  private def qSqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+             FROM orders WHERE o_totalprice > 100000
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
 
   // ------------------------------------------------- relational completion
 
@@ -324,14 +414,19 @@ object SparkEntry {
     val docs = Tables.load(s, dir, "documents")
       .repartition(col("doc_id")) // parallelize shingling beyond file count
       .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"), TextAnalysis.shingleSet(col("toks"), 3).as("sh"))
+      // sorted so the all-pairs scan can use the fused merge-loop
+      // intersection (graft.functions.SortedIntersectCount) instead of
+      // allocating an array_intersect per pair
+      .select(col("doc_id"),
+        sort_array(TextAnalysis.shingleSet(col("toks"), 3)).as("sh"))
     val probes = docs.filter(col("doc_id") < 20)
       .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     probes.hint("broadcast")
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         col("id_b") > col("id_a"))
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        graft.functions.ArrayExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .filter(col("jaccard") >= 0.2)
@@ -426,6 +521,59 @@ object SparkEntry {
     Similarity.lshTopK(embCorpus(s, dir), embQueries(s, dir, 10), 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Simhash near-dup pair distribution by hamming distance over the
+    * whole corpus (rows-only: xxhash64-derived signatures). */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").repartition(col("doc_id"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    Dedup.simhashPairs(
+      Dedup.simhashSignatures(docs, col("doc_id"), col("toks")), maxHamming = 3)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Structured Streaming: watermarked 1-hour tumbling windows per event
+    * type over a replayed stream of the events table, drained with
+    * Trigger.AvailableNow into a memory sink. The oracle is the batch
+    * equivalent — streaming and batch must agree on a bounded replay. */
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
+    val agg = graft.streaming.EventStreams.windowedTypeStats(
+      graft.streaming.EventStreams.readEventStream(s, dir))
+    val sink = s"graft_stream_window_${streamRuns.incrementAndGet()}"
+    agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(sink)
+      .select(col("window_start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal metadata + feature pipeline over deterministic synthetic
+    * media (rows-only: binary payloads aren't a testdata table). The
+    * mapPartitions feature stage and the metadata aggregation are the
+    * real 100 TB plumbing; the codec is stubbed (ops/Multimodal.scala). */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.ops.Multimodal.syntheticMedia(s, 300)
+    graft.ops.Multimodal.extractFeatures(media)
+      .toDF()
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(sum(element_at(col("features"), 1)), 6).as("sum_f0"))
+      .orderBy(col("modality"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,6 +585,7 @@ object SparkEntry {
     "q06_silver_projection" -> (qSilverProjection _),
     "q07_top_customers" -> (qTopCustomers _),
     "q08_pricing_summary" -> (qPricingSummary _),
+    "q09_medallion_gold" -> (qMedallionGold _),
     "q10_join_brand_revenue" -> (qJoinBrandRevenue _),
     "q11_join_order_priority" -> (qJoinOrderPriority _),
     "q12_join_star_revenue" -> (qJoinStarRevenue _),
@@ -454,6 +603,10 @@ object SparkEntry {
     "q24_conditional_agg" -> (qConditionalAgg _),
     "q25_events_json" -> (qEventsJson _),
     "q26_sessionize" -> (qSessionize _),
+    "q27_csv_source" -> (qCsvSource _),
+    "q28_json_source" -> (qJsonSource _),
+    "q29_xml_source" -> (qXmlSource _),
+    "q43_sql_catalog" -> (qSqlCatalog _),
     "q30_dedup_exact" -> (qDedupExact _),
     "q31_dedup_summary" -> (qDedupSummary _),
     "q32_ngram_jaccard" -> (qNgramJaccard _),
@@ -463,9 +616,12 @@ object SparkEntry {
     "q36_quality_metrics" -> (qQualityMetrics _),
     "q37_langid" -> (qLangId _),
     "q38_fingerprint" -> (qFingerprint _),
+    "q39_simhash_pairs" -> (qSimhashPairs _),
     "q40_cosine_topk" -> (qCosineTopK _),
     "q41_embed_neardup" -> (qEmbedNearDup _),
     "q42_ann_lsh" -> (qAnnLsh _),
+    "q50_stream_window" -> (qStreamWindow _),
+    "q51_media_features" -> (qMediaFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -511,6 +667,12 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q09_medallion_gold" ->
+      """SELECT lower(o_orderpriority) AS o_orderpriority,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total_amount
+         FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "q10_join_brand_revenue" ->
       """SELECT p_brand,
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
@@ -619,6 +781,28 @@ object SparkEntry {
                          ELSE 0 END AS is_new
                      FROM events))
          GROUP BY user_id ORDER BY user_id""",
+    "q27_csv_source" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q28_json_source" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 4096
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q29_xml_source" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q50_stream_window" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
+           AS window_start,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q43_sql_catalog" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders WHERE o_totalprice > 100000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS n_copies

@@ -113,7 +113,8 @@ object Dedup {
       .join(hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        graft.functions.ArrayExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)

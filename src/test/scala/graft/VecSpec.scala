@@ -97,6 +97,31 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ArrayExprSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.ArrayExpressions.sortedIntersectCount
+
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("m"), Seq.empty[String]),
+      (Seq("a", "z"), Seq("a", "z")))
+      .toDF("x", "y")
+    val got = df.select(
+      sortedIntersectCount(col("x"), col("y")),
+      size(array_intersect(col("x"), col("y"))).cast("long"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("sortedIntersectCount works on long arrays") {
+    val df = Seq((Seq(1L, 5L, 9L), Seq(1L, 2L, 9L, 10L))).toDF("x", "y")
+    assert(df.select(sortedIntersectCount(col("x"), col("y")))
+      .as[Long].head() == 2L)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
