@@ -29,10 +29,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Local mode = driver-only: the heap IS the cluster. 8g with 32
   // executor threads GC-thrashes allocation-heavy queries (profiled: one
   // query 3.7s alone → 88s in a loaded session).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-  // Pre-commit the heap: wide codegen'd hash-aggregates allocate ~37MB of
-  // fast-map batch per task; growing the heap on demand under 32
-  // concurrent tasks costs tens of seconds in page faults + growth GCs
-  // (profiled: first 64-column agg run 77s → ~3s with a committed heap).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-)
+  // Kernel-side memory work dominates this VM: /proc/stat during a
+  // "slow" query shows ~0.3% user CPU against 3.5 cores of system time —
+  // page-level operations (fault, zero, uncommit) are trapped and very
+  // expensive, so every GC-driven fresh-page touch stalls the query.
+  // Measured on identical reruns of the ngram-jaccard scan at sf0.1:
+  //   G1 64g:                 36s … 1120s, erratic (region churn)
+  //   G1 64g + THP(madvise):  44-140s (compaction storms)
+  //   G1 16g:                 1.9s alone, 30-288s after heavy queries
+  //   ParallelGC 16g:         0.85s best, occasional 25-40s full-GC spike
+  //   ParallelGC 16g + AlwaysPreTouch: 1.0-1.7s, stable  ← default
+  // PreTouch faults the whole committed heap once at JVM start (cost sits
+  // in bench's untimed warmup); ParallelGC then reuses resident pages
+  // with no region uncommit/recommit, keeping GC in user space.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
+) ++ (if (sys.env.getOrElse("SPARK_PRETOUCH", "1") == "1")
+        Seq("-XX:+AlwaysPreTouch") else Seq.empty)

@@ -32,30 +32,25 @@ object Dedup {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
-  /** k-permutation MinHash signatures, computed the codegen-friendly way:
-    * explode shingles to rows, murmur3-hash each, then ONE vectorized
-    * hash-aggregate with k `min((a_i·x + b_i) mod p)` columns (universal
-    * hashing; parameters derive deterministically from the permutation
-    * index). This keeps the whole computation inside whole-stage codegen —
-    * the per-element lambda form (transform/array_min) is interpreted and
-    * profiled ~10× slower. Docs with no shingles (shorter than the
-    * shingle width) drop out, which is correct: they cannot collide.
+  /** k-permutation MinHash signatures, computed MAP-ONLY: murmur3-hash
+    * each shingle in place, then one native single-pass expression
+    * (graft.functions.MinHashSig) folds all k universal-hash minima
+    * `min((a_i·x + b_i) mod p)` per document. No explode, no shuffle —
+    * the groupBy formulation shuffles one row per shingle, which at
+    * 100 TB is the dominant cost of the whole dedup pipeline (and its
+    * k-wide aggregate allocates ~37 MB of fast-map per task). Docs with
+    * no shingles (shorter than the shingle width) drop out, which is
+    * correct: they cannot collide.
     *
     * Input: (docId, shinglesCol). Output: (doc_id, sig array<bigint>). */
   def minhashSignatures(docs: DataFrame, id: Column, shingles: Column,
                         numHashes: Int): DataFrame = {
     val p = lit(MinhashPrime)
-    val exploded = docs.select(id.as("doc_id"), explode(shingles).as("sh"))
-      .select(col("doc_id"), pmod(hash(col("sh")).cast("long"), p).as("x"))
-    val aggs = (0 until numHashes).map { i =>
-      val a = lit(2L * i + 1) // odd multipliers, |a·x| < 2^38: no overflow
-      val b = lit((i.toLong * 40503L + 10501L) % MinhashPrime)
-      min(pmod(a * col("x") + b, p)).as(s"s$i")
-    }
-    exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+    docs.select(id.as("doc_id"),
+      graft.functions.SketchExpressions.minhashSig(
+        transform(shingles, s => pmod(hash(s).cast("long"), p)),
+        numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH-verified near-duplicate pairs (id_a < id_b) with exact jaccard ≥
@@ -88,16 +83,11 @@ object Dedup {
           shingleSet(col("toks"), shingleN),
           s => pmod(hash(s).cast("long"), p)))).as("sh"))
       .persist()
-    val exploded = hashed.select(col("doc_id"), explode(col("sh")).as("x"))
-    val aggs = (0 until numHashes).map { i =>
-      val a = lit(2L * i + 1) // odd multipliers, |a·x| < 2^38: no overflow
-      val b = lit((i.toLong * 40503L + 10501L) % MinhashPrime)
-      min(pmod(a * col("x") + b, p)).as(s"s$i")
-    }
-    val sigs = exploded.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+    // Map-only signatures: one fused pass per document over the hashed
+    // shingle set (no explode/shuffle — see minhashSignatures).
+    val sigs = hashed.select(col("doc_id"),
+      graft.functions.SketchExpressions.minhashSig(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     // (doc_id, band_idx, band_hash): hash of each signature slice
     val bucketed = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -122,25 +112,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash over xxhash64 token hashes: bit i of the result is
-    * set iff Σ_tokens (2·bit_i(h)−1) > 0. Computed codegen-friendly:
-    * explode tokens, hash once per token, then one vectorized
-    * hash-aggregate with 64 per-bit sum columns recombined into the
-    * signature long. Docs with no tokens drop out (no signal → no bits).
+    * set iff Σ_tokens (2·bit_i(h)−1) > 0. Computed MAP-ONLY via one
+    * native single-pass expression per document
+    * (graft.functions.SimHash64) — the explode + 64-column-aggregate
+    * formulation shuffles one row per token and profiled 30-40 s at
+    * sf0.1 against ~1 s for the fused pass. Docs with no tokens drop
+    * out (no signal → no bits).
     *
     * Input: (docId, toksCol). Output: (doc_id, simhash). */
-  def simhashSignatures(docs: DataFrame, id: Column, toks: Column): DataFrame = {
-    val hashed = docs.select(id.as("doc_id"), explode(toks).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitAggs = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
-    }
-    hashed.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  def simhashSignatures(docs: DataFrame, id: Column, toks: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+      graft.functions.SketchExpressions.simhash64(toks).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-duplicate pairs within hamming distance `maxHamming`.
     * 4×16-bit band pigeonhole: any pair at distance ≤ 3 shares at least

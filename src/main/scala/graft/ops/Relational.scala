@@ -41,6 +41,23 @@ object Relational {
   def antiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_anti")
 
+  /** Skew-resilient equi-join: spread a hot key across `saltBuckets`
+    * shuffle partitions by salting the skewed side with a deterministic
+    * hash of one of its unique columns, and replicating the other side
+    * once per bucket. Use when one key holds so many rows that a single
+    * shuffle partition would spill or straggle (AQE's skew-join split
+    * handles moderate skew; salting handles the pathological single-key
+    * case at a known replication cost of |other| × saltBuckets). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, skewedUnique: Column,
+                 how: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewedUnique), lit(saltBuckets)))
+    val replicated = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
+
   /** Top-k rows per group, totally ordered (tiebreak keys must make the
     * ordering unique for deterministic output). Partial top-k runs
     * map-side inside the window exec after one shuffle on the group key. */
