@@ -101,7 +101,10 @@ object SparkEntry {
     * canonical scan-dominated agg the 100 TB path must win. */
   private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
-      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      // raw timestamp comparison, not to_date(col) <= d: wrapping the
+      // scan column in a cast defeats parquet predicate pushdown (the
+      // filter must reach the scan as PushedFilters for the 100 TB path)
+      .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),

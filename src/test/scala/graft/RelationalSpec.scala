@@ -42,6 +42,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(0.1, 0.3, 0.6)) // exact via decimal, no fp drift
   }
 
+  test("saltedJoin equals the plain join, including a hot key") {
+    val left = (1 to 50).map(i => (if (i <= 40) 1 else i, i.toLong))
+      .toSeq.toDF("k", "id") // key 1 holds 80% of rows
+    val right = Seq((1, "hot"), (45, "cold"), (99, "nomatch")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "id", "tag").as[(Int, Long, String)].collect().toSet
+    val salted = Relational.saltedJoin(left, right, Seq("k"),
+      saltBuckets = 4, skewedUnique = col("id"))
+      .select("k", "id", "tag").as[(Int, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == 1) == 40)
+  }
+
   test("sessionize splits on gaps > threshold per key") {
     val us = 1000000L
     val df = Seq(
