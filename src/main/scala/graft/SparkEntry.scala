@@ -370,6 +370,28 @@ object SparkEntry {
           .otherwise(lit(0.0))).as("urgent_sales"))
       .orderBy(col("o_orderstatus"))
 
+  /** Backward as-of join (SURVEY §8 custom operator): each click event
+    * picks up the user's most recent preceding view event; per-user
+    * match-rate and mean click→view latency. Single shuffle on user_id
+    * (Relational.asOfJoin); oracle is DuckDB's native ASOF LEFT JOIN. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("ts_us").as("view_ts_us"))
+    Relational.asOfJoin(clicks, views, "user_id", "ts_us", Seq("view_ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("asof_view_ts_us")).as("n_matched"),
+        (sum(col("ts_us") - col("asof_view_ts_us")).cast("double") /
+          count(col("asof_view_ts_us"))).as("avg_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Salted skew-join (same result contract as q11): lineitem salted on
     * its unique (orderkey, linenumber-ish) tiebreak, orders replicated
     * ×8. Proves the skew path computes exactly what the plain join does. */
@@ -715,6 +737,7 @@ object SparkEntry {
     "q25_events_json" -> (qEventsJson _),
     "q26_sessionize" -> (qSessionize _),
     "q44_salted_join" -> (qSaltedJoin _),
+    "q53_asof_join" -> (qAsofJoin _),
     "q45_cube_line_status" -> (qCubeLineStatus _),
     "q46_window_navigation" -> (qWindowNavigation _),
     "q47_string_funcs" -> (qStringFuncs _),
@@ -926,6 +949,18 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q53_asof_join" ->
+      """SELECT user_id, count(*) AS n_clicks,
+         count(view_ts_us) AS n_matched,
+         CAST(sum(click_ts_us - view_ts_us) AS DOUBLE) / count(view_ts_us)
+           AS avg_gap_us
+         FROM (
+           SELECT a.user_id, epoch_us(a.ts) AS click_ts_us,
+                  epoch_us(b.ts) AS view_ts_us
+           FROM (SELECT * FROM events WHERE event_type = 'click') a
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+           ON a.user_id = b.user_id AND a.ts >= b.ts)
+         GROUP BY user_id ORDER BY user_id""",
     "q45_cube_line_status" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,

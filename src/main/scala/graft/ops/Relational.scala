@@ -76,6 +76,44 @@ object Relational {
     df.withColumn(as, sum(value.cast(DecimalType(18, scale))).over(w).cast("double"))
   }
 
+  /** Backward as-of join: attach to each left row the latest right row of
+    * the same key with right.ts <= left.ts (inclusive). Spark has no
+    * native as-of operator; the naive formulation (range join + per-key
+    * max) explodes quadratically on busy keys. This one is a single
+    * shuffle on the key: tag both sides, union, and carry right-side
+    * values forward with last(ignoreNulls) over one (key, ts, side)
+    * window — right rows sort before left rows at equal ts, giving
+    * inclusive semantics. O(n log n) per partition, no replication;
+    * the same plan shape survives any key cardinality or skew profile.
+    *
+    * `valueCols` are taken from `right` and emitted as `asof_<name>`
+    * (null where no right row precedes). Left/right may have further
+    * columns; only left's survive. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val outCols = leftCols ++ valueCols.map("asof_" + _)
+    val l = valueCols.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right.select((Seq(keyCol, tsCol) ++ valueCols).distinct.map(col): _*)
+    val r1 = valueCols.foldLeft(r0) { (df, c) =>
+      df.withColumn(s"asof_$c", col(c))
+    }.withColumn("__side", lit(0))
+    val r = leftCols.filterNot(c => c == keyCol || c == tsCol).foldLeft(r1) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val sel = (outCols :+ "__side").map(col)
+    val unioned = l.select(sel: _*).unionByName(r.select(sel: _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
   /** Gap-based sessionization (batch): a new session starts when the gap
     * to the previous event of the same key exceeds `gapMicros`. Both the
     * lag and the running session counter reuse ONE hash partitioning on

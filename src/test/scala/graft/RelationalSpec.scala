@@ -55,6 +55,21 @@ class RelationalSpec extends SparkSpec {
     assert(plain.count(_._1 == 1) == 40)
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left ts") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (1L, 50L, "c0"),
+      (2L, 100L, "c3")).toDF("k", "ts", "name")
+    val quotes = Seq((1L, 60L, 600L), (1L, 100L, 1000L), (1L, 150L, 1500L),
+      (3L, 10L, 99L)).toDF("k", "ts", "px")
+    val got = Relational.asOfJoin(clicks, quotes, "k", "ts", Seq("px"))
+      .select("name", "asof_px").as[(String, Option[Long])]
+      .collect().toMap
+    assert(got == Map(
+      "c0" -> None,          // no quote at/before 50
+      "c1" -> Some(1000L),   // inclusive: quote AT 100 wins over 60
+      "c2" -> Some(1500L),   // latest at/before 200
+      "c3" -> None))         // key 2 has no quotes
+  }
+
   test("sessionize splits on gaps > threshold per key") {
     val us = 1000000L
     val df = Seq(
