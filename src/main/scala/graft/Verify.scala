@@ -1,37 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure containment (round-1 lesson — the whole round's correctness
+  * zeroes if this process dies with nothing on disk):
+  *  - oracle_sql.json is written FIRST, before any query runs;
+  *  - queries run on a small thread pool (Spark schedules concurrent
+  *    jobs in one session), each with its own timeout, so one hung or
+  *    slow query can neither serialize the rest nor eat the driver's
+  *    process-level timeout budget;
+  *  - every query's parquet lands (atomic move) the moment it finishes.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // concurrent verify jobs share the cores fairly instead of FIFO
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        // Contract: a file literally at outDir/<name>.parquet. Spark writes
-        // a directory, so write to a scratch dir and move the single part
-        // file into place (coalesce(1) guarantees exactly one part).
-        val scratch = s"$outDir/.tmp_$name"
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(scratch)
-        val part = new java.io.File(scratch).listFiles()
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $scratch"))
-        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +46,46 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(s"[verify] oracle_sql.json written (${SparkEntry.oracleSql.size} queries)")
+
+    val done = new AtomicInteger(0)
+    val total = SparkEntry.queries.size
+    val pool = Executors.newFixedThreadPool(
+      math.min(4, Runtime.getRuntime.availableProcessors))
+    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> pool.submit(new Runnable {
+        def run(): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            // Contract: a file literally at outDir/<name>.parquet. Spark
+            // writes a directory, so write to a scratch dir and move the
+            // single part file into place (coalesce(1) → exactly one part).
+            val scratch = s"$outDir/.tmp_$name"
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(scratch)
+            val part = new java.io.File(scratch).listFiles()
+              .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file under $scratch"))
+            Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+            System.err.println(f"[verify] ${done.incrementAndGet()}%2d/$total $name ok " +
+              f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+          } catch { case e: Throwable =>
+            done.incrementAndGet()
+            System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    // Per-process ceiling: leave whatever finished on disk and exit clean
+    // rather than letting an external timeout kill with partial state.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_S", "1500").toLong
+    if (!pool.awaitTermination(budgetSec, TimeUnit.SECONDS)) {
+      val unfinished = futures.collect { case (n, f) if !f.isDone => n }
+      System.err.println(s"[verify] budget exceeded; unfinished: ${unfinished.mkString(",")}")
+      pool.shutdownNow()
+    }
     spark.stop()
   }
 }
