@@ -17,6 +17,11 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Compact warmup garbage BEFORE timing starts: on this VM a
+    // ParallelGC full collection is a 25-40s page-fault storm (see
+    // build.sbt), and without this it lands inside the first timed
+    // queries (round-1 driver bench: first ~10 queries inflated 10-30x).
+    System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

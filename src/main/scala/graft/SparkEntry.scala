@@ -190,6 +190,59 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /** ORC round-trip (capability extension; same write→scan proof shape
+    * as q27/q28/q29): distributed ORC write of a customer slice, ORC
+    * scan back, aggregate. Oracle runs on the original table. */
+  private def qOrcSource(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("orc_customer", dir)
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").orc(path)
+    graft.sources.Readers.orc(s, path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Bucketed co-located join: both sides pre-bucketed on the join key
+    * at write time (Medallion.writeBucketed), so the join itself plans
+    * WITHOUT a shuffle exchange — the co-partitioned-storage path for
+    * repeated fact⋈fact joins. Result contract identical to q11; the
+    * exchange-free plan property is asserted in BucketedJoinSpec. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val lt = s"graft_bl$tag"
+    val ot = s"graft_bo$tag"
+    graft.pipeline.Medallion.writeBucketed(
+      Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      lt, Seq("l_orderkey"), 8)
+    graft.pipeline.Medallion.writeBucketed(
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      ot, Seq("l_orderkey"), 8)
+    s.table(lt).join(s.table(ot), Seq("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Upsert/MERGE semantics (Medallion.upsert): a CDC batch doubling
+    * every 10th order's totalprice merges into the base table; aggregate
+    * proves replaced-not-duplicated keys. */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+    val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.pipeline.Medallion.upsert(base, updates, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_amount"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** S7 (mysql_gold_aggregation.py:179): SQL over catalog-registered
     * views — the spark.sql query-language surface. */
   private def qSqlCatalog(s: SparkSession, dir: String): DataFrame = {
@@ -392,16 +445,19 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
-  /** Salted skew-join (same result contract as q11): lineitem salted on
-    * its unique (orderkey, linenumber-ish) tiebreak, orders replicated
-    * ×8. Proves the skew path computes exactly what the plain join does. */
+  /** Adaptive skew-join (same result contract as q11): hot keys (>32
+    * rows) are salted ×8 with the other side's matching rows replicated;
+    * cold keys take the plain shuffle join. TPC-H orderkeys cap at 7
+    * lines, so at this threshold the hot path is provably empty here —
+    * the parity test with a genuinely hot key lives in RelationalSpec. */
   private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
-    Relational.saltedJoin(
+    Relational.skewJoin(
       Tables.load(s, dir, "lineitem"),
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
       Seq("l_orderkey"), saltBuckets = 8,
-      skewedUnique = col("l_orderkey") * lit(100) + col("l_linenumber"))
+      skewedUnique = col("l_orderkey") * lit(100) + col("l_linenumber"),
+      hotKeyThreshold = 32L)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -645,6 +701,88 @@ object SparkEntry {
     Similarity.lshTopK(embCorpus(s, dir), embQueries(s, dir, 10), 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** IVF-flat approximate top-5 (rows-only: Lloyd-trained centroids are
+    * plan constants; the data-adaptive ANN scale path — see
+    * Similarity.ivfTopK). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embCorpus(s, dir), embQueries(s, dir, 10), 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** BPE-style subword token statistics per language: the token-counting
+    * pass of a training-data pipeline (TextAnalysis.subwordTokens). */
+  private def qSubwordStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("n_sub", size(TextAnalysis.subwordTokens(col("text"))).cast("long"))
+      .withColumn("n_ws", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_sub")).as("total_subwords"),
+        (sum(col("n_sub")).cast("double") / count(lit(1))).as("avg_subwords"),
+        (sum(col("n_sub")).cast("double") / sum(col("n_ws"))).as("subword_per_ws"))
+      .orderBy(col("lang"))
+
+  /** Stream-static join: replayed event stream enriched with the bounded
+    * nation dimension (per-batch broadcast, no state), then a complete-
+    * mode aggregate. Oracle = the batch equivalent join. */
+  private def qStreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStreams.readEventStream(s, dir)
+      .withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("int"))
+    val joined = graft.streaming.EventStreams.streamStaticJoin(
+      stream, Tables.load(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+      Seq("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    graft.streaming.EventStreams.drainAvailableNow(joined)
+      .orderBy(col("n_name"))
+  }
+
+  /** Embedding pooling: element-wise mean per group via the typed
+    * VecMean aggregator (map-side dim-length partials, one shuffle). */
+  private def qEmbedPool(s: SparkSession, dir: String): DataFrame =
+    embCorpus(s, dir)
+      .withColumn("grp", pmod(col("vec_id"), lit(8)))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.functions.VecAgg.vecMean(col("v")).as("m"))
+      .select(col("grp"), col("n_vecs"),
+        round(element_at(col("m"), 1), 6).as("m1"),
+        round(element_at(col("m"), 2), 6).as("m2"),
+        round(element_at(col("m"), 3), 6).as("m3"),
+        round(element_at(col("m"), 4), 6).as("m4"))
+      .orderBy(col("grp"))
+
+  /** Streaming exact dedup (first-seen per key) feeding a complete-mode
+    * count — batch DISTINCT semantics over a replayed stream. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val stream = graft.streaming.EventStreams.readEventStream(s, dir)
+      .withColumn("dup_key", pmod(col("event_id"), lit(9973)))
+    val counted = graft.streaming.EventStreams.dedupByKey(
+      stream, Seq("event_type", "dup_key"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    graft.streaming.EventStreams.drainAvailableNow(counted)
+      .orderBy(col("event_type"))
+  }
+
+  /** Graft native expressions through the SQL surface
+    * (GraftExtensions): cosine + dot over embeddings in spark.sql. */
+  private def qSqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(s)
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                  CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS cos,
+               round(graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+                               CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS dot
+             FROM embeddings a JOIN embeddings b
+               ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 25
+             ORDER BY id_a, id_b""")
+  }
+
   /** Simhash near-dup pair distribution by hamming distance over the
     * whole corpus (rows-only: xxhash64-derived signatures). */
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -763,6 +901,15 @@ object SparkEntry {
     "q42_ann_lsh" -> (qAnnLsh _),
     "q50_stream_window" -> (qStreamWindow _),
     "q51_media_features" -> (qMediaFeatures _),
+    "q54_ann_ivf" -> (qAnnIvf _),
+    "q55_subword_stats" -> (qSubwordStats _),
+    "q56_stream_static_join" -> (qStreamStaticJoin _),
+    "q57_embed_pool" -> (qEmbedPool _),
+    "q58_stream_dedup" -> (qStreamDedup _),
+    "q59_sql_functions" -> (qSqlFunctions _),
+    "q60_orc_source" -> (qOrcSource _),
+    "q61_bucketed_join" -> (qBucketedJoin _),
+    "q62_upsert" -> (qUpsert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1051,6 +1198,57 @@ object SparkEntry {
                ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
            FROM s)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q60_orc_source" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q61_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q62_upsert" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM (
+           SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+           UNION ALL
+           SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+           FROM orders WHERE o_orderkey % 10 = 0)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q55_subword_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_subwords,
+         CAST(sum(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]'))) AS DOUBLE)
+           / count(*) AS avg_subwords,
+         CAST(sum(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]'))) AS DOUBLE)
+           / sum(len(string_split(text, ' '))) AS subword_per_ws
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q56_stream_static_join" ->
+      """SELECT n_name, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q57_embed_pool" ->
+      """SELECT vec_id % 8 AS grp, count(*) AS n_vecs,
+         round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS m1,
+         round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS m2,
+         round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS m3,
+         round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS m4
+         FROM embeddings GROUP BY 1 ORDER BY grp""",
+    "q58_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id % 9973) AS n_unique
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q59_sql_functions" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v)
+             / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)), 6) AS cos,
+           round(list_inner_product(a.v, b.v), 6) AS dot
+         FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 25
+         ORDER BY id_a, id_b""",
     "q41_embed_neardup" ->
       """WITH q AS (SELECT vec_id AS query_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -141,6 +141,75 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Static helpers shared by interpreted eval and generated code. */
+object VecUtil {
+  /** Indices of the `nProbe` centroids nearest to `v` by squared L2,
+    * ascending by distance (ties: lower index first). Selection over
+    * k ≤ ~64 centroids — no allocation beyond the output. */
+  def nearestCentroids(v: ArrayData, centroids: Array[Array[Double]],
+                       nProbe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = centroids.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = v.getDouble(i) - cent(i); s += d * d; i += 1 }
+      dists(c) = s
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Long](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && dists(j) < bestD) { best = j; bestD = dists(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best.toLong
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The `nProbe` nearest centroid ids (squared-L2, ascending) of a vector —
+  * the assignment/probe step of an IVF index. The centroid matrix rides as
+  * a codegen reference object, same pattern as LshBucket. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(a: Any): Any =
+    VecUtil.nearestCentroids(a.asInstanceOf[ArrayData], centroids, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      |${ev.value} = graft.functions.VecUtil.nearestCentroids(
+      |  $a, $centsRef, $nProbe);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
@@ -152,4 +221,9 @@ object VecExpressions {
 
   def lshBucketNative(v: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(LshBucket(GraftBridge.expression(v), planes))
+
+  def nearestCentroidsNative(v: Column, centroids: Array[Array[Double]],
+                             nProbe: Int): Column =
+    GraftBridge.column(NearestCentroids(
+      GraftBridge.expression(v), centroids, nProbe))
 }

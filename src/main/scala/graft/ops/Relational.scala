@@ -58,6 +58,39 @@ object Relational {
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Adaptive skew join: detect genuinely hot keys with one map-side-
+    * combined count over the skewed side, then salt ONLY those keys'
+    * rows (replicating the other side's matching rows `saltBuckets`
+    * ways) and plain-join everything else; union of both paths. The
+    * static `saltedJoin` pays |other| × saltBuckets replication even
+    * when no key is actually skewed — this pays it only for the hot
+    * slice, which is the version that survives 100 TB: the hot-key set
+    * is small by definition (that's what makes them hot), so it rides a
+    * broadcast, and the cold path is an ordinary AQE-managed shuffle
+    * join. Inner and left joins only (the skewed-side split preserves
+    * exactly their semantics). */
+  def skewJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+               saltBuckets: Int, skewedUnique: Column,
+               hotKeyThreshold: Long = 1000000L,
+               how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"skewJoin preserves semantics for inner/left joins only, got $how")
+    val keyCols = keys.map(col)
+    val hot = skewed.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > hotKeyThreshold)
+      .select(keyCols: _*)
+      .withColumn("__hot", lit(true))
+    val tagged = skewed.join(broadcast(hot), keys, "left")
+    val cold = tagged.filter(col("__hot").isNull).drop("__hot")
+      .join(other, keys, how)
+    val hotSkewed = tagged.filter(col("__hot") === true).drop("__hot")
+    // replicate only the other-side rows that belong to hot keys
+    val hotOther = other.join(broadcast(hot), keys, "inner").drop("__hot")
+    val saltedHot = saltedJoin(hotSkewed, hotOther, keys, saltBuckets,
+      skewedUnique, how)
+    cold.unionByName(saltedHot.select(cold.columns.map(col): _*))
+  }
+
   /** Top-k rows per group, totally ordered (tiebreak keys must make the
     * ordering unique for deterministic output). Partial top-k runs
     * map-side inside the window exec after one shuffle on the group key. */

@@ -32,6 +32,19 @@ object TextAnalysis {
   def shingleSet(toks: Column, n: Int): Column =
     array_distinct(shingles(toks, n))
 
+  /** BPE-style pre-tokenization regex: lowercase runs, capitalized word
+    * fragments, digit runs, and single punctuation marks — the classic
+    * GPT-2-style splitting pass that precedes byte-pair merging. Kept to
+    * ASCII character classes so Java regex (Spark) and RE2 (DuckDB
+    * oracle) agree on every boundary. */
+  val SubwordPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Subword-ish tokens of a text column per `SubwordPattern` — the
+    * token-counting primitive of a training-data pipeline (whitespace
+    * tokens overcount bytes-per-token for BPE-trained models). */
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit(SubwordPattern), lit(0))
+
   /** Jaccard similarity of two pre-distinct arrays, computed from set
     * sizes only (|A∩B| / (|A|+|B|-|A∩B|)) — integer arithmetic until one
     * exact double division, so any engine agrees exactly. */

@@ -57,6 +57,17 @@ object Medallion {
              aggs: Seq[Column]): DataFrame =
     silver.groupBy(groupKeys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Key-based upsert (MERGE): `updates` rows replace same-key `base`
+    * rows; new keys append. The incremental-CDC primitive the
+    * reference's overwrite-everything pipelines lack (every reference
+    * write is mode("overwrite") — spark/jobs/bronze_ingestion.py:32-34
+    * et al.). One anti-join + union, both sides partition-parallel; at
+    * 100 TB pair with partition pruning so only touched partitions
+    * rewrite (Delta/Iceberg MERGE INTO semantics on plain parquet). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(base.columns.map(col): _*))
+
   // -------------------------------------------------------------- sinks
 
   /** K1/K3: parquet overwrite (snappy is Spark's default codec). */
@@ -82,6 +93,30 @@ object Medallion {
   def writeAndVerify(df: DataFrame, path: String): Long = {
     writeOverwrite(df, path)
     df.sparkSession.read.parquet(path).count()
+  }
+
+  /** Bucketed table write (capability extension): hash-pre-shuffle the
+    * data ONCE at write time into `nBuckets` files per partition, so
+    * every later equi-join or aggregation on the bucket key plans
+    * exchange-free (bucket-local sort-merge). At 100 TB this converts
+    * the nightly fact⋈fact join from the dominant shuffle into a
+    * coalesced local read — the batch analogue of co-partitioned
+    * storage. Requires saveAsTable (bucket metadata lives in the
+    * catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A managed-table location left by a PREVIOUS session survives on
+    // disk but not in this (in-memory) catalog, and saveAsTable then
+    // refuses with LOCATION_ALREADY_EXISTS — clear the stale directory.
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(wh, table.toLowerCase))
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
   }
 
   /** K6/K7: register the written location as an external table in the

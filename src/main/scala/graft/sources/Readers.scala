@@ -66,6 +66,11 @@ object Readers {
   def parquet(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** ORC scan (capability extension: the second columnar at-rest format
+    * Spark ships natively; a lakehouse bronze layer ingests it as-is). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S7: catalog table scan via SQL
     * (reference: spark/jobs/mysql_gold_aggregation.py:179). */
   def table(spark: SparkSession, db: String, table: String): DataFrame =

@@ -84,6 +84,46 @@ object EventStreams {
       }
   }
 
+  /** Stream-static join: enrich an unbounded stream with a bounded
+    * dimension table. The static side is planned per micro-batch exactly
+    * like a batch join (broadcast when small), and the stream side stays
+    * stateless — the scale-out pattern for attaching reference data to a
+    * 100 TB/day event firehose without any state store. */
+  def streamStaticJoin(stream: DataFrame, dim: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stream.join(dim, keys)
+
+  /** Streaming exact dedup on a key set: keeps the first-seen row per
+    * key. Without a watermark the key state is unbounded (replay /
+    * bounded-source semantics, matching a batch DISTINCT); production
+    * streams bound it with `withWatermark` upstream so expired keys are
+    * evicted (dropDuplicatesWithinWatermark semantics). */
+  def dedupByKey(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.dropDuplicates(keys)
+
+  private val drainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drain a (bounded-replay) streaming frame through Trigger.AvailableNow
+    * into a uniquely-named memory sink and hand back the materialized
+    * table. Checkpoints go to tmpfs: the state store's many small commit
+    * files + fsyncs are kernel-bound in this VM (profiled: 33.8 s → ~4 s
+    * for one AvailableNow batch at sf0.1 just by moving off disk). */
+  def drainAvailableNow(df: DataFrame, mode: String = "complete"): DataFrame = {
+    val spark = df.sparkSession
+    val sink = s"graft_drain_${drainRuns.incrementAndGet()}"
+    val ckpt = s"/dev/shm/graft_ckpt_$sink"
+    try {
+      df.writeStream.format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    spark.table(sink)
+  }
+
   /** Wire a parquet directory as a (replayed) stream with the events
     * schema — lets batch fixtures drive the streaming operators. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
