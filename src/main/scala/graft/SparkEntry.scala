@@ -464,6 +464,44 @@ object SparkEntry {
         dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("o_orderpriority"))
 
+  /** Binned band join (Relational.bandJoin): every (click, view) pair
+    * globally within a 30-second backward window, aggregated per click
+    * day. Linear-shuffle range join — the oracle runs the plain range
+    * predicate. */
+  private def qBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts_us").as("view_us"))
+    Relational.bandJoin(clicks, views, "click_us", "view_us", 30L * 1000000)
+      .groupBy(to_date(timestamp_micros(col("click_us"))).cast("string").as("click_day"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (sum(col("click_us") - col("view_us")).cast("double") /
+          count(lit(1))).as("avg_gap_us"))
+      .orderBy(col("click_day"))
+  }
+
+  /** Watermarked stream-stream band join: per-user click↔view
+    * attribution pairs (view within 10 minutes before the click) over
+    * two replayed streams; the joined matches drain append-mode and
+    * aggregate in batch. Oracle = the equivalent batch range join. */
+  private def qStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.readEventStream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val joined = graft.streaming.EventStreams.streamStreamBandJoin(
+      clicks, views, "c_user", "v_user", "c_ts", "v_ts", "10 MINUTE")
+    graft.streaming.EventStreams.drainAvailableNow(joined, mode = "append")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"))
+      .orderBy(col("user_id"))
+  }
+
   /** CUBE: all grouping-set combinations with subtotal labels. */
   private def qCubeLineStatus(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
@@ -797,34 +835,19 @@ object SparkEntry {
 
   // ------------------------------------------------------------- streaming
 
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
-
   /** Structured Streaming: watermarked 1-hour tumbling windows per event
     * type over a replayed stream of the events table, drained with
-    * Trigger.AvailableNow into a memory sink. The oracle is the batch
-    * equivalent — streaming and batch must agree on a bounded replay. */
-  private def qStreamWindow(s: SparkSession, dir: String): DataFrame = {
-    val agg = graft.streaming.EventStreams.windowedTypeStats(
-      graft.streaming.EventStreams.readEventStream(s, dir))
-    val sink = s"graft_stream_window_${streamRuns.incrementAndGet()}"
-    // Checkpoint to tmpfs: the state store's many small commit files +
-    // fsyncs are kernel-bound in this VM (profiled: 33.8s → ~4s of the
-    // single AvailableNow batch at sf0.1 just by moving off disk).
-    val ckpt = s"/dev/shm/graft_ckpt_$sink"
-    try {
-      agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    }
-    s.table(sink)
+    * Trigger.AvailableNow into a memory sink (EventStreams
+    * .drainAvailableNow — tmpfs checkpoints, bounded state partitions).
+    * The oracle is the batch equivalent — streaming and batch must agree
+    * on a bounded replay. */
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.drainAvailableNow(
+      graft.streaming.EventStreams.windowedTypeStats(
+        graft.streaming.EventStreams.readEventStream(s, dir)))
       .select(col("window_start").cast("string").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
-  }
 
   // ------------------------------------------------------------ multimodal
 
@@ -910,6 +933,8 @@ object SparkEntry {
     "q60_orc_source" -> (qOrcSource _),
     "q61_bucketed_join" -> (qBucketedJoin _),
     "q62_upsert" -> (qUpsert _),
+    "q63_band_join" -> (qBandJoin _),
+    "q64_stream_stream_join" -> (qStreamStreamJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1207,6 +1232,23 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q63_band_join" ->
+      """SELECT CAST(CAST(c.ts AS DATE) AS VARCHAR) AS click_day,
+         count(*) AS n_pairs,
+         CAST(sum(epoch_us(c.ts) - epoch_us(v.ts)) AS DOUBLE) / count(*)
+           AS avg_gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON epoch_us(v.ts) <= epoch_us(c.ts)
+          AND epoch_us(v.ts) > epoch_us(c.ts) - 30000000
+         GROUP BY 1 ORDER BY click_day""",
+    "q64_stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_attributed
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON c.user_id = v.user_id
+          AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+         GROUP BY c.user_id ORDER BY c.user_id""",
     "q62_upsert" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount

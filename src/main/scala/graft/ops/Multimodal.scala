@@ -55,6 +55,44 @@ object Multimodal {
       }
     }
 
+  case class ResizedMedia(media_id: Long, modality: String,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** === STUB === Deterministic "resize": nearest-neighbor downsample of
+    * the payload interpreted as a width×height byte grid. Stands in for
+    * a real image resampler; the partition-parallel shape (mapPartitions,
+    * codec init amortized per partition) is the real pipeline. */
+  private[ops] def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
+                              dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y.toLong * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x.toLong * srcW / dstW
+        val idx = (sy * srcW + sx) % math.max(payload.length, 1)
+        out(y * dstW + x) = if (payload.isEmpty) 0 else payload(idx.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize image-modality rows to a target geometry — one stubbed-codec
+    * pass per partition, emitting the standardized payload a training
+    * pipeline feeds to patch/pixel tokenizers. */
+  def resizeImages(media: Dataset[MediaRow], dstW: Int, dstH: Int)
+                  (implicit enc: Encoder[ResizedMedia]): Dataset[ResizedMedia] =
+    media.filter(_.modality == "image").mapPartitions { rows =>
+      // per-partition resampler init would go here (once, not per row)
+      rows.map { r =>
+        ResizedMedia(r.media_id, r.modality, dstW, dstH,
+          resizeStub(r.payload, r.width, r.height, dstW, dstH))
+      }
+    }
+
   /** Deterministic frame sampling for video-modality rows: every
     * `stride`-th fixed-size block of the payload as a "frame" (===
     * STUB === for keyframe extraction; the explode shape is real). */

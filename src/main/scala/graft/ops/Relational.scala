@@ -109,6 +109,29 @@ object Relational {
     df.withColumn(as, sum(value.cast(DecimalType(18, scale))).over(w).cast("double"))
   }
 
+  /** Binned band join: all pairs (l, r) with r's timestamp in
+    * (l.ts − windowMicros, l.ts]. The naive formulation is a cross join
+    * with a range predicate — O(|L|·|R|) pairs examined. Binning by the
+    * window width turns it into an equi-join: rows join only within a
+    * bin, the right side is replicated to exactly 2 bins (its own and
+    * the next — any band of width w crosses at most one w-aligned
+    * boundary), and the exact predicate filters bin-local candidates.
+    * Shuffle cost is 2|R| + |L| rows hashed on bin id — linear, AQE
+    * handles hot bins, and the same plan shape survives any time skew.
+    * Both inputs need an integral microsecond column; left keeps its
+    * single bin so no pair can appear twice. */
+  def bandJoin(left: DataFrame, right: DataFrame, leftTsUs: String,
+               rightTsUs: String, windowMicros: Long): DataFrame = {
+    val w = lit(windowMicros)
+    val l = left.withColumn("__bin", floor(col(leftTsUs) / w))
+    val r = right.withColumn("__bin",
+      explode(array(floor(col(rightTsUs) / w), floor(col(rightTsUs) / w) + 1)))
+    l.join(r, "__bin")
+      .filter(col(rightTsUs) <= col(leftTsUs) &&
+        col(rightTsUs) > col(leftTsUs) - w)
+      .drop("__bin")
+  }
+
   /** Backward as-of join: attach to each left row the latest right row of
     * the same key with right.ts <= left.ts (inclusive). Spark has no
     * native as-of operator; the naive formulation (range join + per-key

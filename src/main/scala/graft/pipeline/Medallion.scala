@@ -119,6 +119,27 @@ object Medallion {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈rows / targetRowsPerFile⌉ files via staged write + directory swap.
+    * The operational countermeasure to the many-small-files problem that
+    * incremental upserts/streaming sinks accumulate — at 100 TB, run per
+    * partition so each compaction touches bounded data. Returns the new
+    * file count. */
+  def compact(spark: SparkSession, path: String,
+              targetRowsPerFile: Long): Int = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val staging = path.stripSuffix("/") + "__compacting"
+    df.repartition(files).write.mode("overwrite").parquet(staging)
+    val dir = new java.io.File(path)
+    val tmp = new java.io.File(staging)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    if (!tmp.renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
+    spark.read.parquet(path).inputFiles.length
+  }
+
   /** K6/K7: register the written location as an external table in the
     * session catalog (reference's Glue fallback:
     * spark/jobs/mysql_gold_aggregation.py:160-176). */

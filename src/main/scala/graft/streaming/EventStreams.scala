@@ -101,6 +101,24 @@ object EventStreams {
   def dedupByKey(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.dropDuplicates(keys)
 
+  /** Stream-stream inner join with an event-time band: pairs where
+    * right.ts ∈ [left.ts − window, left.ts] on a shared key. Watermarks
+    * on BOTH sides bound the join state (each side buffers only rows
+    * young enough to still find a partner); inner-join matches emit as
+    * soon as both rows arrive. The scale-out path for correlating two
+    * unbounded firehoses (click↔view attribution) without a batch
+    * re-join. The two sides' columns (keys included) must be disjointly
+    * named — the condition references them unqualified. */
+  def streamStreamBandJoin(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTs: String, rightTs: String,
+                           window: String, lateness: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTs >= $leftTs - INTERVAL $window AND
+                 $rightTs <= $leftTs"""))
+
   private val drainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drain a (bounded-replay) streaming frame through Trigger.AvailableNow
@@ -108,17 +126,26 @@ object EventStreams {
     * table. Checkpoints go to tmpfs: the state store's many small commit
     * files + fsyncs are kernel-bound in this VM (profiled: 33.8 s → ~4 s
     * for one AvailableNow batch at sf0.1 just by moving off disk). */
-  def drainAvailableNow(df: DataFrame, mode: String = "complete"): DataFrame = {
+  def drainAvailableNow(df: DataFrame, mode: String = "complete",
+                        statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val sink = s"graft_drain_${drainRuns.incrementAndGet()}"
     val ckpt = s"/dev/shm/graft_ckpt_$sink"
+    // Stateful operators allocate one state store per shuffle partition,
+    // and each store pays commit/snapshot overhead per micro-batch — at
+    // a bounded replay's data volume 32 stores is pure fixed cost. The
+    // conf is captured when the query STARTS, so set-and-restore is safe
+    // for this session's later batch queries.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       df.writeStream.format("memory").queryName(sink)
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
     spark.table(sink)

@@ -165,6 +165,61 @@ class UpsertSpec extends SparkSpec {
   }
 }
 
+class BandJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bandJoin equals the naive range join, boundaries inclusive/exclusive") {
+    val left = Seq((1L, 100L), (2L, 250L), (3L, 1000L)).toDF("lid", "l_us")
+    val right = Seq((10L, 70L), (11L, 100L), (12L, 240L), (13L, 980L), (14L, 1001L))
+      .toDF("rid", "r_us")
+    val w = 30L
+    val naive = left.crossJoin(right)
+      .filter($"r_us" <= $"l_us" && $"r_us" > $"l_us" - w)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val binned = graft.ops.Relational.bandJoin(left, right, "l_us", "r_us", w)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    // sanity on the fixture itself: inclusive right edge, exclusive left
+    assert(naive == Set((1L, 11L), (2L, 12L), (3L, 13L)))
+  }
+
+  test("stream-stream band join matches the batch range join") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = EventStreams.readEventStream(spark, dir)
+    val joined = EventStreams.streamStreamBandJoin(
+      ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts")),
+      ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("v_ts")),
+      "c_user", "v_user", "c_ts", "v_ts", "30 MINUTE")
+    val got = EventStreams.drainAvailableNow(joined, mode = "append").count()
+    val batch = Tables.load(spark, dir, "events")
+    val want = batch.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .join(batch.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("v_ts")),
+        expr("c_user = v_user AND v_ts >= c_ts - INTERVAL 30 MINUTE AND v_ts <= c_ts"))
+      .count()
+    assert(got == want)
+  }
+}
+
+class CompactSpec extends SparkSpec {
+  import graft.pipeline.Medallion
+
+  test("compact merges small files preserving rows") {
+    val path = "/tmp/graft_fixtures/compact_test"
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    src.repartition(8).write.mode("overwrite").parquet(path)
+    val before = spark.read.parquet(path)
+    val nRows = before.count()
+    assert(before.inputFiles.length == 8)
+    val nFiles = Medallion.compact(spark, path, targetRowsPerFile = nRows / 2 + 1)
+    assert(nFiles == 2)
+    assert(spark.read.parquet(path).count() == nRows)
+  }
+}
+
 class BucketedJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.pipeline.Medallion

@@ -73,6 +73,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_idx % 2 == 0))
   }
 
+  test("resize emits fixed-geometry payloads for image rows only") {
+    val resized = Multimodal.resizeImages(media, dstW = 8, dstH = 8).collect()
+    assert(resized.length == 10) // image rows only
+    assert(resized.forall(_.payload.length == 64))
+    // determinism
+    val again = Multimodal.resizeImages(media, dstW = 8, dstH = 8).collect()
+    assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("mediaStats aggregates metadata without touching payloads") {
     val stats = Multimodal.mediaStats(media.toDF())
       .select("modality", "n_items").as[(String, Long)].collect().toMap
