@@ -72,12 +72,23 @@ object Relational {
   def skewJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                saltBuckets: Int, skewedUnique: Column,
                hotKeyThreshold: Long = 1000000L,
-               how: String = "inner"): DataFrame = {
+               how: String = "inner",
+               detectSampleFraction: Double = 1.0): DataFrame = {
     require(how == "inner" || how == "left",
       s"skewJoin preserves semantics for inner/left joins only, got $how")
     val keyCols = keys.map(col)
-    val hot = skewed.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > hotKeyThreshold)
+    // Hot-key detection may run on a sample: which keys get salted is a
+    // pure performance decision (both paths compute the same join), so a
+    // sampled estimate never affects the result — and at 100 TB an exact
+    // per-key count over the fact table costs more than the skew it
+    // prevents. The threshold scales by the fraction.
+    val detectSide =
+      if (detectSampleFraction >= 1.0) skewed
+      else skewed.sample(withReplacement = false, detectSampleFraction, seed = 42L)
+    val scaledThreshold = math.max(1L,
+      (hotKeyThreshold * detectSampleFraction).toLong)
+    val hot = detectSide.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > scaledThreshold)
       .select(keyCols: _*)
       .withColumn("__hot", lit(true))
     val tagged = skewed.join(broadcast(hot), keys, "left")

@@ -33,6 +33,16 @@ class SkewJoinSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("skewJoin with sampled hot-key detection still equals the plain join") {
+    val plain = left.join(right, Seq("k"))
+      .select("k", "id", "tag").as[(Int, Long, String)].collect().toSet
+    val got = Relational.skewJoin(left, right, Seq("k"), saltBuckets = 4,
+      skewedUnique = col("id"), hotKeyThreshold = 10L,
+      detectSampleFraction = 0.5)
+      .select("k", "id", "tag").as[(Int, Long, String)].collect().toSet
+    assert(got == plain)
+  }
+
   test("skewJoin left preserves unmatched hot and cold rows") {
     val plain = left.join(right, Seq("k"), "left")
       .select("k", "id", "tag").as[(Int, Long, Option[String])].collect().toSet
