@@ -806,6 +806,22 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Spark's native session_window operator (gap-merged event-time
+    * sessions, batch + streaming capable) — the built-in counterpart of
+    * Relational.sessionize. Note the boundary: session_window merges
+    * events strictly < gap apart (end-exclusive), so the oracle breaks
+    * sessions on diff >= gap. */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_total_events"))
+      .orderBy(col("user_id"))
+
   /** Graft native expressions through the SQL surface
     * (GraftExtensions): cosine + dot over embeddings in spark.sql. */
   private def qSqlFunctions(s: SparkSession, dir: String): DataFrame = {
@@ -935,6 +951,7 @@ object SparkEntry {
     "q62_upsert" -> (qUpsert _),
     "q63_band_join" -> (qBandJoin _),
     "q64_stream_stream_join" -> (qStreamStreamJoin _),
+    "q65_session_window" -> (qSessionWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1232,6 +1249,26 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q65_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sess AS (
+           SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM marked),
+         per_sess AS (
+           SELECT user_id, session_id, count(*) AS n_events
+           FROM sess GROUP BY user_id, session_id)
+         SELECT user_id, count(*) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(n_events) AS BIGINT) AS n_total_events
+         FROM per_sess GROUP BY user_id ORDER BY user_id""",
     "q63_band_join" ->
       """SELECT CAST(CAST(c.ts AS DATE) AS VARCHAR) AS click_day,
          count(*) AS n_pairs,

@@ -151,6 +151,27 @@ object EventStreams {
     spark.table(sink)
   }
 
+  /** Micro-batch parquet ingestion via foreachBatch: each batch appends
+    * atomically, giving an incremental bronze layer driven by the
+    * streaming engine's own progress tracking (checkpointed offsets =
+    * exactly-once file-level ingestion). The streaming counterpart of
+    * the reference's overwrite-everything bronze jobs
+    * (spark/jobs/bronze_ingestion.py:32-34). */
+  def streamIngestParquet(stream: DataFrame, path: String): Unit = {
+    val ckpt = s"/dev/shm/graft_ingest_ckpt_${drainRuns.incrementAndGet()}"
+    try {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(path)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Wire a parquet directory as a (replayed) stream with the events
     * schema — lets batch fixtures drive the streaming operators. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -280,6 +280,16 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("foreachBatch parquet ingestion lands every replayed row exactly once") {
+    val path = "/tmp/graft_fixtures/stream_ingest_test"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    EventStreams.streamIngestParquet(
+      EventStreams.readEventStream(spark, dir), path)
+    val got = spark.read.parquet(path).count()
+    val want = Tables.load(spark, dir, "events").count()
+    assert(got == want)
+  }
+
   test("stream-static join enrichment matches the batch join") {
     val nation = Tables.load(spark, dir, "nation")
       .select(col("n_nationkey"), col("n_name"))
