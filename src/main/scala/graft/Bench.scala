@@ -1,9 +1,35 @@
 package graft
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Run one query with a hard wall-clock ceiling: the query executes in
+    * its own thread under a named job group, and on timeout the group's
+    * Spark jobs are cancelled so a hung query cannot stall the rest of
+    * the bench (or outlive its time slot and pollute later timings). */
+  private def runCapped(spark: SparkSession, name: String,
+                        body: () => Unit, capSeconds: Long): Unit = {
+    val pool = Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new Runnable {
+      def run(): Unit = {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try body() finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    try fut.get(capSeconds, TimeUnit.SECONDS)
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(name)
+        System.err.println(s"[bench] $name exceeded ${capSeconds}s - cancelled")
+      case _: Throwable => ()
+    } finally pool.shutdownNow()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cap = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_S", "240").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,8 +40,8 @@ object Bench {
     // cost (~60s cold) once, so timed numbers measure the queries, not
     // JIT warmup. Steady-state is what a long-lived cluster session sees.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      runCapped(spark, s"warm_$name", () => { fn(spark, warmDir).count(); () }, cap)
     }
     // Compact warmup garbage BEFORE timing starts: on this VM a
     // ParallelGC full collection is a 25-40s page-fault storm (see
@@ -24,7 +50,7 @@ object Bench {
     System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      runCapped(spark, name, () => { fn(spark, sfDir).count(); () }, cap)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
