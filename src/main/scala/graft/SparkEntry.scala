@@ -884,6 +884,227 @@ object SparkEntry {
       .orderBy(col("modality"))
   }
 
+  // ------------------------------------------------------- round-2 widening
+
+  /** GROUPING SETS via the SQL surface: per-(flag,status), per-flag, and
+    * grand-total aggregates in ONE pass — Spark expands the sets inside a
+    * single hash aggregate (Expand + partial agg), not three scans. */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             ORDER BY returnflag, linestatus""")
+  }
+
+  /** Fixed-width histogram: bucket = floor(x / width) — one map-side
+    * expression + hash agg, the scan-dominated shape that scales linearly.
+    * (floor of one IEEE division; DuckDB 1.0 lacks width_bucket, and this
+    * formulation is bit-identical on both engines anyway.) */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / lit(50000.0)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+
+  /** Regex extraction/replacement over the corpus: first long lowercase
+    * word per doc, vowel-stripped prefix — ASCII classes only so Java
+    * regex (Spark) and RE2 (DuckDB) agree on every boundary. */
+  private def qRegexExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("long_word", regexp_extract(col("text"), "([a-z]{7,})", 1))
+      .withColumn("devoweled",
+        regexp_replace(substring(col("text"), 1, 30), "[aeiou]", ""))
+      .groupBy(col("lang"))
+      .agg(
+        count(when(col("long_word") =!= "", 1)).as("n_with_long_word"),
+        min(when(col("long_word") =!= "", col("long_word"))).as("min_long_word"),
+        min(col("devoweled")).as("min_devoweled"))
+      .orderBy(col("lang"))
+
+  /** Unpivot (wide→long): melt the per-status pivot back into rows.
+    * Map-only Expand — no shuffle; the inverse of q49's pivot. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n_orders")
+      .orderBy(col("o_orderpriority"), col("status_col"))
+
+  /** Token frequency: explode(split) → hash agg → global top-50. The
+    * generator runs map-side; only (token, partial count) pairs shuffle,
+    * and the final top-k is a TakeOrdered, not a full sort. */
+  private def qTokenExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
+  /** Correlated EXISTS subquery (SQL surface): Catalyst rewrites it to a
+    * left-semi hash join — no per-row subquery execution at any scale. */
+  private def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_mktsegment, count(*) AS n_customers
+             FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_totalprice > 300000)
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** CTE + scalar subqueries: orders above the corpus mean. The mean
+    * comparison is algebraically rearranged to price*n > sum (decimal sum,
+    * bigint count) so both engines decide every boundary row identically
+    * — a decimal division would round engine-specifically. Catalyst plans
+    * the scalar subqueries as broadcast one-row joins. */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""WITH tot AS (
+               SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                      count(*) AS n
+               FROM orders)
+             SELECT o_orderpriority, count(*) AS n_big
+             FROM orders
+             WHERE o_totalprice * (SELECT n FROM tot) > (SELECT s FROM tot)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  /** Distribution windows: ntile quartiles + percent_rank/cume_dist per
+    * segment — one shuffle on the partition key serves all three. The
+    * ratios are int/int IEEE divisions (exact on any engine). */
+  private def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val acct = col("c_acctbal").cast(DecimalType(18, 2)).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(acct.desc, col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(min(col("pr")), 6).as("min_pr"),
+        round(max(col("cd")), 6).as("max_cd"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  /** Deterministic ~16% sample (md5 prefix < 0x29000000): map-only,
+    * reproducible on any engine/partitioning (ops/Sampling). */
+  private def qDeterministicSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.deterministicSample(
+      Tables.load(s, dir, "orders"), col("o_orderkey"), "29000000")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        dsum(col("o_totalprice")).as("sum_sampled"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Stratified sample: exactly 20 customers per segment by md5 order. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+      Tables.load(s, dir, "customer"),
+      Seq(col("c_mktsegment")), col("c_custkey"), 20)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Time-series gap fill: left-join daily aggregates of a sparse slice
+    * (big orders) against the full generated day range; missing days
+    * surface as zeros. sequence+explode generates distributed — no
+    * driver-side date loop. */
+  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_amount"))
+    val range = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    range.join(daily, Seq("day"), "left")
+      .select(
+        col("day").cast("string").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_amount"), lit(0.0)).as("total_amount"))
+      .orderBy(col("day"))
+  }
+
+  /** Forward as-of: each view's NEXT click of the same user (inclusive).
+    * Single shuffle on the key (Relational.asOfJoinForward); oracle is
+    * DuckDB's native forward ASOF. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("click_ts"))
+    Relational.asOfJoinForward(views, clicks, "user_id", "ts_us", Seq("click_ts"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        count(col("asof_click_ts")).as("n_matched"),
+        dsum(col("asof_click_ts") - col("ts_us"), 0).as("sum_wait_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** TF-IDF top-5 terms per doc (log-free portable scoring; see
+    * TextAnalysis.tfidfTopTerms). Restricted to doc_id < 50 to keep the
+    * verify dump bounded; the plan is corpus-size-independent. */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"), 5)
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  /** Bloom-prefiltered join: dim = big orders (~2% of keys), fact =
+    * lineitem. The bloom drops ~98% of fact rows before the shuffle;
+    * result is provably identical to the plain join (the join clears
+    * false positives). */
+  private def qBloomPrefilter(s: SparkSession, dir: String): DataFrame =
+    Relational.bloomPrefilterJoin(
+      Tables.load(s, dir, "lineitem"),
+      Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey")),
+      "l_orderkey", "o_orderkey", expectedDimKeys = 1L << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Streaming hopping-window aggregate (10 min window / 5 min slide)
+    * drained via AvailableNow; oracle replays the same two-windows-per-
+    * event expansion in batch SQL. */
+  private def qHoppingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.drainAvailableNow(
+      graft.streaming.EventStreams.hoppingTypeStats(
+        graft.streaming.EventStreams.readEventStream(s, dir)))
+      .select(col("window_start").cast("string").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -952,6 +1173,21 @@ object SparkEntry {
     "q63_band_join" -> (qBandJoin _),
     "q64_stream_stream_join" -> (qStreamStreamJoin _),
     "q65_session_window" -> (qSessionWindow _),
+    "q66_grouping_sets" -> (qGroupingSets _),
+    "q67_histogram" -> (qHistogram _),
+    "q68_regex_extract" -> (qRegexExtract _),
+    "q69_unpivot" -> (qUnpivot _),
+    "q70_token_explode" -> (qTokenExplode _),
+    "q71_exists_subquery" -> (qExistsSubquery _),
+    "q72_scalar_subquery" -> (qScalarSubquery _),
+    "q73_window_ntile" -> (qWindowNtile _),
+    "q74_deterministic_sample" -> (qDeterministicSample _),
+    "q75_gapfill" -> (qGapfill _),
+    "q76_asof_forward" -> (qAsofForward _),
+    "q77_tfidf" -> (qTfidf _),
+    "q78_bloom_prefilter" -> (qBloomPrefilter _),
+    "q79_stratified_sample" -> (qStratifiedSample _),
+    "q80_hopping_window" -> (qHoppingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1328,6 +1564,145 @@ object SparkEntry {
            round(list_inner_product(a.v, b.v), 6) AS dot
          FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 25
          ORDER BY id_a, id_b""",
+    "q66_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n_rows,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY returnflag, linestatus""",
+    "q67_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         count(*) AS n_orders,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "q68_regex_extract" ->
+      """SELECT lang,
+         count(CASE WHEN regexp_extract(text, '([a-z]{7,})', 1) <> ''
+                    THEN 1 END) AS n_with_long_word,
+         min(CASE WHEN regexp_extract(text, '([a-z]{7,})', 1) <> ''
+                  THEN regexp_extract(text, '([a-z]{7,})', 1) END) AS min_long_word,
+         min(regexp_replace(substring(text, 1, 30), '[aeiou]', '', 'g')) AS min_devoweled
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q69_unpivot" ->
+      """SELECT o_orderpriority, status_col, n_orders FROM (
+           SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+           FROM orders GROUP BY o_orderpriority)
+         UNPIVOT (n_orders FOR status_col IN (n_f, n_o, n_p))
+         ORDER BY o_orderpriority, status_col""",
+    "q70_token_explode" ->
+      """SELECT token, count(*) AS n_occurrences FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         WHERE token <> ''
+         GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50""",
+    "q71_exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q72_scalar_subquery" ->
+      """WITH tot AS (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                  count(*) AS n
+           FROM orders)
+         SELECT o_orderpriority, count(*) AS n_big
+         FROM orders
+         WHERE o_totalprice * (SELECT n FROM tot) > (SELECT s FROM tot)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q73_window_ntile" ->
+      """SELECT c_mktsegment, quartile, count(*) AS n_customers,
+         round(min(pr), 6) AS min_pr, round(max(cd), 6) AS max_cd
+         FROM (SELECT c_mktsegment,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd
+               FROM customer
+               WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) DESC,
+                          c_custkey))
+         GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""",
+    "q74_deterministic_sample" ->
+      """SELECT o_orderpriority, count(*) AS n_sampled,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_sampled
+         FROM orders
+         WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '29000000'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q75_gapfill" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+           FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+         rng AS (
+           SELECT CAST(unnest(generate_series(min(day), max(day),
+             INTERVAL 1 DAY)) AS DATE) AS day
+           FROM daily)
+         SELECT CAST(rng.day AS VARCHAR) AS day,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_amount, 0.0) AS total_amount
+         FROM rng LEFT JOIN daily ON rng.day = daily.day
+         ORDER BY day""",
+    "q76_asof_forward" ->
+      """SELECT user_id, count(*) AS n_views,
+         count(click_ts) AS n_matched,
+         CAST(sum(click_ts - view_ts) AS DOUBLE) AS sum_wait_us
+         FROM (
+           SELECT v.user_id, epoch_us(v.ts) AS view_ts, epoch_us(c.ts) AS click_ts
+           FROM (SELECT * FROM events WHERE event_type = 'view') v
+           ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON v.user_id = c.user_id AND v.ts <= c.ts)
+         GROUP BY user_id ORDER BY user_id""",
+    "q77_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, dfreq,
+             tf * (CAST((SELECT n_docs FROM n) AS DOUBLE) / dfreq) AS score
+           FROM tf JOIN dfreq USING (term))
+         SELECT doc_id, rnk, term, tf, dfreq, score FROM (
+           SELECT doc_id, term, tf, dfreq, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS BIGINT) AS rnk
+           FROM scored)
+         WHERE rnk <= 5 AND doc_id < 50 ORDER BY doc_id, rnk""",
+    "q78_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) big
+           ON l_orderkey = o_orderkey
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q79_stratified_sample" ->
+      """SELECT c_mktsegment, count(*) AS n_sampled,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM (
+           SELECT c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+           FROM customer)
+         WHERE rn <= 20
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q80_hopping_window" ->
+      """SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+                       - INTERVAL 5 MINUTE]) AS ws
+           FROM events)
+         GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q41_embed_neardup" ->
       """WITH q AS (SELECT vec_id AS query_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -181,6 +181,60 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Forward as-of join: attach to each left row the EARLIEST right row of
+    * the same key with right.ts >= left.ts (inclusive) — the mirror of
+    * `asOfJoin` (same single-shuffle union+window formulation; see its
+    * scaladoc for why this beats a range join at scale). The fill runs
+    * backward: first(ignoreNulls) over [currentRow, unboundedFollowing],
+    * with left rows sorting before right rows at equal ts so an exact
+    * timestamp match is taken. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val outCols = leftCols ++ valueCols.map("asof_" + _)
+    val l = valueCols.foldLeft(left.withColumn("__side", lit(0))) { (df, c) =>
+      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right.select((Seq(keyCol, tsCol) ++ valueCols).distinct.map(col): _*)
+    val r1 = valueCols.foldLeft(r0) { (df, c) =>
+      df.withColumn(s"asof_$c", col(c))
+    }.withColumn("__side", lit(1))
+    val r = leftCols.filterNot(c => c == keyCol || c == tsCol).foldLeft(r1) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val sel = (outCols :+ "__side").map(col)
+    val unioned = l.select(sel: _*).unionByName(r.select(sel: _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", first(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0).drop("__side")
+  }
+
+  /** Bloom-prefiltered join — the runtime-filter pattern Spark applies
+    * internally for shuffle joins, made explicit so it also covers cases
+    * the planner can't prove: build a Bloom filter over the (already
+    * reduced) dim side's join keys, broadcast it, and drop fact rows
+    * that cannot match BEFORE the join's shuffle. At 100 TB this is the
+    * difference between shuffling the full fact table and shuffling only
+    * the ~selectivity × |fact| rows that survive the filter (+fpp noise);
+    * the bloom itself stays small (~1.2 MB per million keys at 1% fpp).
+    * False positives are eliminated by the join itself, so the result is
+    * bit-identical to the plain join. Long keys only (covers every key
+    * column in the schema); the filter is a deterministic scala function
+    * over a broadcast value — partition-parallel, no driver loop. */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                         dimKey: String, expectedDimKeys: Long,
+                         fpp: Double = 0.01, how: String = "inner"): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
+    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey), how)
+  }
+
   /** Gap-based sessionization (batch): a new session starts when the gap
     * to the previous event of the same key exceeds `gapMicros`. Both the
     * lag and the running session counter reuse ONE hash partitioning on

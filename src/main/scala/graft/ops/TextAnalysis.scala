@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -88,6 +89,35 @@ object TextAnalysis {
       .withColumn("predicted_lang", array_max(col("lang_scores")).getField("lang"))
       .withColumn("lang_score", array_max(col("lang_scores")).getField("score").cast("long"))
       .drop("lang_scores")
+  }
+
+  /** Per-document top-k TF-IDF-weighted terms. IDF is the raw rarity
+    * ratio N/df rather than log(N/df): a logarithm is monotone (same
+    * ranking) but not bit-specified across engines, while one IEEE
+    * division and multiplication are exact — so the scores, not just the
+    * ranks, reproduce anywhere. Plan shape: two hash aggregations
+    * ((doc,term) tf, then term df), a shuffle join tf⋈df on term, and a
+    * broadcast of the 1-row corpus count; the per-doc top-k is a
+    * row_number window that computes partial top-k map-side. All counts
+    * flow as longs; ties break on the term itself for determinism. */
+  def tfidfTopTerms(docs: DataFrame, idCol: Column, text: Column,
+                    k: Int): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = docs.agg(countDistinct(idCol).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("dfreq")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        col("dfreq"), col("score"))
   }
 
   /** Polynomial rolling fingerprint over token hashes, mod 2^31−1 at

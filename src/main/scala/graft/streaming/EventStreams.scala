@@ -44,6 +44,25 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) window counts/sums per event type: a window of
+    * `windowLen` starts every `slide`, so each event belongs to
+    * windowLen/slide overlapping windows. State per key is bounded by
+    * the watermark exactly as in the tumbling case — the overlap factor
+    * multiplies open-window state, not history. The smoothing view
+    * (10-minute trend sampled every 5) a tumbling window can't express. */
+  def hoppingTypeStats(events: DataFrame, windowLen: String = "10 minutes",
+                       slide: String = "5 minutes",
+                       lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(sessionStartUs: Long, lastTsUs: Long, nEvents: Long)

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Relational, Sampling, TextAnalysis}
+
+class AsofForwardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoinForward picks the earliest right row at-or-after each left ts") {
+    val views = Seq((1L, 100L), (1L, 20L), (1L, 300L), (2L, 10L))
+      .toDF("k", "ts")
+    val clicks = Seq((1L, 100L, 100L), (1L, 150L, 150L), (1L, 40L, 40L),
+      (3L, 5L, 5L)).toDF("k", "ts", "click_ts")
+    val got = Relational.asOfJoinForward(views, clicks, "k", "ts", Seq("click_ts"))
+      .select("k", "ts", "asof_click_ts").as[(Long, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 20L, Some(40L)),    // earliest click after 20 is 40
+      (1L, 100L, Some(100L)),  // inclusive: equal ts matches
+      (1L, 300L, None),        // nothing after 300
+      (2L, 10L, None)))        // no clicks for key 2
+  }
+
+  test("asOfJoinForward equals a naive min-over-candidates formulation") {
+    val views = (1 to 200).map(i => ((i % 7).toLong, (i * 13 % 500).toLong))
+      .toDF("k", "ts")
+    val clicks = (1 to 100).map(i => ((i % 5).toLong, (i * 31 % 500).toLong))
+      .map { case (k, t) => (k, t, t) }.toDF("k", "ts", "click_ts")
+    val got = Relational.asOfJoinForward(views, clicks, "k", "ts", Seq("click_ts"))
+      .groupBy()
+      .agg(count(lit(1)), count(col("asof_click_ts")),
+        sum(col("asof_click_ts")))
+      .as[(Long, Long, Option[Long])].head()
+    val naive = views.as("v")
+      .join(clicks.select(col("k"), col("ts").as("cts")).as("c"),
+        col("v.k") === col("c.k") && col("cts") >= col("v.ts"), "left")
+      .groupBy(col("v.k").as("k"), col("v.ts").as("ts"))
+      .agg(min(col("cts")).as("m"))
+      .groupBy()
+      .agg(count(lit(1)), count(col("m")), sum(col("m")))
+      .as[(Long, Long, Option[Long])].head()
+    assert(got == naive)
+  }
+}
+
+class BloomPrefilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomPrefilterJoin equals the plain join exactly") {
+    val fact = (1L to 2000L).map(i => (i % 400, i)).toDF("fk", "id")
+    val dim = Seq(3L, 7L, 11L, 399L).map(k => (k, s"d$k")).toDF("dk", "tag")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "id", "tag").as[(Long, Long, String)].collect().toSet
+    val bloomed = Relational.bloomPrefilterJoin(fact, dim, "fk", "dk",
+      expectedDimKeys = 1000L)
+      .select("fk", "id", "tag").as[(Long, Long, String)].collect().toSet
+    assert(bloomed == plain)
+    assert(plain.size == 4 * 5) // 2000/400 rows per key
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSample is stable across repartitioning and subsetting") {
+    val df = (1L to 1000L).toDF("id")
+    val a = Sampling.deterministicSample(df, col("id"), "29000000")
+      .as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(13), col("id"), "29000000")
+      .as[Long].collect().toSet
+    assert(a == b)
+    // a row's keep-decision is independent of the rest of the dataset
+    val c = Sampling.deterministicSample(df.filter(col("id") <= 500),
+      col("id"), "29000000").as[Long].collect().toSet
+    assert(c == a.filter(_ <= 500L))
+    // ~16% of 16^8 space; loose band to stay deterministic-but-sane
+    assert(a.size > 100 && a.size < 230)
+  }
+
+  test("stratifiedSample returns exactly min(n, stratum size) rows per stratum") {
+    val df = (1L to 95L).map(i => (s"s${i % 3}", i)).toDF("g", "id")
+    val got = Sampling.stratifiedSample(df, Seq(col("g")), col("id"), 10)
+    val sizes = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    val small = Sampling.stratifiedSample(df.filter(col("id") <= 5),
+      Seq(col("g")), col("id"), 10)
+    assert(small.count() == 5)
+  }
+}
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first") {
+    val docs = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana common common"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), 2)
+      .select("doc_id", "rnk", "term", "tf", "dfreq")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: apple tf=3 df=1 → score 9; common tf=1 df=3 → score 1
+    assert(got(0) == (1L, 1L, "apple", 3L, 1L))
+    assert(got(1) == (1L, 2L, "common", 1L, 3L))
+    // doc 3: cherry (tf=1, df=1, score 3) beats common (score 1)
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq("cherry", "common"))
+  }
+
+  test("tfidf scores are exact IEEE doubles (no log)") {
+    val docs = Seq((1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val scores = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), 3)
+      .select("term", "score").as[(String, Double)].collect().toMap
+    assert(scores("x") == 1.0) // tf=1 * (2/2)
+    assert(scores("y") == 2.0) // tf=1 * (2/1)
+  }
+}
+
+class HoppingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hoppingTypeStats assigns each event to windowLen/slide windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2020-01-01 00:07:30"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2020-01-01 00:12:30"), "click", 3.0))
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val out = graft.streaming.EventStreams.drainAvailableNow(
+      graft.streaming.EventStreams.hoppingTypeStats(stream))
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().sortBy(_._1).toSeq
+    // 00:07:30 → windows starting 00:00 and 00:05;
+    // 00:12:30 → windows starting 00:05 and 00:10.
+    assert(out == Seq(
+      ("2020-01-01 00:00:00", "click", 1L, 2.0),
+      ("2020-01-01 00:05:00", "click", 2L, 5.0),
+      ("2020-01-01 00:10:00", "click", 1L, 3.0)))
+  }
+}
