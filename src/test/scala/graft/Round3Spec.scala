@@ -141,3 +141,97 @@ class HoppingWindowSpec extends SparkSpec {
       ("2020-01-01 00:10:00", "click", 1L, 3.0)))
   }
 }
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.Medallion
+
+  test("scd2FromHistory collapses to change points with correct validity") {
+    val h = Seq(
+      (1L, 10L, 1L, "bronze"), (1L, 20L, 2L, "bronze"), // no-op repeat
+      (1L, 30L, 3L, "silver"), (1L, 40L, 4L, "gold"),
+      (2L, 15L, 5L, "bronze")).toDF("k", "ts", "eid", "tier")
+    val got = Medallion.scd2FromHistory(h, Seq("k"), "ts", "eid", Seq("tier"))
+      .select("k", "tier", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "bronze", 15L, None, true)))
+  }
+
+  test("scd2Apply closes changed versions, appends new, ignores no-ops") {
+    val dim = Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, None, true),
+      (2L, "bronze", 15L, None, true))
+      .toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "gold", 50L),   // real change
+      (2L, "bronze", 60L)) // no-op: same tier as current
+      .toDF("k", "tier", "eff_ts")
+    val got = Medallion.scd2Apply(dim, updates, Seq("k"), Seq("tier"), "eff_ts")
+      .select("k", "tier", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(50L), false),
+      (1L, "gold", 50L, None, true),
+      (2L, "bronze", 15L, None, true)))
+  }
+}
+
+class IncrementalGoldSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("streamIncrementalGold over micro-batches equals the batch aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gold = "/tmp/graft_test_gold"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gold))
+    val mem = MemoryStream[(String, Double)]
+    mem.addData(("a", 1.5), ("b", 2.0), ("a", 0.25))
+    graft.streaming.EventStreams.streamIncrementalGold(
+      mem.toDF().toDF("k", "v"), "k", "v", gold)
+    // second batch merges into the existing gold table
+    val mem2 = MemoryStream[(String, Double)]
+    mem2.addData(("a", 10.0), ("c", 7.0))
+    graft.streaming.EventStreams.streamIncrementalGold(
+      mem2.toDF().toDF("k", "v"), "k", "v", gold)
+    val got = spark.read.parquet(gold)
+      .select(col("k"), col("n_events"),
+        col("sum_value_dec").cast("double").as("s"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 3L, 11.75), ("b", 1L, 2.0), ("c", 1L, 7.0)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(gold))
+  }
+}
+
+class ClusteredWriteSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("writeClustered produces files with disjoint key ranges") {
+    val path = "/tmp/graft_test_clustered"
+    val df = (1L to 10000L).map(i => (i * 7919 % 10000, i)).toDF("key", "id")
+    graft.pipeline.Medallion.writeClustered(df, path, Seq("key"), 8)
+    val files = spark.read.parquet(path).inputFiles
+    assert(files.length == 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("key")), max(col("key")))
+        .as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2) // disjoint + ordered
+      case _ =>
+    }
+    // nothing lost in the re-layout
+    assert(spark.read.parquet(path).count() == 10000)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+}
