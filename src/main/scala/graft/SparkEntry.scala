@@ -435,7 +435,11 @@ object SparkEntry {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts_us"),
         col("ts_us").as("view_ts_us"))
-    Relational.asOfJoin(clicks, views, "user_id", "ts_us", Seq("view_ts_us"))
+    // native whole-operator path (plans/AsOfJoin: O(n+m) streaming merge);
+    // result-identical to Relational.asOfJoin (AsOfNativeSpec), and this
+    // query's DuckDB ASOF oracle checks it end-to-end
+    graft.plans.AsOfJoin.asOfJoinNative(
+      clicks, views, "user_id", "ts_us", Seq("view_ts_us"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_clicks"),

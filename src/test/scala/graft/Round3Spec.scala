@@ -235,3 +235,65 @@ class ClusteredWriteSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 }
+
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.plans.AsOfJoin
+
+  private def randomSides(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val left = (1 to 500).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "ts")
+    val right = (1 to 300).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong))
+      .map { case (k, t) => (k, t, k * 100000 + t) }
+      .toDF("k", "ts", "v")
+    (left, right)
+  }
+
+  test("native backward as-of equals the union+window formulation") {
+    val (left, right) = randomSides(42)
+    val native = AsOfJoin.asOfJoinNative(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "asof_v").as[(Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    val composed = graft.ops.Relational.asOfJoin(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "asof_v").as[(Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    assert(native == composed)
+    assert(native.exists(_._3.isDefined) && native.exists(_._3.isEmpty))
+  }
+
+  test("native forward as-of equals the union+window formulation") {
+    val (left, right) = randomSides(7)
+    val native = AsOfJoin.asOfJoinNative(left, right, "k", "ts", Seq("v"),
+      forward = true)
+      .select("k", "ts", "asof_v").as[(Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    val composed = graft.ops.Relational.asOfJoinForward(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "asof_v").as[(Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    assert(native == composed)
+  }
+
+  test("native as-of join handles a self-join (conflicting ExprIds)") {
+    val events = Seq((1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "view"))
+      .toDF("k", "ts", "typ")
+    val views = events.filter(col("typ") === "view")
+    val clicks = events.filter(col("typ") === "click")
+      .select(col("k"), col("ts"), col("ts").as("cts"))
+    val got = AsOfJoin.asOfJoinNative(views, clicks, "k", "ts", Seq("cts"))
+      .select("ts", "asof_cts").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, None), (30L, Some(20L))))
+  }
+
+  test("native as-of plans one exchange per side and streams the merge") {
+    val (left, right) = randomSides(3)
+    val df = AsOfJoin.asOfJoinNative(left, right, "k", "ts", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 exchange mentions, got:\n$plan")
+  }
+}
