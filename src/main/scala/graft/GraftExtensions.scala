@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: native as-of join (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer extension: band joins rewritten to linear binned form
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinningRule)
   }
 }
 

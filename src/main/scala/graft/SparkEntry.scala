@@ -1161,6 +1161,43 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Schema-ful JSON parsing: from_json into a typed struct (vs q25's
+    * path-extraction get_json_object) — the parse happens once per row
+    * into a struct Catalyst prunes like any other column. */
+  private def qJsonSchema(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("p", from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))))
+      .groupBy((col("p.k") % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("k_mod"))
+
+  /** Band join written NAIVELY (cross join + range predicate) and fixed
+    * by the injected optimizer rule (plans/RangeJoinBinning): the rule
+    * rewrites it to the linear binned equi-join, so the declarative
+    * form scales. Same semantics as q63 (which calls the binned
+    * operator explicitly); the oracle is the plain range predicate. */
+  private def qRangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RangeJoinBinning.enable(s)
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("click_ts"), col("ts_us").as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("ts_us").as("view_us"))
+    clicks.join(views,
+      col("view_us") <= col("click_us") &&
+        col("view_us") > col("click_us") - 30000000L)
+      .groupBy(to_date(col("click_ts")).cast("string").as("click_day"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        (dsum(col("click_us") - col("view_us"), 0) / count(lit(1)))
+          .as("avg_gap_us"))
+      .orderBy(col("click_day"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1247,6 +1284,8 @@ object SparkEntry {
     "q81_scd2" -> (qScd2 _),
     "q82_incremental_gold" -> (qIncrementalGold _),
     "q83_clustered_scan" -> (qClusteredScan _),
+    "q84_json_schema" -> (qJsonSchema _),
+    "q85_range_join_auto" -> (qRangeJoinAuto _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1787,6 +1826,21 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q85_range_join_auto" ->
+      """SELECT CAST(CAST(c.ts AS DATE) AS VARCHAR) AS click_day,
+         count(*) AS n_pairs,
+         CAST(sum(epoch_us(c.ts) - epoch_us(v.ts)) AS DOUBLE) / count(*)
+           AS avg_gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON epoch_us(v.ts) <= epoch_us(c.ts)
+          AND epoch_us(v.ts) > epoch_us(c.ts) - 30000000
+         GROUP BY 1 ORDER BY click_day""",
+    "q84_json_schema" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY k_mod""",
     "q83_clustered_scan" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -297,3 +297,61 @@ class AsOfNativeSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <=3 exchange mentions, got:\n$plan")
   }
 }
+
+class VersionedSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.pipeline.Medallion
+
+  test("writeVersioned commits isolated snapshots; readVersion time-travels") {
+    val base = "/tmp/graft_test_versions"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val v1 = Medallion.writeVersioned(Seq((1, "a"), (2, "b")).toDF("id", "x"), base)
+    val v2 = Medallion.writeVersioned(Seq((1, "a2"), (3, "c")).toDF("id", "x"), base)
+    assert((v1, v2) == (1, 2))
+    assert(Medallion.currentVersion(base).contains(2))
+    assert(Medallion.readVersion(spark, base, Some(1))
+      .as[(Int, String)].collect().sortBy(_._1).toSeq == Seq((1, "a"), (2, "b")))
+    assert(Medallion.readVersion(spark, base)
+      .as[(Int, String)].collect().sortBy(_._1).toSeq == Seq((1, "a2"), (3, "c")))
+    val v3 = Medallion.writeVersioned(Seq((9, "z")).toDF("id", "x"), base)
+    assert(Medallion.vacuumVersions(base, keep = 2) == 1)
+    assert(Medallion.currentVersion(base).contains(3))
+    // dropped version is gone, retained ones still readable
+    intercept[Exception] { Medallion.readVersion(spark, base, Some(1)).collect() }
+    assert(Medallion.readVersion(spark, base, Some(2)).count() == 2)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+}
+
+class RangeJoinBinningSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.plans.RangeJoinBinning
+
+  private lazy val clicks = (1 to 300).map(i =>
+    (i.toLong, (i * 97 % 5000).toLong)).toDF("cid", "cts")
+  private lazy val views = (1 to 400).map(i =>
+    (i.toLong, (i * 61 % 5000).toLong)).toDF("vid", "vts")
+
+  private def naive = clicks.join(views,
+    col("vts") <= col("cts") && col("vts") > col("cts") - 200L)
+
+  test("binned rewrite preserves the band-join result exactly") {
+    val before = naive.select("cid", "vid").as[(Long, Long)].collect().toSet
+    RangeJoinBinning.enable(spark)
+    val after = naive.select("cid", "vid").as[(Long, Long)].collect().toSet
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
+  test("binned rewrite replaces the nested-loop join with an equi join") {
+    RangeJoinBinning.enable(spark)
+    val plan = naive.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"expected equi join after rewrite, got:\n$plan")
+    // the rewrite must NOT fire on joins that already have an equi key
+    val equi = clicks.join(views, col("cid") === col("vid") &&
+      col("vts") <= col("cts") && col("vts") > col("cts") - 200L)
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+  }
+}
