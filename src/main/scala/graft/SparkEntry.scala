@@ -1198,6 +1198,30 @@ object SparkEntry {
       .orderBy(col("click_day"))
   }
 
+  /** Time-based moving aggregate: 7-day RANGE window over daily totals —
+    * RANGE frames (value-based bounds) handle calendar gaps correctly
+    * where ROWS frames would silently span them. The window input is the
+    * DAILY aggregate (bounded by the calendar, not the fact table), so
+    * the unpartitioned window is a non-issue at any SF; the scan-side
+    * heavy lifting is the ordinary parallel hash aggregation. */
+  private def qMovingAverage(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total_dec"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("day_num",
+        datediff(col("day"), to_date(lit("1995-01-01"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily.select(
+      col("day").cast("string").as("day"),
+      col("n_orders"),
+      sum(col("total_dec")).over(w).cast("double").as("sum_7d"),
+      sum(col("n_orders")).over(w).as("n_7d"))
+      .orderBy(col("day"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1286,6 +1310,7 @@ object SparkEntry {
     "q83_clustered_scan" -> (qClusteredScan _),
     "q84_json_schema" -> (qJsonSchema _),
     "q85_range_join_auto" -> (qRangeJoinAuto _),
+    "q86_moving_average" -> (qMovingAverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1826,6 +1851,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q86_moving_average" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+             count(*) AS n_orders
+           FROM orders GROUP BY 1),
+         d2 AS (SELECT *,
+             CAST(day - DATE '1995-01-01' AS INTEGER) AS day_num FROM daily)
+         SELECT CAST(day AS VARCHAR) AS day, n_orders,
+           CAST(sum(total_dec) OVER w AS DOUBLE) AS sum_7d,
+           CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d
+         FROM d2
+         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
     "q85_range_join_auto" ->
       """SELECT CAST(CAST(c.ts AS DATE) AS VARCHAR) AS click_day,
          count(*) AS n_pairs,
