@@ -1222,6 +1222,38 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** TPC-H Q5 shape: 6-table join graph with a cross-branch equality
+    * (customer.nation = supplier.nation) — the classic join-order /
+    * broadcast-selection stress. Declared via SQL; Catalyst reorders,
+    * pushes the region/date filters to the scans, and broadcasts the
+    * bounded dims (nation/region always; others by AQE size estimate). */
+  private def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+             FROM customer, orders, lineitem, supplier, nation, region
+             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+               AND r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+             GROUP BY n_name ORDER BY n_name""")
+  }
+
+  /** Multi-distinct aggregation: several COUNT(DISTINCT ...) in one
+    * grouping — Catalyst plans it via Expand (one pass, no self-joins). */
+  private def qMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1311,6 +1343,8 @@ object SparkEntry {
     "q84_json_schema" -> (qJsonSchema _),
     "q85_range_join_auto" -> (qRangeJoinAuto _),
     "q86_moving_average" -> (qMovingAverage _),
+    "q87_tpch_q5" -> (qTpchQ5 _),
+    "q88_multi_distinct" -> (qMultiDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1851,6 +1885,25 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q87_tpch_q5" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY n_name""",
+    "q88_multi_distinct" ->
+      """SELECT o_orderpriority,
+         count(DISTINCT o_custkey) AS n_customers,
+         count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q86_moving_average" ->
       """WITH daily AS (
            SELECT CAST(o_orderdate AS DATE) AS day,
