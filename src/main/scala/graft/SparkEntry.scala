@@ -1254,6 +1254,29 @@ object SparkEntry {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
 
+  /** Hive-style partition pruning: orders written partitionBy(year), the
+    * scan filtered to one year — the filter binds to the DIRECTORY
+    * structure (PartitionFilters in the plan; PlanSpec asserts it), so
+    * non-matching partitions are never listed, opened, or read. At
+    * 100 TB this is the first-order cost lever: a year-partitioned fact
+    * table serves a one-year query at 1/N scan cost before any I/O. */
+  private def qPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("partitioned_orders", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.pipeline.Medallion.writePartitioned(
+        Tables.load(s, dir, "orders")
+          .withColumn("order_year", year(col("o_orderdate"))),
+        path, Seq("order_year"))
+    }
+    s.read.parquet(path)
+      .filter(col("order_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_amount"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1345,6 +1368,7 @@ object SparkEntry {
     "q86_moving_average" -> (qMovingAverage _),
     "q87_tpch_q5" -> (qTpchQ5 _),
     "q88_multi_distinct" -> (qMultiDistinct _),
+    "q89_partition_pruning" -> (qPartitionPruning _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1885,6 +1909,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q89_partition_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM orders WHERE CAST(year(o_orderdate) AS INTEGER) = 1997
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q87_tpch_q5" ->
       """SELECT n_name,
          CAST(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -36,6 +36,31 @@ class PlanSpec extends SparkSpec {
       plan.contains("partial_count"), s"no partial aggregation:\n$plan")
   }
 
+  test("q89 binds the year filter to partition directories (pruning)") {
+    val df = SparkEntry.queries("q89_partition_pruning")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"no partition filter bound:\n$plan")
+    // pruned scan must touch only the 1997 directory (collect from the
+    // pre-adaptive plan: AdaptiveSparkPlanExec hides its subtree from
+    // collectLeaves)
+    val scan = df.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.isDefined, s"no FileSourceScanExec:\n${df.queryExecution.sparkPlan}")
+    val files = scan.get.relation.location.listFiles(
+      scan.get.partitionFilters, scan.get.dataFilters)
+    assert(files.map(_.values.getInt(0)).forall(_ == 1997),
+      s"scanned partitions: ${files.map(_.values)}")
+  }
+
+  test("q87 pushes the region name and order-date filters to the scans") {
+    val plan = planOf("q87_tpch_q5")
+    assert(plan.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins:\n$plan")
+  }
+
   test("q05 whole-stage codegen covers the scan-filter-agg pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = SparkEntry.queries("q05_null_filter")(spark, dir)
