@@ -120,6 +120,17 @@ object EventStreams {
   def dedupByKey(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.dropDuplicates(keys)
 
+  /** Watermark-bounded streaming dedup: duplicates are only suppressed
+    * within the watermark horizon, and key state older than the
+    * watermark is EVICTED — the production form of streaming dedup whose
+    * state stays O(keys-per-horizon) instead of O(all-keys-ever) on an
+    * unbounded stream. `eventTimeCol` must be one of the dedup columns'
+    * row's event-time column. */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+                           eventTimeCol: String, lateness: String): DataFrame =
+    stream.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream inner join with an event-time band: pairs where
     * right.ts ∈ [left.ts − window, left.ts] on a shared key. Watermarks
     * on BOTH sides bound the join state (each side buffers only rows

@@ -355,3 +355,22 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
   }
 }
+
+class DedupWatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupWithinWatermark suppresses in-horizon duplicates and bounds state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2020-01-01 00:01:00"), 1L), // dup in horizon
+      (java.sql.Timestamp.valueOf("2020-01-01 00:02:00"), 2L))
+    val out = graft.streaming.EventStreams.drainAvailableNow(
+      graft.streaming.EventStreams.dedupWithinWatermark(
+        mem.toDF().toDF("ts", "k"), Seq("k"), "ts", "10 minutes"),
+      mode = "append")
+    assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
