@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, DotProduct, MinHashSig, NearestCentroids, SimHash64, SortedIntersectCount}
+import graft.functions.{CosineSim, DotProduct, MinHashSig, NearestCentroids, SimHash64, SortedIntersectCount, ZOrderCode}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * the SQL surface (`spark.sql("SELECT graft_cosine(a, b) ...")`) — the
@@ -55,7 +55,10 @@ object GraftExtensions {
     ("graft_sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("graft_zorder",
+      new ExpressionInfo(classOf[ZOrderCode].getName, "graft_zorder"),
+      (args: Seq[Expression]) => ZOrderCode(args(0), args(1))))
 
   /** Idempotent post-hoc registration on a live session (for sessions
     * built without the extensions config, e.g. notebook attach). */

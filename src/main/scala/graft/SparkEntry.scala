@@ -1282,6 +1282,26 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Z-ordered (Morton) 2-D clustered layout: lineitem laid out by the
+    * bit-interleave of (l_partkey, l_suppkey), scanned with a range
+    * predicate on EACH dimension. Every file covers a compact 2-D box
+    * (ZOrderSpec proves the skipping); the oracle checks the re-layout
+    * changed nothing. */
+  private def qZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("zorder_lineitem", dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.pipeline.Medallion.writeZOrdered(
+        Tables.load(s, dir, "lineitem"), path, "l_partkey", "l_suppkey", 16)
+    }
+    s.read.parquet(path)
+      .filter(col("l_partkey") < 500 && col("l_suppkey") < 100)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1374,6 +1394,7 @@ object SparkEntry {
     "q87_tpch_q5" -> (qTpchQ5 _),
     "q88_multi_distinct" -> (qMultiDistinct _),
     "q89_partition_pruning" -> (qPartitionPruning _),
+    "q90_zorder_scan" -> (qZorderScan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1914,6 +1935,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q90_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_partkey < 500 AND l_suppkey < 100
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q89_partition_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount

@@ -210,6 +210,52 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Morton (Z-order) code of two non-negative integral columns: the low
+  * 32 bits of each are bit-interleaved (a in even positions, b in odd)
+  * so lexicographic order on the code approximates locality in BOTH
+  * dimensions at once. Range-partitioning + sorting by this code gives
+  * every output file a compact 2-D bounding box → parquet min/max
+  * skipping works for predicates on either column (one-axis range
+  * clustering only serves its own axis). Bit-spreading uses the classic
+  * magic-mask sequence — O(1), codegen-friendly, no loop. */
+case class ZOrderCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_zorder"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderCode.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      |${ev.value} = graft.functions.ZOrderCode.interleave($a, $b);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrderCode {
+  /** Spread the low 32 bits of v so bit i lands at position 2i. */
+  private def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8))  & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+
+  /** Morton code: a's bits at even positions, b's at odd. */
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 object VecExpressions {
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(
@@ -226,4 +272,8 @@ object VecExpressions {
                              nProbe: Int): Column =
     GraftBridge.column(NearestCentroids(
       GraftBridge.expression(v), centroids, nProbe))
+
+  def zorderNative(a: Column, b: Column): Column =
+    GraftBridge.column(ZOrderCode(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

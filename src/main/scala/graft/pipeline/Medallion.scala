@@ -194,6 +194,23 @@ object Medallion {
       .sortWithinPartitions(rangeCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-ordered write: range-partition + sort on the Morton interleave of
+    * two integral columns (`functions.ZOrderCode`), so every output file
+    * covers a compact bounding BOX in both dimensions — parquet min/max
+    * stats then skip files/row-groups for range predicates on EITHER
+    * column. One-axis clustering (`writeClustered`) only serves its own
+    * axis; this is the 2-D layout a fact table needs when queries filter
+    * by time AND key. Columns must be non-negative and fit in 32 bits
+    * (rank/bucket-normalize upstream otherwise). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int): Unit =
+    df.withColumn("__graft_z",
+      graft.functions.VecExpressions.zorderNative(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈rows / targetRowsPerFile⌉ files via staged write + directory swap.
     * The operational countermeasure to the many-small-files problem that
