@@ -1302,6 +1302,36 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S4 JDBC, integration-tested for real: a bounded orders slice is
+    * written through Spark's JDBC sink into an embedded Derby database
+    * (the JDBC engine Spark itself ships for its Hive metastore), then
+    * read back with the RANGE-PARTITIONED scan (4 parallel readers over
+    * o_orderkey strides — the fix for the reference's single-partition
+    * anti-pattern, mysql_bronze_ingestion.py:72-75). Oracle runs on the
+    * original parquet: the JDBC round trip must be lossless. */
+  private def qJdbcSource(s: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val dbPath = fixtureDir("derby_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dbPath))
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val props = new java.util.Properties()
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 4096)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      // Derby's dialect maps StringType to CLOB, which can't be grouped
+      // or compared server-side — pin a real VARCHAR
+      .option("createTableColumnTypes", "o_orderpriority VARCHAR(32)")
+      .jdbc(url, "orders_jdbc", props)
+    graft.sources.Readers.jdbcPartitioned(s, url, "orders_jdbc",
+      "o_orderkey", 0L, 4096L, 4, props)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_amount"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1395,6 +1425,7 @@ object SparkEntry {
     "q88_multi_distinct" -> (qMultiDistinct _),
     "q89_partition_pruning" -> (qPartitionPruning _),
     "q90_zorder_scan" -> (qZorderScan _),
+    "q91_jdbc_source" -> (qJdbcSource _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1935,6 +1966,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q91_jdbc_source" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM orders WHERE o_orderkey < 4096
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q90_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -422,3 +422,29 @@ class ZOrderSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 }
+
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JDBC round trip through embedded Derby preserves rows; partitioned scan parallelizes") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val dbPath = "/tmp/graft_test_derby"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dbPath))
+    val url = s"jdbc:derby:$dbPath;create=true"
+    val props = new java.util.Properties()
+    val df = (1L to 100L).map(i => (i, i * 1.5, s"p${i % 3}")).toDF("k", "v", "tag")
+    df.write.mode("overwrite")
+      .option("createTableColumnTypes", "tag VARCHAR(8)")
+      .jdbc(url, "t_round_trip", props)
+    val back = graft.sources.Readers.jdbc(spark, url, "t_round_trip", props)
+    assert(back.as[(Long, Double, String)].collect().toSet ==
+      df.as[(Long, Double, String)].collect().toSet)
+    val part = graft.sources.Readers.jdbcPartitioned(spark, url, "t_round_trip",
+      "k", 1L, 101L, 4, props)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 100)
+    // filter pushdown reaches the JDBC source
+    val filtered = part.filter(col("k") <= 10)
+    assert(filtered.count() == 10)
+  }
+}
