@@ -1332,6 +1332,15 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** MinHash-LSH near-dup candidates, portable-hash variant — the full
+    * LSH pipeline (shingle → per-band min-signature → bucket join →
+    * pairs) oracle-checked row-exact in DuckDB (q33's murmur3 fast path
+    * is rows-only by nature; this one proves the algorithm). */
+  private def qMinhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPortablePairs(
+      Tables.load(s, dir, "documents"), col("doc_id"), col("text"), bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1426,6 +1435,7 @@ object SparkEntry {
     "q89_partition_pruning" -> (qPartitionPruning _),
     "q90_zorder_scan" -> (qZorderScan _),
     "q91_jdbc_source" -> (qJdbcSource _),
+    "q92_minhash_portable" -> (qMinhashPortable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1966,6 +1976,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q92_minhash_portable" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, b,
+             list_min(list_transform(s,
+               x -> substr(md5(x || '|' || CAST(b AS VARCHAR)), 1, 8))) AS sig
+           FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+           WHERE len(s) > 0),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM sigs a JOIN sigs b2
+             ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
+         SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""",
     "q91_jdbc_source" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount

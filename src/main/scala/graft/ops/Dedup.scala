@@ -111,6 +111,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash-LSH candidate pairs with an ENGINE-PORTABLE hash family:
+    * band b's signature is the MINIMUM over the shingle set of the 8-hex
+    * md5 prefix of (shingle + "|" + b). md5 is bit-identical on every
+    * engine, and min-of-string is order-free — so unlike the murmur3
+    * fast path above (whose signatures are Spark-specific), this entire
+    * LSH pipeline is reproducible anywhere and DuckDB-oracle-checkable
+    * end to end. Same scale shape: map-only signatures (one row per doc
+    * per band), one shuffle on the (band, signature) bucket, pairs
+    * generated inside buckets only. Use the murmur3 path for raw speed;
+    * this one when cross-engine reproducibility of the sample matters
+    * (e.g. a dedup manifest consumed by a non-Spark system). */
+  def minhashPortablePairs(docs: DataFrame, id: Column, text: Column,
+                           bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(id.as("doc_id"), text.as("text"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), shingleSet(col("toks"), shingleN).as("s"))
+      .filter(size(col("s")) > 0)
+    val sigs = (0 until bands).map { b =>
+      sh.select(col("doc_id"), lit(b).as("b"),
+        array_min(transform(col("s"),
+          x => substring(md5(concat(x, lit("|" + b))), 1, 8))).as("sig"))
+    }.reduce(_ unionByName _)
+    sigs.as("a").join(sigs.as("c"),
+      col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
+        col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      .distinct()
+  }
+
   /** 64-bit SimHash over xxhash64 token hashes: bit i of the result is
     * set iff Σ_tokens (2·bit_i(h)−1) > 0. Computed MAP-ONLY via one
     * native single-pass expression per document
