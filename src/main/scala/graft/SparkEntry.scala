@@ -1691,6 +1691,24 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
          ORDER BY id_a, id_b""",
+    "q37_langid" ->
+      """WITH scored AS (
+           SELECT doc_id, lang AS stored_lang,
+             list_max([
+               struct_pack(score := len(list_filter(string_split(text,' '),
+                 t -> t IN ('der','und','die','das','ist'))), lang := 'de'),
+               struct_pack(score := len(list_filter(string_split(text,' '),
+                 t -> t IN ('the','and','of','to','a'))), lang := 'en'),
+               struct_pack(score := len(list_filter(string_split(text,' '),
+                 t -> t IN ('el','la','de','que','y'))), lang := 'es'),
+               struct_pack(score := len(list_filter(string_split(text,' '),
+                 t -> t IN ('le','la','et','les','des'))), lang := 'fr')
+             ]) AS best
+           FROM documents WHERE doc_id < 100)
+         SELECT doc_id, best.lang AS predicted_lang,
+           CAST(best.score AS BIGINT) AS lang_score,
+           stored_lang, best.lang = stored_lang AS agrees
+         FROM scored ORDER BY doc_id""",
     "q35_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avg_tokens,
