@@ -1341,6 +1341,19 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), col("doc_id"), col("text"), bands = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
+    * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
+    * by nature; this proves the algorithm row-exact cross-engine). */
+  private def qSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withSimhash32Portable(
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", TextAnalysis.tokens(col("text"))),
+      col("toks"))
+      .filter(size(col("hs32")) > 0)
+      .select(col("doc_id"), col("simhash32"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1436,6 +1449,7 @@ object SparkEntry {
     "q90_zorder_scan" -> (qZorderScan _),
     "q91_jdbc_source" -> (qJdbcSource _),
     "q92_minhash_portable" -> (qMinhashPortable _),
+    "q93_simhash_portable" -> (qSimhashPortable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1994,6 +2008,21 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q93_simhash_portable" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents WHERE doc_id < 100),
+         hs AS (
+           SELECT doc_id,
+             list_transform(ts, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h
+           FROM tok WHERE len(ts) > 0)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 31), j ->
+             CASE WHEN 2 * len(list_filter(h,
+                 x -> CAST(floor(x / pow(2, j)) AS BIGINT) % 2 = 1)) > len(h)
+               THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash32
+         FROM hs ORDER BY doc_id""",
     "q92_minhash_portable" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          sh AS (SELECT doc_id,

@@ -120,6 +120,26 @@ object TextAnalysis {
         col("dfreq"), col("score"))
   }
 
+  /** Engine-portable 32-bit SimHash: token hash = first 8 md5 hex digits
+    * as uint32; signature bit j set iff more tokens have bit j set than
+    * clear (duplicates counted, ties → 0, classic simhash). All
+    * arithmetic is md5 + exact double shifts (h / 2^j is exponent-only,
+    * bit-exact in IEEE), so any engine computes the identical signature —
+    * unlike the xxhash64 fast path (Dedup.simhashSignatures), which is
+    * Spark-specific. Adds `hs32` (token hashes) and `simhash32`. */
+  def withSimhash32Portable(df: DataFrame, toksCol: Column): DataFrame =
+    df
+      .withColumn("hs32", transform(filter(toksCol, t => t =!= ""),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
+      .withColumn("simhash32",
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+          val pow2j = pow(lit(2.0), j.cast("double"))
+          val ones = size(filter(col("hs32"),
+            h => pmod(floor(h / pow2j), lit(2)) === 1))
+          acc + when(ones * 2 > size(col("hs32")), pow2j.cast("long"))
+            .otherwise(lit(0L))
+        }))
+
   /** Polynomial rolling fingerprint over token hashes, mod 2^31−1 at
     * every step so the fold can never overflow a long under ANSI mode:
     * fp = ((fp·31 mod p) + (xxhash64(token) mod p)) mod p. Pure
