@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import org.apache.spark.sql.SparkSession
 
@@ -62,10 +63,32 @@ object Bench {
       }.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double) = f"$v%.3f"
+    // Full per-query map goes to STDERR and a file; the driver keeps only a
+    // 2000-char stdout TAIL, and at 93 queries the full line is ~6 KB — its
+    // head (`{"metric":...`) gets truncated away and the parse fails
+    // (BENCH_r02.json: parsed:null). So stdout carries exactly ONE compact
+    // line: total + the slowest queries that fit a ~1600-char budget.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    System.err.println(s"[bench-full] $fullLine")
+    try Files.writeString(Paths.get("bench_full.json"), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+    val budget = 1600
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val p = "\"" + k + "\":" + fmt(v)
+      if (used + p.length + 1 <= budget) { parts += p; used += p.length + 1 }
+    }
+    val compactQs = parts.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_total":${results.size},"queries_shown":${parts.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1354,6 +1354,36 @@ object SparkEntry {
       .select(col("doc_id"), col("simhash32"))
       .orderBy(col("doc_id"))
 
+  /** graft-log commit-log table format end-to-end: create → upsert (keys
+    * %10==0 get +100 balance; 50 synthetic new keys append) → compact —
+    * three atomic commits — then a snapshot read aggregated per nation.
+    * The oracle recomputes the same merge in pure SQL over the raw
+    * customer table, so the whole transactional pipeline (staging,
+    * atomic commit, snapshot resolution, MERGE semantics, compaction
+    * invariance) is row-exact-checked cross-engine. */
+  private def qGraftLog(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_customer", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+    GraftLog.overwrite(cust, base)
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("acctbal",
+        (col("acctbal") + lit(100)).cast(DecimalType(18, 2)))
+      .unionByName(cust.filter(col("c_custkey") < 50)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+    GraftLog.upsert(s, base, updates, Seq("c_custkey"))
+    GraftLog.compact(s, base, targetRowsPerFile = 4096)
+    GraftLog.read(s, base)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1450,6 +1480,7 @@ object SparkEntry {
     "q91_jdbc_source" -> (qJdbcSource _),
     "q92_minhash_portable" -> (qMinhashPortable _),
     "q93_simhash_portable" -> (qSimhashPortable _),
+    "q94_graft_log" -> (qGraftLog _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2045,6 +2076,19 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders WHERE o_orderkey < 4096
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q94_graft_log" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT c_nationkey,
+             CASE WHEN c_custkey % 10 = 0
+               THEN CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2))
+               ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM customer WHERE c_custkey < 50
+         ) GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q90_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -18,7 +18,17 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
+    // Arg parsing must NEVER crash: two rounds of driver correctness gates
+    // recorded `{}` because a strict `val Array(a, b) = args` MatchError
+    // killed the process before a single byte hit disk. Accept 0, 1 or 2
+    // positional args with env-var and constant fallbacks.
+    val sfDir = args.lift(0).filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_VERIFY_OUT"))
+      .getOrElse("verify_out")
+    System.err.println(s"[verify] sfDir=$sfDir outDir=$outDir (args=${args.mkString(" ")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -219,8 +219,17 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   * clustering only serves its own axis). Bit-spreading uses the classic
   * magic-mask sequence — O(1), codegen-friendly, no loop. */
 case class ZOrderCode(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  // Declared input types make misuse (string/array args from SQL callers
+  // of graft_zorder) fail at ANALYSIS time instead of as a runtime
+  // ClassCastException in the interpreted path; integral narrower than
+  // long coerces implicitly.
+  // (AbstractDataType is private[sql] in Spark 4; the public subtype
+  // DataType satisfies the override covariantly.)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_zorder"

@@ -221,17 +221,27 @@ object Relational {
     * difference between shuffling the full fact table and shuffling only
     * the ~selectivity × |fact| rows that survive the filter (+fpp noise);
     * the bloom itself stays small (~1.2 MB per million keys at 1% fpp).
-    * False positives are eliminated by the join itself, so the result is
-    * bit-identical to the plain join. Long keys only (covers every key
-    * column in the schema); the filter is a deterministic scala function
-    * over a broadcast value — partition-parallel, no driver loop. */
+    * False positives are eliminated by the join itself, so for join types
+    * where unmatched fact rows are dropped anyway the result is
+    * bit-identical to the plain join — which is why `how` is restricted
+    * to inner / left_semi: an outer join would emit unmatched fact rows
+    * with null dim columns, and the prefilter would silently drop them.
+    * Long keys only (covers every key column in the schema); the probe is
+    * a codegen'd Catalyst expression over a broadcast value
+    * (`functions.BloomMightContainLong`) — partition-parallel, fused into
+    * the scan's WholeStageCodegen span, no driver loop, no UDF boxing. */
   def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                          dimKey: String, expectedDimKeys: Long,
                          fpp: Double = 0.01, how: String = "inner"): DataFrame = {
+    val norm = how.toLowerCase.replace("_", "")
+    require(norm == "inner" || norm == "leftsemi" || norm == "semi",
+      s"bloomPrefilterJoin preserves semantics only for inner/left_semi " +
+        s"joins (the prefilter drops unmatched fact rows an outer join " +
+        s"would keep), got '$how'")
     val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
     val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
+    fact.filter(col(factKey).isNotNull &&
+        graft.functions.BloomExpressions.mightContainLong(bfB, col(factKey)))
       .join(dim, col(factKey) === col(dimKey), how)
   }
 

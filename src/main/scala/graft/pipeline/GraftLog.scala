@@ -1,0 +1,265 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** graft-log: a minimal self-contained commit-log table format over plain
+  * parquet — the zero-dependency stand-in for Delta/Iceberg that
+  * BASELINE.json's north star names ("DataFrame read/write with
+  * Delta/Iceberg format support"; no delta/iceberg jars exist in this
+  * environment). It unifies what `Medallion.writeVersioned` / `upsert` /
+  * `compact` did as three separate mechanisms into one table with real
+  * transactional semantics:
+  *
+  *  - **Atomic multi-file commits**: data files land first under unique
+  *    names (invisible — readers only see files the log references), then
+  *    ONE atomic rename publishes the version's JSON log entry. A crash
+  *    mid-commit leaves orphan data files but the previous snapshot fully
+  *    readable.
+  *  - **Snapshot isolation**: a reader resolves the file list from the log
+  *    once; concurrent commits never disturb it (files are immutable and
+  *    never deleted by commits — only `vacuum` removes unreferenced ones).
+  *  - **Optimistic concurrency**: the version-numbered log filename is the
+  *    lock — `Files.move` without REPLACE fails if a concurrent writer
+  *    claimed the version, and the loser recomputes against the new head
+  *    (same protocol as Delta's `_delta_log`).
+  *  - **Time travel** by version or timestamp (each commit records its
+  *    wall-clock millis).
+  *
+  * Layout:
+  * {{{
+  *   base/
+  *     _graft_log/00000000000000000001.json   // {"version":1,"add":[...],"remove":[...]}
+  *     <uuid>-<n>.parquet                     // immutable data files
+  * }}}
+  *
+  * 100 TB notes: the log is metadata-scale (one small JSON per commit; a
+  * listing of `_graft_log` is the only driver-side work). `upsert` here
+  * rewrites the full table — at scale, partition the table and MERGE only
+  * touched partitions (the commit protocol already supports it: a commit
+  * may remove/add any file subset atomically). Readers pass the resolved
+  * file list straight to the parquet scan, so pushdown/pruning/row-group
+  * skipping all still apply.
+  */
+object GraftLog {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Commit(version: Long, timestampMs: Long, operation: String,
+                          add: Seq[String], remove: Seq[String])
+
+  final case class Snapshot(version: Long, timestampMs: Long, files: Seq[String])
+
+  private def logDir(base: String) = new File(base, "_graft_log")
+
+  private def logName(version: Long) = f"$version%020d.json"
+
+  // ------------------------------------------------------------ log I/O
+
+  private def commits(base: String): Seq[Commit] = {
+    val files = Option(logDir(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    files.toSeq.map { f =>
+      val n = mapper.readTree(f)
+      def arr(field: String): Seq[String] = {
+        val a = n.get(field)
+        if (a == null) Seq.empty
+        else (0 until a.size()).map(i => a.get(i).asText())
+      }
+      Commit(n.get("version").asLong(), n.get("timestampMs").asLong(),
+        Option(n.get("operation")).map(_.asText()).getOrElse(""),
+        arr("add"), arr("remove"))
+    }
+  }
+
+  /** Resolve the visible file set at `version` (default: head), or at the
+    * latest commit with timestampMs <= `asOfTimestampMs`. */
+  def snapshot(base: String, version: Option[Long] = None,
+               asOfTimestampMs: Option[Long] = None): Snapshot = {
+    val all = commits(base)
+    require(all.nonEmpty, s"no graft-log commits under $base")
+    val upTo = (version, asOfTimestampMs) match {
+      case (Some(v), _) =>
+        val s = all.takeWhile(_.version <= v)
+        require(s.nonEmpty && s.last.version == v,
+          s"version $v not found under $base (head=${all.last.version})")
+        s
+      case (None, Some(ts)) =>
+        val s = all.takeWhile(_.timestampMs <= ts)
+        require(s.nonEmpty, s"no commit at or before timestamp $ts under $base")
+        s
+      case (None, None) => all
+    }
+    val live = mutable.LinkedHashSet.empty[String]
+    upTo.foreach { c => c.remove.foreach(live.remove); live ++= c.add }
+    Snapshot(upTo.last.version, upTo.last.timestampMs, live.toSeq)
+  }
+
+  def currentVersion(base: String): Option[Long] = {
+    val cs = commits(base)
+    if (cs.isEmpty) None else Some(cs.last.version)
+  }
+
+  /** Publish a commit: write the JSON to a temp name, then atomically
+    * rename it to its version-numbered slot. On collision (concurrent
+    * writer won the version) the caller's `retry` recomputes — optimistic
+    * concurrency, never a torn commit. Returns the committed version. */
+  def commit(base: String, operation: String, add: Seq[String],
+             remove: Seq[String], maxRetries: Int = 10): Long = {
+    logDir(base).mkdirs()
+    var attempt = 0
+    while (true) {
+      val next = currentVersion(base).getOrElse(0L) + 1
+      val node = mapper.createObjectNode()
+      node.put("version", next)
+      node.put("timestampMs", System.currentTimeMillis())
+      node.put("operation", operation)
+      val addArr = node.putArray("add"); add.foreach(addArr.add)
+      val remArr = node.putArray("remove"); remove.foreach(remArr.add)
+      val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
+      Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
+      try {
+        // ATOMIC_MOVE without REPLACE: fails if the slot is taken — this
+        // one rename IS the transaction's commit point.
+        Files.move(tmp.toPath, new File(logDir(base), logName(next)).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp.toPath)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.io.IOException(
+              s"graft-log commit lost $maxRetries version races under $base")
+      }
+    }
+    -1L // unreachable
+  }
+
+  // ---------------------------------------------------------- data files
+
+  /** Stage a DataFrame's rows as immutable uniquely-named parquet files
+    * under `base` (NOT yet visible — only a commit publishes them).
+    * Returns the staged file names. */
+  def stageFiles(df: DataFrame, base: String): Seq[String] = {
+    new File(base).mkdirs()
+    val scratch = new File(base, s".stage_${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(scratch.getPath)
+    val id = UUID.randomUUID().toString
+    val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"$id-$i.parquet"
+      Files.move(p.toPath, Paths.get(base, name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    named.toSeq
+  }
+
+  // ----------------------------------------------------------- operations
+
+  /** Create-or-replace the table's content in one atomic commit. */
+  def overwrite(df: DataFrame, base: String): Long = {
+    val staged = stageFiles(df, base)
+    val prev = currentVersion(base).map(_ =>
+      snapshot(base).files).getOrElse(Seq.empty)
+    commit(base, "overwrite", staged, prev)
+  }
+
+  /** Append rows in one atomic commit (no existing file is touched). */
+  def append(df: DataFrame, base: String): Long = {
+    val staged = stageFiles(df, base)
+    commit(base, "append", staged, Seq.empty)
+  }
+
+  /** MERGE by key: same-key rows replaced, new keys appended — one atomic
+    * commit swapping the old file set for the merged one. (At 100 TB:
+    * partition the table and rewrite only partitions holding matched
+    * keys; the commit protocol is already file-subset-granular.) */
+  def upsert(spark: SparkSession, base: String, updates: DataFrame,
+             keys: Seq[String]): Long = {
+    val current = read(spark, base)
+    val merged = current
+      .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(current.columns.map(col): _*))
+    // materialize BEFORE committing: merged still reads the old files
+    val staged = stageFiles(merged, base)
+    val prev = snapshot(base).files
+    commit(base, "upsert", staged, prev)
+  }
+
+  /** Rewrite the table into ⌈rows / targetRowsPerFile⌉ files — the
+    * small-file compaction every incremental sink needs, as one atomic
+    * commit. Readers of any in-flight snapshot are undisturbed (old files
+    * stay on disk until `vacuum`). */
+  def compact(spark: SparkSession, base: String,
+              targetRowsPerFile: Long): Long = {
+    val current = read(spark, base)
+    val n = current.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val staged = stageFiles(current.repartition(files), base)
+    val prev = snapshot(base).files
+    commit(base, "compact", staged, prev)
+  }
+
+  /** Read a snapshot (head by default; `version`/`asOfTimestampMs` time-
+    * travel). The resolved file list goes straight to the parquet reader —
+    * pushdown, pruning and row-group skipping apply as on any scan. */
+  def read(spark: SparkSession, base: String, version: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None): DataFrame = {
+    val snap = snapshot(base, version, asOfTimestampMs)
+    val paths = snap.files.map(f => s"$base/$f")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Delete data files no snapshot in the retained history references
+    * (keeps the last `keepVersions` commits' log entries AND every file
+    * any retained snapshot needs). Returns deleted file count. */
+  def vacuum(base: String, keepVersions: Int = 1): Int = {
+    val all = commits(base)
+    if (all.isEmpty) return 0
+    val retained = all.drop(math.max(0, all.size - keepVersions))
+    val needed = mutable.Set.empty[String]
+    retained.indices.foreach { i =>
+      needed ++= snapshot(base, Some(retained(i).version)).files
+    }
+    val dropLog = all.dropRight(keepVersions)
+    // live set may reference files added in dropped commits (carried
+    // forward) — `needed` already accounts for that via snapshot replay.
+    val onDisk = Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    var deleted = 0
+    onDisk.foreach { f =>
+      if (!needed.contains(f.getName)) { if (f.delete()) deleted += 1 }
+    }
+    // squash dropped log entries into a synthetic checkpoint commit so
+    // history stays replayable from the first retained version
+    if (dropLog.nonEmpty) {
+      val firstKept = retained.head
+      val baseline = snapshot(base, Some(firstKept.version))
+      dropLog.foreach(c => new File(logDir(base), logName(c.version)).delete())
+      val node = mapper.createObjectNode()
+      node.put("version", firstKept.version)
+      node.put("timestampMs", firstKept.timestampMs)
+      node.put("operation", "checkpoint")
+      val addArr = node.putArray("add"); baseline.files.foreach(addArr.add)
+      node.putArray("remove")
+      val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
+      Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
+      Files.move(tmp.toPath,
+        new File(logDir(base), logName(firstKept.version)).toPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleted
+  }
+}

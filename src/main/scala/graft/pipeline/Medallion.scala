@@ -97,10 +97,23 @@ object Medallion {
     * the new ones. `updates` carries the same key/attr columns plus an
     * `effectiveTs` column. Only keys present in `updates` are touched;
     * unchanged updates (same attrs as the current version) are no-ops.
+    * A batch may carry several updates for one key: only the LATEST by
+    * effectiveTs is applied (one new version per key per batch — apply
+    * intermediate versions via `scd2FromHistory` if the full intra-batch
+    * timeline matters); without this collapse the closed-row join would
+    * multiply rows and emit several is_current=true versions per key.
     * Anti-join + union — partition-parallel, no driver loop. */
-  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+  def scd2Apply(dim: DataFrame, updates0: DataFrame, keys: Seq[String],
                 attrs: Seq[String], effectiveTs: String): DataFrame = {
     val keyCols = keys.map(col)
+    // latest update per key (deterministic: ties on effectiveTs break on
+    // the attribute struct)
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(effectiveTs).desc, struct(attrs.map(col): _*).desc)
+    val updates = updates0
+      .withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn")
     val cur = dim.filter(col("is_current"))
     val attrStruct = struct(attrs.map(col): _*)
     // real changes only: current version differs from the update

@@ -112,35 +112,54 @@ case class AsOfJoinExec(
       var lastRight: InternalRow = null
 
       lIter.map { lRow =>
-        val lk = lRow.get(lKeyIdx, keyType)
-        val lt = lRow.get(lTsIdx, tsType)
-        if (!fwd) {
-          // consume every right row with (key, ts) <= (lk, lt)
-          var continue = true
-          while (continue && buffered.hasNext) {
-            val head = buffered.head
-            val c = keyOrd.compare(head.get(rKeyIdx, keyType), lk)
-            if (c < 0 || (c == 0 && tsOrd.compare(head.get(rTsIdx, tsType), lt) <= 0)) {
-              lastRight = buffered.next().copy()
-            } else continue = false
-          }
-          val matched = lastRight != null &&
-            keyOrd.compare(lastRight.get(rKeyIdx, keyType), lk) == 0
-          joined(lRow, if (matched) valueProj(lastRight) else nullValues)
+        // Null semantics (interpreted orderings NPE on nulls, and a null
+        // key/ts has no meaningful as-of position): null-keyed/null-ts
+        // LEFT rows emit unmatched; null-keyed/null-ts RIGHT rows are
+        // skipped. Nulls sort first under the required Ascending order,
+        // so skipping them at the head costs nothing.
+        val lNull = lRow.isNullAt(lKeyIdx) || lRow.isNullAt(lTsIdx)
+        if (lNull) {
+          joined(lRow, nullValues)
         } else {
-          // discard every right row strictly before (lk, lt); head, if
-          // same-keyed, is the first at-or-after match (inclusive)
-          var continue = true
-          while (continue && buffered.hasNext) {
-            val head = buffered.head
-            val c = keyOrd.compare(head.get(rKeyIdx, keyType), lk)
-            if (c < 0 || (c == 0 && tsOrd.compare(head.get(rTsIdx, tsType), lt) < 0)) {
-              buffered.next()
-            } else continue = false
+          val lk = lRow.get(lKeyIdx, keyType)
+          val lt = lRow.get(lTsIdx, tsType)
+          if (!fwd) {
+            // consume every right row with (key, ts) <= (lk, lt)
+            var continue = true
+            while (continue && buffered.hasNext) {
+              val head = buffered.head
+              if (head.isNullAt(rKeyIdx) || head.isNullAt(rTsIdx)) {
+                buffered.next()
+              } else {
+                val c = keyOrd.compare(head.get(rKeyIdx, keyType), lk)
+                if (c < 0 || (c == 0 && tsOrd.compare(head.get(rTsIdx, tsType), lt) <= 0)) {
+                  lastRight = buffered.next().copy()
+                } else continue = false
+              }
+            }
+            val matched = lastRight != null &&
+              keyOrd.compare(lastRight.get(rKeyIdx, keyType), lk) == 0
+            joined(lRow, if (matched) valueProj(lastRight) else nullValues)
+          } else {
+            // discard every right row strictly before (lk, lt); head, if
+            // same-keyed, is the first at-or-after match (inclusive)
+            var continue = true
+            while (continue && buffered.hasNext) {
+              val head = buffered.head
+              if (head.isNullAt(rKeyIdx) || head.isNullAt(rTsIdx)) {
+                buffered.next()
+              } else {
+                val c = keyOrd.compare(head.get(rKeyIdx, keyType), lk)
+                if (c < 0 || (c == 0 && tsOrd.compare(head.get(rTsIdx, tsType), lt) < 0)) {
+                  buffered.next()
+                } else continue = false
+              }
+            }
+            val matched = buffered.hasNext &&
+              !buffered.head.isNullAt(rKeyIdx) &&
+              keyOrd.compare(buffered.head.get(rKeyIdx, keyType), lk) == 0
+            joined(lRow, if (matched) valueProj(buffered.head) else nullValues)
           }
-          val matched = buffered.hasNext &&
-            keyOrd.compare(buffered.head.get(rKeyIdx, keyType), lk) == 0
-          joined(lRow, if (matched) valueProj(buffered.head) else nullValues)
         }
         numOutputRows += 1
         outProj(joined)

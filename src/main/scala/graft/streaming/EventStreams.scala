@@ -207,45 +207,93 @@ object EventStreams {
     * and merges it into the running gold table by union + re-aggregation
     * of partials — the algebraic-aggregate merge that makes the gold
     * table cost O(batch + |keys|) per batch instead of O(history).
-    * Exactly-once: offsets are checkpointed, and the gold rewrite goes
-    * to a staging dir then swaps, so a crash mid-write replays the batch
-    * against the previous consistent gold. At 100 TB the gold table is
+    *
+    * Exactly-once across restarts requires BOTH a stable caller-supplied
+    * `checkpoint` (so offsets survive) AND an idempotent merge — the
+    * merge here records the last-merged batchId in a `_graft_batchid`
+    * marker that commits atomically WITH the gold snapshot (same
+    * directory rename), so a batch replayed after a crash between the
+    * gold swap and the offset commit is detected and skipped instead of
+    * double-counted. With the default ephemeral checkpoint the sink is
+    * only exactly-once within a single invocation against a fresh gold
+    * dir. The swap itself is rename(gold→old) + rename(staging→gold) +
+    * delete(old); a crash between the two renames is repaired at the
+    * next batch start by restoring `old`. At 100 TB the gold table is
     * partitioned and only touched keys' partitions rewrite. */
   def streamIncrementalGold(stream: DataFrame, key: String, valueCol: String,
-                            goldPath: String): Unit = {
-    val ckpt = s"/dev/shm/graft_gold_ckpt_${drainRuns.incrementAndGet()}"
+                            goldPath: String,
+                            checkpoint: Option[String] = None): Unit = {
+    val ephemeral = checkpoint.isEmpty
+    val ckpt = checkpoint.getOrElse(
+      s"/dev/shm/graft_gold_ckpt_${drainRuns.incrementAndGet()}")
     try {
       stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val spark = batch.sparkSession
-          val partial = batch.groupBy(col(key))
-            .agg(
-              count(lit(1)).as("n_events"),
-              sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_value_dec"))
           val gold = new java.io.File(goldPath)
-          val merged =
-            (if (gold.exists())
-               spark.read.parquet(goldPath)
-                 .select(col(key), col("n_events"),
-                   col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec"))
-                 .unionByName(partial.select(col(key), col("n_events"),
-                   col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec")))
-             else partial)
-              .groupBy(col(key))
+          val old = new java.io.File(goldPath + "__old")
+          // crash repair: swap died between renames → previous snapshot
+          // is intact under __old; restore it before merging.
+          if (!gold.exists() && old.exists() && !old.renameTo(gold))
+            throw new java.io.IOException(s"gold repair failed: $old -> $gold")
+          // The marker is scoped to the CHECKPOINT identity: batchIds
+          // restart at 0 for every new query, so a fresh invocation (new
+          // checkpoint) merging into an existing gold table must not be
+          // mistaken for a replay — only the same checkpoint re-delivering
+          // an already-merged batchId is.
+          val ckptId = ckpt
+          val marker = new java.io.File(gold, "_graft_batchid")
+          val lastMerged =
+            if (marker.exists()) {
+              val Array(storedCkpt, storedBatch) =
+                java.nio.file.Files.readString(marker.toPath).trim
+                  .split('\n').padTo(2, "-1")
+              if (storedCkpt == ckptId) storedBatch.trim.toLong else -1L
+            } else -1L
+          if (batchId <= lastMerged) {
+            // replay of an already-merged batch (crash landed between the
+            // gold swap and the offset commit) — idempotent skip
+            System.err.println(
+              s"[gold] batch $batchId already merged (last=$lastMerged); skipping")
+          } else {
+            val partial = batch.groupBy(col(key))
               .agg(
-                sum(col("n_events")).as("n_events"),
-                sum(col("sum_value_dec")).cast(DecimalType(38, 2)).as("sum_value_dec"))
-          val staging = new java.io.File(goldPath + "__staging")
-          merged.write.mode("overwrite").parquet(staging.getPath)
-          org.apache.commons.io.FileUtils.deleteDirectory(gold)
-          if (!staging.renameTo(gold))
-            throw new java.io.IOException(s"gold swap failed: $staging -> $gold")
+                count(lit(1)).as("n_events"),
+                sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_value_dec"))
+            val merged =
+              (if (gold.exists())
+                 spark.read.parquet(goldPath)
+                   .select(col(key), col("n_events"),
+                     col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec"))
+                   .unionByName(partial.select(col(key), col("n_events"),
+                     col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec")))
+               else partial)
+                .groupBy(col(key))
+                .agg(
+                  sum(col("n_events")).as("n_events"),
+                  sum(col("sum_value_dec")).cast(DecimalType(38, 2)).as("sum_value_dec"))
+            val staging = new java.io.File(goldPath + "__staging")
+            merged.write.mode("overwrite").parquet(staging.getPath)
+            // marker commits atomically with the snapshot (same rename);
+            // underscore-prefixed files are invisible to parquet readers
+            java.nio.file.Files.writeString(
+              new java.io.File(staging, "_graft_batchid").toPath,
+              s"$ckptId\n$batchId")
+            org.apache.commons.io.FileUtils.deleteQuietly(old)
+            if (gold.exists() && !gold.renameTo(old))
+              throw new java.io.IOException(s"gold retire failed: $gold -> $old")
+            if (!staging.renameTo(gold))
+              throw new java.io.IOException(s"gold swap failed: $staging -> $gold")
+            org.apache.commons.io.FileUtils.deleteQuietly(old)
+          }
+          ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      if (ephemeral)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.GraftLog
+
+class GraftLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val p = s"/tmp/graft_test_log_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("overwrite/append/upsert commit atomically and read back exactly") {
+    val base = freshBase("basic")
+    val v1 = GraftLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "x"), base)
+    val v2 = GraftLog.append(Seq((3L, "c")).toDF("k", "x"), base)
+    val v3 = GraftLog.upsert(spark,
+      base, Seq((2L, "B2"), (4L, "d")).toDF("k", "x"), Seq("k"))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(GraftLog.read(spark, base).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // time travel by version
+    assert(GraftLog.read(spark, base, version = Some(2L))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel by timestamp: the v2 commit's own stamp resolves to v2
+    val ts2 = GraftLog.snapshot(base, Some(2L)).timestampMs
+    assert(GraftLog.read(spark, base, asOfTimestampMs = Some(ts2))
+      .count() == 3)
+  }
+
+  test("a crash mid-commit (files staged, log entry never published) leaves the previous snapshot readable") {
+    val base = freshBase("crash")
+    GraftLog.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), base)
+    val before = GraftLog.read(spark, base).as[(Long, Double)].collect().toSet
+    // simulate the crash: data files land, the commit rename never happens
+    val orphans = GraftLog.stageFiles(
+      Seq((99L, 99.0)).toDF("k", "v"), base)
+    assert(orphans.nonEmpty &&
+      orphans.forall(f => new File(base, f).exists()))
+    // the table is untouched: snapshot resolution only trusts the log
+    assert(GraftLog.currentVersion(base).contains(1L))
+    assert(GraftLog.read(spark, base).as[(Long, Double)].collect().toSet == before)
+  }
+
+  test("compact rewrites files without changing content; old snapshots stay readable until vacuum") {
+    val base = freshBase("compact")
+    GraftLog.overwrite((1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(8), base)
+    assert(GraftLog.snapshot(base).files.length == 8)
+    GraftLog.compact(spark, base, targetRowsPerFile = 1000)
+    assert(GraftLog.snapshot(base).files.length == 1)
+    assert(GraftLog.read(spark, base).count() == 100)
+    // snapshot isolation: the pre-compaction version still reads fine
+    assert(GraftLog.read(spark, base, version = Some(1L)).count() == 100)
+    // vacuum to the head drops the 8 old files but keeps the live one
+    val deleted = GraftLog.vacuum(base, keepVersions = 1)
+    assert(deleted == 8)
+    assert(GraftLog.read(spark, base).count() == 100)
+  }
+
+  test("version slots are claimed atomically (optimistic concurrency)") {
+    val base = freshBase("occ")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    // two writers race: both stage, both commit — sequential here, but
+    // the protocol must hand out distinct consecutive versions
+    val f1 = GraftLog.stageFiles(Seq((2L, "b")).toDF("k", "x"), base)
+    val f2 = GraftLog.stageFiles(Seq((3L, "c")).toDF("k", "x"), base)
+    val c1 = GraftLog.commit(base, "append", f1, Seq.empty)
+    val c2 = GraftLog.commit(base, "append", f2, Seq.empty)
+    assert(Set(c1, c2) == Set(2L, 3L))
+    assert(GraftLog.read(spark, base).count() == 3)
+  }
+}
