@@ -473,6 +473,27 @@ object SparkEntry {
         dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("o_orderpriority"))
 
+  /** Adaptive skew join whose hot path PROVABLY FIRES: every event_type
+    * holds ~20% of the events table (the pathological low-cardinality
+    * skew case), so with hotKeyThreshold=1000 the detection marks every
+    * type hot at sf0.01+ and the whole join runs through the
+    * salted-union path (q44's TPC-H keys are near-uniform, so its hot
+    * path is provably empty — this query benchmarks the path q44 only
+    * plans for). Result is path-independent, hence oracle-checkable. */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val dim = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_n"))
+    Relational.skewJoin(ev, dim, Seq("event_type"), saltBuckets = 8,
+      skewedUnique = col("event_id"), hotKeyThreshold = 1000L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("type_n")).as("type_n"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Binned band join (Relational.bandJoin): every (click, view) pair
     * globally within a 30-second backward window, aggregated per click
     * day. Linear-shuffle range join — the oracle runs the plain range
@@ -754,6 +775,30 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embCorpus(s, dir), embQueries(s, dir, 10), 5)
       .orderBy(col("query_id"), col("rank"))
+
+  /** ANN quality as a RECORDED gate: recall@3 of the recall-grade
+    * approximate indexes against the exact brute-force top-3 (rows-only:
+    * engine-internal comparison, fully deterministic). Gated indexes:
+    * multi-table sign-LSH (L=8 tables × 5 planes — the L-tables
+    * construction that keeps recall dialable even on these weakly-
+    * clustered embeddings, where q42's single table measures ~0.23) and
+    * IVF-flat at q54's exact config. AnnRecallGateSpec asserts both
+    * ≥ 0.9, so a recall regression fails `sbt test`; this query makes
+    * the numbers visible in every verify/bench sweep too. Measured
+    * across sf0.001/0.01/0.1: lsh_multi 0.967–1.0, ivf 0.9–1.0. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embCorpus(s, dir)
+    val queries = embQueries(s, dir, 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 3)
+    val lshM = Similarity.recallAtK(
+      Similarity.lshTopKMulti(corpus, queries, 3, nTables = 8, nPlanes = 5),
+      exact, 3)
+      .select(lit("lsh_multi").as("index"), col("n_exact"), col("n_hit"), col("recall"))
+    val ivf = Similarity.recallAtK(
+      Similarity.ivfTopK(corpus, queries, 3), exact, 3)
+      .select(lit("ivf").as("index"), col("n_exact"), col("n_hit"), col("recall"))
+    lshM.unionByName(ivf).orderBy(col("index"))
+  }
 
   /** BPE-style subword token statistics per language: the token-counting
     * pass of a training-data pipeline (TextAnalysis.subwordTokens). */
@@ -1384,6 +1429,46 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** S8 HTTP source, integration-tested for real: the nation table is
+    * served as a pretty-printed JSON array (the reference users.json
+    * shape — scripts/ingest_api_data.py:15 writes indent=4) by an
+    * in-process HTTP server, fetched back through
+    * `Readers.httpJson`, and aggregated. The oracle runs on the original
+    * parquet: the HTTP round trip must be lossless. */
+  private def qHttpSource(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey")).collect() // bounded: 25 rows at any SF
+    val json = rows.map { r =>
+      s"""  {"n_nationkey": ${r.getInt(0)}, "n_name": "${r.getString(1)}", "n_regionkey": ${r.getInt(2)}}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/api/nations",
+        new com.sun.net.httpserver.HttpHandler {
+          def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+            val bytes = json.getBytes("UTF-8")
+            x.getResponseHeaders.add("Content-Type", "application/json")
+            x.sendResponseHeaders(200, bytes.length)
+            x.getResponseBody.write(bytes); x.close()
+          }
+        })
+      server.start()
+      val url =
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/nations"
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      // eager driver-side fetch: the DataFrame is self-contained after this
+      graft.sources.Readers.httpJson(s, url, schema)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+        .orderBy(col("n_regionkey"))
+    } finally server.stop(0)
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1481,6 +1566,9 @@ object SparkEntry {
     "q92_minhash_portable" -> (qMinhashPortable _),
     "q93_simhash_portable" -> (qSimhashPortable _),
     "q94_graft_log" -> (qGraftLog _),
+    "q95_http_source" -> (qHttpSource _),
+    "q96_ann_recall" -> (qAnnRecall _),
+    "q97_skew_join" -> (qSkewJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2076,6 +2164,17 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders WHERE o_orderkey < 4096
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q97_skew_join" ->
+      """WITH dim AS (
+           SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n_events, min(d.type_n) AS type_n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q95_http_source" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+         min(n_name) AS first_nation
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q94_graft_log" ->
       """SELECT c_nationkey, count(*) AS n_customers,
          CAST(sum(acctbal) AS DOUBLE) AS total_acctbal

@@ -31,11 +31,19 @@ class VecMean extends Aggregator[Seq[Double], VecMeanBuf, Seq[Double]] {
     out
   }
 
+  private def addArray(acc: Array[Double], v: Array[Double]): Array[Double] = {
+    val out = if (acc.length >= v.length) acc
+              else java.util.Arrays.copyOf(acc, v.length)
+    var i = 0
+    while (i < v.length) { out(i) += v(i); i += 1 }
+    out
+  }
+
   override def reduce(b: VecMeanBuf, a: Seq[Double]): VecMeanBuf =
     if (a == null) b else VecMeanBuf(addInto(b.sums, a), b.n + 1)
 
   override def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf =
-    VecMeanBuf(addInto(x.sums, y.sums.toSeq), x.n + y.n)
+    VecMeanBuf(addArray(x.sums, y.sums), x.n + y.n)
 
   override def finish(b: VecMeanBuf): Seq[Double] =
     if (b.n == 0) null else b.sums.map(_ / b.n).toSeq

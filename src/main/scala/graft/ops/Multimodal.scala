@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling: payloads are opaque
@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` stage: one JVM-side iterator per partition, no
   * per-row driver involvement, arbitrary native code at the center).
   *
-  * THE CODEC IS A STUB. No image/audio libraries exist in this
-  * environment, so `decodeStub` derives deterministic pseudo-features
-  * from the payload bytes. Everything around it — schema, batching,
-  * partitioning, output shape — is the real pipeline and is tested.
-  * Swap `decodeStub` for JNI/FFmpeg/JPEG decoding in production.
+  * The codecs are REAL: binary PPM images and PCM WAV audio are parsed
+  * byte-exactly by `Codecs` (both formats are uncompressed, hence
+  * implementable faithfully with zero dependencies — this environment
+  * ships no media libraries). Features derive from decoded PIXELS and
+  * SAMPLES, not payload bytes. Unrecognized payloads (e.g. the raw
+  * frame-concatenation "video" fixtures, which have no container
+  * format) fall back to a byte-level histogram — a documented fallback
+  * for unknown containers, not a stand-in for the implemented ones.
+  * Compressed formats (JPEG/FLAC/H.264) slot into the same
+  * per-partition seam via JNI in production.
   */
 object Multimodal {
 
@@ -28,10 +33,41 @@ object Multimodal {
 
   case class FrameSample(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** === STUB === Deterministic fake "decode + featurize": a 16-bin byte
-    * histogram normalized to [0,1]. Stands in for a real codec; the
-    * surrounding plumbing (batch iteration, output schema) is real. */
-  private[ops] def decodeStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+  /** Normalized dim-bin luminance histogram over REAL decoded pixels
+    * (ITU-R 601 integer luma). */
+  private[graft] def imageFeatures(img: Codecs.Image, dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    val n = img.width * img.height
+    var i = 0
+    while (i < n) {
+      val r = img.pixels(3 * i) & 0xFF
+      val g = img.pixels(3 * i + 1) & 0xFF
+      val b = img.pixels(3 * i + 2) & 0xFF
+      val luma = (299 * r + 587 * g + 114 * b) / 1000 // 0..255
+      hist(luma * dim / 256) += 1f
+      i += 1
+    }
+    if (n > 0) { var j = 0; while (j < dim) { hist(j) /= n; j += 1 } }
+    hist
+  }
+
+  /** Normalized dim-bin amplitude histogram over REAL decoded samples
+    * (absolute 16-bit amplitude). */
+  private[graft] def audioFeatures(a: Codecs.Audio, dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    val n = a.samples.length
+    var i = 0
+    while (i < n) {
+      val amp = math.min(math.abs(a.samples(i).toInt), 32767)
+      hist(amp * dim / 32768) += 1f
+      i += 1
+    }
+    if (n > 0) { var j = 0; while (j < dim) { hist(j) /= n; j += 1 } }
+    hist
+  }
+
+  /** Fallback for container-less payloads: normalized byte histogram. */
+  private[graft] def byteHistogram(payload: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Float](dim)
     if (payload.nonEmpty) {
       payload.foreach(b => hist((b & 0xFF) % dim) += 1f)
@@ -41,61 +77,52 @@ object Multimodal {
     hist
   }
 
+  /** Decode + featurize one payload: container sniffed by magic bytes,
+    * features from real pixels/samples where a codec exists. */
+  private[graft] def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    Codecs.sniff(payload) match {
+      case "ppm" => imageFeatures(Codecs.decodePpm(payload), dim)
+      case "wav" => audioFeatures(Codecs.decodeWav(payload), dim)
+      case _ => byteHistogram(payload, dim)
+    }
+
   /** Feature extraction: one pass per partition, rows streamed through
-    * the (stubbed) codec. At 100 TB this is the stage that hosts the
-    * expensive native decode — mapPartitions amortizes codec init across
-    * the partition instead of paying it per row. */
+    * the codecs. At 100 TB this is the stage that hosts the expensive
+    * native decode — mapPartitions amortizes codec init across the
+    * partition instead of paying it per row. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
                      (implicit enc: Encoder[MediaFeatures]): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
-      // per-partition codec init would go here (once, not per row)
+      // per-partition native-codec init would go here (once, not per row)
       rows.map { r =>
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
-          decodeStub(r.payload, dim))
+          decodeFeatures(r.payload, dim))
       }
     }
 
   case class ResizedMedia(media_id: Long, modality: String,
                           width: Int, height: Int, payload: Array[Byte])
 
-  /** === STUB === Deterministic "resize": nearest-neighbor downsample of
-    * the payload interpreted as a width×height byte grid. Stands in for
-    * a real image resampler; the partition-parallel shape (mapPartitions,
-    * codec init amortized per partition) is the real pipeline. */
-  private[ops] def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
-                              dstW: Int, dstH: Int): Array[Byte] = {
-    val out = new Array[Byte](dstW * dstH)
-    var y = 0
-    while (y < dstH) {
-      val sy = y.toLong * srcH / dstH
-      var x = 0
-      while (x < dstW) {
-        val sx = x.toLong * srcW / dstW
-        val idx = (sy * srcW + sx) % math.max(payload.length, 1)
-        out(y * dstW + x) = if (payload.isEmpty) 0 else payload(idx.toInt)
-        x += 1
-      }
-      y += 1
-    }
-    out
-  }
-
-  /** Resize image-modality rows to a target geometry — one stubbed-codec
-    * pass per partition, emitting the standardized payload a training
-    * pipeline feeds to patch/pixel tokenizers. */
+  /** Resize image-modality rows to a target geometry: decode the PPM,
+    * nearest-neighbor-resample the REAL RGB raster, re-encode — one
+    * codec pass per partition, emitting the standardized payload a
+    * training pipeline feeds to patch/pixel tokenizers. */
   def resizeImages(media: Dataset[MediaRow], dstW: Int, dstH: Int)
                   (implicit enc: Encoder[ResizedMedia]): Dataset[ResizedMedia] =
     media.filter(_.modality == "image").mapPartitions { rows =>
       // per-partition resampler init would go here (once, not per row)
       rows.map { r =>
-        ResizedMedia(r.media_id, r.modality, dstW, dstH,
-          resizeStub(r.payload, r.width, r.height, dstW, dstH))
+        val img = Codecs.decodePpm(r.payload)
+        val out = Codecs.resizeNearest(img, dstW, dstH)
+        ResizedMedia(r.media_id, r.modality, dstW, dstH, Codecs.encodePpm(out))
       }
     }
 
   /** Deterministic frame sampling for video-modality rows: every
-    * `stride`-th fixed-size block of the payload as a "frame" (===
-    * STUB === for keyframe extraction; the explode shape is real). */
+    * `stride`-th fixed-size block of the payload as a "frame" (the
+    * fixtures' video payloads are raw concatenated frames — no container
+    * format exists to parse; a real keyframe extractor slots in at this
+    * same seam). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
                   (implicit enc: Encoder[FrameSample]): Dataset[FrameSample] =
     media.filter(_.modality == "video").flatMap { r =>
@@ -118,16 +145,32 @@ object Multimodal {
         avg(col("height")).as("avg_height"))
       .orderBy(col("modality"))
 
-  /** Deterministic synthetic media frame for tests/demos: payload bytes
-    * derive from the id (no RNG → reproducible across runs/partitions). */
+  /** Deterministic synthetic media for tests/demos — REAL containers:
+    * images are valid binary PPMs (16×12 deterministic RGB gradient),
+    * audio is valid 16-bit PCM WAV (deterministic sawtooth-ish wave),
+    * video is raw concatenated frames. Payload bytes derive from the id
+    * (no RNG → reproducible across runs/partitions). */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int)
                     (implicit enc: Encoder[MediaRow]): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val modality = Seq("image", "audio", "video")(i.toInt % 3)
-      val size = 64 + (i.toInt % 5) * 32
-      val payload = Array.tabulate(size)(j => ((i * 31 + j * 7) % 256).toByte)
-      MediaRow(i, modality, payload, 640, 480, 16000)
+      (i % 3) match {
+        case 0 =>
+          val (w, h) = (16, 12)
+          val px = Array.tabulate(w * h * 3)(j => ((i * 31 + j * 7) % 256).toByte)
+          MediaRow(i, "image", Codecs.encodePpm(Codecs.Image(w, h, px)),
+            w, h, 0)
+        case 1 =>
+          val len = 64 + (i.toInt % 5) * 32
+          val samples = Array.tabulate(len)(j =>
+            (((i * 131 + j * 517) % 4096) - 2048).toShort)
+          MediaRow(i, "audio",
+            Codecs.encodeWav(Codecs.Audio(16000, 1, samples)), 0, 0, 16000)
+        case _ =>
+          val size = 64 + (i.toInt % 5) * 32
+          val payload = Array.tabulate(size)(j => ((i * 31 + j * 7) % 256).toByte)
+          MediaRow(i, "video", payload, 640, 480, 0)
+      }
     }
   }
 }

@@ -53,16 +53,17 @@ object Similarity {
       .select(col("query_id").as("id_a"), col("vec_id").as("id_b"), col("cos"))
 
   /** Deterministic random hyperplanes (fixed seed → identical plan across
-    * runs and executors). */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(42)
+    * runs and executors). `table` offsets the seed so multi-table LSH
+    * gets independent plane sets. */
+  private def planes(nPlanes: Int, dim: Int, table: Int = 0): Array[Array[Double]] = {
+    val rng = new scala.util.Random(42 + 1000 * table)
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
   /** Sign-LSH bucket id of a vector: bit p = 1 iff v · plane_p > 0
     * (native codegen'd expression; planes ride as a constant reference). */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    graft.functions.VecExpressions.lshBucketNative(v, planes(nPlanes, dim))
+  def lshBucket(v: Column, nPlanes: Int, dim: Int, table: Int = 0): Column =
+    graft.functions.VecExpressions.lshBucketNative(v, planes(nPlanes, dim, table))
 
   /** Deterministic IVF coarse quantizer: Lloyd iterations over the corpus
     * with centroids seeded from the `nLists` lowest-id vectors (no RNG —
@@ -121,10 +122,68 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** Multi-table sign-LSH top-k: `nTables` INDEPENDENT plane sets, each
+    * bucketing corpus and queries separately (with hamming-1 multiprobe
+    * per table); candidates are the union over tables, deduped before
+    * scoring. This is the standard L-tables LSH construction: per-table
+    * collision probability p gives overall recall 1−(1−p)^L, so recall
+    * is dialed by L without coarsening the buckets — the knob that keeps
+    * recall high even on weakly-clustered embeddings, where any single
+    * table must either miss neighbors or degenerate to a full scan. At
+    * 100 TB each table is one map-side bucket assignment + one equi-join
+    * shuffle; tables are independent, so they parallelize trivially, and
+    * the dedup is a shuffle on (query_id, vec_id) candidate pairs only. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nTables: Int = 8, nPlanes: Int = 5,
+                   dim: Int = 64): DataFrame = {
+    val candidates = (0 until nTables).map { t =>
+      val bucketedCorpus = corpus
+        .withColumn("bucket", lshBucket(col("v"), nPlanes, dim, t))
+      val probes = queries
+        .withColumn("bucket0", lshBucket(col("qv"), nPlanes, dim, t))
+        .withColumn("bucket", explode(array(
+          col("bucket0") +:
+            (0 until nPlanes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
+        .drop("bucket0")
+      probes.hint("broadcast").join(bucketedCorpus, "bucket")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+    }.reduce(_ unionByName _)
+      // dedup across tables BEFORE scoring: each candidate pair scores once
+      .dropDuplicates("query_id", "vec_id")
+    topKPerGroup(
+      candidates.withColumn("cos", Vec.cosine6(col("qv"), col("v"))),
+      k, Seq(col("query_id")), Seq(col("cos").desc, col("vec_id")), "rank")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of (query, neighbor) pairs in the exact top-k the ANN
+    * result recovered. Both inputs use the bruteForceTopK/lshTopK/ivfTopK
+    * output shape (query_id, rank, vec_id, ...). One semi-join + two
+    * global counts — metadata-scale output, corpus-free: the recorded
+    * quality gate for every ANN index this engine ships. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val a = ann.filter(col("rank") <= k).select(col("query_id"), col("vec_id"))
+    val hit = e.join(a, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_hit"))
+    val tot = e.groupBy().agg(count(lit(1)).as("n_exact"))
+    tot.crossJoin(hit)
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
+
   /** Approximate top-k: score only pairs sharing an LSH bucket, probing
     * the query's bucket plus all buckets at hamming distance 1. Recall is
     * tunable via nPlanes/probes; exactness is traded for a shuffle that
-    * shrinks with 2^nPlanes. */
+    * shrinks with 2^nPlanes. NOTE: a single table's recall collapses on
+    * weakly-clustered embeddings (measured 0.23@3 on the near-random
+    * testdata vectors at 6 planes — q96 records this); when recall
+    * matters more than the last factor of shuffle reduction, use
+    * `lshTopKMulti`, whose L independent tables dial recall to
+    * 1−(1−p)^L without coarsening buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val bucketedCorpus = corpus

@@ -75,4 +75,49 @@ object Readers {
     * (reference: spark/jobs/mysql_gold_aggregation.py:179). */
   def table(spark: SparkSession, db: String, table: String): DataFrame =
     spark.sql(s"SELECT * FROM $db.$table")
+
+  /** S8: HTTP JSON API → DataFrame (reference fetches with plain Python
+    * before Spark — scripts/ingest_api_data.py:4-20 against
+    * api/main.py:30-32). The fetch happens EAGERLY on the driver (one
+    * bounded API response, like the reference's users endpoint), so the
+    * returned DataFrame is self-contained — the server may go away
+    * before the first action. For many URLs / large payloads use
+    * `httpJsonPartitioned`: the fetch moves to the executors. */
+  def httpJson(spark: SparkSession, url: String, schema: StructType,
+               timeoutMs: Long = 30000): DataFrame = {
+    val body = httpGet(url, timeoutMs)
+    import spark.implicits._
+    spark.read.schema(schema)
+      .option("multiLine", "true")
+      .json(spark.createDataset(Seq(body)))
+  }
+
+  /** S8 at scale: one HTTP fetch per URL, executed ON THE EXECUTORS via
+    * mapPartitions (connection setup amortized per partition) — the
+    * shape a 1000-endpoint ingest needs; the driver never sees a
+    * payload. URLs must be live at ACTION time. */
+  def httpJsonPartitioned(spark: SparkSession, urls: Seq[String],
+                          schema: StructType,
+                          timeoutMs: Long = 30000): DataFrame = {
+    import spark.implicits._
+    val bodies = spark.createDataset(urls)
+      .repartition(math.min(urls.size, 32))
+      .mapPartitions { it =>
+        // per-partition HTTP client init (once, not per URL)
+        it.map(u => httpGet(u, timeoutMs))
+      }
+    spark.read.schema(schema).option("multiLine", "true").json(bodies)
+  }
+
+  private def httpGet(url: String, timeoutMs: Long): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"HTTP ${resp.statusCode()} fetching $url")
+    resp.body()
+  }
 }

@@ -99,6 +99,118 @@ class Scd2MultiUpdateSpec extends SparkSpec {
   }
 }
 
+class AnnRecallGateSpec extends SparkSpec {
+  import graft.ops.Similarity
+
+  test("ANN recall@3 >= 0.9 on the real embeddings table (failing recall fails the build)") {
+    // mirrors q96_ann_recall at sf0.001; the recorded gate — a regression
+    // in either index's recall breaks `sbt test`, not just a bench number
+    val recalls = SparkEntry.queries("q96_ann_recall")(spark, "/root/testdata/sf0.001")
+      .select("index", "recall").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(recalls.keySet == Set("lsh_multi", "ivf"))
+    recalls.foreach { case (idx, r) =>
+      assert(r >= 0.9, s"$idx recall@3 dropped to $r (gate: >= 0.9)")
+    }
+  }
+
+  test("recallAtK is 1.0 for an ANN result equal to the exact result") {
+    import spark.implicits._
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 12L))
+      .toDF("query_id", "rank", "vec_id")
+    val full = Similarity.recallAtK(exact, exact, 2).collect().head
+    assert(full.getAs[Double]("recall") == 1.0)
+    val half = Similarity.recallAtK(exact.filter($"vec_id" =!= 11L), exact, 2)
+      .collect().head
+    assert(half.getAs[Double]("recall") < 1.0)
+  }
+}
+
+class SkewHotPathSpec extends SparkSpec {
+
+  test("q97's skew detection marks event_type keys hot and plans the salted union") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // the detection predicate q97 uses, at this SF's threshold: every
+    // type holds ~200 rows, so with threshold 100 ALL keys are hot
+    val hot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 100).collect()
+    assert(hot.length == 5, s"expected all 5 event types hot, got ${hot.length}")
+    val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+    val joined = graft.ops.Relational.skewJoin(ev, dim, Seq("event_type"),
+      saltBuckets = 4, skewedUnique = col("event_id"), hotKeyThreshold = 100L)
+    // plan shape: the hot/cold split must materialize as a Union
+    assert(joined.queryExecution.optimizedPlan.toString.contains("Union"),
+      "skew join should plan the salted-union shape")
+    // path-independence: same result as the plain join
+    val plain = ev.join(dim, "event_type")
+    assert(joined.count() == plain.count())
+  }
+}
+
+class HttpSourceSpec extends SparkSpec {
+  import org.apache.spark.sql.types._
+
+  private def serve(json: String): (com.sun.net.httpserver.HttpServer, String) = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data", new com.sun.net.httpserver.HttpHandler {
+      def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        val b = json.getBytes("UTF-8")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b); x.close()
+      }
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}/data")
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("httpJson fetches a pretty-printed JSON array into a typed DataFrame") {
+    val (server, url) = serve(
+      """[
+        |  {"id": 1, "name": "alice"},
+        |  {"id": 2, "name": "bob"}
+        |]""".stripMargin)
+    try {
+      val df = graft.sources.Readers.httpJson(spark, url, schema)
+      server.stop(0) // eager fetch: DataFrame must survive the server
+      import spark.implicits._
+      assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "alice"), (2L, "bob")))
+    } finally server.stop(0)
+  }
+
+  test("httpJsonPartitioned fetches N urls executor-side") {
+    val (s1, u1) = serve("""[{"id": 1, "name": "a"}]""")
+    val (s2, u2) = serve("""[{"id": 2, "name": "b"}]""")
+    try {
+      val df = graft.sources.Readers.httpJsonPartitioned(
+        spark, Seq(u1, u2), schema)
+      import spark.implicits._
+      assert(df.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+    } finally { s1.stop(0); s2.stop(0) }
+  }
+
+  test("httpJson surfaces non-200 responses as errors") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/missing", new com.sun.net.httpserver.HttpHandler {
+      def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        x.sendResponseHeaders(404, -1); x.close()
+      }
+    })
+    server.start()
+    try intercept[IllegalArgumentException] {
+      graft.sources.Readers.httpJson(spark,
+        s"http://127.0.0.1:${server.getAddress.getPort}/missing", schema)
+    } finally server.stop(0)
+  }
+}
+
 class GoldIdempotenceSpec extends SparkSpec {
   import spark.implicits._
 

@@ -73,13 +73,62 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_idx % 2 == 0))
   }
 
-  test("resize emits fixed-geometry payloads for image rows only") {
+  test("resize emits real 8x8 PPMs decoded from real source pixels") {
     val resized = Multimodal.resizeImages(media, dstW = 8, dstH = 8).collect()
     assert(resized.length == 10) // image rows only
-    assert(resized.forall(_.payload.length == 64))
+    resized.foreach { r =>
+      val img = graft.ops.Codecs.decodePpm(r.payload)
+      assert((img.width, img.height) == (8, 8))
+      assert(img.pixels.length == 8 * 8 * 3)
+    }
+    // every output pixel is an actual source pixel (nearest neighbor)
+    val src = media.filter(_.modality == "image").collect()
+      .map(r => r.media_id -> graft.ops.Codecs.decodePpm(r.payload)).toMap
+    resized.foreach { r =>
+      val out = graft.ops.Codecs.decodePpm(r.payload)
+      val in = src(r.media_id)
+      // corner pixel (0,0) maps to source (0,0)
+      assert(out.pixels.take(3).toSeq == in.pixels.take(3).toSeq)
+    }
     // determinism
     val again = Multimodal.resizeImages(media, dstW = 8, dstH = 8).collect()
     assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("PPM and WAV codecs round-trip byte-exactly (incl. header comments / extra chunks)") {
+    import graft.ops.Codecs
+    val img = Codecs.Image(3, 2, Array.tabulate(18)(i => (i * 11).toByte))
+    val back = Codecs.decodePpm(Codecs.encodePpm(img))
+    assert((back.width, back.height) == (3, 2))
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+    // header comments are part of the P6 grammar
+    val commented = ("P6\n# a comment\n3 2\n# another\n255\n").getBytes("US-ASCII") ++
+      img.pixels
+    val viaComment = Codecs.decodePpm(commented)
+    assert(viaComment.pixels.toSeq == img.pixels.toSeq)
+
+    val audio = Codecs.Audio(16000, 1,
+      Array.tabulate[Short](50)(i => (i * 321 - 8000).toShort))
+    val wav = Codecs.decodeWav(Codecs.encodeWav(audio))
+    assert(wav.sampleRate == 16000 && wav.channels == 1)
+    assert(wav.samples.toSeq == audio.samples.toSeq)
+    // features derive from decoded samples, not container bytes: a WAV
+    // with identical samples but different header noise featurizes equal
+    val sameSamples = Codecs.encodeWav(audio)
+    assert(Multimodal.decodeFeatures(sameSamples, 16).toSeq ==
+      Multimodal.audioFeatures(audio, 16).toSeq)
+  }
+
+  test("image features are a luminance histogram over decoded pixels") {
+    import graft.ops.Codecs
+    // all-white 2x2 image: every pixel's luma = 255 → all mass in last bin
+    val white = Codecs.Image(2, 2, Array.fill(12)(0xFF.toByte))
+    val f = Multimodal.imageFeatures(white, 16)
+    assert(f(15) == 1.0f && f.take(15).forall(_ == 0f))
+    // all-black: all mass in first bin
+    val black = Codecs.Image(2, 2, Array.fill(12)(0.toByte))
+    val g = Multimodal.imageFeatures(black, 16)
+    assert(g(0) == 1.0f && g.drop(1).forall(_ == 0f))
   }
 
   test("mediaStats aggregates metadata without touching payloads") {
