@@ -1469,6 +1469,41 @@ object SparkEntry {
     } finally server.stop(0)
   }
 
+  /** n-gram repetition quality signal (TextAnalysis.repetitionStats):
+    * per-language duplicate-bigram fraction over documents — long sums
+    * with one final division, so the ratio is bit-exact cross-engine. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(
+      Tables.load(s, dir, "documents"), col("lang"), col("text"), n = 2)
+      .orderBy(col("lang"))
+
+  /** PII-style redaction (TextAnalysis.redact): deterministic
+    * email/phone spans derived from doc_id are injected into a bounded
+    * document slice, masked, and the result audited — match counts
+    * before, full cleanliness after. The oracle injects and redacts the
+    * same spans in SQL, so the regex semantics match cross-engine. */
+  private def qRedaction(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("t", concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 555-"),
+        col("doc_id").cast("string")))
+    aug
+      .withColumn("clean", TextAnalysis.redact(col("t")))
+      .withColumn("n_em", TextAnalysis.matchCount(col("t"), TextAnalysis.EmailPattern))
+      .withColumn("n_ph", TextAnalysis.matchCount(col("t"), TextAnalysis.PhonePattern))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_em")).as("total_emails"),
+        sum(col("n_ph")).as("total_phones"),
+        sum(when(
+          TextAnalysis.matchCount(col("clean"), TextAnalysis.EmailPattern) === 0 &&
+          TextAnalysis.matchCount(col("clean"), TextAnalysis.PhonePattern) === 0,
+          1L).otherwise(0L)).as("n_fully_clean"))
+      .orderBy(col("lang"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1569,6 +1604,8 @@ object SparkEntry {
     "q95_http_source" -> (qHttpSource _),
     "q96_ann_recall" -> (qAnnRecall _),
     "q97_skew_join" -> (qSkewJoin _),
+    "q98_repetition" -> (qRepetition _),
+    "q99_redaction" -> (qRedaction _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2164,6 +2201,36 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders WHERE o_orderkey < 4096
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q98_repetition" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT lang, list_transform(generate_series(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1]) AS grams
+               FROM t WHERE len(toks) >= 2)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(grams)) AS BIGINT) AS total_grams,
+           CAST(sum(len(list_distinct(grams))) AS BIGINT) AS distinct_grams,
+           1 - CAST(sum(len(list_distinct(grams))) AS DOUBLE) / sum(len(grams)) AS dup_ratio
+         FROM g GROUP BY lang ORDER BY lang""",
+    "q99_redaction" ->
+      """WITH aug AS (
+           SELECT lang, text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or 555-' || CAST(doc_id AS VARCHAR) AS t
+           FROM documents WHERE doc_id < 200),
+         red AS (
+           SELECT lang,
+             regexp_replace(regexp_replace(t,
+               '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS clean,
+             len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS n_em,
+             len(regexp_extract_all(t, '[0-9]{3}-[0-9]+')) AS n_ph
+           FROM aug)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_em) AS BIGINT) AS total_emails,
+           CAST(sum(n_ph) AS BIGINT) AS total_phones,
+           CAST(sum(CASE WHEN len(regexp_extract_all(clean, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) = 0
+                     AND len(regexp_extract_all(clean, '[0-9]{3}-[0-9]+')) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_clean
+         FROM red GROUP BY lang ORDER BY lang""",
     "q97_skew_join" ->
       """WITH dim AS (
            SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)

@@ -140,6 +140,47 @@ object TextAnalysis {
             .otherwise(lit(0L))
         }))
 
+  /** PII-style masking patterns — ASCII-only so Java regex (Spark) and
+    * RE2 (DuckDB oracle) agree on every boundary. The email pattern is
+    * deliberately permissive (training-data scrubbing favors recall
+    * over precision: over-masking costs a token, under-masking leaks). */
+  val EmailPattern = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+  val PhonePattern = "[0-9]{3}-[0-9]+"
+
+  /** Redact email- and phone-shaped spans with typed mask tokens — the
+    * PII-scrubbing pass of a training-data pipeline. Built on codegen'd
+    * regexp_replace (global by default in Spark): partition-parallel,
+    * no UDF. Email masking runs first so digit runs inside addresses
+    * can't be half-eaten by the phone pattern. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of pattern matches in a text column (`regexp_extract_all` +
+    * size; DuckDB twin: `len(regexp_extract_all(...))`). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Per-group duplicate-n-gram statistics: total and distinct n-gram
+    * counts summed as longs, with ONE final division — so the ratio is
+    * bit-exact across engines and partitionings (summing per-doc double
+    * ratios would be order-dependent). High dup_ratio = boilerplate/
+    * template text, the classic n-gram repetition quality signal. */
+  def repetitionStats(docs: DataFrame, groupKey: Column, text: Column,
+                      n: Int): DataFrame =
+    docs
+      .withColumn("__toks", tokens(text))
+      .filter(size(col("__toks")) >= n)
+      .withColumn("__grams", shingles(col("__toks"), n))
+      .groupBy(groupKey)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("__grams"))).cast("long").as("total_grams"),
+        sum(size(array_distinct(col("__grams")))).cast("long").as("distinct_grams"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+
   /** Polynomial rolling fingerprint over token hashes, mod 2^31−1 at
     * every step so the fold can never overflow a long under ANSI mode:
     * fp = ((fp·31 mod p) + (xxhash64(token) mod p)) mod p. Pure

@@ -53,7 +53,8 @@ object GraftLog {
   private val mapper = new ObjectMapper()
 
   final case class Commit(version: Long, timestampMs: Long, operation: String,
-                          add: Seq[String], remove: Seq[String])
+                          add: Seq[String], remove: Seq[String],
+                          txnId: Option[String])
 
   final case class Snapshot(version: Long, timestampMs: Long, files: Seq[String])
 
@@ -75,7 +76,8 @@ object GraftLog {
       }
       Commit(n.get("version").asLong(), n.get("timestampMs").asLong(),
         Option(n.get("operation")).map(_.asText()).getOrElse(""),
-        arr("add"), arr("remove"))
+        arr("add"), arr("remove"),
+        Option(n.get("txnId")).map(_.asText()))
     }
   }
 
@@ -110,12 +112,25 @@ object GraftLog {
   /** Publish a commit: write the JSON to a temp name, then atomically
     * rename it to its version-numbered slot. On collision (concurrent
     * writer won the version) the caller's `retry` recomputes — optimistic
-    * concurrency, never a torn commit. Returns the committed version. */
+    * concurrency, never a torn commit. Returns the committed version.
+    *
+    * `txnId` makes the commit IDEMPOTENT (Delta's `txn` action): if a
+    * commit carrying the same txnId is already in the log, nothing is
+    * written and its version returns — the primitive that lets a
+    * streaming sink replay a micro-batch after a crash without
+    * double-appending. */
   def commit(base: String, operation: String, add: Seq[String],
-             remove: Seq[String], maxRetries: Int = 10): Long = {
+             remove: Seq[String], maxRetries: Int = 10,
+             txnId: Option[String] = None): Long = {
     logDir(base).mkdirs()
     var attempt = 0
     while (true) {
+      txnId.foreach { id =>
+        commits(base).find(_.txnId.contains(id)) match {
+          case Some(c) => return c.version
+          case None => ()
+        }
+      }
       val next = currentVersion(base).getOrElse(0L) + 1
       val node = mapper.createObjectNode()
       node.put("version", next)
@@ -123,6 +138,7 @@ object GraftLog {
       node.put("operation", operation)
       val addArr = node.putArray("add"); add.foreach(addArr.add)
       val remArr = node.putArray("remove"); remove.foreach(remArr.add)
+      txnId.foreach(node.put("txnId", _))
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
       Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
       try {
@@ -176,10 +192,18 @@ object GraftLog {
     commit(base, "overwrite", staged, prev)
   }
 
-  /** Append rows in one atomic commit (no existing file is touched). */
-  def append(df: DataFrame, base: String): Long = {
+  /** Append rows in one atomic commit (no existing file is touched).
+    * With `txnId`, a replayed append is a no-op returning the original
+    * version (the staged orphan files stay invisible; `vacuum` sweeps
+    * them). */
+  def append(df: DataFrame, base: String,
+             txnId: Option[String] = None): Long = {
+    txnId.foreach { id =>
+      // cheap pre-check: skip even the staging write on a known replay
+      commits(base).find(_.txnId.contains(id)).foreach(c => return c.version)
+    }
     val staged = stageFiles(df, base)
-    commit(base, "append", staged, Seq.empty)
+    commit(base, "append", staged, Seq.empty, txnId = txnId)
   }
 
   /** MERGE by key: same-key rows replaced, new keys appended — one atomic
@@ -252,6 +276,10 @@ object GraftLog {
       node.put("version", firstKept.version)
       node.put("timestampMs", firstKept.timestampMs)
       node.put("operation", "checkpoint")
+      // keep the squashed-into commit's txn marker; txnIds of DROPPED
+      // commits age out with them (same retention contract as Delta's
+      // txn appIds — replays older than the kept history re-apply)
+      firstKept.txnId.foreach(node.put("txnId", _))
       val addArr = node.putArray("add"); baseline.files.foreach(addArr.add)
       node.putArray("remove")
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")

@@ -67,6 +67,10 @@ object Medallion {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(base.columns.map(col): _*))
+  // NOTE: `GraftLog.upsert` is the TRANSACTIONAL form of this operator —
+  // same MERGE semantics, committed atomically to a graft-log table with
+  // snapshot isolation. This DataFrame-in/DataFrame-out version stays for
+  // pipelines that manage their own write.
 
   /** SCD Type-2 from a change history: collapse each key's timeline to
     * its attribute-change points and emit one row per version with
@@ -253,7 +257,13 @@ object Medallion {
     * `vacuumVersions` — the Delta/Iceberg snapshot-isolation pattern
     * with directories as the commit log. At 100 TB, pair with
     * partitioned snapshots so a version rewrite touches only changed
-    * partitions. */
+    * partitions.
+    *
+    * NOTE: `pipeline/GraftLog` unifies this, `upsert` and `compact` into
+    * ONE table format with file-granular atomic commits (a snapshot here
+    * rewrites everything; a graft-log commit swaps only changed files) —
+    * prefer it for new tables; these helpers remain as the
+    * directory-per-version primitive. */
   def writeVersioned(df: DataFrame, base: String): Int = {
     val dir = new java.io.File(base)
     dir.mkdirs()

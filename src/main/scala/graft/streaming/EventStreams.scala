@@ -202,6 +202,37 @@ object EventStreams {
     }
   }
 
+  /** Micro-batch ingestion into a graft-log TABLE: each batch lands as
+    * one atomic graft-log append whose txnId is (checkpoint, batchId) —
+    * so a batch replayed after a crash between the table commit and the
+    * offset commit is recognized and skipped by the log itself
+    * (`GraftLog.commit` txn idempotence). This is the exactly-once
+    * streaming sink the plain-parquet `streamIngestParquet` can only
+    * approximate (an append-mode parquet write is not atomic and not
+    * replay-proof): end-to-end = checkpointed offsets + transactional,
+    * idempotent table commits. Readers always see a consistent snapshot;
+    * time travel works per micro-batch. */
+  def streamIngestGraftLog(stream: DataFrame, base: String,
+                           checkpoint: Option[String] = None): Unit = {
+    val ephemeral = checkpoint.isEmpty
+    val ckpt = checkpoint.getOrElse(
+      s"/dev/shm/graft_loggest_ckpt_${drainRuns.incrementAndGet()}")
+    try {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.pipeline.GraftLog.append(batch, base,
+            txnId = Some(s"$ckpt#$batchId"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      if (ephemeral)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Incrementally-maintained gold aggregate via foreachBatch: each
     * micro-batch computes a partial (count, exact-decimal sum) per key
     * and merges it into the running gold table by union + re-aggregation

@@ -64,6 +64,43 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.read(spark, base).count() == 100)
   }
 
+  test("txnId makes commits idempotent: a replayed append lands once") {
+    val base = freshBase("txn")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    val v1 = GraftLog.append(Seq((2L, "b")).toDF("k", "x"), base,
+      txnId = Some("ckpt#0"))
+    // replay of the same (checkpoint, batch) — must be a no-op
+    val v2 = GraftLog.append(Seq((2L, "b")).toDF("k", "x"), base,
+      txnId = Some("ckpt#0"))
+    assert(v1 == v2)
+    assert(GraftLog.read(spark, base).count() == 2)
+    // a different txn appends normally
+    GraftLog.append(Seq((3L, "c")).toDF("k", "x"), base, txnId = Some("ckpt#1"))
+    assert(GraftLog.read(spark, base).count() == 3)
+  }
+
+  test("streamIngestGraftLog: replayed micro-batches commit exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = freshBase("stream")
+    val ckpt = "/tmp/graft_test_log_stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 1.0), (2L, 2.0))
+    graft.streaming.EventStreams.streamIngestGraftLog(
+      mem.toDF().toDF("k", "v"), base, Some(ckpt))
+    assert(GraftLog.read(spark, base).count() == 2)
+    // crash window: offsets wiped, table commit survived → batch 0 replays
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+    val replay = MemoryStream[(Long, Double)]
+    replay.addData((1L, 1.0), (2L, 2.0))
+    graft.streaming.EventStreams.streamIngestGraftLog(
+      replay.toDF().toDF("k", "v"), base, Some(ckpt))
+    assert(GraftLog.read(spark, base).count() == 2,
+      "replayed batch must not double-append")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+  }
+
   test("version slots are claimed atomically (optimistic concurrency)") {
     val base = freshBase("occ")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)

@@ -211,6 +211,40 @@ class HttpSourceSpec extends SparkSpec {
   }
 }
 
+class RedactionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("redact masks email and phone spans and leaves other text intact") {
+    val df = Seq(
+      "reach me at jo.na_1@mail.example.org or 555-123456 thanks",
+      "no pii here at all",
+      "double a@b.c d@e.f and 800-1 900-22").toDF("t")
+    val got = df.select(TextAnalysis.redact($"t").as("clean"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "reach me at <EMAIL> or <PHONE> thanks",
+      "no pii here at all",
+      "double <EMAIL> <EMAIL> and <PHONE> <PHONE>"))
+  }
+
+  test("repetitionStats: fully-repeated text has dup_ratio near 1, distinct text 0") {
+    val docs = Seq(
+      ("rep", "x x x x x x"),        // 5 bigrams, 1 distinct
+      ("uni", "a b c d e f")).toDF("g", "text") // 5 bigrams, 5 distinct
+    val got = TextAnalysis.repetitionStats(docs, col("g"), col("text"), 2)
+      .select("g", "total_grams", "distinct_grams", "dup_ratio")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toMap2
+    assert(got("rep") == (5L, 1L, 0.8))
+    assert(got("uni") == (5L, 5L, 0.0))
+  }
+
+  private implicit class Tupled(a: Array[(String, Long, Long, Double)]) {
+    def toMap2: Map[String, (Long, Long, Double)] =
+      a.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+  }
+}
+
 class GoldIdempotenceSpec extends SparkSpec {
   import spark.implicits._
 
