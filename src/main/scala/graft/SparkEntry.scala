@@ -1504,6 +1504,45 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** graft-log zone-map data skipping: lineitem is clustered into a
+    * graft-log table (range-partitioned files + per-file min/max in the
+    * commit JSON), then range-scanned — file pruning is a METADATA
+    * decision from the log, no footer reads for skipped files. Oracle =
+    * the plain WHERE over raw lineitem, so prune correctness is
+    * row-exact-checked. */
+  private def qLogPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_lineitem", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    GraftLog.overwriteClustered(li, base, Seq("l_orderkey"), nFiles = 8)
+    GraftLog.readRange(s, base, "l_orderkey", 1000L, 3000L)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Train/test contamination sweep (TextAnalysis.contamination):
+    * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
+    * the train split, aggregated per language. One linear gram-keyed
+    * shuffle — the decontamination pass of an eval pipeline. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    TextAnalysis.contamination(docs, col("doc_id"), col("text"),
+      col("doc_id") % 10 === 0, n = 5)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_test_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_hit")).as("hit_grams"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("contaminated_docs"))
+      .orderBy(col("lang"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1606,6 +1645,8 @@ object SparkEntry {
     "q97_skew_join" -> (qSkewJoin _),
     "q98_repetition" -> (qRepetition _),
     "q99_redaction" -> (qRedaction _),
+    "q100_log_pruned_scan" -> (qLogPrunedScan _),
+    "q101_contamination" -> (qContamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2201,6 +2242,27 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders WHERE o_orderkey < 4096
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q101_contamination" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+                 generate_series(1, len(toks)-4),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+               FROM t WHERE len(toks) >= 5),
+         train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 != 0),
+         test AS (
+           SELECT g.doc_id, g.lang, count(*) AS n_grams,
+             count(*) FILTER (WHERE gram IN (SELECT gram FROM train)) AS n_hit
+           FROM g WHERE doc_id % 10 = 0 GROUP BY g.doc_id, g.lang)
+         SELECT lang, count(*) AS n_test_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_hit) AS BIGINT) AS hit_grams,
+           CAST(count(*) FILTER (WHERE n_hit > 0) AS BIGINT) AS contaminated_docs
+         FROM test GROUP BY lang ORDER BY lang""",
+    "q100_log_pruned_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q98_repetition" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
          g AS (SELECT lang, list_transform(generate_series(1, len(toks)-1),

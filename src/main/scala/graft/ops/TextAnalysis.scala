@@ -181,6 +181,31 @@ object TextAnalysis {
       .withColumn("dup_ratio",
         lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
 
+  /** Train/test contamination sweep — the decontamination pass every
+    * eval pipeline needs: for each test document, how many of its
+    * distinct n-grams also appear anywhere in the train split. One
+    * distinct-gram explode per side and ONE equi-join on the gram — a
+    * single linear shuffle keyed by gram, the shape that survives a
+    * 100 TB train corpus (no pairwise doc×doc comparison ever
+    * materializes; skewed boilerplate grams ride AQE). Returns one row
+    * per test doc: (id, n_grams, n_hit). */
+  def contamination(docs: DataFrame, idCol: Column, text: Column,
+                    isTest: Column, n: Int): DataFrame = {
+    val grams = docs
+      .withColumn("__toks", tokens(text))
+      .filter(size(col("__toks")) >= n)
+      .select(idCol.as("doc_id"), isTest.as("is_test"),
+        explode(array_distinct(shingles(col("__toks"), n))).as("gram"))
+    val trainGrams = grams.filter(!col("is_test"))
+      .select(col("gram")).distinct()
+    val testGrams = grams.filter(col("is_test"))
+    val hits = testGrams.join(trainGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    testGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+  }
+
   /** Polynomial rolling fingerprint over token hashes, mod 2^31−1 at
     * every step so the fold can never overflow a long under ANSI mode:
     * fp = ((fp·31 mod p) + (xxhash64(token) mod p)) mod p. Pure

@@ -6,8 +6,8 @@ import java.util.UUID
 
 import scala.collection.mutable
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** graft-log: a minimal self-contained commit-log table format over plain
@@ -52,11 +52,18 @@ object GraftLog {
 
   private val mapper = new ObjectMapper()
 
+  /** Per-column zone map of one data file: [min, max] as raw JSON nodes
+    * (numeric or text — compared by node type at prune time). */
+  type FileStats = Map[String, (JsonNode, JsonNode)]
+
   final case class Commit(version: Long, timestampMs: Long, operation: String,
                           add: Seq[String], remove: Seq[String],
-                          txnId: Option[String])
+                          txnId: Option[String],
+                          stats: Map[String, FileStats])
 
-  final case class Snapshot(version: Long, timestampMs: Long, files: Seq[String])
+  final case class Snapshot(version: Long, timestampMs: Long,
+                            files: Seq[String],
+                            fileStats: Map[String, FileStats])
 
   private def logDir(base: String) = new File(base, "_graft_log")
 
@@ -74,10 +81,27 @@ object GraftLog {
         if (a == null) Seq.empty
         else (0 until a.size()).map(i => a.get(i).asText())
       }
+      val stats: Map[String, FileStats] = Option(n.get("stats")).map { s =>
+        val fit = s.fieldNames()
+        val b = Map.newBuilder[String, FileStats]
+        while (fit.hasNext) {
+          val f = fit.next()
+          val cols = s.get(f)
+          val cit = cols.fieldNames()
+          val cb = Map.newBuilder[String, (JsonNode, JsonNode)]
+          while (cit.hasNext) {
+            val c = cit.next()
+            cb += c -> ((cols.get(c).get("min"), cols.get(c).get("max")))
+          }
+          b += f -> cb.result()
+        }
+        b.result()
+      }.getOrElse(Map.empty)
       Commit(n.get("version").asLong(), n.get("timestampMs").asLong(),
         Option(n.get("operation")).map(_.asText()).getOrElse(""),
         arr("add"), arr("remove"),
-        Option(n.get("txnId")).map(_.asText()))
+        Option(n.get("txnId")).map(_.asText()),
+        stats)
     }
   }
 
@@ -100,8 +124,14 @@ object GraftLog {
       case (None, None) => all
     }
     val live = mutable.LinkedHashSet.empty[String]
-    upTo.foreach { c => c.remove.foreach(live.remove); live ++= c.add }
-    Snapshot(upTo.last.version, upTo.last.timestampMs, live.toSeq)
+    val stats = mutable.Map.empty[String, FileStats]
+    upTo.foreach { c =>
+      c.remove.foreach { f => live.remove(f); stats.remove(f) }
+      live ++= c.add
+      stats ++= c.stats
+    }
+    Snapshot(upTo.last.version, upTo.last.timestampMs, live.toSeq,
+      stats.toMap)
   }
 
   def currentVersion(base: String): Option[Long] = {
@@ -121,7 +151,8 @@ object GraftLog {
     * double-appending. */
   def commit(base: String, operation: String, add: Seq[String],
              remove: Seq[String], maxRetries: Int = 10,
-             txnId: Option[String] = None): Long = {
+             txnId: Option[String] = None,
+             stats: Map[String, FileStats] = Map.empty): Long = {
     logDir(base).mkdirs()
     var attempt = 0
     while (true) {
@@ -139,6 +170,16 @@ object GraftLog {
       val addArr = node.putArray("add"); add.foreach(addArr.add)
       val remArr = node.putArray("remove"); remove.foreach(remArr.add)
       txnId.foreach(node.put("txnId", _))
+      if (stats.nonEmpty) {
+        val statsNode = node.putObject("stats")
+        stats.foreach { case (file, cols) =>
+          val fNode = statsNode.putObject(file)
+          cols.foreach { case (c, (mn, mx)) =>
+            val cNode = fNode.putObject(c)
+            cNode.set[JsonNode]("min", mn); cNode.set[JsonNode]("max", mx)
+          }
+        }
+      }
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
       Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
       try {
@@ -180,6 +221,53 @@ object GraftLog {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
     named.toSeq
+  }
+
+  /** Stage files AND collect per-file zone maps (min/max) for
+    * `statsCols` in ONE extra scan over the staged files (grouped by
+    * `input_file_name`, partition-parallel). Supported stat types:
+    * integral, floating, string — other types get no stats and are never
+    * pruned (conservative). The zone maps ride in the commit JSON, so
+    * pruning at read time is a METADATA decision — no file footers are
+    * opened for skipped files, which is the property that matters when
+    * "files" means a million objects on S3. */
+  def stageFilesWithStats(df: DataFrame, base: String,
+                          statsCols: Seq[String])
+      : (Seq[String], Map[String, FileStats]) = {
+    val named = stageFiles(df, base)
+    if (statsCols.isEmpty || named.isEmpty) return (named, Map.empty)
+    val spark = df.sparkSession
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = spark.read.parquet(named.map(n => s"$base/$n"): _*)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file — metadata-scale
+    def toNode(v: Any): Option[JsonNode] = v match {
+      case null => None
+      case i: Int => Some(mapper.getNodeFactory.numberNode(i.toLong))
+      case l: Long => Some(mapper.getNodeFactory.numberNode(l))
+      case s: Short => Some(mapper.getNodeFactory.numberNode(s.toLong))
+      case b: Byte => Some(mapper.getNodeFactory.numberNode(b.toLong))
+      case f: Float => Some(mapper.getNodeFactory.numberNode(f.toDouble))
+      case d: Double => Some(mapper.getNodeFactory.numberNode(d))
+      case s: String => Some(mapper.getNodeFactory.textNode(s))
+      case _ => None // unsupported type → no stats → never pruned
+    }
+    val stats = rows.flatMap { r =>
+      val uri = r.getString(0)
+      named.find(n => uri.endsWith(n)).map { name =>
+        val cols = statsCols.flatMap { c =>
+          for {
+            mn <- toNode(r.getAs[Any](s"__min_$c"))
+            mx <- toNode(r.getAs[Any](s"__max_$c"))
+          } yield c -> ((mn, mx))
+        }.toMap
+        name -> cols
+      }
+    }.toMap
+    (named, stats)
   }
 
   // ----------------------------------------------------------- operations
@@ -246,6 +334,65 @@ object GraftLog {
     spark.read.parquet(paths: _*)
   }
 
+  /** Clustered overwrite: range-partition + sort on `clusterCols`, so
+    * every data file covers a disjoint key range, then commit WITH
+    * per-file zone maps — the layout+metadata pair that makes
+    * `readRange` skip files. The graft-log analogue of
+    * `Medallion.writeClustered`, with the min/max moved from parquet
+    * footers up into the commit log (a metadata lookup instead of one
+    * footer read per file — the difference that matters at a million
+    * files). */
+  def overwriteClustered(df: DataFrame, base: String,
+                         clusterCols: Seq[String], nFiles: Int): Long = {
+    val clustered = df
+      .repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
+    val prev = currentVersion(base).map(_ =>
+      snapshot(base).files).getOrElse(Seq.empty)
+    commit(base, "overwrite", staged, prev, stats = stats)
+  }
+
+  private def overlaps(mn: JsonNode, mx: JsonNode, lo: Any, hi: Any): Boolean =
+    (lo, hi) match {
+      case (l: Number, h: Number) if mn.isNumber && mx.isNumber =>
+        !(mx.asDouble() < l.doubleValue() || mn.asDouble() > h.doubleValue())
+      case (l: String, h: String) if mn.isTextual && mx.isTextual =>
+        !(mx.asText() < l || mn.asText() > h)
+      case _ => true // type mismatch → keep (conservative)
+    }
+
+  /** The snapshot's files that can possibly hold `colName` ∈ [lo, hi],
+    * decided purely from commit-log zone maps (files without stats for
+    * the column are always kept — pruning is conservative). */
+  def candidateFiles(base: String, colName: String, lo: Any, hi: Any,
+                     version: Option[Long] = None): Seq[String] = {
+    val snap = snapshot(base, version)
+    snap.files.filter { f =>
+      snap.fileStats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => overlaps(mn, mx, lo, hi)
+        case None => true
+      }
+    }
+  }
+
+  /** Range scan with log-level data skipping: only zone-map-matching
+    * files reach the parquet reader (the exact predicate still applies —
+    * zone maps over-approximate). At 100 TB this turns "open every
+    * footer" into "read one JSON log". */
+  def readRange(spark: SparkSession, base: String, colName: String,
+                lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val keep = candidateFiles(base, colName, lo, hi, version)
+    if (keep.isEmpty) {
+      // empty result with the right schema: read the full snapshot's
+      // schema without scanning data
+      read(spark, base, version).filter(lit(false))
+    } else {
+      spark.read.parquet(keep.map(f => s"$base/$f"): _*)
+        .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    }
+  }
+
   /** Delete data files no snapshot in the retained history references
     * (keeps the last `keepVersions` commits' log entries AND every file
     * any retained snapshot needs). Returns deleted file count. */
@@ -282,6 +429,19 @@ object GraftLog {
       firstKept.txnId.foreach(node.put("txnId", _))
       val addArr = node.putArray("add"); baseline.files.foreach(addArr.add)
       node.putArray("remove")
+      // zone maps survive the squash: pruning must not degrade after vacuum
+      if (baseline.fileStats.nonEmpty) {
+        val statsNode = node.putObject("stats")
+        baseline.fileStats.foreach { case (file, cols) =>
+          if (baseline.files.contains(file)) {
+            val fNode = statsNode.putObject(file)
+            cols.foreach { case (c, (mn, mx)) =>
+              val cNode = fNode.putObject(c)
+              cNode.set[JsonNode]("min", mn); cNode.set[JsonNode]("max", mx)
+            }
+          }
+        }
+      }
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
       Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
       Files.move(tmp.toPath,

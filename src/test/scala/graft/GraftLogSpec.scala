@@ -101,6 +101,30 @@ class GraftLogSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
   }
 
+  test("zone maps in the commit log prune files for range scans, surviving compact-free appends and vacuum") {
+    val base = freshBase("zonemap")
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "x")
+    GraftLog.overwriteClustered(df, base, Seq("k"), nFiles = 8)
+    assert(GraftLog.snapshot(base).files.length == 8)
+    // metadata-only pruning: a narrow range hits 1-2 of 8 files
+    val kept = GraftLog.candidateFiles(base, "k", 100L, 200L)
+    assert(kept.length <= 2, s"pruning too weak: ${kept.length}/8 files kept")
+    // exactness: pruned scan == full-scan filter
+    val got = GraftLog.readRange(spark, base, "k", 100L, 200L)
+    assert(got.inputFiles.length == kept.length)
+    assert(got.count() == 101)
+    // disjoint range → zero files, empty result, schema intact
+    val none = GraftLog.readRange(spark, base, "k", 50000L, 60000L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "x"))
+    // stats survive vacuum's checkpoint squash
+    GraftLog.append(Seq((20000L, "z")).toDF("k", "x"), base)
+    GraftLog.vacuum(base, keepVersions = 1)
+    val keptAfter = GraftLog.candidateFiles(base, "k", 100L, 200L)
+    assert(keptAfter.length <= 3, // the statless appended file is always kept
+      s"pruning degraded after vacuum: ${keptAfter.length} files kept")
+    assert(GraftLog.readRange(spark, base, "k", 100L, 200L).count() == 101)
+  }
+
   test("version slots are claimed atomically (optimistic concurrency)") {
     val base = freshBase("occ")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)

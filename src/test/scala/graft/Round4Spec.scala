@@ -245,6 +245,25 @@ class RedactionSpec extends SparkSpec {
   }
 }
 
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("contamination counts distinct test n-grams that appear in any train doc") {
+    val docs = Seq(
+      (1L, "a b c d e f", false),  // train: grams "a b","b c","c d","d e","e f"
+      (2L, "x y z w v u", false),  // train, disjoint
+      (10L, "a b c q r s", true),  // test: "a b","b c" hit; "c q","q r","r s" miss
+      (20L, "p p p p p p", true))  // test: "p p" (distinct) — no hit
+      .toDF("doc_id", "text", "is_test")
+    val got = TextAnalysis.contamination(docs, col("doc_id"), col("text"),
+      col("is_test"), n = 2)
+      .select("doc_id", "n_grams", "n_hit")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 5L, 2L), (20L, 1L, 0L)))
+  }
+}
+
 class GoldIdempotenceSpec extends SparkSpec {
   import spark.implicits._
 
