@@ -59,11 +59,13 @@ object GraftLog {
   final case class Commit(version: Long, timestampMs: Long, operation: String,
                           add: Seq[String], remove: Seq[String],
                           txnId: Option[String],
-                          stats: Map[String, FileStats])
+                          stats: Map[String, FileStats],
+                          schemaJson: Option[String])
 
   final case class Snapshot(version: Long, timestampMs: Long,
                             files: Seq[String],
-                            fileStats: Map[String, FileStats])
+                            fileStats: Map[String, FileStats],
+                            schemaJson: Option[String])
 
   private def logDir(base: String) = new File(base, "_graft_log")
 
@@ -101,7 +103,8 @@ object GraftLog {
         Option(n.get("operation")).map(_.asText()).getOrElse(""),
         arr("add"), arr("remove"),
         Option(n.get("txnId")).map(_.asText()),
-        stats)
+        stats,
+        Option(n.get("schemaJson")).map(_.asText()))
     }
   }
 
@@ -125,13 +128,15 @@ object GraftLog {
     }
     val live = mutable.LinkedHashSet.empty[String]
     val stats = mutable.Map.empty[String, FileStats]
+    var schema: Option[String] = None
     upTo.foreach { c =>
       c.remove.foreach { f => live.remove(f); stats.remove(f) }
       live ++= c.add
       stats ++= c.stats
+      if (c.schemaJson.isDefined) schema = c.schemaJson // latest wins
     }
     Snapshot(upTo.last.version, upTo.last.timestampMs, live.toSeq,
-      stats.toMap)
+      stats.toMap, schema)
   }
 
   def currentVersion(base: String): Option[Long] = {
@@ -152,7 +157,8 @@ object GraftLog {
   def commit(base: String, operation: String, add: Seq[String],
              remove: Seq[String], maxRetries: Int = 10,
              txnId: Option[String] = None,
-             stats: Map[String, FileStats] = Map.empty): Long = {
+             stats: Map[String, FileStats] = Map.empty,
+             schemaJson: Option[String] = None): Long = {
     logDir(base).mkdirs()
     var attempt = 0
     while (true) {
@@ -170,6 +176,7 @@ object GraftLog {
       val addArr = node.putArray("add"); add.foreach(addArr.add)
       val remArr = node.putArray("remove"); remove.foreach(remArr.add)
       txnId.foreach(node.put("txnId", _))
+      schemaJson.foreach(node.put("schemaJson", _))
       if (stats.nonEmpty) {
         val statsNode = node.putObject("stats")
         stats.foreach { case (file, cols) =>
@@ -272,26 +279,57 @@ object GraftLog {
 
   // ----------------------------------------------------------- operations
 
-  /** Create-or-replace the table's content in one atomic commit. */
+  /** The table schema this write evolves to: previous log schema plus any
+    * NEW columns the incoming frame adds (append-only evolution — Delta's
+    * mergeSchema semantics). Same-name columns must keep their type. */
+  private def evolvedSchema(base: String,
+                            df: DataFrame): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val prev = currentVersion(base)
+      .flatMap(_ => snapshot(base).schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+    prev match {
+      case None => df.schema
+      case Some(p) =>
+        val existing = p.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          existing.get(f.name).foreach { old =>
+            require(old.dataType == f.dataType,
+              s"graft-log schema conflict on '${f.name}': " +
+                s"${old.dataType} vs ${f.dataType}")
+          }
+        }
+        StructType(p.fields ++ df.schema.fields.filterNot(f =>
+          existing.contains(f.name)))
+    }
+  }
+
+  /** Create-or-replace the table's content in one atomic commit. The
+    * incoming frame's schema becomes the table schema (an overwrite may
+    * redefine it — Delta's overwriteSchema semantics). */
   def overwrite(df: DataFrame, base: String): Long = {
     val staged = stageFiles(df, base)
     val prev = currentVersion(base).map(_ =>
       snapshot(base).files).getOrElse(Seq.empty)
-    commit(base, "overwrite", staged, prev)
+    commit(base, "overwrite", staged, prev,
+      schemaJson = Some(df.schema.json))
   }
 
   /** Append rows in one atomic commit (no existing file is touched).
-    * With `txnId`, a replayed append is a no-op returning the original
-    * version (the staged orphan files stay invisible; `vacuum` sweeps
-    * them). */
+    * New columns EVOLVE the table schema (old files read them as null);
+    * existing columns must keep their type. With `txnId`, a replayed
+    * append is a no-op returning the original version (the staged
+    * orphan files stay invisible; `vacuum` sweeps them). */
   def append(df: DataFrame, base: String,
              txnId: Option[String] = None): Long = {
     txnId.foreach { id =>
       // cheap pre-check: skip even the staging write on a known replay
       commits(base).find(_.txnId.contains(id)).foreach(c => return c.version)
     }
+    val schema = evolvedSchema(base, df)
     val staged = stageFiles(df, base)
-    commit(base, "append", staged, Seq.empty, txnId = txnId)
+    commit(base, "append", staged, Seq.empty, txnId = txnId,
+      schemaJson = Some(schema.json))
   }
 
   /** MERGE by key: same-key rows replaced, new keys appended — one atomic
@@ -331,7 +369,15 @@ object GraftLog {
            asOfTimestampMs: Option[Long] = None): DataFrame = {
     val snap = snapshot(base, version, asOfTimestampMs)
     val paths = snap.files.map(f => s"$base/$f")
-    spark.read.parquet(paths: _*)
+    // schema from the LOG, not from footers: schema evolution works (old
+    // files read missing columns as null) and no mergeSchema footer sweep
+    snap.schemaJson match {
+      case Some(j) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Clustered overwrite: range-partition + sort on `clusterCols`, so
@@ -350,7 +396,8 @@ object GraftLog {
     val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
     val prev = currentVersion(base).map(_ =>
       snapshot(base).files).getOrElse(Seq.empty)
-    commit(base, "overwrite", staged, prev, stats = stats)
+    commit(base, "overwrite", staged, prev, stats = stats,
+      schemaJson = Some(df.schema.json))
   }
 
   private def overlaps(mn: JsonNode, mx: JsonNode, lo: Any, hi: Any): Boolean =
@@ -388,7 +435,13 @@ object GraftLog {
       // schema without scanning data
       read(spark, base, version).filter(lit(false))
     } else {
-      spark.read.parquet(keep.map(f => s"$base/$f"): _*)
+      val reader = snapshot(base, version).schemaJson match {
+        case Some(j) => spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case None => spark.read
+      }
+      reader.parquet(keep.map(f => s"$base/$f"): _*)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     }
   }
@@ -429,6 +482,8 @@ object GraftLog {
       firstKept.txnId.foreach(node.put("txnId", _))
       val addArr = node.putArray("add"); baseline.files.foreach(addArr.add)
       node.putArray("remove")
+      // table schema survives the squash
+      baseline.schemaJson.foreach(node.put("schemaJson", _))
       // zone maps survive the squash: pruning must not degrade after vacuum
       if (baseline.fileStats.nonEmpty) {
         val statsNode = node.putObject("stats")

@@ -125,6 +125,26 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.readRange(spark, base, "k", 100L, 200L).count() == 101)
   }
 
+  test("schema evolution: an append with a new column widens the table; old files read null") {
+    val base = freshBase("evolve")
+    GraftLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "x"), base)
+    GraftLog.append(Seq((3L, "c", 30.5)).toDF("k", "x", "score"), base)
+    val got = GraftLog.read(spark, base)
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30.5))))
+    // time travel sees the PRE-evolution schema
+    assert(GraftLog.read(spark, base, version = Some(1L)).columns.toSeq ==
+      Seq("k", "x"))
+    // type conflicts are rejected at commit time
+    intercept[IllegalArgumentException] {
+      GraftLog.append(Seq((4, 5)).toDF("k", "x"), base) // x: int, was string
+    }
+    // schema survives vacuum's checkpoint squash
+    GraftLog.vacuum(base, keepVersions = 1)
+    assert(GraftLog.read(spark, base).columns.toSeq == Seq("k", "x", "score"))
+    assert(GraftLog.read(spark, base).count() == 3)
+  }
+
   test("version slots are claimed atomically (optimistic concurrency)") {
     val base = freshBase("occ")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)

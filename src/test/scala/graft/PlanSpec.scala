@@ -25,6 +25,18 @@ class PlanSpec extends SparkSpec {
       s"column pruning lost:\n$readSchema")
   }
 
+  test("q100 graft-log range scan pushes the range predicate into parquet") {
+    val plan = planOf("q100_log_pruned_scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey"),
+      s"range filter not pushed into the pruned scan:\n$plan")
+  }
+
+  test("q78 bloom prefilter plan has no ScalaUDF (codegen'd probe)") {
+    val plan = planOf("q78_bloom_prefilter")
+    assert(!plan.contains("ScalaUDF"), s"UDF crept back into the bloom probe:\n$plan")
+    assert(plan.contains("graft_bloom_might_contain"), s"native probe missing:\n$plan")
+  }
+
   test("q12 star join broadcasts the bounded dimensions") {
     val plan = planOf("q12_join_star_revenue")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
