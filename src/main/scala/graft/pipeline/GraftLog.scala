@@ -351,15 +351,29 @@ object GraftLog {
   /** Rewrite the table into ⌈rows / targetRowsPerFile⌉ files — the
     * small-file compaction every incremental sink needs, as one atomic
     * commit. Readers of any in-flight snapshot are undisturbed (old files
-    * stay on disk until `vacuum`). */
+    * stay on disk until `vacuum`). With `clusterCols`, the rewrite
+    * range-clusters on those columns and records fresh zone maps, so
+    * compaction RESTORES pruning power instead of erasing it (a plain
+    * hash-repartition compact produces statless files that `readRange`
+    * must always keep — right default for unclustered tables, wrong for
+    * clustered ones). */
   def compact(spark: SparkSession, base: String,
-              targetRowsPerFile: Long): Long = {
+              targetRowsPerFile: Long,
+              clusterCols: Seq[String] = Seq.empty): Long = {
     val current = read(spark, base)
     val n = current.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val staged = stageFiles(current.repartition(files), base)
     val prev = snapshot(base).files
-    commit(base, "compact", staged, prev)
+    if (clusterCols.isEmpty) {
+      val staged = stageFiles(current.repartition(files), base)
+      commit(base, "compact", staged, prev)
+    } else {
+      val clustered = current
+        .repartitionByRange(files, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+      val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
+      commit(base, "compact", staged, prev, stats = stats)
+    }
   }
 
   /** Read a snapshot (head by default; `version`/`asOfTimestampMs` time-

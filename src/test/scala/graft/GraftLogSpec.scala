@@ -145,6 +145,24 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.read(spark, base).count() == 3)
   }
 
+  test("clustered compaction restores zone maps after statless appends") {
+    val base = freshBase("recluster")
+    GraftLog.overwriteClustered(
+      (1L to 4000L).map(i => (i, i * 2)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 4)
+    // statless appends dilute pruning: these files are always kept
+    GraftLog.append(Seq((9000L, 1L)).toDF("k", "v"), base)
+    GraftLog.append(Seq((9001L, 2L)).toDF("k", "v"), base)
+    assert(GraftLog.candidateFiles(base, "k", 1L, 100L).length == 3) // 1 + 2 statless
+    // clustered compact: fresh layout + fresh stats in one atomic commit
+    GraftLog.compact(spark, base, targetRowsPerFile = 1000,
+      clusterCols = Seq("k"))
+    val kept = GraftLog.candidateFiles(base, "k", 1L, 100L)
+    assert(kept.length == 1, s"expected 1 file after re-clustering, got ${kept.length}")
+    assert(GraftLog.readRange(spark, base, "k", 1L, 100L).count() == 100)
+    assert(GraftLog.read(spark, base).count() == 4002)
+  }
+
   test("version slots are claimed atomically (optimistic concurrency)") {
     val base = freshBase("occ")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
