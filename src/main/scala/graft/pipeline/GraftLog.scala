@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *    once; concurrent commits never disturb it (files are immutable and
   *    never deleted by commits — only `vacuum` removes unreferenced ones).
   *  - **Optimistic concurrency**: the version-numbered log filename is the
-  *    lock — `Files.move` without REPLACE fails if a concurrent writer
-  *    claimed the version, and the loser recomputes against the new head
-  *    (same protocol as Delta's `_delta_log`).
+  *    lock — an atomic-exclusive hard link (`link(2)` fails with EEXIST)
+  *    claims the slot, and the loser recomputes against the new head
+  *    (same protocol as Delta's `_delta_log`; conditional PUT on object
+  *    stores).
   *  - **Time travel** by version or timestamp (each commit records its
   *    wall-clock millis).
   *
@@ -73,9 +74,16 @@ object GraftLog {
 
   // ------------------------------------------------------------ log I/O
 
+  // Strictly version-named entries only: `.tmp_*.json` staging files
+  // also end in .json, and globbing them in would (a) let a reader see
+  // an UNCOMMITTED commit (isolation violation) and (b) crash the
+  // listing when a concurrent writer's tmp vanishes mid-scan — the
+  // thread-race spec caught exactly this.
+  private val CommitName = "^[0-9]{20}\\.json$".r
+
   private def commits(base: String): Seq[Commit] = {
     val files = Option(logDir(base).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
     files.toSeq.map { f =>
       val n = mapper.readTree(f)
       def arr(field: String): Seq[String] = {
@@ -190,10 +198,17 @@ object GraftLog {
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
       Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
       try {
-        // ATOMIC_MOVE without REPLACE: fails if the slot is taken — this
-        // one rename IS the transaction's commit point.
-        Files.move(tmp.toPath, new File(logDir(base), logName(next)).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+        // Atomic-EXCLUSIVE slot claim via hard link: link(2) fails with
+        // EEXIST if the slot is taken. (A rename would NOT work here —
+        // POSIX rename silently REPLACES an existing target, so two
+        // racing writers would both "win" the version and one commit
+        // would be torn away; the thread-race spec caught exactly that.)
+        // Content is fully written before the link, so readers only ever
+        // see complete commit files. On an object store, the equivalent
+        // is a conditional PUT (if-none-match).
+        Files.createLink(new File(logDir(base), logName(next)).toPath,
+          tmp.toPath)
+        Files.deleteIfExists(tmp.toPath)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |

@@ -175,4 +175,31 @@ class GraftLogSpec extends SparkSpec {
     assert(Set(c1, c2) == Set(2L, 3L))
     assert(GraftLog.read(spark, base).count() == 3)
   }
+
+  test("concurrent writers never lose or tear a commit (real thread race)") {
+    val base = freshBase("race")
+    GraftLog.overwrite(Seq((0L, "seed")).toDF("k", "x"), base)
+    // pre-stage on the test thread (Spark jobs), then race ONLY the
+    // commit protocol from 8 threads × 3 commits each
+    val staged = (1 to 24).map(i =>
+      i -> GraftLog.stageFiles(Seq((i.toLong, s"w$i")).toDF("k", "x"), base))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futures = staged.map { case (i, files) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          versions.add(GraftLog.commit(base, "append", files, Seq.empty,
+            maxRetries = 200))
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    // 24 commits → 24 DISTINCT versions (no slot ever granted twice)
+    assert(versions.asScala.size == 24, s"lost commits: $versions")
+    assert(GraftLog.currentVersion(base).contains(25L))
+    // every row is present exactly once
+    assert(GraftLog.read(spark, base).count() == 25)
+  }
 }
