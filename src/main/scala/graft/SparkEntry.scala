@@ -1543,6 +1543,18 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** CMS-accelerated exact heavy hitters (Sketches.heavyHitters):
+    * suppliers with >= 610 lineitems. The Count-Min prefilter drops
+    * cold keys before the shuffle (no false negatives — CMS only
+    * over-counts), the exact count eliminates the over-counted rest, so
+    * the result is bit-identical to plain GROUP BY ... HAVING — which
+    * is exactly what the oracle runs. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.heavyHitters(
+      Tables.load(s, dir, "lineitem"), col("l_suppkey"), minCount = 610L)
+      .select(col("key").as("l_suppkey"), col("cnt").as("n_items"))
+      .orderBy(col("l_suppkey"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1647,6 +1659,7 @@ object SparkEntry {
     "q99_redaction" -> (qRedaction _),
     "q100_log_pruned_scan" -> (qLogPrunedScan _),
     "q101_contamination" -> (qContamination _),
+    "q102_heavy_hitters" -> (qHeavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2242,6 +2255,10 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders WHERE o_orderkey < 4096
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q102_heavy_hitters" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, count(*) AS n_items
+         FROM lineitem GROUP BY 1 HAVING count(*) >= 610
+         ORDER BY l_suppkey""",
     "q101_contamination" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
          g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(

@@ -264,6 +264,25 @@ class ContaminationSpec extends SparkSpec {
   }
 }
 
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sketches
+
+  test("heavyHitters equals plain GROUP BY HAVING exactly, with no ScalaUDF in the plan") {
+    val df = ((1L to 900L).map(_ => 7L) ++ (1L to 500L).map(_ => 13L) ++
+      (1L to 2000L).map(i => i % 400 + 100L)).toDF("k")
+    val got = Sketches.heavyHitters(df, col("k"), minCount = 500L)
+      .as[(Long, Long)].collect().toSet
+    val exact = df.groupBy("k").count().filter(col("count") >= 500)
+      .as[(Long, Long)].collect().toSet
+    assert(got == exact)
+    assert(got.map(_._1) == Set(7L, 13L))
+    val plan = Sketches.heavyHitters(df, col("k"), 500L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"CMS probe must be codegen'd:\n$plan")
+  }
+}
+
 class GoldIdempotenceSpec extends SparkSpec {
   import spark.implicits._
 
