@@ -64,7 +64,11 @@ object Bench {
       name -> best
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: a de_DE/fr_FR default JVM locale would print "31,300"
+    // — invalid JSON, the exact parse failure the compact line exists to
+    // prevent.
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query map goes to STDERR and a file; the driver keeps only a
     // 2000-char stdout TAIL, and at 93 queries the full line is ~6 KB — its
     // head (`{"metric":...`) gets truncated away and the parse fails

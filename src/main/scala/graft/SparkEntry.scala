@@ -789,13 +789,16 @@ object SparkEntry {
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val corpus = embCorpus(s, dir)
     val queries = embQueries(s, dir, 10)
-    val exact = Similarity.bruteForceTopK(corpus, queries, 3)
-    val lshM = Similarity.recallAtK(
-      Similarity.lshTopKMulti(corpus, queries, 3, nTables = 8, nPlanes = 5),
-      exact, 3)
+    // the exact top-k feeds four downstream references (each recallAtK
+    // uses it twice) and each ANN result two — cache the tiny (≤30-row)
+    // intermediates so the expensive pipelines run once, not 2-4×
+    val exact = Similarity.bruteForceTopK(corpus, queries, 3).cache()
+    val lsh = Similarity.lshTopKMulti(corpus, queries, 3,
+      nTables = 8, nPlanes = 5).cache()
+    val ivf0 = Similarity.ivfTopK(corpus, queries, 3).cache()
+    val lshM = Similarity.recallAtK(lsh, exact, 3)
       .select(lit("lsh_multi").as("index"), col("n_exact"), col("n_hit"), col("recall"))
-    val ivf = Similarity.recallAtK(
-      Similarity.ivfTopK(corpus, queries, 3), exact, 3)
+    val ivf = Similarity.recallAtK(ivf0, exact, 3)
       .select(lit("ivf").as("index"), col("n_exact"), col("n_hit"), col("recall"))
     lshM.unionByName(ivf).orderBy(col("index"))
   }

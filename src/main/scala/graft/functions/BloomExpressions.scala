@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
-import org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Codegen'd Bloom-filter membership probe over a broadcast filter.
@@ -20,11 +20,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * filter once per executor instead of once per task.
   */
 case class BloomMightContainLong(bloomB: Broadcast[BloomFilter], child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = BooleanType
-  // AbstractDataType is private[sql] in Spark 4; the public subtype
-  // DataType satisfies the override covariantly.
+  // ImplicitCast (not plain ExpectsInputTypes): an int/short fact key
+  // coerces to long at analysis like the UDF this replaced; only truly
+  // incompatible types fail. (AbstractDataType is private[sql] in
+  // Spark 4; the public subtype DataType satisfies the override
+  // covariantly.)
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_bloom_might_contain"

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
@@ -15,10 +15,11 @@ import org.apache.spark.util.sketch.CountMinSketch
   * LOSSLESS for heavy-hitter detection (no false negatives; false
   * positives die in the exact verification pass). */
 case class CmsEstimateLong(cmsB: Broadcast[CountMinSketch], child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
-  // AbstractDataType is private[sql] in Spark 4; DataType is covariant-ok
+  // ImplicitCast: integral keys coerce to long at analysis (AbstractDataType
+  // is private[sql] in Spark 4; DataType is covariant-ok)
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_cms_estimate"

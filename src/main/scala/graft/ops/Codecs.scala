@@ -144,6 +144,11 @@ object Codecs {
           samples = new Array[Short](size / 2)
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+          // RIFF chunks are word-aligned: skip the pad byte after an
+          // odd-sized data chunk, or the next chunk tag reads one byte
+          // off and a later fmt chunk is never found
+          if ((size & 1) == 1 && buf.remaining() > 0)
+            buf.position(buf.position() + 1)
         case _ => // skip unknown chunk (word-aligned)
           buf.position(buf.position() + size + (size & 1))
       }

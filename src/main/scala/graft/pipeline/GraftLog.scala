@@ -138,6 +138,11 @@ object GraftLog {
     val stats = mutable.Map.empty[String, FileStats]
     var schema: Option[String] = None
     upTo.foreach { c =>
+      // A checkpoint is SELF-CONTAINED: replay resets at it, so log
+      // entries that precede it are irrelevant (which is what lets
+      // vacuum publish the checkpoint FIRST and delete old entries
+      // after — consistent at every intermediate crash point).
+      if (c.operation == "checkpoint") { live.clear(); stats.clear() }
       c.remove.foreach { f => live.remove(f); stats.remove(f) }
       live ++= c.add
       stats ++= c.stats
@@ -161,12 +166,21 @@ object GraftLog {
     * commit carrying the same txnId is already in the log, nothing is
     * written and its version returns — the primitive that lets a
     * streaming sink replay a micro-batch after a crash without
-    * double-appending. */
+    * double-appending.
+    *
+    * `expectedVersion` is the READ-dependency guard: operations whose
+    * add/remove lists were computed AGAINST a snapshot (upsert, compact)
+    * pass the version they read, and the commit fails with
+    * ConcurrentModificationException if anyone committed since — silently
+    * taking the next slot would publish a remove list that no longer
+    * matches the head and duplicate or lose rows. Blind appends (no read
+    * dependency) omit it and retry slot races safely. */
   def commit(base: String, operation: String, add: Seq[String],
              remove: Seq[String], maxRetries: Int = 10,
              txnId: Option[String] = None,
              stats: Map[String, FileStats] = Map.empty,
-             schemaJson: Option[String] = None): Long = {
+             schemaJson: Option[String] = None,
+             expectedVersion: Option[Long] = None): Long = {
     logDir(base).mkdirs()
     var attempt = 0
     while (true) {
@@ -176,7 +190,14 @@ object GraftLog {
           case None => ()
         }
       }
-      val next = currentVersion(base).getOrElse(0L) + 1
+      val head = currentVersion(base).getOrElse(0L)
+      expectedVersion.foreach { ev =>
+        if (head != ev)
+          throw new java.util.ConcurrentModificationException(
+            s"graft-log conflict under $base: committed against snapshot " +
+              s"v$ev but head is v$head — recompute and retry")
+      }
+      val next = head + 1
       val node = mapper.createObjectNode()
       node.put("version", next)
       node.put("timestampMs", System.currentTimeMillis())
@@ -323,11 +344,15 @@ object GraftLog {
     * incoming frame's schema becomes the table schema (an overwrite may
     * redefine it — Delta's overwriteSchema semantics). */
   def overwrite(df: DataFrame, base: String): Long = {
+    val head = currentVersion(base).getOrElse(0L)
     val staged = stageFiles(df, base)
-    val prev = currentVersion(base).map(_ =>
-      snapshot(base).files).getOrElse(Seq.empty)
+    val prev = if (head > 0) snapshot(base).files else Seq.empty
+    // read-dependency guard: the remove list was computed at `head`; a
+    // concurrent commit would leave its files wrongly live after this
+    // "replace everything" — conflict instead
     commit(base, "overwrite", staged, prev,
-      schemaJson = Some(df.schema.json))
+      schemaJson = Some(df.schema.json),
+      expectedVersion = Some(head))
   }
 
   /** Append rows in one atomic commit (no existing file is touched).
@@ -353,14 +378,19 @@ object GraftLog {
     * keys; the commit protocol is already file-subset-granular.) */
   def upsert(spark: SparkSession, base: String, updates: DataFrame,
              keys: Seq[String]): Long = {
+    val snap = snapshot(base)
     val current = read(spark, base)
     val merged = current
       .join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates.select(current.columns.map(col): _*))
     // materialize BEFORE committing: merged still reads the old files
     val staged = stageFiles(merged, base)
-    val prev = snapshot(base).files
-    commit(base, "upsert", staged, prev)
+    // commit the STAGED frame's schema (union type-widening may differ
+    // from the log schema) and guard the read dependency: a concurrent
+    // commit since `snap` means our remove list is stale → conflict.
+    commit(base, "upsert", staged, snap.files,
+      schemaJson = Some(merged.schema.json),
+      expectedVersion = Some(snap.version))
   }
 
   /** Rewrite the table into ⌈rows / targetRowsPerFile⌉ files — the
@@ -375,19 +405,23 @@ object GraftLog {
   def compact(spark: SparkSession, base: String,
               targetRowsPerFile: Long,
               clusterCols: Seq[String] = Seq.empty): Long = {
+    val snap = snapshot(base)
     val current = read(spark, base)
     val n = current.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val prev = snapshot(base).files
+    // read-dependency guard, same as upsert: compacting against a stale
+    // snapshot must conflict, not silently drop a concurrent commit
     if (clusterCols.isEmpty) {
       val staged = stageFiles(current.repartition(files), base)
-      commit(base, "compact", staged, prev)
+      commit(base, "compact", staged, snap.files,
+        expectedVersion = Some(snap.version))
     } else {
       val clustered = current
         .repartitionByRange(files, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
       val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
-      commit(base, "compact", staged, prev, stats = stats)
+      commit(base, "compact", staged, snap.files, stats = stats,
+        expectedVersion = Some(snap.version))
     }
   }
 
@@ -422,11 +456,12 @@ object GraftLog {
     val clustered = df
       .repartitionByRange(nFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+    val head = currentVersion(base).getOrElse(0L)
     val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
-    val prev = currentVersion(base).map(_ =>
-      snapshot(base).files).getOrElse(Seq.empty)
+    val prev = if (head > 0) snapshot(base).files else Seq.empty
     commit(base, "overwrite", staged, prev, stats = stats,
-      schemaJson = Some(df.schema.json))
+      schemaJson = Some(df.schema.json),
+      expectedVersion = Some(head))
   }
 
   private def overlaps(mn: JsonNode, mx: JsonNode, lo: Any, hi: Any): Boolean =
@@ -477,8 +512,14 @@ object GraftLog {
 
   /** Delete data files no snapshot in the retained history references
     * (keeps the last `keepVersions` commits' log entries AND every file
-    * any retained snapshot needs). Returns deleted file count. */
-  def vacuum(base: String, keepVersions: Int = 1): Int = {
+    * any retained snapshot needs). Unreferenced files YOUNGER than
+    * `retentionMs` survive: a concurrent writer's staged-but-uncommitted
+    * files are unreferenced by construction, and deleting them would
+    * tear that writer's commit the moment it publishes (Delta's
+    * retention-window contract; pass 0 only when no writer can be
+    * in flight). Returns deleted file count. */
+  def vacuum(base: String, keepVersions: Int = 1,
+             retentionMs: Long = 600000L): Int = {
     val all = commits(base)
     if (all.isEmpty) return 0
     val retained = all.drop(math.max(0, all.size - keepVersions))
@@ -487,20 +528,15 @@ object GraftLog {
       needed ++= snapshot(base, Some(retained(i).version)).files
     }
     val dropLog = all.dropRight(keepVersions)
-    // live set may reference files added in dropped commits (carried
-    // forward) — `needed` already accounts for that via snapshot replay.
-    val onDisk = Option(new File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    var deleted = 0
-    onDisk.foreach { f =>
-      if (!needed.contains(f.getName)) { if (f.delete()) deleted += 1 }
-    }
-    // squash dropped log entries into a synthetic checkpoint commit so
-    // history stays replayable from the first retained version
+    // Publish the squashed checkpoint FIRST, then delete old log entries
+    // and data files: the checkpoint resets replay (see snapshot), so
+    // every intermediate crash point leaves a consistent log. The old
+    // order (delete entries, then publish) had a window where replay
+    // started from an incremental commit and silently lost every file
+    // carried forward from dropped commits.
     if (dropLog.nonEmpty) {
       val firstKept = retained.head
       val baseline = snapshot(base, Some(firstKept.version))
-      dropLog.foreach(c => new File(logDir(base), logName(c.version)).delete())
       val node = mapper.createObjectNode()
       node.put("version", firstKept.version)
       node.put("timestampMs", firstKept.timestampMs)
@@ -531,6 +567,17 @@ object GraftLog {
       Files.move(tmp.toPath,
         new File(logDir(base), logName(firstKept.version)).toPath,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      // only after the checkpoint is durable: drop the squashed entries
+      dropLog.foreach(c => new File(logDir(base), logName(c.version)).delete())
+    }
+    val cutoff = System.currentTimeMillis() - math.max(0L, retentionMs)
+    val onDisk = Option(new File(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    var deleted = 0
+    onDisk.foreach { f =>
+      if (!needed.contains(f.getName) && f.lastModified() <= cutoff) {
+        if (f.delete()) deleted += 1
+      }
     }
     deleted
   }

@@ -100,18 +100,30 @@ object Readers {
                           schema: StructType,
                           timeoutMs: Long = 30000): DataFrame = {
     import spark.implicits._
+    if (urls.isEmpty)
+      // repartition(0) is an error; an empty endpoint list is not
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val bodies = spark.createDataset(urls)
       .repartition(math.min(urls.size, 32))
       .mapPartitions { it =>
-        // per-partition HTTP client init (once, not per URL)
-        it.map(u => httpGet(u, timeoutMs))
+        // ONE client per partition — connection pool amortized over the
+        // partition's URLs, not rebuilt per fetch
+        val client = newClient(timeoutMs)
+        it.map(u => httpGet(client, u, timeoutMs))
       }
     spark.read.schema(schema).option("multiLine", "true").json(bodies)
   }
 
-  private def httpGet(url: String, timeoutMs: Long): String = {
-    val client = java.net.http.HttpClient.newBuilder()
+  private def newClient(timeoutMs: Long): java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+  private def httpGet(url: String, timeoutMs: Long): String =
+    httpGet(newClient(timeoutMs), url, timeoutMs)
+
+  private def httpGet(client: java.net.http.HttpClient, url: String,
+                      timeoutMs: Long): String = {
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
     val resp = client.send(req,

@@ -188,7 +188,7 @@ object EventStreams {
     * the reference's overwrite-everything bronze jobs
     * (spark/jobs/bronze_ingestion.py:32-34). */
   def streamIngestParquet(stream: DataFrame, path: String): Unit = {
-    val ckpt = s"/dev/shm/graft_ingest_ckpt_${drainRuns.incrementAndGet()}"
+    val ckpt = s"/dev/shm/graft_ingest_ckpt_${java.util.UUID.randomUUID()}"
     try {
       stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -216,7 +216,7 @@ object EventStreams {
                            checkpoint: Option[String] = None): Unit = {
     val ephemeral = checkpoint.isEmpty
     val ckpt = checkpoint.getOrElse(
-      s"/dev/shm/graft_loggest_ckpt_${drainRuns.incrementAndGet()}")
+      s"/dev/shm/graft_loggest_ckpt_${java.util.UUID.randomUUID()}")
     try {
       stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -256,7 +256,7 @@ object EventStreams {
                             checkpoint: Option[String] = None): Unit = {
     val ephemeral = checkpoint.isEmpty
     val ckpt = checkpoint.getOrElse(
-      s"/dev/shm/graft_gold_ckpt_${drainRuns.incrementAndGet()}")
+      s"/dev/shm/graft_gold_ckpt_${java.util.UUID.randomUUID()}")
     try {
       stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -59,7 +59,7 @@ class GraftLogSpec extends SparkSpec {
     // snapshot isolation: the pre-compaction version still reads fine
     assert(GraftLog.read(spark, base, version = Some(1L)).count() == 100)
     // vacuum to the head drops the 8 old files but keeps the live one
-    val deleted = GraftLog.vacuum(base, keepVersions = 1)
+    val deleted = GraftLog.vacuum(base, keepVersions = 1, retentionMs = 0L)
     assert(deleted == 8)
     assert(GraftLog.read(spark, base).count() == 100)
   }
@@ -118,7 +118,7 @@ class GraftLogSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "x"))
     // stats survive vacuum's checkpoint squash
     GraftLog.append(Seq((20000L, "z")).toDF("k", "x"), base)
-    GraftLog.vacuum(base, keepVersions = 1)
+    GraftLog.vacuum(base, keepVersions = 1, retentionMs = 0L)
     val keptAfter = GraftLog.candidateFiles(base, "k", 100L, 200L)
     assert(keptAfter.length <= 3, // the statless appended file is always kept
       s"pruning degraded after vacuum: ${keptAfter.length} files kept")
@@ -140,7 +140,7 @@ class GraftLogSpec extends SparkSpec {
       GraftLog.append(Seq((4, 5)).toDF("k", "x"), base) // x: int, was string
     }
     // schema survives vacuum's checkpoint squash
-    GraftLog.vacuum(base, keepVersions = 1)
+    GraftLog.vacuum(base, keepVersions = 1, retentionMs = 0L)
     assert(GraftLog.read(spark, base).columns.toSeq == Seq("k", "x", "score"))
     assert(GraftLog.read(spark, base).count() == 3)
   }
@@ -161,6 +161,35 @@ class GraftLogSpec extends SparkSpec {
     assert(kept.length == 1, s"expected 1 file after re-clustering, got ${kept.length}")
     assert(GraftLog.readRange(spark, base, "k", 1L, 100L).count() == 100)
     assert(GraftLog.read(spark, base).count() == 4002)
+  }
+
+  test("a snapshot-dependent commit against a moved head conflicts instead of tearing") {
+    val base = freshBase("conflict")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    val snapV = GraftLog.snapshot(base).version
+    // a concurrent writer lands between our read and our commit
+    GraftLog.append(Seq((2L, "b")).toDF("k", "x"), base)
+    val staged = GraftLog.stageFiles(Seq((1L, "A2")).toDF("k", "x"), base)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftLog.commit(base, "upsert", staged, GraftLog.snapshot(base, Some(snapV)).files,
+        expectedVersion = Some(snapV))
+    }
+    // nothing was torn: both committed rows still read back
+    assert(GraftLog.read(spark, base).count() == 2)
+  }
+
+  test("vacuum's retention window spares fresh uncommitted staged files") {
+    val base = freshBase("retention")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    // a concurrent writer has staged but not yet committed
+    val staged = GraftLog.stageFiles(Seq((2L, "b")).toDF("k", "x"), base)
+    // default retention: the just-written orphan must survive
+    GraftLog.vacuum(base, keepVersions = 1)
+    assert(staged.forall(f => new File(base, f).exists()),
+      "vacuum deleted a fresh staged file inside the retention window")
+    // the writer can still publish successfully
+    GraftLog.commit(base, "append", staged, Seq.empty)
+    assert(GraftLog.read(spark, base).count() == 2)
   }
 
   test("version slots are claimed atomically (optimistic concurrency)") {
