@@ -1558,6 +1558,36 @@ object SparkEntry {
       .select(col("key").as("l_suppkey"), col("cnt").as("n_items"))
       .orderBy(col("l_suppkey"))
 
+  /** Approximate-quantile quality as a RECORDED gate (the q96 pattern
+    * pointed at percentile_approx): for each target quantile, the
+    * sketch's value is scored by its EXACT rank error — the fraction of
+    * rows at-or-below the approximate answer versus the target q — in
+    * one extra aggregation pass. percentile_approx(accuracy=a)
+    * guarantees rank error ≤ 1/a; QuantileGateSpec asserts it, so a
+    * sketch regression fails `sbt test`. Rows-only (sketch values are
+    * engine-specific); the BOUND is the portable contract. */
+  private def qQuantileGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val accuracy = 10000
+    val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice"))
+    val approx = li.agg(percentile_approx(col("l_extendedprice"),
+        array(qs.map(lit): _*), lit(accuracy)).as("aq"))
+      .head().getSeq[Double](0)
+    // one exact pass scores all three sketch answers at once
+    val rankAggs = count(lit(1)).as("n") +:
+      qs.indices.map(i => sum(when(col("l_extendedprice") <= approx(i), 1L)
+        .otherwise(0L)).as(s"le_$i"))
+    val ranks = li.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val n = ranks.getAs[Long]("n").toDouble
+    qs.zipWithIndex.map { case (q, i) =>
+      val rank = ranks.getAs[Long](s"le_$i") / n
+      (q, approx(i), math.round(rank * 1e6) / 1e6,
+        math.round(math.abs(rank - q) * 1e6) / 1e6, n.toLong)
+    }.toDF("q", "approx_value", "exact_rank", "rank_error", "n_rows")
+      .orderBy(col("q"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1663,6 +1693,7 @@ object SparkEntry {
     "q100_log_pruned_scan" -> (qLogPrunedScan _),
     "q101_contamination" -> (qContamination _),
     "q102_heavy_hitters" -> (qHeavyHitters _),
+    "q103_quantile_gate" -> (qQuantileGate _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -283,6 +283,25 @@ class SketchesSpec extends SparkSpec {
   }
 }
 
+class QuantileGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentile_approx rank error stays within the 1/accuracy guarantee (gate)") {
+    val rows = SparkEntry.queries("q103_quantile_gate")(spark, "/root/testdata/sf0.001")
+      .select("q", "rank_error", "n_rows").as[(Double, Double, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq(0.5, 0.9, 0.99))
+    rows.foreach { case (q, err, n) =>
+      // accuracy=10000 → guaranteed rank error <= 1e-4, PLUS the exact
+      // rank's own discretization floor of one row (1/n — at 6k rows
+      // that floor is 1.67e-4, larger than the sketch bound itself),
+      // plus the query's 1e-6 rounding
+      val bound = 1.0e-4 + 1.0 / n + 1.0e-6
+      assert(err <= bound,
+        s"quantile sketch degraded at q=$q: rank error $err > $bound")
+    }
+  }
+}
+
 class GoldIdempotenceSpec extends SparkSpec {
   import spark.implicits._
 
