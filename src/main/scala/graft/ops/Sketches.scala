@@ -28,13 +28,22 @@ object Sketches {
                    eps: Double = 0.0001, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     val keyed = df.select(keyCol.cast("long").as("key"))
-    val cms = keyed.stat.countMinSketch(col("key"), eps, confidence, seed)
+    val nonNull = keyed.filter(col("key").isNotNull)
+    val cms = nonNull.stat.countMinSketch(col("key"), eps, confidence, seed)
     val cmsB = df.sparkSession.sparkContext.broadcast(cms)
-    keyed
-      .filter(col("key").isNotNull &&
-        graft.functions.CmsExpressions.estimateLong(cmsB, col("key")) >= minCount)
+    val hot = nonNull
+      .filter(graft.functions.CmsExpressions.estimateLong(cmsB, col("key")) >= minCount)
       .groupBy(col("key"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    // GROUP BY keeps the null group, and a CMS can't represent it — route
+    // null keys AROUND the probe as one plain count so the bit-identical
+    // contract holds for nullable keys too (a single extra group:
+    // map-side-combined count, negligible at any scale).
+    val nullHot = keyed.filter(col("key").isNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    hot.unionByName(nullHot)
   }
 }

@@ -82,6 +82,25 @@ object GraftLog {
   private val CommitName = "^[0-9]{20}\\.json$".r
 
   private def commits(base: String): Seq[Commit] = {
+    // A concurrent vacuum may delete a squashed log entry between our
+    // listFiles and readTree — tolerate the vanished file by relisting
+    // (the checkpoint that replaced it is already durable, so the fresh
+    // listing is consistent), mirroring the resilience the CommitName
+    // filter gives against vanished tmp files.
+    var attempt = 0
+    while (true) {
+      try return commitsOnce(base)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.nio.file.NoSuchFileException) =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    Nil // unreachable
+  }
+
+  private def commitsOnce(base: String): Seq[Commit] = {
     val files = Option(logDir(base).listFiles()).getOrElse(Array.empty)
       .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
     files.toSeq.map { f =>
@@ -232,13 +251,19 @@ object GraftLog {
         Files.deleteIfExists(tmp.toPath)
         return next
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException =>
+        // ONLY EEXIST is a version race. Other FileSystemExceptions
+        // (no hard-link support, ENOSPC, permissions) are real failures —
+        // retrying them would spin maxRetries times and then blame a
+        // nonexistent race, hiding the actual cause.
+        case e: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp.toPath)
           attempt += 1
           if (attempt > maxRetries)
             throw new java.io.IOException(
-              s"graft-log commit lost $maxRetries version races under $base")
+              s"graft-log commit lost $maxRetries version races under $base", e)
+        case e: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp.toPath)
+          throw e
       }
     }
     -1L // unreachable
@@ -315,15 +340,12 @@ object GraftLog {
 
   // ----------------------------------------------------------- operations
 
-  /** The table schema this write evolves to: previous log schema plus any
+  /** The table schema a write evolves to: previous log schema plus any
     * NEW columns the incoming frame adds (append-only evolution — Delta's
     * mergeSchema semantics). Same-name columns must keep their type. */
-  private def evolvedSchema(base: String,
+  private def evolvedSchema(prev: Option[org.apache.spark.sql.types.StructType],
                             df: DataFrame): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.StructType
-    val prev = currentVersion(base)
-      .flatMap(_ => snapshot(base).schemaJson)
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
     prev match {
       case None => df.schema
       case Some(p) =>
@@ -362,14 +384,38 @@ object GraftLog {
     * orphan files stay invisible; `vacuum` sweeps them). */
   def append(df: DataFrame, base: String,
              txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.types.StructType
     txnId.foreach { id =>
       // cheap pre-check: skip even the staging write on a known replay
       commits(base).find(_.txnId.contains(id)).foreach(c => return c.version)
     }
-    val schema = evolvedSchema(base, df)
-    val staged = stageFiles(df, base)
-    commit(base, "append", staged, Seq.empty, txnId = txnId,
-      schemaJson = Some(schema.json))
+    val staged = stageFiles(df, base) // immutable; safe to reuse across retries
+    var attempt = 0
+    while (true) {
+      // Schema-evolution race guard: the evolved schema is computed against
+      // the head read HERE. A plain same-schema append has no read
+      // dependency and commits blind (slot races retry inside `commit`);
+      // but when this append CHANGES the log schema, two concurrent
+      // evolvers would latest-wins-drop each other's new column — so an
+      // evolving append carries expectedVersion, and the loser recomputes
+      // the merge against the new head and retries.
+      val head = currentVersion(base).getOrElse(0L)
+      val prevJson = if (head > 0) snapshot(base).schemaJson else None
+      val schema = evolvedSchema(
+        prevJson.map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]), df)
+      val evolves = !prevJson.contains(schema.json)
+      try {
+        return commit(base, "append", staged, Seq.empty, txnId = txnId,
+          schemaJson = Some(schema.json),
+          expectedVersion = if (evolves) Some(head) else None)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 10) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** MERGE by key: same-key rows replaced, new keys appended — one atomic
@@ -477,15 +523,17 @@ object GraftLog {
     * decided purely from commit-log zone maps (files without stats for
     * the column are always kept — pruning is conservative). */
   def candidateFiles(base: String, colName: String, lo: Any, hi: Any,
-                     version: Option[Long] = None): Seq[String] = {
-    val snap = snapshot(base, version)
+                     version: Option[Long] = None): Seq[String] =
+    candidatesIn(snapshot(base, version), colName, lo, hi)
+
+  private def candidatesIn(snap: Snapshot, colName: String,
+                           lo: Any, hi: Any): Seq[String] =
     snap.files.filter { f =>
       snap.fileStats.get(f).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => overlaps(mn, mx, lo, hi)
         case None => true
       }
     }
-  }
 
   /** Range scan with log-level data skipping: only zone-map-matching
     * files reach the parquet reader (the exact predicate still applies —
@@ -493,18 +541,28 @@ object GraftLog {
     * footer" into "read one JSON log". */
   def readRange(spark: SparkSession, base: String, colName: String,
                 lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
-    val keep = candidateFiles(base, colName, lo, hi, version)
+    // ONE snapshot resolution: file list and schema must come from the
+    // same version (resolving twice let a commit land in between, pairing
+    // v_n files with a v_{n+1} schema) — and log replay runs once, not twice.
+    val snap = snapshot(base, version)
+    val keep = candidatesIn(snap, colName, lo, hi)
+    val reader = snap.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
     if (keep.isEmpty) {
-      // empty result with the right schema: read the full snapshot's
-      // schema without scanning data
-      read(spark, base, version).filter(lit(false))
-    } else {
-      val reader = snapshot(base, version).schemaJson match {
-        case Some(j) => spark.read.schema(
+      // empty result with the right schema, zero data files opened
+      snap.schemaJson match {
+        case Some(j) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
-        case None => spark.read
+        case None => // schemaless log: fall back to full-snapshot scan schema
+          reader.parquet(snap.files.map(f => s"$base/$f"): _*).filter(lit(false))
       }
+    } else {
       reader.parquet(keep.map(f => s"$base/$f"): _*)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     }
@@ -520,6 +578,9 @@ object GraftLog {
     * in flight). Returns deleted file count. */
   def vacuum(base: String, keepVersions: Int = 1,
              retentionMs: Long = 600000L): Int = {
+    // keepVersions = 0 would leave `retained` empty (retained.head crash)
+    // and, worse, a log with no snapshot at all
+    require(keepVersions >= 1, s"vacuum keepVersions must be >= 1, got $keepVersions")
     val all = commits(base)
     if (all.isEmpty) return 0
     val retained = all.drop(math.max(0, all.size - keepVersions))

@@ -231,4 +231,35 @@ class GraftLogSpec extends SparkSpec {
     // every row is present exactly once
     assert(GraftLog.read(spark, base).count() == 25)
   }
+
+  test("concurrent schema-evolving appends keep BOTH new columns (no latest-wins drop)") {
+    val base = freshBase("schema_race")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    // two appends that each evolve the schema with a different new column;
+    // run them from two threads — whichever loses the expectedVersion
+    // guard must recompute its merge against the winner's schema
+    val dfs = Seq(
+      Seq((2L, "b", 1.5)).toDF("k", "x", "extra_d"),
+      Seq((3L, "c", 7L)).toDF("k", "x", "extra_l"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = dfs.map(df => pool.submit(new Runnable {
+      def run(): Unit = GraftLog.append(df, base)
+    }))
+    futures.foreach(_.get())
+    pool.shutdown()
+    val out = GraftLog.read(spark, base)
+    assert(out.columns.toSet == Set("k", "x", "extra_d", "extra_l"),
+      s"schema lost a concurrently-added column: ${out.columns.toSeq}")
+    assert(out.count() == 3)
+    assert(out.filter(col("extra_d").isNotNull).count() == 1)
+    assert(out.filter(col("extra_l").isNotNull).count() == 1)
+  }
+
+  test("vacuum rejects keepVersions = 0 instead of crashing with an empty retained set") {
+    val base = freshBase("vacuum_zero")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    intercept[IllegalArgumentException] { GraftLog.vacuum(base, keepVersions = 0) }
+    // the table is untouched
+    assert(GraftLog.read(spark, base).count() == 1)
+  }
 }

@@ -281,6 +281,19 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), s"CMS probe must be codegen'd:\n$plan")
   }
+
+  test("heavyHitters keeps the null-key group, like GROUP BY ... HAVING does") {
+    // 600 nulls (heavy), 700 of key 5 (heavy), 2000 cold keys
+    val df = ((1L to 600L).map(_ => Option.empty[Long]) ++
+      (1L to 700L).map(_ => Some(5L)) ++
+      (1L to 2000L).map(i => Some(i % 500 + 100L))).toDF("k")
+    val got = Sketches.heavyHitters(df, col("k"), minCount = 500L)
+      .as[(Option[Long], Long)].collect().toSet
+    val exact = df.groupBy("k").count().filter(col("count") >= 500)
+      .as[(Option[Long], Long)].collect().toSet
+    assert(got == exact)
+    assert(got == Set((None, 600L), (Some(5L), 700L)))
+  }
 }
 
 class QuantileGateSpec extends SparkSpec {
