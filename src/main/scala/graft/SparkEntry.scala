@@ -1528,6 +1528,38 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Partition-scoped MERGE (GraftLog.upsertScoped): orders is clustered
+    * on o_orderkey into a graft-log table, then a LOCALIZED update (keys
+    * <= 2000 get +100 price) plus far-away inserts merges in — rewriting
+    * ONLY the files whose zone-map key range actually holds an update key
+    * (exact per-file hit test via one broadcast range-join; the rest of
+    * the table survives the commit byte-untouched — GraftLogSpec asserts
+    * the surviving file names). This is the 100 TB MERGE shape the plain
+    * `upsert`'s full rewrite can't provide. The oracle recomputes the
+    * same merge in SQL over raw orders, so scoped-rewrite correctness is
+    * row-exact-checked cross-engine. */
+  private def qScopedMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_scoped_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"), nFiles = 8)
+    val updates = ords.filter(col("o_orderkey") <= 2000)
+      .withColumn("totalprice",
+        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
+    GraftLog.read(s, base)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Train/test contamination sweep (TextAnalysis.contamination):
     * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
     * the train split, aggregated per language. One linear gram-keyed
@@ -1694,6 +1726,7 @@ object SparkEntry {
     "q101_contamination" -> (qContamination _),
     "q102_heavy_hitters" -> (qHeavyHitters _),
     "q103_quantile_gate" -> (qQuantileGate _),
+    "q104_scoped_merge" -> (qScopedMerge _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2368,6 +2401,25 @@ object SparkEntry {
            SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
            FROM customer WHERE c_custkey < 50
          ) GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q104_scoped_merge" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2)) AS totalprice
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+           FROM orders WHERE o_orderkey < 100
+         ), merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+           FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         )
+         SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+           CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM merged GROUP BY bucket ORDER BY bucket""",
     "q90_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -436,6 +437,87 @@ object GraftLog {
     // commit since `snap` means our remove list is stale → conflict.
     commit(base, "upsert", staged, snap.files,
       schemaJson = Some(merged.schema.json),
+      expectedVersion = Some(snap.version))
+  }
+
+  /** Partition-scoped MERGE: the same semantics as `upsert`, but only
+    * files whose zone-map range on `key` actually CONTAINS an update key
+    * are rewritten — every other file survives the commit byte-untouched.
+    * This is the 100 TB MERGE shape: on a clustered table a localized
+    * update rewrites a handful of files, not the table.
+    *
+    * Pruning is exact and two-phase, all metadata-scale:
+    *  1. per-file [min,max] ranges come straight from the commit log
+    *     (driver-side, no file I/O);
+    *  2. one broadcast range-join of the update keys against those ranges
+    *     marks which files hold >= 1 update key (output is <= nFiles rows).
+    * Files without zone-map stats for `key` are conservatively rewritten.
+    * Untouched files cannot contain any update key (their range excludes
+    * all of them), so skipping them preserves exact MERGE semantics.
+    *
+    * The rewritten files carry fresh zone maps for `key`, so pruning
+    * power survives the merge; the commit removes/adds only the touched
+    * subset and carries the snapshot's version as its read dependency
+    * (a concurrent commit conflicts instead of tearing). */
+  def upsertScoped(spark: SparkSession, base: String, updates0: DataFrame,
+                   key: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val snap = snapshot(base)
+    // Conform updates to the TABLE schema (implicit-cast MERGE semantics):
+    // the scoped commit keeps the log schema, so a type-widened update
+    // frame must be cast down, not silently change the table's types.
+    // Values must be representable in the table schema (caller contract).
+    val tableSchema = snap.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(updates0.schema)
+    val updates = updates0.select(tableSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val keyType = updates.schema(key).dataType
+    val statless = snap.files.filter(f =>
+      snap.fileStats.get(f).flatMap(_.get(key)).isEmpty)
+    val ranged = snap.files.flatMap(f =>
+      snap.fileStats.get(f).flatMap(_.get(key)).map { case (mn, mx) =>
+        (f, mn.asText(), mx.asText()) })
+    val hit: Seq[String] =
+      if (ranged.isEmpty) Seq.empty
+      else {
+        // nFiles-row broadcast side; JSON min/max round-trip through text
+        // and cast back to the key's type (zone maps only hold integral /
+        // floating / text, all of which cast losslessly)
+        val rangesDf = spark.createDataFrame(ranged.map {
+          case (f, mn, mx) => org.apache.spark.sql.Row(f, mn, mx) }.asJava,
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("__file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__mn",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__mx",
+              org.apache.spark.sql.types.StringType))))
+          .select(col("__file"), col("__mn").cast(keyType).as("__mn"),
+            col("__mx").cast(keyType).as("__mx"))
+        updates.select(col(key).as("__k")).filter(col("__k").isNotNull)
+          .join(broadcast(rangesDf),
+            col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq // bounded by file count
+      }
+    val touched = (statless ++ hit).distinct
+    val current =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else {
+        val reader =
+          if (snap.schemaJson.isDefined) spark.read.schema(tableSchema)
+          else spark.read
+        reader.parquet(touched.map(f => s"$base/$f"): _*)
+      }
+    val merged = current
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates.select(current.columns.map(col): _*))
+    val (staged, stats) = stageFilesWithStats(merged, base, Seq(key))
+    commit(base, "upsert_scoped", staged, touched, stats = stats,
+      schemaJson = snap.schemaJson.orElse(Some(merged.schema.json)),
       expectedVersion = Some(snap.version))
   }
 

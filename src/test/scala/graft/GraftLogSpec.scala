@@ -255,6 +255,60 @@ class GraftLogSpec extends SparkSpec {
     assert(out.filter(col("extra_l").isNotNull).count() == 1)
   }
 
+  test("scoped upsert rewrites only key-range-hit files; untouched file names survive") {
+    val base = freshBase("scoped")
+    val rows = (1L to 800L).map(i => (i, s"v$i"))
+    GraftLog.overwriteClustered(rows.toDF("k", "x"), base, Seq("k"), nFiles = 8)
+    val before = GraftLog.snapshot(base)
+    assert(before.files.size == 8)
+    // updates confined to k <= 100 (one clustered file's range) + inserts
+    // far above every existing range
+    val updates = (1L to 100L).map(i => (i, s"U$i"))
+      .++(Seq((5001L, "new1"), (5002L, "new2"))).toDF("k", "x")
+    GraftLog.upsertScoped(spark, base, updates, "k")
+    val after = GraftLog.snapshot(base)
+    val survivors = before.files.toSet.intersect(after.files.toSet)
+    val rewritten = before.files.toSet -- after.files.toSet
+    assert(survivors.size >= 6,
+      s"scoped merge rewrote too much: only ${survivors.size}/8 survived")
+    assert(rewritten.nonEmpty, "the hit file must be swapped out")
+    // exact MERGE semantics
+    val expect = rows.map { case (k, x) => (k, if (k <= 100) s"U$k" else x) } ++
+      Seq((5001L, "new1"), (5002L, "new2"))
+    assert(GraftLog.read(spark, base).as[(Long, String)].collect().toSet ==
+      expect.toSet)
+    // rewritten files carry fresh zone maps: a narrow range scan still prunes
+    val pruned = GraftLog.candidateFiles(base, "k", 700L, 750L)
+    assert(pruned.size < after.files.size,
+      s"zone maps lost after scoped merge: $pruned")
+  }
+
+  test("scoped upsert with only out-of-range keys is a pure insert: zero files rewritten") {
+    val base = freshBase("scoped_insert")
+    GraftLog.overwriteClustered((1L to 200L).map(i => (i, i * 2.0))
+      .toDF("k", "v"), base, Seq("k"), nFiles = 4)
+    val before = GraftLog.snapshot(base).files.toSet
+    GraftLog.upsertScoped(spark, base,
+      Seq((9001L, 1.0), (9002L, 2.0)).toDF("k", "v"), "k")
+    val after = GraftLog.snapshot(base).files.toSet
+    assert(before.subsetOf(after), "an insert-only scoped merge must not rewrite files")
+    assert(GraftLog.read(spark, base).count() == 202)
+  }
+
+  test("a scoped (file-subset) commit against a moved head conflicts (OCC)") {
+    val base = freshBase("scoped_occ")
+    GraftLog.overwriteClustered((1L to 100L).map(i => (i, s"v$i"))
+      .toDF("k", "x"), base, Seq("k"), nFiles = 2)
+    val snapV = GraftLog.snapshot(base).version
+    val victim = GraftLog.snapshot(base).files.take(1)
+    // another writer commits first — our remove list is now stale
+    GraftLog.append(Seq((200L, "late")).toDF("k", "x"), base)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftLog.commit(base, "upsert_scoped", Seq.empty, victim,
+        expectedVersion = Some(snapV))
+    }
+  }
+
   test("vacuum rejects keepVersions = 0 instead of crashing with an empty retained set") {
     val base = freshBase("vacuum_zero")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
