@@ -190,6 +190,26 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /** S3b schema-pinned XML scan: the q29 round trip with an explicit
+    * StructType — ONE pass over the XML (no inference sample scan, which
+    * is q29's double-scan cost and the wrong plan at 100 TB) and the
+    * declared key types survive without a repin cast. Same oracle
+    * shape as q29: the round trip must be lossless. */
+  private def qXmlPinned(s: SparkSession, dir: String): DataFrame = {
+    val path = fixtureDir("xml_part", dir)
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.format("xml").option("rowTag", "part").mode("overwrite").save(path)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_brand", StringType),
+      StructField("p_retailprice", DoubleType)))
+    graft.sources.Readers.xml(s, path, "part", schema)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
   /** ORC round-trip (capability extension; same write→scan proof shape
     * as q27/q28/q29): distributed ORC write of a customer slice, ORC
     * scan back, aggregate. Oracle runs on the original table. */
@@ -1727,6 +1747,7 @@ object SparkEntry {
     "q102_heavy_hitters" -> (qHeavyHitters _),
     "q103_quantile_gate" -> (qQuantileGate _),
     "q104_scoped_merge" -> (qScopedMerge _),
+    "q105_xml_pinned" -> (qXmlPinned _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1898,6 +1919,10 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_suppliers,
          CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q105_xml_pinned" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -36,9 +36,18 @@ object Readers {
       .option("multiLine", multiLine.toString).json(path)
 
   /** S3: XML with rowTag (reference: spark/jobs/xml_bronze_ingestion.py:27-30;
-    * native in Spark 4.x — no external spark-xml package). */
+    * native in Spark 4.x — no external spark-xml package). Schema
+    * INFERENCE scans the XML twice (sample pass + read pass) — faithful
+    * to the reference, but at 100 TB use the pinned-schema overload. */
   def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
     spark.read.format("xml").option("rowTag", rowTag).load(path)
+
+  /** S3b: XML with a pinned schema — ONE pass over the data (no inference
+    * sample scan), and the declared types (e.g. int32 keys) survive
+    * instead of inference's integer→long widening. */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: StructType): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).schema(schema).load(path)
 
   /** S4: JDBC full-table scan (reference:
     * spark/jobs/mysql_bronze_ingestion.py:65-94 — single partition). */
