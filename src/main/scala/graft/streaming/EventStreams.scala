@@ -167,8 +167,20 @@ object EventStreams {
     // conf is captured when the query STARTS, so set-and-restore is safe
     // for this session's later batch queries.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey, "")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      // Optional RocksDB state store (rocksdbjni ships with Spark here).
+      // Measured on this VM (sf0.1, 3 reps each, q50/q64/q80): RocksDB is
+      // uniformly SLOWER than the default in-memory HDFS-backed store for
+      // these bounded replays (native column-family setup per store ×
+      // partitions × micro-batches dominates; state fits in heap easily).
+      // It's the right store when state EXCEEDS heap — so it stays one
+      // env flip away instead of the default.
+      if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+        spark.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       df.writeStream.format("memory").queryName(sink)
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
@@ -176,6 +188,8 @@ object EventStreams {
         .start().awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (prevProv.isEmpty) spark.conf.unset(provKey)
+      else spark.conf.set(provKey, prevProv)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
     spark.table(sink)
