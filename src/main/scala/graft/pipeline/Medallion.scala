@@ -228,6 +228,21 @@ object Medallion {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
 
+  /** N-dimensional Z-ordered write (`functions.ZOrderCodeN`): every file
+    * gets a compact bounding box in ALL the given columns — the layout
+    * for a fact table queried by any mix of time/key/tenant ranges.
+    * Per-dimension precision is ⌊64/N⌋ bits; columns must be
+    * non-negative and fit that width (bucket/rank-normalize upstream
+    * otherwise). */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     nFiles: Int): Unit =
+    df.withColumn("__graft_z",
+      graft.functions.VecExpressions.zorderNativeN(cols.map(col): _*))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈rows / targetRowsPerFile⌉ files via staged write + directory swap.
     * The operational countermeasure to the many-small-files problem that

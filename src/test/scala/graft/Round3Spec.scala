@@ -397,6 +397,76 @@ class ZOrderSpec extends SparkSpec {
     got.foreach { case (z, a, b) => assert(z == ZOrderCode.interleave(a, b)) }
   }
 
+  test("interleaveN: 3-ary bit placement, 2-ary fast-path parity, per-dimension monotonicity") {
+    // bit i of dim j lands at position i*3 + j
+    assert(ZOrderCode.interleaveN(Array(1L, 0L, 0L)) == 1L)
+    assert(ZOrderCode.interleaveN(Array(0L, 1L, 0L)) == 2L)
+    assert(ZOrderCode.interleaveN(Array(0L, 0L, 1L)) == 4L)
+    assert(ZOrderCode.interleaveN(Array(3L, 0L, 0L)) == 9L)   // bits 0,3
+    assert(ZOrderCode.interleaveN(Array(7L, 7L, 7L)) == 511L) // 0b111111111
+    // N=2 must hit the magic-mask fast path with identical results
+    for (a <- Seq(0L, 1L, 5L, 1234567L); b <- Seq(0L, 2L, 999L))
+      assert(ZOrderCode.interleaveN(Array(a, b)) == ZOrderCode.interleave(a, b))
+    // growing one dimension (others fixed) never decreases the code
+    val base = ZOrderCode.interleaveN(Array(10L, 20L, 30L))
+    assert(ZOrderCode.interleaveN(Array(11L, 20L, 30L)) > base - 1)
+    assert(ZOrderCode.interleaveN(Array(10L, 21L, 30L)) > base - 1)
+  }
+
+  test("native N-ary expression matches scala under codegen, including null propagation") {
+    val df = (0L until 500L).map(i => (i * 7 % 61, i * 13 % 53, i * 17 % 47))
+      .toDF("a", "b", "c")
+    val got = df.select(
+      graft.functions.VecExpressions.zorderNativeN(col("a"), col("b"), col("c")).as("z"),
+      col("a"), col("b"), col("c"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (z, a, b, c) =>
+      assert(z == ZOrderCode.interleaveN(Array(a, b, c))) }
+    val withNull = Seq((Some(1L), Option.empty[Long], Some(2L)))
+      .toDF("a", "b", "c")
+      .select(graft.functions.VecExpressions
+        .zorderNativeN(col("a"), col("b"), col("c")).as("z"))
+      .as[Option[Long]].head()
+    assert(withNull.isEmpty, "null input must yield null code")
+  }
+
+  test("3-D z-ordered layout skips files on ALL THREE dimensions") {
+    val path = "/tmp/graft_test_zorder3"
+    val df = (1L to 60000L).map(i =>
+      (i % 64, (i * 31) % 64, (i * 47) % 64, i)).toDF("a", "b", "c", "id")
+    graft.pipeline.Medallion.writeZOrderedN(df, path, Seq("a", "b", "c"), 16)
+    val files = spark.read.parquet(path).inputFiles
+    assert(files.length == 16)
+    val boxes = files.map { f =>
+      spark.read.parquet(f).agg(
+        min(col("a")), max(col("a")), min(col("b")), max(col("b")),
+        min(col("c")), max(col("c")))
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+    }
+    // a corner query on each single dimension AND the 3-D corner: a
+    // one-axis sort could only ever serve its own axis
+    val cornerHit = boxes.count { case (aLo, _, bLo, _, cLo, _) =>
+      aLo < 16 && bLo < 16 && cLo < 16 }
+    assert(cornerHit <= 6,
+      s"3-D skipping too weak: $cornerHit/16 files intersect the corner; boxes=${boxes.toSeq}")
+    // per-axis ranges also prune (each axis only spans part of the files)
+    Seq[((Long, Long, Long, Long, Long, Long)) => Boolean](
+      { case (aLo, _, _, _, _, _) => aLo < 16 },
+      { case (_, _, bLo, _, _, _) => bLo < 16 },
+      { case (_, _, _, _, cLo, _) => cLo < 16 }
+    ).zipWithIndex.foreach { case (p, ax) =>
+      val hit = boxes.count(p)
+      assert(hit < 16, s"axis $ax never prunes: all 16 files intersect")
+    }
+    // correctness: the re-layout loses nothing
+    assert(spark.read.parquet(path).count() == 60000)
+    val got = spark.read.parquet(path)
+      .filter(col("a") < 16 && col("b") < 16 && col("c") < 16).count()
+    val exp = df.filter(col("a") < 16 && col("b") < 16 && col("c") < 16).count()
+    assert(got == exp)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("z-ordered layout skips files on BOTH dimensions") {
     val path = "/tmp/graft_test_zorder"
     val df = (1L to 40000L).map(i => (i % 200, (i * 31) % 200, i))
