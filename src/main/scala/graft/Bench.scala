@@ -55,14 +55,14 @@ object Bench {
     // to run with zero code change). The min is the steady-state cost —
     // the number that actually predicts cluster behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+    val repTimes = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         runCapped(spark, name, () => { fn(spark, sfDir).count(); () }, cap)
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      }
     }
+    val results = repTimes.map { case (name, ts) => name -> ts.min }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Locale.ROOT: a de_DE/fr_FR default JVM locale would print "31,300"
     // — invalid JSON, the exact parse failure the compact line exists to
@@ -76,8 +76,14 @@ object Bench {
     // line: total + the slowest queries that fit a ~1600-char budget.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Every rep, not just the min: lets a reader separate this VM's
+    // page-fault variance (one inflated rep, others steady) from a real
+    // regression (all reps slower) without re-running anything.
+    val repQs = repTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"reps":$repQs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-full] $fullLine")
     try Files.writeString(Paths.get("bench_full.json"), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }

@@ -1580,6 +1580,31 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** IS NULL probe served from log-level NULL COUNTS
+    * (GraftLog.readIsNull): customer is clustered on c_custkey with
+    * per-file stats on a nullable decimal payload (nulls confined to the
+    * low key range), and the IS NULL scan keeps only files whose
+    * recorded null count is nonzero — the probe min/max zone maps can
+    * never serve, answered from the commit log alone. Decimal also
+    * exercises the "null/ndv stats without min/max" path (zone maps
+    * encode integral/floating/text only). Oracle recomputes the null
+    * set from the raw table. */
+  private def qLogNullScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_nullscan", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") < 100, lit(null).cast(DecimalType(18, 2)))
+          .otherwise(col("c_acctbal").cast(DecimalType(18, 2))).as("bal"))
+    GraftLog.overwriteClustered(cust, base, Seq("c_custkey"), nFiles = 8,
+      statsCols = Seq("bal"))
+    GraftLog.readIsNull(s, base, "bal")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_null_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Train/test contamination sweep (TextAnalysis.contamination):
     * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
     * the train split, aggregated per language. One linear gram-keyed
@@ -1748,6 +1773,7 @@ object SparkEntry {
     "q103_quantile_gate" -> (qQuantileGate _),
     "q104_scoped_merge" -> (qScopedMerge _),
     "q105_xml_pinned" -> (qXmlPinned _),
+    "q106_log_null_scan" -> (qLogNullScan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1923,6 +1949,10 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
          CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q106_log_null_scan" ->
+      """SELECT c_nationkey, count(*) AS n_null_bal
+         FROM customer WHERE c_custkey < 100
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

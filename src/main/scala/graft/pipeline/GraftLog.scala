@@ -54,9 +54,16 @@ object GraftLog {
 
   private val mapper = new ObjectMapper()
 
-  /** Per-column zone map of one data file: [min, max] as raw JSON nodes
-    * (numeric or text — compared by node type at prune time). */
-  type FileStats = Map[String, (JsonNode, JsonNode)]
+  /** Per-column stats of one data file. `minMax` holds [min, max] as raw
+    * JSON nodes (numeric or text — compared by node type at prune time);
+    * `nullCount` additionally serves IS NULL probes (a file with 0 nulls
+    * is skipped), and `ndv` is an approximate distinct count (an
+    * OPTIMIZER signal — e.g. build-side choice — never a pruning
+    * decision, since HLL estimates can err in both directions). All
+    * three are optional: absent stats always mean "keep the file". */
+  final case class ColStats(minMax: Option[(JsonNode, JsonNode)],
+                            nullCount: Option[Long], ndv: Option[Long])
+  type FileStats = Map[String, ColStats]
 
   final case class Commit(version: Long, timestampMs: Long, operation: String,
                           add: Seq[String], remove: Seq[String],
@@ -118,10 +125,16 @@ object GraftLog {
           val f = fit.next()
           val cols = s.get(f)
           val cit = cols.fieldNames()
-          val cb = Map.newBuilder[String, (JsonNode, JsonNode)]
+          val cb = Map.newBuilder[String, ColStats]
           while (cit.hasNext) {
             val c = cit.next()
-            cb += c -> ((cols.get(c).get("min"), cols.get(c).get("max")))
+            val cn = cols.get(c)
+            val minMax = for {
+              mn <- Option(cn.get("min")); mx <- Option(cn.get("max"))
+            } yield (mn, mx)
+            cb += c -> ColStats(minMax,
+              Option(cn.get("nulls")).map(_.asLong()),
+              Option(cn.get("ndv")).map(_.asLong()))
           }
           b += f -> cb.result()
         }
@@ -226,16 +239,7 @@ object GraftLog {
       val remArr = node.putArray("remove"); remove.foreach(remArr.add)
       txnId.foreach(node.put("txnId", _))
       schemaJson.foreach(node.put("schemaJson", _))
-      if (stats.nonEmpty) {
-        val statsNode = node.putObject("stats")
-        stats.foreach { case (file, cols) =>
-          val fNode = statsNode.putObject(file)
-          cols.foreach { case (c, (mn, mx)) =>
-            val cNode = fNode.putObject(c)
-            cNode.set[JsonNode]("min", mn); cNode.set[JsonNode]("max", mx)
-          }
-        }
-      }
+      putStats(node, stats)
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
       Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
       try {
@@ -268,6 +272,25 @@ object GraftLog {
       }
     }
     -1L // unreachable
+  }
+
+  /** One serializer for per-file stats (commit AND vacuum checkpoint —
+    * a squash must not drop fields the incremental commits carried). */
+  private def putStats(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                       stats: Map[String, FileStats]): Unit = {
+    if (stats.isEmpty) return
+    val statsNode = node.putObject("stats")
+    stats.foreach { case (file, cols) =>
+      val fNode = statsNode.putObject(file)
+      cols.foreach { case (c, cs) =>
+        val cNode = fNode.putObject(c)
+        cs.minMax.foreach { case (mn, mx) =>
+          cNode.set[JsonNode]("min", mn); cNode.set[JsonNode]("max", mx)
+        }
+        cs.nullCount.foreach(cNode.put("nulls", _))
+        cs.ndv.foreach(cNode.put("ndv", _))
+      }
+    }
   }
 
   // ---------------------------------------------------------- data files
@@ -306,8 +329,10 @@ object GraftLog {
     val named = stageFiles(df, base)
     if (statsCols.isEmpty || named.isEmpty) return (named, Map.empty)
     val spark = df.sparkSession
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        count(col(c)).as(s"__cnt_$c"),
+        approx_count_distinct(col(c)).as(s"__ndv_$c")))
     val rows = spark.read.parquet(named.map(n => s"$base/$n"): _*)
       .withColumn("__file", input_file_name())
       .groupBy(col("__file"))
@@ -327,11 +352,16 @@ object GraftLog {
     val stats = rows.flatMap { r =>
       val uri = r.getString(0)
       named.find(n => uri.endsWith(n)).map { name =>
-        val cols = statsCols.flatMap { c =>
-          for {
+        val nRows = r.getAs[Long]("__rows")
+        val cols = statsCols.map { c =>
+          val minMax = for {
             mn <- toNode(r.getAs[Any](s"__min_$c"))
             mx <- toNode(r.getAs[Any](s"__max_$c"))
-          } yield c -> ((mn, mx))
+          } yield (mn, mx)
+          // null count + ndv exist even for types min/max can't encode
+          c -> ColStats(minMax,
+            Some(nRows - r.getAs[Long](s"__cnt_$c")),
+            Some(r.getAs[Long](s"__ndv_$c")))
         }.toMap
         name -> cols
       }
@@ -474,10 +504,10 @@ object GraftLog {
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val keyType = updates.schema(key).dataType
     val statless = snap.files.filter(f =>
-      snap.fileStats.get(f).flatMap(_.get(key)).isEmpty)
+      snap.fileStats.get(f).flatMap(_.get(key)).flatMap(_.minMax).isEmpty)
     val ranged = snap.files.flatMap(f =>
-      snap.fileStats.get(f).flatMap(_.get(key)).map { case (mn, mx) =>
-        (f, mn.asText(), mx.asText()) })
+      snap.fileStats.get(f).flatMap(_.get(key)).flatMap(_.minMax).map {
+        case (mn, mx) => (f, mn.asText(), mx.asText()) })
     val hit: Seq[String] =
       if (ranged.isEmpty) Seq.empty
       else {
@@ -580,12 +610,16 @@ object GraftLog {
     * footer read per file — the difference that matters at a million
     * files). */
   def overwriteClustered(df: DataFrame, base: String,
-                         clusterCols: Seq[String], nFiles: Int): Long = {
+                         clusterCols: Seq[String], nFiles: Int,
+                         statsCols: Seq[String] = Seq.empty): Long = {
     val clustered = df
       .repartitionByRange(nFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
     val head = currentVersion(base).getOrElse(0L)
-    val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
+    // statsCols: NON-cluster columns whose null-count/ndv/min-max should
+    // still ride in the log (e.g. a nullable payload probed by IS NULL)
+    val (staged, stats) =
+      stageFilesWithStats(clustered, base, (clusterCols ++ statsCols).distinct)
     val prev = if (head > 0) snapshot(base).files else Seq.empty
     commit(base, "overwrite", staged, prev, stats = stats,
       schemaJson = Some(df.schema.json),
@@ -611,11 +645,69 @@ object GraftLog {
   private def candidatesIn(snap: Snapshot, colName: String,
                            lo: Any, hi: Any): Seq[String] =
     snap.files.filter { f =>
-      snap.fileStats.get(f).flatMap(_.get(colName)) match {
+      snap.fileStats.get(f).flatMap(_.get(colName)).flatMap(_.minMax) match {
         case Some((mn, mx)) => overlaps(mn, mx, lo, hi)
         case None => true
       }
     }
+
+  /** The snapshot's files that can possibly hold NULLs of `colName`:
+    * a recorded null count of 0 proves absence; missing stats keep the
+    * file (conservative). The metadata-only answer to `WHERE col IS
+    * NULL` — the probe a min/max zone map can never serve. */
+  def candidateFilesIsNull(base: String, colName: String,
+                           version: Option[Long] = None): Seq[String] = {
+    val snap = snapshot(base, version)
+    snap.files.filter { f =>
+      snap.fileStats.get(f).flatMap(_.get(colName)).flatMap(_.nullCount) match {
+        case Some(n) => n > 0
+        case None => true
+      }
+    }
+  }
+
+  /** IS NULL scan with log-level skipping: only files whose recorded
+    * null count is nonzero (or unknown) reach the parquet reader. */
+  def readIsNull(spark: SparkSession, base: String, colName: String,
+                 version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(base, version)
+    val keep = snap.files.filter { f =>
+      snap.fileStats.get(f).flatMap(_.get(colName)).flatMap(_.nullCount) match {
+        case Some(n) => n > 0
+        case None => true
+      }
+    }
+    val reader = snap.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+    if (keep.isEmpty) snap.schemaJson match {
+      case Some(j) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None =>
+        reader.parquet(snap.files.map(f => s"$base/$f"): _*).filter(lit(false))
+    }
+    else reader.parquet(keep.map(f => s"$base/$f"): _*)
+      .filter(col(colName).isNull)
+  }
+
+  /** Log-level approximate distinct count of `colName` across the head
+    * snapshot: the SUM of per-file HLL estimates — an UPPER bound when
+    * values repeat across files, exact-ish for clustered/disjoint
+    * layouts. None if any live file lacks an ndv for the column. An
+    * optimizer signal (join-side choice, shuffle sizing) available
+    * without touching a single data file. */
+  def approxDistinct(base: String, colName: String,
+                     version: Option[Long] = None): Option[Long] = {
+    val snap = snapshot(base, version)
+    val per = snap.files.map(f =>
+      snap.fileStats.get(f).flatMap(_.get(colName)).flatMap(_.ndv))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
 
   /** Range scan with log-level data skipping: only zone-map-matching
     * files reach the parquet reader (the exact predicate still applies —
@@ -692,19 +784,10 @@ object GraftLog {
       node.putArray("remove")
       // table schema survives the squash
       baseline.schemaJson.foreach(node.put("schemaJson", _))
-      // zone maps survive the squash: pruning must not degrade after vacuum
-      if (baseline.fileStats.nonEmpty) {
-        val statsNode = node.putObject("stats")
-        baseline.fileStats.foreach { case (file, cols) =>
-          if (baseline.files.contains(file)) {
-            val fNode = statsNode.putObject(file)
-            cols.foreach { case (c, (mn, mx)) =>
-              val cNode = fNode.putObject(c)
-              cNode.set[JsonNode]("min", mn); cNode.set[JsonNode]("max", mx)
-            }
-          }
-        }
-      }
+      // zone maps (incl. null counts / ndv) survive the squash: pruning
+      // must not degrade after vacuum
+      putStats(node, baseline.fileStats.filter { case (file, _) =>
+        baseline.files.contains(file) })
       val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
       Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
       Files.move(tmp.toPath,

@@ -309,6 +309,32 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("null-count stats prune IS NULL scans; ndv is recorded; both survive vacuum") {
+    val base = freshBase("nullstats")
+    // nulls confined to the low key range; clustered on k → few files hold them
+    val df = (1L to 800L)
+      .map(i => (i, if (i <= 100) None else Some(i * 2.0))).toDF("k", "v")
+    GraftLog.overwriteClustered(df, base, Seq("k"), nFiles = 8,
+      statsCols = Seq("v"))
+    val all = GraftLog.snapshot(base).files
+    assert(all.size == 8)
+    val keep = GraftLog.candidateFilesIsNull(base, "v")
+    assert(keep.size <= 2, s"IS NULL pruning too weak: ${keep.size}/8 kept")
+    assert(GraftLog.readIsNull(spark, base, "v").count() == 100)
+    // a column with no recorded stats keeps every file (conservative)
+    assert(GraftLog.candidateFilesIsNull(base, "no_such").size == all.size)
+    // clustered files are key-disjoint → summed per-file ndv ≈ true ndv
+    val ndv = GraftLog.approxDistinct(base, "k")
+    assert(ndv.exists(n => n > 600 && n < 1000), s"ndv estimate off: $ndv")
+    // a statless append is conservatively kept; stats survive the squash
+    GraftLog.append(Seq((9001L, Option.empty[Double])).toDF("k", "v"), base)
+    GraftLog.vacuum(base, keepVersions = 1, retentionMs = 0)
+    val keepAfter = GraftLog.candidateFilesIsNull(base, "v")
+    assert(keepAfter.size <= keep.size + 1,
+      s"null-count stats lost in vacuum squash: ${keepAfter.size} kept")
+    assert(GraftLog.readIsNull(spark, base, "v").count() == 101)
+  }
+
   test("vacuum rejects keepVersions = 0 instead of crashing with an empty retained set") {
     val base = freshBase("vacuum_zero")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)

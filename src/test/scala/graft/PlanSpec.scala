@@ -73,6 +73,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast joins:\n$plan")
   }
 
+  test("q87 join graph: nation and region are broadcast build sides; no cartesian/BNLJ") {
+    // Catalyst/AQE pick q87's join order and strategies today — this pins
+    // the properties that matter so a Spark upgrade (or a stats change)
+    // can't silently regress the join graph into a shuffle of the 25-row
+    // dims or, worse, a cartesian explosion.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q87_tpch_q5")(spark, dir)
+    df.collect() // AQE: final plan exists only after execution
+    def finalOf(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(all)) ++ (p match {
+        case qs: QueryStageExec => all(qs.plan)
+        case _ => Seq.empty
+      })
+    val nodes = all(finalOf(df.queryExecution.executedPlan))
+    val names = nodes.map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      s"q87 must have no unbounded join: ${names.distinct}")
+    assert(names.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"expected >=2 broadcast joins (nation, region): ${names.distinct}")
+    // nation and region scans must sit UNDER a broadcast stage, never on
+    // a shuffled side
+    def scansUnder(p: SparkPlan): Seq[String] = all(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    val broadcastScans = nodes.collect {
+      case qs: QueryStageExec if qs.nodeName.contains("Broadcast") =>
+        scansUnder(qs.plan)
+      case e if e.nodeName.contains("BroadcastExchange") => scansUnder(e)
+    }.flatten
+    Seq("nation", "region").foreach { t =>
+      assert(broadcastScans.exists(_.contains(t)),
+        s"$t is not on a broadcast side; broadcast scans: $broadcastScans")
+    }
+  }
+
   test("q05 whole-stage codegen covers the scan-filter-agg pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = SparkEntry.queries("q05_null_filter")(spark, dir)
