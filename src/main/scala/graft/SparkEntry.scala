@@ -1605,6 +1605,45 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Dependency-ordered pipeline run (pipeline/Orchestrator — the
+    * engine-side analogue of the reference's Airflow DAG layer,
+    * airflow/dags/product_*_dag.py): bronze ingest → silver transform →
+    * gold aggregate over customer wired as three DEPENDENT tasks and
+    * executed by the scheduler (ordering, retries, upstream-failure
+    * skips, resume markers — OrchestratorSpec). The oracle recomputes
+    * the end state in SQL over the raw table, so the orchestrated
+    * pipeline's data path is row-exact-checked. */
+  private def qOrchestrated(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Medallion, Orchestrator}
+    val base = fixtureDir("orchestrated_customer", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val (bronze, silver, gold) = (s"$base/bronze", s"$base/silver", s"$base/gold")
+    val tasks = Seq(
+      Orchestrator.Task("bronze_customer") { sp =>
+        Medallion.writeOverwrite(
+          Medallion.toBronze(Tables.load(sp, dir, "customer"),
+            "tpch", "customer"), bronze)
+      },
+      Orchestrator.Task("silver_customer", deps = Seq("bronze_customer")) { sp =>
+        Medallion.writeOverwrite(
+          Medallion.toSilver(sp.read.parquet(bronze),
+            moneyCols = Seq("c_acctbal"),
+            lowercaseCols = Seq("c_mktsegment"),
+            requiredCols = Seq("c_custkey", "c_acctbal")), silver)
+      },
+      Orchestrator.Task("gold_customer", deps = Seq("silver_customer")) { sp =>
+        Medallion.writeOverwrite(
+          Medallion.toGold(sp.read.parquet(silver),
+            groupKeys = Seq(col("c_mktsegment").as("segment")),
+            aggs = Seq(
+              count(lit(1)).as("n_customers"),
+              sum(col("c_acctbal")).cast("double").as("total_acctbal"))), gold)
+      })
+    val report = Orchestrator.run(s, tasks)
+    require(report.succeeded, s"orchestrated pipeline failed: ${report.results}")
+    s.read.parquet(gold).orderBy(col("segment"))
+  }
+
   /** Train/test contamination sweep (TextAnalysis.contamination):
     * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
     * the train split, aggregated per language. One linear gram-keyed
@@ -1774,6 +1813,7 @@ object SparkEntry {
     "q104_scoped_merge" -> (qScopedMerge _),
     "q105_xml_pinned" -> (qXmlPinned _),
     "q106_log_null_scan" -> (qLogNullScan _),
+    "q107_orchestrated" -> (qOrchestrated _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1953,6 +1993,11 @@ object SparkEntry {
       """SELECT c_nationkey, count(*) AS n_null_bal
          FROM customer WHERE c_custkey < 100
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q107_orchestrated" ->
+      """SELECT lower(c_mktsegment) AS segment, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS total_acctbal
+         FROM customer WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL
+         GROUP BY segment ORDER BY segment""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,
