@@ -106,10 +106,19 @@ object Verify {
     // in-band record that every dump landed. Also mirrored to a file the
     // judge can read without re-running.
     import scala.jdk.CollectionConverters._
-    val failedNames = failed.asScala.toSeq.sorted ++ unfinished.sorted
+    // distinct: a query interrupted by shutdownNow can land in BOTH
+    // `failed` (its catch runs on interrupt) and `unfinished` (collected
+    // before the interrupt) — it is one failure, not two
+    val failedNames = (failed.asScala.toSeq ++ unfinished).distinct.sorted
+    // Bounded like Bench's stdout line: in a mass-failure run the full
+    // name list would blow past the driver's ~2000-char stdout tail and
+    // truncate the JSON head — exactly when the record matters most.
+    // The complete list is in stderr's per-query FAILED lines.
+    val shown = failedNames.take(25)
     val summary = s"""{"metric":"verify","total":$total,""" +
       s""""dumped":${total - failedNames.size},""" +
-      s""""failed":[${failedNames.map(n => "\"" + n + "\"").mkString(",")}],""" +
+      s""""failed_total":${failedNames.size},""" +
+      s""""failed":[${shown.map(n => "\"" + n + "\"").mkString(",")}],""" +
       s""""oracle_sql":${SparkEntry.oracleSql.size},"sf_dir":${q(sfDir)}}"""
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
     println(summary)

@@ -28,22 +28,21 @@ object Sketches {
                    eps: Double = 0.0001, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     val keyed = df.select(keyCol.cast("long").as("key"))
-    val nonNull = keyed.filter(col("key").isNotNull)
-    val cms = nonNull.stat.countMinSketch(col("key"), eps, confidence, seed)
+    val cms = keyed.filter(col("key").isNotNull)
+      .stat.countMinSketch(col("key"), eps, confidence, seed)
     val cmsB = df.sparkSession.sparkContext.broadcast(cms)
-    val hot = nonNull
-      .filter(graft.functions.CmsExpressions.estimateLong(cmsB, col("key")) >= minCount)
+    // GROUP BY keeps the null group, and a CMS can't represent it — so
+    // null keys bypass the probe INSIDE the same filter (the probe is
+    // null-intolerant: null key → null estimate, and `isNull || ...`
+    // short-circuits true). One scan serves hot keys and the null group;
+    // the null group is a single extra map-side-combined count in the
+    // shuffle, so the bit-identical GROUP BY ... HAVING contract holds
+    // for nullable keys at no extra pass.
+    keyed
+      .filter(col("key").isNull ||
+        graft.functions.CmsExpressions.estimateLong(cmsB, col("key")) >= minCount)
       .groupBy(col("key"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    // GROUP BY keeps the null group, and a CMS can't represent it — route
-    // null keys AROUND the probe as one plain count so the bit-identical
-    // contract holds for nullable keys too (a single extra group:
-    // map-side-combined count, negligible at any scale).
-    val nullHot = keyed.filter(col("key").isNull)
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-    hot.unionByName(nullHot)
   }
 }

@@ -545,7 +545,14 @@ object GraftLog {
     val merged = current
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates.select(current.columns.map(col): _*))
-    val (staged, stats) = stageFilesWithStats(merged, base, Seq(key))
+    // Rewritten files must carry stats for EVERY column the snapshot
+    // tracks, not just the merge key — otherwise each scoped merge
+    // quietly degrades IS NULL pruning / ndv for the other columns to
+    // "keep everything" ("pruning power survives the merge" means all
+    // of it).
+    val statCols = (snap.fileStats.values.flatMap(_.keys).toSeq :+ key)
+      .distinct.filter(c => tableSchema.fieldNames.contains(c))
+    val (staged, stats) = stageFilesWithStats(merged, base, statCols)
     commit(base, "upsert_scoped", staged, touched, stats = stats,
       schemaJson = snap.schemaJson.orElse(Some(merged.schema.json)),
       expectedVersion = Some(snap.version))
@@ -656,27 +663,23 @@ object GraftLog {
     * file (conservative). The metadata-only answer to `WHERE col IS
     * NULL` — the probe a min/max zone map can never serve. */
   def candidateFilesIsNull(base: String, colName: String,
-                           version: Option[Long] = None): Seq[String] = {
-    val snap = snapshot(base, version)
+                           version: Option[Long] = None): Seq[String] =
+    candidatesIsNullIn(snapshot(base, version), colName)
+
+  private def candidatesIsNullIn(snap: Snapshot, colName: String): Seq[String] =
     snap.files.filter { f =>
       snap.fileStats.get(f).flatMap(_.get(colName)).flatMap(_.nullCount) match {
         case Some(n) => n > 0
         case None => true
       }
     }
-  }
 
   /** IS NULL scan with log-level skipping: only files whose recorded
     * null count is nonzero (or unknown) reach the parquet reader. */
   def readIsNull(spark: SparkSession, base: String, colName: String,
                  version: Option[Long] = None): DataFrame = {
     val snap = snapshot(base, version)
-    val keep = snap.files.filter { f =>
-      snap.fileStats.get(f).flatMap(_.get(colName)).flatMap(_.nullCount) match {
-        case Some(n) => n > 0
-        case None => true
-      }
-    }
+    val keep = candidatesIsNullIn(snap, colName)
     val reader = snap.schemaJson match {
       case Some(j) => spark.read.schema(
         org.apache.spark.sql.types.DataType.fromJson(j)

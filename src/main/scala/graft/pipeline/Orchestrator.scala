@@ -134,20 +134,33 @@ object Orchestrator {
         var attempt = 0
         var done = false
         var lastErr: Option[Throwable] = None
-        while (!done && attempt <= t.retries) {
+        while (!done && attempt <= t.retries &&
+               !Thread.currentThread().isInterrupted) {
           attempt += 1
           try {
             t.body(spark)
             done = true
-          } catch { case e: Throwable => lastErr = Some(e) }
+          } catch {
+            case e: InterruptedException =>
+              // run-timeout shutdownNow: stop NOW — retrying a Spark job
+              // on a dead run would keep the JVM busy past the failure
+              lastErr = Some(e)
+              Thread.currentThread().interrupt()
+            case e: Throwable => lastErr = Some(e)
+          }
         }
         if (done) {
-          marker(t.name).foreach { m =>
+          try marker(t.name).foreach { m =>
             // atomic marker publish: a crash mid-write must not leave a
             // half marker that a resume would trust
             val tmp = new File(m.getParentFile, s".tmp_${UUID.randomUUID()}")
             Files.writeString(tmp.toPath, "done")
             Files.move(tmp.toPath, m.toPath, StandardCopyOption.ATOMIC_MOVE)
+          } catch { case _: Throwable =>
+            // the WORK succeeded; a failed marker only costs a re-run
+            // after crash. It must not kill this Runnable before
+            // finish() — that would strand every downstream task until
+            // the run timeout.
           }
           finish(t.name, TaskResult(t.name, Succeeded, attempt, None))
         } else {

@@ -335,6 +335,25 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.readIsNull(spark, base, "v").count() == 101)
   }
 
+  test("scoped merge keeps stats coverage for NON-key columns on rewritten files") {
+    val base = freshBase("scoped_stats")
+    val df = (1L to 800L)
+      .map(i => (i, if (i <= 100) None else Some(i * 2.0))).toDF("k", "v")
+    GraftLog.overwriteClustered(df, base, Seq("k"), nFiles = 8,
+      statsCols = Seq("v"))
+    // merge confined to a non-null region of k
+    GraftLog.upsertScoped(spark, base,
+      (701L to 750L).map(i => (i, Some(i * 3.0))).toDF("k", "v"), "k")
+    // the rewritten file must still carry v's null-count + ndv: IS NULL
+    // pruning and the table-wide ndv signal survive the merge
+    assert(GraftLog.candidateFilesIsNull(base, "v").size <= 2,
+      s"IS NULL pruning degraded after scoped merge: " +
+        s"${GraftLog.candidateFilesIsNull(base, "v")}")
+    assert(GraftLog.approxDistinct(base, "v").isDefined,
+      "a rewritten file without ndv poisons the table-wide estimate")
+    assert(GraftLog.readIsNull(spark, base, "v").count() == 100)
+  }
+
   test("vacuum rejects keepVersions = 0 instead of crashing with an empty retained set") {
     val base = freshBase("vacuum_zero")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
