@@ -1644,6 +1644,35 @@ object SparkEntry {
     s.read.parquet(gold).orderBy(col("segment"))
   }
 
+  /** graft-log SQL surface + time travel ACROSS versions in one SQL
+    * query (GraftLog.registerView): supplier becomes a graft-log table,
+    * an upsert bumps it to v2, and plain `spark.sql` joins the CURRENT
+    * view against the v1 time-travel view to compute the per-nation
+    * balance delta the upsert introduced. The oracle derives the same
+    * delta from the raw table, so snapshot isolation across versions is
+    * row-exact-checked through the SQL surface. */
+  private def qLogSql(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_sql_supplier", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+    GraftLog.overwrite(sup, base)
+    GraftLog.upsert(s, base, sup.filter(col("s_suppkey") % 5 === 0)
+      .withColumn("acctbal",
+        (col("acctbal") + lit(50)).cast(DecimalType(18, 2))),
+      Seq("s_suppkey"))
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    GraftLog.registerView(s, s"graft_sup_cur_$tag", base)
+    GraftLog.registerView(s, s"graft_sup_v1_$tag", base, version = Some(1))
+    s.sql(s"""SELECT cur.s_nationkey, count(*) AS n_suppliers,
+                CAST(sum(cur.acctbal - old.acctbal) AS DOUBLE) AS delta
+              FROM graft_sup_cur_$tag cur
+              JOIN graft_sup_v1_$tag old ON cur.s_suppkey = old.s_suppkey
+              GROUP BY cur.s_nationkey ORDER BY cur.s_nationkey""")
+  }
+
   /** Train/test contamination sweep (TextAnalysis.contamination):
     * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
     * the train split, aggregated per language. One linear gram-keyed
@@ -1814,6 +1843,7 @@ object SparkEntry {
     "q105_xml_pinned" -> (qXmlPinned _),
     "q106_log_null_scan" -> (qLogNullScan _),
     "q107_orchestrated" -> (qOrchestrated _),
+    "q108_log_sql_timetravel" -> (qLogSql _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1998,6 +2028,12 @@ object SparkEntry {
          CAST(sum(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS total_acctbal
          FROM customer WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL
          GROUP BY segment ORDER BY segment""",
+    "q108_log_sql_timetravel" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(CASE WHEN s_suppkey % 5 = 0
+           THEN CAST(50 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+           AS DOUBLE) AS delta
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

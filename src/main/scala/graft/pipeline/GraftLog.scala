@@ -490,7 +490,32 @@ object GraftLog {
     * subset and carries the snapshot's version as its read dependency
     * (a concurrent commit conflicts instead of tearing). */
   def upsertScoped(spark: SparkSession, base: String, updates0: DataFrame,
-                   key: String): Long = {
+                   key: String, txnId: Option[String] = None,
+                   maxConflictRetries: Int = 5): Long = {
+    txnId.foreach { id =>
+      // replay of an already-committed merge: answer from the log,
+      // touch nothing (the idempotence streaming sinks build on)
+      commits(base).find(_.txnId.contains(id)).foreach(c => return c.version)
+    }
+    var attempt = 0
+    while (true) {
+      try return upsertScopedOnce(spark, base, updates0, key, txnId)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a commit landed between our snapshot and our commit: the
+          // whole prune+merge was computed against a stale file set —
+          // recompute from the new head (staged orphans are swept by
+          // vacuum, same as any torn writer)
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def upsertScopedOnce(spark: SparkSession, base: String,
+                               updates0: DataFrame, key: String,
+                               txnId: Option[String]): Long = {
     import org.apache.spark.sql.types.StructType
     val snap = snapshot(base)
     // Conform updates to the TABLE schema (implicit-cast MERGE semantics):
@@ -554,6 +579,7 @@ object GraftLog {
       .distinct.filter(c => tableSchema.fieldNames.contains(c))
     val (staged, stats) = stageFilesWithStats(merged, base, statCols)
     commit(base, "upsert_scoped", staged, touched, stats = stats,
+      txnId = txnId,
       schemaJson = snap.schemaJson.orElse(Some(merged.schema.json)),
       expectedVersion = Some(snap.version))
   }
@@ -744,6 +770,15 @@ object GraftLog {
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     }
   }
+
+  /** Register a snapshot as a temp view, making the table (or any
+    * time-travel version of it) reachable from plain `spark.sql` —
+    * the SQL surface Delta exposes as `table@v123`. The view pins the
+    * file list at registration; re-register to follow the head. */
+  def registerView(spark: SparkSession, name: String, base: String,
+                   version: Option[Long] = None,
+                   asOfTimestampMs: Option[Long] = None): Unit =
+    read(spark, base, version, asOfTimestampMs).createOrReplaceTempView(name)
 
   /** Delete data files no snapshot in the retained history references
     * (keeps the last `keepVersions` commits' log entries AND every file

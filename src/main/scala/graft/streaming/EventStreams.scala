@@ -247,6 +247,49 @@ object EventStreams {
     }
   }
 
+  /** Micro-batch CDC MERGE into a graft-log table: each batch UPSERTS by
+    * `key` via the partition-scoped merge (`GraftLog.upsertScoped` — only
+    * files whose zone-map range holds a batch key rewrite), with
+    * txnId = (checkpoint, batchId) so a batch replayed after a crash
+    * between the table commit and the offset commit is recognized and
+    * skipped. This is the incremental-CDC sink shape at 100 TB: a
+    * clustered table absorbs a localized update stream by rewriting a
+    * handful of files per batch, exactly once.
+    *
+    * With `seqCol`, multiple updates for one key WITHIN a batch collapse
+    * to the highest-sequence row first (CDC streams deliver ordered
+    * changes; a MERGE source must be key-unique). Without it, the caller
+    * guarantees per-batch key uniqueness. */
+  def streamMergeGraftLog(stream: DataFrame, base: String, key: String,
+                          seqCol: Option[String] = None,
+                          checkpoint: Option[String] = None): Unit = {
+    val ephemeral = checkpoint.isEmpty
+    val ckpt = checkpoint.getOrElse(
+      s"/dev/shm/graft_logmerge_ckpt_${java.util.UUID.randomUUID()}")
+    try {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val unique = seqCol match {
+            case Some(sc) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(key)).orderBy(col(sc).desc)
+              batch.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn")
+            case None => batch
+          }
+          graft.pipeline.GraftLog.upsertScoped(batch.sparkSession, base,
+            unique, key, txnId = Some(s"$ckpt#$batchId"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      if (ephemeral)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Incrementally-maintained gold aggregate via foreachBatch: each
     * micro-batch computes a partial (count, exact-decimal sum) per key
     * and merges it into the running gold table by union + re-aggregation

@@ -101,6 +101,41 @@ class GraftLogSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
   }
 
+  test("streamMergeGraftLog: CDC batches merge exactly once, collapsing intra-batch updates, sparing unhit files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = freshBase("stream_merge")
+    val ckpt = "/tmp/graft_test_log_stream_merge_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+    GraftLog.overwriteClustered((1L to 100L).map(i => (i, s"v$i"))
+      .toDF("k", "x"), base, Seq("k"), nFiles = 4)
+    val filesBefore = GraftLog.snapshot(base).files.toSet
+    // two updates for k=5 in ONE batch (seq decides), plus an insert
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData((5L, "stale", 1L), (5L, "fresh", 2L), (200L, "new", 1L))
+    graft.streaming.EventStreams.streamMergeGraftLog(
+      mem.toDF().toDF("k", "x", "seq"), base, "k",
+      seqCol = Some("seq"), checkpoint = Some(ckpt))
+    val out = GraftLog.read(spark, base)
+    assert(out.count() == 101)
+    assert(out.filter(col("k") === 5L).select("x").head().getString(0) == "fresh")
+    // scoped: only the file holding k=5 was rewritten (k=200 is an insert)
+    val survivors = filesBefore.intersect(GraftLog.snapshot(base).files.toSet)
+    assert(survivors.size == 3, s"scoped stream merge rewrote too much: $survivors")
+    val vAfterFirst = GraftLog.currentVersion(base)
+    // crash window: offsets wiped, table commit survived → batch 0 replays
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+    val replay = MemoryStream[(Long, String, Long)]
+    replay.addData((5L, "stale", 1L), (5L, "fresh", 2L), (200L, "new", 1L))
+    graft.streaming.EventStreams.streamMergeGraftLog(
+      replay.toDF().toDF("k", "x", "seq"), base, "k",
+      seqCol = Some("seq"), checkpoint = Some(ckpt))
+    assert(GraftLog.currentVersion(base) == vAfterFirst,
+      "replayed merge batch must be a no-op")
+    assert(GraftLog.read(spark, base).count() == 101)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+  }
+
   test("zone maps in the commit log prune files for range scans, surviving compact-free appends and vacuum") {
     val base = freshBase("zonemap")
     val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "x")
