@@ -1673,6 +1673,34 @@ object SparkEntry {
               GROUP BY cur.s_nationkey ORDER BY cur.s_nationkey""")
   }
 
+  /** Incremental small-file compaction (GraftLog.compactIncremental —
+    * the OPTIMIZE pass for incremental sinks): events lands in one
+    * right-sized clustered base plus three small per-"batch" appends (the
+    * shape a streaming merge leaves behind), then only the small tail is
+    * bin-packed — the base files survive the commit untouched (asserted
+    * in GraftLogSpec). Oracle aggregates the raw table: three commits,
+    * a fold, and a snapshot read must lose or duplicate nothing. */
+  private def qLogCompactIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_compact_inc", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("value"))
+    GraftLog.overwriteClustered(ev.filter(col("event_id") % 10 =!= 0), base,
+      Seq("event_id"), nFiles = 4)
+    (0 to 2).foreach { i =>
+      GraftLog.append(ev.filter(col("event_id") % 30 === i * 10), base)
+    }
+    GraftLog.compactIncremental(s, base,
+      minBytes = 512 * 1024, targetRowsPerFile = 1000000L)
+    GraftLog.read(s, base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Train/test contamination sweep (TextAnalysis.contamination):
     * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
     * the train split, aggregated per language. One linear gram-keyed
@@ -1844,6 +1872,7 @@ object SparkEntry {
     "q106_log_null_scan" -> (qLogNullScan _),
     "q107_orchestrated" -> (qOrchestrated _),
     "q108_log_sql_timetravel" -> (qLogSql _),
+    "q109_log_compact_inc" -> (qLogCompactIncremental _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2034,6 +2063,10 @@ object SparkEntry {
            THEN CAST(50 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
            AS DOUBLE) AS delta
          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q109_log_compact_inc" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

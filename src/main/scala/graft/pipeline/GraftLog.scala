@@ -575,8 +575,7 @@ object GraftLog {
     // quietly degrades IS NULL pruning / ndv for the other columns to
     // "keep everything" ("pruning power survives the merge" means all
     // of it).
-    val statCols = (snap.fileStats.values.flatMap(_.keys).toSeq :+ key)
-      .distinct.filter(c => tableSchema.fieldNames.contains(c))
+    val statCols = trackedStatCols(snap, tableSchema.fieldNames.toSeq, Seq(key))
     val (staged, stats) = stageFilesWithStats(merged, base, statCols)
     commit(base, "upsert_scoped", staged, touched, stats = stats,
       txnId = txnId,
@@ -769,6 +768,58 @@ object GraftLog {
       reader.parquet(keep.map(f => s"$base/$f"): _*)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     }
+  }
+
+  /** Every column any live file tracks stats for (plus `extra`),
+    * restricted to columns that exist in the current schema — the set a
+    * file-rewriting operation must re-collect so pruning power never
+    * degrades behind the caller's back. */
+  private def trackedStatCols(snap: Snapshot, schemaFields: Seq[String],
+                              extra: Seq[String]): Seq[String] =
+    (snap.fileStats.values.flatMap(_.keys).toSeq ++ extra)
+      .distinct.filter(schemaFields.contains)
+
+  /** Incremental small-file compaction: fold only files smaller than
+    * `minBytes` into ⌈rows/targetRowsPerFile⌉ right-sized ones; every
+    * file already at a healthy size SURVIVES the commit untouched. This
+    * is the maintenance pass an incremental sink needs — a streaming
+    * merge/append lands one small file per micro-batch, and full
+    * `compact` would rewrite the whole table to fix a day of batches
+    * (Delta's OPTIMIZE shape: bin-pack the small tail only). Size comes
+    * from the file listing (one metadata call per file — what an object
+    * store's LIST already returns); rewritten files re-collect stats for
+    * every tracked column. */
+  def compactIncremental(spark: SparkSession, base: String,
+                         minBytes: Long, targetRowsPerFile: Long): Long = {
+    val snap = snapshot(base)
+    val small = snap.files.filter(f => new File(base, f).length() < minBytes)
+    if (small.size <= 1) return snap.version // nothing to fold
+    val reader = snap.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+    val smallDf = reader.parquet(small.map(f => s"$base/$f"): _*)
+    val n = smallDf.count()
+    val nFiles = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val statCols = trackedStatCols(snap,
+      smallDf.schema.fieldNames.toSeq, Seq.empty)
+    val (staged, stats) =
+      stageFilesWithStats(smallDf.repartition(nFiles), base, statCols)
+    commit(base, "compact_incremental", staged, small, stats = stats,
+      expectedVersion = Some(snap.version))
+  }
+
+  /** The commit history as a DataFrame — version, wall-clock, operation,
+    * file add/remove counts, txn marker (Delta's DESCRIBE HISTORY).
+    * Metadata-scale: one row per commit, straight from the log. */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    commits(base).map(c => (c.version, c.timestampMs, c.operation,
+      c.add.size, c.remove.size, c.txnId))
+      .toDF("version", "timestamp_ms", "operation", "n_added", "n_removed",
+        "txn_id")
   }
 
   /** Register a snapshot as a temp view, making the table (or any

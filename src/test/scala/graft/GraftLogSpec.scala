@@ -389,6 +389,42 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.readIsNull(spark, base, "v").count() == 100)
   }
 
+  test("incremental compaction folds only the small-file tail; healthy files survive by name") {
+    val base = freshBase("compact_inc")
+    GraftLog.overwriteClustered((1L to 5000L).map(i => (i, s"v$i"))
+      .toDF("k", "x"), base, Seq("k"), nFiles = 2)
+    val big = GraftLog.snapshot(base).files.toSet
+    // three tiny per-batch appends — the debris an incremental sink leaves
+    (1 to 3).foreach(i =>
+      GraftLog.append(Seq((10000L + i, s"s$i")).toDF("k", "x"), base))
+    assert(GraftLog.snapshot(base).files.size == 5)
+    GraftLog.compactIncremental(spark, base,
+      minBytes = 16 * 1024, targetRowsPerFile = 1000L)
+    val after = GraftLog.snapshot(base).files.toSet
+    assert(big.subsetOf(after), "healthy files must survive untouched")
+    assert(after.size == 3, s"small tail must fold into one file: $after")
+    assert(GraftLog.read(spark, base).count() == 5003)
+    // a second pass is a no-op (<=1 small file left)
+    val v = GraftLog.currentVersion(base)
+    GraftLog.compactIncremental(spark, base, 16 * 1024, 1000L)
+    assert(GraftLog.currentVersion(base) == v)
+    // zone maps on the big clustered files still prune range scans
+    assert(GraftLog.candidateFiles(base, "k", 1L, 10L).size < 3)
+  }
+
+  test("history lists every commit with operation and file deltas") {
+    val base = freshBase("history")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
+    GraftLog.append(Seq((2L, "b")).toDF("k", "x"), base, txnId = Some("t1"))
+    GraftLog.upsert(spark, base, Seq((1L, "a2")).toDF("k", "x"), Seq("k"))
+    val h = GraftLog.history(spark, base)
+      .select("version", "operation", "txn_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_._2).toSeq == Seq("overwrite", "append", "upsert"))
+    assert(h(1)._3.contains("t1"))
+  }
+
   test("vacuum rejects keepVersions = 0 instead of crashing with an empty retained set") {
     val base = freshBase("vacuum_zero")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
