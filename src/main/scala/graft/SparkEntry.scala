@@ -1701,6 +1701,25 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Data-quality expectations (pipeline/Quality — the real version of
+    * the reference's constant `data_quality_check="passed"` audit
+    * column): five constraint kinds over orders, every row-local +
+    * uniqueness check folded into ONE aggregation pass, referential
+    * integrity as one broadcast anti-join. The oracle recomputes each
+    * violation count in SQL, so the whole expectations engine is
+    * value-exact cross-engine. */
+  private def qDataQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Quality
+    Quality.check(Tables.load(s, dir, "orders"), Seq(
+      Quality.NotNull("o_orderkey"),
+      Quality.InRange("o_totalprice", 0.0, 100000.0),
+      Quality.MatchesRegex("o_orderpriority", "^[1-5]-"),
+      Quality.Unique(Seq("o_custkey")),
+      Quality.RefIntegrity("o_custkey", Tables.load(s, dir, "customer"),
+        "c_custkey")))
+      .orderBy(col("cname"))
+  }
+
   /** Train/test contamination sweep (TextAnalysis.contamination):
     * doc_id%10==0 is the "test" split; distinct 5-gram overlap against
     * the train split, aggregated per language. One linear gram-keyed
@@ -1873,6 +1892,7 @@ object SparkEntry {
     "q107_orchestrated" -> (qOrchestrated _),
     "q108_log_sql_timetravel" -> (qLogSql _),
     "q109_log_compact_inc" -> (qLogCompactIncremental _),
+    "q110_data_quality" -> (qDataQuality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2067,6 +2087,24 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q110_data_quality" ->
+      """WITH s AS (SELECT
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS ir,
+           CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS mr,
+           CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) AS uq
+         FROM orders),
+         r AS (SELECT CAST(count(*) AS BIGINT) AS ri FROM orders
+               WHERE o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         u AS (
+           SELECT 'in_range(o_totalprice)' AS cname, ir AS n_violations FROM s
+           UNION ALL SELECT 'matches_regex(o_orderpriority)', mr FROM s
+           UNION ALL SELECT 'not_null(o_orderkey)', nn FROM s
+           UNION ALL SELECT 'ref_integrity(o_custkey)', ri FROM r
+           UNION ALL SELECT 'unique(o_custkey)', uq FROM s)
+         SELECT cname, n_violations, n_violations = 0 AS passed
+         FROM u ORDER BY cname""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,
