@@ -110,6 +110,20 @@ object Quality {
       .withColumn("passed", col("n_violations") === 0L)
   }
 
+  /** Throw unless every constraint passes — the task-body form: inside
+    * an `Orchestrator.Task`, a failed gate fails the task and the
+    * scheduler skips everything downstream of the bad data (the
+    * fail-the-DAG-not-the-lake pattern). */
+  def gate(df: DataFrame, constraints: Seq[Constraint]): Unit = {
+    val bad = check(df, constraints)
+      .filter(!col("passed"))
+      .select(col("cname"), col("n_violations"))
+      .collect() // bounded by constraint count
+    if (bad.nonEmpty)
+      throw new IllegalStateException("data-quality gate failed: " +
+        bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+  }
+
   /** Split into (clean, quarantine) on the ROW-LOCAL constraints —
     * map-only, no shuffle. Quarantined rows carry a `violations` array
     * naming every constraint they break (the audit trail a reprocessing

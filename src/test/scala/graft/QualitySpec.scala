@@ -45,6 +45,31 @@ class QualitySpec extends SparkSpec {
     assert(got.filter(!col("passed")).count() == 0)
   }
 
+  test("a failed quality gate fails its orchestrator task and skips downstream") {
+    import graft.pipeline.Orchestrator
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val tasks = Seq(
+      Orchestrator.Task("validate_silver") { _ =>
+        Quality.gate(frame, Seq(NotNull("id")))
+      },
+      Orchestrator.Task("publish_gold", deps = Seq("validate_silver")) { _ =>
+        ran.add("gold")
+      })
+    val report = Orchestrator.run(spark, tasks)
+    assert(report.results("validate_silver").status == Orchestrator.Failed)
+    assert(report.results("validate_silver").error
+      .exists(_.getMessage.contains("not_null(id)=1")))
+    assert(report.results("publish_gold").status == Orchestrator.Skipped)
+    assert(ran.isEmpty, "gold must not publish on bad silver")
+    // and a clean gate lets the pipeline through
+    val ok = Orchestrator.run(spark, Seq(
+      Orchestrator.Task("validate") { _ =>
+        Quality.gate(Seq((1L, 2.0)).toDF("id", "price"), Seq(NotNull("id")))
+      },
+      Orchestrator.Task("publish", deps = Seq("validate"))(_ => ran.add("ok"))))
+    assert(ok.succeeded && ran.size == 1)
+  }
+
   test("split quarantines row-local violators with a named audit trail") {
     val (clean, bad) = Quality.split(frame, Seq(
       NotNull("id"),
