@@ -1780,6 +1780,24 @@ object SparkEntry {
       .orderBy(col("q"))
   }
 
+  /** Near-dup clustering end-to-end: portable minhash-LSH pairs
+    * (q92's oracle-checked pipeline) closed into CLUSTERS by
+    * Dedup.connectedComponents (neighbor-min + pointer doubling,
+    * O(log diameter) rounds), then summarized per cluster. This is the
+    * step a dedup pipeline needs between "pairs" and "keep one doc per
+    * group" — chains (A~B~C without A~C) collapse correctly. Fully
+    * oracle-checked: DuckDB reproduces the pairs and closes them with a
+    * recursive CTE. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashPortablePairs(
+        Tables.load(s, dir, "documents"), col("doc_id"), col("text"),
+        bands = 4),
+      "id_a", "id_b")
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      .orderBy(col("component"))
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1893,6 +1911,7 @@ object SparkEntry {
     "q108_log_sql_timetravel" -> (qLogSql _),
     "q109_log_compact_inc" -> (qLogCompactIncremental _),
     "q110_data_quality" -> (qDataQuality _),
+    "q111_dedup_clusters" -> (qDedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2105,6 +2124,33 @@ object SparkEntry {
            UNION ALL SELECT 'unique(o_custkey)', uq FROM s)
          SELECT cname, n_violations, n_violations = 0 AS passed
          FROM u ORDER BY cname""",
+    "q111_dedup_clusters" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, b,
+             list_min(list_transform(s,
+               x -> substr(md5(x || '|' || CAST(b AS VARCHAR)), 1, 8))) AS sig
+           FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+           WHERE len(s) > 0),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           FROM sigs a JOIN sigs b2
+             ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         cc AS (
+           SELECT DISTINCT src AS node, src AS comp FROM edges
+           UNION
+           SELECT e.dst AS node, cc.comp FROM cc
+           JOIN edges e ON e.src = cc.node WHERE cc.comp < e.dst),
+         lab AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
+         SELECT component, count(*) AS n_docs, max(node) AS max_doc
+         FROM lab GROUP BY component ORDER BY component""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

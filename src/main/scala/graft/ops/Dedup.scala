@@ -180,4 +180,134 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Connected components over a pair list — the step that turns
+    * near-duplicate PAIRS (minhash/simhash output) into dedup CLUSTERS,
+    * so "keep one doc per cluster" is well-defined even when duplicates
+    * chain (A~B, B~C but A!~C must still collapse to one kept doc).
+    * Returns (node, comp) where comp is the minimum node id reachable
+    * from node; every node appearing in `edges` gets a row.
+    *
+    * Scale design (100 TB) — size-adaptive, the same philosophy AQE
+    * applies to join strategy. The symmetrized edge list is
+    * materialized once (the loop would otherwise recompute the whole
+    * upstream LSH pipeline every round) and counted:
+    *  - edges ≤ `smallGraphThreshold` (default 2^21 ≈ 2M pairs, a
+    *    bounded ~64 MB of driver heap): one collect + path-compressed
+    *    union-find. A dedup graph AFTER LSH bucketing is sparse — pairs
+    *    are candidate duplicates, a tiny fraction of the corpus — so
+    *    this is the common case, and it replaces O(log d) shuffle
+    *    rounds with a single job.
+    *  - larger graphs run alternating neighbor-min propagation and
+    *    pointer doubling (comp ← comp's comp), the MapReduce-CC recipe
+    *    (cf. Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond", SoCC'14). Each round is two key-partitioned equijoins
+    *    and a groupBy-min — ordinary shuffles, no driver-side graph
+    *    state — and pointer doubling compresses label chains so a
+    *    component of diameter d converges in O(log d) rounds instead
+    *    of d. Lineage is truncated with an eager localCheckpoint each
+    *    round (swap for a reliable checkpoint dir on a multi-executor
+    *    cluster); the convergence probe is a scalar count, not a
+    *    collect. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 25,
+                          smallGraphThreshold: Long = 1L << 21): DataFrame = {
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    // materialize the symmetrized edge list ONCE — the loop joins it
+    // every round, and an unmaterialized `edges` lineage (e.g. a whole
+    // LSH pipeline) would be recomputed per round otherwise
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodeType = und.schema("src").dataType
+    if (und.count() <= smallGraphThreshold) {
+      import scala.jdk.CollectionConverters._
+      val spark = edges.sparkSession
+      // collect is bounded by the threshold we just checked
+      val collected = und.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      collected.foreach { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = collected.iterator.map(_.get(0)).toSet // symmetric: covers both endpoints
+      val out = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+      und.unpersist()
+      return spark.createDataFrame(
+        new java.util.ArrayList(out.asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("comp", nodeType))))
+    }
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var iter = 0
+    while (iter < maxIter) {
+      val roundT0 = System.nanoTime()
+      // neighbor-min: node takes min(own comp, every neighbor's comp).
+      // The node's own row also carries its current comp as `prev`, so
+      // convergence is decided from the materialized round itself — no
+      // extra probe join against the previous labels.
+      val viaNeighbors = und
+        .join(labels.select(col("node").as("dst"), col("comp")), "dst")
+        .select(col("src").as("node"), col("comp"),
+          lit(null).cast(nodeType).as("prev"))
+      val m1 = labels
+        .select(col("node"), col("comp"), col("comp").as("prev"))
+        .unionByName(viaNeighbors)
+        .groupBy("node").agg(min("comp").as("comp"), max("prev").as("prev"))
+      // pointer doubling: comp ← its own current comp (comp values are
+      // node ids and every node has a row in m1, so the lookup is total;
+      // left+coalesce only guards the same-row self-reference)
+      val next = m1
+        .join(m1.select(col("node").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
+          col("prev"))
+        .localCheckpoint()
+      val changed = next.filter(col("comp") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next // checkpointed; the stray `prev` column is projected
+                    // away at the two use sites and on return
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(f"[cc] round $iter changed=$changed " +
+          f"t=${(System.nanoTime() - roundT0) / 1e9}%.2fs")
+      if (changed == 0) {
+        und.unpersist()
+        return labels.select(col("node"), col("comp"))
+      }
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(pointer doubling converges in O(log diameter) — raise maxIter " +
+        "only if the graph's diameter genuinely exceeds 2^maxIter)")
+  }
+
+  /** Canonical-doc selection for a corpus given its near-dup pairs:
+    * every doc gets its cluster id (`component` = min doc id in the
+    * cluster, the doc's own id when it is in no pair) and an
+    * `is_canonical` flag marking the single row per cluster a training
+    * pipeline keeps. One CC run plus one key-partitioned join. */
+  def dedupClusters(docs: DataFrame, id: Column, pairs: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, idA, idB)
+      .withColumnRenamed("node", "__cc_id")
+    docs.withColumn("__cc_id", id)
+      .join(cc, Seq("__cc_id"), "left")
+      .withColumn("component", coalesce(col("comp"), col("__cc_id")))
+      .withColumn("is_canonical", col("component") === col("__cc_id"))
+      .drop("comp", "__cc_id")
+  }
 }
