@@ -1798,6 +1798,100 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
       .orderBy(col("component"))
 
+  /** graft-log DELETE (q112): a range delete scoped by commit-log zone
+    * maps (interior files of the clustered layout drop with NO rewrite —
+    * a pure metadata delete; only boundary files rewrite their
+    * survivors), then an unscoped predicate delete on a non-clustered
+    * column (full census scan). Oracle = the same table filtered with
+    * WHERE NOT — DELETE is SQL-expressible end to end. */
+  private def qLogDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_delete_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"), nFiles = 8)
+    GraftLog.delete(s, base,
+      col("o_orderkey") >= 1000 && col("o_orderkey") <= 3000,
+      scope = Some(("o_orderkey", 1000, 3000)))
+    GraftLog.delete(s, base, col("o_custkey") % 7 === 3)
+    GraftLog.read(s, base)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Change-data-feed accounting (q113): merge + delete history read
+    * back as a file-diff feed, aggregated to per-bucket NET effects
+    * (insert = +1, delete = −1). Carried-over rows of rewritten files
+    * appear as delete+insert pairs and cancel exactly, so the net equals
+    * final-state-minus-initial-state — which is what the DuckDB oracle
+    * computes directly, making the feed's accounting fully checkable.
+    * Zero-net buckets are filtered on both sides (a bucket whose files
+    * were never touched produces no feed rows at all). */
+  private def qLogCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_cdf_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val v0 = GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"),
+      nFiles = 8)
+    val updates = ords.filter(col("o_orderkey") <= 2000)
+      .withColumn("totalprice",
+        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
+    GraftLog.delete(s, base,
+      col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
+      scope = Some(("o_orderkey", 5000, 8000)))
+    GraftLog.readChangeFeed(s, base, fromVersion = v0 + 1)
+      .withColumn("sign",
+        when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
+      .groupBy((col("o_orderkey") % 50).as("bucket"))
+      .agg(sum(col("sign")).as("net_rows"),
+        sum(col("totalprice") * col("sign")).as("net_price_dec"))
+      .filter(col("net_rows") =!= 0 || col("net_price_dec") =!= 0)
+      .select(col("bucket"), col("net_rows"),
+        col("net_price_dec").cast("double").as("net_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Exact snapshot diff (q114): the same merge + delete history, but
+    * read back with diffSnapshots — one full-outer join keyed on
+    * o_orderkey classifying every changed key as insert / update /
+    * delete (null-safe payload compare; carried-over identical rows
+    * produce NO row, unlike the file-diff feed). Oracle reconstructs
+    * the three classes from the update/delete definitions directly. */
+  private def qLogDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_diff_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val v0 = GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"),
+      nFiles = 8)
+    val updates = ords.filter(col("o_orderkey") <= 2000)
+      .withColumn("totalprice",
+        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
+    GraftLog.delete(s, base,
+      col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
+      scope = Some(("o_orderkey", 5000, 8000)))
+    GraftLog.diffSnapshots(s, base, Seq("o_orderkey"), v0)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("totalprice")).cast("double").as("sum_price"))
+      .orderBy(col("_change_type"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1912,6 +2006,9 @@ object SparkEntry {
     "q109_log_compact_inc" -> (qLogCompactIncremental _),
     "q110_data_quality" -> (qDataQuality _),
     "q111_dedup_clusters" -> (qDedupClusters _),
+    "q112_log_delete" -> (qLogDelete _),
+    "q113_log_cdf" -> (qLogCdf _),
+    "q114_log_diff" -> (qLogDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2151,6 +2248,60 @@ object SparkEntry {
          lab AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
          SELECT component, count(*) AS n_docs, max(node) AS max_doc
          FROM lab GROUP BY component ORDER BY component""",
+    "q112_log_delete" ->
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 1000 AND 3000)
+           AND NOT (o_custkey % 7 = 3)
+         GROUP BY bucket ORDER BY bucket""",
+    "q113_log_cdf" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice FROM orders
+         ), upd AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(totalprice + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS totalprice
+           FROM base WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT o_orderkey + 1000000, o_custkey, totalprice
+           FROM base WHERE o_orderkey < 100
+         ), merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         ), fin AS (
+           SELECT * FROM merged WHERE o_orderkey NOT BETWEEN 5000 AND 8000
+         ), delta AS (
+           SELECT o_orderkey % 50 AS bucket, 1 AS sgn, totalprice FROM fin
+           UNION ALL
+           SELECT o_orderkey % 50 AS bucket, -1 AS sgn, totalprice FROM base
+         )
+         SELECT bucket, CAST(sum(sgn) AS BIGINT) AS net_rows,
+           CAST(sum(totalprice * sgn) AS DOUBLE) AS net_price
+         FROM delta GROUP BY bucket
+         HAVING sum(sgn) != 0 OR sum(totalprice * sgn) != 0
+         ORDER BY bucket""",
+    "q114_log_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice FROM orders
+         ), u AS (
+           SELECT 'insert' AS _change_type, count(*) AS n_rows,
+             CAST(sum(totalprice) AS DOUBLE) AS sum_price
+           FROM base WHERE o_orderkey < 100
+           UNION ALL
+           SELECT 'update', count(*),
+             CAST(sum(CAST(totalprice + CAST(100 AS DECIMAL(18,2))
+               AS DECIMAL(18,2))) AS DOUBLE)
+           FROM base WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'delete', count(*), CAST(sum(totalprice) AS DOUBLE)
+           FROM base WHERE o_orderkey BETWEEN 5000 AND 8000
+         )
+         SELECT _change_type, n_rows, sum_price FROM u
+         WHERE n_rows > 0 ORDER BY _change_type""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

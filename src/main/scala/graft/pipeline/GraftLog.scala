@@ -831,6 +831,172 @@ object GraftLog {
                    asOfTimestampMs: Option[Long] = None): Unit =
     read(spark, base, version, asOfTimestampMs).createOrReplaceTempView(name)
 
+  /** Predicate DELETE with file-level scoping — the third leg of the DML
+    * triangle (append / merge / delete). One census scan classifies every
+    * candidate file by how many of its rows match the predicate:
+    *  - 0 matches   → the file SURVIVES the commit byte-untouched;
+    *  - all rows    → the file is dropped with NO rewrite (a pure
+    *                  metadata delete — at 100 TB, a delete aligned with
+    *                  the clustering boundaries touches zero data bytes);
+    *  - some rows   → only those files are rewritten with the survivors.
+    * With `scope` = (col, lo, hi) the commit-log zone maps pre-prune the
+    * census scan itself: files whose [min,max] on col excludes [lo, hi]
+    * never reach the scan. The caller thereby asserts the predicate can
+    * only match rows with col ∈ [lo, hi] — the same contract as a
+    * partition-predicate DELETE.
+    *
+    * SQL DELETE semantics: rows where the predicate is NULL are KEPT
+    * (only predicate=TRUE deletes). Rewritten files re-collect stats for
+    * every tracked column; `txnId` makes the delete replay-idempotent;
+    * conflicting concurrent commits retry like `upsertScoped`. A delete
+    * matching nothing returns the current version without committing. */
+  def delete(spark: SparkSession, base: String, predicate: Column,
+             scope: Option[(String, Any, Any)] = None,
+             txnId: Option[String] = None,
+             maxConflictRetries: Int = 5): Long = {
+    txnId.foreach { id =>
+      commits(base).find(_.txnId.contains(id)).foreach(c => return c.version)
+    }
+    var attempt = 0
+    while (true) {
+      try return deleteOnce(spark, base, predicate, scope, txnId)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def deleteOnce(spark: SparkSession, base: String, predicate: Column,
+                         scope: Option[(String, Any, Any)],
+                         txnId: Option[String]): Long = {
+    import org.apache.spark.sql.types.StructType
+    val snap = snapshot(base)
+    val candidates = scope match {
+      case Some((c, lo, hi)) => candidatesIn(snap, c, lo, hi)
+      case None => snap.files
+    }
+    if (candidates.isEmpty) return snap.version // zone maps prove a no-op
+    val reader = snap.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+      case None => spark.read
+    }
+    // census: ONE scan over the candidates, one output row per file —
+    // metadata-scale driver result, and the scan only evaluates the
+    // predicate (no payload shuffle: grouping key is the file itself)
+    val census = reader.parquet(candidates.map(f => s"$base/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__rows"),
+        count(when(predicate, lit(1))).as("__hits"))
+      .collect()
+    def named(uri: String): Option[String] = candidates.find(uri.endsWith)
+    val fullDrop = census.iterator.filter(r =>
+      r.getAs[Long]("__hits") == r.getAs[Long]("__rows"))
+      .flatMap(r => named(r.getString(0))).toSeq
+    val partial = census.iterator.filter { r =>
+      val h = r.getAs[Long]("__hits"); h > 0 && h < r.getAs[Long]("__rows")
+    }.flatMap(r => named(r.getString(0))).toSeq
+    if (fullDrop.isEmpty && partial.isEmpty) return snap.version // no match
+    val (staged, stats) =
+      if (partial.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
+      else {
+        // keep predicate-NULL rows: !coalesce(p, false), not !p
+        val survivors = reader.parquet(partial.map(f => s"$base/$f"): _*)
+          .filter(!coalesce(predicate, lit(false)))
+        val fields = survivors.schema.fieldNames.toSeq
+        stageFilesWithStats(survivors, base,
+          trackedStatCols(snap, fields, Seq.empty))
+      }
+    commit(base, "delete", staged, fullDrop ++ partial, stats = stats,
+      txnId = txnId, schemaJson = snap.schemaJson,
+      expectedVersion = Some(snap.version))
+  }
+
+  /** Row-level change feed over [fromVersion, toVersion], derived from
+    * each commit's file diff: every row of an added file is an `insert`
+    * at that commit, every row of a removed file a `delete` (Delta CDF's
+    * semantics when no explicit change files exist). A rewriting commit
+    * (merge / delete / compact) therefore also emits delete+insert pairs
+    * for rows it merely carried over — per-KEY net effects are still
+    * exact (carried rows cancel), which is what incremental consumers
+    * aggregate; use `diffSnapshots` for the exact net row diff.
+    *
+    * Planning is metadata-scale (one log read); only files named by
+    * commits in range are opened. All files read under the range-end
+    * schema — evolution is append-only, so it supersets every older
+    * file's schema (new columns read as null). Removed files must still
+    * exist on disk: `vacuum` retention bounds how far back the feed
+    * reaches, exactly as in Delta. Appends `_change_type`,
+    * `_commit_version`, `_commit_timestamp` columns. */
+  def readChangeFeed(spark: SparkSession, base: String, fromVersion: Long,
+                     toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val all = commits(base)
+    require(all.nonEmpty, s"no graft-log commits under $base")
+    val upTo = toVersion.map(v => all.takeWhile(_.version <= v)).getOrElse(all)
+    val schema = upTo.flatMap(_.schemaJson).lastOption.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val parts = upTo.filter(_.version >= fromVersion).flatMap { c =>
+      def part(files: Seq[String], ctype: String): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(reader.parquet(files.map(f => s"$base/$f"): _*)
+          .withColumn("_change_type", lit(ctype))
+          .withColumn("_commit_version", lit(c.version))
+          .withColumn("_commit_timestamp", lit(c.timestampMs)))
+      part(c.add, "insert") ++ part(c.remove, "delete")
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      val st = StructType(schema.map(_.fields.toSeq).getOrElse(Seq.empty) ++
+        Seq(StructField("_change_type", StringType),
+          StructField("_commit_version", LongType),
+          StructField("_commit_timestamp", LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
+  }
+
+  /** Exact net row-level diff between two snapshots, keyed by `keys`:
+    * one row per key whose state changed, `_change_type` ∈
+    * insert (key only at v1) / delete (key only at v0) / update (both,
+    * any non-key column differs — null-safe struct compare). Emits the
+    * v1 values for insert/update and the v0 values for delete. One
+    * key-partitioned full-outer join of the two snapshots — the
+    * shuffle-minimal shape; unchanged keys are filtered before any
+    * further processing. Schema evolution is aligned by reading v0
+    * columns missing at v1 as null. */
+  def diffSnapshots(spark: SparkSession, base: String, keys: Seq[String],
+                    v0: Long, v1: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "diffSnapshots needs at least one key column")
+    val pre0 = read(spark, base, Some(v0))
+    val post = read(spark, base, v1)
+    val cols = post.columns.toSeq
+    // align the older snapshot to the newer schema (append-only evolution)
+    val pre = pre0.select(cols.map(c =>
+      if (pre0.columns.contains(c)) col(c)
+      else lit(null).cast(post.schema(c).dataType).as(c)): _*)
+    val nonKey = cols.filterNot(keys.contains)
+    // lit marker keeps the struct non-empty when every column is a key;
+    // struct comparison is null-safe field-wise (interpreted ordering)
+    def payload(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ struct(lit(1).as("__present") +: nonKey.map(col): _*)
+        .as(as): _*)
+    payload(pre, "__pre")
+      .join(payload(post, "__post"), keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("__pre").isNull, lit("insert"))
+          .when(col("__post").isNull, lit("delete"))
+          .when(col("__pre") =!= col("__post"), lit("update")))
+      .filter(col("_change_type").isNotNull)
+      .select(keys.map(col) ++ nonKey.map(c =>
+        when(col("__post").isNull, col(s"__pre.$c"))
+          .otherwise(col(s"__post.$c")).as(c)) :+ col("_change_type"): _*)
+  }
+
   /** Delete data files no snapshot in the retained history references
     * (keeps the last `keepVersions` commits' log entries AND every file
     * any retained snapshot needs). Unreferenced files YOUNGER than
