@@ -1892,6 +1892,33 @@ object SparkEntry {
       .orderBy(col("_change_type"))
   }
 
+  /** graft-log streaming SOURCE (q115): the table's commit history
+    * (initial load + append) replayed through GraftLogStream.tail —
+    * commit-driven hard-link mirror + Spark's checkpointed parquet file
+    * stream — into a complete-mode streaming aggregate. The drain sees
+    * exactly the union of committed rows, so the oracle is the same
+    * aggregate over the source table in plain SQL. */
+  private def qLogStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    import graft.streaming.{EventStreams, GraftLogStream}
+    val base = fixtureDir("graftlog_stream_orders", dir)
+    val feed = fixtureDir("graftlog_stream_feed", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    GraftLog.overwrite(ords.filter(col("o_orderkey") % 2 === 0), base)
+    GraftLog.append(ords.filter(col("o_orderkey") % 2 === 1), base)
+    val agg = GraftLogStream.tail(s, base, feed)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("totalprice")).as("tp"))
+    EventStreams.drainAvailableNow(agg)
+      .select(col("bucket"), col("n_orders"),
+        col("tp").cast("double").as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2009,6 +2036,7 @@ object SparkEntry {
     "q112_log_delete" -> (qLogDelete _),
     "q113_log_cdf" -> (qLogCdf _),
     "q114_log_diff" -> (qLogDiff _),
+    "q115_log_stream" -> (qLogStream _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2302,6 +2330,10 @@ object SparkEntry {
          )
          SELECT _change_type, n_rows, sum_price FROM u
          WHERE n_rows > 0 ORDER BY _change_type""",
+    "q115_log_stream" ->
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY bucket ORDER BY bucket""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -89,7 +89,7 @@ object GraftLog {
   // thread-race spec caught exactly this.
   private val CommitName = "^[0-9]{20}\\.json$".r
 
-  private def commits(base: String): Seq[Commit] = {
+  private[graft] def commits(base: String): Seq[Commit] = {
     // A concurrent vacuum may delete a squashed log entry between our
     // listFiles and readTree — tolerate the vanished file by relisting
     // (the checkpoint that replaced it is already durable, so the fresh

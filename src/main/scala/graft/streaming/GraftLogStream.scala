@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.GraftLog
+
+/** Streaming SOURCE over a graft-log table — the Delta-streaming-source
+  * analogue that completes the table format's streaming story (the sink
+  * side already exists: `EventStreams.streamIngestGraftLog` /
+  * `streamMergeGraftLog`).
+  *
+  * Mechanism: a COMMIT-DRIVEN mirror. `syncFeed` tails the commit log
+  * and hard-links each newly-committed data file into `feedDir` under a
+  * version-prefixed name; `tail` reads `feedDir` with Spark's built-in
+  * parquet file stream, whose checkpointed file index provides
+  * exactly-once delivery across restarts. Everything stays public-API
+  * Spark — the file source does the heavy lifting (listing, offset
+  * tracking, batch planning, parquet decode) and this object only
+  * decides WHICH files become visible, from the log:
+  *
+  *  - Files are linked only after their commit is PUBLISHED, so a
+  *    concurrent writer's staged-but-uncommitted files (which sit in the
+  *    table directory, invisible to the log) can never leak into the
+  *    stream — the isolation guarantee a raw `readStream.parquet(base)`
+  *    on the table directory cannot give.
+  *  - Hard links are zero-copy and atomic; a crash between linking and
+  *    the high-water-mark write just relinks idempotently next sync
+  *    (EEXIST is success).
+  *  - The mirror is metadata-scale: one log read + one link per new
+  *    file. On an object store, "link" becomes a manifest entry; the
+  *    file-source design is unchanged.
+  *
+  * Non-append commits follow Delta's streaming-source contract via
+  * `onRewrite`: "fail" (default — a merge/delete/compact in the history
+  * is an error, streams expect append-only), "ignore" (skip the commit
+  * entirely; its adds carry rows that mostly duplicate removed files),
+  * or "reemit" (link its added files too — at-least-once re-emission of
+  * carried rows, Delta's ignoreChanges). The very first commit of a
+  * table (version 1) is always streamed even though `overwrite` marks
+  * it, so "load then tail" works naturally. */
+object GraftLogStream {
+
+  private val SyncMarker = "_sync.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def syncedVersion(feedDir: String): Long = {
+    val f = new File(feedDir, SyncMarker)
+    if (!f.exists()) 0L else mapper.readTree(f).get("syncedVersion").asLong()
+  }
+
+  /** Advance the feed mirror to the current log head. Idempotent and
+    * crash-safe: rerunning after any partial failure converges (links
+    * that already exist are success; the marker is written atomically
+    * after all links land). Returns the synced version. */
+  def syncFeed(base: String, feedDir: String,
+               onRewrite: String = "fail"): Long = {
+    require(Set("fail", "ignore", "reemit").contains(onRewrite),
+      s"onRewrite must be fail|ignore|reemit, got '$onRewrite'")
+    new File(feedDir).mkdirs()
+    val from = syncedVersion(feedDir)
+    val fresh = GraftLog.commits(base).filter(_.version > from)
+    if (fresh.isEmpty) return from
+    fresh.foreach { c =>
+      val isRewrite = c.remove.nonEmpty && c.version > 1
+      val link: Boolean =
+        if (!isRewrite) true
+        else onRewrite match {
+          case "fail" => throw new IllegalStateException(
+            s"graft-log stream over $base hit non-append commit " +
+              s"v${c.version} (${c.operation}); pass onRewrite=ignore|reemit")
+          case "ignore" => false
+          case "reemit" => true
+        }
+      if (link) c.add.foreach { name =>
+        val target = Paths.get(feedDir, f"v${c.version}%020d-$name")
+        try Files.createLink(target, Paths.get(base, name))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+    val head = fresh.last.version
+    val tmp = Paths.get(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"syncedVersion":$head}""")
+    Files.move(tmp, Paths.get(feedDir, SyncMarker),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    head
+  }
+
+  /** The table as a streaming DataFrame: one sync, then Spark's parquet
+    * file stream over the mirror (schema pinned from the log, so
+    * evolution-era files read missing columns as null). Re-call
+    * `syncFeed` to surface commits that land while the stream runs —
+    * each file-source micro-batch picks up whatever is linked by then.
+    * `options` pass through to the reader (e.g. maxFilesPerTrigger for
+    * batch-size control). */
+  def tail(spark: SparkSession, base: String, feedDir: String,
+           onRewrite: String = "fail",
+           options: Map[String, String] = Map.empty): DataFrame = {
+    syncFeed(base, feedDir, onRewrite)
+    val snap = GraftLog.snapshot(base)
+    val schema = snap.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(spark.read.parquet(
+        snap.files.map(f => s"$base/$f"): _*).schema)
+    spark.readStream.schema(schema).options(options).parquet(feedDir)
+  }
+}
