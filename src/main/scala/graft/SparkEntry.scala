@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ops.Num.{davg, dsum}
-import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1919,6 +1919,25 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Training-mix builder (q116): resample the corpus to per-source
+    * targets — src0 oversampled to 2 epochs, every other source
+    * downsampled to half — then account for the mix per source. The
+    * md5-rank membership rule is engine-portable, so DuckDB reproduces
+    * the exact same mix with window functions. */
+  private def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val targets = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        when(col("source") === "src0", col("c") * 2)
+          .otherwise((col("c") / 2).cast("long")).as("target"))
+    Sampling.mixture(docs, col("source"), col("doc_id"), targets,
+      allowRepeat = true)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("__epoch")).as("max_epoch"))
+      .orderBy(col("source"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2037,6 +2056,7 @@ object SparkEntry {
     "q113_log_cdf" -> (qLogCdf _),
     "q114_log_diff" -> (qLogDiff _),
     "q115_log_stream" -> (qLogStream _),
+    "q116_training_mix" -> (qMixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2334,6 +2354,28 @@ object SparkEntry {
       """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q116_training_mix" ->
+      """WITH ranked AS (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS c
+           FROM documents
+         ), planned AS (
+           SELECT source, n_chars, rn, c,
+             CASE WHEN source = 'src0' THEN 2 * c ELSE c // 2 END AS target
+           FROM ranked
+         ), copied AS (
+           SELECT source, n_chars,
+             (target // c) + CASE WHEN rn <= target % c THEN 1 ELSE 0 END
+               AS copies
+           FROM planned
+         )
+         SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars * copies) AS BIGINT) AS sum_chars,
+           CAST(max(copies) AS BIGINT) AS max_epoch
+         FROM copied WHERE copies >= 1
+         GROUP BY source ORDER BY source""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -35,4 +35,55 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Training-data MIXTURE builder: resample every source to an exact
+    * target row count — the step that turns a raw corpus into a
+    * weighted training mix. Downsampling keeps the md5-first `target`
+    * rows of the source; with `allowRepeat`, oversampling emits whole
+    * copies of the source plus an md5-first remainder (how training
+    * mixes run high-quality sources for multiple "epochs"). The k-th
+    * copy of a row is tagged `__epoch` = 1..k, so downstream exact
+    * dedup of the MIX stays well-defined.
+    *
+    * `targets` is a (source, target) frame — at scale the mix spec is
+    * config data, not code; a source absent from it has weight 0 and is
+    * dropped. Unified copy count per row:
+    *   copies = target div count + (rank <= target mod count ? 1 : 0)
+    * which covers down- (div = 0) and upsampling with one formula and
+    * guarantees exactly `target` output rows per source.
+    *
+    * Determinism and scale: rank = md5(key), so membership is a row
+    * property — reproducible on any engine, any partitioning, any
+    * cluster. Cost = one tiny per-source count, one broadcast join of
+    * the #sources-row plan, and ONE window shuffle on source. */
+  def mixture(df: DataFrame, source: Column, key: Column,
+              targets: DataFrame, allowRepeat: Boolean = false): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__cnt"))
+    val plan = counts
+      .join(targets.toDF("__src", "__target"), Seq("__src"))
+      .select(col("__src"), col("__cnt"), col("__target").cast("long")
+        .as("__target"))
+      // integer div/mod (expr: Column has no `div`); exact at any size
+      .withColumn("__full", expr("__target div __cnt"))
+      .withColumn("__rem", col("__target") % col("__cnt"))
+    if (!allowRepeat) {
+      val over = plan.filter(col("__target") > col("__cnt"))
+        .select("__src").collect().map(_.get(0)) // bounded: #sources rows
+      require(over.isEmpty,
+        s"mixture targets exceed available rows for ${over.mkString(", ")}; " +
+          "pass allowRepeat=true to oversample")
+    }
+    val w = Window.partitionBy(col("__src"))
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__src", source)
+      .join(broadcast(plan), Seq("__src"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__copies",
+        col("__full") + when(col("__rn") <= col("__rem"), 1L).otherwise(0L))
+      .filter(col("__copies") >= 1)
+      // sequence(1, 0) would count DOWN; the filter guarantees >= 1
+      .withColumn("__epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__src", "__cnt", "__target", "__full", "__rem", "__rn",
+        "__copies")
+  }
 }

@@ -51,6 +51,37 @@ class ConnectedComponentsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("mixture: exact per-source counts, epoch tagging, repeat guard") {
+    import graft.ops.Sampling
+    val docs = (1L to 10L).map(i => (i, if (i <= 6) "a" else "b", i * 100))
+      .toDF("id", "src", "chars")
+    val targets = Seq(("a", 3L), ("b", 9L)).toDF("source", "target")
+    val mix = Sampling.mixture(docs, col("src"), col("id"), targets,
+      allowRepeat = true)
+    val bySrc = mix.groupBy("src")
+      .agg(count(lit(1)).as("n"), max(col("__epoch")).as("e"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // a: 6 rows → 3 (downsample, epoch 1); b: 4 rows → 9 = 2 full copies
+    // + 1 remainder (max epoch 3 for exactly one row)
+    assert(bySrc == Map("a" -> ((3L, 1L)), "b" -> ((9L, 3L))))
+    // determinism: same mix regardless of partitioning
+    val again = Sampling.mixture(docs.repartition(7), col("src"), col("id"),
+      targets, allowRepeat = true)
+      .select("id", "__epoch").as[(Long, Long)].collect().sorted
+    assert(again.toSeq ==
+      mix.select("id", "__epoch").as[(Long, Long)].collect().sorted.toSeq)
+    // oversample without allowRepeat is an error, not silent repetition
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(docs, col("src"), col("id"), targets)
+    }
+    // a source with no target row has weight 0
+    val dropB = Sampling.mixture(docs, col("src"), col("id"),
+      Seq(("a", 2L)).toDF("source", "target"))
+    assert(dropB.select("src").distinct().as[String].collect().toSeq ==
+      Seq("a"))
+  }
+
   test("dedupClusters: canonical flag keeps exactly one doc per cluster") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (7L, "b"), (9L, "c"))
       .toDF("doc_id", "text")
