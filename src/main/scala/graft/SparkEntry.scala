@@ -1938,6 +1938,46 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** TPC-H Q3 shape (q117): selective 3-way join + grouped revenue +
+    * deterministic top-10 (Catalyst plans the LIMIT as TakeOrdered —
+    * no global sort materializes; the decimal revenue keeps the cut
+    * boundary engine-exact, with l_orderkey as the tiebreak). */
+  private def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date
+             FROM customer, orders, lineitem
+             WHERE c_mktsegment = 'BUILDING'
+               AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+               AND o_orderdate < TIMESTAMP '1995-03-15'
+               AND l_shipdate > TIMESTAMP '1995-03-15'
+             GROUP BY l_orderkey, o_orderdate
+             ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+  }
+
+  /** TPC-H Q18 shape (q118): IN-subquery over an aggregate-HAVING
+    * (Catalyst rewrites it to a semi join against the grouped frame —
+    * the big-order filter runs ONCE, map-side-combined, before any
+    * wide join), then top-20 by price. */
+  private def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_name, c_custkey, o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS total_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+             FROM customer, orders, lineitem
+             WHERE o_orderkey IN (
+                 SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+               AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2057,6 +2097,8 @@ object SparkEntry {
     "q114_log_diff" -> (qLogDiff _),
     "q115_log_stream" -> (qLogStream _),
     "q116_training_mix" -> (qMixture _),
+    "q117_tpch_q3" -> (qTpchQ3 _),
+    "q118_tpch_q18" -> (qTpchQ18 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2354,6 +2396,30 @@ object SparkEntry {
       """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q117_tpch_q3" ->
+      """SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q118_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (
+             SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q116_training_mix" ->
       """WITH ranked AS (
            SELECT source, n_chars,
