@@ -1978,6 +1978,47 @@ object SparkEntry {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
   }
 
+  /** CDF-driven incremental materialized view (q119): a per-bucket
+    * aggregate of a graft-log table maintained through a full DML
+    * history — full build once, then each refresh folds ONLY the change
+    * feed of the new commits (append, then scoped MERGE, then scoped
+    * DELETE) into the stored state via one key full-outer join. Count
+    * and decimal sum are abelian-group aggregates, so the fold is
+    * bit-exact vs recompute — which is exactly what the oracle does:
+    * replay the same DML in SQL and aggregate the final state. */
+  private def qIncrementalView(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{GraftLog, IncrementalView}
+    val base = fixtureDir("graftlog_ivm_orders", dir)
+    val view = fixtureDir("graftlog_ivm_view", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(view))
+    val withKey = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      .withColumn("bucket_key", col("o_custkey") % 50)
+    GraftLog.overwriteClustered(withKey, base, Seq("o_orderkey"), nFiles = 8)
+    def refresh(): Long = IncrementalView.refreshAggregate(
+      s, base, view, Seq("bucket_key"), Seq("totalprice"))
+    refresh() // full build
+    GraftLog.append(withKey.filter(col("o_orderkey") < 100)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000)), base)
+    refresh() // fold insert-only feed
+    GraftLog.upsertScoped(s, base,
+      withKey.filter(col("o_orderkey") <= 1500)
+        .withColumn("totalprice",
+          (col("totalprice") + lit(50)).cast(DecimalType(18, 2))),
+      "o_orderkey")
+    refresh() // fold rewrite feed (carried rows cancel)
+    GraftLog.delete(s, base,
+      col("o_orderkey") >= 4000 && col("o_orderkey") <= 6000,
+      scope = Some(("o_orderkey", 4000, 6000)))
+    refresh() // fold delete feed
+    GraftLog.read(s, view)
+      .select(col("bucket_key").as("bucket"), col("n_rows"),
+        col("sum_totalprice").cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2099,6 +2140,7 @@ object SparkEntry {
     "q116_training_mix" -> (qMixture _),
     "q117_tpch_q3" -> (qTpchQ3 _),
     "q118_tpch_q18" -> (qTpchQ18 _),
+    "q119_incremental_view" -> (qIncrementalView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2420,6 +2462,29 @@ object SparkEntry {
            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "q119_incremental_view" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey % 50 AS bucket_key,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+           FROM orders
+         ), unioned AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT o_orderkey + 2000000, bucket_key, totalprice
+           FROM base WHERE o_orderkey < 100
+         ), updated AS (
+           SELECT o_orderkey, bucket_key,
+             CASE WHEN o_orderkey <= 1500
+               THEN CAST(totalprice + 50 AS DECIMAL(18,2))
+               ELSE totalprice END AS totalprice
+           FROM unioned
+         ), final AS (
+           SELECT * FROM updated
+           WHERE NOT (o_orderkey BETWEEN 4000 AND 6000)
+         )
+         SELECT bucket_key AS bucket, count(*) AS n_rows,
+           CAST(sum(totalprice) AS DOUBLE) AS sum_price
+         FROM final GROUP BY bucket ORDER BY bucket""",
     "q116_training_mix" ->
       """WITH ranked AS (
            SELECT source, n_chars,
