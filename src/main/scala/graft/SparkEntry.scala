@@ -1978,6 +1978,28 @@ object SparkEntry {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")
   }
 
+  /** TPC-H Q17 shape (q120): correlated scalar AGGREGATE subquery —
+    * Catalyst decorrelates the per-part avg into ONE grouped aggregate
+    * joined back on l_partkey (the subquery runs once over lineitem,
+    * map-side combined, never per outer row). The 0.2×avg threshold is
+    * bit-deterministic across engines because quantities are integral
+    * doubles: their sums are exact below 2^53, so sum/count and the
+    * multiply round identically. (TPC-H Q17 verbatim needs p_container,
+    * which this dataset lacks — p_size<15 keeps the selective-dimension
+    * shape.) */
+  private def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT count(*) AS n_small_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0 AS avg_yearly
+             FROM lineitem, part
+             WHERE p_partkey = l_partkey
+               AND p_brand = 'Brand#4' AND p_size < 15
+               AND l_quantity < (
+                 SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+  }
+
   /** CDF-driven incremental materialized view (q119): a per-bucket
     * aggregate of a graft-log table maintained through a full DML
     * history — full build once, then each refresh folds ONLY the change
@@ -2141,6 +2163,7 @@ object SparkEntry {
     "q117_tpch_q3" -> (qTpchQ3 _),
     "q118_tpch_q18" -> (qTpchQ18 _),
     "q119_incremental_view" -> (qIncrementalView _),
+    "q120_tpch_q17" -> (qTpchQ17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2485,6 +2508,16 @@ object SparkEntry {
          SELECT bucket_key AS bucket, count(*) AS n_rows,
            CAST(sum(totalprice) AS DOUBLE) AS sum_price
          FROM final GROUP BY bucket ORDER BY bucket""",
+    "q120_tpch_q17" ->
+      """SELECT count(*) AS n_small_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand = 'Brand#4' AND p_size < 15
+           AND l_quantity < (
+             SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     "q116_training_mix" ->
       """WITH ranked AS (
            SELECT source, n_chars,

@@ -115,6 +115,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q117 top-k plans as TakeOrdered (no global sort) over hash joins only") {
+    val df = SparkEntry.queries("q117_tpch_q3")(spark, dir)
+    df.collect() // AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 10 must plan as TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q117's comma-joins must all bind to equi-joins:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter must reach the customer scan:\n$plan")
+  }
+
+  test("q118 IN-subquery plans as ONE semi join against the grouped frame") {
+    // The HAVING-aggregate runs once, map-side combined, as a semi-join
+    // build — not as a per-row subquery re-execution. Pinning LeftSemi +
+    // no-unbounded-join keeps a Spark upgrade from silently degrading
+    // the decorrelation.
+    val df = SparkEntry.queries("q118_tpch_q18")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"IN-subquery must decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q118 must have no unbounded join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 20 must plan as TakeOrdered:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the big-order aggregate must combine map-side:\n$plan")
+  }
+
+  test("q120 correlated aggregate subquery decorrelates to one grouped join") {
+    // The per-part avg must run as ONE aggregate over lineitem joined
+    // back on l_partkey — never re-executed per outer row, and never via
+    // an unbounded join.
+    val df = SparkEntry.queries("q120_tpch_q17")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q120 must have no unbounded join:\n$plan")
+    assert(plan.contains("partial_avg"),
+      s"the correlated avg must plan as a map-side-combined aggregate:\n$plan")
+  }
+
   test("q05 whole-stage codegen covers the scan-filter-agg pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute first
     val df = SparkEntry.queries("q05_null_filter")(spark, dir)
