@@ -2041,6 +2041,50 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Streaming CHANGE-FEED consumer (q121): the same merge + delete
+    * history as q113, but consumed through GraftLogStream.tailChangeFeed
+    * — a hard-link CDF mirror (change type + commit version live in the
+    * link NAMES, recovered from the file-metadata column; rows are never
+    * copied) feeding Spark's checkpointed parquet file stream into a
+    * complete-mode net-effect aggregate. Initial-load commits are
+    * excluded with a `_commit_version` filter, so the stream computes
+    * exactly the batch feed's accounting — and the oracle is q113's:
+    * final-state-minus-initial-state per bucket. */
+  private def qLogCdfStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    import graft.streaming.{EventStreams, GraftLogStream}
+    val base = fixtureDir("graftlog_cdfstream_orders", dir)
+    val feed = fixtureDir("graftlog_cdfstream_feed", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val v0 = GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"),
+      nFiles = 8)
+    val updates = ords.filter(col("o_orderkey") <= 2000)
+      .withColumn("totalprice",
+        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
+    GraftLog.delete(s, base,
+      col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
+      scope = Some(("o_orderkey", 5000, 8000)))
+    val net = GraftLogStream.tailChangeFeed(s, base, feed)
+      .filter(col("_commit_version") > v0)
+      .withColumn("sign",
+        when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
+      .groupBy((col("o_orderkey") % 50).as("bucket"))
+      .agg(sum(col("sign")).as("net_rows"),
+        sum(col("totalprice") * col("sign")).as("net_price_dec"))
+    EventStreams.drainAvailableNow(net)
+      .filter(col("net_rows") =!= 0 || col("net_price_dec") =!= 0)
+      .select(col("bucket"), col("net_rows"),
+        col("net_price_dec").cast("double").as("net_price"))
+      .orderBy(col("bucket"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2164,6 +2208,7 @@ object SparkEntry {
     "q118_tpch_q18" -> (qTpchQ18 _),
     "q119_incremental_view" -> (qIncrementalView _),
     "q120_tpch_q17" -> (qTpchQ17 _),
+    "q121_log_cdf_stream" -> (qLogCdfStream _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2411,6 +2456,34 @@ object SparkEntry {
            AND NOT (o_custkey % 7 = 3)
          GROUP BY bucket ORDER BY bucket""",
     "q113_log_cdf" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice FROM orders
+         ), upd AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(totalprice + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS totalprice
+           FROM base WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT o_orderkey + 1000000, o_custkey, totalprice
+           FROM base WHERE o_orderkey < 100
+         ), merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+         ), fin AS (
+           SELECT * FROM merged WHERE o_orderkey NOT BETWEEN 5000 AND 8000
+         ), delta AS (
+           SELECT o_orderkey % 50 AS bucket, 1 AS sgn, totalprice FROM fin
+           UNION ALL
+           SELECT o_orderkey % 50 AS bucket, -1 AS sgn, totalprice FROM base
+         )
+         SELECT bucket, CAST(sum(sgn) AS BIGINT) AS net_rows,
+           CAST(sum(totalprice * sgn) AS DOUBLE) AS net_price
+         FROM delta GROUP BY bucket
+         HAVING sum(sgn) != 0 OR sum(totalprice * sgn) != 0
+         ORDER BY bucket""",
+    "q121_log_cdf_stream" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey,
              CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice FROM orders

@@ -88,6 +88,72 @@ object GraftLogStream {
     head
   }
 
+  private val CdfMarker = "_cdf_sync.json"
+
+  private def cdfSyncedVersion(feedDir: String): Long = {
+    val f = new File(feedDir, CdfMarker)
+    if (!f.exists()) 0L else mapper.readTree(f).get("syncedVersion").asLong()
+  }
+
+  /** Advance the CHANGE-FEED mirror: every commit links BOTH sides of
+    * its file diff — added files under `v<version>-i-<name>`, removed
+    * files under `v<version>-d-<name>`. The sign lives entirely in the
+    * link name (zero copy, no rewrite); `tailChangeFeed` recovers it from
+    * the file-metadata column. No onRewrite modes: a change feed is
+    * defined for every commit kind. Removed files must still exist on
+    * disk, so vacuum retention bounds the reachable history (Delta's
+    * contract). Idempotent and crash-safe exactly like `syncFeed`. */
+  def syncCdfFeed(base: String, feedDir: String): Long = {
+    new File(feedDir).mkdirs()
+    val from = cdfSyncedVersion(feedDir)
+    val fresh = GraftLog.commits(base).filter(_.version > from)
+    if (fresh.isEmpty) return from
+    fresh.foreach { c =>
+      def link(names: Seq[String], tag: String): Unit = names.foreach { name =>
+        val target = Paths.get(feedDir, f"v${c.version}%020d-$tag-$name")
+        try Files.createLink(target, Paths.get(base, name))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      link(c.add, "i")
+      link(c.remove, "d")
+    }
+    val head = fresh.last.version
+    val tmp = Paths.get(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"syncedVersion":$head}""")
+    Files.move(tmp, Paths.get(feedDir, CdfMarker),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    head
+  }
+
+  /** The change feed as a streaming DataFrame — Delta's
+    * `readChangeFeed` streaming analogue, on the same checkpointed
+    * parquet file stream as `tail` (exactly-once across restarts).
+    * Appends `_change_type` (insert|delete) and `_commit_version`,
+    * both decoded from the mirror link names via the file-metadata
+    * column — a rewriting commit emits delete+insert pairs for carried
+    * rows, so per-KEY net effects are exact, matching the batch
+    * `GraftLog.readChangeFeed`. Re-call `syncCdfFeed` to surface
+    * commits landing while the stream runs. */
+  def tailChangeFeed(spark: SparkSession, base: String, feedDir: String,
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    syncCdfFeed(base, feedDir)
+    val snap = GraftLog.snapshot(base)
+    val schema = snap.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(spark.read.parquet(
+        snap.files.map(f => s"$base/$f"): _*).schema)
+    spark.readStream.schema(schema).options(options).parquet(feedDir)
+      .select(col("*"), col("_metadata.file_name").as("__cdf_file"))
+      .withColumn("_commit_version",
+        regexp_extract(col("__cdf_file"), "^v(\\d{20})-", 1).cast("long"))
+      .withColumn("_change_type",
+        when(regexp_extract(col("__cdf_file"), "^v\\d{20}-(i|d)-", 1) === "d",
+          lit("delete")).otherwise(lit("insert")))
+      .drop("__cdf_file")
+  }
+
   /** The table as a streaming DataFrame: one sync, then Spark's parquet
     * file stream over the mirror (schema pinned from the log, so
     * evolution-era files read missing columns as null). Re-call

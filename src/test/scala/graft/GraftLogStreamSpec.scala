@@ -101,6 +101,54 @@ class GraftLogStreamSpec extends SparkSpec {
     assert(reemitted > afterIgnore)
   }
 
+  test("streamed change feed nets equal the batch readChangeFeed over a DML history") {
+    val (base, feed, _) = fresh("cdf")
+    GraftLog.overwriteClustered(
+      (0L until 100L).map(k => (k, k % 4, 1.0)).toDF("k", "g", "v"),
+      base, Seq("k"), nFiles = 4)
+    GraftLog.upsert(spark, base,
+      (0L until 10L).map(k => (k, k % 4, 5.0)).toDF("k", "g", "v"), Seq("k"))
+    GraftLog.delete(spark, base, col("k") >= 50 && col("k") < 75,
+      scope = Some(("k", 50L, 74L)))
+    def nets(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.filter(col("_commit_version") > 1)
+        .withColumn("sgn",
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("g"))
+        .agg(sum(col("sgn")).as("n"), sum(col("v") * col("sgn")).as("s"))
+        .filter(col("n") =!= 0 || col("s") =!= 0)
+        .select(col("g"), col("n"), col("s"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (g, n, s) => g -> (n, s) }.toMap
+    val streamed = nets(graft.streaming.EventStreams.drainAvailableNow(
+      GraftLogStream.tailChangeFeed(spark, base, feed), mode = "append"))
+    val batch = nets(GraftLog.readChangeFeed(spark, base, fromVersion = 2))
+    assert(streamed == batch && streamed.nonEmpty)
+    // total net rows: the upsert's delete+insert pairs cancel (+10 −10),
+    // leaving exactly the range-delete's −25 spread across the groups
+    assert(streamed.values.map(_._1).sum == -25 + 10 - 10)
+  }
+
+  test("CDF mirror is idempotent; insert and delete links share the inode (zero copy)") {
+    val (base, feed, _) = fresh("cdfidem")
+    GraftLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "x"), base)
+    GraftLog.upsert(spark, base, Seq((2L, "B")).toDF("k", "x"), Seq("k"))
+    GraftLogStream.syncCdfFeed(base, feed)
+    val names = Option(new File(feed).listFiles()).get
+      .map(_.getName).filter(_.startsWith("v")).toSeq
+    // v1 add + v2's removed v1-file + v2's added file ⇒ the v1 data file
+    // appears under BOTH an -i- (v1) and a -d- (v2) name
+    assert(names.exists(_.matches("^v0*1-i-.*")) &&
+      names.exists(_.matches("^v0*2-d-.*")) &&
+      names.exists(_.matches("^v0*2-i-.*")))
+    // crash between links and marker: resync converges to the same set
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(feed, "_cdf_sync.json"))
+    GraftLogStream.syncCdfFeed(base, feed)
+    val after = Option(new File(feed).listFiles()).get
+      .map(_.getName).filter(_.startsWith("v")).toSeq
+    assert(after.sorted == names.sorted)
+  }
+
   test("tail reads evolution-era history under the head schema") {
     val (base, feed, _) = fresh("evo")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "x"), base)
