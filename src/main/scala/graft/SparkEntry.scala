@@ -2085,6 +2085,179 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** TPC-H Q4 shape (q122): priority count with a correlated EXISTS —
+    * Catalyst rewrites the EXISTS into a left-semi join on l_orderkey,
+    * so lineitem is touched once, the o_orderdate-range filter is
+    * pushed to the orders scan, and no per-row subquery ever runs.
+    * Lateness is l_shipdate > o_orderdate + 60 days (this dataset has
+    * no commit/receipt dates — the correlated-inequality shape is what
+    * the query exercises). */
+  private def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderpriority, count(*) AS order_count
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1996-07-01'
+               AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey
+                             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q7 shape (q123): nation-pair volume shipping — a 6-table
+    * join where both nation legs broadcast (25 rows each) and the
+    * disjunctive pair predicate prunes before the aggregate. The
+    * decimal(18,6) sum keeps the revenue bit-exact across engines. */
+  private def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+                   FROM supplier, lineitem, orders, customer,
+                        nation n1, nation n2
+                   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                     AND c_custkey = o_custkey
+                     AND s_nationkey = n1.n_nationkey
+                     AND c_nationkey = n2.n_nationkey
+                     AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+             GROUP BY supp_nation, cust_nation, l_year
+             ORDER BY supp_nation, cust_nation, l_year""")
+  }
+
+  /** TPC-H Q10 shape (q124): returned-item revenue per customer — the
+    * classic "top-20 complaining customers" report. The orderdate range
+    * and returnflag filters reach the scans; the nation leg broadcasts.
+    * revenue ties break on c_custkey so the LIMIT is deterministic. */
+  private def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+               n_name
+             FROM customer, orders, lineitem, nation
+             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1996-04-01'
+               AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             GROUP BY c_custkey, c_name, c_acctbal, n_name
+             ORDER BY revenue DESC, c_custkey LIMIT 20""")
+  }
+
+  /** TPC-H Q14 shape (q125): promo revenue share — a global
+    * conditional-aggregate ratio over one month of lineitem joined to
+    * part (this dataset's p_type is the literal category, so equality
+    * replaces LIKE 'PROMO%'). Both sums are exact decimals; the ratio
+    * is formed in double with the identical op order on both engines,
+    * so the single output value is bit-deterministic. */
+  private def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT CAST(100.0
+               * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS DOUBLE)
+               AS DOUBLE) AS promo_revenue
+             FROM lineitem, part
+             WHERE l_partkey = p_partkey
+               AND l_shipdate >= TIMESTAMP '1996-03-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'""")
+  }
+
+  /** TPC-H Q19 shape (q126): three OR'd brand/size/quantity branches
+    * that all share the p_partkey = l_partkey conjunct — Catalyst's
+    * CNF extraction lifts the common equality into the join key (one
+    * hash join, not a nested-loop over the disjunction) and pushes the
+    * per-branch range predicates below it. */
+  private def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             FROM lineitem, part
+             WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+                    AND l_quantity BETWEEN 1 AND 11
+                    AND p_size BETWEEN 1 AND 15)
+                OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+                    AND l_quantity BETWEEN 10 AND 20
+                    AND p_size BETWEEN 1 AND 25)
+                OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+                    AND l_quantity BETWEEN 20 AND 30
+                    AND p_size BETWEEN 1 AND 35)""")
+  }
+
+  /** TPC-H Q21 shape (q127): suppliers who were the SOLE late shipper
+    * on a multi-supplier order — an EXISTS (another supplier on the
+    * order) plus a NOT EXISTS (another LATE supplier), both of which
+    * Catalyst turns into semi/anti joins on l_orderkey. Lateness
+    * (shipdate > orderdate + 30d) is precomputed once in the `flagged`
+    * CTE so both subqueries correlate on pure equality — the shape
+    * every engine's decorrelator handles without a per-row loop. */
+  private def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""WITH flagged AS (
+               SELECT l_orderkey, l_suppkey,
+                 (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderstatus = 'F')
+             SELECT s_name, count(*) AS numwait
+             FROM flagged l1, supplier, nation
+             WHERE s_suppkey = l1.l_suppkey AND l1.late
+               AND EXISTS (SELECT 1 FROM flagged l2
+                           WHERE l2.l_orderkey = l1.l_orderkey
+                             AND l2.l_suppkey <> l1.l_suppkey)
+               AND NOT EXISTS (SELECT 1 FROM flagged l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+               AND s_nationkey = n_nationkey
+               AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+  }
+
+  /** TPC-H Q22 shape (q128): a global scalar-subquery threshold (the
+    * positive-balance average, computed ONCE and broadcast) combined
+    * with a NOT EXISTS anti join — here "customers above the average
+    * balance who never placed an URGENT order" (every customer in this
+    * dataset has orders, so the original no-orders predicate would be
+    * empty). The average is an exact decimal sum divided once in
+    * double, bit-identical across engines. */
+  private def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS totacctbal
+             FROM customer
+             WHERE c_acctbal > (
+                 SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                     AS DOUBLE) / count(*)
+                 FROM customer WHERE c_acctbal > 0)
+               AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderpriority = '1-URGENT')
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** Chunk-level (sub-document) dedup (q129): CCNet-style line dedup —
+    * every 3-word chunk is kept only at its first corpus-wide
+    * occurrence and documents are reassembled from their surviving
+    * chunks (Dedup.chunkDedup). Output is per-doc chunk accounting
+    * plus an md5 of the rebuilt text, so the oracle checks the exact
+    * reassembled bytes, not just counts. */
+  private def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Dedup.chunkDedup(docs, col("doc_id"), col("text"), 3)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("text_kept")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2209,6 +2382,14 @@ object SparkEntry {
     "q119_incremental_view" -> (qIncrementalView _),
     "q120_tpch_q17" -> (qTpchQ17 _),
     "q121_log_cdf_stream" -> (qLogCdfStream _),
+    "q122_tpch_q4" -> (qTpchQ4 _),
+    "q123_tpch_q7" -> (qTpchQ7 _),
+    "q124_tpch_q10" -> (qTpchQ10 _),
+    "q125_tpch_q14" -> (qTpchQ14 _),
+    "q126_tpch_q19" -> (qTpchQ19 _),
+    "q127_tpch_q21" -> (qTpchQ21 _),
+    "q128_tpch_q22" -> (qTpchQ22 _),
+    "q129_chunk_dedup" -> (qChunkDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2591,6 +2772,129 @@ object SparkEntry {
            AND l_quantity < (
              SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q122_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q123_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+               FROM supplier, lineitem, orders, customer,
+                    nation n1, nation n2
+               WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                 AND c_custkey = o_custkey
+                 AND s_nationkey = n1.n_nationkey
+                 AND c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q124_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           n_name
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q125_tpch_q14" ->
+      """SELECT CAST(100.0
+           * CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q126_tpch_q19" ->
+      """SELECT count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem, part
+         WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+                AND l_quantity BETWEEN 1 AND 11
+                AND p_size BETWEEN 1 AND 15)
+            OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+                AND l_quantity BETWEEN 10 AND 20
+                AND p_size BETWEEN 1 AND 25)
+            OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+                AND l_quantity BETWEEN 20 AND 30
+                AND p_size BETWEEN 1 AND 35)""",
+    "q127_tpch_q21" ->
+      """WITH flagged AS (
+           SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F')
+         SELECT s_name, count(*) AS numwait
+         FROM flagged l1, supplier, nation
+         WHERE s_suppkey = l1.l_suppkey AND l1.late
+           AND EXISTS (SELECT 1 FROM flagged l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM flagged l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+           AND s_nationkey = n_nationkey
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q128_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DOUBLE) / count(*)
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q129_chunk_dedup" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         chunks AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(w, i*3 + 1, i*3 + 3), ' ') AS chunk
+           FROM words, UNNEST(range((len(w) + 2) // 3)) AS t(i)),
+         ranked AS (
+           SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY chunk
+               ORDER BY doc_id, chunk_idx) AS rn
+           FROM chunks),
+         kept AS (
+           SELECT doc_id, chunk_idx, chunk FROM ranked WHERE rn = 1),
+         tot AS (
+           SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, t.n_chunks,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.kept_md5, md5('')) AS kept_md5
+         FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+         ORDER BY t.doc_id""",
     "q116_training_mix" ->
       """WITH ranked AS (
            SELECT source, n_chars,
