@@ -1823,6 +1823,43 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Merge-on-read DELETE via deletion vectors (q130): the same logical
+    * deletes as q112, but recorded as (file, pos) coordinate sidecars —
+    * data files stay byte-untouched and the read subtracts the vectors
+    * with one broadcast anti join. The 100 TB shape for small scattered
+    * deletes (row-level erasure, late retractions), where copy-on-write
+    * would rewrite most of the table to drop a few thousand rows. The
+    * aggregate runs BEFORE any purge, so the oracle checks the
+    * merge-on-read path itself; a final purgeDeletes + equality assert
+    * inside the query proves fold-back preserves the result. */
+  private def qLogDeleteDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftLog
+    val base = fixtureDir("graftlog_delete_dv_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"), nFiles = 8)
+    GraftLog.deleteVectored(s, base,
+      col("o_orderkey") >= 2000 && col("o_orderkey") <= 4000,
+      scope = Some(("o_orderkey", 2000, 4000)))
+    GraftLog.deleteVectored(s, base, col("o_custkey") % 9 === 4)
+    val out = GraftLog.read(s, base) // merge-on-read: dv anti join live
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("bucket"))
+    val before = out.collect().toSeq
+    GraftLog.purgeDeletes(s, base) // fold vectors into rewrites
+    val after = GraftLog.read(s, base)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("bucket")).collect().toSeq
+    require(before == after, "purgeDeletes changed the table contents")
+    out
+  }
+
   /** Change-data-feed accounting (q113): merge + delete history read
     * back as a file-diff feed, aggregated to per-bucket NET effects
     * (insert = +1, delete = −1). Carried-over rows of rewritten files
@@ -2390,6 +2427,7 @@ object SparkEntry {
     "q127_tpch_q21" -> (qTpchQ21 _),
     "q128_tpch_q22" -> (qTpchQ22 _),
     "q129_chunk_dedup" -> (qChunkDedup _),
+    "q130_log_delete_dv" -> (qLogDeleteDv _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2870,6 +2908,13 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q130_log_delete_dv" ->
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 2000 AND 4000)
+           AND NOT (o_custkey % 9 = 4)
+         GROUP BY bucket ORDER BY bucket""",
     "q129_chunk_dedup" ->
       """WITH words AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

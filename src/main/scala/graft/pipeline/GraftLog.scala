@@ -65,16 +65,23 @@ object GraftLog {
                             nullCount: Option[Long], ndv: Option[Long])
   type FileStats = Map[String, ColStats]
 
+  /** `addDv`/`removeDv` carry DELETION-VECTOR sidecar files (parquet of
+    * (__dv_file, __dv_pos) row coordinates) — the merge-on-read DELETE
+    * path where data files stay byte-untouched and reads subtract the
+    * deleted positions (Delta DVs / Iceberg v2 position deletes). */
   final case class Commit(version: Long, timestampMs: Long, operation: String,
                           add: Seq[String], remove: Seq[String],
                           txnId: Option[String],
                           stats: Map[String, FileStats],
-                          schemaJson: Option[String])
+                          schemaJson: Option[String],
+                          addDv: Seq[String] = Seq.empty,
+                          removeDv: Seq[String] = Seq.empty)
 
   final case class Snapshot(version: Long, timestampMs: Long,
                             files: Seq[String],
                             fileStats: Map[String, FileStats],
-                            schemaJson: Option[String])
+                            schemaJson: Option[String],
+                            dvFiles: Seq[String] = Seq.empty)
 
   private def logDir(base: String) = new File(base, "_graft_log")
 
@@ -145,7 +152,8 @@ object GraftLog {
         arr("add"), arr("remove"),
         Option(n.get("txnId")).map(_.asText()),
         stats,
-        Option(n.get("schemaJson")).map(_.asText()))
+        Option(n.get("schemaJson")).map(_.asText()),
+        arr("addDv"), arr("removeDv"))
     }
   }
 
@@ -169,20 +177,23 @@ object GraftLog {
     }
     val live = mutable.LinkedHashSet.empty[String]
     val stats = mutable.Map.empty[String, FileStats]
+    val dvs = mutable.LinkedHashSet.empty[String]
     var schema: Option[String] = None
     upTo.foreach { c =>
       // A checkpoint is SELF-CONTAINED: replay resets at it, so log
       // entries that precede it are irrelevant (which is what lets
       // vacuum publish the checkpoint FIRST and delete old entries
       // after — consistent at every intermediate crash point).
-      if (c.operation == "checkpoint") { live.clear(); stats.clear() }
+      if (c.operation == "checkpoint") { live.clear(); stats.clear(); dvs.clear() }
       c.remove.foreach { f => live.remove(f); stats.remove(f) }
       live ++= c.add
       stats ++= c.stats
+      dvs --= c.removeDv
+      dvs ++= c.addDv
       if (c.schemaJson.isDefined) schema = c.schemaJson // latest wins
     }
     Snapshot(upTo.last.version, upTo.last.timestampMs, live.toSeq,
-      stats.toMap, schema)
+      stats.toMap, schema, dvs.toSeq)
   }
 
   def currentVersion(base: String): Option[Long] = {
@@ -213,7 +224,9 @@ object GraftLog {
              txnId: Option[String] = None,
              stats: Map[String, FileStats] = Map.empty,
              schemaJson: Option[String] = None,
-             expectedVersion: Option[Long] = None): Long = {
+             expectedVersion: Option[Long] = None,
+             addDv: Seq[String] = Seq.empty,
+             removeDv: Seq[String] = Seq.empty): Long = {
     logDir(base).mkdirs()
     var attempt = 0
     while (true) {
@@ -237,6 +250,13 @@ object GraftLog {
       node.put("operation", operation)
       val addArr = node.putArray("add"); add.foreach(addArr.add)
       val remArr = node.putArray("remove"); remove.foreach(remArr.add)
+      // dv arrays only when present — older logs stay byte-identical
+      if (addDv.nonEmpty) {
+        val a = node.putArray("addDv"); addDv.foreach(a.add)
+      }
+      if (removeDv.nonEmpty) {
+        val a = node.putArray("removeDv"); removeDv.foreach(a.add)
+      }
       txnId.foreach(node.put("txnId", _))
       schemaJson.foreach(node.put("schemaJson", _))
       putStats(node, stats)
@@ -465,9 +485,11 @@ object GraftLog {
     // commit the STAGED frame's schema (union type-widening may differ
     // from the log schema) and guard the read dependency: a concurrent
     // commit since `snap` means our remove list is stale → conflict.
+    // Full rewrite → deletion vectors are applied (via read) and dropped.
     commit(base, "upsert", staged, snap.files,
       schemaJson = Some(merged.schema.json),
-      expectedVersion = Some(snap.version))
+      expectedVersion = Some(snap.version),
+      removeDv = snap.dvFiles)
   }
 
   /** Partition-scoped MERGE: the same semantics as `upsert`, but only
@@ -561,12 +583,8 @@ object GraftLog {
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-      else {
-        val reader =
-          if (snap.schemaJson.isDefined) spark.read.schema(tableSchema)
-          else spark.read
-        reader.parquet(touched.map(f => s"$base/$f"): _*)
-      }
+      else // dv-aware: a raw read would resurrect dv-deleted rows
+        readFiles(spark, base, snap, touched)
     val merged = current
       .join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates.select(current.columns.map(col): _*))
@@ -601,36 +619,89 @@ object GraftLog {
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     // read-dependency guard, same as upsert: compacting against a stale
     // snapshot must conflict, not silently drop a concurrent commit
+    // full rewrite → deletion vectors are applied (via read) and dropped
     if (clusterCols.isEmpty) {
       val staged = stageFiles(current.repartition(files), base)
       commit(base, "compact", staged, snap.files,
-        expectedVersion = Some(snap.version))
+        expectedVersion = Some(snap.version), removeDv = snap.dvFiles)
     } else {
       val clustered = current
         .repartitionByRange(files, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
       val (staged, stats) = stageFilesWithStats(clustered, base, clusterCols)
       commit(base, "compact", staged, snap.files, stats = stats,
-        expectedVersion = Some(snap.version))
+        expectedVersion = Some(snap.version), removeDv = snap.dvFiles)
     }
+  }
+
+  /** Snapshot-schema-pinned parquet reader (schema from the LOG, not
+    * from footers: schema evolution works — old files read missing
+    * columns as null — and no mergeSchema footer sweep). */
+  private def readerFor(spark: SparkSession,
+                        snap: Snapshot): org.apache.spark.sql.DataFrameReader =
+    snap.schemaJson match {
+      case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+
+  // ---------------------------------------------------- deletion vectors
+
+  /** Row-coordinate columns recovered from the parquet reader's hidden
+    * metadata struct: bare file name + within-file row index — the
+    * coordinate system deletion vectors address. Must be added directly
+    * on a scan DataFrame (before any join severs `_metadata`). */
+  private def withRowCoords(df: DataFrame): DataFrame = df
+    .withColumn("__file",
+      substring_index(col("_metadata.file_path"), "/", -1))
+    .withColumn("__pos", col("_metadata.row_index"))
+
+  /** All live deletion-vector entries of a snapshot: (__dv_file,
+    * __dv_pos) pairs. Empty frame when the snapshot carries no DVs. */
+  private def dvEntries(spark: SparkSession, base: String,
+                        snap: Snapshot): DataFrame =
+    spark.read.parquet(snap.dvFiles.map(f => s"$base/$f"): _*)
+
+  /** Above this many deleted positions the DV anti join falls back from
+    * broadcast to a shuffled join — a table carrying more un-purged
+    * deletes than this should run `purgeDeletes` anyway. */
+  private val DvBroadcastMaxRows = 4000000L
+
+  /** Subtract a snapshot's deletion vectors from a coordinate-carrying
+    * scan frame (from `withRowCoords`): one anti join on (file, pos),
+    * broadcast while the DV set is small. Keeps `__file`/`__pos`. */
+  private def subtractDv(spark: SparkSession, base: String, snap: Snapshot,
+                         dfWithCoords: DataFrame): DataFrame = {
+    if (snap.dvFiles.isEmpty) return dfWithCoords
+    val dv = dvEntries(spark, base, snap)
+    // metadata-only count (parquet footers) decides the join strategy
+    val dvSide = if (dv.count() <= DvBroadcastMaxRows) broadcast(dv) else dv
+    dfWithCoords.join(dvSide,
+      col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+      "left_anti")
+  }
+
+  /** Scan `names` under the snapshot's schema with its deletion vectors
+    * subtracted — the ONE way any read/rewrite path may materialize live
+    * rows of dv-carrying files (reading them raw resurrects deletes). */
+  private def readFiles(spark: SparkSession, base: String, snap: Snapshot,
+                        names: Seq[String]): DataFrame = {
+    val df = readerFor(spark, snap).parquet(names.map(f => s"$base/$f"): _*)
+    if (snap.dvFiles.isEmpty) df
+    else subtractDv(spark, base, snap, withRowCoords(df))
+      .drop("__file", "__pos")
   }
 
   /** Read a snapshot (head by default; `version`/`asOfTimestampMs` time-
     * travel). The resolved file list goes straight to the parquet reader —
-    * pushdown, pruning and row-group skipping apply as on any scan. */
+    * pushdown, pruning and row-group skipping apply as on any scan.
+    * Deletion vectors, if any, are subtracted merge-on-read (one
+    * broadcast anti join on row coordinates). */
   def read(spark: SparkSession, base: String, version: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None): DataFrame = {
     val snap = snapshot(base, version, asOfTimestampMs)
-    val paths = snap.files.map(f => s"$base/$f")
-    // schema from the LOG, not from footers: schema evolution works (old
-    // files read missing columns as null) and no mergeSchema footer sweep
-    snap.schemaJson match {
-      case Some(j) =>
-        val st = org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.read.schema(st).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
+    readFiles(spark, base, snap, snap.files)
   }
 
   /** Clustered overwrite: range-partition + sort on `clusterCols`, so
@@ -705,12 +776,7 @@ object GraftLog {
                  version: Option[Long] = None): DataFrame = {
     val snap = snapshot(base, version)
     val keep = candidatesIsNullIn(snap, colName)
-    val reader = snap.schemaJson match {
-      case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => spark.read
-    }
+    val reader = readerFor(spark, snap)
     if (keep.isEmpty) snap.schemaJson match {
       case Some(j) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -719,7 +785,7 @@ object GraftLog {
       case None =>
         reader.parquet(snap.files.map(f => s"$base/$f"): _*).filter(lit(false))
     }
-    else reader.parquet(keep.map(f => s"$base/$f"): _*)
+    else readFiles(spark, base, snap, keep)
       .filter(col(colName).isNull)
   }
 
@@ -748,12 +814,6 @@ object GraftLog {
     // v_n files with a v_{n+1} schema) — and log replay runs once, not twice.
     val snap = snapshot(base, version)
     val keep = candidatesIn(snap, colName, lo, hi)
-    val reader = snap.schemaJson match {
-      case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => spark.read
-    }
     if (keep.isEmpty) {
       // empty result with the right schema, zero data files opened
       snap.schemaJson match {
@@ -762,10 +822,11 @@ object GraftLog {
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
         case None => // schemaless log: fall back to full-snapshot scan schema
-          reader.parquet(snap.files.map(f => s"$base/$f"): _*).filter(lit(false))
+          readerFor(spark, snap)
+            .parquet(snap.files.map(f => s"$base/$f"): _*).filter(lit(false))
       }
     } else {
-      reader.parquet(keep.map(f => s"$base/$f"): _*)
+      readFiles(spark, base, snap, keep)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     }
   }
@@ -794,13 +855,10 @@ object GraftLog {
     val snap = snapshot(base)
     val small = snap.files.filter(f => new File(base, f).length() < minBytes)
     if (small.size <= 1) return snap.version // nothing to fold
-    val reader = snap.schemaJson match {
-      case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => spark.read
-    }
-    val smallDf = reader.parquet(small.map(f => s"$base/$f"): _*)
+    // dv-aware: folding a dv-carrying small file materializes only its
+    // survivors (entries pointing at the folded file go stale-harmless —
+    // file names are never reused)
+    val smallDf = readFiles(spark, base, snap, small)
     val n = smallDf.count()
     val nFiles = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     val statCols = trackedStatCols(snap,
@@ -879,17 +937,15 @@ object GraftLog {
       case None => snap.files
     }
     if (candidates.isEmpty) return snap.version // zone maps prove a no-op
-    val reader = snap.schemaJson match {
-      case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[StructType])
-      case None => spark.read
-    }
     // census: ONE scan over the candidates, one output row per file —
     // metadata-scale driver result, and the scan only evaluates the
-    // predicate (no payload shuffle: grouping key is the file itself)
-    val census = reader.parquet(candidates.map(f => s"$base/$f"): _*)
-      .groupBy(input_file_name().as("__f"))
+    // predicate (no payload shuffle: grouping key is the file itself).
+    // Counts LIVE rows only (deletion vectors subtracted): a file whose
+    // surviving rows all match is a pure-metadata drop even when some of
+    // its rows were already dv-deleted.
+    val census = subtractDv(spark, base, snap, withRowCoords(
+        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*)))
+      .groupBy(col("__file").as("__f"))
       .agg(count(lit(1)).as("__rows"),
         count(when(predicate, lit(1))).as("__hits"))
       .collect()
@@ -905,7 +961,7 @@ object GraftLog {
       if (partial.isEmpty) (Seq.empty[String], Map.empty[String, FileStats])
       else {
         // keep predicate-NULL rows: !coalesce(p, false), not !p
-        val survivors = reader.parquet(partial.map(f => s"$base/$f"): _*)
+        val survivors = readFiles(spark, base, snap, partial)
           .filter(!coalesce(predicate, lit(false)))
         val fields = survivors.schema.fieldNames.toSeq
         stageFilesWithStats(survivors, base,
@@ -914,6 +970,93 @@ object GraftLog {
     commit(base, "delete", staged, fullDrop ++ partial, stats = stats,
       txnId = txnId, schemaJson = snap.schemaJson,
       expectedVersion = Some(snap.version))
+  }
+
+  /** Merge-on-read DELETE (Delta deletion vectors / Iceberg position
+    * deletes): rows matching the predicate are recorded as (file, pos)
+    * coordinates in a deletion-vector sidecar — DATA FILES STAY
+    * BYTE-UNTOUCHED — and every read path subtracts them with one
+    * (broadcast) anti join. The 100 TB shape for small scattered
+    * deletes (GDPR row erasure, late-arriving retractions), where the
+    * copy-on-write `delete` would rewrite a large fraction of the
+    * table's files to remove a few thousand rows. Run `purgeDeletes`
+    * periodically to fold accumulated DVs back into data files.
+    *
+    * Same contract as `delete` otherwise: SQL NULL semantics (only
+    * predicate=TRUE deletes), `scope` pre-prunes via zone maps, `txnId`
+    * idempotence, OCC conflict+retry, no-op short-circuit. */
+  def deleteVectored(spark: SparkSession, base: String, predicate: Column,
+                     scope: Option[(String, Any, Any)] = None,
+                     txnId: Option[String] = None,
+                     maxConflictRetries: Int = 5): Long = {
+    txnId.foreach { id =>
+      commits(base).find(_.txnId.contains(id)).foreach(c => return c.version)
+    }
+    var attempt = 0
+    while (true) {
+      try return deleteVectoredOnce(spark, base, predicate, scope, txnId)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def deleteVectoredOnce(spark: SparkSession, base: String,
+                                 predicate: Column,
+                                 scope: Option[(String, Any, Any)],
+                                 txnId: Option[String]): Long = {
+    val snap = snapshot(base)
+    val candidates = scope match {
+      case Some((c, lo, hi)) => candidatesIn(snap, c, lo, hi)
+      case None => snap.files
+    }
+    if (candidates.isEmpty) return snap.version
+    // coordinates of NEWLY deleted rows: predicate over live rows only —
+    // positions already in a DV are excluded, so replaying an
+    // overlapping predicate never double-records a coordinate
+    val dels = subtractDv(spark, base, snap, withRowCoords(
+        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*)))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
+    val n = dels.count()
+    if (n == 0) return snap.version // no match → no commit
+    // right-size the sidecar: DV entries are two small columns
+    val parts = math.max(1, math.ceil(n / 4e6).toInt)
+    val staged = stageFiles(dels.repartition(parts), base)
+    commit(base, "delete_dv", Seq.empty, Seq.empty, txnId = txnId,
+      schemaJson = snap.schemaJson, expectedVersion = Some(snap.version),
+      addDv = staged)
+  }
+
+  /** Fold accumulated deletion vectors back into the data files: every
+    * live file holding >= 1 dv-deleted row is rewritten with only its
+    * survivors, every untouched file survives byte-identical, and ALL
+    * dv sidecars drop in the same atomic commit. After a purge, reads
+    * are anti-join-free again. The merge-on-read maintenance pass —
+    * copy-on-write cost, paid once and only for the touched subset. */
+  def purgeDeletes(spark: SparkSession, base: String): Long = {
+    val snap = snapshot(base)
+    if (snap.dvFiles.isEmpty) return snap.version
+    val referenced = dvEntries(spark, base, snap)
+      .select(col("__dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    val touched = snap.files.filter(referenced.contains)
+    if (touched.isEmpty)
+      // every dv entry points at files later rewritten away — the
+      // sidecars are pure dead weight; drop them metadata-only
+      return commit(base, "purge", Seq.empty, Seq.empty,
+        schemaJson = snap.schemaJson, expectedVersion = Some(snap.version),
+        removeDv = snap.dvFiles)
+    val survivors = readFiles(spark, base, snap, touched)
+    val statCols = trackedStatCols(snap,
+      survivors.schema.fieldNames.toSeq, Seq.empty)
+    val (staged, stats) = stageFilesWithStats(survivors, base, statCols)
+    commit(base, "purge", staged, touched, stats = stats,
+      schemaJson = snap.schemaJson, expectedVersion = Some(snap.version),
+      removeDv = snap.dvFiles)
   }
 
   /** Row-level change feed over [fromVersion, toVersion], derived from
@@ -941,14 +1084,58 @@ object GraftLog {
     val schema = upTo.flatMap(_.schemaJson).lastOption.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    // dv sidecar set visible BEFORE each commit: a removed file's rows
+    // that an earlier DV already deleted must NOT re-emit as deletes
+    // (they left the table at the DV commit, which emitted them)
+    val dvBefore = mutable.Map.empty[Long, Seq[String]]
+    locally {
+      val acc = mutable.LinkedHashSet.empty[String]
+      upTo.foreach { c =>
+        if (c.operation == "checkpoint") {
+          dvBefore(c.version) = Seq.empty
+          acc.clear(); acc ++= c.addDv
+        } else {
+          dvBefore(c.version) = acc.toSeq
+          acc --= c.removeDv; acc ++= c.addDv
+        }
+      }
+    }
+    def antiDv(df: DataFrame, dvNames: Seq[String]): DataFrame =
+      if (dvNames.isEmpty) df
+      else withRowCoords(df)
+        .join(broadcast(spark.read.parquet(dvNames.map(f => s"$base/$f"): _*)),
+          col("__file") === col("__dv_file") &&
+            col("__pos") === col("__dv_pos"), "left_anti")
+        .drop("__file", "__pos")
     val parts = upTo.filter(_.version >= fromVersion).flatMap { c =>
-      def part(files: Seq[String], ctype: String): Option[DataFrame] =
+      def stamp(df: DataFrame, ctype: String): DataFrame = df
+        .withColumn("_change_type", lit(ctype))
+        .withColumn("_commit_version", lit(c.version))
+        .withColumn("_commit_timestamp", lit(c.timestampMs))
+      def part(files: Seq[String], ctype: String,
+               excludeDv: Seq[String]): Option[DataFrame] =
         if (files.isEmpty) None
-        else Some(reader.parquet(files.map(f => s"$base/$f"): _*)
-          .withColumn("_change_type", lit(ctype))
-          .withColumn("_commit_version", lit(c.version))
-          .withColumn("_commit_timestamp", lit(c.timestampMs)))
-      part(c.add, "insert") ++ part(c.remove, "delete")
+        else Some(stamp(antiDv(
+          reader.parquet(files.map(f => s"$base/$f"): _*), excludeDv), ctype))
+      // a delete_dv commit names no files — its deletes are the rows AT
+      // the recorded coordinates (one broadcast semi join; the data
+      // files must still exist on disk, same retention contract)
+      def dvPart: Option[DataFrame] =
+        if (c.addDv.isEmpty || c.operation != "delete_dv") None
+        else {
+          val dv = spark.read.parquet(c.addDv.map(f => s"$base/$f"): _*)
+          val refs = dv.select(col("__dv_file")).distinct()
+            .collect().map(_.getString(0)).toSeq // bounded by file count
+          Some(stamp(withRowCoords(
+              reader.parquet(refs.map(f => s"$base/$f"): _*))
+            .join(broadcast(dv),
+              col("__file") === col("__dv_file") &&
+                col("__pos") === col("__dv_pos"), "left_semi")
+            .drop("__file", "__pos"), "delete"))
+        }
+      part(c.add, "insert", Seq.empty) ++
+        part(c.remove, "delete", dvBefore.getOrElse(c.version, Seq.empty)) ++
+        dvPart
     }
     parts.reduceOption(_.unionByName(_)).getOrElse {
       val st = StructType(schema.map(_.fields.toSeq).getOrElse(Seq.empty) ++
@@ -1015,7 +1202,9 @@ object GraftLog {
     val retained = all.drop(math.max(0, all.size - keepVersions))
     val needed = mutable.Set.empty[String]
     retained.indices.foreach { i =>
-      needed ++= snapshot(base, Some(retained(i).version)).files
+      val s = snapshot(base, Some(retained(i).version))
+      needed ++= s.files
+      needed ++= s.dvFiles // dv sidecars are .parquet in the base dir too
     }
     val dropLog = all.dropRight(keepVersions)
     // Publish the squashed checkpoint FIRST, then delete old log entries
@@ -1037,6 +1226,11 @@ object GraftLog {
       firstKept.txnId.foreach(node.put("txnId", _))
       val addArr = node.putArray("add"); baseline.files.foreach(addArr.add)
       node.putArray("remove")
+      // live deletion vectors survive the squash (replay resets at the
+      // checkpoint, so un-carried dvs would silently resurrect rows)
+      if (baseline.dvFiles.nonEmpty) {
+        val dvArr = node.putArray("addDv"); baseline.dvFiles.foreach(dvArr.add)
+      }
       // table schema survives the squash
       baseline.schemaJson.foreach(node.put("schemaJson", _))
       // zone maps (incl. null counts / ndv) survive the squash: pruning

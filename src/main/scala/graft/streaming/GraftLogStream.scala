@@ -64,7 +64,11 @@ object GraftLogStream {
     val fresh = GraftLog.commits(base).filter(_.version > from)
     if (fresh.isEmpty) return from
     fresh.foreach { c =>
-      val isRewrite = c.remove.nonEmpty && c.version > 1
+      // deletion-vector commits name no files but still retract rows —
+      // they are non-append changes for an append-only stream consumer
+      val isRewrite =
+        (c.remove.nonEmpty || c.addDv.nonEmpty || c.removeDv.nonEmpty) &&
+          c.version > 1
       val link: Boolean =
         if (!isRewrite) true
         else onRewrite match {
@@ -109,6 +113,16 @@ object GraftLogStream {
     val fresh = GraftLog.commits(base).filter(_.version > from)
     if (fresh.isEmpty) return from
     fresh.foreach { c =>
+      // A dv commit deletes ROWS, not files — a hard-link mirror has
+      // nothing to link, and linking around it would silently corrupt
+      // the feed's net effects (a later purge's remove side re-emits
+      // rows the dv already deleted). Fail loudly; the batch
+      // readChangeFeed handles dv histories exactly.
+      if (c.addDv.nonEmpty || c.removeDv.nonEmpty)
+        throw new IllegalStateException(
+          s"cdf mirror cannot express deletion-vector commit " +
+            s"v${c.version} (${c.operation}); purge deletes first " +
+            "(GraftLog.purgeDeletes) or use batch GraftLog.readChangeFeed")
       def link(names: Seq[String], tag: String): Unit = names.foreach { name =>
         val target = Paths.get(feedDir, f"v${c.version}%020d-$tag-$name")
         try Files.createLink(target, Paths.get(base, name))
