@@ -2281,6 +2281,254 @@ object SparkEntry {
              GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
+  /** TPC-H Q2 shape (q131): minimum-cost supplier — a correlated
+    * scalar MIN subquery over the same join graph as the outer query.
+    * partsupp doesn't exist in this dataset, so the (part, supplier)
+    * cost relation is derived once in a CTE from lineitem (min unit
+    * price per pair — min of a per-row double division, exact
+    * selection, no summation); Catalyst decorrelates the per-part min
+    * into one grouped aggregate joined back on p_partkey. Region dims
+    * broadcast; the only wide shuffle is the cost CTE's groupBy. */
+  private def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""WITH cost AS (
+               SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+               FROM lineitem GROUP BY l_partkey, l_suppkey)
+             SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+                 AS acctbal,
+               s_name, n_name, p_partkey, unit_cost
+             FROM part, supplier, cost, nation, region
+             WHERE p_partkey = cost.l_partkey
+               AND s_suppkey = cost.l_suppkey
+               AND p_size = 15 AND p_type = 'LARGE'
+               AND s_nationkey = n_nationkey
+               AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+               AND unit_cost = (
+                 SELECT min(c2.unit_cost)
+                 FROM cost c2, supplier s2, nation n2, region r2
+                 WHERE c2.l_partkey = p_partkey
+                   AND s2.s_suppkey = c2.l_suppkey
+                   AND s2.s_nationkey = n2.n_nationkey
+                   AND n2.n_regionkey = r2.r_regionkey
+                   AND r2.r_name = 'EUROPE')
+             ORDER BY acctbal DESC, n_name, s_name, p_partkey
+             LIMIT 20""")
+  }
+
+  /** TPC-H Q6 shape (q132): the forecasting-revenue-change query —
+    * a pure scan-filter-aggregate with NO join and NO group key. The
+    * whole point at 100 TB is that every predicate (shipdate range,
+    * discount band, quantity cap) reaches the parquet scan as
+    * PushedFilters and the sum is one map-side partial per partition
+    * + a single-row final merge — zero shuffle of data rows. */
+  private def qTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'
+               AND l_discount BETWEEN 0.05 AND 0.07
+               AND l_quantity < 24""")
+  }
+
+  /** TPC-H Q8 shape (q133): national market share — the deepest join
+    * graph in the suite (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * part ⋈ nation×2 ⋈ region; nation joins twice under different
+    * roles). The share is a conditional-sum / total-sum ratio per
+    * order year; both sums are exact decimal folds cast to double
+    * once, so the division is bit-identical across engines. All five
+    * dimension sides are broadcast; lineitem shuffles once for the
+    * orders join. */
+  private def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_year,
+               CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) AS mkt_share
+             FROM (
+               SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6)) AS volume,
+                 n2.n_name AS nation
+               FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+               WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                 AND c_nationkey = n1.n_nationkey
+                 AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                 AND s_nationkey = n2.n_nationkey
+                 AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                   AND TIMESTAMP '1996-12-31'
+                 AND p_type = 'ECONOMY') all_nations
+             GROUP BY o_year ORDER BY o_year""")
+  }
+
+  /** TPC-H Q9 shape (q134): product-type profit by nation and year.
+    * ps_supplycost doesn't exist here, so cost is proxied by
+    * p_retailprice × quantity × 0.1 — preserving the shape that
+    * matters: a LIKE-filtered part dimension, a 6-table join, and a
+    * two-key (nation, year) aggregate over a derived profit
+    * expression. Profit is computed per-row in decimal BEFORE the
+    * sum, so the fold is exact and engine-portable. */
+  private def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT nation, o_year,
+               CAST(sum(amount) AS DOUBLE) AS sum_profit
+             FROM (
+               SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))
+                   - CAST(p_retailprice * l_quantity * 0.1
+                     AS DECIMAL(18,6)) AS amount
+               FROM part, supplier, lineitem, orders, nation
+               WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                 AND o_orderkey = l_orderkey
+                 AND s_nationkey = n_nationkey
+                 AND p_name LIKE '%widget%') profit
+             GROUP BY nation, o_year
+             ORDER BY nation, o_year DESC""")
+  }
+
+  /** TPC-H Q11 shape (q135): important stock — a grouped value sum
+    * with a HAVING threshold that is a fraction of the SAME sum
+    * computed globally (scalar subquery, evaluated once and
+    * broadcast). The partsupp value relation is proxied by lineitem
+    * revenue restricted to suppliers of two nations. Both sides are
+    * exact decimal sums cast to double once, so the > compare is
+    * deterministic. */
+  private def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""WITH natl AS (
+               SELECT l_partkey,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS value
+               FROM lineitem, supplier, nation
+               WHERE l_suppkey = s_suppkey
+                 AND s_nationkey = n_nationkey
+                 AND n_name IN ('NATION_7', 'NATION_12'))
+             SELECT l_partkey, CAST(sum(value) AS DOUBLE) AS value
+             FROM natl GROUP BY l_partkey
+             HAVING CAST(sum(value) AS DOUBLE) > (
+                 SELECT CAST(sum(value) AS DOUBLE) * 0.002 FROM natl)
+             ORDER BY value DESC, l_partkey""")
+  }
+
+  /** TPC-H Q12 shape (q136): shipping-mode priority classes. No
+    * l_shipmode / l_commitdate in this dataset, so the class key is
+    * l_linestatus and "late" is shipdate > orderdate + 90 days —
+    * keeping the shape: an orders ⋈ lineitem join with a date-lag
+    * predicate and two conditional counts split by priority. */
+  private def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS low_line_count
+             FROM orders, lineitem
+             WHERE o_orderkey = l_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+               AND l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+             GROUP BY l_linestatus ORDER BY l_linestatus""")
+  }
+
+  /** TPC-H Q13 shape (q137): customer order-count distribution — the
+    * double aggregate: LEFT OUTER join (with an extra ON-clause
+    * filter, so no-match customers still count as 0) grouped per
+    * customer, then the counts histogrammed. The outer join preserves
+    * order-less customers; count(o_orderkey) skips their NULLs. */
+  private def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_count, count(*) AS custdist
+             FROM (
+               SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+             GROUP BY c_count
+             ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q15 shape (q138): top supplier — a revenue CTE reused
+    * twice: once joined to supplier, once under max(). The revenue
+    * equality join is on an EXACT decimal sum (no double compare
+    * hazard), and Catalyst evaluates the scalar max once. In TPC-H
+    * this is the VIEW query; the CTE plays the view's role. */
+  private def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""WITH revenue AS (
+               SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))) AS total_revenue
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-04-01'
+               GROUP BY l_suppkey)
+             SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+             FROM supplier, revenue
+             WHERE s_suppkey = supplier_no
+               AND total_revenue = (
+                 SELECT max(total_revenue) FROM revenue)
+             ORDER BY s_suppkey""")
+  }
+
+  /** TPC-H Q16 shape (q139): supplier diversity per part attribute —
+    * count(DISTINCT supplier) over a LIKE/IN-filtered part dimension,
+    * minus a NOT IN excluded-supplier subquery (complaints proxied by
+    * negative balance; the exclusion list is tiny and broadcast as an
+    * anti join). The distinct count is the expensive part: one
+    * two-phase shuffle on the group key + suppkey. */
+  private def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+             FROM lineitem, part
+             WHERE p_partkey = l_partkey
+               AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+               AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+               AND l_suppkey NOT IN (
+                 SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             GROUP BY p_brand, p_type, p_size
+             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  /** TPC-H Q20 shape (q140): potential part promotion — a nested
+    * semi-join chain: suppliers (of two nations) who shipped more
+    * than 30% of some PROMO part's 1997 volume. availqty/partsupp is
+    * proxied by per-(supplier, part) shipped quantity vs the part's
+    * total — both CTEs are exact decimal sums off ONE shared shuffle,
+    * and the IN collapses to a semi join so each supplier emits
+    * once no matter how many parts qualify. */
+  private def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""WITH shipped AS (
+               SELECT l_suppkey, l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+               FROM lineitem, part
+               WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+                 AND l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'
+               GROUP BY l_suppkey, l_partkey),
+             tot AS (
+               SELECT l_partkey, sum(qty) AS total_qty
+               FROM shipped GROUP BY l_partkey)
+             SELECT s_suppkey, s_name, n_name
+             FROM supplier, nation
+             WHERE s_nationkey = n_nationkey
+               AND n_name IN ('NATION_2', 'NATION_9')
+               AND s_suppkey IN (
+                 SELECT shipped.l_suppkey FROM shipped, tot
+                 WHERE shipped.l_partkey = tot.l_partkey
+                   AND CAST(shipped.qty AS DOUBLE) >
+                     0.3 * CAST(tot.total_qty AS DOUBLE))
+             ORDER BY s_suppkey""")
+  }
+
   /** Chunk-level (sub-document) dedup (q129): CCNet-style line dedup —
     * every 3-word chunk is kept only at its first corpus-wide
     * occurrence and documents are reassembled from their surviving
@@ -2428,6 +2676,16 @@ object SparkEntry {
     "q128_tpch_q22" -> (qTpchQ22 _),
     "q129_chunk_dedup" -> (qChunkDedup _),
     "q130_log_delete_dv" -> (qLogDeleteDv _),
+    "q131_tpch_q2" -> (qTpchQ2 _),
+    "q132_tpch_q6" -> (qTpchQ6 _),
+    "q133_tpch_q8" -> (qTpchQ8 _),
+    "q134_tpch_q9" -> (qTpchQ9 _),
+    "q135_tpch_q11" -> (qTpchQ11 _),
+    "q136_tpch_q12" -> (qTpchQ12 _),
+    "q137_tpch_q13" -> (qTpchQ13 _),
+    "q138_tpch_q15" -> (qTpchQ15 _),
+    "q139_tpch_q16" -> (qTpchQ16 _),
+    "q140_tpch_q20" -> (qTpchQ20 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2915,6 +3173,148 @@ object SparkEntry {
          WHERE NOT (o_orderkey BETWEEN 2000 AND 4000)
            AND NOT (o_custkey % 9 = 4)
          GROUP BY bucket ORDER BY bucket""",
+    "q131_tpch_q2" ->
+      """WITH cost AS (
+           SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+           s_name, n_name, p_partkey, unit_cost
+         FROM part, supplier, cost, nation, region
+         WHERE p_partkey = cost.l_partkey AND s_suppkey = cost.l_suppkey
+           AND p_size = 15 AND p_type = 'LARGE'
+           AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+           AND unit_cost = (
+             SELECT min(c2.unit_cost)
+             FROM cost c2, supplier s2, nation n2, region r2
+             WHERE c2.l_partkey = p_partkey
+               AND s2.s_suppkey = c2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')
+         ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 20""",
+    "q132_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q133_tpch_q8" ->
+      """SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         FROM (
+           SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6)) AS volume,
+             n2.n_name AS nation
+           FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+           WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND c_nationkey = n1.n_nationkey
+             AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+             AND s_nationkey = n2.n_nationkey
+             AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+               AND TIMESTAMP '1996-12-31'
+             AND p_type = 'ECONOMY') all_nations
+         GROUP BY o_year ORDER BY o_year""",
+    "q134_tpch_q9" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+         FROM (
+           SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               - CAST(p_retailprice * l_quantity * 0.1
+                 AS DECIMAL(18,6)) AS amount
+           FROM part, supplier, lineitem, orders, nation
+           WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+             AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+             AND p_name LIKE '%widget%') profit
+         GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+    "q135_tpch_q11" ->
+      """WITH natl AS (
+           SELECT l_partkey,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS value
+           FROM lineitem, supplier, nation
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name IN ('NATION_7', 'NATION_12'))
+         SELECT l_partkey, CAST(sum(value) AS DOUBLE) AS value
+         FROM natl GROUP BY l_partkey
+         HAVING CAST(sum(value) AS DOUBLE) > (
+             SELECT CAST(sum(value) AS DOUBLE) * 0.002 FROM natl)
+         ORDER BY value DESC, l_partkey""",
+    "q136_tpch_q12" ->
+      """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders, lineitem
+         WHERE o_orderkey = l_orderkey
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q137_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q138_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = supplier_no
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q139_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+           AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q140_tpch_q20" ->
+      """WITH shipped AS (
+           SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+           FROM lineitem, part
+           WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY l_suppkey, l_partkey),
+         tot AS (
+           SELECT l_partkey, sum(qty) AS total_qty
+           FROM shipped GROUP BY l_partkey)
+         SELECT s_suppkey, s_name, n_name
+         FROM supplier, nation
+         WHERE s_nationkey = n_nationkey
+           AND n_name IN ('NATION_2', 'NATION_9')
+           AND s_suppkey IN (
+             SELECT shipped.l_suppkey FROM shipped, tot
+             WHERE shipped.l_partkey = tot.l_partkey
+               AND CAST(shipped.qty AS DOUBLE) >
+                 0.3 * CAST(tot.total_qty AS DOUBLE))
+         ORDER BY s_suppkey""",
     "q129_chunk_dedup" ->
       """WITH words AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -58,12 +58,19 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     System.err.println(s"[verify] oracle_sql.json written (${SparkEntry.oracleSql.size} queries)")
 
+    // Local-iteration escape hatch: SPARK_GRAFT_ONLY=q133,q136 dumps just
+    // those queries. The driver never sets it, so the gate always runs all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
     val done = new AtomicInteger(0)
-    val total = SparkEntry.queries.size
+    val total = selected.size
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val pool = Executors.newFixedThreadPool(
       math.min(4, Runtime.getRuntime.availableProcessors))
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = selected.toSeq.map { case (name, fn) =>
       name -> pool.submit(new Runnable {
         def run(): Unit = {
           val t0 = System.nanoTime()
