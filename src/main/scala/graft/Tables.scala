@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed access to the driver-generated testdata tables (TESTDATA.md).
   *
@@ -19,20 +20,58 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright. Read the raw int64 nanos and truncate to
-      // micros with integral division (a double-precision divide would
-      // corrupt ns-since-epoch values, which exceed 2^53). Truncation
+      // events.ts has drifted across testdata generations: parquet
+      // TIMESTAMP(NANOS) (which Spark surfaces as int64 only under the
+      // nanosAsLong legacy flag) and native timestamp[us] (which Spark
+      // reads as TIMESTAMP_NTZ when the writer leaves isAdjustedToUTC
+      // false). Never assume a physical encoding — set the legacy flag so
+      // a nanos file is at least readable, then branch on the schema the
+      // reader actually produced. Session TZ is pinned to UTC everywhere
+      // (Verify/Bench/specs), so NTZ→TZ cast is value-identical and
       // matches how DuckDB (the oracle) reads the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // int64 ns-since-epoch: truncate to micros with integral div —
+          // a double-precision divide corrupts values beyond 2^53.
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType    => raw
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — testdata drifted again; " +
+          "extend Tables.load (and EventStreams.readEventStream) for this encoding")
+      }
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  // Per-session memo of the last dir registered, so the 29 SQL-surface
+  // queries sharing one Verify/Bench session don't re-read 10 parquet
+  // footers each. Keyed by session identity — a new session (tests spin
+  // up their own) registers fresh.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so spark.sql(...) matches the
-    * oracle's table naming. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    * oracle's table naming.
+    *
+    * Fault-isolated: one unreadable table must not take down queries that
+    * never touch it (round-4 incident: a drifted events.parquet broke all
+    * 22 TPC-H shapes via this loop). A table that fails to load is logged
+    * loudly and its view dropped — only queries actually referencing it
+    * fail, with TABLE_OR_VIEW_NOT_FOUND pointing at the logged cause. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    if (registeredDir.get(spark) == dir) return
+    names.foreach { n =>
+      try load(spark, dir, n).createOrReplaceTempView(n)
+      catch { case e: Exception =>
+        spark.catalog.dropTempView(n) // no stale view from a previous dir
+        System.err.println(
+          s"[tables] table '$n' failed to load from $dir — queries touching it " +
+          s"will fail with TABLE_OR_VIEW_NOT_FOUND; cause: ${e.getMessage}")
+      }
+    }
+    registeredDir.put(spark, dir)
+  }
 }

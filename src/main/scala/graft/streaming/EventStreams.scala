@@ -386,18 +386,63 @@ object EventStreams {
   }
 
   /** Wire a parquet directory as a (replayed) stream with the events
-    * schema — lets batch fixtures drive the streaming operators. */
+    * schema — lets batch fixtures drive the streaming operators.
+    *
+    * FileStreamSource needs a user-declared schema, and declaring a WRONG
+    * physical type is the one failure an engine must never have: when the
+    * testdata drifted from TIMESTAMP(NANOS)-as-int64 to native
+    * timestamp[us], a hard-coded `ts: LongType` schema silently read the
+    * micros as "nanos" and shipped timestamps 1000× too small with a
+    * clean schema. So: sniff the batch footer of the SAME path first,
+    * declare the physical type the file actually has, convert by that
+    * type, and fail loudly (epoch-range assert) if the result is outside
+    * any plausible event-time range. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(StructType(eventSchema.fields.map {
-        case f if f.name == "ts" => StructField("ts", LongType) // raw nanos
-        case f => f
-      }))
+    val path = s"$dir/events.parquet"
+    // One footer read — metadata-only, no data scan.
+    val physical = spark.read.parquet(path).schema("ts").dataType
+    val streamSchema = StructType(eventSchema.fields.map {
+      case f if f.name == "ts" => StructField("ts", physical)
+      case f => f
+    })
+    val raw = spark.readStream
+      .schema(streamSchema)
       // FileStreamSource requires a directory; glob-filter to the events
       // file inside the shared testdata dir.
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val converted = physical match {
+      case LongType          => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType     => raw
+      case TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other in $path — extend readEventStream")
+    }
+    assertEventTimesSane(spark, path, physical)
+    converted
+  }
+
+  /** Loud guard against silent timestamp corruption: apply the same
+    * conversion the stream will apply to a batch read of the same file and
+    * assert min/max land in a plausible event-time range. A future encoding
+    * drift (e.g. int64 micros read as "nanos" → 1000× shrink to ~1970)
+    * throws here instead of shipping wrong windows. One column-pruned
+    * min/max scan at stream-construction time. */
+  private def assertEventTimesSane(spark: SparkSession, path: String,
+                                   physical: org.apache.spark.sql.types.DataType): Unit = {
+    val batch = spark.read.parquet(path)
+    val ts = physical match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    val row = batch.select(min(ts).as("mn"), max(ts).as("mx")).head()
+    val (mn, mx) = (row.getTimestamp(0), row.getTimestamp(1))
+    val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    require(mn != null && !mn.before(lo) && !mx.after(hi),
+      s"events.ts sanity check failed: min=$mn max=$mx outside [$lo,$hi] — " +
+      s"physical type $physical is being decoded wrongly (testdata encoding drift?)")
   }
 }
