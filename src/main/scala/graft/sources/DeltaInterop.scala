@@ -1,0 +1,388 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Delta Lake open-format interop, built from the PUBLIC protocol
+  * specification (delta.io PROTOCOL.md): a reader that replays a real
+  * `_delta_log` — newline-delimited JSON actions plus classic v1 parquet
+  * checkpoints — and a minimal conformant writer used to produce
+  * fixtures (and usable by any OSS Delta reader).
+  *
+  * Scope (documented in BASELINE.md): reader protocol v1-v2 (throws on
+  * v3+ features such as deletion vectors rather than silently dropping
+  * rows), schemaString → Spark schema, partition-value injection,
+  * time travel by version. The OSS delta-spark jars are not obtainable
+  * in this offline sandbox, so conformance is proven against
+  * protocol-format fixtures, not a delta-spark round trip.
+  *
+  * Scale notes:
+  *  - log replay is driver-side metadata work, bounded by actions since
+  *    the last checkpoint (the same contract Delta itself has);
+  *  - partition columns are NOT in the data files (per protocol); they
+  *    are re-attached via ONE broadcast join of the (file → partition
+  *    values) map against `_metadata.file_path` — no per-partition plan
+  *    union, so 10^5 partitions cost a 10^5-row broadcast, not a
+  *    10^5-way union;
+  *  - data files go to the parquet reader as one multi-path scan:
+  *    pushdown / pruning / row-group skipping apply as on any scan.
+  */
+object DeltaInterop {
+  private val mapper = new ObjectMapper()
+
+  private val CommitName = "^[0-9]{20}\\.json$".r
+  private def logDir(base: String) = new File(base, "_delta_log")
+  private def commitName(v: Long) = f"$v%020d.json"
+  private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
+
+  /** One live data file: relative path + partition values (strings, as
+    * the protocol serializes them; null = null partition value). */
+  final case class AddFile(path: String, partitionValues: Map[String, String])
+
+  final case class DeltaSnapshot(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      files: Seq[AddFile])
+
+  // ------------------------------------------------------------- reader
+
+  /** Resolve the table state at `versionAsOf` (head by default) by
+    * checkpoint + JSON replay, exactly as the protocol prescribes. */
+  def snapshot(spark: SparkSession, base: String,
+               versionAsOf: Option[Long] = None): DeltaSnapshot = {
+    val dir = logDir(base)
+    require(dir.isDirectory, s"not a Delta table (no _delta_log): $base")
+    val commitFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName))
+      .sortBy(_.getName)
+    require(commitFiles.nonEmpty || new File(dir, "_last_checkpoint").exists(),
+      s"empty _delta_log in $base")
+    val headVersion = commitFiles.lastOption
+      .map(_.getName.stripSuffix(".json").toLong)
+    // checkpoint hint (the protocol's _last_checkpoint side file)
+    val lastCp = Option(new File(dir, "_last_checkpoint"))
+      .filter(_.exists())
+      .map(f => mapper.readTree(f).get("version").asLong())
+    val target = versionAsOf
+      .orElse(headVersion)
+      .orElse(lastCp)
+      .getOrElse(throw new IllegalStateException(s"cannot resolve head of $base"))
+    versionAsOf.foreach { v =>
+      val known = commitFiles.map(_.getName.stripSuffix(".json").toLong).toSet
+      require(known.contains(v) || lastCp.contains(v),
+        s"version $v not in _delta_log of $base (have ${known.toSeq.sorted})")
+    }
+    // start from the newest checkpoint at or below target, else version 0
+    val cpVersion = lastCp.filter(_ <= target)
+    val live = mutable.LinkedHashMap.empty[String, AddFile]
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Seq.empty
+
+    def applyProtocol(p: JsonNode): Unit = {
+      val r = p.get("minReaderVersion").asInt()
+      // v3 gates reads on readerFeatures (deletion vectors, column
+      // mapping, ...) this reader does not implement — refusing is the
+      // protocol-mandated behavior, and infinitely better than silently
+      // resurrecting DV-deleted rows.
+      require(r <= 2, s"Delta minReaderVersion=$r requires reader features " +
+        "this engine does not implement (refusing per protocol)")
+    }
+    def applyMetaData(m: JsonNode): Unit = {
+      schemaJson = Some(m.get("schemaString").asText())
+      val pc = m.get("partitionColumns")
+      partCols =
+        if (pc == null) Seq.empty
+        else (0 until pc.size()).map(i => pc.get(i).asText())
+    }
+    def applyAdd(a: JsonNode): Unit = {
+      require(a.get("deletionVector") == null,
+        "Delta add.deletionVector present — DV tables need reader v3, unsupported")
+      val pv = a.get("partitionValues")
+      val m =
+        if (pv == null) Map.empty[String, String]
+        else {
+          val it = pv.fields(); val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+          }
+          b.result()
+        }
+      val p = a.get("path").asText()
+      live += p -> AddFile(p, m)
+    }
+
+    cpVersion.foreach { cv =>
+      // classic v1 checkpoint: one parquet of action rows (add / remove /
+      // metaData / protocol structs, one non-null per row)
+      val cp = spark.read.parquet(new File(dir, checkpointName(cv)).getPath)
+      val cols = cp.columns.toSet
+      if (cols.contains("protocol"))
+        cp.select("protocol.minReaderVersion").where(col("minReaderVersion").isNotNull)
+          .collect() // ≤1 row
+          .foreach(r => require(r.getInt(0) <= 2,
+            s"Delta checkpoint minReaderVersion=${r.getInt(0)} unsupported"))
+      if (cols.contains("metaData")) {
+        val md = cp.select("metaData.schemaString", "metaData.partitionColumns")
+          .where(col("schemaString").isNotNull).collect() // ≤1 row
+        md.foreach { r =>
+          schemaJson = Some(r.getString(0))
+          partCols = Option(r.getSeq[String](1)).getOrElse(Seq.empty)
+        }
+      }
+      if (cols.contains("add"))
+        cp.select("add.path", "add.partitionValues")
+          .where(col("path").isNotNull)
+          .collect() // one row per live file — metadata-scale
+          .foreach { r =>
+            val pv = Option(r.getMap[String, String](1)).map(_.toMap)
+              .getOrElse(Map.empty)
+            live += r.getString(0) -> AddFile(r.getString(0), pv)
+          }
+    }
+
+    val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
+    commitFiles
+      .filter { f =>
+        val v = f.getName.stripSuffix(".json").toLong
+        v >= replayFrom && v <= target
+      }
+      .foreach { f =>
+        Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val n = mapper.readTree(line)
+            Option(n.get("protocol")).foreach(applyProtocol)
+            Option(n.get("metaData")).foreach(applyMetaData)
+            Option(n.get("add")).foreach(applyAdd)
+            Option(n.get("remove")).foreach(r => live -= r.get("path").asText())
+          }
+        }
+      }
+    val schema = DataType.fromJson(schemaJson.getOrElse(
+      throw new IllegalStateException(s"no metaData action found in $base")))
+      .asInstanceOf[StructType]
+    DeltaSnapshot(target, schema, partCols, live.values.toSeq)
+  }
+
+  /** Read a Delta table into a DataFrame (head, or `versionAsOf`). */
+  def read(spark: SparkSession, base: String,
+           versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, base, versionAsOf)
+    val dataFields = snap.schema.fields.filterNot(f =>
+      snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields)
+    if (snap.files.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    }
+    val paths = snap.files.map(f => s"$base/${f.path}")
+    val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+    if (snap.partitionColumns.isEmpty) scan.select(snap.schema.fieldNames.map(col): _*)
+    else {
+      // (file → partition values) as a broadcast map keyed by the path
+      // tail; one join re-attaches partition columns to every row
+      import spark.implicits._
+      val pvDf = snap.files.map(f =>
+        (f.path.split('/').last,
+         snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
+        .toDF("__delta_file", "__pv")
+      val joined = scan
+        .withColumn("__delta_file",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .join(broadcast(pvDf), Seq("__delta_file"))
+      // partition values serialize as strings; cast back per the schema
+      val withParts = snap.partitionColumns.zipWithIndex.foldLeft(joined) {
+        case (df, (c, i)) =>
+          df.withColumn(c, element_at(col("__pv"), i + 1)
+            .cast(snap.schema(c).dataType))
+      }
+      withParts.select(snap.schema.fieldNames.map(col): _*)
+    }
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Stage a frame's rows as uniquely-named parquet files under `base`
+    * (partition columns EXCLUDED from the data files, per protocol when
+    * `partitionBy` is set) and return add-action (path, partitionValues)
+    * pairs. */
+  private def stageAdds(df: DataFrame, base: String,
+                        partitionBy: Seq[String]): Seq[AddFile] = {
+    new File(base).mkdirs()
+    val scratch = new File(base, s".stage_${UUID.randomUUID()}")
+    if (partitionBy.isEmpty) {
+      df.write.mode("overwrite").parquet(scratch.getPath)
+      val id = UUID.randomUUID().toString
+      val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val adds = parts.zipWithIndex.map { case (p, i) =>
+        val name = s"$id-$i.parquet"
+        Files.move(p.toPath, Paths.get(base, name), StandardCopyOption.ATOMIC_MOVE)
+        AddFile(name, Map.empty)
+      }.toSeq
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      adds
+    } else {
+      df.write.mode("overwrite").partitionBy(partitionBy: _*)
+        .parquet(scratch.getPath)
+      // hive-style dirs <col>=<val>/part-*.parquet → add actions with
+      // explicit partitionValues (the protocol's source of truth; the
+      // directory layout is just convention)
+      val adds = mutable.ArrayBuffer.empty[AddFile]
+      def walk(d: File, pv: Map[String, String]): Unit =
+        Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach {
+          case f if f.isDirectory && f.getName.contains("=") =>
+            val Array(k, v) = f.getName.split("=", 2)
+            val dec = java.net.URLDecoder.decode(v, "UTF-8")
+            walk(f, pv + (k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec)))
+          case f if f.getName.startsWith("part-") && f.getName.endsWith(".parquet") =>
+            val id = UUID.randomUUID().toString
+            val rel = pv.map { case (k, v) =>
+              s"$k=${java.net.URLEncoder.encode(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v, "UTF-8")}"
+            }.mkString("/") + s"/$id.parquet"
+            Files.createDirectories(Paths.get(base, rel).getParent)
+            Files.move(f.toPath, Paths.get(base, rel), StandardCopyOption.ATOMIC_MOVE)
+            adds += AddFile(rel, pv)
+          case _ => ()
+        }
+      walk(scratch, Map.empty)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      adds.toSeq
+    }
+  }
+
+  private def writeCommit(base: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = logDir(base); dir.mkdirs()
+    val tmp = new File(dir, s".tmp_${UUID.randomUUID()}.json")
+    Files.writeString(tmp.toPath, lines.mkString("", "\n", "\n"))
+    val dst = new File(dir, commitName(version))
+    // atomic rename = the commit; an existing file means a concurrent
+    // writer won — conflict, as Delta's log store contract requires
+    if (!tmp.renameTo(dst)) {
+      tmp.delete()
+      throw new java.util.ConcurrentModificationException(
+        s"delta commit $version already exists in $base")
+    }
+  }
+
+  private def addJson(a: AddFile, base: String): String = {
+    val node = mapper.createObjectNode()
+    val add = node.putObject("add")
+    add.put("path", a.path)
+    val pv = add.putObject("partitionValues")
+    a.partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    val f = new File(base, a.path)
+    add.put("size", f.length())
+    add.put("modificationTime", f.lastModified())
+    add.put("dataChange", true)
+    mapper.writeValueAsString(node)
+  }
+
+  private def metaJson(schema: StructType, partitionBy: Seq[String],
+                       tableId: String): String = {
+    val node = mapper.createObjectNode()
+    val m = node.putObject("metaData")
+    m.put("id", tableId)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    val pc = m.putArray("partitionColumns"); partitionBy.foreach(pc.add)
+    m.putObject("configuration")
+    m.put("createdTime", 0L) // deterministic fixtures; readers ignore it
+    mapper.writeValueAsString(node)
+  }
+
+  private val protocolJson: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def currentVersion(base: String): Option[Long] = {
+    val fs = Option(logDir(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName))
+    if (fs.isEmpty) None else Some(fs.map(_.getName.stripSuffix(".json").toLong).max)
+  }
+
+  /** Create-or-replace the table (commit 0 = protocol+metaData+adds;
+    * later overwrites remove every live file). */
+  def overwrite(df: DataFrame, base: String,
+                partitionBy: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val adds = stageAdds(df, base, partitionBy)
+    val v = currentVersion(base).map(_ + 1).getOrElse(0L)
+    val removes = if (v == 0) Seq.empty else snapshot(spark, base).files
+    val removeLines = removes.map { r =>
+      val node = mapper.createObjectNode()
+      val rm = node.putObject("remove")
+      rm.put("path", r.path); rm.put("dataChange", true)
+      mapper.writeValueAsString(node)
+    }
+    writeCommit(base, v,
+      Seq(protocolJson, metaJson(df.schema, partitionBy, UUID.randomUUID().toString)) ++
+        removeLines ++ adds.map(addJson(_, base)))
+    v
+  }
+
+  /** Append rows (no existing file touched). */
+  def append(df: DataFrame, base: String,
+             partitionBy: Seq[String] = Seq.empty): Long = {
+    val adds = stageAdds(df, base, partitionBy)
+    val v = currentVersion(base).map(_ + 1).getOrElse(
+      throw new IllegalStateException(s"append to non-existent table $base"))
+    writeCommit(base, v, adds.map(addJson(_, base)))
+    v
+  }
+
+  /** Write a classic v1 parquet checkpoint of the CURRENT state and the
+    * `_last_checkpoint` pointer — the protocol's log-compaction step.
+    * Action columns: protocol / metaData / add (one non-null per row). */
+  def checkpoint(spark: SparkSession, base: String): Long = {
+    val snap = snapshot(spark, base)
+    val pvType = MapType(StringType, StringType)
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    import org.apache.spark.sql.Row
+    val rows =
+      Row(Row(1, 2), null, null) ::
+      Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns), null) ::
+      snap.files.map(f => Row(null, null,
+        Row(f.path, f.partitionValues, new File(base, f.path).length(),
+          0L, true))).toList
+    val scratch = new File(base, s".cp_${UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.getPath)
+    val part = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    val dst = new File(logDir(base), checkpointName(snap.version))
+    Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val lc = mapper.createObjectNode()
+    lc.put("version", snap.version); lc.put("size", rows.size.toLong)
+    Files.writeString(new File(logDir(base), "_last_checkpoint").toPath,
+      mapper.writeValueAsString(lc))
+    snap.version
+  }
+}
