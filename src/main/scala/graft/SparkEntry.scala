@@ -1493,9 +1493,14 @@ object SparkEntry {
     import graft.sources.DeltaInterop
     val base = fixtureDir("delta_customer", dir)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // coalesce(1) before each partitioned write: the operator under test
+    // is the protocol round trip, not parallel file production — without
+    // it every write emits (shuffle partitions × 25 nations) tiny files
+    // and fixture construction dominates the bench time
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"),
         col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      .coalesce(1)
     DeltaInterop.overwrite(cust, base, partitionBy = Seq("c_nationkey"))
     DeltaInterop.append(cust.filter(col("c_custkey") < 100)
       .withColumn("c_custkey", col("c_custkey") + lit(2000000L)),
@@ -1511,6 +1516,56 @@ object SparkEntry {
         count(lit(1)).as("n_customers"),
         sum(col("acctbal")).cast("double").as("total_acctbal"))
       .orderBy(col("c_nationkey"))
+  }
+
+  /** Apache Iceberg open-format interop: a table committed through the
+    * PUBLIC Iceberg v2 spec (sources/IcebergInterop.scala) — metadata
+    * JSON chain, avro manifest lists + manifests with spec field IDs,
+    * manifest reuse across appends — then read back by resolving
+    * version-hint → metadata → snapshot → manifests → parquet. The
+    * oracle replays the same construction over the original supplier
+    * table. (iceberg-spark runtime jars unreachable offline; the spec
+    * format itself is the interop surface — see BASELINE.md.) */
+  private def qIcebergRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("iceberg_supplier", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val supp = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+    IcebergInterop.overwrite(supp, base)
+    IcebergInterop.append(supp.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L)), base)
+    IcebergInterop.read(s, base)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Iceberg snapshot time travel: three snapshots (create, append,
+    * replacing overwrite) each read back by snapshot id — the
+    * overwrite's fresh manifest list must bound the head while older
+    * snapshots still reach their historical manifests. */
+  private def qIcebergTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("iceberg_tt_region", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val reg = Tables.load(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val s1 = IcebergInterop.overwrite(reg, base)
+    val s2 = IcebergInterop.append(
+      reg.withColumn("r_regionkey", col("r_regionkey") + lit(10)), base)
+    val s3 = IcebergInterop.overwrite(reg.filter(col("r_regionkey") < 2), base)
+    def summarize(tag: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("r_regionkey")).cast("long").as("sum_key"))
+        .select(lit(tag).as("snap"), col("n_rows"), col("sum_key"))
+    summarize(1, IcebergInterop.read(s, base, Some(s1)))
+      .unionByName(summarize(2, IcebergInterop.read(s, base, Some(s2))))
+      .unionByName(summarize(3, IcebergInterop.read(s, base, Some(s3))))
+      .orderBy(col("snap"))
   }
 
   /** Delta protocol time travel: three commits (create, append,
@@ -2773,6 +2828,8 @@ object SparkEntry {
     "q140_tpch_q20" -> (qTpchQ20 _),
     "q141_delta_read" -> (qDeltaRead _),
     "q142_delta_time_travel" -> (qDeltaTimeTravel _),
+    "q143_iceberg_read" -> (qIcebergRead _),
+    "q144_iceberg_time_travel" -> (qIcebergTimeTravel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3975,6 +4032,26 @@ object SparkEntry {
          UNION ALL SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT)
            FROM nation WHERE n_regionkey = 0
          ORDER BY version""",
+    "q143_iceberg_read" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM supplier
+           UNION ALL
+           SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2))
+           FROM supplier WHERE s_suppkey % 3 = 0
+         ) GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q144_iceberg_time_travel" ->
+      """WITH v2 AS (
+           SELECT r_regionkey FROM region
+           UNION ALL SELECT r_regionkey + 10 FROM region)
+         SELECT 1 AS snap, count(*) AS n_rows,
+           CAST(sum(r_regionkey) AS BIGINT) AS sum_key FROM region
+         UNION ALL SELECT 2, count(*), CAST(sum(r_regionkey) AS BIGINT) FROM v2
+         UNION ALL SELECT 3, count(*), CAST(sum(r_regionkey) AS BIGINT)
+           FROM region WHERE r_regionkey < 2
+         ORDER BY snap""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -1,0 +1,167 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.IcebergInterop
+
+/** Iceberg spec-conformance edges: metadata resolution, snapshot time
+  * travel, manifest reuse on append, type mapping, delete-file refusal,
+  * and a metadata chain crafted BY HAND (reader proven against the spec,
+  * not against our own writer). */
+class IcebergInteropSpec extends SparkSpec {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("iceberg_spec_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  test("round trip: overwrite + append + read") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id"), base)
+    IcebergInterop.append(spark.range(100, 105).toDF("id"), base)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 15)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 10).sum + (100 until 105).sum)
+  }
+
+  test("snapshot time travel reads historical file sets") {
+    val base = tmp()
+    val s1 = IcebergInterop.overwrite(spark.range(4).toDF("id"), base)
+    val s2 = IcebergInterop.append(spark.range(4, 8).toDF("id"), base)
+    val s3 = IcebergInterop.overwrite(spark.range(100, 101).toDF("id"), base)
+    assert(IcebergInterop.read(spark, base, Some(s1)).count() == 4)
+    assert(IcebergInterop.read(spark, base, Some(s2)).count() == 8)
+    assert(IcebergInterop.read(spark, base, Some(s3)).count() == 1)
+    assert(IcebergInterop.read(spark, base).count() == 1)
+  }
+
+  test("iceberg schema JSON maps to Spark types (both directions)") {
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType),
+      StructField("c", DecimalType(18, 2)),
+      StructField("d", TimestampNTZType),
+      StructField("e", DoubleType)))
+    val base = tmp()
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        1L, "x", new java.math.BigDecimal("12.34"),
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0), 1.5)), 1), schema)
+    IcebergInterop.overwrite(df, base)
+    // required-ness survives in the RESOLVED schema (Spark's file scan
+    // itself relaxes nullability, so assert on the snapshot, not the scan)
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.schema("a").dataType == LongType && !snap.schema("a").nullable)
+    assert(snap.schema("c").dataType == DecimalType(18, 2))
+    assert(snap.schema("d").dataType == TimestampNTZType)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.schema("c").dataType == DecimalType(18, 2))
+    assert(got.schema("d").dataType == TimestampNTZType)
+    assert(got.count() == 1)
+  }
+
+  test("reader refuses delete manifests (merge-on-read unsupported)") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(3).toDF("id"), base)
+    // flip the manifest-list content field to 1 (delete manifest) by
+    // rewriting the avro — simulate a v2 table carrying row-level deletes
+    val metaDir = new File(base, "metadata")
+    val ml = metaDir.listFiles().filter(_.getName.startsWith("snap-")).head
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val r = DataFileReader.openReader(ml, new GenericDatumReader[GenericRecord]())
+    val rows = new scala.collection.mutable.ArrayBuffer[GenericRecord]
+    val sch = r.getSchema
+    while (r.hasNext) rows += r.next()
+    r.close()
+    rows.foreach(_.put("content", 1))
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, ml); rows.foreach(w.append); w.close()
+    val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, base))
+    assert(e.getMessage.contains("delete manifests"))
+  }
+
+  test("reads a hand-crafted metadata chain (writer not involved)") {
+    val base = tmp()
+    val metaDir = new File(base, "metadata"); metaDir.mkdirs()
+    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    // data file via plain parquet write
+    val scratch = new File(base, ".s")
+    spark.range(6).toDF("id").coalesce(1).write.parquet(scratch.getPath)
+    val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dataFile = new File(dataDir, "d0.parquet")
+    Files.move(pf.toPath, dataFile.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    // manifest + manifest list via raw avro with spec field names
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val entrySch = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"}]}}]}""")
+    val mFile = new File(metaDir, "m0.avro")
+    val w1 = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySch))
+    w1.create(entrySch, mFile)
+    val ent = new GenericData.Record(entrySch)
+    ent.put("status", 1)
+    val dfr = new GenericData.Record(entrySch.getField("data_file").schema())
+    dfr.put("file_path", dataFile.getAbsolutePath)
+    dfr.put("file_format", "parquet")
+    ent.put("data_file", dfr)
+    w1.append(ent); w1.close()
+    val mlSch = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"}]}""")
+    val mlFile = new File(metaDir, "snap-1.avro")
+    val w2 = new DataFileWriter(new GenericDatumWriter[GenericRecord](mlSch))
+    w2.create(mlSch, mlFile)
+    val mf = new GenericData.Record(mlSch)
+    mf.put("manifest_path", mFile.getAbsolutePath)
+    w2.append(mf); w2.close()
+    Files.writeString(new File(metaDir, "v1.metadata.json").toPath,
+      s"""{"format-version":2,"table-uuid":"t","location":"$base",
+          "last-sequence-number":1,"last-updated-ms":0,"last-column-id":1,
+          "current-schema-id":0,
+          "schemas":[{"type":"struct","schema-id":0,"fields":[
+            {"id":1,"name":"id","required":false,"type":"long"}]}],
+          "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+          "last-partition-id":999,"default-sort-order-id":0,"sort-orders":[],
+          "current-snapshot-id":1,
+          "snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+            "manifest-list":"${mlFile.getAbsolutePath}",
+            "summary":{"operation":"append"},"schema-id":0}]}""")
+    Files.writeString(new File(metaDir, "version-hint.text").toPath, "1")
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 6)
+    assert(got.schema.fieldNames.toSeq == Seq("id"))
+    assert(got.agg(sum("id")).head().getLong(0) == 15)
+  }
+
+  test("deleted-status manifest entries are excluded") {
+    // overwrite writes a fresh manifest list; simulate Iceberg's expire
+    // path instead: hand-add a status=2 entry and confirm it is skipped
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(5).toDF("id"), base)
+    val metaDir = new File(base, "metadata")
+    val manifest = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("manifest-") && f.getName.endsWith(".avro")).head
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val r = DataFileReader.openReader(manifest, new GenericDatumReader[GenericRecord]())
+    val sch = r.getSchema
+    val rows = new scala.collection.mutable.ArrayBuffer[GenericRecord]
+    while (r.hasNext) rows += r.next()
+    r.close()
+    rows.foreach(_.put("status", 2)) // mark every file deleted
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, manifest); rows.foreach(w.append); w.close()
+    assert(IcebergInterop.read(spark, base).count() == 0)
+  }
+}
