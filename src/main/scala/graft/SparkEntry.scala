@@ -1518,6 +1518,28 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Unicode normalize + clean over documents (the pretraining
+    * pipeline's first text pass). The fixture suffix grafts a combining
+    * accent (NFC must compose it), a BEL control char (must strip), and
+    * a double space (must collapse) onto every row, so the cleaning
+    * provably fires on all rows; char counts per language are then
+    * value-exact against DuckDB running nfc_normalize + the same ASCII
+    * regexes. */
+  private def qNormalizeClean(s: SparkSession, dir: String): DataFrame = {
+    // decomposed e + U+0301 (NFC must compose), BEL U+0007 (must strip),
+    // double space (must collapse) - mirrors the oracle's chr() calls
+    val raw = concat(col("text"), lit(" e\u0301 \u0007x  y"))
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), raw.as("raw"),
+        graft.ops.TextAnalysis.normalizeClean(raw).as("clean"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("clean"))).cast("long").as("clean_chars"),
+        sum(length(col("raw"))).cast("long").as("raw_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Apache Iceberg open-format interop: a table committed through the
     * PUBLIC Iceberg v2 spec (sources/IcebergInterop.scala) — metadata
     * JSON chain, avro manifest lists + manifests with spec field IDs,
@@ -2830,6 +2852,7 @@ object SparkEntry {
     "q142_delta_time_travel" -> (qDeltaTimeTravel _),
     "q143_iceberg_read" -> (qIcebergRead _),
     "q144_iceberg_time_travel" -> (qIcebergTimeTravel _),
+    "q145_normalize_clean" -> (qNormalizeClean _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4052,6 +4075,21 @@ object SparkEntry {
          UNION ALL SELECT 3, count(*), CAST(sum(r_regionkey) AS BIGINT)
            FROM region WHERE r_regionkey < 2
          ORDER BY snap""",
+    "q145_normalize_clean" ->
+      """WITH r AS (
+           SELECT lang,
+             text || ' e' || chr(769) || ' ' || chr(7) || 'x  y' AS raw
+           FROM documents),
+         c AS (
+           SELECT lang, raw,
+             trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               ' +', ' ', 'g')) AS clean
+           FROM r)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+           CAST(sum(length(raw)) AS BIGINT) AS raw_chars
+         FROM c GROUP BY lang ORDER BY lang""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

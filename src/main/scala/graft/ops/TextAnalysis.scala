@@ -162,6 +162,22 @@ object TextAnalysis {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** Standard first cleaning pass of a pretraining text pipeline:
+    * Unicode NFC normalization (custom codegen'd expression — no Spark
+    * builtin, and a UDF would break whole-stage codegen on the 100 TB
+    * scan), then strip ASCII control characters (keeping \t \n \r), then
+    * collapse space runs and trim. Every step has a bit-exact DuckDB
+    * twin (`nfc_normalize` + the same ASCII regexes), so the whole pass
+    * is oracle-checkable. */
+  def normalizeClean(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.NfcNormalize(
+            org.apache.spark.sql.GraftBridge.expression(text))),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      " +", " "))
+
   /** Per-group duplicate-n-gram statistics: total and distinct n-gram
     * counts summed as longs, with ONE final division — so the ratio is
     * bit-exact across engines and partitionings (summing per-doc double

@@ -97,6 +97,17 @@ object DeltaInterop {
         "this engine does not implement (refusing per protocol)")
     }
     def applyMetaData(m: JsonNode): Unit = {
+      // column mapping renames the PHYSICAL parquet columns; reading such
+      // a table by logical names silently yields all-null columns. The
+      // feature fits inside minReaderVersion 2, so the protocol check
+      // alone does not catch it — refuse on the table property.
+      Option(m.get("configuration"))
+        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+        .map(_.asText()).filter(mode => mode != "none").foreach { mode =>
+          throw new IllegalArgumentException(
+            s"Delta columnMapping.mode=$mode — physical-name mapping is not " +
+            "implemented; reading by logical names would return nulls (refusing)")
+        }
       schemaJson = Some(m.get("schemaString").asText())
       val pc = m.get("partitionColumns")
       partCols =
@@ -122,9 +133,23 @@ object DeltaInterop {
     }
 
     cpVersion.foreach { cv =>
-      // classic v1 checkpoint: one parquet of action rows (add / remove /
-      // metaData / protocol structs, one non-null per row)
-      val cp = spark.read.parquet(new File(dir, checkpointName(cv)).getPath)
+      // classic v1 checkpoint: parquet of action rows (add / remove /
+      // metaData / protocol structs, one non-null per row). Either one
+      // file (NNN.checkpoint.parquet) or the multi-part form
+      // (NNN.checkpoint.<k>.<n>.parquet) the protocol allows for large
+      // tables — all parts are one logical dataset, read as one scan.
+      val single = new File(dir, checkpointName(cv))
+      val partRe = (f"$cv%020d" + "\\.checkpoint\\.[0-9]{10}\\.[0-9]{10}\\.parquet").r
+      val cpPaths: Seq[String] =
+        if (single.exists()) Seq(single.getPath)
+        else {
+          val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => partRe.matches(f.getName)).sortBy(_.getName)
+          require(parts.nonEmpty, s"_last_checkpoint names version $cv but no " +
+            s"checkpoint parquet found in $dir")
+          parts.map(_.getPath).toSeq
+        }
+      val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
       if (cols.contains("protocol"))
         cp.select("protocol.minReaderVersion").where(col("minReaderVersion").isNotNull)
@@ -132,6 +157,18 @@ object DeltaInterop {
           .foreach(r => require(r.getInt(0) <= 2,
             s"Delta checkpoint minReaderVersion=${r.getInt(0)} unsupported"))
       if (cols.contains("metaData")) {
+        val mdFields = cp.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        if (mdFields.contains("configuration"))
+          cp.select("metaData.configuration")
+            .where(col("configuration").isNotNull).collect() // ≤1 row
+            .foreach { r =>
+              Option(r.getMap[String, String](0)).map(_.toMap)
+                .getOrElse(Map.empty[String, String])
+                .get("delta.columnMapping.mode").filter(_ != "none")
+                .foreach(m => throw new IllegalArgumentException(
+                  s"Delta columnMapping.mode=$m (checkpoint) — unsupported, refusing"))
+            }
         val md = cp.select("metaData.schemaString", "metaData.partitionColumns")
           .where(col("schemaString").isNotNull).collect() // ≤1 row
         md.foreach { r =>

@@ -104,6 +104,52 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got.schema.fieldNames.toSeq == Seq("id", "tag"))
   }
 
+  test("multi-part classic checkpoint reads as one logical dataset") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(12).toDF("id"), base)
+    DeltaInterop.append(spark.range(12, 20).toDF("id"), base)
+    DeltaInterop.checkpoint(spark, base)
+    // split the single checkpoint into the protocol's k-of-n part form
+    val log = new File(base, "_delta_log")
+    val single = log.listFiles()
+      .find(_.getName.endsWith(".checkpoint.parquet")).get
+    val v = single.getName.stripSuffix(".checkpoint.parquet")
+    val cp = spark.read.parquet(single.getPath)
+    val rows = cp.collect()
+    val half = rows.length / 2
+    Seq(rows.take(half), rows.drop(half)).zipWithIndex.foreach { case (part, i) =>
+      val scratch = new File(base, s".split_$i")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toSeq, 1), cp.schema)
+        .coalesce(1).write.parquet(scratch.getPath)
+      val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(pf.toPath, new File(log,
+        f"$v.checkpoint.${i + 1}%010d.${2}%010d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    assert(single.delete())
+    // delete the JSON commits at/below the checkpoint (log retention
+    // would) so the state MUST come from the split checkpoint
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      f.getName.stripSuffix(".json").toLong <= v.toLong).foreach(f =>
+        assert(f.delete()))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 20)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 20).sum)
+  }
+
+  test("reader refuses column-mapping tables (logical names would read null)") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(3).toDF("id"), base)
+    // append a metaData action enabling column mapping, as an OSS writer
+    // upgrading the table would
+    val schemaJson = spark.range(1).toDF("id").schema.json.replace("\"", "\\\"")
+    Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
+      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""" + "\n")
+    val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
+    assert(e.getMessage.contains("columnMapping"))
+  }
+
   test("null partition value round-trips") {
     val base = tmp()
     val df = spark.range(6).select(col("id"),

@@ -1,5 +1,47 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+/** Unicode normalize + clean (the pretraining pipeline's first text
+  * pass): NFC composition via the custom codegen'd expression, control
+  * stripping, whitespace collapse. */
+class NormalizeCleanSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis.normalizeClean
+
+  test("NFC composes, controls strip, spaces collapse, ends trim") {
+    val got = Seq("  ab   é  ").toDF("t")
+      .select(normalizeClean(col("t")).as("c")).head().getString(0)
+    assert(got == "ab é") // BEL gone, runs collapsed, é composed (1 char)
+  }
+
+  test("tab/newline/CR survive (they are token boundaries, not noise)") {
+    val got = Seq("a\tb\nc\rd").toDF("t")
+      .select(normalizeClean(col("t")).as("c")).head().getString(0)
+    assert(got == "a\tb\nc\rd")
+  }
+
+  test("already-clean ASCII is unchanged (fast path)") {
+    val got = Seq("plain ascii text").toDF("t")
+      .select(normalizeClean(col("t")).as("c")).head().getString(0)
+    assert(got == "plain ascii text")
+  }
+
+  test("null propagates") {
+    val got = Seq(Option.empty[String]).toDF("t")
+      .select(normalizeClean(col("t")).as("c")).head()
+    assert(got.isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = Seq("x é  y", "plain").toDF("t")
+      .select(normalizeClean(col("t")).as("c"))
+    val codegen = df.collect().map(_.getString(0)).toSeq
+    val interp = spark.createDataFrame(df.rdd, df.schema) // breaks codegen lineage
+    assert(codegen == interp.collect().map(_.getString(0)).toSeq)
+  }
+}
+
 /** Round-5 plan pins for the third TPC-H batch (Q2/Q6/Q8/Q9/Q11/Q12/
   * Q13/Q15/Q16/Q20 shapes, queries q131–q140): each already passes the
   * value-exact oracle gate; these pin the plan properties that make
