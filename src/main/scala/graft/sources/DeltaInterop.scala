@@ -210,10 +210,27 @@ object DeltaInterop {
     DeltaSnapshot(target, schema, partCols, live.values.toSeq)
   }
 
-  /** Read a Delta table into a DataFrame (head, or `versionAsOf`). */
+  /** Timestamp time travel: the newest version whose commit landed at or
+    * before `ts` — per protocol, a commit's timestamp is its log file's
+    * modification time (the in-commit commitInfo timestamp is optional).
+    * Driver-side listing only; no data I/O. */
+  def versionAtTimestamp(base: String, tsMillis: Long): Long = {
+    val candidates = Option(logDir(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName))
+      .filter(_.lastModified() <= tsMillis)
+    require(candidates.nonEmpty,
+      s"no Delta commit at or before ${new java.sql.Timestamp(tsMillis)} in $base")
+    candidates.map(_.getName.stripSuffix(".json").toLong).max
+  }
+
+  /** Read a Delta table into a DataFrame (head, or `versionAsOf`, or
+    * `timestampAsOf` — version wins if both are given). */
   def read(spark: SparkSession, base: String,
-           versionAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, base, versionAsOf)
+           versionAsOf: Option[Long] = None,
+           timestampAsOf: Option[Long] = None): DataFrame = {
+    val version = versionAsOf.orElse(
+      timestampAsOf.map(versionAtTimestamp(base, _)))
+    val snap = snapshot(spark, base, version)
     val dataFields = snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name))
     val dataSchema = StructType(dataFields)

@@ -150,6 +150,22 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("columnMapping"))
   }
 
+  test("timestamp time travel resolves to the newest commit at or before ts") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(5).toDF("id"), base)
+    val log = new File(base, "_delta_log")
+    val c0 = new File(log, "00000000000000000000.json")
+    DeltaInterop.append(spark.range(5, 9).toDF("id"), base)
+    val c1 = new File(log, "00000000000000000001.json")
+    // pin distinct mtimes (fast test machines can land both in one ms)
+    assert(c0.setLastModified(1000000L) && c1.setLastModified(2000000L))
+    assert(DeltaInterop.read(spark, base, timestampAsOf = Some(1500000L)).count() == 5)
+    assert(DeltaInterop.read(spark, base, timestampAsOf = Some(2000000L)).count() == 9)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.read(spark, base, timestampAsOf = Some(999L)))
+    assert(e.getMessage.contains("no Delta commit"))
+  }
+
   test("null partition value round-trips") {
     val base = tmp()
     val df = spark.range(6).select(col("id"),
