@@ -224,13 +224,30 @@ object DeltaInterop {
   }
 
   /** Read a Delta table into a DataFrame (head, or `versionAsOf`, or
-    * `timestampAsOf` — version wins if both are given). */
+    * `timestampAsOf` — version wins if both are given).
+    *
+    * `partitionFilters` (column → required serialized value) prune the
+    * FILE LIST from the log before any scan is planned — the metadata
+    * decision real Delta readers make. Without it, a predicate on a
+    * partition column only filters rows post-scan (the values are
+    * re-attached after the parquet read), which is the wrong shape at
+    * 100 TB: a one-partition query must open one partition's files, not
+    * every file. Null matches are expressed as `null` values in the map. */
   def read(spark: SparkSession, base: String,
            versionAsOf: Option[Long] = None,
-           timestampAsOf: Option[Long] = None): DataFrame = {
+           timestampAsOf: Option[Long] = None,
+           partitionFilters: Map[String, String] = Map.empty): DataFrame = {
     val version = versionAsOf.orElse(
       timestampAsOf.map(versionAtTimestamp(base, _)))
-    val snap = snapshot(spark, base, version)
+    val snap0 = snapshot(spark, base, version)
+    partitionFilters.keys.foreach(k => require(
+      snap0.partitionColumns.contains(k),
+      s"'$k' is not a partition column of $base (have ${snap0.partitionColumns})"))
+    val snap =
+      if (partitionFilters.isEmpty) snap0
+      else snap0.copy(files = snap0.files.filter(f =>
+        partitionFilters.forall { case (k, v) =>
+          f.partitionValues.get(k).contains(v) }))
     val dataFields = snap.schema.fields.filterNot(f =>
       snap.partitionColumns.contains(f.name))
     val dataSchema = StructType(dataFields)

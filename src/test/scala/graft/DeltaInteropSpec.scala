@@ -166,6 +166,23 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("no Delta commit"))
   }
 
+  test("partition filters prune the file list from the log, not post-scan") {
+    val base = tmp()
+    val df = spark.range(40).select(col("id"),
+      (col("id") % 4).cast("int").cast("string").as("bucket"))
+    DeltaInterop.overwrite(df.coalesce(1), base, partitionBy = Seq("bucket"))
+    val all = DeltaInterop.read(spark, base)
+    val one = DeltaInterop.read(spark, base,
+      partitionFilters = Map("bucket" -> "2"))
+    assert(one.count() == 10)
+    assert(one.inputFiles.length < all.inputFiles.length,
+      s"pruned read still scans ${one.inputFiles.length} of ${all.inputFiles.length} files")
+    assert(one.inputFiles.length == 1) // coalesce(1) → one file per partition
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.read(spark, base, partitionFilters = Map("nope" -> "1")))
+    assert(e.getMessage.contains("not a partition column"))
+  }
+
   test("null partition value round-trips") {
     val base = tmp()
     val df = spark.range(6).select(col("id"),
