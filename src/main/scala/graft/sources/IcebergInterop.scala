@@ -42,10 +42,17 @@ object IcebergInterop {
 
   // ------------------------------------------------------------- reader
 
+  /** One live data file: resolved local path + identity-partition values
+    * (stringified, as read from the manifest's partition record; empty
+    * for unpartitioned tables). */
+  final case class DataFileEntry(path: String,
+                                 partitionValues: Map[String, String])
+
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
-      files: Seq[String])
+      partitionColumns: Seq[String],
+      files: Seq[DataFileEntry])
 
   private def metadataDir(base: String) = new File(base, "metadata")
 
@@ -159,9 +166,24 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wantId not found in $base"))
 
+    // default partition spec → identity partition column names (the only
+    // transform this reader prunes on; other transforms read fine, they
+    // just never prune)
+    val partCols: Seq[String] = Option(meta.get("partition-specs")).map { specs =>
+      val want = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      (0 until specs.size()).map(specs.get)
+        .find(s => s.get("spec-id").asInt() == want)
+        .map { s =>
+          val fs = s.get("fields")
+          (0 until fs.size()).map(fs.get)
+            .filter(f => Option(f.get("transform")).forall(_.asText() == "identity"))
+            .map(_.get("name").asText())
+        }.getOrElse(Seq.empty)
+    }.getOrElse(Seq.empty)
+
     val manifestList = new File(resolvePath(base,
       snap.get("manifest-list").asText()))
-    val files = mutable.ArrayBuffer.empty[String]
+    val files = mutable.ArrayBuffer.empty[DataFileEntry]
     readAvro(manifestList).foreach { m =>
       val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
       require(content == 0,
@@ -177,22 +199,47 @@ object IcebergInterop {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported Iceberg data file format $fmt")
-          files += resolvePath(base, df.get("file_path").toString)
+          // partition record: field names = partition names (identity);
+          // values stringified for engine-neutral comparison
+          val pv: Map[String, String] = opt(df, "partition").map {
+            case r: GenericRecord =>
+              import scala.jdk.CollectionConverters._
+              r.getSchema.getFields.asScala.map(f =>
+                f.name() -> Option(r.get(f.name())).map(_.toString).orNull).toMap
+            case _ => Map.empty[String, String]
+          }.getOrElse(Map.empty)
+          files += DataFileEntry(
+            resolvePath(base, df.get("file_path").toString), pv)
         }
       }
     }
-    IcebergSnapshot(wantId, schema, files.distinct.toSeq)
+    IcebergSnapshot(wantId, schema, partCols, files.distinctBy(_.path).toSeq)
   }
 
   /** Read an Iceberg table into a DataFrame (current snapshot, or
-    * `snapshotId` time travel). */
+    * `snapshotId` time travel).
+    *
+    * `partitionFilters` (column → required stringified value) prune the
+    * FILE LIST from the manifests before any scan is planned — Iceberg's
+    * own metadata-pruning contract for identity partitions. Data files
+    * carry identity-partition columns (unlike Delta), so no value
+    * re-attachment happens: pruning only shrinks the scan. */
   def read(spark: SparkSession, base: String,
-           snapshotId: Option[Long] = None): DataFrame = {
+           snapshotId: Option[Long] = None,
+           partitionFilters: Map[String, String] = Map.empty): DataFrame = {
     val snap = snapshot(spark, base, snapshotId)
-    if (snap.files.isEmpty)
+    partitionFilters.keys.foreach(k => require(
+      snap.partitionColumns.contains(k),
+      s"'$k' is not an identity partition column of $base " +
+      s"(have ${snap.partitionColumns})"))
+    val kept =
+      if (partitionFilters.isEmpty) snap.files
+      else snap.files.filter(f => partitionFilters.forall {
+        case (k, v) => f.partitionValues.get(k).contains(v) })
+    if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(snap.files: _*)
+    else spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
   }
 
   // ------------------------------------------------------------- writer
@@ -223,18 +270,40 @@ object IcebergInterop {
   }
 
   // avro schemas with the spec's field ids (manifest_entry ids 0-2,
-  // data_file ids 100-104+134; manifest_file ids 500-503,517)
-  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":"long","field-id":1},
-      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]}}]}""".stripMargin.replaceAll("\n", ""))
+  // data_file ids 100-104+134, partition record 102 with field ids
+  // 1000+). The entry schema is built per table because the partition
+  // record's fields mirror the partition spec.
+  private def avroPrimitive(dt: DataType): String = dt match {
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case DoubleType => "\"double\""
+    case other => throw new IllegalArgumentException(
+      s"unsupported identity-partition type $other")
+  }
+
+  private def entrySchemaFor(partCols: Seq[(String, DataType)]): AvroSchema = {
+    val partitionField =
+      if (partCols.isEmpty) ""
+      else {
+        val fs = partCols.zipWithIndex.map { case ((c, dt), i) =>
+          s"""{"name":"$c","type":[${avroPrimitive(dt)},"null"],"field-id":${1000 + i}}"""
+        }.mkString(",")
+        s""",{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$fs]}}"""
+      }
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":"long","field-id":1},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  $partitionField
+         |]}}]}""".stripMargin.replaceAll("\n", ""))
+  }
 
   private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -260,7 +329,8 @@ object IcebergInterop {
   /** Commit `df` as the next snapshot. `mode` "overwrite" starts the
     * file set fresh; "append" carries the previous snapshot's manifests
     * forward (manifest reuse, as Iceberg itself does). */
-  private def commitSnapshot(df: DataFrame, base: String, mode: String): Long = {
+  private def commitSnapshot(df: DataFrame, base: String, mode: String,
+                             partitionBy: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val metaDir = metadataDir(base); metaDir.mkdirs()
     val dataDir = new File(base, "data"); dataDir.mkdirs()
@@ -273,40 +343,78 @@ object IcebergInterop {
         icebergSchemaToSparkJson(m)) == df.schema,
         s"iceberg fixture writer: append schema must match table schema")
     }
+    val partTypes: Seq[(String, DataType)] =
+      partitionBy.map(c => c -> df.schema(c).dataType)
 
-    // 1. stage data files
-    val scratch = new File(base, s".stage_${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.getPath)
+    // 1. stage data files. Identity partitioning keeps the partition
+    // columns IN the data files (Iceberg's shape, unlike Delta/hive) and
+    // writes one file set per partition tuple; the driver loop is
+    // bounded by the partition count (a production writer fans this out,
+    // same as Iceberg's own fan-out writer).
     val id = UUID.randomUUID().toString
-    val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val dataFiles = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"$id-$i.parquet"
-      Files.move(p.toPath, Paths.get(dataDir.getPath, name),
-        StandardCopyOption.ATOMIC_MOVE)
-      new File(dataDir, name)
-    }.toSeq
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val dataFiles: Seq[(File, Map[String, Any])] =
+      if (partitionBy.isEmpty) {
+        val scratch = new File(base, s".stage_${UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(scratch.getPath)
+        val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        val staged = parts.zipWithIndex.map { case (p, i) =>
+          val name = s"$id-$i.parquet"
+          Files.move(p.toPath, Paths.get(dataDir.getPath, name),
+            StandardCopyOption.ATOMIC_MOVE)
+          (new File(dataDir, name), Map.empty[String, Any])
+        }.toSeq
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        staged
+      } else {
+        import org.apache.spark.sql.functions.col
+        val tuples = df.select(partitionBy.map(col): _*).distinct()
+          .collect() // bounded by partition count
+        tuples.toSeq.sortBy(_.toString).zipWithIndex.map { case (t, pi) =>
+          val values: Map[String, Any] =
+            partitionBy.zipWithIndex.map { case (c, i) => c -> t.get(i) }.toMap
+          val pred = partitionBy.zipWithIndex.map { case (c, i) =>
+            if (t.isNullAt(i)) col(c).isNull else col(c) === t.get(i)
+          }.reduce(_ && _)
+          val scratch = new File(base, s".stage_${UUID.randomUUID()}")
+          df.filter(pred).coalesce(1).write.mode("overwrite")
+            .parquet(scratch.getPath)
+          val part = Option(scratch.listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no part file staged"))
+          val name = s"$id-$pi.parquet"
+          Files.move(part.toPath, Paths.get(dataDir.getPath, name),
+            StandardCopyOption.ATOMIC_MOVE)
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          (new File(dataDir, name), values)
+        }
+      }
 
     // 2. one new manifest for the added files
     val snapshotId = prev.map(_.get("current-snapshot-id").asLong() + 1).getOrElse(1L)
+    val entrySchema = entrySchemaFor(partTypes)
     val mName = s"manifest-$id.avro"
     val mFile = new File(metaDir, mName)
-    val entries = dataFiles.map { f =>
-      val rec = new GenericData.Record(manifestEntrySchema)
+    val entries = dataFiles.map { case (f, pv) =>
+      val rec = new GenericData.Record(entrySchema)
       rec.put("status", 1); rec.put("snapshot_id", snapshotId)
-      val dfr = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", 0)
       dfr.put("file_path", f.getAbsolutePath)
       dfr.put("file_format", "PARQUET")
       dfr.put("record_count", 0L) // fixtures don't track counts
       dfr.put("file_size_in_bytes", f.length())
+      if (partitionBy.nonEmpty) {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        pv.foreach { case (k, v) => pr.put(k, v) }
+        dfr.put("partition", pr)
+      }
       rec.put("data_file", dfr)
       rec
     }
-    writeAvro(mFile, manifestEntrySchema, entries)
+    writeAvro(mFile, entrySchema, entries)
 
     // 3. manifest list = new manifest (+ carried manifests on append)
     val carried: Seq[File] =
@@ -343,13 +451,17 @@ object IcebergInterop {
          |"timestamp-ms":0,"manifest-list":"${mlFile.getAbsolutePath}",
          |"summary":{"operation":"$mode"},"schema-id":0}"""
         .stripMargin.replaceAll("\n", "")
+    val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
+      val sourceId = df.schema.fieldNames.indexOf(c) + 1 // writer assigns ids 1..n
+      s"""{"name":"$c","transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+    }.mkString(",")
     val metaJson =
       s"""{"format-version":2,"table-uuid":"${UUID.randomUUID()}",
          |"location":"$base","last-sequence-number":$snapshotId,
          |"last-updated-ms":0,"last-column-id":${df.schema.size},
          |"current-schema-id":0,"schemas":[${schemaJson(df.schema)}],
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,"default-sort-order-id":0,
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
+         |"last-partition-id":${999 + partitionBy.size},"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"current-snapshot-id":$snapshotId,
          |"snapshots":[${(prevSnapshots :+ snapJson).mkString(",")}]}"""
@@ -376,9 +488,13 @@ object IcebergInterop {
     icebergTypeToSpark(node).json
   }
 
-  def overwrite(df: DataFrame, base: String): Long =
-    commitSnapshot(df, base, "overwrite")
+  def overwrite(df: DataFrame, base: String,
+                partitionBy: Seq[String] = Seq.empty): Long =
+    commitSnapshot(df, base, "overwrite", partitionBy)
 
-  def append(df: DataFrame, base: String): Long =
-    commitSnapshot(df, base, "append")
+  /** Append; `partitionBy` must repeat the table's partition spec (the
+    * fixture-writer contract — a real writer reads it from metadata). */
+  def append(df: DataFrame, base: String,
+             partitionBy: Seq[String] = Seq.empty): Long =
+    commitSnapshot(df, base, "append", partitionBy)
 }

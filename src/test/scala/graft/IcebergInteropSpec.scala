@@ -144,6 +144,34 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.agg(sum("id")).head().getLong(0) == 15)
   }
 
+  test("identity partitions: columns stay in data files, manifests prune the scan") {
+    val base = tmp()
+    val df = spark.range(40).select(col("id"),
+      (col("id") % 4).cast("int").as("bucket"))
+    IcebergInterop.overwrite(df, base, partitionBy = Seq("bucket"))
+    IcebergInterop.append(
+      spark.range(100, 104).select(col("id"),
+        (col("id") % 4).cast("int").as("bucket")),
+      base, partitionBy = Seq("bucket"))
+    // Iceberg shape: the partition column is IN the data files
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.partitionColumns == Seq("bucket"))
+    snap.files.foreach { f =>
+      assert(spark.read.parquet(f.path).schema.fieldNames.contains("bucket"))
+      assert(f.partitionValues.keySet == Set("bucket"))
+    }
+    val all = IcebergInterop.read(spark, base)
+    assert(all.count() == 44)
+    val one = IcebergInterop.read(spark, base,
+      partitionFilters = Map("bucket" -> "2"))
+    assert(one.count() == 11)
+    assert(one.inputFiles.length < all.inputFiles.length,
+      s"pruned read scans ${one.inputFiles.length}/${all.inputFiles.length}")
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.read(spark, base, partitionFilters = Map("nope" -> "1")))
+    assert(e.getMessage.contains("not an identity partition column"))
+  }
+
   test("deleted-status manifest entries are excluded") {
     // overwrite writes a fresh manifest list; simulate Iceberg's expire
     // path instead: hand-add a status=2 entry and confirm it is skipped
