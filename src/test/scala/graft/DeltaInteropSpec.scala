@@ -183,6 +183,15 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("not a partition column"))
   }
 
+  test("predicates on a Delta read reach the parquet scan (pushdown intact)") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(100).toDF("id"), base)
+    val plan = DeltaInterop.read(spark, base)
+      .filter(col("id") > 50).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,50)"),
+      s"filter did not reach the scan:\n$plan")
+  }
+
   test("null partition value round-trips") {
     val base = tmp()
     val df = spark.range(6).select(col("id"),

@@ -172,6 +172,15 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("not an identity partition column"))
   }
 
+  test("predicates on an Iceberg read reach the parquet scan (pushdown intact)") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(100).toDF("id"), base)
+    val plan = IcebergInterop.read(spark, base)
+      .filter(col("id") > 50).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,50)"),
+      s"filter did not reach the scan:\n$plan")
+  }
+
   test("deleted-status manifest entries are excluded") {
     // overwrite writes a fresh manifest list; simulate Iceberg's expire
     // path instead: hand-add a status=2 entry and confirm it is skipped
