@@ -255,20 +255,31 @@ object DeltaInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     }
-    val paths = snap.files.map(f => s"$base/${f.path}")
+    // add.path is stored percent-encoded per the protocol — decode for
+    // on-disk resolution (a literal-'%' writer is tolerated: malformed
+    // escapes pass through percentDecode unchanged)
+    val paths = snap.files.map(f => s"$base/${PathCodec.percentDecode(f.path)}")
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
     if (snap.partitionColumns.isEmpty) scan.select(snap.schema.fieldNames.map(col): _*)
     else {
-      // (file → partition values) as a broadcast map keyed by the path
-      // tail; one join re-attaches partition columns to every row
+      // (file → partition values) as a broadcast map keyed by the FULL
+      // normalized path, not the basename: real Spark/Delta writers
+      // reuse identical basenames (part-00000-<jobUUID>.c000.parquet)
+      // across partition directories of one job, so a basename key
+      // silently duplicates rows and misassigns partition values on
+      // collision. One join re-attaches partition columns to every row.
       import spark.implicits._
-      val pvDf = snap.files.map(f =>
-        (f.path.split('/').last,
+      val keyed = snap.files.map(f =>
+        (PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path))),
          snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
-        .toDF("__delta_file", "__pv")
+      require(keyed.map(_._1).distinct.size == keyed.size,
+        s"two add.path entries of $base alias to one on-disk file — refusing " +
+        "(partition re-attachment would double-count)")
+      val pvDf = keyed.toDF("__delta_file", "__pv")
       val joined = scan
         .withColumn("__delta_file",
-          substring_index(col("_metadata.file_path"), "/", -1))
+          regexp_replace(col("_metadata.file_path"),
+            PathCodec.metadataFilePathNormalizeRegex, "/"))
         .join(broadcast(pvDf), Seq("__delta_file"))
       // partition values serialize as strings; cast back per the schema
       val withParts = snap.partitionColumns.zipWithIndex.foldLeft(joined) {
@@ -313,17 +324,23 @@ object DeltaInterop {
       def walk(d: File, pv: Map[String, String]): Unit =
         Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach {
           case f if f.isDirectory && f.getName.contains("=") =>
+            // Spark's partitionBy wrote this dir with Hive-style %XX
+            // escaping — unescape with the same convention (NOT
+            // URLDecoder: '+' is a literal plus in a path)
             val Array(k, v) = f.getName.split("=", 2)
-            val dec = java.net.URLDecoder.decode(v, "UTF-8")
+            val dec = PathCodec.unescapePathName(v)
             walk(f, pv + (k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec)))
           case f if f.getName.startsWith("part-") && f.getName.endsWith(".parquet") =>
             val id = UUID.randomUUID().toString
+            // on-disk layout: Hive-escaped dir names; logged add.path:
+            // the RFC percent-encoding of that on-disk relative path
+            // (the protocol's contract for `path`)
             val rel = pv.map { case (k, v) =>
-              s"$k=${java.net.URLEncoder.encode(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v, "UTF-8")}"
+              s"$k=${PathCodec.escapePathName(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v)}"
             }.mkString("/") + s"/$id.parquet"
             Files.createDirectories(Paths.get(base, rel).getParent)
             Files.move(f.toPath, Paths.get(base, rel), StandardCopyOption.ATOMIC_MOVE)
-            adds += AddFile(rel, pv)
+            adds += AddFile(PathCodec.percentEncodePath(rel), pv)
           case _ => ()
         }
       walk(scratch, Map.empty)
@@ -354,7 +371,7 @@ object DeltaInterop {
     a.partitionValues.foreach { case (k, v) =>
       if (v == null) pv.putNull(k) else pv.put(k, v)
     }
-    val f = new File(base, a.path)
+    val f = new File(base, PathCodec.percentDecode(a.path))
     add.put("size", f.length())
     add.put("modificationTime", f.lastModified())
     add.put("dataChange", true)
@@ -439,7 +456,8 @@ object DeltaInterop {
       Row(Row(1, 2), null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns), null) ::
       snap.files.map(f => Row(null, null,
-        Row(f.path, f.partitionValues, new File(base, f.path).length(),
+        Row(f.path, f.partitionValues,
+          new File(base, PathCodec.percentDecode(f.path)).length(),
           0L, true))).toList
     val scratch = new File(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)

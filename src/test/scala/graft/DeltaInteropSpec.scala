@@ -192,6 +192,83 @@ class DeltaInteropSpec extends SparkSpec {
       s"filter did not reach the scan:\n$plan")
   }
 
+  test("identical basenames across partition dirs do not collide (real-writer layout)") {
+    // Real Spark/Delta partitioned writes reuse one basename
+    // (part-00000-<jobUUID>.c000.snappy.parquet) across partition
+    // directories within a job. Hand-craft that exact layout: the
+    // partition re-attachment join must key on the full path, or rows
+    // duplicate and partition values smear across partitions.
+    val base = tmp()
+    val log = new File(base, "_delta_log"); log.mkdirs()
+    def stage(dir: String, ids: Seq[Int]): Long = {
+      val scratch = new File(base, ".s")
+      spark.createDataFrame(ids.map(i => Tuple1(i.toLong)))
+        .toDF("id").coalesce(1).write.mode("overwrite").parquet(scratch.getPath)
+      val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new File(base, s"$dir/part-00000-abc.c000.snappy.parquet")
+      dst.getParentFile.mkdirs()
+      Files.move(pf.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      dst.length()
+    }
+    val len1 = stage("b=1", Seq(1, 2, 3))
+    val len2 = stage("b=2", Seq(10, 20))
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType)))
+      .json.replace("\"", "\\\"")
+    Files.writeString(new File(log, "00000000000000000000.json").toPath,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"t0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["b"],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"b=1/part-00000-abc.c000.snappy.parquet","partitionValues":{"b":"1"},"size":$len1,"modificationTime":0,"dataChange":true}}
+         |{"add":{"path":"b=2/part-00000-abc.c000.snappy.parquet","partitionValues":{"b":"2"},"size":$len2,"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 5, "basename collision duplicated rows")
+    assert(got.where(col("b") === "1").agg(sum("id")).head().getLong(0) == 6)
+    assert(got.where(col("b") === "2").agg(sum("id")).head().getLong(0) == 30)
+  }
+
+  test("partition values with '+', space, '%', '=' round-trip exactly") {
+    // '+' is the URLDecoder trap (x-www-form-urlencoded reads it as a
+    // space); '%' and '=' exercise Hive-style dir escaping; space is
+    // legal-but-literal in partition dirs and %XX-encoded in add.path.
+    val base = tmp()
+    val vals = Seq("a+b", "a b", "10%", "k=v", "plain")
+    val df = spark.createDataFrame(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }).toDF("id", "k")
+    DeltaInterop.overwrite(df, base, partitionBy = Seq("k"))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == vals.size)
+    vals.foreach { v =>
+      assert(got.where(col("k") === v).count() == 1, s"value [$v] lost in round trip")
+    }
+    // and the log's partitionValues carry the raw values, not encodings
+    val pvs = DeltaInterop.snapshot(spark, base).files
+      .flatMap(_.partitionValues.values).toSet
+    assert(pvs == vals.toSet, s"log stores $pvs")
+  }
+
+  test("percent-encoded add.path resolves to the on-disk file") {
+    // hand-crafted log whose add.path is RFC-encoded (space → %20), as
+    // the protocol prescribes; the file on disk has the literal space
+    val base = tmp()
+    val log = new File(base, "_delta_log"); log.mkdirs()
+    val scratch = new File(base, ".s")
+    spark.range(4).coalesce(1).write.parquet(scratch.getPath)
+    val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dst = new File(base, "data file 0.parquet")
+    Files.move(pf.toPath, dst.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val schemaJson = spark.range(1).schema.json.replace("\"", "\\\"")
+    Files.writeString(new File(log, "00000000000000000000.json").toPath,
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"t0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"add":{"path":"data%20file%200.parquet","partitionValues":{},"size":${dst.length()},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    assert(DeltaInterop.read(spark, base).count() == 4)
+  }
+
   test("null partition value round-trips") {
     val base = tmp()
     val df = spark.range(6).select(col("id"),
