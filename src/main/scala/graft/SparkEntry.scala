@@ -1518,6 +1518,33 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Delta column mapping (`name` mode) read: the fixture's parquet
+    * files carry only PHYSICAL column names (col-xxx), the logical
+    * schema exists solely in schemaString field metadata, and
+    * partitionValues are keyed by the physical partition column — the
+    * exact layout a modern delta-spark writer produces for tables with
+    * renamed or dropped columns. The read must resolve physical→logical
+    * and still prune/attach partitions; the oracle replays the
+    * aggregation over the original part table, so any mis-mapped column
+    * or smeared partition value hash-mismatches. */
+  private def qDeltaColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_cm_part", dir, "part") { p =>
+      val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_retailprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      DeltaInterop.overwriteColumnMapped(part, p,
+        Map("p_partkey" -> "col-9f1a", "p_brand" -> "col-2b7c", "price" -> "col-e40d"),
+        partitionBy = Seq("p_brand"))
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Unicode normalize + clean over documents (the pretraining
     * pipeline's first text pass). The fixture suffix grafts a combining
     * accent (NFC must compose it), a BEL control char (must strip), and
@@ -2853,6 +2880,7 @@ object SparkEntry {
     "q143_iceberg_read" -> (qIcebergRead _),
     "q144_iceberg_time_travel" -> (qIcebergTimeTravel _),
     "q145_normalize_clean" -> (qNormalizeClean _),
+    "q146_delta_column_mapping" -> (qDeltaColumnMapping _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4090,6 +4118,10 @@ object SparkEntry {
            CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
            CAST(sum(length(raw)) AS BIGINT) AS raw_chars
          FROM c GROUP BY lang ORDER BY lang""",
+    "q146_delta_column_mapping" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -51,7 +51,26 @@ object DeltaInterop {
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      columnMappingMode: String = "none") {
+    /** Physical parquet column name for a logical schema field. In
+      * `name` mapping mode the protocol stores it in the field's
+      * metadata (`delta.columnMapping.physicalName`); otherwise the
+      * names coincide. */
+    def physicalName(logical: String): String =
+      if (columnMappingMode == "none") logical
+      else {
+        val f = schema(logical)
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else logical
+      }
+  }
+
+  // Reader features this engine implements for protocol v3 tables.
+  // `columnMapping` also fits inside minReaderVersion 2 via the table
+  // property — both routes land in the same read path.
+  private val supportedReaderFeatures = Set("columnMapping", "timestampNtz")
 
   // ------------------------------------------------------------- reader
 
@@ -87,27 +106,42 @@ object DeltaInterop {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
 
+    var cmMode = "none"
     def applyProtocol(p: JsonNode): Unit = {
       val r = p.get("minReaderVersion").asInt()
-      // v3 gates reads on readerFeatures (deletion vectors, column
-      // mapping, ...) this reader does not implement — refusing is the
-      // protocol-mandated behavior, and infinitely better than silently
-      // resurrecting DV-deleted rows.
-      require(r <= 2, s"Delta minReaderVersion=$r requires reader features " +
-        "this engine does not implement (refusing per protocol)")
+      // v3 gates reads on an explicit readerFeatures list. The
+      // protocol-mandated behavior is: read iff every listed feature is
+      // implemented, refuse loudly otherwise (silently resurrecting
+      // DV-deleted rows would be far worse than an error).
+      if (r == 3) {
+        val rf = Option(p.get("readerFeatures")).map(n =>
+          (0 until n.size()).map(n.get(_).asText()).toSet).getOrElse(Set.empty)
+        val missing = rf -- supportedReaderFeatures
+        require(missing.isEmpty,
+          s"Delta readerFeatures ${missing.mkString(",")} are not implemented " +
+          "by this engine (refusing per protocol)")
+      } else require(r <= 2,
+        s"Delta minReaderVersion=$r is not a protocol version this engine " +
+        "implements (refusing per protocol)")
+    }
+    def applyConfiguration(conf: Map[String, String]): Unit = {
+      // column mapping renames the PHYSICAL parquet columns; `name` mode
+      // is read by scanning physical names and projecting back to
+      // logical ones. `id` mode matches by parquet field id, which this
+      // reader does not implement — refuse rather than return nulls.
+      val mode = conf.getOrElse("delta.columnMapping.mode", "none")
+      require(mode == "none" || mode == "name",
+        s"Delta columnMapping.mode=$mode — only 'name' mapping is " +
+        "implemented; reading would mis-resolve physical columns (refusing)")
+      cmMode = mode
     }
     def applyMetaData(m: JsonNode): Unit = {
-      // column mapping renames the PHYSICAL parquet columns; reading such
-      // a table by logical names silently yields all-null columns. The
-      // feature fits inside minReaderVersion 2, so the protocol check
-      // alone does not catch it — refuse on the table property.
-      Option(m.get("configuration"))
-        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-        .map(_.asText()).filter(mode => mode != "none").foreach { mode =>
-          throw new IllegalArgumentException(
-            s"Delta columnMapping.mode=$mode — physical-name mapping is not " +
-            "implemented; reading by logical names would return nulls (refusing)")
-        }
+      val conf = Option(m.get("configuration")).map { c =>
+        val it = c.fields(); val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
+      applyConfiguration(conf)
       schemaJson = Some(m.get("schemaString").asText())
       val pc = m.get("partitionColumns")
       partCols =
@@ -151,11 +185,24 @@ object DeltaInterop {
         }
       val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
-      if (cols.contains("protocol"))
-        cp.select("protocol.minReaderVersion").where(col("minReaderVersion").isNotNull)
+      if (cols.contains("protocol")) {
+        val pFields = cp.schema("protocol").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val pCols = Seq("protocol.minReaderVersion") ++
+          (if (pFields.contains("readerFeatures")) Seq("protocol.readerFeatures") else Nil)
+        cp.select(pCols.head, pCols.tail: _*)
+          .where(col("minReaderVersion").isNotNull)
           .collect() // ≤1 row
-          .foreach(r => require(r.getInt(0) <= 2,
-            s"Delta checkpoint minReaderVersion=${r.getInt(0)} unsupported"))
+          .foreach { r =>
+            val node = mapper.createObjectNode()
+            node.put("minReaderVersion", r.getInt(0))
+            if (r.length > 1 && !r.isNullAt(1)) {
+              val arr = node.putArray("readerFeatures")
+              r.getSeq[String](1).foreach(arr.add)
+            }
+            applyProtocol(node)
+          }
+      }
       if (cols.contains("metaData")) {
         val mdFields = cp.schema("metaData").dataType
           .asInstanceOf[StructType].fieldNames.toSet
@@ -163,11 +210,8 @@ object DeltaInterop {
           cp.select("metaData.configuration")
             .where(col("configuration").isNotNull).collect() // ≤1 row
             .foreach { r =>
-              Option(r.getMap[String, String](0)).map(_.toMap)
-                .getOrElse(Map.empty[String, String])
-                .get("delta.columnMapping.mode").filter(_ != "none")
-                .foreach(m => throw new IllegalArgumentException(
-                  s"Delta columnMapping.mode=$m (checkpoint) — unsupported, refusing"))
+              applyConfiguration(Option(r.getMap[String, String](0)).map(_.toMap)
+                .getOrElse(Map.empty[String, String]))
             }
         val md = cp.select("metaData.schemaString", "metaData.partitionColumns")
           .where(col("schemaString").isNotNull).collect() // ≤1 row
@@ -207,7 +251,7 @@ object DeltaInterop {
     val schema = DataType.fromJson(schemaJson.getOrElse(
       throw new IllegalStateException(s"no metaData action found in $base")))
       .asInstanceOf[StructType]
-    DeltaSnapshot(target, schema, partCols, live.values.toSeq)
+    DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode)
   }
 
   /** Timestamp time travel: the newest version whose commit landed at or
@@ -243,14 +287,21 @@ object DeltaInterop {
     partitionFilters.keys.foreach(k => require(
       snap0.partitionColumns.contains(k),
       s"'$k' is not a partition column of $base (have ${snap0.partitionColumns})"))
+    // partitionValues are keyed by PHYSICAL column names when column
+    // mapping is on (PROTOCOL.md writer requirements) — resolve through
+    // the mapping, tolerating logical-keyed values from older writers
+    def pvOf(f: AddFile, logical: String): Option[String] =
+      f.partitionValues.get(snap0.physicalName(logical))
+        .orElse(f.partitionValues.get(logical))
     val snap =
       if (partitionFilters.isEmpty) snap0
       else snap0.copy(files = snap0.files.filter(f =>
-        partitionFilters.forall { case (k, v) =>
-          f.partitionValues.get(k).contains(v) }))
-    val dataFields = snap.schema.fields.filterNot(f =>
-      snap.partitionColumns.contains(f.name))
-    val dataSchema = StructType(dataFields)
+        partitionFilters.forall { case (k, v) => pvOf(f, k).contains(v) }))
+    // scan by the PHYSICAL parquet column names; project back to
+    // logical names after the scan (column mapping `name` mode)
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+      .map(f => f.copy(name = snap.physicalName(f.name))))
     if (snap.files.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -260,7 +311,9 @@ object DeltaInterop {
     // escapes pass through percentDecode unchanged)
     val paths = snap.files.map(f => s"$base/${PathCodec.percentDecode(f.path)}")
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
-    if (snap.partitionColumns.isEmpty) scan.select(snap.schema.fieldNames.map(col): _*)
+    if (snap.partitionColumns.isEmpty)
+      scan.select(snap.schema.fieldNames.map(n =>
+        col(snap.physicalName(n)).as(n)): _*)
     else {
       // (file → partition values) as a broadcast map keyed by the FULL
       // normalized path, not the basename: real Spark/Delta writers
@@ -271,7 +324,7 @@ object DeltaInterop {
       import spark.implicits._
       val keyed = snap.files.map(f =>
         (PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path))),
-         snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null))))
+         snap.partitionColumns.map(c => pvOf(f, c).orNull)))
       require(keyed.map(_._1).distinct.size == keyed.size,
         s"two add.path entries of $base alias to one on-disk file — refusing " +
         "(partition re-attachment would double-count)")
@@ -287,7 +340,10 @@ object DeltaInterop {
           df.withColumn(c, element_at(col("__pv"), i + 1)
             .cast(snap.schema(c).dataType))
       }
-      withParts.select(snap.schema.fieldNames.map(col): _*)
+      withParts.select(snap.schema.fieldNames.map { n =>
+        if (snap.partitionColumns.contains(n)) col(n)
+        else col(snap.physicalName(n)).as(n)
+      }: _*)
     }
   }
 
@@ -379,7 +435,8 @@ object DeltaInterop {
   }
 
   private def metaJson(schema: StructType, partitionBy: Seq[String],
-                       tableId: String): String = {
+                       tableId: String,
+                       configuration: Map[String, String] = Map.empty): String = {
     val node = mapper.createObjectNode()
     val m = node.putObject("metaData")
     m.put("id", tableId)
@@ -387,7 +444,8 @@ object DeltaInterop {
     fmt.put("provider", "parquet"); fmt.putObject("options")
     m.put("schemaString", schema.json)
     val pc = m.putArray("partitionColumns"); partitionBy.foreach(pc.add)
-    m.putObject("configuration")
+    val cfg = m.putObject("configuration")
+    configuration.foreach { case (k, v) => cfg.put(k, v) }
     m.put("createdTime", 0L) // deterministic fixtures; readers ignore it
     mapper.writeValueAsString(node)
   }
@@ -419,6 +477,39 @@ object DeltaInterop {
       Seq(protocolJson, metaJson(df.schema, partitionBy, UUID.randomUUID().toString)) ++
         removeLines ++ adds.map(addJson(_, base)))
     v
+  }
+
+  /** Create a table with column mapping `name` mode enabled, exactly as
+    * a modern delta-spark writer lays one out: parquet files carry the
+    * PHYSICAL column names, the logical schema lives only in
+    * schemaString field metadata (`delta.columnMapping.physicalName` /
+    * `.id`), partitionValues are keyed by physical names, and the
+    * protocol advertises the feature. Fixture-writer scope: creation
+    * only (no append/overwrite of an existing mapped table). */
+  def overwriteColumnMapped(df: DataFrame, base: String,
+                            physicalFor: String => String,
+                            partitionBy: Seq[String] = Seq.empty): Long = {
+    require(currentVersion(base).isEmpty,
+      s"column-mapped fixture writer only creates tables ($base exists)")
+    val physDf = df.select(df.schema.fieldNames.map(n =>
+      col(n).as(physicalFor(n))): _*)
+    val adds = stageAdds(physDf, base, partitionBy.map(physicalFor))
+    val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", physicalFor(f.name))
+        .build())
+    })
+    val cfg = Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> df.schema.size.toString)
+    val proto =
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    writeCommit(base, 0L,
+      Seq(proto,
+        metaJson(mapped, partitionBy, UUID.randomUUID().toString, cfg)) ++
+        adds.map(addJson(_, base)))
+    0L
   }
 
   /** Append rows (no existing file touched). */

@@ -70,14 +70,18 @@ class DeltaInteropSpec extends SparkSpec {
       viaJson.agg(sum("id")).head().getLong(0))
   }
 
-  test("reader refuses minReaderVersion 3 (deletion vectors etc.)") {
+  test("reader v3: unknown readerFeatures refused, supported ones accepted") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(3).toDF("id"), base)
-    // hand-raise the protocol in a new commit, as a DV-enabling writer would
+    // a feature this engine does not implement → protocol-mandated refusal
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
-    assert(e.getMessage.contains("minReaderVersion"))
+    assert(e.getMessage.contains("v2Checkpoint"))
+    // an implemented feature set → the same table reads fine
+    Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"]}}""" + "\n")
+    assert(DeltaInterop.read(spark, base).count() == 3)
   }
 
   test("reads a hand-crafted log (writer not involved)") {
@@ -138,14 +142,71 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got.agg(sum("id")).head().getLong(0) == (0 until 20).sum)
   }
 
-  test("reader refuses column-mapping tables (logical names would read null)") {
+  test("column mapping 'name' mode: physical parquet names, logical read") {
+    val base = tmp()
+    val df = spark.range(10).select(col("id"), (col("id") * 3).as("value"),
+      (col("id") % 2).cast("int").cast("string").as("side"))
+    DeltaInterop.overwriteColumnMapped(df, base,
+      Map("id" -> "col-aaa111", "value" -> "col-bbb222", "side" -> "col-ccc333"),
+      partitionBy = Seq("side"))
+    // physical layer: data files must carry physical names, no logical ones
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.columnMappingMode == "name")
+    // (these partition values are plain digits, so add.path is unencoded)
+    val physical = spark.read
+      .parquet(s"$base/${snap.files.head.path}")
+      .schema.fieldNames.toSet
+    assert(physical == Set("col-aaa111", "col-bbb222"),
+      s"physical schema was $physical")
+    // partitionValues keyed by the physical partition column name
+    assert(snap.files.forall(_.partitionValues.keySet == Set("col-ccc333")))
+    // logical layer: read resolves to logical names and exact values
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "value", "side"))
+    assert(got.count() == 10)
+    assert(got.agg(sum("value")).head().getLong(0) == (0 until 10).map(_ * 3).sum)
+    assert(got.where(col("side") === "1").count() == 5)
+    // partition pruning still keys on the logical name
+    val pruned = DeltaInterop.read(spark, base,
+      partitionFilters = Map("side" -> "0"))
+    assert(pruned.count() == 5)
+    assert(pruned.inputFiles.length < got.inputFiles.length)
+  }
+
+  test("column-mapped log crafted by hand reads correctly (writer not involved)") {
+    val base = tmp()
+    val log = new File(base, "_delta_log"); log.mkdirs()
+    // parquet file with PHYSICAL column names only
+    val scratch = new File(base, ".s")
+    spark.range(5).select(col("id").as("col-x9"), (col("id") * 7).as("col-y8"))
+      .coalesce(1).write.parquet(scratch.getPath)
+    val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+    val part = new File(base, "d0.parquet")
+    Files.move(pf.toPath, part.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    // schemaString with LOGICAL names + physicalName metadata, exactly
+    // as delta-spark serializes it
+    val schemaStr =
+      """{"type":"struct","fields":[
+        |{"name":"order_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-x9"}},
+        |{"name":"amount","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-y8"}}
+        |]}""".stripMargin.replaceAll("\n", "").replace("\"", "\\\"")
+    Files.writeString(new File(log, "00000000000000000000.json").toPath,
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}
+         |{"metaData":{"id":"t0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"},"createdTime":0}}
+         |{"add":{"path":"d0.parquet","partitionValues":{},"size":${part.length()},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("order_id", "amount"))
+    assert(got.agg(sum("amount")).head().getLong(0) == (0 until 5).map(_ * 7).sum)
+  }
+
+  test("reader still refuses column mapping 'id' mode") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(3).toDF("id"), base)
-    // append a metaData action enabling column mapping, as an OSS writer
-    // upgrading the table would
     val schemaJson = spark.range(1).toDF("id").schema.json.replace("\"", "\\\"")
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
-      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""" + "\n")
+      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
     assert(e.getMessage.contains("columnMapping"))
   }
