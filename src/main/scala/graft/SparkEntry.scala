@@ -1545,6 +1545,35 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  /** Delta deletion-vector (reader v3) merge-on-read: a DELETE that
+    * never rewrites the data file — deleted row positions live in a
+    * roaring-bitmap `.bin` beside it (protocol §Deletion Vectors), and
+    * the read subtracts them via one broadcast anti join on
+    * (file, row_index). Positions are derived from the written file by
+    * predicate, so the oracle can replay the delete as plain SQL: any
+    * resurrection or over-deletion hash-mismatches. */
+  private def qDeltaDeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_dv_orders", dir, "orders") { p =>
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      DeltaInterop.overwrite(ord, p)
+      val file = DeltaInterop.snapshot(s, p).files.head.path
+      val positions = s.read.parquet(s"$p/$file")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("_metadata.row_index"))
+        .collect().map(_.getLong(0)).toSeq // bounded: |orders|/7
+      DeltaInterop.deleteRowPositions(s, p, file, positions)
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Unicode normalize + clean over documents (the pretraining
     * pipeline's first text pass). The fixture suffix grafts a combining
     * accent (NFC must compose it), a BEL control char (must strip), and
@@ -2881,6 +2910,7 @@ object SparkEntry {
     "q144_iceberg_time_travel" -> (qIcebergTimeTravel _),
     "q145_normalize_clean" -> (qNormalizeClean _),
     "q146_delta_column_mapping" -> (qDeltaColumnMapping _),
+    "q148_delta_deletion_vectors" -> (qDeltaDeletionVectors _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4122,6 +4152,11 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
          CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q148_delta_deletion_vectors" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderkey % 7 <> 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

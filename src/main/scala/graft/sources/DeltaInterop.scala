@@ -43,9 +43,25 @@ object DeltaInterop {
   private def commitName(v: Long) = f"$v%020d.json"
   private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
 
+  /** A deletion-vector descriptor, verbatim from the add/remove action
+    * (PROTOCOL.md §Deletion Vector Descriptor Schema). `storageType`:
+    * "u" = UUID-named .bin file under the table (pathOrInlineDv =
+    * optional prefix + z85 UUID), "i" = inline (pathOrInlineDv = z85 of
+    * the DV data), "p" = absolute path to a .bin file. */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+                                offset: Option[Int], sizeInBytes: Int,
+                                cardinality: Long) {
+    /** Protocol's unique DV id — file identity in log reconciliation is
+      * (path, dvId), so replacing a file's DV removes the OLD pair. */
+    def uniqueId: String =
+      s"$storageType$pathOrInlineDv${offset.map(o => s"@$o").getOrElse("")}"
+  }
+
   /** One live data file: relative path + partition values (strings, as
-    * the protocol serializes them; null = null partition value). */
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+    * the protocol serializes them; null = null partition value) +
+    * optional deletion vector masking dead row positions. */
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           dv: Option[DvDescriptor] = None)
 
   final case class DeltaSnapshot(
       version: Long,
@@ -70,7 +86,13 @@ object DeltaInterop {
   // Reader features this engine implements for protocol v3 tables.
   // `columnMapping` also fits inside minReaderVersion 2 via the table
   // property — both routes land in the same read path.
-  private val supportedReaderFeatures = Set("columnMapping", "timestampNtz")
+  private val supportedReaderFeatures =
+    Set("columnMapping", "timestampNtz", "deletionVectors")
+
+  /** Above this many total deleted positions the DV anti join stops
+    * broadcasting (same bound as graft-log's own DV read path — a table
+    * carrying more un-purged deletes than this wants compaction). */
+  private val DvBroadcastMaxRows = 4000000L
 
   // ------------------------------------------------------------- reader
 
@@ -148,9 +170,16 @@ object DeltaInterop {
         if (pc == null) Seq.empty
         else (0 until pc.size()).map(i => pc.get(i).asText())
     }
+    def parseDv(n: JsonNode): Option[DvDescriptor] =
+      Option(n).filterNot(_.isNull).map { d =>
+        val st = d.get("storageType").asText()
+        require(st == "u" || st == "i" || st == "p",
+          s"unknown deletion-vector storageType '$st' (refusing)")
+        DvDescriptor(st, d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+          d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+      }
     def applyAdd(a: JsonNode): Unit = {
-      require(a.get("deletionVector") == null,
-        "Delta add.deletionVector present — DV tables need reader v3, unsupported")
       val pv = a.get("partitionValues")
       val m =
         if (pv == null) Map.empty[String, String]
@@ -163,7 +192,18 @@ object DeltaInterop {
           b.result()
         }
       val p = a.get("path").asText()
-      live += p -> AddFile(p, m)
+      live += p -> AddFile(p, m, parseDv(a.get("deletionVector")))
+    }
+    def applyRemove(r: JsonNode): Unit = {
+      // File identity in log reconciliation is (path, dvId): a DV
+      // writer removes the (path, oldDv) pair and adds (path, newDv) in
+      // ONE commit, in either order. A remove whose dvId does not match
+      // the live entry must therefore leave the live entry alone.
+      val p = r.get("path").asText()
+      val dvId = parseDv(r.get("deletionVector")).map(_.uniqueId)
+      live.get(p).foreach { cur =>
+        if (cur.dv.map(_.uniqueId) == dvId) live -= p
+      }
     }
 
     cpVersion.foreach { cv =>
@@ -220,15 +260,31 @@ object DeltaInterop {
           partCols = Option(r.getSeq[String](1)).getOrElse(Seq.empty)
         }
       }
-      if (cols.contains("add"))
-        cp.select("add.path", "add.partitionValues")
+      if (cols.contains("add")) {
+        val addFields = cp.schema("add").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val hasDv = addFields.contains("deletionVector")
+        val selCols = Seq("add.path", "add.partitionValues") ++
+          (if (hasDv) Seq("add.deletionVector") else Nil)
+        cp.select(selCols.head, selCols.tail: _*)
           .where(col("path").isNotNull)
           .collect() // one row per live file — metadata-scale
           .foreach { r =>
             val pv = Option(r.getMap[String, String](1)).map(_.toMap)
               .getOrElse(Map.empty)
-            live += r.getString(0) -> AddFile(r.getString(0), pv)
+            val dv = if (hasDv && !r.isNullAt(2)) {
+              val d = r.getStruct(2)
+              val names = d.schema.fieldNames
+              def idx(n: String) = names.indexOf(n)
+              Some(DvDescriptor(d.getString(idx("storageType")),
+                d.getString(idx("pathOrInlineDv")),
+                if (idx("offset") >= 0 && !d.isNullAt(idx("offset")))
+                  Some(d.getInt(idx("offset"))) else None,
+                d.getInt(idx("sizeInBytes")), d.getLong(idx("cardinality"))))
+            } else None
+            live += r.getString(0) -> AddFile(r.getString(0), pv, dv)
           }
+      }
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
@@ -244,7 +300,7 @@ object DeltaInterop {
             Option(n.get("protocol")).foreach(applyProtocol)
             Option(n.get("metaData")).foreach(applyMetaData)
             Option(n.get("add")).foreach(applyAdd)
-            Option(n.get("remove")).foreach(r => live -= r.get("path").asText())
+            Option(n.get("remove")).foreach(applyRemove)
           }
         }
       }
@@ -311,8 +367,42 @@ object DeltaInterop {
     // escapes pass through percentDecode unchanged)
     val paths = snap.files.map(f => s"$base/${PathCodec.percentDecode(f.path)}")
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+    def fileKey(f: AddFile): String =
+      PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path)))
+    val dvFiles = snap.files.filter(_.dv.exists(_.cardinality > 0))
+    import spark.implicits._
+
+    // Merge-on-read: subtract each file's deletion vector by one anti
+    // join on (file, row_index) — the coordinate system DVs address.
+    // DV decode is driver-side and bounded by total DV cardinality
+    // (metadata scale; the join side stops broadcasting past the same
+    // bound graft-log uses). Must run while `_metadata` is reachable.
+    def subtractDv(df0: DataFrame): DataFrame = {
+      if (dvFiles.isEmpty) return df0
+      val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
+        val d = f.dv.get
+        val positions = resolveDvPositions(base, d)
+        require(positions.length.toLong == d.cardinality,
+          s"deletion vector of ${f.path} decodes ${positions.length} positions " +
+          s"but declares cardinality ${d.cardinality} — corrupt DV (refusing)")
+        val key = fileKey(f)
+        positions.map(p => (key, p))
+      }
+      val dvDf = deleted.toDF("__delta_file", "__delta_pos")
+      val dvSide = if (deleted.size <= DvBroadcastMaxRows) broadcast(dvDf) else dvDf
+      df0.withColumn("__delta_pos", col("_metadata.row_index"))
+        .join(dvSide, Seq("__delta_file", "__delta_pos"), "left_anti")
+    }
+
+    // file-identity column only when something joins on it (DV subtract
+    // or partition re-attachment) — a plain scan stays metadata-free
+    val coords =
+      if (dvFiles.isEmpty && snap.partitionColumns.isEmpty) scan
+      else scan.withColumn("__delta_file",
+        regexp_replace(col("_metadata.file_path"),
+          PathCodec.metadataFilePathNormalizeRegex, "/"))
     if (snap.partitionColumns.isEmpty)
-      scan.select(snap.schema.fieldNames.map(n =>
+      subtractDv(coords).select(snap.schema.fieldNames.map(n =>
         col(snap.physicalName(n)).as(n)): _*)
     else {
       // (file → partition values) as a broadcast map keyed by the FULL
@@ -321,19 +411,13 @@ object DeltaInterop {
       // across partition directories of one job, so a basename key
       // silently duplicates rows and misassigns partition values on
       // collision. One join re-attaches partition columns to every row.
-      import spark.implicits._
       val keyed = snap.files.map(f =>
-        (PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path))),
-         snap.partitionColumns.map(c => pvOf(f, c).orNull)))
+        (fileKey(f), snap.partitionColumns.map(c => pvOf(f, c).orNull)))
       require(keyed.map(_._1).distinct.size == keyed.size,
         s"two add.path entries of $base alias to one on-disk file — refusing " +
         "(partition re-attachment would double-count)")
       val pvDf = keyed.toDF("__delta_file", "__pv")
-      val joined = scan
-        .withColumn("__delta_file",
-          regexp_replace(col("_metadata.file_path"),
-            PathCodec.metadataFilePathNormalizeRegex, "/"))
-        .join(broadcast(pvDf), Seq("__delta_file"))
+      val joined = subtractDv(coords).join(broadcast(pvDf), Seq("__delta_file"))
       // partition values serialize as strings; cast back per the schema
       val withParts = snap.partitionColumns.zipWithIndex.foldLeft(joined) {
         case (df, (c, i)) =>
@@ -346,6 +430,27 @@ object DeltaInterop {
       }: _*)
     }
   }
+
+  /** Decode a deletion vector's positions per its storage type:
+    * inline z85 data, a UUID-derived `.bin` under the table root, or an
+    * absolute-path `.bin`. */
+  private def resolveDvPositions(base: String, d: DvDescriptor): Array[Long] =
+    d.storageType match {
+      case "i" =>
+        // z85 is 4-byte aligned; sizeInBytes carries the true length
+        DeletionVectors.decodeDvData(
+          DeletionVectors.z85DecodeBytes(d.pathOrInlineDv).take(d.sizeInBytes))
+      case "u" =>
+        val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+        val dir = if (prefix.isEmpty) new File(base) else new File(base, prefix)
+        DeletionVectors.readFromFile(
+          new File(dir, s"deletion_vector_$uuid.bin"),
+          d.offset.getOrElse(1))
+      case "p" =>
+        DeletionVectors.readFromFile(new File(d.pathOrInlineDv), d.offset.getOrElse(1))
+      case other =>
+        throw new IllegalArgumentException(s"deletion-vector storageType '$other'")
+    }
 
   // ------------------------------------------------------------- writer
 
@@ -431,6 +536,14 @@ object DeltaInterop {
     add.put("size", f.length())
     add.put("modificationTime", f.lastModified())
     add.put("dataChange", true)
+    a.dv.foreach { d =>
+      val dv = add.putObject("deletionVector")
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => dv.put("offset", o))
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
+    }
     mapper.writeValueAsString(node)
   }
 
@@ -512,6 +625,51 @@ object DeltaInterop {
     0L
   }
 
+  /** Mark row positions of one live data file deleted via a deletion
+    * vector, exactly as a DV-enabled delta-spark DELETE does: upgrade
+    * the protocol to v3 with the deletionVectors feature, then in one
+    * commit remove the (path, oldDv) pair and re-add the path with the
+    * new DV — the data file itself is never rewritten. `inline` stores
+    * the DV z85-encoded in the log; otherwise a UUID-named `.bin` file
+    * is written beside the data (the `u` storage type). Fixture-writer
+    * scope: one file per call, no pre-existing DV on it. */
+  def deleteRowPositions(spark: SparkSession, base: String, relPath: String,
+                         positions: Seq[Long],
+                         inline: Boolean = false): Long = {
+    val snap = snapshot(spark, base)
+    val f = snap.files.find(_.path == relPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"$relPath is not a live file of $base (have ${snap.files.map(_.path)})"))
+    require(f.dv.isEmpty, "fixture writer: file already carries a deletion vector")
+    val distinct = positions.distinct
+    val data = DeletionVectors.dvDataBytes(distinct)
+    val dv =
+      if (inline) {
+        val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+        DvDescriptor("i", DeletionVectors.z85Encode(padded), None,
+          data.length, distinct.size.toLong)
+      } else {
+        val uuid = UUID.randomUUID()
+        val off = DeletionVectors.writeDvFile(
+          new File(base, s"deletion_vector_$uuid.bin"), distinct)
+        DvDescriptor("u", DeletionVectors.encodeUuid(uuid), Some(off),
+          data.length, distinct.size.toLong)
+      }
+    val removeLine = {
+      val node = mapper.createObjectNode()
+      val rm = node.putObject("remove")
+      rm.put("path", f.path); rm.put("dataChange", true)
+      mapper.writeValueAsString(node)
+    }
+    val proto =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    val v = snap.version + 1
+    writeCommit(base, v,
+      Seq(proto, removeLine, addJson(f.copy(dv = Some(dv)), base)))
+    v
+  }
+
   /** Append rows (no existing file touched). */
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
@@ -541,15 +699,29 @@ object DeltaInterop {
         StructField("partitionValues", pvType),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        // DV descriptors MUST survive checkpointing — a checkpoint that
+        // drops them silently resurrects every DV-deleted row
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
     import org.apache.spark.sql.Row
+    val hasDv = snap.files.exists(_.dv.isDefined)
+    val protoRow =
+      if (hasDv) Row(3, 7) // readerFeatures live in the JSON log's protocol
+      else Row(1, 2)
     val rows =
-      Row(Row(1, 2), null, null) ::
+      Row(protoRow, null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns), null) ::
       snap.files.map(f => Row(null, null,
         Row(f.path, f.partitionValues,
           new File(base, PathCodec.percentDecode(f.path)).length(),
-          0L, true))).toList
+          0L, true,
+          f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull))).toList
     val scratch = new File(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .coalesce(1).write.mode("overwrite").parquet(scratch.getPath)

@@ -330,6 +330,101 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, base).count() == 4)
   }
 
+  test("roaring codec: array/bitmap containers, multi-bucket 64-bit positions") {
+    import graft.sources.DeletionVectors
+    // array containers, two 16-bit buckets + one high-32 bucket
+    val small = Seq(0L, 5L, 65536L, 65540L, (1L << 32) + 7L, (1L << 32) + 9L)
+    assert(DeletionVectors.decodeDvData(DeletionVectors.dvDataBytes(small)).toSeq
+      == small.sorted)
+    // > 4096 values in one 16-bit bucket → bitmap container on the wire
+    val dense = (0L until 5000L).map(_ * 2)
+    assert(DeletionVectors.decodeDvData(DeletionVectors.dvDataBytes(dense)).toSeq
+      == dense.sorted)
+    // z85 round trip of arbitrary bytes
+    val bytes = Array.tabulate(32)(i => (i * 37 % 256).toByte)
+    assert(DeletionVectors.z85DecodeBytes(DeletionVectors.z85Encode(bytes)).toSeq
+      == bytes.toSeq)
+  }
+
+  test("roaring codec: decodes run containers (other writers emit them)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.DeletionVectors
+    // hand-built: one bitmap, one run container [10..15] ∪ [100..101]
+    val bb = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DeletionVectors.Magic)
+    bb.putLong(1L)            // one 32-bit bitmap
+    bb.putInt(0)              // key (high 32 bits)
+    // cookie 12347 with (containers-1)=0 in high 16 bits
+    bb.putInt(12347)
+    bb.put(1.toByte)          // run flags: container 0 is a run container
+    bb.putShort(0)            // container key
+    bb.putShort(7)            // cardinality - 1 = 8 values
+    // < NO_OFFSET_THRESHOLD containers with runs → no offset header
+    bb.putShort(2)            // two runs
+    bb.putShort(10); bb.putShort(5)   // [10..15]
+    bb.putShort(100); bb.putShort(1)  // [100..101]
+    val data = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(DeletionVectors.decodeDvData(data).toSeq ==
+      Seq(10L, 11L, 12L, 13L, 14L, 15L, 100L, 101L))
+  }
+
+  test("deletion vectors: inline and file-backed DVs subtract rows on read") {
+    val base = tmp()
+    val df = spark.range(100).select(col("id"), (col("id") % 10).as("m"))
+    DeltaInterop.overwrite(df.coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    // rows are written in range order (single partition): position == id
+    DeltaInterop.deleteRowPositions(spark, base, file,
+      (0L until 100L).filter(_ % 3 == 0), inline = true)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 66)
+    assert(got.where(col("id") % 3 === 0).count() == 0)
+    assert(got.agg(sum("id")).head().getLong(0) ==
+      (0 until 100).filterNot(_ % 3 == 0).sum)
+    // time travel to v0 still sees all rows
+    assert(DeltaInterop.read(spark, base, versionAsOf = Some(0L)).count() == 100)
+
+    // file-backed (u storage) on a second table
+    val base2 = tmp()
+    DeltaInterop.overwrite(df.coalesce(1), base2)
+    val file2 = DeltaInterop.snapshot(spark, base2).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base2, file2, Seq(1L, 3L, 98L))
+    assert(new File(base2).listFiles().exists(_.getName.startsWith("deletion_vector_")),
+      "u-storage DV should live in a .bin beside the data")
+    val got2 = DeltaInterop.read(spark, base2)
+    assert(got2.count() == 97)
+    assert(got2.where(col("id").isin(1, 3, 98)).count() == 0)
+  }
+
+  test("deletion vectors survive checkpointing") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(50).toDF("id").coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(0L, 10L, 20L, 30L, 40L))
+    DeltaInterop.checkpoint(spark, base)
+    // force the checkpoint path: drop the JSON commits at/below it
+    val log = new File(base, "_delta_log")
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      !f.getName.startsWith("_")).foreach(f => assert(f.delete()))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 45, "checkpoint dropped the deletion vector")
+    assert(got.where(col("id") % 10 === 0).count() == 0)
+  }
+
+  test("deletion vector on a partitioned file composes with partition attach") {
+    val base = tmp()
+    val df = spark.range(40).select(col("id"),
+      (col("id") % 2).cast("int").cast("string").as("side"))
+    DeltaInterop.overwrite(df.coalesce(1), base, partitionBy = Seq("side"))
+    val snap = DeltaInterop.snapshot(spark, base)
+    val even = snap.files.find(_.partitionValues("side") == "0").get.path
+    // delete the first 5 positions of the even file
+    DeltaInterop.deleteRowPositions(spark, base, even, (0L until 5L), inline = true)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.where(col("side") === "1").count() == 20, "odd partition untouched")
+    assert(got.where(col("side") === "0").count() == 15)
+  }
+
   test("null partition value round-trips") {
     val base = tmp()
     val df = spark.range(6).select(col("id"),
