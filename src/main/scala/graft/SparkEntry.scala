@@ -1545,6 +1545,41 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  /** Iceberg v2 positional deletes (merge-on-read): rows die by a
+    * (file_path, pos) delete file committed through a delete manifest —
+    * the layout Flink/Spark v2 writers produce — while the data files
+    * stay untouched. The read resolves delete rows against the manifest
+    * file-path strings, gates them on sequence numbers, and subtracts
+    * them with one anti join on (file, row_index). Positions are
+    * derived per data file by predicate so the oracle replays the
+    * delete as SQL; the append shifts keys by a multiple of 5 to keep
+    * the predicate aligned on both sides. */
+  private def qIcebergPositionDeletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_posdel_customer", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      IcebergInterop.overwrite(cust.coalesce(1), p)
+      IcebergInterop.append(cust.filter(col("c_custkey") < 500)
+        .withColumn("c_custkey", col("c_custkey") + lit(4000000L)).coalesce(1), p)
+      val snap = IcebergInterop.snapshot(s, p)
+      val deletes = snap.files.map { f =>
+        val positions = s.read.parquet(f.path)
+          .where(col("c_custkey") % 5 === 0)
+          .select(col("_metadata.row_index"))
+          .collect().map(_.getLong(0)).toSeq // bounded: |customer|/5
+        f.rawPath -> positions
+      }.filter(_._2.nonEmpty)
+      IcebergInterop.addPositionDeletes(s, p, deletes)
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Delta deletion-vector (reader v3) merge-on-read: a DELETE that
     * never rewrites the data file — deleted row positions live in a
     * roaring-bitmap `.bin` beside it (protocol §Deletion Vectors), and
@@ -2910,6 +2945,7 @@ object SparkEntry {
     "q144_iceberg_time_travel" -> (qIcebergTimeTravel _),
     "q145_normalize_clean" -> (qNormalizeClean _),
     "q146_delta_column_mapping" -> (qDeltaColumnMapping _),
+    "q147_iceberg_position_deletes" -> (qIcebergPositionDeletes _),
     "q148_delta_deletion_vectors" -> (qDeltaDeletionVectors _),
   )
 
@@ -4152,6 +4188,17 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts,
          CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q147_iceberg_position_deletes" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal FROM customer
+           UNION ALL
+           SELECT c_custkey + 4000000, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) FROM customer WHERE c_custkey < 500
+         ) WHERE c_custkey % 5 <> 0
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q148_delta_deletion_vectors" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -44,15 +44,26 @@ object IcebergInterop {
 
   /** One live data file: resolved local path + identity-partition values
     * (stringified, as read from the manifest's partition record; empty
-    * for unpartitioned tables). */
+    * for unpartitioned tables). `rawPath` is the file_path string as the
+    * manifest records it — position delete files reference data files by
+    * that exact string, not by any resolved path. `seq` is the data
+    * sequence number (entry-level, inherited from the manifest when
+    * absent) that decides which deletes apply. */
   final case class DataFileEntry(path: String,
-                                 partitionValues: Map[String, String])
+                                 partitionValues: Map[String, String],
+                                 rawPath: String = "",
+                                 seq: Long = 0L)
+
+  /** One live position-delete file (v2 merge-on-read): resolved parquet
+    * of (file_path, pos) rows + the delete's sequence number. */
+  final case class PositionDeleteFile(path: String, seq: Long, sizeBytes: Long)
 
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[DataFileEntry])
+      files: Seq[DataFileEntry],
+      deletes: Seq[PositionDeleteFile] = Seq.empty)
 
   private def metadataDir(base: String) = new File(base, "metadata")
 
@@ -184,36 +195,56 @@ object IcebergInterop {
     val manifestList = new File(resolvePath(base,
       snap.get("manifest-list").asText()))
     val files = mutable.ArrayBuffer.empty[DataFileEntry]
+    val deletes = mutable.ArrayBuffer.empty[PositionDeleteFile]
     readAvro(manifestList).foreach { m =>
+      // content 0 = data manifest, 1 = delete manifest (v2)
       val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
-      require(content == 0,
-        "Iceberg delete manifests present — row-level deletes need " +
-        "merge-on-read support this reader does not implement (refusing)")
+      require(content == 0 || content == 1,
+        s"unknown Iceberg manifest content $content (refusing)")
+      // the manifest's sequence number; entries without their own
+      // sequence_number inherit it (spec §Sequence Number Inheritance)
+      val manifestSeq = opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L)
       val mPath = new File(resolvePath(base, m.get("manifest_path").toString))
       readAvro(mPath).foreach { e =>
         val status = e.get("status").toString.toInt
         if (status != 2) { // 0 existing, 1 added, 2 deleted
+          val entrySeq = opt(e, "sequence_number")
+            .map(_.toString.toLong).getOrElse(manifestSeq)
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          opt(df, "content").foreach(c => require(c.toString.toInt == 0,
-            "Iceberg delete file in data manifest — unsupported (refusing)"))
+          val fileContent = opt(df, "content").map(_.toString.toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported Iceberg data file format $fmt")
-          // partition record: field names = partition names (identity);
-          // values stringified for engine-neutral comparison
-          val pv: Map[String, String] = opt(df, "partition").map {
-            case r: GenericRecord =>
-              import scala.jdk.CollectionConverters._
-              r.getSchema.getFields.asScala.map(f =>
-                f.name() -> Option(r.get(f.name())).map(_.toString).orNull).toMap
-            case _ => Map.empty[String, String]
-          }.getOrElse(Map.empty)
-          files += DataFileEntry(
-            resolvePath(base, df.get("file_path").toString), pv)
+          if (content == 0) {
+            require(fileContent == 0,
+              "Iceberg delete file in a data manifest — unsupported (refusing)")
+            // partition record: field names = partition names (identity);
+            // values stringified for engine-neutral comparison
+            val pv: Map[String, String] = opt(df, "partition").map {
+              case r: GenericRecord =>
+                import scala.jdk.CollectionConverters._
+                r.getSchema.getFields.asScala.map(f =>
+                  f.name() -> Option(r.get(f.name())).map(_.toString).orNull).toMap
+              case _ => Map.empty[String, String]
+            }.getOrElse(Map.empty)
+            val raw = df.get("file_path").toString
+            files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq)
+          } else {
+            // position deletes (content=1) get merge-on-read treatment;
+            // equality deletes (content=2) stay refused — applying them
+            // needs value-comparison semantics this reader doesn't have,
+            // and ignoring them would resurrect rows
+            require(fileContent == 1,
+              s"unsupported file content $fileContent in an Iceberg delete " +
+              "manifest (only position deletes are implemented — refusing)")
+            val f = new File(resolvePath(base, df.get("file_path").toString))
+            deletes += PositionDeleteFile(f.getPath, entrySeq, f.length())
+          }
         }
       }
     }
-    IcebergSnapshot(wantId, schema, partCols, files.distinctBy(_.path).toSeq)
+    IcebergSnapshot(wantId, schema, partCols,
+      files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq)
   }
 
   /** Read an Iceberg table into a DataFrame (current snapshot, or
@@ -237,9 +268,48 @@ object IcebergInterop {
       else snap.files.filter(f => partitionFilters.forall {
         case (k, v) => f.partitionValues.get(k).contains(v) })
     if (kept.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
+    val scan = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
+    if (snap.deletes.isEmpty) return scan
+
+    // v2 merge-on-read: position delete files are (file_path, pos)
+    // parquet; a delete applies to a data file iff the data file's
+    // sequence number is ≤ the delete's (spec §Scan Planning). The
+    // delete rows reference data files by the manifest's EXACT file_path
+    // string, so they are first resolved through a broadcast map of
+    // (raw path → on-disk identity, data seq) — which also drops deletes
+    // aimed at pruned or dead files — then subtracted from the scan by
+    // one anti join on (file, row_index). Delete files are read as a
+    // normal distributed scan: nothing here collects delete rows.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fileMap = kept.map(f =>
+      (f.rawPath, PathCodec.metadataPathKey(new File(f.path)), f.seq))
+      .toDF("__raw", "__ice_file", "__data_seq")
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType)))
+    val deletesDf = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+      spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+        .withColumn("__del_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    val resolved = deletesDf
+      .join(broadcast(fileMap), col("file_path") === col("__raw"))
+      .where(col("__data_seq") <= col("__del_seq"))
+      .select(col("__ice_file"), col("pos").as("__ice_pos"))
+    // broadcast the delete side while it is small (driver knows the
+    // on-disk delete bytes); past that, shuffle — same decision shape
+    // as the Delta DV path
+    val delSide =
+      if (snap.deletes.map(_.sizeBytes).sum <= (64L << 20)) broadcast(resolved)
+      else resolved
+    scan
+      .withColumn("__ice_file", regexp_replace(col("_metadata.file_path"),
+        PathCodec.metadataFilePathNormalizeRegex, "/"))
+      .withColumn("__ice_pos", col("_metadata.row_index"))
+      .join(delSide, Seq("__ice_file", "__ice_pos"), "left_anti")
+      .select(snap.schema.fieldNames.map(col): _*)
   }
 
   // ------------------------------------------------------------- writer
@@ -311,8 +381,43 @@ object IcebergInterop {
       |{"name":"manifest_length","type":"long","field-id":501},
       |{"name":"partition_spec_id","type":"int","field-id":502},
       |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
       |{"name":"added_snapshot_id","type":"long","field-id":503}
       |]}""".stripMargin.replaceAll("\n", ""))
+
+  /** One manifest-list row worth of state the writer must preserve when
+    * carrying a manifest into the next snapshot: path, content kind,
+    * sequence number, adding snapshot. */
+  private final case class ManifestRef(file: File, content: Int,
+                                       seq: Long, addedSnapshotId: Long)
+
+  /** The current snapshot's manifests with their recorded content and
+    * sequence numbers (defaults for v1 lists without those columns). */
+  private def currentManifests(base: String, prev: JsonNode): Seq[ManifestRef] = {
+    val curSnapId = prev.get("current-snapshot-id").asLong()
+    val snaps = prev.get("snapshots")
+    val cur = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == curSnapId).get
+    readAvro(new File(resolvePath(base, cur.get("manifest-list").asText())))
+      .map { r =>
+        ManifestRef(new File(resolvePath(base, r.get("manifest_path").toString)),
+          opt(r, "content").map(_.toString.toInt).getOrElse(0),
+          opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
+          r.get("added_snapshot_id").toString.toLong)
+      }
+  }
+
+  private def writeManifestList(f: File, rows: Seq[ManifestRef]): Unit =
+    writeAvro(f, manifestFileSchema, rows.map { m =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", m.file.getAbsolutePath)
+      r.put("manifest_length", m.file.length())
+      r.put("partition_spec_id", 0)
+      r.put("content", m.content)
+      r.put("sequence_number", m.seq)
+      r.put("added_snapshot_id", m.addedSnapshotId)
+      r
+    })
 
   private def writeAvro(f: File, schema: AvroSchema,
                         rows: Seq[GenericRecord]): Unit = {
@@ -416,28 +521,15 @@ object IcebergInterop {
     }
     writeAvro(mFile, entrySchema, entries)
 
-    // 3. manifest list = new manifest (+ carried manifests on append)
-    val carried: Seq[File] =
-      if (mode == "append" && prev.isDefined) {
-        val curSnapId = prev.get.get("current-snapshot-id").asLong()
-        val snaps = prev.get.get("snapshots")
-        val cur = (0 until snaps.size()).map(snaps.get)
-          .find(_.get("snapshot-id").asLong() == curSnapId).get
-        readAvro(new File(resolvePath(base, cur.get("manifest-list").asText())))
-          .map(r => new File(resolvePath(base, r.get("manifest_path").toString)))
-      } else Seq.empty
+    // 3. manifest list = new manifest (+ carried manifests on append,
+    // preserving their recorded content kinds and sequence numbers)
+    val carried: Seq[ManifestRef] =
+      if (mode == "append" && prev.isDefined) currentManifests(base, prev.get)
+      else Seq.empty
     val mlName = s"snap-$snapshotId-$id.avro"
     val mlFile = new File(metaDir, mlName)
-    val mlRows = (carried :+ mFile).map { m =>
-      val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", m.getAbsolutePath)
-      r.put("manifest_length", m.length())
-      r.put("partition_spec_id", 0)
-      r.put("content", 0)
-      r.put("added_snapshot_id", snapshotId)
-      r
-    }
-    writeAvro(mlFile, manifestFileSchema, mlRows)
+    writeManifestList(mlFile,
+      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId))
 
     // 4. new metadata json + version hint (atomic rename commit)
     val version = prev.flatMap(_ => Some(
@@ -491,6 +583,82 @@ object IcebergInterop {
   def overwrite(df: DataFrame, base: String,
                 partitionBy: Seq[String] = Seq.empty): Long =
     commitSnapshot(df, base, "overwrite", partitionBy)
+
+  /** Commit position deletes as a new v2 snapshot — the merge-on-read
+    * shape Flink/Spark v2 writers produce: one (file_path, pos) parquet
+    * delete file, one delete manifest (content=1), and a manifest list
+    * carrying every current manifest forward with its recorded sequence
+    * number. `deletes` maps a data file's manifest-recorded file_path
+    * string to the row positions to delete. */
+  def addPositionDeletes(spark: SparkSession, base: String,
+                         deletes: Seq[(String, Seq[Long])]): Long = {
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    require(prev.get("format-version").asInt() == 2,
+      "position deletes are an Iceberg format-v2 feature")
+    val snapshotId = prev.get("current-snapshot-id").asLong() + 1
+    val id = UUID.randomUUID().toString
+
+    // 1. the delete file: (file_path, pos) parquet, sorted per spec
+    import spark.implicits._
+    val rows = deletes.flatMap { case (p, ps) => ps.distinct.map(pos => (p, pos)) }
+      .sorted
+    require(rows.nonEmpty, "no positions to delete")
+    val scratch = new File(base, s".stage_$id")
+    rows.toDF("file_path", "pos").coalesce(1).write.parquet(scratch.getPath)
+    val pf = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no delete part file staged"))
+    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    val delFile = new File(dataDir, s"delete-$id.parquet")
+    Files.move(pf.toPath, delFile.toPath, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+
+    // 2. the delete manifest (a content=1 file entry)
+    val entrySchema = entrySchemaFor(Seq.empty)
+    val mFile = new File(metaDir, s"manifest-del-$id.avro")
+    val rec = new GenericData.Record(entrySchema)
+    rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+    val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+    dfr.put("content", 1) // 1 = position deletes
+    dfr.put("file_path", delFile.getAbsolutePath)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", rows.size.toLong)
+    dfr.put("file_size_in_bytes", delFile.length())
+    rec.put("data_file", dfr)
+    writeAvro(mFile, entrySchema, Seq(rec))
+
+    // 3. manifest list: every current manifest + the delete manifest
+    val mlFile = new File(metaDir, s"snap-$snapshotId-$id.avro")
+    writeManifestList(mlFile,
+      currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId, snapshotId))
+
+    // 4. metadata: mutate the previous document via the Jackson node API
+    val root = prev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    root.put("last-sequence-number", snapshotId)
+    root.put("current-snapshot-id", snapshotId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("sequence-number", snapshotId)
+    snapNode.put("timestamp-ms", 0L)
+    snapNode.put("manifest-list", mlFile.getAbsolutePath)
+    snapNode.putObject("summary").put("operation", "delete")
+    snapNode.put("schema-id", root.get("current-schema-id").asInt())
+    root.withArray("snapshots").add(snapNode)
+    val version = Files.readString(hint.toPath).trim.toLong + 1
+    val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
+    Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    val dst = new File(metaDir, s"v$version.metadata.json")
+    if (!tmp.renameTo(dst)) {
+      tmp.delete()
+      throw new java.util.ConcurrentModificationException(
+        s"iceberg metadata v$version already exists in $base")
+    }
+    Files.writeString(hint.toPath, version.toString)
+    snapshotId
+  }
 
   /** Append; `partitionBy` must repeat the table's partition spec (the
     * fixture-writer contract — a real writer reads it from metadata). */

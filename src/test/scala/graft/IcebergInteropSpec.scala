@@ -64,25 +64,83 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
-  test("reader refuses delete manifests (merge-on-read unsupported)") {
-    val base = tmp()
-    IcebergInterop.overwrite(spark.range(3).toDF("id"), base)
-    // flip the manifest-list content field to 1 (delete manifest) by
-    // rewriting the avro — simulate a v2 table carrying row-level deletes
-    val metaDir = new File(base, "metadata")
-    val ml = metaDir.listFiles().filter(_.getName.startsWith("snap-")).head
+  // rewrite every record of an avro file in place with `f`
+  private def rewriteAvro(file: File)(f: org.apache.avro.generic.GenericRecord => Unit): Unit = {
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
-    val r = DataFileReader.openReader(ml, new GenericDatumReader[GenericRecord]())
+    val r = DataFileReader.openReader(file, new GenericDatumReader[GenericRecord]())
     val rows = new scala.collection.mutable.ArrayBuffer[GenericRecord]
     val sch = r.getSchema
     while (r.hasNext) rows += r.next()
     r.close()
-    rows.foreach(_.put("content", 1))
+    rows.foreach(f)
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
-    w.create(sch, ml); rows.foreach(w.append); w.close()
+    w.create(sch, file); rows.foreach(w.append); w.close()
+  }
+
+  test("reader refuses non-position delete files in a delete manifest") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(3).toDF("id"), base)
+    // flip the manifest-list content field to 1 (delete manifest) while
+    // the entries keep data content — a malformed/equality-delete shape
+    // this reader must refuse rather than misread
+    val metaDir = new File(base, "metadata")
+    val ml = metaDir.listFiles().filter(_.getName.startsWith("snap-")).head
+    rewriteAvro(ml)(_.put("content", 1))
     val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, base))
-    assert(e.getMessage.contains("delete manifests"))
+    assert(e.getMessage.contains("delete"))
+  }
+
+  test("v2 position deletes subtract rows merge-on-read") {
+    val base = tmp()
+    val df = spark.range(20).select(col("id"), (col("id") * 10).as("v"))
+    IcebergInterop.overwrite(df.coalesce(1), base)
+    val snap0 = IcebergInterop.snapshot(spark, base)
+    assert(snap0.files.size == 1)
+    // rows written in range order: position == id
+    val sid = IcebergInterop.addPositionDeletes(spark, base,
+      Seq(snap0.files.head.rawPath -> Seq(0L, 5L, 19L)))
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 17)
+    assert(got.where(col("id").isin(0, 5, 19)).count() == 0)
+    assert(got.agg(sum("v")).head().getLong(0) ==
+      (0 until 20).filterNot(Set(0, 5, 19)).map(_ * 10).sum)
+    // snapshot time travel: pre-delete snapshot still sees all rows
+    assert(IcebergInterop.read(spark, base, Some(snap0.snapshotId)).count() == 20)
+    assert(sid == snap0.snapshotId + 1)
+  }
+
+  test("delete manifests carry through appends; new data is unaffected") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val f0 = IcebergInterop.snapshot(spark, base).files.head.rawPath
+    IcebergInterop.addPositionDeletes(spark, base, Seq(f0 -> Seq(0L, 1L, 2L)))
+    // append AFTER the delete: carried delete manifest must still mask
+    // the old file's rows, and must not touch the new file (higher seq)
+    IcebergInterop.append(spark.range(100, 105).toDF("id").coalesce(1), base)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 12, s"got ${got.count()}")
+    assert(got.where(col("id") < 3).count() == 0)
+    assert(got.where(col("id") >= 100).count() == 5)
+  }
+
+  test("a delete older than the data file does not apply (sequence numbers)") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(8).toDF("id").coalesce(1), base)
+    val f0 = IcebergInterop.snapshot(spark, base).files.head.rawPath
+    IcebergInterop.addPositionDeletes(spark, base, Seq(f0 -> Seq(0L, 1L)))
+    assert(IcebergInterop.read(spark, base).count() == 6)
+    // rewind the delete manifest's sequence number below the data's:
+    // per spec a position delete applies only to files with dataSeq ≤
+    // deleteSeq, so the delete must stop applying
+    val metaDir = new File(base, "metadata")
+    val ml = metaDir.listFiles().filter(_.getName.startsWith("snap-"))
+      .maxBy(_.getName.split("-")(1).toLong)
+    rewriteAvro(ml) { r =>
+      if (r.get("content").toString.toInt == 1) r.put("sequence_number", 0L)
+    }
+    assert(IcebergInterop.read(spark, base).count() == 8,
+      "a lower-sequence delete still applied to newer data")
   }
 
   test("reads a hand-crafted metadata chain (writer not involved)") {
