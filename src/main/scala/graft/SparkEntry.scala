@@ -183,11 +183,16 @@ object SparkEntry {
     * stamp and forces a rebuild. The measured query then times the SCAN,
     * which is the operator under test; the write path stays covered
     * because the first run of any generation builds for real. */
+  /** Bump when the on-disk shape a fixture writer produces changes
+    * (e.g. Iceberg data files gaining parquet field ids): cached builds
+    * from the previous format must not satisfy the new reader. */
+  private val FixtureFormatVersion = 2
+
   private def cachedFixture(kind: String, dir: String, srcTable: String)
                            (build: String => Unit): String = {
     val path = fixtureDir(kind, dir)
     val src = new java.io.File(s"$dir/$srcTable.parquet")
-    val stamp = s"${src.lastModified()}_${src.length()}"
+    val stamp = s"v${FixtureFormatVersion}_${src.lastModified()}_${src.length()}"
     val marker = new java.io.File(path, "_graft_fixture_stamp")
     val valid = marker.exists() &&
       (try java.nio.file.Files.readString(marker.toPath) == stamp

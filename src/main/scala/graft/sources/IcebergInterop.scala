@@ -112,9 +112,18 @@ object IcebergInterop {
         val fields = t.get("fields")
         StructType((0 until fields.size()).map { i =>
           val f = fields.get(i)
+          // carry the Iceberg field id as parquet.field.id metadata:
+          // Iceberg's column-resolution contract is BY ID, not by name,
+          // so a renamed column must still read its original data.
+          // Spark's parquet reader honors this metadata when
+          // spark.sql.parquet.fieldId.read.enabled is on (read() sets it).
+          val meta = Option(f.get("id")).map(id =>
+            new MetadataBuilder().putLong("parquet.field.id", id.asLong()).build())
+            .getOrElse(Metadata.empty)
           StructField(f.get("name").asText(),
             icebergTypeToSpark(f.get("type")),
-            nullable = !f.get("required").asBoolean())
+            nullable = !f.get("required").asBoolean(),
+            metadata = meta)
         })
       case "list" =>
         ArrayType(icebergTypeToSpark(t.get("element")),
@@ -258,6 +267,12 @@ object IcebergInterop {
   def read(spark: SparkSession, base: String,
            snapshotId: Option[Long] = None,
            partitionFilters: Map[String, String] = Map.empty): DataFrame = {
+    // Iceberg resolves columns by FIELD ID (the spec's contract — names
+    // are mutable, ids are not); the snapshot schema carries the ids as
+    // parquet.field.id metadata and this conf makes Spark's parquet
+    // reader honor them. Session-scoped, but inert for any schema
+    // without that metadata, so plain parquet reads are unaffected.
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snap = snapshot(spark, base, snapshotId)
     partitionFilters.keys.foreach(k => require(
       snap.partitionColumns.contains(k),
@@ -419,6 +434,20 @@ object IcebergInterop {
       r
     })
 
+  /** Stamp `parquet.field.id` metadata (ids 1..n, matching schemaJson's
+    * assignment) onto a frame so staged parquet files carry Iceberg
+    * field ids — the physical half of id-based column resolution. A
+    * plain Catalyst projection: no RDD round trip. */
+  private def withFieldIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(f.name,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", i + 1L).build())
+    }.toSeq: _*)
+  }
+
   private def writeAvro(f: File, schema: AvroSchema,
                         rows: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
@@ -443,13 +472,18 @@ object IcebergInterop {
     val prev: Option[JsonNode] =
       if (hint.exists()) Some(mapper.readTree(currentMetadataFile(base))) else None
     if (mode == "append") prev.foreach { m =>
-      require(DataType.fromJson(
-        // schema equality check via Spark round trip
-        icebergSchemaToSparkJson(m)) == df.schema,
+      // schema equality check via Spark round trip, ignoring field
+      // metadata (the parsed side carries parquet.field.id annotations)
+      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+      require(shape(DataType.fromJson(icebergSchemaToSparkJson(m))
+          .asInstanceOf[StructType]) == shape(df.schema),
         s"iceberg fixture writer: append schema must match table schema")
     }
     val partTypes: Seq[(String, DataType)] =
       partitionBy.map(c => c -> df.schema(c).dataType)
+    // stage through an id-stamped projection so the parquet files carry
+    // Iceberg field ids (the physical half of id-based resolution)
+    val dfIds = withFieldIds(df)
 
     // 1. stage data files. Identity partitioning keeps the partition
     // columns IN the data files (Iceberg's shape, unlike Delta/hive) and
@@ -460,7 +494,7 @@ object IcebergInterop {
     val dataFiles: Seq[(File, Map[String, Any])] =
       if (partitionBy.isEmpty) {
         val scratch = new File(base, s".stage_${UUID.randomUUID()}")
-        df.write.mode("overwrite").parquet(scratch.getPath)
+        dfIds.write.mode("overwrite").parquet(scratch.getPath)
         val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
           .sortBy(_.getName)
@@ -483,7 +517,7 @@ object IcebergInterop {
             if (t.isNullAt(i)) col(c).isNull else col(c) === t.get(i)
           }.reduce(_ && _)
           val scratch = new File(base, s".stage_${UUID.randomUUID()}")
-          df.filter(pred).coalesce(1).write.mode("overwrite")
+          dfIds.filter(pred).coalesce(1).write.mode("overwrite")
             .parquet(scratch.getPath)
           val part = Option(scratch.listFiles()).getOrElse(Array.empty)
             .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

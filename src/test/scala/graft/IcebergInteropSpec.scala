@@ -143,13 +143,50 @@ class IcebergInteropSpec extends SparkSpec {
       "a lower-sequence delete still applied to newer data")
   }
 
+  test("schema evolution: a renamed column resolves by field id") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      spark.range(6).select(col("id"), (col("id") * 2).as("old_name")), base)
+    // hand-evolve the table: a new schema version renames old_name →
+    // new_name but keeps field id 2, exactly as an Iceberg RENAME does.
+    // Name-based resolution would read new_name as all-null; the spec's
+    // contract is id-based, so values must follow the id.
+    val metaDir = new File(base, "metadata")
+    val hint = new File(metaDir, "version-hint.text")
+    val v = Files.readString(hint.toPath).trim.toLong
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new File(metaDir, s"v$v.metadata.json"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val newSchema = mapper.createObjectNode()
+    newSchema.put("type", "struct"); newSchema.put("schema-id", 1)
+    val fs = newSchema.putArray("fields")
+    val f1 = fs.addObject()
+    f1.put("id", 1); f1.put("name", "id"); f1.put("required", false); f1.put("type", "long")
+    val f2 = fs.addObject()
+    f2.put("id", 2); f2.put("name", "new_name"); f2.put("required", false); f2.put("type", "long")
+    root.withArray("schemas").add(newSchema)
+    root.put("current-schema-id", 1)
+    Files.writeString(new File(metaDir, s"v${v + 1}.metadata.json").toPath,
+      mapper.writeValueAsString(root))
+    Files.writeString(hint.toPath, (v + 1).toString)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "new_name"))
+    assert(got.where(col("new_name").isNull).count() == 0,
+      "rename fell back to name matching — data lost")
+    assert(got.agg(sum("new_name")).head().getLong(0) == (0 until 6).map(_ * 2).sum)
+  }
+
   test("reads a hand-crafted metadata chain (writer not involved)") {
     val base = tmp()
     val metaDir = new File(base, "metadata"); metaDir.mkdirs()
     val dataDir = new File(base, "data"); dataDir.mkdirs()
-    // data file via plain parquet write
+    // data file with a parquet field id, as every real Iceberg writer
+    // stamps (the reader resolves columns by id, not name)
     val scratch = new File(base, ".s")
-    spark.range(6).toDF("id").coalesce(1).write.parquet(scratch.getPath)
+    spark.range(6).select(col("id").as("id",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()))
+      .coalesce(1).write.parquet(scratch.getPath)
     val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
     val dataFile = new File(dataDir, "d0.parquet")
     Files.move(pf.toPath, dataFile.toPath)
