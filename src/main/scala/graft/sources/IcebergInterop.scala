@@ -256,6 +256,15 @@ object IcebergInterop {
       files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq)
   }
 
+  /** All snapshot ids recorded in the current metadata, oldest first —
+    * lets callers time-travel a cached table without re-running the
+    * commits that built it. */
+  def snapshotIds(base: String): Seq[Long] = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val snaps = meta.get("snapshots")
+    (0 until snaps.size()).map(i => snaps.get(i).get("snapshot-id").asLong())
+  }
+
   /** Read an Iceberg table into a DataFrame (current snapshot, or
     * `snapshotId` time travel).
     *
