@@ -31,7 +31,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val cap = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_S", "240").toLong
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.withTestdataConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -18,18 +18,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session configuration the testdata requires — currently just the
+    * legacy flag that makes a TIMESTAMP(NANOS)-encoded events.parquet
+    * readable at all (one of the three historically observed drift
+    * encodings). Applied ONCE at session construction by every entry
+    * point (Verify / Bench / tools / spec harness); the loader itself
+    * must not mutate session state as a side effect. */
+  def withTestdataConfs(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts has drifted across testdata generations: parquet
       // TIMESTAMP(NANOS) (which Spark surfaces as int64 only under the
-      // nanosAsLong legacy flag) and native timestamp[us] (which Spark
-      // reads as TIMESTAMP_NTZ when the writer leaves isAdjustedToUTC
-      // false). Never assume a physical encoding — set the legacy flag so
-      // a nanos file is at least readable, then branch on the schema the
-      // reader actually produced. Session TZ is pinned to UTC everywhere
-      // (Verify/Bench/specs), so NTZ→TZ cast is value-identical and
-      // matches how DuckDB (the oracle) reads the same file.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong legacy flag set by withTestdataConfs) and native
+      // timestamp[us] (which Spark reads as TIMESTAMP_NTZ when the
+      // writer leaves isAdjustedToUTC false). Never assume a physical
+      // encoding — branch on the schema the reader actually produced.
+      // Session TZ is pinned to UTC everywhere (Verify/Bench/specs), so
+      // NTZ→TZ cast is value-identical and matches how DuckDB (the
+      // oracle) reads the same file.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType =>
@@ -46,12 +54,20 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  // Per-session memo of the last dir registered, so the 29 SQL-surface
-  // queries sharing one Verify/Bench session don't re-read 10 parquet
-  // footers each. Keyed by session identity — a new session (tests spin
-  // up their own) registers fresh.
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // Per-session, PER-TABLE memo so the 29 SQL-surface queries sharing
+  // one Verify/Bench session don't re-read 10 parquet footers each.
+  // Weak-keyed by session (no strong retention of closed sessions);
+  // a table that failed to load is never memoized (so the next
+  // registerAll retries it), and the (dir, table, source stamp) key
+  // makes an in-place testdata regeneration (the documented drift
+  // scenario) re-register instead of serving views over deleted files.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  private def tableStamp(dir: String, name: String): String = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    s"${f.lastModified()}_${f.length()}"
+  }
 
   /** Register every table as a temp view so spark.sql(...) matches the
     * oracle's table naming.
@@ -62,16 +78,21 @@ object Tables {
     * loudly and its view dropped — only queries actually referencing it
     * fail, with TABLE_OR_VIEW_NOT_FOUND pointing at the logged cause. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    if (registeredDir.get(spark) == dir) return
+    val seen = registered.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
     names.foreach { n =>
-      try load(spark, dir, n).createOrReplaceTempView(n)
-      catch { case e: Exception =>
-        spark.catalog.dropTempView(n) // no stale view from a previous dir
-        System.err.println(
-          s"[tables] table '$n' failed to load from $dir — queries touching it " +
-          s"will fail with TABLE_OR_VIEW_NOT_FOUND; cause: ${e.getMessage}")
+      val key = s"$dir|$n|${tableStamp(dir, n)}"
+      if (!seen.contains(key)) {
+        try {
+          load(spark, dir, n).createOrReplaceTempView(n)
+          seen.add(key)
+        } catch { case e: Exception =>
+          spark.catalog.dropTempView(n) // no stale view from a previous dir
+          System.err.println(
+            s"[tables] table '$n' failed to load from $dir — queries touching it " +
+            s"will fail with TABLE_OR_VIEW_NOT_FOUND; cause: ${e.getMessage}")
+        }
       }
     }
-    registeredDir.put(spark, dir)
   }
 }

@@ -13,7 +13,7 @@ object Timing {
     val sfDir = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("CPUS", "4")
     val reps = sys.env.getOrElse("REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.withTestdataConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -30,7 +30,7 @@ object Verify {
       .getOrElse("verify_out")
     System.err.println(s"[verify] sfDir=$sfDir outDir=$outDir (args=${args.mkString(" ")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.withTestdataConfs(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

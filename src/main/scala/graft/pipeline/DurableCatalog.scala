@@ -26,7 +26,7 @@ object DurableCatalog {
   def hiveSession(metastoreDir: String, warehouseDir: String,
                   master: String = "local[4]"): SparkSession = {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
-    SparkSession.builder()
+    graft.Tables.withTestdataConfs(SparkSession.builder())
       .master(master)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.catalogImplementation", "hive")

@@ -338,29 +338,38 @@ object IcebergInterop {
 
   // ------------------------------------------------------------- writer
 
-  /** Spark type → Iceberg schema JSON node (writer side; ids assigned
-    * sequentially, as the spec requires distinct field ids). */
+  /** Spark type → Iceberg primitive type name (writer side; ids
+    * assigned sequentially, as the spec requires distinct field ids). */
   private def sparkTypeToIceberg(dt: DataType): String = dt match {
-    case BooleanType => "\"boolean\""
-    case IntegerType => "\"int\""
-    case LongType => "\"long\""
-    case FloatType => "\"float\""
-    case DoubleType => "\"double\""
-    case DateType => "\"date\""
-    case StringType => "\"string\""
-    case BinaryType => "\"binary\""
-    case TimestampType => "\"timestamptz\""
-    case TimestampNTZType => "\"timestamp\""
-    case d: DecimalType => s""""decimal(${d.precision},${d.scale})""""
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case other => throw new IllegalArgumentException(
       s"writer does not map Spark type $other to Iceberg")
   }
 
-  private def schemaJson(schema: StructType): String = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${f.name}","required":${!f.nullable},"type":${sparkTypeToIceberg(f.dataType)}}"""
+  /** Iceberg schema document for a Spark schema — built with the
+    * Jackson node API so field names (quotes, backslashes, anything)
+    * are JSON-escaped correctly rather than interpolated raw. */
+  private def schemaNode(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("type", "struct"); node.put("schema-id", 0)
+    val fields = node.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1); fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", sparkTypeToIceberg(f.dataType))
     }
-    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+    node
   }
 
   // avro schemas with the spec's field ids (manifest_entry ids 0-2,
@@ -574,37 +583,50 @@ object IcebergInterop {
     writeManifestList(mlFile,
       carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId))
 
-    // 4. new metadata json + version hint (atomic rename commit)
+    // 4. new metadata json + version hint (atomic rename commit) —
+    // assembled with the Jackson node API end to end: interpolating
+    // names or paths into JSON text breaks on the first quote or
+    // backslash in a column name
     val version = prev.flatMap(_ => Some(
       Files.readString(hint.toPath).trim.toLong + 1)).getOrElse(1L)
-    val prevSnapshots: Seq[String] = prev.map { m =>
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", UUID.randomUUID().toString)
+    root.put("location", base)
+    root.put("last-sequence-number", snapshotId)
+    root.put("last-updated-ms", 0L)
+    root.put("last-column-id", df.schema.size)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode(df.schema))
+    root.put("default-spec-id", 0)
+    val spec0 = root.putArray("partition-specs").addObject()
+    spec0.put("spec-id", 0)
+    val specFields = spec0.putArray("fields")
+    partitionBy.zipWithIndex.foreach { case (c, i) =>
+      val fn = specFields.addObject()
+      fn.put("name", c); fn.put("transform", "identity")
+      fn.put("source-id", df.schema.fieldNames.indexOf(c) + 1) // ids 1..n
+      fn.put("field-id", 1000 + i)
+    }
+    root.put("last-partition-id", 999 + partitionBy.size)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0); so.putArray("fields")
+    root.put("current-snapshot-id", snapshotId)
+    val snapsArr = root.putArray("snapshots")
+    prev.foreach { m =>
       val snaps = m.get("snapshots")
-      (0 until snaps.size()).map(i => mapper.writeValueAsString(snaps.get(i)))
-    }.getOrElse(Seq.empty)
-    val snapJson =
-      s"""{"snapshot-id":$snapshotId,"sequence-number":$snapshotId,
-         |"timestamp-ms":0,"manifest-list":"${mlFile.getAbsolutePath}",
-         |"summary":{"operation":"$mode"},"schema-id":0}"""
-        .stripMargin.replaceAll("\n", "")
-    val specFields = partitionBy.zipWithIndex.map { case (c, i) =>
-      val sourceId = df.schema.fieldNames.indexOf(c) + 1 // writer assigns ids 1..n
-      s"""{"name":"$c","transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
-    }.mkString(",")
-    val metaJson =
-      s"""{"format-version":2,"table-uuid":"${UUID.randomUUID()}",
-         |"location":"$base","last-sequence-number":$snapshotId,
-         |"last-updated-ms":0,"last-column-id":${df.schema.size},
-         |"current-schema-id":0,"schemas":[${schemaJson(df.schema)}],
-         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$specFields]}],
-         |"last-partition-id":${999 + partitionBy.size},"default-sort-order-id":0,
-         |"sort-orders":[{"order-id":0,"fields":[]}],
-         |"current-snapshot-id":$snapshotId,
-         |"snapshots":[${(prevSnapshots :+ snapJson).mkString(",")}]}"""
-        .stripMargin.replaceAll("\n", "")
-    // validate our own JSON before publishing
-    mapper.readTree(metaJson)
+      (0 until snaps.size()).foreach(i => snapsArr.add(snaps.get(i)))
+    }
+    val snapNode = snapsArr.addObject()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("sequence-number", snapshotId)
+    snapNode.put("timestamp-ms", 0L)
+    snapNode.put("manifest-list", mlFile.getAbsolutePath)
+    snapNode.putObject("summary").put("operation", mode)
+    snapNode.put("schema-id", 0)
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
-    Files.writeString(tmp.toPath, metaJson)
+    Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new File(metaDir, s"v$version.metadata.json")
     if (!tmp.renameTo(dst)) {
       tmp.delete()

@@ -398,7 +398,8 @@ object EventStreams {
     * type, and fail loudly (epoch-range assert) if the result is outside
     * any plausible event-time range. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos readability comes from Tables.withTestdataConfs, applied at
+    // session construction — no conf mutation here
     val path = s"$dir/events.parquet"
     // One footer read — metadata-only, no data scan.
     val physical = spark.read.parquet(path).schema("ts").dataType

@@ -12,7 +12,7 @@ import graft.pipeline.GraftLog
 object ProfileQ94 {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.withTestdataConfs(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

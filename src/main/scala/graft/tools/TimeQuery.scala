@@ -13,7 +13,7 @@ object TimeQuery {
     val name = args.headOption.getOrElse("q111_dedup_clusters")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.Tables.withTestdataConfs(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * test run inside a single Spark context). */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.Tables.withTestdataConfs(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
