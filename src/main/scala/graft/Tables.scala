@@ -18,14 +18,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session configuration the testdata requires — currently just the
-    * legacy flag that makes a TIMESTAMP(NANOS)-encoded events.parquet
-    * readable at all (one of the three historically observed drift
-    * encodings). Applied ONCE at session construction by every entry
-    * point (Verify / Bench / tools / spec harness); the loader itself
-    * must not mutate session state as a side effect. */
+  /** Session configuration the testdata requires. Applied ONCE at
+    * session construction by every entry point (Verify / Bench / tools /
+    * spec harness); the loader itself must not mutate session state as a
+    * side effect.
+    *  - nanosAsLong: makes a TIMESTAMP(NANOS)-encoded events.parquet
+    *    readable at all (one of the three historically observed drift
+    *    encodings);
+    *  - outputTimestampType=TIMESTAMP_MICROS: write modern int64 micros
+    *    instead of legacy INT96 — INT96 carries no usable footer
+    *    statistics, which would blind every footer-stats consumer
+    *    (event-time guard, zone maps) on engine-written timestamps, and
+    *    DuckDB (the oracle) reads int64 micros natively. */
   def withTestdataConfs(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>

@@ -425,25 +425,87 @@ object EventStreams {
   }
 
   /** Loud guard against silent timestamp corruption: apply the same
-    * conversion the stream will apply to a batch read of the same file and
-    * assert min/max land in a plausible event-time range. A future encoding
-    * drift (e.g. int64 micros read as "nanos" → 1000× shrink to ~1970)
-    * throws here instead of shipping wrong windows. One column-pruned
-    * min/max scan at stream-construction time. */
+    * conversion the stream will apply and assert min/max land in a
+    * plausible event-time range. A future encoding drift (e.g. int64
+    * micros read as "nanos" → 1000× shrink to ~1970) throws here instead
+    * of shipping wrong windows.
+    *
+    * O(metadata), not O(data): the min/max come from the parquet FOOTER
+    * row-group statistics (every int64 ts encoding the testdata has ever
+    * shipped carries them), so at 100 TB the guard reads footers, never
+    * data pages, and fires no Spark job. Files without usable ts stats
+    * (e.g. INT96) fall back to one column-pruned min/max scan — correct
+    * either way, just not free. */
   private def assertEventTimesSane(spark: SparkSession, path: String,
                                    physical: org.apache.spark.sql.types.DataType): Unit = {
-    val batch = spark.read.parquet(path)
-    val ts = physical match {
-      case LongType         => expr("timestamp_micros(ts div 1000)")
-      case TimestampNTZType => col("ts").cast(TimestampType)
-      case _                => col("ts")
+    // raw footer int64 → epoch micros, mirroring the stream's conversion
+    val toMicros: Long => Long = physical match {
+      case LongType => _ / 1000L // int64 nanos encoding
+      case _        => identity  // TIMESTAMP(MICROS) instant / NTZ
     }
-    val row = batch.select(min(ts).as("mn"), max(ts).as("mx")).head()
-    val (mn, mx) = (row.getTimestamp(0), row.getTimestamp(1))
-    val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
-    val hi = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
-    require(mn != null && !mn.before(lo) && !mx.after(hi),
-      s"events.ts sanity check failed: min=$mn max=$mx outside [$lo,$hi] — " +
-      s"physical type $physical is being decoded wrongly (testdata encoding drift?)")
+    footerTsMinMax(spark, path).map { case (rawMn, rawMx) =>
+      (new Timestamp(toMicros(rawMn) / 1000L), new Timestamp(toMicros(rawMx) / 1000L))
+    }.orElse {
+      // fallback: stats unavailable — one column-pruned min/max scan
+      val ts = physical match {
+        case LongType         => expr("timestamp_micros(ts div 1000)")
+        case TimestampNTZType => col("ts").cast(TimestampType)
+        case _                => col("ts")
+      }
+      val row = spark.read.parquet(path).select(min(ts), max(ts)).head()
+      if (row.isNullAt(0)) None else Some((row.getTimestamp(0), row.getTimestamp(1)))
+    } match {
+      case None => // zero rows — nothing to corrupt
+      case Some((mn, mx)) =>
+        val lo = Timestamp.valueOf("1990-01-01 00:00:00")
+        val hi = Timestamp.valueOf("2100-01-01 00:00:00")
+        require(!mn.before(lo) && !mx.after(hi),
+          s"events.ts sanity check failed: min=$mn max=$mx outside [$lo,$hi] — " +
+          s"physical type $physical is being decoded wrongly (testdata encoding drift?)")
+    }
+  }
+
+  /** Footer-stats [min,max] of the raw int64 `ts` column across all part
+    * files under `path`, or None if any row group lacks usable stats.
+    * Driver-side footer reads only. */
+  private def footerTsMinMax(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hconf = spark.sessionState.newHadoopConf()
+    val parts = {
+      val f = new java.io.File(path)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+          .toSeq
+      else Seq(f)
+    }
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var rows = 0L
+    val ok = parts.forall { file =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.getPath), hconf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.forall { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.filter(_.getPath.toDotString == "ts").forall { c =>
+            val st = c.getStatistics
+            // INT96 / stats-less writers: genericGetMin is not a Long
+            st != null && !st.isEmpty && st.hasNonNullValue &&
+              (st.genericGetMin match {
+                case v: java.lang.Long =>
+                  mn = math.min(mn, v); mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long]); true
+                case _ => false
+              })
+          }
+        }
+      } finally reader.close()
+    }
+    // no usable stats, or zero non-null values (rows==0 ⇒ no blocks):
+    // None → caller's scan fallback, which handles empty data itself
+    if (!ok || rows == 0 || mn > mx) None
+    else Some((mn, mx))
   }
 }

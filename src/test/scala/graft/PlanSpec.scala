@@ -80,7 +80,11 @@ class PlanSpec extends SparkSpec {
     // dims or, worse, a cartesian explosion.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val df = SparkEntry.queries("q87_tpch_q5")(spark, dir)
+    // sf0.01, not sf0.001: the 1994-ASIA slice can be legitimately EMPTY
+    // at the smallest scale, and AQE then (correctly) collapses the whole
+    // plan to EmptyRelation — there is no join graph left to pin. The pin
+    // needs a scale where rows survive every join.
+    val df = SparkEntry.queries("q87_tpch_q5")(spark, "/root/testdata/sf0.01")
     df.collect() // AQE: final plan exists only after execution
     def finalOf(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -148,6 +148,32 @@ class TestdataContractSpec extends SparkSpec {
     assert(stream.schema("ts").dataType == TimestampType)
   }
 
+  test("event-time guard is footer-stats-only: zero records read at stream construction") {
+    // The epoch-sanity guard must be O(metadata) at 100 TB: parquet
+    // footer row-group min/max, never data pages. Any data-page scan
+    // shows up as recordsRead > 0 in task input metrics (footer reads
+    // record zero rows), so construction-wide recordsRead == 0 proves
+    // no data was scanned — while the corruption test below proves the
+    // guard still fires from those same footer stats.
+    val dir = writeEventsFixture(lit(isoTs), TimestampType)
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stream = EventStreams.readEventStream(spark, dir)
+      assert(stream.isStreaming)
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(1500)
+      assert(records.get() == 0L,
+        s"stream construction read ${records.get()} records — the event-time " +
+        "guard is scanning data pages instead of footer stats")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("micros-declared-as-nanos corruption THROWS instead of shipping garbage") {
     // int64 column holding MICROS (not nanos): div 1000 shrinks every
     // timestamp 1000× toward 1970 — the silent-wrong-answer class. The
