@@ -81,6 +81,16 @@ object DeltaInterop {
           f.metadata.getString("delta.columnMapping.physicalName")
         else logical
       }
+
+    /** Column-mapping field id (`delta.columnMapping.id`) for a logical
+      * field — the id-mode resolution key, matched against the data
+      * files' parquet field_id. */
+    def fieldId(logical: String): Option[Long] = {
+      val f = schema(logical)
+      if (f.metadata.contains("delta.columnMapping.id"))
+        Some(f.metadata.getLong("delta.columnMapping.id"))
+      else None
+    }
   }
 
   // Reader features this engine implements for protocol v3 tables.
@@ -147,14 +157,15 @@ object DeltaInterop {
         "implements (refusing per protocol)")
     }
     def applyConfiguration(conf: Map[String, String]): Unit = {
-      // column mapping renames the PHYSICAL parquet columns; `name` mode
+      // column mapping renames the PHYSICAL parquet columns. `name` mode
       // is read by scanning physical names and projecting back to
-      // logical ones. `id` mode matches by parquet field id, which this
-      // reader does not implement — refuse rather than return nulls.
+      // logical ones; `id` mode matches columns by parquet field id
+      // (delta.columnMapping.id ↔ the files' parquet field_id), which
+      // read() routes through Spark's field-id parquet resolution.
       val mode = conf.getOrElse("delta.columnMapping.mode", "none")
-      require(mode == "none" || mode == "name",
-        s"Delta columnMapping.mode=$mode — only 'name' mapping is " +
-        "implemented; reading would mis-resolve physical columns (refusing)")
+      require(mode == "none" || mode == "name" || mode == "id",
+        s"Delta columnMapping.mode=$mode is not a mode the protocol " +
+        "defines (refusing)")
       cmMode = mode
     }
     def applyMetaData(m: JsonNode): Unit = {
@@ -353,11 +364,32 @@ object DeltaInterop {
       if (partitionFilters.isEmpty) snap0
       else snap0.copy(files = snap0.files.filter(f =>
         partitionFilters.forall { case (k, v) => pvOf(f, k).contains(v) }))
-    // scan by the PHYSICAL parquet column names; project back to
-    // logical names after the scan (column mapping `name` mode)
+    // Column resolution against the data files, per mapping mode:
+    //  - `name`: scan by the PHYSICAL parquet column names, project back
+    //    to logical names after the scan;
+    //  - `id`: scan by LOGICAL names carrying `parquet.field.id`
+    //    metadata (= delta.columnMapping.id) — Spark's parquet reader
+    //    then matches columns by the files' field_id, so physical names
+    //    (which id-mode files may have renamed arbitrarily) never matter.
+    val idMode = snap.columnMappingMode == "id"
+    if (idMode)
+      // inert for any schema without field-id metadata; same conf the
+      // Iceberg read path uses for the identical contract
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // post-scan reference name for a logical column
+    def scanName(n: String): String = if (idMode) n else snap.physicalName(n)
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-      .map(f => f.copy(name = snap.physicalName(f.name))))
+      .map { f =>
+        if (!idMode) f.copy(name = snap.physicalName(f.name))
+        else {
+          val id = snap.fieldId(f.name).getOrElse(throw new IllegalStateException(
+            s"columnMapping.mode=id but field '${f.name}' has no " +
+            "delta.columnMapping.id — corrupt metadata (refusing)"))
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", id).build())
+        }
+      })
     if (snap.files.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -403,7 +435,7 @@ object DeltaInterop {
           PathCodec.metadataFilePathNormalizeRegex, "/"))
     if (snap.partitionColumns.isEmpty)
       subtractDv(coords).select(snap.schema.fieldNames.map(n =>
-        col(snap.physicalName(n)).as(n)): _*)
+        col(scanName(n)).as(n)): _*)
     else {
       // (file → partition values) as a broadcast map keyed by the FULL
       // normalized path, not the basename: real Spark/Delta writers
@@ -426,7 +458,7 @@ object DeltaInterop {
       }
       withParts.select(snap.schema.fieldNames.map { n =>
         if (snap.partitionColumns.contains(n)) col(n)
-        else col(snap.physicalName(n)).as(n)
+        else col(scanName(n)).as(n)
       }: _*)
     }
   }
@@ -592,20 +624,37 @@ object DeltaInterop {
     v
   }
 
-  /** Create a table with column mapping `name` mode enabled, exactly as
-    * a modern delta-spark writer lays one out: parquet files carry the
-    * PHYSICAL column names, the logical schema lives only in
-    * schemaString field metadata (`delta.columnMapping.physicalName` /
-    * `.id`), partitionValues are keyed by physical names, and the
-    * protocol advertises the feature. Fixture-writer scope: creation
-    * only (no append/overwrite of an existing mapped table). */
+  /** Create a table with column mapping enabled, exactly as a modern
+    * delta-spark writer lays one out: parquet files carry the PHYSICAL
+    * column names, the logical schema lives only in schemaString field
+    * metadata (`delta.columnMapping.physicalName` / `.id`),
+    * partitionValues are keyed by physical names, and the protocol
+    * advertises the feature. `mode` "name" resolves columns by physical
+    * name; "id" additionally stamps parquet field ids (= the mapping
+    * ids) into the data files — the resolution key id-mode readers must
+    * use, since physical names are then free to diverge. Fixture-writer
+    * scope: creation only (no append/overwrite of an existing mapped
+    * table). */
   def overwriteColumnMapped(df: DataFrame, base: String,
                             physicalFor: String => String,
-                            partitionBy: Seq[String] = Seq.empty): Long = {
+                            partitionBy: Seq[String] = Seq.empty,
+                            mode: String = "name"): Long = {
+    require(mode == "name" || mode == "id", s"columnMapping mode $mode")
     require(currentVersion(base).isEmpty,
       s"column-mapped fixture writer only creates tables ($base exists)")
-    val physDf = df.select(df.schema.fieldNames.map(n =>
-      col(n).as(physicalFor(n))): _*)
+    val physDf = {
+      val renamed = df.select(df.schema.fieldNames.map(n =>
+        col(n).as(physicalFor(n))): _*)
+      if (mode == "name") renamed
+      else {
+        // id mode: the files must carry parquet field_id = mapping id
+        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        renamed.select(renamed.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          col(n).as(n, new MetadataBuilder()
+            .putLong("parquet.field.id", i + 1L).build())
+        }: _*)
+      }
+    }
     val adds = stageAdds(physDf, base, partitionBy.map(physicalFor))
     val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
@@ -614,7 +663,7 @@ object DeltaInterop {
         .build())
     })
     val cfg = Map(
-      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.mode" -> mode,
       "delta.columnMapping.maxColumnId" -> df.schema.size.toString)
     val proto =
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""

@@ -201,12 +201,69 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got.agg(sum("amount")).head().getLong(0) == (0 until 5).map(_ * 7).sum)
   }
 
-  test("reader still refuses column mapping 'id' mode") {
+  test("column mapping 'id' mode: columns resolve by parquet field id, not name") {
+    val base = tmp()
+    val df = spark.range(10).select(col("id"), (col("id") * 3).as("value"),
+      (col("id") % 2).cast("int").cast("string").as("side"))
+    // Adversarial physical naming: the physical name of `id` is "value"
+    // — a reader that secretly falls back to NAME matching would read
+    // id's data into the `value` column (a silent column swap). Only
+    // true field-id resolution produces the right values.
+    DeltaInterop.overwriteColumnMapped(df, base,
+      Map("id" -> "value", "value" -> "col-v2", "side" -> "col-s3"),
+      partitionBy = Seq("side"), mode = "id")
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.columnMappingMode == "id")
+    assert(snap.fieldId("value").contains(2L))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "value", "side"))
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 10).sum)
+    assert(got.agg(sum("value")).head().getLong(0) == (0 until 10).map(_ * 3).sum,
+      "`value` read the wrong physical column — resolution fell back to names")
+    // partition pruning still keys on the logical name
+    val pruned = DeltaInterop.read(spark, base,
+      partitionFilters = Map("side" -> "0"))
+    assert(pruned.count() == 5)
+  }
+
+  test("id-mode log crafted by hand reads correctly (writer not involved)") {
+    val base = tmp()
+    val log = new File(base, "_delta_log"); log.mkdirs()
+    // data file with physical names AND parquet field ids, as a real
+    // id-mode delta-spark writer produces
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val scratch = new File(base, ".s")
+    spark.range(5).select(
+        col("id").as("col-x9", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+        (col("id") * 7).as("col-y8", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build()))
+      .coalesce(1).write.parquet(scratch.getPath)
+    val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+    val part = new File(base, "d0.parquet")
+    Files.move(pf.toPath, part.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val schemaStr =
+      """{"type":"struct","fields":[
+        |{"name":"order_id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-x9"}},
+        |{"name":"amount","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-y8"}}
+        |]}""".stripMargin.replaceAll("\n", "").replace("\"", "\\\"")
+    Files.writeString(new File(log, "00000000000000000000.json").toPath,
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}
+         |{"metaData":{"id":"t0","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":0}}
+         |{"add":{"path":"d0.parquet","partitionValues":{},"size":${part.length()},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("order_id", "amount"))
+    assert(got.agg(sum("amount")).head().getLong(0) == (0 until 5).map(_ * 7).sum)
+  }
+
+  test("reader refuses an unknown columnMapping mode loudly") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(3).toDF("id"), base)
     val schemaJson = spark.range(1).toDF("id").schema.json.replace("\"", "\\\"")
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
-      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""" + "\n")
+      s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"bogus"},"createdTime":0}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
     assert(e.getMessage.contains("columnMapping"))
   }
