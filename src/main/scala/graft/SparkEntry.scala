@@ -1615,6 +1615,31 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Delta data skipping from `add.stats`: the fixture range-clusters
+    * lineitem into 8 files with tight disjoint l_orderkey ranges, so the
+    * per-file min/max the writer records in the log lets readRange prune
+    * the FILE LIST before any scan is planned — the metadata decision
+    * that makes a narrow range query on a 100 TB Delta table open a
+    * handful of files instead of all of them. The predicate is also
+    * applied to rows, so the oracle (a plain WHERE over raw lineitem)
+    * hash-mismatches on any over- OR under-pruning. */
+  private def qDeltaStatsSkip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_stats_lineitem", dir, "lineitem") { p =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+      DeltaInterop.overwrite(li, p)
+    }
+    DeltaInterop.readRange(s, base, "l_orderkey", Some(1000L), Some(3000L))
+      .groupBy(col("l_linenumber"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("l_linenumber"))
+  }
+
   /** Unicode normalize + clean over documents (the pretraining
     * pipeline's first text pass). The fixture suffix grafts a combining
     * accent (NFC must compose it), a BEL control char (must strip), and
@@ -2956,6 +2981,7 @@ object SparkEntry {
     "q146_delta_column_mapping" -> (qDeltaColumnMapping _),
     "q147_iceberg_position_deletes" -> (qIcebergPositionDeletes _),
     "q148_delta_deletion_vectors" -> (qDeltaDeletionVectors _),
+    "q149_delta_stats_skip" -> (qDeltaStatsSkip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4213,6 +4239,11 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q149_delta_stats_skip" ->
+      """SELECT l_linenumber, count(*) AS n_rows,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+         GROUP BY l_linenumber ORDER BY l_linenumber""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -59,9 +59,12 @@ object DeltaInterop {
 
   /** One live data file: relative path + partition values (strings, as
     * the protocol serializes them; null = null partition value) +
-    * optional deletion vector masking dead row positions. */
+    * optional deletion vector masking dead row positions + the
+    * protocol's per-file statistics JSON (`add.stats` — numRecords /
+    * minValues / maxValues / nullCount), verbatim, for data skipping. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           dv: Option[DvDescriptor] = None)
+                           dv: Option[DvDescriptor] = None,
+                           stats: Option[String] = None)
 
   final case class DeltaSnapshot(
       version: Long,
@@ -203,7 +206,8 @@ object DeltaInterop {
           b.result()
         }
       val p = a.get("path").asText()
-      live += p -> AddFile(p, m, parseDv(a.get("deletionVector")))
+      live += p -> AddFile(p, m, parseDv(a.get("deletionVector")),
+        Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
     }
     def applyRemove(r: JsonNode): Unit = {
       // File identity in log reconciliation is (path, dvId): a DV
@@ -275,8 +279,11 @@ object DeltaInterop {
         val addFields = cp.schema("add").dataType
           .asInstanceOf[StructType].fieldNames.toSet
         val hasDv = addFields.contains("deletionVector")
+        val hasStats = addFields.contains("stats")
         val selCols = Seq("add.path", "add.partitionValues") ++
-          (if (hasDv) Seq("add.deletionVector") else Nil)
+          (if (hasDv) Seq("add.deletionVector") else Nil) ++
+          (if (hasStats) Seq("add.stats") else Nil)
+        val statsIdx = if (hasDv) 3 else 2
         cp.select(selCols.head, selCols.tail: _*)
           .where(col("path").isNotNull)
           .collect() // one row per live file — metadata-scale
@@ -293,7 +300,9 @@ object DeltaInterop {
                   Some(d.getInt(idx("offset"))) else None,
                 d.getInt(idx("sizeInBytes")), d.getLong(idx("cardinality"))))
             } else None
-            live += r.getString(0) -> AddFile(r.getString(0), pv, dv)
+            val st = if (hasStats && !r.isNullAt(statsIdx))
+              Some(r.getString(statsIdx)) else None
+            live += r.getString(0) -> AddFile(r.getString(0), pv, dv, st)
           }
       }
     }
@@ -351,6 +360,39 @@ object DeltaInterop {
     val version = versionAsOf.orElse(
       timestampAsOf.map(versionAtTimestamp(base, _)))
     val snap0 = snapshot(spark, base, version)
+    assembleScan(spark, base, prunePartitions(snap0, partitionFilters, base))
+  }
+
+  /** Read with a range predicate on `column`, pruning the file list by
+    * the log's per-file `add.stats` min/max BEFORE scan planning — Delta
+    * data skipping, the metadata decision that makes a narrow range
+    * query on a 100 TB table open a handful of files. Files without
+    * stats (or without stats for `column`) are conservatively kept, and
+    * the predicate is also applied to rows: pruning is a performance
+    * decision, never a correctness one. Bounds are inclusive; pass None
+    * for an open end. */
+  def readRange(spark: SparkSession, base: String, column: String,
+                lo: Option[Any], hi: Option[Any],
+                versionAsOf: Option[Long] = None,
+                timestampAsOf: Option[Long] = None,
+                partitionFilters: Map[String, String] = Map.empty): DataFrame = {
+    val version = versionAsOf.orElse(
+      timestampAsOf.map(versionAtTimestamp(base, _)))
+    val snap0 = prunePartitions(snapshot(spark, base, version),
+      partitionFilters, base)
+    val dt = snap0.schema(column).dataType
+    val phys = snap0.physicalName(column)
+    val kept = snap0.files.filter(f => statsAdmitRange(f, phys, dt, lo, hi))
+    val scan = assembleScan(spark, base, snap0.copy(files = kept))
+    val c = col(column)
+    val bounded = (lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    scan.where(bounded)
+  }
+
+  private def prunePartitions(snap0: DeltaSnapshot,
+                              partitionFilters: Map[String, String],
+                              base: String): DeltaSnapshot = {
     partitionFilters.keys.foreach(k => require(
       snap0.partitionColumns.contains(k),
       s"'$k' is not a partition column of $base (have ${snap0.partitionColumns})"))
@@ -360,10 +402,19 @@ object DeltaInterop {
     def pvOf(f: AddFile, logical: String): Option[String] =
       f.partitionValues.get(snap0.physicalName(logical))
         .orElse(f.partitionValues.get(logical))
-    val snap =
-      if (partitionFilters.isEmpty) snap0
-      else snap0.copy(files = snap0.files.filter(f =>
-        partitionFilters.forall { case (k, v) => pvOf(f, k).contains(v) }))
+    if (partitionFilters.isEmpty) snap0
+    else snap0.copy(files = snap0.files.filter(f =>
+      partitionFilters.forall { case (k, v) => pvOf(f, k).contains(v) }))
+  }
+
+  /** Plan the scan for a (possibly file-pruned) snapshot: physical→
+    * logical column resolution, DV subtraction, partition-value
+    * re-attachment. */
+  private def assembleScan(spark: SparkSession, base: String,
+                           snap: DeltaSnapshot): DataFrame = {
+    def pvOf(f: AddFile, logical: String): Option[String] =
+      f.partitionValues.get(snap.physicalName(logical))
+        .orElse(f.partitionValues.get(logical))
     // Column resolution against the data files, per mapping mode:
     //  - `name`: scan by the PHYSICAL parquet column names, project back
     //    to logical names after the scan;
@@ -463,6 +514,73 @@ object DeltaInterop {
     }
   }
 
+  // ------------------------------------------------- data skipping (stats)
+
+  /** Conservative admit test of one file's `add.stats` against an
+    * inclusive [lo, hi] range on physical column `phys` of type `dt`:
+    * drop the file only when its recorded [min, max] provably excludes
+    * the range (or it records zero rows). Missing/unparseable stats, a
+    * stats entry the type can't compare, or an uncovered column all KEEP
+    * the file — pruning is never allowed to change an answer. */
+  private def statsAdmitRange(f: AddFile, phys: String, dt: DataType,
+                              lo: Option[Any], hi: Option[Any]): Boolean =
+    f.stats.flatMap(js =>
+      try Some(mapper.readTree(js)) catch { case _: Exception => None }
+    ).forall { n =>
+      if (Option(n.get("numRecords")).exists(v => v.isNumber && v.asLong() == 0L))
+        false
+      else {
+        val mn = Option(n.get("minValues")).flatMap(v => Option(v.get(phys)))
+          .filterNot(_.isNull)
+        val mx = Option(n.get("maxValues")).flatMap(v => Option(v.get(phys)))
+          .filterNot(_.isNull)
+        (mn, mx) match {
+          case (Some(a), Some(b)) =>
+            // keep iff max >= lo AND min <= hi (unknown compare → keep)
+            lo.flatMap(l => cmpStat(dt, b, l)).forall(_ >= 0) &&
+              hi.flatMap(h => cmpStat(dt, a, h)).forall(_ <= 0)
+          case _ => true
+        }
+      }
+    }
+
+  /** Compare a stats JSON value against a caller bound in `dt`'s order.
+    * None = not comparable (caller keeps the file). */
+  private def cmpStat(dt: DataType, stat: JsonNode, bound: Any): Option[Int] = {
+    def instantOf(s: String): Option[java.time.Instant] =
+      try Some(java.time.Instant.parse(s))
+      catch { case _: Exception =>
+        try Some(java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC))
+        catch { case _: Exception => None } }
+    dt match {
+      case _: NumericType =>
+        try Some(stat.decimalValue().compareTo(new java.math.BigDecimal(bound.toString)))
+        catch { case _: Exception => None }
+      case StringType if stat.isTextual =>
+        Some(stat.asText().compareTo(bound.toString))
+      case DateType if stat.isTextual =>
+        // ISO yyyy-MM-dd is fixed-width: lexicographic == chronological
+        val b = bound match {
+          case d: java.sql.Date => d.toString
+          case d: java.time.LocalDate => d.toString
+          case s: String => s
+          case _ => return None
+        }
+        Some(stat.asText().compareTo(b))
+      case TimestampType | TimestampNTZType if stat.isTextual =>
+        // parse both sides (writers vary in fraction width / zone form)
+        val sv = instantOf(stat.asText())
+        val bv = bound match {
+          case t: java.sql.Timestamp => Some(t.toInstant)
+          case i: java.time.Instant => Some(i)
+          case s: String => instantOf(s)
+          case _ => None
+        }
+        for (a <- sv; b <- bv) yield a.compareTo(b)
+      case _ => None
+    }
+  }
+
   /** Decode a deletion vector's positions per its storage type:
     * inline z85 data, a UUID-derived `.bin` under the table root, or an
     * absolute-path `.bin`. */
@@ -542,6 +660,87 @@ object DeltaInterop {
     }
   }
 
+  /** Collect per-file `add.stats` (numRecords / minValues / maxValues /
+    * nullCount) for freshly staged files with ONE aggregate scan grouped
+    * by `_metadata.file_path` — the statistics a conformant Delta writer
+    * records, and the input to readRange's data skipping. `dataFields`
+    * is the files' physical schema (partition columns excluded). A
+    * production writer folds this into the write itself; the one extra
+    * pass here is bounded by the staged data, and stats keys come out in
+    * PHYSICAL column names (the protocol's contract under column
+    * mapping) because the staged frame already carries them. */
+  private def collectAddStats(spark: SparkSession, base: String,
+                              adds: Seq[AddFile],
+                              dataFields: StructType): Seq[AddFile] = {
+    if (adds.isEmpty) return adds
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val statCols = dataFields.fields.filter(f => orderable(f.dataType)).toSeq
+    val paths = adds.map(a => s"$base/${PathCodec.percentDecode(a.path)}")
+    val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        min(col(f.name)).as(s"__mn_$i"), max(col(f.name)).as(s"__mx_$i"),
+        sum(col(f.name).isNull.cast("long")).as(s"__nc_$i"))
+    }
+    val byFile = spark.read.schema(dataFields).parquet(paths: _*)
+      .groupBy(regexp_replace(col("_metadata.file_path"),
+        PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file — metadata-scale
+      .map(r => r.getString(0) -> r).toMap
+    // JSON-encode one stat value; false = not representable (omit)
+    def put(o: com.fasterxml.jackson.databind.node.ObjectNode,
+            name: String, v: Any): Boolean = v match {
+      case null => false
+      case i: java.lang.Integer => o.put(name, i.toLong); true
+      case l: java.lang.Long => o.put(name, l.longValue()); true
+      case s: java.lang.Short => o.put(name, s.toLong); true
+      case b: java.lang.Byte => o.put(name, b.toLong); true
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) false else { o.put(name, d.doubleValue()); true }
+      case f2: java.lang.Float =>
+        if (f2.isNaN || f2.isInfinite) false else { o.put(name, f2.toDouble); true }
+      case d: java.math.BigDecimal => o.put(name, d); true
+      case s: String =>
+        // long strings (e.g. document text) would bloat the log, and a
+        // truncated max is NOT an upper bound — omit rather than lie
+        if (s.length <= 64) { o.put(name, s); true } else false
+      case d: java.sql.Date => o.put(name, d.toString); true
+      case t: java.sql.Timestamp =>
+        o.put(name, t.toInstant.toString); true
+      case ldt: java.time.LocalDateTime => o.put(name, ldt.toString); true
+      case _ => false
+    }
+    adds.map { a =>
+      val key = PathCodec.metadataPathKey(
+        new File(base, PathCodec.percentDecode(a.path)))
+      byFile.get(key).map { r =>
+        val root = mapper.createObjectNode()
+        // row layout: (groupKey, __nr, then [mn, mx, nc] per stat column)
+        root.put("numRecords", r.getLong(1))
+        val mnO = mapper.createObjectNode(); val mxO = mapper.createObjectNode()
+        val ncO = mapper.createObjectNode()
+        statCols.zipWithIndex.foreach { case (f, i) =>
+          val probe = mapper.createObjectNode()
+          // min and max must land together or not at all — a one-sided
+          // bound would make the admit test asymmetric
+          if (put(probe, "mn", r.get(2 + i * 3)) && put(probe, "mx", r.get(3 + i * 3))) {
+            mnO.set[JsonNode](f.name, probe.get("mn"))
+            mxO.set[JsonNode](f.name, probe.get("mx"))
+          }
+          ncO.put(f.name, r.getLong(4 + i * 3))
+        }
+        root.set[JsonNode]("minValues", mnO)
+        root.set[JsonNode]("maxValues", mxO)
+        root.set[JsonNode]("nullCount", ncO)
+        a.copy(stats = Some(mapper.writeValueAsString(root)))
+      }.getOrElse(a)
+    }
+  }
+
   private def writeCommit(base: String, version: Long, lines: Seq[String]): Unit = {
     val dir = logDir(base); dir.mkdirs()
     val tmp = new File(dir, s".tmp_${UUID.randomUUID()}.json")
@@ -576,6 +775,7 @@ object DeltaInterop {
       dv.put("sizeInBytes", d.sizeInBytes)
       dv.put("cardinality", d.cardinality)
     }
+    a.stats.foreach(s => add.put("stats", s))
     mapper.writeValueAsString(node)
   }
 
@@ -609,7 +809,8 @@ object DeltaInterop {
   def overwrite(df: DataFrame, base: String,
                 partitionBy: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val adds = stageAdds(df, base, partitionBy)
+    val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
+      StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(0L)
     val removes = if (v == 0) Seq.empty else snapshot(spark, base).files
     val removeLines = removes.map { r =>
@@ -655,7 +856,10 @@ object DeltaInterop {
         }: _*)
       }
     }
-    val adds = stageAdds(physDf, base, partitionBy.map(physicalFor))
+    val adds = collectAddStats(df.sparkSession, base,
+      stageAdds(physDf, base, partitionBy.map(physicalFor)),
+      StructType(physDf.schema.filterNot(f =>
+        partitionBy.map(physicalFor).contains(f.name))))
     val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
         .putLong("delta.columnMapping.id", i + 1L)
@@ -722,7 +926,9 @@ object DeltaInterop {
   /** Append rows (no existing file touched). */
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
-    val adds = stageAdds(df, base, partitionBy)
+    val adds = collectAddStats(df.sparkSession, base,
+      stageAdds(df, base, partitionBy),
+      StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(
       throw new IllegalStateException(s"append to non-existent table $base"))
     writeCommit(base, v, adds.map(addJson(_, base)))
@@ -756,7 +962,10 @@ object DeltaInterop {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType)))),
+        // stats survive checkpointing or data skipping dies at the
+        // first log compaction
+        StructField("stats", StringType))))))
     import org.apache.spark.sql.Row
     val hasDv = snap.files.exists(_.dv.isDefined)
     val protoRow =
@@ -770,7 +979,8 @@ object DeltaInterop {
           new File(base, PathCodec.percentDecode(f.path)).length(),
           0L, true,
           f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull))).toList
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
+          f.stats.orNull))).toList
     val scratch = new File(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .coalesce(1).write.mode("overwrite").parquet(scratch.getPath)

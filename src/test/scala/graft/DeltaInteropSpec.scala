@@ -268,6 +268,65 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("columnMapping"))
   }
 
+  test("add.stats data skipping: range read opens only overlapping files") {
+    val base = tmp()
+    // 8 appends, each a tight disjoint id range → 8 files with tight
+    // [min,max] stats in the log
+    DeltaInterop.overwrite(spark.range(0, 100).toDF("id")
+      .withColumn("tag", col("id").cast("string")).coalesce(1), base)
+    (1 until 8).foreach(i =>
+      DeltaInterop.append(spark.range(i * 100L, i * 100L + 100).toDF("id")
+        .withColumn("tag", col("id").cast("string")).coalesce(1), base))
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.files.size == 8)
+    assert(snap.files.forall(_.stats.isDefined), "writer recorded no stats")
+    val full = DeltaInterop.read(spark, base)
+    val ranged = DeltaInterop.readRange(spark, base, "id", Some(250L), Some(310L))
+    assert(ranged.inputFiles.length == 2,
+      s"expected 2 files admitted, scanned ${ranged.inputFiles.length}")
+    assert(ranged.count() == 61)
+    assert(ranged.agg(sum("id")).head().getLong(0) ==
+      full.where(col("id").between(250, 310)).agg(sum("id")).head().getLong(0))
+    // open-ended range
+    assert(DeltaInterop.readRange(spark, base, "id", Some(700L), None)
+      .inputFiles.length == 1)
+    // string column skipping
+    assert(DeltaInterop.readRange(spark, base, "tag", Some("500"), Some("500"))
+      .count() == 1)
+  }
+
+  test("data skipping is conservative: files without stats are kept") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(0, 10).toDF("id").coalesce(1), base)
+    // hand-append a file whose add action has NO stats
+    val scratch = new File(base, ".s2")
+    spark.range(100, 110).toDF("id").coalesce(1).write.parquet(scratch.getPath)
+    val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(pf.toPath, new File(base, "noStats.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
+      s"""{"add":{"path":"noStats.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""" + "\n")
+    // range targets only the stats-less file's data: it must be kept
+    val got = DeltaInterop.readRange(spark, base, "id", Some(105L), Some(200L))
+    assert(got.count() == 5)
+    // and the stats-bearing file that misses the range is still pruned
+    assert(got.inputFiles.length == 1)
+  }
+
+  test("stats survive checkpointing (skipping works from a compacted log)") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(0, 50).toDF("id").coalesce(1), base)
+    DeltaInterop.append(spark.range(50, 100).toDF("id").coalesce(1), base)
+    DeltaInterop.checkpoint(spark, base)
+    // drop the JSON commits so the state must come from the checkpoint
+    val log = new File(base, "_delta_log")
+    log.listFiles().filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.files.forall(_.stats.isDefined), "checkpoint dropped stats")
+    val got = DeltaInterop.readRange(spark, base, "id", Some(10L), Some(20L))
+    assert(got.inputFiles.length == 1 && got.count() == 11)
+  }
+
   test("timestamp time travel resolves to the newest commit at or before ts") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(5).toDF("id"), base)
