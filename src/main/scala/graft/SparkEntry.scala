@@ -1586,6 +1586,37 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Iceberg v2 equality deletes (merge-on-read): rows die by VALUE —
+    * a delete file holds equality-column values, and a data row is
+    * subtracted when it matches null-safely AND its data sequence
+    * number is strictly below the delete's. The fixture is the CDC
+    * upsert shape Flink writers produce: delete keys ≡3 (mod 5), then
+    * re-append half of them (≡3 mod 10) with shifted balances — the
+    * strict sequence gate must keep ONLY the re-inserted copies. The
+    * oracle replays both steps as plain SQL, so a non-strict gate, a
+    * non-null-safe match, or a resurrection all hash-mismatch. */
+  private def qIcebergEqualityDeletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_eqdel_supplier", dir, "supplier") { p =>
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      IcebergInterop.overwrite(sup.coalesce(1), p)
+      IcebergInterop.addEqualityDeletes(s, p,
+        sup.where(col("s_suppkey") % 5 === 3).select(col("s_suppkey")),
+        Seq("s_suppkey"))
+      IcebergInterop.append(sup.where(col("s_suppkey") % 10 === 3)
+        .withColumn("acctbal",
+          (col("acctbal") + lit(1000)).cast(DecimalType(18, 2)))
+        .coalesce(1), p)
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Delta deletion-vector (reader v3) merge-on-read: a DELETE that
     * never rewrites the data file — deleted row positions live in a
     * roaring-bitmap `.bin` beside it (protocol §Deletion Vectors), and
@@ -2982,6 +3013,7 @@ object SparkEntry {
     "q147_iceberg_position_deletes" -> (qIcebergPositionDeletes _),
     "q148_delta_deletion_vectors" -> (qDeltaDeletionVectors _),
     "q149_delta_stats_skip" -> (qDeltaStatsSkip _),
+    "q150_iceberg_equality_deletes" -> (qIcebergEqualityDeletes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4244,6 +4276,17 @@ object SparkEntry {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
          GROUP BY l_linenumber ORDER BY l_linenumber""",
+    "q150_iceberg_equality_deletes" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM supplier WHERE s_suppkey % 5 <> 3
+           UNION ALL
+           SELECT s_nationkey,
+             CAST(CAST(s_acctbal AS DECIMAL(18,2)) + CAST(1000 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+           FROM supplier WHERE s_suppkey % 10 = 3
+         ) GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

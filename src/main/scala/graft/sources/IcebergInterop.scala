@@ -58,12 +58,22 @@ object IcebergInterop {
     * of (file_path, pos) rows + the delete's sequence number. */
   final case class PositionDeleteFile(path: String, seq: Long, sizeBytes: Long)
 
+  /** One live equality-delete file (v2 merge-on-read): resolved parquet
+    * whose rows hold the values of the `equality_ids` columns; a data
+    * row dies when its values match any delete row null-safely AND its
+    * data sequence number is strictly below the delete's (spec §Scan
+    * Planning — note the strictness difference from position deletes). */
+  final case class EqualityDeleteFile(path: String, seq: Long,
+                                      equalityFieldIds: Seq[Int],
+                                      sizeBytes: Long)
+
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[DataFileEntry],
-      deletes: Seq[PositionDeleteFile] = Seq.empty)
+      deletes: Seq[PositionDeleteFile] = Seq.empty,
+      eqDeletes: Seq[EqualityDeleteFile] = Seq.empty)
 
   private def metadataDir(base: String) = new File(base, "metadata")
 
@@ -205,6 +215,7 @@ object IcebergInterop {
       snap.get("manifest-list").asText()))
     val files = mutable.ArrayBuffer.empty[DataFileEntry]
     val deletes = mutable.ArrayBuffer.empty[PositionDeleteFile]
+    val eqDeletes = mutable.ArrayBuffer.empty[EqualityDeleteFile]
     readAvro(manifestList).foreach { m =>
       // content 0 = data manifest, 1 = delete manifest (v2)
       val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
@@ -239,21 +250,33 @@ object IcebergInterop {
             val raw = df.get("file_path").toString
             files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq)
           } else {
-            // position deletes (content=1) get merge-on-read treatment;
-            // equality deletes (content=2) stay refused — applying them
-            // needs value-comparison semantics this reader doesn't have,
-            // and ignoring them would resurrect rows
-            require(fileContent == 1,
+            // merge-on-read deletes: position (content=1) and equality
+            // (content=2); anything else would resurrect rows if ignored
+            require(fileContent == 1 || fileContent == 2,
               s"unsupported file content $fileContent in an Iceberg delete " +
-              "manifest (only position deletes are implemented — refusing)")
+              "manifest (refusing)")
             val f = new File(resolvePath(base, df.get("file_path").toString))
-            deletes += PositionDeleteFile(f.getPath, entrySeq, f.length())
+            if (fileContent == 1)
+              deletes += PositionDeleteFile(f.getPath, entrySeq, f.length())
+            else {
+              import scala.jdk.CollectionConverters._
+              val ids = opt(df, "equality_ids").map {
+                case l: java.util.List[_] =>
+                  l.asScala.map(_.toString.toInt).toSeq
+                case other => throw new IllegalStateException(
+                  s"equality_ids of unexpected shape $other")
+              }.getOrElse(Seq.empty)
+              require(ids.nonEmpty,
+                "equality delete file without equality_ids — cannot apply (refusing)")
+              eqDeletes += EqualityDeleteFile(f.getPath, entrySeq, ids, f.length())
+            }
           }
         }
       }
     }
     IcebergSnapshot(wantId, schema, partCols,
-      files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq)
+      files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq,
+      eqDeletes.distinctBy(_.path).toSeq)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -295,45 +318,86 @@ object IcebergInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val scan = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
-    if (snap.deletes.isEmpty) return scan
+    if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty) return scan
 
-    // v2 merge-on-read: position delete files are (file_path, pos)
-    // parquet; a delete applies to a data file iff the data file's
-    // sequence number is ≤ the delete's (spec §Scan Planning). The
-    // delete rows reference data files by the manifest's EXACT file_path
-    // string, so they are first resolved through a broadcast map of
-    // (raw path → on-disk identity, data seq) — which also drops deletes
-    // aimed at pruned or dead files — then subtracted from the scan by
-    // one anti join on (file, row_index). Delete files are read as a
-    // normal distributed scan: nothing here collects delete rows.
+    // v2 merge-on-read. Both delete kinds need the row's provenance:
+    // the data file identity (for position deletes) and its data
+    // sequence number (to gate which deletes apply — spec §Scan
+    // Planning). Delete files are read as normal distributed scans;
+    // nothing here collects delete rows to the driver.
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val fileMap = kept.map(f =>
       (f.rawPath, PathCodec.metadataPathKey(new File(f.path)), f.seq))
       .toDF("__raw", "__ice_file", "__data_seq")
-    val delSchema = StructType(Seq(
-      StructField("file_path", StringType),
-      StructField("pos", LongType)))
-    val deletesDf = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, fs) =>
-      spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
-        .withColumn("__del_seq", lit(seq))
-    }.reduce(_ unionByName _)
-    val resolved = deletesDf
-      .join(broadcast(fileMap), col("file_path") === col("__raw"))
-      .where(col("__data_seq") <= col("__del_seq"))
-      .select(col("__ice_file"), col("pos").as("__ice_pos"))
-    // broadcast the delete side while it is small (driver knows the
-    // on-disk delete bytes); past that, shuffle — same decision shape
-    // as the Delta DV path
-    val delSide =
-      if (snap.deletes.map(_.sizeBytes).sum <= (64L << 20)) broadcast(resolved)
-      else resolved
-    scan
-      .withColumn("__ice_file", regexp_replace(col("_metadata.file_path"),
+    var out = scan.withColumn("__ice_file",
+      regexp_replace(col("_metadata.file_path"),
         PathCodec.metadataFilePathNormalizeRegex, "/"))
-      .withColumn("__ice_pos", col("_metadata.row_index"))
-      .join(delSide, Seq("__ice_file", "__ice_pos"), "left_anti")
-      .select(snap.schema.fieldNames.map(col): _*)
+
+    if (snap.deletes.nonEmpty) {
+      // Position deletes: (file_path, pos) rows; apply to data files
+      // with seq ≤ the delete's. Delete rows reference data files by
+      // the manifest's EXACT file_path string, so they resolve through
+      // a broadcast (raw path → identity, seq) map — which also drops
+      // deletes aimed at pruned or dead files — then subtract by ONE
+      // anti join on (file, row_index).
+      val delSchema = StructType(Seq(
+        StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val deletesDf = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+        spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+          .withColumn("__del_seq", lit(seq))
+      }.reduce(_ unionByName _)
+      val resolved = deletesDf
+        .join(broadcast(fileMap), col("file_path") === col("__raw"))
+        .where(col("__data_seq") <= col("__del_seq"))
+        .select(col("__ice_file"), col("pos").as("__ice_pos"))
+      // broadcast the delete side while it is small (driver knows the
+      // on-disk delete bytes); past that, shuffle — same decision shape
+      // as the Delta DV path
+      val delSide =
+        if (snap.deletes.map(_.sizeBytes).sum <= (64L << 20)) broadcast(resolved)
+        else resolved
+      out = out
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+        .join(delSide, Seq("__ice_file", "__ice_pos"), "left_anti")
+        .drop("__ice_pos")
+    }
+
+    if (snap.eqDeletes.nonEmpty) {
+      // Equality deletes: each delete row holds values of the
+      // equality_ids columns; a data row dies when those values match
+      // NULL-SAFELY (IS NOT DISTINCT FROM, per spec) and the data file's
+      // seq is STRICTLY below the delete's. Field ids resolve to column
+      // names through the schema's parquet.field.id metadata — names in
+      // the delete file are read by id too (fieldId.read is on), so
+      // renamed columns stay correct. One anti join per distinct
+      // (sequence, column-set) — bounded by delete commits, each a
+      // linear equi-join on the equality key.
+      out = out.join(broadcast(fileMap.select("__ice_file", "__data_seq")),
+        Seq("__ice_file"))
+      val idToName = snap.schema.fields.flatMap(f =>
+        if (f.metadata.contains("parquet.field.id"))
+          Some(f.metadata.getLong("parquet.field.id").toInt -> f.name)
+        else None).toMap
+      snap.eqDeletes.groupBy(d => (d.seq, d.equalityFieldIds)).toSeq
+        .sortBy(_._1._1).foreach { case ((seq, ids), fs) =>
+          val names = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalStateException(
+              s"equality_ids references field id $id not present in the " +
+              "current schema (refusing)")))
+          val delSchema = StructType(names.map(n => snap.schema(n)))
+          val del = spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+            .dropDuplicates(names)
+            .select(names.map(n => col(n).as(s"__eq_$n")): _*)
+          val delSide =
+            if (fs.map(_.sizeBytes).sum <= (64L << 20)) broadcast(del) else del
+          val cond = names.map(n => col(n) <=> col(s"__eq_$n")).reduce(_ && _) &&
+            col("__data_seq") < lit(seq)
+          out = out.join(delSide, cond, "left_anti")
+        }
+    }
+    out.select(snap.schema.fieldNames.map(col): _*)
   }
 
   // ------------------------------------------------------------- writer
@@ -403,7 +467,8 @@ object IcebergInterop {
          |  {"name":"file_path","type":"string","field-id":100},
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"field-id":135,"default":null}
          |  $partitionField
          |]}}]}""".stripMargin.replaceAll("\n", ""))
   }
@@ -695,12 +760,88 @@ object IcebergInterop {
     rec.put("data_file", dfr)
     writeAvro(mFile, entrySchema, Seq(rec))
 
-    // 3. manifest list: every current manifest + the delete manifest
+    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+  }
+
+  /** Commit equality deletes as a new v2 snapshot: one parquet delete
+    * file holding the DISTINCT values of `equalityCols` from `rows`
+    * (parquet field ids stamped — the id-based resolution contract), one
+    * delete manifest whose entry records content=2 + equality_ids, and a
+    * manifest list carrying every current manifest forward — the layout
+    * Flink CDC upsert writers produce. */
+  def addEqualityDeletes(spark: SparkSession, base: String,
+                         rows: DataFrame, equalityCols: Seq[String]): Long = {
+    require(equalityCols.nonEmpty, "equality delete needs at least one column")
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    require(prev.get("format-version").asInt() == 2,
+      "equality deletes are an Iceberg format-v2 feature")
+    val snapshotId = prev.get("current-snapshot-id").asLong() + 1
+    val id = UUID.randomUUID().toString
+
+    // table schema name → field id (ids, not names, are the contract)
+    val schemaNode0 = {
+      val ss = prev.get("schemas")
+      val want = prev.get("current-schema-id").asInt()
+      (0 until ss.size()).map(ss.get)
+        .find(_.get("schema-id").asInt() == want).get
+    }
+    val nameToId: Map[String, Int] = {
+      val fs = schemaNode0.get("fields")
+      (0 until fs.size()).map(fs.get)
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
+    val ids = equalityCols.map(c => nameToId.getOrElse(c,
+      throw new IllegalArgumentException(s"'$c' is not a table column")))
+
+    // 1. the delete file: distinct equality values, field-id-stamped
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val proj = rows.select(equalityCols.zip(ids).map { case (c, fid) =>
+        col(c).as(c, new MetadataBuilder()
+          .putLong("parquet.field.id", fid.toLong).build())
+      }: _*).dropDuplicates(equalityCols)
+    val scratch = new File(base, s".stage_$id")
+    proj.coalesce(1).write.parquet(scratch.getPath)
+    val pf = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no delete part file staged"))
+    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    val delFile = new File(dataDir, s"eqdelete-$id.parquet")
+    Files.move(pf.toPath, delFile.toPath, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+
+    // 2. the delete manifest (a content=2 file entry with equality_ids)
+    val entrySchema = entrySchemaFor(Seq.empty)
+    val mFile = new File(metaDir, s"manifest-eqdel-$id.avro")
+    val rec = new GenericData.Record(entrySchema)
+    rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+    val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+    dfr.put("content", 2) // 2 = equality deletes
+    dfr.put("file_path", delFile.getAbsolutePath)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 0L) // fixtures don't track counts
+    dfr.put("file_size_in_bytes", delFile.length())
+    dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
+    rec.put("data_file", dfr)
+    writeAvro(mFile, entrySchema, Seq(rec))
+
+    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+  }
+
+  /** Shared tail of a delete commit: manifest list carrying every
+    * current manifest + the new delete manifest, then the metadata
+    * document mutation and atomic version bump. */
+  private def commitDeleteSnapshot(base: String, prev: JsonNode,
+                                   mFile: File, snapshotId: Long,
+                                   id: String): Long = {
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
     val mlFile = new File(metaDir, s"snap-$snapshotId-$id.avro")
     writeManifestList(mlFile,
       currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId, snapshotId))
-
-    // 4. metadata: mutate the previous document via the Jackson node API
     val root = prev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     root.put("last-sequence-number", snapshotId)
     root.put("current-snapshot-id", snapshotId)

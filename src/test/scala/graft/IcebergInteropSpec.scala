@@ -143,6 +143,60 @@ class IcebergInteropSpec extends SparkSpec {
       "a lower-sequence delete still applied to newer data")
   }
 
+  test("v2 equality deletes subtract matching rows merge-on-read") {
+    val base = tmp()
+    val df = spark.range(20).select(col("id"), (col("id") * 10).as("v"))
+    IcebergInterop.overwrite(df.coalesce(1), base)
+    val snap0 = IcebergInterop.snapshot(spark, base)
+    // delete ids {3, 7, 11} by VALUE, not position
+    IcebergInterop.addEqualityDeletes(spark, base,
+      spark.range(3).select((col("id") * 4 + 3).as("id")), Seq("id"))
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 17)
+    assert(got.where(col("id").isin(3, 7, 11)).count() == 0)
+    assert(got.agg(sum("v")).head().getLong(0) ==
+      (0 until 20).filterNot(Set(3, 7, 11)).map(_ * 10).sum)
+    // pre-delete snapshot still sees all rows
+    assert(IcebergInterop.read(spark, base, Some(snap0.snapshotId)).count() == 20)
+  }
+
+  test("equality deletes apply strictly to OLDER data: re-inserted keys survive") {
+    // the CDC upsert shape: delete-by-key then re-append the key — the
+    // new row has a higher data sequence than the delete, and the spec's
+    // STRICT inequality must keep it
+    val base = tmp()
+    IcebergInterop.overwrite(
+      spark.range(10).select(col("id"), (col("id") * 10).as("v")).coalesce(1), base)
+    IcebergInterop.addEqualityDeletes(spark, base,
+      spark.range(1).select((col("id") + 5).as("id")), Seq("id"))
+    assert(IcebergInterop.read(spark, base).count() == 9)
+    IcebergInterop.append(
+      spark.range(1).select((col("id") + 5).as("id"), lit(999L).as("v")).coalesce(1),
+      base)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 10)
+    val row5 = got.where(col("id") === 5).collect()
+    assert(row5.length == 1 && row5.head.getLong(1) == 999L,
+      "the re-inserted key must be the NEW row, not the deleted one")
+  }
+
+  test("multi-column equality deletes match null-safely (IS NOT DISTINCT FROM)") {
+    val base = tmp()
+    // tag is null for odd ids
+    val df = spark.range(6).select(col("id"),
+      when(col("id") % 2 === 0, concat(lit("t"), (col("id") % 3).cast("string")))
+        .as("tag"))
+    IcebergInterop.overwrite(df.coalesce(1), base)
+    // delete the (id=1, tag=NULL) row by value — a non-null-safe compare
+    // would match nothing and resurrect it
+    IcebergInterop.addEqualityDeletes(spark, base,
+      df.where(col("id") === 1).select(col("id"), col("tag")), Seq("id", "tag"))
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 5)
+    assert(got.where(col("id") === 1).count() == 0,
+      "null tag did not match null-safely — the deleted row resurrected")
+  }
+
   test("schema evolution: a renamed column resolves by field id") {
     val base = tmp()
     IcebergInterop.overwrite(
