@@ -1617,6 +1617,29 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Iceberg manifest-level data skipping: the fixture range-clusters
+    * orders into 8 files whose per-file lower/upper bounds (spec binary
+    * single-value form, keyed by field id) land in the manifest, and
+    * readRange prunes the file list against them BEFORE scan planning.
+    * Same contract as q149 on the Delta side; the oracle is a plain
+    * WHERE over raw orders, so over- or under-pruning hash-mismatches. */
+  private def qIcebergBoundsSkip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_bounds_orders", dir, "orders") { p =>
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+      IcebergInterop.overwrite(ord, p)
+    }
+    IcebergInterop.readRange(s, base, "o_orderkey", Some(500L), Some(1500L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Delta deletion-vector (reader v3) merge-on-read: a DELETE that
     * never rewrites the data file — deleted row positions live in a
     * roaring-bitmap `.bin` beside it (protocol §Deletion Vectors), and
@@ -3014,6 +3037,7 @@ object SparkEntry {
     "q148_delta_deletion_vectors" -> (qDeltaDeletionVectors _),
     "q149_delta_stats_skip" -> (qDeltaStatsSkip _),
     "q150_iceberg_equality_deletes" -> (qIcebergEqualityDeletes _),
+    "q151_iceberg_bounds_skip" -> (qIcebergBoundsSkip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4287,6 +4311,11 @@ object SparkEntry {
              CAST(CAST(s_acctbal AS DECIMAL(18,2)) + CAST(1000 AS DECIMAL(18,2)) AS DECIMAL(18,2))
            FROM supplier WHERE s_suppkey % 10 = 3
          ) GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q151_iceberg_bounds_skip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -52,7 +52,9 @@ object IcebergInterop {
   final case class DataFileEntry(path: String,
                                  partitionValues: Map[String, String],
                                  rawPath: String = "",
-                                 seq: Long = 0L)
+                                 seq: Long = 0L,
+                                 lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+                                 upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number. */
@@ -248,7 +250,22 @@ object IcebergInterop {
               case _ => Map.empty[String, String]
             }.getOrElse(Map.empty)
             val raw = df.get("file_path").toString
-            files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq)
+            // lower/upper bounds: avro map-as-array of (key int, value
+            // bytes) records, keyed by field id — the inputs to
+            // readRange's manifest-level data skipping
+            def boundsOf(field: String): Map[Int, Array[Byte]] =
+              opt(df, field).map {
+                case l: java.util.Collection[_] =>
+                  import scala.jdk.CollectionConverters._
+                  l.asScala.collect { case r: GenericRecord =>
+                    val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+                    val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+                    r.get("key").toString.toInt -> arr
+                  }.toMap
+                case _ => Map.empty[Int, Array[Byte]]
+              }.getOrElse(Map.empty)
+            files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq,
+              boundsOf("lower_bounds"), boundsOf("upper_bounds"))
           } else {
             // merge-on-read deletes: position (content=1) and equality
             // (content=2); anything else would resurrect rows if ignored
@@ -314,6 +331,62 @@ object IcebergInterop {
       if (partitionFilters.isEmpty) snap.files
       else snap.files.filter(f => partitionFilters.forall {
         case (k, v) => f.partitionValues.get(k).contains(v) })
+    assembleRead(spark, snap, kept)
+  }
+
+  /** Read with a range predicate on `column`, pruning the file list by
+    * the manifests' per-file lower/upper bounds BEFORE scan planning —
+    * Iceberg's manifest-level data skipping, the metadata decision that
+    * makes a narrow range query on a 100 TB table open a handful of
+    * files. Files without bounds for the column are conservatively
+    * kept, and the predicate is also applied to rows: pruning is a
+    * performance decision, never a correctness one. Bounds are
+    * inclusive; None = open end. */
+  def readRange(spark: SparkSession, base: String, column: String,
+                lo: Option[Any], hi: Option[Any],
+                snapshotId: Option[Long] = None,
+                partitionFilters: Map[String, String] = Map.empty): DataFrame = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val snap = snapshot(spark, base, snapshotId)
+    partitionFilters.keys.foreach(k => require(
+      snap.partitionColumns.contains(k),
+      s"'$k' is not an identity partition column of $base"))
+    val f0 = snap.schema(column)
+    require(f0.metadata.contains("parquet.field.id"),
+      s"column '$column' carries no field id — cannot resolve bounds")
+    val fid = f0.metadata.getLong("parquet.field.id").toInt
+    val dt = f0.dataType
+    val loK = lo.flatMap(SingleValue.boundKey(dt, _))
+    val hiK = hi.flatMap(SingleValue.boundKey(dt, _))
+    val kept = snap.files.filter { f =>
+      (partitionFilters.isEmpty || partitionFilters.forall {
+        case (k, v) => f.partitionValues.get(k).contains(v) }) &&
+      boundsAdmit(f, fid, dt, loK, hiK)
+    }
+    val c = org.apache.spark.sql.functions.col(column)
+    import org.apache.spark.sql.functions.lit
+    val pred = (lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    assembleRead(spark, snap, kept).where(pred)
+  }
+
+  /** Keep iff the file's [lower, upper] for the field can not be proven
+    * disjoint from [lo, hi] (either bound absent/incomparable → keep). */
+  private def boundsAdmit(f: DataFileEntry, fid: Int, dt: DataType,
+                          loK: Option[Any], hiK: Option[Any]): Boolean =
+    (f.lowerBounds.get(fid).flatMap(SingleValue.decode(dt, _)),
+     f.upperBounds.get(fid).flatMap(SingleValue.decode(dt, _))) match {
+      case (Some(mn), Some(mx)) =>
+        // keep iff upper >= lo AND lower <= hi
+        loK.flatMap(SingleValue.compare(mx, _)).forall(_ >= 0) &&
+          hiK.flatMap(SingleValue.compare(mn, _)).forall(_ <= 0)
+      case _ => true
+    }
+
+  /** Plan the scan for a (possibly pruned) file set and subtract v2
+    * merge-on-read deletes. */
+  private def assembleRead(spark: SparkSession, snap: IcebergSnapshot,
+                           kept: Seq[DataFileEntry]): DataFrame = {
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
@@ -468,7 +541,9 @@ object IcebergInterop {
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"field-id":135,"default":null}
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"field-id":135,"default":null},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"field-id":125,"default":null},
+         |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"field-id":128,"default":null}
          |  $partitionField
          |]}}]}""".stripMargin.replaceAll("\n", ""))
   }
@@ -517,6 +592,108 @@ object IcebergInterop {
       r
     })
 
+  /** The spec's single-value BINARY serialization (Appendix D) used by
+    * manifest `lower_bounds` / `upper_bounds`: little-endian fixed-width
+    * numerics, UTF-8 strings, days/micros for date/timestamp, and
+    * big-endian two's-complement unscaled decimals. Values move through
+    * a unified comparable space per type family (Long / Double / String
+    * / BigDecimal) so bound checks are one compare, and anything not
+    * representable returns None — the caller must then keep the file. */
+  private[sources] object SingleValue {
+    import java.nio.{ByteBuffer, ByteOrder}
+    private def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+    private def tsMicros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    private def ntzMicros(ldt: java.time.LocalDateTime): Long = {
+      val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    }
+
+    /** Spark-collected value → spec binary (None = not representable). */
+    def encode(dt: DataType, v: Any): Option[Array[Byte]] = (dt, v) match {
+      case (_, null) => None
+      case (IntegerType, i: java.lang.Integer) => Some(le(4).putInt(i).array())
+      case (LongType, l: java.lang.Long) => Some(le(8).putLong(l).array())
+      case (FloatType, f: java.lang.Float) =>
+        if (f.isNaN) None else Some(le(4).putFloat(f).array())
+      case (DoubleType, d: java.lang.Double) =>
+        if (d.isNaN) None else Some(le(8).putDouble(d).array())
+      case (StringType, s: String) =>
+        // cap mirrors Delta's: a truncated upper bound is NOT a bound
+        if (s.length <= 64) Some(s.getBytes("UTF-8")) else None
+      case (DateType, d: java.sql.Date) =>
+        Some(le(4).putInt(d.toLocalDate.toEpochDay.toInt).array())
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(le(8).putLong(tsMicros(t)).array())
+      case (TimestampNTZType, l: java.time.LocalDateTime) =>
+        Some(le(8).putLong(ntzMicros(l)).array())
+      case (_: DecimalType, d: java.math.BigDecimal) =>
+        Some(d.unscaledValue().toByteArray)
+      case _ => None
+    }
+
+    /** Spec binary → the type family's comparable space. */
+    def decode(dt: DataType, b: Array[Byte]): Option[Any] = try {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      dt match {
+        case IntegerType => Some(buf.getInt.toLong)
+        case LongType => Some(buf.getLong)
+        case FloatType => Some(buf.getFloat.toDouble)
+        case DoubleType => Some(buf.getDouble)
+        case StringType => Some(new String(b, "UTF-8"))
+        case DateType => Some(buf.getInt.toLong)
+        case TimestampType | TimestampNTZType => Some(buf.getLong)
+        case d: DecimalType =>
+          Some(new java.math.BigDecimal(new java.math.BigInteger(b), d.scale))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+    /** Caller-provided bound → the same comparable space as decode. */
+    def boundKey(dt: DataType, v: Any): Option[Any] = try {
+      dt match {
+        case IntegerType | LongType => v match {
+          case n: Number => Some(n.longValue())
+          case _ => None
+        }
+        case FloatType | DoubleType => v match {
+          case n: Number => Some(n.doubleValue())
+          case _ => None
+        }
+        case StringType => Some(v.toString)
+        case DateType => v match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case s: String => Some(java.time.LocalDate.parse(s).toEpochDay)
+          case _ => None
+        }
+        case TimestampType | TimestampNTZType => v match {
+          case t: java.sql.Timestamp => Some(tsMicros(t))
+          case i: java.time.Instant =>
+            Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          case l: java.time.LocalDateTime => Some(ntzMicros(l))
+          case s: String =>
+            try Some(boundKey(dt, java.time.Instant.parse(s)).get)
+            catch { case _: Exception =>
+              Some(ntzMicros(java.time.LocalDateTime.parse(s))) }
+          case _ => None
+        }
+        case _: DecimalType => Some(new java.math.BigDecimal(v.toString))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+    def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        Some(x.compareTo(y))
+      case _ => None
+    }
+  }
+
   /** Stamp `parquet.field.id` metadata (ids 1..n, matching schemaJson's
     * assignment) onto a frame so staged parquet files carry Iceberg
     * field ids — the physical half of id-based column resolution. A
@@ -529,6 +706,61 @@ object IcebergInterop {
         new MetadataBuilder().withMetadata(f.metadata)
           .putLong("parquet.field.id", i + 1L).build())
     }.toSeq: _*)
+  }
+
+  /** Per-file [min,max] of every orderable column in the spec's binary
+    * single-value form, keyed by field id (ids 1..n, matching
+    * schemaNode's assignment), from ONE aggregate scan grouped by file.
+    * A bound lands only when BOTH min and max are representable —
+    * one-sided bounds would make the admit test asymmetric. */
+  private def collectBounds(spark: SparkSession, schema: StructType,
+                            staged: Seq[File])
+      : Map[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
+    import org.apache.spark.sql.functions._
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val statCols = schema.fields.zipWithIndex
+      .filter { case (f, _) => orderable(f.dataType) }.toSeq
+    if (staged.isEmpty || statCols.isEmpty) return Map.empty
+    val aggs = statCols.flatMap { case (f, _) =>
+      Seq(min(col(f.name)), max(col(f.name))) }
+    spark.read.parquet(staged.map(_.getPath): _*)
+      .groupBy(regexp_replace(col("_metadata.file_path"),
+        PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file — metadata-scale
+      .map { r =>
+        val lo = Map.newBuilder[Int, Array[Byte]]
+        val hi = Map.newBuilder[Int, Array[Byte]]
+        statCols.zipWithIndex.foreach { case ((f, fieldIdx), i) =>
+          for (mn <- SingleValue.encode(f.dataType, r.get(1 + i * 2));
+               mx <- SingleValue.encode(f.dataType, r.get(2 + i * 2))) {
+            lo += (fieldIdx + 1) -> mn
+            hi += (fieldIdx + 1) -> mx
+          }
+        }
+        r.getString(0) -> (lo.result(), hi.result())
+      }.toMap
+  }
+
+  /** Bounds map → the avro map-as-array branch of the entry schema. */
+  private def avroBounds(dfSchema: AvroSchema, field: String,
+                         m: Map[Int, Array[Byte]]): AnyRef = {
+    if (m.isEmpty) return null
+    import scala.jdk.CollectionConverters._
+    val arrSchema = dfSchema.getField(field).schema().getTypes.asScala
+      .find(_.getType == AvroSchema.Type.ARRAY)
+      .getOrElse(throw new IllegalStateException(s"no array branch in $field"))
+    val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(arrSchema.getElementType)
+      r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v))
+      arr.add(r)
+    }
+    arr
   }
 
   private def writeAvro(f: File, schema: AvroSchema,
@@ -613,7 +845,10 @@ object IcebergInterop {
         }
       }
 
-    // 2. one new manifest for the added files
+    // 2. one new manifest for the added files, each entry carrying
+    // per-file [lower, upper] bounds per field id (spec field-ids
+    // 125/128) — the metadata that lets readRange skip files
+    val boundsByFile = collectBounds(spark, df.schema, dataFiles.map(_._1))
     val snapshotId = prev.map(_.get("current-snapshot-id").asLong() + 1).getOrElse(1L)
     val entrySchema = entrySchemaFor(partTypes)
     val mName = s"manifest-$id.avro"
@@ -628,6 +863,10 @@ object IcebergInterop {
       dfr.put("file_format", "PARQUET")
       dfr.put("record_count", 0L) // fixtures don't track counts
       dfr.put("file_size_in_bytes", f.length())
+      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (lo, hi) =>
+        dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
+        dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
+      }
       if (partitionBy.nonEmpty) {
         val pr = new GenericData.Record(dfSchema.getField("partition").schema())
         pv.foreach { case (k, v) => pr.put(k, v) }

@@ -197,6 +197,56 @@ class IcebergInteropSpec extends SparkSpec {
       "null tag did not match null-safely — the deleted row resurrected")
   }
 
+  test("manifest bounds skipping: range read opens only overlapping files") {
+    val base = tmp()
+    // 8 commits, each a tight disjoint id range → 8 files whose
+    // lower/upper bounds land in (carried) manifests
+    IcebergInterop.overwrite(spark.range(0, 100)
+      .select(col("id"), col("id").cast("string").as("tag")).coalesce(1), base)
+    (1 until 8).foreach(i =>
+      IcebergInterop.append(spark.range(i * 100L, i * 100L + 100)
+        .select(col("id"), col("id").cast("string").as("tag")).coalesce(1), base))
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.files.size == 8)
+    assert(snap.files.forall(f => f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty),
+      "writer recorded no bounds")
+    val full = IcebergInterop.read(spark, base)
+    val ranged = IcebergInterop.readRange(spark, base, "id", Some(250L), Some(310L))
+    assert(ranged.inputFiles.length == 2,
+      s"expected 2 files admitted, scanned ${ranged.inputFiles.length}")
+    assert(ranged.count() == 61)
+    assert(ranged.agg(sum("id")).head().getLong(0) ==
+      full.where(col("id").between(250, 310)).agg(sum("id")).head().getLong(0))
+    // open-ended + string-typed bounds
+    assert(IcebergInterop.readRange(spark, base, "id", Some(700L), None)
+      .inputFiles.length == 1)
+    assert(IcebergInterop.readRange(spark, base, "tag", Some("500"), Some("500"))
+      .count() == 1)
+  }
+
+  test("bounds skipping is conservative: entries without bounds are kept") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(0, 10).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(100, 110).toDF("id").coalesce(1), base)
+    // strip the SECOND file's bounds, as a manifest from a writer that
+    // records none (e.g. an older engine) would look
+    val metaDir = new File(base, "metadata")
+    metaDir.listFiles().filter(_.getName.startsWith("manifest-")).foreach { m =>
+      rewriteAvro(m) { r =>
+        val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (df.get("file_path").toString.contains("-0.parquet") &&
+            spark.read.parquet(df.get("file_path").toString)
+              .agg(min("id")).head().getLong(0) == 100L) {
+          df.put("lower_bounds", null); df.put("upper_bounds", null)
+        }
+      }
+    }
+    // range [100,105] misses file 1's bounds entirely; the stripped file
+    // must still be scanned (conservative) and supply the rows
+    val got = IcebergInterop.readRange(spark, base, "id", Some(100L), Some(105L))
+    assert(got.count() == 6)
+  }
+
   test("schema evolution: a renamed column resolves by field id") {
     val base = tmp()
     IcebergInterop.overwrite(
