@@ -1694,6 +1694,25 @@ object SparkEntry {
       .orderBy(col("l_linenumber"))
   }
 
+  /** n-gram LM quality scoring (CCNet-style reference-corpus filter):
+    * bigram counts trained on the even-doc_id half of the corpus score
+    * every document by OOV instances and scaled expected-frequency mass
+    * — integer arithmetic end to end, so DuckDB replays the exact model
+    * build + scoring and every count/sum hash-matches. One gram-keyed
+    * join, no doc×doc. */
+  private def qNgramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.TextAnalysis.ngramLmScore(docs,
+        col("doc_id"), col("text"), col("doc_id") % 2 === 0)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("total_bigrams"),
+        sum(col("oov")).as("total_oov"),
+        sum(col("freq_score")).as("total_score"))
+      .orderBy(col("lang"))
+  }
+
   /** Unicode normalize + clean over documents (the pretraining
     * pipeline's first text pass). The fixture suffix grafts a combining
     * accent (NFC must compose it), a BEL control char (must strip), and
@@ -3038,6 +3057,7 @@ object SparkEntry {
     "q149_delta_stats_skip" -> (qDeltaStatsSkip _),
     "q150_iceberg_equality_deletes" -> (qIcebergEqualityDeletes _),
     "q151_iceberg_bounds_skip" -> (qIcebergBoundsSkip _),
+    "q152_ngram_lm_score" -> (qNgramLmScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4316,6 +4336,31 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderkey BETWEEN 500 AND 1500
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q152_ngram_lm_score" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+               FROM t WHERE len(toks) >= 2),
+         model AS (SELECT gram, count(*) AS ref_cnt FROM g
+                   WHERE doc_id % 2 = 0 GROUP BY gram),
+         tot AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS ref_total FROM model),
+         scored AS (
+           SELECT g.doc_id, count(*) AS n_bigrams,
+             count(*) FILTER (WHERE m.ref_cnt IS NULL) AS oov,
+             sum(COALESCE((m.ref_cnt * 1000000) // (SELECT ref_total FROM tot), 0)) AS freq_score
+           FROM g LEFT JOIN model m ON g.gram = m.gram
+           GROUP BY g.doc_id),
+         perdoc AS (
+           SELECT d.lang,
+             COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             COALESCE(s.oov, 0) AS oov,
+             COALESCE(s.freq_score, 0) AS freq_score
+           FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(sum(oov) AS BIGINT) AS total_oov,
+           CAST(sum(freq_score) AS BIGINT) AS total_score
+         FROM perdoc GROUP BY lang ORDER BY lang""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

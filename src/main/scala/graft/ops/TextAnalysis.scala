@@ -231,4 +231,50 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => pmod(pmod(acc * 31, p) + pmod(xxhash64(t), p), p))
   }
+
+  /** n-gram language-model quality scoring — the CCNet-style "does this
+    * document look like the reference corpus" filter, in engine-portable
+    * integer arithmetic (log-perplexity's floating sums diverge across
+    * engines in the last ulp; a 1e6-scaled integral frequency ratio and
+    * an OOV count rank documents the same way and compare bit-exactly).
+    *
+    * Model = bigram occurrence counts over the `isRef` slice of the
+    * corpus. Each document scores as:
+    *   n_bigrams  — its bigram instances;
+    *   oov        — instances whose bigram the reference never saw;
+    *   freq_score — Σ (refCount(gram)·10^6 div refTotal) over instances
+    *                (0 for unseen), i.e. scaled expected-frequency mass.
+    * Low freq_score / high oov = unlike the reference → filter fodder.
+    *
+    * Shape at 100 TB: one groupBy(gram) over the reference slice, ONE
+    * gram-keyed equi-join of document instances against the model (no
+    * doc×doc, no collect — the 1-row total broadcasts), one groupBy(doc).
+    * Docs with <2 tokens surface with zeros via the final left join.
+    * The 10^6 scale keeps every product below 2^63 up to ~10^12 model
+    * grams; shrink it past that. */
+  def ngramLmScore(docs: DataFrame, idCol: Column, text: Column,
+                   isRef: Column): DataFrame = {
+    val grams = docs
+      .withColumn("__toks", tokens(text))
+      .select(idCol.as("doc_id"), isRef.as("is_ref"),
+        explode(shingles(col("__toks"), 2)).as("gram"))
+    val model = grams.filter(col("is_ref"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("ref_cnt"))
+    val total = model.agg(sum(col("ref_cnt")).as("ref_total"))
+    val scored = grams
+      .join(model, Seq("gram"), "left")
+      .crossJoin(broadcast(total)) // 1 row
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("ref_cnt").isNull, 1L).otherwise(0L)).as("oov"),
+        sum(coalesce(expr("(ref_cnt * 1000000L) div ref_total"), lit(0L)))
+          .as("freq_score"))
+    docs.select(idCol.as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov"), lit(0L)).as("oov"),
+        coalesce(col("freq_score"), lit(0L)).as("freq_score"))
+  }
 }
