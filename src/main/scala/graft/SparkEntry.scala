@@ -1694,6 +1694,26 @@ object SparkEntry {
       .orderBy(col("l_linenumber"))
   }
 
+  /** SemDeDup over the embeddings table: IVF-cluster the vectors, drop
+    * every vector with a lower-id near-duplicate (cosine ≥ 0.99) in its
+    * cell, report kept/total per label. Rows-only (no oracleSql): the
+    * deterministic Lloyd quantizer is not expressible in DuckDB SQL —
+    * the same justification as the ANN family (q42/q54/q96); behavior
+    * is pinned by SemDedupSpec (hand-planted duplicate recall gate,
+    * exact survivor rule, determinism). */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"),
+      graft.functions.Vec.toDouble(col("embedding")).as("v"))
+    graft.ops.Similarity.semDedup(corpus, 0.99, nLists = 16)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("label"))
+  }
+
   /** n-gram LM quality scoring (CCNet-style reference-corpus filter):
     * bigram counts trained on the even-doc_id half of the corpus score
     * every document by OOV instances and scaled expected-frequency mass
@@ -3058,6 +3078,7 @@ object SparkEntry {
     "q150_iceberg_equality_deletes" -> (qIcebergEqualityDeletes _),
     "q151_iceberg_bounds_skip" -> (qIcebergBoundsSkip _),
     "q152_ngram_lm_score" -> (qNgramLmScore _),
+    "q153_semdedup" -> (qSemDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -122,6 +122,43 @@ object Similarity {
         col("vec_id"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) — semantic deduplication
+    * by embedding clustering: vectors are assigned to the deterministic
+    * IVF quantizer's cells once (map-only, centroid matrix is a plan
+    * constant), and near-duplicate pairs are detected only WITHIN a
+    * cell — the k-means trick that turns all-pairs cosine dedup into
+    * per-cluster work, quadratic only in cell size (dialed by `nLists`;
+    * the paper uses the same within-cluster restriction, trading
+    * cross-cluster dup recall for cost).
+    *
+    * Survivor rule: a vector is dropped iff some LOWER-id vector in its
+    * cell matches it at cosine ≥ threshold — deterministic, one
+    * self-join + one anti join, no iterative closure. (For exact
+    * one-per-connected-component semantics, close the pairs with
+    * Dedup.connectedComponents instead; per the paper, the pairwise
+    * rule is what SemDeDup ships.)
+    *
+    * Returns (vec_id, cluster_id, keep). `corpus`: (vec_id, v). */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               nLists: Int = 16, lloydIters: Int = 2): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nLists, lloydIters)
+    val bucketed = corpus.withColumn("cluster_id", element_at(
+      graft.functions.VecExpressions.nearestCentroidsNative(col("v"), cents, 1), 1))
+    val left = bucketed.select(col("cluster_id"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val right = bucketed.select(col("cluster_id"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    // ids that duplicate a lower id in their cell
+    val dropped = left.join(right, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Vec.cosine6(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    bucketed.select(col("vec_id"), col("cluster_id"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("keep"))
+  }
+
   /** Multi-table sign-LSH top-k: `nTables` INDEPENDENT plane sets, each
     * bucketing corpus and queries separately (with hamming-1 multiprobe
     * per table); candidates are the union over tables, deduped before

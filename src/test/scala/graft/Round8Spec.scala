@@ -56,3 +56,60 @@ class NgramLmSpec extends SparkSpec {
       Seq((2L, 2L, 0L), (1L, 1L, 0L)))
   }
 }
+
+/** SemDeDup: embedding-cluster semantic dedup. */
+class SemDedupSpec extends SparkSpec {
+  import graft.ops.Similarity
+
+  private def vecs(rows: (Long, Array[Double])*) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2.toSeq)), 2), schema)
+  }
+
+  test("keeps the lowest id per duplicate pair, singletons survive") {
+    // identical vectors are equidistant from every centroid, so each
+    // duplicate pair always shares a cell whatever the quantizer does;
+    // orthogonal directions keep non-pairs below any threshold
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val e2 = Array(0.0, 1.0, 0.0, 0.0)
+    val mid = Array(0.0, 0.0, 1.0, 0.0)
+    val d = vecs(0L -> e1, 1L -> e1, 2L -> e2, 3L -> e2, 4L -> mid)
+    val got = Similarity.semDedup(d, 0.99, nLists = 2, lloydIters = 2)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false, 4L -> true),
+      s"got $got")
+  }
+
+  test("planted near-copies are dropped at >=80% (cluster recall gate)") {
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val bases = (0 until 60).map(i =>
+      i.toLong -> Array.fill(dim)(rng.nextGaussian()))
+    // 30 near-copies of the first 30 bases (ids 1000+i): tiny noise →
+    // cosine ≈ 1 with the base, almost always the same IVF cell
+    val copies = (0 until 30).map(i =>
+      (1000L + i) -> bases(i)._2.map(x => x + rng.nextGaussian() * 1e-4))
+    val d = vecs((bases ++ copies): _*)
+    val res = Similarity.semDedup(d, 0.999, nLists = 4)
+    val droppedCopies = res.filter(col("vec_id") >= 1000L && !col("keep")).count()
+    assert(droppedCopies >= 24, // >= 80% of 30; boundary cells may split a pair
+      s"only $droppedCopies/30 planted duplicates were dropped")
+    // bases never drop: no base pair reaches cos 0.999, and the copy has
+    // the HIGHER id, so the survivor rule must keep every base
+    assert(res.filter(col("vec_id") < 60L && !col("keep")).count() == 0)
+  }
+
+  test("deterministic across runs") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), graft.functions.Vec.toDouble(col("embedding")).as("v"))
+    def run() = Similarity.semDedup(emb, 0.99, nLists = 8)
+      .orderBy(col("vec_id")).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(run() == run())
+  }
+}
