@@ -1714,6 +1714,24 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Arbitrary stateful streaming via Spark 4's transformWithState
+    * (streaming/EventStreams.UserTypeCountProcessor): per-user RocksDB
+    * state (ValueState total + MapState per-type) emits cumulative
+    * counts after every micro-batch; max() per (user, type) over the
+    * append-mode emissions equals the exact batch GROUP BY for ANY
+    * micro-batching of the replay, which is what makes the new API's
+    * output oracle-checkable. */
+  private def qTransformWithState(s: SparkSession, dir: String): DataFrame = {
+    val emitted = graft.streaming.EventStreams.userTypeCountsTws(
+      graft.streaming.EventStreams.readEventStream(s, dir))
+    emitted
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n_events")).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** n-gram LM quality scoring (CCNet-style reference-corpus filter):
     * bigram counts trained on the even-doc_id half of the corpus score
     * every document by OOV instances and scaled expected-frequency mass
@@ -3079,6 +3097,7 @@ object SparkEntry {
     "q151_iceberg_bounds_skip" -> (qIcebergBoundsSkip _),
     "q152_ngram_lm_score" -> (qNgramLmScore _),
     "q153_semdedup" -> (qSemDedup _),
+    "q154_transform_with_state" -> (qTransformWithState _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4382,6 +4401,15 @@ object SparkEntry {
            CAST(sum(oov) AS BIGINT) AS total_oov,
            CAST(sum(freq_score) AS BIGINT) AS total_score
          FROM perdoc GROUP BY lang ORDER BY lang""",
+    "q154_transform_with_state" ->
+      """WITH per AS (SELECT user_id, event_type, count(*) AS n
+                      FROM events GROUP BY 1, 2),
+         tot AS (SELECT user_id, '__all__' AS event_type, count(*) AS n
+                 FROM events GROUP BY 1),
+         u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+         SELECT event_type, count(*) AS n_users,
+           CAST(sum(n) AS BIGINT) AS total_events
+         FROM u GROUP BY event_type ORDER BY event_type""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -65,6 +65,76 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
+
+  /** Output row of [[UserTypeCountProcessor]]: the cumulative per-type
+    * count for one user AFTER a micro-batch (event_type = "__all__" rows
+    * carry the user's cumulative total across all types). */
+  case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** Arbitrary stateful processing via Spark 4's `transformWithState`
+    * (the successor to flatMapGroupsWithState: typed state primitives —
+    * ValueState / MapState / ListState — with per-state TTL and timers,
+    * backed by RocksDB column families so each state variable is its own
+    * sorted keyspace instead of one serialized blob per key).
+    *
+    * This processor keys by user and maintains TWO state variables:
+    *  - `total`:   ValueState[Long]        — cumulative event count
+    *  - `perType`: MapState[String, Long]  — cumulative count per type
+    * After each input batch it emits the updated cumulative counts for
+    * the types touched in that batch plus one "__all__" row. Emissions
+    * are cumulative, so `max(n_events)` per (user, type) downstream is
+    * the exact total REGARDLESS of how the replay was micro-batched —
+    * the batch-invariance trick that makes an append-mode drain of a
+    * running aggregate oracle-checkable.
+    *
+    * Scale: state is per-user and O(#distinct types); RocksDB keeps it
+    * off-heap, so the operator survives key cardinalities that overflow
+    * executor heap (where the in-memory HDFS-backed store would OOM).
+    */
+  class UserTypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTypeCount] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState, MapState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var total: ValueState[Long] = _
+    @transient private var perType: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      total = getHandle.getValueState[Long]("total", E.scalaLong, TTLConfig.NONE)
+      perType = getHandle.getMapState[String, Long](
+        "perType", E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      var n = 0L
+      rows.foreach { e =>
+        val c = if (perType.containsKey(e.event_type)) perType.getValue(e.event_type) else 0L
+        perType.updateValue(e.event_type, c + 1L)
+        touched += e.event_type
+        n += 1L
+      }
+      val newTotal = (if (total.exists()) total.get() else 0L) + n
+      total.update(newTotal)
+      val out = touched.iterator.map(t => UserTypeCount(key, t, perType.getValue(t))) ++
+        Iterator.single(UserTypeCount(key, "__all__", newTotal))
+      out
+    }
+  }
+
+  /** Per-user cumulative event counts (per type + "__all__" total) via
+    * `transformWithState`. Returns the drained append-mode emissions;
+    * collapse with `max(n_events)` per (user_id, event_type) for the
+    * batch-equivalent exact counts. */
+  def userTypeCountsTws(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val emitted = events.as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTypeCountProcessor,
+        TimeMode.None(), OutputMode.Append())
+    drainAvailableNow(emitted.toDF(), mode = "append", forceRocksDb = true)
+  }
   case class SessionState(sessionStartUs: Long, lastTsUs: Long, nEvents: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
                         session_end_us: Long, n_events: Long)
@@ -157,7 +227,8 @@ object EventStreams {
     * files + fsyncs are kernel-bound in this VM (profiled: 33.8 s → ~4 s
     * for one AvailableNow batch at sf0.1 just by moving off disk). */
   def drainAvailableNow(df: DataFrame, mode: String = "complete",
-                        statePartitions: Int = 8): DataFrame = {
+                        statePartitions: Int = 8,
+                        forceRocksDb: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val sink = s"graft_drain_${drainRuns.incrementAndGet()}"
     val ckpt = s"/dev/shm/graft_ckpt_$sink"
@@ -178,7 +249,10 @@ object EventStreams {
       // partitions × micro-batches dominates; state fits in heap easily).
       // It's the right store when state EXCEEDS heap — so it stays one
       // env flip away instead of the default.
-      if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      // transformWithState queries REQUIRE RocksDB (the only provider
+      // implementing the multi-column-family state layout it needs), so
+      // callers draining one pass forceRocksDb regardless of the env flip.
+      if (forceRocksDb || sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
         spark.conf.set(provKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       df.writeStream.format("memory").queryName(sink)
