@@ -1714,6 +1714,19 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** BM25 retrieval over the corpus (ops/TextAnalysis.bm25): rank every
+    * document against a 3-term query, top-20 by score with doc_id
+    * tiebreak. The plan is explode→isin-filter (token stream pruned to
+    * query terms before any shuffle), a |Q|-row broadcast df table and a
+    * 1-row broadcast corpus-stats frame — distributed grep + rank, the
+    * retrieval primitive for RAG/eval-search over a 100 TB corpus. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.TextAnalysis.bm25(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), Seq("spark", "vector", "stream"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Arbitrary stateful streaming via Spark 4's transformWithState
     * (streaming/EventStreams.UserTypeCountProcessor): per-user RocksDB
     * state (ValueState total + MapState per-type) emits cumulative
@@ -3098,6 +3111,7 @@ object SparkEntry {
     "q152_ngram_lm_score" -> (qNgramLmScore _),
     "q153_semdedup" -> (qSemDedup _),
     "q154_transform_with_state" -> (qTransformWithState _),
+    "q155_bm25" -> (qBm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4410,6 +4424,28 @@ object SparkEntry {
          SELECT event_type, count(*) AS n_users,
            CAST(sum(n) AS BIGINT) AS total_events
          FROM u GROUP BY event_type ORDER BY event_type""",
+    "q155_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM base) t
+                WHERE t.term IN ('spark', 'vector', 'stream')
+                GROUP BY t.doc_id, t.term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         contrib AS (
+           SELECT tf.doc_id,
+             ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+           FROM tf
+           JOIN dfreq f ON tf.term = f.term
+           JOIN dl d ON tf.doc_id = d.doc_id
+           CROSS JOIN stats s)
+         SELECT doc_id, count(*) AS n_terms_matched,
+           round(sum(c), 6) AS score
+         FROM contrib GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

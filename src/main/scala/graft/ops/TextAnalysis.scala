@@ -277,4 +277,43 @@ object TextAnalysis {
         coalesce(col("oov"), lit(0L)).as("oov"),
         coalesce(col("freq_score"), lit(0L)).as("freq_score"))
   }
+
+  /** BM25 relevance of every document against a bag of query terms
+    * (Robertson/Sparck Jones idf in the non-negative ln(1+x) form, the
+    * same shape Lucene uses): for each query term t with document
+    * frequency df over N docs,
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    * Returns (doc_id, n_terms_matched, score) for docs matching ≥1 term.
+    *
+    * Shape at scale: ONE explode→filter (the `isin` prunes to query
+    * terms before the shuffle, so the grouped frame is |Q|·docs rows at
+    * worst, not corpus token count), one |Q|-row broadcast of the df
+    * table, one broadcast 1-row corpus-stats frame. No doc×doc, no
+    * driver collect — the classic "distributed grep + rank" plan. */
+  def bm25(docs: DataFrame, idCol: Column, text: Column,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val base = docs.select(idCol.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats)) // 1 row
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"),
+        round(sum(col("contrib")), 6).as("score"))
+  }
 }
