@@ -1714,6 +1714,48 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Federated multi-format read (sources/Federation): the orders table
+    * split across FOUR table formats — plain parquet, Delta Lake,
+    * Apache Iceberg, graft-log, each holding a disjoint o_orderkey%4
+    * slice — read back as ONE union view that must reproduce the whole
+    * table's aggregate exactly. Only the parquet member carries
+    * o_orderpriority, so `allowMissingColumns` null-fill is observable
+    * (n_priority counts parquet rows only), and the source tag proves
+    * all four formats contributed to every status group. Each member
+    * resolves through its own format's snapshot machinery; the plan is
+    * one Union of four independently-pruned scans — no shuffle, no
+    * barrier. */
+  private def qFederation(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Federation
+    val base = cachedFixture("federation_orders", dir, "orders") { p =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"),
+          col("o_orderpriority"))
+      def slice(i: Int) = o.filter(pmod(col("o_orderkey"), lit(4)) === i)
+      slice(0).coalesce(1).write.mode("overwrite").parquet(s"$p/pq")
+      graft.sources.DeltaInterop.overwrite(
+        slice(1).drop("o_orderpriority").coalesce(1), s"$p/delta")
+      graft.sources.IcebergInterop.overwrite(
+        slice(2).drop("o_orderpriority").coalesce(1), s"$p/iceberg")
+      graft.pipeline.GraftLog.overwrite(
+        slice(3).drop("o_orderpriority").coalesce(1), s"$p/graftlog")
+    }
+    Federation.unionAll(s, Seq(
+        Federation.Parquet(s"$base/pq"),
+        Federation.Delta(s"$base/delta"),
+        Federation.Iceberg(s"$base/iceberg"),
+        Federation.GraftLogTable(s"$base/graftlog")),
+        sourceTag = Some("src"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"),
+        countDistinct(col("src")).as("n_formats"),
+        count(col("o_orderpriority")).as("n_priority"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** BM25 retrieval over the corpus (ops/TextAnalysis.bm25): rank every
     * document against a 3-term query, top-20 by score with doc_id
     * tiebreak. The plan is explode→isin-filter (token stream pruned to
@@ -3112,6 +3154,7 @@ object SparkEntry {
     "q153_semdedup" -> (qSemDedup _),
     "q154_transform_with_state" -> (qTransformWithState _),
     "q155_bm25" -> (qBm25 _),
+    "q156_federated_read" -> (qFederation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4446,6 +4489,12 @@ object SparkEntry {
            round(sum(c), 6) AS score
          FROM contrib GROUP BY doc_id
          ORDER BY score DESC, doc_id LIMIT 20""",
+    "q156_federated_read" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         count(DISTINCT o_orderkey % 4) AS n_formats,
+         count(*) FILTER (WHERE o_orderkey % 4 = 0) AS n_priority
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

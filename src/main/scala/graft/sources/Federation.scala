@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Federated reads across table formats: one logical view over tables
+  * that live in plain parquet, Delta Lake (`sources/DeltaInterop`),
+  * Apache Iceberg (`sources/IcebergInterop`) and graft-log
+  * (`pipeline/GraftLog`) — the lakehouse reality where a 100 TB estate
+  * accretes formats over years and a query must span them without a
+  * migration.
+  *
+  * Each member is resolved through its own format's snapshot machinery
+  * (log replay, manifest chain, commit log), so format-level features —
+  * deletion vectors, column mapping, partition pruning — keep working
+  * inside the union. Schemas are aligned BY NAME with missing columns
+  * null-filled (`unionByName(allowMissingColumns)`); Spark plans the
+  * result as one Union of independent scans, so each member's filters
+  * and column pruning push down separately and no member blocks another
+  * (no barrier, no shuffle — a Union is free at plan time).
+  */
+object Federation {
+
+  sealed trait Member { def path: String }
+  case class Parquet(path: String) extends Member
+  case class Delta(path: String, versionAsOf: Option[Long] = None) extends Member
+  case class Iceberg(path: String, snapshotId: Option[Long] = None) extends Member
+  case class GraftLogTable(path: String, version: Option[Long] = None) extends Member
+
+  def readMember(spark: SparkSession, m: Member): DataFrame = m match {
+    case Parquet(p)          => spark.read.parquet(p)
+    case Delta(p, v)         => DeltaInterop.read(spark, p, versionAsOf = v)
+    case Iceberg(p, s)       => IcebergInterop.read(spark, p, snapshotId = s)
+    case GraftLogTable(p, v) => graft.pipeline.GraftLog.read(spark, p, version = v)
+  }
+
+  /** Union all members by column name; `sourceTag` (when set) appends a
+    * literal column naming each member's format so downstream can audit
+    * which format produced a row. */
+  def unionAll(spark: SparkSession, members: Seq[Member],
+               sourceTag: Option[String] = None): DataFrame = {
+    require(members.nonEmpty, "federation: no members")
+    val frames = members.map { m =>
+      val df = readMember(spark, m)
+      sourceTag.fold(df) { c =>
+        df.withColumn(c, lit(m.getClass.getSimpleName.toLowerCase))
+      }
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}
