@@ -1714,6 +1714,26 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
+    * al. 2023): hashed unigram+bigram bag-of-words models for the
+    * target slice (lang='en') vs the raw corpus; every doc scored by
+    * the Laplace-smoothed log importance ratio, top-20% selected by
+    * exact global rank (Relational.globalRank — range-partitioned, no
+    * single-partition window). Aggregated per language so the oracle
+    * can hash-match counts + decimal-summed weights. */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(col("weight").cast(DecimalType(18, 6))).cast("double")
+          .as("total_weight"))
+      .orderBy(col("lang"))
+  }
+
   /** Federated multi-format read (sources/Federation): the orders table
     * split across FOUR table formats — plain parquet, Delta Lake,
     * Apache Iceberg, graft-log, each holding a disjoint o_orderkey%4
@@ -3155,6 +3175,7 @@ object SparkEntry {
     "q154_transform_with_state" -> (qTransformWithState _),
     "q155_bm25" -> (qBm25 _),
     "q156_federated_read" -> (qFederation _),
+    "q157_dsir" -> (qDsir _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4495,6 +4516,38 @@ object SparkEntry {
          count(DISTINCT o_orderkey % 4) AS n_formats,
          count(*) FILTER (WHERE o_orderkey % 4 = 0) AS n_priority
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q157_dsir" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(t) AS g FROM toks
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1])) AS g
+           FROM toks WHERE len(t) >= 2),
+         bg AS (SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 6))::BIGINT % 1024 AS b FROM grams),
+         db AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b),
+         model AS (SELECT b,
+             sum(CASE WHEN d.lang = 'en' THEN cnt ELSE 0 END) AS ct,
+             sum(cnt) AS cr
+           FROM db JOIN documents d USING (doc_id) GROUP BY b),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_total,
+                        CAST(sum(cr) AS BIGINT) AS r_total FROM model),
+         perdoc AS (
+           SELECT db.doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+             sum(cnt * ln((m.ct + 1.0) / (m.cr + 1.0))) AS s
+           FROM db JOIN model m USING (b) GROUP BY db.doc_id),
+         w AS (SELECT doc_id,
+             round(s + n_grams * ln((t.r_total + 1024.0) / (t.t_total + 1024.0)), 6) AS weight
+           FROM perdoc CROSS JOIN tot t),
+         ranked AS (SELECT doc_id, weight,
+             row_number() OVER (ORDER BY weight DESC, doc_id) AS rk,
+             count(*) OVER () AS n FROM w)
+         SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= n // 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS total_weight
+         FROM ranked JOIN documents d USING (doc_id)
+         GROUP BY d.lang ORDER BY d.lang""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

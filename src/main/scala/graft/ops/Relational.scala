@@ -111,6 +111,36 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Exact GLOBAL rank (1-based, gap-free) over a total order, computed
+    * WITHOUT the single-partition collapse of an un-partitioned window:
+    * range-repartition on the order keys, rank locally per partition,
+    * then add per-partition prefix offsets (a bounded #partitions-row
+    * collect — metadata scale, like AQE's own stats). The scale-correct
+    * replacement for `row_number().over(Window.partitionBy())`, whose
+    * empty PARTITION BY funnels the whole dataset through one task. */
+  def globalRank(df: DataFrame, order: Seq[Column],
+                 rankCol: String = "rnk"): DataFrame = {
+    // persisted: the frame feeds two jobs (offset count + final join),
+    // and re-running range partitioning must not re-sample bounds
+    val sorted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    // scanLeft yields (pid_i, rows before pid_i)'s successor shifted by
+    // one position: pair each pid with the cumulative count BEFORE it
+    val offsetRows = offsets.sliding(2).collect {
+      case Array((_, acc), (pid, _)) => (pid, acc)
+    }.toSeq
+    val offsetDf = df.sparkSession.createDataFrame(offsetRows)
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    sorted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(rankCol, row_number().over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+
   /** Exact running total of a double column in decimal space (prefix sums
     * stay associative/exact → identical across engines and partitionings). */
   def runningTotal(df: DataFrame, value: Column, partitionKeys: Seq[Column],

@@ -86,4 +86,77 @@ object Sampling {
       .drop("__src", "__cnt", "__target", "__full", "__rem", "__rn",
         "__copies")
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed n-gram
+    * bag-of-words models for a TARGET distribution (the high-quality
+    * slice you want more of) and the RAW distribution (everything),
+    * Laplace-smoothed; each document's importance weight is
+    *   log w(x) = Σ_gram [ln p̂_target(bucket(gram)) − ln p̂_raw(bucket(gram))]
+    * with grams = unigrams ∪ bigrams hashed into `buckets` buckets.
+    * Selection here is the paper's deterministic top-k variant (rank by
+    * weight; the Gumbel-resampling variant differs only in adding noise
+    * before the rank, which would break engine-portable determinism).
+    *
+    * Portability: the bucket hash is an md5 hex prefix (bit-identical
+    * on every engine), and both model totals enter the weight once per
+    * gram instance in per-(doc,bucket) grouped form — so an external
+    * oracle replaying the same arithmetic matches to the 1e-6 rounding.
+    *
+    * Shape at scale: gram stream → per-(doc,bucket) counts is one
+    * map-side-combined shuffle; the two models are ≤`buckets`-row
+    * frames that join back as ONE broadcast; ranking is a single sort
+    * of doc-level rows. No doc×doc, no driver state.
+    *
+    * Returns (doc_id, n_grams, weight, selected) — `selected` marks the
+    * top floor(N·selectFrac) docs by (weight desc, doc_id). */
+  def dsirWeights(docs: DataFrame, idCol: Column, text: Column,
+                  isTarget: Column, buckets: Int = 1024,
+                  selectFrac: Double = 0.2): DataFrame = {
+    // materialized toks column: shingles' lambda re-evaluates captured
+    // expressions per element, so an inline split would go quadratic
+    // (see TextAnalysis.shingleSet warning)
+    val grams = docs
+      .select(idCol.as("doc_id"), isTarget.as("__tgt"),
+        TextAnalysis.tokens(text).as("__toks"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(concat(col("__toks"),
+          TextAnalysis.shingles(col("__toks"), 2))).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % buckets)
+    // per-(doc,bucket) counts: shrinks the model join AND pins the
+    // fp summation shape (cnt · ln(ratio), not cnt additions) so an
+    // oracle replaying the same grouping is bit-comparable pre-round
+    val docBucket = grams.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val model = grams.groupBy(col("b")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = grams.agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_total"),
+      count(lit(1)).as("r_total"))
+    val scored = docBucket
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * log((col("ct") + lit(1.0)) / (col("cr") + lit(1.0))))
+          .as("__s"))
+      .crossJoin(broadcast(totals)) // 1 row
+      .select(col("doc_id"), col("n_grams"),
+        round(col("__s") + col("n_grams") *
+          log((col("r_total") + lit(buckets.toDouble)) /
+              (col("t_total") + lit(buckets.toDouble))), 6).as("weight"))
+      // feeds the K-count job AND the rank join — compute the gram
+      // pipeline once
+      .persist()
+    // selection cut: exact global rank WITHOUT a single-partition window
+    // (Relational.globalRank range-partitions and offsets local ranks),
+    // K from one bounded scalar count
+    val ranked = Relational.globalRank(scored,
+      Seq(col("weight").desc, col("doc_id")), rankCol = "__rk")
+    val k = lit(math.floor(selectFrac *
+      // bounded: one scalar — doc-level count, not data rows
+      scored.count()).toLong)
+    ranked.withColumn("selected", col("__rk") <= k).drop("__rk")
+  }
 }
