@@ -1714,6 +1714,53 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Iceberg bucket[8] partition transform (sources/IcebergInterop
+    * .overwriteTransformed + readEq): orders bucketed on o_custkey by
+    * the spec's murmur3_x86_32, then one customer's orders read back
+    * with transform-aware pruning — the filter value hashes to its
+    * bucket and only that bucket's files open. The oracle replays the
+    * plain WHERE over the source table, so a wrong bucket assignment or
+    * a mis-pruned file hash-mismatches. */
+  private def qIcebergBucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_bucket_orders", dir, "orders") { p =>
+      IcebergInterop.overwriteTransformed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .coalesce(1),
+        p, Seq("o_custkey" -> IcebergInterop.IceTransform.Bucket(8)))
+    }
+    IcebergInterop.readEq(s, base, Map("o_custkey" -> 371L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Iceberg day() partition transform: a month of orders partitioned
+    * by day(o_orderdate); one day's orders read back via readEq, pruned
+    * to that day's single partition (inputFiles pinned in spec). */
+  private def qIcebergDay(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_day_orders", dir, "orders") { p =>
+      IcebergInterop.overwriteTransformed(
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .coalesce(1),
+        p, Seq("o_orderdate" -> IcebergInterop.IceTransform.Day))
+    }
+    IcebergInterop.readEq(s, base,
+        Map("o_orderdate" -> java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3176,6 +3223,8 @@ object SparkEntry {
     "q155_bm25" -> (qBm25 _),
     "q156_federated_read" -> (qFederation _),
     "q157_dsir" -> (qDsir _),
+    "q158_iceberg_bucket" -> (qIcebergBucket _),
+    "q159_iceberg_day" -> (qIcebergDay _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4548,6 +4597,16 @@ object SparkEntry {
            CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS total_weight
          FROM ranked JOIN documents d USING (doc_id)
          GROUP BY d.lang ORDER BY d.lang""",
+    "q158_iceberg_bucket" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_custkey = 371
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q159_iceberg_day" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderdate = TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

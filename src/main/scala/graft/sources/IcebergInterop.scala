@@ -69,13 +69,46 @@ object IcebergInterop {
                                       equalityFieldIds: Seq[Int],
                                       sizeBytes: Long)
 
+  /** One field of the default partition spec: `name` keys the manifest
+    * partition records, `transform` is the spec string (identity /
+    * bucket[N] / truncate[W] / day), `sourceId` the schema field id of
+    * the source column. */
+  final case class SpecField(name: String, transform: String, sourceId: Int)
+
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[DataFileEntry],
       deletes: Seq[PositionDeleteFile] = Seq.empty,
-      eqDeletes: Seq[EqualityDeleteFile] = Seq.empty)
+      eqDeletes: Seq[EqualityDeleteFile] = Seq.empty,
+      specFields: Seq[SpecField] = Seq.empty,
+      fieldNamesById: Map[Int, String] = Map.empty)
+
+  /** Partition transforms supported by the writer + transform-aware
+    * pruning (public spec §Partition Transforms). */
+  sealed trait IceTransform { def spec: String; def suffix: String }
+  object IceTransform {
+    case object Identity extends IceTransform {
+      val spec = "identity"; val suffix = "" }
+    final case class Bucket(n: Int) extends IceTransform {
+      val spec = s"bucket[$n]"; val suffix = "_bucket" }
+    final case class Truncate(w: Int) extends IceTransform {
+      val spec = s"truncate[$w]"; val suffix = "_trunc" }
+    case object Day extends IceTransform {
+      val spec = "day"; val suffix = "_day" }
+
+    def parse(s: String): IceTransform = s match {
+      case "identity" => Identity
+      case "day" => Day
+      case b if b.startsWith("bucket[") =>
+        Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
+      case t if t.startsWith("truncate[") =>
+        Truncate(t.stripPrefix("truncate[").stripSuffix("]").toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg partition transform: $other")
+    }
+  }
 
   private def metadataDir(base: String) = new File(base, "metadata")
 
@@ -198,20 +231,35 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wantId not found in $base"))
 
-    // default partition spec → identity partition column names (the only
-    // transform this reader prunes on; other transforms read fine, they
-    // just never prune)
-    val partCols: Seq[String] = Option(meta.get("partition-specs")).map { specs =>
+    // default partition spec, all fields: identity columns drive the
+    // legacy partitionFilters path; bucket/truncate/day prune through
+    // readEq's transform-aware translation
+    val specFields: Seq[SpecField] = Option(meta.get("partition-specs")).map { specs =>
       val want = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
       (0 until specs.size()).map(specs.get)
         .find(s => s.get("spec-id").asInt() == want)
         .map { s =>
           val fs = s.get("fields")
-          (0 until fs.size()).map(fs.get)
-            .filter(f => Option(f.get("transform")).forall(_.asText() == "identity"))
-            .map(_.get("name").asText())
+          (0 until fs.size()).map(fs.get).map(f => SpecField(
+            f.get("name").asText(),
+            Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+            Option(f.get("source-id")).map(_.asInt()).getOrElse(-1)))
         }.getOrElse(Seq.empty)
     }.getOrElse(Seq.empty)
+    val partCols: Seq[String] =
+      specFields.filter(_.transform == "identity").map(_.name)
+    // schema field id → name (the source-id resolution for transforms)
+    val namesById: Map[Int, String] = {
+      val ss = meta.get("schemas")
+      val wantSchema = meta.get("current-schema-id").asInt()
+      (0 until ss.size()).map(ss.get)
+        .find(_.get("schema-id").asInt() == wantSchema)
+        .map { node =>
+          val fs = node.get("fields")
+          (0 until fs.size()).map(fs.get)
+            .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+        }.getOrElse(Map.empty)
+    }
 
     val manifestList = new File(resolvePath(base,
       snap.get("manifest-list").asText()))
@@ -293,7 +341,7 @@ object IcebergInterop {
     }
     IcebergSnapshot(wantId, schema, partCols,
       files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq,
-      eqDeletes.distinctBy(_.path).toSeq)
+      eqDeletes.distinctBy(_.path).toSeq, specFields, namesById)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -368,6 +416,70 @@ object IcebergInterop {
     val pred = (lo.map(v => c >= lit(v)).toSeq ++ hi.map(v => c <= lit(v)))
       .reduceOption(_ && _).getOrElse(lit(true))
     assembleRead(spark, snap, kept).where(pred)
+  }
+
+  /** Read with equality predicates on SOURCE columns, pruned through the
+    * partition spec's TRANSFORMS: for each filter column, every spec
+    * field derived from it (identity, bucket[N], truncate[W], day) maps
+    * the filter value through the same transform and keeps only files
+    * whose manifest partition record matches — so `o_custkey = 42` on a
+    * bucket[8](o_custkey) table opens one bucket's files. The predicate
+    * is also applied to rows (a bucket holds many keys; pruning is a
+    * performance decision, never a correctness one). */
+  def readEq(spark: SparkSession, base: String, filters: Map[String, Any],
+             snapshotId: Option[Long] = None): DataFrame = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val snap = snapshot(spark, base, snapshotId)
+    val bySource: Map[String, Seq[SpecField]] =
+      snap.specFields.groupBy(f => snap.fieldNamesById.getOrElse(f.sourceId, ""))
+    val expected: Seq[(String, String)] = filters.toSeq.flatMap { case (c, v) =>
+      val fs = bySource.getOrElse(c, Seq.empty)
+      require(fs.nonEmpty,
+        s"'$c' feeds no partition-spec field of $base " +
+        s"(spec: ${snap.specFields.map(f => s"${f.name}=${f.transform}").mkString(", ")})")
+      fs.map(f => f.name -> transformScalar(IceTransform.parse(f.transform), v))
+    }
+    val kept = snap.files.filter(f => expected.forall {
+      case (name, v) => f.partitionValues.get(name).contains(v) })
+    import org.apache.spark.sql.functions.{col, lit}
+    val pred = filters.map { case (c, v) => col(c) === lit(v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    assembleRead(spark, snap, kept).where(pred)
+  }
+
+  /** A filter value pushed through a partition transform, stringified
+    * exactly as the manifest partition records are (avro toString). */
+  private def transformScalar(t: IceTransform, v: Any): String = {
+    import graft.functions.IcebergTransforms._
+    def asLong(x: Any): Long = x match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"expected integral value, got ${other.getClass.getSimpleName}")
+    }
+    def micros(x: Any): Long = x match {
+      case ts: java.sql.Timestamp =>
+        ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case other => throw new IllegalArgumentException(
+        s"expected timestamp value, got ${other.getClass.getSimpleName}")
+    }
+    t match {
+      case IceTransform.Identity => v.toString
+      case IceTransform.Bucket(n) => (v match {
+        case s: String => bucketString(s, n)
+        case ts: java.sql.Timestamp => bucketLong(micros(ts), n)
+        case i: java.time.Instant => bucketLong(micros(i), n)
+        case x => bucketLong(asLong(x), n)
+      }).toString
+      case IceTransform.Truncate(w) => v match {
+        case s: String => truncateString(s, w)
+        case x => truncateLong(asLong(x), w).toString
+      }
+      case IceTransform.Day =>
+        dayOfMicros(micros(v)).toString
+    }
   }
 
   /** Keep iff the file's [lower, upper] for the field can not be proven
@@ -779,7 +891,39 @@ object IcebergInterop {
     * file set fresh; "append" carries the previous snapshot's manifests
     * forward (manifest reuse, as Iceberg itself does). */
   private def commitSnapshot(df: DataFrame, base: String, mode: String,
-                             partitionBy: Seq[String] = Seq.empty): Long = {
+                             partitionBy: Seq[String] = Seq.empty): Long =
+    commitSnapshotSpec(df, base, mode,
+      partitionBy.map(c => c -> (IceTransform.Identity: IceTransform)))
+
+  /** The derived partition column for one spec entry: identity passes
+    * the source through; bucket runs the codegen'd murmur3 expression;
+    * truncate floors integrals / prefixes strings; day counts epoch
+    * days. Returned with the spec-field name + value type. */
+  private def derivedField(df: DataFrame, src: String, t: IceTransform)
+  : (String, org.apache.spark.sql.Column, DataType) = {
+    import org.apache.spark.sql.functions._
+    val srcType = df.schema(src).dataType
+    val name = if (t == IceTransform.Identity) src else s"$src${t.suffix}"
+    t match {
+      case IceTransform.Identity => (name, col(src), srcType)
+      case IceTransform.Bucket(n) =>
+        (name, graft.functions.IcebergTransforms.bucket(col(src), n), IntegerType)
+      case IceTransform.Truncate(w) => srcType match {
+        case LongType | IntegerType =>
+          (name, col(src) - pmod(col(src), lit(w)), srcType)
+        case StringType => (name, substring(col(src), 1, w), StringType)
+        case other => throw new IllegalArgumentException(
+          s"truncate[$w] unsupported on ${other.catalogString}")
+      }
+      case IceTransform.Day =>
+        (name, datediff(col(src).cast("date"),
+          lit("1970-01-01").cast("date")), IntegerType)
+    }
+  }
+
+  private def commitSnapshotSpec(df: DataFrame, base: String, mode: String,
+                                 spec: Seq[(String, IceTransform)]): Long = {
+    val partitionBy = spec.map(_._1)
     val spark = df.sparkSession
     val metaDir = metadataDir(base); metaDir.mkdirs()
     val dataDir = new File(base, "data"); dataDir.mkdirs()
@@ -794,8 +938,11 @@ object IcebergInterop {
           .asInstanceOf[StructType]) == shape(df.schema),
         s"iceberg fixture writer: append schema must match table schema")
     }
+    // derived partition fields (name, column expr, value type) — for
+    // identity specs these are just the source columns
+    val derived = spec.map { case (src, t) => derivedField(df, src, t) }
     val partTypes: Seq[(String, DataType)] =
-      partitionBy.map(c => c -> df.schema(c).dataType)
+      derived.map { case (n, _, dt) => n -> dt }
     // stage through an id-stamped projection so the parquet files carry
     // Iceberg field ids (the physical half of id-based resolution)
     val dfIds = withFieldIds(df)
@@ -822,14 +969,14 @@ object IcebergInterop {
         org.apache.commons.io.FileUtils.deleteDirectory(scratch)
         staged
       } else {
-        import org.apache.spark.sql.functions.col
-        val tuples = df.select(partitionBy.map(col): _*).distinct()
+        val tuples = df.select(derived.map { case (n, c, _) => c.as(n) }: _*)
+          .distinct()
           .collect() // bounded by partition count
         tuples.toSeq.sortBy(_.toString).zipWithIndex.map { case (t, pi) =>
           val values: Map[String, Any] =
-            partitionBy.zipWithIndex.map { case (c, i) => c -> t.get(i) }.toMap
-          val pred = partitionBy.zipWithIndex.map { case (c, i) =>
-            if (t.isNullAt(i)) col(c).isNull else col(c) === t.get(i)
+            derived.zipWithIndex.map { case ((n, _, _), i) => n -> t.get(i) }.toMap
+          val pred = derived.zipWithIndex.map { case ((_, c, _), i) =>
+            if (t.isNullAt(i)) c.isNull else c === t.get(i)
           }.reduce(_ && _)
           val scratch = new File(base, s".stage_${UUID.randomUUID()}")
           dfIds.filter(pred).coalesce(1).write.mode("overwrite")
@@ -906,13 +1053,13 @@ object IcebergInterop {
     val spec0 = root.putArray("partition-specs").addObject()
     spec0.put("spec-id", 0)
     val specFields = spec0.putArray("fields")
-    partitionBy.zipWithIndex.foreach { case (c, i) =>
+    spec.zipWithIndex.foreach { case ((src, t), i) =>
       val fn = specFields.addObject()
-      fn.put("name", c); fn.put("transform", "identity")
-      fn.put("source-id", df.schema.fieldNames.indexOf(c) + 1) // ids 1..n
+      fn.put("name", derived(i)._1); fn.put("transform", t.spec)
+      fn.put("source-id", df.schema.fieldNames.indexOf(src) + 1) // ids 1..n
       fn.put("field-id", 1000 + i)
     }
-    root.put("last-partition-id", 999 + partitionBy.size)
+    root.put("last-partition-id", 999 + spec.size)
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")
@@ -1110,4 +1257,16 @@ object IcebergInterop {
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long =
     commitSnapshot(df, base, "append", partitionBy)
+
+  /** Overwrite with a TRANSFORMED partition spec — bucket[N] /
+    * truncate[W] / day / identity per source column. Data files keep
+    * every source column (Iceberg's shape); the manifests' partition
+    * records carry the derived values that `readEq` prunes on. */
+  def overwriteTransformed(df: DataFrame, base: String,
+                           spec: Seq[(String, IceTransform)]): Long =
+    commitSnapshotSpec(df, base, "overwrite", spec)
+
+  def appendTransformed(df: DataFrame, base: String,
+                        spec: Seq[(String, IceTransform)]): Long =
+    commitSnapshotSpec(df, base, "append", spec)
 }
