@@ -1761,6 +1761,78 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Delta OPTIMIZE (bin-packing compaction): three small data files
+    * plus a deletion vector on the first are compacted into ONE file by
+    * `DeltaInterop.optimize` — which must also MATERIALIZE the DV (drop
+    * the dead rows) rather than concatenate bytes — and the swap is
+    * committed with `dataChange=false` remove+add actions, exactly as
+    * Delta's OPTIMIZE command behaves. The post-OPTIMIZE read is what
+    * the oracle hash-checks: any resurrected DV row, lost append row,
+    * or double-counted file mismatches. */
+  private def qDeltaOptimize(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_optimize_orders", dir, "orders") { p =>
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      DeltaInterop.overwrite(ord, p)
+      DeltaInterop.append(ord.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)), p)
+      DeltaInterop.append(ord.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L)), p)
+      val file = DeltaInterop.snapshot(s, p).files.head.path
+      val positions = s.read.parquet(s"$p/$file")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("_metadata.row_index"))
+        .collect().map(_.getLong(0)).toSeq // bounded: |orders|/7
+      DeltaInterop.deleteRowPositions(s, p, file, positions)
+      val v = DeltaInterop.optimize(s, p)
+      require(v.nonEmpty, "fixture: optimize found nothing to compact")
+      val after = DeltaInterop.snapshot(s, p)
+      require(after.files.size == 1 && after.files.forall(_.dv.isEmpty),
+        s"fixture: optimize left ${after.files.size} files / DVs behind")
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Delta VACUUM: after a DV delete is materialized by OPTIMIZE, the
+    * tombstoned data file and its deletion-vector `.bin` are
+    * physically deleted by `DeltaInterop.vacuum` (retention 0 for the
+    * fixture); the post-VACUUM read proves vacuum deleted ONLY dead
+    * files — a vacuum that touched a live file would lose rows and
+    * hash-mismatch the oracle's replay of the delete. */
+  private def qDeltaVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_vacuum_customer", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      DeltaInterop.overwrite(cust, p)
+      val file = DeltaInterop.snapshot(s, p).files.head.path
+      val positions = s.read.parquet(s"$p/$file")
+        .where(col("c_custkey") % 3 === 0)
+        .select(col("_metadata.row_index"))
+        .collect().map(_.getLong(0)).toSeq // bounded: |customer|/3
+      DeltaInterop.deleteRowPositions(s, p, file, positions)
+      DeltaInterop.optimize(s, p)
+      val dead = DeltaInterop.vacuum(s, p, retainMillis = 0L)
+      require(dead.exists(_.endsWith(".parquet")) &&
+          dead.exists(_.endsWith(".bin")),
+        s"fixture: vacuum should drop the tombstoned file + DV bin, got $dead")
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3225,6 +3297,8 @@ object SparkEntry {
     "q157_dsir" -> (qDsir _),
     "q158_iceberg_bucket" -> (qIcebergBucket _),
     "q159_iceberg_day" -> (qIcebergDay _),
+    "q160_delta_optimize" -> (qDeltaOptimize _),
+    "q161_delta_vacuum" -> (qDeltaVacuum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4607,6 +4681,24 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderdate = TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q160_delta_optimize" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 11 = 0
+         ) GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q161_delta_vacuum" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM customer WHERE c_custkey % 3 <> 0
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

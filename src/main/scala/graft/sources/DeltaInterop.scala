@@ -755,7 +755,8 @@ object DeltaInterop {
     }
   }
 
-  private def addJson(a: AddFile, base: String): String = {
+  private def addJson(a: AddFile, base: String,
+                      dataChange: Boolean = true): String = {
     val node = mapper.createObjectNode()
     val add = node.putObject("add")
     add.put("path", a.path)
@@ -766,7 +767,7 @@ object DeltaInterop {
     val f = new File(base, PathCodec.percentDecode(a.path))
     add.put("size", f.length())
     add.put("modificationTime", f.lastModified())
-    add.put("dataChange", true)
+    add.put("dataChange", dataChange)
     a.dv.foreach { d =>
       val dv = add.putObject("deletionVector")
       dv.put("storageType", d.storageType)
@@ -933,6 +934,152 @@ object DeltaInterop {
       throw new IllegalStateException(s"append to non-existent table $base"))
     writeCommit(base, v, adds.map(addJson(_, base)))
     v
+  }
+
+  private def removeJson(path: String, dv: Option[DvDescriptor],
+                         dataChange: Boolean): String = {
+    val node = mapper.createObjectNode()
+    val rm = node.putObject("remove")
+    rm.put("path", path); rm.put("dataChange", dataChange)
+    dv.foreach { d =>
+      val n = rm.putObject("deletionVector")
+      n.put("storageType", d.storageType)
+      n.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => n.put("offset", o))
+      n.put("sizeInBytes", d.sizeInBytes)
+      n.put("cardinality", d.cardinality)
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  /** Read a set of live files at the PHYSICAL level (physical column
+    * names, partition columns absent, deletion vectors subtracted) —
+    * the representation OPTIMIZE must preserve byte-for-byte in its
+    * rewritten files. */
+  private def readPhysical(spark: SparkSession, base: String,
+                           snap: DeltaSnapshot,
+                           files: Seq[AddFile]): DataFrame = {
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+      .map(f => f.copy(name = snap.physicalName(f.name))))
+    val paths = files.map(f => s"$base/${PathCodec.percentDecode(f.path)}")
+    val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+    val dvFiles = files.filter(_.dv.exists(_.cardinality > 0))
+    if (dvFiles.isEmpty) scan
+    else {
+      import spark.implicits._
+      val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
+        val key = PathCodec.metadataPathKey(
+          new File(base, PathCodec.percentDecode(f.path)))
+        resolveDvPositions(base, f.dv.get).map(p => (key, p))
+      }
+      scan
+        .withColumn("__delta_file", regexp_replace(col("_metadata.file_path"),
+          PathCodec.metadataFilePathNormalizeRegex, "/"))
+        .withColumn("__delta_pos", col("_metadata.row_index"))
+        .join(broadcast(deleted.toDF("__delta_file", "__delta_pos")),
+          Seq("__delta_file", "__delta_pos"), "left_anti")
+        .select(dataSchema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** OPTIMIZE: bin-packing compaction, exactly as Delta's OPTIMIZE
+    * command behaves — within each partition, files smaller than
+    * `smallFileBytes` (plus any file carrying a deletion vector, which
+    * OPTIMIZE materializes away) are rewritten into as few files as
+    * possible, and the swap is committed as remove+add actions with
+    * `dataChange=false` so downstream CDF/streaming consumers know no
+    * row changed. Data files are read at the physical level, so `none`
+    * and `name` column-mapping tables compact without ever resolving
+    * logical names; `id` tables are refused (their physical schema is
+    * not recoverable from metadata alone in this reader).
+    *
+    * Scale shape: candidate selection is driver-side metadata over the
+    * file list; the rewrite itself is one distributed scan+write per
+    * partition group, and untouched partitions cost nothing. Returns
+    * the committed version, or None when nothing qualified. */
+  def optimize(spark: SparkSession, base: String,
+               smallFileBytes: Long = 128L << 20): Option[Long] = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode != "id",
+      "OPTIMIZE on a columnMapping.mode=id table is not supported " +
+      "(physical schema unrecoverable); compact it with a writer that is")
+    def sizeOf(f: AddFile): Long =
+      new File(base, PathCodec.percentDecode(f.path)).length()
+    val byPartition = snap.files.groupBy(_.partitionValues)
+    val newAdds = mutable.ArrayBuffer.empty[AddFile]
+    val removed = mutable.ArrayBuffer.empty[AddFile]
+    byPartition.foreach { case (pv, fs) =>
+      val candidates = fs.filter(f =>
+        sizeOf(f) < smallFileBytes || f.dv.exists(_.cardinality > 0))
+      // one surviving clean file is already optimal for this partition
+      val worthIt = candidates.size >= 2 ||
+        candidates.exists(_.dv.exists(_.cardinality > 0))
+      if (candidates.nonEmpty && worthIt) {
+        val rows = readPhysical(spark, base, snap, candidates).coalesce(1)
+        val staged = stageAdds(rows, base, Seq.empty)
+          .map(_.copy(partitionValues = pv))
+        newAdds ++= collectAddStats(spark, base, staged,
+          StructType(snap.schema.fields
+            .filterNot(f => snap.partitionColumns.contains(f.name))
+            .map(f => f.copy(name = snap.physicalName(f.name)))))
+        removed ++= candidates
+      }
+    }
+    if (removed.isEmpty) None
+    else {
+      val v = snap.version + 1
+      writeCommit(base, v,
+        removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
+          newAdds.toSeq.map(addJson(_, base, dataChange = false)))
+      Some(v)
+    }
+  }
+
+  /** VACUUM: physically delete files under the table root that the
+    * current snapshot no longer references (tombstoned by remove
+    * actions, or orphaned by failed writes) and whose modification time
+    * is older than `retainMillis`. Live data files and the deletion
+    * vector `.bin`s they reference are never touched, nor is anything
+    * under `_delta_log` or any hidden (`.`/`_`-prefixed) path — the
+    * same safety contract as Delta's VACUUM. Driver-side file listing
+    * only (metadata scale). Returns the deleted paths (table-relative,
+    * for auditability). */
+  def vacuum(spark: SparkSession, base: String,
+             retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val snap = snapshot(spark, base)
+    val root = new File(base).getCanonicalFile
+    val live: Set[String] = snap.files.flatMap { f =>
+      val data = new File(root, PathCodec.percentDecode(f.path)).getCanonicalPath
+      val dvBin = f.dv.filter(_.storageType == "u").map { d =>
+        val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+        val dir = if (prefix.isEmpty) root else new File(root, prefix)
+        new File(dir, s"deletion_vector_$uuid.bin").getCanonicalPath
+      }
+      Seq(data) ++ dvBin
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val deleted = mutable.ArrayBuffer.empty[String]
+    def walk(d: File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val hidden = f.getName.startsWith(".") || f.getName.startsWith("_")
+        if (f.isDirectory) { if (!hidden) walk(f) }
+        else if (!hidden && !live.contains(f.getCanonicalPath) &&
+                 f.lastModified() <= cutoff) {
+          val rel = root.toPath.relativize(f.toPath.toAbsolutePath.normalize).toString
+          if (f.delete()) deleted += rel
+        }
+      }
+    walk(root)
+    // drop now-empty partition directories (cosmetic, like Delta)
+    def prune(d: File): Boolean = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      val allGone = kids.forall(k => k.isDirectory && prune(k))
+      if (allGone && d != root && !d.getName.startsWith("_") &&
+          !d.getName.startsWith(".")) d.delete() else false
+    }
+    prune(root)
+    deleted.toSeq.sorted
   }
 
   /** Write a classic v1 parquet checkpoint of the CURRENT state and the

@@ -1,0 +1,152 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.DeltaInterop
+
+/** OPTIMIZE (bin-packing compaction) and VACUUM semantics that the
+  * oracle queries (q160/q161) can't observe directly: dataChange=false
+  * on the swap actions, DV materialization, partition isolation,
+  * retention, and the liveness safety contract. */
+class DeltaMaintenanceSpec extends SparkSpec {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("delta_maint_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  private def logLines(base: String, version: Long): Seq[String] = {
+    val f = new File(base, f"_delta_log/$version%020d.json")
+    Files.readAllLines(f.toPath).toArray.toSeq.map(_.toString)
+  }
+
+  test("optimize packs small files into one and preserves every row") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    DeltaInterop.append(spark.range(10, 20).toDF("id").coalesce(1), base)
+    DeltaInterop.append(spark.range(20, 30).toDF("id").coalesce(1), base)
+    assert(DeltaInterop.snapshot(spark, base).files.size == 3)
+    val v = DeltaInterop.optimize(spark, base)
+    assert(v.contains(3L))
+    assert(DeltaInterop.snapshot(spark, base).files.size == 1)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 30)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 30).sum)
+  }
+
+  test("optimize commits the swap with dataChange=false on both sides") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)
+    DeltaInterop.append(spark.range(5, 9).toDF("id").coalesce(1), base)
+    val v = DeltaInterop.optimize(spark, base).get
+    val lines = logLines(base, v)
+    val removes = lines.filter(_.contains("\"remove\""))
+    val adds = lines.filter(_.contains("\"add\""))
+    assert(removes.size == 2 && adds.size == 1)
+    assert((removes ++ adds).forall(_.contains("\"dataChange\":false")),
+      s"OPTIMIZE must not signal a data change: $lines")
+  }
+
+  test("optimize materializes deletion vectors instead of carrying them") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      spark.range(12).toDF("id").coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(1L, 3L, 5L))
+    val before = DeltaInterop.read(spark, base).collect().map(_.getLong(0)).sorted
+    DeltaInterop.optimize(spark, base)
+    val after = DeltaInterop.snapshot(spark, base)
+    assert(after.files.forall(_.dv.isEmpty), "DV must be gone after OPTIMIZE")
+    val got = DeltaInterop.read(spark, base).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == before.toSeq && got.length == 9)
+  }
+
+  test("optimize is partition-isolated and keeps partition values") {
+    val base = tmp()
+    val df = spark.range(20).select(col("id"),
+      (col("id") % 2).cast("int").as("b"))
+    DeltaInterop.overwrite(df.coalesce(1), base, partitionBy = Seq("b"))
+    DeltaInterop.append(df.filter(col("b") === 0).coalesce(1)
+      .select(col("id") + 100 as "id", col("b")), base, partitionBy = Seq("b"))
+    // b=0 has 2 files (compactable), b=1 has 1 clean file (left alone)
+    val beforeB1 = DeltaInterop.snapshot(spark, base).files
+      .filter(_.partitionValues.get("b").contains("1")).map(_.path)
+    DeltaInterop.optimize(spark, base)
+    val snap = DeltaInterop.snapshot(spark, base)
+    val b0 = snap.files.filter(_.partitionValues.get("b").contains("0"))
+    val b1 = snap.files.filter(_.partitionValues.get("b").contains("1"))
+    assert(b0.size == 1, s"b=0 should be one file, got ${b0.map(_.path)}")
+    assert(b1.map(_.path) == beforeB1, "untouched partition must keep its file")
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 30)
+    assert(got.where(col("b") === 0).count() == 20)
+  }
+
+  test("optimize returns None when nothing qualifies") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(7).toDF("id").coalesce(1), base)
+    assert(DeltaInterop.optimize(spark, base).isEmpty)
+    assert(DeltaInterop.read(spark, base).count() == 7)
+  }
+
+  test("optimize compacts a column-mapped (name mode) table physically") {
+    val base = tmp()
+    val df = spark.range(10).select(col("id"), (col("id") * 3).as("v"))
+    DeltaInterop.overwriteColumnMapped(df.repartition(3), base,
+      Map("id" -> "col-aa", "v" -> "col-bb"))
+    assert(DeltaInterop.snapshot(spark, base).files.size >= 2)
+    DeltaInterop.optimize(spark, base)
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.files.size == 1)
+    // rewritten file must carry PHYSICAL names, like the originals
+    val phys = spark.read.parquet(s"$base/${snap.files.head.path}")
+      .schema.fieldNames.toSet
+    assert(phys == Set("col-aa", "col-bb"), s"physical names lost: $phys")
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.agg(sum("v")).head().getLong(0) == (0 until 10).map(_ * 3).sum)
+  }
+
+  test("vacuum deletes tombstoned + orphaned files, never live or log") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id"), base)
+    DeltaInterop.overwrite(spark.range(100, 105).toDF("id"), base) // tombstones v0's file
+    Files.writeString(new File(base, "orphan_from_failed_write.parquet").toPath, "x")
+    val dead = DeltaInterop.vacuum(spark, base, retainMillis = 0L)
+    assert(dead.exists(_.contains("orphan_from_failed_write")), s"orphan kept: $dead")
+    assert(dead.size >= 2, s"tombstoned v0 file should be gone too: $dead")
+    assert(new File(base, "_delta_log").isDirectory)
+    assert(DeltaInterop.read(spark, base).count() == 5)
+    // time travel to v0 is now broken BY DESIGN (vacuum's contract)
+    intercept[Exception] {
+      DeltaInterop.read(spark, base, versionAsOf = Some(0L)).collect()
+    }
+  }
+
+  test("vacuum respects retention and keeps live DV bins") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(0L, 9L))
+    // live: the data file + its DV bin. Nothing is tombstoned.
+    val deadLongRetention = DeltaInterop.vacuum(spark, base)
+    assert(deadLongRetention.isEmpty, s"default retention deleted $deadLongRetention")
+    val deadNow = DeltaInterop.vacuum(spark, base, retainMillis = 0L)
+    assert(deadNow.isEmpty, s"vacuum deleted live files: $deadNow")
+    val got = DeltaInterop.read(spark, base).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 8L))
+  }
+
+  test("optimize refuses columnMapping id mode loudly") {
+    val base = tmp()
+    val df = spark.range(6).select(col("id"), (col("id") + 1).as("v"))
+    DeltaInterop.overwriteColumnMapped(df.repartition(2), base,
+      Map("id" -> "col-1", "v" -> "col-2"), mode = "id")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.optimize(spark, base)
+    }
+    assert(e.getMessage.contains("id"))
+  }
+}
