@@ -1833,6 +1833,34 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Exactly-once streaming sink into an open-format Delta table: the
+    * events stream lands micro-batch-by-micro-batch via
+    * `appendIdempotent` commits carrying `txn` (appId, batchId) actions
+    * — then the fixture deliberately REPLAYS batch 0 with poisoned rows
+    * (the crash-between-commit-and-offset scenario) and requires the
+    * table's txn gate to skip it. The oracle is a plain aggregate over
+    * the raw events table, so a double-applied or dropped batch
+    * hash-mismatches. */
+  private def qDeltaStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_stream_events", dir, "events") { p =>
+      val stream = graft.streaming.EventStreams.readEventStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.streamIngestDelta(stream, p,
+        appId = Some("graft-q162"))
+      val poison = Tables.load(s, dir, "events")
+        .select((col("event_id") + lit(10000000L)).as("event_id"),
+          col("event_type"), (col("value") + lit(1000.0)).as("value"))
+        .limit(50)
+      val applied = DeltaInterop.appendIdempotent(poison, p, "graft-q162", 0L)
+      require(!applied, "replayed micro-batch must be skipped by the txn gate")
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3299,6 +3327,7 @@ object SparkEntry {
     "q159_iceberg_day" -> (qIcebergDay _),
     "q160_delta_optimize" -> (qDeltaOptimize _),
     "q161_delta_vacuum" -> (qDeltaVacuum _),
+    "q162_delta_stream_sink" -> (qDeltaStreamSink _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4699,6 +4728,10 @@ object SparkEntry {
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
          FROM customer WHERE c_custkey % 3 <> 0
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q162_delta_stream_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -71,7 +71,8 @@ object DeltaInterop {
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
-      columnMappingMode: String = "none") {
+      columnMappingMode: String = "none",
+      txnVersions: Map[String, Long] = Map.empty) {
     /** Physical parquet column name for a logical schema field. In
       * `name` mapping mode the protocol stores it in the field's
       * metadata (`delta.columnMapping.physicalName`); otherwise the
@@ -140,6 +141,13 @@ object DeltaInterop {
     val live = mutable.LinkedHashMap.empty[String, AddFile]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
+    // streaming-sink idempotence state (protocol §Transaction
+    // Identifiers): latest committed version per application id
+    val txns = mutable.HashMap.empty[String, Long]
+    def applyTxn(t: JsonNode): Unit = {
+      val app = t.get("appId").asText(); val v = t.get("version").asLong()
+      if (!txns.get(app).exists(_ >= v)) txns(app) = v
+    }
 
     var cmMode = "none"
     def applyProtocol(p: JsonNode): Unit = {
@@ -305,6 +313,16 @@ object DeltaInterop {
             live += r.getString(0) -> AddFile(r.getString(0), pv, dv, st)
           }
       }
+      if (cols.contains("txn")) {
+        cp.select("txn.appId", "txn.version")
+          .where(col("appId").isNotNull)
+          .collect() // one row per streaming app id — metadata-scale
+          .foreach { r =>
+            val node = mapper.createObjectNode()
+            node.put("appId", r.getString(0)); node.put("version", r.getLong(1))
+            applyTxn(node)
+          }
+      }
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
@@ -321,13 +339,15 @@ object DeltaInterop {
             Option(n.get("metaData")).foreach(applyMetaData)
             Option(n.get("add")).foreach(applyAdd)
             Option(n.get("remove")).foreach(applyRemove)
+            Option(n.get("txn")).foreach(applyTxn)
           }
         }
       }
     val schema = DataType.fromJson(schemaJson.getOrElse(
       throw new IllegalStateException(s"no metaData action found in $base")))
       .asInstanceOf[StructType]
-    DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode)
+    DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode,
+      txns.toMap)
   }
 
   /** Timestamp time travel: the newest version whose commit landed at or
@@ -1082,6 +1102,42 @@ object DeltaInterop {
     deleted.toSeq.sorted
   }
 
+  /** Transactionally-idempotent append — the Delta streaming sink
+    * contract (protocol §Transaction Identifiers). The commit carries a
+    * `txn` action `(appId, version)`; if the table has already recorded
+    * `version` (or newer) for `appId`, the append is a NO-OP and the
+    * staged data is never written. A micro-batch replayed after a crash
+    * between the table commit and the streaming offset commit is thus
+    * recognized and skipped — exactly-once end to end. Creates the
+    * table (protocol + metaData from `df`'s schema) if absent, so a
+    * streaming sink needs no out-of-band DDL. Returns whether the
+    * append was applied. */
+  def appendIdempotent(df: DataFrame, base: String, appId: String,
+                       txnVersion: Long,
+                       partitionBy: Seq[String] = Seq.empty): Boolean = {
+    val spark = df.sparkSession
+    val exists = logDir(base).isDirectory
+    val snapOpt = if (exists) Some(snapshot(spark, base)) else None
+    if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
+      return false // replayed batch — skip BEFORE staging any data
+    val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
+      StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
+    val txnLine = {
+      val node = mapper.createObjectNode()
+      val t = node.putObject("txn")
+      t.put("appId", appId); t.put("version", txnVersion)
+      mapper.writeValueAsString(node)
+    }
+    val header = snapOpt match {
+      case Some(_) => Seq.empty
+      case None => Seq(protocolJson,
+        metaJson(df.schema, partitionBy, UUID.randomUUID().toString))
+    }
+    writeCommit(base, snapOpt.map(_.version + 1).getOrElse(0L),
+      header ++ Seq(txnLine) ++ adds.map(addJson(_, base)))
+    true
+  }
+
   /** Write a classic v1 parquet checkpoint of the CURRENT state and the
     * `_last_checkpoint` pointer — the protocol's log-compaction step.
     * Action columns: protocol / metaData / add (one non-null per row). */
@@ -1112,22 +1168,31 @@ object DeltaInterop {
           StructField("cardinality", LongType)))),
         // stats survive checkpointing or data skipping dies at the
         // first log compaction
-        StructField("stats", StringType))))))
+        StructField("stats", StringType)))),
+      // txn state survives checkpointing or a restarted streaming sink
+      // whose history was compacted away double-writes its batches
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
     import org.apache.spark.sql.Row
     val hasDv = snap.files.exists(_.dv.isDefined)
     val protoRow =
       if (hasDv) Row(3, 7) // readerFeatures live in the JSON log's protocol
       else Row(1, 2)
     val rows =
-      Row(protoRow, null, null) ::
-      Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns), null) ::
+      Row(protoRow, null, null, null) ::
+      Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns),
+        null, null) ::
+      (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v))
+      } ++
       snap.files.map(f => Row(null, null,
         Row(f.path, f.partitionValues,
           new File(base, PathCodec.percentDecode(f.path)).length(),
           0L, true,
           f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
-          f.stats.orNull))).toList
+          f.stats.orNull), null)))
     val scratch = new File(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .coalesce(1).write.mode("overwrite").parquet(scratch.getPath)

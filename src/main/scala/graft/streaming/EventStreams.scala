@@ -321,6 +321,39 @@ object EventStreams {
     }
   }
 
+  /** Micro-batch ingestion into a DELTA table — the open-format
+    * exactly-once streaming sink: each batch lands as ONE
+    * `DeltaInterop.appendIdempotent` commit whose `txn` action is
+    * (appId, batchId), so a batch replayed after a crash between the
+    * Delta commit and the streaming offset commit is recognized by the
+    * table itself and skipped (protocol §Transaction Identifiers — the
+    * same design as delta-spark's own streaming sink). The table is
+    * created by the first batch; any OSS Delta reader can tail it.
+    * `appId` defaults to the checkpoint path, the identity a restarted
+    * query keeps. */
+  def streamIngestDelta(stream: DataFrame, base: String,
+                        appId: Option[String] = None,
+                        checkpoint: Option[String] = None): Unit = {
+    val ephemeral = checkpoint.isEmpty
+    val ckpt = checkpoint.getOrElse(
+      s"/dev/shm/graft_delta_ckpt_${java.util.UUID.randomUUID()}")
+    val app = appId.getOrElse(ckpt)
+    try {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.DeltaInterop.appendIdempotent(
+            batch, base, app, batchId)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      if (ephemeral)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Micro-batch CDC MERGE into a graft-log table: each batch UPSERTS by
     * `key` via the partition-scoped merge (`GraftLog.upsertScoped` — only
     * files whose zone-map range holds a batch key rewrite), with
