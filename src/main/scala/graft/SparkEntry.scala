@@ -1861,6 +1861,41 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Iceberg snapshot expiration (`expire_snapshots`): a three-snapshot
+    * history (overwrite, overwrite, append) is expired down to the
+    * current snapshot; files reachable only from expired snapshots are
+    * physically deleted, the new metadata.json drops them, and time
+    * travel to an expired id fails loudly. The post-expire read is the
+    * oracle check: an expire that deleted a LIVE file (or resurrected a
+    * dead one) hash-mismatches the SQL replay of the surviving state. */
+  private def qIcebergExpire(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_expire_supplier", dir, "supplier") { p =>
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      IcebergInterop.overwrite(sup, p)
+      IcebergInterop.overwrite(sup.filter(col("s_suppkey") % 2 === 0), p)
+      IcebergInterop.append(sup.filter(col("s_suppkey") % 5 === 0), p)
+      val expiredIds = IcebergInterop.snapshotIds(p).dropRight(1)
+      val dead = IcebergInterop.expireSnapshots(s, p, retainLast = 1)
+      require(dead.nonEmpty, "fixture: expire should delete orphaned files")
+      require(IcebergInterop.snapshotIds(p).size == 1,
+        "fixture: only the current snapshot should survive")
+      expiredIds.foreach { id =>
+        val gone = try { IcebergInterop.read(s, p, Some(id)); false }
+                   catch { case _: Exception => true }
+        require(gone, s"fixture: time travel to expired $id must fail")
+      }
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3328,6 +3363,7 @@ object SparkEntry {
     "q160_delta_optimize" -> (qDeltaOptimize _),
     "q161_delta_vacuum" -> (qDeltaVacuum _),
     "q162_delta_stream_sink" -> (qDeltaStreamSink _),
+    "q163_iceberg_expire" -> (qIcebergExpire _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4732,6 +4768,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q163_iceberg_expire" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM supplier WHERE s_suppkey % 2 = 0
+           UNION ALL
+           SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2))
+           FROM supplier WHERE s_suppkey % 5 = 0
+         ) GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -1254,6 +1254,83 @@ object IcebergInterop {
 
   /** Append; `partitionBy` must repeat the table's partition spec (the
     * fixture-writer contract — a real writer reads it from metadata). */
+  /** Expire old snapshots, exactly as Iceberg's `expire_snapshots`
+    * maintenance procedure behaves: the newest `retainLast` snapshots
+    * (always including the current one) survive; every expired
+    * snapshot is dropped from a NEW metadata.json (committed via the
+    * same atomic version-hint rename as any write), and every file —
+    * manifest list, manifest, data/delete file — reachable ONLY from
+    * expired snapshots is physically deleted. Reachability is computed
+    * conservatively (any path a retained snapshot's manifests mention,
+    * including `deleted`-status entries, is kept), so a file a retained
+    * snapshot could read is never removed. Time travel to an expired
+    * snapshot id then fails loudly ("snapshot not found"), per
+    * Iceberg's contract. Driver-side metadata walk only — cost is
+    * proportional to manifests, never data. Returns the deleted paths
+    * (table-relative where possible). */
+  def expireSnapshots(spark: SparkSession, base: String,
+                      retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val snaps = meta.get("snapshots")
+    val all = (0 until snaps.size()).map(snaps.get)
+    val currentId = meta.get("current-snapshot-id").asLong()
+    val retained = (all.takeRight(retainLast) ++
+      all.filter(_.get("snapshot-id").asLong() == currentId)).distinct
+    if (retained.size == all.size) return Seq.empty
+
+    // every on-disk path a set of snapshots can reach: manifest list →
+    // manifests → data/delete files (conservatively including
+    // deleted-status entries)
+    def reachable(of: Seq[JsonNode]): Set[String] = of.flatMap { s =>
+      val ml = new File(resolvePath(base, s.get("manifest-list").asText()))
+      val viaManifests =
+        if (!ml.exists()) Seq.empty
+        else readAvro(ml).flatMap { m =>
+          val mf = new File(resolvePath(base, m.get("manifest_path").toString))
+          val entries =
+            if (!mf.exists()) Seq.empty
+            else readAvro(mf).map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              new File(resolvePath(base, df.get("file_path").toString))
+                .getCanonicalPath
+            }
+          mf.getCanonicalPath +: entries
+        }
+      ml.getCanonicalPath +: viaManifests
+    }.toSet
+
+    val expired = all.filterNot(retained.contains)
+    val keep = reachable(retained)
+    val root = new File(base).getCanonicalFile
+    val deleted = (reachable(expired) -- keep).toSeq.sorted.flatMap { p =>
+      val f = new File(p)
+      if (f.exists() && f.delete())
+        Some(if (p.startsWith(root.getPath))
+          root.toPath.relativize(f.toPath).toString else p)
+      else None
+    }
+
+    // commit the pruned snapshot list as a new metadata version
+    val newRoot = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = newRoot.putArray("snapshots")
+    retained.foreach(arr.add)
+    val version = Files.readString(hint.toPath).trim.toLong + 1
+    val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
+    Files.writeString(tmp.toPath, mapper.writeValueAsString(newRoot))
+    val dst = new File(metaDir, s"v$version.metadata.json")
+    if (!tmp.renameTo(dst)) {
+      tmp.delete()
+      throw new java.util.ConcurrentModificationException(
+        s"iceberg metadata v$version already exists in $base")
+    }
+    Files.writeString(hint.toPath, version.toString)
+    deleted
+  }
+
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long =
     commitSnapshot(df, base, "append", partitionBy)

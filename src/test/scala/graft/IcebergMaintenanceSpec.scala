@@ -1,0 +1,77 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.IcebergInterop
+
+/** `expire_snapshots` semantics the oracle query (q163) can't observe:
+  * shared-file survival across an append chain, retainLast counts,
+  * delete-file liveness, and the no-op path. */
+class IcebergMaintenanceSpec extends SparkSpec {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("ice_maint_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  test("expire deletes only files unreachable from retained snapshots") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    IcebergInterop.overwrite(spark.range(100, 105).toDF("id").coalesce(1), base)
+    val Seq(old, cur) = IcebergInterop.snapshotIds(base)
+    val dead = IcebergInterop.expireSnapshots(spark, base)
+    assert(dead.nonEmpty, "the overwritten snapshot's files should be deleted")
+    assert(IcebergInterop.snapshotIds(base) == Seq(cur))
+    assert(IcebergInterop.read(spark, base).count() == 5)
+    intercept[Exception] {
+      IcebergInterop.read(spark, base, Some(old)).collect()
+    }
+  }
+
+  test("append-chain shared files survive expiration") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(10, 20).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(20, 30).toDF("id").coalesce(1), base)
+    // snapshot 1's data file is also reachable from snapshot 3 — it
+    // must survive even though snapshots 1 and 2 expire
+    val dead = IcebergInterop.expireSnapshots(spark, base)
+    assert(!dead.exists(_.endsWith(".parquet")),
+      s"append-chain data files are all still live, but expire deleted $dead")
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 30)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 30).sum)
+  }
+
+  test("retainLast keeps that many snapshots; full retention is a no-op") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(5, 8).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(8, 12).toDF("id").coalesce(1), base)
+    assert(IcebergInterop.expireSnapshots(spark, base, retainLast = 3).isEmpty)
+    assert(IcebergInterop.snapshotIds(base).size == 3)
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 2)
+    val ids = IcebergInterop.snapshotIds(base)
+    assert(ids.size == 2)
+    // both retained snapshots still read correctly
+    assert(IcebergInterop.read(spark, base).count() == 12)
+    assert(IcebergInterop.read(spark, base, Some(ids.head)).count() == 8)
+  }
+
+  test("live position-delete files survive expiration") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val dataPath = IcebergInterop.snapshot(spark, base).files.head.rawPath
+    IcebergInterop.addPositionDeletes(spark, base, Seq(dataPath -> Seq(0L, 1L)))
+    IcebergInterop.append(spark.range(100, 103).toDF("id").coalesce(1), base)
+    // expire down to the current snapshot: the delete file is still
+    // ACTIVE (carried forward by the append's manifest list) and must
+    // keep masking rows 0 and 1
+    IcebergInterop.expireSnapshots(spark, base)
+    val got = IcebergInterop.read(spark, base).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == ((2L to 9L) ++ (100L to 102L)),
+      s"position deletes lost after expire: ${got.toSeq}")
+  }
+}
