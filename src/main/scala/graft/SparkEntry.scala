@@ -1896,6 +1896,19 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Corpus-frequency vocabulary pruning
+    * (TextAnalysis.pruneRareTokens): tokens below 1‰ of the corpus are
+    * dropped globally and every document is rebuilt from its surviving
+    * tokens in order — the long-tail cleanup (OCR noise, one-off
+    * typos) a tokenizer vocab build performs. The oracle replays the
+    * identical integer-threshold rule in SQL, so the exact rebuilt
+    * text of every document is hash-checked, token order included. */
+  private def qVocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.TextAnalysis.pruneRareTokens(docs, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3364,6 +3377,7 @@ object SparkEntry {
     "q161_delta_vacuum" -> (qDeltaVacuum _),
     "q162_delta_stream_sink" -> (qDeltaStreamSink _),
     "q163_iceberg_expire" -> (qIcebergExpire _),
+    "q164_vocab_prune" -> (qVocabPrune _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4778,6 +4792,20 @@ object SparkEntry {
            SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2))
            FROM supplier WHERE s_suppkey % 5 = 0
          ) GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q164_vocab_prune" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         toks AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS BIGINT) + 1] AS tok
+           FROM words, UNNEST(range(len(w))) AS t(i)),
+         freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT count(*) AS total FROM toks)
+         SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS text_pruned,
+           count(*) AS n_tokens_kept
+         FROM toks JOIN freq USING (tok), tot
+         WHERE c * 1000 >= total * 1
+         GROUP BY doc_id ORDER BY doc_id""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

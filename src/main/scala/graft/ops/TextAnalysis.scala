@@ -316,4 +316,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms_matched"),
         round(sum(col("contrib")), 6).as("score"))
   }
+
+  /** Corpus-frequency vocabulary pruning: drop every token whose GLOBAL
+    * corpus frequency falls below `keepPerMille` per-mille of all
+    * corpus tokens (OCR noise, mojibake, one-off typos — the long tail
+    * a tokenizer's vocab build discards), rebuilding each document from
+    * its surviving tokens in order. The threshold is RELATIVE, so the
+    * rule is invariant under corpus scale, and the comparison is pure
+    * integer arithmetic (`freq * 1000 >= total * keepPerMille`) so any
+    * engine computes the identical keep set — no float rounding at the
+    * boundary. Documents whose every token is rare vanish from the
+    * output (their cleaned text would be empty).
+    *
+    * Scale shape: one explode (linear, no state), one map-side-partial
+    * count per token, one token-keyed shuffle join of occurrences
+    * against frequencies (the frequency side is one row per DISTINCT
+    * token — at web scale the tail is billions of rows, far too big to
+    * broadcast, which is why this is a join and not a broadcast
+    * filter; AQE handles the hot-token skew), one corpus-total scalar
+    * broadcast, and one doc-keyed reassembly. No doc×doc, no
+    * driver-side state. */
+  def pruneRareTokens(docs: DataFrame, idCol: Column, textCol: Column,
+                      keepPerMille: Long = 1L): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      posexplode(split(textCol, " ")).as(Seq("pos", "tok")))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__freq"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total)) // 1 row
+      .filter(col("__freq") * lit(1000L) >= col("__total") * lit(keepPerMille))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("text_pruned"),
+        count(lit(1)).as("n_tokens_kept"))
+  }
 }
