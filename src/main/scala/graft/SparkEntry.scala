@@ -1909,6 +1909,65 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Delta schema evolution (ADD COLUMNS): the table gains a column via
+    * one metaData commit — no data file rewritten — and an append then
+    * lands rows WITH the column. The read must surface NULL for the
+    * pre-evolution files and real values for the new ones; grouping by
+    * the evolved column (nulls bucketed as '<none>') makes any
+    * mis-projection hash-mismatch the oracle. */
+  private def qDeltaSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_evolve_orders", dir, "orders") { p =>
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      DeltaInterop.overwrite(ord, p)
+      DeltaInterop.addColumns(s, p,
+        StructType(Seq(StructField("priority", StringType))))
+      DeltaInterop.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select((col("o_orderkey") + lit(50000000L)).as("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderpriority").as("priority"))
+        .coalesce(1), p)
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(coalesce(col("priority"), lit("<none>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("priority"))
+  }
+
+  /** Iceberg schema evolution (ADD COLUMN): a new schema-id extends the
+    * field list under a fresh field id; pre-evolution data files lack
+    * that id and must read back NULL through field-id projection, while
+    * appended files carry real values. Same oracle shape as the Delta
+    * twin (q165) — the two formats' evolution contracts are checked
+    * against one SQL replay each. */
+  private def qIcebergSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_evolve_part", dir, "part") { p =>
+      val pt = Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_retailprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      IcebergInterop.overwrite(pt, p)
+      IcebergInterop.addColumn(p, "brand", StringType)
+      IcebergInterop.append(Tables.load(s, dir, "part")
+        .filter(col("p_partkey") % 3 === 0)
+        .select((col("p_partkey") + lit(50000000L)).as("p_partkey"),
+          col("p_retailprice").cast(DecimalType(18, 2)).as("price"),
+          col("p_brand").as("brand"))
+        .coalesce(1), p)
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(coalesce(col("brand"), lit("<none>")).as("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("brand"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3378,6 +3437,8 @@ object SparkEntry {
     "q162_delta_stream_sink" -> (qDeltaStreamSink _),
     "q163_iceberg_expire" -> (qIcebergExpire _),
     "q164_vocab_prune" -> (qVocabPrune _),
+    "q165_delta_schema_evolution" -> (qDeltaSchemaEvolution _),
+    "q166_iceberg_schema_evolution" -> (qIcebergSchemaEvolution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4806,6 +4867,26 @@ object SparkEntry {
          FROM toks JOIN freq USING (tok), tot
          WHERE c * 1000 >= total * 1
          GROUP BY doc_id ORDER BY doc_id""",
+    "q165_delta_schema_evolution" ->
+      """SELECT priority, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT '<none>' AS priority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+           UNION ALL
+           SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 4 = 0
+         ) GROUP BY priority ORDER BY priority""",
+    "q166_iceberg_schema_evolution" ->
+      """SELECT brand, count(*) AS n_parts,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT '<none>' AS brand,
+             CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part
+           UNION ALL
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2))
+           FROM part WHERE p_partkey % 3 = 0
+         ) GROUP BY brand ORDER BY brand""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -1102,6 +1102,31 @@ object DeltaInterop {
     deleted.toSeq.sorted
   }
 
+  /** Schema evolution: ADD COLUMN(s), exactly as Delta's `ALTER TABLE
+    * ADD COLUMNS` behaves — ONE metaData action with the widened
+    * schemaString; no data file is touched. Existing files simply lack
+    * the new parquet columns and read back as NULL (the protocol's
+    * missing-column contract, which `assembleScan`'s explicit read
+    * schema already implements), so evolution is O(1) regardless of
+    * table size. New columns are forced nullable (a non-null column
+    * with no backfill would be a lie). Column-mapped tables are
+    * refused for now — adding a column there must also mint a mapping
+    * id + physical name, a writer feature this engine doesn't claim. */
+  def addColumns(spark: SparkSession, base: String, cols: StructType): Long = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode == "none",
+      "ADD COLUMNS on a column-mapped Delta table is not implemented " +
+      "(needs mapping id + physicalName assignment) — refusing")
+    cols.fieldNames.foreach(n => require(!snap.schema.fieldNames.contains(n),
+      s"column '$n' already exists in $base"))
+    val widened = StructType(snap.schema.fields ++
+      cols.fields.map(_.copy(nullable = true)))
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(
+      metaJson(widened, snap.partitionColumns, UUID.randomUUID().toString)))
+    v
+  }
+
   /** Transactionally-idempotent append — the Delta streaming sink
     * contract (protocol §Transaction Identifiers). The commit carries a
     * `txn` action `(appId, version)`; if the table has already recorded

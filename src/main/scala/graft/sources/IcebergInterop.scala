@@ -931,12 +931,21 @@ object IcebergInterop {
     val prev: Option[JsonNode] =
       if (hint.exists()) Some(mapper.readTree(currentMetadataFile(base))) else None
     if (mode == "append") prev.foreach { m =>
-      // schema equality check via Spark round trip, ignoring field
-      // metadata (the parsed side carries parquet.field.id annotations)
-      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
-      require(shape(DataType.fromJson(icebergSchemaToSparkJson(m))
-          .asInstanceOf[StructType]) == shape(df.schema),
-        s"iceberg fixture writer: append schema must match table schema")
+      // schema check via Spark round trip, ignoring field metadata (the
+      // parsed side carries parquet.field.id annotations). Names+types
+      // must match exactly; nullability only in the unsafe direction —
+      // a non-nullable frame may land in a nullable column (evolution
+      // makes added columns nullable), never the reverse.
+      def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+      val table = DataType.fromJson(icebergSchemaToSparkJson(m))
+        .asInstanceOf[StructType]
+      require(shape(table) == shape(df.schema),
+        s"iceberg fixture writer: append schema must match table schema " +
+        s"(table ${shape(table)}, got ${shape(df.schema)})")
+      table.fields.zip(df.schema.fields).foreach { case (t, d) =>
+        require(t.nullable || !d.nullable,
+          s"append would put nullable values into required column ${t.name}")
+      }
     }
     // derived partition fields (name, column expr, value type) — for
     // identity specs these are just the source columns
@@ -1318,9 +1327,20 @@ object IcebergInterop {
     val newRoot = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val arr = newRoot.putArray("snapshots")
     retained.foreach(arr.add)
+    commitMetadataVersion(base, newRoot)
+    deleted
+  }
+
+  /** Atomically publish `node` as the next vN.metadata.json + hint —
+    * the commit step every metadata-only operation shares. */
+  private def commitMetadataVersion(
+      base: String,
+      node: com.fasterxml.jackson.databind.node.ObjectNode): Long = {
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
     val version = Files.readString(hint.toPath).trim.toLong + 1
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
-    Files.writeString(tmp.toPath, mapper.writeValueAsString(newRoot))
+    Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
     val dst = new File(metaDir, s"v$version.metadata.json")
     if (!tmp.renameTo(dst)) {
       tmp.delete()
@@ -1328,7 +1348,46 @@ object IcebergInterop {
         s"iceberg metadata v$version already exists in $base")
     }
     Files.writeString(hint.toPath, version.toString)
-    deleted
+    version
+  }
+
+  /** Schema evolution: ADD COLUMN, per the spec's evolution rules — a
+    * NEW schema (schema-id +1) extends the current field list with the
+    * new column under a fresh field id (`last-column-id` + 1, never
+    * reused), `current-schema-id` moves, and no data file is touched:
+    * files written before the evolution simply lack the new field id
+    * and read back as NULL through the field-id projection the read
+    * path already does. O(1) in table size. The new column is nullable
+    * by construction. */
+  def addColumn(base: String, name: String, dt: DataType): Long = {
+    val metaFile = currentMetadataFile(base)
+    val meta = mapper.readTree(metaFile)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = meta.get("schemas")
+    val curId = meta.get("current-schema-id").asInt()
+    val cur = (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == curId)
+      .getOrElse(throw new IllegalStateException(s"schema-id $curId not in $base"))
+    val curFields = cur.get("fields")
+    (0 until curFields.size()).foreach { i =>
+      require(curFields.get(i).get("name").asText() != name,
+        s"column '$name' already exists in $base")
+    }
+    val newFieldId = meta.get("last-column-id").asInt() + 1
+    val newSchemaId = (0 until schemas.size())
+      .map(i => schemas.get(i).get("schema-id").asInt()).max + 1
+    val ns = schemas.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .addObject()
+    ns.put("type", "struct"); ns.put("schema-id", newSchemaId)
+    val nf = ns.putArray("fields")
+    (0 until curFields.size()).foreach(i => nf.add(curFields.get(i)))
+    val added = nf.addObject()
+    added.put("id", newFieldId); added.put("name", name)
+    added.put("required", false)
+    added.put("type", sparkTypeToIceberg(dt))
+    meta.put("current-schema-id", newSchemaId)
+    meta.put("last-column-id", newFieldId)
+    commitMetadataVersion(base, meta)
   }
 
   def append(df: DataFrame, base: String,
