@@ -1968,6 +1968,53 @@ object SparkEntry {
       .orderBy(col("brand"))
   }
 
+  /** Delta RESTORE: after a destructive overwrite, one RESTORE commit
+    * flips the live file set back to version 0 — metadata-only, the
+    * old files are simply re-referenced — and history keeps BOTH
+    * states time-travelable. The read after restore must equal the
+    * original state exactly; the oracle replays version 0. */
+  private def qDeltaRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_restore_nation", dir, "nation") { p =>
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        .coalesce(1)
+      DeltaInterop.overwrite(nat, p) // v0
+      DeltaInterop.overwrite(nat.filter(col("n_regionkey") === 0), p) // v1: oops
+      DeltaInterop.restore(s, p, 0L) // v2 = v0's state
+      require(DeltaInterop.read(s, p, versionAsOf = Some(1L)).count() <
+        DeltaInterop.read(s, p).count(),
+        "fixture: the un-restored state must stay time-travelable")
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** Iceberg rollback (`rollback_to_snapshot`): current-snapshot-id
+    * moves back to snapshot 1, dropping the append from the read path
+    * while keeping it in the table for later expiration. The oracle
+    * replays snapshot 1's construction. */
+  private def qIcebergRollback(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_rollback_region", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      IcebergInterop.overwrite(cust.filter(col("c_custkey") % 2 === 1), p)
+      IcebergInterop.append(cust.filter(col("c_custkey") % 2 === 0), p)
+      val first = IcebergInterop.snapshotIds(p).head
+      IcebergInterop.rollbackTo(p, first)
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3439,6 +3486,8 @@ object SparkEntry {
     "q164_vocab_prune" -> (qVocabPrune _),
     "q165_delta_schema_evolution" -> (qDeltaSchemaEvolution _),
     "q166_iceberg_schema_evolution" -> (qIcebergSchemaEvolution _),
+    "q167_delta_restore" -> (qDeltaRestore _),
+    "q168_iceberg_rollback" -> (qIcebergRollback _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4887,6 +4936,15 @@ object SparkEntry {
            SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2))
            FROM part WHERE p_partkey % 3 = 0
          ) GROUP BY brand ORDER BY brand""",
+    "q167_delta_restore" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+         min(n_name) AS first_nation
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q168_iceberg_rollback" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         FROM customer WHERE c_custkey % 2 = 1
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

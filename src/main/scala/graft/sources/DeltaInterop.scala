@@ -1127,6 +1127,37 @@ object DeltaInterop {
     v
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF: one commit that flips the live
+    * file set (and metadata — schema evolution rolls back too) to the
+    * target version's, exactly as Delta's RESTORE behaves. History is
+    * preserved: the restore is a NEW version on top, so the un-restored
+    * state remains time-travelable. Metadata-only work EXCEPT the
+    * safety check that every restored file still exists on disk — a
+    * VACUUM may have deleted them, in which case the restore refuses
+    * loudly instead of committing a table that cannot be read (Delta's
+    * own failure mode for this). */
+  def restore(spark: SparkSession, base: String, versionAsOf: Long): Long = {
+    val cur = snapshot(spark, base)
+    val tgt = snapshot(spark, base, Some(versionAsOf))
+    def key(f: AddFile) = (f.path, f.dv.map(_.uniqueId))
+    val curKeys = cur.files.map(key).toSet
+    val tgtKeys = tgt.files.map(key).toSet
+    val missing = tgt.files.filterNot(f =>
+      new File(base, PathCodec.percentDecode(f.path)).exists())
+    require(missing.isEmpty,
+      s"cannot RESTORE $base to version $versionAsOf: data files " +
+      s"${missing.map(_.path)} were deleted (vacuumed?) — refusing")
+    val removes = cur.files.filterNot(f => tgtKeys.contains(key(f)))
+    val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
+    val v = cur.version + 1
+    writeCommit(base, v,
+      Seq(metaJson(tgt.schema, tgt.partitionColumns,
+        UUID.randomUUID().toString)) ++
+        removes.map(r => removeJson(r.path, r.dv, dataChange = true)) ++
+        adds.map(addJson(_, base, dataChange = true)))
+    v
+  }
+
   /** Transactionally-idempotent append — the Delta streaming sink
     * contract (protocol §Transaction Identifiers). The commit carries a
     * `txn` action `(appId, version)`; if the table has already recorded

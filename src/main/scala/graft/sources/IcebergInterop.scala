@@ -1005,7 +1005,7 @@ object IcebergInterop {
     // per-file [lower, upper] bounds per field id (spec field-ids
     // 125/128) — the metadata that lets readRange skip files
     val boundsByFile = collectBounds(spark, df.schema, dataFiles.map(_._1))
-    val snapshotId = prev.map(_.get("current-snapshot-id").asLong() + 1).getOrElse(1L)
+    val snapshotId = prev.map(nextSnapshotId).getOrElse(1L)
     val entrySchema = entrySchemaFor(partTypes)
     val mName = s"manifest-$id.avro"
     val mFile = new File(metaDir, mName)
@@ -1123,7 +1123,7 @@ object IcebergInterop {
     val prev = mapper.readTree(currentMetadataFile(base))
     require(prev.get("format-version").asInt() == 2,
       "position deletes are an Iceberg format-v2 feature")
-    val snapshotId = prev.get("current-snapshot-id").asLong() + 1
+    val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
 
     // 1. the delete file: (file_path, pos) parquet, sorted per spec
@@ -1173,7 +1173,7 @@ object IcebergInterop {
     val prev = mapper.readTree(currentMetadataFile(base))
     require(prev.get("format-version").asInt() == 2,
       "equality deletes are an Iceberg format-v2 feature")
-    val snapshotId = prev.get("current-snapshot-id").asLong() + 1
+    val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
 
     // table schema name → field id (ids, not names, are the contract)
@@ -1349,6 +1349,32 @@ object IcebergInterop {
     }
     Files.writeString(hint.toPath, version.toString)
     version
+  }
+
+  /** Next snapshot id: one past the MAX of all recorded ids — not
+    * current+1, because after a rollback the current snapshot is an
+    * ancestor and current+1 would collide with a rolled-over id. */
+  private def nextSnapshotId(meta: JsonNode): Long = {
+    val ss = meta.get("snapshots")
+    (0 until ss.size()).map(i => ss.get(i).get("snapshot-id").asLong())
+      .foldLeft(0L)(math.max) + 1
+  }
+
+  /** Rollback: point `current-snapshot-id` back at an existing snapshot
+    * (Iceberg's `rollback_to_snapshot` procedure) — pure metadata, no
+    * file is touched, and the rolled-back-over snapshots stay in the
+    * table (still time-travelable, reclaimable later by
+    * `expireSnapshots`). Refuses ids the table doesn't have. */
+  def rollbackTo(base: String, snapshotId: Long): Long = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = meta.get("snapshots")
+    val known = (0 until snaps.size())
+      .map(i => snaps.get(i).get("snapshot-id").asLong())
+    require(known.contains(snapshotId),
+      s"snapshot $snapshotId not in $base (have $known)")
+    meta.put("current-snapshot-id", snapshotId)
+    commitMetadataVersion(base, meta)
   }
 
   /** Schema evolution: ADD COLUMN, per the spec's evolution rules — a
