@@ -2015,6 +2015,45 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** DESCRIBE HISTORY over a Delta log: a deterministic five-operation
+    * history (write, append, DV delete, optimize, restore) read back as
+    * (version, operation, adds, removes) — commitInfo parsing and
+    * action counting are both checked against a literal VALUES oracle,
+    * so any mis-tagged or miscounted commit hash-mismatches. */
+  private def qDeltaHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_history_nation", dir, "nation") { p =>
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).coalesce(1)
+      DeltaInterop.overwrite(nat, p) // v0: 1 add
+      DeltaInterop.append(nat.filter(col("n_nationkey") < 5)
+        .withColumn("n_nationkey", col("n_nationkey") + lit(100)), p) // v1
+      val file = DeltaInterop.snapshot(s, p).files.head.path
+      DeltaInterop.deleteRowPositions(s, p, file, Seq(0L, 1L)) // v2: 1 rm, 1 add
+      DeltaInterop.optimize(s, p) // v3: 2 rm, 1 add
+      DeltaInterop.restore(s, p, 1L) // v4: 1 rm, 2 adds
+    }
+    DeltaInterop.history(s, base)
+      .select(col("version"), col("operation"), col("n_adds"), col("n_removes"))
+      .orderBy(col("version"))
+  }
+
+  /** The Iceberg `snapshots` metadata table after a rollback: the
+    * rolled-over snapshot stays listed but is_current moves — checked
+    * against a literal VALUES oracle. */
+  private def qIcebergSnapshots(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_snapshots_nation", dir, "nation") { p =>
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).coalesce(1)
+      IcebergInterop.overwrite(nat, p) // snapshot 1
+      IcebergInterop.append(nat.filter(col("n_nationkey") < 5)
+        .withColumn("n_nationkey", col("n_nationkey") + lit(100)), p) // 2
+      IcebergInterop.rollbackTo(p, 1L)
+    }
+    IcebergInterop.snapshotsTable(s, base).orderBy(col("snapshot_id"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3488,6 +3527,8 @@ object SparkEntry {
     "q166_iceberg_schema_evolution" -> (qIcebergSchemaEvolution _),
     "q167_delta_restore" -> (qDeltaRestore _),
     "q168_iceberg_rollback" -> (qIcebergRollback _),
+    "q169_delta_history" -> (qDeltaHistory _),
+    "q170_iceberg_snapshots" -> (qIcebergSnapshots _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4945,6 +4986,27 @@ object SparkEntry {
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
          FROM customer WHERE c_custkey % 2 = 1
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q169_delta_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+           CAST(n_adds AS BIGINT) AS n_adds,
+           CAST(n_removes AS BIGINT) AS n_removes
+         FROM (VALUES
+           (0, 'WRITE', 1, 0),
+           (1, 'WRITE', 1, 0),
+           (2, 'DELETE', 1, 1),
+           (3, 'OPTIMIZE', 1, 2),
+           (4, 'RESTORE', 2, 1)
+         ) AS t(version, operation, n_adds, n_removes)
+         ORDER BY version""",
+    "q170_iceberg_snapshots" ->
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+           CAST(sequence_number AS BIGINT) AS sequence_number,
+           operation, is_current
+         FROM (VALUES
+           (1, 1, 'overwrite', TRUE),
+           (2, 2, 'append', FALSE)
+         ) AS t(snapshot_id, sequence_number, operation, is_current)
+         ORDER BY snapshot_id""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

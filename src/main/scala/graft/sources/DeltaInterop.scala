@@ -350,6 +350,36 @@ object DeltaInterop {
       txns.toMap)
   }
 
+  /** DESCRIBE HISTORY: one row per JSON commit still in the log —
+    * (version, operation from commitInfo — null for writers that omit
+    * it — adds, removes, and the commit timestamp from file mtime, the
+    * protocol's own time-travel clock). Driver-side parse, bounded by
+    * the log tail like any replay; checkpointed-away history is gone
+    * here exactly as it is in delta-spark. */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    val dir = logDir(base)
+    require(dir.isDirectory, s"not a Delta table (no _delta_log): $base")
+    val rows = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
+      .map { f =>
+        var op: String = null
+        var adds = 0L; var removes = 0L
+        Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val n = mapper.readTree(line)
+            Option(n.get("commitInfo")).flatMap(ci => Option(ci.get("operation")))
+              .foreach(o => op = o.asText())
+            if (n.has("add")) adds += 1
+            if (n.has("remove")) removes += 1
+          }
+        }
+        (f.getName.stripSuffix(".json").toLong, op, adds, removes,
+          new java.sql.Timestamp(f.lastModified()))
+      }.toSeq
+    import spark.implicits._
+    rows.toDF("version", "operation", "n_adds", "n_removes", "timestamp")
+  }
+
   /** Timestamp time travel: the newest version whose commit landed at or
     * before `ts` — per protocol, a commit's timestamp is its log file's
     * modification time (the in-commit commitInfo timestamp is optional).
@@ -761,7 +791,23 @@ object DeltaInterop {
     }
   }
 
-  private def writeCommit(base: String, version: Long, lines: Seq[String]): Unit = {
+  /** The audit action delta-spark writes first in every commit; readers
+    * that don't know it skip it (ours included). `timestamp` 0 keeps
+    * fixtures byte-deterministic — history() timestamps come from file
+    * mtime, the same source the protocol prescribes for time travel. */
+  private def commitInfoJson(operation: String): String = {
+    val node = mapper.createObjectNode()
+    val ci = node.putObject("commitInfo")
+    ci.put("timestamp", 0L)
+    ci.put("operation", operation)
+    ci.putObject("operationParameters")
+    mapper.writeValueAsString(node)
+  }
+
+  private def writeCommit(base: String, version: Long, lines0: Seq[String],
+                          operation: String = ""): Unit = {
+    val lines =
+      if (operation.isEmpty) lines0 else commitInfoJson(operation) +: lines0
     val dir = logDir(base); dir.mkdirs()
     val tmp = new File(dir, s".tmp_${UUID.randomUUID()}.json")
     Files.writeString(tmp.toPath, lines.mkString("", "\n", "\n"))
@@ -842,7 +888,8 @@ object DeltaInterop {
     }
     writeCommit(base, v,
       Seq(protocolJson, metaJson(df.schema, partitionBy, UUID.randomUUID().toString)) ++
-        removeLines ++ adds.map(addJson(_, base)))
+        removeLines ++ adds.map(addJson(_, base)),
+      operation = "WRITE")
     v
   }
 
@@ -895,7 +942,8 @@ object DeltaInterop {
     writeCommit(base, 0L,
       Seq(proto,
         metaJson(mapped, partitionBy, UUID.randomUUID().toString, cfg)) ++
-        adds.map(addJson(_, base)))
+        adds.map(addJson(_, base)),
+      operation = "CREATE TABLE")
     0L
   }
 
@@ -940,7 +988,8 @@ object DeltaInterop {
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
     val v = snap.version + 1
     writeCommit(base, v,
-      Seq(proto, removeLine, addJson(f.copy(dv = Some(dv)), base)))
+      Seq(proto, removeLine, addJson(f.copy(dv = Some(dv)), base)),
+      operation = "DELETE")
     v
   }
 
@@ -952,7 +1001,7 @@ object DeltaInterop {
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(
       throw new IllegalStateException(s"append to non-existent table $base"))
-    writeCommit(base, v, adds.map(addJson(_, base)))
+    writeCommit(base, v, adds.map(addJson(_, base)), operation = "WRITE")
     v
   }
 
@@ -1051,7 +1100,8 @@ object DeltaInterop {
       val v = snap.version + 1
       writeCommit(base, v,
         removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
-          newAdds.toSeq.map(addJson(_, base, dataChange = false)))
+          newAdds.toSeq.map(addJson(_, base, dataChange = false)),
+        operation = "OPTIMIZE")
       Some(v)
     }
   }
@@ -1123,7 +1173,8 @@ object DeltaInterop {
       cols.fields.map(_.copy(nullable = true)))
     val v = snap.version + 1
     writeCommit(base, v, Seq(
-      metaJson(widened, snap.partitionColumns, UUID.randomUUID().toString)))
+      metaJson(widened, snap.partitionColumns, UUID.randomUUID().toString)),
+      operation = "ADD COLUMNS")
     v
   }
 
@@ -1154,7 +1205,8 @@ object DeltaInterop {
       Seq(metaJson(tgt.schema, tgt.partitionColumns,
         UUID.randomUUID().toString)) ++
         removes.map(r => removeJson(r.path, r.dv, dataChange = true)) ++
-        adds.map(addJson(_, base, dataChange = true)))
+        adds.map(addJson(_, base, dataChange = true)),
+      operation = "RESTORE")
     v
   }
 
@@ -1190,7 +1242,8 @@ object DeltaInterop {
         metaJson(df.schema, partitionBy, UUID.randomUUID().toString))
     }
     writeCommit(base, snapOpt.map(_.version + 1).getOrElse(0L),
-      header ++ Seq(txnLine) ++ adds.map(addJson(_, base)))
+      header ++ Seq(txnLine) ++ adds.map(addJson(_, base)),
+      operation = "STREAMING UPDATE")
     true
   }
 

@@ -1360,6 +1360,24 @@ object IcebergInterop {
       .foldLeft(0L)(math.max) + 1
   }
 
+  /** The `snapshots` metadata table: one row per recorded snapshot —
+    * (snapshot_id, sequence_number, operation, is_current). Pure
+    * metadata parse, no file I/O beyond the current metadata.json. */
+  def snapshotsTable(spark: SparkSession, base: String): DataFrame = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val cur = meta.get("current-snapshot-id").asLong()
+    val ss = meta.get("snapshots")
+    val rows = (0 until ss.size()).map(ss.get).map { s =>
+      (s.get("snapshot-id").asLong(),
+        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).orNull,
+        s.get("snapshot-id").asLong() == cur)
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "sequence_number", "operation", "is_current")
+  }
+
   /** Rollback: point `current-snapshot-id` back at an existing snapshot
     * (Iceberg's `rollback_to_snapshot` procedure) — pure metadata, no
     * file is touched, and the rolled-back-over snapshots stay in the
