@@ -2054,6 +2054,33 @@ object SparkEntry {
     IcebergInterop.snapshotsTable(s, base).orderBy(col("snapshot_id"))
   }
 
+  /** Incremental Delta consumption (`changesSince`): appends after the
+    * baseline version deliver exactly once, tagged with their commit
+    * version, while the OPTIMIZE rewrite in between (dataChange=false)
+    * delivers nothing — the append-only streaming-source contract. The
+    * oracle replays both appends with literal version tags, so a
+    * double-delivered rewrite or missed append hash-mismatches. */
+  private def qDeltaIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_incremental_orders", dir, "orders") { p =>
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      DeltaInterop.overwrite(ord.filter(col("o_orderkey") % 2 === 1), p) // v0
+      DeltaInterop.append(ord.filter(col("o_orderkey") % 4 === 0), p) // v1
+      val v = DeltaInterop.optimize(s, p) // v2: rewrite only
+      require(v.contains(2L), "fixture: optimize should commit v2")
+      DeltaInterop.append(ord.filter(col("o_orderkey") % 4 === 2), p) // v3
+    }
+    DeltaInterop.changesSince(s, base, fromVersion = 0L)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("commit_version"), col("o_orderstatus"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3529,6 +3556,7 @@ object SparkEntry {
     "q168_iceberg_rollback" -> (qIcebergRollback _),
     "q169_delta_history" -> (qDeltaHistory _),
     "q170_iceberg_snapshots" -> (qIcebergSnapshots _),
+    "q171_delta_incremental" -> (qDeltaIncremental _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5007,6 +5035,19 @@ object SparkEntry {
            (2, 2, 'append', FALSE)
          ) AS t(snapshot_id, sequence_number, operation, is_current)
          ORDER BY snapshot_id""",
+    "q171_delta_incremental" ->
+      """SELECT v AS commit_version, o_orderstatus, count(*) AS n_rows,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT CAST(1 AS BIGINT) AS v, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey % 4 = 0
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 4 = 2
+         ) GROUP BY v, o_orderstatus
+         ORDER BY commit_version, o_orderstatus""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

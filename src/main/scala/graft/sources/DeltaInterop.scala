@@ -380,6 +380,75 @@ object DeltaInterop {
     rows.toDF("version", "operation", "n_adds", "n_removes", "timestamp")
   }
 
+  /** Incremental consumption: every row APPENDED after `fromVersion`
+    * (exclusive), tagged `_commit_version` — the batch form of
+    * delta-spark's streaming-source semantics, and the contract a
+    * downstream incremental ETL needs: each version's new files are
+    * read once, `dataChange=false` commits (OPTIMIZE/RESTORE shuffles
+    * of existing rows) are SKIPPED so rewrites never re-deliver data,
+    * and a commit that removed or DV-masked data in the range is
+    * REFUSED loudly (the same wall delta-spark's source raises without
+    * ignoreChanges — silently treating a delete's survivors as fresh
+    * appends would corrupt every downstream aggregate). Per-version
+    * scans union driver-side, bounded by the version count; each scan
+    * is a normal distributed parquet read. */
+  def changesSince(spark: SparkSession, base: String,
+                   fromVersion: Long): DataFrame = {
+    val head = snapshot(spark, base)
+    require(fromVersion <= head.version,
+      s"fromVersion $fromVersion is beyond head ${head.version} of $base")
+    val dir = logDir(base)
+    val perVersion = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
+      .map(f => (f.getName.stripSuffix(".json").toLong, f))
+      .filter { case (v, _) => v > fromVersion && v <= head.version }
+    require(perVersion.map(_._1).toSet ==
+      ((fromVersion + 1) to head.version).toSet,
+      s"log of $base is missing commits in ($fromVersion, ${head.version}] " +
+      "(checkpoint-compacted?) — incremental read cannot be gap-free")
+    val parts = perVersion.toSeq.flatMap { case (v, f) =>
+      val adds = mutable.ArrayBuffer.empty[AddFile]
+      Files.readAllLines(f.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          Option(n.get("remove")).foreach { r =>
+            require(!Option(r.get("dataChange")).forall(_.asBoolean(true)),
+              s"version $v of $base removed data — incremental append-only " +
+              "read refuses (reprocess from a snapshot instead)")
+          }
+          Option(n.get("add")).foreach { a =>
+            if (Option(a.get("dataChange")).forall(_.asBoolean(true))) {
+              require(Option(a.get("deletionVector")).forall(_.isNull),
+                s"version $v of $base rewrote rows under a deletion vector " +
+                "— incremental append-only read refuses")
+              val pv = Option(a.get("partitionValues")).map { m =>
+                val it = m.fields(); val b = Map.newBuilder[String, String]
+                while (it.hasNext) {
+                  val e = it.next()
+                  b += e.getKey ->
+                    (if (e.getValue.isNull) null else e.getValue.asText())
+                }
+                b.result()
+              }.getOrElse(Map.empty[String, String])
+              adds += AddFile(a.get("path").asText(), pv,
+                stats = Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            }
+          }
+        }
+      }
+      if (adds.isEmpty) None
+      else Some(assembleScan(spark, base, head.copy(version = v,
+          files = adds.toSeq))
+        .withColumn("_commit_version", lit(v)))
+    }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      val empty = StructType(head.schema.fields :+
+        StructField("_commit_version", LongType, nullable = false))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
+  }
+
   /** Timestamp time travel: the newest version whose commit landed at or
     * before `ts` — per protocol, a commit's timestamp is its log file's
     * modification time (the in-commit commitInfo timestamp is optional).
