@@ -2081,6 +2081,32 @@ object SparkEntry {
       .orderBy(col("commit_version"), col("o_orderstatus"))
   }
 
+  /** Delta OPTIMIZE ZORDER BY: an unclustered 8-file lineitem table is
+    * rewritten into 16 Morton-ordered files over (l_partkey,
+    * l_suppkey); the measured read then range-prunes on l_partkey from
+    * the log's per-file stats AND filters l_suppkey — the 2-D skipping
+    * layout. The oracle is a plain WHERE over raw lineitem, so over- or
+    * under-pruning hash-mismatches. */
+  private def qDeltaZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_zorder_lineitem", dir, "lineitem") { p =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        .repartition(8)
+      DeltaInterop.overwrite(li, p)
+      val v = DeltaInterop.optimizeZorder(s, p,
+        Seq("l_partkey", "l_suppkey"), filesPerPartition = 16)
+      require(v.nonEmpty, "fixture: zorder rewrite should commit")
+    }
+    DeltaInterop.readRange(s, base, "l_partkey", Some(1L), Some(500L))
+      .filter(col("l_suppkey") < 100)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("qty")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3557,6 +3583,7 @@ object SparkEntry {
     "q169_delta_history" -> (qDeltaHistory _),
     "q170_iceberg_snapshots" -> (qIcebergSnapshots _),
     "q171_delta_incremental" -> (qDeltaIncremental _),
+    "q172_delta_zorder" -> (qDeltaZorder _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5048,6 +5075,12 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 4 = 2
          ) GROUP BY v, o_orderstatus
          ORDER BY commit_version, o_orderstatus""",
+    "q172_delta_zorder" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 1 AND 500 AND l_suppkey < 100
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

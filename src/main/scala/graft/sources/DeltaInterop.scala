@@ -1175,6 +1175,54 @@ object DeltaInterop {
     }
   }
 
+  /** OPTIMIZE ZORDER BY: rewrite EVERY file of each partition into
+    * `filesPerPartition` range-partitioned files sorted by the Morton
+    * interleave of `zorderBy` (the codegen'd `ZOrderCodeN` expression),
+    * so each output file covers a compact bounding box in ALL the
+    * z-order dimensions — `add.stats` min/max then let `readRange`
+    * prune files for range predicates on ANY of them, the multi-
+    * dimensional layout a 100 TB fact table needs. Deletion vectors are
+    * materialized away by the rewrite; the swap commits with
+    * `dataChange=false` like plain OPTIMIZE. Z-order columns must be
+    * non-negative integrals fitting ⌊64/N⌋ bits (rank/bucket-normalize
+    * upstream otherwise) and cannot be partition columns. */
+  def optimizeZorder(spark: SparkSession, base: String,
+                     zorderBy: Seq[String],
+                     filesPerPartition: Int = 8): Option[Long] = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode != "id",
+      "OPTIMIZE on a columnMapping.mode=id table is not supported")
+    require(zorderBy.nonEmpty, "zorderBy needs at least one column")
+    zorderBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
+      require(!snap.partitionColumns.contains(c),
+        s"'$c' is a partition column — z-ordering it is meaningless")
+    }
+    if (snap.files.isEmpty) return None
+    val zPhys = zorderBy.map(snap.physicalName)
+    val dataFields = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+      .map(f => f.copy(name = snap.physicalName(f.name))))
+    val newAdds = mutable.ArrayBuffer.empty[AddFile]
+    snap.files.groupBy(_.partitionValues).foreach { case (pv, fs) =>
+      val rows = readPhysical(spark, base, snap, fs)
+        .withColumn("__graft_z",
+          graft.functions.VecExpressions.zorderNativeN(zPhys.map(col): _*))
+        .repartitionByRange(filesPerPartition, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+      val staged = stageAdds(rows, base, Seq.empty)
+        .map(_.copy(partitionValues = pv))
+      newAdds ++= collectAddStats(spark, base, staged, dataFields)
+    }
+    val v = snap.version + 1
+    writeCommit(base, v,
+      snap.files.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
+        newAdds.toSeq.map(addJson(_, base, dataChange = false)),
+      operation = "OPTIMIZE")
+    Some(v)
+  }
+
   /** VACUUM: physically delete files under the table root that the
     * current snapshot no longer references (tombstoned by remove
     * actions, or orphaned by failed writes) and whose modification time

@@ -139,6 +139,27 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(got.toSeq == (1L to 8L))
   }
 
+  test("optimize zorder clusters files so range reads prune") {
+    val base = tmp()
+    // x, y each span [0, 64); Morton boxes of 16 output files are
+    // 32-wide in x, so x <= 7 admits only the x-box [0,31] half
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"), col("id"))
+    DeltaInterop.overwrite(df.repartition(6), base)
+    val v = DeltaInterop.optimizeZorder(spark, base, Seq("x", "y"),
+      filesPerPartition = 16)
+    assert(v.nonEmpty)
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.files.size == 16)
+    val all = DeltaInterop.read(spark, base)
+    assert(all.count() == 4096)
+    assert(all.agg(sum("id")).head().getLong(0) == (0L until 4096L).sum)
+    val narrow = DeltaInterop.readRange(spark, base, "x", Some(0L), Some(7L))
+    assert(narrow.inputFiles.length < 16,
+      s"z-order stats should prune files, scanned ${narrow.inputFiles.length}")
+    assert(narrow.count() == 4096 / 8)
+  }
+
   test("optimize refuses columnMapping id mode loudly") {
     val base = tmp()
     val df = spark.range(6).select(col("id"), (col("id") + 1).as("v"))
