@@ -2107,6 +2107,18 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** GPT-style sequence packing (Sampling.packSequences): the corpus is
+    * laid end-to-end in doc_id order and cut into 512-token training
+    * blocks; per block the oracle hash-checks how many docs touch it,
+    * start in it, and its exact token fill — so the distributed prefix
+    * sum (range-partitioned, no single-partition window) must agree
+    * with DuckDB's sequential window to the token. */
+  private def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Sampling.packSequences(docs, col("doc_id"), col("text"), 512L)
+      .orderBy(col("block_id"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3584,6 +3596,7 @@ object SparkEntry {
     "q170_iceberg_snapshots" -> (qIcebergSnapshots _),
     "q171_delta_incremental" -> (qDeltaIncremental _),
     "q172_delta_zorder" -> (qDeltaZorder _),
+    "q173_sequence_pack" -> (qSequencePack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5081,6 +5094,27 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey BETWEEN 1 AND 500 AND l_suppkey < 100
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q173_sequence_pack" ->
+      """WITH lens AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         cum AS (
+           SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum_end
+           FROM lens),
+         spans AS (
+           SELECT CAST(cum_end - n AS BIGINT) AS cum_start,
+             CAST(cum_end AS BIGINT) AS cum_end,
+             CAST((cum_end - n) // 512 AS BIGINT) AS sb,
+             CAST((cum_end - 1) // 512 AS BIGINT) AS eb
+           FROM cum),
+         blocks AS (
+           SELECT cum_start, cum_end, CAST(b AS BIGINT) AS block_id
+           FROM spans, UNNEST(generate_series(sb, eb)) AS t(b))
+         SELECT block_id, count(*) AS n_docs,
+           CAST(sum(CASE WHEN cum_start >= block_id * 512
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(sum(least(cum_end, (block_id + 1) * 512)
+                    - greatest(cum_start, block_id * 512)) AS BIGINT) AS n_tokens
+         FROM blocks GROUP BY block_id ORDER BY block_id""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

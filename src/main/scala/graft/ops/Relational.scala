@@ -141,6 +141,33 @@ object Relational {
       .drop("__pid", "__offset")
   }
 
+  /** Exact DISTRIBUTED prefix sum of a long-valued column in global
+    * `order`: range-partition on the order keys, window-sum within each
+    * partition, then add per-partition offsets (a bounded
+    * #partitions-row collect) — the same shape as `globalRank`, so no
+    * single-partition window anywhere. `as` holds the INCLUSIVE prefix
+    * sum (this row's value included). */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                      as: String): DataFrame = {
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val offsets = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val offsetRows = offsets.sliding(2).collect {
+      case Array((_, acc), (pid, _)) => (pid, acc)
+    }.toSeq
+    val offsetDf = df.sparkSession.createDataFrame(offsetRows)
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(as, sum(col("__v")).over(w) + col("__offset"))
+      .drop("__pid", "__offset", "__v")
+  }
+
   /** Exact running total of a double column in decimal space (prefix sums
     * stay associative/exact → identical across engines and partitionings). */
   def runningTotal(df: DataFrame, value: Column, partitionKeys: Seq[Column],

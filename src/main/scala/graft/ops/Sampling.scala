@@ -159,4 +159,41 @@ object Sampling {
       scored.count()).toLong)
     ranked.withColumn("selected", col("__rk") <= k).drop("__rk")
   }
+
+  /** GPT-style sequence packing: documents are laid end-to-end (in
+    * `idCol` order) into one contiguous token stream and cut into
+    * fixed `blockTokens` training blocks; a document may straddle a cut
+    * (concatenative packing, the standard pretraining layout). Returns
+    * one row per block: how many documents touch it, how many START in
+    * it, and its token fill (= blockTokens everywhere but the tail).
+    *
+    * Scale shape: token counts are one map-only pass; the global
+    * stream offsets come from `Relational.globalPrefixSum` (range-
+    * partitioned prefix sum — NO single-partition window); each doc
+    * then explodes to its ⌈len/B⌉+1 touched blocks (linear in total
+    * tokens / B) and one block-keyed aggregation finishes. All block
+    * arithmetic is integer (`div`), so any engine computes the same
+    * packing. */
+  def packSequences(docs: DataFrame, idCol: Column, textCol: Column,
+                    blockTokens: Long): DataFrame = {
+    val b = lit(blockTokens)
+    val withLen = docs.select(idCol.as("doc_id"),
+      size(split(textCol, " ")).cast("long").as("n_tokens"))
+    graft.ops.Relational
+      .globalPrefixSum(withLen, Seq(col("doc_id")), col("n_tokens"), "cum_end")
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .withColumn("start_block", expr(s"cum_start div $blockTokens"))
+      .withColumn("end_block", expr(s"(cum_end - 1) div $blockTokens"))
+      // empty docs (cum_end == cum_start) still occupy their start block
+      .withColumn("end_block", greatest(col("end_block"), col("start_block")))
+      .withColumn("block_id",
+        explode(sequence(col("start_block"), col("end_block"))))
+      .groupBy(col("block_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("cum_start") >= col("block_id") * b).cast("long"))
+          .as("n_starts"),
+        sum(least(col("cum_end"), (col("block_id") + 1) * b) -
+            greatest(col("cum_start"), col("block_id") * b)).as("n_tokens"))
+  }
 }
