@@ -30,6 +30,19 @@ class PackSequencesSpec extends SparkSpec {
       (2L, 1L, 0L, 3L), (3L, 1L, 0L, 1L)))
   }
 
+  test("packing plan has no single-partition exchange (scale pin)") {
+    // the whole point of globalPrefixSum: a naive global-order window
+    // would plan Exchange SinglePartition and serialize 100 TB through
+    // one task. Pin the plan so a refactor can't regress it.
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val plan = Sampling.packSequences(docs, col("doc_id"), col("text"), 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"sequence packing serializes through one partition:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected range partitioning for the global order:\n$plan")
+  }
+
   test("globalPrefixSum equals a sequential scan on any partitioning") {
     val df = spark.range(1000).select(col("id"),
       ((col("id") * 37) % 11 + 1).as("v")).repartition(13)
