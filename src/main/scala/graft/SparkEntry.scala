@@ -2119,6 +2119,19 @@ object SparkEntry {
       .orderBy(col("block_id"))
   }
 
+  /** Entity-resolution fuzzy join (TextAnalysis.fuzzySelfJoin): every
+    * supplier-name pair within edit distance 1, found via q-gram PREFIX
+    * blocking (rarest-gram collisions only — the shared 'Supplier#0…'
+    * stem never blocks) and verified by exact levenshtein. The oracle
+    * is the brute-force quadratic join in DuckDB, so a candidate lost
+    * to over-aggressive blocking (or a phantom pair) hash-mismatches. */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(s, dir, "supplier")
+    graft.ops.TextAnalysis.fuzzySelfJoin(sup, col("s_suppkey"),
+        col("s_name"), maxDist = 1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3597,6 +3610,7 @@ object SparkEntry {
     "q171_delta_incremental" -> (qDeltaIncremental _),
     "q172_delta_zorder" -> (qDeltaZorder _),
     "q173_sequence_pack" -> (qSequencePack _),
+    "q174_fuzzy_join" -> (qFuzzyJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5115,6 +5129,14 @@ object SparkEntry {
            CAST(sum(least(cum_end, (block_id + 1) * 512)
                     - greatest(cum_start, block_id * 512)) AS BIGINT) AS n_tokens
          FROM blocks GROUP BY block_id ORDER BY block_id""",
+    "q174_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           a.s_name AS s_a, b.s_name AS s_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+         FROM supplier a, supplier b
+         WHERE a.s_suppkey < b.s_suppkey
+           AND levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY id_a, id_b""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -317,6 +317,64 @@ object TextAnalysis {
         round(sum(col("contrib")), 6).as("score"))
   }
 
+  /** Fuzzy self-join by edit distance with q-gram PREFIX blocking
+    * (after the public ED-Join filtering of Xiao et al. 2008, VLDB):
+    * two strings within edit distance k share all but at most q·k of
+    * their q-grams, so under one GLOBAL gram order (rarest first) any
+    * true pair must collide on at least one of each string's q·k+1
+    * rarest grams. Candidates therefore come from an equi-join on those
+    * prefix grams only — the hot grams every string shares (think a
+    * common name stem) never block, which is what keeps this linear
+    * instead of all-pairs. Strings too short for the count bound
+    * (length < 2k+2) are exhaustively paired against everything via a
+    * broadcast (they must be RARE — at web scale near-empty strings
+    * belong in a quality filter long before entity resolution). The
+    * exact `levenshtein` (codegen'd builtin) then verifies candidates.
+    *
+    * Returns (id_a, id_b, s_a, s_b, dist) with id_a < id_b, each true
+    * pair exactly once. One gram explode + frequency count + prefix
+    * rank, one gram-keyed candidate join, one verify — no cartesian. */
+  def fuzzySelfJoin(df: DataFrame, idCol: Column, strCol: Column,
+                    maxDist: Int = 1, q: Int = 2): DataFrame = {
+    require(maxDist >= 0 && q >= 2, s"maxDist=$maxDist q=$q")
+    val base = df.select(idCol.as("id"), strCol.as("s"))
+    val minLen = 2 * maxDist + 2
+    // q-grams of s: positions 1 .. len-q+1
+    val grams = base
+      .filter(length(col("s")) >= minLen)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("s")) - lit(q - 1)),
+          i => col("s").substr(i, lit(q))))).as("gram"))
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("__gf"))
+    val prefixLen = q * maxDist + 1
+    val wRare = Window.partitionBy(col("id"))
+      .orderBy(col("__gf").asc, col("gram").asc)
+    val prefix = grams.join(freq, Seq("gram"))
+      .withColumn("__rn", row_number().over(wRare))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("id"), col("gram"))
+    val candidates = prefix.as("pa")
+      .join(prefix.as("pb"), col("pa.gram") === col("pb.gram") &&
+        col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
+    // short strings: exhaustive against every OTHER string (broadcast —
+    // the short side is tiny by contract)
+    val short = base.filter(length(col("s")) < minLen)
+    val shortPairs = broadcast(short.as("sa"))
+      .join(base.as("sb"), col("sa.id") =!= col("sb.id"))
+      .select(least(col("sa.id"), col("sb.id")).as("id_a"),
+        greatest(col("sa.id"), col("sb.id")).as("id_b"))
+      .distinct()
+    val allCand = candidates.unionByName(shortPairs).distinct()
+    allCand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
+  }
+
   /** Corpus-frequency vocabulary pruning: drop every token whose GLOBAL
     * corpus frequency falls below `keepPerMille` per-mille of all
     * corpus tokens (OCR noise, mojibake, one-off typos — the long tail
