@@ -2132,6 +2132,22 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Temperature-scaled mixture (Sampling.temperatureMixture, the
+    * mT5/XLM-R rule): 1000 rows drawn with per-source targets ∝
+    * √count — small sources upsampled relative to share. The oracle
+    * replays the ordered sqrt-weight arithmetic and the md5-rank
+    * selection in SQL, so both the derived integer targets AND the
+    * exact chosen rows are hash-checked. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Sampling.temperatureMixture(docs, col("source"), col("doc_id"),
+        totalN = 1000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("__epoch")).as("max_epoch"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3611,6 +3627,7 @@ object SparkEntry {
     "q172_delta_zorder" -> (qDeltaZorder _),
     "q173_sequence_pack" -> (qSequencePack _),
     "q174_fuzzy_join" -> (qFuzzyJoin _),
+    "q175_temperature_mix" -> (qTemperatureMix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5137,6 +5154,31 @@ object SparkEntry {
          WHERE a.s_suppkey < b.s_suppkey
            AND levenshtein(a.s_name, b.s_name) <= 1
          ORDER BY id_a, id_b""",
+    "q175_temperature_mix" ->
+      """WITH counts AS (
+           SELECT source AS src, count(*) AS c FROM documents GROUP BY source),
+         w AS (SELECT src, c, sqrt(CAST(c AS DOUBLE)) AS wt FROM counts),
+         tot AS (SELECT max(cum) AS s FROM (
+           SELECT sum(wt) OVER (ORDER BY src
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM w)),
+         tgt AS (SELECT src, c,
+           CAST(floor(1000 * wt / s) AS BIGINT) AS target FROM w, tot),
+         ranked AS (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents),
+         copied AS (
+           SELECT r.source, r.n_chars,
+             (t.target // t.c) +
+               CASE WHEN r.rn <= t.target % t.c THEN 1 ELSE 0 END AS copies
+           FROM ranked r JOIN tgt t ON r.source = t.src)
+         SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars * copies) AS BIGINT) AS sum_chars,
+           CAST(max(copies) AS BIGINT) AS max_epoch
+         FROM copied WHERE copies >= 1
+         GROUP BY source ORDER BY source""",
     "q104_scoped_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey,

@@ -160,6 +160,37 @@ object Sampling {
     ranked.withColumn("selected", col("__rk") <= k).drop("__rk")
   }
 
+  /** Temperature-scaled mixture (the mT5/XLM-R multilingual sampling
+    * rule): per-source targets ∝ count^(1/T), normalized to `totalN`
+    * rows — T>1 upsamples small sources relative to their share, T=1
+    * is proportional. Targets are computed DRIVER-side from the
+    * (bounded, one row per source) count frame, summing weights in
+    * sorted-source order so the floating-point total — and therefore
+    * every floor()'d target — is reproducible by any engine replaying
+    * the same ordered arithmetic (at T=2 the weight is `sqrt`, which
+    * IEEE 754 requires correctly rounded, so the parity is exact). The
+    * actual row selection is `mixture`'s md5-rank machinery:
+    * deterministic, partitioning-independent, epoch-tagged repeats. */
+  def temperatureMixture(df: DataFrame, source: Column, key: Column,
+                         totalN: Long, temperature: Double = 2.0,
+                         allowRepeat: Boolean = true): DataFrame = {
+    require(temperature > 0, s"temperature $temperature")
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__cnt"))
+      .collect() // bounded: one row per source
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    def weight(c: Long): Double =
+      if (temperature == 2.0) math.sqrt(c.toDouble)
+      else math.pow(c.toDouble, 1.0 / temperature)
+    val total = counts.foldLeft(0.0)((acc, sc) => acc + weight(sc._2))
+    val targets = counts.toSeq.map { case (s, c) =>
+      (s, math.floor(totalN * weight(c) / total).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    mixture(df, source, key, targets.toDF("__src", "__target"), allowRepeat)
+  }
+
   /** GPT-style sequence packing: documents are laid end-to-end (in
     * `idCol` order) into one contiguous token stream and cut into
     * fixed `blockTokens` training blocks; a document may straddle a cut
