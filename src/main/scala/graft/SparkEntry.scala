@@ -2148,6 +2148,37 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Cross-format migration diff (Federation.diff): a Delta table and
+    * its deliberately-perturbed Iceberg "migration" (dropped keys,
+    * changed balances, extra keys) are compared by ONE full-outer join
+    * — identical rows vanish, every divergence classifies as
+    * only_left / only_right / changed. The oracle derives the three
+    * classes from the perturbation rules directly, so a mis-joined or
+    * mis-compared row hash-mismatches. */
+  private def qMigrationDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, IcebergInterop, Federation}
+    val base = cachedFixture("migration_diff_customer", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      DeltaInterop.overwrite(cust, s"$p/delta")
+      val perturbed = cust
+        .filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("acctbal", when(col("c_custkey") % 13 === 0,
+            (col("acctbal") + lit(5)).cast(DecimalType(18, 2)))
+          .otherwise(col("acctbal")))
+        .unionByName(cust.filter(col("c_custkey") < 40)
+          .withColumn("c_custkey", col("c_custkey") + lit(9000000L)))
+      IcebergInterop.overwrite(perturbed, s"$p/ice")
+    }
+    Federation.diff(s, Federation.Delta(s"$base/delta"),
+        Federation.Iceberg(s"$base/ice"), Seq("c_custkey"))
+      .groupBy(col("_diff_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("c_custkey")).as("sum_keys"))
+      .orderBy(col("_diff_type"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3628,6 +3659,7 @@ object SparkEntry {
     "q173_sequence_pack" -> (qSequencePack _),
     "q174_fuzzy_join" -> (qFuzzyJoin _),
     "q175_temperature_mix" -> (qTemperatureMix _),
+    "q176_migration_diff" -> (qMigrationDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4304,6 +4336,20 @@ object SparkEntry {
            CAST(max(copies) AS BIGINT) AS max_epoch
          FROM copied WHERE copies >= 1
          GROUP BY source ORDER BY source""",
+    "q176_migration_diff" ->
+      """WITH diffs AS (
+           SELECT c_custkey, 'only_left' AS t FROM customer
+           WHERE c_custkey % 97 = 0
+           UNION ALL
+           SELECT c_custkey, 'changed' FROM customer
+           WHERE c_custkey % 13 = 0 AND c_custkey % 97 <> 0
+           UNION ALL
+           SELECT c_custkey + 9000000, 'only_right' FROM customer
+           WHERE c_custkey < 40
+         )
+         SELECT t AS _diff_type, count(*) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+         FROM diffs GROUP BY t ORDER BY t""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -48,4 +48,38 @@ object Federation {
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Migration validation: exact row-level diff of two members (any
+    * format pair) keyed on `keys` — the check a Delta→Iceberg (or
+    * lake→lakehouse) migration runs before cutting over. ONE full-outer
+    * join classifies every key: `only_left`, `only_right`, or
+    * `changed` (null-safe payload compare over the shared non-key
+    * columns); identical rows produce NO output, so the diff of a
+    * faithful migration is empty — and the operator's cost is one
+    * key-partitioned shuffle regardless of table format. */
+  def diff(spark: SparkSession, leftMember: Member, rightMember: Member,
+           keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = readMember(spark, leftMember)
+    val r = readMember(spark, rightMember)
+    val shared = l.columns.filterNot(keys.contains)
+      .intersect(r.columns.filterNot(keys.contains)).toSeq
+    // presence markers, not key nullity: a legitimately-null key value
+    // must not masquerade as an absent side
+    val lt = l.select((keys ++ shared).map(col): _*)
+      .withColumn("_l_present", lit(1)).as("l")
+    val rt = r.select((keys ++ shared).map(col): _*)
+      .withColumn("_r_present", lit(1)).as("r")
+    val on = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val payloadEq = shared.map(c => col(s"l.$c") <=> col(s"r.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    lt.join(rt, on, "full_outer")
+      .withColumn("_diff_type",
+        when(col("_r_present").isNull, lit("only_left"))
+          .when(col("_l_present").isNull, lit("only_right"))
+          .when(!payloadEq, lit("changed")))
+      .filter(col("_diff_type").isNotNull)
+      .select(keys.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) :+
+        col("_diff_type"): _*)
+  }
 }

@@ -58,6 +58,23 @@ class FederationSpec extends SparkSpec {
     assert(latest.count() == 2 && pinned.count() == 1)
   }
 
+  test("diff: a faithful migration diffs empty; divergences classify") {
+    val base = tmp()
+    val src = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    graft.sources.DeltaInterop.overwrite(src.coalesce(1), s"$base/delta")
+    graft.sources.IcebergInterop.overwrite(src.coalesce(1), s"$base/ice")
+    assert(Federation.diff(spark, Federation.Delta(s"$base/delta"),
+      Federation.Iceberg(s"$base/ice"), Seq("id")).count() == 0)
+
+    // perturbed: drop id=1, change id=2, add id=9
+    val bad = Seq((2L, 21.0), (3L, 30.0), (9L, 90.0)).toDF("id", "v")
+    graft.sources.IcebergInterop.overwrite(bad.coalesce(1), s"$base/ice2")
+    val got = Federation.diff(spark, Federation.Delta(s"$base/delta"),
+        Federation.Iceberg(s"$base/ice2"), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "only_left"), (2L, "changed"), (9L, "only_right")))
+  }
+
   test("plan: the federation is a Union of scans with no added exchange") {
     val base = tmp()
     val df = (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v")
