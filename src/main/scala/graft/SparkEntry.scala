@@ -2179,6 +2179,18 @@ object SparkEntry {
       .orderBy(col("_diff_type"))
   }
 
+  /** Exact-substring dedup, shingle form (Dedup.removeRepeatedSpans,
+    * after Lee et al. 2021): every token covered by a 10-gram that
+    * also occurs in ANOTHER document is cut from every document
+    * carrying it. The oracle rebuilds each document's cleaned text in
+    * SQL and md5-hashes it, so the exact removed span set — boundaries
+    * included — is hash-checked per document. */
+  private def qExactSubstring(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.Dedup.removeRepeatedSpans(docs, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3660,6 +3672,7 @@ object SparkEntry {
     "q174_fuzzy_join" -> (qFuzzyJoin _),
     "q175_temperature_mix" -> (qTemperatureMix _),
     "q176_migration_diff" -> (qMigrationDiff _),
+    "q177_exact_substring" -> (qExactSubstring _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4350,6 +4363,31 @@ object SparkEntry {
          SELECT t AS _diff_type, count(*) AS n_rows,
            CAST(sum(c_custkey) AS BIGINT) AS sum_keys
          FROM diffs GROUP BY t ORDER BY t""",
+    "q177_exact_substring" ->
+      """WITH words AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS i,
+             array_to_string(list_slice(w, CAST(i AS BIGINT) + 1,
+               CAST(i AS BIGINT) + 10), ' ') AS s
+           FROM words, UNNEST(range(len(w) - 9)) AS t(i)
+           WHERE len(w) >= 10),
+         rep AS (
+           SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, i + CAST(o AS BIGINT) AS pos
+           FROM sh JOIN rep USING (s), UNNEST(range(10)) AS u(o)),
+         toks AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             w[CAST(i AS BIGINT) + 1] AS tok
+           FROM words, UNNEST(range(len(w))) AS t2(i)),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok FROM toks t
+           LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.doc_id IS NULL)
+         SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

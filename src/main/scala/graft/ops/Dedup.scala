@@ -365,4 +365,47 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
+
+  /** Exact-substring dedup at n-gram granularity (the shingle form of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better" — their suffix-array ExactSubstr pass): any token
+    * covered by an n-token span that ALSO occurs in another document is
+    * removed from every document carrying it, and each document is
+    * rebuilt from its surviving tokens in order. Unlike chunk dedup
+    * (first occurrence wins), repeated spans are cut EVERYWHERE — the
+    * memorization-risk reading of duplication.
+    *
+    * Scale shape, all linear: one shingle explode (token stream × 1),
+    * one map-side-combined distinct-doc count per shingle, one
+    * shingle-keyed join back (repeated shingles only), one bounded
+    * explode (n positions per repeated shingle) to the covered-token
+    * set, one anti join on (doc, pos), one doc-keyed rebuild. No
+    * doc×doc, no suffix array materialized — the n-gram granularity is
+    * exactly what makes this shuffle-joinable at 100 TB. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+                          n: Int = 10): DataFrame = {
+    require(n >= 2, s"span width $n")
+    val words = docs.select(idCol.as("doc_id"), split(textCol, " ").as("w"))
+    val toks = words.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    val shingles = words
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
+        .as(Seq("i", "sh")))
+    val repeated = shingles.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("sh"))
+    val covered = shingles.join(repeated, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("pos"))
+      .distinct()
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("clean_md5"))
+  }
 }
