@@ -186,7 +186,7 @@ object SparkEntry {
   /** Bump when the on-disk shape a fixture writer produces changes
     * (e.g. Iceberg data files gaining parquet field ids): cached builds
     * from the previous format must not satisfy the new reader. */
-  private val FixtureFormatVersion = 2
+  private val FixtureFormatVersion = 3
 
   private def cachedFixture(kind: String, dir: String, srcTable: String)
                            (build: String => Unit): String = {
@@ -2191,6 +2191,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The Iceberg `files` metadata table: per-file content kind, the
+    * MANIFEST-recorded record count (spec field 103 — the table opens
+    * no data file), and sequence numbers across an
+    * overwrite→append→positional-delete history. Oracle derives the
+    * expected counts from the source table, so a writer that records
+    * wrong manifest counts (or a reader that miscounts live files)
+    * hash-mismatches. */
+  private def qIcebergFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_files_supplier", dir, "supplier") { p =>
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      IcebergInterop.overwrite(sup, p)
+      IcebergInterop.append(sup.filter(col("s_suppkey") % 3 === 0), p)
+      val f = IcebergInterop.snapshot(s, p).files.head.rawPath
+      IcebergInterop.addPositionDeletes(s, p, Seq(f -> Seq(0L, 1L)))
+    }
+    IcebergInterop.filesTable(s, base)
+      .select(col("content"), col("record_count"), col("sequence_number"))
+      .orderBy(col("sequence_number"), col("content"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3673,6 +3697,7 @@ object SparkEntry {
     "q175_temperature_mix" -> (qTemperatureMix _),
     "q176_migration_diff" -> (qMigrationDiff _),
     "q177_exact_substring" -> (qExactSubstring _),
+    "q178_iceberg_files" -> (qIcebergFiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4388,6 +4413,17 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_kept,
            md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
          FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "q178_iceberg_files" ->
+      """SELECT content, CAST(record_count AS BIGINT) AS record_count,
+           CAST(sequence_number AS BIGINT) AS sequence_number
+         FROM (
+           SELECT 'data' AS content, count(*) AS record_count,
+             1 AS sequence_number FROM supplier
+           UNION ALL
+           SELECT 'data', count(*), 2 FROM supplier WHERE s_suppkey % 3 = 0
+           UNION ALL
+           SELECT 'position_deletes', 2, 3
+         ) ORDER BY sequence_number, content""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

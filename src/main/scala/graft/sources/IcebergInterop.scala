@@ -54,7 +54,8 @@ object IcebergInterop {
                                  rawPath: String = "",
                                  seq: Long = 0L,
                                  lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-                                 upperBounds: Map[Int, Array[Byte]] = Map.empty)
+                                 upperBounds: Map[Int, Array[Byte]] = Map.empty,
+                                 recordCount: Long = -1L)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number. */
@@ -313,7 +314,8 @@ object IcebergInterop {
                 case _ => Map.empty[Int, Array[Byte]]
               }.getOrElse(Map.empty)
             files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq,
-              boundsOf("lower_bounds"), boundsOf("upper_bounds"))
+              boundsOf("lower_bounds"), boundsOf("upper_bounds"),
+              opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L))
           } else {
             // merge-on-read deletes: position (content=1) and equality
             // (content=2); anything else would resurrect rows if ignored
@@ -827,7 +829,7 @@ object IcebergInterop {
     * one-sided bounds would make the admit test asymmetric. */
   private def collectBounds(spark: SparkSession, schema: StructType,
                             staged: Seq[File])
-      : Map[String, (Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
+      : Map[String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
     import org.apache.spark.sql.functions._
     def orderable(dt: DataType): Boolean = dt match {
       case _: NumericType | StringType | DateType |
@@ -836,8 +838,8 @@ object IcebergInterop {
     }
     val statCols = schema.fields.zipWithIndex
       .filter { case (f, _) => orderable(f.dataType) }.toSeq
-    if (staged.isEmpty || statCols.isEmpty) return Map.empty
-    val aggs = statCols.flatMap { case (f, _) =>
+    if (staged.isEmpty) return Map.empty
+    val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.flatMap { case (f, _) =>
       Seq(min(col(f.name)), max(col(f.name))) }
     spark.read.parquet(staged.map(_.getPath): _*)
       .groupBy(regexp_replace(col("_metadata.file_path"),
@@ -848,13 +850,13 @@ object IcebergInterop {
         val lo = Map.newBuilder[Int, Array[Byte]]
         val hi = Map.newBuilder[Int, Array[Byte]]
         statCols.zipWithIndex.foreach { case ((f, fieldIdx), i) =>
-          for (mn <- SingleValue.encode(f.dataType, r.get(1 + i * 2));
-               mx <- SingleValue.encode(f.dataType, r.get(2 + i * 2))) {
+          for (mn <- SingleValue.encode(f.dataType, r.get(2 + i * 2));
+               mx <- SingleValue.encode(f.dataType, r.get(3 + i * 2))) {
             lo += (fieldIdx + 1) -> mn
             hi += (fieldIdx + 1) -> mx
           }
         }
-        r.getString(0) -> (lo.result(), hi.result())
+        r.getString(0) -> (r.getLong(1), lo.result(), hi.result())
       }.toMap
   }
 
@@ -1017,9 +1019,13 @@ object IcebergInterop {
       dfr.put("content", 0)
       dfr.put("file_path", f.getAbsolutePath)
       dfr.put("file_format", "PARQUET")
-      dfr.put("record_count", 0L) // fixtures don't track counts
+      // record_count is the spec's REQUIRED per-file row count (field
+      // 103) — the filesTable and scan planners read it, so it must be
+      // real, from the same one grouped scan that collects bounds
+      dfr.put("record_count",
+        boundsByFile.get(PathCodec.metadataPathKey(f)).map(_._1).getOrElse(0L))
       dfr.put("file_size_in_bytes", f.length())
-      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (lo, hi) =>
+      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
       }
@@ -1200,6 +1206,7 @@ object IcebergInterop {
       }: _*).dropDuplicates(equalityCols)
     val scratch = new File(base, s".stage_$id")
     proj.coalesce(1).write.parquet(scratch.getPath)
+    val nDelRows = spark.read.parquet(scratch.getPath).count()
     val pf = Option(scratch.listFiles()).getOrElse(Array.empty)
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no delete part file staged"))
@@ -1217,7 +1224,7 @@ object IcebergInterop {
     dfr.put("content", 2) // 2 = equality deletes
     dfr.put("file_path", delFile.getAbsolutePath)
     dfr.put("file_format", "PARQUET")
-    dfr.put("record_count", 0L) // fixtures don't track counts
+    dfr.put("record_count", nDelRows)
     dfr.put("file_size_in_bytes", delFile.length())
     dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
     rec.put("data_file", dfr)
@@ -1376,6 +1383,31 @@ object IcebergInterop {
     }
     import spark.implicits._
     rows.toDF("snapshot_id", "sequence_number", "operation", "is_current")
+  }
+
+  /** The `files` metadata table: one row per live data/delete file of
+    * the current (or time-traveled) snapshot — content kind, record
+    * count, sequence number, partition values. File paths are omitted
+    * by design (UUID-named, nondeterministic); the deterministic
+    * columns are what an auditing query aggregates anyway. Metadata
+    * walk only — manifests, never data. */
+  def filesTable(spark: SparkSession, base: String,
+                 snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, base, snapshotId)
+    // record counts come from the MANIFEST (spec field 103) — this
+    // table must never open a data file
+    val dataRows = snap.files.map { f =>
+      ("data", f.recordCount, f.seq,
+        f.partitionValues.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(","))
+    }
+    val delRows = snap.deletes.map(d =>
+      ("position_deletes", spark.read.parquet(d.path).count(), d.seq, "")) ++
+      snap.eqDeletes.map(d =>
+        ("equality_deletes", spark.read.parquet(d.path).count(), d.seq, ""))
+    import spark.implicits._
+    (dataRows ++ delRows)
+      .toDF("content", "record_count", "sequence_number", "partition")
   }
 
   /** Rollback: point `current-snapshot-id` back at an existing snapshot
