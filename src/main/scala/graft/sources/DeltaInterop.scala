@@ -72,7 +72,8 @@ object DeltaInterop {
       partitionColumns: Seq[String],
       files: Seq[AddFile],
       columnMappingMode: String = "none",
-      txnVersions: Map[String, Long] = Map.empty) {
+      txnVersions: Map[String, Long] = Map.empty,
+      configuration: Map[String, String] = Map.empty) {
     /** Physical parquet column name for a logical schema field. In
       * `name` mapping mode the protocol stores it in the field's
       * metadata (`delta.columnMapping.physicalName`); otherwise the
@@ -150,6 +151,7 @@ object DeltaInterop {
     }
 
     var cmMode = "none"
+    var tableConf = Map.empty[String, String]
     def applyProtocol(p: JsonNode): Unit = {
       val r = p.get("minReaderVersion").asInt()
       // v3 gates reads on an explicit readerFeatures list. The
@@ -178,6 +180,7 @@ object DeltaInterop {
         s"Delta columnMapping.mode=$mode is not a mode the protocol " +
         "defines (refusing)")
       cmMode = mode
+      if (conf.nonEmpty) tableConf = conf
     }
     def applyMetaData(m: JsonNode): Unit = {
       val conf = Option(m.get("configuration")).map { c =>
@@ -347,7 +350,7 @@ object DeltaInterop {
       throw new IllegalStateException(s"no metaData action found in $base")))
       .asInstanceOf[StructType]
     DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode,
-      txns.toMap)
+      txns.toMap, tableConf)
   }
 
   /** DESCRIBE HISTORY: one row per JSON commit still in the log —
@@ -1377,7 +1380,12 @@ object DeltaInterop {
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("partitionColumns", ArrayType(StringType)),
+        // configuration MUST survive checkpointing: a column-mapped
+        // table replayed from a checkpoint that dropped
+        // delta.columnMapping.mode would resolve logical names against
+        // physical files — every mapped column silently NULL
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", pvType),
@@ -1407,8 +1415,8 @@ object DeltaInterop {
       else Row(1, 2)
     val rows =
       Row(protoRow, null, null, null) ::
-      Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns),
-        null, null) ::
+      Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns,
+        snap.configuration), null, null) ::
       (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v))
       } ++

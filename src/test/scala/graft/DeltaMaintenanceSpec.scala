@@ -160,6 +160,27 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(narrow.count() == 4096 / 8)
   }
 
+  test("checkpoint preserves column-mapping configuration") {
+    val base = tmp()
+    val df = spark.range(6).select(col("id"), (col("id") * 7).as("v"))
+    DeltaInterop.overwriteColumnMapped(df.coalesce(1), base,
+      Map("id" -> "col-p", "v" -> "col-q"))
+    DeltaInterop.append(
+      spark.range(6, 9).select(col("id"), (col("id") * 7).as("v"))
+        .select(col("id").as("col-p"), col("v").as("col-q")).coalesce(1),
+      base)
+    DeltaInterop.checkpoint(spark, base)
+    // replay now starts FROM the checkpoint (commit 0's metaData is not
+    // re-read) — the mapping mode must come from the checkpoint row, or
+    // every mapped column silently reads NULL
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.columnMappingMode == "name",
+      "checkpoint dropped delta.columnMapping.mode")
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.agg(sum("v")).head().getLong(0) == (0 until 9).map(_ * 7).sum)
+  }
+
   test("optimize refuses columnMapping id mode loudly") {
     val base = tmp()
     val df = spark.range(6).select(col("id"), (col("id") + 1).as("v"))
