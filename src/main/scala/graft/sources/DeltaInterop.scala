@@ -1293,7 +1293,8 @@ object DeltaInterop {
       cols.fields.map(_.copy(nullable = true)))
     val v = snap.version + 1
     writeCommit(base, v, Seq(
-      metaJson(widened, snap.partitionColumns, UUID.randomUUID().toString)),
+      metaJson(widened, snap.partitionColumns, UUID.randomUUID().toString,
+        snap.configuration)),
       operation = "ADD COLUMNS")
     v
   }
@@ -1321,9 +1322,11 @@ object DeltaInterop {
     val removes = cur.files.filterNot(f => tgtKeys.contains(key(f)))
     val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
     val v = cur.version + 1
+    // configuration travels WITH the restored metaData — dropping it
+    // would strip column mapping from a mapped table (silent NULLs)
     writeCommit(base, v,
       Seq(metaJson(tgt.schema, tgt.partitionColumns,
-        UUID.randomUUID().toString)) ++
+        UUID.randomUUID().toString, tgt.configuration)) ++
         removes.map(r => removeJson(r.path, r.dv, dataChange = true)) ++
         adds.map(addJson(_, base, dataChange = true)),
       operation = "RESTORE")

@@ -51,6 +51,24 @@ class RestoreRollbackSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, base).count() == 6)
   }
 
+  test("delta restore keeps a mapped table's column mapping alive") {
+    val base = tmp()
+    val df = spark.range(5).select(col("id"), (col("id") + 1).as("v"))
+    DeltaInterop.overwriteColumnMapped(df.coalesce(1), base,
+      Map("id" -> "col-m", "v" -> "col-n"))
+    DeltaInterop.append(
+      spark.range(5, 8).select((col("id")).as("col-m"),
+        (col("id") + 1).as("col-n")).coalesce(1), base)
+    DeltaInterop.restore(spark, base, 0L)
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.columnMappingMode == "name",
+      "RESTORE dropped delta.columnMapping.mode")
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.count() == 5)
+    assert(got.agg(sum("v")).head().getLong(0) == (1 to 5).sum)
+  }
+
   test("iceberg rollback moves the read path; history survives") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(6).toDF("id").coalesce(1), base)
