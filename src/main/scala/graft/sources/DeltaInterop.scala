@@ -1065,9 +1065,27 @@ object DeltaInterop {
     v
   }
 
+  /** On a column-mapped table, appended frames must already carry
+    * PHYSICAL column names (data files never hold logical names under
+    * mapping) — staging logical names would make every mapped read of
+    * the new file silently NULL. */
+  private def requirePhysicalNames(spark: SparkSession, base: String,
+                                   df: DataFrame): Unit = {
+    val snap = snapshot(spark, base)
+    if (snap.columnMappingMode != "none") {
+      val physical = snap.schema.fieldNames.map(snap.physicalName).toSet
+      val bad = df.schema.fieldNames.filterNot(physical.contains)
+      require(bad.isEmpty,
+        s"append to column-mapped table $base: columns ${bad.mkString(",")} " +
+        s"are not physical names (expected among $physical) — a logical-" +
+        "named file would read back NULL (refusing)")
+    }
+  }
+
   /** Append rows (no existing file touched). */
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
+    requirePhysicalNames(df.sparkSession, base, df)
     val adds = collectAddStats(df.sparkSession, base,
       stageAdds(df, base, partitionBy),
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
@@ -1351,6 +1369,7 @@ object DeltaInterop {
     val snapOpt = if (exists) Some(snapshot(spark, base)) else None
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
+    if (exists) requirePhysicalNames(spark, base, df)
     val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val txnLine = {
