@@ -118,13 +118,29 @@ object Relational {
     * collect — metadata scale, like AQE's own stats). The scale-correct
     * replacement for `row_number().over(Window.partitionBy())`, whose
     * empty PARTITION BY funnels the whole dataset through one task. */
+  /** Persist with a BOUNDED session lifetime: these operators must pin
+    * their range-partitioned frame (re-sampling bounds on recompute
+    * would shift partition ids under the collected offsets), but a
+    * long session running hundreds of such queries would otherwise
+    * accumulate cached copies forever. A small FIFO unpersists the
+    * oldest pins once the recent window — by then long consumed — is
+    * full. */
+  private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private[ops] def pinBounded(df: DataFrame): DataFrame = {
+    df.persist()
+    pinned.add(df)
+    while (pinned.size > 4)
+      Option(pinned.poll()).foreach(_.unpersist(false))
+    df
+  }
+
   def globalRank(df: DataFrame, order: Seq[Column],
                  rankCol: String = "rnk"): DataFrame = {
-    // persisted: the frame feeds two jobs (offset count + final join),
+    // pinned: the frame feeds two jobs (offset count + final join),
     // and re-running range partitioning must not re-sample bounds
-    val sorted = df.repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val sorted = pinBounded(df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id()))
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
@@ -149,10 +165,9 @@ object Relational {
     * sum (this row's value included). */
   def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                       as: String): DataFrame = {
-    val sorted = df.withColumn("__v", value.cast("long"))
+    val sorted = pinBounded(df.withColumn("__v", value.cast("long"))
       .repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+      .withColumn("__pid", spark_partition_id()))
     val offsets = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }

@@ -147,8 +147,8 @@ object Sampling {
           log((col("r_total") + lit(buckets.toDouble)) /
               (col("t_total") + lit(buckets.toDouble))), 6).as("weight"))
       // feeds the K-count job AND the rank join — compute the gram
-      // pipeline once
-      .persist()
+      // pipeline once (bounded pin: unpersisted after newer pins land)
+      .transform(Relational.pinBounded)
     // selection cut: exact global rank WITHOUT a single-partition window
     // (Relational.globalRank range-partitions and offsets local ranks),
     // K from one bounded scalar count

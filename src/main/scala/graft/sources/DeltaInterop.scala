@@ -180,7 +180,10 @@ object DeltaInterop {
         s"Delta columnMapping.mode=$mode is not a mode the protocol " +
         "defines (refusing)")
       cmMode = mode
-      if (conf.nonEmpty) tableConf = conf
+      // metaData actions REPLACE the configuration wholesale (protocol
+      // semantics) — an empty map must clear prior config, or
+      // checkpoint/restore re-persist stale column-mapping state
+      tableConf = conf
     }
     def applyMetaData(m: JsonNode): Unit = {
       val conf = Option(m.get("configuration")).map { c =>
@@ -676,8 +679,21 @@ object DeltaInterop {
         catch { case _: Exception => None } }
     dt match {
       case _: NumericType =>
-        try Some(stat.decimalValue().compareTo(new java.math.BigDecimal(bound.toString)))
-        catch { case _: Exception => None }
+        // Jackson's decimalValue() returns ZERO (not an exception) for
+        // non-numeric nodes — comparing that would prune files that
+        // hold matching rows. Numbers compare directly; numeric-looking
+        // STRINGS (some writers quote their stats) parse; anything else
+        // is not comparable and the caller keeps the file.
+        val sv: Option[java.math.BigDecimal] =
+          if (stat.isNumber) Some(stat.decimalValue())
+          else if (stat.isTextual)
+            try Some(new java.math.BigDecimal(stat.asText().trim))
+            catch { case _: Exception => None }
+          else None
+        sv.flatMap { s =>
+          try Some(s.compareTo(new java.math.BigDecimal(bound.toString)))
+          catch { case _: Exception => None }
+        }
       case StringType if stat.isTextual =>
         Some(stat.asText().compareTo(bound.toString))
       case DateType if stat.isTextual =>
@@ -1267,13 +1283,35 @@ object DeltaInterop {
       Seq(data) ++ dvBin
     }.toSet
     val cutoff = System.currentTimeMillis() - retainMillis
+    // Retention clocks from the TOMBSTONING commit (Delta's
+    // deletionTimestamp contract — here the commit file's mtime, the
+    // same clock time travel uses), NOT from the data file's own mtime:
+    // a file written long ago but removed a minute ago must survive the
+    // retention window so time travel / RESTORE inside it keep working.
+    // Orphans (never logged) fall back to their own mtime.
+    val tombstonedAt = mutable.HashMap.empty[String, Long]
+    Option(logDir(base).listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
+      .foreach { cf =>
+        Files.readAllLines(cf.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val n = mapper.readTree(line)
+            Option(n.get("remove")).foreach { r =>
+              val p = new File(root, PathCodec.percentDecode(
+                r.get("path").asText())).getCanonicalPath
+              tombstonedAt(p) = cf.lastModified() // latest remove wins
+            }
+          }
+        }
+      }
     val deleted = mutable.ArrayBuffer.empty[String]
     def walk(d: File): Unit =
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
         val hidden = f.getName.startsWith(".") || f.getName.startsWith("_")
         if (f.isDirectory) { if (!hidden) walk(f) }
         else if (!hidden && !live.contains(f.getCanonicalPath) &&
-                 f.lastModified() <= cutoff) {
+                 tombstonedAt.getOrElse(f.getCanonicalPath,
+                   f.lastModified()) <= cutoff) {
           val rel = root.toPath.relativize(f.toPath.toAbsolutePath.normalize).toString
           if (f.delete()) deleted += rel
         }
@@ -1398,7 +1436,11 @@ object DeltaInterop {
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        // v3 protocols are INVALID without their feature list — a
+        // checkpoint that drops readerFeatures understates what a
+        // reader must implement
+        StructField("readerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -1432,9 +1474,12 @@ object DeltaInterop {
         StructField("version", LongType))))))
     import org.apache.spark.sql.Row
     val hasDv = snap.files.exists(_.dv.isDefined)
+    val mapped = snap.columnMappingMode != "none"
     val protoRow =
-      if (hasDv) Row(3, 7) // readerFeatures live in the JSON log's protocol
-      else Row(1, 2)
+      if (hasDv) Row(3, 7,
+        Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil))
+      else if (mapped) Row(2, 5, null) // mapping fits reader v2 via the property
+      else Row(1, 2, null)
     val rows =
       Row(protoRow, null, null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns,

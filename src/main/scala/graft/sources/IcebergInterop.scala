@@ -59,7 +59,8 @@ object IcebergInterop {
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number. */
-  final case class PositionDeleteFile(path: String, seq: Long, sizeBytes: Long)
+  final case class PositionDeleteFile(path: String, seq: Long, sizeBytes: Long,
+                                      recordCount: Long = -1L)
 
   /** One live equality-delete file (v2 merge-on-read): resolved parquet
     * whose rows hold the values of the `equality_ids` columns; a data
@@ -68,7 +69,8 @@ object IcebergInterop {
     * Planning — note the strictness difference from position deletes). */
   final case class EqualityDeleteFile(path: String, seq: Long,
                                       equalityFieldIds: Seq[Int],
-                                      sizeBytes: Long)
+                                      sizeBytes: Long,
+                                      recordCount: Long = -1L)
 
   /** One field of the default partition spec: `name` keys the manifest
     * partition records, `transform` is the spec string (identity /
@@ -323,8 +325,11 @@ object IcebergInterop {
               s"unsupported file content $fileContent in an Iceberg delete " +
               "manifest (refusing)")
             val f = new File(resolvePath(base, df.get("file_path").toString))
+            val recCount = opt(df, "record_count")
+              .map(_.toString.toLong).getOrElse(-1L)
             if (fileContent == 1)
-              deletes += PositionDeleteFile(f.getPath, entrySeq, f.length())
+              deletes += PositionDeleteFile(f.getPath, entrySeq, f.length(),
+                recCount)
             else {
               import scala.jdk.CollectionConverters._
               val ids = opt(df, "equality_ids").map {
@@ -335,7 +340,8 @@ object IcebergInterop {
               }.getOrElse(Seq.empty)
               require(ids.nonEmpty,
                 "equality delete file without equality_ids — cannot apply (refusing)")
-              eqDeletes += EqualityDeleteFile(f.getPath, entrySeq, ids, f.length())
+              eqDeletes += EqualityDeleteFile(f.getPath, entrySeq, ids,
+                f.length(), recCount)
             }
           }
         }
@@ -464,6 +470,14 @@ object IcebergInterop {
         ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
       case i: java.time.Instant =>
         i.getEpochSecond * 1000000L + i.getNano / 1000
+      // date-typed partition sources: midnight UTC of the civil date
+      case d: java.sql.Date => d.toLocalDate.toEpochDay * 86400000000L
+      case d: java.time.LocalDate => d.toEpochDay * 86400000000L
+      // NTZ (wall-clock) values: the civil datetime read as UTC, so
+      // dayOfMicros lands on the civil date
+      case ldt: java.time.LocalDateTime =>
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000
       case other => throw new IllegalArgumentException(
         s"expected timestamp value, got ${other.getClass.getSimpleName}")
     }
@@ -473,6 +487,9 @@ object IcebergInterop {
         case s: String => bucketString(s, n)
         case ts: java.sql.Timestamp => bucketLong(micros(ts), n)
         case i: java.time.Instant => bucketLong(micros(i), n)
+        // Iceberg buckets dates by their epoch-DAY int, not micros
+        case d: java.sql.Date => bucketLong(d.toLocalDate.toEpochDay, n)
+        case d: java.time.LocalDate => bucketLong(d.toEpochDay, n)
         case x => bucketLong(asLong(x), n)
       }).toString
       case IceTransform.Truncate(w) => v match {
@@ -917,9 +934,22 @@ object IcebergInterop {
         case other => throw new IllegalArgumentException(
           s"truncate[$w] unsupported on ${other.catalogString}")
       }
-      case IceTransform.Day =>
-        (name, datediff(col(src).cast("date"),
-          lit("1970-01-01").cast("date")), IntegerType)
+      case IceTransform.Day => srcType match {
+        case DateType | TimestampNTZType =>
+          // dates and wall-clock (NTZ) timestamps are timezone-free:
+          // the civil date's epoch-day is the partition value
+          (name, datediff(col(src).cast("date"),
+            lit("1970-01-01").cast("date")), IntegerType)
+        case _ =>
+          // UTC epoch day by exact integer floor division on the
+          // timestamp's unix micros — a session-timezone cast('date')
+          // here would disagree with readEq's UTC dayOfMicros and prune
+          // the wrong files in any non-UTC session
+          (name, expr(
+            s"cast((unix_micros(`$src`) div 86400000000) + " +
+            s"(case when unix_micros(`$src`) % 86400000000 < 0 then -1 else 0 end) as int)"),
+            IntegerType)
+      }
     }
   }
 
@@ -1402,9 +1432,9 @@ object IcebergInterop {
           .mkString(","))
     }
     val delRows = snap.deletes.map(d =>
-      ("position_deletes", spark.read.parquet(d.path).count(), d.seq, "")) ++
+      ("position_deletes", d.recordCount, d.seq, "")) ++
       snap.eqDeletes.map(d =>
-        ("equality_deletes", spark.read.parquet(d.path).count(), d.seq, ""))
+        ("equality_deletes", d.recordCount, d.seq, ""))
     import spark.implicits._
     (dataRows ++ delRows)
       .toDF("content", "record_count", "sequence_number", "partition")

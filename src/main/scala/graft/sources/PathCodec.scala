@@ -104,7 +104,12 @@ private[sources] object PathCodec {
     * normalize through this convention: scheme stripped, URI
     * percent-encoding applied. */
   def metadataPathKey(f: File): String =
-    f.getCanonicalFile.toURI.toString.replaceFirst("^file:/+", "/")
+    // absolute + lexically normalized, NOT canonical: Spark's
+    // `_metadata.file_path` does not resolve symlinks, so resolving
+    // them here would make every file-identity join silently empty on
+    // a symlinked table root (e.g. macOS /tmp → /private/tmp)
+    f.getAbsoluteFile.toPath.normalize.toUri.toString
+      .replaceFirst("^file:/+", "/").stripSuffix("/")
 
   /** The matching Spark-side normalization of `_metadata.file_path`:
     * strip the scheme, keep the percent-encoded path. */

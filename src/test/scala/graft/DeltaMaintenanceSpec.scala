@@ -160,6 +160,23 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(narrow.count() == 4096 / 8)
   }
 
+  test("vacuum retention clocks from the tombstoning commit, not file age") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    // age the data file far past any retention window
+    val snap = DeltaInterop.snapshot(spark, base)
+    val dataFile = new java.io.File(base, snap.files.head.path)
+    dataFile.setLastModified(System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    // tombstone it JUST NOW
+    DeltaInterop.overwrite(spark.range(100, 103).toDF("id").coalesce(1), base)
+    // default 7-day retention: the old-but-just-tombstoned file must
+    // survive — time travel inside the window keeps working
+    assert(DeltaInterop.vacuum(spark, base).isEmpty)
+    assert(DeltaInterop.read(spark, base, versionAsOf = Some(0L)).count() == 10)
+    // zero retention may then reclaim it
+    assert(DeltaInterop.vacuum(spark, base, retainMillis = 0L).nonEmpty)
+  }
+
   test("checkpoint preserves column-mapping configuration") {
     val base = tmp()
     val df = spark.range(6).select(col("id"), (col("id") * 7).as("v"))
