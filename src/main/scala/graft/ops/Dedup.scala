@@ -393,9 +393,12 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))"))
         .as(Seq("i", "sh")))
+    // "appears in more than one doc" ⇔ min(doc) != max(doc): exact, and
+    // min/max fold map-side — no count-distinct Expand over the full
+    // shingle stream
     val repeated = shingles.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") > 1)
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select(col("sh"))
     val covered = shingles.join(repeated, Seq("sh"))
       .select(col("doc_id"),
