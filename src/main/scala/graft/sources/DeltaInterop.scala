@@ -1430,7 +1430,14 @@ object DeltaInterop {
   /** Write a classic v1 parquet checkpoint of the CURRENT state and the
     * `_last_checkpoint` pointer — the protocol's log-compaction step.
     * Action columns: protocol / metaData / add (one non-null per row). */
-  def checkpoint(spark: SparkSession, base: String): Long = {
+  def checkpoint(spark: SparkSession, base: String): Long =
+    checkpointParts(spark, base, 1)
+
+  /** Multi-part form (`NNN.checkpoint.<i>.<k>.parquet`), the layout the
+    * protocol allows for tables whose action list outgrows one file —
+    * all parts are one logical dataset; the reader scans them together.
+    * `parts` = 1 degenerates to the classic single-file name. */
+  def checkpointParts(spark: SparkSession, base: String, parts: Int): Long = {
     val snap = snapshot(spark, base)
     val pvType = MapType(StringType, StringType)
     val cpSchema = StructType(Seq(
@@ -1494,17 +1501,29 @@ object DeltaInterop {
           f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
           f.stats.orNull), null)))
+    require(parts >= 1, s"checkpoint parts $parts")
     val scratch = new File(base, s".cp_${UUID.randomUUID()}")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
-      .coalesce(1).write.mode("overwrite").parquet(scratch.getPath)
-    val part = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
-    val dst = new File(logDir(base), checkpointName(snap.version))
-    Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), cpSchema)
+      .write.mode("overwrite").parquet(scratch.getPath)
+    val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(staged.nonEmpty, "checkpoint write produced no part file")
+    if (parts == 1) {
+      val dst = new File(logDir(base), checkpointName(snap.version))
+      Files.move(staged.head.toPath, dst.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      staged.zipWithIndex.foreach { case (f, i) =>
+        val dst = new File(logDir(base),
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.${staged.length}%010d.parquet")
+        Files.move(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
     val lc = mapper.createObjectNode()
     lc.put("version", snap.version); lc.put("size", rows.size.toLong)
+    if (parts > 1) lc.put("parts", staged.length)
     Files.writeString(new File(logDir(base), "_last_checkpoint").toPath,
       mapper.writeValueAsString(lc))
     snap.version

@@ -160,6 +160,25 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(narrow.count() == 4096 / 8)
   }
 
+  test("multi-part checkpoint write replays identically to JSON") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(20).toDF("id").coalesce(1), base)
+    DeltaInterop.append(spark.range(20, 35).toDF("id").coalesce(1), base)
+    val jsonState = DeltaInterop.read(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    DeltaInterop.checkpointParts(spark, base, parts = 3)
+    val parts = new java.io.File(base, "_delta_log").listFiles()
+      .filter(_.getName.matches(".*checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+    assert(parts.length >= 2, s"expected multi-part layout, got ${parts.toSeq}")
+    // hide the JSON commits: the replay must reconstruct from parts only
+    val dir = new java.io.File(base, "_delta_log")
+    dir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => f.renameTo(new java.io.File(dir, s"hidden_${f.getName}")))
+    val cpState = DeltaInterop.read(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cpState == jsonState)
+  }
+
   test("vacuum retention clocks from the tombstoning commit, not file age") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
