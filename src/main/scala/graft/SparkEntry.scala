@@ -186,7 +186,7 @@ object SparkEntry {
   /** Bump when the on-disk shape a fixture writer produces changes
     * (e.g. Iceberg data files gaining parquet field ids): cached builds
     * from the previous format must not satisfy the new reader. */
-  private val FixtureFormatVersion = 3
+  private val FixtureFormatVersion = 4
 
   private def cachedFixture(kind: String, dir: String, srcTable: String)
                            (build: String => Unit): String = {

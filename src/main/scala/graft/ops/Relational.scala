@@ -118,20 +118,18 @@ object Relational {
     * collect — metadata scale, like AQE's own stats). The scale-correct
     * replacement for `row_number().over(Window.partitionBy())`, whose
     * empty PARTITION BY funnels the whole dataset through one task. */
-  /** Persist with a BOUNDED session lifetime: these operators must pin
-    * their range-partitioned frame (re-sampling bounds on recompute
-    * would shift partition ids under the collected offsets), but a
-    * long session running hundreds of such queries would otherwise
-    * accumulate cached copies forever. A small FIFO unpersists the
-    * oldest pins once the recent window — by then long consumed — is
-    * full. */
-  private val pinned =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** Pin a range-partitioned frame for the computation's lifetime.
+    * These operators MUST cache: the collected per-partition offsets
+    * describe one concrete range partitioning, and letting Spark
+    * recompute the exchange could re-sample bounds and shift rows to
+    * different pids underneath them — silent wrong ranks/sums. An
+    * eager unpersist (e.g. a FIFO of recent pins) would reintroduce
+    * exactly that hazard for results built before older ones are
+    * consumed, so pins live until the caller's session ends. Cost is
+    * bounded in practice: a handful of global-rank/prefix-sum calls per
+    * session, each over doc-level (not token-level) rows. */
   private[ops] def pinBounded(df: DataFrame): DataFrame = {
     df.persist()
-    pinned.add(df)
-    while (pinned.size > 4)
-      Option(pinned.poll()).foreach(_.unpersist(false))
     df
   }
 

@@ -265,10 +265,17 @@ object DeltaInterop {
           .foreach { r =>
             val node = mapper.createObjectNode()
             node.put("minReaderVersion", r.getInt(0))
-            if (r.length > 1 && !r.isNullAt(1)) {
+            val hasFeatures = r.length > 1 && !r.isNullAt(1)
+            if (hasFeatures) {
               val arr = node.putArray("readerFeatures")
               r.getSeq[String](1).foreach(arr.add)
             }
+            // a v3 protocol is INVALID without its feature list — a
+            // checkpoint that lost it must refuse, not silently read
+            // with "no features required"
+            require(r.getInt(0) < 3 || hasFeatures,
+              s"checkpoint of $base records minReaderVersion=${r.getInt(0)} " +
+              "with no recoverable readerFeatures — refusing")
             applyProtocol(node)
           }
       }
@@ -968,12 +975,11 @@ object DeltaInterop {
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(0L)
     val removes = if (v == 0) Seq.empty else snapshot(spark, base).files
-    val removeLines = removes.map { r =>
-      val node = mapper.createObjectNode()
-      val rm = node.putObject("remove")
-      rm.put("path", r.path); rm.put("dataChange", true)
-      mapper.writeValueAsString(node)
-    }
+    // removes must carry the file's DV id: log reconciliation matches
+    // (path, dvId), so a bare remove would never reconcile a DV-carrying
+    // live file and the overwritten data would stay readable
+    val removeLines = removes.map(r =>
+      removeJson(r.path, r.dv, dataChange = true))
     writeCommit(base, v,
       Seq(protocolJson, metaJson(df.schema, partitionBy, UUID.randomUUID().toString)) ++
         removeLines ++ adds.map(addJson(_, base)),
@@ -1065,12 +1071,7 @@ object DeltaInterop {
         DvDescriptor("u", DeletionVectors.encodeUuid(uuid), Some(off),
           data.length, distinct.size.toLong)
       }
-    val removeLine = {
-      val node = mapper.createObjectNode()
-      val rm = node.putObject("remove")
-      rm.put("path", f.path); rm.put("dataChange", true)
-      mapper.writeValueAsString(node)
-    }
+    val removeLine = removeJson(f.path, None, dataChange = true) // f.dv is empty
     val proto =
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
@@ -1275,10 +1276,18 @@ object DeltaInterop {
     val root = new File(base).getCanonicalFile
     val live: Set[String] = snap.files.flatMap { f =>
       val data = new File(root, PathCodec.percentDecode(f.path)).getCanonicalPath
-      val dvBin = f.dv.filter(_.storageType == "u").map { d =>
-        val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
-        val dir = if (prefix.isEmpty) root else new File(root, prefix)
-        new File(dir, s"deletion_vector_$uuid.bin").getCanonicalPath
+      // EVERY on-disk DV storage form is live while its file is:
+      // "u" = UUID-derived bin under the table, "p" = absolute path
+      // (external writers use it — deleting one breaks every read)
+      val dvBin = f.dv.flatMap { d =>
+        d.storageType match {
+          case "u" =>
+            val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+            val dir = if (prefix.isEmpty) root else new File(root, prefix)
+            Some(new File(dir, s"deletion_vector_$uuid.bin").getCanonicalPath)
+          case "p" => Some(new File(d.pathOrInlineDv).getCanonicalPath)
+          case _ => None // "i" inline lives in the log itself
+        }
       }
       Seq(data) ++ dvBin
     }.toSet

@@ -201,6 +201,21 @@ object IcebergInterop {
   private def opt(r: GenericRecord, name: String): Option[AnyRef] =
     if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
+  /** Row count from the parquet FOOTER (block metadata) — no data
+    * pages, no Spark job; the cheap way to record manifest
+    * record_count for a just-staged file. */
+  private def footerRowCount(spark: SparkSession, f: File): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getPath),
+      spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    } finally reader.close()
+  }
+
   private def readAvro(f: File): Seq[GenericRecord] = {
     val reader = DataFileReader.openReader(f, new GenericDatumReader[GenericRecord]())
     try {
@@ -735,7 +750,11 @@ object IcebergInterop {
     private def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
     private def tsMicros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      // floorDiv, not truncation: for pre-1970 instants getTime/1000
+      // rounds toward zero, producing NON-monotonic micros (an instant
+      // before the epoch would encode after later ones) — wrong manifest
+      // bounds would then prune files that hold matching rows
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     private def ntzMicros(ldt: java.time.LocalDateTime): Long = {
       val i = ldt.toInstant(java.time.ZoneOffset.UTC)
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
@@ -1236,7 +1255,6 @@ object IcebergInterop {
       }: _*).dropDuplicates(equalityCols)
     val scratch = new File(base, s".stage_$id")
     proj.coalesce(1).write.parquet(scratch.getPath)
-    val nDelRows = spark.read.parquet(scratch.getPath).count()
     val pf = Option(scratch.listFiles()).getOrElse(Array.empty)
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no delete part file staged"))
@@ -1254,7 +1272,7 @@ object IcebergInterop {
     dfr.put("content", 2) // 2 = equality deletes
     dfr.put("file_path", delFile.getAbsolutePath)
     dfr.put("file_format", "PARQUET")
-    dfr.put("record_count", nDelRows)
+    dfr.put("record_count", footerRowCount(spark, delFile))
     dfr.put("file_size_in_bytes", delFile.length())
     dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
     rec.put("data_file", dfr)
