@@ -160,6 +160,19 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(narrow.count() == 4096 / 8)
   }
 
+  test("overwrite reconciles DV-carrying files (no resurrection)") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(0L, 1L))
+    // the overwrite's remove must match the live (path, dvId) pair —
+    // a bare remove would leave the DV file live and the read would
+    // return BOTH generations
+    DeltaInterop.overwrite(spark.range(100, 103).toDF("id").coalesce(1), base)
+    val got = DeltaInterop.read(spark, base).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (100L to 102L), s"old generation leaked: ${got.toSeq}")
+  }
+
   test("multi-part checkpoint write replays identically to JSON") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(20).toDF("id").coalesce(1), base)
