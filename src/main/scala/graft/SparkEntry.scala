@@ -2215,6 +2215,37 @@ object SparkEntry {
       .orderBy(col("sequence_number"), col("content"))
   }
 
+  /** Format-conversion chain (Federation.convert): graft-log → Delta →
+    * Iceberg, each hop a full snapshot-machinery read into the next
+    * format's writer, validated hop-by-hop with Federation.diff
+    * (must be EMPTY) — the complete migration story. The measured read
+    * aggregates the final Iceberg table; the oracle replays the source
+    * slice, so any row lost or mutated across two conversions
+    * hash-mismatches. */
+  private def qFormatConvert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Federation
+    val base = cachedFixture("format_convert_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .coalesce(1)
+      graft.pipeline.GraftLog.overwrite(ords, s"$p/src")
+      val src = Federation.GraftLogTable(s"$p/src")
+      val delta = Federation.convert(s, src, Federation.Delta(s"$p/delta"))
+      require(Federation.diff(s, src, delta, Seq("o_orderkey")).isEmpty,
+        "fixture: graft-log→Delta conversion diverged")
+      val ice = Federation.convert(s, delta, Federation.Iceberg(s"$p/ice"))
+      require(Federation.diff(s, delta, ice, Seq("o_orderkey")).isEmpty,
+        "fixture: Delta→Iceberg conversion diverged")
+    }
+    graft.sources.IcebergInterop.read(s, s"$base/ice")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** DSIR importance weighting (ops/Sampling.dsirWeights, after Xie et
     * al. 2023): hashed unigram+bigram bag-of-words models for the
     * target slice (lang='en') vs the raw corpus; every doc scored by
@@ -3698,6 +3729,7 @@ object SparkEntry {
     "q176_migration_diff" -> (qMigrationDiff _),
     "q177_exact_substring" -> (qExactSubstring _),
     "q178_iceberg_files" -> (qIcebergFiles _),
+    "q179_format_convert" -> (qFormatConvert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4424,6 +4456,11 @@ object SparkEntry {
            UNION ALL
            SELECT 'position_deletes', 2, 3
          ) ORDER BY sequence_number, content""",
+    "q179_format_convert" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderkey % 3 <> 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

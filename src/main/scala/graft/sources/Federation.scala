@@ -49,6 +49,29 @@ object Federation {
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** One-call table-format conversion — the migration itself, with
+    * `diff` as its validation: read any member through its format's
+    * full snapshot machinery (DVs applied, partitions re-attached,
+    * column mapping resolved) and land it in the target format's
+    * writer. The data flows as ONE distributed read→write; only
+    * metadata decisions happen on the driver. Returns the target
+    * member for chaining into `diff(spark, from, converted, keys)`. */
+  def convert(spark: SparkSession, from: Member, to: Member,
+              partitionBy: Seq[String] = Seq.empty): Member = {
+    val df = readMember(spark, from)
+    to match {
+      case Parquet(p) =>
+        require(partitionBy.isEmpty, "plain parquet target: use write partitioning upstream")
+        df.write.mode("overwrite").parquet(p)
+      case Delta(p, _)         => DeltaInterop.overwrite(df, p, partitionBy)
+      case Iceberg(p, _)       => IcebergInterop.overwrite(df, p, partitionBy)
+      case GraftLogTable(p, _) =>
+        require(partitionBy.isEmpty, "graft-log clusters instead of partitioning")
+        graft.pipeline.GraftLog.overwrite(df, p)
+    }
+    to
+  }
+
   /** Migration validation: exact row-level diff of two members (any
     * format pair) keyed on `keys` — the check a Delta→Iceberg (or
     * lake→lakehouse) migration runs before cutting over. ONE full-outer

@@ -75,6 +75,19 @@ class FederationSpec extends SparkSpec {
     assert(got == Set((1L, "only_left"), (2L, "changed"), (9L, "only_right")))
   }
 
+  test("convert round-trips through every format pair losslessly") {
+    val base = tmp()
+    val src = spark.range(50).select(col("id"), (col("id") % 7).as("k"))
+      .coalesce(1)
+    graft.sources.DeltaInterop.overwrite(src, s"$base/d0")
+    val d0 = Federation.Delta(s"$base/d0")
+    val ice = Federation.convert(spark, d0, Federation.Iceberg(s"$base/i1"))
+    val gl = Federation.convert(spark, ice, Federation.GraftLogTable(s"$base/g2"))
+    val pq = Federation.convert(spark, gl, Federation.Parquet(s"$base/p3"))
+    assert(Federation.diff(spark, d0, pq, Seq("id")).isEmpty)
+    assert(Federation.readMember(spark, pq).count() == 50)
+  }
+
   test("plan: the federation is a Union of scans with no added exchange") {
     val base = tmp()
     val df = (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v")
