@@ -2834,9 +2834,9 @@ object SparkEntry {
     * with one broadcast anti join. The 100 TB shape for small scattered
     * deletes (row-level erasure, late retractions), where copy-on-write
     * would rewrite most of the table to drop a few thousand rows. The
-    * aggregate runs BEFORE any purge, so the oracle checks the
-    * merge-on-read path itself; a final purgeDeletes + equality assert
-    * inside the query proves fold-back preserves the result. */
+    * oracle checks the merge-on-read path itself (the query times ONE
+    * read); the purgeDeletes fold-back-equivalence invariant lives in
+    * GraftLogDmlSpec, not in the benched path. */
   private def qLogDeleteDv(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftLog
     val base = fixtureDir("graftlog_delete_dv_orders", dir)
@@ -2849,20 +2849,11 @@ object SparkEntry {
       col("o_orderkey") >= 2000 && col("o_orderkey") <= 4000,
       scope = Some(("o_orderkey", 2000, 4000)))
     GraftLog.deleteVectored(s, base, col("o_custkey") % 9 === 4)
-    val out = GraftLog.read(s, base) // merge-on-read: dv anti join live
+    GraftLog.read(s, base) // merge-on-read: dv anti join live
       .groupBy((col("o_custkey") % 100).as("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("totalprice")).cast("double").as("total_price"))
       .orderBy(col("bucket"))
-    val before = out.collect().toSeq
-    GraftLog.purgeDeletes(s, base) // fold vectors into rewrites
-    val after = GraftLog.read(s, base)
-      .groupBy((col("o_custkey") % 100).as("bucket"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("totalprice")).cast("double").as("total_price"))
-      .orderBy(col("bucket")).collect().toSeq
-    require(before == after, "purgeDeletes changed the table contents")
-    out
   }
 
   /** Change-data-feed accounting (q113): merge + delete history read

@@ -84,11 +84,37 @@ object IcebergTransforms {
 
   def truncateLong(v: Long, w: Int): Long = v - (((v % w) + w) % w)
 
+  /** truncate[W] on strings counts CHARACTERS (code points), matching
+    * both the Iceberg spec and Spark's `substring` on the write path —
+    * a UTF-16 `String.substring` would split surrogate pairs and
+    * disagree with the manifest value for supplementary characters,
+    * silently pruning away matching files on read. */
   def truncateString(s: String, w: Int): String =
-    if (s.length <= w) s else s.substring(0, w)
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
 
   def dayOfMicros(micros: Long): Int =
     Math.floorDiv(micros, 86400000000L).toInt
+
+  def hourOfMicros(micros: Long): Int =
+    Math.floorDiv(micros, 3600000000L).toInt
+
+  /** year/month transforms count civil years/months from 1970-01-01 of
+    * the UTC datetime (spec Appendix B: month(2017-11-16) = 574,
+    * year(2017-11-16) = 47) — derived from the epoch DAY so the
+    * arithmetic is timezone-free and exact for negative (pre-epoch)
+    * values too. */
+  def yearOfDays(epochDay: Int): Int =
+    java.time.LocalDate.ofEpochDay(epochDay.toLong).getYear - 1970
+
+  def monthOfDays(epochDay: Int): Int = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay.toLong)
+    (d.getYear - 1970) * 12 + d.getMonthValue - 1
+  }
+
+  def yearOfMicros(micros: Long): Int = yearOfDays(dayOfMicros(micros))
+
+  def monthOfMicros(micros: Long): Int = monthOfDays(dayOfMicros(micros))
 
   /** Column form of bucket[n] over int/long/date/timestamp/string. */
   def bucket(c: Column, n: Int): Column =

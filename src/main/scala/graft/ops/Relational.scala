@@ -119,19 +119,21 @@ object Relational {
     * replacement for `row_number().over(Window.partitionBy())`, whose
     * empty PARTITION BY funnels the whole dataset through one task. */
   /** Pin a range-partitioned frame for the computation's lifetime.
-    * These operators MUST cache: the collected per-partition offsets
-    * describe one concrete range partitioning, and letting Spark
-    * recompute the exchange could re-sample bounds and shift rows to
-    * different pids underneath them — silent wrong ranks/sums. An
-    * eager unpersist (e.g. a FIFO of recent pins) would reintroduce
-    * exactly that hazard for results built before older ones are
-    * consumed, so pins live until the caller's session ends. Cost is
-    * bounded in practice: a handful of global-rank/prefix-sum calls per
-    * session, each over doc-level (not token-level) rows. */
-  private[ops] def pinBounded(df: DataFrame): DataFrame = {
-    df.persist()
-    df
-  }
+    * These operators MUST freeze the partitioning: the collected
+    * per-partition offsets describe one concrete range partitioning,
+    * and letting Spark recompute the exchange could re-sample bounds
+    * and shift rows to different pids underneath them — silent wrong
+    * ranks/sums. `persist()` is NOT a pin (cache eviction or executor
+    * loss silently recomputes the lineage, re-sampling the bounds), so
+    * this truncates lineage with an eager `localCheckpoint`: the
+    * materialized blocks ARE the data from then on — a lost block
+    * fails the job loudly instead of recomputing a different
+    * partitioning. Cost is bounded in practice: a handful of
+    * global-rank/prefix-sum calls per session, each over doc-level
+    * (not token-level) rows; the checkpoint blocks are dropped with
+    * the executor/session, so there is no unbounded cache growth. */
+  private[ops] def pinBounded(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
   def globalRank(df: DataFrame, order: Seq[Column],
                  rankCol: String = "rnk"): DataFrame = {

@@ -147,7 +147,8 @@ object Sampling {
           log((col("r_total") + lit(buckets.toDouble)) /
               (col("t_total") + lit(buckets.toDouble))), 6).as("weight"))
       // feeds the K-count job AND the rank join — compute the gram
-      // pipeline once (bounded pin: unpersisted after newer pins land)
+      // pipeline once (eager localCheckpoint: lineage is truncated,
+      // the blocks live until the session ends — see pinBounded)
       .transform(Relational.pinBounded)
     // selection cut: exact global rank WITHOUT a single-partition window
     // (Relational.globalRank range-partitions and offsets local ranks),

@@ -1379,11 +1379,33 @@ object DeltaInterop {
     def key(f: AddFile) = (f.path, f.dv.map(_.uniqueId))
     val curKeys = cur.files.map(key).toSet
     val tgtKeys = tgt.files.map(key).toSet
-    val missing = tgt.files.filterNot(f =>
-      new File(base, PathCodec.percentDecode(f.path)).exists())
+    // the safety check must cover the restored files' DV bins too:
+    // vacuum deletes tombstoned files' DVs (they are not in the live
+    // set), so a restore that only checked the parquet would commit a
+    // version whose reads then fail on the missing .bin — resolve each
+    // DV exactly as vacuum's live set does ("u" UUID bin under the
+    // table, "p" absolute path; "i" inline lives in the log itself)
+    val root = new File(base).getCanonicalFile
+    def requiredPaths(f: AddFile): Seq[File] = {
+      val data = new File(root, PathCodec.percentDecode(f.path))
+      val dvBin = f.dv.flatMap { d =>
+        d.storageType match {
+          case "u" =>
+            val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+            val dir = if (prefix.isEmpty) root else new File(root, prefix)
+            Some(new File(dir, s"deletion_vector_$uuid.bin"))
+          case "p" => Some(new File(d.pathOrInlineDv))
+          case _ => None
+        }
+      }
+      Seq(data) ++ dvBin
+    }
+    val missing = tgt.files.flatMap(f =>
+      requiredPaths(f).filterNot(_.exists()).map(_ => f))
     require(missing.isEmpty,
-      s"cannot RESTORE $base to version $versionAsOf: data files " +
-      s"${missing.map(_.path)} were deleted (vacuumed?) — refusing")
+      s"cannot RESTORE $base to version $versionAsOf: data files or " +
+      s"deletion vectors of ${missing.map(_.path).distinct} were deleted " +
+      s"(vacuumed?) — refusing")
     val removes = cur.files.filterNot(f => tgtKeys.contains(key(f)))
     val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
     val v = cur.version + 1
@@ -1453,10 +1475,14 @@ object DeltaInterop {
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
-        // v3 protocols are INVALID without their feature list — a
+        // v3/v7 protocols are INVALID without their feature lists — a
         // checkpoint that drops readerFeatures understates what a
-        // reader must implement
-        StructField("readerFeatures", ArrayType(StringType))))),
+        // reader must implement, and a minWriterVersion=7 row without
+        // writerFeatures is malformed per the protocol (external
+        // delta-spark writers replaying state from this checkpoint
+        // would reject it)
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -1492,10 +1518,13 @@ object DeltaInterop {
     val hasDv = snap.files.exists(_.dv.isDefined)
     val mapped = snap.columnMappingMode != "none"
     val protoRow =
-      if (hasDv) Row(3, 7,
-        Seq("deletionVectors") ++ (if (mapped) Seq("columnMapping") else Nil))
-      else if (mapped) Row(2, 5, null) // mapping fits reader v2 via the property
-      else Row(1, 2, null)
+      if (hasDv) {
+        val feats = Seq("deletionVectors") ++
+          (if (mapped) Seq("columnMapping") else Nil)
+        Row(3, 7, feats, feats)
+      }
+      else if (mapped) Row(2, 5, null, null) // mapping fits reader v2 via the property
+      else Row(1, 2, null, null)
     val rows =
       Row(protoRow, null, null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns,

@@ -100,10 +100,20 @@ object IcebergInterop {
       val spec = s"truncate[$w]"; val suffix = "_trunc" }
     case object Day extends IceTransform {
       val spec = "day"; val suffix = "_day" }
+    case object Year extends IceTransform {
+      val spec = "year"; val suffix = "_year" }
+    case object Month extends IceTransform {
+      val spec = "month"; val suffix = "_month" }
+    case object Hour extends IceTransform {
+      val spec = "hour"; val suffix = "_hour" }
 
     def parse(s: String): IceTransform = s match {
       case "identity" => Identity
       case "day" => Day
+      // spec names are singular; accept the plural API aliases too
+      case "year" | "years" => Year
+      case "month" | "months" => Month
+      case "hour" | "hours" => Hour
       case b if b.startsWith("bucket[") =>
         Bucket(b.stripPrefix("bucket[").stripSuffix("]").toInt)
       case t if t.startsWith("truncate[") =>
@@ -513,6 +523,12 @@ object IcebergInterop {
       }
       case IceTransform.Day =>
         dayOfMicros(micros(v)).toString
+      case IceTransform.Year =>
+        yearOfMicros(micros(v)).toString
+      case IceTransform.Month =>
+        monthOfMicros(micros(v)).toString
+      case IceTransform.Hour =>
+        hourOfMicros(micros(v)).toString
     }
   }
 
@@ -953,24 +969,48 @@ object IcebergInterop {
         case other => throw new IllegalArgumentException(
           s"truncate[$w] unsupported on ${other.catalogString}")
       }
-      case IceTransform.Day => srcType match {
-        case DateType | TimestampNTZType =>
-          // dates and wall-clock (NTZ) timestamps are timezone-free:
-          // the civil date's epoch-day is the partition value
-          (name, datediff(col(src).cast("date"),
-            lit("1970-01-01").cast("date")), IntegerType)
-        case _ =>
-          // UTC epoch day by exact integer floor division on the
-          // timestamp's unix micros — a session-timezone cast('date')
-          // here would disagree with readEq's UTC dayOfMicros and prune
-          // the wrong files in any non-UTC session
+      case IceTransform.Day => (name, epochDayCol(df, src), IntegerType)
+      // year/month derive from the same UTC epoch day as `day`
+      // (reconstructed into a civil date by pure arithmetic —
+      // date_add(1970-01-01, n) is timezone-free), so all three
+      // time transforms agree with readEq's floorDiv scalars in any
+      // session timezone
+      case IceTransform.Year =>
+        (name, expr(s"year(date_add(date'1970-01-01', " +
+          s"(${epochDaySql(df, src)}))) - 1970"), IntegerType)
+      case IceTransform.Month =>
+        (name, expr(s"(year(date_add(date'1970-01-01', (${epochDaySql(df, src)}))) - 1970) * 12 " +
+          s"+ month(date_add(date'1970-01-01', (${epochDaySql(df, src)}))) - 1"), IntegerType)
+      case IceTransform.Hour => srcType match {
+        case TimestampType =>
           (name, expr(
-            s"cast((unix_micros(`$src`) div 86400000000) + " +
-            s"(case when unix_micros(`$src`) % 86400000000 < 0 then -1 else 0 end) as int)"),
+            s"cast((unix_micros(`$src`) div 3600000000) + " +
+            s"(case when unix_micros(`$src`) % 3600000000 < 0 then -1 else 0 end) as int)"),
             IntegerType)
+        case other => throw new IllegalArgumentException(
+          s"hour transform requires a timestamp source, got ${other.catalogString}")
       }
     }
   }
+
+  /** UTC epoch day of a date/timestamp column as an int Column (the
+    * `day` transform, shared by year/month). Dates and wall-clock (NTZ)
+    * timestamps are timezone-free: the civil date's epoch-day is the
+    * partition value. TZ timestamps floor-divide unix micros — a
+    * session-timezone cast('date') would disagree with readEq's UTC
+    * dayOfMicros and prune the wrong files in any non-UTC session. */
+  private def epochDayCol(df: DataFrame, src: String)
+  : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(epochDaySql(df, src))
+
+  private def epochDaySql(df: DataFrame, src: String): String =
+    df.schema(src).dataType match {
+      case DateType | TimestampNTZType =>
+        s"datediff(cast(`$src` as date), date'1970-01-01')"
+      case _ =>
+        s"cast((unix_micros(`$src`) div 86400000000) + " +
+        s"(case when unix_micros(`$src`) % 86400000000 < 0 then -1 else 0 end) as int)"
+    }
 
   private def commitSnapshotSpec(df: DataFrame, base: String, mode: String,
                                  spec: Seq[(String, IceTransform)]): Long = {
@@ -1342,8 +1382,13 @@ object IcebergInterop {
     val snaps = meta.get("snapshots")
     val all = (0 until snaps.size()).map(snaps.get)
     val currentId = meta.get("current-snapshot-id").asLong()
-    val retained = (all.takeRight(retainLast) ++
-      all.filter(_.get("snapshot-id").asLong() == currentId)).distinct
+    // keep ORIGINAL array order: after a rollback the current snapshot
+    // is not the last element, and `takeRight ++ current` would write a
+    // non-chronological snapshots array — breaking the oldest-first
+    // assumption the next expire's takeRight (and snapshotIds) relies on
+    val retainedSet = (all.takeRight(retainLast) ++
+      all.filter(_.get("snapshot-id").asLong() == currentId)).distinct.toSet
+    val retained = all.filter(retainedSet.contains)
     if (retained.size == all.size) return Seq.empty
 
     // every on-disk path a set of snapshots can reach: manifest list →

@@ -192,6 +192,27 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(cpState == jsonState)
   }
 
+  test("checkpoint protocol row carries writerFeatures for v7 tables") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(0L)) // DV → v3/v7
+    DeltaInterop.checkpoint(spark, base)
+    val cp = new java.io.File(base, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).head
+    // a minWriterVersion=7 protocol without writerFeatures is malformed
+    // per the Delta protocol — an external writer replaying this
+    // checkpoint would reject it
+    val proto = spark.read.parquet(cp.getPath)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion",
+        "protocol.readerFeatures", "protocol.writerFeatures")
+      .where(col("minReaderVersion").isNotNull).head()
+    assert(proto.getInt(0) == 3 && proto.getInt(1) == 7)
+    assert(proto.getSeq[String](2).contains("deletionVectors"))
+    assert(proto.getSeq[String](3).contains("deletionVectors"),
+      "v7 protocol checkpoint row must carry writerFeatures")
+  }
+
   test("vacuum retention clocks from the tombstoning commit, not file age") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)

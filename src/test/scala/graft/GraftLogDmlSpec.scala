@@ -126,6 +126,28 @@ class GraftLogDmlSpec extends SparkSpec {
       "_commit_version", "_commit_timestamp"))
   }
 
+  test("purgeDeletes folds deletion vectors into rewrites without changing contents") {
+    // the invariant q130 used to re-assert inside its benched path:
+    // merge-on-read (DV anti join) and the purged (fully rewritten)
+    // table must agree exactly
+    val base = freshBase("purge")
+    GraftLog.overwriteClustered(
+      (0L until 200L).map(k => (k, k % 13, s"p$k")).toDF("k", "g", "p"),
+      base, Seq("k"), nFiles = 4)
+    GraftLog.deleteVectored(spark, base, col("k") >= 30 && col("k") <= 90,
+      scope = Some(("k", 30L, 90L)))
+    GraftLog.deleteVectored(spark, base, col("g") === 5)
+    def agg() = GraftLog.read(spark, base)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("g")).as[(Long, Long)].collect().toSeq
+    val before = agg()
+    GraftLog.purgeDeletes(spark, base) // fold vectors into rewrites
+    val after = agg()
+    assert(before == after, "purgeDeletes changed the table contents")
+    // and the DVs are actually gone: no deletion sidecars remain live
+    assert(GraftLog.snapshot(base).dvFiles.isEmpty)
+  }
+
   test("diffSnapshots classifies insert/update/delete exactly and skips carried rows") {
     val base = freshBase("diff")
     val v0 = GraftLog.overwriteClustered(

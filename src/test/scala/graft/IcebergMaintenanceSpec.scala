@@ -60,6 +60,25 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base, Some(ids.head)).count() == 8)
   }
 
+  test("expire after rollback keeps the snapshots array chronological") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(4).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(4, 6).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(6, 8).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(8, 10).toDF("id").coalesce(1), base)
+    val Seq(s1, s2, s3, s4) = IcebergInterop.snapshotIds(base)
+    IcebergInterop.rollbackTo(base, s1) // current = s1, array order s1..s4
+    // retain the newest 2 (s3, s4) + current (s1): the pruned array
+    // must stay in ORIGINAL (chronological) order — takeRight ++ current
+    // would write [s3, s4, s1] and break the oldest-first assumption the
+    // next expire's takeRight and snapshotIds rely on
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 2)
+    assert(IcebergInterop.snapshotIds(base) == Seq(s1, s3, s4),
+      s"snapshots array must stay chronological after rollback+expire")
+    assert(IcebergInterop.read(spark, base).count() == 4)       // current s1
+    assert(IcebergInterop.read(spark, base, Some(s4)).count() == 10)
+  }
+
   test("live position-delete files survive expiration") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)

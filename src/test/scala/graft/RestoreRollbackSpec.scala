@@ -51,6 +51,28 @@ class RestoreRollbackSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, base).count() == 6)
   }
 
+  test("delta restore refuses when a restored file's DV bin was vacuumed") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(8).toDF("id").coalesce(1), base)
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(0L, 1L)) // v1: DV
+    DeltaInterop.restore(spark, base, 0L)                          // v2: no DV
+    // the data file is live in v2, but v1's DV bin is now unreachable:
+    // vacuum removes it (orphan), so restoring to the DV version must
+    // refuse — the data parquet alone passes the old check, yet reads
+    // of v1 would fail on the missing .bin
+    DeltaInterop.vacuum(spark, base, retainMillis = 0L)
+    // part-file names contain no chars needing percent-decoding here
+    assert(new java.io.File(base, file).exists(),
+      "data parquet should survive (it is live)")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.restore(spark, base, 1L)
+    }
+    assert(e.getMessage.contains("deletion vectors") ||
+      e.getMessage.contains("vacuumed"))
+    assert(DeltaInterop.read(spark, base).count() == 8) // table unharmed
+  }
+
   test("delta restore keeps a mapped table's column mapping alive") {
     val base = tmp()
     val df = spark.range(5).select(col("id"), (col("id") + 1).as("v"))
