@@ -186,7 +186,7 @@ object SparkEntry {
   /** Bump when the on-disk shape a fixture writer produces changes
     * (e.g. Iceberg data files gaining parquet field ids): cached builds
     * from the previous format must not satisfy the new reader. */
-  private val FixtureFormatVersion = 4
+  private val FixtureFormatVersion = 5
 
   private def cachedFixture(kind: String, dir: String, srcTable: String)
                            (build: String => Unit): String = {
@@ -1556,10 +1556,12 @@ object SparkEntry {
     * the layout Flink/Spark v2 writers produce — while the data files
     * stay untouched. The read resolves delete rows against the manifest
     * file-path strings, gates them on sequence numbers, and subtracts
-    * them with one anti join on (file, row_index). Positions are
-    * derived per data file by predicate so the oracle replays the
-    * delete as SQL; the append shifts keys by a multiple of 5 to keep
-    * the predicate aligned on both sides. */
+    * them with one anti join on (file, row_index). The DELETE goes
+    * through the production path — `deletePositionsWhere` classifies
+    * rows and stages the sorted delete parquet executor-side; no
+    * position ever passes through a driver Seq — and the oracle
+    * replays the same predicate as SQL; the append shifts keys by a
+    * multiple of 5 to keep the predicate aligned on both sides. */
   private def qIcebergPositionDeletes(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IcebergInterop
     val base = cachedFixture("iceberg_posdel_customer", dir, "customer") { p =>
@@ -1569,15 +1571,7 @@ object SparkEntry {
       IcebergInterop.overwrite(cust.coalesce(1), p)
       IcebergInterop.append(cust.filter(col("c_custkey") < 500)
         .withColumn("c_custkey", col("c_custkey") + lit(4000000L)).coalesce(1), p)
-      val snap = IcebergInterop.snapshot(s, p)
-      val deletes = snap.files.map { f =>
-        val positions = s.read.parquet(f.path)
-          .where(col("c_custkey") % 5 === 0)
-          .select(col("_metadata.row_index"))
-          .collect().map(_.getLong(0)).toSeq // bounded: |customer|/5
-        f.rawPath -> positions
-      }.filter(_._2.nonEmpty)
-      IcebergInterop.addPositionDeletes(s, p, deletes)
+      IcebergInterop.deletePositionsWhere(s, p, col("c_custkey") % 5 === 0)
     }
     IcebergInterop.read(s, base)
       .groupBy(col("c_nationkey"))
@@ -1644,23 +1638,20 @@ object SparkEntry {
     * never rewrites the data file — deleted row positions live in a
     * roaring-bitmap `.bin` beside it (protocol §Deletion Vectors), and
     * the read subtracts them via one broadcast anti join on
-    * (file, row_index). Positions are derived from the written file by
-    * predicate, so the oracle can replay the delete as plain SQL: any
-    * resurrection or over-deletion hash-mismatches. */
+    * (file, row_index). The DELETE goes through the production path —
+    * `DeltaDml.deleteVectoredWhere` classifies rows executor-side and
+    * writes the bitmap bins where the rows are; no position ever passes
+    * through a driver Seq — and the oracle replays the same predicate
+    * as plain SQL: any resurrection or over-deletion hash-mismatches. */
   private def qDeltaDeletionVectors(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.DeltaInterop
+    import graft.sources.{DeltaDml, DeltaInterop}
     val base = cachedFixture("delta_dv_orders", dir, "orders") { p =>
       val ord = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
         .coalesce(1)
       DeltaInterop.overwrite(ord, p)
-      val file = DeltaInterop.snapshot(s, p).files.head.path
-      val positions = s.read.parquet(s"$p/$file")
-        .where(col("o_orderkey") % 7 === 0)
-        .select(col("_metadata.row_index"))
-        .collect().map(_.getLong(0)).toSeq // bounded: |orders|/7
-      DeltaInterop.deleteRowPositions(s, p, file, positions)
+      DeltaDml.deleteVectoredWhere(s, p, col("o_orderkey") % 7 === 0)
     }
     DeltaInterop.read(s, base)
       .groupBy(col("o_orderstatus"))
@@ -1761,6 +1752,98 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Iceberg month() partition transform: H1-1995 orders partitioned by
+    * month(o_orderdate); one day's orders read back via readEq, pruned
+    * through the month transform to that month's single partition
+    * (pruning pinned in IcebergTransformsSpec). Same plan shape as the
+    * day-transform query — the transform arithmetic (months from epoch,
+    * spec Appendix B) is what changes. */
+  private def qIcebergMonth(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_month_orders", dir, "orders") { p =>
+      IcebergInterop.overwriteTransformed(
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .coalesce(1),
+        p, Seq("o_orderdate" -> IcebergInterop.IceTransform.Month))
+    }
+    IcebergInterop.readEq(s, base,
+        Map("o_orderdate" -> java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Delta Change Data Feed (q180): a CDF-enabled table takes an
+    * UPDATE (cdc update_preimage/update_postimage rows), a DV DELETE
+    * (cdc delete rows), and a plain append (no cdc — the reader's
+    * add-action fallback), then `DeltaDml.readChangeFeed` consumes the
+    * `_change_data` files + file diff and the query aggregates the feed
+    * per change type. The oracle recomputes every image from the raw
+    * orders table, so a wrong preimage, a post-update delete reading
+    * stale values, or a double-delivered insert all hash-mismatch. */
+  private def qDeltaCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = cachedFixture("delta_cdf_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(ords.coalesce(2), p,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaDml.updateWhere(s, p, col("o_orderkey") <= 2000,          // v1
+        Map("totalprice" -> (col("totalprice") + lit(100))))
+      DeltaDml.deleteVectoredWhere(s, p, col("o_custkey") % 9 === 4) // v2
+      DeltaInterop.append(ords.filter(col("o_orderkey") < 100)       // v3
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .coalesce(1), p)
+    }
+    DeltaDml.readChangeFeed(s, base, fromVersion = 1L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("change_type"))
+  }
+
+  /** SQL DML surface (q182): the same upsert+delete workload as the
+    * API-path queries, but issued as `MERGE INTO` / `DELETE FROM`
+    * STATEMENTS — parsed by Spark's SQL parser, dispatched by
+    * `GraftSql` to graft-log's zone-map-scoped upsert and census
+    * delete. The final state is read back through the registered SQL
+    * view, and the oracle replays both statements as plain SQL — a
+    * front-end that dropped rows, missed an update, or double-applied
+    * an insert hash-mismatches. */
+  private def qSqlDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{GraftLog, GraftSql}
+    val base = fixtureDir("graftsql_dml_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"), nFiles = 8)
+    GraftSql.registerTable(s, "q182_t", base)
+    ords.filter(col("o_orderkey") <= 2000)
+      .withColumn("totalprice",
+        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .withColumn("totalprice",
+          (col("totalprice") + lit(100)).cast(DecimalType(18, 2))))
+      .createOrReplaceTempView("q182_src")
+    GraftSql.sql(s,
+      """MERGE INTO q182_t t USING q182_src s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    GraftSql.sql(s, "DELETE FROM q182_t WHERE o_custkey % 9 = 4")
+    s.sql(
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM q182_t GROUP BY o_custkey % 100 ORDER BY bucket""")
+  }
+
   /** Delta OPTIMIZE (bin-packing compaction): three small data files
     * plus a deletion vector on the first are compacted into ONE file by
     * `DeltaInterop.optimize` — which must also MATERIALIZE the DV (drop
@@ -1781,12 +1864,11 @@ object SparkEntry {
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)), p)
       DeltaInterop.append(ord.filter(col("o_orderkey") % 11 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L)), p)
-      val file = DeltaInterop.snapshot(s, p).files.head.path
-      val positions = s.read.parquet(s"$p/$file")
-        .where(col("o_orderkey") % 7 === 0)
-        .select(col("_metadata.row_index"))
-        .collect().map(_.getLong(0)).toSeq // bounded: |orders|/7
-      DeltaInterop.deleteRowPositions(s, p, file, positions)
+      // production DV path (executor-side bins, no driver position Seq);
+      // the key bound scopes the delete to the ORIGINAL rows — appended
+      // copies live at +10M/+20M and stay, matching the oracle's UNION
+      graft.sources.DeltaDml.deleteVectoredWhere(s, p,
+        col("o_orderkey") % 7 === 0 && col("o_orderkey") < 10000000L)
       val v = DeltaInterop.optimize(s, p)
       require(v.nonEmpty, "fixture: optimize found nothing to compact")
       val after = DeltaInterop.snapshot(s, p)
@@ -1814,12 +1896,8 @@ object SparkEntry {
           col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
         .coalesce(1)
       DeltaInterop.overwrite(cust, p)
-      val file = DeltaInterop.snapshot(s, p).files.head.path
-      val positions = s.read.parquet(s"$p/$file")
-        .where(col("c_custkey") % 3 === 0)
-        .select(col("_metadata.row_index"))
-        .collect().map(_.getLong(0)).toSeq // bounded: |customer|/3
-      DeltaInterop.deleteRowPositions(s, p, file, positions)
+      // production DV path: executor-side bins, no driver position Seq
+      graft.sources.DeltaDml.deleteVectoredWhere(s, p, col("c_custkey") % 3 === 0)
       DeltaInterop.optimize(s, p)
       val dead = DeltaInterop.vacuum(s, p, retainMillis = 0L)
       require(dead.exists(_.endsWith(".parquet")) &&
@@ -2839,16 +2917,18 @@ object SparkEntry {
     * GraftLogDmlSpec, not in the benched path. */
   private def qLogDeleteDv(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftLog
-    val base = fixtureDir("graftlog_delete_dv_orders", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val ords = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"), nFiles = 8)
-    GraftLog.deleteVectored(s, base,
-      col("o_orderkey") >= 2000 && col("o_orderkey") <= 4000,
-      scope = Some(("o_orderkey", 2000, 4000)))
-    GraftLog.deleteVectored(s, base, col("o_custkey") % 9 === 4)
+    // the operator under test is the merge-on-read READ (DV anti join);
+    // the DV-delete history is cached across bench reps
+    val base = cachedFixture("graftlog_delete_dv_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      GraftLog.overwriteClustered(ords, p, Seq("o_orderkey"), nFiles = 8)
+      GraftLog.deleteVectored(s, p,
+        col("o_orderkey") >= 2000 && col("o_orderkey") <= 4000,
+        scope = Some(("o_orderkey", 2000, 4000)))
+      GraftLog.deleteVectored(s, p, col("o_custkey") % 9 === 4)
+    }
     GraftLog.read(s, base) // merge-on-read: dv anti join live
       .groupBy((col("o_custkey") % 100).as("bucket"))
       .agg(count(lit(1)).as("n_orders"),
@@ -2866,23 +2946,26 @@ object SparkEntry {
     * were never touched produces no feed rows at all). */
   private def qLogCdf(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftLog
-    val base = fixtureDir("graftlog_cdf_orders", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val ords = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    val v0 = GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"),
-      nFiles = 8)
-    val updates = ords.filter(col("o_orderkey") <= 2000)
-      .withColumn("totalprice",
-        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
-      .unionByName(ords.filter(col("o_orderkey") < 100)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
-    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
-    GraftLog.delete(s, base,
-      col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
-      scope = Some(("o_orderkey", 5000, 8000)))
-    GraftLog.readChangeFeed(s, base, fromVersion = v0 + 1)
+    // the operator under test is the FEED READ, not the history build —
+    // the build is cached across bench reps (fresh build => baseline v1)
+    val base = cachedFixture("graftlog_cdf_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      val v0 = GraftLog.overwriteClustered(ords, p, Seq("o_orderkey"),
+        nFiles = 8)
+      require(v0 == 1L, s"fresh graft-log build should commit v1, got $v0")
+      val updates = ords.filter(col("o_orderkey") <= 2000)
+        .withColumn("totalprice",
+          (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+        .unionByName(ords.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+      GraftLog.upsertScoped(s, p, updates, "o_orderkey")
+      GraftLog.delete(s, p,
+        col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
+        scope = Some(("o_orderkey", 5000, 8000)))
+    }
+    GraftLog.readChangeFeed(s, base, fromVersion = 2L)
       .withColumn("sign",
         when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
       .groupBy((col("o_orderkey") % 50).as("bucket"))
@@ -2902,23 +2985,26 @@ object SparkEntry {
     * the three classes from the update/delete definitions directly. */
   private def qLogDiff(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftLog
-    val base = fixtureDir("graftlog_diff_orders", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val ords = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    val v0 = GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"),
-      nFiles = 8)
-    val updates = ords.filter(col("o_orderkey") <= 2000)
-      .withColumn("totalprice",
-        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
-      .unionByName(ords.filter(col("o_orderkey") < 100)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
-    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
-    GraftLog.delete(s, base,
-      col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
-      scope = Some(("o_orderkey", 5000, 8000)))
-    GraftLog.diffSnapshots(s, base, Seq("o_orderkey"), v0)
+    // the operator under test is the snapshot DIFF — history cached
+    // across bench reps (fresh build => baseline version 1)
+    val base = cachedFixture("graftlog_diff_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      val v0 = GraftLog.overwriteClustered(ords, p, Seq("o_orderkey"),
+        nFiles = 8)
+      require(v0 == 1L, s"fresh graft-log build should commit v1, got $v0")
+      val updates = ords.filter(col("o_orderkey") <= 2000)
+        .withColumn("totalprice",
+          (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+        .unionByName(ords.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+      GraftLog.upsertScoped(s, p, updates, "o_orderkey")
+      GraftLog.delete(s, p,
+        col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
+        scope = Some(("o_orderkey", 5000, 8000)))
+    }
+    GraftLog.diffSnapshots(s, base, Seq("o_orderkey"), 1L)
       .groupBy(col("_change_type"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("totalprice")).cast("double").as("sum_price"))
@@ -3086,26 +3172,30 @@ object SparkEntry {
   private def qLogCdfStream(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftLog
     import graft.streaming.{EventStreams, GraftLogStream}
-    val base = fixtureDir("graftlog_cdfstream_orders", dir)
+    // the STREAM TAIL is the operator under test: the DML history is
+    // cached across bench reps (fresh build => baseline v1); the feed mirror
+    // + checkpoint stay per-run (they ARE streaming state)
     val feed = fixtureDir("graftlog_cdfstream_feed", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
-    val ords = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    val v0 = GraftLog.overwriteClustered(ords, base, Seq("o_orderkey"),
-      nFiles = 8)
-    val updates = ords.filter(col("o_orderkey") <= 2000)
-      .withColumn("totalprice",
-        (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
-      .unionByName(ords.filter(col("o_orderkey") < 100)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
-    GraftLog.upsertScoped(s, base, updates, "o_orderkey")
-    GraftLog.delete(s, base,
-      col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
-      scope = Some(("o_orderkey", 5000, 8000)))
+    val base = cachedFixture("graftlog_cdfstream_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      val v0 = GraftLog.overwriteClustered(ords, p, Seq("o_orderkey"),
+        nFiles = 8)
+      require(v0 == 1L, s"fresh graft-log build should commit v1, got $v0")
+      val updates = ords.filter(col("o_orderkey") <= 2000)
+        .withColumn("totalprice",
+          (col("totalprice") + lit(100)).cast(DecimalType(18, 2)))
+        .unionByName(ords.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000)))
+      GraftLog.upsertScoped(s, p, updates, "o_orderkey")
+      GraftLog.delete(s, p,
+        col("o_orderkey") >= 5000 && col("o_orderkey") <= 8000,
+        scope = Some(("o_orderkey", 5000, 8000)))
+    }
     val net = GraftLogStream.tailChangeFeed(s, base, feed)
-      .filter(col("_commit_version") > v0)
+      .filter(col("_commit_version") > 1L)
       .withColumn("sign",
         when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
       .groupBy((col("o_orderkey") % 50).as("bucket"))
@@ -3721,6 +3811,9 @@ object SparkEntry {
     "q177_exact_substring" -> (qExactSubstring _),
     "q178_iceberg_files" -> (qIcebergFiles _),
     "q179_format_convert" -> (qFormatConvert _),
+    "q180_delta_cdf" -> (qDeltaCdf _),
+    "q181_iceberg_month" -> (qIcebergMonth _),
+    "q182_sql_dml" -> (qSqlDml _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4452,6 +4545,46 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderkey % 3 <> 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q180_delta_cdf" ->
+      """SELECT change_type, count(*) AS n_rows,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT 'update_preimage' AS change_type,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'update_postimage',
+             CAST(o_totalprice AS DECIMAL(18,2)) + 100
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'delete',
+             CAST(o_totalprice AS DECIMAL(18,2)) +
+               CASE WHEN o_orderkey <= 2000 THEN 100 ELSE 0 END
+           FROM orders WHERE o_custkey % 9 = 4
+           UNION ALL
+           SELECT 'insert', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100
+         ) GROUP BY change_type ORDER BY change_type""",
+    "q181_iceberg_month" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderdate = TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q182_sql_dml" ->
+      """SELECT bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey % 100 AS bucket, o_custkey,
+             CASE WHEN o_orderkey <= 2000
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 100
+           FROM orders WHERE o_orderkey < 100
+         ) WHERE o_custkey % 9 <> 4
+         GROUP BY bucket ORDER BY bucket""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

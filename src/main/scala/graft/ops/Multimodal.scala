@@ -77,28 +77,67 @@ object Multimodal {
     hist
   }
 
-  /** Decode + featurize one payload: container sniffed by magic bytes,
-    * features from real pixels/samples where a codec exists. */
-  private[graft] def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] =
-    Codecs.sniff(payload) match {
-      case "ppm" => imageFeatures(Codecs.decodePpm(payload), dim)
-      case "wav" => audioFeatures(Codecs.decodeWav(payload), dim)
-      case _ => byteHistogram(payload, dim)
+  /** A pluggable payload codec — THE seam where compressed formats
+    * (JPEG/FLAC/H.264 via JNI) slot in at runtime without touching the
+    * pipeline: `sniff` claims a payload by magic bytes, `features`
+    * decodes it. Must be Serializable: registered codecs ride the task
+    * closure to the executors (a JNI-backed one additionally needs its
+    * native library on the executor hosts, the standard JNI contract). */
+  trait PayloadCodec extends Serializable {
+    def name: String
+    def sniff(payload: Array[Byte]): Boolean
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Runtime codec registry. Registered codecs take priority over the
+    * built-ins (PPM/WAV), first claim wins; unknown payloads fall back
+    * to the byte histogram. The registry is read ONCE when a stage is
+    * planned (captured into the closure), so concurrent registration
+    * never tears a running job. */
+  @volatile private var registeredCodecs: Seq[PayloadCodec] = Seq.empty
+
+  def registerCodec(c: PayloadCodec): Unit = synchronized {
+    registeredCodecs = registeredCodecs.filterNot(_.name == c.name) :+ c
+  }
+
+  def unregisterCodec(name: String): Unit = synchronized {
+    registeredCodecs = registeredCodecs.filterNot(_.name == name)
+  }
+
+  /** Decode + featurize one payload: registered codecs first, then the
+    * built-in containers sniffed by magic bytes, features from real
+    * pixels/samples where a codec exists. */
+  private[graft] def decodeFeatures(payload: Array[Byte], dim: Int,
+                                    extra: Seq[PayloadCodec]): Array[Float] =
+    extra.find(_.sniff(payload)) match {
+      case Some(c) => c.features(payload, dim)
+      case None => Codecs.sniff(payload) match {
+        case "ppm" => imageFeatures(Codecs.decodePpm(payload), dim)
+        case "wav" => audioFeatures(Codecs.decodeWav(payload), dim)
+        case _ => byteHistogram(payload, dim)
+      }
     }
+
+  private[graft] def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    decodeFeatures(payload, dim, registeredCodecs)
 
   /** Feature extraction: one pass per partition, rows streamed through
     * the codecs. At 100 TB this is the stage that hosts the expensive
     * native decode — mapPartitions amortizes codec init across the
     * partition instead of paying it per row. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16)
-                     (implicit enc: Encoder[MediaFeatures]): Dataset[MediaFeatures] =
+                     (implicit enc: Encoder[MediaFeatures]): Dataset[MediaFeatures] = {
+    // snapshot the registry at plan time: the Seq rides the closure to
+    // the executors, so every task of this job sees the same codecs
+    val codecs = registeredCodecs
     media.mapPartitions { rows =>
       // per-partition native-codec init would go here (once, not per row)
       rows.map { r =>
         MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
-          decodeFeatures(r.payload, dim))
+          decodeFeatures(r.payload, dim, codecs))
       }
     }
+  }
 
   case class ResizedMedia(media_id: Long, modality: String,
                           width: Int, height: Int, payload: Array[Byte])

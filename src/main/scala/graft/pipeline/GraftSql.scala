@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** SQL DML surface for graft-log tables: `MERGE INTO` and `DELETE FROM`
+  * statements — the idiom users actually type — parsed by SPARK'S OWN
+  * SQL parser and dispatched to the table format's DML
+  * (`GraftLog.upsertScoped` / `GraftLog.delete`). Spark parses both
+  * statements into `MergeIntoTable` / `DeleteFromTable` logical plans
+  * but refuses to execute them against v1 path-based tables ("only
+  * supported with v2 tables"); this front-end is the missing dispatch,
+  * not a second parser — grammar, precedence and literals are all
+  * Spark's. Anything that is not DML against a registered graft-log
+  * table falls through to plain `spark.sql`.
+  *
+  * Scale shape: the translation is driver-side string/plan work; the
+  * executed DML is the same pruned upsert/delete every API caller gets
+  * (zone-map file scoping, census deletes — see GraftLog's scaladocs). */
+object GraftSql {
+
+  /** name (lowercased) → graft-log base path, session-independent. */
+  private val tables = new ConcurrentHashMap[String, String]()
+
+  /** Register a graft-log table under a SQL name: readable via
+    * `spark.sql("SELECT ... FROM name")` (temp view of the CURRENT
+    * snapshot — refreshed after every DML through this front-end) and
+    * writable via `GraftSql.sql("MERGE INTO name ...")`. */
+  def registerTable(spark: SparkSession, name: String, base: String): Unit = {
+    tables.put(name.toLowerCase, base)
+    GraftLog.registerView(spark, name, base)
+  }
+
+  /** Execute one SQL statement. MERGE INTO / DELETE FROM on registered
+    * graft-log tables run through the format's DML and return a one-row
+    * frame (operation, version); everything else is `spark.sql`. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(text)
+      catch { case _: Exception => return spark.sql(text) }
+    plan match {
+      case d: DeleteFromTable =>
+        tableName(d.table) match {
+          case Some(name) if tables.containsKey(name) =>
+            runDelete(spark, name, d)
+          case _ => spark.sql(text)
+        }
+      case m: MergeIntoTable =>
+        tableName(m.targetTable) match {
+          case Some(name) if tables.containsKey(name) =>
+            runMerge(spark, name, m)
+          case _ => spark.sql(text)
+        }
+      case _ => spark.sql(text)
+    }
+  }
+
+  private def tableName(plan: LogicalPlan): Option[String] = plan match {
+    case r: UnresolvedRelation => Some(r.multipartIdentifier.last.toLowerCase)
+    case SubqueryAlias(_, child) => tableName(child)
+    case _ => None
+  }
+
+  /** SQL conditions arrive as unresolved trees with possibly-qualified
+    * attributes (`t.k`); the table frame has no such qualifier, so
+    * multi-part names collapse to their column name. */
+  private def unqualify(e: Expression): Expression = e.transformUp {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+      UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+
+  private def result(spark: SparkSession, op: String, version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((op, version)).toDF("operation", "version")
+  }
+
+  private def runDelete(spark: SparkSession, name: String,
+                        d: DeleteFromTable): DataFrame = {
+    val base = tables.get(name)
+    val pred = GraftBridge.column(unqualify(d.condition))
+    val v = GraftLog.delete(spark, base, pred)
+    GraftLog.registerView(spark, name, base) // follow the new head
+    result(spark, "DELETE", v)
+  }
+
+  private def runMerge(spark: SparkSession, name: String,
+                       m: MergeIntoTable): DataFrame = {
+    val base = tables.get(name)
+    // the canonical upsert shape — exactly what upsertScoped implements:
+    //   ON t.key = s.key
+    //   WHEN MATCHED THEN UPDATE SET *
+    //   WHEN NOT MATCHED THEN INSERT *
+    val key = m.mergeCondition match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO graft-log: the ON clause must be an equality on one " +
+        s"shared key column (t.k = s.k), got: ${other.sql}")
+    }
+    val matchedOk = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => true
+      case Seq() => false
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO graft-log supports WHEN MATCHED THEN UPDATE SET * " +
+        s"(unconditional), got: $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO graft-log supports WHEN NOT MATCHED THEN INSERT * " +
+        s"(unconditional), got: $other")
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "MERGE INTO graft-log: WHEN NOT MATCHED BY SOURCE is not supported")
+    require(matchedOk,
+      "MERGE INTO graft-log needs WHEN MATCHED THEN UPDATE SET * " +
+      "(insert-only merges: use INSERT/append)")
+    val source = GraftBridge.ofRows(spark, m.sourceTable)
+    val v = GraftLog.upsertScoped(spark, base, source, key)
+    GraftLog.registerView(spark, name, base) // follow the new head
+    result(spark, "MERGE", v)
+  }
+}

@@ -38,9 +38,9 @@ import org.apache.spark.sql.types._
 object DeltaInterop {
   private val mapper = new ObjectMapper()
 
-  private val CommitName = "^[0-9]{20}\\.json$".r
-  private def logDir(base: String) = new File(base, "_delta_log")
-  private def commitName(v: Long) = f"$v%020d.json"
+  private[sources] val CommitName = "^[0-9]{20}\\.json$".r
+  private[sources] def logDir(base: String) = new File(base, "_delta_log")
+  private[sources] def commitName(v: Long) = f"$v%020d.json"
   private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
 
   /** A deletion-vector descriptor, verbatim from the add/remove action
@@ -542,8 +542,9 @@ object DeltaInterop {
   /** Plan the scan for a (possibly file-pruned) snapshot: physical→
     * logical column resolution, DV subtraction, partition-value
     * re-attachment. */
-  private def assembleScan(spark: SparkSession, base: String,
-                           snap: DeltaSnapshot): DataFrame = {
+  private[sources] def assembleScan(spark: SparkSession, base: String,
+                                    snap: DeltaSnapshot,
+                                    keepCoords: Boolean = false): DataFrame = {
     def pvOf(f: AddFile, logical: String): Option[String] =
       f.partitionValues.get(snap.physicalName(logical))
         .orElse(f.partitionValues.get(logical))
@@ -573,9 +574,17 @@ object DeltaInterop {
             .putLong("parquet.field.id", id).build())
         }
       })
+    // with keepCoords the caller gets two extra columns — `__delta_file`
+    // (normalized on-disk path) and `__delta_pos` (raw parquet
+    // row_index, the DV coordinate system) — for row-level DML
+    val outSchema =
+      if (!keepCoords) snap.schema
+      else StructType(snap.schema.fields ++ Seq(
+        StructField("__delta_file", StringType),
+        StructField("__delta_pos", LongType)))
     if (snap.files.isEmpty) {
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
     // add.path is stored percent-encoded per the protocol — decode for
     // on-disk resolution (a literal-'%' writer is tolerated: malformed
@@ -610,15 +619,23 @@ object DeltaInterop {
     }
 
     // file-identity column only when something joins on it (DV subtract
-    // or partition re-attachment) — a plain scan stays metadata-free
-    val coords =
-      if (dvFiles.isEmpty && snap.partitionColumns.isEmpty) scan
+    // or partition re-attachment) or the caller asked for coordinates —
+    // a plain scan stays metadata-free
+    val coords0 =
+      if (!keepCoords && dvFiles.isEmpty && snap.partitionColumns.isEmpty) scan
       else scan.withColumn("__delta_file",
         regexp_replace(col("_metadata.file_path"),
           PathCodec.metadataFilePathNormalizeRegex, "/"))
+    // raw row_index must be captured while `_metadata` is reachable;
+    // subtractDv re-adds the same value, so the overlap is harmless
+    val coords =
+      if (keepCoords) coords0.withColumn("__delta_pos", col("_metadata.row_index"))
+      else coords0
+    val coordCols: Seq[org.apache.spark.sql.Column] =
+      if (keepCoords) Seq(col("__delta_file"), col("__delta_pos")) else Seq.empty
     if (snap.partitionColumns.isEmpty)
       subtractDv(coords).select(snap.schema.fieldNames.map(n =>
-        col(scanName(n)).as(n)): _*)
+        col(scanName(n)).as(n)) ++ coordCols: _*)
     else {
       // (file → partition values) as a broadcast map keyed by the FULL
       // normalized path, not the basename: real Spark/Delta writers
@@ -642,7 +659,7 @@ object DeltaInterop {
       withParts.select(snap.schema.fieldNames.map { n =>
         if (snap.partitionColumns.contains(n)) col(n)
         else col(scanName(n)).as(n)
-      }: _*)
+      } ++ coordCols: _*)
     }
   }
 
@@ -729,7 +746,7 @@ object DeltaInterop {
   /** Decode a deletion vector's positions per its storage type:
     * inline z85 data, a UUID-derived `.bin` under the table root, or an
     * absolute-path `.bin`. */
-  private def resolveDvPositions(base: String, d: DvDescriptor): Array[Long] =
+  private[sources] def resolveDvPositions(base: String, d: DvDescriptor): Array[Long] =
     d.storageType match {
       case "i" =>
         // z85 is 4-byte aligned; sizeInBytes carries the true length
@@ -753,7 +770,7 @@ object DeltaInterop {
     * (partition columns EXCLUDED from the data files, per protocol when
     * `partitionBy` is set) and return add-action (path, partitionValues)
     * pairs. */
-  private def stageAdds(df: DataFrame, base: String,
+  private[sources] def stageAdds(df: DataFrame, base: String,
                         partitionBy: Seq[String]): Seq[AddFile] = {
     new File(base).mkdirs()
     val scratch = new File(base, s".stage_${UUID.randomUUID()}")
@@ -814,7 +831,7 @@ object DeltaInterop {
     * pass here is bounded by the staged data, and stats keys come out in
     * PHYSICAL column names (the protocol's contract under column
     * mapping) because the staged frame already carries them. */
-  private def collectAddStats(spark: SparkSession, base: String,
+  private[sources] def collectAddStats(spark: SparkSession, base: String,
                               adds: Seq[AddFile],
                               dataFields: StructType): Seq[AddFile] = {
     if (adds.isEmpty) return adds
@@ -899,7 +916,7 @@ object DeltaInterop {
     mapper.writeValueAsString(node)
   }
 
-  private def writeCommit(base: String, version: Long, lines0: Seq[String],
+  private[sources] def writeCommit(base: String, version: Long, lines0: Seq[String],
                           operation: String = ""): Unit = {
     val lines =
       if (operation.isEmpty) lines0 else commitInfoJson(operation) +: lines0
@@ -907,16 +924,22 @@ object DeltaInterop {
     val tmp = new File(dir, s".tmp_${UUID.randomUUID()}.json")
     Files.writeString(tmp.toPath, lines.mkString("", "\n", "\n"))
     val dst = new File(dir, commitName(version))
-    // atomic rename = the commit; an existing file means a concurrent
-    // writer won — conflict, as Delta's log store contract requires
-    if (!tmp.renameTo(dst)) {
+    // atomic PUT-IF-ABSENT = the commit (Delta's log store contract).
+    // NOT renameTo: POSIX rename silently REPLACES an existing target,
+    // so a loser would overwrite the winner's commit instead of
+    // conflicting. Hard-link creation fails atomically with EEXIST.
+    try {
+      Files.createLink(dst.toPath, tmp.toPath)
       tmp.delete()
-      throw new java.util.ConcurrentModificationException(
-        s"delta commit $version already exists in $base")
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new java.util.ConcurrentModificationException(
+          s"delta commit $version already exists in $base")
     }
   }
 
-  private def addJson(a: AddFile, base: String,
+  private[sources] def addJson(a: AddFile, base: String,
                       dataChange: Boolean = true): String = {
     val node = mapper.createObjectNode()
     val add = node.putObject("add")
@@ -960,7 +983,7 @@ object DeltaInterop {
   private val protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def currentVersion(base: String): Option[Long] = {
+  private[sources] def currentVersion(base: String): Option[Long] = {
     val fs = Option(logDir(base).listFiles()).getOrElse(Array.empty)
       .filter(f => CommitName.matches(f.getName))
     if (fs.isEmpty) None else Some(fs.map(_.getName.stripSuffix(".json").toLong).max)
@@ -969,7 +992,8 @@ object DeltaInterop {
   /** Create-or-replace the table (commit 0 = protocol+metaData+adds;
     * later overwrites remove every live file). */
   def overwrite(df: DataFrame, base: String,
-                partitionBy: Seq[String] = Seq.empty): Long = {
+                partitionBy: Seq[String] = Seq.empty,
+                configuration: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
@@ -981,7 +1005,9 @@ object DeltaInterop {
     val removeLines = removes.map(r =>
       removeJson(r.path, r.dv, dataChange = true))
     writeCommit(base, v,
-      Seq(protocolJson, metaJson(df.schema, partitionBy, UUID.randomUUID().toString)) ++
+      Seq(protocolJson,
+        metaJson(df.schema, partitionBy, UUID.randomUUID().toString,
+          configuration)) ++
         removeLines ++ adds.map(addJson(_, base)),
       operation = "WRITE")
     v
@@ -1099,7 +1125,12 @@ object DeltaInterop {
     }
   }
 
-  /** Append rows (no existing file touched). */
+  /** Append rows (no existing file touched). Commits through the OCC
+    * reconciler: a concurrent writer winning the version race is
+    * re-read and, when its changes are disjoint (an append depends on
+    * no existing file), this commit rebases onto the next version —
+    * two interleaved disjoint appends both land, as Delta's optimistic
+    * protocol prescribes. */
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
     requirePhysicalNames(df.sparkSession, base, df)
@@ -1108,11 +1139,75 @@ object DeltaInterop {
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(
       throw new IllegalStateException(s"append to non-existent table $base"))
-    writeCommit(base, v, adds.map(addJson(_, base)), operation = "WRITE")
-    v
+    commitReconciled(base, v, adds.map(addJson(_, base)),
+      operation = "WRITE", removedPaths = Set.empty)
   }
 
-  private def removeJson(path: String, dv: Option[DvDescriptor],
+  /** Optimistic-concurrency commit with conflict reconciliation, the
+    * protocol's loser-side contract: attempt the commit at
+    * `expectedVersion`; when a concurrent writer won that version (the
+    * atomic rename fails), read every commit that landed in between
+    * and check FILE-LEVEL DISJOINTNESS — the same stale-file-subset
+    * check graft-log's OCC uses:
+    *
+    *  - a winner that changed `metaData` (schema/partitioning) or
+    *    `protocol` invalidates any staged commit → refuse;
+    *  - a winner that removed or DV-replaced a file THIS commit also
+    *    removes (or re-adds, i.e. depends on) → true write conflict →
+    *    refuse, naming the files;
+    *  - otherwise the changes are disjoint → rebase: re-attempt the
+    *    SAME action lines at the next free version.
+    *
+    * `removedPaths` declares the files this commit depends on (its
+    * remove set); an append passes the empty set and therefore only
+    * conflicts with metadata changes. Driver-side log reads only. */
+  private[sources] def commitReconciled(base: String, expectedVersion: Long,
+                                        lines: Seq[String], operation: String,
+                                        removedPaths: Set[String],
+                                        maxRetries: Int = 10): Long = {
+    var v = expectedVersion
+    var attempt = 0
+    while (true) {
+      try {
+        writeCommit(base, v, lines, operation)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val head = currentVersion(base).getOrElse(
+            throw new IllegalStateException(s"no commits under $base"))
+          // inspect every commit that won a version we attempted
+          (v to head).foreach { wv =>
+            val wf = new File(logDir(base), commitName(wv))
+            if (wf.exists()) Files.readAllLines(wf.toPath).forEach { line =>
+              if (line.nonEmpty) {
+                val n = mapper.readTree(line)
+                if (n.has("metaData") || n.has("protocol"))
+                  throw new java.util.ConcurrentModificationException(
+                    s"concurrent commit $wv of $base changed table " +
+                    "metadata/protocol — refusing to rebase a commit " +
+                    "staged against the old definition")
+                Seq("remove", "add").foreach { kind =>
+                  Option(n.get(kind)).foreach { a =>
+                    val p = a.get("path").asText()
+                    if (removedPaths.contains(p))
+                      throw new java.util.ConcurrentModificationException(
+                        s"concurrent commit $wv of $base touched file $p " +
+                        "which this commit also rewrites — conflicting " +
+                        "writes, refusing")
+                  }
+                }
+              }
+            }
+          }
+          v = head + 1 // disjoint → rebase and re-attempt
+      }
+    }
+    -1L // unreachable
+  }
+
+  private[sources] def removeJson(path: String, dv: Option[DvDescriptor],
                          dataChange: Boolean): String = {
     val node = mapper.createObjectNode()
     val rm = node.putObject("remove")

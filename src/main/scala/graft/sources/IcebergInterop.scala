@@ -548,11 +548,28 @@ object IcebergInterop {
   /** Plan the scan for a (possibly pruned) file set and subtract v2
     * merge-on-read deletes. */
   private def assembleRead(spark: SparkSession, snap: IcebergSnapshot,
-                           kept: Seq[DataFileEntry]): DataFrame = {
+                           kept: Seq[DataFileEntry],
+                           keepCoords: Boolean = false): DataFrame = {
+    // with keepCoords the caller gets `__ice_file` (normalized on-disk
+    // path) and `__ice_pos` (raw parquet row_index — the position-delete
+    // coordinate system) for row-level DML
+    val outSchema =
+      if (!keepCoords) snap.schema
+      else StructType(snap.schema.fields ++ Seq(
+        StructField("__ice_file", StringType),
+        StructField("__ice_pos", LongType)))
     if (kept.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val scan = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val scan0 = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
+    val scan =
+      if (!keepCoords) scan0
+      else scan0.withColumn("__ice_file",
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.col("_metadata.file_path"),
+            PathCodec.metadataFilePathNormalizeRegex, "/"))
+        .withColumn("__ice_pos",
+          org.apache.spark.sql.functions.col("_metadata.row_index"))
     if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty) return scan
 
     // v2 merge-on-read. Both delete kinds need the row's provenance:
@@ -565,9 +582,11 @@ object IcebergInterop {
     val fileMap = kept.map(f =>
       (f.rawPath, PathCodec.metadataPathKey(new File(f.path)), f.seq))
       .toDF("__raw", "__ice_file", "__data_seq")
-    var out = scan.withColumn("__ice_file",
-      regexp_replace(col("_metadata.file_path"),
-        PathCodec.metadataFilePathNormalizeRegex, "/"))
+    var out =
+      if (keepCoords) scan // coords already attached above
+      else scan.withColumn("__ice_file",
+        regexp_replace(col("_metadata.file_path"),
+          PathCodec.metadataFilePathNormalizeRegex, "/"))
 
     if (snap.deletes.nonEmpty) {
       // Position deletes: (file_path, pos) rows; apply to data files
@@ -596,7 +615,7 @@ object IcebergInterop {
       out = out
         .withColumn("__ice_pos", col("_metadata.row_index"))
         .join(delSide, Seq("__ice_file", "__ice_pos"), "left_anti")
-        .drop("__ice_pos")
+      if (!keepCoords) out = out.drop("__ice_pos")
     }
 
     if (snap.eqDeletes.nonEmpty) {
@@ -632,7 +651,9 @@ object IcebergInterop {
           out = out.join(delSide, cond, "left_anti")
         }
     }
-    out.select(snap.schema.fieldNames.map(col): _*)
+    val coordCols =
+      if (keepCoords) Seq(col("__ice_file"), col("__ice_pos")) else Seq.empty
+    out.select(snap.schema.fieldNames.map(col) ++ coordCols: _*)
   }
 
   // ------------------------------------------------------------- writer
@@ -1183,10 +1204,16 @@ object IcebergInterop {
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    if (!tmp.renameTo(dst)) {
+    // put-if-absent via hard link: POSIX rename would silently REPLACE
+    // a concurrent writer's metadata file instead of conflicting
+    try {
+      Files.createLink(dst.toPath, tmp.toPath)
       tmp.delete()
-      throw new java.util.ConcurrentModificationException(
-        s"iceberg metadata v$version already exists in $base")
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new java.util.ConcurrentModificationException(
+          s"iceberg metadata v$version already exists in $base")
     }
     Files.writeString(hint.toPath, version.toString)
     snapshotId
@@ -1250,6 +1277,80 @@ object IcebergInterop {
     rec.put("data_file", dfr)
     writeAvro(mFile, entrySchema, Seq(rec))
 
+    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+  }
+
+  /** Predicate-driven positional DELETE, fully distributed — the
+    * production form of `addPositionDeletes`: one merge-on-read scan
+    * classifies LIVE rows (existing position/equality deletes already
+    * subtracted, so replaying an overlapping predicate never
+    * double-records a coordinate), the matched (file_path, pos) rows
+    * are staged as sorted parquet delete files straight from the
+    * executors — no position ever passes through a driver-side Seq —
+    * and one delete manifest commits them all. Delete files are sized
+    * ~4M coordinates each (range-partitioned by (file_path, pos), so
+    * each stays sorted as the spec requires). Returns the new snapshot
+    * id, or the current one when nothing matched (no empty commit). */
+  def deletePositionsWhere(spark: SparkSession, base: String,
+                           predicate: org.apache.spark.sql.Column): Long = {
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    require(prev.get("format-version").asInt() == 2,
+      "position deletes are an Iceberg format-v2 feature")
+    val snap = snapshot(spark, base)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // normalized scan path → the manifest's EXACT file_path string (the
+    // coordinate system delete files must reference) — metadata scale
+    val rawByKey = snap.files.map(f =>
+      (PathCodec.metadataPathKey(new File(f.path)), f.rawPath))
+      .toDF("__ice_file", "__raw")
+    val matched = assembleRead(spark, snap, snap.files, keepCoords = true)
+      .filter(coalesce(predicate, lit(false)))
+      .join(broadcast(rawByKey), Seq("__ice_file"))
+      .select(col("__raw").as("file_path"), col("__ice_pos").as("pos"))
+    val n = matched.count() // one bounded scalar
+    if (n == 0) return prev.get("current-snapshot-id").asLong()
+    val snapshotId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    val parts = math.max(1, math.ceil(n / 4e6).toInt)
+    val scratch = new File(base, s".stage_$id")
+    matched.repartitionByRange(parts, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos") // spec: sorted delete files
+      .write.parquet(scratch.getPath)
+    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    val delFiles = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).zipWithIndex.map { case (pf, i) =>
+        val dst = new File(dataDir, s"delete-$id-$i.parquet")
+        Files.move(pf.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+        dst
+      }.toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    // per-delete-file record counts: one grouped scan, one row per file
+    val counts: Map[String, Long] = spark.read
+      .parquet(delFiles.map(_.getPath): _*)
+      .groupBy(regexp_replace(col("_metadata.file_path"),
+        PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
+      .count().as[(String, Long)].collect().toMap
+    val entrySchema = entrySchemaFor(Seq.empty)
+    val recs = delFiles.map { df =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+      val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+      dfr.put("content", 1) // 1 = position deletes
+      dfr.put("file_path", df.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count",
+        counts.getOrElse(PathCodec.metadataPathKey(df), 0L))
+      dfr.put("file_size_in_bytes", df.length())
+      rec.put("data_file", dfr)
+      rec
+    }
+    val mFile = new File(metaDir, s"manifest-del-$id.avro")
+    writeAvro(mFile, entrySchema, recs)
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
   }
 
@@ -1347,10 +1448,16 @@ object IcebergInterop {
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    if (!tmp.renameTo(dst)) {
+    // put-if-absent via hard link: POSIX rename would silently REPLACE
+    // a concurrent writer's metadata file instead of conflicting
+    try {
+      Files.createLink(dst.toPath, tmp.toPath)
       tmp.delete()
-      throw new java.util.ConcurrentModificationException(
-        s"iceberg metadata v$version already exists in $base")
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new java.util.ConcurrentModificationException(
+          s"iceberg metadata v$version already exists in $base")
     }
     Files.writeString(hint.toPath, version.toString)
     snapshotId
@@ -1442,10 +1549,16 @@ object IcebergInterop {
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    if (!tmp.renameTo(dst)) {
+    // put-if-absent via hard link: POSIX rename would silently REPLACE
+    // a concurrent writer's metadata file instead of conflicting
+    try {
+      Files.createLink(dst.toPath, tmp.toPath)
       tmp.delete()
-      throw new java.util.ConcurrentModificationException(
-        s"iceberg metadata v$version already exists in $base")
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new java.util.ConcurrentModificationException(
+          s"iceberg metadata v$version already exists in $base")
     }
     Files.writeString(hint.toPath, version.toString)
     version

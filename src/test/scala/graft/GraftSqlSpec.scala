@@ -1,0 +1,106 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{GraftLog, GraftSql}
+
+/** SQL DML front-end: MERGE INTO / DELETE FROM statements parsed by
+  * Spark's parser, dispatched to graft-log's upsert/delete, equivalent
+  * to the API path; non-DML and unregistered tables fall through. */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val p = s"/tmp/graft_test_sql_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("DELETE FROM matches the API delete exactly; view follows the head") {
+    val base = freshBase("del")
+    GraftLog.overwriteClustered(
+      (0L until 100L).map(k => (k, k % 7)).toDF("k", "g"), base,
+      Seq("k"), nFiles = 4)
+    GraftSql.registerTable(spark, "sql_del_t", base)
+    val res = GraftSql.sql(spark,
+      "DELETE FROM sql_del_t WHERE k >= 25 AND k <= 74")
+    assert(res.select("operation").head().getString(0) == "DELETE")
+    // the registered view reads the post-DML head
+    assert(spark.sql("SELECT count(*) AS n FROM sql_del_t")
+      .head().getLong(0) == 50L)
+    assert(GraftLog.read(spark, base).count() == 50L)
+  }
+
+  test("DELETE honors SQL NULL semantics through the SQL surface") {
+    val base = freshBase("delnull")
+    GraftLog.overwriteClustered(
+      Seq[(Long, java.lang.Long)]((1L, 10L), (2L, null), (3L, 30L))
+        .toDF("k", "v"), base, Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_delnull_t", base)
+    GraftSql.sql(spark, "DELETE FROM sql_delnull_t WHERE v > 15")
+    assert(GraftLog.read(spark, base).select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L)) // NULL predicate keeps the row
+  }
+
+  test("MERGE INTO upserts: matched rows update, new keys insert") {
+    val base = freshBase("merge")
+    GraftLog.overwriteClustered(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_merge_t", base)
+    Seq((2L, 22.0), (9L, 90.0)).toDF("k", "v")
+      .createOrReplaceTempView("sql_merge_src")
+    val res = GraftSql.sql(spark,
+      """MERGE INTO sql_merge_t t USING sql_merge_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(res.select("operation").head().getString(0) == "MERGE")
+    val got = GraftLog.read(spark, base).as[(Long, Double)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (9L, 90.0)))
+    // and via the refreshed SQL view
+    assert(spark.sql("SELECT sum(v) AS s FROM sql_merge_t")
+      .head().getDouble(0) == 10.0 + 22.0 + 30.0 + 90.0)
+  }
+
+  test("MERGE with a subquery source works (Spark parses, we dispatch)") {
+    val base = freshBase("mergesub")
+    GraftLog.overwriteClustered(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), base, Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_msub_t", base)
+    Seq((1L, 100.0), (5L, 500.0), (6L, 600.0)).toDF("k", "v")
+      .createOrReplaceTempView("sql_msub_src")
+    GraftSql.sql(spark,
+      """MERGE INTO sql_msub_t t
+         USING (SELECT k, v FROM sql_msub_src WHERE k < 6) s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(GraftLog.read(spark, base).as[(Long, Double)].collect().sorted
+      .toSeq == Seq((1L, 100.0), (2L, 2.0), (5L, 500.0)))
+  }
+
+  test("unsupported merge shapes refuse with a clear message") {
+    val base = freshBase("mergebad")
+    GraftLog.overwriteClustered(Seq((1L, 1.0)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_mbad_t", base)
+    Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("sql_mbad_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """MERGE INTO sql_mbad_t t USING sql_mbad_src s ON t.k = s.k
+           WHEN MATCHED THEN DELETE""")
+    }
+    assert(e.getMessage.contains("UPDATE SET *"))
+  }
+
+  test("non-DML statements and unregistered tables fall through to spark.sql") {
+    val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
+    assert(n == 2)
+    // DELETE on an unregistered table reaches Spark's own analyzer error
+    intercept[Exception] {
+      GraftSql.sql(spark, "DELETE FROM definitely_not_registered WHERE 1=1")
+        .collect()
+    }
+  }
+}

@@ -110,6 +110,35 @@ class IcebergInteropSpec extends SparkSpec {
     assert(sid == snap0.snapshotId + 1)
   }
 
+  test("deletePositionsWhere: predicate-driven, distributed, multi-file") {
+    import spark.implicits._
+    val base = tmp()
+    val df = (0L until 400L).map(i => (i, i % 9)).toDF("id", "g")
+    IcebergInterop.overwrite(df.repartition(3), base)
+    assert(IcebergInterop.snapshot(spark, base).files.size == 3)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") % 4 === 0)
+    val got = IcebergInterop.read(spark, base).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (0L until 400L).filter(_ % 4 != 0))
+    // predicate-NULL rows survive + overlap never double-deletes
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") % 2 === 0)
+    assert(IcebergInterop.read(spark, base).count() == 200)
+    // no-match: no new snapshot committed
+    val ids = IcebergInterop.snapshotIds(base)
+    assert(IcebergInterop.deletePositionsWhere(spark, base,
+      col("id") > 9999) == ids.last)
+    assert(IcebergInterop.snapshotIds(base) == ids)
+    // the delete files are sorted by (file_path, pos), per spec
+    val delParquets = new File(base, "data").listFiles()
+      .filter(_.getName.startsWith("delete-"))
+    assert(delParquets.nonEmpty)
+    delParquets.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select("file_path", "pos").as[(String, Long)].collect().toSeq
+      assert(rows == rows.sortBy(identity), s"${f.getName} is unsorted")
+    }
+  }
+
   test("delete manifests carry through appends; new data is unaffected") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)

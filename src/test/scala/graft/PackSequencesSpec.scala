@@ -39,8 +39,12 @@ class PackSequencesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       s"sequence packing serializes through one partition:\n$plan")
-    assert(plan.contains("rangepartitioning"),
-      s"expected range partitioning for the global order:\n$plan")
+    // the range-partitioned frame is PINNED by an eager localCheckpoint
+    // (lineage truncated so offsets can never drift — see
+    // Relational.pinBounded), so the final plan reads the materialized
+    // blocks instead of re-planning the range exchange
+    assert(plan.contains("ExistingRDD"),
+      s"expected the checkpointed (pinned) range partitioning:\n$plan")
   }
 
   test("globalPrefixSum equals a sequential scan on any partitioning") {

@@ -65,6 +65,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("codec seam: a runtime-registered codec claims its payloads without touching Multimodal") {
+    // a stub compressed-format codec (JPEG magic FF D8) registered at
+    // runtime — the same seam a JNI decoder uses in production. The
+    // pipeline code is untouched; the codec rides the task closure.
+    object StubJpeg extends Multimodal.PayloadCodec {
+      val name = "stub-jpeg"
+      def sniff(p: Array[Byte]): Boolean =
+        p.length >= 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+      def features(p: Array[Byte], dim: Int): Array[Float] = {
+        val f = new Array[Float](dim); f(0) = 1f; f // recognizable signature
+      }
+    }
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3, 4)
+    val rows = Seq(
+      Multimodal.MediaRow(900L, "image", jpeg, 0, 0, 0),
+      media.filter(_.modality == "image").head()).toDS()
+    Multimodal.registerCodec(StubJpeg)
+    try {
+      val got = Multimodal.extractFeatures(rows, dim = 16).collect()
+        .map(f => f.media_id -> f.features).toMap
+      // stub claimed the JPEG payload...
+      assert(got(900L).toSeq == (1f +: Seq.fill(15)(0f)))
+      // ...and the built-in PPM path is untouched
+      assert(math.abs(got.filterNot(_._1 == 900L).head._2.sum - 1f) < 1e-3)
+      assert(got.filterNot(_._1 == 900L).head._2.toSeq !=
+        (1f +: Seq.fill(15)(0f)))
+    } finally Multimodal.unregisterCodec("stub-jpeg")
+    // after unregistration the same payload falls back to the histogram
+    val fallback = Multimodal.extractFeatures(rows.filter(_.media_id == 900L),
+      dim = 16).head().features
+    assert(fallback.toSeq != (1f +: Seq.fill(15)(0f)))
+    assert(math.abs(fallback.sum - 1f) < 1e-3)
+  }
+
   test("frame sampling explodes video payloads into fixed-size frames") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
       .collect()
