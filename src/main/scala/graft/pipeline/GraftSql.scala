@@ -7,37 +7,60 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 
-/** SQL DML surface for graft-log tables: `MERGE INTO` and `DELETE FROM`
-  * statements — the idiom users actually type — parsed by SPARK'S OWN
-  * SQL parser and dispatched to the table format's DML
-  * (`GraftLog.upsertScoped` / `GraftLog.delete`). Spark parses both
-  * statements into `MergeIntoTable` / `DeleteFromTable` logical plans
-  * but refuses to execute them against v1 path-based tables ("only
-  * supported with v2 tables"); this front-end is the missing dispatch,
-  * not a second parser — grammar, precedence and literals are all
-  * Spark's. Anything that is not DML against a registered graft-log
-  * table falls through to plain `spark.sql`.
+/** SQL DML surface for graft-log AND Delta tables: `MERGE INTO`,
+  * `DELETE FROM` and `UPDATE` statements — the idiom users actually
+  * type — parsed by SPARK'S OWN SQL parser and dispatched to the table
+  * format's DML (`GraftLog.upsertScoped`/`delete`,
+  * `DeltaDml.deleteVectoredWhere`/`updateWhere`). Spark parses these
+  * statements into `MergeIntoTable` / `DeleteFromTable` / `UpdateTable`
+  * logical plans but refuses to execute them against v1 path-based
+  * tables ("only supported with v2 tables"); this front-end is the
+  * missing dispatch, not a second parser — grammar, precedence and
+  * literals are all Spark's. Anything that is not DML against a
+  * registered table falls through to plain `spark.sql`.
   *
   * Scale shape: the translation is driver-side string/plan work; the
   * executed DML is the same pruned upsert/delete every API caller gets
   * (zone-map file scoping, census deletes — see GraftLog's scaladocs). */
 object GraftSql {
 
-  /** name (lowercased) → graft-log base path, session-independent. */
-  private val tables = new ConcurrentHashMap[String, String]()
+  private sealed trait Handler { def base: String }
+  private final case class LogTable(base: String) extends Handler
+  private final case class DeltaTable(base: String) extends Handler
+
+  /** name (lowercased) → table-format handler, session-independent. */
+  private val tables = new ConcurrentHashMap[String, Handler]()
 
   /** Register a graft-log table under a SQL name: readable via
     * `spark.sql("SELECT ... FROM name")` (temp view of the CURRENT
     * snapshot — refreshed after every DML through this front-end) and
     * writable via `GraftSql.sql("MERGE INTO name ...")`. */
   def registerTable(spark: SparkSession, name: String, base: String): Unit = {
-    tables.put(name.toLowerCase, base)
+    tables.put(name.toLowerCase, LogTable(base))
     GraftLog.registerView(spark, name, base)
   }
 
-  /** Execute one SQL statement. MERGE INTO / DELETE FROM on registered
-    * graft-log tables run through the format's DML and return a one-row
-    * frame (operation, version); everything else is `spark.sql`. */
+  /** Register a Delta table for SQL reads + DML: `DELETE FROM` routes
+    * to `DeltaDml.deleteVectoredWhere` (merge-on-read DV delete),
+    * `UPDATE` to `DeltaDml.updateWhere` (copy-on-write scoped to
+    * touched files). */
+  def registerDeltaTable(spark: SparkSession, name: String, base: String): Unit = {
+    tables.put(name.toLowerCase, DeltaTable(base))
+    graft.sources.DeltaInterop.read(spark, base).createOrReplaceTempView(name)
+  }
+
+  private def refreshView(spark: SparkSession, name: String, h: Handler): Unit =
+    h match {
+      case LogTable(base) => GraftLog.registerView(spark, name, base)
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.read(spark, base)
+          .createOrReplaceTempView(name)
+    }
+
+  /** Execute one SQL statement. MERGE INTO / DELETE FROM / UPDATE on
+    * registered tables run through the format's DML and return a
+    * one-row frame (operation, version); everything else is
+    * `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val plan =
       try spark.sessionState.sqlParser.parsePlan(text)
@@ -47,6 +70,12 @@ object GraftSql {
         tableName(d.table) match {
           case Some(name) if tables.containsKey(name) =>
             runDelete(spark, name, d)
+          case _ => spark.sql(text)
+        }
+      case u: UpdateTable =>
+        tableName(u.table) match {
+          case Some(name) if tables.containsKey(name) =>
+            runUpdate(spark, name, u)
           case _ => spark.sql(text)
         }
       case m: MergeIntoTable =>
@@ -80,16 +109,50 @@ object GraftSql {
 
   private def runDelete(spark: SparkSession, name: String,
                         d: DeleteFromTable): DataFrame = {
-    val base = tables.get(name)
+    val h = tables.get(name)
     val pred = GraftBridge.column(unqualify(d.condition))
-    val v = GraftLog.delete(spark, base, pred)
-    GraftLog.registerView(spark, name, base) // follow the new head
+    val v = h match {
+      case LogTable(base) => GraftLog.delete(spark, base, pred)
+      case DeltaTable(base) =>
+        graft.sources.DeltaDml.deleteVectoredWhere(spark, base, pred)
+    }
+    refreshView(spark, name, h) // follow the new head
     result(spark, "DELETE", v)
+  }
+
+  private def runUpdate(spark: SparkSession, name: String,
+                        u: UpdateTable): DataFrame = {
+    val h = tables.get(name)
+    val base = h match {
+      case DeltaTable(b) => b
+      case LogTable(_) => throw new IllegalArgumentException(
+        "UPDATE on a graft-log table is not supported — use MERGE INTO " +
+        "with an update source (graft-log DML is key-based upsert)")
+    }
+    val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val set: Map[String, org.apache.spark.sql.Column] =
+      u.assignments.map { a =>
+        val name = a.key match {
+          case att: UnresolvedAttribute => att.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"UPDATE SET target must be a column, got: ${other.sql}")
+        }
+        name -> GraftBridge.column(unqualify(a.value))
+      }.toMap
+    val v = graft.sources.DeltaDml.updateWhere(spark, base, pred, set)
+    refreshView(spark, name, h)
+    result(spark, "UPDATE", v)
   }
 
   private def runMerge(spark: SparkSession, name: String,
                        m: MergeIntoTable): DataFrame = {
-    val base = tables.get(name)
+    val base = tables.get(name) match {
+      case LogTable(b) => b
+      case DeltaTable(_) => throw new IllegalArgumentException(
+        "MERGE INTO a Delta table is not supported by this front-end " +
+        "(use UPDATE/DELETE statements, or graft-log for MERGE)")
+    }
     // the canonical upsert shape — exactly what upsertScoped implements:
     //   ON t.key = s.key
     //   WHEN MATCHED THEN UPDATE SET *
@@ -122,7 +185,7 @@ object GraftSql {
       "(insert-only merges: use INSERT/append)")
     val source = GraftBridge.ofRows(spark, m.sourceTable)
     val v = GraftLog.upsertScoped(spark, base, source, key)
-    GraftLog.registerView(spark, name, base) // follow the new head
+    refreshView(spark, name, tables.get(name)) // follow the new head
     result(spark, "MERGE", v)
   }
 }

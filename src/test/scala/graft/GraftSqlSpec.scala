@@ -94,6 +94,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("UPDATE SET *"))
   }
 
+  test("Delta tables: DELETE FROM routes to DV delete, UPDATE to copy-on-write") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("delta_sql")
+    DeltaInterop.overwrite(
+      (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "sql_delta_t", base)
+    GraftSql.sql(spark, "UPDATE sql_delta_t SET v = v + 1000 WHERE k < 5")
+    GraftSql.sql(spark, "DELETE FROM sql_delta_t WHERE k >= 45")
+    // the refreshed view reads the post-DML state
+    val got = spark.sql("SELECT sum(v) AS s, count(*) AS n FROM sql_delta_t")
+      .as[(Double, Long)].head()
+    val expect = (0 until 45).map(i => if (i < 5) i + 1000.0 else i.toDouble).sum
+    assert(got == ((expect, 45L)))
+    // merge-on-read: the delete landed as a deletion vector
+    assert(DeltaInterop.snapshot(spark, base).files.exists(_.dv.isDefined))
+    // MERGE on a delta table refuses with guidance
+    Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("sql_delta_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """MERGE INTO sql_delta_t t USING sql_delta_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e.getMessage.contains("UPDATE/DELETE"))
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
