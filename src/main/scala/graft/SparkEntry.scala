@@ -1844,6 +1844,46 @@ object SparkEntry {
          FROM q182_t GROUP BY o_custkey % 100 ORDER BY bucket""")
   }
 
+  /** Delta SQL DML (q183): UPDATE / MERGE INTO / DELETE FROM statements
+    * against a registered DELTA table — UPDATE runs copy-on-write
+    * scoped to touched files, MERGE the stats-scoped upsert, DELETE the
+    * merge-on-read deletion-vector path. The final state reads through
+    * the refreshed SQL view; the oracle replays all three statements as
+    * plain SQL, so a wrong update scope, a lost insert, or a DV
+    * resurrection hash-mismatches. */
+  private def qDeltaSqlDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val base = fixtureDir("delta_sql_dml_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    DeltaInterop.overwrite(
+      ords.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")), base)
+    GraftSql.registerDeltaTable(s, "q183_t", base)
+    GraftSql.sql(s,
+      "UPDATE q183_t SET totalprice = totalprice + 100 WHERE o_orderkey <= 2000")
+    ords.filter(col("o_orderkey").between(3000, 3500))
+      .withColumn("totalprice",
+        (col("totalprice") + lit(7)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .withColumn("totalprice",
+          (col("totalprice") + lit(100)).cast(DecimalType(18, 2))))
+      .createOrReplaceTempView("q183_src")
+    GraftSql.sql(s,
+      """MERGE INTO q183_t t USING q183_src s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    GraftSql.sql(s, "DELETE FROM q183_t WHERE o_custkey % 9 = 4")
+    s.sql(
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM q183_t GROUP BY o_custkey % 100 ORDER BY bucket""")
+  }
+
   /** Delta OPTIMIZE (bin-packing compaction): three small data files
     * plus a deletion vector on the first are compacted into ONE file by
     * `DeltaInterop.optimize` — which must also MATERIALIZE the DV (drop
@@ -3814,6 +3854,7 @@ object SparkEntry {
     "q180_delta_cdf" -> (qDeltaCdf _),
     "q181_iceberg_month" -> (qIcebergMonth _),
     "q182_sql_dml" -> (qSqlDml _),
+    "q183_delta_sql_dml" -> (qDeltaSqlDml _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4578,6 +4619,23 @@ object SparkEntry {
              CASE WHEN o_orderkey <= 2000
                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 100
+           FROM orders WHERE o_orderkey < 100
+         ) WHERE o_custkey % 9 <> 4
+         GROUP BY bucket ORDER BY bucket""",
+    "q183_delta_sql_dml" ->
+      """SELECT bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey % 100 AS bucket, o_custkey,
+             CASE WHEN o_orderkey BETWEEN 3000 AND 3500
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 7
+                  WHEN o_orderkey <= 2000
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
            FROM orders
            UNION ALL
            SELECT o_custkey % 100, o_custkey,

@@ -147,12 +147,7 @@ object GraftSql {
 
   private def runMerge(spark: SparkSession, name: String,
                        m: MergeIntoTable): DataFrame = {
-    val base = tables.get(name) match {
-      case LogTable(b) => b
-      case DeltaTable(_) => throw new IllegalArgumentException(
-        "MERGE INTO a Delta table is not supported by this front-end " +
-        "(use UPDATE/DELETE statements, or graft-log for MERGE)")
-    }
+    val h = tables.get(name)
     // the canonical upsert shape — exactly what upsertScoped implements:
     //   ON t.key = s.key
     //   WHEN MATCHED THEN UPDATE SET *
@@ -184,8 +179,12 @@ object GraftSql {
       "MERGE INTO graft-log needs WHEN MATCHED THEN UPDATE SET * " +
       "(insert-only merges: use INSERT/append)")
     val source = GraftBridge.ofRows(spark, m.sourceTable)
-    val v = GraftLog.upsertScoped(spark, base, source, key)
-    refreshView(spark, name, tables.get(name)) // follow the new head
+    val v = h match {
+      case LogTable(base) => GraftLog.upsertScoped(spark, base, source, key)
+      case DeltaTable(base) =>
+        graft.sources.DeltaDml.mergeUpsert(spark, base, source, key)
+    }
+    refreshView(spark, name, h) // follow the new head
     result(spark, "MERGE", v)
   }
 }

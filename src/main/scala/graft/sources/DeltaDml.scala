@@ -244,6 +244,137 @@ object DeltaDml {
     v
   }
 
+  /** Keyed MERGE (upsert), copy-on-write scoped by data skipping — the
+    * same 100 TB shape as graft-log's `upsertScoped`, driven by Delta's
+    * own `add.stats`: a file is rewritten ONLY when its recorded
+    * [min,max] on `key` contains at least one update key (one
+    * broadcast range-join of the update keys against the ≤#files
+    * stats rows decides membership — output is bounded by the file
+    * count). Untouched files cannot hold any update key, so skipping
+    * them preserves exact MERGE semantics. Matched keys are replaced
+    * by their update row, unmatched update keys insert; files without
+    * parseable stats are conservatively rewritten. CDF-enabled tables
+    * get update_preimage/update_postimage/insert change rows. */
+  def mergeUpsert(spark: SparkSession, base: String, updates0: DataFrame,
+                  key: String, maxConflictRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      try return mergeUpsertOnce(spark, base, updates0, key)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def mergeUpsertOnce(spark: SparkSession, base: String,
+                              updates0: DataFrame, key: String): Long = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode == "none",
+      "mergeUpsert on a column-mapped Delta table is not implemented — refusing")
+    require(snap.schema.fieldNames.contains(key),
+      s"merge key '$key' is not a table column")
+    // conform updates to the TABLE schema (implicit-cast MERGE semantics)
+    require(updates0.columns.toSet == snap.schema.fieldNames.toSet,
+      s"merge source must carry exactly the table columns " +
+      s"(${snap.schema.fieldNames.mkString(",")}), got " +
+      s"(${updates0.columns.mkString(",")})")
+    val updates = updates0.select(snap.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
+    // per-file [min,max] on the key from add.stats (driver-side JSON
+    // parse, metadata scale). Unparseable → None → conservatively touched.
+    val keyType = snap.schema(key).dataType
+    def statBound(f: AddFile, which: String): Option[Any] =
+      f.stats.flatMap { js =>
+        try {
+          val n = mapper.readTree(js).get(which)
+          val v = if (n == null) null else n.get(key)
+          if (v == null || v.isNull) None
+          else keyType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(v.asLong())
+            case FloatType | DoubleType => Some(v.asDouble())
+            case _: DecimalType => Some(BigDecimal(v.asText()))
+            case StringType => Some(v.asText())
+            case _ => None
+          }
+        } catch { case _: Exception => None }
+      }
+    val ranges: Seq[(Int, Option[Any], Option[Any])] =
+      snap.files.zipWithIndex.map { case (f, i) =>
+        (i, statBound(f, "minValues"), statBound(f, "maxValues"))
+      }
+    val statless = ranges.collect { case (i, mn, mx) if mn.isEmpty || mx.isEmpty => i }
+    val bounded = ranges.collect { case (i, Some(mn), Some(mx)) => (i, mn, mx) }
+    // ONE broadcast range-join decides which bounded files hold ≥1
+    // update key; output ≤ #files rows
+    val touchedBounded: Set[Int] =
+      if (bounded.isEmpty) Set.empty
+      else {
+        import spark.implicits._
+        val rangeDf = bounded.map { case (i, mn, mx) =>
+          (i, mn.toString, mx.toString) }.toDF("__fidx", "__mn", "__mx")
+        // compare in the KEY's type space: cast the stringified bounds
+        // back (lossless for integral/decimal/string; double via text)
+        val k = col(key)
+        val hit = updates.select(k.as("__k"))
+          .join(broadcast(rangeDf),
+            col("__k") >= col("__mn").cast(keyType) &&
+            col("__k") <= col("__mx").cast(keyType))
+          .select("__fidx").distinct()
+          .collect().map(_.getInt(0)).toSet // ≤ #files rows
+        hit
+      }
+    val touchedIdx = touchedBounded ++ statless
+    val touched = touchedIdx.toSeq.sorted.map(snap.files)
+    val touchedScan =
+      if (touched.isEmpty) null
+      else assembleScan(spark, base, snap.copy(files = touched))
+    // CDF images from the pre-merge state of the touched slice
+    val cdcLines =
+      if (!cdfEnabled(snap)) Seq.empty[String]
+      else {
+        val cols = snap.schema.fieldNames.map(col)
+        val matchedOld =
+          if (touched.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+          else touchedScan.join(updates.select(col(key)).distinct(),
+            Seq(key), "left_semi")
+        val matchedKeys = matchedOld.select(col(key)).distinct()
+        val matchedNew = updates.join(matchedKeys, Seq(key), "left_semi")
+        val inserted = updates.join(matchedKeys, Seq(key), "left_anti")
+        val cdcDf = matchedOld.select(cols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(matchedNew.select(cols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
+          .unionByName(inserted.select(cols: _*)
+            .withColumn("_change_type", lit("insert")))
+        stageCdc(cdcDf, base, snap.partitionColumns).map(cdcJson(_, base))
+      }
+    // survivors of touched files (keys not updated) + ALL update rows
+    val merged =
+      if (touched.isEmpty) updates
+      else touchedScan.join(updates.select(col(key)).distinct(),
+          Seq(key), "left_anti")
+        .select(snap.schema.fieldNames.map(col): _*)
+        .unionByName(updates.select(snap.schema.fieldNames.map(col): _*))
+    val adds = collectAddStats(spark, base,
+      stageAdds(merged, base, snap.partitionColumns),
+      StructType(snap.schema.filterNot(f =>
+        snap.partitionColumns.contains(f.name))))
+    val v = snap.version + 1
+    writeCommit(base, v,
+      cdcLines ++
+        touched.map(f => removeJson(f.path, f.dv, dataChange = true)) ++
+        adds.map(addJson(_, base)),
+      operation = "MERGE")
+    v
+  }
+
   // ------------------------------------------------------------ CDF read
 
   private def parseDvNode(n: JsonNode): Option[DvDescriptor] =

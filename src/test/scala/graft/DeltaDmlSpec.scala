@@ -83,6 +83,56 @@ class DeltaDmlSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9)
   }
 
+  test("mergeUpsert rewrites only stat-hit files; untouched files survive by name") {
+    val base = tmp()
+    // two range-clustered files: [0,49] and [50,99]; updates hit only the first
+    DeltaInterop.overwrite(
+      (0L until 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions(col("k")), base)
+    val before = DeltaInterop.snapshot(spark, base)
+    assert(before.files.size == 2)
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((3L, 300.0), (7L, 700.0), (150L, 1500.0)).toDF("k", "v"), "k")
+    val after = DeltaInterop.snapshot(spark, base)
+    // data skipping: the [50,99] file is untouched (same add.path)
+    assert(after.files.map(_.path).toSet.intersect(
+      before.files.map(_.path).toSet).size == 1)
+    val got = DeltaInterop.read(spark, base).as[(Long, Double)]
+      .collect().toMap
+    assert(got.size == 101) // 100 originals + 1 insert (150)
+    assert(got(3L) == 300.0 && got(7L) == 700.0 && got(150L) == 1500.0)
+    assert(got(4L) == 4.0 && got(99L) == 99.0) // survivors untouched
+  }
+
+  test("mergeUpsert over a DV-carrying file folds the vector into the rewrite") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      (0L until 30L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    DeltaDml.deleteVectoredWhere(spark, base, col("k") < 5) // DV masks 0..4
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((10L, -1.0), (2L, 2000.0)).toDF("k", "v"), "k")
+    val got = DeltaInterop.read(spark, base).as[(Long, Double)]
+      .collect().toMap
+    // k=2 was DV-DELETED: the merge re-INSERTS it (unmatched key)
+    assert(got(2L) == 2000.0 && got(10L) == -1.0)
+    assert(!got.contains(0L) && !got.contains(4L)) // still deleted
+    assert(got.size == 26) // 25 live rows (10 updated in place) + re-inserted 2
+  }
+
+  test("mergeUpsert CDF: pre/post images for matched keys, insert for new keys") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      base, configuration = cdfConf)
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((5L, 55.0), (100L, 1000.0)).toDF("k", "v"), "k")
+    val feed = DeltaDml.readChangeFeed(spark, base, fromVersion = 1L)
+      .select("_change_type", "k", "v").as[(String, Long, Double)]
+      .collect().sorted.toSeq
+    assert(feed == Seq(("insert", 100L, 1000.0),
+      ("update_postimage", 5L, 55.0), ("update_preimage", 5L, 5.0)))
+  }
+
   test("CDF: delete + update write cdc actions; readChangeFeed returns them verbatim") {
     val base = tmp()
     DeltaInterop.overwrite(

@@ -109,15 +109,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(got == ((expect, 45L)))
     // merge-on-read: the delete landed as a deletion vector
     assert(DeltaInterop.snapshot(spark, base).files.exists(_.dv.isDefined))
-    // MERGE on a delta table refuses with guidance
-    Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("sql_delta_src")
-    val e = intercept[IllegalArgumentException] {
-      GraftSql.sql(spark,
-        """MERGE INTO sql_delta_t t USING sql_delta_src s ON t.k = s.k
-           WHEN MATCHED THEN UPDATE SET *
-           WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(e.getMessage.contains("UPDATE/DELETE"))
+    // MERGE routes to the stats-scoped Delta upsert
+    Seq((1L, 9.0), (200L, 2000.0)).toDF("k", "v")
+      .createOrReplaceTempView("sql_delta_src")
+    GraftSql.sql(spark,
+      """MERGE INTO sql_delta_t t USING sql_delta_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.sql(
+      "SELECT v FROM sql_delta_t WHERE k IN (1, 200) ORDER BY k")
+      .as[Double].collect().toSeq
+    assert(after == Seq(9.0, 2000.0)) // matched updated, unmatched inserted
+    assert(spark.sql("SELECT count(*) AS n FROM sql_delta_t")
+      .head().getLong(0) == 46L) // 45 survivors + 1 insert
   }
 
   test("non-DML statements and unregistered tables fall through to spark.sql") {
