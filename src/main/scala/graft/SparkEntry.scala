@@ -1787,8 +1787,20 @@ object SparkEntry {
     * orders table, so a wrong preimage, a post-update delete reading
     * stale values, or a double-delivered insert all hash-mismatch. */
   private def qDeltaCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaDml
+    DeltaDml.readChangeFeed(s, deltaCdfFixture(s, dir), fromVersion = 1L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("change_type"))
+  }
+
+  /** CDF-enabled Delta table with an UPDATE (v1), a DV DELETE (v2) and
+    * a plain append (v3) — shared by the batch (q180) and streaming
+    * (q184) change-feed queries. */
+  private def deltaCdfFixture(s: SparkSession, dir: String): String = {
     import graft.sources.{DeltaDml, DeltaInterop}
-    val base = cachedFixture("delta_cdf_orders", dir, "orders") { p =>
+    cachedFixture("delta_cdf_orders", dir, "orders") { p =>
       val ords = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
@@ -1801,10 +1813,27 @@ object SparkEntry {
         .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
         .coalesce(1), p)
     }
-    DeltaDml.readChangeFeed(s, base, fromVersion = 1L)
+  }
+
+  /** Streaming Delta CDF (q184): the same change history as q180, but
+    * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
+    * hard-link mirror + Spark's checkpointed parquet file stream — and
+    * aggregated per change type inside the stream. The oracle is
+    * q180's: the streamed feed must deliver exactly the batch rows
+    * (cdc files verbatim, the append via the file-diff link tag). */
+  private def qDeltaCdfStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{DeltaStream, EventStreams}
+    val base = deltaCdfFixture(s, dir)
+    // the mirror + checkpoint ARE streaming state: fresh per run
+    val feed = fixtureDir("delta_cdf_stream_feed", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
+    val net = DeltaStream.tailChangeFeed(s, base, feed)
+      .filter(col("_commit_version") >= 1)
       .groupBy(col("_change_type").as("change_type"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("totalprice")).cast("double").as("total_price"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("totalprice")).as("tp_dec"))
+    EventStreams.drainAvailableNow(net)
+      .select(col("change_type"), col("n_rows"),
+        col("tp_dec").cast("double").as("total_price"))
       .orderBy(col("change_type"))
   }
 
@@ -3855,6 +3884,7 @@ object SparkEntry {
     "q181_iceberg_month" -> (qIcebergMonth _),
     "q182_sql_dml" -> (qSqlDml _),
     "q183_delta_sql_dml" -> (qDeltaSqlDml _),
+    "q184_delta_cdf_stream" -> (qDeltaCdfStream _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4586,6 +4616,26 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderkey % 3 <> 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q184_delta_cdf_stream" ->
+      """SELECT change_type, count(*) AS n_rows,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT 'update_preimage' AS change_type,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'update_postimage',
+             CAST(o_totalprice AS DECIMAL(18,2)) + 100
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'delete',
+             CAST(o_totalprice AS DECIMAL(18,2)) +
+               CASE WHEN o_orderkey <= 2000 THEN 100 ELSE 0 END
+           FROM orders WHERE o_custkey % 9 = 4
+           UNION ALL
+           SELECT 'insert', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100
+         ) GROUP BY change_type ORDER BY change_type""",
     "q180_delta_cdf" ->
       """SELECT change_type, count(*) AS n_rows,
          CAST(sum(price) AS DOUBLE) AS total_price

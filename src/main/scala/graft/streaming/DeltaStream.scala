@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.sources.DeltaInterop
+
+/** Streaming CHANGE-FEED source over a Delta table — the streaming
+  * analogue of `DeltaDml.readChangeFeed`, built the same way as
+  * `GraftLogStream`: a commit-driven hard-link mirror + Spark's
+  * checkpointed parquet file stream (exactly-once delivery across
+  * restarts comes from the file source's offset log, all public API).
+  *
+  * Per commit the mirror links:
+  *  - `cdc` actions' `_change_data` files under `v<version>-c-<name>` —
+  *    authoritative change rows carrying their own `_change_type`
+  *    column (what a CDF-enabled writer produces for UPDATE/DELETE/
+  *    MERGE);
+  *  - otherwise the add/remove file diff under `-i-` / `-d-` names
+  *    (insert/delete recovered from the link name, exactly like the
+  *    graft-log mirror).
+  *
+  * Deletion-vector transitions WITHOUT cdc rows are refused loudly: a
+  * hard-link mirror cannot express "some rows of this file died" (the
+  * batch `readChangeFeed` handles those exactly; CDF-enabled tables
+  * never hit this — the DV delete writes cdc rows). Unpartitioned,
+  * unmapped tables only: a partitioned table's data files do not
+  * physically carry the partition columns, so a single-schema file
+  * stream would read them as null (use the batch reader there too). */
+object DeltaStream {
+
+  private val CdfMarker = "_delta_cdf_sync.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val CommitName = "^[0-9]{20}\\.json$".r
+
+  private def syncedVersion(feedDir: String): Long = {
+    val f = new File(feedDir, CdfMarker)
+    if (!f.exists()) -1L else mapper.readTree(f).get("syncedVersion").asLong()
+  }
+
+  /** Advance the CDF mirror to the log head; idempotent and crash-safe
+    * (EEXIST on a link is success; the marker lands atomically after
+    * all links). Returns the synced version. */
+  def syncCdfFeed(base: String, feedDir: String): Long = {
+    new File(feedDir).mkdirs()
+    val from = syncedVersion(feedDir)
+    val logDir = new File(base, "_delta_log")
+    require(logDir.isDirectory, s"not a Delta table (no _delta_log): $base")
+    val fresh = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => CommitName.matches(f.getName)).sortBy(f => f.getName)
+      .map(f => (f.getName.stripSuffix(".json").toLong, f))
+      .filter(_._1 > from)
+    if (fresh.isEmpty) return from
+    fresh.foreach { case (v, cf) =>
+      val cdc = scala.collection.mutable.ArrayBuffer.empty[String]
+      val adds = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val removes = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      Files.readAllLines(cf.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          Option(n.get("cdc")).foreach(c => cdc += c.get("path").asText())
+          Option(n.get("add")).foreach { a =>
+            if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+              adds += ((a.get("path").asText(),
+                Option(a.get("deletionVector")).exists(!_.isNull)))
+          }
+          Option(n.get("remove")).foreach { r =>
+            if (Option(r.get("dataChange")).forall(_.asBoolean(true)))
+              removes += ((r.get("path").asText(),
+                Option(r.get("deletionVector")).exists(!_.isNull)))
+          }
+        }
+      }
+      def link(rel: String, tag: String): Unit = {
+        // flatten subdirectories (_change_data/...) into the link name
+        val flat = rel.replace("/", "__")
+        val target = Paths.get(feedDir, f"v$v%020d-$tag-$flat")
+        try Files.createLink(target, Paths.get(base, rel))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      if (cdc.nonEmpty) cdc.foreach(link(_, "c"))
+      else {
+        require(!(adds ++ removes).exists(_._2),
+          s"delta cdf mirror cannot express the deletion-vector commit " +
+          s"v$v of $base without cdc rows — enable " +
+          "delta.enableChangeDataFeed (the DML writers then emit " +
+          "_change_data) or use the batch DeltaDml.readChangeFeed")
+        adds.foreach { case (p, _) => link(p, "i") }
+        removes.foreach { case (p, _) => link(p, "d") }
+      }
+    }
+    val head = fresh.last._1
+    val tmp = Paths.get(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"syncedVersion":$head}""")
+    Files.move(tmp, Paths.get(feedDir, CdfMarker),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    head
+  }
+
+  /** The change feed as a streaming DataFrame: table columns +
+    * `_change_type` + `_commit_version`. cdc-file rows carry their own
+    * change type (read from the file); file-diff rows recover it from
+    * the link tag. Re-call `syncCdfFeed` to surface commits landing
+    * while the stream runs. */
+  def tailChangeFeed(spark: SparkSession, base: String, feedDir: String,
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = DeltaInterop.snapshot(spark, base)
+    require(snap.partitionColumns.isEmpty,
+      "streaming CDF tail supports unpartitioned tables (partition " +
+      "columns are not in the data files; use batch readChangeFeed)")
+    require(snap.columnMappingMode == "none",
+      "streaming CDF tail supports unmapped tables only")
+    syncCdfFeed(base, feedDir)
+    val schema = StructType(snap.schema.fields :+
+      StructField("_change_type", StringType))
+    spark.readStream.schema(schema).options(options).parquet(feedDir)
+      .select(col("*"), col("_metadata.file_name").as("__cdf_file"))
+      .withColumn("_commit_version",
+        regexp_extract(col("__cdf_file"), "^v(\\d{20})-", 1).cast("long"))
+      .withColumn("_change_type",
+        when(regexp_extract(col("__cdf_file"), "^v\\d{20}-(c|i|d)-", 1) === "c",
+          col("_change_type"))
+        .when(regexp_extract(col("__cdf_file"), "^v\\d{20}-(c|i|d)-", 1) === "d",
+          lit("delete"))
+        .otherwise(lit("insert")))
+      .drop("__cdf_file")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DeltaDml, DeltaInterop}
+import graft.streaming.{DeltaStream, EventStreams}
+
+/** Streaming Delta CDF tail: the hard-link mirror + file-stream source
+  * must deliver exactly the batch readChangeFeed's rows — cdc files
+  * verbatim (with their own _change_type), file-diff commits via link
+  * tags — and refuse un-mirrorable DV commits loudly. */
+class DeltaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val p = s"/tmp/graft_test_dstream_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("streamed CDF equals the batch change feed (cdc + fallback commits)") {
+    val base = freshBase("cdf")
+    val feed = freshBase("cdf_feed")
+    DeltaInterop.overwrite(
+      (0L until 40L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      base, configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaDml.updateWhere(spark, base, col("k") < 3,
+      Map("v" -> (col("v") + 100.0)))                    // v1: cdc
+    DeltaDml.deleteVectoredWhere(spark, base, col("k") >= 38) // v2: cdc
+    DeltaInterop.append(Seq((100L, 1.5)).toDF("k", "v").coalesce(1), base) // v3
+    val stream = DeltaStream.tailChangeFeed(spark, base, feed)
+      .groupBy("_commit_version", "_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val got = EventStreams.drainAvailableNow(stream)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = DeltaDml.readChangeFeed(spark, base, fromVersion = 0L)
+      .groupBy("_commit_version", "_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // and the shape is right: v0 inserts, v1 pre+post, v2 deletes, v3 insert
+    val types = got.map(t => (t._1, t._2))
+    assert(types == Set((0L, "insert"), (1L, "update_preimage"),
+      (1L, "update_postimage"), (2L, "delete"), (3L, "insert")))
+  }
+
+  test("sync is idempotent and incremental; restarted stream keeps exactly-once") {
+    val base = freshBase("inc")
+    val feed = freshBase("inc_feed")
+    DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    assert(DeltaStream.syncCdfFeed(base, feed) == 0L)
+    assert(DeltaStream.syncCdfFeed(base, feed) == 0L) // no-op re-sync
+    val n0 = new File(feed).listFiles().count(_.getName.endsWith(".parquet"))
+    DeltaInterop.append(spark.range(5, 8).toDF("id").coalesce(1), base)
+    assert(DeltaStream.syncCdfFeed(base, feed) == 1L)
+    val n1 = new File(feed).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n1 == n0 + 1)
+    val total = EventStreams.drainAvailableNow(
+      DeltaStream.tailChangeFeed(spark, base, feed)
+        .groupBy("_change_type").agg(count(lit(1)).as("n")))
+      .as[(String, Long)].collect().toMap
+    assert(total == Map("insert" -> 8L))
+  }
+
+  test("a DV commit without cdc rows refuses loudly (no silent corruption)") {
+    val base = freshBase("dvrefuse")
+    val feed = freshBase("dvrefuse_feed")
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base) // no CDF
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") < 3) // DV, no cdc
+    val e = intercept[IllegalArgumentException] {
+      DeltaStream.syncCdfFeed(base, feed)
+    }
+    assert(e.getMessage.contains("deletion-vector") &&
+      e.getMessage.contains("enableChangeDataFeed"))
+  }
+
+  test("partitioned and mapped tables are refused with guidance") {
+    val base = freshBase("part")
+    DeltaInterop.overwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"),
+      base, partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaStream.tailChangeFeed(spark, base, freshBase("part_feed"))
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+}
