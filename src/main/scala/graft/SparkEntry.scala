@@ -1913,6 +1913,31 @@ object SparkEntry {
          FROM q183_t GROUP BY o_custkey % 100 ORDER BY bucket""")
   }
 
+  /** Iceberg changelog (q185): the snapshot-diff CDC read — an append
+    * emits inserts, a positional DELETE emits exactly the newly-masked
+    * rows. The oracle recomputes both classes from the raw orders
+    * table, so a re-emitted already-dead row, a missed coordinate, or a
+    * carried file leaking as insert all hash-mismatch. */
+  private def qIcebergChangelog(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_changelog_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(ords.coalesce(1), p)
+      IcebergInterop.append(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .coalesce(1), p)
+      IcebergInterop.deletePositionsWhere(s, p, col("o_custkey") % 9 === 4)
+    }
+    val from = IcebergInterop.snapshotIds(base).head
+    IcebergInterop.readChangelog(s, base, from)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("change_type"))
+  }
+
   /** Delta OPTIMIZE (bin-packing compaction): three small data files
     * plus a deletion vector on the first are compacted into ONE file by
     * `DeltaInterop.optimize` — which must also MATERIALIZE the DV (drop
@@ -3885,6 +3910,7 @@ object SparkEntry {
     "q182_sql_dml" -> (qSqlDml _),
     "q183_delta_sql_dml" -> (qDeltaSqlDml _),
     "q184_delta_cdf_stream" -> (qDeltaCdfStream _),
+    "q185_iceberg_changelog" -> (qIcebergChangelog _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4616,6 +4642,20 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderkey % 3 <> 0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q185_iceberg_changelog" ->
+      """SELECT change_type, count(*) AS n_rows,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT 'insert' AS change_type,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey < 100
+           UNION ALL
+           SELECT 'delete', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_custkey % 9 = 4
+           UNION ALL
+           SELECT 'delete', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100 AND o_custkey % 9 = 4
+         ) GROUP BY change_type ORDER BY change_type""",
     "q184_delta_cdf_stream" ->
       """SELECT change_type, count(*) AS n_rows,
          CAST(sum(price) AS DOUBLE) AS total_price

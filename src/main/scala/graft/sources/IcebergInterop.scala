@@ -1354,6 +1354,108 @@ object IcebergInterop {
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
   }
 
+  /** Row-level CHANGELOG over snapshot ids in (fromSnapshotId,
+    * toSnapshotId] — the Iceberg analogue of Delta's change feed
+    * (Spark's `changelog` scan semantics), derived per consecutive
+    * snapshot pair from the metadata diff:
+    *
+    *  - data files present in the newer snapshot only → their live rows
+    *    emit `insert`;
+    *  - data files present in the older snapshot only → their
+    *    previously-live rows emit `delete`;
+    *  - POSITION-DELETE files new in the newer snapshot → the carried
+    *    data files' rows at those coordinates emit `delete` (positions
+    *    already dead in the older snapshot are subtracted — overlapping
+    *    delete files never re-emit a row).
+    *
+    * New EQUALITY-delete files in the range are refused loudly (their
+    * row set depends on value matching against sequence-gated files —
+    * use `Federation.diff` for an exact net compare instead). Appends
+    * `_change_type` + `_snapshot_id`. Planning is a driver-side
+    * metadata walk; row emission is distributed scans of only the files
+    * each pair names. */
+  def readChangelog(spark: SparkSession, base: String, fromSnapshotId: Long,
+                    toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ids = snapshotIds(base)
+    require(ids.contains(fromSnapshotId),
+      s"snapshot $fromSnapshotId not in $base (have $ids)")
+    toSnapshotId.foreach(t => require(ids.contains(t),
+      s"snapshot $t not in $base (have $ids)"))
+    val upTo = toSnapshotId.map(t => ids.takeWhile(_ != t) :+ t).getOrElse(ids)
+    val window = upTo.dropWhile(_ != fromSnapshotId)
+    val head = snapshot(spark, base) // schema source
+    val withMeta = StructType(head.schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_snapshot_id", LongType)))
+    val parts: Seq[DataFrame] = window.sliding(2).flatMap {
+      case Seq(prevId, curId) =>
+        val prev = snapshot(spark, base, Some(prevId))
+        val cur = snapshot(spark, base, Some(curId))
+        val newEq = cur.eqDeletes.map(_.path).toSet -- prev.eqDeletes.map(_.path).toSet
+        require(newEq.isEmpty,
+          s"snapshot $curId of $base adds equality-delete files — the " +
+          "changelog cannot derive their row set (use Federation.diff)")
+        def finish(df: DataFrame, t: String): DataFrame =
+          df.withColumn("_change_type", lit(t))
+            .withColumn("_snapshot_id", lit(curId))
+        val prevPaths = prev.files.map(_.rawPath).toSet
+        val curPaths = cur.files.map(_.rawPath).toSet
+        val added = cur.files.filterNot(f => prevPaths.contains(f.rawPath))
+        val removed = prev.files.filterNot(f => curPaths.contains(f.rawPath))
+        val insertPart =
+          if (added.isEmpty) Seq.empty
+          else Seq(finish(assembleRead(spark, cur, added), "insert"))
+        val removePart =
+          if (removed.isEmpty) Seq.empty
+          else Seq(finish(assembleRead(spark, prev, removed), "delete"))
+        // new position-delete files masking CARRIED data files
+        val prevDel = prev.deletes.map(_.path).toSet
+        val newDel = cur.deletes.filterNot(d => prevDel.contains(d.path))
+        val maskedPart =
+          if (newDel.isEmpty) Seq.empty
+          else {
+            val delSchema = StructType(Seq(
+              StructField("file_path", StringType),
+              StructField("pos", LongType)))
+            val newCoords = spark.read.schema(delSchema)
+              .parquet(newDel.map(_.path): _*)
+            // subtract coordinates already dead before this snapshot
+            val fresh =
+              if (prev.deletes.isEmpty) newCoords
+              else newCoords.join(
+                spark.read.schema(delSchema)
+                  .parquet(prev.deletes.map(_.path): _*),
+                Seq("file_path", "pos"), "left_anti")
+            // carried files only (added files' rows were never emitted
+            // live before, and assembleRead already masks their deletes)
+            val carried = prev.files.filter(f => curPaths.contains(f.rawPath))
+            if (carried.isEmpty) Seq.empty
+            else {
+              val rawByKey = carried.map(f =>
+                (PathCodec.metadataPathKey(new File(f.path)), f.rawPath))
+              import spark.implicits._
+              val keyDf = rawByKey.toDF("__ice_file", "file_path")
+              // carried rows LIVE BEFORE this snapshot (prev's deletes
+              // applied): the masked coordinates are exactly the rows
+              // that stop being live now
+              val rows = assembleRead(spark, prev, carried, keepCoords = true)
+              val dead = rows
+                .join(broadcast(keyDf), Seq("__ice_file"))
+                .withColumn("pos", col("__ice_pos"))
+                .join(fresh, Seq("file_path", "pos"), "left_semi")
+                .select(head.schema.fieldNames.map(col): _*)
+              Seq(finish(dead, "delete"))
+            }
+          }
+        insertPart ++ removePart ++ maskedPart
+      case _ => Seq.empty
+    }.toSeq
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta))
+  }
+
   /** Commit equality deletes as a new v2 snapshot: one parquet delete
     * file holding the DISTINCT values of `equalityCols` from `rows`
     * (parquet field ids stamped — the id-based resolution contract), one

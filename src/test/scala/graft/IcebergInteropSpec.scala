@@ -139,6 +139,57 @@ class IcebergInteropSpec extends SparkSpec {
     }
   }
 
+  test("readChangelog classifies snapshot diffs: insert, delete, DV masking") {
+    import spark.implicits._
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.append(
+      (100L until 105L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("k") % 7 === 0)
+    val Seq(s1, s2, s3) = IcebergInterop.snapshotIds(base)
+    val log = IcebergInterop.readChangelog(spark, base, s1)
+      .select("_snapshot_id", "_change_type", "k")
+      .as[(Long, String, Long)].collect().toSet
+    // s2: the append's 5 rows insert; s3: positions of k%7==0 die
+    val expect =
+      (100L until 105L).map(k => (s2, "insert", k)).toSet ++
+      ((0L until 20L) ++ (100L until 105L)).filter(_ % 7 == 0)
+        .map(k => (s3, "delete", k)).toSet
+    assert(log == expect)
+    // overlapping second delete: only NEWLY masked rows emit
+    IcebergInterop.deletePositionsWhere(spark, base, col("k") % 7 <= 1)
+    val s4 = IcebergInterop.snapshotIds(base).last
+    val tail = IcebergInterop.readChangelog(spark, base, s3, Some(s4))
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    val expectTail = ((0L until 20L) ++ (100L until 105L))
+      .filter(k => k % 7 <= 1 && k % 7 != 0).map(("delete", _)).toSet
+    assert(tail == expectTail, s"got $tail")
+    // a rewriting snapshot (overwrite) emits delete+insert
+    IcebergInterop.overwrite(Seq((999L, 9.0)).toDF("k", "v").coalesce(1), base)
+    val s5 = IcebergInterop.snapshotIds(base).last
+    val rw = IcebergInterop.readChangelog(spark, base, s4, Some(s5))
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    // deletes = rows live at s4
+    val liveAtS4 = ((0L until 20L) ++ (100L until 105L))
+      .count(k => !(k % 7 <= 1))
+    assert(rw == Map("delete" -> liveAtS4.toLong, "insert" -> 1L))
+  }
+
+  test("readChangelog refuses ranges containing new equality-delete files") {
+    import spark.implicits._
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), base)
+    val Seq(s1) = IcebergInterop.snapshotIds(base)
+    IcebergInterop.addEqualityDeletes(spark, base,
+      Seq((1L, "a")).toDF("k", "s"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readChangelog(spark, base, s1).collect()
+    }
+    assert(e.getMessage.contains("equality-delete"))
+  }
+
   test("delete manifests carry through appends; new data is unaffected") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
