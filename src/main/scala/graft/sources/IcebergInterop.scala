@@ -1368,9 +1368,12 @@ object IcebergInterop {
     *    already dead in the older snapshot are subtracted — overlapping
     *    delete files never re-emit a row).
     *
-    * New EQUALITY-delete files in the range are refused loudly (their
-    * row set depends on value matching against sequence-gated files —
-    * use `Federation.diff` for an exact net compare instead). Appends
+    *  - EQUALITY-delete files new in the newer snapshot → carried rows
+    *    matching the delete values null-safely with data sequence
+    *    strictly below the delete's emit `delete`; rows hit by both a
+    *    position and an equality delete emit ONCE (coordinate dedup).
+    *
+    * Appends
     * `_change_type` + `_snapshot_id`. Planning is a driver-side
     * metadata walk; row emission is distributed scans of only the files
     * each pair names. */
@@ -1392,10 +1395,6 @@ object IcebergInterop {
       case Seq(prevId, curId) =>
         val prev = snapshot(spark, base, Some(prevId))
         val cur = snapshot(spark, base, Some(curId))
-        val newEq = cur.eqDeletes.map(_.path).toSet -- prev.eqDeletes.map(_.path).toSet
-        require(newEq.isEmpty,
-          s"snapshot $curId of $base adds equality-delete files — the " +
-          "changelog cannot derive their row set (use Federation.diff)")
         def finish(df: DataFrame, t: String): DataFrame =
           df.withColumn("_change_type", lit(t))
             .withColumn("_snapshot_id", lit(curId))
@@ -1409,44 +1408,75 @@ object IcebergInterop {
         val removePart =
           if (removed.isEmpty) Seq.empty
           else Seq(finish(assembleRead(spark, prev, removed), "delete"))
-        // new position-delete files masking CARRIED data files
+        // rows of CARRIED data files newly masked by this snapshot's
+        // delete files (position AND equality). Everything derives from
+        // ONE scan of the carried rows that were live before (prev's
+        // deletes applied — the masked set is exactly what stops being
+        // live now); per-coordinate dedup keeps a row hit by both a
+        // position and an equality delete from emitting twice.
         val prevDel = prev.deletes.map(_.path).toSet
         val newDel = cur.deletes.filterNot(d => prevDel.contains(d.path))
+        val prevEq = prev.eqDeletes.map(_.path).toSet
+        val newEq = cur.eqDeletes.filterNot(d => prevEq.contains(d.path))
+        val carried = prev.files.filter(f => curPaths.contains(f.rawPath))
         val maskedPart =
-          if (newDel.isEmpty) Seq.empty
+          if ((newDel.isEmpty && newEq.isEmpty) || carried.isEmpty) Seq.empty
           else {
+            import spark.implicits._
+            val keyDf = carried.map(f =>
+              (PathCodec.metadataPathKey(new File(f.path)), f.rawPath, f.seq))
+              .toDF("__ice_file", "file_path", "__seq")
+            val liveBefore = assembleRead(spark, prev, carried, keepCoords = true)
+              .join(broadcast(keyDf), Seq("__ice_file"))
+              .withColumn("pos", col("__ice_pos"))
             val delSchema = StructType(Seq(
               StructField("file_path", StringType),
               StructField("pos", LongType)))
-            val newCoords = spark.read.schema(delSchema)
-              .parquet(newDel.map(_.path): _*)
-            // subtract coordinates already dead before this snapshot
-            val fresh =
-              if (prev.deletes.isEmpty) newCoords
-              else newCoords.join(
-                spark.read.schema(delSchema)
-                  .parquet(prev.deletes.map(_.path): _*),
-                Seq("file_path", "pos"), "left_anti")
-            // carried files only (added files' rows were never emitted
-            // live before, and assembleRead already masks their deletes)
-            val carried = prev.files.filter(f => curPaths.contains(f.rawPath))
-            if (carried.isEmpty) Seq.empty
-            else {
-              val rawByKey = carried.map(f =>
-                (PathCodec.metadataPathKey(new File(f.path)), f.rawPath))
-              import spark.implicits._
-              val keyDf = rawByKey.toDF("__ice_file", "file_path")
-              // carried rows LIVE BEFORE this snapshot (prev's deletes
-              // applied): the masked coordinates are exactly the rows
-              // that stop being live now
-              val rows = assembleRead(spark, prev, carried, keepCoords = true)
-              val dead = rows
-                .join(broadcast(keyDf), Seq("__ice_file"))
-                .withColumn("pos", col("__ice_pos"))
-                .join(fresh, Seq("file_path", "pos"), "left_semi")
-                .select(head.schema.fieldNames.map(col): _*)
-              Seq(finish(dead, "delete"))
-            }
+            val posDead =
+              if (newDel.isEmpty) None
+              else {
+                val newCoords = spark.read.schema(delSchema)
+                  .parquet(newDel.map(_.path): _*)
+                // subtract coordinates already dead before this snapshot
+                val fresh =
+                  if (prev.deletes.isEmpty) newCoords
+                  else newCoords.join(
+                    spark.read.schema(delSchema)
+                      .parquet(prev.deletes.map(_.path): _*),
+                    Seq("file_path", "pos"), "left_anti")
+                Some(liveBefore.join(fresh, Seq("file_path", "pos"), "left_semi"))
+              }
+            // equality deletes: a carried row dies when its equality
+            // values match null-safely AND its file's data sequence is
+            // STRICTLY below the delete's (spec §Scan Planning)
+            val idToName = head.schema.fields.flatMap(f =>
+              if (f.metadata.contains("parquet.field.id"))
+                Some(f.metadata.getLong("parquet.field.id").toInt -> f.name)
+              else None).toMap
+            val eqDead = newEq.groupBy(d => (d.seq, d.equalityFieldIds)).toSeq
+              .sortBy(_._1._1).map { case ((seq, fids), fs) =>
+                val names = fids.map(id => idToName.getOrElse(id,
+                  throw new IllegalStateException(
+                    s"equality_ids references field id $id not present in " +
+                    "the current schema (refusing)")))
+                val delValSchema = StructType(names.map(n => head.schema(n)))
+                val vals = spark.read.schema(delValSchema)
+                  .parquet(fs.map(_.path): _*).dropDuplicates(names)
+                  .select(names.map(n => col(n).as(s"__eq_$n")): _*)
+                // same size-gated broadcast decision as assembleRead
+                val delSide =
+                  if (fs.map(_.sizeBytes).sum <= (64L << 20)) broadcast(vals)
+                  else vals
+                val cond = names.map(n => col(n) <=> col(s"__eq_$n"))
+                  .reduce(_ && _)
+                liveBefore.filter(col("__seq") < lit(seq))
+                  .join(delSide, cond, "left_semi")
+              }
+            val allDead = (posDead.toSeq ++ eqDead)
+              .reduceOption(_ unionByName _).map(
+                _.dropDuplicates("file_path", "pos") // one emission per row
+                 .select(head.schema.fieldNames.map(col): _*))
+            allDead.map(d => finish(d, "delete")).toSeq
           }
         insertPart ++ removePart ++ maskedPart
       case _ => Seq.empty
