@@ -313,21 +313,8 @@ object DeltaDml {
     // update key; output ≤ #files rows
     val touchedBounded: Set[Int] =
       if (bounded.isEmpty) Set.empty
-      else {
-        import spark.implicits._
-        val rangeDf = bounded.map { case (i, mn, mx) =>
-          (i, mn.toString, mx.toString) }.toDF("__fidx", "__mn", "__mx")
-        // compare in the KEY's type space: cast the stringified bounds
-        // back (lossless for integral/decimal/string; double via text)
-        val k = col(key)
-        val hit = updates.select(k.as("__k"))
-          .join(broadcast(rangeDf),
-            col("__k") >= col("__mn").cast(keyType) &&
-            col("__k") <= col("__mx").cast(keyType))
-          .select("__fidx").distinct()
-          .collect().map(_.getInt(0)).toSet // ≤ #files rows
-        hit
-      }
+      else keyRangeHits(updates, key, keyType, bounded)
+        .collect().map(_.getInt(0)).toSet // ≤ #files rows
     val touchedIdx = touchedBounded ++ statless
     val touched = touchedIdx.toSeq.sorted.map(snap.files)
     val touchedScan =
@@ -373,6 +360,27 @@ object DeltaDml {
         adds.map(addJson(_, base)),
       operation = "MERGE")
     v
+  }
+
+  /** The merge's data-skipping decision as a frame: which file indexes
+    * hold ≥1 update key, by ONE range-join of the update keys against
+    * the (bounded, ≤#files) stats rows. The ranges side is the
+    * BROADCAST build — broadcasting the unbounded update side instead
+    * would OOM the driver at scale; `DeltaDmlPlanSpec` pins the plan. */
+  private[sources] def keyRangeHits(updates: DataFrame, key: String,
+                                    keyType: DataType,
+                                    bounded: Seq[(Int, Any, Any)]): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val rangeDf = bounded.map { case (i, mn, mx) =>
+      (i, mn.toString, mx.toString) }.toDF("__fidx", "__mn", "__mx")
+    // compare in the KEY's type space: cast the stringified bounds
+    // back (lossless for integral/decimal/string; double via text)
+    updates.select(col(key).as("__k"))
+      .join(broadcast(rangeDf),
+        col("__k") >= col("__mn").cast(keyType) &&
+        col("__k") <= col("__mx").cast(keyType))
+      .select("__fidx").distinct()
   }
 
   // ------------------------------------------------------------ CDF read

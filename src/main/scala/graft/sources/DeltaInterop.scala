@@ -402,7 +402,9 @@ object DeltaInterop {
     * and a commit that removed or DV-masked data in the range is
     * REFUSED loudly (the same wall delta-spark's source raises without
     * ignoreChanges — silently treating a delete's survivors as fresh
-    * appends would corrupt every downstream aggregate). Per-version
+    * appends would corrupt every downstream aggregate; consumers that
+    * need row-level deletes should read `DeltaDml.readChangeFeed`,
+    * which handles every commit kind exactly). Per-version
     * scans union driver-side, bounded by the version count; each scan
     * is a normal distributed parquet read. */
   def changesSince(spark: SparkSession, base: String,
