@@ -28,15 +28,31 @@ object GraftSql {
   private final case class LogTable(base: String) extends Handler
   private final case class DeltaTable(base: String) extends Handler
 
-  /** name (lowercased) → table-format handler, session-independent. */
-  private val tables = new ConcurrentHashMap[String, Handler]()
+  /** Per-SparkSession registry (name lowercased → handler): sessions in
+    * one JVM (parallel suites, multi-tenant drivers) must not see each
+    * other's registrations — a shared map would route one session's
+    * DELETE at another's table path. Weak keys: a dropped session takes
+    * its registrations with it. */
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Handler]]()
+
+  private def tablesOf(spark: SparkSession): ConcurrentHashMap[String, Handler] =
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, Handler](); sessions.put(spark, m) }
+      m
+    }
+
+  /** Drop a registration (the temp view is left to the caller). */
+  def unregisterTable(spark: SparkSession, name: String): Unit =
+    tablesOf(spark).remove(name.toLowerCase)
 
   /** Register a graft-log table under a SQL name: readable via
     * `spark.sql("SELECT ... FROM name")` (temp view of the CURRENT
     * snapshot — refreshed after every DML through this front-end) and
     * writable via `GraftSql.sql("MERGE INTO name ...")`. */
   def registerTable(spark: SparkSession, name: String, base: String): Unit = {
-    tables.put(name.toLowerCase, LogTable(base))
+    tablesOf(spark).put(name.toLowerCase, LogTable(base))
     GraftLog.registerView(spark, name, base)
   }
 
@@ -45,7 +61,7 @@ object GraftSql {
     * `UPDATE` to `DeltaDml.updateWhere` (copy-on-write scoped to
     * touched files). */
   def registerDeltaTable(spark: SparkSession, name: String, base: String): Unit = {
-    tables.put(name.toLowerCase, DeltaTable(base))
+    tablesOf(spark).put(name.toLowerCase, DeltaTable(base))
     graft.sources.DeltaInterop.read(spark, base).createOrReplaceTempView(name)
   }
 
@@ -68,19 +84,19 @@ object GraftSql {
     plan match {
       case d: DeleteFromTable =>
         tableName(d.table) match {
-          case Some(name) if tables.containsKey(name) =>
+          case Some(name) if tablesOf(spark).containsKey(name) =>
             runDelete(spark, name, d)
           case _ => spark.sql(text)
         }
       case u: UpdateTable =>
         tableName(u.table) match {
-          case Some(name) if tables.containsKey(name) =>
+          case Some(name) if tablesOf(spark).containsKey(name) =>
             runUpdate(spark, name, u)
           case _ => spark.sql(text)
         }
       case m: MergeIntoTable =>
         tableName(m.targetTable) match {
-          case Some(name) if tables.containsKey(name) =>
+          case Some(name) if tablesOf(spark).containsKey(name) =>
             runMerge(spark, name, m)
           case _ => spark.sql(text)
         }
@@ -109,7 +125,7 @@ object GraftSql {
 
   private def runDelete(spark: SparkSession, name: String,
                         d: DeleteFromTable): DataFrame = {
-    val h = tables.get(name)
+    val h = tablesOf(spark).get(name)
     val pred = GraftBridge.column(unqualify(d.condition))
     val v = h match {
       case LogTable(base) => GraftLog.delete(spark, base, pred)
@@ -122,7 +138,7 @@ object GraftSql {
 
   private def runUpdate(spark: SparkSession, name: String,
                         u: UpdateTable): DataFrame = {
-    val h = tables.get(name)
+    val h = tablesOf(spark).get(name)
     val base = h match {
       case DeltaTable(b) => b
       case LogTable(_) => throw new IllegalArgumentException(
@@ -147,7 +163,7 @@ object GraftSql {
 
   private def runMerge(spark: SparkSession, name: String,
                        m: MergeIntoTable): DataFrame = {
-    val h = tables.get(name)
+    val h = tablesOf(spark).get(name)
     // the canonical upsert shape — exactly what upsertScoped implements:
     //   ON t.key = s.key
     //   WHEN MATCHED THEN UPDATE SET *

@@ -52,6 +52,14 @@ object DeltaDml {
     snap.configuration.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))
 
+  /** Any nondeterministic expression anywhere in the ANALYZED plan?
+    * (Checked post-analysis: a Column built from `functions.rand()` is
+    * an UnresolvedFunction whose `deterministic` defaults to true —
+    * only the resolved tree answers honestly.) */
+  private def hasNondeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.resolved && !e.deterministic))
+
   private def fileKeyOf(base: String, f: AddFile): String =
     PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path)))
 
@@ -111,11 +119,23 @@ object DeltaDml {
     require(snap.columnMappingMode == "none",
       "deleteVectoredWhere on a column-mapped Delta table is not " +
       "implemented (cdc staging + protocol feature sets) — refusing")
-    val matched = assembleScan(spark, base, snap, keepCoords = true)
+    val matched0 = assembleScan(spark, base, snap, keepCoords = true)
       .filter(coalesce(predicate, lit(false)))
-    // SQL DELETE semantics: predicate-NULL rows survive (coalesce false)
+    // SQL DELETE semantics: predicate-NULL rows survive (coalesce false).
+    // A NONDETERMINISTIC predicate must evaluate exactly once — the
+    // matched frame feeds both the DV write and the CDC staging, and a
+    // re-run (or a second consumer) re-rolling the dice would record a
+    // DIFFERENT row set in the change feed than in the vectors
+    val matched =
+      if (!hasNondeterministic(matched0)) matched0
+      else matched0.localCheckpoint(eager = true)
+    // driver-side file metadata, used twice: a TRIMMED (no stats JSON)
+    // broadcast ships only (path, dv) per file to the executors; the
+    // full AddFiles stay on the driver for the commit lines
     val fkMap: Map[String, AddFile] =
       snap.files.map(f => fileKeyOf(base, f) -> f).toMap
+    val dvByKeyB = spark.sparkContext.broadcast(
+      snap.files.map(f => fileKeyOf(base, f) -> f.dv).toMap)
     import spark.implicits._
     val baseStr = base
     // one DV bin per touched file, written where the rows are: the
@@ -129,8 +149,7 @@ object DeltaDml {
         .as[(String, Seq[Long])]
         .mapPartitions { it =>
           it.map { case (key, newPos) =>
-            val f = fkMap(key)
-            val old = f.dv.map(d =>
+            val old = dvByKeyB.value(key).map(d =>
               resolveDvPositions(baseStr, d).toSeq).getOrElse(Seq.empty)
             val all = (old ++ newPos).distinct.sorted
             val uuid = UUID.randomUUID()
@@ -156,8 +175,15 @@ object DeltaDml {
       f -> f.copy(dv = Some(DvDescriptor("u", enc, Some(off), size, card)))
     }
     val v = snap.version + 1
+    // only UPGRADE the protocol when the table does not already claim
+    // the DV feature set — a redundant protocol action on every delete
+    // would make each one look like a metadata change to the OCC
+    // reconciler (and to external readers' invariants)
+    val protoLines =
+      if (snap.protocolFeatures.contains("deletionVectors")) Seq.empty
+      else Seq(dvProtocolJson)
     writeCommit(base, v,
-      Seq(dvProtocolJson) ++ cdcLines ++
+      protoLines ++ cdcLines ++
         touched.map { case (old, _) => removeJson(old.path, old.dv, dataChange = true) } ++
         touched.map { case (_, nu) => addJson(nu, base) },
       operation = "DELETE")
@@ -200,8 +226,33 @@ object DeltaDml {
         s"SET column '$c' is a partition column — updating it moves rows " +
         "across partitions (use a merge/rewrite instead)")
     }
+    // SQL UPDATE is a SIMULTANEOUS assignment: every RHS sees the
+    // ORIGINAL row, never another SET's result — each RHS lands in a
+    // temp column computed against the untouched frame, then the swap
+    val setTyped: Seq[(String, Column)] = set.toSeq.map { case (c, e) =>
+      c -> e.cast(snap.schema(c).dataType) }
+    def applySet(df: DataFrame, gated: Boolean): DataFrame = {
+      val withTemps = setTyped.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(s"__set_$c", e) }
+      setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
+        d.withColumn(c,
+          if (gated) when(col("__upd"), col(s"__set_$c")).otherwise(col(c))
+          else col(s"__set_$c"))
+      }.select(snap.schema.fieldNames.map(col): _*)
+    }
     val scan = assembleScan(spark, base, snap, keepCoords = true)
       .withColumn("__upd", coalesce(predicate, lit(false)))
+    // the predicate and every SET expression are evaluated across
+    // SEVERAL jobs (census, rewrite, change rows) — nondeterminism
+    // would select different rows in each; refuse rather than tear.
+    // Probed on ANALYZED frames (unresolved exprs claim determinism).
+    require(!hasNondeterministic(scan),
+      "updateWhere requires a deterministic predicate (it evaluates in " +
+      "more than one job) — precompute random values into a column first")
+    require(!hasNondeterministic(
+        scan.select(setTyped.map(_._2) :+ col("__upd"): _*)),
+      "updateWhere requires deterministic SET expressions (they " +
+      "evaluate in more than one job) — precompute random values first")
     // census: which files hold a matching row — bounded collect (one
     // row per touched file, metadata scale, same shape as AQE stats)
     val touchedKeys = scan.filter(col("__upd"))
@@ -213,21 +264,15 @@ object DeltaDml {
     val touchedScan = assembleScan(spark, base,
         snap.copy(files = touched), keepCoords = false)
       .withColumn("__upd", coalesce(predicate, lit(false)))
-    val updated = set.foldLeft(touchedScan) { case (df, (c, e)) =>
-      df.withColumn(c, when(col("__upd"), e.cast(snap.schema(c).dataType))
-        .otherwise(col(c)))
-    }.drop("__upd")
-      .select(snap.schema.fieldNames.map(col): _*)
+    val updated = applySet(touchedScan, gated = true)
     // CDF rows from the pre-update state (both images carry the FULL row)
     val cdcLines =
       if (!cdfEnabled(snap)) Seq.empty[String]
       else {
         val pre = scan.filter(col("__upd"))
-          .select(snap.schema.fieldNames.map(col): _*)
-        val post = set.foldLeft(pre) { case (df, (c, e)) =>
-          df.withColumn(c, e.cast(snap.schema(c).dataType))
-        }
-        val cdcDf = pre.withColumn("_change_type", lit("update_preimage"))
+        val post = applySet(pre, gated = false)
+        val cdcDf = pre.select(snap.schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage")))
         stageCdc(cdcDf, base, snap.partitionColumns).map(cdcJson(_, base))
       }
@@ -283,6 +328,14 @@ object DeltaDml {
       s"(${updates0.columns.mkString(",")})")
     val updates = updates0.select(snap.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
+    // SQL MERGE semantics: multiple source rows matching one target key
+    // is an error, not a silent duplication (one bounded agg probe)
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate '$key' values (e.g. ${
+        if (dup.isEmpty) "" else dup.head.get(0)}) — SQL MERGE forbids " +
+      "multiple source rows per target key; de-duplicate the source first")
 
     // per-file [min,max] on the key from add.stats (driver-side JSON
     // parse, metadata scale). Unparseable → None → conservatively touched.

@@ -73,7 +73,12 @@ object DeltaInterop {
       files: Seq[AddFile],
       columnMappingMode: String = "none",
       txnVersions: Map[String, Long] = Map.empty,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      // protocol features the log has already declared (reader+writer
+      // union) — lets DML writers skip REDUNDANT protocol actions,
+      // which would otherwise make every commit look like a metadata
+      // change to the OCC reconciler
+      protocolFeatures: Set[String] = Set.empty) {
     /** Physical parquet column name for a logical schema field. In
       * `name` mapping mode the protocol stores it in the field's
       * metadata (`delta.columnMapping.physicalName`); otherwise the
@@ -152,7 +157,12 @@ object DeltaInterop {
 
     var cmMode = "none"
     var tableConf = Map.empty[String, String]
+    val protoFeatures = mutable.Set.empty[String]
     def applyProtocol(p: JsonNode): Unit = {
+      Seq("readerFeatures", "writerFeatures").foreach { k =>
+        Option(p.get(k)).filterNot(_.isNull).foreach(n =>
+          (0 until n.size()).foreach(i => protoFeatures += n.get(i).asText()))
+      }
       val r = p.get("minReaderVersion").asInt()
       // v3 gates reads on an explicit readerFeatures list. The
       // protocol-mandated behavior is: read iff every listed feature is
@@ -360,7 +370,7 @@ object DeltaInterop {
       throw new IllegalStateException(s"no metaData action found in $base")))
       .asInstanceOf[StructType]
     DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode,
-      txns.toMap, tableConf)
+      txns.toMap, tableConf, protoFeatures.toSet)
   }
 
   /** DESCRIBE HISTORY: one row per JSON commit still in the log —
@@ -926,19 +936,9 @@ object DeltaInterop {
     val tmp = new File(dir, s".tmp_${UUID.randomUUID()}.json")
     Files.writeString(tmp.toPath, lines.mkString("", "\n", "\n"))
     val dst = new File(dir, commitName(version))
-    // atomic PUT-IF-ABSENT = the commit (Delta's log store contract).
-    // NOT renameTo: POSIX rename silently REPLACES an existing target,
-    // so a loser would overwrite the winner's commit instead of
-    // conflicting. Hard-link creation fails atomically with EEXIST.
-    try {
-      Files.createLink(dst.toPath, tmp.toPath)
-      tmp.delete()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        throw new java.util.ConcurrentModificationException(
-          s"delta commit $version already exists in $base")
-    }
+    // atomic put-if-absent = the commit (Delta's log store contract)
+    AtomicCommit.publish(tmp.toPath, dst.toPath,
+      s"delta commit $version already exists in $base")
   }
 
   private[sources] def addJson(a: AddFile, base: String,

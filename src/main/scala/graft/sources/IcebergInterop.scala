@@ -1204,17 +1204,9 @@ object IcebergInterop {
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    // put-if-absent via hard link: POSIX rename would silently REPLACE
-    // a concurrent writer's metadata file instead of conflicting
-    try {
-      Files.createLink(dst.toPath, tmp.toPath)
-      tmp.delete()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        throw new java.util.ConcurrentModificationException(
-          s"iceberg metadata v$version already exists in $base")
-    }
+    // atomic put-if-absent = the metadata commit
+    AtomicCommit.publish(tmp.toPath, dst.toPath,
+      s"iceberg metadata v$version already exists in $base")
     Files.writeString(hint.toPath, version.toString)
     snapshotId
   }
@@ -1307,11 +1299,15 @@ object IcebergInterop {
     val rawByKey = snap.files.map(f =>
       (PathCodec.metadataPathKey(new File(f.path)), f.rawPath))
       .toDF("__ice_file", "__raw")
+    // persisted: the classification scan (parquet read + delete anti
+    // joins) feeds BOTH the sizing count and the staged write — without
+    // the pin it would run twice, and it dominates the delete's cost
     val matched = assembleRead(spark, snap, snap.files, keepCoords = true)
       .filter(coalesce(predicate, lit(false)))
       .join(broadcast(rawByKey), Seq("__ice_file"))
       .select(col("__raw").as("file_path"), col("__ice_pos").as("pos"))
-    val n = matched.count() // one bounded scalar
+      .persist()
+    val n = matched.count() // one bounded scalar (also materializes)
     if (n == 0) return prev.get("current-snapshot-id").asLong()
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
@@ -1329,6 +1325,7 @@ object IcebergInterop {
         dst
       }.toSeq
     org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    matched.unpersist()
     // per-delete-file record counts: one grouped scan, one row per file
     val counts: Map[String, Long] = spark.read
       .parquet(delFiles.map(_.getPath): _*)
@@ -1580,17 +1577,9 @@ object IcebergInterop {
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    // put-if-absent via hard link: POSIX rename would silently REPLACE
-    // a concurrent writer's metadata file instead of conflicting
-    try {
-      Files.createLink(dst.toPath, tmp.toPath)
-      tmp.delete()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        throw new java.util.ConcurrentModificationException(
-          s"iceberg metadata v$version already exists in $base")
-    }
+    // atomic put-if-absent = the metadata commit
+    AtomicCommit.publish(tmp.toPath, dst.toPath,
+      s"iceberg metadata v$version already exists in $base")
     Files.writeString(hint.toPath, version.toString)
     snapshotId
   }
@@ -1681,17 +1670,9 @@ object IcebergInterop {
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
     val dst = new File(metaDir, s"v$version.metadata.json")
-    // put-if-absent via hard link: POSIX rename would silently REPLACE
-    // a concurrent writer's metadata file instead of conflicting
-    try {
-      Files.createLink(dst.toPath, tmp.toPath)
-      tmp.delete()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        throw new java.util.ConcurrentModificationException(
-          s"iceberg metadata v$version already exists in $base")
-    }
+    // atomic put-if-absent = the metadata commit
+    AtomicCommit.publish(tmp.toPath, dst.toPath,
+      s"iceberg metadata v$version already exists in $base")
     Files.writeString(hint.toPath, version.toString)
     version
   }

@@ -115,3 +115,20 @@ private[sources] object PathCodec {
     * strip the scheme, keep the percent-encoded path. */
   val metadataFilePathNormalizeRegex: String = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
 }
+
+/** Atomic PUT-IF-ABSENT file publication — the commit primitive shared
+  * by the Delta log writer and the Iceberg metadata writer. Hard-link
+  * creation fails atomically with EEXIST when the destination exists
+  * (POSIX `rename` would silently REPLACE it — a loser would overwrite
+  * the winner's commit instead of conflicting). The staged tmp file is
+  * removed on EVERY exit path, so transient IO failures never leak
+  * `.tmp_*` files into the log directory. */
+private[sources] object AtomicCommit {
+  def publish(tmp: java.nio.file.Path, dst: java.nio.file.Path,
+              conflictMessage: => String): Unit =
+    try java.nio.file.Files.createLink(dst, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(conflictMessage)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+}

@@ -36,9 +36,19 @@ object DeltaStream {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val CommitName = "^[0-9]{20}\\.json$".r
 
-  private def syncedVersion(feedDir: String): Long = {
+  /** Mirror state: last synced version + the set of data paths whose
+    * LIVE form carries a deletion vector. The set is what makes the
+    * DV refusal sound for EXTERNAL writers too: a remove action is not
+    * required to repeat the file's deletionVector descriptor, so the
+    * action alone cannot prove a removed file was DV-free — the state,
+    * built from every add action since version 0, can. */
+  private def syncState(feedDir: String): (Long, Set[String]) = {
     val f = new File(feedDir, CdfMarker)
-    if (!f.exists()) -1L else mapper.readTree(f).get("syncedVersion").asLong()
+    if (!f.exists()) return (-1L, Set.empty)
+    val n = mapper.readTree(f)
+    val dv = Option(n.get("dvPaths")).map(a =>
+      (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty)
+    (n.get("syncedVersion").asLong(), dv)
   }
 
   /** Advance the CDF mirror to the log head; idempotent and crash-safe
@@ -46,7 +56,8 @@ object DeltaStream {
     * all links). Returns the synced version. */
   def syncCdfFeed(base: String, feedDir: String): Long = {
     new File(feedDir).mkdirs()
-    val from = syncedVersion(feedDir)
+    val (from, dvPaths0) = syncState(feedDir)
+    val dvPaths = scala.collection.mutable.Set.empty[String] ++ dvPaths0
     val logDir = new File(base, "_delta_log")
     require(logDir.isDirectory, s"not a Delta table (no _delta_log): $base")
     val fresh = Option(logDir.listFiles()).getOrElse(Array.empty)
@@ -83,7 +94,12 @@ object DeltaStream {
       }
       if (cdc.nonEmpty) cdc.foreach(link(_, "c"))
       else {
-        require(!(adds ++ removes).exists(_._2),
+        // a removed file whose LIVE form carried a DV cannot be
+        // mirrored (its dead rows would re-emit as deletes) — the
+        // check consults the tracked state, not just the remove
+        // action's optional descriptor
+        require(!adds.exists(_._2) &&
+            !removes.exists { case (p, hadDv) => hadDv || dvPaths.contains(p) },
           s"delta cdf mirror cannot express the deletion-vector commit " +
           s"v$v of $base without cdc rows — enable " +
           "delta.enableChangeDataFeed (the DML writers then emit " +
@@ -91,10 +107,18 @@ object DeltaStream {
         adds.foreach { case (p, _) => link(p, "i") }
         removes.foreach { case (p, _) => link(p, "d") }
       }
+      // state update AFTER the refusal check, for cdc commits too (a
+      // DV delete WITH cdc still leaves a DV-carrying live file)
+      removes.foreach { case (p, _) => dvPaths -= p }
+      adds.foreach { case (p, hasDv) => if (hasDv) dvPaths += p else dvPaths -= p }
     }
     val head = fresh.last._1
+    val stateNode = mapper.createObjectNode()
+    stateNode.put("syncedVersion", head)
+    val arr = stateNode.putArray("dvPaths")
+    dvPaths.toSeq.sorted.foreach(arr.add)
     val tmp = Paths.get(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"""{"syncedVersion":$head}""")
+    Files.writeString(tmp, mapper.writeValueAsString(stateNode))
     Files.move(tmp, Paths.get(feedDir, CdfMarker),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     head

@@ -83,6 +83,59 @@ class DeltaDmlSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9)
   }
 
+  test("updateWhere SET is a SIMULTANEOUS assignment (column swap works)") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("k", "a", "b")
+        .coalesce(1), base)
+    // SQL UPDATE semantics: both RHS see the ORIGINAL row — a
+    // sequential fold would make a and b both end as old-b
+    DeltaDml.updateWhere(spark, base, col("k") === 1,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = DeltaInterop.read(spark, base)
+      .as[(Long, Double, Double)].collect().sorted.toSeq
+    assert(got == Seq((1L, 20.0, 10.0), (2L, 30.0, 40.0)))
+  }
+
+  test("updateWhere refuses nondeterministic predicates and SET expressions") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    intercept[IllegalArgumentException] {
+      DeltaDml.updateWhere(spark, base, rand() < 0.5, Map("id" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaDml.updateWhere(spark, base, col("id") < 5, Map("id" -> (rand() * 10)))
+    }
+  }
+
+  test("mergeUpsert refuses duplicate source keys (SQL MERGE contract)") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1), base)
+    val e = intercept[IllegalArgumentException] {
+      DeltaDml.mergeUpsert(spark, base,
+        Seq((5L, 50.0), (5L, 51.0)).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(DeltaInterop.read(spark, base).count() == 1) // untouched
+  }
+
+  test("DV delete on an already-DV table writes no redundant protocol action") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      (0L until 30L).map(Tuple1(_)).toDF("id").coalesce(1), base)
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") < 3)  // v1: upgrades
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") >= 28) // v2: no upgrade
+    val log = new java.io.File(base, "_delta_log")
+    def hasProto(v: Long) = Files.readString(
+      new java.io.File(log, f"$v%020d.json").toPath).contains("\"protocol\"")
+    assert(hasProto(1L), "first DV delete must upgrade the protocol")
+    assert(!hasProto(2L),
+      "a redundant protocol action would make every DV delete look like " +
+      "a metadata change to the OCC reconciler")
+    assert(DeltaInterop.read(spark, base).count() == 25)
+  }
+
   test("mergeUpsert rewrites only stat-hit files; untouched files survive by name") {
     val base = tmp()
     // two range-clustered files: [0,49] and [50,99]; updates hit only the first

@@ -76,6 +76,35 @@ class DeltaStreamSpec extends SparkSpec {
       e.getMessage.contains("enableChangeDataFeed"))
   }
 
+  test("a remove that OMITS the DV descriptor still refuses (tracked state)") {
+    // the protocol does not require a remove action to repeat the
+    // file's deletionVector — an external writer may omit it. The
+    // mirror must still know the removed file carried a DV (its dead
+    // rows would re-emit as deletes) from the adds it has seen.
+    val base = freshBase("dvomit")
+    val feed = freshBase("dvomit_feed")
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base) // v0
+    val file = DeltaInterop.snapshot(spark, base).files.head.path
+    DeltaInterop.deleteRowPositions(spark, base, file, Seq(0L, 1L))      // v1: DV
+    DeltaInterop.overwrite(spark.range(100, 103).toDF("id").coalesce(1), base) // v2
+    // strip the deletionVector field from v2's remove action, as an
+    // external writer legally might
+    val v2 = new File(base, "_delta_log/00000000000000000002.json")
+    val rewritten = java.nio.file.Files.readAllLines(v2.toPath)
+      .toArray.map(_.toString)
+      .map(l => if (!l.contains("\"remove\"")) l else {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+        n.get("remove").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .remove("deletionVector")
+        n.toString
+      })
+    java.nio.file.Files.writeString(v2.toPath, rewritten.mkString("\n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaStream.syncCdfFeed(base, feed)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
   test("partitioned and mapped tables are refused with guidance") {
     val base = freshBase("part")
     DeltaInterop.overwrite(
