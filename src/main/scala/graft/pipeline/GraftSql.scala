@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** SQL DML surface for graft-log AND Delta tables: `MERGE INTO`,
-  * `DELETE FROM` and `UPDATE` statements — the idiom users actually
+  * `DELETE FROM`, `UPDATE` and `INSERT [OVERWRITE]` statements — the idiom users actually
   * type — parsed by SPARK'S OWN SQL parser and dispatched to the table
   * format's DML (`GraftLog.upsertScoped`/`delete`,
   * `DeltaDml.deleteVectoredWhere`/`updateWhere`). Spark parses these
@@ -100,8 +100,33 @@ object GraftSql {
             runMerge(spark, name, m)
           case _ => spark.sql(text)
         }
+      case i: InsertIntoStatement =>
+        tableName(i.table) match {
+          case Some(name) if tablesOf(spark).containsKey(name) =>
+            runInsert(spark, name, i)
+          case _ => spark.sql(text)
+        }
       case _ => spark.sql(text)
     }
+  }
+
+  private def runInsert(spark: SparkSession, name: String,
+                        i: InsertIntoStatement): DataFrame = {
+    require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
+      "INSERT with PARTITION or a column list is not supported — " +
+      "INSERT [OVERWRITE] <table> SELECT full rows")
+    val h = tablesOf(spark).get(name)
+    val source = GraftBridge.ofRows(spark, i.query)
+    val v = (h, i.overwrite) match {
+      case (LogTable(base), false) => GraftLog.append(source, base)
+      case (LogTable(base), true) => GraftLog.overwrite(source, base)
+      case (DeltaTable(base), false) =>
+        graft.sources.DeltaInterop.append(source, base)
+      case (DeltaTable(base), true) =>
+        graft.sources.DeltaInterop.overwrite(source, base)
+    }
+    refreshView(spark, name, h)
+    result(spark, if (i.overwrite) "INSERT OVERWRITE" else "INSERT", v)
   }
 
   private def tableName(plan: LogicalPlan): Option[String] = plan match {

@@ -124,6 +124,31 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 46L) // 45 survivors + 1 insert
   }
 
+  test("INSERT INTO appends; INSERT OVERWRITE replaces (both formats)") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("ins_log")
+    GraftLog.overwriteClustered(Seq((1L, "a")).toDF("k", "s"), base,
+      Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_ins_t", base)
+    Seq((2L, "b"), (3L, "c")).toDF("k", "s")
+      .createOrReplaceTempView("sql_ins_src")
+    GraftSql.sql(spark, "INSERT INTO sql_ins_t SELECT * FROM sql_ins_src")
+    assert(spark.sql("SELECT count(*) AS n FROM sql_ins_t")
+      .head().getLong(0) == 3L)
+    GraftSql.sql(spark,
+      "INSERT OVERWRITE sql_ins_t SELECT * FROM sql_ins_src WHERE k = 3")
+    assert(GraftLog.read(spark, base).as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c")))
+    // delta handler
+    val dbase = freshBase("ins_delta")
+    DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), dbase)
+    GraftSql.registerDeltaTable(spark, "sql_insd_t", dbase)
+    Seq((9L, 9.0)).toDF("k", "v").createOrReplaceTempView("sql_insd_src")
+    GraftSql.sql(spark, "INSERT INTO sql_insd_t SELECT * FROM sql_insd_src")
+    assert(spark.sql("SELECT sum(v) AS s FROM sql_insd_t")
+      .head().getDouble(0) == 10.0)
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
