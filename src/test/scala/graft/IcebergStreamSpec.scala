@@ -1,0 +1,66 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.sources.IcebergInterop
+import graft.streaming.{EventStreams, IcebergStream}
+
+/** Iceberg streaming tail: snapshot-diff hard-link mirror + file
+  * stream; append-only contract with fail/ignore/reemit on rewrites. */
+class IcebergStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val p = s"/tmp/graft_test_istream_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("tail streams the initial load plus appends, exactly once") {
+    val base = freshBase("tail")
+    val feed = freshBase("tail_feed")
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(100, 105).toDF("id").coalesce(1), base)
+    val agg = IcebergStream.tail(spark, base, feed)
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    val got = EventStreams.drainAvailableNow(agg).as[(Long, Long)].head()
+    assert(got == ((15L, (0L until 10L).sum + (100L until 105L).sum)))
+    // incremental: a new append surfaces after a re-sync, not before
+    IcebergInterop.append(spark.range(200, 202).toDF("id").coalesce(1), base)
+    assert(IcebergStream.syncFeed(spark, base, feed) ==
+      IcebergInterop.snapshotIds(base).last)
+    val again = EventStreams.drainAvailableNow(
+      IcebergStream.tail(spark, base, feed)
+        .agg(count(lit(1)).as("n"))).as[Long].head()
+    assert(again == 17L)
+  }
+
+  test("non-append snapshots fail by default; ignore skips them") {
+    val base = freshBase("rw")
+    val feed = freshBase("rw_feed")
+    IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)
+    IcebergStream.syncFeed(spark, base, feed)
+    IcebergInterop.overwrite(spark.range(50, 53).toDF("id").coalesce(1), base)
+    val e = intercept[IllegalStateException] {
+      IcebergStream.syncFeed(spark, base, feed)
+    }
+    assert(e.getMessage.contains("non-append"))
+    // ignore: the rewrite's additions never enter the feed
+    IcebergStream.syncFeed(spark, base, feed, onRewrite = "ignore")
+    val n = EventStreams.drainAvailableNow(
+      IcebergStream.tail(spark, base, feed, onRewrite = "ignore")
+        .agg(count(lit(1)).as("n"))).as[Long].head()
+    assert(n == 5L) // only the first snapshot's rows
+  }
+
+  test("a table with live delete files refuses the tail") {
+    val base = freshBase("del")
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergStream.tail(spark, base, freshBase("del_feed"))
+    }
+    assert(e.getMessage.contains("delete files"))
+  }
+}
