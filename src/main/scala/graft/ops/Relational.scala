@@ -136,7 +136,16 @@ object Relational {
     df.localCheckpoint(eager = true)
 
   def globalRank(df: DataFrame, order: Seq[Column],
-                 rankCol: String = "rnk"): DataFrame = {
+                 rankCol: String = "rnk"): DataFrame =
+    globalRankWithTotal(df, order, rankCol)._1
+
+  /** `globalRank` plus the TOTAL row count, which falls out of the same
+    * per-partition offsets collect for free (the last cumulative sum) —
+    * callers needing both the ranking and N (top-frac cuts like DSIR
+    * selection) must not pay a separate `count()` job over a frame this
+    * size, nor pin the input twice to feed it. */
+  def globalRankWithTotal(df: DataFrame, order: Seq[Column],
+                          rankCol: String = "rnk"): (DataFrame, Long) = {
     // pinned: the frame feeds two jobs (offset count + final join),
     // and re-running range partitioning must not re-sample bounds
     val sorted = pinBounded(df.repartitionByRange(order: _*)
@@ -144,6 +153,7 @@ object Relational {
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+    val total = offsets.last._2 // cumulative after the last partition = N
     // scanLeft yields (pid_i, rows before pid_i)'s successor shifted by
     // one position: pair each pid with the cumulative count BEFORE it
     val offsetRows = offsets.sliding(2).collect {
@@ -152,9 +162,64 @@ object Relational {
     val offsetDf = df.sparkSession.createDataFrame(offsetRows)
       .toDF("__pid", "__offset")
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    sorted.join(broadcast(offsetDf), Seq("__pid"))
+    val ranked = sorted.join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(rankCol, row_number().over(w) + col("__offset"))
       .drop("__pid", "__offset")
+    (ranked, total)
+  }
+
+  /** Exact PER-GROUP rank (1-based within each group) WITHOUT the
+    * per-group single-task collapse of `Window.partitionBy(group)`:
+    * that window hashes every row of a group through ONE reducer, so
+    * with a handful of groups (training-mix sources, say) the whole
+    * dataset funnels through ≤#groups tasks — a full-corpus sort on
+    * almost no parallelism. Here the data is RANGE-partitioned on
+    * (group, order) — a huge group spans many partitions — ranked
+    * locally per (partition, group), and offset by per-(group,
+    * partition) prefix counts collected driver-side (≤ #groups ×
+    * #partitions rows, metadata scale, the `globalRank` shape keyed per
+    * group). Group columns must be scalar (their values key a
+    * driver-side map); joins back are null-safe so null groups rank
+    * correctly. */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                  rankCol: String = "rnk"): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRank needs ≥1 group column")
+    val gs = groupCols.map(col)
+    val sorted = pinBounded(df.repartitionByRange((gs ++ order): _*)
+      .withColumn("__pid", spark_partition_id()))
+    val counts = sorted.groupBy(col("__pid") +: gs: _*)
+      .agg(count(lit(1)).as("__n"))
+    val collected = counts.collect() // ≤ #groups × #partitions rows
+    val g = groupCols.size
+    // per group, in pid order: rows of the group in EARLIER partitions
+    val offsetRows: Seq[org.apache.spark.sql.Row] = collected.toSeq
+      .map(r => (r.getInt(0), Seq.tabulate(g)(i => r.get(1 + i)), r.getLong(1 + g)))
+      .groupBy(_._2).toSeq.flatMap { case (gv, rows) =>
+        rows.sortBy(_._1).scanLeft((0, 0L, 0L)) {
+          case ((_, _, acc), (pid, _, n)) => (pid, acc, acc + n)
+        }.drop(1).map { case (pid, before, _) =>
+          org.apache.spark.sql.Row.fromSeq(pid +: gv :+ before)
+        }
+      }
+    // offset-side columns renamed __og_i so the join never collides
+    // with data column names
+    val offsetSchema = org.apache.spark.sql.types.StructType(
+      counts.schema.fields.dropRight(1).zipWithIndex.map { case (f, i) =>
+        f.copy(name = if (i == 0) "__opid" else s"__og_${i - 1}")
+      } :+ org.apache.spark.sql.types.StructField(
+        "__offset", org.apache.spark.sql.types.LongType, nullable = false))
+    import scala.jdk.CollectionConverters._
+    val offsetDf = df.sparkSession.createDataFrame(
+      offsetRows.asJava, offsetSchema)
+    // null-safe equality on the group columns: a null group is a group
+    val joinCond = ((col("__pid") === col("__opid")) +:
+      groupCols.zipWithIndex.map { case (c, i) =>
+        col(c) <=> col(s"__og_$i") }).reduce(_ && _)
+    val w = Window.partitionBy(col("__pid") +: gs: _*).orderBy(order: _*)
+    sorted.join(broadcast(offsetDf), joinCond)
+      .withColumn(rankCol, row_number().over(w) + col("__offset"))
+      .drop("__pid", "__opid", "__offset")
+      .drop(groupCols.indices.map(i => s"__og_$i"): _*)
   }
 
   /** Exact DISTRIBUTED prefix sum of a long-valued column in global

@@ -55,7 +55,13 @@ object Sampling {
     * Determinism and scale: rank = md5(key), so membership is a row
     * property — reproducible on any engine, any partitioning, any
     * cluster. Cost = one tiny per-source count, one broadcast join of
-    * the #sources-row plan, and ONE window shuffle on source. */
+    * the #sources-row plan, and one RANGE-partitioned rank
+    * (`Relational.groupedRank`): a `Window.partitionBy(source)` rank
+    * would funnel every row of a source through ONE reducer — a
+    * full-corpus sort on ≤#sources partitions, THE bottleneck at
+    * 100 TB with a handful of sources — so each source's rank is
+    * instead computed across many range partitions and offset by
+    * broadcast per-(source, partition) prefix counts. */
   def mixture(df: DataFrame, source: Column, key: Column,
               targets: DataFrame, allowRepeat: Boolean = false): DataFrame = {
     val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__cnt"))
@@ -73,11 +79,10 @@ object Sampling {
         s"mixture targets exceed available rows for ${over.mkString(", ")}; " +
           "pass allowRepeat=true to oversample")
     }
-    val w = Window.partitionBy(col("__src"))
-      .orderBy(md5(key.cast("string")), key)
-    df.withColumn("__src", source)
+    val joined = df.withColumn("__src", source)
       .join(broadcast(plan), Seq("__src"))
-      .withColumn("__rn", row_number().over(w))
+    Relational.groupedRank(joined, Seq("__src"),
+        Seq(md5(key.cast("string")), key), rankCol = "__rn")
       .withColumn("__copies",
         col("__full") + when(col("__rn") <= col("__rem"), 1L).otherwise(0L))
       .filter(col("__copies") >= 1)
@@ -146,18 +151,13 @@ object Sampling {
         round(col("__s") + col("n_grams") *
           log((col("r_total") + lit(buckets.toDouble)) /
               (col("t_total") + lit(buckets.toDouble))), 6).as("weight"))
-      // feeds the K-count job AND the rank join — compute the gram
-      // pipeline once (eager localCheckpoint: lineage is truncated,
-      // the blocks live until the session ends — see pinBounded)
-      .transform(Relational.pinBounded)
     // selection cut: exact global rank WITHOUT a single-partition window
-    // (Relational.globalRank range-partitions and offsets local ranks),
-    // K from one bounded scalar count
-    val ranked = Relational.globalRank(scored,
+    // (range-partitioned local ranks + broadcast offsets), and N from
+    // the SAME offsets collect — one pin, one pass; a separate count()
+    // here would re-run the whole gram pipeline (or force a second pin)
+    val (ranked, n) = Relational.globalRankWithTotal(scored,
       Seq(col("weight").desc, col("doc_id")), rankCol = "__rk")
-    val k = lit(math.floor(selectFrac *
-      // bounded: one scalar — doc-level count, not data rows
-      scored.count()).toLong)
+    val k = lit(math.floor(selectFrac * n).toLong)
     ranked.withColumn("selected", col("__rk") <= k).drop("__rk")
   }
 

@@ -37,6 +37,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_might_contain"), s"native probe missing:\n$plan")
   }
 
+  test("q116/q175 mixture rank has no per-source single-task exchange") {
+    // the scale-killer shape is Exchange hashpartitioning(__src) feeding
+    // the rank window: every row of a source through ONE reducer. The
+    // range-partitioned groupedRank must never re-introduce it — the
+    // data window partitions by (__pid, __src), so any hashpartitioning
+    // on __src ALONE in the executed plan is a regression.
+    for (q <- Seq("q116_training_mix", "q175_temperature_mix")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // AQE: final plan exists only after execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.matches("(?s).*hashpartitioning\\(__src#\\d+, \\d+\\).*"),
+        s"$q funnels a source through one task:\n$plan")
+    }
+  }
+
   test("q12 star join broadcasts the bounded dimensions") {
     val plan = planOf("q12_join_star_revenue")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

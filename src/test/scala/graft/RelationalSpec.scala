@@ -82,4 +82,30 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got == Seq((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L)))
   }
+
+  test("groupedRank equals the per-group window rank, incl. a null group") {
+    // groups of very different sizes + a null group; ranks must match the
+    // single-task Window.partitionBy formulation exactly
+    val rows = (1 to 500).map(i => (Some("big"), i.toLong)) ++
+      (1 to 3).map(i => (Some("small"), i.toLong)) ++
+      Seq((None: Option[String], 7L), (None, 3L))
+    val df = rows.toDF("src", "v")
+    val got = Relational.groupedRank(df, Seq("src"),
+        Seq(md5(col("v").cast("string")), col("v")), "rk")
+      .select("src", "v", "rk").as[(Option[String], Long, Long)]
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      .orderBy(md5(col("v").cast("string")), col("v"))
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("globalRankWithTotal returns the exact N alongside the ranking") {
+    val df = (1 to 123).map(_.toLong).toDF("v")
+    val (ranked, n) = Relational.globalRankWithTotal(df, Seq(col("v").desc), "rk")
+    assert(n == 123L)
+    val got = ranked.as[(Long, Long)].collect().toMap
+    assert(got(123L) == 1L && got(1L) == 123L && got.values.toSet.size == 123)
+  }
 }
