@@ -123,7 +123,16 @@ object GraftSql {
       case (DeltaTable(base), false) =>
         graft.sources.DeltaInterop.append(source, base)
       case (DeltaTable(base), true) =>
-        graft.sources.DeltaInterop.overwrite(source, base)
+        // SQL INSERT OVERWRITE replaces the table's CONTENTS, never its
+        // definition: the current partitioning, table properties (e.g.
+        // delta.enableChangeDataFeed — downstream CDF consumers break if
+        // it silently drops) and table id all carry forward. New data is
+        // appended under the existing partition layout.
+        val snap = graft.sources.DeltaInterop.snapshot(spark, base)
+        graft.sources.DeltaInterop.overwrite(source, base,
+          partitionBy = snap.partitionColumns,
+          configuration = snap.configuration,
+          tableId = snap.tableId)
     }
     refreshView(spark, name, h)
     result(spark, if (i.overwrite) "INSERT OVERWRITE" else "INSERT", v)
@@ -132,6 +141,12 @@ object GraftSql {
   private def tableName(plan: LogicalPlan): Option[String] = plan match {
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last.toLowerCase)
     case SubqueryAlias(_, child) => tableName(child)
+    case _ => None
+  }
+
+  /** The alias a statement gave its target/source relation, if any. */
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
     case _ => None
   }
 
@@ -172,14 +187,28 @@ object GraftSql {
     }
     val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // A multi-part SET target is accepted ONLY as <table-or-alias>.<col>:
+    // resolving `a.b` by its last part would silently reroute a
+    // struct-field assignment (SET a.b = 1) to a top-level column named
+    // b — struct paths must fail loudly, not update the wrong column.
+    val qualifiers = (Set(name) ++ aliasOf(u.table)).map(_.toLowerCase)
     val set: Map[String, org.apache.spark.sql.Column] =
       u.assignments.map { a =>
-        val name = a.key match {
-          case att: UnresolvedAttribute => att.nameParts.last
+        val target = a.key match {
+          case att: UnresolvedAttribute if att.nameParts.length == 1 =>
+            att.nameParts.head
+          case att: UnresolvedAttribute if att.nameParts.length == 2 &&
+              qualifiers.contains(att.nameParts.head.toLowerCase) =>
+            att.nameParts.last
+          case att: UnresolvedAttribute => throw new IllegalArgumentException(
+            s"UPDATE SET target '${att.sql}' is neither a column nor " +
+            s"<table-or-alias>.<column> of '$name' — struct-field updates " +
+            "are not supported (refusing rather than updating a " +
+            "same-named top-level column)")
           case other => throw new IllegalArgumentException(
             s"UPDATE SET target must be a column, got: ${other.sql}")
         }
-        name -> GraftBridge.column(unqualify(a.value))
+        target -> GraftBridge.column(unqualify(a.value))
       }.toMap
     val v = graft.sources.DeltaDml.updateWhere(spark, base, pred, set)
     refreshView(spark, name, h)

@@ -39,13 +39,57 @@ import DeltaInterop.{AddFile, DeltaSnapshot, DvDescriptor}
 object DeltaDml {
   import DeltaInterop.{assembleScan, snapshot, resolveDvPositions,
     stageAdds, collectAddStats, writeCommit, addJson, removeJson,
-    logDir, CommitName, currentVersion}
+    logDir, CommitName, currentVersion, upgradeProtocolJson}
 
   private val mapper = new ObjectMapper()
 
-  private val dvProtocolJson =
-    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-    """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+  /** Writer features whose contracts this DML layer upholds (per the
+    * protocol, a writer MUST NOT commit to a table declaring a writer
+    * feature it does not implement): deletionVectors is implemented;
+    * appendOnly is honored by the refusal below; invariants and
+    * checkConstraints are honored by refusing row-mutating DML when the
+    * table actually records constraints; changeDataFeed by the cdc
+    * staging; columnMapping/timestampNtz/identityColumns don't change
+    * delete/update semantics for the operations this layer accepts
+    * (column-mapped tables are refused separately). Anything else —
+    * e.g. rowTracking (these commits would have to maintain row ids) or
+    * generatedColumns/identityColumns (an UPDATE/MERGE would have to
+    * recompute them) — refuses loudly instead of corrupting the
+    * contract. */
+  private val upheldWriterFeatures = Set(
+    "deletionVectors", "appendOnly", "invariants", "checkConstraints",
+    "changeDataFeed", "columnMapping", "timestampNtz")
+
+  /** The protocol's writer contract for this table, checked before any
+    * DML: unknown declared writer features refuse; `delta.appendOnly`
+    * tables refuse row deletion/mutation; recorded CHECK constraints
+    * refuse row-MUTATING DML (`mutatesRows`) since this engine does not
+    * re-validate them (a DELETE can never violate a constraint). */
+  private def requireDmlWritable(snap: DeltaSnapshot, op: String,
+                                 mutatesRows: Boolean): Unit = {
+    val unknown = snap.writerFeatureSet -- upheldWriterFeatures
+    require(unknown.isEmpty,
+      s"$op: table declares writer features ${unknown.mkString(",")} whose " +
+      "contracts this engine does not implement — refusing per protocol")
+    require(!snap.configuration.get("delta.appendOnly")
+        .exists(_.equalsIgnoreCase("true")),
+      s"$op on an append-only Delta table (delta.appendOnly=true) — refusing")
+    if (mutatesRows)
+      require(!snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
+        s"$op on a table with CHECK constraints " +
+        s"(${snap.configuration.keys.filter(_.startsWith("delta.constraints."))
+          .mkString(",")}) — this engine does not re-validate them, refusing")
+  }
+
+  /** Best-effort removal of files a LOSING commit attempt staged (DV
+    * bins, `_change_data` parquet, rewritten data files): the retry
+    * re-derives everything from the fresh snapshot, so the loser's
+    * files would otherwise accumulate unreferenced until a vacuum. */
+  private def discardStaged(base: String, relPaths: Seq[String]): Unit =
+    relPaths.foreach { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new File(base, PathCodec.percentDecode(r)))
+    }
 
   /** Is Change Data Feed enabled on this table? (The OSS property.) */
   private def cdfEnabled(snap: DeltaSnapshot): Boolean =
@@ -119,6 +163,7 @@ object DeltaDml {
     require(snap.columnMappingMode == "none",
       "deleteVectoredWhere on a column-mapped Delta table is not " +
       "implemented (cdc staging + protocol feature sets) — refusing")
+    requireDmlWritable(snap, "deleteVectoredWhere", mutatesRows = false)
     val matched0 = assembleScan(spark, base, snap, keepCoords = true)
       .filter(coalesce(predicate, lit(false)))
     // SQL DELETE semantics: predicate-NULL rows survive (coalesce false).
@@ -142,7 +187,7 @@ object DeltaDml {
     // executor task unions the file's OLD positions (protocol: a new
     // AddFile's DV REPLACES the old, so it must carry old ∪ new) and
     // writes the RoaringBitmap sidecar; only the descriptor row returns
-    val written: Array[(String, String, Int, Int, Long)] =
+    val written: Array[(String, String, Int, Int, Long, String)] =
       matched.select(col("__delta_file"), col("__delta_pos"))
         .groupBy("__delta_file")
         .agg(collect_list(col("__delta_pos")).as("pos"))
@@ -153,24 +198,27 @@ object DeltaDml {
               resolveDvPositions(baseStr, d).toSeq).getOrElse(Seq.empty)
             val all = (old ++ newPos).distinct.sorted
             val uuid = UUID.randomUUID()
+            val binName = s"deletion_vector_$uuid.bin"
             val off = DeletionVectors.writeDvFile(
-              new File(baseStr, s"deletion_vector_$uuid.bin"), all)
+              new File(baseStr, binName), all)
             val size = DeletionVectors.dvDataBytes(all).length
-            (key, DeletionVectors.encodeUuid(uuid), off, size, all.length.toLong)
+            (key, DeletionVectors.encodeUuid(uuid), off, size,
+              all.length.toLong, binName)
           }
         }
         .collect() // ONE ROW PER TOUCHED FILE — metadata scale
     if (written.isEmpty) return snap.version // no match → no commit
     // CDF: the deleted rows, staged under _change_data BEFORE the commit
-    val cdcLines =
-      if (!cdfEnabled(snap)) Seq.empty[String]
+    val cdcAdds =
+      if (!cdfEnabled(snap)) Seq.empty[AddFile]
       else {
         val cdcDf = matched
           .select(snap.schema.fieldNames.map(col) :+
             lit("delete").as("_change_type"): _*)
-        stageCdc(cdcDf, base, snap.partitionColumns).map(cdcJson(_, base))
+        stageCdc(cdcDf, base, snap.partitionColumns)
       }
-    val touched = written.toSeq.map { case (key, enc, off, size, card) =>
+    val cdcLines = cdcAdds.map(cdcJson(_, base))
+    val touched = written.toSeq.map { case (key, enc, off, size, card, _) =>
       val f = fkMap(key)
       f -> f.copy(dv = Some(DvDescriptor("u", enc, Some(off), size, card)))
     }
@@ -181,12 +229,21 @@ object DeltaDml {
     // reconciler (and to external readers' invariants)
     val protoLines =
       if (snap.protocolFeatures.contains("deletionVectors")) Seq.empty
-      else Seq(dvProtocolJson)
-    writeCommit(base, v,
+      else Seq(upgradeProtocolJson(snap,
+        Set("deletionVectors"), Set("deletionVectors"), 3, 7))
+    try writeCommit(base, v,
       protoLines ++ cdcLines ++
         touched.map { case (old, _) => removeJson(old.path, old.dv, dataChange = true) } ++
         touched.map { case (_, nu) => addJson(nu, base) },
       operation = "DELETE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // losing attempt: its DV bins and staged change files reference
+        // a stale snapshot — remove them before the retry re-derives
+        discardStaged(base,
+          written.toSeq.map(_._6) ++ cdcAdds.map(_.path))
+        throw e
+    }
     v
   }
 
@@ -219,6 +276,7 @@ object DeltaDml {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode == "none",
       "updateWhere on a column-mapped Delta table is not implemented — refusing")
+    requireDmlWritable(snap, "updateWhere", mutatesRows = true)
     set.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"SET column '$c' is not in the table schema")
@@ -266,26 +324,34 @@ object DeltaDml {
       .withColumn("__upd", coalesce(predicate, lit(false)))
     val updated = applySet(touchedScan, gated = true)
     // CDF rows from the pre-update state (both images carry the FULL row)
-    val cdcLines =
-      if (!cdfEnabled(snap)) Seq.empty[String]
+    val cdcAdds =
+      if (!cdfEnabled(snap)) Seq.empty[AddFile]
       else {
         val pre = scan.filter(col("__upd"))
         val post = applySet(pre, gated = false)
         val cdcDf = pre.select(snap.schema.fieldNames.map(col): _*)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage")))
-        stageCdc(cdcDf, base, snap.partitionColumns).map(cdcJson(_, base))
+        stageCdc(cdcDf, base, snap.partitionColumns)
       }
+    val cdcLines = cdcAdds.map(cdcJson(_, base))
     val adds = collectAddStats(spark, base,
       stageAdds(updated, base, snap.partitionColumns),
       StructType(snap.schema.filterNot(f =>
         snap.partitionColumns.contains(f.name))))
     val v = snap.version + 1
-    writeCommit(base, v,
+    try writeCommit(base, v,
       cdcLines ++
         touched.map(f => removeJson(f.path, f.dv, dataChange = true)) ++
         adds.map(addJson(_, base)),
       operation = "UPDATE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // losing attempt: rewritten files + change rows were derived
+        // from a stale snapshot — remove before the retry re-derives
+        discardStaged(base, adds.map(_.path) ++ cdcAdds.map(_.path))
+        throw e
+    }
     v
   }
 
@@ -319,6 +385,7 @@ object DeltaDml {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode == "none",
       "mergeUpsert on a column-mapped Delta table is not implemented — refusing")
+    requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
     require(snap.schema.fieldNames.contains(key),
       s"merge key '$key' is not a table column")
     // conform updates to the TABLE schema (implicit-cast MERGE semantics)
@@ -374,8 +441,8 @@ object DeltaDml {
       if (touched.isEmpty) null
       else assembleScan(spark, base, snap.copy(files = touched))
     // CDF images from the pre-merge state of the touched slice
-    val cdcLines =
-      if (!cdfEnabled(snap)) Seq.empty[String]
+    val cdcAdds =
+      if (!cdfEnabled(snap)) Seq.empty[AddFile]
       else {
         val cols = snap.schema.fieldNames.map(col)
         val matchedOld =
@@ -393,8 +460,9 @@ object DeltaDml {
             .withColumn("_change_type", lit("update_postimage")))
           .unionByName(inserted.select(cols: _*)
             .withColumn("_change_type", lit("insert")))
-        stageCdc(cdcDf, base, snap.partitionColumns).map(cdcJson(_, base))
+        stageCdc(cdcDf, base, snap.partitionColumns)
       }
+    val cdcLines = cdcAdds.map(cdcJson(_, base))
     // survivors of touched files (keys not updated) + ALL update rows
     val merged =
       if (touched.isEmpty) updates
@@ -407,11 +475,18 @@ object DeltaDml {
       StructType(snap.schema.filterNot(f =>
         snap.partitionColumns.contains(f.name))))
     val v = snap.version + 1
-    writeCommit(base, v,
+    try writeCommit(base, v,
       cdcLines ++
         touched.map(f => removeJson(f.path, f.dv, dataChange = true)) ++
         adds.map(addJson(_, base)),
       operation = "MERGE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // losing attempt: merged files + change rows were derived from
+        // a stale snapshot — remove before the retry re-derives
+        discardStaged(base, adds.map(_.path) ++ cdcAdds.map(_.path))
+        throw e
+    }
     v
   }
 

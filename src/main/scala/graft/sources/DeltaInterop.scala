@@ -78,7 +78,19 @@ object DeltaInterop {
       // union) — lets DML writers skip REDUNDANT protocol actions,
       // which would otherwise make every commit look like a metadata
       // change to the OCC reconciler
-      protocolFeatures: Set[String] = Set.empty) {
+      protocolFeatures: Set[String] = Set.empty,
+      // the LATEST protocol action's exact state (actions REPLACE, not
+      // accumulate) — what a protocol-upgrading commit must carry
+      // forward, feature by feature: an upgrade that wrote a fixed
+      // protocol would silently erase declarations like
+      // writerFeatures=["invariants"] for every later reader/writer
+      minReaderVersion: Int = 1,
+      minWriterVersion: Int = 2,
+      readerFeatureSet: Set[String] = Set.empty,
+      writerFeatureSet: Set[String] = Set.empty,
+      // metaData.id — the table's stable identity; INSERT OVERWRITE
+      // replaces contents, not the table, so it must carry this forward
+      tableId: Option[String] = None) {
     /** Physical parquet column name for a logical schema field. In
       * `name` mapping mode the protocol stores it in the field's
       * metadata (`delta.columnMapping.physicalName`); otherwise the
@@ -157,12 +169,21 @@ object DeltaInterop {
 
     var cmMode = "none"
     var tableConf = Map.empty[String, String]
+    var tableId: Option[String] = None
     val protoFeatures = mutable.Set.empty[String]
+    // latest protocol action's exact state (replace semantics)
+    var minReader = 1; var minWriter = 2
+    var readerFeats = Set.empty[String]; var writerFeats = Set.empty[String]
     def applyProtocol(p: JsonNode): Unit = {
-      Seq("readerFeatures", "writerFeatures").foreach { k =>
-        Option(p.get(k)).filterNot(_.isNull).foreach(n =>
-          (0 until n.size()).foreach(i => protoFeatures += n.get(i).asText()))
-      }
+      def feats(k: String): Set[String] =
+        Option(p.get(k)).filterNot(_.isNull).map(n =>
+          (0 until n.size()).map(n.get(_).asText()).toSet).getOrElse(Set.empty)
+      readerFeats = feats("readerFeatures")
+      writerFeats = feats("writerFeatures")
+      protoFeatures ++= readerFeats; protoFeatures ++= writerFeats
+      minReader = p.get("minReaderVersion").asInt()
+      minWriter = Option(p.get("minWriterVersion")).filterNot(_.isNull)
+        .map(_.asInt()).getOrElse(minWriter)
       val r = p.get("minReaderVersion").asInt()
       // v3 gates reads on an explicit readerFeatures list. The
       // protocol-mandated behavior is: read iff every listed feature is
@@ -202,6 +223,7 @@ object DeltaInterop {
         b.result()
       }.getOrElse(Map.empty[String, String])
       applyConfiguration(conf)
+      tableId = Option(m.get("id")).filterNot(_.isNull).map(_.asText())
       schemaJson = Some(m.get("schemaString").asText())
       val pc = m.get("partitionColumns")
       partCols =
@@ -268,17 +290,30 @@ object DeltaInterop {
         val pFields = cp.schema("protocol").dataType
           .asInstanceOf[StructType].fieldNames.toSet
         val pCols = Seq("protocol.minReaderVersion") ++
-          (if (pFields.contains("readerFeatures")) Seq("protocol.readerFeatures") else Nil)
+          (if (pFields.contains("minWriterVersion"))
+             Seq("protocol.minWriterVersion") else Nil) ++
+          (if (pFields.contains("readerFeatures"))
+             Seq("protocol.readerFeatures") else Nil) ++
+          (if (pFields.contains("writerFeatures"))
+             Seq("protocol.writerFeatures") else Nil)
         cp.select(pCols.head, pCols.tail: _*)
           .where(col("minReaderVersion").isNotNull)
           .collect() // ≤1 row
           .foreach { r =>
+            val names = pCols.map(_.stripPrefix("protocol."))
+            def at(n: String): Option[Int] =
+              Some(names.indexOf(n)).filter(i => i >= 0 && !r.isNullAt(i))
             val node = mapper.createObjectNode()
             node.put("minReaderVersion", r.getInt(0))
-            val hasFeatures = r.length > 1 && !r.isNullAt(1)
-            if (hasFeatures) {
+            at("minWriterVersion").foreach(i =>
+              node.put("minWriterVersion", r.getInt(i)))
+            val hasFeatures = at("readerFeatures").map { i =>
               val arr = node.putArray("readerFeatures")
-              r.getSeq[String](1).foreach(arr.add)
+              r.getSeq[String](i).foreach(arr.add)
+            }.isDefined
+            at("writerFeatures").foreach { i =>
+              val arr = node.putArray("writerFeatures")
+              r.getSeq[String](i).foreach(arr.add)
             }
             // a v3 protocol is INVALID without its feature list — a
             // checkpoint that lost it must refuse, not silently read
@@ -370,7 +405,8 @@ object DeltaInterop {
       throw new IllegalStateException(s"no metaData action found in $base")))
       .asInstanceOf[StructType]
     DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode,
-      txns.toMap, tableConf, protoFeatures.toSet)
+      txns.toMap, tableConf, protoFeatures.toSet,
+      minReader, minWriter, readerFeats, writerFeats, tableId)
   }
 
   /** DESCRIBE HISTORY: one row per JSON commit still in the log —
@@ -985,6 +1021,50 @@ object DeltaInterop {
   private val protocolJson: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
+  // Features a legacy (pre-table-features) protocol version IMPLIES
+  // (PROTOCOL.md §Table Features → legacy version mapping): an upgrade
+  // to reader 3 / writer 7 must list them explicitly or later
+  // readers/writers see a table that silently dropped its contracts.
+  private val impliedWriterFeatures: Map[Int, Set[String]] = Map(
+    2 -> Set("appendOnly", "invariants"),
+    3 -> Set("checkConstraints"),
+    4 -> Set("changeDataFeed", "generatedColumns"),
+    5 -> Set("columnMapping"),
+    6 -> Set("identityColumns"))
+  private val impliedReaderFeatures: Map[Int, Set[String]] = Map(
+    2 -> Set("columnMapping"))
+
+  /** Protocol action that UPGRADES `snap`'s recorded protocol with the
+    * given features, carrying everything already declared forward:
+    * max of the version pair, union of the feature lists, plus every
+    * feature the old LEGACY version implied. Writing a fixed protocol
+    * here instead (the pre-round-8 bug) would REPLACE the table's
+    * protocol on log replay and silently erase declarations like
+    * writerFeatures=["invariants"] for all later readers and writers. */
+  private[sources] def upgradeProtocolJson(snap: DeltaSnapshot,
+                                           addReader: Set[String],
+                                           addWriter: Set[String],
+                                           needReader: Int,
+                                           needWriter: Int): String = {
+    val oldImpliedW =
+      if (snap.minWriterVersion >= 7) Set.empty[String]
+      else (2 to snap.minWriterVersion)
+        .flatMap(v => impliedWriterFeatures.getOrElse(v, Set.empty)).toSet
+    val oldImpliedR =
+      if (snap.minReaderVersion >= 3) Set.empty[String]
+      else (2 to snap.minReaderVersion)
+        .flatMap(v => impliedReaderFeatures.getOrElse(v, Set.empty)).toSet
+    val rf = oldImpliedR ++ snap.readerFeatureSet ++ addReader
+    val wf = oldImpliedW ++ snap.writerFeatureSet ++ addWriter
+    val node = mapper.createObjectNode()
+    val p = node.putObject("protocol")
+    p.put("minReaderVersion", math.max(snap.minReaderVersion, needReader))
+    p.put("minWriterVersion", math.max(snap.minWriterVersion, needWriter))
+    val ra = p.putArray("readerFeatures"); rf.toSeq.sorted.foreach(ra.add)
+    val wa = p.putArray("writerFeatures"); wf.toSeq.sorted.foreach(wa.add)
+    mapper.writeValueAsString(node)
+  }
+
   private[sources] def currentVersion(base: String): Option[Long] = {
     val fs = Option(logDir(base).listFiles()).getOrElse(Array.empty)
       .filter(f => CommitName.matches(f.getName))
@@ -992,10 +1072,14 @@ object DeltaInterop {
   }
 
   /** Create-or-replace the table (commit 0 = protocol+metaData+adds;
-    * later overwrites remove every live file). */
+    * later overwrites remove every live file). `tableId` carries a
+    * stable table identity forward — INSERT OVERWRITE replaces
+    * contents, not the table, so it passes the current id; plain
+    * create-or-replace mints a fresh one. */
   def overwrite(df: DataFrame, base: String,
                 partitionBy: Seq[String] = Seq.empty,
-                configuration: Map[String, String] = Map.empty): Long = {
+                configuration: Map[String, String] = Map.empty,
+                tableId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
@@ -1008,7 +1092,8 @@ object DeltaInterop {
       removeJson(r.path, r.dv, dataChange = true))
     writeCommit(base, v,
       Seq(protocolJson,
-        metaJson(df.schema, partitionBy, UUID.randomUUID().toString,
+        metaJson(df.schema, partitionBy,
+          tableId.getOrElse(UUID.randomUUID().toString),
           configuration)) ++
         removeLines ++ adds.map(addJson(_, base)),
       operation = "WRITE")
@@ -1100,9 +1185,8 @@ object DeltaInterop {
           data.length, distinct.size.toLong)
       }
     val removeLine = removeJson(f.path, None, dataChange = true) // f.dv is empty
-    val proto =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    val proto = upgradeProtocolJson(snap,
+      Set("deletionVectors"), Set("deletionVectors"), 3, 7)
     val v = snap.version + 1
     writeCommit(base, v,
       Seq(proto, removeLine, addJson(f.copy(dv = Some(dv)), base)),
@@ -1612,16 +1696,14 @@ object DeltaInterop {
         StructField("appId", StringType),
         StructField("version", LongType))))))
     import org.apache.spark.sql.Row
-    val hasDv = snap.files.exists(_.dv.isDefined)
-    val mapped = snap.columnMappingMode != "none"
-    val protoRow =
-      if (hasDv) {
-        val feats = Seq("deletionVectors") ++
-          (if (mapped) Seq("columnMapping") else Nil)
-        Row(3, 7, feats, feats)
-      }
-      else if (mapped) Row(2, 5, null, null) // mapping fits reader v2 via the property
-      else Row(1, 2, null, null)
+    // the table's RECORDED protocol, verbatim — reconstructing it from
+    // snapshot shape (has DVs? mapped?) would drop any feature the log
+    // declares beyond what this engine itself writes (e.g. invariants)
+    val protoRow = Row(snap.minReaderVersion, snap.minWriterVersion,
+      if (snap.readerFeatureSet.isEmpty) null
+      else snap.readerFeatureSet.toSeq.sorted,
+      if (snap.writerFeatureSet.isEmpty) null
+      else snap.writerFeatureSet.toSeq.sorted)
     val rows =
       Row(protoRow, null, null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns,

@@ -50,6 +50,17 @@ object IcebergStream {
     val ids = IcebergInterop.snapshotIds(base)
     if (ids.isEmpty) return -1L
     val from = syncedSnapshot(feedDir)
+    // the last-synced snapshot MUST still be in the table: if it was
+    // expired (expireSnapshots), dropWhile would consume the whole id
+    // list, `fresh` would be empty, and the stream would silently stop
+    // seeing new snapshots forever — silent data loss. Fail loudly.
+    from.foreach { sid =>
+      if (!ids.contains(sid)) throw new IllegalStateException(
+        s"iceberg stream feed $feedDir last synced snapshot $sid, which " +
+        s"has been expired from $base (have ${ids.mkString(",")}) — the " +
+        "diff base is gone; restart the feed from a fresh directory (the " +
+        "current table state will re-stream) or re-seed the mirror")
+    }
     val fresh = from match {
       case None => ids
       case Some(sid) => ids.dropWhile(_ != sid).drop(1)

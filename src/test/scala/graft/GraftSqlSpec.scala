@@ -149,6 +149,53 @@ class GraftSqlSpec extends SparkSpec {
       .head().getDouble(0) == 10.0)
   }
 
+  test("INSERT OVERWRITE preserves the Delta table definition") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("ins_keep")
+    DeltaInterop.overwrite(
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "part", "v").coalesce(1),
+      base, partitionBy = Seq("part"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val before = DeltaInterop.snapshot(spark, base)
+    GraftSql.registerDeltaTable(spark, "sql_keep_t", base)
+    Seq((9L, "z", 9.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_keep_src")
+    GraftSql.sql(spark,
+      "INSERT OVERWRITE sql_keep_t SELECT * FROM sql_keep_src")
+    val after = DeltaInterop.snapshot(spark, base)
+    // contents replaced; DEFINITION (partitioning, properties, identity)
+    // carried forward — SQL INSERT OVERWRITE never redefines the table
+    assert(spark.sql("SELECT k FROM sql_keep_t").as[Long].collect().toSeq
+      == Seq(9L))
+    assert(after.partitionColumns == Seq("part"),
+      s"partitioning dropped: ${after.partitionColumns}")
+    assert(after.configuration.get("delta.enableChangeDataFeed")
+      .contains("true"), s"properties dropped: ${after.configuration}")
+    assert(after.tableId == before.tableId && after.tableId.isDefined,
+      s"table id changed: ${before.tableId} -> ${after.tableId}")
+    // downstream CDF consumers keep working across the overwrite: the
+    // new version's change rows are the inserts
+    val cdf = graft.sources.DeltaDml.readChangeFeed(spark, base,
+      after.version, Some(after.version))
+    assert(cdf.select("_change_type").distinct().as[String].collect()
+      .toSet.contains("insert"))
+  }
+
+  test("UPDATE rejects struct-path SET targets instead of rerouting them") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("upd_struct")
+    DeltaInterop.overwrite(Seq((1L, 5.0)).toDF("k", "v").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "sql_structt", base)
+    // a.v would resolve-by-last-part to column v — must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "UPDATE sql_structt SET a.v = 1 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("struct-field"))
+    // but the table's own alias/name qualifier is fine
+    GraftSql.sql(spark, "UPDATE sql_structt SET sql_structt.v = 7 WHERE k = 1")
+    assert(spark.sql("SELECT v FROM sql_structt").as[Double].head() == 7.0)
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)

@@ -54,6 +54,22 @@ class IcebergStreamSpec extends SparkSpec {
     assert(n == 5L) // only the first snapshot's rows
   }
 
+  test("an expired last-synced snapshot fails loudly, not silently stale") {
+    val base = freshBase("exp")
+    val feed = freshBase("exp_feed")
+    IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)
+    IcebergStream.syncFeed(spark, base, feed) // synced snapshot 1
+    IcebergInterop.append(spark.range(10, 12).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(20, 22).toDF("id").coalesce(1), base)
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 1) // 1 is gone
+    // pre-fix behavior: dropWhile consumed the whole id list, returned
+    // the stale synced id, and the stream silently stopped advancing
+    val e = intercept[IllegalStateException] {
+      IcebergStream.syncFeed(spark, base, feed)
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("a table with live delete files refuses the tail") {
     val base = freshBase("del")
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
