@@ -215,44 +215,95 @@ object GraftSql {
     result(spark, "UPDATE", v)
   }
 
+  /** The ON clause as a conjunction of shared-name key equalities
+    * (t.k1 = s.k1 AND t.k2 = s.k2 → Seq(k1, k2)); anything else —
+    * inequality predicates, expressions, differing column names —
+    * refuses loudly. */
+  private def onKeys(e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      onKeys(l) ++ onKeys(r)
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+      Seq(a.nameParts.last)
+    case other => throw new IllegalArgumentException(
+      "MERGE INTO: the ON clause must be a conjunction of equalities on " +
+      s"shared key columns (t.k = s.k [AND ...]), got: ${other.sql}")
+  }
+
+  /** MERGE INTO, lowered to the formats' keyed upserts. Supported
+    * shape:
+    *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
+    *   WHEN MATCHED [AND <cond>] THEN UPDATE SET *
+    *   WHEN NOT MATCHED [AND <cond>] THEN INSERT *
+    * Conditions may reference both sides through their aliases (t.v <
+    * s.v). The lowering computes the EFFECTIVE source first — matched
+    * source rows whose condition holds, plus not-matched source rows
+    * whose insert condition holds — and hands that to the existing
+    * upsert primitive: a matched target row whose condition fails is
+    * simply absent from the effective source and survives untouched, so
+    * the scoped rewrite (zone maps, add.stats) still applies. The
+    * condition join runs once against the registered view (one
+    * key-partitioned shuffle; the plan the API path would need anyway
+    * to evaluate a two-sided predicate). */
   private def runMerge(spark: SparkSession, name: String,
                        m: MergeIntoTable): DataFrame = {
     val h = tablesOf(spark).get(name)
-    // the canonical upsert shape — exactly what upsertScoped implements:
-    //   ON t.key = s.key
-    //   WHEN MATCHED THEN UPDATE SET *
-    //   WHEN NOT MATCHED THEN INSERT *
-    val key = m.mergeCondition match {
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-        a.nameParts.last
+    val keys = onKeys(m.mergeCondition)
+    val matchedCond = m.matchedActions match {
+      case Seq(UpdateStarAction(c)) => c
       case other => throw new IllegalArgumentException(
-        "MERGE INTO graft-log: the ON clause must be an equality on one " +
-        s"shared key column (t.k = s.k), got: ${other.sql}")
+        "MERGE INTO supports WHEN MATCHED [AND <cond>] THEN UPDATE SET *, " +
+        s"got: $other (insert-only merges: use INSERT/append)")
     }
-    val matchedOk = m.matchedActions match {
-      case Seq(UpdateStarAction(None)) => true
-      case Seq() => false
+    val insertCond = m.notMatchedActions match {
+      case Seq(InsertStarAction(c)) => c
       case other => throw new IllegalArgumentException(
-        "MERGE INTO graft-log supports WHEN MATCHED THEN UPDATE SET * " +
-        s"(unconditional), got: $other")
-    }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
-      case other => throw new IllegalArgumentException(
-        "MERGE INTO graft-log supports WHEN NOT MATCHED THEN INSERT * " +
-        s"(unconditional), got: $other")
+        "MERGE INTO supports WHEN NOT MATCHED [AND <cond>] THEN INSERT *, " +
+        s"got: $other")
     }
     require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE INTO graft-log: WHEN NOT MATCHED BY SOURCE is not supported")
-    require(matchedOk,
-      "MERGE INTO graft-log needs WHEN MATCHED THEN UPDATE SET * " +
-      "(insert-only merges: use INSERT/append)")
+      "MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
     val source = GraftBridge.ofRows(spark, m.sourceTable)
+    val effSource =
+      if (matchedCond.isEmpty && insertCond.isEmpty) source
+      else {
+        val tAlias = aliasOf(m.targetTable).getOrElse(name)
+        val sAlias = aliasOf(m.sourceTable).getOrElse("__graft_merge_src")
+        val target = spark.table(name)
+        val srcCols = source.columns.toSeq
+        val keyCond = keys.map(k =>
+          org.apache.spark.sql.functions.col(s"$tAlias.$k") ===
+          org.apache.spark.sql.functions.col(s"$sAlias.$k")).reduce(_ && _)
+        val toUpdate = target.alias(tAlias)
+          .join(source.alias(sAlias), keyCond, "inner")
+          .filter(matchedCond.map(GraftBridge.column)
+            .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          .select(srcCols.map(c =>
+            org.apache.spark.sql.functions.col(s"$sAlias.$c").as(c)): _*)
+        val toInsert = source.alias(sAlias)
+          .join(target.alias(tAlias), keyCond, "left_anti")
+          .filter(insertCond.map(GraftBridge.column)
+            .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          .select(srcCols.map(org.apache.spark.sql.functions.col): _*)
+        toUpdate.unionByName(toInsert)
+      }
     val v = h match {
-      case LogTable(base) => GraftLog.upsertScoped(spark, base, source, key)
+      case LogTable(base) =>
+        // SQL MERGE contract: duplicate source keys are an error, not a
+        // silent duplication (one bounded probe; the Delta path checks
+        // inside mergeUpsertKeys)
+        val dup = effSource.groupBy(keys.map(
+            org.apache.spark.sql.functions.col): _*)
+          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"merge source has duplicate (${keys.mkString(",")}) values — " +
+          "SQL MERGE forbids multiple source rows per target key")
+        if (keys.size == 1)
+          GraftLog.upsertScoped(spark, base, effSource, keys.head)
+        else GraftLog.upsert(spark, base, effSource, keys)
       case DeltaTable(base) =>
-        graft.sources.DeltaDml.mergeUpsert(spark, base, source, key)
+        graft.sources.DeltaDml.mergeUpsertKeys(spark, base, effSource, keys)
     }
     refreshView(spark, name, h) // follow the new head
     result(spark, "MERGE", v)

@@ -367,10 +367,19 @@ object DeltaDml {
     * parseable stats are conservatively rewritten. CDF-enabled tables
     * get update_preimage/update_postimage/insert change rows. */
   def mergeUpsert(spark: SparkSession, base: String, updates0: DataFrame,
-                  key: String, maxConflictRetries: Int = 5): Long = {
+                  key: String, maxConflictRetries: Int = 5): Long =
+    mergeUpsertKeys(spark, base, updates0, Seq(key), maxConflictRetries)
+
+  /** Composite-key MERGE: exact matching on ALL `keys`; file skipping
+    * stays driven by `keys.head`'s add.stats range (files whose head-key
+    * range excludes every update head-key cannot match the full
+    * composite either, so pruning on the leading key alone is
+    * conservative and exact — pick the clustered column first). */
+  def mergeUpsertKeys(spark: SparkSession, base: String, updates0: DataFrame,
+                      keys: Seq[String], maxConflictRetries: Int = 5): Long = {
     var attempt = 0
     while (true) {
-      try return mergeUpsertOnce(spark, base, updates0, key)
+      try return mergeUpsertOnce(spark, base, updates0, keys)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -381,13 +390,15 @@ object DeltaDml {
   }
 
   private def mergeUpsertOnce(spark: SparkSession, base: String,
-                              updates0: DataFrame, key: String): Long = {
+                              updates0: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val key = keys.head // the skipping (stats-range) key
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode == "none",
       "mergeUpsert on a column-mapped Delta table is not implemented — refusing")
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
-    require(snap.schema.fieldNames.contains(key),
-      s"merge key '$key' is not a table column")
+    keys.foreach(k => require(snap.schema.fieldNames.contains(k),
+      s"merge key '$k' is not a table column"))
     // conform updates to the TABLE schema (implicit-cast MERGE semantics)
     require(updates0.columns.toSet == snap.schema.fieldNames.toSet,
       s"merge source must carry exactly the table columns " +
@@ -397,12 +408,13 @@ object DeltaDml {
       col(f.name).cast(f.dataType).as(f.name)): _*)
     // SQL MERGE semantics: multiple source rows matching one target key
     // is an error, not a silent duplication (one bounded agg probe)
-    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).collect()
     require(dup.isEmpty,
-      s"merge source has duplicate '$key' values (e.g. ${
-        if (dup.isEmpty) "" else dup.head.get(0)}) — SQL MERGE forbids " +
-      "multiple source rows per target key; de-duplicate the source first")
+      s"merge source has duplicate (${keys.mkString(",")}) values (e.g. ${
+        if (dup.isEmpty) "" else dup.head.toSeq.init.mkString(",")}) — SQL " +
+      "MERGE forbids multiple source rows per target key; de-duplicate " +
+      "the source first")
 
     // per-file [min,max] on the key from add.stats (driver-side JSON
     // parse, metadata scale). Unparseable → None → conservatively touched.
@@ -449,11 +461,11 @@ object DeltaDml {
           if (touched.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-          else touchedScan.join(updates.select(col(key)).distinct(),
-            Seq(key), "left_semi")
-        val matchedKeys = matchedOld.select(col(key)).distinct()
-        val matchedNew = updates.join(matchedKeys, Seq(key), "left_semi")
-        val inserted = updates.join(matchedKeys, Seq(key), "left_anti")
+          else touchedScan.join(updates.select(keys.map(col): _*).distinct(),
+            keys, "left_semi")
+        val matchedKeys = matchedOld.select(keys.map(col): _*).distinct()
+        val matchedNew = updates.join(matchedKeys, keys, "left_semi")
+        val inserted = updates.join(matchedKeys, keys, "left_anti")
         val cdcDf = matchedOld.select(cols: _*)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(matchedNew.select(cols: _*)
@@ -466,8 +478,8 @@ object DeltaDml {
     // survivors of touched files (keys not updated) + ALL update rows
     val merged =
       if (touched.isEmpty) updates
-      else touchedScan.join(updates.select(col(key)).distinct(),
-          Seq(key), "left_anti")
+      else touchedScan.join(updates.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
         .select(snap.schema.fieldNames.map(col): _*)
         .unionByName(updates.select(snap.schema.fieldNames.map(col): _*))
     val adds = collectAddStats(spark, base,

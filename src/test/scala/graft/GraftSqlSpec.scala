@@ -92,6 +92,70 @@ class GraftSqlSpec extends SparkSpec {
            WHEN MATCHED THEN DELETE""")
     }
     assert(e.getMessage.contains("UPDATE SET *"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """MERGE INTO sql_mbad_t t USING sql_mbad_src s ON t.k < s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(e2.getMessage.contains("conjunction of equalities"))
+  }
+
+  test("conditional MERGE: WHEN MATCHED AND <cond> gates the update") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("merge_cond")
+    DeltaInterop.overwrite(
+      Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)).toDF("k", "v").coalesce(1),
+      base)
+    GraftSql.registerDeltaTable(spark, "sql_mcond_t", base)
+    Seq((1L, 100.0), (2L, 2.0), (7L, 70.0), (8L, -1.0)).toDF("k", "v")
+      .createOrReplaceTempView("sql_mcond_src")
+    // update only when the source value is HIGHER; insert only positives
+    GraftSql.sql(spark,
+      """MERGE INTO sql_mcond_t t USING sql_mcond_src s ON t.k = s.k
+         WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+         WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""")
+    val got = DeltaInterop.read(spark, base).as[(Long, Double)]
+      .collect().sorted.toSeq
+    // k=1 updated (100>10); k=2 NOT (2<200); k=3 untouched; k=7
+    // inserted; k=8 filtered by the insert condition
+    assert(got == Seq((1L, 100.0), (2L, 200.0), (3L, 30.0), (7L, 70.0)))
+  }
+
+  test("multi-column ON keys merge exactly on the composite key") {
+    val base = freshBase("merge_multi")
+    GraftLog.overwriteClustered(
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+        .toDF("k1", "k2", "v"), base, Seq("k1"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_mmulti_t", base)
+    Seq((1L, "b", 20.0), (2L, "b", 40.0)).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("sql_mmulti_src")
+    GraftSql.sql(spark,
+      """MERGE INTO sql_mmulti_t t USING sql_mmulti_src s
+         ON t.k1 = s.k1 AND t.k2 = s.k2
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val got = GraftLog.read(spark, base).as[(Long, String, Double)]
+      .collect().sorted.toSeq
+    // (1,b) updated by the composite match — a key1-only merge would
+    // have clobbered (1,a) too; (2,b) inserted
+    assert(got == Seq((1L, "a", 1.0), (1L, "b", 20.0), (2L, "a", 3.0),
+      (2L, "b", 40.0)))
+    // composite keys on the Delta path too
+    import graft.sources.DeltaInterop
+    val dbase = freshBase("merge_multi_d")
+    DeltaInterop.overwrite(
+      Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k1", "k2", "v").coalesce(1),
+      dbase)
+    GraftSql.registerDeltaTable(spark, "sql_mmultid_t", dbase)
+    GraftSql.sql(spark,
+      """MERGE INTO sql_mmultid_t t USING sql_mmulti_src s
+         ON t.k1 = s.k1 AND t.k2 = s.k2
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(DeltaInterop.read(spark, dbase).as[(Long, String, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, "a", 1.0), (1L, "b", 20.0), (2L, "b", 40.0)))
   }
 
   test("Delta tables: DELETE FROM routes to DV delete, UPDATE to copy-on-write") {
