@@ -40,6 +40,30 @@ import org.apache.spark.sql.types._
 object IcebergInterop {
   private val mapper = new ObjectMapper()
 
+  /** Commit clock for snapshot `timestamp-ms` / `last-updated-ms` —
+    * INJECTABLE (the `Medallion.toBronze` pattern): fixtures and tests
+    * pin deterministic instants so timestamp-as-of travel is
+    * reproducible; production commits record wall-clock time. Snapshot
+    * timestamps must be non-decreasing for the as-of resolver, which a
+    * wall clock and every pinned fixture clock satisfy. */
+  @volatile private var clock: () => Long = () => System.currentTimeMillis()
+  private val clockLock = new Object
+
+  /** Run `body` with commits stamped by `c` (restored after; concurrent
+    * users serialize on the clock). */
+  def withClock[T](c: () => Long)(body: => T): T = clockLock.synchronized {
+    val old = clock
+    clock = c
+    try body finally clock = old
+  }
+
+  /** A pinned clock yielding `start, start+step, start+2·step, ...` —
+    * the deterministic-fixture form of withClock. */
+  def tickingClock(start: Long, step: Long = 1000L): () => Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    () => start + step * n.getAndIncrement()
+  }
+
   // ------------------------------------------------------------- reader
 
   /** One live data file: resolved local path + identity-partition values
@@ -385,6 +409,30 @@ object IcebergInterop {
     val snaps = meta.get("snapshots")
     (0 until snaps.size()).map(i => snaps.get(i).get("snapshot-id").asLong())
   }
+
+  /** Timestamp-as-of travel: the snapshot id of the LATEST snapshot
+    * committed at or before `tsMillis` (the same rule Delta's timestamp
+    * travel uses — the state a reader at that instant would have seen).
+    * Before the first snapshot's timestamp there is no state to read:
+    * error, naming the earliest. Ties (several snapshots stamped the
+    * same millisecond) resolve to the latest in commit order. */
+  def snapshotIdAsOf(base: String, tsMillis: Long): Long = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val snaps = meta.get("snapshots")
+    val pairs = (0 until snaps.size()).map(snaps.get).map(s =>
+      (s.get("snapshot-id").asLong(),
+        Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L)))
+    val at = pairs.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no snapshot of $base at or before timestamp $tsMillis ms " +
+      s"(earliest commit: ${pairs.headOption.map(_._2).getOrElse(-1L)} ms)")
+    at.last._1 // snapshots array is commit-ordered
+  }
+
+  /** `read` at the snapshot current as of `tsMillis`. */
+  def readAsOfTimestamp(spark: SparkSession, base: String,
+                        tsMillis: Long): DataFrame =
+    read(spark, base, Some(snapshotIdAsOf(base, tsMillis)))
 
   /** Read an Iceberg table into a DataFrame (current snapshot, or
     * `snapshotId` time travel).
@@ -1169,8 +1217,9 @@ object IcebergInterop {
     root.put("format-version", 2)
     root.put("table-uuid", UUID.randomUUID().toString)
     root.put("location", base)
+    val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
-    root.put("last-updated-ms", 0L)
+    root.put("last-updated-ms", committedAtMs)
     root.put("last-column-id", df.schema.size)
     root.put("current-schema-id", 0)
     root.putArray("schemas").add(schemaNode(df.schema))
@@ -1197,7 +1246,7 @@ object IcebergInterop {
     val snapNode = snapsArr.addObject()
     snapNode.put("snapshot-id", snapshotId)
     snapNode.put("sequence-number", snapshotId)
-    snapNode.put("timestamp-ms", 0L)
+    snapNode.put("timestamp-ms", committedAtMs)
     snapNode.put("manifest-list", mlFile.getAbsolutePath)
     snapNode.putObject("summary").put("operation", mode)
     snapNode.put("schema-id", 0)
@@ -1568,7 +1617,7 @@ object IcebergInterop {
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapshotId)
     snapNode.put("sequence-number", snapshotId)
-    snapNode.put("timestamp-ms", 0L)
+    snapNode.put("timestamp-ms", clock())
     snapNode.put("manifest-list", mlFile.getAbsolutePath)
     snapNode.putObject("summary").put("operation", "delete")
     snapNode.put("schema-id", root.get("current-schema-id").asInt())

@@ -27,6 +27,33 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.agg(sum("id")).head().getLong(0) == (0 until 10).sum + (100 until 105).sum)
   }
 
+  test("timestamp-as-of travel resolves to the latest commit at or before ts") {
+    val base = tmp()
+    // injectable clock: commits at 1000, 2000, 3000 ms — deterministic
+    IcebergInterop.withClock(IcebergInterop.tickingClock(1000L, 1000L)) {
+      IcebergInterop.overwrite(spark.range(4).toDF("id"), base)      // @1000
+      IcebergInterop.append(spark.range(4, 8).toDF("id"), base)      // @2000
+      IcebergInterop.append(spark.range(8, 10).toDF("id"), base)     // @3000
+    }
+    // exactly at a commit → that commit; between commits → the earlier
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 1000L).count() == 4)
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 1500L).count() == 4)
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 2000L).count() == 8)
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 2999L).count() == 8)
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 9999L).count() == 10)
+    // before the first commit there is no table state
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.snapshotIdAsOf(base, 999L)
+    }
+    assert(e.getMessage.contains("at or before"))
+    // delete snapshots are stamped by the same clock
+    IcebergInterop.withClock(() => 5000L) {
+      IcebergInterop.deletePositionsWhere(spark, base, col("id") < 2)
+    }
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 4999L).count() == 10)
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 5000L).count() == 8)
+  }
+
   test("snapshot time travel reads historical file sets") {
     val base = tmp()
     val s1 = IcebergInterop.overwrite(spark.range(4).toDF("id"), base)
