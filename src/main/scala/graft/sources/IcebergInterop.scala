@@ -259,6 +259,19 @@ object IcebergInterop {
     } finally reader.close()
   }
 
+  /** readAvro plus the file's WRITER schema — needed to re-write a
+    * filtered copy of a manifest another writer may have produced
+    * (compaction must preserve entries byte-compatibly, whatever
+    * optional columns that writer used). */
+  private def readAvroWithSchema(f: File): (AvroSchema, Seq[GenericRecord]) = {
+    val reader = DataFileReader.openReader(f, new GenericDatumReader[GenericRecord]())
+    try {
+      val out = mutable.ArrayBuffer.empty[GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      (reader.getSchema, out.toSeq)
+    } finally reader.close()
+  }
+
   /** Resolve the table state at `snapshotId` (current by default). */
   def snapshot(spark: SparkSession, base: String,
                snapshotId: Option[Long] = None): IcebergSnapshot = {
@@ -1433,11 +1446,24 @@ object IcebergInterop {
       s"snapshot $t not in $base (have $ids)"))
     val upTo = toSnapshotId.map(t => ids.takeWhile(_ != t) :+ t).getOrElse(ids)
     val window = upTo.dropWhile(_ != fromSnapshotId)
+    // operation per snapshot: "replace" snapshots (compaction) rewrite
+    // files without changing table data — the changelog must emit
+    // NOTHING for them, not a spurious delete+insert of every row
+    val opById: Map[Long, String] = {
+      val meta = mapper.readTree(currentMetadataFile(base))
+      val ss = meta.get("snapshots")
+      (0 until ss.size()).map(ss.get).map(s =>
+        s.get("snapshot-id").asLong() ->
+          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+            .map(_.asText()).getOrElse("")).toMap
+    }
     val head = snapshot(spark, base) // schema source
     val withMeta = StructType(head.schema.fields ++ Seq(
       StructField("_change_type", StringType),
       StructField("_snapshot_id", LongType)))
     val parts: Seq[DataFrame] = window.sliding(2).flatMap {
+      case Seq(prevId, curId) if opById.getOrElse(curId, "") == "replace" =>
+        Seq.empty // physical rewrite, no logical change
       case Seq(prevId, curId) =>
         val prev = snapshot(spark, base, Some(prevId))
         val cur = snapshot(spark, base, Some(curId))
@@ -1600,38 +1626,46 @@ object IcebergInterop {
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
   }
 
-  /** Shared tail of a delete commit: manifest list carrying every
-    * current manifest + the new delete manifest, then the metadata
-    * document mutation and atomic version bump. */
-  private def commitDeleteSnapshot(base: String, prev: JsonNode,
-                                   mFile: File, snapshotId: Long,
-                                   id: String): Long = {
+  /** Shared commit tail for snapshots built from an explicit manifest
+    * list (delete commits, compaction replaces, merge commits): write
+    * the list, append the snapshot node (operation + optional summary
+    * properties, e.g. a streaming sink's batch id), and publish the
+    * next metadata version atomically. */
+  private def commitManifestListSnapshot(base: String, prev: JsonNode,
+                                         refs: Seq[ManifestRef],
+                                         snapshotId: Long, id: String,
+                                         operation: String,
+                                         summary: Map[String, String] = Map.empty): Long = {
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
     val mlFile = new File(metaDir, s"snap-$snapshotId-$id.avro")
-    writeManifestList(mlFile,
-      currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId, snapshotId))
+    writeManifestList(mlFile, refs)
     val root = prev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val committedAtMs = clock() // one instant per commit
     root.put("last-sequence-number", snapshotId)
     root.put("current-snapshot-id", snapshotId)
+    root.put("last-updated-ms", committedAtMs)
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapshotId)
     snapNode.put("sequence-number", snapshotId)
-    snapNode.put("timestamp-ms", clock())
+    snapNode.put("timestamp-ms", committedAtMs)
     snapNode.put("manifest-list", mlFile.getAbsolutePath)
-    snapNode.putObject("summary").put("operation", "delete")
+    val sm = snapNode.putObject("summary")
+    sm.put("operation", operation)
+    summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     snapNode.put("schema-id", root.get("current-schema-id").asInt())
     root.withArray("snapshots").add(snapNode)
-    val version = Files.readString(hint.toPath).trim.toLong + 1
-    val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
-    Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
-    val dst = new File(metaDir, s"v$version.metadata.json")
-    // atomic put-if-absent = the metadata commit
-    AtomicCommit.publish(tmp.toPath, dst.toPath,
-      s"iceberg metadata v$version already exists in $base")
-    Files.writeString(hint.toPath, version.toString)
+    commitMetadataVersion(base, root)
     snapshotId
   }
+
+  /** Tail of a delete commit: every current manifest carried + the new
+    * delete manifest. */
+  private def commitDeleteSnapshot(base: String, prev: JsonNode,
+                                   mFile: File, snapshotId: Long,
+                                   id: String): Long =
+    commitManifestListSnapshot(base, prev,
+      currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId, snapshotId),
+      snapshotId, id, "delete")
 
   /** Append; `partitionBy` must repeat the table's partition spec (the
     * fixture-writer contract — a real writer reads it from metadata). */
@@ -1706,6 +1740,166 @@ object IcebergInterop {
     retained.foreach(arr.add)
     commitMetadataVersion(base, newRoot)
     deleted
+  }
+
+  /** Data-file COMPACTION — the `rewrite_data_files` maintenance
+    * procedure (bin packing): data files under `smallFileBytes` are
+    * read (live rows only — position AND equality deletes fold into the
+    * rewrite, each gated by its sequence number exactly as a scan
+    * would), re-written as ~`targetFileBytes` files per partition, and
+    * committed as ONE "replace" snapshot. Without it a
+    * streaming-appended table accretes a file per micro-batch forever —
+    * scan planning cost grows linearly in commits, not data.
+    *
+    * Correctness invariants:
+    *  - SURVIVING files are untouched on disk and keep their DATA
+    *    SEQUENCE NUMBERS: their manifests are carried (filtered copies
+    *    when a manifest mixes survivors and rewritten files) under the
+    *    original manifest-list sequence, so later equality deletes
+    *    still gate correctly;
+    *  - the REWRITTEN files commit at the new snapshot's sequence —
+    *    above every existing delete — so no old delete can re-kill rows
+    *    that survived the fold;
+    *  - delete files are DROPPED once dead weight: a position-delete
+    *    file whose referenced data files were all rewritten, or an
+    *    equality-delete file with no surviving data file strictly below
+    *    its sequence; all others are carried. Compacting everything
+    *    therefore clears the table's delete files (what the streaming
+    *    tail requires).
+    *
+    * Snapshot summaries record operation=replace, which `readChangelog`
+    * skips (a rewrite is not a logical change). Identity partition
+    * specs only (each partition bin-packs separately); `minInputFiles`
+    * small files must qualify in a partition before it rewrites.
+    * Returns the new snapshot id, or the current one on no-op. */
+  def rewriteDataFiles(spark: SparkSession, base: String,
+                       smallFileBytes: Long = 32L << 20,
+                       targetFileBytes: Long = 128L << 20,
+                       minInputFiles: Int = 2): Long = {
+    require(minInputFiles >= 2, "compaction needs >=2 input files per bin")
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    val snap = snapshot(spark, base)
+    require(snap.specFields.forall(_.transform == "identity"),
+      "rewriteDataFiles on a transformed partition spec (bucket/truncate/" +
+      "time) is not implemented — refusing")
+    val groups = snap.files
+      .filter(f => new File(f.path).length() < smallFileBytes)
+      .groupBy(_.partitionValues)
+      .filter(_._2.size >= minInputFiles)
+    if (groups.isEmpty) return prev.get("current-snapshot-id").asLong()
+    val rewritten = groups.values.flatten.toSeq
+    val rewrittenRaw = rewritten.map(_.rawPath).toSet
+    val survivors = snap.files.filterNot(f => rewrittenRaw.contains(f.rawPath))
+    val snapshotId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    val dataDir = new File(base, "data"); dataDir.mkdirs()
+
+    // 1. per partition: read the group's LIVE rows (deletes folded) and
+    // stage bin-packed replacements. Driver loop bounded by partitions,
+    // same shape as the writer's fan-out.
+    def parsePv(dt: DataType, s: String): Any =
+      if (s == null) null else dt match {
+        case IntegerType => Int.box(s.toInt)
+        case LongType => Long.box(s.toLong)
+        case DoubleType => Double.box(s.toDouble)
+        case StringType => s
+        case other => throw new IllegalArgumentException(
+          s"unsupported identity-partition type $other in compaction")
+      }
+    val partTypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    val entrySchema = entrySchemaFor(partTypes)
+    val newEntries = mutable.ArrayBuffer.empty[GenericRecord]
+    groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(",")).zipWithIndex.foreach {
+      case ((pv, fs), gi) =>
+        val live = assembleRead(spark, snap, fs)
+        val bytes = fs.map(f => new File(f.path).length()).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val scratch = new File(base, s".stage_$id-$gi")
+        withFieldIds(live).coalesce(n).write.mode("overwrite")
+          .parquet(scratch.getPath)
+        val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).zipWithIndex.map { case (p, i) =>
+            val dst = new File(dataDir, s"$id-$gi-$i.parquet")
+            Files.move(p.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+            dst
+          }.toSeq
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        val boundsByFile = collectBounds(spark, snap.schema, staged)
+        staged.foreach { f =>
+          val rec = new GenericData.Record(entrySchema)
+          rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+          val dfSchema = entrySchema.getField("data_file").schema()
+          val dfr = new GenericData.Record(dfSchema)
+          dfr.put("content", 0)
+          dfr.put("file_path", f.getAbsolutePath)
+          dfr.put("file_format", "PARQUET")
+          dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
+            .map(_._1).getOrElse(0L))
+          dfr.put("file_size_in_bytes", f.length())
+          boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
+            dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
+            dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
+          }
+          if (snap.partitionColumns.nonEmpty) {
+            val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+            partTypes.foreach { case (c, dt) =>
+              pr.put(c, parsePv(dt, pv.getOrElse(c, null)))
+            }
+            dfr.put("partition", pr)
+          }
+          rec.put("data_file", dfr)
+          newEntries += rec
+        }
+    }
+    val mFile = new File(metaDir, s"manifest-$id.avro")
+    writeAvro(mFile, entrySchema, newEntries.toSeq)
+
+    // 2. carry existing manifests, filtered: rewritten data files out
+    // (by name), dead-weight delete files out (by reachability/sequence)
+    def keepDeleteEntry(dfr: GenericRecord, manifestSeq: Long): Boolean = {
+      val content = opt(dfr, "content").map(_.toString.toInt).getOrElse(0)
+      val path = resolvePath(base, dfr.get("file_path").toString)
+      if (content == 1) {
+        // position deletes: dead iff every referenced data file was
+        // rewritten (one bounded distinct per delete file)
+        val refs =
+          try spark.read.parquet(path).select("file_path").distinct()
+            .collect().map(_.getString(0)).toSet
+          catch { case _: Exception => return true } // conservative
+        !refs.subsetOf(rewrittenRaw)
+      } else {
+        // equality deletes: live iff a surviving data file sits
+        // STRICTLY below the delete's sequence
+        survivors.exists(_.seq < manifestSeq)
+      }
+    }
+    val carried: Seq[ManifestRef] = currentManifests(base, prev).flatMap { m =>
+      val (sch, recs) = readAvroWithSchema(m.file)
+      val kept = recs.filter { e =>
+        e.get("status").toString.toInt != 2 && {
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          if (m.content == 0)
+            !rewrittenRaw.contains(dfr.get("file_path").toString)
+          else keepDeleteEntry(dfr, m.seq)
+        }
+      }
+      if (kept.size == recs.size) Some(m)
+      else if (kept.isEmpty) None
+      else {
+        val nf = new File(metaDir,
+          s"manifest-filtered-${UUID.randomUUID()}.avro")
+        writeAvro(nf, sch, kept)
+        Some(m.copy(file = nf))
+      }
+    }
+    commitManifestListSnapshot(base, prev,
+      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId),
+      snapshotId, id, "replace")
   }
 
   /** Atomically publish `node` as the next vN.metadata.json + hint —

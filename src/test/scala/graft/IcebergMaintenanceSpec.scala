@@ -93,4 +93,82 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(got.toSeq == ((2L to 9L) ++ (100L to 102L)),
       s"position deletes lost after expire: ${got.toSeq}")
   }
+
+  import spark.implicits._
+
+  test("rewriteDataFiles bin-packs small files; values and count survive") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    (1 to 5).foreach(i => IcebergInterop.append(
+      spark.range(i * 100L, i * 100L + 3).toDF("id").coalesce(1), base))
+    val before = IcebergInterop.snapshot(spark, base)
+    assert(before.files.size == 6)
+    val sid = IcebergInterop.rewriteDataFiles(spark, base)
+    val after = IcebergInterop.snapshot(spark, base)
+    assert(after.snapshotId == sid)
+    assert(after.files.size == 1, s"expected 1 packed file: ${after.files}")
+    // value-exact across the rewrite
+    val got = IcebergInterop.read(spark, base).as[Long].collect().sorted.toSeq
+    val want = ((0L until 10L) ++
+      (1 to 5).flatMap(i => i * 100L until i * 100L + 3)).sorted
+    assert(got == want)
+    // compaction is not a logical change: changelog emits nothing for it
+    val ids = IcebergInterop.snapshotIds(base)
+    val chg = IcebergInterop.readChangelog(spark, base, ids(ids.size - 2))
+    assert(chg.count() == 0, "replace snapshot leaked into the changelog")
+  }
+
+  test("rewriteDataFiles folds deletes in and drops dead delete files") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(100, 110).toDF("id").coalesce(1), base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") % 2 === 0)
+    IcebergInterop.addEqualityDeletes(spark, base,
+      Seq(101L).toDF("id"), Seq("id"))
+    assert(IcebergInterop.snapshot(spark, base).deletes.nonEmpty)
+    IcebergInterop.rewriteDataFiles(spark, base)
+    val after = IcebergInterop.snapshot(spark, base)
+    // every data file was rewritten → all delete files are dead weight
+    assert(after.deletes.isEmpty && after.eqDeletes.isEmpty,
+      s"dead delete files carried: ${after.deletes} ${after.eqDeletes}")
+    val got = IcebergInterop.read(spark, base).as[Long].collect().sorted.toSeq
+    val want = ((0L until 10L) ++ (100L until 110L))
+      .filter(i => i % 2 != 0 && i != 101L)
+    assert(got == want, s"fold lost rows: $got")
+    // the stream tail's precondition (no live deletes) now holds
+    assert(after.files.nonEmpty)
+  }
+
+  test("rewriteDataFiles keeps survivors by name and respects partitions") {
+    val base = tmp()
+    val big = (0L until 50L).map(i => (i, if (i < 25) "a" else "b"))
+      .toDF("id", "p")
+    IcebergInterop.overwrite(big, base, partitionBy = Seq("p"))
+    // two small appends into partition a only; partition b untouched
+    IcebergInterop.append(Seq((1000L, "a")).toDF("id", "p"), base, Seq("p"))
+    IcebergInterop.append(Seq((1001L, "a")).toDF("id", "p"), base, Seq("p"))
+    val before = IcebergInterop.snapshot(spark, base)
+    val bFiles = before.files.filter(_.partitionValues.get("p").contains("b"))
+      .map(_.rawPath).toSet
+    IcebergInterop.rewriteDataFiles(spark, base, minInputFiles = 2)
+    val after = IcebergInterop.snapshot(spark, base)
+    // b-partition files survive BY NAME; a-partition packed into one
+    assert(after.files.filter(_.partitionValues.get("p").contains("b"))
+      .map(_.rawPath).toSet == bFiles, "survivors must keep their files")
+    val aFiles = after.files.filter(_.partitionValues.get("p").contains("a"))
+    assert(aFiles.size == 1, s"partition a not packed: $aFiles")
+    // partition pruning still works over the compacted manifests
+    val got = IcebergInterop.read(spark, base,
+      partitionFilters = Map("p" -> "a")).as[(Long, String)].collect()
+    assert(got.map(_._1).sorted.toSeq == ((0L until 25L) ++ Seq(1000L, 1001L)))
+    assert(IcebergInterop.read(spark, base).count() == 52)
+  }
+
+  test("rewriteDataFiles is a no-op below minInputFiles") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val cur = IcebergInterop.snapshot(spark, base).snapshotId
+    assert(IcebergInterop.rewriteDataFiles(spark, base) == cur)
+    assert(IcebergInterop.snapshotIds(base).size == 1)
+  }
 }
