@@ -1025,11 +1025,15 @@ object IcebergInterop {
 
   /** Commit `df` as the next snapshot. `mode` "overwrite" starts the
     * file set fresh; "append" carries the previous snapshot's manifests
-    * forward (manifest reuse, as Iceberg itself does). */
+    * forward (manifest reuse, as Iceberg itself does). `summary` lands
+    * in the snapshot's summary node (streaming sinks record their
+    * batch identity there). */
   private def commitSnapshot(df: DataFrame, base: String, mode: String,
-                             partitionBy: Seq[String] = Seq.empty): Long =
+                             partitionBy: Seq[String] = Seq.empty,
+                             summary: Map[String, String] = Map.empty): Long =
     commitSnapshotSpec(df, base, mode,
-      partitionBy.map(c => c -> (IceTransform.Identity: IceTransform)))
+      partitionBy.map(c => c -> (IceTransform.Identity: IceTransform)),
+      summary)
 
   /** The derived partition column for one spec entry: identity passes
     * the source through; bucket runs the codegen'd murmur3 expression;
@@ -1095,7 +1099,8 @@ object IcebergInterop {
     }
 
   private def commitSnapshotSpec(df: DataFrame, base: String, mode: String,
-                                 spec: Seq[(String, IceTransform)]): Long = {
+                                 spec: Seq[(String, IceTransform)],
+                                 summary: Map[String, String] = Map.empty): Long = {
     val partitionBy = spec.map(_._1)
     val spark = df.sparkSession
     val metaDir = metadataDir(base); metaDir.mkdirs()
@@ -1261,7 +1266,9 @@ object IcebergInterop {
     snapNode.put("sequence-number", snapshotId)
     snapNode.put("timestamp-ms", committedAtMs)
     snapNode.put("manifest-list", mlFile.getAbsolutePath)
-    snapNode.putObject("summary").put("operation", mode)
+    val sm = snapNode.putObject("summary")
+    sm.put("operation", mode)
+    summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     snapNode.put("schema-id", 0)
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
@@ -1575,7 +1582,20 @@ object IcebergInterop {
       "equality deletes are an Iceberg format-v2 feature")
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
+    val mFile = stageEqDeleteManifest(spark, base, prev, rows, equalityCols,
+      snapshotId, id)
+    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+  }
 
+  /** Stage ONE equality-delete file (distinct values of `equalityCols`
+    * from `rows`, field-id-stamped) plus its content=2 manifest, ready
+    * for a manifest-list commit — shared by `addEqualityDeletes` (own
+    * snapshot) and `mergeUpsert` (combined with new data files). */
+  private def stageEqDeleteManifest(spark: SparkSession, base: String,
+                                    prev: JsonNode, rows: DataFrame,
+                                    equalityCols: Seq[String],
+                                    snapshotId: Long, id: String): File = {
+    val metaDir = metadataDir(base)
     // table schema name → field id (ids, not names, are the contract)
     val schemaNode0 = {
       val ss = prev.get("schemas")
@@ -1622,8 +1642,177 @@ object IcebergInterop {
     dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
     rec.put("data_file", dfr)
     writeAvro(mFile, entrySchema, Seq(rec))
+    mFile
+  }
 
-    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+  /** Stage `df` as data files (one set per identity-partition tuple,
+    * the writer's fan-out shape) plus ONE content=0 manifest with
+    * per-file record counts and bounds — ready for a manifest-list
+    * commit. Shared by `mergeUpsert`; `commitSnapshotSpec` keeps its
+    * own staging because it also derives transformed partition spec
+    * columns. */
+  private def stageDataManifest(df: DataFrame, base: String,
+                                partCols: Seq[String], snapshotId: Long,
+                                idTag: String): File = {
+    val spark = df.sparkSession
+    val metaDir = metadataDir(base)
+    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    val dfIds = withFieldIds(df)
+    val dataFiles: Seq[(File, Map[String, Any])] =
+      if (partCols.isEmpty) {
+        val scratch = new File(base, s".stage_$idTag")
+        dfIds.write.mode("overwrite").parquet(scratch.getPath)
+        val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        val staged = parts.zipWithIndex.map { case (p, i) =>
+          val dst = new File(dataDir, s"$idTag-$i.parquet")
+          Files.move(p.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+          (dst, Map.empty[String, Any])
+        }.toSeq
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        staged
+      } else {
+        import org.apache.spark.sql.functions.col
+        val tuples = df.select(partCols.map(col): _*).distinct()
+          .collect() // bounded by partition count
+        tuples.toSeq.sortBy(_.toString).zipWithIndex.map { case (t, pi) =>
+          val values: Map[String, Any] =
+            partCols.zipWithIndex.map { case (c, i) => c -> t.get(i) }.toMap
+          val pred = partCols.zipWithIndex.map { case (c, i) =>
+            if (t.isNullAt(i)) col(c).isNull else col(c) === t.get(i)
+          }.reduce(_ && _)
+          val scratch = new File(base, s".stage_$idTag-$pi")
+          dfIds.filter(pred).coalesce(1).write.mode("overwrite")
+            .parquet(scratch.getPath)
+          val part = Option(scratch.listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no part file staged"))
+          val dst = new File(dataDir, s"$idTag-$pi.parquet")
+          Files.move(part.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          (dst, values)
+        }
+      }
+    val partTypes: Seq[(String, DataType)] =
+      partCols.map(c => c -> df.schema(c).dataType)
+    val entrySchema = entrySchemaFor(partTypes)
+    val boundsByFile = collectBounds(spark, df.schema, dataFiles.map(_._1))
+    val entries = dataFiles.map { case (f, pv) =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", f.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
+        .map(_._1).getOrElse(0L))
+      dfr.put("file_size_in_bytes", f.length())
+      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
+        dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
+        dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
+      }
+      if (partCols.nonEmpty) {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        pv.foreach { case (k, v) => pr.put(k, v) }
+        dfr.put("partition", pr)
+      }
+      rec.put("data_file", dfr)
+      rec
+    }
+    val mFile = new File(metaDir, s"manifest-$idTag.avro")
+    writeAvro(mFile, entrySchema, entries)
+    mFile
+  }
+
+  /** Keyed MERGE (upsert) in ONE atomic snapshot — the Flink CDC upsert
+    * layout the spec's sequence-number rules exist for: an
+    * equality-delete file on `keys` retires every existing row whose
+    * key appears in `updates` (the delete applies STRICTLY below its
+    * sequence), and the update rows commit as new data files AT that
+    * same sequence, which the strict gate leaves alive. Readers see the
+    * whole upsert or none of it; no existing data file is rewritten
+    * (merge-on-read — fold accumulated deletes with
+    * `rewriteDataFiles`). Matched keys are replaced, unmatched keys
+    * insert; duplicate source keys refuse (SQL MERGE contract).
+    *
+    * 100 TB shape: the delete side is one distinct projection of the
+    * update keys; nothing scans existing data at merge time — the cost
+    * moves to reads (each scan anti-joins the delete) until the next
+    * compaction, exactly Iceberg's own upsert trade-off. */
+  def mergeUpsert(spark: SparkSession, base: String, updates0: DataFrame,
+                  keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    require(prev.get("format-version").asInt() == 2,
+      "equality-delete merges are an Iceberg format-v2 feature")
+    val snap = snapshot(spark, base)
+    require(snap.specFields.forall(_.transform == "identity"),
+      "mergeUpsert on a transformed partition spec is not implemented")
+    keys.foreach(k => require(snap.schema.fieldNames.contains(k),
+      s"merge key '$k' is not a table column"))
+    require(updates0.columns.toSet == snap.schema.fieldNames.toSet,
+      s"merge source must carry exactly the table columns " +
+      s"(${snap.schema.fieldNames.mkString(",")}), got " +
+      s"(${updates0.columns.mkString(",")})")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val updates = updates0.select(snap.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate (${keys.mkString(",")}) values — SQL " +
+      "MERGE forbids multiple source rows per target key")
+    val snapshotId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    val delM = stageEqDeleteManifest(spark, base, prev,
+      updates.select(keys.map(col): _*), keys, snapshotId, id)
+    val dataM = stageDataManifest(updates, base, snap.partitionColumns,
+      snapshotId, id)
+    commitManifestListSnapshot(base, prev,
+      currentManifests(base, prev) ++ Seq(
+        ManifestRef(delM, 1, snapshotId, snapshotId),
+        ManifestRef(dataM, 0, snapshotId, snapshotId)),
+      snapshotId, id, "overwrite")
+  }
+
+  /** Latest streaming batch id recorded for `appId` in snapshot
+    * summaries (−1 if none) — the read side of the exactly-once sink
+    * contract. Metadata parse only. */
+  def lastBatchId(base: String, appId: String): Long = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val snaps = meta.get("snapshots")
+    (0 until snaps.size()).map(snaps.get).flatMap { s =>
+      Option(s.get("summary")).flatMap { sm =>
+        if (Option(sm.get("graft.app-id")).exists(_.asText() == appId))
+          Option(sm.get("graft.batch-id")).map(_.asLong())
+        else None
+      }
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** Transactionally-idempotent append — the Iceberg analogue of the
+    * Delta streaming sink contract: the commit's snapshot summary
+    * records (graft.app-id, graft.batch-id); if the table has already
+    * recorded this batch (or newer) for `appId`, the append is a no-op
+    * and nothing is staged. A micro-batch replayed after a crash
+    * between the table commit and the streaming offset commit is thus
+    * recognized and skipped. Creates the table on the first batch.
+    * Returns whether the append was applied. */
+  def appendIdempotent(df: DataFrame, base: String, appId: String,
+                       batchId: Long,
+                       partitionBy: Seq[String] = Seq.empty): Boolean = {
+    val exists = new File(metadataDir(base), "version-hint.text").exists()
+    if (exists && lastBatchId(base, appId) >= batchId)
+      return false // replayed batch — skip BEFORE staging any data
+    commitSnapshot(df, base, if (exists) "append" else "overwrite",
+      partitionBy, summary = Map(
+        "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+    true
   }
 
   /** Shared commit tail for snapshots built from an explicit manifest

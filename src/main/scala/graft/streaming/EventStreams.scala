@@ -354,6 +354,39 @@ object EventStreams {
     }
   }
 
+  /** Micro-batch ingestion into an ICEBERG table — the third leg of the
+    * exactly-once sink triangle (graft-log txns, Delta txn identifiers):
+    * each batch lands as ONE `IcebergInterop.appendIdempotent` snapshot
+    * whose summary records (graft.app-id, graft.batch-id), so a batch
+    * replayed after a crash between the table commit and the streaming
+    * offset commit is recognized from the snapshot history and skipped.
+    * The table is created by the first batch; any Iceberg reader can
+    * tail it (and `rewriteDataFiles` folds the per-batch small files).
+    * `appId` defaults to the checkpoint path, the identity a restarted
+    * query keeps. */
+  def streamIngestIceberg(stream: DataFrame, base: String,
+                          appId: Option[String] = None,
+                          checkpoint: Option[String] = None): Unit = {
+    val ephemeral = checkpoint.isEmpty
+    val ckpt = checkpoint.getOrElse(
+      s"/dev/shm/graft_ice_ckpt_${java.util.UUID.randomUUID()}")
+    val app = appId.getOrElse(ckpt)
+    try {
+      stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.IcebergInterop.appendIdempotent(
+            batch, base, app, batchId)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally {
+      if (ephemeral)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Micro-batch CDC MERGE into a graft-log table: each batch UPSERTS by
     * `key` via the partition-scoped merge (`GraftLog.upsertScoped` — only
     * files whose zone-map range holds a batch key rewrite), with

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.IcebergInterop
+import graft.streaming.EventStreams
+
+/** Exactly-once Iceberg streaming sink (snapshot-summary batch ids —
+  * the Iceberg analogue of Delta txn identifiers) and the
+  * single-snapshot equality-delete MERGE it pairs with. */
+class IcebergSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("ice_sink_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  test("appendIdempotent creates the table and gates replays") {
+    val base = tmp()
+    val df = spark.range(10).toDF("id").coalesce(1)
+    assert(IcebergInterop.appendIdempotent(df, base, "app-1", 0L))
+    assert(IcebergInterop.read(spark, base).count() == 10)
+    // poisoned replay of batch 0 — skipped, no snapshot, nothing staged
+    val before = IcebergInterop.snapshotIds(base)
+    assert(!IcebergInterop.appendIdempotent(df, base, "app-1", 0L))
+    assert(IcebergInterop.snapshotIds(base) == before)
+    assert(IcebergInterop.read(spark, base).count() == 10)
+    // an OLDER batch must also be skipped (monotone gate)
+    assert(IcebergInterop.appendIdempotent(df, base, "app-1", 5L))
+    assert(!IcebergInterop.appendIdempotent(df, base, "app-1", 3L))
+    assert(IcebergInterop.lastBatchId(base, "app-1") == 5L)
+    // a DIFFERENT app id is independent
+    assert(IcebergInterop.appendIdempotent(df, base, "app-2", 0L))
+    assert(IcebergInterop.read(spark, base).count() == 30)
+    assert(IcebergInterop.lastBatchId(base, "nope") == -1L)
+  }
+
+  test("streamIngestIceberg is exactly-once across a restart") {
+    val base = tmp()
+    val srcDir = tmp()
+    val ckpt = tmp() + "/ckpt"
+    spark.range(100).select(col("id"), (col("id") % 4).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    def stream() = spark.readStream
+      .schema("id LONG, k LONG").parquet(srcDir)
+    EventStreams.streamIngestIceberg(stream(), base,
+      appId = Some("restart-test"), checkpoint = Some(ckpt))
+    assert(IcebergInterop.read(spark, base).count() == 100)
+    // restart with the SAME checkpoint: no new input → no new commits
+    EventStreams.streamIngestIceberg(stream(), base,
+      appId = Some("restart-test"), checkpoint = Some(ckpt))
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 100)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 100).sum)
+    // new file arrives → only IT is ingested on the next run
+    spark.range(100, 120).select(col("id"), (col("id") % 4).as("k"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    EventStreams.streamIngestIceberg(stream(), base,
+      appId = Some("restart-test"), checkpoint = Some(ckpt))
+    assert(IcebergInterop.read(spark, base).count() == 120)
+    // streamed small files fold away with the maintenance compaction
+    IcebergInterop.rewriteDataFiles(spark, base)
+    assert(IcebergInterop.read(spark, base).count() == 120)
+  }
+
+  test("mergeUpsert replaces matched keys and inserts new ones atomically") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").coalesce(1), base)
+    val before = IcebergInterop.snapshotIds(base).size
+    IcebergInterop.mergeUpsert(spark, base,
+      Seq((2L, 22.0), (9L, 90.0)).toDF("k", "v"), Seq("k"))
+    // ONE new snapshot for the whole upsert
+    assert(IcebergInterop.snapshotIds(base).size == before + 1)
+    val got = IcebergInterop.read(spark, base).as[(Long, Double)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (9L, 90.0)))
+    // merge-on-read: the original data file was NOT rewritten; an
+    // equality delete carries the retirement
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.eqDeletes.nonEmpty, "merge must not rewrite data files")
+    // a second merge composes (strict sequence gate: the first merge's
+    // own rows are killable by the second's delete)
+    IcebergInterop.mergeUpsert(spark, base,
+      Seq((9L, 99.0), (2L, 2.0)).toDF("k", "v"), Seq("k"))
+    assert(IcebergInterop.read(spark, base).as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 10.0), (2L, 2.0), (3L, 30.0), (9L, 99.0)))
+    // fold it all away: compaction clears the delete files, values hold
+    IcebergInterop.rewriteDataFiles(spark, base)
+    val after = IcebergInterop.snapshot(spark, base)
+    assert(after.eqDeletes.isEmpty)
+    assert(IcebergInterop.read(spark, base).as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 10.0), (2L, 2.0), (3L, 30.0), (9L, 99.0)))
+  }
+
+  test("mergeUpsert on an identity-partitioned table keeps partition pruning") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"), base,
+      partitionBy = Seq("p"))
+    IcebergInterop.mergeUpsert(spark, base,
+      Seq((2L, "b", 22.0), (5L, "a", 5.0)).toDF("k", "p", "v"), Seq("k"))
+    assert(IcebergInterop.read(spark, base,
+        partitionFilters = Map("p" -> "a")).as[(Long, String, Double)]
+      .collect().sorted.toSeq == Seq((1L, "a", 1.0), (5L, "a", 5.0)))
+    assert(IcebergInterop.read(spark, base).count() == 3)
+  }
+
+  test("mergeUpsert refuses duplicate source keys and wrong columns") {
+    val base = tmp()
+    IcebergInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), base)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.mergeUpsert(spark, base,
+        Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.mergeUpsert(spark, base,
+        Seq((1L, 2.0)).toDF("k", "other"), Seq("k"))
+    }
+    assert(e2.getMessage.contains("table columns"))
+  }
+}
