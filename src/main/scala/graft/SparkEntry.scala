@@ -1938,6 +1938,241 @@ object SparkEntry {
       .orderBy(col("change_type"))
   }
 
+  /** SQL INSERT statements (q186): `INSERT INTO` appends through the
+    * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
+    * table's CONTENTS while preserving its definition (partitioning,
+    * properties, table id). Both issued as statements through
+    * `GraftSql`; the final states read back through the refreshed SQL
+    * views and the oracle replays both statements as plain SQL — a
+    * dropped append, a double insert, or an overwrite that left stale
+    * rows hash-mismatches. Rebuilt per run: the statements ARE the
+    * operator under test. */
+  private def qSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{GraftLog, GraftSql}
+    import graft.sources.DeltaInterop
+    val logBase = fixtureDir("graftsql_ins_orders", dir)
+    val deltaBase = fixtureDir("graftsql_ins_delta_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(logBase))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(deltaBase))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    ords.createOrReplaceTempView("q186_orders")
+    // graft-log: start with the even keys, INSERT INTO the odd keys
+    GraftLog.overwriteClustered(ords.filter(col("o_orderkey") % 2 === 0),
+      logBase, Seq("o_orderkey"), nFiles = 4)
+    GraftSql.registerTable(s, "q186_log_t", logBase)
+    GraftSql.sql(s,
+      "INSERT INTO q186_log_t SELECT * FROM q186_orders WHERE o_orderkey % 2 = 1")
+    // delta: full table, then INSERT OVERWRITE down to one derived slice
+    DeltaInterop.overwrite(ords.coalesce(2), deltaBase)
+    GraftSql.registerDeltaTable(s, "q186_delta_t", deltaBase)
+    GraftSql.sql(s,
+      """INSERT OVERWRITE q186_delta_t
+         SELECT o_orderkey, o_custkey,
+           CAST(totalprice + 50 AS DECIMAL(18,2)) AS totalprice
+         FROM q186_orders WHERE o_custkey % 7 = 3""")
+    s.sql(
+      """SELECT src, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM (
+           SELECT 'log' AS src, totalprice FROM q186_log_t
+           UNION ALL
+           SELECT 'delta' AS src, totalprice FROM q186_delta_t
+         ) GROUP BY src ORDER BY src""")
+  }
+
+  /** Iceberg streaming tail (q187): the snapshot-diff hard-link mirror
+    * + Spark's checkpointed parquet file stream, replayed into a
+    * streaming aggregate — the q115/q184 pattern on the third source
+    * leg. The oracle is the BATCH replay of the same three snapshots
+    * over raw orders, so a dropped append, a double-linked file, or a
+    * first-snapshot skip hash-mismatches. */
+  private def qIcebergStreamTail(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    import graft.streaming.{EventStreams, IcebergStream}
+    val base = cachedFixture("iceberg_stream_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      IcebergInterop.overwrite(ords.coalesce(2), p)
+      IcebergInterop.append(ords.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(5000000L))
+        .coalesce(1), p)
+      IcebergInterop.append(ords.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(6000000L))
+        .coalesce(1), p)
+    }
+    // the mirror + checkpoint ARE streaming state: fresh per run
+    val feed = fixtureDir("iceberg_stream_feed", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
+    val agg = IcebergStream.tail(s, base, feed)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("p_dec"))
+    EventStreams.drainAvailableNow(agg)
+      .select(col("o_orderstatus"), col("n_orders"),
+        col("p_dec").cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Conditional SQL MERGE (q188): `WHEN MATCHED AND s.totalprice >
+    * t.totalprice` gates the update row-by-row against BOTH sides, and
+    * `WHEN NOT MATCHED AND s.o_custkey % 2 = 0` gates the insert — the
+    * first MERGE shape a warehouse user types after the canonical one.
+    * The oracle replays the gated semantics as CASE/WHERE SQL, so an
+    * update applied to a condition-failing row (or an insert slipping
+    * its gate) hash-mismatches. Rebuilt per run: the statement is the
+    * operator. */
+  private def qSqlMergeConditional(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val base = fixtureDir("delta_sql_mergec_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    DeltaInterop.overwrite(ords.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey")), base)
+    GraftSql.registerDeltaTable(s, "q188_t", base)
+    ords.filter(col("o_orderkey") <= 3000)
+      .unionByName(ords.filter(col("o_orderkey") < 200)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2000000L)))
+      .withColumn("totalprice", lit(150000).cast(DecimalType(18, 2)))
+      .createOrReplaceTempView("q188_src")
+    GraftSql.sql(s,
+      """MERGE INTO q188_t t USING q188_src s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED AND s.totalprice > t.totalprice THEN UPDATE SET *
+         WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN INSERT *""")
+    s.sql(
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM q188_t GROUP BY o_custkey % 100 ORDER BY bucket""")
+  }
+
+  /** Iceberg timestamp-as-of travel (q189): three snapshots committed
+    * under an injectable ticking clock; the read resolves a timestamp
+    * BETWEEN the second and third commits to exactly the first two
+    * snapshots' state (Delta's timestamp-travel rule). The oracle
+    * replays that state from raw customer rows, so an off-by-one
+    * resolution (nearest instead of at-or-before, or including the
+    * later snapshot) hash-mismatches. */
+  private def qIcebergTimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_ts_travel_customer", dir, "customer") { p =>
+      IcebergInterop.withClock(IcebergInterop.tickingClock(1000000L, 60000L)) {
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        IcebergInterop.overwrite(cust.coalesce(1), p)
+        IcebergInterop.append(cust.filter(col("c_custkey") % 4 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(4000000L))
+          .coalesce(1), p)
+        IcebergInterop.append(cust.filter(col("c_custkey") % 6 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(5000000L))
+          .coalesce(1), p)
+      }
+    }
+    // an instant BETWEEN the second and third commits, read from the
+    // table's own recorded (strictly increasing) timestamps — the
+    // resolver must land on exactly the first two snapshots' state
+    val ts = IcebergInterop.snapshotTimestamps(base).map(_._2)
+    IcebergInterop.readAsOfTimestamp(s, base, (ts(1) + ts(2)) / 2)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Iceberg compaction (q190): a snapshot history of small appended
+    * files is bin-packed by `rewriteDataFiles` into one replace
+    * snapshot — survivors keep their names, rewritten files commit
+    * above every delete sequence, the scanned-file-count drop is
+    * pinned in IcebergMaintenanceSpec. The post-compaction read is the
+    * oracle check: a lost row, a double-packed file, or a resurrected
+    * delete hash-mismatches the SQL replay. */
+  private def qIcebergCompaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_compact_part", dir, "part") { p =>
+      val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_retailprice").cast(DecimalType(18, 2)).as("price"))
+      IcebergInterop.overwrite(part.coalesce(1), p)
+      Seq(3, 5, 7).zipWithIndex.foreach { case (m, i) =>
+        IcebergInterop.append(part.filter(col("p_partkey") % m === 0)
+          .withColumn("p_partkey",
+            col("p_partkey") + lit((i + 1) * 10000000L)).coalesce(1), p)
+      }
+      val before = IcebergInterop.snapshot(s, p).files.size
+      IcebergInterop.rewriteDataFiles(s, p)
+      require(IcebergInterop.snapshot(s, p).files.size < before,
+        "fixture: compaction must shrink the live file count")
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Iceberg keyed MERGE (q191): one atomic snapshot carrying an
+    * equality-delete file (retires matched keys, strict sequence gate)
+    * plus the update rows as new data files at the same sequence — the
+    * Flink CDC upsert layout, no data file rewritten. The oracle
+    * replays the upsert as SQL (CASE for matched, UNION for inserts),
+    * so a resurrected old row, a gated-away new row, or a lost insert
+    * hash-mismatches against the merge-on-read scan. */
+  private def qIcebergMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_merge_supplier", dir, "supplier") { p =>
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("s_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      IcebergInterop.overwrite(sup.coalesce(1), p)
+      val updates = sup.filter(col("s_suppkey") % 3 === 0)
+        .withColumn("acctbal", (col("acctbal") + lit(500)).cast(DecimalType(18, 2)))
+        .unionByName(sup.filter(col("s_suppkey") % 10 === 1)
+          .withColumn("s_suppkey", col("s_suppkey") + lit(7000000L)))
+      IcebergInterop.mergeUpsert(s, p, updates, Seq("s_suppkey"))
+      require(IcebergInterop.snapshot(s, p).eqDeletes.nonEmpty,
+        "fixture: merge must land as merge-on-read equality deletes")
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Exactly-once ICEBERG streaming sink (q192): micro-batches land as
+    * idempotent snapshots whose summaries record (app-id, batch-id) —
+    * then the fixture deliberately REPLAYS batch 0 with poisoned rows
+    * (the crash-between-commit-and-offset scenario) and requires the
+    * snapshot-summary gate to skip it; finally `rewriteDataFiles`
+    * folds the per-batch files. The oracle is a plain aggregate over
+    * raw events, so a double-applied or dropped batch
+    * hash-mismatches. */
+  private def qIcebergStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_stream_events", dir, "events") { p =>
+      val stream = graft.streaming.EventStreams.readEventStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.streamIngestIceberg(stream, p,
+        appId = Some("graft-q192"))
+      val poison = Tables.load(s, dir, "events")
+        .select((col("event_id") + lit(10000000L)).as("event_id"),
+          col("event_type"), (col("value") + lit(1000.0)).as("value"))
+        .limit(50)
+      val applied = IcebergInterop.appendIdempotent(poison, p, "graft-q192", 0L)
+      require(!applied,
+        "replayed micro-batch must be skipped by the snapshot-summary gate")
+      IcebergInterop.rewriteDataFiles(s, p) // fold per-batch small files
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Delta OPTIMIZE (bin-packing compaction): three small data files
     * plus a deletion vector on the first are compacted into ONE file by
     * `DeltaInterop.optimize` — which must also MATERIALIZE the DV (drop
@@ -3911,6 +4146,13 @@ object SparkEntry {
     "q183_delta_sql_dml" -> (qDeltaSqlDml _),
     "q184_delta_cdf_stream" -> (qDeltaCdfStream _),
     "q185_iceberg_changelog" -> (qIcebergChangelog _),
+    "q186_sql_insert" -> (qSqlInsert _),
+    "q187_iceberg_stream_tail" -> (qIcebergStreamTail _),
+    "q188_sql_merge_conditional" -> (qSqlMergeConditional _),
+    "q189_iceberg_ts_travel" -> (qIcebergTimestampTravel _),
+    "q190_iceberg_compaction" -> (qIcebergCompaction _),
+    "q191_iceberg_merge_upsert" -> (qIcebergMergeUpsert _),
+    "q192_iceberg_stream_sink" -> (qIcebergStreamSink _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4656,6 +4898,86 @@ object SparkEntry {
            SELECT 'delete', CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey < 100 AND o_custkey % 9 = 4
          ) GROUP BY change_type ORDER BY change_type""",
+    "q186_sql_insert" ->
+      """SELECT src, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT 'log' AS src, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT 'delta', CAST(o_totalprice AS DECIMAL(18,2)) + 50
+           FROM orders WHERE o_custkey % 7 = 3
+         ) GROUP BY src ORDER BY src""",
+    "q187_iceberg_stream_tail" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 7 = 0
+         ) GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q188_sql_merge_conditional" ->
+      """SELECT bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey % 100 AS bucket,
+             CASE WHEN o_orderkey <= 3000
+                    AND CAST(o_totalprice AS DECIMAL(18,2)) < 150000
+               THEN CAST(150000 AS DECIMAL(18,2))
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey % 100, CAST(150000 AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 200 AND o_custkey % 2 = 0
+         ) GROUP BY bucket ORDER BY bucket""",
+    "q189_iceberg_ts_travel" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+           FROM customer WHERE c_custkey % 4 = 0
+         ) GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q190_iceberg_compaction" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+           FROM part
+           UNION ALL
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2))
+           FROM part WHERE p_partkey % 3 = 0
+           UNION ALL
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2))
+           FROM part WHERE p_partkey % 5 = 0
+           UNION ALL
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2))
+           FROM part WHERE p_partkey % 7 = 0
+         ) GROUP BY p_brand ORDER BY p_brand""",
+    "q191_iceberg_merge_upsert" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT s_nationkey,
+             CASE WHEN s_suppkey % 3 = 0
+               THEN CAST(s_acctbal AS DECIMAL(18,2)) + 500
+               ELSE CAST(s_acctbal AS DECIMAL(18,2)) END AS acctbal
+           FROM supplier
+           UNION ALL
+           SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2))
+           FROM supplier WHERE s_suppkey % 10 = 1
+         ) GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q192_iceberg_stream_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q184_delta_cdf_stream" ->
       """SELECT change_type, count(*) AS n_rows,
          CAST(sum(price) AS DOUBLE) AS total_price

@@ -7,11 +7,14 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 
-/** SQL DML surface for graft-log AND Delta tables: `MERGE INTO`,
-  * `DELETE FROM`, `UPDATE` and `INSERT [OVERWRITE]` statements — the idiom users actually
-  * type — parsed by SPARK'S OWN SQL parser and dispatched to the table
-  * format's DML (`GraftLog.upsertScoped`/`delete`,
-  * `DeltaDml.deleteVectoredWhere`/`updateWhere`). Spark parses these
+/** SQL DML surface for graft-log, Delta AND Iceberg tables: `MERGE
+  * INTO` (incl. conditional clauses + composite ON keys), `DELETE
+  * FROM`, `UPDATE` and `INSERT [OVERWRITE]` statements — the idiom
+  * users actually type — parsed by SPARK'S OWN SQL parser and
+  * dispatched to the table format's DML (`GraftLog.upsertScoped`/
+  * `delete`, `DeltaDml.deleteVectoredWhere`/`updateWhere`/
+  * `mergeUpsertKeys`, `IcebergInterop.deletePositionsWhere`/
+  * `mergeUpsert`). Spark parses these
   * statements into `MergeIntoTable` / `DeleteFromTable` / `UpdateTable`
   * logical plans but refuses to execute them against v1 path-based
   * tables ("only supported with v2 tables"); this front-end is the
@@ -27,6 +30,7 @@ object GraftSql {
   private sealed trait Handler { def base: String }
   private final case class LogTable(base: String) extends Handler
   private final case class DeltaTable(base: String) extends Handler
+  private final case class IceTable(base: String) extends Handler
 
   /** Per-SparkSession registry (name lowercased → handler): sessions in
     * one JVM (parallel suites, multi-tenant drivers) must not see each
@@ -65,13 +69,39 @@ object GraftSql {
     graft.sources.DeltaInterop.read(spark, base).createOrReplaceTempView(name)
   }
 
+  /** Register an Iceberg table for SQL reads + DML: `DELETE FROM`
+    * routes to `deletePositionsWhere` (merge-on-read position
+    * deletes), `MERGE INTO` to the single-snapshot equality-delete
+    * upsert, `INSERT [OVERWRITE]` to append/overwrite under the
+    * table's identity partitioning. UPDATE has no Iceberg path here
+    * (use MERGE). */
+  def registerIcebergTable(spark: SparkSession, name: String, base: String): Unit = {
+    tablesOf(spark).put(name.toLowerCase, IceTable(base))
+    graft.sources.IcebergInterop.read(spark, base).createOrReplaceTempView(name)
+  }
+
   private def refreshView(spark: SparkSession, name: String, h: Handler): Unit =
     h match {
       case LogTable(base) => GraftLog.registerView(spark, name, base)
       case DeltaTable(base) =>
         graft.sources.DeltaInterop.read(spark, base)
           .createOrReplaceTempView(name)
+      case IceTable(base) =>
+        graft.sources.IcebergInterop.read(spark, base)
+          .createOrReplaceTempView(name)
     }
+
+  /** The table's identity-partition columns for the Iceberg write
+    * paths (the writer contract: partitionBy repeats the spec);
+    * transformed specs refuse — the SQL front-end doesn't re-derive
+    * them. */
+  private def icePartitionCols(spark: SparkSession, base: String): Seq[String] = {
+    val snap = graft.sources.IcebergInterop.snapshot(spark, base)
+    require(snap.specFields.forall(_.transform == "identity"),
+      s"SQL DML on an Iceberg table with a transformed partition spec " +
+      "is not supported — use the API writers")
+    snap.partitionColumns
+  }
 
   /** Execute one SQL statement. MERGE INTO / DELETE FROM / UPDATE on
     * registered tables run through the format's DML and return a
@@ -133,6 +163,12 @@ object GraftSql {
           partitionBy = snap.partitionColumns,
           configuration = snap.configuration,
           tableId = snap.tableId)
+      case (IceTable(base), false) =>
+        graft.sources.IcebergInterop.append(source, base,
+          icePartitionCols(spark, base))
+      case (IceTable(base), true) =>
+        graft.sources.IcebergInterop.overwrite(source, base,
+          icePartitionCols(spark, base))
     }
     refreshView(spark, name, h)
     result(spark, if (i.overwrite) "INSERT OVERWRITE" else "INSERT", v)
@@ -171,6 +207,8 @@ object GraftSql {
       case LogTable(base) => GraftLog.delete(spark, base, pred)
       case DeltaTable(base) =>
         graft.sources.DeltaDml.deleteVectoredWhere(spark, base, pred)
+      case IceTable(base) =>
+        graft.sources.IcebergInterop.deletePositionsWhere(spark, base, pred)
     }
     refreshView(spark, name, h) // follow the new head
     result(spark, "DELETE", v)
@@ -184,6 +222,9 @@ object GraftSql {
       case LogTable(_) => throw new IllegalArgumentException(
         "UPDATE on a graft-log table is not supported — use MERGE INTO " +
         "with an update source (graft-log DML is key-based upsert)")
+      case IceTable(_) => throw new IllegalArgumentException(
+        "UPDATE on an Iceberg table is not supported here — use MERGE " +
+        "INTO (equality-delete upsert)")
     }
     val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -304,6 +345,9 @@ object GraftSql {
         else GraftLog.upsert(spark, base, effSource, keys)
       case DeltaTable(base) =>
         graft.sources.DeltaDml.mergeUpsertKeys(spark, base, effSource, keys)
+      case IceTable(base) =>
+        // duplicate-source check lives inside the Iceberg merge
+        graft.sources.IcebergInterop.mergeUpsert(spark, base, effSource, keys)
     }
     refreshView(spark, name, h) // follow the new head
     result(spark, "MERGE", v)

@@ -423,6 +423,16 @@ object IcebergInterop {
     (0 until snaps.size()).map(i => snaps.get(i).get("snapshot-id").asLong())
   }
 
+  /** (snapshot-id, timestamp-ms) per recorded snapshot, commit order —
+    * what a caller picks an as-of instant from. */
+  def snapshotTimestamps(base: String): Seq[(Long, Long)] = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val snaps = meta.get("snapshots")
+    (0 until snaps.size()).map(snaps.get).map(s =>
+      (s.get("snapshot-id").asLong(),
+        Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L)))
+  }
+
   /** Timestamp-as-of travel: the snapshot id of the LATEST snapshot
     * committed at or before `tsMillis` (the same rule Delta's timestamp
     * travel uses — the state a reader at that instant would have seen).

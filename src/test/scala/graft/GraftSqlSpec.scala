@@ -260,6 +260,42 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM sql_structt").as[Double].head() == 7.0)
   }
 
+  test("Iceberg tables: DELETE/MERGE/INSERT route to the Iceberg DML") {
+    import graft.sources.IcebergInterop
+    val base = freshBase("ice_sql")
+    IcebergInterop.overwrite(
+      (0L until 30L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    GraftSql.registerIcebergTable(spark, "sql_ice_t", base)
+    GraftSql.sql(spark, "DELETE FROM sql_ice_t WHERE k >= 25")
+    assert(spark.sql("SELECT count(*) AS n FROM sql_ice_t")
+      .head().getLong(0) == 25L)
+    // merge-on-read: the delete landed as position-delete files
+    assert(IcebergInterop.snapshot(spark, base).deletes.nonEmpty)
+    Seq((1L, 9.0), (200L, 2000.0)).toDF("k", "v")
+      .createOrReplaceTempView("sql_ice_src")
+    GraftSql.sql(spark,
+      """MERGE INTO sql_ice_t t USING sql_ice_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM sql_ice_t WHERE k IN (1, 200) ORDER BY k")
+      .as[Double].collect().toSeq == Seq(9.0, 2000.0))
+    GraftSql.sql(spark,
+      "INSERT INTO sql_ice_t SELECT CAST(500 AS BIGINT) AS k, " +
+      "CAST(5.0 AS DOUBLE) AS v")
+    assert(spark.sql("SELECT count(*) AS n FROM sql_ice_t")
+      .head().getLong(0) == 27L) // 25 survivors + 1 merge insert + 1 insert
+    GraftSql.sql(spark,
+      "INSERT OVERWRITE sql_ice_t SELECT CAST(1 AS BIGINT) AS k, " +
+      "CAST(k AS DOUBLE) AS v FROM sql_ice_src WHERE k = 200")
+    assert(spark.sql("SELECT k, v FROM sql_ice_t").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 200.0)))
+    // UPDATE refuses with guidance toward MERGE
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "UPDATE sql_ice_t SET v = 1 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("MERGE"))
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
