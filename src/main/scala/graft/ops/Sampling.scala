@@ -131,15 +131,25 @@ object Sampling {
         conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long") % buckets)
     // per-(doc,bucket) counts: shrinks the model join AND pins the
     // fp summation shape (cnt · ln(ratio), not cnt additions) so an
-    // oracle replaying the same grouping is bit-comparable pre-round
-    val docBucket = grams.groupBy(col("doc_id"), col("b"))
+    // oracle replaying the same grouping is bit-comparable pre-round.
+    // __tgt is a DOC property, so grouping by it too changes nothing —
+    // and lets model AND totals derive from this compact frame instead
+    // of re-running the gram explosion (tokenize + shingle over every
+    // document) once per aggregation: the tokenization pass — the
+    // dominant cost — runs exactly ONCE. persist(), not a pin:
+    // nothing partition-id-dependent hangs off this frame (unlike the
+    // range-partitioned rank below), so a cache-miss recompute is
+    // bit-identical and the cheap lazy cache is safe.
+    val docBucket = grams.groupBy(col("doc_id"), col("__tgt"), col("b"))
       .agg(count(lit(1)).as("cnt"))
-    val model = grams.groupBy(col("b")).agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val totals = grams.agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_total"),
-      count(lit(1)).as("r_total"))
+      .persist()
+    val model = docBucket.groupBy(col("b")).agg(
+      sum(when(col("__tgt"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(col("cnt")).as("cr"))
+    // corpus totals fold out of the ≤`buckets`-row model (Σ ct, Σ cr) —
+    // no third pass over gram-scale data
+    val totals = model.agg(
+      sum(col("ct")).as("t_total"), sum(col("cr")).as("r_total"))
     val scored = docBucket
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
