@@ -2173,6 +2173,48 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Iceberg SQL DML (q193): UPDATE / MERGE INTO / DELETE FROM
+    * statements against a registered ICEBERG table — UPDATE runs the
+    * copy-on-write scoped to touched files, MERGE the single-snapshot
+    * equality-delete upsert, DELETE the merge-on-read positional path.
+    * The final state reads through the refreshed SQL view; the oracle
+    * replays all three statements as plain SQL (the q183 oracle, third
+    * format leg), so a wrong update scope, a resurrected key, or a
+    * dropped insert hash-mismatches. Rebuilt per run: the statements
+    * are the operator. */
+  private def qIcebergSqlDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("iceberg_sql_dml_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    IcebergInterop.overwrite(
+      ords.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")), base)
+    GraftSql.registerIcebergTable(s, "q193_t", base)
+    GraftSql.sql(s,
+      "UPDATE q193_t SET totalprice = totalprice + 100 WHERE o_orderkey <= 2000")
+    ords.filter(col("o_orderkey").between(3000, 3500))
+      .withColumn("totalprice",
+        (col("totalprice") + lit(7)).cast(DecimalType(18, 2)))
+      .unionByName(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .withColumn("totalprice",
+          (col("totalprice") + lit(100)).cast(DecimalType(18, 2))))
+      .createOrReplaceTempView("q193_src")
+    GraftSql.sql(s,
+      """MERGE INTO q193_t t USING q193_src s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    GraftSql.sql(s, "DELETE FROM q193_t WHERE o_custkey % 9 = 4")
+    s.sql(
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM q193_t GROUP BY o_custkey % 100 ORDER BY bucket""")
+  }
+
   /** Delta OPTIMIZE (bin-packing compaction): three small data files
     * plus a deletion vector on the first are compacted into ONE file by
     * `DeltaInterop.optimize` — which must also MATERIALIZE the DV (drop
@@ -4153,6 +4195,7 @@ object SparkEntry {
     "q190_iceberg_compaction" -> (qIcebergCompaction _),
     "q191_iceberg_merge_upsert" -> (qIcebergMergeUpsert _),
     "q192_iceberg_stream_sink" -> (qIcebergStreamSink _),
+    "q193_iceberg_sql_dml" -> (qIcebergSqlDml _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4978,6 +5021,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q193_iceberg_sql_dml" ->
+      """SELECT bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey % 100 AS bucket, o_custkey,
+             CASE WHEN o_orderkey BETWEEN 3000 AND 3500
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 7
+                  WHEN o_orderkey <= 2000
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 100
+           FROM orders WHERE o_orderkey < 100
+         ) WHERE o_custkey % 9 <> 4
+         GROUP BY bucket ORDER BY bucket""",
     "q184_delta_cdf_stream" ->
       """SELECT change_type, count(*) AS n_rows,
          CAST(sum(price) AS DOUBLE) AS total_price

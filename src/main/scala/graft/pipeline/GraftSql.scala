@@ -217,14 +217,11 @@ object GraftSql {
   private def runUpdate(spark: SparkSession, name: String,
                         u: UpdateTable): DataFrame = {
     val h = tablesOf(spark).get(name)
-    val base = h match {
-      case DeltaTable(b) => b
+    h match {
       case LogTable(_) => throw new IllegalArgumentException(
         "UPDATE on a graft-log table is not supported — use MERGE INTO " +
         "with an update source (graft-log DML is key-based upsert)")
-      case IceTable(_) => throw new IllegalArgumentException(
-        "UPDATE on an Iceberg table is not supported here — use MERGE " +
-        "INTO (equality-delete upsert)")
+      case _ => ()
     }
     val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -251,7 +248,13 @@ object GraftSql {
         }
         target -> GraftBridge.column(unqualify(a.value))
       }.toMap
-    val v = graft.sources.DeltaDml.updateWhere(spark, base, pred, set)
+    val v = h match {
+      case DeltaTable(b) =>
+        graft.sources.DeltaDml.updateWhere(spark, b, pred, set)
+      case IceTable(b) =>
+        graft.sources.IcebergInterop.updateWhere(spark, b, pred, set)
+      case LogTable(_) => throw new IllegalStateException("unreachable")
+    }
     refreshView(spark, name, h)
     result(spark, "UPDATE", v)
   }

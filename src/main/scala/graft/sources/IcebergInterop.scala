@@ -1790,6 +1790,84 @@ object IcebergInterop {
       snapshotId, id, "overwrite")
   }
 
+  /** Any nondeterministic expression in the ANALYZED plan? (Unresolved
+    * functions claim determinism — only the resolved tree answers.) */
+  private def hasNondeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.resolved && !e.deterministic))
+
+  /** Predicate-driven UPDATE, copy-on-write scoped to touched files —
+    * the Iceberg analogue of `DeltaDml.updateWhere`: one merge-on-read
+    * census finds which data files hold ≥1 matching LIVE row; only
+    * those are rewritten (matching rows get `set` as a SIMULTANEOUS
+    * assignment — every RHS sees the original row; survivors carry
+    * verbatim, the file's deletes fold into the rewrite); every other
+    * file survives by name with its data sequence number, so existing
+    * delete files keep gating them exactly. The rewritten files commit
+    * at the new snapshot's sequence — above every existing delete,
+    * which is correct because those deletes were already folded in.
+    * Partition columns cannot be updated (that moves rows across
+    * partitions — use a merge). Nondeterministic predicates/SET refuse
+    * (they evaluate in more than one job). Returns the new snapshot
+    * id, or the current one when nothing matched. */
+  def updateWhere(spark: SparkSession, base: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    val snap = snapshot(spark, base)
+    require(snap.specFields.forall(_.transform == "identity"),
+      "updateWhere on a transformed partition spec is not implemented")
+    set.keys.foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"SET column '$c' is not in the table schema")
+      require(!snap.partitionColumns.contains(c),
+        s"SET column '$c' is a partition column — updating it moves rows " +
+        "across partitions (use a merge/rewrite instead)")
+    }
+    val setTyped: Seq[(String, org.apache.spark.sql.Column)] =
+      set.toSeq.map { case (c, e) => c -> e.cast(snap.schema(c).dataType) }
+    val scan = assembleRead(spark, snap, snap.files, keepCoords = true)
+      .withColumn("__upd", coalesce(predicate, lit(false)))
+    require(!hasNondeterministic(scan),
+      "updateWhere requires a deterministic predicate (it evaluates in " +
+      "more than one job) — precompute random values into a column first")
+    require(!hasNondeterministic(
+        scan.select(setTyped.map(_._2) :+ col("__upd"): _*)),
+      "updateWhere requires deterministic SET expressions (they evaluate " +
+      "in more than one job) — precompute random values first")
+    // census: which files hold a matching LIVE row — bounded collect
+    val touchedKeys = scan.filter(col("__upd"))
+      .select(col("__ice_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedKeys.isEmpty) return prev.get("current-snapshot-id").asLong()
+    val touched = snap.files.filter(f =>
+      touchedKeys.contains(PathCodec.metadataPathKey(new File(f.path))))
+    val survivors = snap.files.filterNot(f =>
+      touchedKeys.contains(PathCodec.metadataPathKey(new File(f.path))))
+    // rewrite ONLY the touched files: survivors verbatim, matches
+    // updated, their deletes folded (assembleRead applies them)
+    val touchedScan = assembleRead(spark, snap, touched)
+      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val withTemps = setTyped.foldLeft(touchedScan) { case (d, (c, e)) =>
+      d.withColumn(s"__set_$c", e) }
+    val updated = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
+      d.withColumn(c, when(col("__upd"), col(s"__set_$c")).otherwise(col(c)))
+    }.select(snap.schema.fieldNames.map(col): _*)
+    val snapshotId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    val dataM = stageDataManifest(updated, base, snap.partitionColumns,
+      snapshotId, id)
+    val carried = carryManifestsWithout(spark, base, prev,
+      touched.map(_.rawPath).toSet, survivors)
+    commitManifestListSnapshot(base, prev,
+      carried :+ ManifestRef(dataM, 0, snapshotId, snapshotId),
+      snapshotId, id, "overwrite")
+  }
+
   /** Latest streaming batch id recorded for `appId` in snapshot
     * summaries (−1 if none) — the read side of the exactly-once sink
     * contract. Metadata parse only. */
@@ -2060,6 +2138,27 @@ object IcebergInterop {
 
     // 2. carry existing manifests, filtered: rewritten data files out
     // (by name), dead-weight delete files out (by reachability/sequence)
+    val carried = carryManifestsWithout(spark, base, prev, rewrittenRaw,
+      survivors)
+    commitManifestListSnapshot(base, prev,
+      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId),
+      snapshotId, id, "replace")
+  }
+
+  /** The current snapshot's manifests with the `rewrittenRaw` data
+    * files filtered OUT (by manifest-recorded file_path) and dead
+    * delete files dropped — a position-delete file whose referenced
+    * data files were all rewritten, or an equality-delete file with no
+    * surviving data file strictly below its sequence. Untouched
+    * manifests carry as-is (original file, original sequence — the
+    * property that keeps survivors' delete gating exact); mixed ones
+    * become filtered copies under the original sequence. Shared by
+    * compaction and the copy-on-write UPDATE. */
+  private def carryManifestsWithout(spark: SparkSession, base: String,
+                                    prev: JsonNode,
+                                    rewrittenRaw: Set[String],
+                                    survivors: Seq[DataFileEntry]): Seq[ManifestRef] = {
+    val metaDir = metadataDir(base)
     def keepDeleteEntry(dfr: GenericRecord, manifestSeq: Long): Boolean = {
       val content = opt(dfr, "content").map(_.toString.toInt).getOrElse(0)
       val path = resolvePath(base, dfr.get("file_path").toString)
@@ -2077,7 +2176,7 @@ object IcebergInterop {
         survivors.exists(_.seq < manifestSeq)
       }
     }
-    val carried: Seq[ManifestRef] = currentManifests(base, prev).flatMap { m =>
+    currentManifests(base, prev).flatMap { m =>
       val (sch, recs) = readAvroWithSchema(m.file)
       val kept = recs.filter { e =>
         e.get("status").toString.toInt != 2 && {
@@ -2096,9 +2195,6 @@ object IcebergInterop {
         Some(m.copy(file = nf))
       }
     }
-    commitManifestListSnapshot(base, prev,
-      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId),
-      snapshotId, id, "replace")
   }
 
   /** Atomically publish `node` as the next vN.metadata.json + hint —

@@ -284,16 +284,15 @@ class GraftSqlSpec extends SparkSpec {
       "CAST(5.0 AS DOUBLE) AS v")
     assert(spark.sql("SELECT count(*) AS n FROM sql_ice_t")
       .head().getLong(0) == 27L) // 25 survivors + 1 merge insert + 1 insert
+    // UPDATE routes to the copy-on-write Iceberg update
+    GraftSql.sql(spark, "UPDATE sql_ice_t SET v = v + 0.5 WHERE k = 500")
+    assert(spark.sql("SELECT v FROM sql_ice_t WHERE k = 500")
+      .as[Double].head() == 5.5)
     GraftSql.sql(spark,
       "INSERT OVERWRITE sql_ice_t SELECT CAST(1 AS BIGINT) AS k, " +
       "CAST(k AS DOUBLE) AS v FROM sql_ice_src WHERE k = 200")
     assert(spark.sql("SELECT k, v FROM sql_ice_t").as[(Long, Double)]
       .collect().toSeq == Seq((1L, 200.0)))
-    // UPDATE refuses with guidance toward MERGE
-    val e = intercept[IllegalArgumentException] {
-      GraftSql.sql(spark, "UPDATE sql_ice_t SET v = 1 WHERE k = 1")
-    }
-    assert(e.getMessage.contains("MERGE"))
   }
 
   test("non-DML statements and unregistered tables fall through to spark.sql") {

@@ -110,6 +110,59 @@ class IcebergSinkSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 3)
   }
 
+  test("updateWhere rewrites only touched files; untouched survive by name") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.append(
+      (100L until 120L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      base)
+    val before = IcebergInterop.snapshot(spark, base)
+    val untouchedRaw = before.files.map(_.rawPath).toSet
+    IcebergInterop.updateWhere(spark, base, col("k") >= 100,
+      Map("v" -> (col("v") + 1000)))
+    val after = IcebergInterop.snapshot(spark, base)
+    // the first file holds no match: it survives BY NAME
+    assert(after.files.map(_.rawPath).toSet.intersect(untouchedRaw).size == 1,
+      s"expected exactly one survivor: ${after.files.map(_.rawPath)}")
+    val got = IcebergInterop.read(spark, base).as[(Long, Double)]
+      .collect().sorted.toSeq
+    val want = (0L until 20L).map(i => (i, i * 1.0)) ++
+      (100L until 120L).map(i => (i, i * 1.0 + 1000))
+    assert(got == want)
+  }
+
+  test("updateWhere folds the file's deletes and is a simultaneous swap") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 10L).map(i => (i, i * 1.0, i * 10.0)).toDF("k", "a", "b")
+        .coalesce(1), base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("k") === 9)
+    // swap a and b on k<3: every RHS must see the ORIGINAL row
+    IcebergInterop.updateWhere(spark, base, col("k") < 3,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val after = IcebergInterop.snapshot(spark, base)
+    // the delete folded into the rewrite: no live delete files remain
+    assert(after.deletes.isEmpty)
+    val got = IcebergInterop.read(spark, base).as[(Long, Double, Double)]
+      .collect().sorted.toSeq
+    val want = (0L until 9L).map(i =>
+      if (i < 3) (i, i * 10.0, i * 1.0) else (i, i * 1.0, i * 10.0))
+    assert(got == want)
+    // no-match update commits nothing
+    val cur = after.snapshotId
+    assert(IcebergInterop.updateWhere(spark, base, col("k") === 777L,
+      Map("a" -> lit(0.0))) == cur)
+    // partition-column SET refuses
+    val pbase = tmp()
+    IcebergInterop.overwrite(Seq((1L, "x", 1.0)).toDF("k", "p", "v"), pbase,
+      partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.updateWhere(spark, pbase, lit(true), Map("p" -> lit("y")))
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("mergeUpsert refuses duplicate source keys and wrong columns") {
     val base = tmp()
     IcebergInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), base)
