@@ -2173,6 +2173,46 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** MERGE with WHEN NOT MATCHED BY SOURCE (q194): first the FULL-SYNC
+    * shape (all three clauses — the table becomes exactly the source,
+    * one atomic definition-preserving overwrite), then the
+    * RETENTION-only shape (BY SOURCE DELETE alone — rows whose key
+    * left the allowlist die by anti-join deletion vectors, no data
+    * file rewritten). The oracle replays both statements as plain SQL:
+    * a row surviving its retention cut, a lost sync update, or a
+    * deleted-but-matched key hash-mismatches. Rebuilt per run: the
+    * statements are the operator. */
+  private def qSqlMergeSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val base = fixtureDir("delta_sql_mergesync_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    DeltaInterop.overwrite(ords.coalesce(2), base)
+    GraftSql.registerDeltaTable(s, "q194_t", base)
+    ords.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("totalprice",
+        (col("totalprice") + lit(9)).cast(DecimalType(18, 2)))
+      .createOrReplaceTempView("q194_sync_src")
+    GraftSql.sql(s,
+      """MERGE INTO q194_t t USING q194_sync_src s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    ords.filter(col("o_orderkey") % 6 === 0)
+      .select(col("o_orderkey")) // retention allowlists are key-only
+      .createOrReplaceTempView("q194_keep_src")
+    GraftSql.sql(s,
+      """MERGE INTO q194_t t USING q194_keep_src s ON t.o_orderkey = s.o_orderkey
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    s.sql(
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM q194_t GROUP BY o_custkey % 100 ORDER BY bucket""")
+  }
+
   /** Iceberg SQL DML (q193): UPDATE / MERGE INTO / DELETE FROM
     * statements against a registered ICEBERG table — UPDATE runs the
     * copy-on-write scoped to touched files, MERGE the single-snapshot
@@ -4196,6 +4236,7 @@ object SparkEntry {
     "q191_iceberg_merge_upsert" -> (qIcebergMergeUpsert _),
     "q192_iceberg_stream_sink" -> (qIcebergStreamSink _),
     "q193_iceberg_sql_dml" -> (qIcebergSqlDml _),
+    "q194_sql_merge_sync" -> (qSqlMergeSync _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5115,6 +5156,12 @@ object SparkEntry {
            FROM orders WHERE o_orderkey < 100
          ) WHERE o_custkey % 9 <> 4
          GROUP BY bucket ORDER BY bucket""",
+    "q194_sql_merge_sync" ->
+      """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) + 9) AS DOUBLE)
+           AS total_price
+         FROM orders WHERE o_orderkey % 6 = 0
+         GROUP BY o_custkey % 100 ORDER BY bucket""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -293,21 +293,37 @@ object GraftSql {
                        m: MergeIntoTable): DataFrame = {
     val h = tablesOf(spark).get(name)
     val keys = onKeys(m.mergeCondition)
-    val matchedCond = m.matchedActions match {
-      case Seq(UpdateStarAction(c)) => c
+    // None = clause absent; Some(cond) = clause present with optional gate
+    val matchedUpdate: Option[Option[Expression]] = m.matchedActions match {
+      case Seq() => None
+      case Seq(UpdateStarAction(c)) => Some(c)
       case other => throw new IllegalArgumentException(
         "MERGE INTO supports WHEN MATCHED [AND <cond>] THEN UPDATE SET *, " +
-        s"got: $other (insert-only merges: use INSERT/append)")
+        s"got: $other")
     }
-    val insertCond = m.notMatchedActions match {
-      case Seq(InsertStarAction(c)) => c
+    val notMatchedInsert: Option[Option[Expression]] = m.notMatchedActions match {
+      case Seq() => None
+      case Seq(InsertStarAction(c)) => Some(c)
       case other => throw new IllegalArgumentException(
         "MERGE INTO supports WHEN NOT MATCHED [AND <cond>] THEN INSERT *, " +
         s"got: $other")
     }
-    require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE INTO: WHEN NOT MATCHED BY SOURCE is not supported")
+    val bySourceDelete: Boolean = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(DeleteAction(None)) => true
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO supports WHEN NOT MATCHED BY SOURCE THEN DELETE " +
+        s"(unconditional), got: $other")
+    }
     val source = GraftBridge.ofRows(spark, m.sourceTable)
+    if (bySourceDelete)
+      return runMergeBySource(spark, name, h, keys, source,
+        matchedUpdate, notMatchedInsert)
+    val matchedCond = matchedUpdate.getOrElse(throw new IllegalArgumentException(
+      "MERGE INTO needs WHEN MATCHED THEN UPDATE SET * " +
+      "(insert-only merges: use INSERT/append)"))
+    val insertCond = notMatchedInsert.getOrElse(throw new IllegalArgumentException(
+      "MERGE INTO needs WHEN NOT MATCHED THEN INSERT *"))
     val effSource =
       if (matchedCond.isEmpty && insertCond.isEmpty) source
       else {
@@ -336,13 +352,7 @@ object GraftSql {
         // SQL MERGE contract: duplicate source keys are an error, not a
         // silent duplication (one bounded probe; the Delta path checks
         // inside mergeUpsertKeys)
-        val dup = effSource.groupBy(keys.map(
-            org.apache.spark.sql.functions.col): _*)
-          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
-          .limit(1).collect()
-        require(dup.isEmpty,
-          s"merge source has duplicate (${keys.mkString(",")}) values — " +
-          "SQL MERGE forbids multiple source rows per target key")
+        requireUniqueKeys(effSource, keys)
         if (keys.size == 1)
           GraftLog.upsertScoped(spark, base, effSource, keys.head)
         else GraftLog.upsert(spark, base, effSource, keys)
@@ -353,6 +363,80 @@ object GraftSql {
         graft.sources.IcebergInterop.mergeUpsert(spark, base, effSource, keys)
     }
     refreshView(spark, name, h) // follow the new head
+    result(spark, "MERGE", v)
+  }
+
+  private def requireUniqueKeys(src: DataFrame, keys: Seq[String]): Unit = {
+    val dup = src.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate (${keys.mkString(",")}) values — " +
+      "SQL MERGE forbids multiple source rows per target key")
+  }
+
+  /** MERGE shapes carrying `WHEN NOT MATCHED BY SOURCE THEN DELETE`:
+    *
+    *  - FULL SYNC (all three clauses, unconditional): the final table
+    *    is exactly the (duplicate-checked) source, so it lowers to ONE
+    *    atomic definition-preserving overwrite — the only lowering
+    *    here that is atomic (an upsert commit followed by a delete
+    *    commit would expose a torn intermediate state). A file-scoped
+    *    variant (skip files whose key range holds no change) is a
+    *    future optimization, not a semantic difference.
+    *  - RETENTION (only the BY SOURCE clause): delete target rows
+    *    whose key has no source row — Delta lowers to the anti-join
+    *    vectored delete (`deleteVectoredNotInSource`, one commit, no
+    *    unbounded driver state); other formats refuse toward the
+    *    full-sync shape.
+    *
+    * Conditional combinations refuse loudly: they have no atomic
+    * lowering onto the per-format primitives this front-end targets. */
+  private def runMergeBySource(spark: SparkSession, name: String, h: Handler,
+                               keys: Seq[String], source: DataFrame,
+                               matchedUpdate: Option[Option[Expression]],
+                               notMatchedInsert: Option[Option[Expression]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = (matchedUpdate, notMatchedInsert) match {
+      case (Some(None), Some(None)) => // FULL SYNC
+        requireUniqueKeys(source, keys)
+        // conform to the table's schema (implicit-cast MERGE semantics)
+        val table = spark.table(name)
+        require(source.columns.toSet == table.columns.toSet,
+          s"merge source must carry exactly the table columns " +
+          s"(${table.columns.mkString(",")}), got " +
+          s"(${source.columns.mkString(",")})")
+        val conformed = source.select(table.schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        h match {
+          case LogTable(base) => GraftLog.overwrite(conformed, base)
+          case DeltaTable(base) =>
+            val snap = graft.sources.DeltaInterop.snapshot(spark, base)
+            graft.sources.DeltaInterop.overwrite(conformed, base,
+              partitionBy = snap.partitionColumns,
+              configuration = snap.configuration,
+              tableId = snap.tableId)
+          case IceTable(base) =>
+            graft.sources.IcebergInterop.overwrite(conformed, base,
+              icePartitionCols(spark, base))
+        }
+      case (None, None) => // RETENTION
+        h match {
+          case DeltaTable(base) =>
+            graft.sources.DeltaDml.deleteVectoredNotInSource(
+              spark, base, source, keys)
+          case _ => throw new IllegalArgumentException(
+            "retention-only MERGE (WHEN NOT MATCHED BY SOURCE THEN DELETE " +
+            "alone) is supported on Delta tables; for other formats use " +
+            "the full-sync shape (all three clauses)")
+        }
+      case _ => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE composes only with the " +
+        "UNCONDITIONAL full-sync shape (WHEN MATCHED THEN UPDATE SET * + " +
+        "WHEN NOT MATCHED THEN INSERT *) or stands alone (Delta " +
+        "retention) — conditional combinations have no atomic lowering")
+    }
+    refreshView(spark, name, h)
     result(spark, "MERGE", v)
   }
 }

@@ -158,14 +158,47 @@ object DeltaDml {
   }
 
   private def deleteVectoredWhereOnce(spark: SparkSession, base: String,
-                                      predicate: Column): Long = {
+                                      predicate: Column): Long =
+    deleteVectoredOnce(spark, base,
+      _.filter(coalesce(predicate, lit(false))))
+
+  /** DV-delete every target row whose `keys` tuple does NOT appear in
+    * `sourceKeys` — the `WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    * retention idiom ("keep only rows still in the allowlist"), which
+    * no Column predicate can express without collecting the unbounded
+    * key set to the driver. One anti join classifies the doomed rows;
+    * everything else (executor-side DV bins, CDF delete rows, OCC
+    * retry + cleanup) is the shared vectored-delete machinery. */
+  def deleteVectoredNotInSource(spark: SparkSession, base: String,
+                                sourceKeys: DataFrame, keys: Seq[String],
+                                maxConflictRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "retention delete needs >=1 key column")
+    keys.foreach(k => require(sourceKeys.columns.contains(k),
+      s"source frame lacks key column '$k'"))
+    var attempt = 0
+    while (true) {
+      try return deleteVectoredOnce(spark, base,
+        _.join(sourceKeys.select(keys.map(col): _*).distinct(),
+          keys, "left_anti"))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Shared vectored-delete body: `classify` maps the coordinate-
+    * keeping live scan to the rows to delete. */
+  private def deleteVectoredOnce(spark: SparkSession, base: String,
+                                 classify: DataFrame => DataFrame): Long = {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode == "none",
-      "deleteVectoredWhere on a column-mapped Delta table is not " +
+      "vectored delete on a column-mapped Delta table is not " +
       "implemented (cdc staging + protocol feature sets) — refusing")
-    requireDmlWritable(snap, "deleteVectoredWhere", mutatesRows = false)
-    val matched0 = assembleScan(spark, base, snap, keepCoords = true)
-      .filter(coalesce(predicate, lit(false)))
+    requireDmlWritable(snap, "deleteVectored", mutatesRows = false)
+    val matched0 = classify(assembleScan(spark, base, snap, keepCoords = true))
     // SQL DELETE semantics: predicate-NULL rows survive (coalesce false).
     // A NONDETERMINISTIC predicate must evaluate exactly once — the
     // matched frame feeds both the DV write and the CDC staging, and a

@@ -295,6 +295,62 @@ class GraftSqlSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, 200.0)))
   }
 
+  test("MERGE full sync (with NOT MATCHED BY SOURCE DELETE) = exactly the source") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("merge_sync")
+    DeltaInterop.overwrite(
+      Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+        .toDF("k", "part", "v").coalesce(1), base,
+      partitionBy = Seq("part"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val before = DeltaInterop.snapshot(spark, base)
+    GraftSql.registerDeltaTable(spark, "sql_sync_t", base)
+    // source: k=2 updated, k=9 new, k=1/3 absent (→ deleted)
+    Seq((2L, "a", 22.0), (9L, "b", 9.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_sync_src")
+    GraftSql.sql(spark,
+      """MERGE INTO sql_sync_t t USING sql_sync_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT k, v FROM sql_sync_t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((2L, 22.0), (9L, 9.0)))
+    // one atomic commit; table definition preserved
+    val after = DeltaInterop.snapshot(spark, base)
+    assert(after.version == before.version + 1)
+    assert(after.partitionColumns == Seq("part") &&
+      after.tableId == before.tableId &&
+      after.configuration.get("delta.enableChangeDataFeed").contains("true"))
+    // conditional combinations refuse (no atomic lowering)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """MERGE INTO sql_sync_t t USING sql_sync_src s ON t.k = s.k
+           WHEN MATCHED AND s.v > t.v THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e.getMessage.contains("atomic"))
+  }
+
+  test("retention-only MERGE DV-deletes rows whose key left the source") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("merge_keep")
+    DeltaInterop.overwrite(
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "sql_keep2_t", base)
+    // allowlist: multiples of 3 (a key-only source is enough)
+    (0L until 20L by 3).map(Tuple1(_)).toDF("k")
+      .createOrReplaceTempView("sql_keep2_src")
+    GraftSql.sql(spark,
+      """MERGE INTO sql_keep2_t t USING sql_keep2_src s ON t.k = s.k
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql("SELECT k FROM sql_keep2_t ORDER BY k").as[Long]
+      .collect().toSeq == (0L until 20L by 3))
+    // merge-on-read: the retention landed as a deletion vector, no
+    // data file was rewritten
+    assert(DeltaInterop.snapshot(spark, base).files.exists(_.dv.isDefined))
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
