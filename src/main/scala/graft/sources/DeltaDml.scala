@@ -157,10 +157,30 @@ object DeltaDml {
     -1L // unreachable
   }
 
+  /** Files the predicate can possibly match, by their `add.stats`
+    * [min, max] — the DML classification-scan scope. A predicate
+    * touching 1% of a clustered table's key space must not open 100%
+    * of its files to find the matching rows. Conservative by the same
+    * contract as `readRange`'s skipping: only a provably-disjoint file
+    * is dropped; constraints come from `PredicateBounds` (anything not
+    * a conjunct of column-vs-literal comparisons prunes nothing). */
+  private[sources] def scopedFiles(snap: DeltaSnapshot,
+                                   predicate: Column): Seq[AddFile] = {
+    val cs = PredicateBounds.rangeConstraints(
+      org.apache.spark.sql.GraftBridge.catalystExpression(predicate))
+      .filter { case (c, _) => snap.schema.fieldNames.contains(c) }
+    if (cs.isEmpty) snap.files
+    else snap.files.filter(f => cs.forall { case (c, b) =>
+      DeltaInterop.statsAdmitRange(f, snap.physicalName(c),
+        snap.schema(c).dataType, b.lo, b.hi)
+    })
+  }
+
   private def deleteVectoredWhereOnce(spark: SparkSession, base: String,
                                       predicate: Column): Long =
     deleteVectoredOnce(spark, base,
-      _.filter(coalesce(predicate, lit(false))))
+      _.filter(coalesce(predicate, lit(false))),
+      scanFiles = scopedFiles(_, predicate))
 
   /** DV-delete every target row whose `keys` tuple does NOT appear in
     * `sourceKeys` — the `WHEN NOT MATCHED BY SOURCE THEN DELETE`
@@ -190,15 +210,21 @@ object DeltaDml {
   }
 
   /** Shared vectored-delete body: `classify` maps the coordinate-
-    * keeping live scan to the rows to delete. */
+    * keeping live scan to the rows to delete; `scanFiles` scopes the
+    * scan to the files that can possibly hold a match (statistics
+    * pruning — pass all files when the classifier isn't
+    * bounds-analyzable, e.g. the anti-join retention delete). */
   private def deleteVectoredOnce(spark: SparkSession, base: String,
-                                 classify: DataFrame => DataFrame): Long = {
+                                 classify: DataFrame => DataFrame,
+                                 scanFiles: DeltaSnapshot => Seq[AddFile] =
+                                   _.files): Long = {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode == "none",
       "vectored delete on a column-mapped Delta table is not " +
       "implemented (cdc staging + protocol feature sets) — refusing")
     requireDmlWritable(snap, "deleteVectored", mutatesRows = false)
-    val matched0 = classify(assembleScan(spark, base, snap, keepCoords = true))
+    val matched0 = classify(assembleScan(spark, base,
+      snap.copy(files = scanFiles(snap)), keepCoords = true))
     // SQL DELETE semantics: predicate-NULL rows survive (coalesce false).
     // A NONDETERMINISTIC predicate must evaluate exactly once — the
     // matched frame feeds both the DV write and the CDC staging, and a
@@ -331,7 +357,11 @@ object DeltaDml {
           else col(s"__set_$c"))
       }.select(snap.schema.fieldNames.map(col): _*)
     }
-    val scan = assembleScan(spark, base, snap, keepCoords = true)
+    // census scan scoped by add.stats: files whose [min,max] provably
+    // exclude the predicate are never opened (conservative, same
+    // contract as readRange's skipping)
+    val scan = assembleScan(spark, base,
+        snap.copy(files = scopedFiles(snap, predicate)), keepCoords = true)
       .withColumn("__upd", coalesce(predicate, lit(false)))
     // the predicate and every SET expression are evaluated across
     // SEVERAL jobs (census, rewrite, change rows) — nondeterminism

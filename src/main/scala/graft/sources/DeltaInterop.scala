@@ -719,7 +719,7 @@ object DeltaInterop {
     * the range (or it records zero rows). Missing/unparseable stats, a
     * stats entry the type can't compare, or an uncovered column all KEEP
     * the file — pruning is never allowed to change an answer. */
-  private def statsAdmitRange(f: AddFile, phys: String, dt: DataType,
+  private[sources] def statsAdmitRange(f: AddFile, phys: String, dt: DataType,
                               lo: Option[Any], hi: Option[Any]): Boolean =
     f.stats.flatMap(js =>
       try Some(mapper.readTree(js)) catch { case _: Exception => None }

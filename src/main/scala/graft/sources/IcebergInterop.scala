@@ -605,7 +605,7 @@ object IcebergInterop {
 
   /** Keep iff the file's [lower, upper] for the field can not be proven
     * disjoint from [lo, hi] (either bound absent/incomparable → keep). */
-  private def boundsAdmit(f: DataFileEntry, fid: Int, dt: DataType,
+  private[sources] def boundsAdmit(f: DataFileEntry, fid: Int, dt: DataType,
                           loK: Option[Any], hiK: Option[Any]): Boolean =
     (f.lowerBounds.get(fid).flatMap(SingleValue.decode(dt, _)),
      f.upperBounds.get(fid).flatMap(SingleValue.decode(dt, _))) match {
@@ -1351,6 +1351,34 @@ object IcebergInterop {
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
   }
 
+  /** Files the predicate can possibly match, by manifest [lower,
+    * upper] bounds — the DML classification-scan scope (the Delta
+    * analogue lives in `DeltaDml.scopedFiles`). Conservative by
+    * `boundsAdmit`'s contract: only provably-disjoint files drop;
+    * constraints come from `PredicateBounds` (non-analyzable conjuncts
+    * prune nothing), resolved to field ids through the schema's
+    * `parquet.field.id` metadata. */
+  private[sources] def scopedFiles(snap: IcebergSnapshot,
+                                   predicate: org.apache.spark.sql.Column): Seq[DataFileEntry] = {
+    val byName = snap.schema.fields.map(f => f.name -> f).toMap
+    val cs = PredicateBounds.rangeConstraints(
+      org.apache.spark.sql.GraftBridge.catalystExpression(predicate)).toSeq.flatMap {
+      case (c, b) => byName.get(c).flatMap { f =>
+        if (!f.metadata.contains("parquet.field.id")) None
+        else {
+          val fid = f.metadata.getLong("parquet.field.id").toInt
+          val loK = b.lo.flatMap(SingleValue.boundKey(f.dataType, _))
+          val hiK = b.hi.flatMap(SingleValue.boundKey(f.dataType, _))
+          if (loK.isEmpty && hiK.isEmpty) None
+          else Some((fid, f.dataType, loK, hiK))
+        }
+      }
+    }
+    if (cs.isEmpty) snap.files
+    else snap.files.filter(df => cs.forall { case (fid, dt, lo, hi) =>
+      boundsAdmit(df, fid, dt, lo, hi) })
+  }
+
   /** Predicate-driven positional DELETE, fully distributed — the
     * production form of `addPositionDeletes`: one merge-on-read scan
     * classifies LIVE rows (existing position/equality deletes already
@@ -1380,8 +1408,10 @@ object IcebergInterop {
       .toDF("__ice_file", "__raw")
     // persisted: the classification scan (parquet read + delete anti
     // joins) feeds BOTH the sizing count and the staged write — without
-    // the pin it would run twice, and it dominates the delete's cost
-    val matched = assembleRead(spark, snap, snap.files, keepCoords = true)
+    // the pin it would run twice, and it dominates the delete's cost.
+    // Scoped by manifest bounds: provably-unmatchable files never open.
+    val matched = assembleRead(spark, snap, scopedFiles(snap, predicate),
+        keepCoords = true)
       .filter(coalesce(predicate, lit(false)))
       .join(broadcast(rawByKey), Seq("__ice_file"))
       .select(col("__raw").as("file_path"), col("__ice_pos").as("pos"))
@@ -1830,7 +1860,10 @@ object IcebergInterop {
     }
     val setTyped: Seq[(String, org.apache.spark.sql.Column)] =
       set.toSeq.map { case (c, e) => c -> e.cast(snap.schema(c).dataType) }
-    val scan = assembleRead(spark, snap, snap.files, keepCoords = true)
+    // census scoped by manifest bounds: provably-unmatchable files
+    // never open (conservative, same contract as readRange's skipping)
+    val scan = assembleRead(spark, snap, scopedFiles(snap, predicate),
+        keepCoords = true)
       .withColumn("__upd", coalesce(predicate, lit(false)))
     require(!hasNondeterministic(scan),
       "updateWhere requires a deterministic predicate (it evaluates in " +

@@ -12,6 +12,14 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The Column's FULL catalyst expression tree. Since the Connect
+    * refactor the DSL builds `ColumnNode`s, and `expression` returns a
+    * lazy `ColumnNodeExpression` shell whose children are invisible to
+    * tree walks — this converts the node tree properly (DSL binary
+    * comparisons arrive as `UnresolvedFunction(">=", ...)` etc.). */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The analyzed logical plan of a DataFrame (for embedding as a child
     * of a custom LogicalPlan node). */
   def logicalPlan(df: Dataset[_]): LogicalPlan =
