@@ -754,6 +754,49 @@ object GraftLog {
       }
     }
 
+  /** `overlaps` with optional (one-sided) bounds: an absent side never
+    * excludes; an incomparable bound keeps the file. */
+  private def overlapsOpt(mn: JsonNode, mx: JsonNode,
+                          lo: Option[Any], hi: Option[Any]): Boolean = {
+    val geLo = lo.forall {
+      case l: Number if mx.isNumber => mx.asDouble() >= l.doubleValue()
+      case l: String if mx.isTextual => mx.asText() >= l
+      case _ => true
+    }
+    val leHi = hi.forall {
+      case h: Number if mn.isNumber => mn.asDouble() <= h.doubleValue()
+      case h: String if mn.isTextual => mn.asText() <= h
+      case _ => true
+    }
+    geLo && leHi
+  }
+
+  /** `autoScope` against the table head — the inspectable form. */
+  def candidateFilesFor(base: String, predicate: Column,
+                        version: Option[Long] = None): Seq[String] =
+    autoScope(snapshot(base, version), predicate)
+
+  /** Zone-map candidates for every ANALYZABLE conjunct of `predicate`
+    * — the automatic form of the explicit `scope` argument (same
+    * file-admit contract; `PredicateBounds` derives the ranges, and
+    * anything it can't analyze prunes nothing). A DELETE touching 1%
+    * of a clustered table's key space opens ~1% of its files for the
+    * census, with no caller hint needed. */
+  private def autoScope(snap: Snapshot,
+                        predicate: Column): Seq[String] = {
+    val cs = graft.sources.PredicateBounds.rangeConstraints(
+      org.apache.spark.sql.GraftBridge.catalystExpression(predicate))
+    if (cs.isEmpty) snap.files
+    else snap.files.filter { f =>
+      cs.forall { case (c, b) =>
+        snap.fileStats.get(f).flatMap(_.get(c)).flatMap(_.minMax) match {
+          case Some((mn, mx)) => overlapsOpt(mn, mx, b.lo, b.hi)
+          case None => true
+        }
+      }
+    }
+  }
+
   /** The snapshot's files that can possibly hold NULLs of `colName`:
     * a recorded null count of 0 proves absence; missing stats keep the
     * file (conservative). The metadata-only answer to `WHERE col IS
@@ -934,7 +977,7 @@ object GraftLog {
     val snap = snapshot(base)
     val candidates = scope match {
       case Some((c, lo, hi)) => candidatesIn(snap, c, lo, hi)
-      case None => snap.files
+      case None => autoScope(snap, predicate) // zone maps, no hint needed
     }
     if (candidates.isEmpty) return snap.version // zone maps prove a no-op
     // census: ONE scan over the candidates, one output row per file —
@@ -1011,7 +1054,7 @@ object GraftLog {
     val snap = snapshot(base)
     val candidates = scope match {
       case Some((c, lo, hi)) => candidatesIn(snap, c, lo, hi)
-      case None => snap.files
+      case None => autoScope(snap, predicate) // zone maps, no hint needed
     }
     if (candidates.isEmpty) return snap.version
     // coordinates of NEWLY deleted rows: predicate over live rows only —

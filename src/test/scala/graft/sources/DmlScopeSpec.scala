@@ -69,6 +69,27 @@ class DmlScopeSpec extends graft.SparkSpec {
     assert(DeltaInterop.snapshot(spark, base).files.count(_.dv.isDefined) == 1)
   }
 
+  test("graft-log: deletes auto-scope through zone maps, no hint needed") {
+    import graft.pipeline.GraftLog
+    val base = tmp() + "/log"
+    GraftLog.overwriteClustered(
+      spark.range(400).toDF("k"), base, Seq("k"), nFiles = 4)
+    // the analyzable conjunct prunes most files (strict < loosens to an
+    // inclusive bound, so a neighbor whose min == 100 may stay admitted)
+    assert(GraftLog.candidateFilesFor(base, col("k") < 100).size <= 2)
+    assert(GraftLog.candidateFilesFor(base, col("k") <= 50).size == 1)
+    assert(GraftLog.candidateFilesFor(base, col("k") % 7 === 0).size == 4)
+    GraftLog.delete(spark, base,
+      col("k") >= 100 && col("k") < 200 && col("k") % 2 === 0)
+    val got = GraftLog.read(spark, base).as[Long].collect().sorted
+    val want = (0L until 400L).filterNot(k => k >= 100 && k < 200 && k % 2 == 0)
+    assert(got.toSeq == want)
+    // merge-on-read variant scopes the same way
+    GraftLog.deleteVectored(spark, base, col("k") >= 300 && col("k") % 3 === 0)
+    assert(GraftLog.read(spark, base).count() ==
+      want.count(k => !(k >= 300 && k % 3 == 0)))
+  }
+
   test("Iceberg: scopedFiles prunes by manifest bounds; DML exact") {
     val base = tmp()
     IcebergInterop.overwrite(
