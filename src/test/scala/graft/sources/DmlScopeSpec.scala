@@ -69,6 +69,28 @@ class DmlScopeSpec extends graft.SparkSpec {
     assert(DeltaInterop.snapshot(spark, base).files.count(_.dv.isDefined) == 1)
   }
 
+  test("property: scoped deletes match the in-memory model across random predicates") {
+    // seeded sweep: whatever ranges the predicates carve, the scoped
+    // classification must delete exactly the model's rows — pruning can
+    // tighten cost, never answers
+    val rnd = new scala.util.Random(42)
+    val base = tmp()
+    DeltaInterop.overwrite(
+      spark.range(300).toDF("k")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"), base)
+    var live = (0L until 300L).toSet
+    for (_ <- 1 to 6) {
+      val lo = rnd.nextInt(300).toLong
+      val hi = lo + rnd.nextInt(80).toLong
+      val m = 2 + rnd.nextInt(5)
+      DeltaDml.deleteVectoredWhere(spark, base,
+        col("k") >= lo && col("k") <= hi && col("k") % m === 0)
+      live = live.filterNot(k => k >= lo && k <= hi && k % m == 0)
+      val got = DeltaInterop.read(spark, base).as[Long].collect().toSet
+      assert(got == live, s"diverged at lo=$lo hi=$hi m=$m")
+    }
+  }
+
   test("graft-log: deletes auto-scope through zone maps, no hint needed") {
     import graft.pipeline.GraftLog
     val base = tmp() + "/log"
