@@ -1243,7 +1243,12 @@ object IcebergInterop {
       Files.readString(hint.toPath).trim.toLong + 1)).getOrElse(1L)
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
-    root.put("table-uuid", UUID.randomUUID().toString)
+    // table-uuid is the TABLE's identity, not the commit's: spec
+    // readers may verify it across metadata versions, so it must
+    // persist from the first commit on (minted only at creation)
+    root.put("table-uuid",
+      prev.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
+        .getOrElse(UUID.randomUUID().toString))
     root.put("location", base)
     val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
@@ -1807,6 +1812,17 @@ object IcebergInterop {
     require(dup.isEmpty,
       s"merge source has duplicate (${keys.mkString(",")}) values — SQL " +
       "MERGE forbids multiple source rows per target key")
+    // NULL merge keys refuse: SQL MERGE's ON equality never matches a
+    // NULL, but the equality-delete FILE matches null-safely (spec) —
+    // writing a null key would silently delete the target's null-keyed
+    // rows instead of inserting alongside them
+    val hasNullKey = updates
+      .filter(keys.map(k => col(k).isNull).reduce(_ || _))
+      .limit(1).collect().nonEmpty
+    require(!hasNullKey,
+      s"merge source has NULL (${keys.mkString(",")}) values — SQL MERGE " +
+      "equality never matches NULL, but an equality delete would (it " +
+      "matches null-safely); de-null or pre-filter the source")
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
     val delM = stageEqDeleteManifest(spark, base, prev,

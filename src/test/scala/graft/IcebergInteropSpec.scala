@@ -27,6 +27,23 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.agg(sum("id")).head().getLong(0) == (0 until 10).sum + (100 until 105).sum)
   }
 
+  test("table-uuid is stable across appends, deletes and compaction") {
+    val base = tmp()
+    def uuidOf: String = {
+      val hint = new File(base, "metadata/version-hint.text")
+      val v = Files.readString(hint.toPath).trim
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .readTree(new File(base, s"metadata/v$v.metadata.json"))
+        .get("table-uuid").asText()
+    }
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val u = uuidOf
+    IcebergInterop.append(spark.range(10, 12).toDF("id").coalesce(1), base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") === 0)
+    IcebergInterop.rewriteDataFiles(spark, base)
+    assert(uuidOf == u, "table-uuid must identify the TABLE, not a commit")
+  }
+
   test("timestamp-as-of travel resolves to the latest commit at or before ts") {
     val base = tmp()
     // injectable clock: commits at 1000, 2000, 3000 ms — deterministic

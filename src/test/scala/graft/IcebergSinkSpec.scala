@@ -176,5 +176,13 @@ class IcebergSinkSpec extends SparkSpec {
         Seq((1L, 2.0)).toDF("k", "other"), Seq("k"))
     }
     assert(e2.getMessage.contains("table columns"))
+    // NULL merge keys: SQL MERGE equality never matches NULL, the
+    // equality-delete file WOULD (null-safe) — must refuse, not
+    // silently delete the target's null-keyed rows
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergInterop.mergeUpsert(spark, base,
+        Seq((Some(2L), 2.0), (None, 3.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e3.getMessage.contains("NULL"))
   }
 }
