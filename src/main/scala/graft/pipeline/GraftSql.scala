@@ -146,7 +146,18 @@ object GraftSql {
       "INSERT with PARTITION or a column list is not supported — " +
       "INSERT [OVERWRITE] <table> SELECT full rows")
     val h = tablesOf(spark).get(name)
-    val source = GraftBridge.ofRows(spark, i.query)
+    // SQL INSERT conforms to the TABLE's schema (names + implicit
+    // casts): the raw format appends don't validate shape, so a
+    // mismatched SELECT would otherwise silently write files other
+    // readers resolve as nulls (or silently evolve graft-log's schema)
+    val table = spark.table(name)
+    val raw = GraftBridge.ofRows(spark, i.query)
+    require(raw.columns.toSet == table.columns.toSet,
+      s"INSERT source must carry exactly the table columns " +
+      s"(${table.columns.mkString(",")}), got (${raw.columns.mkString(",")})")
+    val source = raw.select(table.schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)
+        .cast(f.dataType).as(f.name)): _*)
     val v = (h, i.overwrite) match {
       case (LogTable(base), false) => GraftLog.append(source, base)
       case (LogTable(base), true) => GraftLog.overwrite(source, base)

@@ -1939,7 +1939,14 @@ object IcebergInterop {
     * and nothing is staged. A micro-batch replayed after a crash
     * between the table commit and the streaming offset commit is thus
     * recognized and skipped. Creates the table on the first batch.
-    * Returns whether the append was applied. */
+    * Returns whether the append was applied.
+    *
+    * Retention interplay: the gate lives in SNAPSHOT HISTORY, so
+    * `expireSnapshots` forgets batch ids recorded only on expired
+    * snapshots — retain at least the window a restarted stream could
+    * replay (the same property Iceberg's own summary-based streaming
+    * writers have; Delta's txn identifiers survive checkpoints
+    * instead). */
   def appendIdempotent(df: DataFrame, base: String, appId: String,
                        batchId: Long,
                        partitionBy: Seq[String] = Seq.empty): Boolean = {

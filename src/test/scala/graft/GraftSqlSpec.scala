@@ -351,6 +351,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(DeltaInterop.snapshot(spark, base).files.exists(_.dv.isDefined))
   }
 
+  test("INSERT refuses mismatched source columns instead of writing them") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("ins_shape")
+    DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "sql_shape_t", base)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "INSERT INTO sql_shape_t SELECT 2 AS k, 2.0 AS wrong_name")
+    }
+    assert(e.getMessage.contains("table columns"))
+    // matching names with narrower types implicitly cast (SQL INSERT)
+    GraftSql.sql(spark, "INSERT INTO sql_shape_t SELECT 2 AS k, 2 AS v")
+    assert(spark.sql("SELECT sum(v) AS s FROM sql_shape_t")
+      .head().getDouble(0) == 3.0)
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
