@@ -1974,6 +1974,38 @@ object SparkEntry {
       .orderBy(col("change_type"))
   }
 
+  /** Streaming Iceberg changelog (q195): the same change history as
+    * q185, but consumed through `IcebergStream.tailChangelog` — change
+    * rows materialized once per snapshot into a feed + Spark's
+    * checkpointed file stream — plus the initial-load inserts
+    * (load-then-tail). The oracle extends q185's derivation with the
+    * first snapshot's rows, so a dropped snapshot, a double-emitted
+    * slice, or a leaked replace all hash-mismatch. */
+  private def qIcebergChangelogStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{EventStreams, IcebergStream}
+    val base = cachedFixture("iceberg_changelog_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      graft.sources.IcebergInterop.overwrite(ords.coalesce(1), p)
+      graft.sources.IcebergInterop.append(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .coalesce(1), p)
+      graft.sources.IcebergInterop.deletePositionsWhere(s, p,
+        col("o_custkey") % 9 === 4)
+    }
+    // the mirror + checkpoint ARE streaming state: fresh per run
+    val feed = fixtureDir("iceberg_changelog_stream_feed", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
+    val agg = IcebergStream.tailChangelog(s, base, feed)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("totalprice")).as("tp_dec"))
+    EventStreams.drainAvailableNow(agg)
+      .select(col("change_type"), col("n_rows"),
+        col("tp_dec").cast("double").as("total_price"))
+      .orderBy(col("change_type"))
+  }
+
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
     * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
     * table's CONTENTS while preserving its definition (partitioning,
@@ -4279,6 +4311,7 @@ object SparkEntry {
     "q192_iceberg_stream_sink" -> (qIcebergStreamSink _),
     "q193_iceberg_sql_dml" -> (qIcebergSqlDml _),
     "q194_sql_merge_sync" -> (qSqlMergeSync _),
+    "q195_iceberg_changelog_stream" -> (qIcebergChangelogStream _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5204,6 +5237,23 @@ object SparkEntry {
            AS total_price
          FROM orders WHERE o_orderkey % 6 = 0
          GROUP BY o_custkey % 100 ORDER BY bucket""",
+    "q195_iceberg_changelog_stream" ->
+      """SELECT change_type, count(*) AS n_rows,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT 'insert' AS change_type,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT 'insert', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100
+           UNION ALL
+           SELECT 'delete', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_custkey % 9 = 4
+           UNION ALL
+           SELECT 'delete', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100 AND o_custkey % 9 = 4
+         ) GROUP BY change_type ORDER BY change_type""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -30,13 +30,32 @@ import graft.sources.IcebergInterop
 object IcebergStream {
 
   private val SyncMarker = "_iceberg_sync.json"
+  private val ChangelogMarker = "_iceberg_changelog_sync.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def syncedSnapshot(feedDir: String): Option[Long] = {
-    val f = new File(feedDir, SyncMarker)
+  private def syncedSnapshot(feedDir: String,
+                             marker: String = SyncMarker): Option[Long] = {
+    val f = new File(feedDir, marker)
     if (!f.exists()) None
     else Some(mapper.readTree(f).get("syncedSnapshotId").asLong())
   }
+
+  private def writeMarker(feedDir: String, marker: String, head: Long): Unit = {
+    val tmp = Paths.get(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"""{"syncedSnapshotId":$head}""")
+    Files.move(tmp, Paths.get(feedDir, marker),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def requireNotExpired(base: String, feedDir: String,
+                                from: Option[Long], ids: Seq[Long]): Unit =
+    from.foreach { sid =>
+      if (!ids.contains(sid)) throw new IllegalStateException(
+        s"iceberg stream feed $feedDir last synced snapshot $sid, which " +
+        s"has been expired from $base (have ${ids.mkString(",")}) — the " +
+        "diff base is gone; restart the feed from a fresh directory (the " +
+        "current table state will re-stream) or re-seed the mirror")
+    }
 
   /** Advance the feed mirror to the current snapshot head. Idempotent
     * and crash-safe (EEXIST is success; the marker lands atomically
@@ -54,13 +73,7 @@ object IcebergStream {
     // expired (expireSnapshots), dropWhile would consume the whole id
     // list, `fresh` would be empty, and the stream would silently stop
     // seeing new snapshots forever — silent data loss. Fail loudly.
-    from.foreach { sid =>
-      if (!ids.contains(sid)) throw new IllegalStateException(
-        s"iceberg stream feed $feedDir last synced snapshot $sid, which " +
-        s"has been expired from $base (have ${ids.mkString(",")}) — the " +
-        "diff base is gone; restart the feed from a fresh directory (the " +
-        "current table state will re-stream) or re-seed the mirror")
-    }
+    requireNotExpired(base, feedDir, from, ids)
     val fresh = from match {
       case None => ids
       case Some(sid) => ids.dropWhile(_ != sid).drop(1)
@@ -106,11 +119,92 @@ object IcebergStream {
       prevDeletes = snap.deletes.size + snap.eqDeletes.size
     }
     val head = fresh.last
-    val tmp = Paths.get(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"""{"syncedSnapshotId":$head}""")
-    Files.move(tmp, Paths.get(feedDir, SyncMarker),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeMarker(feedDir, SyncMarker, head)
     head
+  }
+
+  /** Advance the CHANGELOG feed mirror to the current snapshot head:
+    * each new snapshot's change rows — the `readChangelog` semantics
+    * (inserts/deletes incl. delete-file masking; replace snapshots
+    * emit nothing) — are MATERIALIZED once into the feed as one
+    * parquet file per snapshot. Unlike the append tail's hard links,
+    * change rows are DERIVED data with no on-disk file to link, so
+    * this pays one distributed write per snapshot (bounded by the
+    * snapshot's own change volume). The very first sync emits the
+    * FIRST snapshot's live rows as `insert` (load-then-tail).
+    * Crash-safe and idempotent: files land under deterministic
+    * per-snapshot names via put-if-absent links, the marker moves
+    * atomically after them; an expired sync base fails loudly.
+    * Returns the synced snapshot id (−1 for an empty table). */
+  def syncChangelogFeed(spark: SparkSession, base: String,
+                        feedDir: String): Long = {
+    import org.apache.spark.sql.functions.lit
+    new File(feedDir).mkdirs()
+    val ids = IcebergInterop.snapshotIds(base)
+    if (ids.isEmpty) return -1L
+    val from = syncedSnapshot(feedDir, ChangelogMarker)
+    requireNotExpired(base, feedDir, from, ids)
+    val fresh = from match {
+      case None => ids
+      case Some(sid) => ids.dropWhile(_ != sid).drop(1)
+    }
+    if (fresh.isEmpty) return from.getOrElse(-1L)
+    fresh.foreach { sid =>
+      val dst = new File(feedDir, s"chg-$sid.parquet")
+      if (!dst.exists()) {
+        val slice =
+          if (sid == ids.head)
+            IcebergInterop.read(spark, base, Some(sid))
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_snapshot_id", lit(sid))
+          else {
+            val prevId = ids(ids.indexOf(sid) - 1)
+            IcebergInterop.readChangelog(spark, base, prevId, Some(sid))
+          }
+        // strip field metadata (parquet.field.id from the table
+        // schema): the mirror is a plain by-NAME parquet feed — mixed
+        // id-carrying/id-less columns would trip field-id resolution
+        val plain = slice.select(slice.schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
+        val scratch = new File(feedDir,
+          s".stage_${java.util.UUID.randomUUID()}")
+        plain.coalesce(1).write.parquet(scratch.getPath)
+        val part = Option(scratch.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("no change part staged"))
+        try Files.createLink(dst.toPath, part.toPath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      }
+    }
+    val head = fresh.last
+    writeMarker(feedDir, ChangelogMarker, head)
+    head
+  }
+
+  /** The table's CHANGELOG as a streaming DataFrame — the third leg of
+    * the streaming-CDC triangle (graft-log CDF stream, Delta
+    * `tailChangeFeed`): one sync, then Spark's checkpointed parquet
+    * file stream over the materialized change rows (schema = table
+    * schema + `_change_type` + `_snapshot_id`). Re-call
+    * `syncChangelogFeed` to surface snapshots landing while the stream
+    * runs. */
+  def tailChangelog(spark: SparkSession, base: String, feedDir: String,
+                    options: Map[String, String] = Map.empty): DataFrame = {
+    val snap = IcebergInterop.snapshot(spark, base)
+    // metadata-free schema: the feed resolves by NAME (see the sync's
+    // field-metadata strip)
+    val withMeta = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty)) ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_snapshot_id",
+          org.apache.spark.sql.types.LongType)))
+    syncChangelogFeed(spark, base, feedDir)
+    spark.readStream.schema(withMeta).options(options).parquet(feedDir)
   }
 
   /** The table as a streaming DataFrame: one sync, then Spark's parquet

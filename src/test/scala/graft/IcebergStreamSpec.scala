@@ -54,6 +54,40 @@ class IcebergStreamSpec extends SparkSpec {
     assert(n == 5L) // only the first snapshot's rows
   }
 
+  test("tailChangelog streams CDC rows equal to the batch derivation") {
+    val base = freshBase("chg")
+    val feed = freshBase("chg_feed")
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(100, 105).toDF("id").coalesce(1), base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") % 2 === 0)
+    val got = EventStreams.drainAvailableNow(
+      IcebergStream.tailChangelog(spark, base, feed)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s")))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    // initial load (10 rows) + append inserts (5); positional deletes
+    // mask the even ids of BOTH files
+    val delIds = (0L until 10L) ++ (100L until 105L)
+    assert(got("insert") ==
+      ((15L, (0L until 10L).sum + (100L until 105L).sum)))
+    assert(got("delete") ==
+      ((delIds.count(_ % 2 == 0).toLong, delIds.filter(_ % 2 == 0).sum)))
+    // incremental: a compaction (replace) emits NOTHING; a new append
+    // emits only its inserts
+    IcebergInterop.rewriteDataFiles(spark, base)
+    IcebergInterop.append(spark.range(200, 202).toDF("id").coalesce(1), base)
+    IcebergStream.syncChangelogFeed(spark, base, feed)
+    val again = EventStreams.drainAvailableNow(
+      IcebergStream.tailChangelog(spark, base, feed)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n")))
+      .as[(String, Long)].collect().toMap
+    assert(again("insert") == 17L, s"replace leaked or append lost: $again")
+    // idempotent: re-sync with no new snapshots changes nothing
+    val head = IcebergStream.syncChangelogFeed(spark, base, feed)
+    assert(head == IcebergInterop.snapshotIds(base).last)
+  }
+
   test("an expired last-synced snapshot fails loudly, not silently stale") {
     val base = freshBase("exp")
     val feed = freshBase("exp_feed")

@@ -41,6 +41,11 @@ class DmlScopeSpec extends graft.SparkSpec {
     assert(cs(col("s").cast("int") < 5).isEmpty)
     // date/timestamp literals carry internal reps → no constraint
     assert(cs(col("d") < lit(java.sql.Date.valueOf("1995-01-01"))).isEmpty)
+    // SQL-parsed predicates (the GraftSql DELETE path) extract too —
+    // they arrive as catalyst comparisons, not ColumnNode functions
+    val parsed = org.apache.spark.sql.GraftBridge.column(
+      spark.sessionState.sqlParser.parseExpression("k >= 10 AND k < 20"))
+    assert(cs(parsed)("k") == PredicateBounds.Bounds(Some(10), Some(20)))
   }
 
   test("Delta: scopedFiles opens only stats-admitted files; DML exact") {
