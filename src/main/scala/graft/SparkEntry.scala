@@ -2006,6 +2006,74 @@ object SparkEntry {
       .orderBy(col("change_type"))
   }
 
+  /** SQL schema evolution (q196): `ALTER TABLE ADD COLUMNS` as a
+    * statement through `GraftSql` — a metadata-only Delta commit (one
+    * metaData action, no data file touched; existing rows read the new
+    * columns as NULL) — followed by an `INSERT INTO` carrying the new
+    * columns. The oracle derives the final table from `part` with the
+    * pre-evolution rows contributing NULL discount/src, so a dropped
+    * evolution, a backfilled value, or a lost insert hash-mismatches.
+    * Rebuilt per run from a hard-link copy: the statements ARE the
+    * operator. */
+  private def qSqlAlterTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val prt = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice").cast(DecimalType(18, 2)).as("price"))
+    val base = freshCopyFixture("delta_alter_part", dir, "part") { p =>
+      DeltaInterop.overwrite(prt.coalesce(2), p)
+    }
+    GraftSql.registerDeltaTable(s, "q196_t", base)
+    GraftSql.sql(s,
+      "ALTER TABLE q196_t ADD COLUMNS (discount DOUBLE, src STRING)")
+    prt.filter(col("p_partkey") % 10 === 0)
+      .withColumn("p_partkey", col("p_partkey") + lit(10000000L))
+      .withColumn("price", (col("price") + lit(1)).cast(DecimalType(18, 2)))
+      .withColumn("discount", lit(0.05))
+      .withColumn("src", lit("restock"))
+      .createOrReplaceTempView("q196_src")
+    GraftSql.sql(s, "INSERT INTO q196_t SELECT * FROM q196_src")
+    s.sql(
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(price) AS DOUBLE) AS total_price,
+         count(discount) AS n_discounted,
+         CAST(sum(coalesce(discount, 0)) AS DOUBLE) AS sum_discount
+         FROM q196_t GROUP BY p_brand ORDER BY p_brand""")
+  }
+
+  /** SQL time travel (q197): ONE statement joins a Delta table's
+    * current state against `VERSION AS OF 0` — `GraftSql` substitutes
+    * each `RelationTimeTravel` with the format's as-of snapshot scan
+    * (same file pruning as the API path). The history is overwrite →
+    * DV delete → copy-on-write update; the oracle derives both states
+    * from `customer`, so a version resolved to the wrong snapshot, a
+    * resurrected DV row, or a leaked update all hash-mismatch.
+    * Read-only after the cached fixture builds. */
+  private def qSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = cachedFixture("delta_tt_customer", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      DeltaInterop.overwrite(cust.coalesce(2), p)
+      DeltaDml.deleteVectoredWhere(s, p, col("c_custkey") % 7 === 3)
+      DeltaDml.updateWhere(s, p, col("c_custkey") % 5 === 0,
+        Map("acctbal" -> (col("acctbal") + lit(100)).cast(DecimalType(18, 2))))
+    }
+    GraftSql.registerDeltaTable(s, "q197_t", base)
+    GraftSql.sql(s,
+      """SELECT v0.c_nationkey AS nation, count(*) AS n_v0,
+         count(cur.c_custkey) AS n_cur,
+         CAST(sum(CASE WHEN cur.c_custkey IS NOT NULL
+                  THEN cur.acctbal - v0.acctbal ELSE 0 END) AS DOUBLE)
+           AS bal_delta
+         FROM q197_t VERSION AS OF 0 v0
+         LEFT JOIN q197_t cur ON v0.c_custkey = cur.c_custkey
+         GROUP BY v0.c_nationkey ORDER BY nation""")
+  }
+
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
     * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
     * table's CONTENTS while preserving its definition (partitioning,
@@ -4312,6 +4380,8 @@ object SparkEntry {
     "q193_iceberg_sql_dml" -> (qIcebergSqlDml _),
     "q194_sql_merge_sync" -> (qSqlMergeSync _),
     "q195_iceberg_changelog_stream" -> (qIcebergChangelogStream _),
+    "q196_sql_alter_table" -> (qSqlAlterTable _),
+    "q197_sql_time_travel" -> (qSqlTimeTravel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5254,6 +5324,25 @@ object SparkEntry {
            SELECT 'delete', CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey < 100 AND o_custkey % 9 = 4
          ) GROUP BY change_type ORDER BY change_type""",
+    "q196_sql_alter_table" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(price) AS DOUBLE) AS total_price,
+         count(discount) AS n_discounted,
+         CAST(sum(coalesce(discount, 0)) AS DOUBLE) AS sum_discount
+         FROM (
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+             CAST(NULL AS DOUBLE) AS discount
+           FROM part
+           UNION ALL
+           SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) + 1, 0.05
+           FROM part WHERE p_partkey % 10 = 0
+         ) GROUP BY p_brand ORDER BY p_brand""",
+    "q197_sql_time_travel" ->
+      """SELECT c_nationkey AS nation, count(*) AS n_v0,
+         count(CASE WHEN c_custkey % 7 <> 3 THEN 1 END) AS n_cur,
+         CAST(sum(CASE WHEN c_custkey % 7 <> 3 AND c_custkey % 5 = 0
+                  THEN 100 ELSE 0 END) AS DOUBLE) AS bal_delta
+         FROM customer GROUP BY c_nationkey ORDER BY nation""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -469,6 +469,42 @@ object GraftLog {
     -1L // unreachable
   }
 
+  /** Schema evolution without data: ADD COLUMN(s) as ONE metadata-only
+    * commit carrying the widened schemaJson (the `ALTER TABLE ADD
+    * COLUMNS` shape; appends already evolve implicitly, but DDL must
+    * not require fabricating rows). No file is touched — existing files
+    * lack the new parquet columns and the explicit-read-schema scan
+    * returns NULL for them, so evolution is O(1) in table size. New
+    * columns are forced nullable. `expectedVersion` guards the
+    * read-compute-commit cycle: a concurrent evolver's schema would
+    * otherwise be latest-wins-dropped. */
+  def addColumns(base: String,
+                 cols: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    var attempt = 0
+    while (true) {
+      val head = currentVersion(base).getOrElse(throw
+        new IllegalArgumentException(s"no graft-log table at $base"))
+      val prev = snapshot(base).schemaJson.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+        throw new IllegalStateException(
+          s"graft-log table at $base records no schema — cannot evolve"))
+      cols.fieldNames.foreach(n => require(!prev.fieldNames.contains(n),
+        s"column '$n' already exists in $base"))
+      val widened = StructType(prev.fields ++
+        cols.fields.map(_.copy(nullable = true)))
+      try {
+        return commit(base, "addColumns", Seq.empty, Seq.empty,
+          schemaJson = Some(widened.json), expectedVersion = Some(head))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 10) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** MERGE by key: same-key rows replaced, new keys appended — one atomic
     * commit swapping the old file set for the merged one. (At 100 TB:
     * partition the table and rewrite only partitions holding matched

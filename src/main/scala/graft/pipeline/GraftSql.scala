@@ -3,7 +3,7 @@ package graft.pipeline
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -72,9 +72,9 @@ object GraftSql {
   /** Register an Iceberg table for SQL reads + DML: `DELETE FROM`
     * routes to `deletePositionsWhere` (merge-on-read position
     * deletes), `MERGE INTO` to the single-snapshot equality-delete
-    * upsert, `INSERT [OVERWRITE]` to append/overwrite under the
-    * table's identity partitioning. UPDATE has no Iceberg path here
-    * (use MERGE). */
+    * upsert, `UPDATE` to the copy-on-write `updateWhere`, and
+    * `INSERT [OVERWRITE]` to append/overwrite under the table's
+    * identity partitioning. */
   def registerIcebergTable(spark: SparkSession, name: String, base: String): Unit = {
     tablesOf(spark).put(name.toLowerCase, IceTable(base))
     graft.sources.IcebergInterop.read(spark, base).createOrReplaceTempView(name)
@@ -136,7 +136,121 @@ object GraftSql {
             runInsert(spark, name, i)
           case _ => spark.sql(text)
         }
+      case AddColumns(t: UnresolvedTable, cols)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runAddColumns(spark, t.multipartIdentifier.last.toLowerCase, cols)
+      case other if other.exists {
+            case _: RelationTimeTravel => true; case _ => false } =>
+        runTimeTravel(spark, other).getOrElse(spark.sql(text))
       case _ => spark.sql(text)
+    }
+  }
+
+  /** `ALTER TABLE <t> ADD COLUMNS (c1 T1, ...)` on a registered table:
+    * metadata-only schema evolution on every format (graft-log widened
+    * schemaJson commit, Delta metaData action, Iceberg new schema-id
+    * with fresh field ids) — no data file is touched, existing rows
+    * read the new columns as NULL. Nested paths, positions
+    * (FIRST/AFTER), DEFAULT values and NOT NULL refuse loudly: a
+    * non-null column with no backfill would be a lie, and the formats'
+    * O(1)-evolution contract is top-level append-at-end. */
+  private def runAddColumns(spark: SparkSession, name: String,
+                            cols: Seq[QualifiedColType]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val h = tablesOf(spark).get(name)
+    cols.foreach { c =>
+      require(c.path.isEmpty,
+        s"ADD COLUMNS: nested column '${c.name.mkString(".")}' is not " +
+        "supported — only top-level columns")
+      require(c.position.isEmpty,
+        "ADD COLUMNS: FIRST/AFTER positions are not supported — new " +
+        "columns append at the end")
+      require(c.default.isEmpty,
+        "ADD COLUMNS: DEFAULT values are not supported — existing rows " +
+        "read new columns as NULL")
+      require(c.nullable,
+        s"ADD COLUMNS: '${c.colName}' NOT NULL is not supported — a " +
+        "non-null column with no backfill would be unreadable")
+    }
+    val st = StructType(cols.map(c =>
+      StructField(c.colName, c.dataType, nullable = true)))
+    val v = h match {
+      case LogTable(base) => GraftLog.addColumns(base, st)
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.addColumns(spark, base, st)
+      case IceTable(base) =>
+        st.fields.map(f =>
+          graft.sources.IcebergInterop.addColumn(base, f.name, f.dataType))
+          .last
+    }
+    refreshView(spark, name, h)
+    result(spark, "ADD COLUMNS", v)
+  }
+
+  /** SELECTs carrying `VERSION AS OF` / `TIMESTAMP AS OF` over
+    * registered tables: each `RelationTimeTravel` node (including
+    * inside subqueries) is substituted with the format's as-of read —
+    * the same file-pruned snapshot scan the API path produces — and the
+    * rewritten plan executes as a normal query. Time travel over
+    * UNregistered relations falls back to `spark.sql` (None), which
+    * raises Spark's own unsupported-relation error. */
+  private def runTimeTravel(spark: SparkSession,
+                            plan: LogicalPlan): Option[DataFrame] = {
+    var rewrote = false
+    val rewritten = plan.transformDownWithSubqueries {
+      case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, ver) =>
+        val h = tablesOf(spark).get(r.multipartIdentifier.last.toLowerCase)
+        if (h == null) tt
+        else {
+          rewrote = true
+          GraftBridge.logicalPlan(resolveAsOf(spark, h, ts, ver))
+        }
+    }
+    if (rewrote) Some(GraftBridge.ofRows(spark, rewritten)) else None
+  }
+
+  /** `TIMESTAMP AS OF <expr>` → epoch millis. The expression arrives
+    * UNRESOLVED (it may be `timestamp_millis(...)`, `current_date -
+    * interval ...`, any row-independent expression), so it is analyzed
+    * and evaluated through a one-row projection — expressions
+    * referencing columns fail loudly in analysis, exactly as Spark's
+    * own time travel requires a constant. */
+  private def asOfMillis(spark: SparkSession, e: Expression): Long = {
+    val row = GraftBridge.ofRows(spark,
+      Project(Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.TimestampType), "__graft_asof")()),
+        OneRowRelation())).head()
+    require(!row.isNullAt(0),
+      s"TIMESTAMP AS OF evaluated to NULL: ${e.sql}")
+    row.getAs[java.sql.Timestamp](0).getTime
+  }
+
+  private def resolveAsOf(spark: SparkSession, h: Handler,
+                          ts: Option[Expression],
+                          ver: Option[String]): DataFrame = {
+    val version = ver.map { v =>
+      require(v.forall(_.isDigit),
+        s"VERSION AS OF must be a numeric version/snapshot id, got: $v")
+      v.toLong
+    }
+    val millis = ts.map(asOfMillis(spark, _))
+    h match {
+      case LogTable(base) =>
+        GraftLog.read(spark, base, version, millis)
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.read(spark, base,
+          versionAsOf = version, timestampAsOf = millis)
+      case IceTable(base) =>
+        (version, millis) match {
+          case (Some(sid), _) =>
+            graft.sources.IcebergInterop.read(spark, base, Some(sid))
+          case (None, Some(ms)) =>
+            graft.sources.IcebergInterop.readAsOfTimestamp(spark, base, ms)
+          case (None, None) =>
+            graft.sources.IcebergInterop.read(spark, base)
+        }
     }
   }
 

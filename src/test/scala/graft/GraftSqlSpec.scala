@@ -367,6 +367,124 @@ class GraftSqlSpec extends SparkSpec {
       .head().getDouble(0) == 3.0)
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves all three formats; old rows read NULL") {
+    import graft.sources.{DeltaInterop, IcebergInterop}
+    // graft-log
+    val lbase = freshBase("alter_log")
+    GraftLog.overwriteClustered(Seq((1L, 10.0)).toDF("k", "v"), lbase,
+      Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_alter_l", lbase)
+    val res = GraftSql.sql(spark,
+      "ALTER TABLE sql_alter_l ADD COLUMNS (tag STRING, score INT)")
+    assert(res.select("operation").head().getString(0) == "ADD COLUMNS")
+    GraftSql.sql(spark,
+      "INSERT INTO sql_alter_l SELECT CAST(2 AS BIGINT) AS k, " +
+      "2.0 AS v, 'b' AS tag, 7 AS score")
+    assert(spark.sql(
+      "SELECT k, v, tag, score FROM sql_alter_l ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)), Option(r.get(3)))).toSeq ==
+      Seq((1L, 10.0, None, None), (2L, 2.0, Some("b"), Some(7))))
+    // delta: metadata-only — the data file set is untouched
+    val dbase = freshBase("alter_delta")
+    DeltaInterop.overwrite(Seq((1L, 10.0)).toDF("k", "v").coalesce(1), dbase)
+    val filesBefore = DeltaInterop.snapshot(spark, dbase).files.map(_.path)
+    GraftSql.registerDeltaTable(spark, "sql_alter_d", dbase)
+    GraftSql.sql(spark, "ALTER TABLE sql_alter_d ADD COLUMNS (tag STRING)")
+    assert(DeltaInterop.snapshot(spark, dbase).files.map(_.path) ==
+      filesBefore)
+    GraftSql.sql(spark,
+      "INSERT INTO sql_alter_d SELECT CAST(2 AS BIGINT) AS k, " +
+      "2.0 AS v, 'd' AS tag")
+    assert(spark.sql("SELECT tag FROM sql_alter_d ORDER BY k")
+      .collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(None, Some("d")))
+    // iceberg: new schema-id, old files project NULL through field ids
+    val ibase = freshBase("alter_ice")
+    IcebergInterop.overwrite(Seq((1L, 10.0)).toDF("k", "v").coalesce(1), ibase)
+    GraftSql.registerIcebergTable(spark, "sql_alter_i", ibase)
+    GraftSql.sql(spark, "ALTER TABLE sql_alter_i ADD COLUMNS (tag STRING)")
+    GraftSql.sql(spark,
+      "INSERT INTO sql_alter_i SELECT CAST(2 AS BIGINT) AS k, " +
+      "2.0 AS v, 'i' AS tag")
+    assert(spark.sql("SELECT tag FROM sql_alter_i ORDER BY k")
+      .collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(None, Some("i")))
+  }
+
+  test("ALTER TABLE ADD COLUMNS refuses shapes that would lie") {
+    val base = freshBase("alter_refuse")
+    GraftLog.overwriteClustered(Seq((1L, 1.0)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_alter_r", base)
+    val notNull = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "ALTER TABLE sql_alter_r ADD COLUMNS (x INT NOT NULL)")
+    }
+    assert(notNull.getMessage.contains("NOT NULL"))
+    val dup = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "ALTER TABLE sql_alter_r ADD COLUMNS (v DOUBLE)")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    val pos = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "ALTER TABLE sql_alter_r ADD COLUMNS (x INT FIRST)")
+    }
+    assert(pos.getMessage.contains("FIRST/AFTER"))
+    // unregistered table falls through to Spark's own error
+    intercept[Exception] {
+      GraftSql.sql(spark,
+        "ALTER TABLE not_registered_alter ADD COLUMNS (x INT)").collect()
+    }
+  }
+
+  test("SELECT VERSION AS OF / TIMESTAMP AS OF time-travels registered tables") {
+    import graft.sources.{DeltaInterop, IcebergInterop}
+    // graft-log VERSION AS OF (v1 = the overwrite)
+    val lbase = freshBase("tt_log")
+    GraftLog.overwriteClustered(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"),
+      lbase, Seq("k"), nFiles = 1)
+    GraftLog.delete(spark, lbase, col("k") === 1L)
+    GraftSql.registerTable(spark, "sql_tt_l", lbase)
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM sql_tt_l VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) AS n FROM sql_tt_l")
+      .head().getLong(0) == 1L)
+    // delta: join current against version 0 in ONE statement
+    val dbase = freshBase("tt_delta")
+    DeltaInterop.overwrite(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1), dbase)
+    DeltaInterop.append(Seq((3L, 30.0)).toDF("k", "v").coalesce(1), dbase)
+    GraftSql.registerDeltaTable(spark, "sql_tt_d", dbase)
+    val joined = GraftSql.sql(spark,
+      """SELECT cur.k FROM sql_tt_d cur
+         LEFT ANTI JOIN sql_tt_d VERSION AS OF 0 old ON cur.k = old.k""")
+    assert(joined.as[Long].collect().toSeq == Seq(3L))
+    // iceberg TIMESTAMP AS OF via the recorded snapshot timestamps
+    val ibase = freshBase("tt_ice")
+    IcebergInterop.withClock(
+      IcebergInterop.tickingClock(1700000000000L, 60000L)) {
+      IcebergInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), ibase)
+      IcebergInterop.append(Seq((2L, 2.0)).toDF("k", "v").coalesce(1), ibase)
+    }
+    GraftSql.registerIcebergTable(spark, "sql_tt_i", ibase)
+    val firstTs = IcebergInterop.snapshotTimestamps(ibase).map(_._2).min
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM sql_tt_i TIMESTAMP AS OF " +
+      s"timestamp_millis(${firstTs}L)").head().getLong(0) == 1L)
+    // iceberg VERSION AS OF = snapshot id
+    val firstSnap = IcebergInterop.snapshotIds(ibase).min
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM sql_tt_i VERSION AS OF $firstSnap")
+      .head().getLong(0) == 1L)
+    // unregistered time travel falls back to Spark's own error
+    intercept[Exception] {
+      GraftSql.sql(spark,
+        "SELECT * FROM not_registered_tt VERSION AS OF 1").collect()
+    }
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
