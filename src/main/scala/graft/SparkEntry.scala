@@ -2074,6 +2074,41 @@ object SparkEntry {
          GROUP BY v0.c_nationkey ORDER BY nation""")
   }
 
+  /** Iceberg orphan-file cleanup (q198): `remove_orphan_files` — two
+    * orphans planted per run (the leftovers of a died/losing commit:
+    * a stray data file + a stray manifest, mtimes far in the past) are
+    * collected under a 60-second grace cutoff, and the table then
+    * reads back value-exact: a cleanup that deleted ANY reachable
+    * file, or missed an orphan, changes `n_orphans_removed` or the
+    * aggregate and hash-mismatches. The table itself is a cached
+    * fixture — cleanup only ever touches the per-run plants. */
+  private def qIcebergOrphanCleanup(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_orphan_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(ords.coalesce(2), p)
+      IcebergInterop.append(ords.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .coalesce(1), p)
+    }
+    val strayData = new java.io.File(base, "data/q198-stray.parquet")
+    java.nio.file.Files.writeString(strayData.toPath, "failed attempt")
+    strayData.setLastModified(1000L)
+    val strayManifest = new java.io.File(base, "metadata/q198-stray.avro")
+    java.nio.file.Files.writeString(strayManifest.toPath, "failed attempt")
+    strayManifest.setLastModified(1000L)
+    val removed = IcebergInterop.removeOrphanFiles(s, base,
+      olderThanMs = Some(System.currentTimeMillis() - 60000L))
+    IcebergInterop.read(s, base)
+      .groupBy((col("o_custkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .withColumn("n_orphans_removed", lit(removed.size))
+      .orderBy(col("bucket"))
+  }
+
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
     * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
     * table's CONTENTS while preserving its definition (partitioning,
@@ -4382,6 +4417,7 @@ object SparkEntry {
     "q195_iceberg_changelog_stream" -> (qIcebergChangelogStream _),
     "q196_sql_alter_table" -> (qSqlAlterTable _),
     "q197_sql_time_travel" -> (qSqlTimeTravel _),
+    "q198_iceberg_orphan_cleanup" -> (qIcebergOrphanCleanup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5343,6 +5379,17 @@ object SparkEntry {
          CAST(sum(CASE WHEN c_custkey % 7 <> 3 AND c_custkey % 5 = 0
                   THEN 100 ELSE 0 END) AS DOUBLE) AS bal_delta
          FROM customer GROUP BY c_nationkey ORDER BY nation""",
+    "q198_iceberg_orphan_cleanup" ->
+      """SELECT o_custkey % 10 AS bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price,
+         2 AS n_orphans_removed
+         FROM (
+           SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100
+         ) GROUP BY o_custkey % 10 ORDER BY bucket""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -2002,6 +2002,78 @@ object IcebergInterop {
 
   /** Append; `partitionBy` must repeat the table's partition spec (the
     * fixture-writer contract — a real writer reads it from metadata). */
+  /** Delete files under the table location that NO metadata can reach —
+    * Iceberg's `remove_orphan_files` maintenance procedure. Orphans
+    * accrete from failed/competing commits: a writer stages its data
+    * files and manifests first, and if the atomic metadata commit then
+    * loses (or the process dies), the staged files stay on disk forever,
+    * invisible to every reader but billed and walked by every file
+    * listing. `expireSnapshots` cannot collect them — it only walks
+    * what metadata DOES reach.
+    *
+    * Reachability is conservative: every path mentioned by ANY
+    * `*.metadata.json` still on disk (all snapshots, their manifest
+    * lists, manifests, data/delete files — deleted-status entries
+    * included) plus the metadata files and version-hint themselves.
+    * Files modified at/after `olderThanMs` are kept regardless: a
+    * concurrent writer's staged-but-not-yet-committed files look
+    * exactly like orphans until its commit lands (Iceberg's own
+    * default-3-day grace exists for the same race). The cutoff
+    * defaults to the injectable commit clock minus 3 days so fixtures
+    * stay deterministic. Driver-side metadata walk + one file listing —
+    * cost proportional to file COUNT, never data bytes. Returns
+    * deleted paths (table-relative where possible). */
+  def removeOrphanFiles(spark: SparkSession, base: String,
+                        olderThanMs: Option[Long] = None): Seq[String] = {
+    val metaDir = metadataDir(base)
+    require(new File(metaDir, "version-hint.text").exists(),
+      s"not an Iceberg table (no version hint): $base")
+    val cutoff = olderThanMs.getOrElse(clock() - 3L * 24 * 3600 * 1000)
+    val metaJsons = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".metadata.json"))
+    val reachable = scala.collection.mutable.Set[String]()
+    reachable += new File(metaDir, "version-hint.text").getCanonicalPath
+    metaJsons.foreach { mj =>
+      reachable += mj.getCanonicalPath
+      val meta = mapper.readTree(mj)
+      val snaps = Option(meta.get("snapshots"))
+      val all = snaps.map(s => (0 until s.size()).map(s.get)).getOrElse(Seq.empty)
+      all.foreach { s =>
+        val ml = new File(resolvePath(base, s.get("manifest-list").asText()))
+        reachable += ml.getCanonicalPath
+        if (ml.exists()) readAvro(ml).foreach { m =>
+          val mf = new File(resolvePath(base, m.get("manifest_path").toString))
+          reachable += mf.getCanonicalPath
+          if (mf.exists()) readAvro(mf).foreach { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            reachable += new File(
+              resolvePath(base, df.get("file_path").toString)).getCanonicalPath
+          }
+        }
+      }
+    }
+    val root = new File(base).getCanonicalFile
+    val stream = java.nio.file.Files.walk(root.toPath)
+    val candidates =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.toFile).toVector
+      } finally stream.close()
+    candidates
+      .filter(f => !reachable.contains(f.getCanonicalPath))
+      .filter(_.lastModified() < cutoff)
+      .sortBy(_.getPath)
+      .flatMap { f =>
+        val p = f.getCanonicalPath
+        if (f.delete())
+          Some(if (p.startsWith(root.getPath))
+            root.toPath.relativize(f.toPath).toString else p)
+        else None
+      }
+  }
+
   /** Expire old snapshots, exactly as Iceberg's `expire_snapshots`
     * maintenance procedure behaves: the newest `retainLast` snapshots
     * (always including the current one) survive; every expired

@@ -171,4 +171,55 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(IcebergInterop.rewriteDataFiles(spark, base) == cur)
     assert(IcebergInterop.snapshotIds(base).size == 1)
   }
+
+  test("removeOrphanFiles deletes only unreachable files past the grace cutoff") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(20).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(20, 30).toDF("id").coalesce(1), base)
+    // a failed commit's leftovers: a stray data file + a stray manifest
+    val oldOrphan = new File(base, "data/stray-attempt.parquet")
+    Files.writeString(oldOrphan.toPath, "not really parquet")
+    oldOrphan.setLastModified(1000L)
+    val oldManifest = new File(base, "metadata/stray-manifest.avro")
+    Files.writeString(oldManifest.toPath, "junk")
+    oldManifest.setLastModified(1000L)
+    // a CONCURRENT writer's staged file: orphan-shaped but recent
+    val recent = new File(base, "data/in-flight.parquet")
+    Files.writeString(recent.toPath, "staged by a live writer")
+    recent.setLastModified(System.currentTimeMillis())
+    val before = IcebergInterop.read(spark, base).as[Long].collect().sorted.toSeq
+
+    val deleted = IcebergInterop.removeOrphanFiles(spark, base,
+      olderThanMs = Some(System.currentTimeMillis() - 60000))
+    assert(deleted.toSet ==
+      Set("data/stray-attempt.parquet", "metadata/stray-manifest.avro"))
+    assert(!oldOrphan.exists() && !oldManifest.exists())
+    assert(recent.exists(), "grace period must protect in-flight files")
+    // every live file survived: value-exact read, both snapshots intact
+    assert(IcebergInterop.read(spark, base).as[Long].collect().sorted.toSeq
+      == before)
+    val Seq(first, _) = IcebergInterop.snapshotIds(base)
+    assert(IcebergInterop.read(spark, base, Some(first)).count() == 20)
+  }
+
+  test("removeOrphanFiles keeps files any on-disk metadata version reaches") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)
+    IcebergInterop.overwrite(spark.range(100, 103).toDF("id").coalesce(1), base)
+    // the v1 snapshot's files are unreachable from the CURRENT snapshot
+    // but still referenced by the older metadata.json on disk — orphan
+    // cleanup must not collect what expireSnapshots owns
+    val deleted = IcebergInterop.removeOrphanFiles(spark, base,
+      olderThanMs = Some(System.currentTimeMillis() + 60000))
+    assert(deleted.isEmpty,
+      s"metadata-reachable files must survive, deleted: $deleted")
+    // and after expiration the old files are gone via expire, leaving
+    // nothing for orphan cleanup either
+    IcebergInterop.expireSnapshots(spark, base)
+    val deleted2 = IcebergInterop.removeOrphanFiles(spark, base,
+      olderThanMs = Some(System.currentTimeMillis() + 60000))
+    assert(deleted2.isEmpty)
+    assert(IcebergInterop.read(spark, base).as[Long].collect().sorted.toSeq
+      == Seq(100L, 101L, 102L))
+  }
 }
