@@ -2084,15 +2084,17 @@ object SparkEntry {
     * fixture — cleanup only ever touches the per-run plants. */
   private def qIcebergOrphanCleanup(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IcebergInterop
-    val base = cachedFixture("iceberg_orphan_orders", dir, "orders") { p =>
+    // the table nests under the fixture dir so the fixture-stamp marker
+    // (an unreachable non-table file) is outside the cleanup's walk
+    val base = cachedFixture("iceberg_orphan_orders_t", dir, "orders") { p =>
       val ords = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-      IcebergInterop.overwrite(ords.coalesce(2), p)
+      IcebergInterop.overwrite(ords.coalesce(2), s"$p/table")
       IcebergInterop.append(ords.filter(col("o_orderkey") < 100)
         .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
-        .coalesce(1), p)
-    }
+        .coalesce(1), s"$p/table")
+    } + "/table"
     val strayData = new java.io.File(base, "data/q198-stray.parquet")
     java.nio.file.Files.writeString(strayData.toPath, "failed attempt")
     strayData.setLastModified(1000L)
@@ -2107,6 +2109,49 @@ object SparkEntry {
         sum(col("totalprice")).cast("double").as("total_price"))
       .withColumn("n_orphans_removed", lit(removed.size))
       .orderBy(col("bucket"))
+  }
+
+  /** SQL DDL lifecycle (q199): the statements a warehouse user types
+    * to MAKE tables — partitioned Delta CTAS, INSERT INTO it, an
+    * empty-schema graft-log CREATE, INSERT / TRUNCATE / re-INSERT —
+    * finished by one join across both tables. TRUNCATE must empty
+    * contents while keeping the definition (the second INSERT works
+    * against the surviving schema), and the oracle derives the final
+    * join from `orders`, so a CTAS that dropped rows, a truncate that
+    * left any, or a create that lost the schema all hash-mismatch.
+    * Fresh dirs per run: the statements ARE the operator. */
+  private def qSqlDdl(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    ords.createOrReplaceTempView("q199_orders")
+    val dbase = fixtureDir("sql_ddl_delta", dir)
+    val lbase = fixtureDir("sql_ddl_log", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dbase))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lbase))
+    GraftSql.sql(s,
+      s"""CREATE TABLE q199_t USING delta PARTITIONED BY (o_orderstatus)
+          LOCATION '$dbase'
+          AS SELECT * FROM q199_orders WHERE o_orderkey % 3 = 0""")
+    GraftSql.sql(s,
+      "INSERT INTO q199_t SELECT * FROM q199_orders WHERE o_orderkey % 3 = 1")
+    GraftSql.sql(s,
+      s"CREATE TABLE q199_l (o_orderkey BIGINT, totalprice DECIMAL(18,2)) " +
+      s"USING graftlog LOCATION '$lbase'")
+    GraftSql.sql(s,
+      "INSERT INTO q199_l SELECT o_orderkey, totalprice FROM q199_orders " +
+      "WHERE o_orderkey % 7 = 0")
+    GraftSql.sql(s, "TRUNCATE TABLE q199_l")
+    GraftSql.sql(s,
+      "INSERT INTO q199_l SELECT o_orderkey, totalprice FROM q199_orders " +
+      "WHERE o_orderkey % 11 = 0")
+    s.sql(
+      """SELECT d.o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(d.totalprice) AS DOUBLE) AS total_price,
+         count(l.o_orderkey) AS n_log
+         FROM q199_t d LEFT JOIN q199_l l ON d.o_orderkey = l.o_orderkey
+         GROUP BY d.o_orderstatus ORDER BY status""")
   }
 
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
@@ -4418,6 +4463,7 @@ object SparkEntry {
     "q196_sql_alter_table" -> (qSqlAlterTable _),
     "q197_sql_time_travel" -> (qSqlTimeTravel _),
     "q198_iceberg_orphan_cleanup" -> (qIcebergOrphanCleanup _),
+    "q199_sql_ddl_lifecycle" -> (qSqlDdl _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5390,6 +5436,13 @@ object SparkEntry {
            SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey < 100
          ) GROUP BY o_custkey % 10 ORDER BY bucket""",
+    "q199_sql_ddl_lifecycle" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+         count(CASE WHEN o_orderkey % 11 = 0 THEN 1 END) AS n_log
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -140,11 +140,215 @@ object GraftSql {
           if tablesOf(spark)
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runAddColumns(spark, t.multipartIdentifier.last.toLowerCase, cols)
+      case c: CreateTable =>
+        (ddlName(c.name), specProvider(c.tableSpec)) match {
+          case (Some(name), Some(p)) =>
+            runCreateTable(spark, name, p, c)
+          case _ => spark.sql(text)
+        }
+      case c: CreateTableAsSelect =>
+        (ddlName(c.name), specProvider(c.tableSpec)) match {
+          case (Some(name), Some(p)) =>
+            runCtas(spark, name, p, c)
+          case _ => spark.sql(text)
+        }
+      case d: DropTable =>
+        ddlName(d.child) match {
+          case Some(name) if tablesOf(spark).containsKey(name) =>
+            runDrop(spark, name, d)
+          case _ => spark.sql(text)
+        }
+      case TruncateTable(tbl) =>
+        ddlName(tbl) match {
+          case Some(name) if tablesOf(spark).containsKey(name) =>
+            runTruncate(spark, name)
+          case _ => spark.sql(text)
+        }
       case other if other.exists {
             case _: RelationTimeTravel => true; case _ => false } =>
         runTimeTravel(spark, other).getOrElse(spark.sql(text))
       case _ => spark.sql(text)
     }
+  }
+
+  // ------------------------------------------------------------- DDL
+
+  private def ddlName(p: LogicalPlan): Option[String] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      Some(u.nameParts.last.toLowerCase)
+    case u: UnresolvedTable => Some(u.multipartIdentifier.last.toLowerCase)
+    case _ => None
+  }
+
+  /** The USING provider, normalized — Some only for the three formats
+    * this front-end owns; anything else (parquet, csv, ...) falls
+    * through to Spark's own session catalog. */
+  private def specProvider(spec: TableSpecBase): Option[String] = {
+    val p = spec match {
+      case ts: TableSpec => ts.provider
+      case ts: UnresolvedTableSpec => ts.provider
+      case _ => None
+    }
+    p.map(_.toLowerCase.replaceAll("[-_]", "")).collect {
+      case n @ ("graftlog" | "delta" | "iceberg") => n
+    }
+  }
+
+  private def specLocation(spec: TableSpecBase): Option[String] = spec match {
+    case ts: TableSpec => ts.location
+    case ts: UnresolvedTableSpec => ts.location
+    case _ => None
+  }
+
+  private def specProperties(spec: TableSpecBase): Map[String, String] =
+    spec match {
+      case ts: TableSpec => ts.properties
+      case ts: UnresolvedTableSpec => ts.properties
+      case _ => Map.empty
+    }
+
+  /** PARTITIONED BY as plain top-level columns; transforms
+    * (bucket/truncate/days) refuse toward the API writers. */
+  private def identityCols(parts: Seq[
+      org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
+    parts.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else throw new IllegalArgumentException(
+        s"CREATE TABLE: only PARTITIONED BY plain columns is supported " +
+        s"through SQL (got: ${t.describe}) — transformed specs use the " +
+        "API writers (overwriteTransformed)")
+    }
+
+  private def tableExistsAt(provider: String, base: String): Boolean =
+    provider match {
+      case "graftlog" => new java.io.File(base, "_graft_log").exists()
+      case "delta" => new java.io.File(base, "_delta_log").exists()
+      case "iceberg" =>
+        new java.io.File(base, "metadata/version-hint.text").exists()
+      case _ => false
+    }
+
+  private def emptyFrame(spark: SparkSession,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  private def registerAs(spark: SparkSession, name: String,
+                         provider: String, base: String): Unit =
+    provider match {
+      case "graftlog" => registerTable(spark, name, base)
+      case "delta" => registerDeltaTable(spark, name, base)
+      case "iceberg" => registerIcebergTable(spark, name, base)
+    }
+
+  /** Shared CREATE/CTAS body: write `df` (possibly empty) as the new
+    * table at LOCATION and register it under `name`. Path-based
+    * engine: LOCATION is required. `IF NOT EXISTS` on an existing
+    * table registers it and leaves the data alone (no-op create);
+    * without it, an existing table refuses. Table PROPERTIES carry
+    * into Delta's configuration; the other formats have no property
+    * store and refuse rather than silently dropping them. */
+  private def createAt(spark: SparkSession, name: String, provider: String,
+                       spec: TableSpecBase,
+                       partitioning: Seq[
+                         org.apache.spark.sql.connector.expressions.Transform],
+                       ignoreIfExists: Boolean,
+                       df: DataFrame): DataFrame = {
+    val base = specLocation(spec).getOrElse(throw new IllegalArgumentException(
+      s"CREATE TABLE $name USING $provider needs LOCATION '<path>' — " +
+      "this front-end manages path-based tables"))
+    val props = specProperties(spec)
+    require(props.isEmpty || provider == "delta",
+      s"TBLPROPERTIES are supported on Delta tables only (got " +
+      s"${props.keys.mkString(",")} for $provider)")
+    val partCols = identityCols(partitioning)
+    require(partCols.isEmpty || provider != "graftlog",
+      "graft-log tables do not partition by directory — use the " +
+      "clustered writers (overwriteClustered) for layout control")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"PARTITIONED BY column '$c' is not in the table schema " +
+      s"(${df.columns.mkString(",")})"))
+    if (tableExistsAt(provider, base)) {
+      if (!ignoreIfExists) throw new IllegalArgumentException(
+        s"table already exists at $base (use CREATE TABLE IF NOT EXISTS " +
+        "to register it instead)")
+      registerAs(spark, name, provider, base)
+      return result(spark, "CREATE TABLE", -1L)
+    }
+    val v = provider match {
+      case "graftlog" =>
+        if (df.isStreaming) throw new IllegalArgumentException(
+          "streaming CTAS is not supported")
+        // data-free create = one schema-only commit; CTAS stages rows
+        if (GraftBridge.logicalPlan(df).isInstanceOf[LocalRelation] &&
+            df.isEmpty)
+          GraftLog.commit(base, "create", Seq.empty, Seq.empty,
+            schemaJson = Some(df.schema.json))
+        else GraftLog.overwrite(df, base)
+      case "delta" =>
+        graft.sources.DeltaInterop.overwrite(df, base,
+          partitionBy = partCols, configuration = props)
+      case "iceberg" =>
+        graft.sources.IcebergInterop.overwrite(df, base, partCols)
+    }
+    registerAs(spark, name, provider, base)
+    result(spark, "CREATE TABLE", v)
+  }
+
+  private def runCreateTable(spark: SparkSession, name: String,
+                             provider: String, c: CreateTable): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fields = c.columns.map { cd =>
+      require(cd.defaultValue.isEmpty && cd.generationExpression.isEmpty &&
+        cd.identityColumnSpec.isEmpty,
+        s"CREATE TABLE: column '${cd.name}' uses DEFAULT/GENERATED/" +
+        "IDENTITY, which this front-end does not support")
+      StructField(cd.name, cd.dataType, cd.nullable)
+    }
+    createAt(spark, name, provider, c.tableSpec, c.partitioning,
+      c.ignoreIfExists, emptyFrame(spark, StructType(fields)))
+  }
+
+  private def runCtas(spark: SparkSession, name: String, provider: String,
+                      c: CreateTableAsSelect): DataFrame =
+    createAt(spark, name, provider, c.tableSpec, c.partitioning,
+      c.ignoreIfExists, GraftBridge.ofRows(spark, c.query))
+
+  /** DROP TABLE unregisters the SQL name and drops the temp view; the
+    * files at LOCATION survive (external-table semantics — the path is
+    * the table). `PURGE` additionally deletes the directory. */
+  private def runDrop(spark: SparkSession, name: String,
+                      d: DropTable): DataFrame = {
+    val h = tablesOf(spark).remove(name)
+    spark.catalog.dropTempView(name)
+    if (d.purge)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(h.base))
+    result(spark, if (d.purge) "DROP TABLE PURGE" else "DROP TABLE", -1L)
+  }
+
+  /** TRUNCATE TABLE: one commit emptying the CONTENTS while the
+    * definition (schema, partitioning, properties, table id) carries
+    * forward — the same definition-preserving overwrite INSERT
+    * OVERWRITE uses, with an empty source. */
+  private def runTruncate(spark: SparkSession, name: String): DataFrame = {
+    val h = tablesOf(spark).get(name)
+    val empty = emptyFrame(spark, spark.table(name).schema)
+    val v = h match {
+      case LogTable(base) => GraftLog.overwrite(empty, base)
+      case DeltaTable(base) =>
+        val snap = graft.sources.DeltaInterop.snapshot(spark, base)
+        graft.sources.DeltaInterop.overwrite(empty, base,
+          partitionBy = snap.partitionColumns,
+          configuration = snap.configuration,
+          tableId = snap.tableId)
+      case IceTable(base) =>
+        graft.sources.IcebergInterop.overwrite(empty, base,
+          icePartitionCols(spark, base))
+    }
+    refreshView(spark, name, h)
+    result(spark, "TRUNCATE TABLE", v)
   }
 
   /** `ALTER TABLE <t> ADD COLUMNS (c1 T1, ...)` on a registered table:

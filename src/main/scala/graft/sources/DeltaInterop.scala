@@ -1220,9 +1220,22 @@ object DeltaInterop {
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
     requirePhysicalNames(df.sparkSession, base, df)
+    // appends INHERIT the table's partitioning: a partitioned table's
+    // read path takes partition values from add.partitionValues (the
+    // protocol's source of truth, data files don't carry the columns),
+    // so an append staged flat would read every partition value as
+    // NULL. A caller-specified layout must MATCH for the same reason.
+    val tablePartitioning =
+      snapshot(df.sparkSession, base).partitionColumns
+    val effPartitionBy =
+      if (partitionBy.isEmpty) tablePartitioning else partitionBy
+    require(effPartitionBy == tablePartitioning,
+      s"append partitionBy (${partitionBy.mkString(",")}) does not match " +
+      s"the table's partitioning (${tablePartitioning.mkString(",")}) — " +
+      "a mismatched layout would corrupt partition re-attachment")
     val adds = collectAddStats(df.sparkSession, base,
-      stageAdds(df, base, partitionBy),
-      StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
+      stageAdds(df, base, effPartitionBy),
+      StructType(df.schema.filterNot(f => effPartitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(
       throw new IllegalStateException(s"append to non-existent table $base"))
     commitReconciled(base, v, adds.map(addJson(_, base)),
@@ -1620,8 +1633,23 @@ object DeltaInterop {
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
     if (exists) requirePhysicalNames(spark, base, df)
-    val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
-      StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
+    // existing tables: inherit/validate partitioning exactly as
+    // `append` does (a flat-staged batch into a partitioned table
+    // would read back NULL partition values)
+    val effPartitionBy = snapOpt match {
+      case Some(snap) =>
+        val eff = if (partitionBy.isEmpty) snap.partitionColumns
+                  else partitionBy
+        require(eff == snap.partitionColumns,
+          s"append partitionBy (${partitionBy.mkString(",")}) does not " +
+          s"match the table's partitioning " +
+          s"(${snap.partitionColumns.mkString(",")})")
+        eff
+      case None => partitionBy
+    }
+    val adds = collectAddStats(spark, base,
+      stageAdds(df, base, effPartitionBy),
+      StructType(df.schema.filterNot(f => effPartitionBy.contains(f.name))))
     val txnLine = {
       val node = mapper.createObjectNode()
       val t = node.putObject("txn")

@@ -46,6 +46,32 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got.agg(sum("bucket")).head().getLong(0) == (0 until 20).map(_ % 4).sum)
   }
 
+  test("append into a partitioned table inherits the table's partitioning") {
+    val base = tmp()
+    val df = spark.range(12).select(col("id"),
+      (col("id") % 3).cast("int").as("bucket"))
+    DeltaInterop.overwrite(df, base, partitionBy = Seq("bucket"))
+    // no partitionBy given: append must stage per-partition with
+    // partitionValues in the add actions, or the read re-attaches NULLs
+    DeltaInterop.append(
+      spark.range(100, 106).select(col("id"),
+        (col("id") % 3).cast("int").as("bucket")), base)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 18)
+    assert(got.where(col("bucket").isNull).count() == 0)
+    assert(got.where(col("id") >= 100).agg(sum("bucket")).head().getLong(0) ==
+      (100 until 106).map(_ % 3).sum)
+    DeltaInterop.snapshot(spark, base).files.foreach { f =>
+      assert(f.partitionValues.keySet == Set("bucket"),
+        s"append staged ${f.path} without partition values")
+    }
+    // an explicitly mismatched layout refuses instead of corrupting
+    val err = intercept[IllegalArgumentException] {
+      DeltaInterop.append(df, base, partitionBy = Seq("id"))
+    }
+    assert(err.getMessage.contains("does not match"))
+  }
+
   test("overwrite removes prior files; time travel still sees them") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(5).toDF("id"), base)

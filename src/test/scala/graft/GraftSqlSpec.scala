@@ -485,6 +485,95 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE / CTAS create, register, and round-trip all formats") {
+    import graft.sources.{DeltaInterop, IcebergInterop}
+    // empty CREATE on graft-log: schema-only commit, INSERT then works
+    val lbase = freshBase("create_log")
+    val res = GraftSql.sql(spark,
+      s"CREATE TABLE sql_cr_l (k BIGINT, v DOUBLE) USING graftlog " +
+      s"LOCATION '$lbase'")
+    assert(res.select("operation").head().getString(0) == "CREATE TABLE")
+    assert(spark.sql("SELECT count(*) AS n FROM sql_cr_l")
+      .head().getLong(0) == 0L)
+    GraftSql.sql(spark,
+      "INSERT INTO sql_cr_l SELECT CAST(1 AS BIGINT) AS k, 1.5 AS v")
+    assert(GraftLog.read(spark, lbase).as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5)))
+    // CTAS on delta, partitioned, with properties
+    val dbase = freshBase("create_delta")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_ctas_src")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE sql_cr_d USING delta PARTITIONED BY (part)
+          TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+          LOCATION '$dbase'
+          AS SELECT * FROM sql_ctas_src""")
+    val snap = DeltaInterop.snapshot(spark, dbase)
+    assert(snap.partitionColumns == Seq("part"))
+    assert(snap.configuration("delta.enableChangeDataFeed") == "true")
+    assert(spark.sql("SELECT sum(v) AS s FROM sql_cr_d")
+      .head().getDouble(0) == 6.0)
+    // CTAS on iceberg
+    val ibase = freshBase("create_ice")
+    GraftSql.sql(spark,
+      s"CREATE TABLE sql_cr_i USING iceberg LOCATION '$ibase' " +
+      "AS SELECT * FROM sql_ctas_src")
+    assert(IcebergInterop.read(spark, ibase).count() == 3)
+    // CREATE over an existing table refuses; IF NOT EXISTS registers
+    val dup = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE sql_cr_l2 (k BIGINT) USING graftlog " +
+        s"LOCATION '$lbase'")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    GraftSql.sql(spark,
+      s"CREATE TABLE IF NOT EXISTS sql_cr_l2 (k BIGINT) USING graftlog " +
+      s"LOCATION '$lbase'")
+    assert(spark.sql("SELECT count(*) AS n FROM sql_cr_l2")
+      .head().getLong(0) == 1L) // registered the EXISTING data, no wipe
+    // LOCATION is required; USING parquet falls through to Spark
+    val noLoc = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE TABLE sql_cr_x (k INT) USING graftlog")
+    }
+    assert(noLoc.getMessage.contains("LOCATION"))
+  }
+
+  test("TRUNCATE TABLE empties contents, keeps the definition; DROP unregisters") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("trunc_delta")
+    DeltaInterop.overwrite(
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "part", "v").coalesce(1),
+      base, partitionBy = Seq("part"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val before = DeltaInterop.snapshot(spark, base)
+    GraftSql.registerDeltaTable(spark, "sql_trunc_t", base)
+    GraftSql.sql(spark, "TRUNCATE TABLE sql_trunc_t")
+    val after = DeltaInterop.snapshot(spark, base)
+    assert(spark.sql("SELECT count(*) AS n FROM sql_trunc_t")
+      .head().getLong(0) == 0L)
+    assert(after.partitionColumns == before.partitionColumns)
+    assert(after.configuration == before.configuration)
+    assert(after.tableId == before.tableId)
+    // schema survives: INSERT with the original shape still works
+    GraftSql.sql(spark,
+      "INSERT INTO sql_trunc_t SELECT CAST(9 AS BIGINT) AS k, " +
+      "'z' AS part, 9.0 AS v")
+    assert(spark.sql("SELECT k FROM sql_trunc_t").as[Long].head() == 9L)
+    // DROP TABLE: name gone, files stay
+    GraftSql.sql(spark, "DROP TABLE sql_trunc_t")
+    intercept[Exception] {
+      GraftSql.sql(spark, "DELETE FROM sql_trunc_t WHERE k = 9").collect()
+    }
+    assert(new File(base, "_delta_log").exists(), "DROP keeps the files")
+    // PURGE deletes the directory
+    val pbase = freshBase("drop_purge")
+    GraftLog.overwriteClustered(Seq((1L, 1.0)).toDF("k", "v"), pbase,
+      Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "sql_purge_t", pbase)
+    GraftSql.sql(spark, "DROP TABLE sql_purge_t PURGE")
+    assert(!new File(pbase).exists())
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
