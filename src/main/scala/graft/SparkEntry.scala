@@ -2154,6 +2154,88 @@ object SparkEntry {
          GROUP BY d.o_orderstatus ORDER BY status""")
   }
 
+  /** SQL column lifecycle (q200): `RENAME COLUMN` and `DROP COLUMN`
+    * statements across all three formats, each through its own honest
+    * mechanism — Delta upgrades to column mapping (`SET TBLPROPERTIES`)
+    * then edits metadata only; Iceberg renames/retires field ids;
+    * graft-log rewrites copy-on-write (name-resolved format). Every leg
+    * then INSERTs under the evolved schema, so a rename that NULLed old
+    * data, a drop that resurrected on re-read, or an insert that missed
+    * the new layout all hash-mismatch against the oracle's replay from
+    * the source tables. Fresh hard-link copies per run: the statements
+    * ARE the operator. */
+  private def qSqlColumnLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{GraftLog, GraftSql}
+    import graft.sources.{DeltaInterop, IcebergInterop}
+    // Delta: customer
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("c_acctbal"),
+        col("c_mktsegment"))
+    val dbase = freshCopyFixture("delta_lifecycle_customer", dir, "customer") {
+      p => DeltaInterop.overwrite(cust.coalesce(2), p)
+    }
+    GraftSql.registerDeltaTable(s, "q200_d", dbase)
+    GraftSql.sql(s, "ALTER TABLE q200_d SET TBLPROPERTIES " +
+      "('delta.columnMapping.mode' = 'name')")
+    GraftSql.sql(s, "ALTER TABLE q200_d RENAME COLUMN c_acctbal TO balance")
+    GraftSql.sql(s, "ALTER TABLE q200_d DROP COLUMN c_mktsegment")
+    cust.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        col("c_nationkey"),
+        (col("c_acctbal") + lit(100)).cast(DecimalType(18, 2)).as("balance"))
+      .createOrReplaceTempView("q200_d_src")
+    GraftSql.sql(s, "INSERT INTO q200_d SELECT * FROM q200_d_src")
+    // Iceberg: supplier
+    val supp = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast(DecimalType(18, 2)).as("s_acctbal"),
+        col("s_name"))
+    val ibase = freshCopyFixture("ice_lifecycle_supplier", dir, "supplier") {
+      p => IcebergInterop.overwrite(supp.coalesce(2), p)
+    }
+    GraftSql.registerIcebergTable(s, "q200_i", ibase)
+    GraftSql.sql(s, "ALTER TABLE q200_i RENAME COLUMN s_acctbal TO balance")
+    GraftSql.sql(s, "ALTER TABLE q200_i DROP COLUMN s_name")
+    supp.filter(col("s_suppkey") % 7 === 0)
+      .select((col("s_suppkey") + lit(10000000L)).as("s_suppkey"),
+        col("s_nationkey"),
+        (col("s_acctbal") + lit(100)).cast(DecimalType(18, 2)).as("balance"))
+      .createOrReplaceTempView("q200_i_src")
+    GraftSql.sql(s, "INSERT INTO q200_i SELECT * FROM q200_i_src")
+    // graft-log: part (copy-on-write rewrites)
+    val prt = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice").cast(DecimalType(18, 2)).as("p_retailprice"),
+        col("p_type"))
+    val lbase = freshCopyFixture("log_lifecycle_part", dir, "part") { p =>
+      GraftLog.overwriteClustered(prt, p, Seq("p_partkey"), nFiles = 2)
+    }
+    GraftSql.registerTable(s, "q200_l", lbase)
+    GraftSql.sql(s, "ALTER TABLE q200_l RENAME COLUMN p_retailprice TO price")
+    GraftSql.sql(s, "ALTER TABLE q200_l DROP COLUMN p_type")
+    prt.filter(col("p_partkey") % 17 === 0)
+      .select((col("p_partkey") + lit(10000000L)).as("p_partkey"),
+        col("p_brand"),
+        (col("p_retailprice") + lit(100)).cast(DecimalType(18, 2)).as("price"))
+      .createOrReplaceTempView("q200_l_src")
+    GraftSql.sql(s, "INSERT INTO q200_l SELECT * FROM q200_l_src")
+    s.sql(
+      """SELECT fmt, grp, n_rows, total FROM (
+           SELECT 'delta' AS fmt, CAST(c_nationkey AS STRING) AS grp,
+                  count(*) AS n_rows, CAST(sum(balance) AS DOUBLE) AS total
+           FROM q200_d GROUP BY c_nationkey
+           UNION ALL
+           SELECT 'iceberg', CAST(s_nationkey AS STRING),
+                  count(*), CAST(sum(balance) AS DOUBLE)
+           FROM q200_i GROUP BY s_nationkey
+           UNION ALL
+           SELECT 'log', p_brand,
+                  count(*), CAST(sum(price) AS DOUBLE)
+           FROM q200_l GROUP BY p_brand
+         ) ORDER BY fmt, grp""")
+  }
+
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
     * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
     * table's CONTENTS while preserving its definition (partitioning,
@@ -4464,6 +4546,7 @@ object SparkEntry {
     "q197_sql_time_travel" -> (qSqlTimeTravel _),
     "q198_iceberg_orphan_cleanup" -> (qIcebergOrphanCleanup _),
     "q199_sql_ddl_lifecycle" -> (qSqlDdl _),
+    "q200_sql_column_lifecycle" -> (qSqlColumnLifecycle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5443,6 +5526,43 @@ object SparkEntry {
          count(CASE WHEN o_orderkey % 11 = 0 THEN 1 END) AS n_log
          FROM orders WHERE o_orderkey % 3 IN (0, 1)
          GROUP BY o_orderstatus ORDER BY status""",
+    "q200_sql_column_lifecycle" ->
+      """SELECT fmt, grp, n_rows, total FROM (
+           SELECT 'delta' AS fmt, CAST(c_nationkey AS VARCHAR) AS grp,
+                  count(*) AS n_rows, CAST(sum(bal) AS DOUBLE) AS total
+           FROM (
+             SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+             FROM customer
+             UNION ALL
+             SELECT c_nationkey,
+                    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100
+                         AS DECIMAL(18,2))
+             FROM customer WHERE c_custkey % 13 = 0
+           ) GROUP BY c_nationkey
+           UNION ALL
+           SELECT 'iceberg', CAST(s_nationkey AS VARCHAR),
+                  count(*), CAST(sum(bal) AS DOUBLE)
+           FROM (
+             SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+             FROM supplier
+             UNION ALL
+             SELECT s_nationkey,
+                    CAST(CAST(s_acctbal AS DECIMAL(18,2)) + 100
+                         AS DECIMAL(18,2))
+             FROM supplier WHERE s_suppkey % 7 = 0
+           ) GROUP BY s_nationkey
+           UNION ALL
+           SELECT 'log', p_brand, count(*), CAST(sum(price) AS DOUBLE)
+           FROM (
+             SELECT p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+             FROM part
+             UNION ALL
+             SELECT p_brand,
+                    CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 100
+                         AS DECIMAL(18,2))
+             FROM part WHERE p_partkey % 17 = 0
+           ) GROUP BY p_brand
+         ) ORDER BY fmt, grp""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

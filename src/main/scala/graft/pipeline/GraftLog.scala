@@ -505,6 +505,48 @@ object GraftLog {
     -1L // unreachable
   }
 
+  /** Schema evolution by REWRITE — the graft-log RENAME/DROP COLUMN
+    * shape. The format resolves columns by NAME and records no field
+    * ids, so a metadata-only rename would silently NULL the column and
+    * a metadata-only drop would let a later re-ADD of the same name
+    * RESURRECT old file data (the hazards Delta solves with column
+    * mapping and Iceberg with field ids). These are therefore honest
+    * copy-on-write: ONE guarded overwrite commit staging the projected
+    * table — O(table), loud and predictable, deletion vectors folded
+    * in. At 100 TB prefer the Delta/Iceberg legs (O(1) metadata) for
+    * evolution-heavy schemas, or run these as maintenance. */
+  def renameColumnRewrite(spark: SparkSession, base: String,
+                          from: String, to: String): Long = {
+    val snap = snapshot(base)
+    val current = read(spark, base)
+    require(current.columns.contains(from), s"no column '$from' in $base")
+    require(!current.columns.contains(to),
+      s"column '$to' already exists in $base")
+    rewriteAs(base, snap, current.withColumnRenamed(from, to),
+      "renameColumn")
+  }
+
+  def dropColumnsRewrite(spark: SparkSession, base: String,
+                         cols: Seq[String]): Long = {
+    val snap = snapshot(base)
+    val current = read(spark, base)
+    require(cols.nonEmpty, "DROP COLUMNS: no columns given")
+    cols.foreach(c => require(current.columns.contains(c),
+      s"no column '$c' in $base"))
+    require(cols.toSet != current.columns.toSet,
+      s"cannot drop every column of $base")
+    rewriteAs(base, snap, current.drop(cols: _*), "dropColumns")
+  }
+
+  private def rewriteAs(base: String, snap: Snapshot, projected: DataFrame,
+                        op: String): Long = {
+    val staged = stageFiles(projected, base) // materialized BEFORE commit
+    commit(base, op, staged, snap.files,
+      schemaJson = Some(projected.schema.json),
+      expectedVersion = Some(snap.version),
+      removeDv = snap.dvFiles)
+  }
+
   /** MERGE by key: same-key rows replaced, new keys appended — one atomic
     * commit swapping the old file set for the merged one. (At 100 TB:
     * partition the table and rewrite only partitions holding matched

@@ -140,6 +140,20 @@ object GraftSql {
           if tablesOf(spark)
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runAddColumns(spark, t.multipartIdentifier.last.toLowerCase, cols)
+      case RenameColumn(t: UnresolvedTable, column, newName)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runRenameColumn(spark, t.multipartIdentifier.last.toLowerCase,
+          column.name, newName)
+      case DropColumns(t: UnresolvedTable, columns, ifExists)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runDropColumns(spark, t.multipartIdentifier.last.toLowerCase,
+          columns.map(_.name), ifExists)
+      case SetTableProperties(t: UnresolvedTable, props)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runSetProperties(spark, t.multipartIdentifier.last.toLowerCase, props)
       case c: CreateTable =>
         (ddlName(c.name), specProvider(c.tableSpec)) match {
           case (Some(name), Some(p)) =>
@@ -349,6 +363,90 @@ object GraftSql {
     }
     refreshView(spark, name, h)
     result(spark, "TRUNCATE TABLE", v)
+  }
+
+  /** `ALTER TABLE <t> RENAME COLUMN a TO b`: O(1) metadata on the
+    * formats whose resolution survives it (Delta under column mapping
+    * — ids+physicalName unchanged; Iceberg by field id), an HONEST
+    * copy-on-write rewrite on graft-log (name-resolved format, no ids
+    * to hide behind — `GraftLog.renameColumnRewrite`'s scaladoc has
+    * the full hazard analysis). Nested paths refuse. */
+  private def runRenameColumn(spark: SparkSession, name: String,
+                              path: Seq[String], newName: String): DataFrame = {
+    require(path.length == 1,
+      s"RENAME COLUMN: nested field '${path.mkString(".")}' is not " +
+      "supported — only top-level columns")
+    val h = tablesOf(spark).get(name)
+    val v = h match {
+      case LogTable(base) =>
+        GraftLog.renameColumnRewrite(spark, base, path.head, newName)
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.renameColumn(spark, base, path.head, newName)
+      case IceTable(base) =>
+        graft.sources.IcebergInterop.renameColumn(base, path.head, newName)
+    }
+    refreshView(spark, name, h)
+    result(spark, "RENAME COLUMN", v)
+  }
+
+  /** `ALTER TABLE <t> DROP COLUMN[S] ...`: metadata-only narrowing on
+    * Delta (column mapping required — fresh ids make a later re-ADD
+    * safe) and Iceberg (field-id retirement), copy-on-write rewrite on
+    * graft-log. IF EXISTS filters to the columns actually present. */
+  private def runDropColumns(spark: SparkSession, name: String,
+                             paths: Seq[Seq[String]],
+                             ifExists: Boolean): DataFrame = {
+    paths.foreach(p => require(p.length == 1,
+      s"DROP COLUMNS: nested field '${p.mkString(".")}' is not " +
+      "supported — only top-level columns"))
+    val h = tablesOf(spark).get(name)
+    val have = spark.table(name).columns.toSet
+    val cols = paths.map(_.head).filter(c => !ifExists || have.contains(c))
+    if (cols.isEmpty) return result(spark, "DROP COLUMNS", -1L)
+    val v = h match {
+      case LogTable(base) =>
+        GraftLog.dropColumnsRewrite(spark, base, cols)
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.dropColumns(spark, base, cols)
+      case IceTable(base) =>
+        cols.map(c =>
+          graft.sources.IcebergInterop.dropColumn(spark, base, c)).last
+    }
+    refreshView(spark, name, h)
+    result(spark, "DROP COLUMNS", v)
+  }
+
+  /** `ALTER TABLE <t> SET TBLPROPERTIES (...)`: Delta tables merge the
+    * properties into metaData.configuration —
+    * `'delta.columnMapping.mode'='name'` routes through the proper
+    * mapping UPGRADE (ids + physicalNames assigned, protocol raised),
+    * which is what unlocks RENAME/DROP COLUMN there. graft-log and
+    * Iceberg tables have no property store here and refuse rather than
+    * silently dropping the assignment. */
+  private def runSetProperties(spark: SparkSession, name: String,
+                               props: Map[String, String]): DataFrame = {
+    val h = tablesOf(spark).get(name)
+    val v = h match {
+      case DeltaTable(base) =>
+        val mappingReq = props.get("delta.columnMapping.mode")
+        mappingReq.foreach(m => require(m == "name",
+          s"delta.columnMapping.mode '$m' is not an upgrade target " +
+          "(mode 'id' needs parquet field ids pre-upgrade files lack)"))
+        val rest = props - "delta.columnMapping.mode"
+        val v1 =
+          if (mappingReq.isDefined)
+            graft.sources.DeltaInterop.enableColumnMapping(spark, base)
+          else -1L
+        if (rest.nonEmpty)
+          graft.sources.DeltaInterop.setProperties(spark, base, rest)
+        else v1
+      case other => throw new IllegalArgumentException(
+        s"SET TBLPROPERTIES is supported on Delta tables only " +
+        s"(${other.getClass.getSimpleName.stripSuffix("$")} has no " +
+        "property store)")
+    }
+    refreshView(spark, name, h)
+    result(spark, "SET TBLPROPERTIES", v)
   }
 
   /** `ALTER TABLE <t> ADD COLUMNS (c1 T1, ...)` on a registered table:

@@ -1194,21 +1194,47 @@ object DeltaInterop {
     v
   }
 
-  /** On a column-mapped table, appended frames must already carry
-    * PHYSICAL column names (data files never hold logical names under
-    * mapping) — staging logical names would make every mapped read of
-    * the new file silently NULL. */
-  private def requirePhysicalNames(spark: SparkSession, base: String,
-                                   df: DataFrame): Unit = {
-    val snap = snapshot(spark, base)
-    if (snap.columnMappingMode != "none") {
-      val physical = snap.schema.fieldNames.map(snap.physicalName).toSet
-      val bad = df.schema.fieldNames.filterNot(physical.contains)
-      require(bad.isEmpty,
-        s"append to column-mapped table $base: columns ${bad.mkString(",")} " +
-        s"are not physical names (expected among $physical) — a logical-" +
-        "named file would read back NULL (refusing)")
-    }
+  /** Conform an appended frame to a column-mapped table's PHYSICAL
+    * layout — data files never hold logical names under mapping, so a
+    * logical-named file would make every mapped read of it silently
+    * NULL. Frames named by the LOGICAL schema (what SQL INSERT and
+    * every API caller naturally holds) are renamed to their physical
+    * names; frames already fully physical pass through name-unchanged
+    * (a frame whose names are ALL valid physical names is treated as
+    * physical — that check runs first). In `id` mode every staged
+    * column is additionally stamped with its mapping id as the parquet
+    * field id, the resolution key id-mode readers use. Unmapped tables
+    * return the frame untouched. */
+  private def conformToPhysical(snap: DeltaSnapshot, df: DataFrame): DataFrame = {
+    if (snap.columnMappingMode == "none") return df
+    val physToLogical =
+      snap.schema.fieldNames.map(n => snap.physicalName(n) -> n).toMap
+    val logicalOf: String => String =
+      if (df.schema.fieldNames.forall(physToLogical.contains)) physToLogical
+      else {
+        val logical = snap.schema.fieldNames.toSet
+        val bad = df.schema.fieldNames.filterNot(logical.contains)
+        require(bad.isEmpty,
+          s"append to column-mapped table: columns ${bad.mkString(",")} " +
+          s"are neither physical nor logical names of the table " +
+          s"(logical: ${logical.mkString(",")}) — a mismatched file " +
+          "would read back NULL (refusing)")
+        identity
+      }
+    val idMode = snap.columnMappingMode == "id"
+    if (idMode)
+      df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fieldNames.map { n =>
+      val logical = logicalOf(n)
+      val phys = snap.physicalName(logical)
+      if (idMode) {
+        val id = snap.fieldId(logical).getOrElse(throw new IllegalStateException(
+          s"columnMapping.mode=id but field '$logical' has no " +
+          "delta.columnMapping.id — corrupt metadata (refusing)"))
+        col(n).as(phys,
+          new MetadataBuilder().putLong("parquet.field.id", id).build())
+      } else col(n).as(phys)
+    }: _*)
   }
 
   /** Append rows (no existing file touched). Commits through the OCC
@@ -1217,27 +1243,28 @@ object DeltaInterop {
     * no existing file), this commit rebases onto the next version —
     * two interleaved disjoint appends both land, as Delta's optimistic
     * protocol prescribes. */
-  def append(df: DataFrame, base: String,
+  def append(df0: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
-    requirePhysicalNames(df.sparkSession, base, df)
+    val snap = snapshot(df0.sparkSession, base)
+    val df = conformToPhysical(snap, df0)
     // appends INHERIT the table's partitioning: a partitioned table's
     // read path takes partition values from add.partitionValues (the
     // protocol's source of truth, data files don't carry the columns),
     // so an append staged flat would read every partition value as
     // NULL. A caller-specified layout must MATCH for the same reason.
-    val tablePartitioning =
-      snapshot(df.sparkSession, base).partitionColumns
+    val tablePartitioning = snap.partitionColumns // logical names
     val effPartitionBy =
       if (partitionBy.isEmpty) tablePartitioning else partitionBy
     require(effPartitionBy == tablePartitioning,
       s"append partitionBy (${partitionBy.mkString(",")}) does not match " +
       s"the table's partitioning (${tablePartitioning.mkString(",")}) — " +
       "a mismatched layout would corrupt partition re-attachment")
+    // staging and partitionValues keys are physical-named
+    val physParts = effPartitionBy.map(snap.physicalName)
     val adds = collectAddStats(df.sparkSession, base,
-      stageAdds(df, base, effPartitionBy),
-      StructType(df.schema.filterNot(f => effPartitionBy.contains(f.name))))
-    val v = currentVersion(base).map(_ + 1).getOrElse(
-      throw new IllegalStateException(s"append to non-existent table $base"))
+      stageAdds(df, base, physParts),
+      StructType(df.schema.filterNot(f => physParts.contains(f.name))))
+    val v = snap.version + 1
     commitReconciled(base, v, adds.map(addJson(_, base)),
       operation = "WRITE", removedPaths = Set.empty)
   }
@@ -1543,18 +1570,162 @@ object DeltaInterop {
     * id + physical name, a writer feature this engine doesn't claim. */
   def addColumns(spark: SparkSession, base: String, cols: StructType): Long = {
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode == "none",
-      "ADD COLUMNS on a column-mapped Delta table is not implemented " +
-      "(needs mapping id + physicalName assignment) — refusing")
     cols.fieldNames.foreach(n => require(!snap.schema.fieldNames.contains(n),
       s"column '$n' already exists in $base"))
-    val widened = StructType(snap.schema.fields ++
-      cols.fields.map(_.copy(nullable = true)))
+    // on a mapped table every new field needs a fresh mapping id +
+    // physical name (ids are never reused — that's what makes a later
+    // DROP + re-ADD of the same name safe from old-file resurrection)
+    val (newFields, newCfg) =
+      if (snap.columnMappingMode == "none")
+        (cols.fields.toSeq.map(_.copy(nullable = true)), snap.configuration)
+      else {
+        val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(
+            snap.schema.fieldNames.flatMap(n => snap.fieldId(n)).max)
+        val fs = cols.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          val id = maxId + 1 + i
+          f.copy(nullable = true,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", id)
+              .putString("delta.columnMapping.physicalName", s"col-$id")
+              .build())
+        }
+        (fs, snap.configuration +
+          ("delta.columnMapping.maxColumnId" -> (maxId + cols.size).toString))
+      }
+    val widened = StructType(snap.schema.fields ++ newFields)
     val v = snap.version + 1
     writeCommit(base, v, Seq(
-      metaJson(widened, snap.partitionColumns, UUID.randomUUID().toString,
-        snap.configuration)),
+      metaJson(widened, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString), newCfg)),
       operation = "ADD COLUMNS")
+    v
+  }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES` (minus the column-mapping
+    * upgrade, which `enableColumnMapping` owns): one metadata commit
+    * merging the properties into the configuration. Properties that
+    * would declare contracts this engine does not uphold are refused at
+    * WRITE time by the DML layer's feature gate, not silently here. */
+  def setProperties(spark: SparkSession, base: String,
+                    props: Map[String, String]): Long = {
+    require(!props.contains("delta.columnMapping.mode"),
+      "column mapping is enabled through enableColumnMapping (it " +
+      "assigns ids and physical names), not a raw property set")
+    val snap = snapshot(spark, base)
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(
+      metaJson(snap.schema, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration ++ props)),
+      operation = "SET TBLPROPERTIES")
+    v
+  }
+
+  /** Upgrade an unmapped table to columnMapping mode `name`, the shape
+    * delta-spark's `ALTER TABLE ... SET TBLPROPERTIES
+    * ('delta.columnMapping.mode'='name')` produces: every existing
+    * field gets a mapping id and physicalName = its CURRENT name — the
+    * files on disk carry exactly those names, which is what makes the
+    * upgrade metadata-only — the protocol declares the feature, and
+    * RENAME/DROP COLUMN become pure logical-schema edits from then on.
+    * Mode `id` is not an upgrade target: it resolves by parquet field
+    * ids, which pre-upgrade data files do not carry. Idempotent on
+    * already-mapped tables. */
+  def enableColumnMapping(spark: SparkSession, base: String): Long = {
+    val snap = snapshot(spark, base)
+    if (snap.columnMappingMode != "none") return snap.version
+    val mapped = StructType(snap.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+    })
+    val cfg = snap.configuration ++ Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> snap.schema.size.toString)
+    // legacy protocols take the legacy route (reader 2 / writer 5
+    // implies columnMapping — feature arrays are INVALID below 3/7);
+    // tables already on table features declare it explicitly
+    val proto =
+      if (snap.minReaderVersion >= 3 || snap.minWriterVersion >= 7)
+        upgradeProtocolJson(snap,
+          Set("columnMapping"), Set("columnMapping"), 3, 7)
+      else {
+        val r = math.max(2, snap.minReaderVersion)
+        val w = math.max(5, snap.minWriterVersion)
+        s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w}}"""
+      }
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(proto,
+      metaJson(mapped, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString), cfg)),
+      operation = "SET TBLPROPERTIES")
+    v
+  }
+
+  /** `ALTER TABLE RENAME COLUMN`: a pure logical-schema edit under
+    * column mapping — the field's mapping id and physicalName ride
+    * along unchanged, so no data file, stat key, deletion vector or
+    * partitionValues key (all physical-named) is touched; O(1) in
+    * table size. Unmapped tables refuse: their files carry the logical
+    * name itself, so a metadata rename would silently NULL the column
+    * (enable mapping first). Partition-column renames carry through
+    * metaData.partitionColumns (logical names by protocol). */
+  def renameColumn(spark: SparkSession, base: String,
+                   from: String, to: String): Long = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode != "none",
+      s"RENAME COLUMN on $base requires column mapping (unmapped data " +
+      "files carry the logical names, so a metadata-only rename would " +
+      "silently NULL the column) — ALTER TABLE ... SET TBLPROPERTIES " +
+      "('delta.columnMapping.mode'='name') first")
+    require(snap.schema.fieldNames.contains(from),
+      s"no column '$from' in $base")
+    require(!snap.schema.fieldNames.contains(to),
+      s"column '$to' already exists in $base")
+    val renamed = StructType(snap.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val parts = snap.partitionColumns.map(p => if (p == from) to else p)
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(
+      metaJson(renamed, parts,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration)),
+      operation = "RENAME COLUMN")
+    v
+  }
+
+  /** `ALTER TABLE DROP COLUMNS`: logical-schema narrowing under column
+    * mapping — data files keep the physical column as dead weight
+    * (reclaimed by the next rewrite of each file), reads simply stop
+    * projecting it. Mapping is required for SAFETY, not mechanics: a
+    * later re-ADD of the same name gets a fresh id + physical name, so
+    * old file data cannot resurrect under the new column — the exact
+    * hazard an unmapped drop would create. Partition columns refuse
+    * (the table layout depends on them). */
+  def dropColumns(spark: SparkSession, base: String,
+                  cols: Seq[String]): Long = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode != "none",
+      s"DROP COLUMN on $base requires column mapping (an unmapped drop " +
+      "would let a later re-ADD of the same name resurrect old file " +
+      "data) — ALTER TABLE ... SET TBLPROPERTIES " +
+      "('delta.columnMapping.mode'='name') first")
+    require(cols.nonEmpty, "DROP COLUMNS: no columns given")
+    cols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"no column '$c' in $base"))
+    cols.foreach(c => require(!snap.partitionColumns.contains(c),
+      s"cannot drop partition column '$c' of $base"))
+    val narrowed = StructType(snap.schema.filterNot(f => cols.contains(f.name)))
+    require(narrowed.nonEmpty, s"cannot drop every column of $base")
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(
+      metaJson(narrowed, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration)),
+      operation = "DROP COLUMNS")
     v
   }
 
@@ -1607,7 +1778,8 @@ object DeltaInterop {
     // would strip column mapping from a mapped table (silent NULLs)
     writeCommit(base, v,
       Seq(metaJson(tgt.schema, tgt.partitionColumns,
-        UUID.randomUUID().toString, tgt.configuration)) ++
+        cur.tableId.getOrElse(UUID.randomUUID().toString),
+        tgt.configuration)) ++
         removes.map(r => removeJson(r.path, r.dv, dataChange = true)) ++
         adds.map(addJson(_, base, dataChange = true)),
       operation = "RESTORE")
@@ -1624,18 +1796,19 @@ object DeltaInterop {
     * table (protocol + metaData from `df`'s schema) if absent, so a
     * streaming sink needs no out-of-band DDL. Returns whether the
     * append was applied. */
-  def appendIdempotent(df: DataFrame, base: String, appId: String,
+  def appendIdempotent(df0: DataFrame, base: String, appId: String,
                        txnVersion: Long,
                        partitionBy: Seq[String] = Seq.empty): Boolean = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val exists = logDir(base).isDirectory
     val snapOpt = if (exists) Some(snapshot(spark, base)) else None
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
-    if (exists) requirePhysicalNames(spark, base, df)
+    val df = snapOpt.map(conformToPhysical(_, df0)).getOrElse(df0)
     // existing tables: inherit/validate partitioning exactly as
     // `append` does (a flat-staged batch into a partitioned table
-    // would read back NULL partition values)
+    // would read back NULL partition values); staging keys are
+    // physical-named on mapped tables
     val effPartitionBy = snapOpt match {
       case Some(snap) =>
         val eff = if (partitionBy.isEmpty) snap.partitionColumns
@@ -1644,7 +1817,7 @@ object DeltaInterop {
           s"append partitionBy (${partitionBy.mkString(",")}) does not " +
           s"match the table's partitioning " +
           s"(${snap.partitionColumns.mkString(",")})")
-        eff
+        eff.map(snap.physicalName)
       case None => partitionBy
     }
     val adds = collectAddStats(spark, base,

@@ -952,17 +952,45 @@ object IcebergInterop {
     }
   }
 
-  /** Stamp `parquet.field.id` metadata (ids 1..n, matching schemaJson's
-    * assignment) onto a frame so staged parquet files carry Iceberg
-    * field ids — the physical half of id-based column resolution. A
-    * plain Catalyst projection: no RDD round trip. */
-  private def withFieldIds(df: DataFrame): DataFrame = {
+  /** name → Iceberg field id, positionally (ids 1..n) — the
+    * CREATION-time assignment. Only valid for a fresh table layout:
+    * after a DROP COLUMN the live schema has id gaps, and positional
+    * stamping would bind new data to the wrong (possibly dropped)
+    * fields. */
+  private def positionalIdOf(schema: StructType): String => Long = {
+    val m = schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1L) }.toMap
+    n => m.getOrElse(n, throw new IllegalArgumentException(
+      s"no field '$n' in ${schema.fieldNames.mkString(",")}"))
+  }
+
+  /** name → field id from a snapshot-parsed table schema (ids ride in
+    * each field's `parquet.field.id` metadata) — what every write into
+    * an EXISTING table must stamp. Falls back to positional only when
+    * the schema carries no ids at all (hand-crafted v1 fixtures). */
+  private def schemaIdOf(schema: StructType): String => Long = {
+    val m = schema.fields.flatMap { f =>
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.name -> f.metadata.getLong("parquet.field.id")) else None
+    }.toMap
+    if (m.size == schema.size)
+      n => m.getOrElse(n, throw new IllegalArgumentException(
+        s"no field '$n' in ${schema.fieldNames.mkString(",")}"))
+    else positionalIdOf(schema)
+  }
+
+  /** Stamp `parquet.field.id` metadata onto a frame so staged parquet
+    * files carry Iceberg field ids — the physical half of id-based
+    * column resolution. `idOf` supplies the per-name id (positional at
+    * creation, the TABLE's ids for any write into an existing table).
+    * A plain Catalyst projection: no RDD round trip. */
+  private def withFieldIds(df: DataFrame, idOf: String => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+    df.select(df.schema.fields.map { f =>
       col(f.name).as(f.name,
         new MetadataBuilder().withMetadata(f.metadata)
-          .putLong("parquet.field.id", i + 1L).build())
+          .putLong("parquet.field.id", idOf(f.name)).build())
     }.toSeq: _*)
   }
 
@@ -972,7 +1000,7 @@ object IcebergInterop {
     * A bound lands only when BOTH min and max are representable —
     * one-sided bounds would make the admit test asymmetric. */
   private def collectBounds(spark: SparkSession, schema: StructType,
-                            staged: Seq[File])
+                            staged: Seq[File], idOf: String => Long)
       : Map[String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
     import org.apache.spark.sql.functions._
     def orderable(dt: DataType): Boolean = dt match {
@@ -993,11 +1021,11 @@ object IcebergInterop {
       .map { r =>
         val lo = Map.newBuilder[Int, Array[Byte]]
         val hi = Map.newBuilder[Int, Array[Byte]]
-        statCols.zipWithIndex.foreach { case ((f, fieldIdx), i) =>
+        statCols.zipWithIndex.foreach { case ((f, _), i) =>
           for (mn <- SingleValue.encode(f.dataType, r.get(2 + i * 2));
                mx <- SingleValue.encode(f.dataType, r.get(3 + i * 2))) {
-            lo += (fieldIdx + 1) -> mn
-            hi += (fieldIdx + 1) -> mx
+            lo += idOf(f.name).toInt -> mn
+            hi += idOf(f.name).toInt -> mx
           }
         }
         r.getString(0) -> (r.getLong(1), lo.result(), hi.result())
@@ -1140,9 +1168,21 @@ object IcebergInterop {
     val derived = spec.map { case (src, t) => derivedField(df, src, t) }
     val partTypes: Seq[(String, DataType)] =
       derived.map { case (n, _, dt) => n -> dt }
+    // Appends into an existing table must stamp the TABLE's field ids
+    // and carry its schema history forward: after evolution (RENAME
+    // keeps ids, DROP leaves gaps, ADD appends past last-column-id) a
+    // positional 1..n re-mint would bind new data to the wrong fields.
+    // Creates and overwrites mint a fresh positional layout.
+    val appendMeta: Option[JsonNode] =
+      if (mode == "append") prev.filter(m => m.has("schemas")) else None
+    val idOf: String => Long = appendMeta match {
+      case Some(m) => schemaIdOf(
+        DataType.fromJson(icebergSchemaToSparkJson(m)).asInstanceOf[StructType])
+      case None => positionalIdOf(df.schema)
+    }
     // stage through an id-stamped projection so the parquet files carry
     // Iceberg field ids (the physical half of id-based resolution)
-    val dfIds = withFieldIds(df)
+    val dfIds = withFieldIds(df, idOf)
 
     // 1. stage data files. Identity partitioning keeps the partition
     // columns IN the data files (Iceberg's shape, unlike Delta/hive) and
@@ -1192,7 +1232,8 @@ object IcebergInterop {
     // 2. one new manifest for the added files, each entry carrying
     // per-file [lower, upper] bounds per field id (spec field-ids
     // 125/128) — the metadata that lets readRange skip files
-    val boundsByFile = collectBounds(spark, df.schema, dataFiles.map(_._1))
+    val boundsByFile =
+      collectBounds(spark, df.schema, dataFiles.map(_._1), idOf)
     val snapshotId = prev.map(nextSnapshotId).getOrElse(1L)
     val entrySchema = entrySchemaFor(partTypes)
     val mName = s"manifest-$id.avro"
@@ -1253,9 +1294,20 @@ object IcebergInterop {
     val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", committedAtMs)
-    root.put("last-column-id", df.schema.size)
-    root.put("current-schema-id", 0)
-    root.putArray("schemas").add(schemaNode(df.schema))
+    val schemaIdUsed = appendMeta match {
+      case Some(m) =>
+        // carry the evolved schema history VERBATIM: ids, gaps,
+        // last-column-id and all — an append changes data, not schema
+        root.put("last-column-id", m.get("last-column-id").asInt())
+        root.put("current-schema-id", m.get("current-schema-id").asInt())
+        root.set[JsonNode]("schemas", m.get("schemas").deepCopy())
+        m.get("current-schema-id").asInt()
+      case None =>
+        root.put("last-column-id", df.schema.size)
+        root.put("current-schema-id", 0)
+        root.putArray("schemas").add(schemaNode(df.schema))
+        0
+    }
     root.put("default-spec-id", 0)
     val spec0 = root.putArray("partition-specs").addObject()
     spec0.put("spec-id", 0)
@@ -1263,7 +1315,7 @@ object IcebergInterop {
     spec.zipWithIndex.foreach { case ((src, t), i) =>
       val fn = specFields.addObject()
       fn.put("name", derived(i)._1); fn.put("transform", t.spec)
-      fn.put("source-id", df.schema.fieldNames.indexOf(src) + 1) // ids 1..n
+      fn.put("source-id", idOf(src)) // table ids on append, 1..n fresh
       fn.put("field-id", 1000 + i)
     }
     root.put("last-partition-id", 999 + spec.size)
@@ -1284,7 +1336,7 @@ object IcebergInterop {
     val sm = snapNode.putObject("summary")
     sm.put("operation", mode)
     summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
-    snapNode.put("schema-id", 0)
+    snapNode.put("schema-id", schemaIdUsed)
     val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
     Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new File(metaDir, s"v$version.metadata.json")
@@ -1698,11 +1750,12 @@ object IcebergInterop {
     * columns. */
   private def stageDataManifest(df: DataFrame, base: String,
                                 partCols: Seq[String], snapshotId: Long,
-                                idTag: String): File = {
+                                idTag: String,
+                                idOf: String => Long): File = {
     val spark = df.sparkSession
     val metaDir = metadataDir(base)
     val dataDir = new File(base, "data"); dataDir.mkdirs()
-    val dfIds = withFieldIds(df)
+    val dfIds = withFieldIds(df, idOf)
     val dataFiles: Seq[(File, Map[String, Any])] =
       if (partCols.isEmpty) {
         val scratch = new File(base, s".stage_$idTag")
@@ -1742,7 +1795,8 @@ object IcebergInterop {
     val partTypes: Seq[(String, DataType)] =
       partCols.map(c => c -> df.schema(c).dataType)
     val entrySchema = entrySchemaFor(partTypes)
-    val boundsByFile = collectBounds(spark, df.schema, dataFiles.map(_._1))
+    val boundsByFile =
+      collectBounds(spark, df.schema, dataFiles.map(_._1), idOf)
     val entries = dataFiles.map { case (f, pv) =>
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", 1); rec.put("snapshot_id", snapshotId)
@@ -1828,7 +1882,7 @@ object IcebergInterop {
     val delM = stageEqDeleteManifest(spark, base, prev,
       updates.select(keys.map(col): _*), keys, snapshotId, id)
     val dataM = stageDataManifest(updates, base, snap.partitionColumns,
-      snapshotId, id)
+      snapshotId, id, schemaIdOf(snap.schema))
     commitManifestListSnapshot(base, prev,
       currentManifests(base, prev) ++ Seq(
         ManifestRef(delM, 1, snapshotId, snapshotId),
@@ -1909,7 +1963,7 @@ object IcebergInterop {
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
     val dataM = stageDataManifest(updated, base, snap.partitionColumns,
-      snapshotId, id)
+      snapshotId, id, schemaIdOf(snap.schema))
     val carried = carryManifestsWithout(spark, base, prev,
       touched.map(_.rawPath).toSet, survivors)
     commitManifestListSnapshot(base, prev,
@@ -2224,7 +2278,8 @@ object IcebergInterop {
         val bytes = fs.map(f => new File(f.path).length()).sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
         val scratch = new File(base, s".stage_$id-$gi")
-        withFieldIds(live).coalesce(n).write.mode("overwrite")
+        withFieldIds(live, schemaIdOf(snap.schema)).coalesce(n)
+          .write.mode("overwrite")
           .parquet(scratch.getPath)
         val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -2234,7 +2289,8 @@ object IcebergInterop {
             dst
           }.toSeq
         org.apache.commons.io.FileUtils.deleteDirectory(scratch)
-        val boundsByFile = collectBounds(spark, snap.schema, staged)
+        val boundsByFile =
+          collectBounds(spark, snap.schema, staged, schemaIdOf(snap.schema))
         staged.foreach { f =>
           val rec = new GenericData.Record(entrySchema)
           rec.put("status", 1); rec.put("snapshot_id", snapshotId)
@@ -2449,6 +2505,82 @@ object IcebergInterop {
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", newFieldId)
     commitMetadataVersion(base, meta)
+  }
+
+  /** The current schema's fields of a metadata tree, plus the helpers
+    * rename/drop share: both commit a NEW schema (schema-id +1) built
+    * from the current field list — ids NEVER change or get reused, the
+    * invariant Iceberg's by-id column resolution rests on. */
+  private def evolveSchema(base: String, op: String)
+                          (edit: Seq[JsonNode] => Seq[JsonNode]): Long = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = meta.get("schemas")
+    val curId = meta.get("current-schema-id").asInt()
+    val cur = (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == curId)
+      .getOrElse(throw new IllegalStateException(
+        s"schema-id $curId not in $base"))
+    val curFields =
+      (0 until cur.get("fields").size()).map(cur.get("fields").get)
+    val edited = edit(curFields)
+    val newSchemaId = (0 until schemas.size())
+      .map(i => schemas.get(i).get("schema-id").asInt()).max + 1
+    val ns = schemas.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .addObject()
+    ns.put("type", "struct"); ns.put("schema-id", newSchemaId)
+    val nf = ns.putArray("fields")
+    edited.foreach(nf.add)
+    meta.put("current-schema-id", newSchemaId)
+    commitMetadataVersion(base, meta)
+  }
+
+  /** Schema evolution: RENAME COLUMN — the field keeps its id (and so
+    * every data file, bound, delete file and partition-spec source
+    * written under the old name), only the name in the NEW schema
+    * changes. O(1) in table size; this is exactly why Iceberg resolves
+    * columns by id. */
+  def renameColumn(base: String, from: String, to: String): Long =
+    evolveSchema(base, "rename") { fields =>
+      require(fields.exists(_.get("name").asText() == from),
+        s"no column '$from' in $base")
+      require(!fields.exists(_.get("name").asText() == to),
+        s"column '$to' already exists in $base")
+      fields.map { f =>
+        if (f.get("name").asText() == from) {
+          val c = f.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+          c.put("name", to); c
+        } else f
+      }
+    }
+
+  /** Schema evolution: DROP COLUMN — the NEW schema omits the field;
+    * data files keep the physical column as dead weight (reclaimed by
+    * the next `rewriteDataFiles` of each file) and reads simply stop
+    * projecting it. `last-column-id` does NOT move back: the id is
+    * retired forever, so a later re-ADD of the same name gets a fresh
+    * id and cannot resurrect old file data. Refuses fields a partition
+    * spec sources (the table layout depends on them) and fields live
+    * equality-delete files still match on (dropping one would break
+    * merge-on-read masking of rows already deleted by it). */
+  def dropColumn(spark: SparkSession, base: String, name: String): Long = {
+    val snap = snapshot(spark, base)
+    val fid = snap.schema.fields.find(_.name == name)
+      .map(f => f.metadata.getLong("parquet.field.id").toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' in $base"))
+    require(!snap.specFields.exists(_.sourceId == fid),
+      s"cannot drop '$name': partition spec field " +
+      s"${snap.specFields.filter(_.sourceId == fid).map(_.name).mkString(",")} " +
+      "sources it")
+    val eqRefs = snap.eqDeletes.filter(_.equalityFieldIds.contains(fid))
+    require(eqRefs.isEmpty,
+      s"cannot drop '$name': ${eqRefs.size} live equality-delete file(s) " +
+      "match on it — compact them away first (rewriteDataFiles)")
+    require(snap.schema.size > 1, s"cannot drop every column of $base")
+    evolveSchema(base, "drop") { fields =>
+      fields.filterNot(_.get("name").asText() == name)
+    }
   }
 
   def append(df: DataFrame, base: String,

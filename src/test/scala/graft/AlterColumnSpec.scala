@@ -1,0 +1,301 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{GraftLog, GraftSql}
+import graft.sources.{DeltaInterop, IcebergInterop}
+
+/** The ALTER TABLE column lifecycle beyond ADD COLUMNS: RENAME COLUMN
+  * and DROP COLUMNS, per format —
+  *  - Delta: column-mapping UPGRADE (enableColumnMapping) then
+  *    metadata-only rename/drop; appends conform logical→physical;
+  *  - Iceberg: field-id rename/drop, appends stamp the TABLE's ids
+  *    (not positional — the post-drop id-gap hazard);
+  *  - graft-log: honest copy-on-write rewrites.
+  * The recurring hazard under test everywhere: a later re-ADD of a
+  * dropped name must read NULL, never resurrect old file data. */
+class AlterColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("alter_spec_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  // ------------------------------------------------------------- Delta
+
+  test("delta: enableColumnMapping is metadata-only and keeps reads exact") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v"), base)
+    val filesBefore = DeltaInterop.snapshot(spark, base).files.map(_.path)
+    DeltaInterop.enableColumnMapping(spark, base)
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.columnMappingMode == "name")
+    assert(snap.physicalName("k") == "k") // upgrade: physical = logical
+    assert(snap.files.map(_.path) == filesBefore, "no file touched")
+    assert(DeltaInterop.read(spark, base).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // idempotent
+    val v = DeltaInterop.enableColumnMapping(spark, base)
+    assert(v == snap.version)
+  }
+
+  test("delta: rename is metadata-only; values survive; old name gone") {
+    val base = tmp()
+    DeltaInterop.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), base)
+    // unmapped rename refuses
+    val err = intercept[IllegalArgumentException] {
+      DeltaInterop.renameColumn(spark, base, "v", "price")
+    }
+    assert(err.getMessage.contains("column mapping"))
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.renameColumn(spark, base, "v", "price")
+    val got = DeltaInterop.read(spark, base).orderBy("k")
+    assert(got.columns.toSeq == Seq("k", "price"))
+    assert(got.select(sum("price")).head().getDouble(0) == 30.0)
+    // append with LOGICAL names lands under the physical layout
+    DeltaInterop.append(Seq((3L, 30.0)).toDF("k", "price"), base)
+    assert(DeltaInterop.read(spark, base).select(sum("price"))
+      .head().getDouble(0) == 60.0)
+    assert(DeltaInterop.read(spark, base)
+      .where(col("price").isNull).count() == 0)
+  }
+
+  test("delta: rename of a partition column carries partitionColumns") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "part", "v"),
+      base, partitionBy = Seq("part"))
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.renameColumn(spark, base, "part", "bucket")
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.partitionColumns == Seq("bucket"))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.where(col("bucket") === "x").count() == 1)
+    // logical-named append re-partitions under the renamed column
+    DeltaInterop.append(Seq((3L, "x", 3.0)).toDF("k", "bucket", "v"), base)
+    assert(DeltaInterop.read(spark, base)
+      .where(col("bucket") === "x").count() == 2)
+  }
+
+  test("delta: drop + re-add reads NULL, never resurrects old data") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, "secret1", 1.0), (2L, "secret2", 2.0)).toDF("k", "s", "v"),
+      base)
+    // unmapped drop refuses (the resurrection hazard)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.dropColumns(spark, base, Seq("s"))
+    }
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.dropColumns(spark, base, Seq("s"))
+    assert(DeltaInterop.read(spark, base).columns.toSeq == Seq("k", "v"))
+    // re-ADD the same logical name: fresh id + physical name
+    DeltaInterop.addColumns(spark, base,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.where(col("s").isNotNull).count() == 0,
+      "old 'secret' values resurrected through a reused name")
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.physicalName("s") != "s", "re-added field must get a fresh physical name")
+    assert(snap.configuration("delta.columnMapping.maxColumnId").toLong == 4L)
+    // partition columns refuse to drop
+    val pbase = tmp()
+    DeltaInterop.overwrite(Seq((1L, "x")).toDF("k", "part"), pbase,
+      partitionBy = Seq("part"))
+    DeltaInterop.enableColumnMapping(spark, pbase)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.dropColumns(spark, pbase, Seq("part"))
+    }
+  }
+
+  test("delta: schema evolution preserves the table id") {
+    val base = tmp()
+    DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v"), base)
+    val id0 = DeltaInterop.snapshot(spark, base).tableId
+    assert(id0.isDefined)
+    DeltaInterop.addColumns(spark, base,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+    assert(DeltaInterop.snapshot(spark, base).tableId == id0)
+    DeltaInterop.enableColumnMapping(spark, base)
+    assert(DeltaInterop.snapshot(spark, base).tableId == id0)
+    DeltaInterop.renameColumn(spark, base, "w", "weight")
+    assert(DeltaInterop.snapshot(spark, base).tableId == id0)
+    DeltaInterop.restore(spark, base, 0L)
+    assert(DeltaInterop.snapshot(spark, base).tableId == id0)
+  }
+
+  // ----------------------------------------------------------- Iceberg
+
+  test("iceberg: rename keeps field ids; old data reads under the new name") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.renameColumn(base, "v", "price")
+    val got = IcebergInterop.read(spark, base).orderBy("k")
+    assert(got.columns.toSeq == Seq("k", "price"))
+    assert(got.select(sum("price")).head().getDouble(0) == 30.0)
+    // append AFTER the rename: new files must stamp the ORIGINAL id
+    IcebergInterop.append(Seq((3L, 30.0)).toDF("k", "price").coalesce(1), base)
+    val all = IcebergInterop.read(spark, base)
+    assert(all.select(sum("price")).head().getDouble(0) == 60.0)
+    assert(all.where(col("price").isNull).count() == 0)
+    // rename refusals
+    intercept[IllegalArgumentException] {
+      IcebergInterop.renameColumn(base, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.renameColumn(base, "k", "price")
+    }
+  }
+
+  test("iceberg: drop retires the id; appends skip the gap; re-add reads NULL") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, "secret", 1.0), (2L, "secret", 2.0)).toDF("k", "s", "v")
+        .coalesce(1), base)
+    IcebergInterop.dropColumn(spark, base, "s")
+    assert(IcebergInterop.read(spark, base).columns.toSeq == Seq("k", "v"))
+    // append into the gapped schema (k=1, v=3): positional stamping
+    // would write v under id 2 = the DROPPED field — assert it reads
+    IcebergInterop.append(Seq((3L, 3.0)).toDF("k", "v").coalesce(1), base)
+    val got = IcebergInterop.read(spark, base).orderBy("k")
+    assert(got.as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // re-ADD the dropped name: fresh id — old 'secret' data stays dead
+    IcebergInterop.addColumn(base, "s",
+      org.apache.spark.sql.types.StringType)
+    assert(IcebergInterop.read(spark, base)
+      .where(col("s").isNotNull).count() == 0,
+      "old equality data resurrected through a reused name")
+  }
+
+  test("iceberg: drop refuses partition sources and eq-delete keys") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "part", "v").coalesce(1),
+      base, Seq("part"))
+    val err = intercept[IllegalArgumentException] {
+      IcebergInterop.dropColumn(spark, base, "part")
+    }
+    assert(err.getMessage.contains("partition spec"))
+    // a live equality delete on k blocks dropping k
+    val ebase = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1), ebase)
+    IcebergInterop.mergeUpsert(spark, ebase,
+      Seq((2L, 22.0)).toDF("k", "v").coalesce(1), Seq("k"))
+    val err2 = intercept[IllegalArgumentException] {
+      IcebergInterop.dropColumn(spark, ebase, "k")
+    }
+    assert(err2.getMessage.contains("equality-delete"))
+  }
+
+  test("iceberg: bounds skipping still prunes after a rename") {
+    val base = tmp()
+    // two files with disjoint k ranges
+    IcebergInterop.overwrite(
+      (0L until 50L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"), base)
+    IcebergInterop.renameColumn(base, "k", "key")
+    val ranged = IcebergInterop.readRange(spark, base, "key",
+      Some(45L), Some(49L))
+    assert(ranged.count() == 5)
+    assert(ranged.inputFiles.length == 1,
+      s"rename broke bound resolution: ${ranged.inputFiles.toSeq}")
+  }
+
+  // ---------------------------------------------------------- graft-log
+
+  test("graft-log: rename/drop are copy-on-write; re-add cannot resurrect") {
+    val base = tmp()
+    GraftLog.overwriteClustered(
+      Seq((1L, "secret", 1.0), (2L, "secret", 2.0)).toDF("k", "s", "v"),
+      base, Seq("k"), nFiles = 1)
+    val v1 = GraftLog.renameColumnRewrite(spark, base, "v", "price")
+    val got = GraftLog.read(spark, base).orderBy("k")
+    assert(got.columns.toSeq == Seq("k", "s", "price"))
+    assert(got.select(sum("price")).head().getDouble(0) == 3.0)
+    // ONE commit; files fully swapped (no old-name file lingers live)
+    assert(GraftLog.snapshot(base).version == v1)
+    GraftLog.dropColumnsRewrite(spark, base, Seq("s"))
+    assert(GraftLog.read(spark, base).columns.toSeq == Seq("k", "price"))
+    // re-add: files were REWRITTEN without the column, so NULL is
+    // structural, not a mapping trick
+    GraftLog.addColumns(base, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType))))
+    assert(GraftLog.read(spark, base).where(col("s").isNotNull).count() == 0)
+    // refusals
+    intercept[IllegalArgumentException] {
+      GraftLog.renameColumnRewrite(spark, base, "missing", "x")
+    }
+    intercept[IllegalArgumentException] {
+      GraftLog.dropColumnsRewrite(spark, base, Seq("k", "price", "s"))
+    }
+  }
+
+  test("graft-log: rename rewrite folds deletion vectors in") {
+    val base = tmp()
+    GraftLog.overwriteClustered(
+      (0L until 20L).map(k => (k, k * 1.0)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 2)
+    GraftLog.deleteVectored(spark, base, col("k") < 5)
+    GraftLog.renameColumnRewrite(spark, base, "v", "price")
+    val got = GraftLog.read(spark, base)
+    assert(got.count() == 15)
+    assert(GraftLog.snapshot(base).dvFiles.isEmpty, "DVs must fold away")
+  }
+
+  // ----------------------------------------------------------- SQL layer
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN and SET TBLPROPERTIES") {
+    val dbase = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v"), dbase)
+    GraftSql.registerDeltaTable(spark, "alter_d", dbase)
+    // rename before mapping refuses THROUGH the SQL surface too
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "ALTER TABLE alter_d RENAME COLUMN v TO price")
+    }
+    assert(err.getMessage.contains("column mapping"))
+    GraftSql.sql(spark, "ALTER TABLE alter_d SET TBLPROPERTIES " +
+      "('delta.columnMapping.mode' = 'name')")
+    GraftSql.sql(spark, "ALTER TABLE alter_d RENAME COLUMN v TO price")
+    GraftSql.sql(spark, "ALTER TABLE alter_d DROP COLUMN s")
+    assert(spark.sql("SELECT sum(price) AS s FROM alter_d")
+      .head().getDouble(0) == 3.0)
+    assert(spark.table("alter_d").columns.toSeq == Seq("k", "price"))
+    // IF EXISTS filters silently; plain drop of a missing column errors
+    GraftSql.sql(spark, "ALTER TABLE alter_d DROP COLUMN IF EXISTS ghost")
+    intercept[Exception] {
+      GraftSql.sql(spark, "ALTER TABLE alter_d DROP COLUMN ghost")
+    }
+    // iceberg + graft-log legs through SQL
+    val ibase = tmp()
+    IcebergInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), ibase)
+    GraftSql.registerIcebergTable(spark, "alter_i", ibase)
+    GraftSql.sql(spark, "ALTER TABLE alter_i RENAME COLUMN v TO price")
+    assert(spark.table("alter_i").columns.toSeq == Seq("k", "price"))
+    val lbase = tmp()
+    GraftLog.overwriteClustered(Seq((1L, 1.0, "z")).toDF("k", "v", "s"),
+      lbase, Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "alter_l", lbase)
+    GraftSql.sql(spark, "ALTER TABLE alter_l RENAME COLUMN v TO price")
+    GraftSql.sql(spark, "ALTER TABLE alter_l DROP COLUMNS (s)")
+    assert(spark.table("alter_l").columns.toSeq == Seq("k", "price"))
+    // SET TBLPROPERTIES on a non-Delta table refuses
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "ALTER TABLE alter_l SET TBLPROPERTIES ('x' = 'y')")
+    }
+  }
+}

@@ -40,20 +40,27 @@ class SchemaEvolutionSpec extends SparkSpec {
       .schema.fieldNames.toSeq == Seq("id"))
   }
 
-  test("delta: duplicate column and column-mapped tables are refused") {
+  test("delta: duplicate column refused; mapped tables evolve with fresh ids") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(3).toDF("id").coalesce(1), base)
     intercept[IllegalArgumentException] {
       DeltaInterop.addColumns(spark, base,
         StructType(Seq(StructField("id", LongType))))
     }
+    // on a column-mapped table the new field gets a fresh mapping id +
+    // physical name (never the logical name — that would collide with
+    // a future rename's physical namespace)
     val mapped = tmp()
     DeltaInterop.overwriteColumnMapped(
       spark.range(3).toDF("id").coalesce(1), mapped, Map("id" -> "col-x"))
-    intercept[IllegalArgumentException] {
-      DeltaInterop.addColumns(spark, mapped,
-        StructType(Seq(StructField("v", LongType))))
-    }
+    DeltaInterop.addColumns(spark, mapped,
+      StructType(Seq(StructField("v", LongType))))
+    val snap = DeltaInterop.snapshot(spark, mapped)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(snap.physicalName("v") != "v")
+    assert(snap.fieldId("v").exists(_ > snap.fieldId("id").get))
+    val got = DeltaInterop.read(spark, mapped)
+    assert(got.where(col("v").isNotNull).count() == 0)
   }
 
   test("iceberg: old files read NULL, new files read values; fresh field id") {
