@@ -2236,6 +2236,41 @@ object SparkEntry {
          ) ORDER BY fmt, grp""")
   }
 
+  /** Iceberg refs (q201): TAG a snapshot ("the corpus we trained on"),
+    * keep appending, EXPIRE old snapshots — the tag pins its snapshot
+    * against expiration, so the tagged read stays byte-identical while
+    * main moves on. One statement reads the tag by name through the
+    * SQL surface (`VERSION AS OF 'baseline'`); the oracle derives both
+    * states from `orders`, so a tag that drifted, an expire that
+    * collected a pinned snapshot, or a ref lost by a later commit's
+    * metadata rebuild all hash-mismatch. */
+  private def qIcebergRefs(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.IcebergInterop
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("ice_refs_orders", dir, "orders") { p =>
+      IcebergInterop.overwrite(
+        ords.filter(col("o_orderkey") % 2 === 0).coalesce(2), p)
+    }
+    val s1 = IcebergInterop.snapshotIds(base).head
+    IcebergInterop.createTag(base, "baseline", s1)
+    IcebergInterop.append(
+      ords.filter(col("o_orderkey") % 2 === 1).coalesce(1), base)
+    IcebergInterop.expireSnapshots(s, base) // the tag pins snapshot 1
+    GraftSql.registerIcebergTable(s, "q201_t", base)
+    GraftSql.sql(s,
+      """SELECT 'baseline' AS ref, o_custkey % 10 AS bucket,
+         count(*) AS n_orders, CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q201_t VERSION AS OF 'baseline' GROUP BY o_custkey % 10""")
+      .unionAll(s.sql(
+        """SELECT 'main' AS ref, o_custkey % 10 AS bucket,
+           count(*) AS n_orders, CAST(sum(totalprice) AS DOUBLE) AS total
+           FROM q201_t GROUP BY o_custkey % 10"""))
+      .orderBy(col("ref"), col("bucket"))
+  }
+
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
     * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
     * table's CONTENTS while preserving its definition (partitioning,
@@ -4547,6 +4582,7 @@ object SparkEntry {
     "q198_iceberg_orphan_cleanup" -> (qIcebergOrphanCleanup _),
     "q199_sql_ddl_lifecycle" -> (qSqlDdl _),
     "q200_sql_column_lifecycle" -> (qSqlColumnLifecycle _),
+    "q201_iceberg_refs" -> (qIcebergRefs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5563,6 +5599,18 @@ object SparkEntry {
              FROM part WHERE p_partkey % 17 = 0
            ) GROUP BY p_brand
          ) ORDER BY fmt, grp""",
+    "q201_iceberg_refs" ->
+      """SELECT ref, bucket, n_orders, total FROM (
+           SELECT 'baseline' AS ref, o_custkey % 10 AS bucket,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total
+           FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey % 10
+           UNION ALL
+           SELECT 'main', o_custkey % 10, count(*),
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM orders GROUP BY o_custkey % 10
+         ) ORDER BY ref, bucket""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -166,6 +166,18 @@ object GraftSql {
             runCtas(spark, name, p, c)
           case _ => spark.sql(text)
         }
+      case r: ReplaceTable =>
+        (ddlName(r.name), specProvider(r.tableSpec)) match {
+          case (Some(name), Some(p)) =>
+            runReplaceTable(spark, name, p, r)
+          case _ => spark.sql(text)
+        }
+      case r: ReplaceTableAsSelect =>
+        (ddlName(r.name), specProvider(r.tableSpec)) match {
+          case (Some(name), Some(p)) =>
+            runReplaceCtas(spark, name, p, r)
+          case _ => spark.sql(text)
+        }
       case d: DropTable =>
         ddlName(d.child) match {
           case Some(name) if tablesOf(spark).containsKey(name) =>
@@ -311,24 +323,89 @@ object GraftSql {
     result(spark, "CREATE TABLE", v)
   }
 
-  private def runCreateTable(spark: SparkSession, name: String,
-                             provider: String, c: CreateTable): DataFrame = {
+  private def schemaOf(spark: SparkSession,
+                       columns: Seq[ColumnDefinition], stmt: String)
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructField, StructType}
-    val fields = c.columns.map { cd =>
+    StructType(columns.map { cd =>
       require(cd.defaultValue.isEmpty && cd.generationExpression.isEmpty &&
         cd.identityColumnSpec.isEmpty,
-        s"CREATE TABLE: column '${cd.name}' uses DEFAULT/GENERATED/" +
+        s"$stmt: column '${cd.name}' uses DEFAULT/GENERATED/" +
         "IDENTITY, which this front-end does not support")
       StructField(cd.name, cd.dataType, cd.nullable)
-    }
-    createAt(spark, name, provider, c.tableSpec, c.partitioning,
-      c.ignoreIfExists, emptyFrame(spark, StructType(fields)))
+    })
   }
+
+  private def runCreateTable(spark: SparkSession, name: String,
+                             provider: String, c: CreateTable): DataFrame =
+    createAt(spark, name, provider, c.tableSpec, c.partitioning,
+      c.ignoreIfExists,
+      emptyFrame(spark, schemaOf(spark, c.columns, "CREATE TABLE")))
 
   private def runCtas(spark: SparkSession, name: String, provider: String,
                       c: CreateTableAsSelect): DataFrame =
     createAt(spark, name, provider, c.tableSpec, c.partitioning,
       c.ignoreIfExists, GraftBridge.ofRows(spark, c.query))
+
+  /** `[CREATE OR] REPLACE TABLE`: the table DEFINITION is replaced —
+    * new schema, partitioning and (Delta) properties take effect in one
+    * commit that removes every live file — while the log/history
+    * continues (old snapshots stay time-travelable, the Delta table id
+    * carries forward). Plain REPLACE on a missing table refuses;
+    * `OR CREATE` falls back to a create. */
+  private def replaceAt(spark: SparkSession, name: String, provider: String,
+                        spec: TableSpecBase,
+                        partitioning: Seq[
+                          org.apache.spark.sql.connector.expressions.Transform],
+                        orCreate: Boolean,
+                        df: DataFrame): DataFrame = {
+    val base = specLocation(spec).getOrElse(throw new IllegalArgumentException(
+      s"REPLACE TABLE $name USING $provider needs LOCATION '<path>' — " +
+      "this front-end manages path-based tables"))
+    if (!tableExistsAt(provider, base)) {
+      if (!orCreate) throw new IllegalArgumentException(
+        s"REPLACE TABLE: no $provider table at $base (use CREATE OR " +
+        "REPLACE to create it)")
+      return createAt(spark, name, provider, spec, partitioning,
+        ignoreIfExists = false, df)
+    }
+    val props = specProperties(spec)
+    require(props.isEmpty || provider == "delta",
+      s"TBLPROPERTIES are supported on Delta tables only (got " +
+      s"${props.keys.mkString(",")} for $provider)")
+    val partCols = identityCols(partitioning)
+    require(partCols.isEmpty || provider != "graftlog",
+      "graft-log tables do not partition by directory — use the " +
+      "clustered writers (overwriteClustered) for layout control")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"PARTITIONED BY column '$c' is not in the table schema " +
+      s"(${df.columns.mkString(",")})"))
+    val v = provider match {
+      case "graftlog" =>
+        GraftLog.overwrite(df, base) // log continues; history preserved
+      case "delta" =>
+        val tableId =
+          graft.sources.DeltaInterop.snapshot(spark, base).tableId
+        graft.sources.DeltaInterop.overwrite(df, base,
+          partitionBy = partCols, configuration = props, tableId = tableId)
+      case "iceberg" =>
+        graft.sources.IcebergInterop.overwrite(df, base, partCols)
+    }
+    registerAs(spark, name, provider, base)
+    result(spark, "REPLACE TABLE", v)
+  }
+
+  private def runReplaceTable(spark: SparkSession, name: String,
+                              provider: String, r: ReplaceTable): DataFrame =
+    replaceAt(spark, name, provider, r.tableSpec, r.partitioning,
+      r.orCreate,
+      emptyFrame(spark, schemaOf(spark, r.columns, "REPLACE TABLE")))
+
+  private def runReplaceCtas(spark: SparkSession, name: String,
+                             provider: String,
+                             r: ReplaceTableAsSelect): DataFrame =
+    replaceAt(spark, name, provider, r.tableSpec, r.partitioning,
+      r.orCreate, GraftBridge.ofRows(spark, r.query))
 
   /** DROP TABLE unregisters the SQL name and drops the temp view; the
     * files at LOCATION survive (external-table semantics — the path is
@@ -532,11 +609,12 @@ object GraftSql {
   private def resolveAsOf(spark: SparkSession, h: Handler,
                           ts: Option[Expression],
                           ver: Option[String]): DataFrame = {
-    val version = ver.map { v =>
-      require(v.forall(_.isDigit),
-        s"VERSION AS OF must be a numeric version/snapshot id, got: $v")
-      v.toLong
-    }
+    // a non-numeric VERSION AS OF names an Iceberg ref (tag/branch)
+    val isRef = ver.exists(v => !v.forall(_.isDigit))
+    require(!isRef || h.isInstanceOf[IceTable],
+      s"VERSION AS OF '${ver.get}': named refs (tags/branches) are an " +
+      "Iceberg feature — graft-log and Delta travel by numeric version")
+    val version = ver.filterNot(_ => isRef).map(_.toLong)
     val millis = ts.map(asOfMillis(spark, _))
     h match {
       case LogTable(base) =>
@@ -546,6 +624,8 @@ object GraftSql {
           versionAsOf = version, timestampAsOf = millis)
       case IceTable(base) =>
         (version, millis) match {
+          case _ if isRef =>
+            graft.sources.IcebergInterop.readRef(spark, base, ver.get)
           case (Some(sid), _) =>
             graft.sources.IcebergInterop.read(spark, base, Some(sid))
           case (None, Some(ms)) =>

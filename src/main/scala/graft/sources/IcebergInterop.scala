@@ -1323,6 +1323,12 @@ object IcebergInterop {
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")
     root.put("current-snapshot-id", snapshotId)
+    // named refs survive every rebuild: a tag dropped by a later
+    // append would silently unpin its snapshot from expiration
+    prev.foreach { m =>
+      Option(m.get("refs")).foreach(r =>
+        root.set[JsonNode]("refs", r.deepCopy()))
+    }
     val snapsArr = root.putArray("snapshots")
     prev.foreach { m =>
       val snaps = m.get("snapshots")
@@ -2152,12 +2158,24 @@ object IcebergInterop {
     val snaps = meta.get("snapshots")
     val all = (0 until snaps.size()).map(snaps.get)
     val currentId = meta.get("current-snapshot-id").asLong()
+    // named refs (tags/branches) PIN their snapshots: expiring a
+    // tagged snapshot would leave a ref pointing at nothing — the
+    // spec's retention contract is that refs are kept until the ref
+    // itself is dropped
+    val refIds: Set[Long] = Option(meta.get("refs")).map { r =>
+      import scala.jdk.CollectionConverters._
+      r.fields().asScala
+        .map(e => e.getValue.get("snapshot-id").asLong()).toSet
+    }.getOrElse(Set.empty)
     // keep ORIGINAL array order: after a rollback the current snapshot
     // is not the last element, and `takeRight ++ current` would write a
     // non-chronological snapshots array — breaking the oldest-first
     // assumption the next expire's takeRight (and snapshotIds) relies on
     val retainedSet = (all.takeRight(retainLast) ++
-      all.filter(_.get("snapshot-id").asLong() == currentId)).distinct.toSet
+      all.filter { s =>
+        val sid = s.get("snapshot-id").asLong()
+        sid == currentId || refIds.contains(sid)
+      }).distinct.toSet
     val retained = all.filter(retainedSet.contains)
     if (retained.size == all.size) return Seq.empty
 
@@ -2467,6 +2485,87 @@ object IcebergInterop {
     meta.put("current-snapshot-id", snapshotId)
     commitMetadataVersion(base, meta)
   }
+
+  // -------------------------------------------------------------- refs
+
+  /** Named refs (spec v2 `refs` map): a TAG pins a snapshot immutably
+    * (reproducible reads — "the corpus we trained v3 on"), a BRANCH is
+    * a movable pointer. Both PIN their snapshots against
+    * `expireSnapshots` until the ref is dropped. This engine treats
+    * branches as read pointers: commits always land on main —
+    * branch-targeted WRITES are not supported (refuse at the call
+    * sites that would need them, not silently redirected). */
+  def createTag(base: String, name: String, snapshotId: Long): Long =
+    putRef(base, name, snapshotId, "tag", allowMove = false)
+
+  def createBranch(base: String, name: String, snapshotId: Long): Long =
+    putRef(base, name, snapshotId, "branch", allowMove = false)
+
+  /** Move an existing branch (or create it): the fast-forward shape.
+    * Tags refuse — they are immutable by contract. */
+  def setBranch(base: String, name: String, snapshotId: Long): Long =
+    putRef(base, name, snapshotId, "branch", allowMove = true)
+
+  private def putRef(base: String, name: String, snapshotId: Long,
+                     refType: String, allowMove: Boolean): Long = {
+    require(name != "main", "'main' is the implicit current branch")
+    val meta = mapper.readTree(currentMetadataFile(base))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = meta.get("snapshots")
+    val known = (0 until snaps.size())
+      .map(i => snaps.get(i).get("snapshot-id").asLong())
+    require(known.contains(snapshotId),
+      s"snapshot $snapshotId not in $base (have $known)")
+    val refs =
+      if (meta.has("refs"))
+        meta.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else meta.putObject("refs")
+    Option(refs.get(name)).foreach { existing =>
+      require(allowMove && existing.get("type").asText() == "branch",
+        s"ref '$name' already exists as a " +
+        s"${existing.get("type").asText()} (tags are immutable; use " +
+        "setBranch to move a branch)")
+    }
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId); r.put("type", refType)
+    commitMetadataVersion(base, meta)
+    snapshotId
+  }
+
+  /** Drop a ref; its snapshot becomes expirable again. */
+  def dropRef(base: String, name: String): Unit = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    require(meta.has("refs") && meta.get("refs").has(name),
+      s"no ref '$name' in $base")
+    meta.get("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove(name)
+    commitMetadataVersion(base, meta)
+  }
+
+  /** Resolve a ref name to its snapshot id ("main" = current). */
+  def resolveRef(base: String, name: String): Long = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    if (name == "main") return meta.get("current-snapshot-id").asLong()
+    Option(meta.get("refs")).flatMap(r => Option(r.get(name)))
+      .map(_.get("snapshot-id").asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$name' in $base"))
+  }
+
+  /** All refs of a table: (name, type, snapshot-id). */
+  def refs(base: String): Seq[(String, String, Long)] = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    import scala.jdk.CollectionConverters._
+    Option(meta.get("refs")).map(_.fields().asScala.map { e =>
+      (e.getKey, e.getValue.get("type").asText(),
+        e.getValue.get("snapshot-id").asLong())
+    }.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Read the table AS OF a named ref. */
+  def readRef(spark: SparkSession, base: String, name: String): DataFrame =
+    read(spark, base, Some(resolveRef(base, name)))
 
   /** Schema evolution: ADD COLUMN, per the spec's evolution rules — a
     * NEW schema (schema-id +1) extends the current field list with the

@@ -538,6 +538,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(noLoc.getMessage.contains("LOCATION"))
   }
 
+  test("CREATE OR REPLACE TABLE swaps the definition, keeps the history") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("replace_delta")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_rep_src")
+    GraftSql.sql(spark,
+      s"CREATE TABLE sql_rep_t USING delta LOCATION '$base' " +
+      "AS SELECT * FROM sql_rep_src")
+    val id0 = DeltaInterop.snapshot(spark, base).tableId
+    // REPLACE with a NEW definition: different schema + partitioning
+    GraftSql.sql(spark,
+      s"""CREATE OR REPLACE TABLE sql_rep_t USING delta
+          PARTITIONED BY (part) LOCATION '$base'
+          AS SELECT k * 10 AS k, part, v + 0.5 AS v FROM sql_rep_src""")
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.partitionColumns == Seq("part"))
+    assert(snap.tableId == id0, "REPLACE must keep the table identity")
+    assert(spark.sql("SELECT sum(k) AS s FROM sql_rep_t")
+      .head().getLong(0) == 30L)
+    // history continues: version 0 still time-travels
+    assert(DeltaInterop.read(spark, base, versionAsOf = Some(0L))
+      .agg(sum("k")).head().getLong(0) == 3L)
+    // plain REPLACE on a missing table refuses; OR CREATE creates
+    val missing = freshBase("replace_missing")
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"REPLACE TABLE sql_rep_x (k BIGINT) USING graftlog " +
+        s"LOCATION '$missing'")
+    }
+    assert(err.getMessage.contains("CREATE OR REPLACE"))
+    GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE sql_rep_x (k BIGINT) USING graftlog " +
+      s"LOCATION '$missing'")
+    assert(spark.sql("SELECT count(*) AS n FROM sql_rep_x")
+      .head().getLong(0) == 0L)
+  }
+
   test("TRUNCATE TABLE empties contents, keeps the definition; DROP unregisters") {
     import graft.sources.DeltaInterop
     val base = freshBase("trunc_delta")

@@ -16,6 +16,70 @@ class IcebergMaintenanceSpec extends SparkSpec {
     d.deleteOnExit(); d.getPath
   }
 
+  test("refs: tags pin snapshots against expiration; reads resolve by name") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    val v1 = IcebergInterop.snapshotIds(base).head
+    IcebergInterop.createTag(base, "corpus-v1", v1)
+    IcebergInterop.overwrite(spark.range(100, 105).toDF("id").coalesce(1), base)
+    // refs survive later commits (the metadata rebuild carries them)
+    IcebergInterop.append(spark.range(105, 107).toDF("id").coalesce(1), base)
+    assert(IcebergInterop.refs(base).map(r => (r._1, r._2)) ==
+      Seq(("corpus-v1", "tag")))
+    // the tagged snapshot is PINNED: expire keeps it readable
+    IcebergInterop.expireSnapshots(spark, base)
+    assert(IcebergInterop.readRef(spark, base, "corpus-v1").count() == 10)
+    assert(IcebergInterop.read(spark, base).count() == 7)
+    // 'main' resolves to the current snapshot
+    assert(IcebergInterop.readRef(spark, base, "main").count() == 7)
+    // drop unpins: the next expire reclaims it
+    IcebergInterop.dropRef(base, "corpus-v1")
+    IcebergInterop.expireSnapshots(spark, base)
+    intercept[Exception] {
+      IcebergInterop.read(spark, base, Some(v1)).collect()
+    }
+  }
+
+  test("refs: tags immutable, branches movable, unknown snapshots refuse") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(5, 8).toDF("id").coalesce(1), base)
+    val Seq(s1, s2) = IcebergInterop.snapshotIds(base)
+    IcebergInterop.createTag(base, "t", s1)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.createTag(base, "t", s2) // immutable
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.setBranch(base, "t", s2) // a tag is not a branch
+    }
+    IcebergInterop.createBranch(base, "dev", s1)
+    assert(IcebergInterop.readRef(spark, base, "dev").count() == 5)
+    IcebergInterop.setBranch(base, "dev", s2) // fast-forward
+    assert(IcebergInterop.readRef(spark, base, "dev").count() == 8)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.createBranch(base, "x", 99999L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergInterop.createTag(base, "main", s1)
+    }
+    // SQL: VERSION AS OF a ref name on a registered Iceberg table
+    graft.pipeline.GraftSql.registerIcebergTable(spark, "refs_t", base)
+    val n = graft.pipeline.GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM refs_t VERSION AS OF 't'")
+      .head().getLong(0)
+    assert(n == 5)
+    // ...but a ref name on a Delta/graft-log table refuses loudly
+    val dbase = tmp()
+    graft.sources.DeltaInterop.overwrite(
+      spark.range(3).toDF("id").coalesce(1), dbase)
+    graft.pipeline.GraftSql.registerDeltaTable(spark, "refs_d", dbase)
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM refs_d VERSION AS OF 'nope'").collect()
+    }
+    assert(err.getMessage.contains("Iceberg feature"))
+  }
+
   test("expire deletes only files unreachable from retained snapshots") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
