@@ -2271,6 +2271,51 @@ object SparkEntry {
       .orderBy(col("ref"), col("bucket"))
   }
 
+  /** CHECK constraints (q202): `ADD CONSTRAINT` records a condition
+    * existing rows must already satisfy; every later write validates
+    * its post-image, so the REFUSED insert below contributes nothing
+    * to the final table — the oracle's replay includes only the
+    * conforming writes, and a constraint that silently admitted the
+    * bad batch (or a refusal that half-committed) hash-mismatches.
+    * Exercises the probe on ADD, a refused INSERT, a conforming
+    * INSERT, and a conforming UPDATE through the SQL surface. */
+  private def qSqlCheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("delta_constraint_orders", dir, "orders") {
+      p => DeltaInterop.overwrite(ords.coalesce(2), p)
+    }
+    GraftSql.registerDeltaTable(s, "q202_t", base)
+    GraftSql.sql(s,
+      "ALTER TABLE q202_t ADD CONSTRAINT price_pos CHECK (totalprice > 0)")
+    ords.filter(col("o_orderkey") % 19 === 0)
+      .select((col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+        col("o_orderstatus"),
+        (-col("totalprice")).cast(DecimalType(18, 2)).as("totalprice"))
+      .createOrReplaceTempView("q202_bad")
+    ords.filter(col("o_orderkey") % 23 === 0)
+      .select((col("o_orderkey") + lit(30000000L)).as("o_orderkey"),
+        col("o_orderstatus"), col("totalprice"))
+      .createOrReplaceTempView("q202_good")
+    val refused =
+      try { GraftSql.sql(s, "INSERT INTO q202_t SELECT * FROM q202_bad")
+            false }
+      catch { case e: IllegalArgumentException
+                if e.getMessage.contains("price_pos") => true }
+    require(refused, "the violating insert must refuse")
+    GraftSql.sql(s, "INSERT INTO q202_t SELECT * FROM q202_good")
+    GraftSql.sql(s,
+      "UPDATE q202_t SET totalprice = totalprice + 1 " +
+      "WHERE o_orderkey % 29 = 0")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q202_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** SQL INSERT statements (q186): `INSERT INTO` appends through the
     * graft-log commit path; `INSERT OVERWRITE` replaces a Delta
     * table's CONTENTS while preserving its definition (partitioning,
@@ -4583,6 +4628,7 @@ object SparkEntry {
     "q199_sql_ddl_lifecycle" -> (qSqlDdl _),
     "q200_sql_column_lifecycle" -> (qSqlColumnLifecycle _),
     "q201_iceberg_refs" -> (qIcebergRefs _),
+    "q202_sql_check_constraint" -> (qSqlCheckConstraint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5611,6 +5657,24 @@ object SparkEntry {
                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            FROM orders GROUP BY o_custkey % 10
          ) ORDER BY ref, bucket""",
+    "q202_sql_check_constraint" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM (
+           SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 29 = 0
+               THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                         AS DECIMAL(18,2))
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS totalprice
+           FROM orders
+           UNION ALL
+           SELECT o_orderstatus,
+             CASE WHEN (o_orderkey + 30000000) % 29 = 0
+               THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                         AS DECIMAL(18,2))
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+           FROM orders WHERE o_orderkey % 23 = 0
+         ) GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

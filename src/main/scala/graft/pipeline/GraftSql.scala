@@ -154,6 +154,25 @@ object GraftSql {
           if tablesOf(spark)
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runSetProperties(spark, t.multipartIdentifier.last.toLowerCase, props)
+      // CHECK parses to its own node (the child is a pre-built
+      // violation Filter over the relation — ignored here; the runner
+      // probes existing data itself); PRIMARY KEY/UNIQUE/FK arrive as
+      // the generic AddConstraint and refuse in the runner
+      case a: AddCheckConstraint
+          if tablesOf(spark)
+            .containsKey(a.checkConstraint.tableName.toLowerCase) =>
+        runAddConstraint(spark, a.checkConstraint.tableName.toLowerCase,
+          a.checkConstraint)
+      case AddConstraint(t: UnresolvedTable, constraint)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runAddConstraint(spark, t.multipartIdentifier.last.toLowerCase,
+          constraint)
+      case DropConstraint(t: UnresolvedTable, cname, ifExists, cascade)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runDropConstraint(spark, t.multipartIdentifier.last.toLowerCase,
+          cname, ifExists, cascade)
       case c: CreateTable =>
         (ddlName(c.name), specProvider(c.tableSpec)) match {
           case (Some(name), Some(p)) =>
@@ -524,6 +543,55 @@ object GraftSql {
     }
     refreshView(spark, name, h)
     result(spark, "SET TBLPROPERTIES", v)
+  }
+
+  /** `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<cond>)`: Delta
+    * tables record the condition (`delta.constraints.*`) after probing
+    * that EXISTING rows satisfy it; every later write validates its
+    * post-image. Only CHECK constraints are enforceable at write time
+    * on a data lake — PRIMARY KEY/UNIQUE/FOREIGN KEY would need a
+    * global index and refuse. graft-log/Iceberg have no constraint
+    * store and refuse toward `graft.pipeline.Quality` expectations. */
+  private def runAddConstraint(spark: SparkSession, name: String,
+                               constraint: org.apache.spark.sql.catalyst
+                                 .expressions.TableConstraint): DataFrame = {
+    val h = tablesOf(spark).get(name)
+    val check = constraint match {
+      case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint => c
+      case other => throw new IllegalArgumentException(
+        s"only CHECK constraints are enforceable at write time " +
+        s"(got ${other.getClass.getSimpleName}) — PRIMARY KEY/UNIQUE/" +
+        "FOREIGN KEY would need a global index")
+    }
+    require(check.userProvidedName != null,
+      "ADD CONSTRAINT needs an explicit name (DROP CONSTRAINT " +
+      "addresses it by name)")
+    val v = h match {
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.addCheckConstraint(spark, base,
+          check.userProvidedName, check.condition)
+      case other => throw new IllegalArgumentException(
+        s"CHECK constraints are recorded on Delta tables only " +
+        s"(${other.getClass.getSimpleName.stripSuffix("$")} has no " +
+        "constraint store) — data-quality gates for the other formats " +
+        "live in graft.pipeline.Quality")
+    }
+    result(spark, "ADD CONSTRAINT", v)
+  }
+
+  private def runDropConstraint(spark: SparkSession, name: String,
+                                cname: String, ifExists: Boolean,
+                                cascade: Boolean): DataFrame = {
+    require(!cascade, "DROP CONSTRAINT CASCADE is not supported")
+    val h = tablesOf(spark).get(name)
+    val v = h match {
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.dropCheckConstraint(spark, base,
+          cname, ifExists)
+      case other => throw new IllegalArgumentException(
+        s"CHECK constraints are recorded on Delta tables only")
+    }
+    result(spark, "DROP CONSTRAINT", v)
   }
 
   /** `ALTER TABLE <t> ADD COLUMNS (c1 T1, ...)` on a registered table:

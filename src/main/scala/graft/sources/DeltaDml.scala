@@ -62,9 +62,11 @@ object DeltaDml {
 
   /** The protocol's writer contract for this table, checked before any
     * DML: unknown declared writer features refuse; `delta.appendOnly`
-    * tables refuse row deletion/mutation; recorded CHECK constraints
-    * refuse row-MUTATING DML (`mutatesRows`) since this engine does not
-    * re-validate them (a DELETE can never violate a constraint). */
+    * tables refuse row deletion/mutation. Recorded CHECK constraints no
+    * longer refuse row-mutating DML: the mutating paths validate their
+    * POST-IMAGE rows against every recorded condition
+    * (`DeltaInterop.validateConstraints`) before staging — a DELETE can
+    * never violate a constraint and skips the probe. */
   private def requireDmlWritable(snap: DeltaSnapshot, op: String,
                                  mutatesRows: Boolean): Unit = {
     val unknown = snap.writerFeatureSet -- upheldWriterFeatures
@@ -74,11 +76,6 @@ object DeltaDml {
     require(!snap.configuration.get("delta.appendOnly")
         .exists(_.equalsIgnoreCase("true")),
       s"$op on an append-only Delta table (delta.appendOnly=true) — refusing")
-    if (mutatesRows)
-      require(!snap.configuration.keys.exists(_.startsWith("delta.constraints.")),
-        s"$op on a table with CHECK constraints " +
-        s"(${snap.configuration.keys.filter(_.startsWith("delta.constraints."))
-          .mkString(",")}) — this engine does not re-validate them, refusing")
   }
 
   /** Best-effort removal of files a LOSING commit attempt staged (DV
@@ -386,6 +383,10 @@ object DeltaDml {
         snap.copy(files = touched), keepCoords = false)
       .withColumn("__upd", coalesce(predicate, lit(false)))
     val updated = applySet(touchedScan, gated = true)
+    // CHECK constraints validate the post-image of MATCHED rows only
+    // (survivors already satisfied them at their own write time)
+    DeltaInterop.validateConstraints(snap.configuration,
+      applySet(touchedScan.filter(col("__upd")), gated = false), "updateWhere")
     // CDF rows from the pre-update state (both images carry the FULL row)
     val cdcAdds =
       if (!cdfEnabled(snap)) Seq.empty[AddFile]
@@ -469,6 +470,11 @@ object DeltaDml {
       s"(${updates0.columns.mkString(",")})")
     val updates = updates0.select(snap.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
+    // every merged row's post-image comes from `updates` (matched keys
+    // take the update row, unmatched keys insert it) — one probe
+    // validates all recorded CHECK constraints
+    DeltaInterop.validateConstraints(snap.configuration, updates,
+      "mergeUpsert")
     // SQL MERGE semantics: multiple source rows matching one target key
     // is an error, not a silent duplication (one bounded agg probe)
     val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))

@@ -1081,6 +1081,10 @@ object DeltaInterop {
                 configuration: Map[String, String] = Map.empty,
                 tableId: Option[String] = None): Long = {
     val spark = df.sparkSession
+    // the definition being WRITTEN governs: an overwrite that carries
+    // constraints forward (INSERT OVERWRITE, TRUNCATE) validates its
+    // new contents against them before staging
+    validateConstraints(configuration, df, "overwrite")
     val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(0L)
@@ -1247,6 +1251,7 @@ object DeltaInterop {
              partitionBy: Seq[String] = Seq.empty): Long = {
     val snap = snapshot(df0.sparkSession, base)
     val df = conformToPhysical(snap, df0)
+    validateConstraints(snap.configuration, asLogical(snap, df), "append")
     // appends INHERIT the table's partitioning: a partitioned table's
     // read path takes partition values from add.partitionValues (the
     // protocol's source of truth, data files don't carry the columns),
@@ -1602,6 +1607,97 @@ object DeltaInterop {
     v
   }
 
+  /** Recorded CHECK constraints (`delta.constraints.<name>` → SQL
+    * condition), the OSS property layout. */
+  private[sources] def checkConstraintsOf(
+      configuration: Map[String, String]): Seq[(String, String)] =
+    configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }.sortBy(_._1)
+
+  /** Enforce every CHECK constraint in `configuration` on `rows` — the
+    * post-image a write is about to stage. SQL CHECK semantics: a row
+    * violates only when the condition evaluates to FALSE (NULL passes).
+    * One violating row fails the whole operation BEFORE anything is
+    * staged, with the constraint and a sample row in the message —
+    * delta-spark's write-time behavior. Cost: one limit(1) probe per
+    * constraint, only on tables that record any. */
+  private[sources] def validateConstraints(configuration: Map[String, String],
+                                           rows: DataFrame,
+                                           op: String): Unit =
+    checkConstraintsOf(configuration).foreach { case (name, cond) =>
+      val bad = rows.filter(!coalesce(expr(cond), lit(true))).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$op violates CHECK constraint '$name' ($cond) — e.g. row " +
+        s"${bad.head.toString} (nothing was written)")
+    }
+
+  /** `rows` with LOGICAL column names, for constraint conditions that
+    * always reference the logical schema: physical-named frames (the
+    * column-mapped staging shape) map back through the snapshot. */
+  private def asLogical(snap: DeltaSnapshot, rows: DataFrame): DataFrame = {
+    if (snap.columnMappingMode == "none") return rows
+    val physToLogical =
+      snap.schema.fieldNames.map(n => snap.physicalName(n) -> n).toMap
+    if (rows.schema.fieldNames.forall(physToLogical.contains))
+      rows.select(rows.schema.fieldNames.map(n =>
+        col(n).as(physToLogical(n))): _*)
+    else rows
+  }
+
+  /** `ALTER TABLE ADD CONSTRAINT <name> CHECK (<condition>)`: existing
+    * rows must already satisfy the condition (probed BEFORE the
+    * commit, as delta-spark does — a constraint the data violates
+    * would make every later rewrite of an old file fail), then one
+    * metadata commit records `delta.constraints.<name>` and raises the
+    * protocol's writer side (legacy version 3 implies
+    * checkConstraints; tables on table features declare it). Every
+    * write path validates against the recorded conditions from then
+    * on. */
+  def addCheckConstraint(spark: SparkSession, base: String,
+                         name: String, condition: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be alphanumeric/underscore")
+    val snap = snapshot(spark, base)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(!snap.configuration.contains(key),
+      s"constraint '$name' already exists on $base")
+    validateConstraints(Map(key -> condition), read(spark, base),
+      "ADD CONSTRAINT: existing data")
+    val proto =
+      if (snap.minWriterVersion >= 7)
+        Seq(upgradeProtocolJson(snap,
+          Set.empty, Set("checkConstraints"), snap.minReaderVersion, 7))
+      else if (snap.minWriterVersion >= 3) Seq.empty
+      else Seq(s"""{"protocol":{"minReaderVersion":${snap.minReaderVersion},"minWriterVersion":3}}""")
+    val v = snap.version + 1
+    writeCommit(base, v, proto :+
+      metaJson(snap.schema, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration + (key -> condition)),
+      operation = "ADD CONSTRAINT")
+    v
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT`: metadata-only removal. */
+  def dropCheckConstraint(spark: SparkSession, base: String,
+                          name: String, ifExists: Boolean = false): Long = {
+    val snap = snapshot(spark, base)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    if (!snap.configuration.contains(key)) {
+      if (ifExists) return snap.version
+      throw new IllegalArgumentException(s"no constraint '$name' on $base")
+    }
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(
+      metaJson(snap.schema, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration - key)),
+      operation = "DROP CONSTRAINT")
+    v
+  }
+
   /** `ALTER TABLE ... SET TBLPROPERTIES` (minus the column-mapping
     * upgrade, which `enableColumnMapping` owns): one metadata commit
     * merging the properties into the configuration. Properties that
@@ -1805,6 +1901,8 @@ object DeltaInterop {
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
     val df = snapOpt.map(conformToPhysical(_, df0)).getOrElse(df0)
+    snapOpt.foreach(snap => validateConstraints(snap.configuration,
+      asLogical(snap, df), "appendIdempotent"))
     // existing tables: inherit/validate partitioning exactly as
     // `append` does (a flat-staged batch into a partitioned table
     // would read back NULL partition values); staging keys are

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.GraftSql
+import graft.sources.{DeltaDml, DeltaInterop}
+
+/** CHECK constraints end to end: ADD CONSTRAINT probes existing data,
+  * records the condition + writer protocol, and every write path —
+  * append, idempotent streaming append, INSERT, UPDATE, MERGE,
+  * definition-preserving overwrite — validates its post-image before
+  * staging. NULL conditions pass (SQL CHECK semantics). */
+class DeltaConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("constraint_spec_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  test("ADD CONSTRAINT probes existing rows and raises the writer protocol") {
+    val base = tmp()
+    DeltaInterop.overwrite(Seq((1L, 10.0), (2L, 0.0)).toDF("k", "v"), base)
+    // existing data violates → refuse, nothing recorded
+    val err = intercept[IllegalArgumentException] {
+      DeltaInterop.addCheckConstraint(spark, base, "vpos", "v > 0")
+    }
+    assert(err.getMessage.contains("existing data"))
+    assert(DeltaInterop.snapshot(spark, base).configuration.isEmpty)
+    DeltaInterop.addCheckConstraint(spark, base, "vnonneg", "v >= 0")
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.configuration("delta.constraints.vnonneg") == "v >= 0")
+    assert(snap.minWriterVersion >= 3,
+      "legacy writer version 3 implies checkConstraints")
+    // duplicate name refuses
+    intercept[IllegalArgumentException] {
+      DeltaInterop.addCheckConstraint(spark, base, "vnonneg", "v >= 1")
+    }
+  }
+
+  test("writes validate post-images; NULL passes; DROP lifts the gate") {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq[(Long, java.lang.Double)]((1L, 10.0)).toDF("k", "v"), base)
+    DeltaInterop.addCheckConstraint(spark, base, "vnonneg", "v >= 0")
+    // violating append refuses before staging
+    val v0 = DeltaInterop.snapshot(spark, base).version
+    intercept[IllegalArgumentException] {
+      DeltaInterop.append(
+        Seq[(Long, java.lang.Double)]((2L, -1.0)).toDF("k", "v"), base)
+    }
+    assert(DeltaInterop.snapshot(spark, base).version == v0)
+    // NULL condition passes (SQL CHECK: only FALSE violates)
+    DeltaInterop.append(
+      Seq[(Long, java.lang.Double)]((3L, null)).toDF("k", "v"), base)
+    assert(DeltaInterop.read(spark, base).count() == 2)
+    // idempotent (streaming) appends validate too
+    intercept[IllegalArgumentException] {
+      DeltaInterop.appendIdempotent(
+        Seq[(Long, java.lang.Double)]((4L, -2.0)).toDF("k", "v"), base,
+        appId = "cstr", txnVersion = 1L)
+    }
+    // merge validates the incoming rows
+    intercept[IllegalArgumentException] {
+      DeltaDml.mergeUpsert(spark, base,
+        Seq[(Long, java.lang.Double)]((1L, -5.0)).toDF("k", "v"), "k")
+    }
+    DeltaDml.mergeUpsert(spark, base,
+      Seq[(Long, java.lang.Double)]((1L, 5.0)).toDF("k", "v"), "k")
+    assert(DeltaInterop.read(spark, base).where(col("k") === 1)
+      .head().getDouble(1) == 5.0)
+    // DROP CONSTRAINT lifts the gate
+    DeltaInterop.dropCheckConstraint(spark, base, "vnonneg")
+    DeltaInterop.append(
+      Seq[(Long, java.lang.Double)]((9L, -9.0)).toDF("k", "v"), base)
+    assert(DeltaInterop.read(spark, base).count() == 3)
+    intercept[IllegalArgumentException] {
+      DeltaInterop.dropCheckConstraint(spark, base, "ghost")
+    }
+    DeltaInterop.dropCheckConstraint(spark, base, "ghost", ifExists = true)
+  }
+
+  test("SQL: ADD CONSTRAINT / DROP CONSTRAINT; INSERT validates") {
+    val base = tmp()
+    DeltaInterop.overwrite(Seq((1L, 10.0)).toDF("k", "v"), base)
+    GraftSql.registerDeltaTable(spark, "cstr_t", base)
+    GraftSql.sql(spark,
+      "ALTER TABLE cstr_t ADD CONSTRAINT vcap CHECK (v <= 100)")
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "INSERT INTO cstr_t SELECT CAST(2 AS BIGINT) AS k, 500.0 AS v")
+    }
+    assert(err.getMessage.contains("vcap"))
+    GraftSql.sql(spark,
+      "INSERT INTO cstr_t SELECT CAST(2 AS BIGINT) AS k, 50.0 AS v")
+    assert(spark.sql("SELECT count(*) AS n FROM cstr_t")
+      .head().getLong(0) == 2L)
+    // UPDATE through SQL validates the post-image
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "UPDATE cstr_t SET v = 1000 WHERE k = 1")
+    }
+    GraftSql.sql(spark, "ALTER TABLE cstr_t DROP CONSTRAINT vcap")
+    GraftSql.sql(spark, "UPDATE cstr_t SET v = 1000 WHERE k = 1")
+    assert(spark.sql("SELECT max(v) AS m FROM cstr_t")
+      .head().getDouble(0) == 1000.0)
+    // non-Delta tables refuse; non-CHECK constraints refuse
+    val lbase = tmp()
+    graft.pipeline.GraftLog.overwriteClustered(
+      Seq((1L, 1.0)).toDF("k", "v"), lbase, Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "cstr_l", lbase)
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "ALTER TABLE cstr_l ADD CONSTRAINT c CHECK (v > 0)")
+    }
+    intercept[Exception] {
+      GraftSql.sql(spark,
+        "ALTER TABLE cstr_t ADD CONSTRAINT pk PRIMARY KEY (k)")
+    }
+  }
+}

@@ -100,16 +100,25 @@ class DeltaProtocolSpec extends graft.SparkSpec {
     assert(DeltaInterop.read(spark, base).count() == 12)
   }
 
-  test("CHECK constraints refuse row-mutating DML but not DELETE") {
+  test("CHECK constraints validate DML post-images; DELETE skips the probe") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base,
       configuration = Map("delta.constraints.idpos" -> "id >= 0"))
+    // a violating post-image fails BEFORE anything commits
+    val v0 = DeltaInterop.snapshot(spark, base).version
     val e = intercept[IllegalArgumentException] {
       DeltaDml.updateWhere(spark, base, col("id") < 5, Map("id" -> lit(-1L)))
     }
-    assert(e.getMessage.contains("delta.constraints.idpos"))
-    // a DELETE can never violate a row constraint — allowed
-    DeltaDml.deleteVectoredWhere(spark, base, col("id") === 3)
+    assert(e.getMessage.contains("idpos"))
+    assert(DeltaInterop.snapshot(spark, base).version == v0,
+      "a refused update must not commit")
+    // a satisfying update goes through
+    DeltaDml.updateWhere(spark, base, col("id") < 5,
+      Map("id" -> (col("id") + lit(100L))))
+    assert(DeltaInterop.read(spark, base).where(col("id") < 0).count() == 0)
+    assert(DeltaInterop.read(spark, base).count() == 10)
+    // a DELETE can never violate a row constraint — no probe, allowed
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") === 103)
     assert(DeltaInterop.read(spark, base).count() == 9)
   }
 
