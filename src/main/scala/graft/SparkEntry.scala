@@ -2271,6 +2271,31 @@ object SparkEntry {
       .orderBy(col("ref"), col("bucket"))
   }
 
+  /** Iceberg `partitions` metadata table (q203): per-partition record
+    * counts straight from the manifests' partition records + per-file
+    * counts — NEVER opens a data file, so at a million files it's a
+    * metadata aggregation (the first table to read when diagnosing
+    * skew). Two commits per partition prove the per-file aggregation;
+    * the oracle recomputes the counts from `orders` itself, so a
+    * manifest count that drifted from the data hash-mismatches. */
+  private def qIcebergPartitionsTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("ice_partitions_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(
+        ords.filter(col("o_orderkey") % 2 === 0).coalesce(1), p,
+        Seq("o_orderstatus"))
+      IcebergInterop.append(
+        ords.filter(col("o_orderkey") % 2 === 1).coalesce(1), p,
+        Seq("o_orderstatus"))
+    }
+    IcebergInterop.partitionsTable(s, base)
+      .select(col("partition"), col("record_count"))
+      .orderBy(col("partition"))
+  }
+
   /** CHECK constraints (q202): `ADD CONSTRAINT` records a condition
     * existing rows must already satisfy; every later write validates
     * its post-image, so the REFUSED insert below contributes nothing
@@ -4629,6 +4654,7 @@ object SparkEntry {
     "q200_sql_column_lifecycle" -> (qSqlColumnLifecycle _),
     "q201_iceberg_refs" -> (qIcebergRefs _),
     "q202_sql_check_constraint" -> (qSqlCheckConstraint _),
+    "q203_iceberg_partitions_table" -> (qIcebergPartitionsTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5675,6 +5701,10 @@ object SparkEntry {
                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
            FROM orders WHERE o_orderkey % 23 = 0
          ) GROUP BY o_orderstatus ORDER BY status""",
+    "q203_iceberg_partitions_table" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+         count(*) AS record_count
+         FROM orders GROUP BY o_orderstatus ORDER BY partition""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -79,7 +79,8 @@ object IcebergInterop {
                                  seq: Long = 0L,
                                  lowerBounds: Map[Int, Array[Byte]] = Map.empty,
                                  upperBounds: Map[Int, Array[Byte]] = Map.empty,
-                                 recordCount: Long = -1L)
+                                 recordCount: Long = -1L,
+                                 sizeBytes: Long = -1L)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number. */
@@ -379,7 +380,9 @@ object IcebergInterop {
               }.getOrElse(Map.empty)
             files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq,
               boundsOf("lower_bounds"), boundsOf("upper_bounds"),
-              opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L))
+              opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L),
+              opt(df, "file_size_in_bytes")
+                .map(_.toString.toLong).getOrElse(-1L))
           } else {
             // merge-on-read deletes: position (content=1) and equality
             // (content=2); anything else would resurrect rows if ignored
@@ -2467,6 +2470,50 @@ object IcebergInterop {
     import spark.implicits._
     (dataRows ++ delRows)
       .toDF("content", "record_count", "sequence_number", "partition")
+  }
+
+  /** The `partitions` metadata table: per-partition record count, file
+    * count and total bytes of the CURRENT snapshot, straight from the
+    * manifests' partition records + per-file counts (spec fields
+    * 102/103/104) — never opens a data file, so at a million files
+    * this is a metadata aggregation, not a scan. The first table to
+    * read when diagnosing skew. */
+  def partitionsTable(spark: SparkSession, base: String,
+                      snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, base, snapshotId)
+    import spark.implicits._
+    snap.files
+      .groupBy(f => f.partitionValues.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(","))
+      .toSeq
+      .map { case (part, fs) =>
+        (part, fs.map(_.recordCount).sum, fs.size.toLong,
+          fs.map(_.sizeBytes).sum)
+      }
+      .toDF("partition", "record_count", "file_count", "total_bytes")
+  }
+
+  /** The `refs` metadata table: every named ref + the implicit main. */
+  def refsTable(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val named = refs(base)
+    (("main", "branch", resolveRef(base, "main")) +: named)
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  /** The `history` metadata table: when each snapshot became current
+    * (commit order = the snapshots array; rollbacks append a new
+    * current pointer rather than rewriting history). */
+  def historyTable(spark: SparkSession, base: String): DataFrame = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots")
+    import spark.implicits._
+    (0 until snaps.size()).map { i =>
+      val s = snaps.get(i)
+      (s.get("timestamp-ms").asLong(), s.get("snapshot-id").asLong(),
+        s.get("snapshot-id").asLong() == cur)
+    }.toDF("made_current_at_ms", "snapshot_id", "is_current")
   }
 
   /** Rollback: point `current-snapshot-id` back at an existing snapshot

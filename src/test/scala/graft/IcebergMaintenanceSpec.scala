@@ -80,6 +80,34 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(err.getMessage.contains("Iceberg feature"))
   }
 
+  test("partitions/refs/history metadata tables read manifests, not data") {
+    import spark.implicits._
+    val base = tmp()
+    val df = (0L until 30L).map(k => (k, (k % 3).toString)).toDF("k", "p")
+    IcebergInterop.overwrite(df.coalesce(1), base, Seq("p"))
+    IcebergInterop.append(
+      Seq((100L, "0"), (101L, "0")).toDF("k", "p").coalesce(1), base,
+      Seq("p"))
+    val parts = IcebergInterop.partitionsTable(spark, base)
+      .orderBy("partition").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("p=0", 12L), ("p=1", 10L), ("p=2", 10L)))
+    // p=0 spans both commits → 2 files; bytes are summed and real
+    val p0 = parts.head
+    assert(p0.getLong(2) == 2L)
+    assert(p0.getLong(3) > 0L, "file_size_in_bytes must come from manifests")
+    val Seq(s1, s2) = IcebergInterop.snapshotIds(base)
+    IcebergInterop.createTag(base, "v1", s1)
+    val refs = IcebergInterop.refsTable(spark, base)
+      .orderBy("name").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq(("main", "branch", s2), ("v1", "tag", s1)))
+    val hist = IcebergInterop.historyTable(spark, base)
+      .orderBy("made_current_at_ms").collect()
+    assert(hist.map(_.getLong(1)).toSeq == Seq(s1, s2))
+    assert(hist.map(_.getBoolean(2)).toSeq == Seq(false, true))
+  }
+
   test("expire deletes only files unreachable from retained snapshots") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
