@@ -2296,6 +2296,37 @@ object SparkEntry {
       .orderBy(col("partition"))
   }
 
+  /** Generated columns (q204): `CREATE TABLE ... GENERATED ALWAYS AS`
+    * records the expression; INSERTs OMIT the column and the write
+    * path derives it; an UPDATE of a source column RECOMPUTES it. The
+    * oracle recomputes the expression from `orders` directly, so a
+    * derivation that drifted (stale value after the update, NULLed
+    * column, wrong expression recorded) hash-mismatches. Fresh dir per
+    * run: the statements are the operator. */
+  private def qSqlGenerated(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val base = fixtureDir("sql_generated_delta", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      .createOrReplaceTempView("q204_src")
+    GraftSql.sql(s,
+      s"""CREATE TABLE q204_t (o_orderkey BIGINT, o_orderstatus STRING,
+          totalprice DECIMAL(18,2),
+          price_band BIGINT GENERATED ALWAYS AS
+            (CAST(floor(totalprice / 50000) AS BIGINT)))
+          USING delta LOCATION '$base'""")
+    GraftSql.sql(s, "INSERT INTO q204_t SELECT * FROM q204_src")
+    GraftSql.sql(s,
+      "UPDATE q204_t SET totalprice = totalprice * 2 " +
+      "WHERE o_orderkey % 31 = 0")
+    s.sql(
+      """SELECT price_band, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q204_t GROUP BY price_band ORDER BY price_band""")
+  }
+
   /** CHECK constraints (q202): `ADD CONSTRAINT` records a condition
     * existing rows must already satisfy; every later write validates
     * its post-image, so the REFUSED insert below contributes nothing
@@ -4655,6 +4686,7 @@ object SparkEntry {
     "q201_iceberg_refs" -> (qIcebergRefs _),
     "q202_sql_check_constraint" -> (qSqlCheckConstraint _),
     "q203_iceberg_partitions_table" -> (qIcebergPartitionsTable _),
+    "q204_sql_generated_columns" -> (qSqlGenerated _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5705,6 +5737,16 @@ object SparkEntry {
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
          count(*) AS record_count
          FROM orders GROUP BY o_orderstatus ORDER BY partition""",
+    "q204_sql_generated_columns" ->
+      """SELECT CAST(floor(totalprice / 50000) AS BIGINT) AS price_band,
+         count(*) AS n_orders, CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM (
+           SELECT CASE WHEN o_orderkey % 31 = 0
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                       AS DECIMAL(18,2))
+             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS totalprice
+           FROM orders
+         ) GROUP BY price_band ORDER BY price_band""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -300,7 +300,10 @@ object GraftSql {
                        partitioning: Seq[
                          org.apache.spark.sql.connector.expressions.Transform],
                        ignoreIfExists: Boolean,
-                       df: DataFrame): DataFrame = {
+                       df: DataFrame,
+                       generated: Seq[(String,
+                         org.apache.spark.sql.types.DataType, String)] =
+                         Seq.empty): DataFrame = {
     val base = specLocation(spec).getOrElse(throw new IllegalArgumentException(
       s"CREATE TABLE $name USING $provider needs LOCATION '<path>' — " +
       "this front-end manages path-based tables"))
@@ -333,7 +336,10 @@ object GraftSql {
             schemaJson = Some(df.schema.json))
         else GraftLog.overwrite(df, base)
       case "delta" =>
-        graft.sources.DeltaInterop.overwrite(df, base,
+        if (generated.nonEmpty)
+          graft.sources.DeltaInterop.overwriteGenerated(df, base,
+            generated, partCols, props)
+        else graft.sources.DeltaInterop.overwrite(df, base,
           partitionBy = partCols, configuration = props)
       case "iceberg" =>
         graft.sources.IcebergInterop.overwrite(df, base, partCols)
@@ -356,10 +362,23 @@ object GraftSql {
   }
 
   private def runCreateTable(spark: SparkSession, name: String,
-                             provider: String, c: CreateTable): DataFrame =
+                             provider: String, c: CreateTable): DataFrame = {
+    // GENERATED ALWAYS AS columns: recorded + enforced on Delta only
+    // (field-metadata generation expressions are a Delta feature)
+    val (genCols, plainCols) =
+      c.columns.partition(_.generationExpression.isDefined)
+    require(genCols.isEmpty || provider == "delta",
+      "GENERATED ALWAYS AS columns are supported on Delta tables only")
+    val generated = genCols.map { cd =>
+      require(cd.defaultValue.isEmpty && cd.identityColumnSpec.isEmpty,
+        s"column '${cd.name}' mixes GENERATED with DEFAULT/IDENTITY")
+      (cd.name, cd.dataType, cd.generationExpression.get)
+    }
     createAt(spark, name, provider, c.tableSpec, c.partitioning,
       c.ignoreIfExists,
-      emptyFrame(spark, schemaOf(spark, c.columns, "CREATE TABLE")))
+      emptyFrame(spark, schemaOf(spark, plainCols, "CREATE TABLE")),
+      generated)
+  }
 
   private def runCtas(spark: SparkSession, name: String, provider: String,
                       c: CreateTableAsSelect): DataFrame =
@@ -716,12 +735,26 @@ object GraftSql {
     // readers resolve as nulls (or silently evolve graft-log's schema)
     val table = spark.table(name)
     val raw = GraftBridge.ofRows(spark, i.query)
-    require(raw.columns.toSet == table.columns.toSet,
+    // Delta GENERATED columns may be omitted — the write path derives
+    // them (and validates them when provided)
+    val generatedCols: Set[String] = h match {
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.generatedColumnsOf(
+          graft.sources.DeltaInterop.snapshot(spark, base).schema)
+          .map(_._1).toSet
+      case _ => Set.empty
+    }
+    require(raw.columns.toSet == table.columns.toSet ||
+      raw.columns.toSet == table.columns.toSet -- generatedCols,
       s"INSERT source must carry exactly the table columns " +
-      s"(${table.columns.mkString(",")}), got (${raw.columns.mkString(",")})")
-    val source = raw.select(table.schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(f.name)
-        .cast(f.dataType).as(f.name)): _*)
+      s"(${table.columns.mkString(",")}" +
+      (if (generatedCols.isEmpty) ""
+       else s"; generated ${generatedCols.mkString(",")} may be omitted") +
+      s"), got (${raw.columns.mkString(",")})")
+    val source = raw.select(table.schema.fields
+      .filter(f => raw.columns.contains(f.name)).map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)): _*)
     val v = (h, i.overwrite) match {
       case (LogTable(base), false) => GraftLog.append(source, base)
       case (LogTable(base), true) => GraftLog.overwrite(source, base)
@@ -731,10 +764,22 @@ object GraftSql {
         // SQL INSERT OVERWRITE replaces the table's CONTENTS, never its
         // definition: the current partitioning, table properties (e.g.
         // delta.enableChangeDataFeed — downstream CDF consumers break if
-        // it silently drops) and table id all carry forward. New data is
-        // appended under the existing partition layout.
+        // it silently drops), table id, and SCHEMA FIELD METADATA
+        // (generation expressions) all carry forward. New data lands
+        // under the existing partition layout. Column-mapped tables
+        // refuse: their contents live under physical names whose
+        // mapping an overwrite-through-the-logical-view would corrupt.
         val snap = graft.sources.DeltaInterop.snapshot(spark, base)
-        graft.sources.DeltaInterop.overwrite(source, base,
+        require(snap.columnMappingMode == "none",
+          "INSERT OVERWRITE on a column-mapped Delta table is not " +
+          "supported — use DeltaInterop.overwriteColumnMapped or " +
+          "DELETE + INSERT")
+        val withGen = graft.sources.DeltaInterop.applyGeneratedColumns(
+          snap.schema, source, "INSERT OVERWRITE")
+        val withMeta = withGen.select(snap.schema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .as(f.name, f.metadata)): _*)
+        graft.sources.DeltaInterop.overwrite(withMeta, base,
           partitionBy = snap.partitionColumns,
           configuration = snap.configuration,
           tableId = snap.tableId)

@@ -58,7 +58,10 @@ object DeltaDml {
     * contract. */
   private val upheldWriterFeatures = Set(
     "deletionVectors", "appendOnly", "invariants", "checkConstraints",
-    "changeDataFeed", "columnMapping", "timestampNtz")
+    "changeDataFeed", "columnMapping", "timestampNtz",
+    // generated columns: UPDATE recomputes them on post-images and
+    // refuses direct SET; MERGE derives/validates them on the source
+    "generatedColumns")
 
   /** The protocol's writer contract for this table, checked before any
     * DML: unknown declared writer features refuse; `delta.appendOnly`
@@ -333,26 +336,36 @@ object DeltaDml {
     require(snap.columnMappingMode == "none",
       "updateWhere on a column-mapped Delta table is not implemented — refusing")
     requireDmlWritable(snap, "updateWhere", mutatesRows = true)
+    val generated = DeltaInterop.generatedColumnsOf(snap.schema).toMap
     set.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"SET column '$c' is not in the table schema")
       require(!snap.partitionColumns.contains(c),
         s"SET column '$c' is a partition column — updating it moves rows " +
         "across partitions (use a merge/rewrite instead)")
+      require(!generated.contains(c),
+        s"SET column '$c' is GENERATED ALWAYS AS (${generated(c)}) — it " +
+        "derives from its sources and recomputes automatically")
     }
     // SQL UPDATE is a SIMULTANEOUS assignment: every RHS sees the
     // ORIGINAL row, never another SET's result — each RHS lands in a
-    // temp column computed against the untouched frame, then the swap
+    // temp column computed against the untouched frame, then the swap.
+    // Generated columns recompute from the POST-image (idempotent on
+    // unmatched rows — their value already equals the expression).
     val setTyped: Seq[(String, Column)] = set.toSeq.map { case (c, e) =>
       c -> e.cast(snap.schema(c).dataType) }
     def applySet(df: DataFrame, gated: Boolean): DataFrame = {
       val withTemps = setTyped.foldLeft(df) { case (d, (c, e)) =>
         d.withColumn(s"__set_$c", e) }
-      setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
+      val swapped = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
         d.withColumn(c,
           if (gated) when(col("__upd"), col(s"__set_$c")).otherwise(col(c))
           else col(s"__set_$c"))
-      }.select(snap.schema.fieldNames.map(col): _*)
+      }
+      val regenerated = generated.foldLeft(swapped) { case (d, (c, sql)) =>
+        d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
+      }
+      regenerated.select(snap.schema.fieldNames.map(col): _*)
     }
     // census scan scoped by add.stats: files whose [min,max] provably
     // exclude the predicate are never opened (conservative, same
@@ -463,12 +476,17 @@ object DeltaDml {
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
     keys.foreach(k => require(snap.schema.fieldNames.contains(k),
       s"merge key '$k' is not a table column"))
+    // generated columns derive (or validate, when provided) BEFORE the
+    // exact-column check — the natural MERGE source carries only the
+    // real columns
+    val updatesG =
+      DeltaInterop.applyGeneratedColumns(snap.schema, updates0, "mergeUpsert")
     // conform updates to the TABLE schema (implicit-cast MERGE semantics)
-    require(updates0.columns.toSet == snap.schema.fieldNames.toSet,
+    require(updatesG.columns.toSet == snap.schema.fieldNames.toSet,
       s"merge source must carry exactly the table columns " +
       s"(${snap.schema.fieldNames.mkString(",")}), got " +
       s"(${updates0.columns.mkString(",")})")
-    val updates = updates0.select(snap.schema.fields.map(f =>
+    val updates = updatesG.select(snap.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     // every merged row's post-image comes from `updates` (matched keys
     // take the update row, unmatched keys insert it) — one probe

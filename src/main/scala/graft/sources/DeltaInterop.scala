@@ -1250,7 +1250,9 @@ object DeltaInterop {
   def append(df0: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
     val snap = snapshot(df0.sparkSession, base)
-    val df = conformToPhysical(snap, df0)
+    // generated columns derive/validate on the LOGICAL frame first
+    val df = conformToPhysical(snap,
+      applyGeneratedColumns(snap.schema, df0, "append"))
     validateConstraints(snap.configuration, asLogical(snap, df), "append")
     // appends INHERIT the table's partitioning: a partitioned table's
     // read path takes partition values from add.partitionValues (the
@@ -1633,6 +1635,83 @@ object DeltaInterop {
         s"${bad.head.toString} (nothing was written)")
     }
 
+  /** Generated columns recorded in a schema
+    * (`delta.generationExpression` field metadata, the OSS layout):
+    * name → SQL expression over the OTHER columns. */
+  private[graft] def generatedColumnsOf(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap { f =>
+      if (f.metadata.contains("delta.generationExpression"))
+        Some(f.name -> f.metadata.getString("delta.generationExpression"))
+      else None
+    }
+
+  /** Enforce generated columns on an incoming frame: a column the
+    * writer OMITS is computed from its expression (the usual INSERT
+    * shape — users provide the sources, the engine derives); a column
+    * the writer PROVIDES is validated value-by-value against the
+    * expression (null-safe), refusing before staging — silently
+    * accepting a divergent value would break every reader that
+    * trusts the generation invariant. Returns the frame in table
+    * column order. */
+  private[graft] def applyGeneratedColumns(schema: StructType,
+                                             df0: DataFrame,
+                                             op: String): DataFrame = {
+    val gens = generatedColumnsOf(schema)
+    if (gens.isEmpty) return df0
+    var out = df0
+    gens.foreach { case (name, sql) =>
+      val gen = expr(sql).cast(schema(name).dataType)
+      if (!out.columns.contains(name)) out = out.withColumn(name, gen)
+      else {
+        val bad = out.filter(!(col(name) <=> gen)).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$op: provided value for generated column '$name' does not " +
+          s"match its expression ($sql) — e.g. row ${bad.head.toString} " +
+          "(nothing was written)")
+      }
+    }
+    out.select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Create a table with GENERATED ALWAYS AS columns: the frame
+    * carries the source columns, each generated column is computed
+    * here and its expression recorded in the field metadata; the
+    * protocol takes legacy writer version 4 (implies
+    * generatedColumns). Every later write enforces the invariant
+    * through `applyGeneratedColumns`. */
+  def overwriteGenerated(df: DataFrame, base: String,
+                         generated: Seq[(String, DataType, String)],
+                         partitionBy: Seq[String] = Seq.empty,
+                         configuration: Map[String, String] = Map.empty): Long = {
+    require(generated.nonEmpty, "no generated columns given")
+    require(currentVersion(base).isEmpty,
+      s"generated-column writer only creates tables ($base exists — " +
+      "generated columns are fixed at creation, as Delta prescribes)")
+    generated.foreach { case (n, _, _) =>
+      require(!df.columns.contains(n),
+        s"generated column '$n' must not be in the source frame at " +
+        "creation (it is derived)") }
+    val schema = StructType(df.schema.fields ++ generated.map {
+      case (n, dt, sql) =>
+        StructField(n, dt, nullable = true,
+          metadata = new MetadataBuilder()
+            .putString("delta.generationExpression", sql).build())
+    })
+    val full = applyGeneratedColumns(schema, df, "overwriteGenerated")
+    validateConstraints(configuration, full, "overwriteGenerated")
+    val adds = collectAddStats(df.sparkSession, base,
+      stageAdds(full, base, partitionBy),
+      StructType(full.schema.filterNot(f => partitionBy.contains(f.name))))
+    val proto =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+    writeCommit(base, 0L,
+      Seq(proto, metaJson(schema, partitionBy,
+        UUID.randomUUID().toString, configuration)) ++
+        adds.map(addJson(_, base)),
+      operation = "CREATE TABLE")
+    0L
+  }
+
   /** `rows` with LOGICAL column names, for constraint conditions that
     * always reference the logical schema: physical-named frames (the
     * column-mapped staging shape) map back through the snapshot. */
@@ -1900,7 +1979,9 @@ object DeltaInterop {
     val snapOpt = if (exists) Some(snapshot(spark, base)) else None
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
-    val df = snapOpt.map(conformToPhysical(_, df0)).getOrElse(df0)
+    val df = snapOpt.map(snap => conformToPhysical(snap,
+      applyGeneratedColumns(snap.schema, df0, "appendIdempotent")))
+      .getOrElse(df0)
     snapOpt.foreach(snap => validateConstraints(snap.configuration,
       asLogical(snap, df), "appendIdempotent"))
     // existing tables: inherit/validate partitioning exactly as

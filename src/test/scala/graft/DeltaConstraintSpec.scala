@@ -81,6 +81,62 @@ class DeltaConstraintSpec extends SparkSpec {
     DeltaInterop.dropCheckConstraint(spark, base, "ghost", ifExists = true)
   }
 
+  test("generated columns derive on write, validate when provided") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val base = tmp()
+    DeltaInterop.overwriteGenerated(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), base,
+      Seq(("v_pct", DoubleType, "v / 100.0")))
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.minWriterVersion >= 4)
+    assert(snap.schema("v_pct").metadata
+      .getString("delta.generationExpression") == "v / 100.0")
+    assert(DeltaInterop.read(spark, base).orderBy("k")
+      .select("v_pct").as[Double].collect().toSeq == Seq(0.1, 0.2))
+    // append WITHOUT the generated column: derived
+    DeltaInterop.append(Seq((3L, 50.0)).toDF("k", "v"), base)
+    assert(DeltaInterop.read(spark, base).where(col("k") === 3)
+      .select("v_pct").as[Double].head() == 0.5)
+    // append WITH a divergent value: refused before staging
+    val v0 = DeltaInterop.snapshot(spark, base).version
+    val err = intercept[IllegalArgumentException] {
+      DeltaInterop.append(
+        Seq((4L, 50.0, 99.0)).toDF("k", "v", "v_pct"), base)
+    }
+    assert(err.getMessage.contains("v_pct"))
+    assert(DeltaInterop.snapshot(spark, base).version == v0)
+    // a MATCHING provided value passes
+    DeltaInterop.append(
+      Seq((4L, 60.0, 0.6)).toDF("k", "v", "v_pct"), base)
+    assert(DeltaInterop.read(spark, base).count() == 4)
+    // UPDATE of a source column RECOMPUTES the generated one;
+    // SET on the generated column itself refuses
+    DeltaDml.updateWhere(spark, base, col("k") === 1,
+      Map("v" -> lit(30.0)))
+    assert(DeltaInterop.read(spark, base).where(col("k") === 1)
+      .select("v_pct").as[Double].head() == 0.3)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaDml.updateWhere(spark, base, col("k") === 1,
+        Map("v_pct" -> lit(9.9)))
+    }
+    assert(e2.getMessage.contains("GENERATED"))
+    // MERGE derives the generated column for a bare source
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((2L, 80.0), (9L, 90.0)).toDF("k", "v"), "k")
+    val got = DeltaInterop.read(spark, base).orderBy("k")
+      .select("k", "v_pct").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.3), (2L, 0.8), (3L, 0.5), (4L, 0.6), (9L, 0.9)))
+    // SQL CREATE TABLE with GENERATED ALWAYS AS, then INSERT derives
+    val sbase = tmp() + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE gen_t (k BIGINT, v DOUBLE,
+          v_pct DOUBLE GENERATED ALWAYS AS (v / 100.0))
+          USING delta LOCATION '$sbase'""")
+    GraftSql.sql(spark,
+      "INSERT INTO gen_t SELECT CAST(1 AS BIGINT) AS k, 25.0 AS v")
+    assert(spark.sql("SELECT v_pct FROM gen_t").as[Double].head() == 0.25)
+  }
+
   test("SQL: ADD CONSTRAINT / DROP CONSTRAINT; INSERT validates") {
     val base = tmp()
     DeltaInterop.overwrite(Seq((1L, 10.0)).toDF("k", "v"), base)
