@@ -2296,6 +2296,31 @@ object SparkEntry {
       .orderBy(col("partition"))
   }
 
+  /** Shuffled-shard export (q205): the training pipeline's last mile —
+    * the corpus materialized as deterministically shuffled shards
+    * (order key md5(seed||doc_id): engine-portable, partitioning-
+    * independent; a new seed = a new epoch permutation). The aggregate
+    * is computed FROM THE READ-BACK SHARDS, so an export that dropped,
+    * duplicated or mangled rows hash-mismatches the oracle's replay
+    * from `documents`; per-shard ordering/disjointness is pinned in
+    * ExportSpec (not SQL-expressible). Fresh export per run: the
+    * write IS the operator. */
+  private def qShuffledExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Export
+    val path = fixtureDir("export_documents", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Export.shuffledShards(docs, path, col("doc_id"), "epoch0", 8)
+    Export.readShards(s, path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(md5(concat_ws("|", lit("epoch0"),
+          col("doc_id").cast("string")))).as("first_hash"))
+      .orderBy(col("lang"))
+  }
+
   /** Generated columns (q204): `CREATE TABLE ... GENERATED ALWAYS AS`
     * records the expression; INSERTs OMIT the column and the write
     * path derives it; an UPDATE of a source column RECOMPUTES it. The
@@ -4687,6 +4712,7 @@ object SparkEntry {
     "q202_sql_check_constraint" -> (qSqlCheckConstraint _),
     "q203_iceberg_partitions_table" -> (qIcebergPartitionsTable _),
     "q204_sql_generated_columns" -> (qSqlGenerated _),
+    "q205_shuffled_export" -> (qShuffledExport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5747,6 +5773,11 @@ object SparkEntry {
              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS totalprice
            FROM orders
          ) GROUP BY price_band ORDER BY price_band""",
+    "q205_shuffled_export" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         min(md5('epoch0|' || CAST(doc_id AS VARCHAR))) AS first_hash
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,
