@@ -2296,6 +2296,38 @@ object SparkEntry {
       .orderBy(col("partition"))
   }
 
+  /** Identity columns (q206): `GENERATED ALWAYS AS IDENTITY` assigns
+    * `start, start+step, ...` across appends under an OCC high-water
+    * mark — assignment itself is a range-partitioned global rank, no
+    * single-reducer sort. The oracle knows the id set in CLOSED FORM
+    * (two batches of known sizes → min/max/sum are arithmetic), so a
+    * duplicate id, a gap, a stale mark after batch one, or a lost row
+    * all hash-mismatch. Fresh dir per run: the statements are the
+    * operator. */
+  private def qSqlIdentity(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val base = fixtureDir("sql_identity_delta", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      .createOrReplaceTempView("q206_src")
+    GraftSql.sql(s,
+      s"""CREATE TABLE q206_t (id BIGINT GENERATED ALWAYS AS IDENTITY
+          (START WITH 1000 INCREMENT BY 2),
+          o_orderkey BIGINT, totalprice DECIMAL(18,2))
+          USING delta LOCATION '$base'""")
+    GraftSql.sql(s, "INSERT INTO q206_t SELECT * FROM q206_src " +
+      "WHERE o_orderkey % 3 = 0")
+    GraftSql.sql(s, "INSERT INTO q206_t SELECT * FROM q206_src " +
+      "WHERE o_orderkey % 3 = 1")
+    s.sql(
+      """SELECT count(*) AS n_rows, count(DISTINCT id) AS n_ids,
+         min(id) AS min_id, max(id) AS max_id, sum(id) AS sum_id,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q206_t""")
+  }
+
   /** Shuffled-shard export (q205): the training pipeline's last mile —
     * the corpus materialized as deterministically shuffled shards
     * (order key md5(seed||doc_id): engine-portable, partitioning-
@@ -4713,6 +4745,7 @@ object SparkEntry {
     "q203_iceberg_partitions_table" -> (qIcebergPartitionsTable _),
     "q204_sql_generated_columns" -> (qSqlGenerated _),
     "q205_shuffled_export" -> (qShuffledExport _),
+    "q206_sql_identity" -> (qSqlIdentity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5778,6 +5811,18 @@ object SparkEntry {
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
          min(md5('epoch0|' || CAST(doc_id AS VARCHAR))) AS first_hash
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q206_sql_identity" ->
+      """SELECT n AS n_rows, n AS n_ids,
+         CAST(1000 AS BIGINT) AS min_id,
+         CAST(1000 + 2 * (n - 1) AS BIGINT) AS max_id,
+         CAST(1000 * n + n * (n - 1) AS BIGINT) AS sum_id,
+         total
+         FROM (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS total
+           FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         )""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -303,7 +303,9 @@ object GraftSql {
                        df: DataFrame,
                        generated: Seq[(String,
                          org.apache.spark.sql.types.DataType, String)] =
-                         Seq.empty): DataFrame = {
+                         Seq.empty,
+                       identity: Option[(String, Long, Long)] = None)
+      : DataFrame = {
     val base = specLocation(spec).getOrElse(throw new IllegalArgumentException(
       s"CREATE TABLE $name USING $provider needs LOCATION '<path>' — " +
       "this front-end manages path-based tables"))
@@ -336,7 +338,11 @@ object GraftSql {
             schemaJson = Some(df.schema.json))
         else GraftLog.overwrite(df, base)
       case "delta" =>
-        if (generated.nonEmpty)
+        if (identity.isDefined) {
+          val (n, st, sp) = identity.get
+          graft.sources.DeltaInterop.overwriteIdentity(df, base, n, st, sp,
+            partCols, props)
+        } else if (generated.nonEmpty)
           graft.sources.DeltaInterop.overwriteGenerated(df, base,
             generated, partCols, props)
         else graft.sources.DeltaInterop.overwrite(df, base,
@@ -363,21 +369,36 @@ object GraftSql {
 
   private def runCreateTable(spark: SparkSession, name: String,
                              provider: String, c: CreateTable): DataFrame = {
-    // GENERATED ALWAYS AS columns: recorded + enforced on Delta only
-    // (field-metadata generation expressions are a Delta feature)
-    val (genCols, plainCols) =
+    // GENERATED ALWAYS AS (expr) and GENERATED ALWAYS AS IDENTITY:
+    // recorded + enforced on Delta only (field-metadata features)
+    val (genCols, rest) =
       c.columns.partition(_.generationExpression.isDefined)
-    require(genCols.isEmpty || provider == "delta",
-      "GENERATED ALWAYS AS columns are supported on Delta tables only")
+    val (idCols, plainCols) = rest.partition(_.identityColumnSpec.isDefined)
+    require((genCols.isEmpty && idCols.isEmpty) || provider == "delta",
+      "GENERATED columns (expression or IDENTITY) are supported on " +
+      "Delta tables only")
+    require(idCols.size <= 1, "at most one IDENTITY column per table")
+    require(genCols.isEmpty || idCols.isEmpty,
+      "a table with both expression-generated and IDENTITY columns is " +
+      "not supported")
     val generated = genCols.map { cd =>
       require(cd.defaultValue.isEmpty && cd.identityColumnSpec.isEmpty,
         s"column '${cd.name}' mixes GENERATED with DEFAULT/IDENTITY")
       (cd.name, cd.dataType, cd.generationExpression.get)
     }
+    val identity = idCols.headOption.map { cd =>
+      val spec = cd.identityColumnSpec.get
+      require(!spec.isAllowExplicitInsert,
+        "GENERATED BY DEFAULT AS IDENTITY is not supported — ALWAYS " +
+        "only (explicit inserts would bypass the high-water mark)")
+      require(cd.dataType == org.apache.spark.sql.types.LongType,
+        s"IDENTITY column '${cd.name}' must be BIGINT")
+      (cd.name, spec.getStart, spec.getStep)
+    }
     createAt(spark, name, provider, c.tableSpec, c.partitioning,
       c.ignoreIfExists,
       emptyFrame(spark, schemaOf(spark, plainCols, "CREATE TABLE")),
-      generated)
+      generated, identity)
   }
 
   private def runCtas(spark: SparkSession, name: String, provider: String,
@@ -463,17 +484,22 @@ object GraftSql {
     * OVERWRITE uses, with an empty source. */
   private def runTruncate(spark: SparkSession, name: String): DataFrame = {
     val h = tablesOf(spark).get(name)
-    val empty = emptyFrame(spark, spark.table(name).schema)
     val v = h match {
-      case LogTable(base) => GraftLog.overwrite(empty, base)
+      case LogTable(base) =>
+        GraftLog.overwrite(emptyFrame(spark, spark.table(name).schema), base)
       case DeltaTable(base) =>
+        // the SNAPSHOT schema carries field metadata (generation
+        // expressions, identity marks) a view schema might not —
+        // truncating must not strip those from the definition
         val snap = graft.sources.DeltaInterop.snapshot(spark, base)
-        graft.sources.DeltaInterop.overwrite(empty, base,
+        graft.sources.DeltaInterop.overwrite(
+          emptyFrame(spark, snap.schema), base,
           partitionBy = snap.partitionColumns,
           configuration = snap.configuration,
           tableId = snap.tableId)
       case IceTable(base) =>
-        graft.sources.IcebergInterop.overwrite(empty, base,
+        graft.sources.IcebergInterop.overwrite(
+          emptyFrame(spark, spark.table(name).schema), base,
           icePartitionCols(spark, base))
     }
     refreshView(spark, name, h)
@@ -735,13 +761,16 @@ object GraftSql {
     // readers resolve as nulls (or silently evolve graft-log's schema)
     val table = spark.table(name)
     val raw = GraftBridge.ofRows(spark, i.query)
-    // Delta GENERATED columns may be omitted — the write path derives
-    // them (and validates them when provided)
+    // Delta GENERATED columns (expression or IDENTITY) may be omitted
+    // — the write path derives/assigns them (and for expressions,
+    // validates them when provided)
     val generatedCols: Set[String] = h match {
       case DeltaTable(base) =>
-        graft.sources.DeltaInterop.generatedColumnsOf(
-          graft.sources.DeltaInterop.snapshot(spark, base).schema)
-          .map(_._1).toSet
+        val snap = graft.sources.DeltaInterop.snapshot(spark, base)
+        graft.sources.DeltaInterop.generatedColumnsOf(snap.schema)
+          .map(_._1).toSet ++
+          graft.sources.DeltaInterop.identityColumnOf(snap.schema)
+            .map(_._1).toSet
       case _ => Set.empty
     }
     require(raw.columns.toSet == table.columns.toSet ||
@@ -774,6 +803,11 @@ object GraftSql {
           "INSERT OVERWRITE on a column-mapped Delta table is not " +
           "supported — use DeltaInterop.overwriteColumnMapped or " +
           "DELETE + INSERT")
+        require(
+          graft.sources.DeltaInterop.identityColumnOf(snap.schema).isEmpty,
+          "INSERT OVERWRITE on an identity table is not supported — " +
+          "replacing contents would orphan the high-water mark " +
+          "(TRUNCATE + INSERT, or DELETE + INSERT)")
         val withGen = graft.sources.DeltaInterop.applyGeneratedColumns(
           snap.schema, source, "INSERT OVERWRITE")
         val withMeta = withGen.select(snap.schema.fields.map(f =>

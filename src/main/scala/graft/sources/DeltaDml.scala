@@ -60,8 +60,12 @@ object DeltaDml {
     "deletionVectors", "appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "timestampNtz",
     // generated columns: UPDATE recomputes them on post-images and
-    // refuses direct SET; MERGE derives/validates them on the source
-    "generatedColumns")
+    // refuses direct SET; MERGE derives/validates them on the source.
+    // identity columns: appends assign under an OCC mark guard; UPDATE
+    // refuses SET on the identity column (row identity is immutable);
+    // MERGE refuses below (inserted rows would need mark-advancing
+    // assignment inside the merge commit)
+    "generatedColumns", "identityColumns")
 
   /** The protocol's writer contract for this table, checked before any
     * DML: unknown declared writer features refuse; `delta.appendOnly`
@@ -346,6 +350,9 @@ object DeltaDml {
       require(!generated.contains(c),
         s"SET column '$c' is GENERATED ALWAYS AS (${generated(c)}) — it " +
         "derives from its sources and recomputes automatically")
+      require(!DeltaInterop.identityColumnOf(snap.schema).exists(_._1 == c),
+        s"SET column '$c' is an IDENTITY column — row identity is " +
+        "immutable")
     }
     // SQL UPDATE is a SIMULTANEOUS assignment: every RHS sees the
     // ORIGINAL row, never another SET's result — each RHS lands in a
@@ -474,6 +481,13 @@ object DeltaDml {
     require(snap.columnMappingMode == "none",
       "mergeUpsert on a column-mapped Delta table is not implemented — refusing")
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
+    DeltaInterop.identityColumnOf(snap.schema).foreach { id =>
+      throw new IllegalArgumentException(
+        s"mergeUpsert into a table with IDENTITY column '${id._1}' is " +
+        "not supported: inserted rows would need mark-advancing id " +
+        "assignment inside the merge commit (GENERATED ALWAYS also " +
+        "forbids source-provided ids) — append new rows instead")
+    }
     keys.foreach(k => require(snap.schema.fieldNames.contains(k),
       s"merge key '$k' is not a table column"))
     // generated columns derive (or validate, when provided) BEFORE the

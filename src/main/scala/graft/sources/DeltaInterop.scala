@@ -1250,6 +1250,28 @@ object DeltaInterop {
   def append(df0: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
     val snap = snapshot(df0.sparkSession, base)
+    identityColumnOf(snap.schema).foreach {
+      case (name, start, step, hwm, allowExplicit) =>
+        require(!df0.columns.contains(name) || allowExplicit,
+          s"column '$name' is GENERATED ALWAYS AS IDENTITY — the engine " +
+          "assigns it; omit it from the append frame")
+        if (!df0.columns.contains(name)) {
+          // id assignment reads the high-water mark: conflicts recompute
+          var attempt = 0
+          var s = snap
+          while (true) {
+            try return appendWithIdentity(s, df0, base, partitionBy,
+              name, start, step,
+              identityColumnOf(s.schema).get._4)
+            catch {
+              case e: java.util.ConcurrentModificationException =>
+                attempt += 1
+                if (attempt > 5) throw e
+                s = snapshot(df0.sparkSession, base)
+            }
+          }
+        }
+    }
     // generated columns derive/validate on the LOGICAL frame first
     val df = conformToPhysical(snap,
       applyGeneratedColumns(snap.schema, df0, "append"))
@@ -1712,6 +1734,135 @@ object DeltaInterop {
     0L
   }
 
+  /** The identity column recorded in a schema (`delta.identity.*`
+    * field metadata): (name, start, step, highWaterMark,
+    * allowExplicitInsert). At most one per table. */
+  private[graft] def identityColumnOf(schema: StructType)
+      : Option[(String, Long, Long, Option[Long], Boolean)] =
+    schema.fields.find(_.metadata.contains("delta.identity.start")).map {
+      f =>
+        val m = f.metadata
+        (f.name, m.getLong("delta.identity.start"),
+          m.getLong("delta.identity.step"),
+          if (m.contains("delta.identity.highWaterMark"))
+            Some(m.getLong("delta.identity.highWaterMark")) else None,
+          m.contains("delta.identity.allowExplicitInsert") &&
+            m.getBoolean("delta.identity.allowExplicitInsert"))
+    }
+
+  private def identityField(name: String, start: Long, step: Long,
+                            hwm: Option[Long]): StructField = {
+    val b = new MetadataBuilder()
+      .putLong("delta.identity.start", start)
+      .putLong("delta.identity.step", step)
+      .putBoolean("delta.identity.allowExplicitInsert", false)
+    hwm.foreach(b.putLong("delta.identity.highWaterMark", _))
+    StructField(name, LongType, nullable = true, metadata = b.build())
+  }
+
+  /** Assign identity values `nextStart, nextStart+step, ...` to a
+    * frame lacking the column. Uniqueness needs an exact global rank;
+    * the range-partitioned `globalRankWithTotal` provides it without a
+    * single-reducer sort (the 100 TB shape — identity assignment must
+    * not serialize the append). Order key = md5 of the full row, so
+    * the assigned ID SET is deterministic for given content. Returns
+    * the frame with ids and the row count. */
+  private def assignIdentity(df: DataFrame, name: String,
+                             nextStart: Long, step: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{struct, to_json}
+    val (ranked, n) = graft.ops.Relational.globalRankWithTotal(df,
+      Seq(md5(to_json(struct(df.columns.map(col): _*)))), "__id_rank")
+    (ranked
+      .withColumn(name,
+        lit(nextStart) + (col("__id_rank") - 1L) * lit(step))
+      .drop("__id_rank"), n)
+  }
+
+  /** Create a table with a GENERATED ALWAYS AS IDENTITY column: ids
+    * `start, start+step, ...` are assigned here (never user-provided),
+    * the spec + high-water mark ride in field metadata, the protocol
+    * takes legacy writer version 6 (implies identityColumns). Appends
+    * continue the sequence under an OCC guard — two concurrent appends
+    * reading the same high-water mark would mint duplicate ids, so the
+    * loser recomputes (see `append`). */
+  def overwriteIdentity(df: DataFrame, base: String, name: String,
+                        start: Long = 1L, step: Long = 1L,
+                        partitionBy: Seq[String] = Seq.empty,
+                        configuration: Map[String, String] = Map.empty): Long = {
+    require(step != 0L, "IDENTITY step must be non-zero")
+    require(currentVersion(base).isEmpty,
+      s"identity writer only creates tables ($base exists — identity " +
+      "columns are fixed at creation)")
+    require(!df.columns.contains(name),
+      s"identity column '$name' must not be in the source frame " +
+      "(GENERATED ALWAYS: the engine assigns it)")
+    validateConstraints(configuration, df, "overwriteIdentity")
+    val (withIds, n) = assignIdentity(df, name, start, step)
+    val hwm = if (n == 0) None else Some(start + step * (n - 1))
+    val schema = StructType(
+      identityField(name, start, step, hwm) +: df.schema.fields)
+    val full = withIds.select(schema.fieldNames.map(col): _*)
+    val adds = collectAddStats(df.sparkSession, base,
+      stageAdds(full, base, partitionBy),
+      StructType(full.schema.filterNot(f => partitionBy.contains(f.name))))
+    val proto =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""
+    writeCommit(base, 0L,
+      Seq(proto, metaJson(schema, partitionBy,
+        UUID.randomUUID().toString, configuration)) ++
+        adds.map(addJson(_, base)),
+      operation = "CREATE TABLE")
+    0L
+  }
+
+  /** Identity-assigning append: ids continue from the recorded
+    * high-water mark, and the SAME commit moves the mark — under
+    * direct version CAS (not the rebasing reconciler: a concurrent
+    * winner may itself have advanced the mark, so the loser must
+    * recompute its ids from the fresh snapshot, which `append`'s retry
+    * loop does). Losing attempts discard their staged files. */
+  private def appendWithIdentity(snap: DeltaSnapshot, df0: DataFrame,
+                                 base: String, partitionBy: Seq[String],
+                                 name: String, start: Long, step: Long,
+                                 hwm: Option[Long]): Long = {
+    require(snap.columnMappingMode == "none",
+      "identity assignment on a column-mapped table is not implemented")
+    val nextStart = hwm.map(_ + step).getOrElse(start)
+    val (withIds, n) = assignIdentity(df0, name, nextStart, step)
+    if (n == 0) return snap.version
+    val conformed = withIds.select(snap.schema.fieldNames.map(col): _*)
+    val withGen = applyGeneratedColumns(snap.schema, conformed, "append")
+    validateConstraints(snap.configuration, withGen, "append")
+    val effPartitionBy =
+      if (partitionBy.isEmpty) snap.partitionColumns else partitionBy
+    require(effPartitionBy == snap.partitionColumns,
+      s"append partitionBy (${partitionBy.mkString(",")}) does not match " +
+      s"the table's partitioning (${snap.partitionColumns.mkString(",")})")
+    val adds = collectAddStats(df0.sparkSession, base,
+      stageAdds(withGen, base, effPartitionBy),
+      StructType(withGen.schema.filterNot(f =>
+        effPartitionBy.contains(f.name))))
+    val newHwm = nextStart + step * (n - 1)
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == name) identityField(name, start, step, Some(newHwm))
+      else f))
+    val v = snap.version + 1
+    try writeCommit(base, v,
+      Seq(metaJson(newSchema, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration)) ++ adds.map(addJson(_, base)),
+      operation = "WRITE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // losing attempt: its ids were minted against a stale mark —
+        // drop the staged files before the caller recomputes
+        adds.foreach(a => org.apache.commons.io.FileUtils.deleteQuietly(
+          new File(base, PathCodec.percentDecode(a.path))))
+        throw e
+    }
+    v
+  }
+
   /** `rows` with LOGICAL column names, for constraint conditions that
     * always reference the logical schema: physical-named frames (the
     * column-mapped staging shape) map back through the snapshot. */
@@ -1979,6 +2130,12 @@ object DeltaInterop {
     val snapOpt = if (exists) Some(snapshot(spark, base)) else None
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
+    snapOpt.flatMap(s => identityColumnOf(s.schema)).foreach { _ =>
+      throw new IllegalArgumentException(
+        "appendIdempotent into an identity table is not supported: " +
+        "replay-safe id minting needs per-batch mark bookkeeping " +
+        "(and GENERATED ALWAYS forbids caller-provided ids) — refusing")
+    }
     val df = snapOpt.map(snap => conformToPhysical(snap,
       applyGeneratedColumns(snap.schema, df0, "appendIdempotent")))
       .getOrElse(df0)

@@ -137,6 +137,85 @@ class DeltaConstraintSpec extends SparkSpec {
     assert(spark.sql("SELECT v_pct FROM gen_t").as[Double].head() == 0.25)
   }
 
+  test("identity columns assign contiguous unique ids across appends") {
+    val base = tmp()
+    DeltaInterop.overwriteIdentity(
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("s", "v"), base, "id",
+      start = 100L, step = 10L)
+    val snap0 = DeltaInterop.snapshot(spark, base)
+    assert(snap0.minWriterVersion >= 6)
+    assert(snap0.schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == 120L)
+    val ids0 = DeltaInterop.read(spark, base)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids0 == Seq(100L, 110L, 120L))
+    // append WITHOUT the column: continues from the mark, mark moves
+    DeltaInterop.append(Seq(("d", 4.0), ("e", 5.0)).toDF("s", "v"), base)
+    val all = DeltaInterop.read(spark, base)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(100L, 110L, 120L, 130L, 140L))
+    assert(DeltaInterop.snapshot(spark, base).schema("id").metadata
+      .getLong("delta.identity.highWaterMark") == 140L)
+    // GENERATED ALWAYS: a provided id refuses
+    val err = intercept[IllegalArgumentException] {
+      DeltaInterop.append(
+        Seq((999L, "x", 9.0)).toDF("id", "s", "v"), base)
+    }
+    assert(err.getMessage.contains("IDENTITY"))
+    // UPDATE of other columns keeps ids; SET on the id refuses
+    DeltaDml.updateWhere(spark, base, col("s") === "a",
+      Map("v" -> lit(11.0)))
+    assert(DeltaInterop.read(spark, base)
+      .select("id").as[Long].collect().sorted.toSeq == all)
+    intercept[IllegalArgumentException] {
+      DeltaDml.updateWhere(spark, base, col("s") === "a",
+        Map("id" -> lit(7L)))
+    }
+    // MERGE refuses on identity tables
+    intercept[IllegalArgumentException] {
+      DeltaDml.mergeUpsert(spark, base,
+        Seq(("a", 1.5)).toDF("s", "v"), "s")
+    }
+    // determinism: same content → same id SET on a fresh table
+    val base2 = tmp()
+    DeltaInterop.overwriteIdentity(
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("s", "v"), base2, "id",
+      start = 100L, step = 10L)
+    val byS = DeltaInterop.read(spark, base)
+      .where(col("id") <= 120).select("s", "id")
+      .as[(String, Long)].collect().toMap
+    val byS2 = DeltaInterop.read(spark, base2).select("s", "id")
+      .as[(String, Long)].collect().toMap
+    assert(byS2("a") == byS("a") && byS2("b") == byS("b"))
+  }
+
+  test("SQL: CREATE with IDENTITY, INSERT omits it, TRUNCATE keeps the mark") {
+    val base = tmp() + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE TABLE id_t (id BIGINT GENERATED ALWAYS AS IDENTITY
+          (START WITH 1 INCREMENT BY 1), s STRING)
+          USING delta LOCATION '$base'""")
+    GraftSql.sql(spark,
+      "INSERT INTO id_t SELECT 'x' AS s UNION ALL SELECT 'y' AS s")
+    assert(spark.sql("SELECT id FROM id_t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    // TRUNCATE preserves the identity definition AND the mark: a later
+    // insert continues the sequence, never reuses ids
+    GraftSql.sql(spark, "TRUNCATE TABLE id_t")
+    GraftSql.sql(spark, "INSERT INTO id_t SELECT 'z' AS s")
+    assert(spark.sql("SELECT id FROM id_t").as[Long].collect().toSeq ==
+      Seq(3L))
+    // INSERT OVERWRITE refuses; BY DEFAULT refuses at create
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "INSERT OVERWRITE id_t SELECT 'w' AS s")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""CREATE TABLE id_t2 (id BIGINT GENERATED BY DEFAULT AS
+            IDENTITY, s STRING) USING delta LOCATION '${tmp()}/t2'""")
+    }
+  }
+
   test("SQL: ADD CONSTRAINT / DROP CONSTRAINT; INSERT validates") {
     val base = tmp()
     DeltaInterop.overwrite(Seq((1L, 10.0)).toDF("k", "v"), base)
