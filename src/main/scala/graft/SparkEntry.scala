@@ -2296,6 +2296,40 @@ object SparkEntry {
       .orderBy(col("partition"))
   }
 
+  /** Iceberg manifest consolidation (q207): five appends accrete five
+    * data manifests (the streaming-table disease — scan planning reads
+    * every manifest), a keyed upsert adds an equality delete whose
+    * strict sequence gate depends on PER-FILE sequence numbers, then
+    * `rewrite_manifests` folds the data manifests into ONE carrying
+    * explicit per-entry seqs. The read after the fold must still apply
+    * the delete to exactly the pre-upsert files — a fold that let
+    * sequence inheritance collapse the seqs would resurrect or
+    * over-mask rows and hash-mismatch the oracle. Fold runs per rep on
+    * a hard-link copy: the maintenance op IS the operator. */
+  private def qIcebergManifestFold(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("ice_manifold_orders", dir, "orders") { p =>
+      IcebergInterop.overwrite(
+        ords.filter(col("o_orderkey") % 5 === 0).coalesce(1), p)
+      (1 to 4).foreach(i => IcebergInterop.append(
+        ords.filter(col("o_orderkey") % 5 === i).coalesce(1), p))
+      IcebergInterop.mergeUpsert(s, p,
+        ords.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("totalprice",
+            (col("totalprice") * 2).cast(DecimalType(18, 2))),
+        Seq("o_orderkey"))
+    }
+    IcebergInterop.rewriteManifests(s, base)
+    IcebergInterop.read(s, base)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
   /** Identity columns (q206): `GENERATED ALWAYS AS IDENTITY` assigns
     * `start, start+step, ...` across appends under an OCC high-water
     * mark — assignment itself is a range-partitioned global rank, no
@@ -4746,6 +4780,7 @@ object SparkEntry {
     "q204_sql_generated_columns" -> (qSqlGenerated _),
     "q205_shuffled_export" -> (qShuffledExport _),
     "q206_sql_identity" -> (qSqlIdentity _),
+    "q207_iceberg_manifest_fold" -> (qIcebergManifestFold _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5823,6 +5858,14 @@ object SparkEntry {
                        AS DOUBLE) AS total
            FROM orders WHERE o_orderkey % 3 IN (0, 1)
          )""",
+    "q207_iceberg_manifest_fold" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CASE WHEN o_orderkey % 11 = 0
+           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                     AS DECIMAL(18,2))
+           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

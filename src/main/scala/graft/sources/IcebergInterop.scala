@@ -792,6 +792,7 @@ object IcebergInterop {
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":"long","field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"field-id":3,"default":null},
          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
          |  {"name":"content","type":"int","field-id":134},
          |  {"name":"file_path","type":"string","field-id":100},
@@ -2252,6 +2253,82 @@ object IcebergInterop {
     * specs only (each partition bin-packs separately); `minInputFiles`
     * small files must qualify in a partition before it rewrites.
     * Returns the new snapshot id, or the current one on no-op. */
+  /** `rewrite_manifests`: consolidate the current snapshot's DATA
+    * manifests into ONE, without touching any data file — the cure for
+    * manifest accretion (every append adds a manifest; after 10k
+    * streaming commits a scan plans against 10k manifest reads). Each
+    * consolidated entry carries its EXPLICIT sequence number (spec
+    * field-id 3) — sequence-number inheritance from the manifest would
+    * otherwise collapse every file onto one seq and break the strict
+    * sequence gates delete application depends on. Delete manifests
+    * carry as-is (few, semantically distinct). Metadata-only: one
+    * manifest write + one replace snapshot. Refuses transformed
+    * partition specs (partition records are rebuilt typed). */
+  def rewriteManifests(spark: SparkSession, base: String): Long = {
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    val snap = snapshot(spark, base)
+    require(snap.specFields.forall(_.transform == "identity"),
+      "rewriteManifests on a transformed partition spec is not " +
+      "implemented — refusing")
+    val manifests = currentManifests(base, prev)
+    val dataManifests = manifests.filter(_.content == 0)
+    if (dataManifests.size <= 1)
+      return prev.get("current-snapshot-id").asLong() // nothing to fold
+    val snapshotId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    def parsePv(dt: DataType, s: String): Any =
+      if (s == null) null else dt match {
+        case IntegerType => Int.box(s.toInt)
+        case LongType => Long.box(s.toLong)
+        case DoubleType => Double.box(s.toDouble)
+        case StringType => s
+        case other => throw new IllegalArgumentException(
+          s"unsupported identity-partition type $other in rewriteManifests")
+      }
+    val partTypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    val entrySchema = entrySchemaFor(partTypes)
+    val entries = snap.files.sortBy(_.path).map { f =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 0) // existing — this snapshot adds no data
+      rec.put("snapshot_id", snapshotId)
+      rec.put("sequence_number", Long.box(f.seq)) // explicit, not inherited
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", f.path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", f.recordCount)
+      dfr.put("file_size_in_bytes",
+        if (f.sizeBytes >= 0) f.sizeBytes else new File(f.path).length())
+      if (f.lowerBounds.nonEmpty)
+        dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", f.lowerBounds))
+      if (f.upperBounds.nonEmpty)
+        dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", f.upperBounds))
+      if (partTypes.nonEmpty) {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        partTypes.foreach { case (c, dt) =>
+          pr.put(c, parsePv(dt, f.partitionValues.getOrElse(c, null)))
+        }
+        dfr.put("partition", pr)
+      }
+      rec.put("data_file", dfr)
+      rec
+    }
+    val mFile = new File(metaDir, s"manifest-folded-$id.avro")
+    writeAvro(mFile, entrySchema, entries)
+    // the manifest-level seq is only the INHERITANCE fallback; every
+    // entry above carries its own, so the current high seq is correct
+    val newRef = ManifestRef(mFile, 0,
+      prev.get("last-sequence-number").asLong(), snapshotId)
+    commitManifestListSnapshot(base, prev,
+      manifests.filter(_.content == 1) :+ newRef,
+      snapshotId, id, "replace")
+  }
+
   def rewriteDataFiles(spark: SparkSession, base: String,
                        smallFileBytes: Long = 32L << 20,
                        targetFileBytes: Long = 128L << 20,

@@ -80,6 +80,52 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(err.getMessage.contains("Iceberg feature"))
   }
 
+  test("rewriteManifests folds data manifests, keeps seqs and deletes exact") {
+    import spark.implicits._
+    val base = tmp()
+    // 4 appends → 4 data manifests; a keyed upsert adds an equality
+    // delete whose strict sequence gate depends on PER-FILE seqs
+    IcebergInterop.overwrite(
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.append(Seq((3L, 3.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.append(Seq((4L, 4.0)).toDF("k", "v").coalesce(1), base)
+    IcebergInterop.mergeUpsert(spark, base,
+      Seq((2L, 22.0), (5L, 5.0)).toDF("k", "v").coalesce(1), Seq("k"))
+    val before = IcebergInterop.read(spark, base).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(before == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0), (4L, 4.0), (5L, 5.0)))
+    val nManifestsBefore = IcebergInterop.filesTable(spark, base).count()
+    IcebergInterop.rewriteManifests(spark, base)
+    // value-exact after the fold: the equality delete must STILL mask
+    // only files strictly below its sequence (post-upsert row survives)
+    val after = IcebergInterop.read(spark, base).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before, "manifest fold changed query results")
+    // one data manifest remains (plus the delete manifest)
+    val metaDir = new java.io.File(base, "metadata")
+    val folded = metaDir.listFiles().filter(_.getName.startsWith("manifest-folded-"))
+    assert(folded.length == 1)
+    // history intact: pre-fold snapshot still time-travels
+    val ids = IcebergInterop.snapshotIds(base)
+    assert(IcebergInterop.read(spark, base, Some(ids.head)).count() == 2)
+    // idempotent: a second fold is a no-op (already one data manifest)
+    val cur = ids.last
+    assert(IcebergInterop.rewriteManifests(spark, base) == cur)
+    // partitioned leg: partition records survive typed (pruning works)
+    val pbase = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "p").coalesce(1), pbase, Seq("p"))
+    IcebergInterop.append(
+      Seq((3L, "x")).toDF("k", "p").coalesce(1), pbase, Seq("p"))
+    IcebergInterop.rewriteManifests(spark, pbase)
+    val eq = IcebergInterop.readEq(spark, pbase, Map("p" -> "x"))
+    assert(eq.count() == 2)
+    assert(eq.inputFiles.length == 2, "partition pruning must still prune")
+    assert(IcebergInterop.partitionsTable(spark, pbase)
+      .orderBy("partition").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("p=x", 2L), ("p=y", 1L)))
+  }
+
   test("partitions/refs/history metadata tables read manifests, not data") {
     import spark.implicits._
     val base = tmp()
