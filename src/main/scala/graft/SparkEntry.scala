@@ -2296,6 +2296,38 @@ object SparkEntry {
       .orderBy(col("partition"))
   }
 
+  /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
+    * DEFINITION (new schema + partitioning) in one commit while the
+    * history stays (the oracle's derivation uses only the replaced
+    * definition, so a replace that leaked old rows or dropped the new
+    * partitioning's data hash-mismatches), then INSERT under the new
+    * shape. Fresh dirs per run: the statements are the operator. */
+  private def qSqlReplaceTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val base = fixtureDir("sql_replace_delta", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      .createOrReplaceTempView("q208_src")
+    GraftSql.sql(s,
+      s"""CREATE TABLE q208_t USING delta LOCATION '$base'
+          AS SELECT o_orderkey, totalprice FROM q208_src
+          WHERE o_orderkey % 4 = 0""")
+    GraftSql.sql(s,
+      s"""CREATE OR REPLACE TABLE q208_t USING delta
+          PARTITIONED BY (o_orderstatus) LOCATION '$base'
+          AS SELECT o_orderkey, o_orderstatus, totalprice FROM q208_src
+          WHERE o_orderkey % 4 = 1""")
+    GraftSql.sql(s,
+      "INSERT INTO q208_t SELECT o_orderkey, o_orderstatus, totalprice " +
+      "FROM q208_src WHERE o_orderkey % 4 = 2")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q208_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** Iceberg manifest consolidation (q207): five appends accrete five
     * data manifests (the streaming-table disease — scan planning reads
     * every manifest), a keyed upsert adds an equality delete whose
@@ -4781,6 +4813,7 @@ object SparkEntry {
     "q205_shuffled_export" -> (qShuffledExport _),
     "q206_sql_identity" -> (qSqlIdentity _),
     "q207_iceberg_manifest_fold" -> (qIcebergManifestFold _),
+    "q208_sql_replace_table" -> (qSqlReplaceTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5866,6 +5899,11 @@ object SparkEntry {
            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
            AS total
          FROM orders GROUP BY o_orderstatus ORDER BY status""",
+    "q208_sql_replace_table" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 4 IN (1, 2)
+         GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,
