@@ -223,9 +223,14 @@ object DeltaDml {
                                  scanFiles: DeltaSnapshot => Seq[AddFile] =
                                    _.files): Long = {
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode == "none",
-      "vectored delete on a column-mapped Delta table is not " +
-      "implemented (cdc staging + protocol feature sets) — refusing")
+    // the scan (assembleScan) resolves both mapping modes and the DV
+    // machinery addresses (file, pos) — name-free; only the CDC rows
+    // would need physical-named staging + mapped cdc reads, so mapped
+    // tables are fine as long as the change feed is off
+    require(snap.columnMappingMode == "none" || !cdfEnabled(snap),
+      "vectored delete on a column-mapped Delta table with Change " +
+      "Data Feed enabled is not implemented (physical-named cdc " +
+      "staging) — refusing")
     requireDmlWritable(snap, "deleteVectored", mutatesRows = false)
     val matched0 = classify(assembleScan(spark, base,
       snap.copy(files = scanFiles(snap)), keepCoords = true))
