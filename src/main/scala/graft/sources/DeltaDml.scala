@@ -342,8 +342,12 @@ object DeltaDml {
                               predicate: Column,
                               set: Map[String, Column]): Long = {
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode == "none",
-      "updateWhere on a column-mapped Delta table is not implemented — refusing")
+    // the scan resolves mapping and the rewrite conforms its staged
+    // files to physical names below; only CDC staging stays refused
+    require(snap.columnMappingMode == "none" || !cdfEnabled(snap),
+      "updateWhere on a column-mapped Delta table with Change Data " +
+      "Feed enabled is not implemented (physical-named cdc staging) — " +
+      "refusing")
     requireDmlWritable(snap, "updateWhere", mutatesRows = true)
     val generated = DeltaInterop.generatedColumnsOf(snap.schema).toMap
     set.keys.foreach { c =>
@@ -424,10 +428,14 @@ object DeltaDml {
         stageCdc(cdcDf, base, snap.partitionColumns)
       }
     val cdcLines = cdcAdds.map(cdcJson(_, base))
+    // mapped tables: the rewritten files must carry PHYSICAL names
+    // (and physical partitionValues keys), same as any append
+    val updatedPhys = DeltaInterop.conformToPhysical(snap, updated)
+    val physParts = snap.partitionColumns.map(snap.physicalName)
     val adds = collectAddStats(spark, base,
-      stageAdds(updated, base, snap.partitionColumns),
-      StructType(snap.schema.filterNot(f =>
-        snap.partitionColumns.contains(f.name))))
+      stageAdds(updatedPhys, base, physParts),
+      StructType(updatedPhys.schema.filterNot(f =>
+        physParts.contains(f.name))))
     val v = snap.version + 1
     try writeCommit(base, v,
       cdcLines ++

@@ -1209,7 +1209,7 @@ object DeltaInterop {
     * column is additionally stamped with its mapping id as the parquet
     * field id, the resolution key id-mode readers use. Unmapped tables
     * return the frame untouched. */
-  private def conformToPhysical(snap: DeltaSnapshot, df: DataFrame): DataFrame = {
+  private[sources] def conformToPhysical(snap: DeltaSnapshot, df: DataFrame): DataFrame = {
     if (snap.columnMappingMode == "none") return df
     val physToLogical =
       snap.schema.fieldNames.map(n => snap.physicalName(n) -> n).toMap

@@ -624,6 +624,15 @@ object IcebergInterop {
   private def assembleRead(spark: SparkSession, snap: IcebergSnapshot,
                            kept: Seq[DataFileEntry],
                            keepCoords: Boolean = false): DataFrame = {
+    // Iceberg resolution is BY FIELD ID: the snapshot schema carries
+    // parquet.field.id metadata and this conf makes Spark's reader
+    // honor it. Every public read path sets it — but so must THIS
+    // shared internal scan, or the first operation of a fresh session
+    // that goes through DML/maintenance (update, merge, compaction)
+    // on a renamed/evolved table resolves BY NAME, reads NULL for any
+    // column whose file-side name predates the rename, and REWRITES
+    // that NULL into the table (the DdlFuzzSpec catch).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // with keepCoords the caller gets `__ice_file` (normalized on-disk
     // path) and `__ice_pos` (raw parquet row_index — the position-delete
     // coordinate system) for row-level DML

@@ -32,6 +32,10 @@ class DdlFuzzSpec extends SparkSpec {
 
   private def runSequence(seed: Int, nOps: Int): Unit = {
     val rnd = new scala.util.Random(seed)
+    // adversarial: no read may have primed session confs — the first
+    // operation of a fresh session must stand on its own (the exact
+    // condition that exposed the assembleRead field-id bug)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
     val dbase = tmp(); val ibase = tmp(); val lbase = tmp()
     var nextKey = 0L
     var nameCounter = 0
@@ -64,8 +68,8 @@ class DdlFuzzSpec extends SparkSpec {
       model.rows = rows.toVector
     }
 
-    (1 to nOps).foreach { _ =>
-      rnd.nextInt(5) match {
+    (1 to nOps).foreach { opIdx =>
+      rnd.nextInt(6) match {
         case 0 => // INSERT a batch under the current schema
           val (df, rows) = insertFrame(1 + rnd.nextInt(4))
           DeltaInterop.append(df, dbase)
@@ -95,7 +99,7 @@ class DdlFuzzSpec extends SparkSpec {
           GraftLog.dropColumnsRewrite(spark, lbase, Seq(c))
           model.cols = model.cols.filterNot(_ == c)
           model.rows = model.rows.map(_ - c)
-        case _ => // DELETE WHERE k % m = r
+        case 4 => // DELETE WHERE k % m = r
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
           val pred = col("k") % m === r
           DeltaDml.deleteVectoredWhere(spark, dbase, pred)
@@ -103,6 +107,38 @@ class DdlFuzzSpec extends SparkSpec {
           GraftLog.delete(spark, lbase, pred)
           model.rows = model.rows.filterNot(row =>
             row("k").asInstanceOf[Long] % m == r)
+        case _ => // UPDATE SET c = c + d WHERE k % m = r
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          val c = model.cols(rnd.nextInt(model.cols.size))
+          val d = (1 + rnd.nextInt(9)).toDouble
+          val pred = col("k") % m === r
+          def bump(v: Any): Any = v match {
+            case x: java.lang.Double => Double.box(x + d)
+            case null => null // SQL: NULL + d stays NULL
+          }
+          DeltaDml.updateWhere(spark, dbase, pred,
+            Map(c -> (col(c) + lit(d))))
+          IcebergInterop.updateWhere(spark, ibase, pred,
+            Map(c -> (col(c) + lit(d))))
+          // graft-log UPDATE is keyed upsert: replacement rows derived
+          // from the model (the exact post-image)
+          val matched = model.rows.filter(row =>
+            row("k").asInstanceOf[Long] % m == r)
+          if (matched.nonEmpty) {
+            val schema = StructType(StructField("k", LongType) +:
+              model.cols.map(cc => StructField(cc, DoubleType)))
+            val repl = spark.createDataFrame(
+              spark.sparkContext.parallelize(matched.map { row =>
+                Row.fromSeq(row("k") +: model.cols.map(cc =>
+                  if (cc == c) bump(row.getOrElse(cc, null))
+                  else row.getOrElse(cc, null)))
+              }, 1), schema)
+            GraftLog.upsert(spark, lbase, repl, Seq("k"))
+          }
+          model.rows = model.rows.map(row =>
+            if (row("k").asInstanceOf[Long] % m == r)
+              row + (c -> bump(row.getOrElse(c, null)))
+            else row)
       }
     }
 
