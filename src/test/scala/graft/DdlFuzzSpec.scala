@@ -69,7 +69,7 @@ class DdlFuzzSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { opIdx =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // INSERT a batch under the current schema
           val (df, rows) = insertFrame(1 + rnd.nextInt(4))
           DeltaInterop.append(df, dbase)
@@ -107,6 +107,26 @@ class DdlFuzzSpec extends SparkSpec {
           GraftLog.delete(spark, lbase, pred)
           model.rows = model.rows.filterNot(row =>
             row("k").asInstanceOf[Long] % m == r)
+        case 6 => // MAINTENANCE — value-preserving by contract, so the
+          // model does NOT move; any drift is a maintenance bug
+          rnd.nextInt(3) match {
+            case 0 => DeltaInterop.checkpoint(spark, dbase)
+            case 1 => DeltaInterop.optimize(spark, dbase,
+              smallFileBytes = 1L << 20)
+            case 2 => DeltaInterop.vacuum(spark, dbase, retainMillis = 0L)
+          }
+          rnd.nextInt(3) match {
+            case 0 => IcebergInterop.rewriteDataFiles(spark, ibase,
+              smallFileBytes = 1L << 20)
+            case 1 => IcebergInterop.rewriteManifests(spark, ibase)
+            case 2 => IcebergInterop.expireSnapshots(spark, ibase)
+          }
+          rnd.nextInt(2) match {
+            case 0 => GraftLog.compact(spark, lbase,
+              targetRowsPerFile = 1000L)
+            case 1 => GraftLog.vacuum(lbase, keepVersions = 1,
+              retentionMs = 0L)
+          }
         case _ => // UPDATE SET c = c + d WHERE k % m = r
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
           val c = model.cols(rnd.nextInt(model.cols.size))
@@ -162,5 +182,6 @@ class DdlFuzzSpec extends SparkSpec {
   test("seeded DDL/DML sequences agree across all formats and the model") {
     runSequence(seed = 42, nOps = 18)
     runSequence(seed = 1337, nOps = 18)
+    runSequence(seed = 7, nOps = 22)
   }
 }
