@@ -209,6 +209,13 @@ object GraftSql {
             runTruncate(spark, name)
           case _ => spark.sql(text)
         }
+      case r: RenameTable if !r.isView =>
+        ddlName(r.child) match {
+          case Some(name) if tablesOf(spark).containsKey(name) =>
+            runRenameTable(spark, name,
+              r.newName.last.toLowerCase)
+          case _ => spark.sql(text)
+        }
       case other if other.exists {
             case _: RelationTimeTravel => true; case _ => false } =>
         runTimeTravel(spark, other).getOrElse(spark.sql(text))
@@ -222,7 +229,26 @@ object GraftSql {
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
       Some(u.nameParts.last.toLowerCase)
     case u: UnresolvedTable => Some(u.multipartIdentifier.last.toLowerCase)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(u.multipartIdentifier.last.toLowerCase)
     case _ => None
+  }
+
+  /** `ALTER TABLE <t> RENAME TO <u>`: a path-based table IS its path —
+    * renaming moves the REGISTRATION (handler + temp view), no file. */
+  private def runRenameTable(spark: SparkSession, name: String,
+                             newName: String): DataFrame = {
+    require(!tablesOf(spark).containsKey(newName),
+      s"'$newName' is already a registered table")
+    val h = tablesOf(spark).remove(name)
+    spark.catalog.dropTempView(name)
+    val provider = h match {
+      case LogTable(_) => "graftlog"
+      case DeltaTable(_) => "delta"
+      case IceTable(_) => "iceberg"
+    }
+    registerAs(spark, newName, provider, h.base)
+    result(spark, "RENAME TABLE", -1L)
   }
 
   /** The USING provider, normalized — Some only for the three formats

@@ -611,6 +611,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(!new File(pbase).exists())
   }
 
+  test("ALTER TABLE RENAME TO moves the registration, not the files") {
+    val base = freshBase("rename_to")
+    GraftLog.overwriteClustered(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"),
+      base, Seq("k"), nFiles = 1)
+    GraftSql.registerTable(spark, "rt_old", base)
+    GraftSql.sql(spark, "ALTER TABLE rt_old RENAME TO rt_new")
+    assert(spark.sql("SELECT count(*) AS n FROM rt_new")
+      .head().getLong(0) == 2L)
+    // old name gone (both registry and view); DML follows the new name
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT count(*) FROM rt_old").collect()
+    }
+    GraftSql.sql(spark, "DELETE FROM rt_new WHERE k = 1")
+    assert(GraftLog.read(spark, base).count() == 1, "same path, same table")
+    // renaming ONTO an existing registration refuses
+    GraftSql.registerTable(spark, "rt_other", base)
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "ALTER TABLE rt_new RENAME TO rt_other")
+    }
+    assert(err.getMessage.contains("already"))
+  }
+
   test("non-DML statements and unregistered tables fall through to spark.sql") {
     val n = GraftSql.sql(spark, "SELECT 1 + 1 AS two").head().getInt(0)
     assert(n == 2)
