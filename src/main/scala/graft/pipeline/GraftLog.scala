@@ -1093,6 +1093,82 @@ object GraftLog {
       expectedVersion = Some(snap.version))
   }
 
+  /** Copy-on-write UPDATE: files that can hold a match (zone-map
+    * auto-scope) take a census; only files with ≥1 matching LIVE row
+    * rewrite — matched rows get the SET applied (SQL's SIMULTANEOUS
+    * assignment: every RHS sees the original row), survivors copy
+    * verbatim, their deletion vectors fold in. Every other file
+    * survives the commit byte-untouched — the 100 TB UPDATE shape on
+    * a clustered table. Same contract as `delete`: NULL predicate
+    * rows don't match, OCC conflict+retry, no-op short-circuit. */
+  def updateWhere(spark: SparkSession, base: String, predicate: Column,
+                  set: Map[String, Column],
+                  maxConflictRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      try return updateOnce(spark, base, predicate, set)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def updateOnce(spark: SparkSession, base: String,
+                         predicate: Column,
+                         set: Map[String, Column]): Long = {
+    val snap = snapshot(base)
+    val schema = snap.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+      throw new IllegalStateException(
+        s"graft-log table at $base records no schema — cannot update"))
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column '$c' is not in the table schema"))
+    val candidates = autoScope(snap, predicate)
+    if (candidates.isEmpty) return snap.version
+    // census on LIVE rows (DVs subtracted): which candidates hold a hit
+    val liveScan = subtractDv(spark, base, snap, withRowCoords(
+        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*)))
+    // the predicate and SET expressions evaluate across TWO jobs
+    // (census + rewrite) — nondeterminism would select different rows
+    // in each; probed on the ANALYZED plan (unresolved exprs claim
+    // determinism)
+    val probe = liveScan.select(
+      (predicate +: set.values.toSeq).zipWithIndex.map {
+        case (e, i) => e.as(s"__p$i") }: _*)
+    require(!probe.queryExecution.analyzed.exists(p =>
+        p.expressions.exists(e => e.resolved && !e.deterministic)),
+      "updateWhere requires a deterministic predicate and SET " +
+      "expressions (they evaluate in more than one job) — precompute " +
+      "random values into a column first")
+    val census = liveScan
+      .groupBy(col("__file").as("__f"))
+      .agg(count(when(predicate, lit(1))).as("__hits"))
+      .collect()
+    val touched = census.iterator.filter(_.getAs[Long]("__hits") > 0)
+      .flatMap(r => candidates.find(r.getString(0).endsWith)).toSeq
+    if (touched.isEmpty) return snap.version
+    // rewrite ONLY the touched files: SIMULTANEOUS SET via temp columns
+    val setTyped = set.toSeq.map { case (c, e) =>
+      c -> e.cast(schema(c).dataType) }
+    val scan = readFiles(spark, base, snap, touched)
+      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val withTemps = setTyped.foldLeft(scan) { case (d, (c, e)) =>
+      d.withColumn(s"__set_$c", e) }
+    val updated = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
+      d.withColumn(c,
+        when(col("__upd"), col(s"__set_$c")).otherwise(col(c)))
+    }.select(schema.fieldNames.map(col): _*)
+    val (staged, stats) = stageFilesWithStats(updated, base,
+      trackedStatCols(snap, schema.fieldNames.toSeq, Seq.empty))
+    commit(base, "update", staged, touched, stats = stats,
+      schemaJson = snap.schemaJson,
+      expectedVersion = Some(snap.version))
+  }
+
   /** Merge-on-read DELETE (Delta deletion vectors / Iceberg position
     * deletes): rows matching the predicate are recorded as (file, pos)
     * coordinates in a deletion-vector sidecar — DATA FILES STAY

@@ -897,12 +897,6 @@ object GraftSql {
   private def runUpdate(spark: SparkSession, name: String,
                         u: UpdateTable): DataFrame = {
     val h = tablesOf(spark).get(name)
-    h match {
-      case LogTable(_) => throw new IllegalArgumentException(
-        "UPDATE on a graft-log table is not supported — use MERGE INTO " +
-        "with an update source (graft-log DML is key-based upsert)")
-      case _ => ()
-    }
     val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // A multi-part SET target is accepted ONLY as <table-or-alias>.<col>:
@@ -933,7 +927,8 @@ object GraftSql {
         graft.sources.DeltaDml.updateWhere(spark, b, pred, set)
       case IceTable(b) =>
         graft.sources.IcebergInterop.updateWhere(spark, b, pred, set)
-      case LogTable(_) => throw new IllegalStateException("unreachable")
+      case LogTable(b) =>
+        GraftLog.updateWhere(spark, b, pred, set)
     }
     refreshView(spark, name, h)
     result(spark, "UPDATE", v)

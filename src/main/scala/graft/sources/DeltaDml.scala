@@ -491,8 +491,12 @@ object DeltaDml {
     require(keys.nonEmpty, "merge needs at least one key column")
     val key = keys.head // the skipping (stats-range) key
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode == "none",
-      "mergeUpsert on a column-mapped Delta table is not implemented — refusing")
+    // the scan resolves mapping, stats are looked up by PHYSICAL name,
+    // and the merged staging conforms below; only CDC staging refuses
+    require(snap.columnMappingMode == "none" || !cdfEnabled(snap),
+      "mergeUpsert on a column-mapped Delta table with Change Data " +
+      "Feed enabled is not implemented (physical-named cdc staging) — " +
+      "refusing")
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
     DeltaInterop.identityColumnOf(snap.schema).foreach { id =>
       throw new IllegalArgumentException(
@@ -533,11 +537,12 @@ object DeltaDml {
     // per-file [min,max] on the key from add.stats (driver-side JSON
     // parse, metadata scale). Unparseable → None → conservatively touched.
     val keyType = snap.schema(key).dataType
+    val physKey = snap.physicalName(key) // add.stats keys are physical
     def statBound(f: AddFile, which: String): Option[Any] =
       f.stats.flatMap { js =>
         try {
           val n = mapper.readTree(js).get(which)
-          val v = if (n == null) null else n.get(key)
+          val v = if (n == null) null else n.get(physKey)
           if (v == null || v.isNull) None
           else keyType match {
             case ByteType | ShortType | IntegerType | LongType =>
@@ -596,10 +601,13 @@ object DeltaDml {
           keys, "left_anti")
         .select(snap.schema.fieldNames.map(col): _*)
         .unionByName(updates.select(snap.schema.fieldNames.map(col): _*))
+    // mapped tables stage under physical names, like any append
+    val mergedPhys = DeltaInterop.conformToPhysical(snap, merged)
+    val physParts = snap.partitionColumns.map(snap.physicalName)
     val adds = collectAddStats(spark, base,
-      stageAdds(merged, base, snap.partitionColumns),
-      StructType(snap.schema.filterNot(f =>
-        snap.partitionColumns.contains(f.name))))
+      stageAdds(mergedPhys, base, physParts),
+      StructType(mergedPhys.schema.filterNot(f =>
+        physParts.contains(f.name))))
     val v = snap.version + 1
     try writeCommit(base, v,
       cdcLines ++

@@ -115,6 +115,38 @@ class AlterColumnSpec extends SparkSpec {
     }
   }
 
+  test("delta: mapped tables take MERGE and UPDATE (CDF off)") {
+    import graft.sources.DeltaDml
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), base)
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.renameColumn(spark, base, "v", "price")
+    // keyed MERGE with LOGICAL names: update one, insert one
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((2L, 22.0), (9L, 90.0)).toDF("k", "price"), "k")
+    val got = DeltaInterop.read(spark, base).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (9L, 90.0)))
+    // UPDATE through the mapped path
+    DeltaDml.updateWhere(spark, base, col("k") === 1L,
+      Map("price" -> lit(11.0)))
+    assert(DeltaInterop.read(spark, base).where(col("k") === 1)
+      .head().getDouble(1) == 11.0)
+    assert(DeltaInterop.read(spark, base)
+      .where(col("price").isNull).count() == 0,
+      "mapped DML staged logical-named files (NULL resurrection)")
+    // with CDF on, mapped row-mutating DML still refuses loudly
+    val cbase = tmp()
+    DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v"), cbase,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaInterop.enableColumnMapping(spark, cbase)
+    intercept[IllegalArgumentException] {
+      DeltaDml.mergeUpsert(spark, cbase,
+        Seq((1L, 2.0)).toDF("k", "v"), "k")
+    }
+  }
+
   test("delta: schema evolution preserves the table id") {
     val base = tmp()
     DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v"), base)

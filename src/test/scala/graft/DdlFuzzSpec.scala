@@ -140,21 +140,8 @@ class DdlFuzzSpec extends SparkSpec {
             Map(c -> (col(c) + lit(d))))
           IcebergInterop.updateWhere(spark, ibase, pred,
             Map(c -> (col(c) + lit(d))))
-          // graft-log UPDATE is keyed upsert: replacement rows derived
-          // from the model (the exact post-image)
-          val matched = model.rows.filter(row =>
-            row("k").asInstanceOf[Long] % m == r)
-          if (matched.nonEmpty) {
-            val schema = StructType(StructField("k", LongType) +:
-              model.cols.map(cc => StructField(cc, DoubleType)))
-            val repl = spark.createDataFrame(
-              spark.sparkContext.parallelize(matched.map { row =>
-                Row.fromSeq(row("k") +: model.cols.map(cc =>
-                  if (cc == c) bump(row.getOrElse(cc, null))
-                  else row.getOrElse(cc, null)))
-              }, 1), schema)
-            GraftLog.upsert(spark, lbase, repl, Seq("k"))
-          }
+          GraftLog.updateWhere(spark, lbase, pred,
+            Map(c -> (col(c) + lit(d))))
           model.rows = model.rows.map(row =>
             if (row("k").asInstanceOf[Long] % m == r)
               row + (c -> bump(row.getOrElse(c, null)))

@@ -611,6 +611,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(!new File(pbase).exists())
   }
 
+  test("UPDATE on a graft-log table rewrites only touched files") {
+    val base = freshBase("log_update")
+    GraftLog.overwriteClustered(
+      (0L until 100L).map(k => (k, k * 1.0)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 4)
+    val filesBefore = GraftLog.snapshot(base).files.toSet
+    GraftSql.registerTable(spark, "sql_upd_l", base)
+    GraftSql.sql(spark,
+      "UPDATE sql_upd_l SET v = v + 1000 WHERE k >= 10 AND k <= 19")
+    val got = spark.sql(
+      "SELECT sum(v) AS s FROM sql_upd_l").head().getDouble(0)
+    assert(got == (0L until 100L).map(_.toDouble).sum + 10 * 1000)
+    // zone-map scoping: the clustered layout puts k 10-19 in ONE file —
+    // the other three survive byte-identical
+    val after = GraftLog.snapshot(base).files.toSet
+    assert((filesBefore & after).size == 3,
+      s"expected 3 untouched files, got ${(filesBefore & after).size}")
+    // NULL predicate rows don't match; deterministic-predicate guard
+    intercept[IllegalArgumentException] {
+      GraftLog.updateWhere(spark, base,
+        org.apache.spark.sql.functions.rand() > 0.5,
+        Map("v" -> lit(0.0)))
+    }
+  }
+
   test("ALTER TABLE RENAME TO moves the registration, not the files") {
     val base = freshBase("rename_to")
     GraftLog.overwriteClustered(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"),
