@@ -2296,6 +2296,32 @@ object SparkEntry {
       .orderBy(col("partition"))
   }
 
+  /** graft-log SQL UPDATE (q209): the statement that used to refuse on
+    * this format — now a zone-map-scoped copy-on-write rewrite. An
+    * UPDATE over a clustered table followed by a DELETE, value-exact
+    * vs the oracle's CASE replay; the clustered layout means the
+    * UPDATE's census admits only the files whose key range can match
+    * (the 100 TB shape — DmlScopeSpec pins the file counts). Fresh
+    * hard-link copy per run: the statements are the operator. */
+  private def qLogSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{GraftLog, GraftSql}
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("log_update_orders", dir, "orders") { p =>
+      GraftLog.overwriteClustered(ords, p, Seq("o_orderkey"), nFiles = 4)
+    }
+    GraftSql.registerTable(s, "q209_t", base)
+    GraftSql.sql(s,
+      "UPDATE q209_t SET totalprice = totalprice * 2 " +
+      "WHERE o_orderkey >= 1000 AND o_orderkey < 2000")
+    GraftSql.sql(s, "DELETE FROM q209_t WHERE o_orderkey % 13 = 0")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q209_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -4814,6 +4840,7 @@ object SparkEntry {
     "q206_sql_identity" -> (qSqlIdentity _),
     "q207_iceberg_manifest_fold" -> (qIcebergManifestFold _),
     "q208_sql_replace_table" -> (qSqlReplaceTable _),
+    "q209_log_sql_update" -> (qLogSqlUpdate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5903,6 +5930,15 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_orderkey % 4 IN (1, 2)
+         GROUP BY o_orderstatus ORDER BY status""",
+    "q209_log_sql_update" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CASE WHEN o_orderkey >= 1000 AND o_orderkey < 2000
+           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                     AS DECIMAL(18,2))
+           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS total
+         FROM orders WHERE o_orderkey % 13 <> 0
          GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
