@@ -2322,6 +2322,41 @@ object SparkEntry {
          FROM q209_t GROUP BY o_orderstatus ORDER BY status""")
   }
 
+  /** Maintenance SQL (q210): the statements Spark's parser rejects —
+    * OPTIMIZE / RESTORE / VACUUM / DESCRIBE HISTORY — dispatched to
+    * the format's own maintenance. Result-invariance IS the contract:
+    * the final value must equal a DuckDB replay of only the
+    * non-rolled-back DML, because OPTIMIZE rewrites layout not value,
+    * RESTORE undoes exactly the rolled-back DELETE, and VACUUM may
+    * touch only unreferenced files. Fresh hard-link copy per run: the
+    * statements are the operator. */
+  private def qSqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{GraftLog, GraftSql}
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("maint_orders", dir, "orders") { p =>
+      GraftLog.overwriteClustered(ords, p, Seq("o_orderkey"), nFiles = 6)
+    }
+    GraftSql.registerTable(s, "q210_t", base)
+    val v1 = GraftLog.snapshot(base).version
+    GraftSql.sql(s, "DELETE FROM q210_t WHERE o_orderkey % 3 = 0")
+    GraftSql.sql(s, s"RESTORE TABLE q210_t TO VERSION AS OF $v1")
+    GraftSql.sql(s, "DELETE FROM q210_t WHERE o_orderkey % 7 = 0")
+    GraftSql.sql(s, "OPTIMIZE q210_t")
+    // the history must show the whole sequence before vacuum squashes it
+    val ops = GraftSql.sql(s, "DESCRIBE HISTORY q210_t")
+      .select("operation").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    require(ops.contains("restore") && ops.contains("delete"),
+      s"DESCRIBE HISTORY lost the statement sequence: ${ops.mkString(",")}")
+    GraftSql.sql(s, "VACUUM q210_t RETAIN 0 HOURS")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q210_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -4841,6 +4876,7 @@ object SparkEntry {
     "q207_iceberg_manifest_fold" -> (qIcebergManifestFold _),
     "q208_sql_replace_table" -> (qSqlReplaceTable _),
     "q209_log_sql_update" -> (qLogSqlUpdate _),
+    "q210_sql_maintenance" -> (qSqlMaintenance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5939,6 +5975,11 @@ object SparkEntry {
            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
            AS total
          FROM orders WHERE o_orderkey % 13 <> 0
+         GROUP BY o_orderstatus ORDER BY status""",
+    "q210_sql_maintenance" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)

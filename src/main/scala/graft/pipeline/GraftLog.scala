@@ -1001,6 +1001,34 @@ object GraftLog {
         "txn_id")
   }
 
+  /** RESTORE to an earlier version: one metadata-only commit whose
+    * add/remove lists turn the head file set back into the target
+    * version's (the Delta `RESTORE TABLE` semantics — history is
+    * preserved, the restore itself is a new version on top, and the
+    * rolled-over versions stay time-travelable). Deletion-vector
+    * sidecars travel with their version: the restored snapshot's DV
+    * set replaces the head's. Refuses when a needed data file or DV
+    * sidecar has been vacuumed away — committing it anyway would
+    * produce a version whose reads fail later, silently. */
+  def restore(spark: SparkSession, base: String, versionAsOf: Long): Long = {
+    val cur = snapshot(base)
+    if (cur.version == versionAsOf) return cur.version
+    val tgt = snapshot(base, Some(versionAsOf))
+    val missing = (tgt.files ++ tgt.dvFiles)
+      .filterNot(f => new File(base, f).exists())
+    require(missing.isEmpty,
+      s"cannot RESTORE $base to version $versionAsOf: " +
+      s"${missing.mkString(", ")} deleted (vacuumed?) — refusing")
+    commit(base, "restore",
+      add = tgt.files.diff(cur.files),
+      remove = cur.files.diff(tgt.files),
+      stats = tgt.fileStats.filter { case (f, _) => !cur.files.contains(f) },
+      schemaJson = tgt.schemaJson,
+      addDv = tgt.dvFiles.diff(cur.dvFiles),
+      removeDv = cur.dvFiles.diff(tgt.dvFiles),
+      expectedVersion = Some(cur.version))
+  }
+
   /** Register a snapshot as a temp view, making the table (or any
     * time-travel version of it) reachable from plain `spark.sql` —
     * the SQL surface Delta exposes as `table@v123`. The view pins the

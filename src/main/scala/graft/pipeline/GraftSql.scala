@@ -108,6 +108,14 @@ object GraftSql {
     * one-row frame (operation, version); everything else is
     * `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame = {
+    // Maintenance statements (OPTIMIZE / VACUUM / RESTORE / DESCRIBE
+    // HISTORY) are warehouse-SQL idioms Spark's parser does not know —
+    // intercepted by shape BEFORE parsePlan (whose failure would
+    // otherwise route them into spark.sql's parse error).
+    maintenanceSql(spark, text) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val plan =
       try spark.sessionState.sqlParser.parsePlan(text)
       catch { case _: Exception => return spark.sql(text) }
@@ -221,6 +229,105 @@ object GraftSql {
         runTimeTravel(spark, other).getOrElse(spark.sql(text))
       case _ => spark.sql(text)
     }
+  }
+
+  // ----------------------------------------------------- maintenance
+
+  // The statements users type against a real warehouse but Spark's
+  // parser rejects: Delta-SQL's OPTIMIZE / VACUUM / RESTORE / DESCRIBE
+  // HISTORY (reference's maintenance layer is `aws s3 sync` + manual
+  // re-runs; these are the engine-side idioms). Shape-matched on the
+  // whole statement; a match against an UNREGISTERED table refuses
+  // loudly — falling through would surface Spark's parse error, which
+  // misdiagnoses a perfectly valid maintenance statement.
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([`\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([`\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([`\w.]+)\s*;?\s*""".r
+
+  private def maintTable(spark: SparkSession, raw: String,
+                         stmt: String): (String, Handler) = {
+    val name = raw.replace("`", "").split('.').last.toLowerCase
+    val h = tablesOf(spark).get(name)
+    require(h != null,
+      s"$stmt: '$name' is not a registered graft-log/Delta/Iceberg table")
+    (name, h)
+  }
+
+  /** OPTIMIZE bin-packs small files (Delta `optimize`, graft-log
+    * `compactIncremental`, Iceberg `rewriteDataFiles` — each format's
+    * own compaction, same data back, fewer files); `ZORDER BY` is the
+    * Delta clustering rewrite. VACUUM deletes files no retained
+    * version references (`RETAIN n HOURS` overrides each format's
+    * default safety window; on Iceberg it is orphan-file removal —
+    * snapshot EXPIRATION is a separate, time-travel-destroying
+    * operation kept out of VACUUM on purpose). RESTORE commits a new
+    * version whose content is an old version's (history preserved).
+    * DESCRIBE HISTORY returns the format's commit log as a frame. */
+  private def maintenanceSql(spark: SparkSession,
+                             text: String): Option[DataFrame] = text match {
+    case OptimizeRe(t, zcols) =>
+      val (name, h) = maintTable(spark, t, "OPTIMIZE")
+      val zorder = Option(zcols).map(
+        _.split(',').map(_.trim.replace("`", "")).toSeq.filter(_.nonEmpty))
+      val v = (h, zorder) match {
+        case (DeltaTable(base), None) =>
+          graft.sources.DeltaInterop.optimize(spark, base)
+            .getOrElse(graft.sources.DeltaInterop.snapshot(spark, base).version)
+        case (DeltaTable(base), Some(cols)) =>
+          graft.sources.DeltaInterop.optimizeZorder(spark, base, cols)
+            .getOrElse(graft.sources.DeltaInterop.snapshot(spark, base).version)
+        case (LogTable(base), None) =>
+          GraftLog.compactIncremental(spark, base,
+            minBytes = 128L << 20, targetRowsPerFile = 1L << 20)
+        case (IceTable(base), None) =>
+          graft.sources.IcebergInterop.rewriteDataFiles(spark, base)
+        case (_, Some(_)) => throw new IllegalArgumentException(
+          "OPTIMIZE ... ZORDER BY is a Delta clustering rewrite — for " +
+          "graft-log use overwriteClustered, for Iceberg a sorted rewrite")
+      }
+      refreshView(spark, name, h)
+      Some(result(spark, "OPTIMIZE", v))
+    case VacuumRe(t, hours) =>
+      val (name, h) = maintTable(spark, t, "VACUUM")
+      val retainMs = Option(hours).map(_.toLong * 3600 * 1000)
+      val removed = h match {
+        case DeltaTable(base) => graft.sources.DeltaInterop.vacuum(
+          spark, base, retainMs.getOrElse(7L * 24 * 3600 * 1000)).size
+        case LogTable(base) => GraftLog.vacuum(base,
+          retentionMs = retainMs.getOrElse(600000L))
+        case IceTable(base) => graft.sources.IcebergInterop.removeOrphanFiles(
+          spark, base,
+          retainMs.map(System.currentTimeMillis() - _)).size
+      }
+      import spark.implicits._
+      Some(Seq(("VACUUM", removed.toLong)).toDF("operation", "n_removed"))
+    case RestoreRe(t, ver) =>
+      val (name, h) = maintTable(spark, t, "RESTORE")
+      val v = h match {
+        case LogTable(base) => GraftLog.restore(spark, base, ver.toLong)
+        case DeltaTable(base) =>
+          graft.sources.DeltaInterop.restore(spark, base, ver.toLong)
+        case IceTable(base) =>
+          // Iceberg has no dense version numbers — RESTORE takes the
+          // SNAPSHOT ID (the unit its own rollback procedure uses)
+          graft.sources.IcebergInterop.rollbackTo(base, ver.toLong)
+      }
+      refreshView(spark, name, h)
+      Some(result(spark, "RESTORE", v))
+    case HistoryRe(t) =>
+      val (_, h) = maintTable(spark, t, "DESCRIBE HISTORY")
+      Some(h match {
+        case LogTable(base) => GraftLog.history(spark, base)
+        case DeltaTable(base) => graft.sources.DeltaInterop.history(spark, base)
+        case IceTable(base) =>
+          graft.sources.IcebergInterop.historyTable(spark, base)
+      })
+    case _ => None
   }
 
   // ------------------------------------------------------------- DDL

@@ -1,0 +1,198 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{GraftLog, GraftSql}
+import graft.sources.{DeltaInterop, IcebergInterop}
+
+/** Maintenance SQL: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY —
+  * the warehouse idioms Spark's parser rejects, shape-matched by
+  * GraftSql and dispatched to each format's own maintenance
+  * primitives. Every statement must preserve the table's value
+  * (OPTIMIZE/VACUUM) or restore an exact earlier value (RESTORE). */
+class MaintenanceSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val p = s"/tmp/graft_test_maint_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("OPTIMIZE folds graft-log small files; value identical") {
+    val base = freshBase("log_opt")
+    GraftLog.overwrite((0L until 40L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartition(8), base)
+    GraftSql.registerTable(spark, "maint_log_opt", base)
+    val before = GraftLog.snapshot(base).files.size
+    assert(before >= 8)
+    val res = GraftSql.sql(spark, "OPTIMIZE maint_log_opt")
+    assert(res.select("operation").head().getString(0) == "OPTIMIZE")
+    assert(GraftLog.snapshot(base).files.size < before)
+    assert(spark.sql("SELECT sum(v) AS s FROM maint_log_opt")
+      .head().getLong(0) == (0L until 40L).map(_ * 2).sum)
+  }
+
+  test("RESTORE TABLE returns a graft-log table to a pre-DML version") {
+    val base = freshBase("log_restore")
+    GraftLog.overwriteClustered(
+      (0L until 50L).map(k => (k, k % 5)).toDF("k", "g"), base,
+      Seq("k"), nFiles = 2)
+    val v1 = GraftLog.snapshot(base).version
+    GraftLog.delete(spark, base, col("g") === 3)
+    GraftSql.registerTable(spark, "maint_log_restore", base)
+    assert(spark.table("maint_log_restore").count() == 40L)
+    GraftSql.sql(spark, s"RESTORE TABLE maint_log_restore TO VERSION AS OF $v1")
+    // the restore is a NEW version on top; content matches v1 exactly
+    assert(GraftLog.snapshot(base).version > v1 + 1)
+    assert(spark.table("maint_log_restore").count() == 50L)
+    assert(GraftLog.read(spark, base).agg(sum("k")).head().getLong(0) ==
+      (0L until 50L).sum)
+  }
+
+  test("graft-log RESTORE refuses when the needed files were vacuumed") {
+    val base = freshBase("log_restore_vac")
+    GraftLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)
+    val v1 = GraftLog.snapshot(base).version
+    GraftLog.overwrite(Seq((9L, "z")).toDF("k", "s"), base)
+    // files gone but the log entry still there → the restore's own check
+    GraftLog.snapshot(base, Some(v1)).files
+      .foreach(f => new File(base, f).delete())
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.restore(spark, base, v1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // after a squashing vacuum the version itself is unresolvable — loud
+    GraftLog.vacuum(base, keepVersions = 1, retentionMs = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftLog.restore(spark, base, v1)
+    }
+    assert(e2.getMessage.contains("not found"))
+  }
+
+  test("VACUUM RETAIN 0 HOURS deletes graft-log files no version needs") {
+    val base = freshBase("log_vac")
+    GraftLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)
+    GraftLog.overwrite(Seq((3L, "c")).toDF("k", "s"), base)
+    GraftSql.registerTable(spark, "maint_log_vac", base)
+    val res = GraftSql.sql(spark, "VACUUM maint_log_vac RETAIN 0 HOURS")
+    assert(res.select("n_removed").head().getLong(0) >= 1L)
+    assert(spark.table("maint_log_vac").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c")))
+  }
+
+  test("OPTIMIZE and ZORDER BY run Delta's compaction/clustering") {
+    val base = freshBase("delta_opt")
+    DeltaInterop.overwrite(
+      (0L until 60L).map(k => (k, k % 3)).toDF("k", "g").repartition(6), base)
+    GraftSql.registerDeltaTable(spark, "maint_delta_opt", base)
+    val before = DeltaInterop.snapshot(spark, base).files.size
+    GraftSql.sql(spark, "OPTIMIZE maint_delta_opt")
+    val afterOpt = DeltaInterop.snapshot(spark, base).files.size
+    assert(afterOpt < before)
+    GraftSql.sql(spark, "OPTIMIZE maint_delta_opt ZORDER BY (k, g)")
+    assert(spark.sql("SELECT sum(k) AS s FROM maint_delta_opt")
+      .head().getLong(0) == (0L until 60L).sum)
+  }
+
+  test("RESTORE + VACUUM round-trip on Delta through SQL") {
+    val base = freshBase("delta_restore")
+    DeltaInterop.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), base)
+    val v0 = DeltaInterop.snapshot(spark, base).version
+    DeltaInterop.overwrite(Seq((9L, 90.0)).toDF("k", "v"), base)
+    GraftSql.registerDeltaTable(spark, "maint_delta_restore", base)
+    GraftSql.sql(spark,
+      s"RESTORE TABLE maint_delta_restore TO VERSION AS OF $v0")
+    assert(spark.table("maint_delta_restore").as[(Long, Double)]
+      .collect().sorted.toSeq == Seq((1L, 10.0), (2L, 20.0)))
+    // vacuum with no retention still keeps every live file
+    GraftSql.sql(spark, "VACUUM maint_delta_restore RETAIN 0 HOURS")
+    assert(spark.table("maint_delta_restore").count() == 2L)
+  }
+
+  test("OPTIMIZE bin-packs Iceberg small files; RESTORE rolls back") {
+    val base = freshBase("ice_opt")
+    IcebergInterop.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)
+    val firstSnap = IcebergInterop.snapshotIds(base).head
+    IcebergInterop.append(Seq((3L, "c")).toDF("k", "s"), base)
+    IcebergInterop.append(Seq((4L, "d")).toDF("k", "s"), base)
+    GraftSql.registerIcebergTable(spark, "maint_ice_opt", base)
+    val before = IcebergInterop.snapshot(spark, base).files.size
+    GraftSql.sql(spark, "OPTIMIZE maint_ice_opt")
+    assert(IcebergInterop.snapshot(spark, base).files.size < before)
+    assert(spark.sql("SELECT sum(k) AS s FROM maint_ice_opt")
+      .head().getLong(0) == 10L)
+    // RESTORE on Iceberg takes the snapshot id (its rollback unit)
+    GraftSql.sql(spark,
+      s"RESTORE TABLE maint_ice_opt TO VERSION AS OF $firstSnap")
+    assert(spark.table("maint_ice_opt").count() == 2L)
+  }
+
+  test("VACUUM on Iceberg removes orphan files, never live ones") {
+    val base = freshBase("ice_vac")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    // a stray data file no snapshot references
+    val orphan = new File(base, "data/orphan-000.parquet")
+    orphan.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath, "junk")
+    GraftSql.registerIcebergTable(spark, "maint_ice_vac", base)
+    val res = GraftSql.sql(spark, "VACUUM maint_ice_vac RETAIN 0 HOURS")
+    assert(res.select("n_removed").head().getLong(0) >= 1L)
+    assert(!orphan.exists())
+    assert(spark.table("maint_ice_vac").count() == 1L)
+  }
+
+  test("DESCRIBE HISTORY returns each format's commit log") {
+    val lbase = freshBase("hist_log")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lbase)
+    GraftLog.delete(spark, lbase, col("k") === 1L)
+    GraftSql.registerTable(spark, "maint_hist_log", lbase)
+    val lh = GraftSql.sql(spark, "DESCRIBE HISTORY maint_hist_log")
+    assert(lh.count() >= 2L)
+    assert(lh.columns.contains("operation"))
+
+    val dbase = freshBase("hist_delta")
+    DeltaInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), dbase)
+    GraftSql.registerDeltaTable(spark, "maint_hist_delta", dbase)
+    assert(GraftSql.sql(spark, "DESC HISTORY maint_hist_delta").count() >= 1L)
+
+    val ibase = freshBase("hist_ice")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), ibase)
+    GraftSql.registerIcebergTable(spark, "maint_hist_ice", ibase)
+    val ih = GraftSql.sql(spark, "DESCRIBE HISTORY maint_hist_ice")
+    assert(ih.columns.contains("snapshot_id") && ih.count() >= 1L)
+  }
+
+  test("maintenance on an unregistered table refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "OPTIMIZE no_such_maint_table")
+    }
+    assert(e.getMessage.contains("not a registered"))
+    val z = intercept[IllegalArgumentException] {
+      val base = freshBase("zorder_refuse")
+      GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+      GraftSql.registerTable(spark, "maint_zorder_refuse", base)
+      GraftSql.sql(spark, "OPTIMIZE maint_zorder_refuse ZORDER BY (k)")
+    }
+    assert(z.getMessage.contains("ZORDER"))
+  }
+
+  test("restore folds deletion vectors with their version") {
+    val base = freshBase("log_restore_dv")
+    GraftLog.overwriteClustered(
+      (0L until 30L).map(k => (k, k)).toDF("k", "v"), base,
+      Seq("k"), nFiles = 2)
+    // v+1: merge-on-read delete (adds a DV, no data file touched)
+    GraftLog.deleteVectored(spark, base, col("k") < 10)
+    val vDv = GraftLog.snapshot(base).version
+    assert(GraftLog.read(spark, base).count() == 20L)
+    // v+2: copy-on-write delete of more rows
+    GraftLog.delete(spark, base, col("k") >= 25)
+    assert(GraftLog.read(spark, base).count() == 15L)
+    // restoring to the DV version brings the DV back exactly
+    GraftLog.restore(spark, base, vDv)
+    assert(GraftLog.read(spark, base).as[(Long, Long)].collect().map(_._1)
+      .sorted.toSeq == (10L until 30L).toSeq)
+  }
+}
