@@ -2357,6 +2357,49 @@ object SparkEntry {
          FROM q210_t GROUP BY o_orderstatus ORDER BY status""")
   }
 
+  /** COPY INTO (q211): exactly-once file loading — the statement loads
+    * only files the table has not recorded yet (per-file transaction
+    * ids). Three source files land in two waves with a full re-run
+    * after each; a doubled file or a missed late file breaks the
+    * value-exact match against plain `orders`. Fresh dirs per run:
+    * the statements are the operator. */
+  private def qSqlCopyInto(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val srcDir = fixtureDir("copyinto_src", dir)
+    val base = fixtureDir("copyinto_tbl", dir)
+    Seq(srcDir, base).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    new java.io.File(srcDir).mkdirs()
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    def stage(fname: String, part: Int): Unit = {
+      val tmp = new java.io.File(srcDir, s".stage_$fname")
+      ords.filter(col("o_orderkey") % 3 === part).coalesce(1)
+        .write.parquet(tmp.getPath)
+      val f = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(srcDir, fname).toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    stage("wave1_a.parquet", 0)
+    stage("wave1_b.parquet", 1)
+    GraftSql.sql(s,
+      s"""CREATE TABLE q211_t (o_orderkey BIGINT, o_orderstatus STRING,
+          totalprice DECIMAL(18,2)) USING graftlog LOCATION '$base'""")
+    GraftSql.sql(s,
+      s"COPY INTO q211_t FROM '$srcDir' FILEFORMAT = PARQUET")
+    GraftSql.sql(s, // no-op re-run: nothing new recorded
+      s"COPY INTO q211_t FROM '$srcDir' FILEFORMAT = PARQUET")
+    stage("wave2_c.parquet", 2) // the late file
+    GraftSql.sql(s,
+      s"COPY INTO q211_t FROM '$srcDir' FILEFORMAT = PARQUET")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q211_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -4877,6 +4920,7 @@ object SparkEntry {
     "q208_sql_replace_table" -> (qSqlReplaceTable _),
     "q209_log_sql_update" -> (qLogSqlUpdate _),
     "q210_sql_maintenance" -> (qSqlMaintenance _),
+    "q211_sql_copy_into" -> (qSqlCopyInto _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5981,6 +6025,10 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderstatus ORDER BY status""",
+    "q211_sql_copy_into" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

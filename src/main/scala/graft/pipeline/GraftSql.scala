@@ -248,6 +248,9 @@ object GraftSql {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([`\w.]+)\s*;?\s*""".r
+  private val CopyIntoRe =
+    ("""(?is)\s*COPY\s+INTO\s+([`\w.]+)\s+FROM\s+'([^']+)'\s+""" +
+     """FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
 
   private def maintTable(spark: SparkSession, raw: String,
                          stmt: String): (String, Handler) = {
@@ -327,7 +330,108 @@ object GraftSql {
         case IceTable(base) =>
           graft.sources.IcebergInterop.historyTable(spark, base)
       })
+    case CopyIntoRe(t, path, fmt, pattern) =>
+      Some(runCopyInto(spark, t, path, fmt, Option(pattern)))
     case _ => None
+  }
+
+  /** `COPY INTO <t> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+    * [PATTERN = '<glob>']` — EXACTLY-ONCE FILE loading: each source
+    * file appends under a per-file transaction id (graft-log commit
+    * txnId, Delta txn action, Iceberg snapshot-summary batch gate), so
+    * a re-run — after a crash, or after new files landed — loads ONLY
+    * the files the table has not recorded yet. The file is the
+    * idempotence unit because it is the retry unit: one commit per new
+    * file keeps ledger entry and data atomic (a statement-level ledger
+    * would double-load on a mid-statement crash). Ad-hoc/backfill
+    * shape; CONTINUOUS high-volume ingest belongs to the streaming
+    * sinks (`EventStreams.streamIngest*` — the file-stream checkpoint
+    * is a native file ledger with one commit per many-file batch).
+    * Source rows conform to the TABLE's schema (same column set,
+    * implicit casts), CSV via header names, never position. */
+  private def runCopyInto(spark: SparkSession, t: String, path: String,
+                          fmt: String, pattern: Option[String]): DataFrame = {
+    val (name, h) = maintTable(spark, t, "COPY INTO")
+    val format = fmt.toLowerCase
+    require(Set("parquet", "csv", "json").contains(format),
+      s"COPY INTO FILEFORMAT must be PARQUET, CSV or JSON — got $fmt")
+    val src = new java.io.File(path)
+    require(src.exists(), s"COPY INTO source not found: $path")
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
+    val files = (if (src.isFile) Array(src)
+                 else Option(src.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") &&
+        matcher.forall(_.matches(java.nio.file.Paths.get(f.getName))))
+      .sortBy(_.getName)
+    // the DECLARED schema governs conformance (the read view's schema
+    // reports parquet nullability, not the table contract — an Iceberg
+    // required column would look nullable there and fail the commit)
+    val tableSchema: org.apache.spark.sql.types.StructType = h match {
+      case LogTable(base) => GraftLog.snapshot(base).schemaJson
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(spark.table(name).schema)
+      case DeltaTable(base) =>
+        graft.sources.DeltaInterop.snapshot(spark, base).schema
+      case IceTable(base) =>
+        graft.sources.IcebergInterop.snapshot(spark, base).schema
+    }
+    def conform(raw: DataFrame, f: java.io.File): DataFrame = {
+      require(raw.columns.toSet == tableSchema.fieldNames.toSet,
+        s"COPY INTO source file $f must carry exactly the table " +
+        s"columns (${tableSchema.fieldNames.mkString(",")}), " +
+        s"got (${raw.columns.mkString(",")})")
+      raw.select(tableSchema.fields.map { fld =>
+        val c = org.apache.spark.sql.functions.col(fld.name)
+          .cast(fld.dataType)
+        // file formats read nullable; a required table column needs the
+        // claim tightened — AssertNotNull is non-nullable in the plan
+        // AND throws (fails the load, nothing committed) on a real null
+        val tight = if (fld.nullable) c else GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+            GraftBridge.expression(c)))
+        tight.as(fld.name)
+      }: _*)
+    }
+    def readFile(f: java.io.File): DataFrame = format match {
+      case "parquet" => spark.read.parquet(f.getPath)
+      case "csv" => spark.read.option("header", "true").csv(f.getPath)
+      case _ => spark.read.json(f.getPath)
+    }
+    // ledger pre-check: skip a recorded file without even reading it
+    val loaded: String => Boolean = h match {
+      case LogTable(base) =>
+        val seen = GraftLog.commits(base).flatMap(_.txnId).toSet
+        seen.contains _
+      case DeltaTable(base) =>
+        val seen =
+          graft.sources.DeltaInterop.snapshot(spark, base).txnVersions
+        seen.contains _
+      case IceTable(base) =>
+        id => graft.sources.IcebergInterop.lastBatchId(base, id) >= 1L
+    }
+    var nLoaded = 0L
+    files.foreach { f =>
+      val id = s"copyinto:${f.getCanonicalPath}"
+      if (!loaded(id)) {
+        val batch = conform(readFile(f), f)
+        h match {
+          case LogTable(base) =>
+            GraftLog.append(batch, base, txnId = Some(id))
+          case DeltaTable(base) =>
+            graft.sources.DeltaInterop.appendIdempotent(batch, base, id, 1L)
+          case IceTable(base) =>
+            graft.sources.IcebergInterop.appendIdempotent(batch, base, id,
+              1L, icePartitionCols(spark, base))
+        }
+        nLoaded += 1
+      }
+    }
+    refreshView(spark, name, h)
+    import spark.implicits._
+    Seq(("COPY INTO", nLoaded)).toDF("operation", "n_files_loaded")
   }
 
   // ------------------------------------------------------------- DDL
