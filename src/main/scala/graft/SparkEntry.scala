@@ -2400,6 +2400,40 @@ object SparkEntry {
          FROM q211_t GROUP BY o_orderstatus ORDER BY status""")
   }
 
+  /** Shallow clone (q212): a zero-copy Delta table referencing the
+    * source's files by absolute path, cloned at a HISTORICAL version
+    * (pre-delete), then DML'd independently. The value-exact contract
+    * pins both independence directions at once: the source must show
+    * only ITS delete, the clone only ITS OWN — a clone that copied the
+    * head instead of v0, or whose DML leaked into the source, breaks
+    * the match. Fresh dirs per run: the statements are the operator. */
+  private def qDeltaClone(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val srcBase = fixtureDir("clone_src", dir)
+    val dstBase = fixtureDir("clone_dst", dir)
+    Seq(srcBase, dstBase).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    DeltaInterop.overwrite(ords, srcBase) // v0 — the clone point
+    DeltaDml.deleteVectoredWhere(s, srcBase, col("o_orderkey") % 5 === 0)
+    GraftSql.registerDeltaTable(s, "q212_src", srcBase)
+    GraftSql.sql(s,
+      s"CREATE TABLE q212_clone SHALLOW CLONE q212_src VERSION AS OF 0 " +
+      s"LOCATION '$dstBase'")
+    GraftSql.sql(s, "DELETE FROM q212_clone WHERE o_orderkey % 11 = 0")
+    s.sql(
+      """SELECT side, n_orders, total FROM (
+           SELECT 'src' AS side, count(*) AS n_orders,
+                  CAST(sum(totalprice) AS DOUBLE) AS total FROM q212_src
+           UNION ALL
+           SELECT 'clone' AS side, count(*) AS n_orders,
+                  CAST(sum(totalprice) AS DOUBLE) AS total FROM q212_clone
+         ) ORDER BY side""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -4921,6 +4955,7 @@ object SparkEntry {
     "q209_log_sql_update" -> (qLogSqlUpdate _),
     "q210_sql_maintenance" -> (qSqlMaintenance _),
     "q211_sql_copy_into" -> (qSqlCopyInto _),
+    "q212_delta_clone" -> (qDeltaClone _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6029,6 +6064,18 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY status""",
+    "q212_delta_clone" ->
+      """SELECT side, n_orders, total FROM (
+           SELECT 'src' AS side, count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total
+           FROM orders WHERE o_orderkey % 5 <> 0
+           UNION ALL
+           SELECT 'clone' AS side, count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total
+           FROM orders WHERE o_orderkey % 11 <> 0
+         ) ORDER BY side""",
     "q50_stream_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS VARCHAR)
            AS window_start,

@@ -251,6 +251,9 @@ object GraftSql {
   private val CopyIntoRe =
     ("""(?is)\s*COPY\s+INTO\s+([`\w.]+)\s+FROM\s+'([^']+)'\s+""" +
      """FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([`\w.]+)\s+SHALLOW\s+CLONE\s+([`\w.]+)""" +
+     """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
 
   private def maintTable(spark: SparkSession, raw: String,
                          stmt: String): (String, Handler) = {
@@ -332,6 +335,24 @@ object GraftSql {
       })
     case CopyIntoRe(t, path, fmt, pattern) =>
       Some(runCopyInto(spark, t, path, fmt, Option(pattern)))
+    case CloneRe(t, srcT, ver, loc) =>
+      // `CREATE TABLE c SHALLOW CLONE s [VERSION AS OF n] LOCATION p`:
+      // a zero-copy Delta table whose adds reference the source's
+      // files absolutely — registered and DML-able like any table
+      val tgt = t.replace("`", "").split('.').last.toLowerCase
+      val (_, h) = maintTable(spark, srcT, "SHALLOW CLONE")
+      h match {
+        case DeltaTable(srcBase) =>
+          require(!tablesOf(spark).containsKey(tgt),
+            s"SHALLOW CLONE: table '$tgt' is already registered")
+          graft.sources.DeltaInterop.shallowClone(spark, srcBase, loc,
+            Option(ver).map(_.toLong))
+          registerDeltaTable(spark, tgt, loc)
+          Some(result(spark, "SHALLOW CLONE", 0L))
+        case _ => throw new IllegalArgumentException(
+          "SHALLOW CLONE is a Delta operation — the source must be a " +
+          "registered Delta table")
+      }
     case _ => None
   }
 

@@ -92,7 +92,7 @@ object DeltaDml {
   private def discardStaged(base: String, relPaths: Seq[String]): Unit =
     relPaths.foreach { r =>
       org.apache.commons.io.FileUtils.deleteQuietly(
-        new File(base, PathCodec.percentDecode(r)))
+        DeltaInterop.resolveDataFile(base, r))
     }
 
   /** Is Change Data Feed enabled on this table? (The OSS property.) */
@@ -109,7 +109,7 @@ object DeltaDml {
       p.expressions.exists(e => e.resolved && !e.deterministic))
 
   private def fileKeyOf(base: String, f: AddFile): String =
-    PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path)))
+    PathCodec.metadataPathKey(DeltaInterop.resolveDataFile(base, f.path))
 
   /** Stage `_change_data` parquet files (protocol §Change Data Files):
     * data columns + `_change_type`, partition columns hoisted into the
@@ -127,7 +127,7 @@ object DeltaDml {
     a.partitionValues.foreach { case (k, v) =>
       if (v == null) pv.putNull(k) else pv.put(k, v)
     }
-    c.put("size", new File(base, PathCodec.percentDecode(a.path)).length())
+    c.put("size", DeltaInterop.resolveDataFile(base, a.path).length())
     c.put("dataChange", false)
     mapper.writeValueAsString(node)
   }

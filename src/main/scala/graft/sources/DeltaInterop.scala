@@ -637,10 +637,10 @@ object DeltaInterop {
     // add.path is stored percent-encoded per the protocol — decode for
     // on-disk resolution (a literal-'%' writer is tolerated: malformed
     // escapes pass through percentDecode unchanged)
-    val paths = snap.files.map(f => s"$base/${PathCodec.percentDecode(f.path)}")
+    val paths = snap.files.map(f => resolveDataPath(base, f.path))
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
     def fileKey(f: AddFile): String =
-      PathCodec.metadataPathKey(new File(base, PathCodec.percentDecode(f.path)))
+      PathCodec.metadataPathKey(resolveDataFile(base, f.path))
     val dvFiles = snap.files.filter(_.dv.exists(_.cardinality > 0))
     import spark.implicits._
 
@@ -889,7 +889,7 @@ object DeltaInterop {
       case _ => false
     }
     val statCols = dataFields.fields.filter(f => orderable(f.dataType)).toSeq
-    val paths = adds.map(a => s"$base/${PathCodec.percentDecode(a.path)}")
+    val paths = adds.map(a => resolveDataPath(base, a.path))
     val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.zipWithIndex.flatMap {
       case (f, i) => Seq(
         min(col(f.name)).as(s"__mn_$i"), max(col(f.name)).as(s"__mx_$i"),
@@ -925,8 +925,7 @@ object DeltaInterop {
       case _ => false
     }
     adds.map { a =>
-      val key = PathCodec.metadataPathKey(
-        new File(base, PathCodec.percentDecode(a.path)))
+      val key = PathCodec.metadataPathKey(resolveDataFile(base, a.path))
       byFile.get(key).map { r =>
         val root = mapper.createObjectNode()
         // row layout: (groupKey, __nr, then [mn, mx, nc] per stat column)
@@ -977,6 +976,19 @@ object DeltaInterop {
       s"delta commit $version already exists in $base")
   }
 
+  /** add/remove.path resolution (protocol §Add File and Remove File):
+    * the path is percent-encoded and RELATIVE to the table root, OR an
+    * ABSOLUTE path — shallow clones reference the SOURCE table's files
+    * that way, so every reader/maintenance path must resolve both. */
+  private[sources] def resolveDataFile(base: String, rawPath: String): File = {
+    val p = PathCodec.percentDecode(rawPath)
+    val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    if (noScheme.startsWith("/")) new File(noScheme) else new File(base, p)
+  }
+
+  private[sources] def resolveDataPath(base: String, rawPath: String): String =
+    resolveDataFile(base, rawPath).getPath
+
   private[sources] def addJson(a: AddFile, base: String,
                       dataChange: Boolean = true): String = {
     val node = mapper.createObjectNode()
@@ -986,7 +998,7 @@ object DeltaInterop {
     a.partitionValues.foreach { case (k, v) =>
       if (v == null) pv.putNull(k) else pv.put(k, v)
     }
-    val f = new File(base, PathCodec.percentDecode(a.path))
+    val f = resolveDataFile(base, a.path)
     add.put("size", f.length())
     add.put("modificationTime", f.lastModified())
     add.put("dataChange", dataChange)
@@ -1388,15 +1400,14 @@ object DeltaInterop {
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
       .map(f => f.copy(name = snap.physicalName(f.name))))
-    val paths = files.map(f => s"$base/${PathCodec.percentDecode(f.path)}")
+    val paths = files.map(f => resolveDataPath(base, f.path))
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
     val dvFiles = files.filter(_.dv.exists(_.cardinality > 0))
     if (dvFiles.isEmpty) scan
     else {
       import spark.implicits._
       val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
-        val key = PathCodec.metadataPathKey(
-          new File(base, PathCodec.percentDecode(f.path)))
+        val key = PathCodec.metadataPathKey(resolveDataFile(base, f.path))
         resolveDvPositions(base, f.dv.get).map(p => (key, p))
       }
       scan
@@ -1431,7 +1442,7 @@ object DeltaInterop {
       "OPTIMIZE on a columnMapping.mode=id table is not supported " +
       "(physical schema unrecoverable); compact it with a writer that is")
     def sizeOf(f: AddFile): Long =
-      new File(base, PathCodec.percentDecode(f.path)).length()
+      resolveDataFile(base, f.path).length()
     val byPartition = snap.files.groupBy(_.partitionValues)
     val newAdds = mutable.ArrayBuffer.empty[AddFile]
     val removed = mutable.ArrayBuffer.empty[AddFile]
@@ -1525,7 +1536,7 @@ object DeltaInterop {
     val snap = snapshot(spark, base)
     val root = new File(base).getCanonicalFile
     val live: Set[String] = snap.files.flatMap { f =>
-      val data = new File(root, PathCodec.percentDecode(f.path)).getCanonicalPath
+      val data = resolveDataFile(base, f.path).getCanonicalPath
       // EVERY on-disk DV storage form is live while its file is:
       // "u" = UUID-derived bin under the table, "p" = absolute path
       // (external writers use it — deleting one breaks every read)
@@ -1556,8 +1567,8 @@ object DeltaInterop {
           if (line.nonEmpty) {
             val n = mapper.readTree(line)
             Option(n.get("remove")).foreach { r =>
-              val p = new File(root, PathCodec.percentDecode(
-                r.get("path").asText())).getCanonicalPath
+              val p = resolveDataFile(base,
+                r.get("path").asText()).getCanonicalPath
               tombstonedAt(p) = cf.lastModified() // latest remove wins
             }
           }
@@ -2078,7 +2089,7 @@ object DeltaInterop {
     // table, "p" absolute path; "i" inline lives in the log itself)
     val root = new File(base).getCanonicalFile
     def requiredPaths(f: AddFile): Seq[File] = {
-      val data = new File(root, PathCodec.percentDecode(f.path))
+      val data = resolveDataFile(base, f.path)
       val dvBin = f.dv.flatMap { d =>
         d.storageType match {
           case "u" =>
@@ -2110,6 +2121,62 @@ object DeltaInterop {
         adds.map(addJson(_, base, dataChange = true)),
       operation = "RESTORE")
     v
+  }
+
+  /** Shallow clone: a NEW Delta table whose add actions reference the
+    * SOURCE table's data files by ABSOLUTE path — zero bytes of data
+    * copied (Delta's `CREATE TABLE ... SHALLOW CLONE`). The clone gets
+    * the source's schema, partitioning, configuration and protocol and
+    * a FRESH table id: it is a different table, so writes/DML/OPTIMIZE
+    * land in the clone's own directory and never touch the source.
+    * Known hazard, same as the real feature's: the SOURCE's vacuum can
+    * delete files the clone still references (the clone's own vacuum
+    * cannot — absolute-path files live outside its root and are never
+    * walked). Deletion vectors convert to absolute "p" storage so the
+    * clone reads the source's bins in place. `versionAsOf` clones a
+    * historical version — cheap dev/test snapshots of a 100 TB table. */
+  def shallowClone(spark: SparkSession, srcBase: String, dstBase: String,
+                   versionAsOf: Option[Long] = None): Long = {
+    require(currentVersion(dstBase).isEmpty,
+      s"shallow clone target is already a Delta table: $dstBase")
+    val snap = snapshot(spark, srcBase, versionAsOf)
+    val srcRoot = new File(srcBase).getCanonicalFile
+    val adds = snap.files.map { f =>
+      val abs = resolveDataFile(srcBase, f.path).getCanonicalPath
+      val dv = f.dv.map { d =>
+        d.storageType match {
+          case "u" =>
+            val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+            val dir = if (prefix.isEmpty) srcRoot else new File(srcRoot, prefix)
+            d.copy(storageType = "p",
+              pathOrInlineDv =
+                new File(dir, s"deletion_vector_$uuid.bin").getCanonicalPath)
+          case _ => d // "p" already absolute; "i" inline travels in the log
+        }
+      }
+      // encode the tail only: a leading "//" would parse as a URI
+      // authority inside percentEncodePath's quoting constructor
+      f.copy(path = "/" + PathCodec.percentEncodePath(abs.substring(1)),
+        dv = dv)
+    }
+    // the protocol travels with the data it governs: a DV-bearing or
+    // mapped source needs its feature declarations in the clone too
+    val protoLine =
+      if (snap.minReaderVersion < 3 && snap.minWriterVersion < 7 &&
+          snap.readerFeatureSet.isEmpty && snap.writerFeatureSet.isEmpty) {
+        val n = mapper.createObjectNode(); val p = n.putObject("protocol")
+        p.put("minReaderVersion", snap.minReaderVersion)
+        p.put("minWriterVersion", snap.minWriterVersion)
+        mapper.writeValueAsString(n)
+      } else upgradeProtocolJson(snap, Set.empty, Set.empty,
+        snap.minReaderVersion, snap.minWriterVersion)
+    writeCommit(dstBase, 0L,
+      Seq(protoLine,
+        metaJson(snap.schema, snap.partitionColumns,
+          UUID.randomUUID().toString, snap.configuration)) ++
+        adds.map(addJson(_, dstBase, dataChange = true)),
+      operation = "CLONE")
+    0L
   }
 
   /** Transactionally-idempotent append — the Delta streaming sink
@@ -2250,7 +2317,7 @@ object DeltaInterop {
       } ++
       snap.files.map(f => Row(null, null,
         Row(f.path, f.partitionValues,
-          new File(base, PathCodec.percentDecode(f.path)).length(),
+          resolveDataFile(base, f.path).length(),
           0L, true,
           f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
