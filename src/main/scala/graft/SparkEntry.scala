@@ -2434,6 +2434,39 @@ object SparkEntry {
          ) ORDER BY side""")
   }
 
+  /** Iceberg write-audit-publish (q213): half the corpus lands on MAIN,
+    * the other half appends onto a BRANCH (invisible to main readers),
+    * an audit gate checks the branch, fastForward publishes it, and a
+    * second branch stays unpublished. The final main read must equal
+    * the full corpus EXCLUDING the unpublished branch — rows leaking
+    * before publish, dropped by publish, or visible from the pending
+    * branch all break the match. Fresh dirs per run. */
+  private def qIcebergWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("wap_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    IcebergInterop.overwrite(
+      ords.filter(col("o_orderkey") % 2 === 0).coalesce(1), base)
+    IcebergInterop.appendToBranch(
+      ords.filter(col("o_orderkey") % 2 === 1).coalesce(1), base, "wap")
+    // audit gate: the branch shows the full corpus, main only its half
+    val audited = IcebergInterop.readRef(s, base, "wap").count()
+    val mainBefore = IcebergInterop.read(s, base).count()
+    require(audited > mainBefore,
+      s"branch append leaked or vanished (branch=$audited main=$mainBefore)")
+    IcebergInterop.fastForward(base, "wap")
+    IcebergInterop.appendToBranch( // unpublished — must stay invisible
+      ords.filter(col("o_orderkey") % 7 === 0).coalesce(1), base, "pending")
+    IcebergInterop.read(s, base)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total"))
+      .orderBy(col("status"))
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -4956,6 +4989,7 @@ object SparkEntry {
     "q210_sql_maintenance" -> (qSqlMaintenance _),
     "q211_sql_copy_into" -> (qSqlCopyInto _),
     "q212_delta_clone" -> (qDeltaClone _),
+    "q213_iceberg_wap" -> (qIcebergWap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6061,6 +6095,10 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 7 <> 0
          GROUP BY o_orderstatus ORDER BY status""",
     "q211_sql_copy_into" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
+    "q213_iceberg_wap" ->
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY status""",

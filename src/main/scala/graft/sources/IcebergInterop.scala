@@ -833,11 +833,16 @@ object IcebergInterop {
 
   /** The current snapshot's manifests with their recorded content and
     * sequence numbers (defaults for v1 lists without those columns). */
-  private def currentManifests(base: String, prev: JsonNode): Seq[ManifestRef] = {
-    val curSnapId = prev.get("current-snapshot-id").asLong()
+  private def currentManifests(base: String, prev: JsonNode): Seq[ManifestRef] =
+    manifestsOfSnapshot(base, prev, prev.get("current-snapshot-id").asLong())
+
+  private def manifestsOfSnapshot(base: String, prev: JsonNode,
+                                  snapId: Long): Seq[ManifestRef] = {
     val snaps = prev.get("snapshots")
     val cur = (0 until snaps.size()).map(snaps.get)
-      .find(_.get("snapshot-id").asLong() == curSnapId).get
+      .find(_.get("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId not in $base"))
     readAvro(new File(resolvePath(base, cur.get("manifest-list").asText())))
       .map { r =>
         ManifestRef(new File(resolvePath(base, r.get("manifest_path").toString)),
@@ -1081,10 +1086,11 @@ object IcebergInterop {
     * batch identity there). */
   private def commitSnapshot(df: DataFrame, base: String, mode: String,
                              partitionBy: Seq[String] = Seq.empty,
-                             summary: Map[String, String] = Map.empty): Long =
+                             summary: Map[String, String] = Map.empty,
+                             branch: Option[String] = None): Long =
     commitSnapshotSpec(df, base, mode,
       partitionBy.map(c => c -> (IceTransform.Identity: IceTransform)),
-      summary)
+      summary, branch)
 
   /** The derived partition column for one spec entry: identity passes
     * the source through; bucket runs the codegen'd murmur3 expression;
@@ -1151,7 +1157,8 @@ object IcebergInterop {
 
   private def commitSnapshotSpec(df: DataFrame, base: String, mode: String,
                                  spec: Seq[(String, IceTransform)],
-                                 summary: Map[String, String] = Map.empty): Long = {
+                                 summary: Map[String, String] = Map.empty,
+                                 branch: Option[String] = None): Long = {
     val partitionBy = spec.map(_._1)
     val spark = df.sparkSession
     val metaDir = metadataDir(base); metaDir.mkdirs()
@@ -1159,6 +1166,23 @@ object IcebergInterop {
     val hint = new File(metaDir, "version-hint.text")
     val prev: Option[JsonNode] =
       if (hint.exists()) Some(mapper.readTree(currentMetadataFile(base))) else None
+    // Branch writes (write-audit-publish): the new snapshot chains off
+    // the BRANCH head and only the branch ref moves — main stays where
+    // it is until fastForward publishes. A missing ref forks from the
+    // current main head (Iceberg's write-to-new-branch behavior).
+    branch.foreach { b =>
+      require(mode == "append" && prev.isDefined,
+        "branch writes are appends into an existing table")
+      require(b != "main", "'main' is the default write target")
+    }
+    val branchBaseId: Option[Long] = branch.map { b =>
+      val m = prev.get
+      Option(m.get("refs")).flatMap(r => Option(r.get(b))).map { ref =>
+        require(ref.get("type").asText() == "branch",
+          s"ref '$b' is a tag — tags are immutable, cannot write to one")
+        ref.get("snapshot-id").asLong()
+      }.getOrElse(m.get("current-snapshot-id").asLong())
+    }
     if (mode == "append") prev.foreach { m =>
       // schema check via Spark round trip, ignoring field metadata (the
       // parsed side carries parquet.field.id annotations). Names+types
@@ -1282,7 +1306,10 @@ object IcebergInterop {
     // 3. manifest list = new manifest (+ carried manifests on append,
     // preserving their recorded content kinds and sequence numbers)
     val carried: Seq[ManifestRef] =
-      if (mode == "append" && prev.isDefined) currentManifests(base, prev.get)
+      if (mode == "append" && prev.isDefined)
+        manifestsOfSnapshot(base, prev.get,
+          branchBaseId.getOrElse(
+            prev.get.get("current-snapshot-id").asLong()))
       else Seq.empty
     val mlName = s"snap-$snapshotId-$id.avro"
     val mlFile = new File(metaDir, mlName)
@@ -1335,12 +1362,23 @@ object IcebergInterop {
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")
-    root.put("current-snapshot-id", snapshotId)
+    root.put("current-snapshot-id",
+      if (branch.isDefined) prev.get.get("current-snapshot-id").asLong()
+      else snapshotId)
     // named refs survive every rebuild: a tag dropped by a later
     // append would silently unpin its snapshot from expiration
     prev.foreach { m =>
       Option(m.get("refs")).foreach(r =>
         root.set[JsonNode]("refs", r.deepCopy()))
+    }
+    branch.foreach { b =>
+      val refs =
+        if (root.has("refs"))
+          root.get("refs")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else root.putObject("refs")
+      val r = refs.putObject(b)
+      r.put("snapshot-id", snapshotId); r.put("type", "branch")
     }
     val snapsArr = root.putArray("snapshots")
     prev.foreach { m =>
@@ -1349,6 +1387,10 @@ object IcebergInterop {
     }
     val snapNode = snapsArr.addObject()
     snapNode.put("snapshot-id", snapshotId)
+    // the ancestry link fastForward's publish check walks
+    branchBaseId.orElse(
+      prev.map(_.get("current-snapshot-id").asLong()).filter(_ > 0))
+      .foreach(pid => snapNode.put("parent-snapshot-id", pid))
     snapNode.put("sequence-number", snapshotId)
     snapNode.put("timestamp-ms", committedAtMs)
     snapNode.put("manifest-list", mlFile.getAbsolutePath)
@@ -2175,11 +2217,25 @@ object IcebergInterop {
     // tagged snapshot would leave a ref pointing at nothing — the
     // spec's retention contract is that refs are kept until the ref
     // itself is dropped
-    val refIds: Set[Long] = Option(meta.get("refs")).map { r =>
-      import scala.jdk.CollectionConverters._
-      r.fields().asScala
-        .map(e => e.getValue.get("snapshot-id").asLong()).toSet
-    }.getOrElse(Set.empty)
+    val refHeads: Seq[(String, Long)] =
+      Option(meta.get("refs")).map { r =>
+        import scala.jdk.CollectionConverters._
+        r.fields().asScala
+          .map(e => (e.getValue.get("type").asText(),
+            e.getValue.get("snapshot-id").asLong())).toSeq
+      }.getOrElse(Seq.empty)
+    // a BRANCH additionally pins its parent chain: fastForward's
+    // publish check walks parent-snapshot-id links, so expiring an
+    // unpublished branch's ancestors would strand the branch
+    // unpublishable (tags pin only their own snapshot)
+    val parentOf: Map[Long, Long] = all
+      .flatMap(s => Option(s.get("parent-snapshot-id"))
+        .map(p => s.get("snapshot-id").asLong() -> p.asLong())).toMap
+    val refIds: Set[Long] = refHeads.flatMap { case (tpe, head) =>
+      if (tpe != "branch") Seq(head)
+      else Iterator.iterate(Option(head))(_.flatMap(parentOf.get))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+    }.toSet
     // keep ORIGINAL array order: after a rollback the current snapshot
     // is not the last element, and `takeRight ++ current` would write a
     // non-chronological snapshots array — breaking the oldest-first
@@ -2818,6 +2874,54 @@ object IcebergInterop {
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long =
     commitSnapshot(df, base, "append", partitionBy)
+
+  /** Write-audit-publish, step 1: append onto a BRANCH. The new
+    * snapshot chains off the branch head (forking from main if the
+    * ref doesn't exist yet) and only the branch ref moves — main's
+    * readers never see the rows until `fastForward` publishes. Audit
+    * with `readRef(spark, base, branch)`. */
+  def appendToBranch(df: DataFrame, base: String, branchName: String,
+                     partitionBy: Seq[String] = Seq.empty): Long =
+    commitSnapshot(df, base, "append", partitionBy,
+      branch = Some(branchName))
+
+  /** Write-audit-publish, step 2: fast-forward MAIN to the branch
+    * head. Pure metadata — current-snapshot-id moves, no file is
+    * touched. Refuses unless main's current snapshot is an ANCESTOR
+    * of the branch head (walked over parent-snapshot-id links):
+    * publishing a diverged branch would silently drop main-side
+    * commits, which needs a merge that deliberately does not exist
+    * here. The branch ref stays (drop it with dropRef when done). */
+  def fastForward(base: String, branchName: String): Long = {
+    val meta = mapper.readTree(currentMetadataFile(base))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val target = Option(meta.get("refs"))
+      .flatMap(r => Option(r.get(branchName)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$branchName' in $base"))
+    require(target.get("type").asText() == "branch",
+      s"ref '$branchName' is a tag — fastForward publishes branches")
+    val targetId = target.get("snapshot-id").asLong()
+    val cur = meta.get("current-snapshot-id").asLong()
+    if (cur == targetId) return targetId
+    val snaps = meta.get("snapshots")
+    val parentOf: Map[Long, Long] = (0 until snaps.size()).map(snaps.get)
+      .flatMap(s => Option(s.get("parent-snapshot-id"))
+        .map(p => s.get("snapshot-id").asLong() -> p.asLong())).toMap
+    var walk = targetId
+    var isAncestor = false
+    while (!isAncestor && parentOf.contains(walk)) {
+      walk = parentOf(walk)
+      if (walk == cur) isAncestor = true
+    }
+    require(isAncestor,
+      s"cannot fast-forward: main ($cur) is not an ancestor of " +
+      s"'$branchName' ($targetId) — the branch diverged; rebase it " +
+      "(new branch from main + re-append) instead")
+    meta.put("current-snapshot-id", targetId)
+    commitMetadataVersion(base, meta)
+    targetId
+  }
 
   /** Overwrite with a TRANSFORMED partition spec — bucket[N] /
     * truncate[W] / day / identity per source column. Data files keep

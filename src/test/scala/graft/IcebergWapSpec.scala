@@ -1,0 +1,114 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.sources.IcebergInterop
+
+/** Write-audit-publish on Iceberg branches: branch appends are
+  * invisible on main until fastForward publishes; publish is ancestry-
+  * checked metadata only; expiration never strands an unpublished
+  * branch. */
+class IcebergWapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val p = s"/tmp/graft_test_wap_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("branch appends are invisible on main, visible on the branch") {
+    val base = fresh("basic")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "b")).toDF("k", "s"), base, "audit")
+    IcebergInterop.appendToBranch(Seq((3L, "c")).toDF("k", "s"), base, "audit")
+    // main: untouched
+    assert(IcebergInterop.read(spark, base).count() == 1L)
+    // branch: base + both appends (the second chained on the first)
+    assert(IcebergInterop.readRef(spark, base, "audit")
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("fastForward publishes the branch; second publish is a no-op") {
+    val base = fresh("publish")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "b")).toDF("k", "s"), base, "wap")
+    val published = IcebergInterop.fastForward(base, "wap")
+    assert(IcebergInterop.read(spark, base).count() == 2L)
+    assert(IcebergInterop.resolveRef(base, "main") == published)
+    assert(IcebergInterop.fastForward(base, "wap") == published)
+    // post-publish appends to main continue normally
+    IcebergInterop.append(Seq((4L, "d")).toDF("k", "s"), base)
+    assert(IcebergInterop.read(spark, base).count() == 3L)
+  }
+
+  test("a diverged branch refuses to publish") {
+    val base = fresh("diverge")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "b")).toDF("k", "s"), base, "old")
+    // main moves on while the branch sits unpublished
+    IcebergInterop.append(Seq((9L, "z")).toDF("k", "s"), base)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.fastForward(base, "old")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+    // neither side was harmed
+    assert(IcebergInterop.read(spark, base).count() == 2L)
+    assert(IcebergInterop.readRef(spark, base, "old").count() == 2L)
+  }
+
+  test("tags refuse writes and publishes") {
+    val base = fresh("tag")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.createTag(base, "v1", IcebergInterop.resolveRef(base, "main"))
+    val w = intercept[IllegalArgumentException] {
+      IcebergInterop.appendToBranch(Seq((2L, "b")).toDF("k", "s"), base, "v1")
+    }
+    assert(w.getMessage.contains("tag"))
+    val f = intercept[IllegalArgumentException] {
+      IcebergInterop.fastForward(base, "v1")
+    }
+    assert(f.getMessage.contains("tag"))
+  }
+
+  test("expiration pins an unpublished branch's ancestry; publish still works") {
+    val base = fresh("expire")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "b")).toDF("k", "s"), base, "keep")
+    IcebergInterop.appendToBranch(Seq((3L, "c")).toDF("k", "s"), base, "keep")
+    // main appends make older snapshots expirable
+    IcebergInterop.append(Seq((4L, "d")).toDF("k", "s"), base)
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 1)
+    // the branch survives whole (head + chain) and still reads
+    assert(IcebergInterop.readRef(spark, base, "keep")
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+    // main advanced past the fork → publish correctly refuses (diverged)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.fastForward(base, "keep")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+  }
+
+  test("publish after expire works when main never moved") {
+    val base = fresh("expire_pub")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "b")).toDF("k", "s"), base, "wap")
+    IcebergInterop.appendToBranch(Seq((3L, "c")).toDF("k", "s"), base, "wap")
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 1)
+    IcebergInterop.fastForward(base, "wap")
+    assert(IcebergInterop.read(spark, base).count() == 3L)
+  }
+
+  test("branch writes on a partitioned table keep the spec") {
+    val base = fresh("part")
+    IcebergInterop.overwrite(
+      Seq((1L, "A"), (2L, "B")).toDF("k", "g"), base, Seq("g"))
+    IcebergInterop.appendToBranch(
+      Seq((3L, "A"), (4L, "C")).toDF("k", "g"), base, "wap", Seq("g"))
+    IcebergInterop.fastForward(base, "wap")
+    // partition pruning still holds post-publish
+    val got = IcebergInterop.readEq(spark, base, Map("g" -> "A"))
+    assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+}
