@@ -2467,6 +2467,35 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  /** Delta REORG PURGE (q214): the end of the merge-on-read delete
+    * lifecycle — a vectored DELETE leaves deletion vectors, REORG
+    * rewrites exactly the carrier files into their survivors, VACUUM
+    * reclaims the tombstoned data and DV bins. Value-invariance under
+    * the purge+vacuum pair is the contract; resurrected soft-deleted
+    * rows or dropped survivors break the match. Fresh dirs per run. */
+  private def qDeltaReorg(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val base = fixtureDir("reorg_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    DeltaInterop.overwrite(
+      ords.repartitionByRange(4, col("o_orderkey")), base)
+    GraftSql.registerDeltaTable(s, "q214_t", base)
+    GraftSql.sql(s, "DELETE FROM q214_t WHERE o_orderkey % 4 = 0")
+    GraftSql.sql(s, "REORG TABLE q214_t APPLY (PURGE)")
+    require(DeltaInterop.snapshot(s, base).files
+        .forall(_.dv.forall(_.cardinality == 0)),
+      "REORG left a live deletion vector behind")
+    GraftSql.sql(s, "VACUUM q214_t RETAIN 0 HOURS")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q214_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -4990,6 +5019,7 @@ object SparkEntry {
     "q211_sql_copy_into" -> (qSqlCopyInto _),
     "q212_delta_clone" -> (qDeltaClone _),
     "q213_iceberg_wap" -> (qIcebergWap _),
+    "q214_delta_reorg" -> (qDeltaReorg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6102,6 +6132,11 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY status""",
+    "q214_delta_reorg" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 4 <> 0
+         GROUP BY o_orderstatus ORDER BY status""",
     "q212_delta_clone" ->
       """SELECT side, n_orders, total FROM (
            SELECT 'src' AS side, count(*) AS n_orders,

@@ -251,6 +251,8 @@ object GraftSql {
   private val CopyIntoRe =
     ("""(?is)\s*COPY\s+INTO\s+([`\w.]+)\s+FROM\s+'([^']+)'\s+""" +
      """FILEFORMAT\s*=\s*(\w+)\s*(?:PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
+  private val ReorgRe =
+    """(?is)\s*REORG\s+TABLE\s+([`\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val CloneRe =
     ("""(?is)\s*CREATE\s+TABLE\s+([`\w.]+)\s+SHALLOW\s+CLONE\s+([`\w.]+)""" +
      """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
@@ -335,6 +337,21 @@ object GraftSql {
       })
     case CopyIntoRe(t, path, fmt, pattern) =>
       Some(runCopyInto(spark, t, path, fmt, Option(pattern)))
+    case ReorgRe(t) =>
+      // `REORG TABLE t APPLY (PURGE)`: rewrite exactly the DV-carrying
+      // files so soft-deleted rows physically disappear and VACUUM can
+      // reclaim the bins — the guaranteed end of a merge-on-read delete
+      val (name, h) = maintTable(spark, t, "REORG")
+      h match {
+        case DeltaTable(base) =>
+          val v = graft.sources.DeltaInterop.reorgPurge(spark, base)
+            .getOrElse(graft.sources.DeltaInterop.snapshot(spark, base).version)
+          refreshView(spark, name, h)
+          Some(result(spark, "REORG", v))
+        case _ => throw new IllegalArgumentException(
+          "REORG ... APPLY (PURGE) is the Delta deletion-vector purge — " +
+          "graft-log purges DVs via compact, Iceberg via rewriteDataFiles")
+      }
     case CloneRe(t, srcT, ver, loc) =>
       // `CREATE TABLE c SHALLOW CLONE s [VERSION AS OF n] LOCATION p`:
       // a zero-copy Delta table whose adds reference the source's

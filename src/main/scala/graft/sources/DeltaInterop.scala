@@ -1474,6 +1474,43 @@ object DeltaInterop {
     }
   }
 
+  /** `REORG TABLE ... APPLY (PURGE)`: rewrite EXACTLY the files
+    * carrying deletion vectors, materializing their survivors — the
+    * soft-deleted rows physically disappear and the DV bins go
+    * unreferenced, so a following VACUUM reclaims data and bins both
+    * (the end of the merge-on-read delete lifecycle; OPTIMIZE folds DV
+    * files opportunistically when they are small, PURGE is the
+    * guarantee). Clean files are untouched regardless of size. Commits
+    * `dataChange=false`: downstream CDF consumers and streams see a
+    * layout change, not new data. */
+  def reorgPurge(spark: SparkSession, base: String): Option[Long] = {
+    val snap = snapshot(spark, base)
+    require(snap.columnMappingMode != "id",
+      "REORG on a columnMapping.mode=id table is not supported " +
+      "(physical schema unrecoverable)")
+    val byPartition = snap.files
+      .filter(_.dv.exists(_.cardinality > 0)).groupBy(_.partitionValues)
+    if (byPartition.isEmpty) return None
+    val newAdds = mutable.ArrayBuffer.empty[AddFile]
+    val removed = mutable.ArrayBuffer.empty[AddFile]
+    byPartition.foreach { case (pv, fs) =>
+      val rows = readPhysical(spark, base, snap, fs).coalesce(1)
+      val staged = stageAdds(rows, base, Seq.empty)
+        .map(_.copy(partitionValues = pv))
+      newAdds ++= collectAddStats(spark, base, staged,
+        StructType(snap.schema.fields
+          .filterNot(f => snap.partitionColumns.contains(f.name))
+          .map(f => f.copy(name = snap.physicalName(f.name)))))
+      removed ++= fs
+    }
+    val v = snap.version + 1
+    writeCommit(base, v,
+      removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
+        newAdds.toSeq.map(addJson(_, base, dataChange = false)),
+      operation = "REORG")
+    Some(v)
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite EVERY file of each partition into
     * `filesPerPartition` range-partitioned files sorted by the Morton
     * interleave of `zorderBy` (the codegen'd `ZOrderCodeN` expression),
