@@ -2496,6 +2496,20 @@ object SparkEntry {
          FROM q214_t GROUP BY o_orderstatus ORDER BY status""")
   }
 
+  /** Sliding-window chunking (q215): the context-window preprocessor —
+    * 64-token windows, stride 48 (16-token overlap). Hash-exact against
+    * DuckDB's derivation of the SAME integer window math, so off-by-one
+    * boundaries, doubled tails, or engine-divergent tokenization all
+    * break the match. Pure map+explode: no shuffle at any scale. */
+  private def qChunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.TextAnalysis
+      .chunkWindows(docs, col("doc_id"), col("text"), 64, 48)
+      .select(col("doc_id"), col("chunk_index"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5020,6 +5034,7 @@ object SparkEntry {
     "q212_delta_clone" -> (qDeltaClone _),
     "q213_iceberg_wap" -> (qIcebergWap _),
     "q214_delta_reorg" -> (qDeltaReorg _),
+    "q215_chunk_windows" -> (qChunkWindows _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6137,6 +6152,22 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_orderkey % 4 <> 0
          GROUP BY o_orderstatus ORDER BY status""",
+    "q215_chunk_windows" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         w AS (SELECT doc_id, toks, n,
+           unnest(range(0, CASE WHEN n <= 64 THEN 1
+             ELSE (n - 17) - ((n - 17) % 48) + 1 END, 48)) AS st
+           FROM s)
+         SELECT doc_id, st // 48 AS chunk_index,
+           least(64, n - st) AS n_tokens,
+           md5(array_to_string(list_slice(toks, st + 1, st + 64), ' '))
+             AS chunk_hash
+         FROM w ORDER BY doc_id, chunk_index""",
     "q212_delta_clone" ->
       """SELECT side, n_orders, total FROM (
            SELECT 'src' AS side, count(*) AS n_orders,

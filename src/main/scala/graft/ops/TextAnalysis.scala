@@ -394,6 +394,53 @@ object TextAnalysis {
     * filter; AQE handles the hot-token skew), one corpus-total scalar
     * broadcast, and one doc-keyed reassembly. No doc×doc, no
     * driver-side state. */
+  /** Sliding-window chunking (the context-window preprocessor every
+    * LLM training/RAG pipeline runs): split into whitespace tokens,
+    * emit windows of `windowTokens` advancing by `strideTokens`
+    * (overlap = window − stride keeps boundary context in two chunks).
+    * Window starts are 0, stride, 2·stride, … up to the FIRST start
+    * whose window reaches the document's end — so every token lands in
+    * ≥1 chunk, the tail is never emitted twice, and a short document
+    * yields exactly one (possibly short) chunk. Whitespace-only
+    * documents emit nothing. Output: (doc_id, chunk_index, n_tokens,
+    * chunk_text).
+    *
+    * Scale shape: a pure per-row map + explode — no shuffle, no state;
+    * the ~len/stride row blow-up is the chunking itself. Integer-only
+    * window math, so any engine derives the identical chunk set. */
+  def chunkWindows(docs: DataFrame, idCol: Column, textCol: Column,
+                   windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens]")
+    val w = lit(windowTokens); val st = lit(strideTokens)
+    // tokens = maximal non-whitespace runs: the empty pieces a leading/
+    // trailing-whitespace split leaves differ BETWEEN engines (Java
+    // drops trailing empties, other regex splitters keep them) — filter
+    // them so the chunk set is engine-portable by construction
+    val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
+    val withToks = docs
+      .select(idCol.as("doc_id"), toks.as("__toks"), size(toks).as("__n"))
+      .filter(col("__n") > 0)
+    // last start = the smallest multiple of stride with start+w >= n,
+    // i.e. ceil((n-w)/stride)*stride — computed with integer mod only
+    // (float division could round the boundary at large n)
+    val ceilBase = (col("__n") - w + st - 1).cast("long")
+    val lastStart = when(col("__n") <= w, lit(0L))
+      .otherwise(ceilBase - pmod(ceilBase, st.cast("long")))
+    withToks
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), lastStart, st.cast("long"))).as("__start"))
+      .select(
+        col("doc_id"),
+        (col("__start") / st).cast("long").as("chunk_index"),
+        least(w.cast("long"), col("__n") - col("__start")).as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("__start") + 1).cast("int"),
+            lit(windowTokens)))
+          .as("chunk_text"))
+  }
+
   def pruneRareTokens(docs: DataFrame, idCol: Column, textCol: Column,
                       keepPerMille: Long = 1L): DataFrame = {
     val toks = docs.select(idCol.as("doc_id"),
