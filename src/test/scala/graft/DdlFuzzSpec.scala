@@ -39,10 +39,25 @@ class DdlFuzzSpec extends SparkSpec {
     val dbase = tmp(); val ibase = tmp(); val lbase = tmp()
     var nextKey = 0L
     var nameCounter = 0
-
     def freshCol(): String = { nameCounter += 1; s"c$nameCounter" }
     val c0 = freshCol()
     val model = Model(Vector(c0), Vector.empty)
+
+    // RESTORE targets: (delta version, iceberg snapshot id, graft-log
+    // version, model rows at that point). Only points with the CURRENT
+    // schema are kept (cleared on schema ops — Iceberg's rollback
+    // deliberately does NOT restore schema while Delta/graft-log do,
+    // so cross-schema restores would legitimately diverge) and only
+    // points whose files maintenance hasn't reclaimed (cleared on
+    // vacuum/expire).
+    val restorePoints = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Vector[Map[String, Any]])]
+    def recordRestorePoint(): Unit = restorePoints +=
+      ((DeltaInterop.snapshot(spark, dbase).version,
+        IcebergInterop.resolveRef(ibase, "main"),
+        GraftLog.snapshot(lbase).version,
+        model.rows))
+
 
     def insertFrame(n: Int): (DataFrame, Seq[Map[String, Any]]) = {
       val rows = (0 until n).map { _ =>
@@ -66,16 +81,18 @@ class DdlFuzzSpec extends SparkSpec {
       IcebergInterop.overwrite(df.coalesce(1), ibase)
       GraftLog.overwrite(df, lbase)
       model.rows = rows.toVector
+      recordRestorePoint()
     }
 
     (1 to nOps).foreach { opIdx =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // INSERT a batch under the current schema
           val (df, rows) = insertFrame(1 + rnd.nextInt(4))
           DeltaInterop.append(df, dbase)
           IcebergInterop.append(df.coalesce(1), ibase)
           GraftLog.append(df, lbase)
           model.rows ++= rows
+          recordRestorePoint()
         case 1 => // ADD COLUMN (metadata-only everywhere)
           val c = freshCol()
           val st = StructType(Seq(StructField(c, DoubleType)))
@@ -83,6 +100,7 @@ class DdlFuzzSpec extends SparkSpec {
           IcebergInterop.addColumn(ibase, c, DoubleType)
           GraftLog.addColumns(lbase, st)
           model.cols :+= c // existing rows lack it → NULL
+          restorePoints.clear() // schema moved — old points unrestorable
         case 2 if model.cols.size >= 1 => // RENAME a non-key column
           val from = model.cols(rnd.nextInt(model.cols.size))
           val to = freshCol()
@@ -92,6 +110,7 @@ class DdlFuzzSpec extends SparkSpec {
           model.cols = model.cols.map(c => if (c == from) to else c)
           model.rows = model.rows.map(r =>
             if (r.contains(from)) r - from + (to -> r(from)) else r)
+          restorePoints.clear()
         case 3 if model.cols.size >= 2 => // DROP a non-key column
           val c = model.cols(rnd.nextInt(model.cols.size))
           DeltaInterop.dropColumns(spark, dbase, Seq(c))
@@ -99,6 +118,7 @@ class DdlFuzzSpec extends SparkSpec {
           GraftLog.dropColumnsRewrite(spark, lbase, Seq(c))
           model.cols = model.cols.filterNot(_ == c)
           model.rows = model.rows.map(_ - c)
+          restorePoints.clear()
         case 4 => // DELETE WHERE k % m = r
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
           val pred = col("k") % m === r
@@ -107,13 +127,15 @@ class DdlFuzzSpec extends SparkSpec {
           GraftLog.delete(spark, lbase, pred)
           model.rows = model.rows.filterNot(row =>
             row("k").asInstanceOf[Long] % m == r)
+          recordRestorePoint()
         case 6 => // MAINTENANCE — value-preserving by contract, so the
           // model does NOT move; any drift is a maintenance bug
-          rnd.nextInt(3) match {
+          rnd.nextInt(4) match {
             case 0 => DeltaInterop.checkpoint(spark, dbase)
             case 1 => DeltaInterop.optimize(spark, dbase,
               smallFileBytes = 1L << 20)
             case 2 => DeltaInterop.vacuum(spark, dbase, retainMillis = 0L)
+            case 3 => DeltaInterop.reorgPurge(spark, dbase)
           }
           rnd.nextInt(3) match {
             case 0 => IcebergInterop.rewriteDataFiles(spark, ibase,
@@ -127,6 +149,19 @@ class DdlFuzzSpec extends SparkSpec {
             case 1 => GraftLog.vacuum(lbase, keepVersions = 1,
               retentionMs = 0L)
           }
+          restorePoints.clear() // vacuum/expire may have reclaimed them
+        case 7 if restorePoints.nonEmpty =>
+          // RESTORE to a recorded point: all three formats must land on
+          // the SAME earlier contents (Delta metadata restore, Iceberg
+          // snapshot rollback, graft-log add/remove restore commit) and
+          // the model simply rewinds its rows
+          val (dv, isid, lv, rows) =
+            restorePoints(rnd.nextInt(restorePoints.size))
+          DeltaInterop.restore(spark, dbase, dv)
+          IcebergInterop.rollbackTo(ibase, isid)
+          GraftLog.restore(spark, lbase, lv)
+          model.rows = rows
+          recordRestorePoint() // the restored state is again a point
         case _ => // UPDATE SET c = c + d WHERE k % m = r
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
           val c = model.cols(rnd.nextInt(model.cols.size))
@@ -146,6 +181,7 @@ class DdlFuzzSpec extends SparkSpec {
             if (row("k").asInstanceOf[Long] % m == r)
               row + (c -> bump(row.getOrElse(c, null)))
             else row)
+          recordRestorePoint()
       }
     }
 
