@@ -224,6 +224,28 @@ object GraftSql {
               r.newName.last.toLowerCase)
           case _ => spark.sql(text)
         }
+      case p: ShowTableProperties =>
+        // SHOW TBLPROPERTIES on a registered path-based table: Spark's
+        // own runner refuses temp views, so the dispatch answers from
+        // the format's metadata (Delta configuration; the others have
+        // no property store and return the empty set)
+        ddlName(p.table) match {
+          case Some(name) if tablesOf(spark).containsKey(name) =>
+            val props: Map[String, String] =
+              tablesOf(spark).get(name) match {
+                case DeltaTable(base) =>
+                  graft.sources.DeltaInterop.snapshot(spark, base)
+                    .configuration
+                case _ => Map.empty
+              }
+            import spark.implicits._
+            val rows = p.propertyKey match {
+              case Some(k) => props.get(k).map(v => (k, v)).toSeq
+              case None => props.toSeq.sortBy(_._1)
+            }
+            rows.toDF("key", "value")
+          case _ => spark.sql(text)
+        }
       case other if other.exists {
             case _: RelationTimeTravel => true; case _ => false } =>
         runTimeTravel(spark, other).getOrElse(spark.sql(text))
@@ -254,8 +276,10 @@ object GraftSql {
   private val ReorgRe =
     """(?is)\s*REORG\s+TABLE\s+([`\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val CloneRe =
-    ("""(?is)\s*CREATE\s+TABLE\s+([`\w.]+)\s+SHALLOW\s+CLONE\s+([`\w.]+)""" +
+    ("""(?is)\s*CREATE\s+TABLE\s+([`\w.]+)\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+([`\w.]+)""" +
      """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
+  private val DetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
 
   private def maintTable(spark: SparkSession, raw: String,
                          stmt: String): (String, Handler) = {
@@ -352,24 +376,59 @@ object GraftSql {
           "REORG ... APPLY (PURGE) is the Delta deletion-vector purge — " +
           "graft-log purges DVs via compact, Iceberg via rewriteDataFiles")
       }
-    case CloneRe(t, srcT, ver, loc) =>
-      // `CREATE TABLE c SHALLOW CLONE s [VERSION AS OF n] LOCATION p`:
-      // a zero-copy Delta table whose adds reference the source's
-      // files absolutely — registered and DML-able like any table
+    case CloneRe(t, kind, srcT, ver, loc) =>
+      // `CREATE TABLE c [SHALLOW|DEEP] CLONE s [VERSION AS OF n]
+      // LOCATION p`: shallow = zero-copy absolute-path references into
+      // the source; deep (the default, like Delta's) = hard-linked
+      // independent copy the source's vacuum can never break
+      val shallow = Option(kind).exists(_.trim.equalsIgnoreCase("SHALLOW"))
       val tgt = t.replace("`", "").split('.').last.toLowerCase
-      val (_, h) = maintTable(spark, srcT, "SHALLOW CLONE")
+      val (_, h) = maintTable(spark, srcT, "CLONE")
       h match {
         case DeltaTable(srcBase) =>
           require(!tablesOf(spark).containsKey(tgt),
-            s"SHALLOW CLONE: table '$tgt' is already registered")
-          graft.sources.DeltaInterop.shallowClone(spark, srcBase, loc,
-            Option(ver).map(_.toLong))
+            s"CLONE: table '$tgt' is already registered")
+          if (shallow)
+            graft.sources.DeltaInterop.shallowClone(spark, srcBase, loc,
+              Option(ver).map(_.toLong))
+          else
+            graft.sources.DeltaInterop.deepClone(spark, srcBase, loc,
+              Option(ver).map(_.toLong))
           registerDeltaTable(spark, tgt, loc)
-          Some(result(spark, "SHALLOW CLONE", 0L))
+          Some(result(spark, if (shallow) "SHALLOW CLONE" else "CLONE", 0L))
         case _ => throw new IllegalArgumentException(
-          "SHALLOW CLONE is a Delta operation — the source must be a " +
+          "CLONE is a Delta operation — the source must be a " +
           "registered Delta table")
       }
+    case DetailRe(t) =>
+      // `DESCRIBE DETAIL t`: the one-row table summary (format,
+      // location, partitioning, live file count/bytes, version) — all
+      // from metadata already in memory; no data file is opened
+      val (_, h) = maintTable(spark, t, "DESCRIBE DETAIL")
+      import spark.implicits._
+      val (fmt, loc2, parts, nf, bytes, ver2) = h match {
+        case DeltaTable(base) =>
+          val snap = graft.sources.DeltaInterop.snapshot(spark, base)
+          ("delta", base, snap.partitionColumns,
+            snap.files.size.toLong,
+            snap.files.map(f => graft.sources.DeltaInterop
+              .resolveDataFile(base, f.path).length()).sum,
+            snap.version)
+        case LogTable(base) =>
+          val snap = GraftLog.snapshot(base)
+          ("graftlog", base, Seq.empty[String], snap.files.size.toLong,
+            snap.files.map(f => new java.io.File(base, f).length()).sum,
+            snap.version)
+        case IceTable(base) =>
+          val snap = graft.sources.IcebergInterop.snapshot(spark, base)
+          ("iceberg", base, snap.partitionColumns,
+            snap.files.size.toLong,
+            snap.files.map(f => new java.io.File(f.path).length()).sum,
+            snap.snapshotId)
+      }
+      Some(Seq((fmt, loc2, parts, nf, bytes, ver2)).toDF(
+        "format", "location", "partition_columns", "num_files",
+        "size_in_bytes", "version"))
     case _ => None
   }
 

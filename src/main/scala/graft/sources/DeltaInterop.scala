@@ -980,7 +980,7 @@ object DeltaInterop {
     * the path is percent-encoded and RELATIVE to the table root, OR an
     * ABSOLUTE path — shallow clones reference the SOURCE table's files
     * that way, so every reader/maintenance path must resolve both. */
-  private[sources] def resolveDataFile(base: String, rawPath: String): File = {
+  private[graft] def resolveDataFile(base: String, rawPath: String): File = {
     val p = PathCodec.percentDecode(rawPath)
     val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
     if (noScheme.startsWith("/")) new File(noScheme) else new File(base, p)
@@ -2196,19 +2196,78 @@ object DeltaInterop {
       f.copy(path = "/" + PathCodec.percentEncodePath(abs.substring(1)),
         dv = dv)
     }
-    // the protocol travels with the data it governs: a DV-bearing or
-    // mapped source needs its feature declarations in the clone too
-    val protoLine =
-      if (snap.minReaderVersion < 3 && snap.minWriterVersion < 7 &&
-          snap.readerFeatureSet.isEmpty && snap.writerFeatureSet.isEmpty) {
-        val n = mapper.createObjectNode(); val p = n.putObject("protocol")
-        p.put("minReaderVersion", snap.minReaderVersion)
-        p.put("minWriterVersion", snap.minWriterVersion)
-        mapper.writeValueAsString(n)
-      } else upgradeProtocolJson(snap, Set.empty, Set.empty,
-        snap.minReaderVersion, snap.minWriterVersion)
     writeCommit(dstBase, 0L,
-      Seq(protoLine,
+      Seq(cloneProtocolJson(snap),
+        metaJson(snap.schema, snap.partitionColumns,
+          UUID.randomUUID().toString, snap.configuration)) ++
+        adds.map(addJson(_, dstBase, dataChange = true)),
+      operation = "CLONE")
+    0L
+  }
+
+  /** The protocol travels with the data it governs: a DV-bearing or
+    * mapped source needs its feature declarations in the clone too. */
+  private def cloneProtocolJson(snap: DeltaSnapshot): String =
+    if (snap.minReaderVersion < 3 && snap.minWriterVersion < 7 &&
+        snap.readerFeatureSet.isEmpty && snap.writerFeatureSet.isEmpty) {
+      val n = mapper.createObjectNode(); val p = n.putObject("protocol")
+      p.put("minReaderVersion", snap.minReaderVersion)
+      p.put("minWriterVersion", snap.minWriterVersion)
+      mapper.writeValueAsString(n)
+    } else upgradeProtocolJson(snap, Set.empty, Set.empty,
+      snap.minReaderVersion, snap.minWriterVersion)
+
+  /** Deep clone: an INDEPENDENT Delta table whose data files are
+    * hard-linked copies under the clone's own root — same-filesystem
+    * instant "copy" that is still fully independent at the file level
+    * (an unlink on either side never affects the other, and parquet
+    * data files are never rewritten in place). Unlike a shallow clone,
+    * the SOURCE's vacuum can never break this one. Relative layout is
+    * preserved (partition directories intact); DV bins link in and
+    * re-address as self-contained absolute "p" storage under the
+    * clone's root. On a real object store this degrades to a server-
+    * side copy — the commit shape is identical. */
+  def deepClone(spark: SparkSession, srcBase: String, dstBase: String,
+                versionAsOf: Option[Long] = None): Long = {
+    require(currentVersion(dstBase).isEmpty,
+      s"deep clone target is already a Delta table: $dstBase")
+    val snap = snapshot(spark, srcBase, versionAsOf)
+    val srcRoot = new File(srcBase).getCanonicalFile
+    val dstRoot = new File(dstBase).getCanonicalFile
+    dstRoot.mkdirs()
+    val adds = snap.files.zipWithIndex.map { case (f, i) =>
+      val src = resolveDataFile(srcBase, f.path)
+      val decoded = PathCodec.percentDecode(f.path)
+      val (relPath, dst) =
+        if (decoded.startsWith("/") || decoded.startsWith("file:")) {
+          // absolute source (cloning a shallow clone): flatten into root
+          val name = s"clone-$i-${src.getName}"
+          (name, new File(dstRoot, name))
+        } else (f.path, new File(dstRoot, decoded))
+      dst.getParentFile.mkdirs()
+      Files.createLink(dst.toPath, src.toPath)
+      val dv = f.dv.map { d =>
+        d.storageType match {
+          case "u" =>
+            val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+            val sdir = if (prefix.isEmpty) srcRoot else new File(srcRoot, prefix)
+            val sbin = new File(sdir, s"deletion_vector_$uuid.bin")
+            val dbin = new File(dstRoot, sbin.getName)
+            if (!dbin.exists()) Files.createLink(dbin.toPath, sbin.toPath)
+            d.copy(storageType = "p",
+              pathOrInlineDv = dbin.getCanonicalPath)
+          case "p" =>
+            val sbin = new File(d.pathOrInlineDv)
+            val dbin = new File(dstRoot, sbin.getName)
+            if (!dbin.exists()) Files.createLink(dbin.toPath, sbin.toPath)
+            d.copy(pathOrInlineDv = dbin.getCanonicalPath)
+          case _ => d // "i" inline travels in the log
+        }
+      }
+      f.copy(path = relPath, dv = dv)
+    }
+    writeCommit(dstBase, 0L,
+      Seq(cloneProtocolJson(snap),
         metaJson(snap.schema, snap.partitionColumns,
           UUID.randomUUID().toString, snap.configuration)) ++
         adds.map(addJson(_, dstBase, dataChange = true)),

@@ -116,6 +116,38 @@ class DeltaCloneSpec extends SparkSpec {
     assert(e.getMessage.contains("Delta"))
   }
 
+  test("deep clone is independent of the SOURCE's vacuum") {
+    val src = fresh("deep_src"); val dst = fresh("deep_dst")
+    DeltaInterop.overwrite(
+      (0L until 40L).map(k => (k, (k % 2).toString)).toDF("k", "g"),
+      src, partitionBy = Seq("g"))
+    DeltaDml.deleteVectoredWhere(spark, src, col("k") < 5)
+    DeltaInterop.deepClone(spark, src, dst)
+    assert(DeltaInterop.read(spark, dst).count() == 35L)
+    // source replaces its contents and vacuums everything old away —
+    // the shallow-clone hazard; a deep clone must not care
+    DeltaInterop.overwrite(Seq((99L, "x")).toDF("k", "g"), src)
+    DeltaInterop.vacuum(spark, src, retainMillis = 0L)
+    assert(DeltaInterop.read(spark, dst).count() == 35L)
+    assert(DeltaInterop.read(spark, dst).filter(col("g") === "1")
+      .count() > 0) // partition layout survived the link copy
+    // and the clone stays DML-able on its own
+    DeltaDml.deleteVectoredWhere(spark, dst, col("k") >= 30)
+    assert(DeltaInterop.read(spark, dst).count() == 25L)
+  }
+
+  test("SQL CLONE without SHALLOW is the deep clone") {
+    val src = fresh("deepsql_src"); val dst = fresh("deepsql_dst")
+    DeltaInterop.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src)
+    GraftSql.registerDeltaTable(spark, "deep_sql_src", src)
+    val r = GraftSql.sql(spark,
+      s"CREATE TABLE deep_sql_dst CLONE deep_sql_src LOCATION '$dst'")
+    assert(r.select("operation").head().getString(0) == "CLONE")
+    // files live under the clone's own root (hard links, not references)
+    assert(parquetCount(dst) >= 1)
+    assert(spark.table("deep_sql_dst").count() == 2L)
+  }
+
   test("cloning a column-mapped source keeps the mapping readable") {
     val src = fresh("map_src"); val dst = fresh("map_dst")
     DeltaInterop.overwriteColumnMapped(

@@ -178,6 +178,43 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(z.getMessage.contains("ZORDER"))
   }
 
+  test("DESCRIBE DETAIL summarizes from metadata; SHOW TBLPROPERTIES") {
+    val dbase = freshBase("detail_delta")
+    DeltaInterop.overwrite(
+      (0L until 20L).map(k => (k, (k % 2).toString)).toDF("k", "g"),
+      dbase, partitionBy = Seq("g"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    GraftSql.registerDeltaTable(spark, "maint_detail_delta", dbase)
+    val d = GraftSql.sql(spark, "DESCRIBE DETAIL maint_detail_delta").head()
+    assert(d.getAs[String]("format") == "delta")
+    assert(d.getAs[scala.collection.Seq[String]]("partition_columns")
+      .toSeq == Seq("g"))
+    assert(d.getAs[Long]("num_files") >= 2L) // one per partition minimum
+    assert(d.getAs[Long]("size_in_bytes") > 0L)
+    val props = GraftSql.sql(spark,
+      "SHOW TBLPROPERTIES maint_detail_delta")
+      .as[(String, String)].collect().toMap
+    assert(props("delta.enableChangeDataFeed") == "true")
+    // single-key form
+    assert(GraftSql.sql(spark,
+      "SHOW TBLPROPERTIES maint_detail_delta (delta.enableChangeDataFeed)")
+      .head().getString(1) == "true")
+
+    val lbase = freshBase("detail_log")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lbase)
+    GraftSql.registerTable(spark, "maint_detail_log", lbase)
+    val l = GraftSql.sql(spark, "DESCRIBE DETAIL maint_detail_log").head()
+    assert(l.getAs[String]("format") == "graftlog")
+    assert(l.getAs[Long]("num_files") >= 1L)
+
+    val ibase = freshBase("detail_ice")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), ibase)
+    GraftSql.registerIcebergTable(spark, "maint_detail_ice", ibase)
+    val i = GraftSql.sql(spark, "DESCRIBE DETAIL maint_detail_ice").head()
+    assert(i.getAs[String]("format") == "iceberg")
+    assert(i.getAs[Long]("size_in_bytes") > 0L)
+  }
+
   test("restore folds deletion vectors with their version") {
     val base = freshBase("log_restore_dv")
     GraftLog.overwriteClustered(
