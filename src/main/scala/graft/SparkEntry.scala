@@ -2410,15 +2410,17 @@ object SparkEntry {
   private def qDeltaClone(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftSql
     import graft.sources.{DeltaDml, DeltaInterop}
-    val srcBase = fixtureDir("clone_src", dir)
     val dstBase = fixtureDir("clone_dst", dir)
-    Seq(srcBase, dstBase).foreach(p =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-    val ords = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    DeltaInterop.overwrite(ords, srcBase) // v0 — the clone point
-    DeltaDml.deleteVectoredWhere(s, srcBase, col("o_orderkey") % 5 === 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dstBase))
+    // the source build (v0 + vectored delete) is cacheable; the CLONE
+    // statements are the measured operator and run on a hard-link copy
+    val srcBase = freshCopyFixture("clone_src", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(ords, p) // v0 — the clone point
+      DeltaDml.deleteVectoredWhere(s, p, col("o_orderkey") % 5 === 0)
+    }
     GraftSql.registerDeltaTable(s, "q212_src", srcBase)
     GraftSql.sql(s,
       s"CREATE TABLE q212_clone SHALLOW CLONE q212_src VERSION AS OF 0 " +
@@ -2443,13 +2445,15 @@ object SparkEntry {
     * branch all break the match. Fresh dirs per run. */
   private def qIcebergWap(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IcebergInterop
-    val base = fixtureDir("wap_orders", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val ords = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    IcebergInterop.overwrite(
-      ords.filter(col("o_orderkey") % 2 === 0).coalesce(1), base)
+    // the main-half table is cacheable; branch/publish statements are
+    // the measured operator and run on a hard-link copy
+    val base = freshCopyFixture("wap_orders", dir, "orders") { p =>
+      IcebergInterop.overwrite(
+        ords.filter(col("o_orderkey") % 2 === 0).coalesce(1), p)
+    }
     IcebergInterop.appendToBranch(
       ords.filter(col("o_orderkey") % 2 === 1).coalesce(1), base, "wap")
     // audit gate: the branch shows the full corpus, main only its half
@@ -2476,13 +2480,13 @@ object SparkEntry {
   private def qDeltaReorg(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.GraftSql
     import graft.sources.DeltaInterop
-    val base = fixtureDir("reorg_orders", dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val ords = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    DeltaInterop.overwrite(
-      ords.repartitionByRange(4, col("o_orderkey")), base)
+    val base = freshCopyFixture("reorg_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(
+        ords.repartitionByRange(4, col("o_orderkey")), p)
+    }
     GraftSql.registerDeltaTable(s, "q214_t", base)
     GraftSql.sql(s, "DELETE FROM q214_t WHERE o_orderkey % 4 = 0")
     GraftSql.sql(s, "REORG TABLE q214_t APPLY (PURGE)")
