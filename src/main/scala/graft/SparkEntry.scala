@@ -2436,32 +2436,42 @@ object SparkEntry {
          ) ORDER BY side""")
   }
 
-  /** Iceberg write-audit-publish (q213): half the corpus lands on MAIN,
-    * the other half appends onto a BRANCH (invisible to main readers),
-    * an audit gate checks the branch, fastForward publishes it, and a
-    * second branch stays unpublished. The final main read must equal
-    * the full corpus EXCLUDING the unpublished branch — rows leaking
-    * before publish, dropped by publish, or visible from the pending
-    * branch all break the match. Fresh dirs per run. */
+  /** Iceberg write-audit-publish (q213): a quarter of the corpus lands
+    * on MAIN, a branch carries the next quarter through audit +
+    * fastForward publish, a SECOND branch forks and main then DIVERGES
+    * past it — fastForward must refuse and cherryPick re-applies the
+    * branch append at a NEW sequence — and a final branch stays
+    * unpublished. The main read must equal the full corpus EXCLUDING
+    * the unpublished branch: pre-publish leaks, publish drops, a
+    * mis-sequenced cherry-pick, or pending-branch visibility all break
+    * the value-exact match. */
   private def qIcebergWap(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.IcebergInterop
     val ords = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
-    // the main-half table is cacheable; branch/publish statements are
-    // the measured operator and run on a hard-link copy
-    val base = freshCopyFixture("wap_orders", dir, "orders") { p =>
-      IcebergInterop.overwrite(
-        ords.filter(col("o_orderkey") % 2 === 0).coalesce(1), p)
+    def part(r: Int) = ords.filter(col("o_orderkey") % 4 === r).coalesce(1)
+    // the main-quarter table is cacheable; branch/publish statements
+    // are the measured operator and run on a hard-link copy
+    val base = freshCopyFixture("wap_orders_q4", dir, "orders") { p =>
+      IcebergInterop.overwrite(part(0), p)
     }
-    IcebergInterop.appendToBranch(
-      ords.filter(col("o_orderkey") % 2 === 1).coalesce(1), base, "wap")
-    // audit gate: the branch shows the full corpus, main only its half
+    IcebergInterop.appendToBranch(part(1), base, "wap")
+    // audit gate: the branch sees more than main until publish
     val audited = IcebergInterop.readRef(s, base, "wap").count()
     val mainBefore = IcebergInterop.read(s, base).count()
     require(audited > mainBefore,
       s"branch append leaked or vanished (branch=$audited main=$mainBefore)")
     IcebergInterop.fastForward(base, "wap")
+    // second branch forks here; main then diverges past the fork
+    IcebergInterop.appendToBranch(part(2), base, "late")
+    IcebergInterop.append(part(3), base)
+    val refused =
+      try { IcebergInterop.fastForward(base, "late"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "fastForward published a diverged branch")
+    IcebergInterop.cherryPick(s, base,
+      IcebergInterop.resolveRef(base, "late"))
     IcebergInterop.appendToBranch( // unpublished — must stay invisible
       ords.filter(col("o_orderkey") % 7 === 0).coalesce(1), base, "pending")
     IcebergInterop.read(s, base)

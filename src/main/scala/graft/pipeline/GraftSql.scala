@@ -1085,8 +1085,8 @@ object GraftSql {
 
   private def runInsert(spark: SparkSession, name: String,
                         i: InsertIntoStatement): DataFrame = {
-    require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
-      "INSERT with PARTITION or a column list is not supported — " +
+    require(i.partitionSpec.isEmpty,
+      "INSERT with PARTITION is not supported — " +
       "INSERT [OVERWRITE] <table> SELECT full rows")
     val h = tablesOf(spark).get(name)
     // SQL INSERT conforms to the TABLE's schema (names + implicit
@@ -1094,7 +1094,7 @@ object GraftSql {
     // mismatched SELECT would otherwise silently write files other
     // readers resolve as nulls (or silently evolve graft-log's schema)
     val table = spark.table(name)
-    val raw = GraftBridge.ofRows(spark, i.query)
+    val raw0 = GraftBridge.ofRows(spark, i.query)
     // Delta GENERATED columns (expression or IDENTITY) may be omitted
     // — the write path derives/assigns them (and for expressions,
     // validates them when provided)
@@ -1106,6 +1106,33 @@ object GraftSql {
           graft.sources.DeltaInterop.identityColumnOf(snap.schema)
             .map(_._1).toSet
       case _ => Set.empty
+    }
+    // `INSERT INTO t (a, c) SELECT ...`: the SELECT's outputs bind to
+    // the NAMED columns POSITIONALLY (SQL's rule); every unnamed table
+    // column reads NULL (generated/identity columns are omitted instead
+    // — the write path derives them, and a NULL would refuse there)
+    val raw = if (i.userSpecifiedCols.isEmpty) raw0 else {
+      val names = i.userSpecifiedCols.map(_.toLowerCase)
+      val tcols = table.columns.map(_.toLowerCase).toSet
+      require(names.distinct == names && names.forall(tcols.contains),
+        s"INSERT column list (${names.mkString(",")}) must be distinct " +
+        s"table columns (${table.columns.mkString(",")})")
+      require(raw0.columns.length == names.length,
+        s"INSERT column list names ${names.length} columns but the " +
+        s"SELECT produces ${raw0.columns.length}")
+      // positional binding via index placeholders: a SELECT output may
+      // be named `20.0` or carry dots — name-based col() would misparse
+      val safe = raw0.toDF(names.indices.map(i => s"__ins_$i"): _*)
+      val slotByName = names.zipWithIndex.toMap
+      safe.select(table.schema.fields.flatMap { f =>
+        slotByName.get(f.name.toLowerCase) match {
+          case Some(i) => Some(org.apache.spark.sql.functions
+            .col(s"__ins_$i").as(f.name))
+          case None if generatedCols.contains(f.name) => None // derived
+          case None => Some(org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name))
+        }
+      }: _*)
     }
     require(raw.columns.toSet == table.columns.toSet ||
       raw.columns.toSet == table.columns.toSet -- generatedCols,

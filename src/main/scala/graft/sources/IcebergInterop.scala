@@ -2094,6 +2094,10 @@ object IcebergInterop {
     root.put("last-updated-ms", committedAtMs)
     val snapNode = mapper.createObjectNode()
     snapNode.put("snapshot-id", snapshotId)
+    // ancestry link for fastForward's publish check and cherryPick's
+    // added-files derivation
+    Option(prev.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ > 0).foreach(p => snapNode.put("parent-snapshot-id", p))
     snapNode.put("sequence-number", snapshotId)
     snapNode.put("timestamp-ms", committedAtMs)
     snapNode.put("manifest-list", mlFile.getAbsolutePath)
@@ -2329,21 +2333,17 @@ object IcebergInterop {
     * carry as-is (few, semantically distinct). Metadata-only: one
     * manifest write + one replace snapshot. Refuses transformed
     * partition specs (partition records are rebuilt typed). */
-  def rewriteManifests(spark: SparkSession, base: String): Long = {
-    val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
-    val snap = snapshot(spark, base)
-    require(snap.specFields.forall(_.transform == "identity"),
-      "rewriteManifests on a transformed partition spec is not " +
-      "implemented — refusing")
-    val manifests = currentManifests(base, prev)
-    val dataManifests = manifests.filter(_.content == 0)
-    if (dataManifests.size <= 1)
-      return prev.get("current-snapshot-id").asLong() // nothing to fold
-    val snapshotId = nextSnapshotId(prev)
-    val id = UUID.randomUUID().toString
+  /** One manifest file from DataFileEntry rows carrying EXPLICIT
+    * per-entry sequence numbers (entry field-id 3) — inheritance-free,
+    * so the strict sequence gates delete application depends on
+    * survive any later fold. Shared by rewrite_manifests (existing
+    * entries at their recorded seqs) and cherryPick (added entries at
+    * the new snapshot's seq). */
+  private def writeEntriesManifest(metaDir: File, name: String,
+                                   files: Seq[DataFileEntry],
+                                   snapshotId: Long, status: Int,
+                                   seqOf: DataFileEntry => Long,
+                                   partTypes: Seq[(String, DataType)]): File = {
     def parsePv(dt: DataType, s: String): Any =
       if (s == null) null else dt match {
         case IntegerType => Int.box(s.toInt)
@@ -2351,16 +2351,14 @@ object IcebergInterop {
         case DoubleType => Double.box(s.toDouble)
         case StringType => s
         case other => throw new IllegalArgumentException(
-          s"unsupported identity-partition type $other in rewriteManifests")
+          s"unsupported identity-partition type $other in manifest write")
       }
-    val partTypes: Seq[(String, DataType)] =
-      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
     val entrySchema = entrySchemaFor(partTypes)
-    val entries = snap.files.sortBy(_.path).map { f =>
+    val entries = files.map { f =>
       val rec = new GenericData.Record(entrySchema)
-      rec.put("status", 0) // existing — this snapshot adds no data
+      rec.put("status", status)
       rec.put("snapshot_id", snapshotId)
-      rec.put("sequence_number", Long.box(f.seq)) // explicit, not inherited
+      rec.put("sequence_number", Long.box(seqOf(f)))
       val dfSchema = entrySchema.getField("data_file").schema()
       val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", 0)
@@ -2383,8 +2381,33 @@ object IcebergInterop {
       rec.put("data_file", dfr)
       rec
     }
-    val mFile = new File(metaDir, s"manifest-folded-$id.avro")
+    val mFile = new File(metaDir, name)
     writeAvro(mFile, entrySchema, entries)
+    mFile
+  }
+
+  def rewriteManifests(spark: SparkSession, base: String): Long = {
+    val metaDir = metadataDir(base)
+    val hint = new File(metaDir, "version-hint.text")
+    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
+    val prev = mapper.readTree(currentMetadataFile(base))
+    val snap = snapshot(spark, base)
+    require(snap.specFields.forall(_.transform == "identity"),
+      "rewriteManifests on a transformed partition spec is not " +
+      "implemented — refusing")
+    val manifests = currentManifests(base, prev)
+    val dataManifests = manifests.filter(_.content == 0)
+    if (dataManifests.size <= 1)
+      return prev.get("current-snapshot-id").asLong() // nothing to fold
+    val snapshotId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    val partTypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
+    val mFile = writeEntriesManifest(metaDir, s"manifest-folded-$id.avro",
+      snap.files.sortBy(_.path), snapshotId,
+      status = 0, // existing — this snapshot adds no data
+      seqOf = _.seq, // explicit per-entry seq, not inherited
+      partTypes = partTypes)
     // the manifest-level seq is only the INHERITANCE fallback; every
     // entry above carries its own, so the current high seq is correct
     val newRef = ManifestRef(mFile, 0,
@@ -2884,6 +2907,58 @@ object IcebergInterop {
                      partitionBy: Seq[String] = Seq.empty): Long =
     commitSnapshot(df, base, "append", partitionBy,
       branch = Some(branchName))
+
+  /** Cherry-pick: RE-APPLY one append snapshot's added files as a NEW
+    * commit on main — the publish path when `fastForward` refuses
+    * because main moved past the branch fork (Iceberg's
+    * `cherrypick_snapshot` for appends). The added files are
+    * re-manifested at the NEW snapshot's sequence number: a rebase, so
+    * equality/position deletes main gained since the fork do NOT
+    * retroactively mask the re-applied rows (re-using the original
+    * lower sequence would). Zero data files move — only one manifest
+    * and one metadata version are written. Only plain appends qualify:
+    * replace/delete snapshots entangle removed state and refuse. */
+  def cherryPick(spark: SparkSession, base: String,
+                 snapshotId: Long): Long = {
+    val prev = mapper.readTree(currentMetadataFile(base))
+    val snaps = prev.get("snapshots")
+    val picked = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in $base"))
+    require(Option(picked.get("summary"))
+        .exists(_.get("operation").asText() == "append"),
+      s"cherryPick re-applies APPEND snapshots only — $snapshotId is " +
+      Option(picked.get("summary")).map(_.get("operation").asText())
+        .getOrElse("unknown"))
+    val parentId = Option(picked.get("parent-snapshot-id")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId records no parent — cannot derive what " +
+        "it added"))
+    val pickedFiles = snapshot(spark, base, Some(snapshotId)).files
+    val parentPaths =
+      snapshot(spark, base, Some(parentId)).files.map(_.path).toSet
+    val added = pickedFiles.filterNot(f => parentPaths.contains(f.path))
+    val cur = snapshot(spark, base)
+    require(added.nonEmpty, s"snapshot $snapshotId added no data files")
+    val livePaths = cur.files.map(_.path).toSet
+    require(!added.exists(f => livePaths.contains(f.path)),
+      s"cherryPick of $snapshotId would double-apply: some of its " +
+      "files are already live on main")
+    require(cur.specFields.forall(_.transform == "identity"),
+      "cherryPick on a transformed partition spec is not implemented")
+    val newId = nextSnapshotId(prev)
+    val id = UUID.randomUUID().toString
+    val partTypes: Seq[(String, DataType)] =
+      cur.partitionColumns.map(c => c -> cur.schema(c).dataType)
+    val mFile = writeEntriesManifest(metadataDir(base),
+      s"manifest-pick-$id.avro", added.sortBy(_.path), newId,
+      status = 1, seqOf = _ => newId, partTypes = partTypes)
+    commitManifestListSnapshot(base, prev,
+      currentManifests(base, prev) :+ ManifestRef(mFile, 0, newId, newId),
+      newId, id, "append",
+      summary = Map("graft.source-snapshot-id" -> snapshotId.toString))
+  }
 
   /** Write-audit-publish, step 2: fast-forward MAIN to the branch
     * head. Pure metadata — current-snapshot-id moves, no file is

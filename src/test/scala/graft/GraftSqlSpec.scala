@@ -367,6 +367,39 @@ class GraftSqlSpec extends SparkSpec {
       .head().getDouble(0) == 3.0)
   }
 
+  test("INSERT with a column list binds positionally, NULL-fills the rest") {
+    import graft.sources.DeltaInterop
+    val base = freshBase("ins_cols")
+    DeltaInterop.overwrite(
+      Seq((1L, 1.0, "a")).toDF("k", "v", "s").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "sql_cols_t", base)
+    // named (s, k) in SELECT order — v unnamed → NULL
+    GraftSql.sql(spark,
+      "INSERT INTO sql_cols_t (s, k) SELECT 'b' AS x, 2 AS y")
+    val got = spark.sql("SELECT k, v, s FROM sql_cols_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+    assert(got.toSeq == Seq((1L, Some(1.0), "a"), (2L, None, "b")))
+    // refusals: unknown column, arity mismatch, duplicate name
+    val unk = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "INSERT INTO sql_cols_t (nope) SELECT 1")
+    }
+    assert(unk.getMessage.contains("must be distinct table columns"))
+    val arity = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "INSERT INTO sql_cols_t (k, v) SELECT 1")
+    }
+    assert(arity.getMessage.contains("names 2 columns"))
+    // identity table: the id column may be OMITTED via the list and
+    // gets assigned; naming it still refuses downstream
+    val ibase = freshBase("ins_cols_id")
+    DeltaInterop.overwriteIdentity(
+      Seq((10.0, "x")).toDF("v", "s"), ibase, "id", 1L, 1L)
+    GraftSql.registerDeltaTable(spark, "sql_cols_id_t", ibase)
+    GraftSql.sql(spark,
+      "INSERT INTO sql_cols_id_t (v, s) SELECT 20.0, 'y'")
+    assert(spark.sql("SELECT count(DISTINCT id) AS n FROM sql_cols_id_t")
+      .head().getLong(0) == 2L)
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves all three formats; old rows read NULL") {
     import graft.sources.{DeltaInterop, IcebergInterop}
     // graft-log

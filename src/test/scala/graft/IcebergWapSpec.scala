@@ -100,6 +100,56 @@ class IcebergWapSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 3L)
   }
 
+  test("cherry-pick publishes a diverged branch's append onto main") {
+    val base = fresh("pick")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "b"), (3L, "c")).toDF("k", "s"),
+      base, "wap")
+    val branchHead = IcebergInterop.resolveRef(base, "wap")
+    // main moves on → fastForward refuses → cherry-pick is the rebase
+    IcebergInterop.append(Seq((9L, "z")).toDF("k", "s"), base)
+    intercept[IllegalArgumentException] {
+      IcebergInterop.fastForward(base, "wap")
+    }
+    IcebergInterop.cherryPick(spark, base, branchHead)
+    assert(IcebergInterop.read(spark, base).select("k")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 9L))
+    // double-apply refuses
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.cherryPick(spark, base, branchHead)
+    }
+    assert(e.getMessage.contains("double-apply"))
+  }
+
+  test("cherry-pick re-sequences: older main deletes do not mask it") {
+    val base = fresh("pick_seq")
+    IcebergInterop.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)
+    IcebergInterop.appendToBranch(Seq((2L, "B2")).toDF("k", "s"),
+      base, "wap")
+    val branchHead = IcebergInterop.resolveRef(base, "wap")
+    // main gains an equality delete on k=2 AFTER the branch append; the
+    // cherry-picked rows commit at a NEWER sequence, so they survive
+    IcebergInterop.addEqualityDeletes(spark, base,
+      Seq(2L).toDF("k"), Seq("k"))
+    assert(IcebergInterop.read(spark, base).count() == 1L)
+    IcebergInterop.cherryPick(spark, base, branchHead)
+    val got = IcebergInterop.read(spark, base).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2")),
+      s"older delete retroactively masked the cherry-pick: $got")
+  }
+
+  test("cherry-pick refuses non-append snapshots") {
+    val base = fresh("pick_refuse")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    val overwriteSnap = IcebergInterop.resolveRef(base, "main")
+    IcebergInterop.append(Seq((2L, "b")).toDF("k", "s"), base)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.cherryPick(spark, base, overwriteSnap)
+    }
+    assert(e.getMessage.contains("APPEND"))
+  }
+
   test("branch writes on a partitioned table keep the spec") {
     val base = fresh("part")
     IcebergInterop.overwrite(
