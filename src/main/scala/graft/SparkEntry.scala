@@ -2524,6 +2524,24 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
+  /** Token-budget selection (q216): "the best 15k tokens" — documents
+    * ordered by length-quality proxy (n_chars desc, doc_id tiebreak),
+    * kept while the inclusive running token total fits the budget.
+    * Value-exact vs DuckDB's window derivation of the same prefix
+    * rule; a knapsack-style re-order, float drift at the boundary, or
+    * an off-by-one inclusive/exclusive cut all break the match. */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_toks"))
+    graft.ops.Sampling.selectTokenBudget(docs,
+        Seq(col("n_chars").desc, col("doc_id")), col("n_toks"),
+        budgetTokens = 15000L)
+      .select(col("doc_id"), col("n_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5049,6 +5067,7 @@ object SparkEntry {
     "q213_iceberg_wap" -> (qIcebergWap _),
     "q214_delta_reorg" -> (qDeltaReorg _),
     "q215_chunk_windows" -> (qChunkWindows _),
+    "q216_token_budget" -> (qTokenBudget _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6166,6 +6185,17 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_orderkey % 4 <> 0
          GROUP BY o_orderstatus ORDER BY status""",
+    "q216_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '')) AS n_toks
+           FROM documents),
+         c AS (SELECT doc_id, n_toks,
+           sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks
+         FROM c WHERE cum <= 15000 ORDER BY doc_id""",
     "q215_chunk_windows" ->
       """WITH t AS (
            SELECT doc_id,

@@ -238,4 +238,26 @@ object Sampling {
         sum(least(col("cum_end"), (col("block_id") + 1) * b) -
             greatest(col("cum_start"), col("block_id") * b)).as("n_tokens"))
   }
+
+  /** Token-budget corpus selection — "the best N tokens": keep
+    * documents in `order` (quality desc + an explicit tiebreak) while
+    * the INCLUSIVE running token total fits `budgetTokens`. These are
+    * SQL's `sum(tokens) OVER (ORDER BY ...) <= B` semantics — a
+    * document that would cross the budget is dropped and so is
+    * everything after it (a prefix, not a knapsack: curation wants the
+    * quality ORDER preserved, not bin-packing) — so any engine derives
+    * the identical keep set; token counts are integers, no float
+    * accumulation at the boundary.
+    *
+    * Scale shape: ONE range shuffle on the order key + broadcast
+    * per-partition offsets (`Relational.globalPrefixSum`) — never a
+    * single-reducer global window. */
+  def selectTokenBudget(docs: DataFrame, order: Seq[Column],
+                        tokens: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    graft.ops.Relational
+      .globalPrefixSum(docs, order, tokens, "__cum")
+      .filter(col("__cum") <= budgetTokens)
+      .drop("__cum")
+  }
 }
