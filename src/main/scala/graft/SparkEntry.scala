@@ -2542,6 +2542,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Subquery DELETE (q217): `DELETE WHERE k IN (SELECT ...)` and the
+    * NOT IN dual, lowered to DISTRIBUTED semi/anti joins against the
+    * deletion-vector classifier (never a collected key list). Two
+    * statements against customer-derived key sets; value-exact vs
+    * DuckDB's own subquery replay — wrong join sense, double-recorded
+    * coordinates, or NULL-semantics drift all break the match. */
+  private def qSqlDeleteSubquery(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val base = freshCopyFixture("delsub_orders", dir, "orders") { p =>
+      DeltaInterop.overwrite(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .repartitionByRange(4, col("o_orderkey")), p)
+    }
+    GraftSql.registerDeltaTable(s, "q217_t", base)
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("q217_cust")
+    GraftSql.sql(s,
+      "DELETE FROM q217_t WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM q217_cust WHERE c_acctbal < 0)")
+    GraftSql.sql(s,
+      "DELETE FROM q217_t WHERE o_custkey NOT IN " +
+      "(SELECT c_custkey FROM q217_cust WHERE c_custkey % 3 <> 1)")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q217_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5068,6 +5100,7 @@ object SparkEntry {
     "q214_delta_reorg" -> (qDeltaReorg _),
     "q215_chunk_windows" -> (qChunkWindows _),
     "q216_token_budget" -> (qTokenBudget _),
+    "q217_sql_delete_subquery" -> (qSqlDeleteSubquery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6184,6 +6217,15 @@ object SparkEntry {
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_orderkey % 4 <> 0
+         GROUP BY o_orderstatus ORDER BY status""",
+    "q217_sql_delete_subquery" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+           AND o_custkey IN
+           (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 1)
          GROUP BY o_orderstatus ORDER BY status""",
     "q216_token_budget" ->
       """WITH t AS (

@@ -1217,16 +1217,63 @@ object GraftSql {
   private def runDelete(spark: SparkSession, name: String,
                         d: DeleteFromTable): DataFrame = {
     val h = tablesOf(spark).get(name)
-    val pred = GraftBridge.column(unqualify(d.condition))
-    val v = h match {
-      case LogTable(base) => GraftLog.delete(spark, base, pred)
-      case DeltaTable(base) =>
-        graft.sources.DeltaDml.deleteVectoredWhere(spark, base, pred)
-      case IceTable(base) =>
-        graft.sources.IcebergInterop.deletePositionsWhere(spark, base, pred)
+    // `DELETE ... WHERE k [NOT] IN (SELECT ...)`: the subquery lowers
+    // to a DISTRIBUTED semi/anti join against the deletion-vector
+    // classifier — never a collected driver list (billions of keys at
+    // 100 TB). Delta only: the other formats' vectored deletes take a
+    // scalar predicate; MERGE WHEN MATCHED DELETE covers them.
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, Not}
+    val subqueryRouted: Option[Long] = d.condition match {
+      case InSubquery(Seq(a: UnresolvedAttribute), lq) =>
+        Some(deleteBySubquery(spark, h, a.nameParts.last, lq.plan,
+          negated = false))
+      case Not(InSubquery(Seq(a: UnresolvedAttribute), lq)) =>
+        Some(deleteBySubquery(spark, h, a.nameParts.last, lq.plan,
+          negated = true))
+      case _ => None
+    }
+    val v = subqueryRouted.getOrElse {
+      val pred = GraftBridge.column(unqualify(d.condition))
+      h match {
+        case LogTable(base) => GraftLog.delete(spark, base, pred)
+        case DeltaTable(base) =>
+          graft.sources.DeltaDml.deleteVectoredWhere(spark, base, pred)
+        case IceTable(base) =>
+          graft.sources.IcebergInterop.deletePositionsWhere(spark, base, pred)
+      }
     }
     refreshView(spark, name, h) // follow the new head
     result(spark, "DELETE", v)
+  }
+
+  private def deleteBySubquery(spark: SparkSession, h: Handler,
+                               key: String, subPlan: LogicalPlan,
+                               negated: Boolean): Long = {
+    val base = h match {
+      case DeltaTable(b) => b
+      case _ => throw new IllegalArgumentException(
+        "DELETE WHERE <col> [NOT] IN (SELECT ...) routes to the Delta " +
+        "semi/anti-join vectored delete only — on graft-log/Iceberg " +
+        "use MERGE ... WHEN MATCHED THEN DELETE")
+    }
+    val sub0 = GraftBridge.ofRows(spark, subPlan)
+    require(sub0.columns.length == 1,
+      s"the IN subquery must produce exactly one column, " +
+      s"got ${sub0.columns.length}")
+    val sub = sub0.toDF(key)
+    if (negated) {
+      // SQL NOT IN: ONE NULL in the subquery means NO row matches —
+      // an anti join would silently delete everything non-matching
+      // instead, so a null key refuses loudly
+      require(sub.filter(sub.col(key).isNull).isEmpty,
+        "DELETE ... NOT IN (SELECT ...): the subquery returned a NULL " +
+        "key — SQL three-valued logic makes this DELETE a no-op; " +
+        "filter the NULLs explicitly if the anti-join meaning is wanted")
+      graft.sources.DeltaDml.deleteVectoredNotInSource(
+        spark, base, sub, Seq(key))
+    } else
+      graft.sources.DeltaDml.deleteVectoredInSource(
+        spark, base, sub, Seq(key))
   }
 
   private def runUpdate(spark: SparkSession, name: String,

@@ -213,6 +213,32 @@ object DeltaDml {
     -1L // unreachable
   }
 
+  /** Semi-join vectored DELETE: rows whose `keys` appear in
+    * `sourceKeys` get deletion vectors — the lowering for
+    * `DELETE FROM t WHERE k IN (SELECT ...)`, with the subquery as a
+    * distributed join side instead of a collected driver list (the
+    * subquery may be billions of keys at 100 TB). The dual of
+    * `deleteVectoredNotInSource`. */
+  def deleteVectoredInSource(spark: SparkSession, base: String,
+                             sourceKeys: DataFrame, keys: Seq[String],
+                             maxConflictRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "in-source delete needs >=1 key column")
+    keys.foreach(k => require(sourceKeys.columns.contains(k),
+      s"source frame lacks key column '$k'"))
+    var attempt = 0
+    while (true) {
+      try return deleteVectoredOnce(spark, base,
+        _.join(sourceKeys.select(keys.map(col): _*).distinct(),
+          keys, "left_semi"))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Shared vectored-delete body: `classify` maps the coordinate-
     * keeping live scan to the rows to delete; `scanFiles` scopes the
     * scan to the files that can possibly hold a match (statistics

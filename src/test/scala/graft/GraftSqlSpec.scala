@@ -400,6 +400,47 @@ class GraftSqlSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("DELETE WHERE k IN (SELECT ...) lowers to the semi-join DV delete") {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = freshBase("del_sub")
+    DeltaInterop.overwrite(
+      (0L until 30L).map(k => (k, k % 3)).toDF("k", "g"), base)
+    GraftSql.registerDeltaTable(spark, "sql_delsub_t", base)
+    Seq(1L, 4L, 7L, 99L).toDF("kk").createOrReplaceTempView("sql_delsub_src")
+    GraftSql.sql(spark,
+      "DELETE FROM sql_delsub_t WHERE k IN (SELECT kk FROM sql_delsub_src)")
+    assert(spark.table("sql_delsub_t").count() == 27L)
+    // merge-on-read: deletion vectors, not a rewrite
+    assert(DeltaInterop.snapshot(spark, base).files
+      .exists(_.dv.exists(_.cardinality > 0)))
+    // NOT IN deletes the complement; a NULL key refuses loudly
+    GraftSql.sql(spark,
+      "DELETE FROM sql_delsub_t WHERE k NOT IN " +
+      "(SELECT kk FROM sql_delsub_src WHERE kk < 50)")
+    // survivors: exactly the (still-live) IN-list of the second source
+    assert(spark.table("sql_delsub_t").select("k").as[Long]
+      .collect().sorted.toSeq == Seq.empty) // 1,4,7 already deleted
+    val base2 = freshBase("del_sub_null")
+    DeltaInterop.overwrite(Seq((1L, 0L)).toDF("k", "g"), base2)
+    GraftSql.registerDeltaTable(spark, "sql_delsub_null_t", base2)
+    Seq[java.lang.Long](2L, null).toDF("kk")
+      .createOrReplaceTempView("sql_delsub_null_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "DELETE FROM sql_delsub_null_t WHERE k NOT IN " +
+        "(SELECT kk FROM sql_delsub_null_src)")
+    }
+    assert(e.getMessage.contains("NULL"))
+    // non-Delta formats refuse toward MERGE
+    val lb = freshBase("del_sub_log")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lb)
+    GraftSql.registerTable(spark, "sql_delsub_log", lb)
+    val r = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "DELETE FROM sql_delsub_log WHERE k IN " +
+        "(SELECT kk FROM sql_delsub_src)")
+    }
+    assert(r.getMessage.contains("MERGE"))
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves all three formats; old rows read NULL") {
     import graft.sources.{DeltaInterop, IcebergInterop}
     // graft-log
