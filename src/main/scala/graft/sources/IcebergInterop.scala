@@ -2422,6 +2422,32 @@ object IcebergInterop {
                        targetFileBytes: Long = 128L << 20,
                        minInputFiles: Int = 2): Long = {
     require(minInputFiles >= 2, "compaction needs >=2 input files per bin")
+    rewriteDataFilesCore(spark, base, smallFileBytes, targetFileBytes,
+      minInputFiles, Seq.empty, 0)
+  }
+
+  /** Sort-based rewrite — the Iceberg analogue of Delta's OPTIMIZE
+    * ZORDER: EVERY data file of each partition rewrites range-
+    * partitioned + sorted on `sortBy`, so the replacement files cover
+    * DISJOINT value ranges and the manifests' per-file bounds let
+    * `readRange` prune most of them on a range predicate (the layout +
+    * metadata pair a 100 TB fact table needs). Deletes fold in during
+    * the rewrite, same replace-snapshot commit as plain compaction. */
+  def rewriteDataFilesSorted(spark: SparkSession, base: String,
+                             sortBy: Seq[String],
+                             filesPerPartition: Int = 8): Long = {
+    require(sortBy.nonEmpty, "sorted rewrite needs >=1 sort column")
+    require(filesPerPartition >= 1, "filesPerPartition must be >=1")
+    rewriteDataFilesCore(spark, base, Long.MaxValue, Long.MaxValue,
+      1, sortBy, filesPerPartition)
+  }
+
+  private def rewriteDataFilesCore(spark: SparkSession, base: String,
+                                   smallFileBytes: Long,
+                                   targetFileBytes: Long,
+                                   minInputFiles: Int,
+                                   sortBy: Seq[String],
+                                   filesPerPartition: Int): Long = {
     val metaDir = metadataDir(base)
     val hint = new File(metaDir, "version-hint.text")
     require(hint.exists(), s"not an Iceberg table (no version hint): $base")
@@ -2430,8 +2456,14 @@ object IcebergInterop {
     require(snap.specFields.forall(_.transform == "identity"),
       "rewriteDataFiles on a transformed partition spec (bucket/truncate/" +
       "time) is not implemented — refusing")
+    sortBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
+      require(!snap.partitionColumns.contains(c),
+        s"'$c' is a partition column — sorting it is meaningless")
+    }
     val groups = snap.files
-      .filter(f => new File(f.path).length() < smallFileBytes)
+      .filter(f => sortBy.nonEmpty ||
+        new File(f.path).length() < smallFileBytes)
       .groupBy(_.partitionValues)
       .filter(_._2.size >= minInputFiles)
     if (groups.isEmpty) return prev.get("current-snapshot-id").asLong()
@@ -2461,10 +2493,19 @@ object IcebergInterop {
     groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(",")).zipWithIndex.foreach {
       case ((pv, fs), gi) =>
         val live = assembleRead(spark, snap, fs)
-        val bytes = fs.map(f => new File(f.path).length()).sum
-        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val shaped =
+          if (sortBy.isEmpty) {
+            val bytes = fs.map(f => new File(f.path).length()).sum
+            val n = math.max(1,
+              math.ceil(bytes.toDouble / targetFileBytes).toInt)
+            live.coalesce(n)
+          } else {
+            import org.apache.spark.sql.functions.col
+            live.repartitionByRange(filesPerPartition, sortBy.map(col): _*)
+              .sortWithinPartitions(sortBy.map(col): _*)
+          }
         val scratch = new File(base, s".stage_$id-$gi")
-        withFieldIds(live, schemaIdOf(snap.schema)).coalesce(n)
+        withFieldIds(shaped, schemaIdOf(snap.schema))
           .write.mode("overwrite")
           .parquet(scratch.getPath)
         val staged = Option(scratch.listFiles()).getOrElse(Array.empty)

@@ -137,11 +137,13 @@ class DdlFuzzSpec extends SparkSpec {
             case 2 => DeltaInterop.vacuum(spark, dbase, retainMillis = 0L)
             case 3 => DeltaInterop.reorgPurge(spark, dbase)
           }
-          rnd.nextInt(3) match {
+          rnd.nextInt(4) match {
             case 0 => IcebergInterop.rewriteDataFiles(spark, ibase,
               smallFileBytes = 1L << 20)
             case 1 => IcebergInterop.rewriteManifests(spark, ibase)
             case 2 => IcebergInterop.expireSnapshots(spark, ibase)
+            case 3 => IcebergInterop.rewriteDataFilesSorted(spark, ibase,
+              Seq("k"), filesPerPartition = 2)
           }
           rnd.nextInt(2) match {
             case 0 => GraftLog.compact(spark, lbase,

@@ -16,6 +16,44 @@ class IcebergMaintenanceSpec extends SparkSpec {
     d.deleteOnExit(); d.getPath
   }
 
+  test("sorted rewrite: disjoint ranges make range reads prune files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = tmp()
+    // 6 appends of interleaved key ranges: every file spans ~the whole
+    // key space, so a narrow range read must open all of them
+    val keys = new scala.util.Random(7).shuffle((0L until 600L).toVector)
+    IcebergInterop.overwrite(
+      keys.take(100).map(k => (k, k * 2)).toDF("k", "v").coalesce(1), base)
+    keys.drop(100).grouped(100).foreach { g =>
+      IcebergInterop.append(
+        g.map(k => (k, k * 2)).toDF("k", "v").coalesce(1), base)
+    }
+    IcebergInterop.deletePositionsWhere(spark, base, col("k") % 50 === 0)
+    val before = IcebergInterop
+      .readRange(spark, base, "k", Some(100L), Some(140L))
+      .inputFiles.length
+    // 6 data files + the position-delete sidecar the anti-join scans
+    assert(before >= 6, s"interleaved layout should admit all files: $before")
+    IcebergInterop.rewriteDataFilesSorted(spark, base, Seq("k"),
+      filesPerPartition = 6)
+    // value-exact: deletes folded, nothing lost or doubled
+    assert(IcebergInterop.read(spark, base).select("k").as[Long]
+      .collect().sorted.toSeq == (0L until 600L).filter(_ % 50 != 0))
+    val after = IcebergInterop
+      .readRange(spark, base, "k", Some(100L), Some(140L))
+      .inputFiles.length
+    assert(after <= 2, s"sorted layout should prune to 1-2 files: $after")
+    // refusal: sorting a partition column is meaningless
+    val pbase = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, "A")).toDF("k", "g"), pbase, Seq("g"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.rewriteDataFilesSorted(spark, pbase, Seq("g"))
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("refs: tags pin snapshots against expiration; reads resolve by name") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
