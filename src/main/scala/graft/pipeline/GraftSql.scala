@@ -1279,6 +1279,16 @@ object GraftSql {
   private def runUpdate(spark: SparkSession, name: String,
                         u: UpdateTable): DataFrame = {
     val h = tablesOf(spark).get(name)
+    // the update census evaluates the predicate inside aggregates and
+    // conditionals, where Spark forbids subqueries — refuse crisply
+    // instead of surfacing the analyzer's error three layers down
+    u.condition.foreach(c => require(!c.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.InSubquery => true
+        case _: org.apache.spark.sql.catalyst.expressions.Exists => true
+        case _ => false
+      },
+      "UPDATE with an IN/EXISTS subquery is not supported — express it " +
+      "as MERGE INTO ... USING (SELECT ...) WHEN MATCHED THEN UPDATE"))
     val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // A multi-part SET target is accepted ONLY as <table-or-alias>.<col>:

@@ -430,6 +430,12 @@ class GraftSqlSpec extends SparkSpec {
         "(SELECT kk FROM sql_delsub_null_src)")
     }
     assert(e.getMessage.contains("NULL"))
+    // UPDATE with a subquery refuses crisply toward MERGE
+    val u = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "UPDATE sql_delsub_t SET g = 0 WHERE k IN " +
+        "(SELECT kk FROM sql_delsub_src)")
+    }
+    assert(u.getMessage.contains("MERGE INTO"))
     // non-Delta formats refuse toward MERGE
     val lb = freshBase("del_sub_log")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lb)
