@@ -208,5 +208,8 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 42, nOps = 18)
     runSequence(seed = 1337, nOps = 18)
     runSequence(seed = 7, nOps = 22)
+    // a longer sequence reaches deeper op interleavings (restore after
+    // maintenance after evolution) that short runs rarely compose
+    runSequence(seed = 2026, nOps = 34)
   }
 }
