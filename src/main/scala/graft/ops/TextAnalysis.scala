@@ -394,6 +394,23 @@ object TextAnalysis {
     * filter; AQE handles the hot-token skew), one corpus-total scalar
     * broadcast, and one doc-keyed reassembly. No doc×doc, no
     * driver-side state. */
+  def pruneRareTokens(docs: DataFrame, idCol: Column, textCol: Column,
+                      keepPerMille: Long = 1L): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      posexplode(split(textCol, " ")).as(Seq("pos", "tok")))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__freq"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total)) // 1 row
+      .filter(col("__freq") * lit(1000L) >= col("__total") * lit(keepPerMille))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("text_pruned"),
+        count(lit(1)).as("n_tokens_kept"))
+  }
+
   /** Sliding-window chunking (the context-window preprocessor every
     * LLM training/RAG pipeline runs): split into whitespace tokens,
     * emit windows of `windowTokens` advancing by `strideTokens`
@@ -439,22 +456,5 @@ object TextAnalysis {
           slice(col("__toks"), (col("__start") + 1).cast("int"),
             lit(windowTokens)))
           .as("chunk_text"))
-  }
-
-  def pruneRareTokens(docs: DataFrame, idCol: Column, textCol: Column,
-                      keepPerMille: Long = 1L): DataFrame = {
-    val toks = docs.select(idCol.as("doc_id"),
-      posexplode(split(textCol, " ")).as(Seq("pos", "tok")))
-    val total = toks.agg(count(lit(1)).as("__total"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__freq"))
-    toks.join(freq, Seq("tok"))
-      .crossJoin(broadcast(total)) // 1 row
-      .filter(col("__freq") * lit(1000L) >= col("__total") * lit(keepPerMille))
-      .groupBy(col("doc_id"))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("text_pruned"),
-        count(lit(1)).as("n_tokens_kept"))
   }
 }

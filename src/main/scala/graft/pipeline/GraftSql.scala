@@ -281,6 +281,10 @@ object GraftSql {
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
 
+  private def registered(spark: SparkSession, raw: String): Boolean =
+    tablesOf(spark).containsKey(
+      raw.replace("`", "").split('.').last.toLowerCase)
+
   private def maintTable(spark: SparkSession, raw: String,
                          stmt: String): (String, Handler) = {
     val name = raw.replace("`", "").split('.').last.toLowerCase
@@ -330,8 +334,15 @@ object GraftSql {
       val removed = h match {
         case DeltaTable(base) => graft.sources.DeltaInterop.vacuum(
           spark, base, retainMs.getOrElse(7L * 24 * 3600 * 1000)).size
-        case LogTable(base) => GraftLog.vacuum(base,
-          retentionMs = retainMs.getOrElse(600000L))
+        case LogTable(base) =>
+          // keep every version inside the retention window (Delta's
+          // VACUUM never destroys in-window time travel; squashing the
+          // whole log to one version would)
+          val ret = retainMs.getOrElse(600000L)
+          val cutoff = System.currentTimeMillis() - ret
+          val keep = math.max(1,
+            GraftLog.commits(base).count(_.timestampMs >= cutoff))
+          GraftLog.vacuum(base, keepVersions = keep, retentionMs = ret)
         case IceTable(base) => graft.sources.IcebergInterop.removeOrphanFiles(
           spark, base,
           retainMs.map(System.currentTimeMillis() - _)).size
@@ -351,7 +362,10 @@ object GraftSql {
       }
       refreshView(spark, name, h)
       Some(result(spark, "RESTORE", v))
-    case HistoryRe(t) =>
+    case HistoryRe(t) if registered(spark, t) =>
+      // guarded on registration: `DESCRIBE history some_col` is Spark's
+      // describe-COLUMN syntax on a table literally named history —
+      // an unregistered match falls through to spark.sql untouched
       val (_, h) = maintTable(spark, t, "DESCRIBE HISTORY")
       Some(h match {
         case LogTable(base) => GraftLog.history(spark, base)
@@ -400,7 +414,7 @@ object GraftSql {
           "CLONE is a Delta operation — the source must be a " +
           "registered Delta table")
       }
-    case DetailRe(t) =>
+    case DetailRe(t) if registered(spark, t) =>
       // `DESCRIBE DETAIL t`: the one-row table summary (format,
       // location, partitioning, live file count/bytes, version) — all
       // from metadata already in memory; no data file is opened
@@ -1262,15 +1276,21 @@ object GraftSql {
       s"got ${sub0.columns.length}")
     val sub = sub0.toDF(key)
     if (negated) {
-      // SQL NOT IN: ONE NULL in the subquery means NO row matches —
-      // an anti join would silently delete everything non-matching
-      // instead, so a null key refuses loudly
-      require(sub.filter(sub.col(key).isNull).isEmpty,
-        "DELETE ... NOT IN (SELECT ...): the subquery returned a NULL " +
-        "key — SQL three-valued logic makes this DELETE a no-op; " +
-        "filter the NULLs explicitly if the anti-join meaning is wanted")
-      graft.sources.DeltaDml.deleteVectoredNotInSource(
-        spark, base, sub, Seq(key))
+      // SQL NOT IN, both three-valued-logic edges: ONE NULL in the
+      // subquery means NO row matches (an anti join would silently
+      // delete the complement → refuse loudly), and a NULL TARGET key
+      // compares UNKNOWN so its row SURVIVES (keepNullKeys). The
+      // subquery is persisted so the null probe and the delete's join
+      // read one evaluation — not two scans of a possibly huge SELECT.
+      val cached = sub.persist()
+      try {
+        require(cached.filter(cached.col(key).isNull).isEmpty,
+          "DELETE ... NOT IN (SELECT ...): the subquery returned a NULL " +
+          "key — SQL three-valued logic makes this DELETE a no-op; " +
+          "filter the NULLs explicitly if the anti-join meaning is wanted")
+        graft.sources.DeltaDml.deleteVectoredNotInSource(
+          spark, base, cached, Seq(key), keepNullKeys = true)
+      } finally cached.unpersist()
     } else
       graft.sources.DeltaDml.deleteVectoredInSource(
         spark, base, sub, Seq(key))

@@ -193,17 +193,28 @@ object DeltaDml {
     * key set to the driver. One anti join classifies the doomed rows;
     * everything else (executor-side DV bins, CDF delete rows, OCC
     * retry + cleanup) is the shared vectored-delete machinery. */
+  /** `keepNullKeys`: a plain anti join deletes NULL-keyed target rows
+    * (they match nothing) — correct for MERGE's NOT MATCHED BY SOURCE
+    * retention, WRONG for SQL `NOT IN` where a NULL key compares
+    * UNKNOWN and the row survives. The SQL front-end passes true. */
   def deleteVectoredNotInSource(spark: SparkSession, base: String,
                                 sourceKeys: DataFrame, keys: Seq[String],
-                                maxConflictRetries: Int = 5): Long = {
+                                maxConflictRetries: Int = 5,
+                                keepNullKeys: Boolean = false): Long = {
     require(keys.nonEmpty, "retention delete needs >=1 key column")
     keys.foreach(k => require(sourceKeys.columns.contains(k),
       s"source frame lacks key column '$k'"))
     var attempt = 0
     while (true) {
       try return deleteVectoredOnce(spark, base,
-        _.join(sourceKeys.select(keys.map(col): _*).distinct(),
-          keys, "left_anti"))
+        { scan =>
+          val candidates =
+            if (keepNullKeys)
+              scan.filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+            else scan
+          candidates.join(sourceKeys.select(keys.map(col): _*).distinct(),
+            keys, "left_anti")
+        })
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1

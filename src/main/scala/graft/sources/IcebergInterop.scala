@@ -2744,10 +2744,9 @@ object IcebergInterop {
   /** Named refs (spec v2 `refs` map): a TAG pins a snapshot immutably
     * (reproducible reads — "the corpus we trained v3 on"), a BRANCH is
     * a movable pointer. Both PIN their snapshots against
-    * `expireSnapshots` until the ref is dropped. This engine treats
-    * branches as read pointers: commits always land on main —
-    * branch-targeted WRITES are not supported (refuse at the call
-    * sites that would need them, not silently redirected). */
+    * `expireSnapshots` until the ref is dropped. Branch WRITES go through
+    * `appendToBranch` (write-audit-publish): only the branch ref
+    * moves; `fastForward`/`cherryPick` publish onto main. */
   def createTag(base: String, name: String, snapshotId: Long): Long =
     putRef(base, name, snapshotId, "tag", allowMove = false)
 

@@ -430,6 +430,18 @@ class GraftSqlSpec extends SparkSpec {
         "(SELECT kk FROM sql_delsub_null_src)")
     }
     assert(e.getMessage.contains("NULL"))
+    // SQL NOT IN three-valued logic, TARGET side: a NULL key compares
+    // UNKNOWN and the row SURVIVES (a bare anti join would delete it)
+    val base3 = freshBase("del_sub_tgt_null")
+    DeltaInterop.overwrite(
+      Seq[(java.lang.Long, Long)]((1L, 0L), (null, 0L), (3L, 0L))
+        .toDF("k", "g"), base3)
+    GraftSql.registerDeltaTable(spark, "sql_delsub_tgt_t", base3)
+    GraftSql.sql(spark, "DELETE FROM sql_delsub_tgt_t WHERE k NOT IN " +
+      "(SELECT kk FROM sql_delsub_src WHERE kk = 1)")
+    assert(spark.table("sql_delsub_tgt_t").select("k")
+      .collect().map(r => Option(r.get(0))).toSet ==
+      Set(Some(1L), None)) // 3 deleted; NULL-keyed row kept
     // UPDATE with a subquery refuses crisply toward MERGE
     val u = intercept[IllegalArgumentException] {
       GraftSql.sql(spark, "UPDATE sql_delsub_t SET g = 0 WHERE k IN " +

@@ -143,6 +143,31 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(spark.table("maint_ice_vac").count() == 1L)
   }
 
+  test("graft-log SQL VACUUM keeps in-window versions time-travelable") {
+    val base = freshBase("log_vac_window")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), base)
+    GraftLog.overwrite(Seq((2L, "b")).toDF("k", "s"), base)
+    GraftSql.registerTable(spark, "maint_vac_window", base)
+    // a generous window: both versions are recent → history survives
+    GraftSql.sql(spark, "VACUUM maint_vac_window RETAIN 168 HOURS")
+    assert(GraftSql.sql(spark, "DESCRIBE HISTORY maint_vac_window")
+      .count() >= 2L)
+    assert(GraftLog.read(spark, base, version = Some(1L)).count() == 1L)
+    // RETAIN 0: everything out of window → squash to the head
+    GraftSql.sql(spark, "VACUUM maint_vac_window RETAIN 0 HOURS")
+    assert(spark.table("maint_vac_window").count() == 1L)
+  }
+
+  test("DESCRIBE HISTORY of an unregistered name falls through to Spark") {
+    import spark.implicits._
+    // a table literally named `history`: DESCRIBE history <col> is
+    // Spark's describe-column syntax and must NOT be hijacked
+    Seq((1L, "a")).toDF("k", "s").createOrReplaceTempView("history")
+    val desc = GraftSql.sql(spark, "DESCRIBE history k")
+    assert(desc.columns.contains("info_name") ||
+      desc.columns.contains("col_name"))
+  }
+
   test("DESCRIBE HISTORY returns each format's commit log") {
     val lbase = freshBase("hist_log")
     GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lbase)
