@@ -23,7 +23,13 @@ object Bench {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(name)
         System.err.println(s"[bench] $name exceeded ${capSeconds}s - cancelled")
-      case _: Throwable => ()
+      case e: Throwable =>
+        // a rep that THROWS would otherwise record a ~0s "time" for
+        // whatever ran before the throw — q212's clone registration
+        // refusal hid exactly this way. Keep the run alive (one broken
+        // query must not zero the round's bench) but say so loudly.
+        System.err.println(s"[bench] $name FAILED: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
     } finally pool.shutdownNow()
   }
 
