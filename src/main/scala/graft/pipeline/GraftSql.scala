@@ -224,6 +224,16 @@ object GraftSql {
               r.newName.last.toLowerCase)
           case _ => spark.sql(text)
         }
+      case sc: ShowCreateTable =>
+        // SHOW CREATE TABLE on a registered path-based table: emit a
+        // statement THIS front-end re-executes to the same definition
+        ddlName(sc.child) match {
+          case Some(name) if tablesOf(spark).containsKey(name) =>
+            import spark.implicits._
+            Seq(showCreateDdl(spark, name, tablesOf(spark).get(name)))
+              .toDF("createtab_stmt")
+          case _ => spark.sql(text)
+        }
       case p: ShowTableProperties =>
         // SHOW TBLPROPERTIES on a registered path-based table: Spark's
         // own runner refuses temp views, so the dispatch answers from
@@ -265,7 +275,8 @@ object GraftSql {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([`\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([`\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+([`\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?""" +
+     """\s*(DRY\s+RUN)?\s*;?\s*""").r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
@@ -280,6 +291,51 @@ object GraftSql {
      """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
+
+  /** The CREATE TABLE statement that re-creates the table's DEFINITION
+    * (columns, partitioning, properties, location) through this same
+    * front-end — the round-trip property the spec pins. Engine-managed
+    * field metadata (column mapping, generated/identity columns) has
+    * no faithful DDL rendering here and refuses rather than emitting a
+    * statement that silently recreates a DIFFERENT table. */
+  private def showCreateDdl(spark: SparkSession, name: String,
+                            h: Handler): String = {
+    val (provider, base, schema, parts, props) = h match {
+      case LogTable(b) =>
+        val sn = GraftLog.snapshot(b)
+        val sch = sn.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .getOrElse(spark.table(name).schema)
+        ("graftlog", b, sch, Seq.empty[String], Map.empty[String, String])
+      case DeltaTable(b) =>
+        val sn = graft.sources.DeltaInterop.snapshot(spark, b)
+        require(sn.columnMappingMode == "none",
+          "SHOW CREATE TABLE on a column-mapped Delta table is not " +
+          "supported — the physical-name mapping has no DDL rendering")
+        require(graft.sources.DeltaInterop.generatedColumnsOf(sn.schema)
+            .isEmpty &&
+          graft.sources.DeltaInterop.identityColumnOf(sn.schema).isEmpty,
+          "SHOW CREATE TABLE with generated/identity columns is not " +
+          "supported — their clauses have no faithful rendering here")
+        ("delta", b, sn.schema, sn.partitionColumns, sn.configuration)
+      case IceTable(b) =>
+        val sn = graft.sources.IcebergInterop.snapshot(spark, b)
+        ("iceberg", b, sn.schema, sn.partitionColumns,
+          Map.empty[String, String])
+    }
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partClause =
+      if (parts.isEmpty) ""
+      else parts.mkString(" PARTITIONED BY (", ", ", ")")
+    val propClause =
+      if (props.isEmpty) ""
+      else props.toSeq.sorted.map { case (k, v) => s"'$k' = '$v'" }
+        .mkString(" TBLPROPERTIES (", ", ", ")")
+    s"CREATE TABLE $name ($cols) USING $provider" +
+      partClause + propClause + s" LOCATION '$base'"
+  }
 
   private def registered(spark: SparkSession, raw: String): Boolean =
     tablesOf(spark).containsKey(
@@ -328,12 +384,19 @@ object GraftSql {
       }
       refreshView(spark, name, h)
       Some(result(spark, "OPTIMIZE", v))
-    case VacuumRe(t, hours) =>
+    case VacuumRe(t, hours, dry) =>
       val (name, h) = maintTable(spark, t, "VACUUM")
       val retainMs = Option(hours).map(_.toLong * 3600 * 1000)
+      val dryRun = dry != null // preview: report, touch nothing
       val removed = h match {
         case DeltaTable(base) => graft.sources.DeltaInterop.vacuum(
-          spark, base, retainMs.getOrElse(7L * 24 * 3600 * 1000)).size
+          spark, base, retainMs.getOrElse(7L * 24 * 3600 * 1000),
+          dryRun = dryRun).size
+        case LogTable(base) if dryRun =>
+          throw new IllegalArgumentException(
+            "VACUUM ... DRY RUN on a graft-log table is not supported — " +
+            "its vacuum squashes the log as part of the operation, so " +
+            "there is no side-effect-free preview")
         case LogTable(base) =>
           // keep every version inside the retention window (Delta's
           // VACUUM never destroys in-window time travel; squashing the
@@ -345,10 +408,12 @@ object GraftSql {
           GraftLog.vacuum(base, keepVersions = keep, retentionMs = ret)
         case IceTable(base) => graft.sources.IcebergInterop.removeOrphanFiles(
           spark, base,
-          retainMs.map(System.currentTimeMillis() - _)).size
+          retainMs.map(System.currentTimeMillis() - _),
+          dryRun = dryRun).size
       }
       import spark.implicits._
-      Some(Seq(("VACUUM", removed.toLong)).toDF("operation", "n_removed"))
+      Some(Seq((if (dryRun) "VACUUM DRY RUN" else "VACUUM",
+        removed.toLong)).toDF("operation", "n_removed"))
     case RestoreRe(t, ver) =>
       val (name, h) = maintTable(spark, t, "RESTORE")
       val v = h match {

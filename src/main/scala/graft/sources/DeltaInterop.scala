@@ -1568,8 +1568,11 @@ object DeltaInterop {
     * same safety contract as Delta's VACUUM. Driver-side file listing
     * only (metadata scale). Returns the deleted paths (table-relative,
     * for auditability). */
+  /** `dryRun`: report what WOULD be reclaimed, touch nothing — the
+    * operational preview every retention change should run first. */
   def vacuum(spark: SparkSession, base: String,
-             retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+             retainMillis: Long = 7L * 24 * 3600 * 1000,
+             dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot(spark, base)
     val root = new File(base).getCanonicalFile
     val live: Set[String] = snap.files.flatMap { f =>
@@ -1620,7 +1623,8 @@ object DeltaInterop {
                  tombstonedAt.getOrElse(f.getCanonicalPath,
                    f.lastModified()) <= cutoff) {
           val rel = root.toPath.relativize(f.toPath.toAbsolutePath.normalize).toString
-          if (f.delete()) deleted += rel
+          if (dryRun) deleted += rel
+          else if (f.delete()) deleted += rel
         }
       }
     walk(root)
@@ -1631,7 +1635,7 @@ object DeltaInterop {
       if (allGone && d != root && !d.getName.startsWith("_") &&
           !d.getName.startsWith(".")) d.delete() else false
     }
-    prune(root)
+    if (!dryRun) prune(root)
     deleted.toSeq.sorted
   }
 

@@ -2142,8 +2142,10 @@ object IcebergInterop {
     * stay deterministic. Driver-side metadata walk + one file listing —
     * cost proportional to file COUNT, never data bytes. Returns
     * deleted paths (table-relative where possible). */
+  /** `dryRun`: list the orphans, delete nothing. */
   def removeOrphanFiles(spark: SparkSession, base: String,
-                        olderThanMs: Option[Long] = None): Seq[String] = {
+                        olderThanMs: Option[Long] = None,
+                        dryRun: Boolean = false): Seq[String] = {
     val metaDir = metadataDir(base)
     require(new File(metaDir, "version-hint.text").exists(),
       s"not an Iceberg table (no version hint): $base")
@@ -2186,7 +2188,7 @@ object IcebergInterop {
       .sortBy(_.getPath)
       .flatMap { f =>
         val p = f.getCanonicalPath
-        if (f.delete())
+        if (dryRun || f.delete())
           Some(if (p.startsWith(root.getPath))
             root.toPath.relativize(f.toPath).toString else p)
         else None

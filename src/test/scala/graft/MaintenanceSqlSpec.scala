@@ -240,6 +240,73 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(i.getAs[Long]("size_in_bytes") > 0L)
   }
 
+  test("VACUUM DRY RUN reports reclaimable files, deletes nothing") {
+    val dbase = freshBase("dry_delta")
+    DeltaInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), dbase)
+    DeltaInterop.overwrite(Seq((2L, "b")).toDF("k", "s"), dbase)
+    GraftSql.registerDeltaTable(spark, "maint_dry_delta", dbase)
+    val dry = GraftSql.sql(spark,
+      "VACUUM maint_dry_delta RETAIN 0 HOURS DRY RUN")
+    assert(dry.select("operation").head().getString(0) == "VACUUM DRY RUN")
+    val wouldRemove = dry.select("n_removed").head().getLong(0)
+    assert(wouldRemove >= 1L)
+    // nothing was touched: the old version still time-travels
+    assert(DeltaInterop.read(spark, dbase, Some(0L)).count() == 1L)
+    // the real vacuum then reclaims exactly what the preview promised
+    val real = GraftSql.sql(spark, "VACUUM maint_dry_delta RETAIN 0 HOURS")
+    assert(real.select("n_removed").head().getLong(0) == wouldRemove)
+    // graft-log refuses the preview (its vacuum squashes the log)
+    val lbase = freshBase("dry_log")
+    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lbase)
+    GraftSql.registerTable(spark, "maint_dry_log", lbase)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "VACUUM maint_dry_log RETAIN 0 HOURS DRY RUN")
+    }
+    assert(e.getMessage.contains("preview"))
+  }
+
+  test("SHOW CREATE TABLE round-trips the definition through this front-end") {
+    val dbase = freshBase("showcreate_delta")
+    GraftSql.sql(spark,
+      s"""CREATE TABLE maint_sc_t (k BIGINT, g STRING, v DECIMAL(18,2))
+          USING delta PARTITIONED BY (g)
+          TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+          LOCATION '$dbase'""")
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE maint_sc_t")
+      .head().getString(0)
+    assert(ddl.contains("USING delta") && ddl.contains("PARTITIONED BY (g)")
+      && ddl.contains("delta.enableChangeDataFeed"))
+    // execute the emitted DDL at a NEW location under a NEW name:
+    // the definition must reproduce exactly
+    val d2 = freshBase("showcreate_delta2")
+    GraftSql.sql(spark, ddl
+      .replace("maint_sc_t", "maint_sc_t2")
+      .replace(dbase, d2))
+    val det = GraftSql.sql(spark, "DESCRIBE DETAIL maint_sc_t2").head()
+    assert(det.getAs[scala.collection.Seq[String]]("partition_columns")
+      .toSeq == Seq("g"))
+    assert(GraftSql.sql(spark, "SHOW TBLPROPERTIES maint_sc_t2")
+      .as[(String, String)].collect().toMap
+      .get("delta.enableChangeDataFeed").contains("true"))
+    assert(spark.table("maint_sc_t2").schema.fieldNames.toSeq ==
+      Seq("k", "g", "v"))
+    // iceberg + graft-log render too
+    val ibase = freshBase("showcreate_ice")
+    IcebergInterop.overwrite(Seq((1L, "a")).toDF("k", "s"), ibase)
+    GraftSql.registerIcebergTable(spark, "maint_sc_ice", ibase)
+    assert(GraftSql.sql(spark, "SHOW CREATE TABLE maint_sc_ice")
+      .head().getString(0).contains("USING iceberg"))
+    // an identity-column table refuses rather than lying
+    val idbase = freshBase("showcreate_id")
+    DeltaInterop.overwriteIdentity(
+      Seq((10.0, "x")).toDF("v", "s"), idbase, "id")
+    GraftSql.registerDeltaTable(spark, "maint_sc_id", idbase)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SHOW CREATE TABLE maint_sc_id")
+    }
+    assert(e.getMessage.contains("identity"))
+  }
+
   test("restore folds deletion vectors with their version") {
     val base = freshBase("log_restore_dv")
     GraftLog.overwriteClustered(
