@@ -74,24 +74,35 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Every local MUST be freshName'd: for non-nullable inputs
+      // nullSafeCodeGen inlines this template WITHOUT a scoping block,
+      // so two instances of the expression in one generated function
+      // would otherwise redefine the same locals — Janino rejects the
+      // whole function and the projection silently falls back to the
+      // interpreter (the exact hot path this expression exists for).
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
       val body = if (elemType == StringType) {
+        val cmp = ctx.freshName("cmp")
         s"""
-        |int cmp = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
-        |if (cmp == 0) { c++; i++; j++; } else if (cmp < 0) i++; else j++;
+        |int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+        |if ($cmp == 0) { $c++; $i++; $j++; } else if ($cmp < 0) $i++; else $j++;
         """.stripMargin
       } else {
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
         s"""
-        |long xv = $a.getLong(i); long yv = $b.getLong(j);
-        |if (xv == yv) { c++; i++; j++; } else if (xv < yv) i++; else j++;
+        |long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+        |if ($xv == $yv) { $c++; $i++; $j++; } else if ($xv < $yv) $i++; else $j++;
         """.stripMargin
       }
       s"""
-      |int nx = $a.numElements(); int ny = $b.numElements();
-      |int i = 0; int j = 0; long c = 0L;
-      |while (i < nx && j < ny) {
+      |int $nx = $a.numElements(); int $ny = $b.numElements();
+      |int $i = 0; int $j = 0; long $c = 0L;
+      |while ($i < $nx && $j < $ny) {
       |  $body
       |}
-      |${ev.value} = c;
+      |${ev.value} = $c;
       """.stripMargin
     })
 

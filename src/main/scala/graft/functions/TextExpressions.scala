@@ -31,12 +31,16 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // freshName the local: with a non-nullable input nullSafeCodeGen
+      // inlines this unscoped; a second NFC instance in one generated
+      // function would redefine `t` → Janino error → interpreter fallback.
+      val t = ctx.freshName("t")
       s"""
-      |String t = $c.toString();
-      |${ev.value} = java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFC)
+      |String $t = $c.toString();
+      |${ev.value} = java.text.Normalizer.isNormalized($t, java.text.Normalizer.Form.NFC)
       |  ? $c
       |  : org.apache.spark.unsafe.types.UTF8String.fromString(
-      |      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC));
+      |      java.text.Normalizer.normalize($t, java.text.Normalizer.Form.NFC));
       """.stripMargin
     })
 

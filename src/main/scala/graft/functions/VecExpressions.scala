@@ -38,11 +38,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName every local: with non-nullable inputs nullSafeCodeGen
+      // inlines this block unscoped, and a second instance in the same
+      // generated function would redefine `n`/`s` → Janino error →
+      // silent whole-projection interpreter fallback.
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-      |${ev.value} = s;
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+      |${ev.value} = $s;
       """.stripMargin
     })
 
@@ -77,14 +83,20 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName every local — see DotProduct.doGenCode for why
+      // (unscoped inlining under non-nullable inputs).
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0; double na = 0.0; double nb = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double xv = $a.getDouble(i); double yv = $b.getDouble(i);
-      |  s += xv * yv; na += xv * xv; nb += yv * yv;
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+      |  $s += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
       |}
-      |${ev.value} = s / java.lang.Math.sqrt(na * nb);
+      |${ev.value} = $s / java.lang.Math.sqrt($na * $nb);
       """.stripMargin
     })
 
@@ -123,16 +135,21 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, a => {
+      // freshName every local — see DotProduct.doGenCode for why
+      // (unscoped inlining under non-nullable inputs).
+      val bucket = ctx.freshName("bucket"); val p = ctx.freshName("p")
+      val plane = ctx.freshName("plane"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
-      |long bucket = 0L;
-      |for (int p = 0; p < $planesRef.length; p++) {
-      |  double[] plane = $planesRef[p];
-      |  int n = java.lang.Math.min($a.numElements(), plane.length);
-      |  double s = 0.0;
-      |  for (int i = 0; i < n; i++) { s += $a.getDouble(i) * plane[i]; }
-      |  if (s > 0) bucket |= (1L << p);
+      |long $bucket = 0L;
+      |for (int $p = 0; $p < $planesRef.length; $p++) {
+      |  double[] $plane = $planesRef[$p];
+      |  int $n = java.lang.Math.min($a.numElements(), $plane.length);
+      |  double $s = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $plane[$i]; }
+      |  if ($s > 0) $bucket |= (1L << $p);
       |}
-      |${ev.value} = bucket;
+      |${ev.value} = $bucket;
       """.stripMargin
     })
   }
