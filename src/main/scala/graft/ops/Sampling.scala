@@ -167,6 +167,11 @@ object Sampling {
     // here would re-run the whole gram pipeline (or force a second pin)
     val (ranked, n) = Relational.globalRankWithTotal(scored,
       Seq(col("weight").desc, col("doc_id")), rankCol = "__rk")
+    // globalRankWithTotal eagerly pins (localCheckpoint) the scored
+    // frame, cutting `ranked`'s lineage to docBucket — release the
+    // cache here instead of leaking blocks for the session's lifetime
+    // when dsirWeights is called repeatedly
+    docBucket.unpersist(blocking = false)
     val k = lit(math.floor(selectFrac * n).toLong)
     ranked.withColumn("selected", col("__rk") <= k).drop("__rk")
   }

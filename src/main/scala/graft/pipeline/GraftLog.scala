@@ -807,12 +807,24 @@ object GraftLog {
       expectedVersion = Some(head))
   }
 
+  /** Compare strings in Spark's UTF8String (UTF-8 binary = code point)
+    * order — the ordering the zone-map min/max were collected under
+    * (stageFilesWithStats aggregates with Spark's min/max). Java's
+    * String operators order by UTF-16 code unit, which DISAGREES for
+    * supplementary-plane characters (surrogate pairs 0xD800.. sort
+    * below U+E000..U+FFFF), so using them here falsely pruned files
+    * whose max was an emoji — and autoScope applies this pruning to
+    * every DELETE/UPDATE census. */
+  private def cmpUtf8(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   private def overlaps(mn: JsonNode, mx: JsonNode, lo: Any, hi: Any): Boolean =
     (lo, hi) match {
       case (l: Number, h: Number) if mn.isNumber && mx.isNumber =>
         !(mx.asDouble() < l.doubleValue() || mn.asDouble() > h.doubleValue())
       case (l: String, h: String) if mn.isTextual && mx.isTextual =>
-        !(mx.asText() < l || mn.asText() > h)
+        !(cmpUtf8(mx.asText(), l) < 0 || cmpUtf8(mn.asText(), h) > 0)
       case _ => true // type mismatch → keep (conservative)
     }
 
@@ -838,12 +850,12 @@ object GraftLog {
                           lo: Option[Any], hi: Option[Any]): Boolean = {
     val geLo = lo.forall {
       case l: Number if mx.isNumber => mx.asDouble() >= l.doubleValue()
-      case l: String if mx.isTextual => mx.asText() >= l
+      case l: String if mx.isTextual => cmpUtf8(mx.asText(), l) >= 0
       case _ => true
     }
     val leHi = hi.forall {
       case h: Number if mn.isNumber => mn.asDouble() <= h.doubleValue()
-      case h: String if mn.isTextual => mn.asText() <= h
+      case h: String if mn.isTextual => cmpUtf8(mn.asText(), h) <= 0
       case _ => true
     }
     geLo && leHi

@@ -136,6 +136,26 @@ class GraftLogSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
   }
 
+  test("string zone maps compare by code point, not UTF-16 units") {
+    val base = freshBase("utf8zm")
+    // A file whose max is an emoji (U+1F600 — a surrogate pair in
+    // UTF-16): Java String order says "😀" < "�" (surrogate units
+    // 0xD800.. sort below 0xFFFD), but Spark's UTF8String order — the
+    // one the zone-map stats were collected under — says "😀" > "�".
+    // Pruning must use the latter or this file is falsely skipped.
+    val emoji = "😀"
+    val df = Seq(("�", 1L), (emoji, 2L)).toDF("s", "v")
+    GraftLog.overwriteClustered(df, base, Seq("s"), nFiles = 1)
+    assert(GraftLog.candidateFiles(base, "s", "�", emoji).nonEmpty,
+      "two-sided zone-map check falsely pruned the file")
+    // the one-sided autoScope path every DELETE/UPDATE census runs
+    assert(GraftLog.candidateFilesFor(base, col("s") >= "�").nonEmpty,
+      "autoScope falsely pruned the file")
+    // and the DELETE census actually sees (and removes) both rows
+    GraftLog.deleteVectored(spark, base, col("s") >= "�")
+    assert(GraftLog.read(spark, base).count() == 0)
+  }
+
   test("zone maps in the commit log prune files for range scans, surviving compact-free appends and vacuum") {
     val base = freshBase("zonemap")
     val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "x")
