@@ -2068,10 +2068,49 @@ object IcebergInterop {
     val exists = new File(metadataDir(base), "version-hint.text").exists()
     if (exists && lastBatchId(base, appId) >= batchId)
       return false // replayed batch — skip BEFORE staging any data
-    commitSnapshot(df, base, if (exists) "append" else "overwrite",
-      partitionBy, summary = Map(
+    commitSnapshotSpec(df, base, if (exists) "append" else "overwrite",
+      appendSpec(df.sparkSession, base, partitionBy), summary = Map(
         "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
     true
+  }
+
+  /** The effective partition spec for an APPEND into `base`: inherit
+    * the table's spec (transforms included) when the caller gave no
+    * partitionBy; validate a caller-provided identity partitionBy
+    * against it otherwise. Every commit rebuilds `partition-specs`
+    * from the call's spec, so an append defaulting to empty (the
+    * streaming-sink shape) would otherwise silently rewrite a
+    * partitioned table's spec to unpartitioned — degrading pruning,
+    * partitionsTable and the identity-spec checks downstream DML
+    * relies on. Mirrors DeltaInterop.appendIdempotent's contract.
+    * A not-yet-existing table keeps the caller's columns as identity. */
+  private def appendSpec(spark: SparkSession, base: String,
+                         partitionBy: Seq[String]): Seq[(String, IceTransform)] = {
+    val asIdentity: Seq[(String, IceTransform)] =
+      partitionBy.map(c => c -> (IceTransform.Identity: IceTransform))
+    if (!new File(metadataDir(base), "version-hint.text").exists())
+      return asIdentity
+    val spec = tableSpec(spark, base)
+    if (partitionBy.nonEmpty) {
+      require(asIdentity == spec,
+        s"append partitionBy (${partitionBy.mkString(",")}) does not " +
+        s"match the table's partition spec (" +
+        s"${spec.map { case (c, t) => s"$c=${t.spec}" }.mkString(", ")})")
+    }
+    spec
+  }
+
+  /** The table's default partition spec as (source column → transform)
+    * pairs — the argument shape the transformed writers take, so a
+    * caller can rewrite a table's content while preserving its spec
+    * (`overwriteTransformed(df, base, tableSpec(spark, base))`). */
+  def tableSpec(spark: SparkSession,
+                base: String): Seq[(String, IceTransform)] = {
+    val snap = snapshot(spark, base)
+    snap.specFields.map { f =>
+      val src = snap.fieldNamesById.getOrElse(f.sourceId, f.name)
+      src -> IceTransform.parse(f.transform)
+    }
   }
 
   /** Shared commit tail for snapshots built from an explicit manifest
@@ -2695,8 +2734,12 @@ object IcebergInterop {
         .map { case (k, v) => s"$k=$v" }.mkString(","))
       .toSeq
       .map { case (part, fs) =>
+        // file_size_in_bytes is optional in v1/hand-crafted manifests
+        // (DataFileEntry defaults it to -1) — fall back to the actual
+        // file length rather than summing sentinels into total_bytes
         (part, fs.map(_.recordCount).sum, fs.size.toLong,
-          fs.map(_.sizeBytes).sum)
+          fs.map(f => if (f.sizeBytes >= 0) f.sizeBytes
+                      else new File(f.path).length()).sum)
       }
       .toDF("partition", "record_count", "file_count", "total_bytes")
   }
@@ -2938,7 +2981,8 @@ object IcebergInterop {
 
   def append(df: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long =
-    commitSnapshot(df, base, "append", partitionBy)
+    commitSnapshotSpec(df, base, "append",
+      appendSpec(df.sparkSession, base, partitionBy))
 
   /** Write-audit-publish, step 1: append onto a BRANCH. The new
     * snapshot chains off the branch head (forking from main if the
@@ -2947,7 +2991,8 @@ object IcebergInterop {
     * with `readRef(spark, base, branch)`. */
   def appendToBranch(df: DataFrame, base: String, branchName: String,
                      partitionBy: Seq[String] = Seq.empty): Long =
-    commitSnapshot(df, base, "append", partitionBy,
+    commitSnapshotSpec(df, base, "append",
+      appendSpec(df.sparkSession, base, partitionBy),
       branch = Some(branchName))
 
   /** Cherry-pick: RE-APPLY one append snapshot's added files as a NEW

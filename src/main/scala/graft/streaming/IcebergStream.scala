@@ -126,19 +126,26 @@ object IcebergStream {
   /** Advance the CHANGELOG feed mirror to the current snapshot head:
     * each new snapshot's change rows — the `readChangelog` semantics
     * (inserts/deletes incl. delete-file masking; replace snapshots
-    * emit nothing) — are MATERIALIZED once into the feed as one
-    * parquet file per snapshot. Unlike the append tail's hard links,
-    * change rows are DERIVED data with no on-disk file to link, so
-    * this pays one distributed write per snapshot (bounded by the
-    * snapshot's own change volume). The very first sync emits the
-    * FIRST snapshot's live rows as `insert` (load-then-tail).
-    * Crash-safe and idempotent: files land under deterministic
-    * per-snapshot names via put-if-absent links, the marker moves
-    * atomically after them; an expired sync base fails loudly.
+    * emit nothing) — are MATERIALIZED once into the feed, multi-part:
+    * roughly one parquet file per table file the snapshot touched.
+    * Unlike the append tail's hard links, change rows are DERIVED data
+    * with no on-disk file to link, so this pays one distributed write
+    * per snapshot (bounded by the snapshot's own change volume) — and
+    * critically it is NOT funneled through one task: the very first
+    * sync streams the FIRST snapshot's whole live row set as `insert`
+    * (load-then-tail), which on a large table must fan out across the
+    * cluster, not coalesce(1) through a single writer.
+    * Crash-safe and idempotent: the slice is HASH-repartitioned on all
+    * its columns, so row→part assignment is a pure function of row
+    * values — a crash-replay restages bit-equal part CONTENTS, each
+    * part lands under a deterministic per-snapshot name via a
+    * put-if-absent link (losers discard; survivors keep the first
+    * attempt's bytes), and the marker moves atomically after all of
+    * them. An expired sync base fails loudly.
     * Returns the synced snapshot id (−1 for an empty table). */
   def syncChangelogFeed(spark: SparkSession, base: String,
                         feedDir: String): Long = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     new File(feedDir).mkdirs()
     val ids = IcebergInterop.snapshotIds(base)
     if (ids.isEmpty) return -1L
@@ -150,32 +157,64 @@ object IcebergStream {
     }
     if (fresh.isEmpty) return from.getOrElse(-1L)
     fresh.foreach { sid =>
-      val dst = new File(feedDir, s"chg-$sid.parquet")
-      if (!dst.exists()) {
-        val slice =
-          if (sid == ids.head)
-            IcebergInterop.read(spark, base, Some(sid))
+      // fast path: the marker for THIS snapshot's parts is part 0 —
+      // if it exists the whole slice was already staged and linked
+      // (parts link in DESCENDING index order, 0 last), so a crash
+      // between p0 and the feed marker costs nothing on replay
+      if (!new File(feedDir, s"chg-$sid-p0.parquet").exists()) {
+        val (slice, touched) =
+          if (sid == ids.head) {
+            val snap = IcebergInterop.snapshot(spark, base, Some(sid))
+            (IcebergInterop.read(spark, base, Some(sid))
               .withColumn("_change_type", lit("insert"))
-              .withColumn("_snapshot_id", lit(sid))
-          else {
+              .withColumn("_snapshot_id", lit(sid)),
+              snap.files.size)
+          } else {
             val prevId = ids(ids.indexOf(sid) - 1)
-            IcebergInterop.readChangelog(spark, base, prevId, Some(sid))
+            val cur = IcebergInterop.snapshot(spark, base, Some(sid))
+              .files.map(_.rawPath).toSet
+            val prev = IcebergInterop.snapshot(spark, base, Some(prevId))
+              .files.map(_.rawPath).toSet
+            (IcebergInterop.readChangelog(spark, base, prevId, Some(sid)),
+              ((cur diff prev).size + (prev diff cur).size))
           }
         // strip field metadata (parquet.field.id from the table
         // schema): the mirror is a plain by-NAME parquet feed — mixed
         // id-carrying/id-less columns would trip field-id resolution
         val plain = slice.select(slice.schema.fields.map(f =>
-          org.apache.spark.sql.functions.col(f.name)
-            .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
+          col(f.name).as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
+        // part count ≈ table files touched by the snapshot (metadata
+        // walk only) — bounds per-task volume by about one data file's
+        // worth of change rows; hash-on-all-columns makes the
+        // assignment deterministic for the crash-replay contract above
+        val nParts = math.max(1, touched)
+        val parts = plain.repartition(nParts, plain.columns.map(col): _*)
         val scratch = new File(feedDir,
           s".stage_${java.util.UUID.randomUUID()}")
-        plain.coalesce(1).write.parquet(scratch.getPath)
-        val part = Option(scratch.listFiles()).getOrElse(Array.empty)
-          .find(f => f.getName.startsWith("part-") &&
+        parts.write.parquet(scratch.getPath)
+        val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") &&
             f.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException("no change part staged"))
-        try Files.createLink(dst.toPath, part.toPath)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          .sortBy(_.getName)
+        staged.zipWithIndex.reverse.foreach { case (p, i) =>
+          try Files.createLink(
+            Paths.get(feedDir, s"chg-$sid-p$i.parquet"), p.toPath)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+        // empty slices (replace snapshots emit nothing; empty parts
+        // write no file) still need the p0 sentinel for the fast path
+        if (staged.isEmpty) {
+          val empty = new File(scratch, "empty")
+          plain.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(empty.getPath)
+          val p = Option(empty.listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException("no empty part staged"))
+          try Files.createLink(
+            Paths.get(feedDir, s"chg-$sid-p0.parquet"), p.toPath)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
         org.apache.commons.io.FileUtils.deleteDirectory(scratch)
       }
     }

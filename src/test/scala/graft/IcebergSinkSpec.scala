@@ -65,6 +65,48 @@ class IcebergSinkSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 120)
   }
 
+  test("appends inherit a partitioned table's spec instead of erasing it") {
+    val base = tmp()
+    def rows(a: Long, b: Long) =
+      spark.range(a, b).select(col("id"), (col("id") % 4).as("k"))
+    IcebergInterop.overwrite(rows(0, 20), base, partitionBy = Seq("k"))
+    // streaming-sink shape: appendIdempotent with NO partitionBy hint —
+    // the commit must carry the table's spec forward, not erase it
+    assert(IcebergInterop.appendIdempotent(rows(20, 30), base, "app-p", 0L))
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.partitionColumns == Seq("k"))
+    assert(snap.specFields.map(f => (f.name, f.transform)) ==
+      Seq(("k", "identity")))
+    // plain append inherits too
+    IcebergInterop.append(rows(30, 34), base)
+    assert(IcebergInterop.snapshot(spark, base).partitionColumns == Seq("k"))
+    val all = IcebergInterop.read(spark, base)
+    assert(all.count() == 34)
+    // partition pruning still serves after the unhinted appends
+    val k1 = IcebergInterop.read(spark, base,
+      partitionFilters = Map("k" -> "1"))
+    assert(k1.count() == all.filter(col("k") === 1L).count())
+    // a MISMATCHED partitionBy refuses instead of repartitioning
+    intercept[IllegalArgumentException] {
+      IcebergInterop.append(rows(34, 38), base, partitionBy = Seq("id"))
+    }
+  }
+
+  test("appendIdempotent preserves a transformed (bucket) partition spec") {
+    val base = tmp()
+    def rows(a: Long, b: Long) =
+      spark.range(a, b).select(col("id"), (col("id") * 7 % 100).as("k"))
+    IcebergInterop.overwriteTransformed(rows(0, 50), base,
+      Seq("k" -> IcebergInterop.IceTransform.Bucket(4)))
+    assert(IcebergInterop.appendIdempotent(rows(50, 80), base, "app-b", 0L))
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.specFields.map(_.transform) == Seq("bucket[4]"))
+    // transform-aware pruning still answers point lookups exactly
+    val got = IcebergInterop.readEq(spark, base, Map("k" -> 49L))
+    assert(got.count() ==
+      IcebergInterop.read(spark, base).filter(col("k") === 49L).count())
+  }
+
   test("mergeUpsert replaces matched keys and inserts new ones atomically") {
     val base = tmp()
     IcebergInterop.overwrite(

@@ -88,6 +88,42 @@ class IcebergStreamSpec extends SparkSpec {
     assert(head == IcebergInterop.snapshotIds(base).last)
   }
 
+  test("changelog initial load fans out multi-part, not through one writer") {
+    val base = freshBase("chgw")
+    val feed = freshBase("chgw_feed")
+    // first snapshot holds 4 data files — the bootstrap slice (whole
+    // table as `insert`) must land as >1 feed file, one per table file
+    // touched, never coalesce(1) through a single task
+    IcebergInterop.overwrite(
+      spark.range(1000).toDF("id").repartition(4), base)
+    IcebergStream.syncChangelogFeed(spark, base, feed)
+    val parts = new java.io.File(feed).listFiles()
+      .filter(_.getName.startsWith("chg-")).map(_.getName).sorted
+    assert(parts.length > 1, s"bootstrap funneled into one file: ${parts.toSeq}")
+    assert(parts.head.endsWith("-p0.parquet"))
+    // value-exact across the multi-part slice
+    val got = EventStreams.drainAvailableNow(
+      IcebergStream.tailChangelog(spark, base, feed)
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s")))
+      .as[(Long, Long)].head()
+    assert(got == ((1000L, (0L until 1000L).sum)))
+    // crash-replay: parts link in DESCENDING index order with p0 last,
+    // so a crash mid-link leaves a PREFIX missing — simulate by
+    // dropping p0 + p1 and the marker; the resync must restage and
+    // restore them put-if-absent without duplicating the surviving
+    // parts (hash-on-all-columns makes part contents deterministic)
+    new java.io.File(feed).listFiles()
+      .filter(f => f.getName.endsWith("-p0.parquet") ||
+        f.getName.endsWith("-p1.parquet")).foreach(_.delete())
+    new java.io.File(feed, "_iceberg_changelog_sync.json").delete()
+    IcebergStream.syncChangelogFeed(spark, base, feed)
+    val replay = spark.read.parquet(
+      new java.io.File(feed).listFiles()
+        .filter(_.getName.startsWith("chg-")).map(_.getPath): _*)
+    assert(replay.count() == 1000L)
+    assert(replay.agg(sum(col("id"))).as[Long].head() == (0L until 1000L).sum)
+  }
+
   test("an expired last-synced snapshot fails loudly, not silently stale") {
     val base = freshBase("exp")
     val feed = freshBase("exp_feed")
