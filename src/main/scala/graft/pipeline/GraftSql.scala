@@ -95,14 +95,6 @@ object GraftSql {
     * paths (the writer contract: partitionBy repeats the spec);
     * transformed specs refuse — the SQL front-end doesn't re-derive
     * them. */
-  private def icePartitionCols(spark: SparkSession, base: String): Seq[String] = {
-    val snap = graft.sources.IcebergInterop.snapshot(spark, base)
-    require(snap.specFields.forall(_.transform == "identity"),
-      s"SQL DML on an Iceberg table with a transformed partition spec " +
-      "is not supported — use the API writers")
-    snap.partitionColumns
-  }
-
   /** Execute one SQL statement. MERGE INTO / DELETE FROM / UPDATE on
     * registered tables run through the format's DML and return a
     * one-row frame (operation, version); everything else is
@@ -321,8 +313,13 @@ object GraftSql {
         ("delta", b, sn.schema, sn.partitionColumns, sn.configuration)
       case IceTable(b) =>
         val sn = graft.sources.IcebergInterop.snapshot(spark, b)
-        ("iceberg", b, sn.schema, sn.partitionColumns,
-          Map.empty[String, String])
+        // render the FULL spec, transforms included — emitting only the
+        // identity fields would silently recreate a DIFFERENT table for
+        // a bucket/day-partitioned one (the exact hazard this function
+        // refuses for column-mapping/generated columns on Delta)
+        val rendered = sn.specFields.map(f => renderIceSpecField(f,
+          sn.fieldNamesById.getOrElse(f.sourceId, f.name)))
+        ("iceberg", b, sn.schema, rendered, Map.empty[String, String])
     }
     val cols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -599,8 +596,9 @@ object GraftSql {
           case DeltaTable(base) =>
             graft.sources.DeltaInterop.appendIdempotent(batch, base, id, 1L)
           case IceTable(base) =>
-            graft.sources.IcebergInterop.appendIdempotent(batch, base, id,
-              1L, icePartitionCols(spark, base))
+            // empty partitionBy inherits the table's spec, transforms
+            // included (appendIdempotent's inherit/validate contract)
+            graft.sources.IcebergInterop.appendIdempotent(batch, base, id, 1L)
         }
         nLoaded += 1
       }
@@ -679,6 +677,71 @@ object GraftSql {
         "API writers (overwriteTransformed)")
     }
 
+  /** PARTITIONED BY for ICEBERG tables: plain columns AND the spec's
+    * transforms — `bucket(16, k)`, `truncate(4, s)`, `days(ts)` /
+    * `years(ts)` / `months(ts)` / `hours(ts)` — parsed from the
+    * connector Transform shapes Spark's DDL parser produces. This is
+    * what makes SHOW CREATE TABLE on a transformed table round-trip
+    * through this same front-end. */
+  private def iceTransformSpec(parts: Seq[
+      org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[(String, graft.sources.IcebergInterop.IceTransform)] = {
+    import graft.sources.IcebergInterop.IceTransform
+    def ref(t: org.apache.spark.sql.connector.expressions.Transform): String = {
+      require(t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+        s"PARTITIONED BY: unsupported partition reference ${t.describe}")
+      t.references.head.fieldNames.head
+    }
+    def intArg(t: org.apache.spark.sql.connector.expressions.Transform): Int =
+      t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case i: java.lang.Integer => i.intValue
+            case n: java.lang.Long => n.intValue
+            case other => throw new IllegalArgumentException(
+              s"PARTITIONED BY: ${t.name} needs an integer argument, " +
+              s"got $other")
+          }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"PARTITIONED BY: ${t.name} needs an integer argument " +
+        s"(got: ${t.describe})"))
+    parts.map { t =>
+      t.name match {
+        case "identity" => ref(t) -> (IceTransform.Identity: IceTransform)
+        case "bucket" => ref(t) -> IceTransform.Bucket(intArg(t))
+        case "truncate" => ref(t) -> IceTransform.Truncate(intArg(t))
+        case "days" | "day" => ref(t) -> (IceTransform.Day: IceTransform)
+        case "years" | "year" => ref(t) -> (IceTransform.Year: IceTransform)
+        case "months" | "month" => ref(t) -> (IceTransform.Month: IceTransform)
+        case "hours" | "hour" => ref(t) -> (IceTransform.Hour: IceTransform)
+        case other => throw new IllegalArgumentException(
+          s"PARTITIONED BY: unsupported Iceberg transform '$other' " +
+          s"(${t.describe}) — have identity/bucket/truncate/" +
+          "days/years/months/hours")
+      }
+    }
+  }
+
+  /** The SQL rendering of one Iceberg spec field — the inverse of
+    * `iceTransformSpec`, used by SHOW CREATE TABLE. */
+  private def renderIceSpecField(
+      f: graft.sources.IcebergInterop.SpecField, src: String): String =
+    f.transform match {
+      case "identity" => src
+      case b if b.startsWith("bucket[") =>
+        s"bucket(${b.stripPrefix("bucket[").stripSuffix("]")}, $src)"
+      case t if t.startsWith("truncate[") =>
+        s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")}, $src)"
+      case "day" => s"days($src)"
+      case "year" => s"years($src)"
+      case "month" => s"months($src)"
+      case "hour" => s"hours($src)"
+      case other => throw new IllegalArgumentException(
+        s"SHOW CREATE TABLE: no DDL rendering for Iceberg transform " +
+        s"'$other' on '$src'")
+    }
+
   private def tableExistsAt(provider: String, base: String): Boolean =
     provider match {
       case "graftlog" => new java.io.File(base, "_graft_log").exists()
@@ -726,7 +789,12 @@ object GraftSql {
     require(props.isEmpty || provider == "delta",
       s"TBLPROPERTIES are supported on Delta tables only (got " +
       s"${props.keys.mkString(",")} for $provider)")
-    val partCols = identityCols(partitioning)
+    // Iceberg accepts the full transform grammar; the other providers
+    // take plain columns only (identityCols refuses with guidance)
+    val iceSpec = if (provider == "iceberg") iceTransformSpec(partitioning)
+                  else Seq.empty
+    val partCols = if (provider == "iceberg") iceSpec.map(_._1)
+                   else identityCols(partitioning)
     require(partCols.isEmpty || provider != "graftlog",
       "graft-log tables do not partition by directory — use the " +
       "clustered writers (overwriteClustered) for layout control")
@@ -761,7 +829,7 @@ object GraftSql {
         else graft.sources.DeltaInterop.overwrite(df, base,
           partitionBy = partCols, configuration = props)
       case "iceberg" =>
-        graft.sources.IcebergInterop.overwrite(df, base, partCols)
+        graft.sources.IcebergInterop.overwriteTransformed(df, base, iceSpec)
     }
     registerAs(spark, name, provider, base)
     result(spark, "CREATE TABLE", v)
@@ -845,7 +913,10 @@ object GraftSql {
     require(props.isEmpty || provider == "delta",
       s"TBLPROPERTIES are supported on Delta tables only (got " +
       s"${props.keys.mkString(",")} for $provider)")
-    val partCols = identityCols(partitioning)
+    val iceSpec = if (provider == "iceberg") iceTransformSpec(partitioning)
+                  else Seq.empty
+    val partCols = if (provider == "iceberg") iceSpec.map(_._1)
+                   else identityCols(partitioning)
     require(partCols.isEmpty || provider != "graftlog",
       "graft-log tables do not partition by directory — use the " +
       "clustered writers (overwriteClustered) for layout control")
@@ -861,7 +932,7 @@ object GraftSql {
         graft.sources.DeltaInterop.overwrite(df, base,
           partitionBy = partCols, configuration = props, tableId = tableId)
       case "iceberg" =>
-        graft.sources.IcebergInterop.overwrite(df, base, partCols)
+        graft.sources.IcebergInterop.overwriteTransformed(df, base, iceSpec)
     }
     registerAs(spark, name, provider, base)
     result(spark, "REPLACE TABLE", v)
@@ -911,9 +982,9 @@ object GraftSql {
           configuration = snap.configuration,
           tableId = snap.tableId)
       case IceTable(base) =>
-        graft.sources.IcebergInterop.overwrite(
+        graft.sources.IcebergInterop.overwriteTransformed(
           emptyFrame(spark, spark.table(name).schema), base,
-          icePartitionCols(spark, base))
+          graft.sources.IcebergInterop.tableSpec(spark, base))
     }
     refreshView(spark, name, h)
     result(spark, "TRUNCATE TABLE", v)
@@ -1258,11 +1329,11 @@ object GraftSql {
           configuration = snap.configuration,
           tableId = snap.tableId)
       case (IceTable(base), false) =>
-        graft.sources.IcebergInterop.append(source, base,
-          icePartitionCols(spark, base))
+        // empty partitionBy inherits the table's spec, transforms incl.
+        graft.sources.IcebergInterop.append(source, base)
       case (IceTable(base), true) =>
-        graft.sources.IcebergInterop.overwrite(source, base,
-          icePartitionCols(spark, base))
+        graft.sources.IcebergInterop.overwriteTransformed(source, base,
+          graft.sources.IcebergInterop.tableSpec(spark, base))
     }
     refreshView(spark, name, h)
     result(spark, if (i.overwrite) "INSERT OVERWRITE" else "INSERT", v)
@@ -1569,8 +1640,8 @@ object GraftSql {
               configuration = snap.configuration,
               tableId = snap.tableId)
           case IceTable(base) =>
-            graft.sources.IcebergInterop.overwrite(conformed, base,
-              icePartitionCols(spark, base))
+            graft.sources.IcebergInterop.overwriteTransformed(conformed,
+              base, graft.sources.IcebergInterop.tableSpec(spark, base))
         }
       case (None, None) => // RETENTION
         h match {

@@ -307,6 +307,39 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("identity"))
   }
 
+  test("SHOW CREATE TABLE round-trips transformed Iceberg partition specs") {
+    val base = freshBase("showcreate_icet")
+    // transformed spec straight through SQL — the grammar SHOW CREATE
+    // TABLE emits must also be accepted on the way in
+    GraftSql.sql(spark,
+      s"""CREATE TABLE maint_sc_icet (k BIGINT, d DATE, s STRING)
+          USING iceberg
+          PARTITIONED BY (bucket(4, k), days(d), truncate(2, s))
+          LOCATION '$base'""")
+    GraftSql.sql(spark,
+      "INSERT INTO maint_sc_icet SELECT * FROM VALUES " +
+      "(CAST(1 AS BIGINT), DATE'2024-01-01', 'aa'), " +
+      "(CAST(2 AS BIGINT), DATE'2024-01-02', 'bb') AS t(k, d, s)")
+    val sn = IcebergInterop.snapshot(spark, base)
+    assert(sn.specFields.map(_.transform) ==
+      Seq("bucket[4]", "day", "truncate[2]"))
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE maint_sc_icet")
+      .head().getString(0)
+    assert(ddl.contains("bucket(4, k)") && ddl.contains("days(d)")
+      && ddl.contains("truncate(2, s)"), ddl)
+    // executing the emitted DDL reproduces the SAME spec elsewhere
+    val b2 = freshBase("showcreate_icet2")
+    GraftSql.sql(spark,
+      ddl.replace("maint_sc_icet", "maint_sc_icet3").replace(base, b2))
+    GraftSql.sql(spark,
+      "INSERT INTO maint_sc_icet3 SELECT * FROM VALUES " +
+      "(CAST(7 AS BIGINT), DATE'2024-02-02', 'zz') AS t(k, d, s)")
+    val sn2 = IcebergInterop.snapshot(spark, b2)
+    assert(sn2.specFields.map(_.transform) ==
+      Seq("bucket[4]", "day", "truncate[2]"))
+    assert(spark.table("maint_sc_icet3").count() == 1L)
+  }
+
   test("restore folds deletion vectors with their version") {
     val base = freshBase("log_restore_dv")
     GraftLog.overwriteClustered(
