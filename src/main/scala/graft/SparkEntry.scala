@@ -2587,6 +2587,85 @@ object SparkEntry {
          FROM q217_t GROUP BY o_orderstatus ORDER BY status""")
   }
 
+  /** Subquery UPDATE (q218): `UPDATE ... WHERE k IN (SELECT ...) AND
+    * <scalar>` and the NOT IN dual, lowered to DISTRIBUTED semi/anti
+    * joins marking the touched rows (never a collected key list),
+    * with the IN census scoped by the subquery's key range through
+    * add.stats. Value-exact vs DuckDB replaying the updates as CASE
+    * expressions — wrong membership sense, a dropped scalar gate, or
+    * NULL-semantics drift all break the match. */
+  private def qSqlUpdateSubquery(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.DeltaInterop
+    val base = freshCopyFixture("updsub_orders", dir, "orders") { p =>
+      DeltaInterop.overwrite(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .repartitionByRange(4, col("o_orderkey")), p)
+    }
+    GraftSql.registerDeltaTable(s, "q218_t", base)
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("q218_cust")
+    GraftSql.sql(s,
+      "UPDATE q218_t SET totalprice = totalprice * 2 WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM q218_cust WHERE c_acctbal < 0) " +
+      "AND o_orderstatus = 'O'")
+    GraftSql.sql(s,
+      "UPDATE q218_t SET totalprice = totalprice + 100 " +
+      "WHERE o_custkey NOT IN " +
+      "(SELECT c_custkey FROM q218_cust WHERE c_custkey % 3 <> 1)")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM q218_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
+  /** Subquery DML on graft-log (q219) and Iceberg (q220): the q217/
+    * q218 lowering on the other two formats — semi-join DV delete /
+    * position delete plus a membership-marked UPDATE, all distributed
+    * joins. One statement sequence per format, value-exact vs DuckDB
+    * replaying the same algebra. */
+  private def qSubqueryDml(s: SparkSession, dir: String,
+                           format: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val name = s"q_subdml_${format}_t"
+    val base = freshCopyFixture(s"subdml_${format}_orders", dir, "orders") { p =>
+      val df = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      format match {
+        case "log" => graft.pipeline.GraftLog.overwriteClustered(
+          df, p, Seq("o_custkey"), nFiles = 4)
+        case "iceberg" => graft.sources.IcebergInterop.overwrite(
+          df.repartitionByRange(4, col("o_orderkey")), p)
+      }
+    }
+    format match {
+      case "log" => GraftSql.registerTable(s, name, base)
+      case "iceberg" => GraftSql.registerIcebergTable(s, name, base)
+    }
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView(s"q_subdml_${format}_cust")
+    GraftSql.sql(s,
+      s"DELETE FROM $name WHERE o_custkey IN " +
+      s"(SELECT c_custkey FROM q_subdml_${format}_cust WHERE c_acctbal < 0)")
+    GraftSql.sql(s,
+      s"UPDATE $name SET totalprice = totalprice * 2 WHERE o_custkey IN " +
+      s"(SELECT c_custkey FROM q_subdml_${format}_cust " +
+      "WHERE c_custkey % 5 = 2) AND o_orderstatus = 'F'")
+    GraftSql.sql(s,
+      s"DELETE FROM $name WHERE o_custkey NOT IN " +
+      s"(SELECT c_custkey FROM q_subdml_${format}_cust " +
+      "WHERE c_custkey % 3 <> 1)")
+    s.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM $name GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5114,7 +5193,34 @@ object SparkEntry {
     "q215_chunk_windows" -> (qChunkWindows _),
     "q216_token_budget" -> (qTokenBudget _),
     "q217_sql_delete_subquery" -> (qSqlDeleteSubquery _),
+    "q218_sql_update_subquery" -> (qSqlUpdateSubquery _),
+    "q219_log_subquery_dml" -> ((s, dir) => qSubqueryDml(s, dir, "log")),
+    "q220_iceberg_subquery_dml" ->
+      ((s, dir) => qSubqueryDml(s, dir, "iceberg")),
   )
+
+  /** Shared oracle for q219/q220 (same statement sequence, different
+    * table format): DuckDB replays the DELETE → gated UPDATE → DELETE
+    * algebra over the raw orders table. */
+  private val subqueryDmlOracle: String =
+    """WITH d1 AS (
+         SELECT * FROM orders WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer WHERE c_acctbal < 0)),
+       u AS (
+         SELECT o_custkey, o_orderstatus,
+           CASE WHEN o_custkey IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 2)
+                 AND o_orderstatus = 'F'
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                     AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS totalprice
+         FROM d1),
+       d2 AS (
+         SELECT * FROM u WHERE o_custkey IN
+           (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 1))
+       SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(totalprice) AS DOUBLE) AS total
+       FROM d2 GROUP BY o_orderstatus ORDER BY status"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_category_summary" ->
@@ -6240,6 +6346,28 @@ object SparkEntry {
            AND o_custkey IN
            (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 1)
          GROUP BY o_orderstatus ORDER BY status""",
+    "q218_sql_update_subquery" ->
+      """WITH u1 AS (
+           SELECT o_custkey, o_orderstatus,
+             CASE WHEN o_custkey IN
+                    (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+                   AND o_orderstatus = 'O'
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                       AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS totalprice
+           FROM orders),
+         u2 AS (
+           SELECT o_orderstatus,
+             CASE WHEN o_custkey NOT IN
+                    (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 1)
+                  THEN CAST(totalprice + 100 AS DECIMAL(18,2))
+                  ELSE totalprice END AS totalprice
+           FROM u1)
+         SELECT o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM u2 GROUP BY o_orderstatus ORDER BY status""",
+    "q219_log_subquery_dml" -> subqueryDmlOracle,
+    "q220_iceberg_subquery_dml" -> subqueryDmlOracle,
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

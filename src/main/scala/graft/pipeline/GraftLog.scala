@@ -1146,7 +1146,8 @@ object GraftLog {
                   maxConflictRetries: Int = 5): Long = {
     var attempt = 0
     while (true) {
-      try return updateOnce(spark, base, predicate, set)
+      try return updateOnce(spark, base, autoScope(_, predicate),
+        _.withColumn("__upd", coalesce(predicate, lit(false))), set)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -1156,8 +1157,67 @@ object GraftLog {
     -1L // unreachable
   }
 
+  /** UPDATE whose row selection is MEMBERSHIP of `key` in `sourceKeys`
+    * — the lowering for `UPDATE t SET ... WHERE k [NOT] IN (SELECT
+    * ...)`, with the subquery as a distributed join side instead of a
+    * collected driver list. `extra` conjoins a scalar predicate
+    * (`... AND v < 10`). NOT IN three-valued edges are the CALLER's
+    * contract (as for the vectored deletes): refuse a NULL-producing
+    * subquery; a NULL target key compares UNKNOWN so its row is never
+    * updated (enforced here). Census scoping: the IN form prunes
+    * files by the subquery's [min,max] key range through the same
+    * zone maps the scalar path uses. */
+  def updateInSource(spark: SparkSession, base: String,
+                     sourceKeys: DataFrame, key: String,
+                     set: Map[String, Column], negated: Boolean = false,
+                     extra: Option[Column] = None,
+                     maxConflictRetries: Int = 5): Long = {
+    val flag = sourceKeys.select(col(key)).distinct()
+      .withColumn("__in_sub", lit(true)).persist()
+    try {
+      val member =
+        if (negated) coalesce(col("__in_sub"), lit(false)) === lit(false) &&
+          col(key).isNotNull
+        else coalesce(col("__in_sub"), lit(false))
+      val upd = extra.map(e => member && coalesce(e, lit(false)))
+        .getOrElse(member)
+      val mark = (df: DataFrame) =>
+        df.join(flag, Seq(key), "left")
+          .withColumn("__upd", upd).drop("__in_sub")
+      val scope = (snap: Snapshot) =>
+        if (negated) extra.map(autoScope(snap, _)).getOrElse(snap.files)
+        else {
+          // one bounded agg over the (persisted) key frame → the same
+          // zone-map pruning a scalar range predicate gets
+          val mm = flag.agg(min(col(key)), max(col(key))).head()
+          if (mm.isNullAt(0)) Seq.empty // empty/all-NULL subquery
+          else {
+            val ranged = candidatesIn(snap, key, mm.get(0), mm.get(1))
+            extra.map(e => ranged.intersect(autoScope(snap, e)))
+              .getOrElse(ranged)
+          }
+        }
+      var attempt = 0
+      while (true) {
+        try return updateOnce(spark, base, scope, mark, set)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > maxConflictRetries) throw e
+        }
+      }
+      -1L // unreachable
+    } finally flag.unpersist()
+  }
+
+  /** Shared UPDATE body: `scope` bounds the census to the files that
+    * can possibly hold a match (zone maps / key ranges); `mark`
+    * appends a boolean `__upd` column — the row selector — to any
+    * scan of the table (it runs on BOTH the census and the rewrite
+    * scan, so it must be deterministic). */
   private def updateOnce(spark: SparkSession, base: String,
-                         predicate: Column,
+                         scope: Snapshot => Seq[String],
+                         mark: DataFrame => DataFrame,
                          set: Map[String, Column]): Long = {
     val snap = snapshot(base)
     val schema = snap.schemaJson.map(j =>
@@ -1167,17 +1227,17 @@ object GraftLog {
         s"graft-log table at $base records no schema — cannot update"))
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"SET column '$c' is not in the table schema"))
-    val candidates = autoScope(snap, predicate)
+    val candidates = scope(snap)
     if (candidates.isEmpty) return snap.version
     // census on LIVE rows (DVs subtracted): which candidates hold a hit
-    val liveScan = subtractDv(spark, base, snap, withRowCoords(
-        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*)))
-    // the predicate and SET expressions evaluate across TWO jobs
+    val liveScan = mark(subtractDv(spark, base, snap, withRowCoords(
+        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*))))
+    // the selector and SET expressions evaluate across TWO jobs
     // (census + rewrite) — nondeterminism would select different rows
     // in each; probed on the ANALYZED plan (unresolved exprs claim
     // determinism)
     val probe = liveScan.select(
-      (predicate +: set.values.toSeq).zipWithIndex.map {
+      (col("__upd") +: set.values.toSeq).zipWithIndex.map {
         case (e, i) => e.as(s"__p$i") }: _*)
     require(!probe.queryExecution.analyzed.exists(p =>
         p.expressions.exists(e => e.resolved && !e.deterministic)),
@@ -1186,7 +1246,7 @@ object GraftLog {
       "random values into a column first")
     val census = liveScan
       .groupBy(col("__file").as("__f"))
-      .agg(count(when(predicate, lit(1))).as("__hits"))
+      .agg(count(when(col("__upd"), lit(1))).as("__hits"))
       .collect()
     val touched = census.iterator.filter(_.getAs[Long]("__hits") > 0)
       .flatMap(r => candidates.find(r.getString(0).endsWith)).toSeq
@@ -1194,8 +1254,7 @@ object GraftLog {
     // rewrite ONLY the touched files: SIMULTANEOUS SET via temp columns
     val setTyped = set.toSeq.map { case (c, e) =>
       c -> e.cast(schema(c).dataType) }
-    val scan = readFiles(spark, base, snap, touched)
-      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val scan = mark(readFiles(spark, base, snap, touched))
     val withTemps = setTyped.foldLeft(scan) { case (d, (c, e)) =>
       d.withColumn(s"__set_$c", e) }
     val updated = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
@@ -1244,19 +1303,88 @@ object GraftLog {
   private def deleteVectoredOnce(spark: SparkSession, base: String,
                                  predicate: Column,
                                  scope: Option[(String, Any, Any)],
-                                 txnId: Option[String]): Long = {
+                                 txnId: Option[String]): Long =
+    deleteVectoredClassified(spark, base,
+      scope match {
+        case Some((c, lo, hi)) => snap => candidatesIn(snap, c, lo, hi)
+        case None => autoScope(_, predicate) // zone maps, no hint needed
+      },
+      _.filter(coalesce(predicate, lit(false))), txnId)
+
+  /** Semi/anti-join vectored DELETE: rows whose `key` appears (IN) or
+    * does not appear (NOT IN) in `sourceKeys` get deletion vectors —
+    * the lowering for `DELETE FROM t WHERE k [NOT] IN (SELECT ...)`,
+    * with the subquery as a distributed join side instead of a
+    * collected driver list. NOT IN three-valued edges follow the
+    * Delta primitive's contract: the caller refuses a NULL-producing
+    * subquery; `keepNullKeys` keeps NULL-keyed target rows alive (SQL
+    * NOT IN compares them UNKNOWN; a bare anti join would delete
+    * them). The IN form scopes the census by the subquery's [min,max]
+    * key range through the same zone maps the scalar path uses. */
+  def deleteVectoredInSource(spark: SparkSession, base: String,
+                             sourceKeys: DataFrame, key: String,
+                             maxConflictRetries: Int = 5): Long = {
+    val src = sourceKeys.select(col(key)).distinct().persist()
+    try {
+      val scope = (snap: Snapshot) => {
+        val mm = src.agg(min(col(key)), max(col(key))).head()
+        if (mm.isNullAt(0)) Seq.empty[String] // empty/all-NULL subquery
+        else candidatesIn(snap, key, mm.get(0), mm.get(1))
+      }
+      var attempt = 0
+      while (true) {
+        try return deleteVectoredClassified(spark, base, scope,
+          _.join(src, Seq(key), "left_semi"), None)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > maxConflictRetries) throw e
+        }
+      }
+      -1L // unreachable
+    } finally src.unpersist()
+  }
+
+  def deleteVectoredNotInSource(spark: SparkSession, base: String,
+                                sourceKeys: DataFrame, key: String,
+                                keepNullKeys: Boolean = false,
+                                maxConflictRetries: Int = 5): Long = {
+    val src = sourceKeys.select(col(key)).distinct().persist()
+    try {
+      val classify = (scan: DataFrame) => {
+        val cand = if (keepNullKeys) scan.filter(col(key).isNotNull)
+                   else scan
+        cand.join(src, Seq(key), "left_anti")
+      }
+      var attempt = 0
+      while (true) {
+        try return deleteVectoredClassified(spark, base, _.files,
+          classify, None)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > maxConflictRetries) throw e
+        }
+      }
+      -1L // unreachable
+    } finally src.unpersist()
+  }
+
+  /** Shared vectored-delete body: `scope` bounds the classification
+    * scan to candidate files; `classify` maps the coordinate-keeping
+    * live scan to the rows to delete. */
+  private def deleteVectoredClassified(spark: SparkSession, base: String,
+                                       scope: Snapshot => Seq[String],
+                                       classify: DataFrame => DataFrame,
+                                       txnId: Option[String]): Long = {
     val snap = snapshot(base)
-    val candidates = scope match {
-      case Some((c, lo, hi)) => candidatesIn(snap, c, lo, hi)
-      case None => autoScope(snap, predicate) // zone maps, no hint needed
-    }
+    val candidates = scope(snap)
     if (candidates.isEmpty) return snap.version
-    // coordinates of NEWLY deleted rows: predicate over live rows only —
+    // coordinates of NEWLY deleted rows: classifier over live rows only —
     // positions already in a DV are excluded, so replaying an
-    // overlapping predicate never double-records a coordinate
-    val dels = subtractDv(spark, base, snap, withRowCoords(
-        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*)))
-      .filter(coalesce(predicate, lit(false)))
+    // overlapping classifier never double-records a coordinate
+    val dels = classify(subtractDv(spark, base, snap, withRowCoords(
+        readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*))))
       .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
     val n = dels.count()
     if (n == 0) return snap.version // no match → no commit

@@ -1368,10 +1368,10 @@ object GraftSql {
                         d: DeleteFromTable): DataFrame = {
     val h = tablesOf(spark).get(name)
     // `DELETE ... WHERE k [NOT] IN (SELECT ...)`: the subquery lowers
-    // to a DISTRIBUTED semi/anti join against the deletion-vector
-    // classifier — never a collected driver list (billions of keys at
-    // 100 TB). Delta only: the other formats' vectored deletes take a
-    // scalar predicate; MERGE WHEN MATCHED DELETE covers them.
+    // to a DISTRIBUTED semi/anti join against each format's row
+    // classifier — Delta deletion vectors, graft-log DVs, Iceberg
+    // position deletes — never a collected driver list (billions of
+    // keys at 100 TB).
     import org.apache.spark.sql.catalyst.expressions.{InSubquery, Not}
     val subqueryRouted: Option[Long] = d.condition match {
       case InSubquery(Seq(a: UnresolvedAttribute), lq) =>
@@ -1396,57 +1396,95 @@ object GraftSql {
     result(spark, "DELETE", v)
   }
 
-  private def deleteBySubquery(spark: SparkSession, h: Handler,
-                               key: String, subPlan: LogicalPlan,
-                               negated: Boolean): Long = {
-    val base = h match {
-      case DeltaTable(b) => b
-      case _ => throw new IllegalArgumentException(
-        "DELETE WHERE <col> [NOT] IN (SELECT ...) routes to the Delta " +
-        "semi/anti-join vectored delete only — on graft-log/Iceberg " +
-        "use MERGE ... WHEN MATCHED THEN DELETE")
-    }
+  /** The `(SELECT ...)` side of an IN/NOT IN DML condition as a
+    * single-column frame named `key`. */
+  private def subqueryFrame(spark: SparkSession, key: String,
+                            subPlan: LogicalPlan): DataFrame = {
     val sub0 = GraftBridge.ofRows(spark, subPlan)
     require(sub0.columns.length == 1,
       s"the IN subquery must produce exactly one column, " +
       s"got ${sub0.columns.length}")
-    val sub = sub0.toDF(key)
+    sub0.toDF(key)
+  }
+
+  /** SQL NOT IN's subquery-side three-valued edge: ONE NULL in the
+    * subquery means NO row matches — a bare anti join would silently
+    * apply the statement to the complement, so refuse loudly. The
+    * caller passes a PERSISTED frame so this probe and the DML's join
+    * read one evaluation of a possibly huge SELECT. */
+  private def requireNoNullKeys(cached: DataFrame, key: String,
+                                stmt: String): Unit =
+    require(cached.filter(cached.col(key).isNull).isEmpty,
+      s"$stmt ... NOT IN (SELECT ...): the subquery returned a NULL " +
+      s"key — SQL three-valued logic makes this $stmt a no-op; " +
+      "filter the NULLs explicitly if the anti-join meaning is wanted")
+
+  private def deleteBySubquery(spark: SparkSession, h: Handler,
+                               key: String, subPlan: LogicalPlan,
+                               negated: Boolean): Long = {
+    val sub = subqueryFrame(spark, key, subPlan)
     if (negated) {
-      // SQL NOT IN, both three-valued-logic edges: ONE NULL in the
-      // subquery means NO row matches (an anti join would silently
-      // delete the complement → refuse loudly), and a NULL TARGET key
-      // compares UNKNOWN so its row SURVIVES (keepNullKeys). The
-      // subquery is persisted so the null probe and the delete's join
-      // read one evaluation — not two scans of a possibly huge SELECT.
+      // both three-valued-logic edges: subquery NULL refuses (above),
+      // and a NULL TARGET key compares UNKNOWN so its row SURVIVES
+      // (keepNullKeys) — a bare anti join would delete it
       val cached = sub.persist()
       try {
-        require(cached.filter(cached.col(key).isNull).isEmpty,
-          "DELETE ... NOT IN (SELECT ...): the subquery returned a NULL " +
-          "key — SQL three-valued logic makes this DELETE a no-op; " +
-          "filter the NULLs explicitly if the anti-join meaning is wanted")
-        graft.sources.DeltaDml.deleteVectoredNotInSource(
-          spark, base, cached, Seq(key), keepNullKeys = true)
+        requireNoNullKeys(cached, key, "DELETE")
+        h match {
+          case DeltaTable(b) => graft.sources.DeltaDml
+            .deleteVectoredNotInSource(spark, b, cached, Seq(key),
+              keepNullKeys = true)
+          case LogTable(b) => GraftLog.deleteVectoredNotInSource(
+            spark, b, cached, key, keepNullKeys = true)
+          case IceTable(b) => graft.sources.IcebergInterop
+            .deletePositionsNotInSource(spark, b, cached, key,
+              keepNullKeys = true)
+        }
       } finally cached.unpersist()
-    } else
-      graft.sources.DeltaDml.deleteVectoredInSource(
-        spark, base, sub, Seq(key))
+    } else h match {
+      case DeltaTable(b) =>
+        graft.sources.DeltaDml.deleteVectoredInSource(spark, b, sub, Seq(key))
+      case LogTable(b) =>
+        GraftLog.deleteVectoredInSource(spark, b, sub, key)
+      case IceTable(b) =>
+        graft.sources.IcebergInterop.deletePositionsInSource(spark, b, sub, key)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private def runUpdate(spark: SparkSession, name: String,
                         u: UpdateTable): DataFrame = {
     val h = tablesOf(spark).get(name)
-    // the update census evaluates the predicate inside aggregates and
-    // conditionals, where Spark forbids subqueries — refuse crisply
-    // instead of surfacing the analyzer's error three layers down
-    u.condition.foreach(c => require(!c.exists {
-        case _: org.apache.spark.sql.catalyst.expressions.InSubquery => true
-        case _: org.apache.spark.sql.catalyst.expressions.Exists => true
-        case _ => false
-      },
-      "UPDATE with an IN/EXISTS subquery is not supported — express it " +
-      "as MERGE INTO ... USING (SELECT ...) WHEN MATCHED THEN UPDATE"))
-    val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // `UPDATE ... WHERE k [NOT] IN (SELECT ...) [AND <scalar>...]`:
+    // the subquery lowers to a DISTRIBUTED semi/anti join marking the
+    // touched rows (never a collected driver list), with the scalar
+    // conjuncts riding along as the extra gate. EXISTS/correlated
+    // shapes still refuse toward MERGE — the census evaluates its
+    // selector inside aggregates, where Spark forbids subqueries.
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not}
+    val conjuncts = u.condition.map(splitConjuncts).getOrElse(Seq.empty)
+    val (subConjs, scalarConjs) = conjuncts.partition(_.exists {
+      case _: InSubquery | _: Exists => true
+      case _ => false
+    })
+    val subqueryRoute: Option[(String, LogicalPlan, Boolean)] =
+      subConjs match {
+        case Seq() => None
+        case Seq(InSubquery(Seq(a: UnresolvedAttribute), lq)) =>
+          Some((a.nameParts.last, lq.plan, false))
+        case Seq(Not(InSubquery(Seq(a: UnresolvedAttribute), lq))) =>
+          Some((a.nameParts.last, lq.plan, true))
+        case _ => throw new IllegalArgumentException(
+          "UPDATE supports at most ONE `<col> [NOT] IN (SELECT ...)` " +
+          "conjunct (EXISTS and correlated subqueries refuse) — express " +
+          "richer conditions as MERGE INTO ... USING (SELECT ...) WHEN " +
+          "MATCHED THEN UPDATE")
+      }
     // A multi-part SET target is accepted ONLY as <table-or-alias>.<col>:
     // resolving `a.b` by its last part would silently reroute a
     // struct-field assignment (SET a.b = 1) to a top-level column named
@@ -1470,13 +1508,37 @@ object GraftSql {
         }
         target -> GraftBridge.column(unqualify(a.value))
       }.toMap
-    val v = h match {
-      case DeltaTable(b) =>
-        graft.sources.DeltaDml.updateWhere(spark, b, pred, set)
-      case IceTable(b) =>
-        graft.sources.IcebergInterop.updateWhere(spark, b, pred, set)
-      case LogTable(b) =>
-        GraftLog.updateWhere(spark, b, pred, set)
+    val v = subqueryRoute match {
+      case Some((key, subPlan, negated)) =>
+        val extra = scalarConjs
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+          .map(c => GraftBridge.column(unqualify(c)))
+        val sub = subqueryFrame(spark, key, subPlan)
+        def route(src: DataFrame): Long = h match {
+          case DeltaTable(b) => graft.sources.DeltaDml.updateInSource(
+            spark, b, src, key, set, negated, extra)
+          case IceTable(b) => graft.sources.IcebergInterop.updateInSource(
+            spark, b, src, key, set, negated, extra)
+          case LogTable(b) => GraftLog.updateInSource(
+            spark, b, src, key, set, negated, extra)
+        }
+        if (negated) {
+          // subquery-NULL three-valued edge, same contract as DELETE
+          val cached = sub.persist()
+          try { requireNoNullKeys(cached, key, "UPDATE"); route(cached) }
+          finally cached.unpersist()
+        } else route(sub)
+      case None =>
+        val pred = u.condition.map(c => GraftBridge.column(unqualify(c)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        h match {
+          case DeltaTable(b) =>
+            graft.sources.DeltaDml.updateWhere(spark, b, pred, set)
+          case IceTable(b) =>
+            graft.sources.IcebergInterop.updateWhere(spark, b, pred, set)
+          case LogTable(b) =>
+            GraftLog.updateWhere(spark, b, pred, set)
+        }
     }
     refreshView(spark, name, h)
     result(spark, "UPDATE", v)

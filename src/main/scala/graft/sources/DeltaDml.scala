@@ -365,7 +365,8 @@ object DeltaDml {
                   maxConflictRetries: Int = 5): Long = {
     var attempt = 0
     while (true) {
-      try return updateWhereOnce(spark, base, predicate, set)
+      try return updateMarkedOnce(spark, base, scopedFiles(_, predicate),
+        _.withColumn("__upd", coalesce(predicate, lit(false))), set)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -375,9 +376,65 @@ object DeltaDml {
     -1L // unreachable
   }
 
-  private def updateWhereOnce(spark: SparkSession, base: String,
-                              predicate: Column,
-                              set: Map[String, Column]): Long = {
+  /** UPDATE whose row selection is MEMBERSHIP of `key` in `sourceKeys`
+    * — the lowering for `UPDATE t SET ... WHERE k [NOT] IN (SELECT
+    * ...)`, subquery as a distributed join side (never a collected
+    * driver list). Contracts mirror the vectored-delete primitives:
+    * the caller refuses a NULL-producing NOT IN subquery; NULL target
+    * keys compare UNKNOWN and are never updated; the IN form scopes
+    * the census by the subquery's [min,max] key range through the
+    * same add.stats bounds the scalar path uses. */
+  def updateInSource(spark: SparkSession, base: String,
+                     sourceKeys: DataFrame, key: String,
+                     set: Map[String, Column], negated: Boolean = false,
+                     extra: Option[Column] = None,
+                     maxConflictRetries: Int = 5): Long = {
+    val flag = sourceKeys.select(col(key)).distinct()
+      .withColumn("__in_sub", lit(true)).persist()
+    try {
+      val member =
+        if (negated) coalesce(col("__in_sub"), lit(false)) === lit(false) &&
+          col(key).isNotNull
+        else coalesce(col("__in_sub"), lit(false))
+      val upd = extra.map(e => member && coalesce(e, lit(false)))
+        .getOrElse(member)
+      val mark = (df: DataFrame) =>
+        df.join(flag, Seq(key), "left")
+          .withColumn("__upd", upd).drop("__in_sub")
+      val scope = (snap: DeltaSnapshot) =>
+        if (negated) extra.map(scopedFiles(snap, _)).getOrElse(snap.files)
+        else {
+          val mm = flag.agg(min(col(key)), max(col(key))).head()
+          if (mm.isNullAt(0)) Seq.empty[AddFile] // empty/all-NULL subquery
+          else {
+            // synthetic range predicate → the existing add.stats
+            // pruning, composed with any analyzable extra conjunct
+            val ranged = col(key) >= lit(mm.get(0)) &&
+              col(key) <= lit(mm.get(1))
+            scopedFiles(snap, extra.map(ranged && _).getOrElse(ranged))
+          }
+        }
+      var attempt = 0
+      while (true) {
+        try return updateMarkedOnce(spark, base, scope, mark, set)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempt += 1
+            if (attempt > maxConflictRetries) throw e
+        }
+      }
+      -1L // unreachable
+    } finally flag.unpersist()
+  }
+
+  /** Shared UPDATE body: `scope` bounds the census to candidate files
+    * (add.stats / key ranges); `mark` appends a boolean `__upd` row
+    * selector to any scan of the table (it runs on census, rewrite AND
+    * change-row scans — must be deterministic). */
+  private def updateMarkedOnce(spark: SparkSession, base: String,
+                               scope: DeltaSnapshot => Seq[AddFile],
+                               mark: DataFrame => DataFrame,
+                               set: Map[String, Column]): Long = {
     val snap = snapshot(spark, base)
     // the scan resolves mapping and the rewrite conforms its staged
     // files to physical names below; only CDC staging stays refused
@@ -421,11 +478,12 @@ object DeltaDml {
       regenerated.select(snap.schema.fieldNames.map(col): _*)
     }
     // census scan scoped by add.stats: files whose [min,max] provably
-    // exclude the predicate are never opened (conservative, same
+    // exclude the selector are never opened (conservative, same
     // contract as readRange's skipping)
-    val scan = assembleScan(spark, base,
-        snap.copy(files = scopedFiles(snap, predicate)), keepCoords = true)
-      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val scoped = scope(snap)
+    if (scoped.isEmpty) return snap.version
+    val scan = mark(assembleScan(spark, base,
+        snap.copy(files = scoped), keepCoords = true))
     // the predicate and every SET expression are evaluated across
     // SEVERAL jobs (census, rewrite, change rows) — nondeterminism
     // would select different rows in each; refuse rather than tear.
@@ -445,9 +503,8 @@ object DeltaDml {
     if (touchedKeys.isEmpty) return snap.version // no match → no commit
     val touched = snap.files.filter(f => touchedKeys.contains(fileKeyOf(base, f)))
     // rewrite ONLY the touched files: survivors verbatim, matches updated
-    val touchedScan = assembleScan(spark, base,
-        snap.copy(files = touched), keepCoords = false)
-      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val touchedScan = mark(assembleScan(spark, base,
+        snap.copy(files = touched), keepCoords = false))
     val updated = applySet(touchedScan, gated = true)
     // CHECK constraints validate the post-image of MATCHED rows only
     // (survivors already satisfied them at their own write time)

@@ -1510,6 +1510,54 @@ object IcebergInterop {
     * id, or the current one when nothing matched (no empty commit). */
   def deletePositionsWhere(spark: SparkSession, base: String,
                            predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    deletePositionsClassified(spark, base, scopedFiles(_, predicate),
+      _.filter(coalesce(predicate, lit(false))))
+  }
+
+  /** Semi/anti-join positional DELETE: rows whose `key` appears (IN) or
+    * does not appear (NOT IN) in `sourceKeys` get position-delete
+    * entries — the lowering for `DELETE FROM t WHERE k [NOT] IN
+    * (SELECT ...)`, with the subquery as a distributed join side.
+    * Contracts mirror the graft-log/Delta primitives: NULL-producing
+    * NOT IN subqueries are the caller's refusal; `keepNullKeys` keeps
+    * NULL-keyed target rows alive (SQL NOT IN compares them UNKNOWN);
+    * the IN form scopes the scan by the subquery's [min,max] key
+    * range through the manifest bounds. */
+  def deletePositionsInSource(spark: SparkSession, base: String,
+                              sourceKeys: DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val src = sourceKeys.select(col(key)).distinct().persist()
+    try deletePositionsClassified(spark, base,
+      snap => {
+        val mm = src.agg(min(col(key)), max(col(key))).head()
+        if (mm.isNullAt(0)) Seq.empty // empty/all-NULL subquery
+        else scopedFiles(snap,
+          col(key) >= lit(mm.get(0)) && col(key) <= lit(mm.get(1)))
+      },
+      _.join(src, Seq(key), "left_semi"))
+    finally src.unpersist()
+  }
+
+  def deletePositionsNotInSource(spark: SparkSession, base: String,
+                                 sourceKeys: DataFrame, key: String,
+                                 keepNullKeys: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val src = sourceKeys.select(col(key)).distinct().persist()
+    try deletePositionsClassified(spark, base, _.files, { scan =>
+      val cand = if (keepNullKeys) scan.filter(col(key).isNotNull)
+                 else scan
+      cand.join(src, Seq(key), "left_anti")
+    })
+    finally src.unpersist()
+  }
+
+  /** Shared positional-delete body: `scope` bounds the classification
+    * scan to candidate data files; `classify` maps the coordinate-
+    * keeping live scan to the rows to delete. */
+  private def deletePositionsClassified(spark: SparkSession, base: String,
+                                        scope: IcebergSnapshot => Seq[DataFileEntry],
+                                        classify: DataFrame => DataFrame): Long = {
     val metaDir = metadataDir(base)
     val hint = new File(metaDir, "version-hint.text")
     require(hint.exists(), s"not an Iceberg table (no version hint): $base")
@@ -1528,9 +1576,10 @@ object IcebergInterop {
     // joins) feeds BOTH the sizing count and the staged write — without
     // the pin it would run twice, and it dominates the delete's cost.
     // Scoped by manifest bounds: provably-unmatchable files never open.
-    val matched = assembleRead(spark, snap, scopedFiles(snap, predicate),
-        keepCoords = true)
-      .filter(coalesce(predicate, lit(false)))
+    val scoped = scope(snap)
+    if (scoped.isEmpty) return prev.get("current-snapshot-id").asLong()
+    val matched = classify(assembleRead(spark, snap, scoped,
+        keepCoords = true))
       .join(broadcast(rawByKey), Seq("__ice_file"))
       .select(col("__raw").as("file_path"), col("__ice_pos").as("pos"))
       .persist()
@@ -1974,7 +2023,63 @@ object IcebergInterop {
   def updateWhere(spark: SparkSession, base: String,
                   predicate: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    updateMarked(spark, base, scopedFiles(_, predicate),
+      _.withColumn("__upd", coalesce(predicate, lit(false))), set)
+  }
+
+  /** UPDATE whose row selection is MEMBERSHIP of `key` in `sourceKeys`
+    * — the lowering for `UPDATE t SET ... WHERE k [NOT] IN (SELECT
+    * ...)`, subquery as a distributed join side (never a collected
+    * driver list). Same contracts as the graft-log/Delta primitives:
+    * the caller refuses a NULL-producing NOT IN subquery; NULL target
+    * keys compare UNKNOWN and are never updated; the IN form scopes
+    * the census by the subquery's [min,max] key range through the
+    * same manifest bounds the scalar path uses. */
+  def updateInSource(spark: SparkSession, base: String,
+                     sourceKeys: DataFrame, key: String,
+                     set: Map[String, org.apache.spark.sql.Column],
+                     negated: Boolean = false,
+                     extra: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
+    val flag = sourceKeys.select(col(key)).distinct()
+      .withColumn("__in_sub", lit(true)).persist()
+    try {
+      val member =
+        if (negated) coalesce(col("__in_sub"), lit(false)) === lit(false) &&
+          col(key).isNotNull
+        else coalesce(col("__in_sub"), lit(false))
+      val upd = extra.map(e => member && coalesce(e, lit(false)))
+        .getOrElse(member)
+      val mark = (df: DataFrame) =>
+        df.join(flag, Seq(key), "left")
+          .withColumn("__upd", upd).drop("__in_sub")
+      val scope = (snap: IcebergSnapshot) =>
+        if (negated) extra.map(scopedFiles(snap, _)).getOrElse(snap.files)
+        else {
+          val mm = flag.agg(min(col(key)), max(col(key))).head()
+          if (mm.isNullAt(0)) Seq.empty // empty/all-NULL subquery
+          else {
+            // synthetic range predicate → the existing manifest-bounds
+            // pruning, composed with any analyzable extra conjunct
+            val ranged = col(key) >= lit(mm.get(0)) &&
+              col(key) <= lit(mm.get(1))
+            scopedFiles(snap, extra.map(ranged && _).getOrElse(ranged))
+          }
+        }
+      updateMarked(spark, base, scope, mark, set)
+    } finally flag.unpersist()
+  }
+
+  /** Shared UPDATE body: `scope` bounds the census to candidate data
+    * files (manifest bounds / key ranges); `mark` appends a boolean
+    * `__upd` row selector to any scan of the table (it runs on BOTH
+    * the census and the rewrite scan — must be deterministic). */
+  private def updateMarked(spark: SparkSession, base: String,
+                           scope: IcebergSnapshot => Seq[DataFileEntry],
+                           mark: DataFrame => DataFrame,
+                           set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
     val metaDir = metadataDir(base)
     val hint = new File(metaDir, "version-hint.text")
     require(hint.exists(), s"not an Iceberg table (no version hint): $base")
@@ -1993,9 +2098,10 @@ object IcebergInterop {
       set.toSeq.map { case (c, e) => c -> e.cast(snap.schema(c).dataType) }
     // census scoped by manifest bounds: provably-unmatchable files
     // never open (conservative, same contract as readRange's skipping)
-    val scan = assembleRead(spark, snap, scopedFiles(snap, predicate),
-        keepCoords = true)
-      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val scoped = scope(snap)
+    if (scoped.isEmpty) return prev.get("current-snapshot-id").asLong()
+    val scan = mark(assembleRead(spark, snap, scoped,
+        keepCoords = true))
     require(!hasNondeterministic(scan),
       "updateWhere requires a deterministic predicate (it evaluates in " +
       "more than one job) — precompute random values into a column first")
@@ -2014,8 +2120,7 @@ object IcebergInterop {
       touchedKeys.contains(PathCodec.metadataPathKey(new File(f.path))))
     // rewrite ONLY the touched files: survivors verbatim, matches
     // updated, their deletes folded (assembleRead applies them)
-    val touchedScan = assembleRead(spark, snap, touched)
-      .withColumn("__upd", coalesce(predicate, lit(false)))
+    val touchedScan = mark(assembleRead(spark, snap, touched))
     val withTemps = setTyped.foldLeft(touchedScan) { case (d, (c, e)) =>
       d.withColumn(s"__set_$c", e) }
     val updated = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>

@@ -442,21 +442,111 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.table("sql_delsub_tgt_t").select("k")
       .collect().map(r => Option(r.get(0))).toSet ==
       Set(Some(1L), None)) // 3 deleted; NULL-keyed row kept
-    // UPDATE with a subquery refuses crisply toward MERGE
+  }
+
+  test("DELETE WHERE k [NOT] IN (SELECT ...) lowers on graft-log and Iceberg too") {
+    import graft.sources.IcebergInterop
+    Seq(1L, 4L, 7L, 99L).toDF("kk").createOrReplaceTempView("sql_delsub_src2")
+    // graft-log: semi-join DV delete (merge-on-read, no data rewrite)
+    val lb = freshBase("del_sub_log")
+    GraftLog.overwriteClustered(
+      (0L until 30L).map(k => (k, k % 3)).toDF("k", "g"), lb,
+      Seq("k"), nFiles = 3)
+    GraftSql.registerTable(spark, "sql_delsub_log", lb)
+    val filesBefore = GraftLog.snapshot(lb).files.toSet
+    GraftSql.sql(spark, "DELETE FROM sql_delsub_log WHERE k IN " +
+      "(SELECT kk FROM sql_delsub_src2)")
+    assert(spark.table("sql_delsub_log").count() == 27L)
+    val snapL = GraftLog.snapshot(lb)
+    assert(snapL.files.toSet == filesBefore, "DV delete must not rewrite")
+    assert(snapL.dvFiles.nonEmpty)
+    GraftSql.sql(spark, "DELETE FROM sql_delsub_log WHERE k NOT IN " +
+      "(SELECT kk FROM sql_delsub_src2 WHERE kk < 50)")
+    assert(spark.table("sql_delsub_log").count() == 0L) // 1,4,7 gone already
+    // Iceberg: semi-join position delete (format-v2 merge-on-read)
+    val ib = freshBase("del_sub_ice")
+    IcebergInterop.overwrite(
+      (0L until 30L).map(k => (k, k % 3)).toDF("k", "g").coalesce(2), ib)
+    GraftSql.registerIcebergTable(spark, "sql_delsub_ice", ib)
+    GraftSql.sql(spark, "DELETE FROM sql_delsub_ice WHERE k IN " +
+      "(SELECT kk FROM sql_delsub_src2)")
+    assert(spark.table("sql_delsub_ice").count() == 27L)
+    assert(IcebergInterop.snapshot(spark, ib).deletes.nonEmpty,
+      "position deletes expected, not a rewrite")
+    GraftSql.sql(spark, "DELETE FROM sql_delsub_ice WHERE k NOT IN " +
+      "(SELECT kk FROM sql_delsub_src2 WHERE kk < 50)")
+    assert(spark.table("sql_delsub_ice").count() == 0L)
+    // target-side NULL key survives a NOT IN on both formats
+    val lb2 = freshBase("del_sub_log_null")
+    GraftLog.overwrite(Seq[(java.lang.Long, Long)]((1L, 0L), (null, 0L),
+      (3L, 0L)).toDF("k", "g"), lb2)
+    GraftSql.registerTable(spark, "sql_delsub_log_n", lb2)
+    GraftSql.sql(spark, "DELETE FROM sql_delsub_log_n WHERE k NOT IN " +
+      "(SELECT kk FROM sql_delsub_src2 WHERE kk = 1)")
+    assert(spark.table("sql_delsub_log_n").select("k")
+      .collect().map(r => Option(r.get(0))).toSet == Set(Some(1L), None))
+    // subquery-side NULL refuses loudly on non-Delta formats too
+    Seq[java.lang.Long](2L, null).toDF("kk")
+      .createOrReplaceTempView("sql_delsub_null_src2")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "DELETE FROM sql_delsub_log_n WHERE k NOT IN " +
+        "(SELECT kk FROM sql_delsub_null_src2)")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("UPDATE WHERE k [NOT] IN (SELECT ...) lowers to a semi/anti-join census") {
+    import graft.sources.{DeltaInterop, IcebergInterop}
+    Seq(2L, 5L, 99L).toDF("kk").createOrReplaceTempView("sql_updsub_src")
+    def rows = (0L until 10L).map(k => (k, k * 10.0, k % 2)).toDF("k", "v", "g")
+    // Delta: IN + an extra scalar conjunct gates the update
+    val db = freshBase("upd_sub_delta")
+    DeltaInterop.overwrite(rows, db)
+    GraftSql.registerDeltaTable(spark, "sql_updsub_d", db)
+    GraftSql.sql(spark, "UPDATE sql_updsub_d SET v = v + 1000 WHERE k IN " +
+      "(SELECT kk FROM sql_updsub_src) AND g = 1")
+    assert(spark.table("sql_updsub_d").select("k", "v").as[(Long, Double)]
+      .collect().toMap == rows.as[(Long, Double, Long)].collect()
+      .map { case (k, v, g) =>
+        k -> (if (Set(2L, 5L).contains(k) && g == 1) v + 1000 else v) }.toMap)
+    // NOT IN: unmatched keys update; NULL target key stays untouched
+    val db2 = freshBase("upd_sub_delta_null")
+    DeltaInterop.overwrite(Seq[(java.lang.Long, Double)]((1L, 1.0),
+      (null, 2.0), (5L, 5.0)).toDF("k", "v"), db2)
+    GraftSql.registerDeltaTable(spark, "sql_updsub_dn", db2)
+    GraftSql.sql(spark, "UPDATE sql_updsub_dn SET v = 0 WHERE k NOT IN " +
+      "(SELECT kk FROM sql_updsub_src WHERE kk = 5)")
+    assert(spark.table("sql_updsub_dn").select("v").as[Double]
+      .collect().sorted.toSeq == Seq(0.0, 2.0, 5.0))
+    // subquery NULL refuses with the DELETE contract's message
+    Seq[java.lang.Long](2L, null).toDF("kk")
+      .createOrReplaceTempView("sql_updsub_null_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "UPDATE sql_updsub_dn SET v = 0 WHERE k NOT IN " +
+        "(SELECT kk FROM sql_updsub_null_src)")
+    }
+    assert(e.getMessage.contains("NULL"))
+    // graft-log and Iceberg take the same lowering
+    val lb = freshBase("upd_sub_log")
+    GraftLog.overwriteClustered(rows, lb, Seq("k"), nFiles = 2)
+    GraftSql.registerTable(spark, "sql_updsub_l", lb)
+    GraftSql.sql(spark, "UPDATE sql_updsub_l SET v = -1 WHERE k IN " +
+      "(SELECT kk FROM sql_updsub_src)")
+    assert(spark.table("sql_updsub_l").filter(col("v") === -1.0)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    val ib = freshBase("upd_sub_ice")
+    IcebergInterop.overwrite(rows.coalesce(1), ib)
+    GraftSql.registerIcebergTable(spark, "sql_updsub_i", ib)
+    GraftSql.sql(spark, "UPDATE sql_updsub_i SET v = -1 WHERE k IN " +
+      "(SELECT kk FROM sql_updsub_src)")
+    assert(spark.table("sql_updsub_i").filter(col("v") === -1.0)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
+    // EXISTS still refuses toward MERGE
     val u = intercept[IllegalArgumentException] {
-      GraftSql.sql(spark, "UPDATE sql_delsub_t SET g = 0 WHERE k IN " +
-        "(SELECT kk FROM sql_delsub_src)")
+      GraftSql.sql(spark, "UPDATE sql_updsub_l SET v = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM sql_updsub_src WHERE kk = k)")
     }
     assert(u.getMessage.contains("MERGE INTO"))
-    // non-Delta formats refuse toward MERGE
-    val lb = freshBase("del_sub_log")
-    GraftLog.overwrite(Seq((1L, "a")).toDF("k", "s"), lb)
-    GraftSql.registerTable(spark, "sql_delsub_log", lb)
-    val r = intercept[IllegalArgumentException] {
-      GraftSql.sql(spark, "DELETE FROM sql_delsub_log WHERE k IN " +
-        "(SELECT kk FROM sql_delsub_src)")
-    }
-    assert(r.getMessage.contains("MERGE"))
   }
 
   test("ALTER TABLE ADD COLUMNS evolves all three formats; old rows read NULL") {
