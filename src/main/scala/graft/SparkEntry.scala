@@ -1558,6 +1558,45 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Delta V2-checkpoint replay (q221): the q141 shape, but the log is
+    * compacted through `checkpointV2` — a UUID-named top-level file
+    * whose `sidecar` actions point the add set at TWO parquet files
+    * under _delta_log/_sidecars/ (the layout current OSS writers
+    * produce at scale), with the pre-checkpoint JSON commits DELETED so
+    * the state must come from the v2 form, plus one tail commit
+    * replayed on top. The oracle recomputes from raw customer rows, so
+    * a dropped sidecar, a double-applied add or a lost tail commit all
+    * hash-mismatch. */
+  private def qDeltaV2Checkpoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    val base = cachedFixture("delta_v2cp_customer", dir, "customer") { p =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+        .coalesce(1)
+      DeltaInterop.overwrite(cust, p, partitionBy = Seq("c_nationkey"))
+      DeltaInterop.append(cust.filter(col("c_custkey") < 100)
+        .withColumn("c_custkey", col("c_custkey") + lit(2000000L)),
+        p, partitionBy = Seq("c_nationkey"))
+      DeltaInterop.checkpointV2(s, p, sidecarParts = 2)
+      // log retention: the state MUST replay from the v2 checkpoint
+      val log = new java.io.File(p, "_delta_log")
+      log.listFiles().filter(f => f.getName.endsWith(".json") &&
+        f.getName.length == "00000000000000000000.json".length)
+        .foreach(_.delete())
+      DeltaInterop.append(
+        cust.filter(col("c_custkey") >= 100 && col("c_custkey") < 200)
+          .withColumn("c_custkey", col("c_custkey") + lit(3000000L)),
+        p, partitionBy = Seq("c_nationkey"))
+    }
+    DeltaInterop.read(s, base)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("acctbal")).cast("double").as("total_acctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Delta column mapping (`name` mode) read: the fixture's parquet
     * files carry only PHYSICAL column names (col-xxx), the logical
     * schema exists solely in schemaString field metadata, and
@@ -5197,6 +5236,7 @@ object SparkEntry {
     "q219_log_subquery_dml" -> ((s, dir) => qSubqueryDml(s, dir, "log")),
     "q220_iceberg_subquery_dml" ->
       ((s, dir) => qSubqueryDml(s, dir, "iceberg")),
+    "q221_delta_v2_checkpoint" -> (qDeltaV2Checkpoint _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6368,6 +6408,19 @@ object SparkEntry {
          FROM u2 GROUP BY o_orderstatus ORDER BY status""",
     "q219_log_subquery_dml" -> subqueryDmlOracle,
     "q220_iceberg_subquery_dml" -> subqueryDmlOracle,
+    "q221_delta_v2_checkpoint" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+         CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+         FROM (
+           SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+           FROM customer WHERE c_custkey < 100
+           UNION ALL
+           SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
+           FROM customer WHERE c_custkey >= 100 AND c_custkey < 200
+         ) GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

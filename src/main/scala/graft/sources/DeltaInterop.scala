@@ -119,7 +119,7 @@ object DeltaInterop {
   // `columnMapping` also fits inside minReaderVersion 2 via the table
   // property — both routes land in the same read path.
   private val supportedReaderFeatures =
-    Set("columnMapping", "timestampNtz", "deletionVectors")
+    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
 
   /** Above this many total deleted positions the DV anti join stops
     * broadcasting (same bound as graft-log's own DV read path — a table
@@ -267,24 +267,13 @@ object DeltaInterop {
       }
     }
 
-    cpVersion.foreach { cv =>
-      // classic v1 checkpoint: parquet of action rows (add / remove /
-      // metaData / protocol structs, one non-null per row). Either one
-      // file (NNN.checkpoint.parquet) or the multi-part form
-      // (NNN.checkpoint.<k>.<n>.parquet) the protocol allows for large
-      // tables — all parts are one logical dataset, read as one scan.
-      val single = new File(dir, checkpointName(cv))
-      val partRe = (f"$cv%020d" + "\\.checkpoint\\.[0-9]{10}\\.[0-9]{10}\\.parquet").r
-      val cpPaths: Seq[String] =
-        if (single.exists()) Seq(single.getPath)
-        else {
-          val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-            .filter(f => partRe.matches(f.getName)).sortBy(_.getName)
-          require(parts.nonEmpty, s"_last_checkpoint names version $cv but no " +
-            s"checkpoint parquet found in $dir")
-          parts.map(_.getPath).toSeq
-        }
-      val cp = spark.read.parquet(cpPaths: _*)
+    // one parquet frame of checkpoint action rows (add / remove /
+    // metaData / protocol / txn structs, one non-null per row) applied
+    // to the replay state — shared by classic v1 checkpoints, v2
+    // checkpoint top-level files and v2 sidecar files (which carry the
+    // same struct shapes, file actions only). Returns the `sidecar`
+    // action paths when present (v2 top-level only).
+    def applyCheckpointFrame(cp: DataFrame): Seq[String] = {
       val cols = cp.columns.toSet
       if (cols.contains("protocol")) {
         val pFields = cp.schema("protocol").dataType
@@ -380,6 +369,70 @@ object DeltaInterop {
             node.put("appId", r.getString(0)); node.put("version", r.getLong(1))
             applyTxn(node)
           }
+      }
+      if (cols.contains("sidecar"))
+        cp.select("sidecar.path").where(col("path").isNotNull)
+          .collect().map(_.getString(0)).toSeq // one per sidecar file
+      else Seq.empty
+    }
+
+    cpVersion.foreach { cv =>
+      // classic v1 checkpoint: one file (NNN.checkpoint.parquet) or the
+      // multi-part form (NNN.checkpoint.<k>.<n>.parquet) — all parts
+      // one logical dataset, read as one scan. V2 checkpoints
+      // (protocol §V2 Checkpoint Table Feature, what current OSS
+      // writers produce at scale) are UUID-named
+      // NNN.checkpoint.<uniqueId>.{parquet|json}: the top-level file
+      // carries the non-file actions plus `sidecar` actions naming
+      // _delta_log/_sidecars/ parquet files that hold the add/remove
+      // file actions.
+      val single = new File(dir, checkpointName(cv))
+      val partRe = (f"$cv%020d" + "\\.checkpoint\\.[0-9]{10}\\.[0-9]{10}\\.parquet").r
+      val v2Re = (f"$cv%020d" + "\\.checkpoint\\.[0-9A-Za-z_-]+\\.(parquet|json)").r
+      val v1Parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => partRe.matches(f.getName)).sortBy(_.getName)
+      val sidecarPaths: Seq[String] =
+        if (single.exists()) applyCheckpointFrame(spark.read.parquet(single.getPath))
+        else if (v1Parts.nonEmpty)
+          applyCheckpointFrame(spark.read.parquet(v1Parts.map(_.getPath).toSeq: _*))
+        else {
+          val v2 = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => v2Re.matches(f.getName)).sortBy(_.getName)
+          require(v2.nonEmpty, s"_last_checkpoint names version $cv but no " +
+            s"checkpoint parquet found in $dir")
+          val top = v2.last // newest uniqueId wins if several attempts exist
+          if (top.getName.endsWith(".json")) {
+            // JSON top-level form: newline-delimited actions, parsed
+            // driver-side (non-file actions + sidecar refs only —
+            // metadata-scale by the spec's own design)
+            val sidecars = mutable.Buffer.empty[String]
+            Files.readAllLines(top.toPath).forEach { line =>
+              if (line.nonEmpty) {
+                val n = mapper.readTree(line)
+                Option(n.get("protocol")).foreach(applyProtocol)
+                Option(n.get("metaData")).foreach(applyMetaData)
+                Option(n.get("add")).foreach(applyAdd)
+                Option(n.get("remove")).foreach(applyRemove)
+                Option(n.get("txn")).foreach(applyTxn)
+                Option(n.get("sidecar")).foreach(s =>
+                  sidecars += s.get("path").asText())
+              }
+            }
+            sidecars.toSeq
+          } else applyCheckpointFrame(spark.read.parquet(top.getPath))
+        }
+      if (sidecarPaths.nonEmpty) {
+        // sidecar files live under _delta_log/_sidecars/ (relative
+        // paths; absolute ones resolve as given) and hold file actions
+        // with the same struct shapes as a v1 checkpoint
+        val resolved = sidecarPaths.map { p =>
+          val f = new File(p)
+          if (f.isAbsolute) f else new File(new File(dir, "_sidecars"), p)
+        }
+        resolved.foreach(f => require(f.exists(),
+          s"v2 checkpoint of $base names sidecar ${f.getPath} which does " +
+          "not exist — refusing (the live file set would be incomplete)"))
+        applyCheckpointFrame(spark.read.parquet(resolved.map(_.getPath): _*))
       }
     }
 
@@ -2353,52 +2406,63 @@ object DeltaInterop {
     * protocol allows for tables whose action list outgrows one file —
     * all parts are one logical dataset; the reader scans them together.
     * `parts` = 1 degenerates to the classic single-file name. */
+  private val cpProtocolType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    // v3/v7 protocols are INVALID without their feature lists — a
+    // checkpoint that drops readerFeatures understates what a
+    // reader must implement, and a minWriterVersion=7 row without
+    // writerFeatures is malformed per the protocol (external
+    // delta-spark writers replaying state from this checkpoint
+    // would reject it)
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+  private val cpMetaDataType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    // configuration MUST survive checkpointing: a column-mapped
+    // table replayed from a checkpoint that dropped
+    // delta.columnMapping.mode would resolve logical names against
+    // physical files — every mapped column silently NULL
+    StructField("configuration", MapType(StringType, StringType))))
+  private val cpAddType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    // DV descriptors MUST survive checkpointing — a checkpoint that
+    // drops them silently resurrects every DV-deleted row
+    StructField("deletionVector", StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))),
+    // stats survive checkpointing or data skipping dies at the
+    // first log compaction
+    StructField("stats", StringType)))
+  // txn state survives checkpointing or a restarted streaming sink
+  // whose history was compacted away double-writes its batches
+  private val cpTxnType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType)))
+
+  private def cpAddRow(base: String, f: AddFile): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(f.path, f.partitionValues,
+      resolveDataFile(base, f.path).length(), 0L, true,
+      f.dv.map(d => org.apache.spark.sql.Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
+      f.stats.orNull)
+
   def checkpointParts(spark: SparkSession, base: String, parts: Int): Long = {
     val snap = snapshot(spark, base)
-    val pvType = MapType(StringType, StringType)
     val cpSchema = StructType(Seq(
-      StructField("protocol", StructType(Seq(
-        StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType),
-        // v3/v7 protocols are INVALID without their feature lists — a
-        // checkpoint that drops readerFeatures understates what a
-        // reader must implement, and a minWriterVersion=7 row without
-        // writerFeatures is malformed per the protocol (external
-        // delta-spark writers replaying state from this checkpoint
-        // would reject it)
-        StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType))))),
-      StructField("metaData", StructType(Seq(
-        StructField("id", StringType),
-        StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)),
-        // configuration MUST survive checkpointing: a column-mapped
-        // table replayed from a checkpoint that dropped
-        // delta.columnMapping.mode would resolve logical names against
-        // physical files — every mapped column silently NULL
-        StructField("configuration", MapType(StringType, StringType))))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", pvType),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        // DV descriptors MUST survive checkpointing — a checkpoint that
-        // drops them silently resurrects every DV-deleted row
-        StructField("deletionVector", StructType(Seq(
-          StructField("storageType", StringType),
-          StructField("pathOrInlineDv", StringType),
-          StructField("offset", IntegerType),
-          StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))),
-        // stats survive checkpointing or data skipping dies at the
-        // first log compaction
-        StructField("stats", StringType)))),
-      // txn state survives checkpointing or a restarted streaming sink
-      // whose history was compacted away double-writes its batches
-      StructField("txn", StructType(Seq(
-        StructField("appId", StringType),
-        StructField("version", LongType))))))
+      StructField("protocol", cpProtocolType),
+      StructField("metaData", cpMetaDataType),
+      StructField("add", cpAddType),
+      StructField("txn", cpTxnType)))
     import org.apache.spark.sql.Row
     // the table's RECORDED protocol, verbatim — reconstructing it from
     // snapshot shape (has DVs? mapped?) would drop any feature the log
@@ -2415,13 +2479,7 @@ object DeltaInterop {
       (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v))
       } ++
-      snap.files.map(f => Row(null, null,
-        Row(f.path, f.partitionValues,
-          resolveDataFile(base, f.path).length(),
-          0L, true,
-          f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
-          f.stats.orNull), null)))
+      snap.files.map(f => Row(null, null, cpAddRow(base, f), null)))
     require(parts >= 1, s"checkpoint parts $parts")
     val scratch = new File(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), cpSchema)
@@ -2446,6 +2504,83 @@ object DeltaInterop {
     lc.put("version", snap.version); lc.put("size", rows.size.toLong)
     if (parts > 1) lc.put("parts", staged.length)
     Files.writeString(new File(logDir(base), "_last_checkpoint").toPath,
+      mapper.writeValueAsString(lc))
+    snap.version
+  }
+
+  /** Write a V2 checkpoint of the CURRENT state (protocol §V2
+    * Checkpoint Table Feature — the form current OSS writers produce
+    * at scale): the file actions land in `sidecarParts` parquet files
+    * under `_delta_log/_sidecars/`, and a UUID-named top-level
+    * `NNN.checkpoint.<uuid>.parquet` carries the non-file actions
+    * (protocol / metaData / txn) plus one `sidecar` ref per part.
+    * Unlike the v1 single file, the file-action set parallelizes
+    * across sidecars — the layout that keeps checkpointing a
+    * million-file table off a single writer. The table's RECORDED
+    * protocol is checkpointed verbatim (same contract as the v1
+    * writer): a checkpoint must reflect the latest protocol ACTION —
+    * inventing an upgrade here would make checkpoint replay diverge
+    * from pure JSON replay. */
+  def checkpointV2(spark: SparkSession, base: String,
+                   sidecarParts: Int = 1): Long = {
+    import org.apache.spark.sql.Row
+    require(sidecarParts >= 1, s"sidecar parts $sidecarParts")
+    val snap = snapshot(spark, base)
+    val log = logDir(base)
+    val sidecarDir = new File(log, "_sidecars"); sidecarDir.mkdirs()
+    // 1. sidecars: the file actions, parallelized
+    val addRows = snap.files.map(f => Row(cpAddRow(base, f)))
+    val scratch = new File(base, s".cp2_${UUID.randomUUID()}")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(addRows, sidecarParts),
+      StructType(Seq(StructField("add", cpAddType))))
+      .write.mode("overwrite").parquet(scratch.getPath)
+    val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(staged.nonEmpty, "v2 checkpoint wrote no sidecar part")
+    val sidecars = staged.map { f =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(f.toPath, new File(sidecarDir, name).toPath)
+      name
+    }.toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    // 2. the UUID-named top level: non-file actions + sidecar refs
+    val topSchema = StructType(Seq(
+      StructField("protocol", cpProtocolType),
+      StructField("metaData", cpMetaDataType),
+      StructField("txn", cpTxnType),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val topRows =
+      Row(Row(snap.minReaderVersion, snap.minWriterVersion,
+        if (snap.readerFeatureSet.isEmpty) null
+        else snap.readerFeatureSet.toSeq.sorted,
+        if (snap.writerFeatureSet.isEmpty) null
+        else snap.writerFeatureSet.toSeq.sorted), null, null, null) ::
+      Row(null, Row(snap.tableId.getOrElse("graft-delta"), snap.schema.json,
+        snap.partitionColumns, snap.configuration), null, null) ::
+      (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, Row(app, v), null)
+      } ++
+      sidecars.map(n => Row(null, null, null,
+        Row(n, new File(sidecarDir, n).length(), 0L))))
+    val scratch2 = new File(base, s".cp2top_${UUID.randomUUID()}")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(topRows, 1), topSchema)
+      .write.mode("overwrite").parquet(scratch2.getPath)
+    val top = Option(scratch2.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no v2 top-level staged"))
+    Files.move(top.toPath, new File(log,
+      f"${snap.version}%020d.checkpoint.${UUID.randomUUID()}.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch2)
+    val lc = mapper.createObjectNode()
+    lc.put("version", snap.version)
+    lc.put("size", (topRows.size + addRows.size).toLong)
+    Files.writeString(new File(log, "_last_checkpoint").toPath,
       mapper.writeValueAsString(lc))
     snap.version
   }

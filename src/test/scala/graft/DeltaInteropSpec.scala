@@ -101,9 +101,9 @@ class DeltaInteropSpec extends SparkSpec {
     DeltaInterop.overwrite(spark.range(3).toDF("id"), base)
     // a feature this engine does not implement → protocol-mandated refusal
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     // an implemented feature set → the same table reads fine
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"]}}""" + "\n")
@@ -166,6 +166,124 @@ class DeltaInteropSpec extends SparkSpec {
     val got = DeltaInterop.read(spark, base)
     assert(got.count() == 20)
     assert(got.agg(sum("id")).head().getLong(0) == (0 until 20).sum)
+  }
+
+  test("v2 checkpoint (UUID-named + sidecars) replays value-exact") {
+    // transform our own v1 checkpoint into the protocol's v2 shape —
+    // a UUID-named top-level file carrying the non-file actions plus
+    // `sidecar` refs, with the add actions in _delta_log/_sidecars/ —
+    // then force the state to come from it (the q141 foreign-fixture
+    // pattern: proves the reader against the spec, not our writer)
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(12).toDF("id"), base)
+    DeltaInterop.append(spark.range(12, 20).toDF("id"), base)
+    DeltaInterop.checkpoint(spark, base)
+    val log = new File(base, "_delta_log")
+    val single = log.listFiles()
+      .find(_.getName.endsWith(".checkpoint.parquet")).get
+    val v = single.getName.stripSuffix(".checkpoint.parquet")
+    val cp = spark.read.parquet(single.getPath)
+    def stage(df: org.apache.spark.sql.DataFrame, dst: File): Unit = {
+      val scratch = new File(base, s".s_${java.util.UUID.randomUUID()}")
+      df.coalesce(1).write.parquet(scratch.getPath)
+      val pf = scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      dst.getParentFile.mkdirs()
+      Files.move(pf.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    // file actions → one sidecar parquet
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val sidecarFile = new File(new File(log, "_sidecars"), sidecarName)
+    stage(cp.filter(col("add.path").isNotNull).select(col("add")), sidecarFile)
+    // non-file actions + the sidecar ref → the UUID-named top level
+    val topName = s"$v.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    val nonFile = cp.filter(col("add.path").isNull).drop("add")
+    val sidecarRow = spark.range(1).select(struct(
+      lit(sidecarName).as("path"),
+      lit(sidecarFile.length()).as("sizeInBytes"),
+      lit(0L).as("modificationTime")).as("sidecar"))
+    stage(nonFile.unionByName(sidecarRow, allowMissingColumns = true),
+      new File(log, topName))
+    assert(single.delete())
+    // log retention: the state MUST come from the v2 checkpoint
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      f.getName.stripSuffix(".json").toLong <= v.toLong).foreach(f =>
+        assert(f.delete()))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 20)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 20).sum)
+    // the table stays WRITABLE through the v2-checkpoint snapshot, and
+    // the tail replays on top of it
+    DeltaInterop.append(spark.range(20, 25).toDF("id"), base)
+    assert(DeltaInterop.read(spark, base).count() == 25)
+    // a top-level naming a MISSING sidecar refuses rather than reading
+    // an incomplete live set
+    assert(sidecarFile.delete())
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.read(spark, base))
+    assert(e.getMessage.contains("sidecar"))
+  }
+
+  test("v2 checkpoint with a JSON top-level file replays value-exact") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id"), base)
+    DeltaInterop.checkpoint(spark, base)
+    val log = new File(base, "_delta_log")
+    val single = log.listFiles()
+      .find(_.getName.endsWith(".checkpoint.parquet")).get
+    val v = single.getName.stripSuffix(".checkpoint.parquet")
+    val cp = spark.read.parquet(single.getPath)
+    // file actions → sidecar parquet (same shape as the parquet form)
+    val sidecarName = s"${java.util.UUID.randomUUID()}.parquet"
+    val sidecarFile = new File(new File(log, "_sidecars"), sidecarName)
+    val scratch = new File(base, ".s_json")
+    cp.filter(col("add.path").isNotNull).select(col("add"))
+      .coalesce(1).write.parquet(scratch.getPath)
+    sidecarFile.getParentFile.mkdirs()
+    Files.move(scratch.listFiles().find(_.getName.endsWith(".parquet")).get
+      .toPath, sidecarFile.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    // non-file actions as newline-delimited JSON + the sidecar ref
+    val md = DeltaInterop.snapshot(spark, base)
+    val schemaJson = md.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.writeString(new File(log,
+      s"$v.checkpoint.${java.util.UUID.randomUUID()}.json").toPath,
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+         |{"metaData":{"id":"${md.tableId.getOrElse("t")}","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"sidecar":{"path":"$sidecarName","sizeInBytes":${sidecarFile.length()},"modificationTime":0}}
+         |""".stripMargin)
+    assert(single.delete())
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      f.getName.length == "00000000000000000000.json".length &&
+      f.getName.stripSuffix(".json").toLong <= v.toLong).foreach(f =>
+        assert(f.delete()))
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 10)
+    assert(got.agg(sum("id")).head().getLong(0) == (0 until 10).sum)
+  }
+
+  test("checkpointV2 writer: multi-sidecar v2 replay equals pure JSON replay") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(12).toDF("id"), base)
+    DeltaInterop.append(spark.range(12, 20).toDF("id").coalesce(1), base)
+    // DV descriptors and txn state must survive the v2 checkpoint
+    graft.sources.DeltaDml.deleteVectoredWhere(spark, base, col("id") < 3)
+    DeltaInterop.appendIdempotent(
+      spark.range(20, 22).toDF("id").coalesce(1), base, "app-v2", 4L)
+    DeltaInterop.checkpointV2(spark, base, sidecarParts = 2)
+    val log = new File(base, "_delta_log")
+    assert(new File(log, "_sidecars").listFiles().length == 2)
+    DeltaInterop.append(spark.range(22, 25).toDF("id").coalesce(1), base)
+    val viaV2 = DeltaInterop.read(spark, base)
+    val expect = ((3 until 25).map(_.toLong)).toSet
+    assert(viaV2.select("id").collect().map(_.getLong(0)).toSet == expect)
+    // txn state replays through the v2 checkpoint (replay gate holds)
+    assert(!DeltaInterop.appendIdempotent(
+      spark.range(99, 100).toDF("id"), base, "app-v2", 4L))
+    // pure JSON replay must agree exactly
+    assert(new File(log, "_last_checkpoint").delete())
+    assert(DeltaInterop.read(spark, base).select("id")
+      .collect().map(_.getLong(0)).toSet == expect)
   }
 
   test("column mapping 'name' mode: physical parquet names, logical read") {
