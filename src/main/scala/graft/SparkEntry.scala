@@ -1888,6 +1888,41 @@ object SparkEntry {
     }
   }
 
+  /** Column-mapped Delta + Change Data Feed (q222): the q180 change
+    * history on a RENAMED-column table — CDF on from creation, column
+    * mapping enabled and `tp0` renamed to `totalprice`, then UPDATE /
+    * DV DELETE / MERGE through the mapped DML. The cdc files carry
+    * PHYSICAL column names (the protocol shape external mapped readers
+    * expect) and the feed read resolves them back to logical names;
+    * the oracle recomputes every change row from raw orders, so
+    * logical-named staging (NULL resurrection), a wrong mapping
+    * resolution or a dropped change type all hash-mismatch. */
+  private def qDeltaMappedCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = cachedFixture("delta_mapped_cdf_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("tp0"))
+      DeltaInterop.overwrite(ords.coalesce(2), p,                    // v0
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaInterop.enableColumnMapping(s, p)                         // v1
+      DeltaInterop.renameColumn(s, p, "tp0", "totalprice")           // v2
+      DeltaDml.updateWhere(s, p, col("o_orderkey") <= 2000,          // v3
+        Map("totalprice" -> (col("totalprice") + lit(100))))
+      DeltaDml.deleteVectoredWhere(s, p, col("o_custkey") % 9 === 4) // v4
+      DeltaDml.mergeUpsert(s, p,                                     // v5
+        ords.filter(col("o_orderkey") < 100)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+          .withColumnRenamed("tp0", "totalprice"), "o_orderkey")
+    }
+    import graft.sources.DeltaDml
+    DeltaDml.readChangeFeed(s, base, fromVersion = 3L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("change_type"))
+  }
+
   /** Streaming Delta CDF (q184): the same change history as q180, but
     * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
     * hard-link mirror + Spark's checkpointed parquet file stream — and
@@ -5237,6 +5272,7 @@ object SparkEntry {
     "q220_iceberg_subquery_dml" ->
       ((s, dir) => qSubqueryDml(s, dir, "iceberg")),
     "q221_delta_v2_checkpoint" -> (qDeltaV2Checkpoint _),
+    "q222_delta_mapped_cdf" -> (qDeltaMappedCdf _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6421,6 +6457,28 @@ object SparkEntry {
            SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(18,2))
            FROM customer WHERE c_custkey >= 100 AND c_custkey < 200
          ) GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q222_delta_mapped_cdf" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             CASE WHEN o_orderkey <= 2000
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                       AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS tp_new
+           FROM orders),
+         changes AS (
+           SELECT 'update_preimage' AS change_type, tp AS totalprice
+           FROM upd WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'update_postimage', tp_new FROM upd WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT 'delete', tp_new FROM upd WHERE o_custkey % 9 = 4
+           UNION ALL
+           SELECT 'insert', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100)
+         SELECT change_type, count(*) AS n_rows,
+           CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM changes GROUP BY change_type ORDER BY change_type""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

@@ -113,11 +113,39 @@ object DeltaDml {
 
   /** Stage `_change_data` parquet files (protocol §Change Data Files):
     * data columns + `_change_type`, partition columns hoisted into the
-    * cdc action's partitionValues exactly like data files. */
+    * cdc action's partitionValues exactly like data files. On
+    * column-mapped tables the data columns stage under PHYSICAL names
+    * (name mode) / field-id metadata (id mode) and physical-keyed
+    * partitionValues, exactly like data files — `_change_type` is a
+    * CDF metadata column outside the mapped table schema and always
+    * stages by its own name (delta-spark's shape). */
   private def stageCdc(df: DataFrame, base: String,
-                       partitionBy: Seq[String]): Seq[AddFile] =
-    stageAdds(df, s"$base/_change_data", partitionBy)
+                       snap: DeltaSnapshot): Seq[AddFile] = {
+    val physDf =
+      if (snap.columnMappingMode == "none") df
+      else {
+        val idMode = snap.columnMappingMode == "id"
+        if (idMode) df.sparkSession.conf
+          .set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df.select(df.schema.fieldNames.map { n =>
+          if (n == "_change_type") col(n)
+          else {
+            val phys = snap.physicalName(n)
+            if (idMode) {
+              val id = snap.fieldId(n).getOrElse(
+                throw new IllegalStateException(
+                  s"columnMapping.mode=id but field '$n' has no " +
+                  "delta.columnMapping.id — corrupt metadata (refusing)"))
+              col(n).as(phys, new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", id).build())
+            } else col(n).as(phys)
+          }
+        }: _*)
+      }
+    stageAdds(physDf, s"$base/_change_data",
+      snap.partitionColumns.map(snap.physicalName))
       .map(a => a.copy(path = s"_change_data/${a.path}"))
+  }
 
   private def cdcJson(a: AddFile, base: String): String = {
     val node = mapper.createObjectNode()
@@ -261,13 +289,9 @@ object DeltaDml {
                                    _.files): Long = {
     val snap = snapshot(spark, base)
     // the scan (assembleScan) resolves both mapping modes and the DV
-    // machinery addresses (file, pos) — name-free; only the CDC rows
-    // would need physical-named staging + mapped cdc reads, so mapped
-    // tables are fine as long as the change feed is off
-    require(snap.columnMappingMode == "none" || !cdfEnabled(snap),
-      "vectored delete on a column-mapped Delta table with Change " +
-      "Data Feed enabled is not implemented (physical-named cdc " +
-      "staging) — refusing")
+    // machinery addresses (file, pos) — name-free; CDC rows stage
+    // under physical names (stageCdc) and read back through the same
+    // mapped-scan path, so mapped+CDF tables work end to end
     requireDmlWritable(snap, "deleteVectored", mutatesRows = false)
     val matched0 = classify(assembleScan(spark, base,
       snap.copy(files = scanFiles(snap)), keepCoords = true))
@@ -320,7 +344,7 @@ object DeltaDml {
         val cdcDf = matched
           .select(snap.schema.fieldNames.map(col) :+
             lit("delete").as("_change_type"): _*)
-        stageCdc(cdcDf, base, snap.partitionColumns)
+        stageCdc(cdcDf, base, snap)
       }
     val cdcLines = cdcAdds.map(cdcJson(_, base))
     val touched = written.toSeq.map { case (key, enc, off, size, card, _) =>
@@ -436,12 +460,8 @@ object DeltaDml {
                                mark: DataFrame => DataFrame,
                                set: Map[String, Column]): Long = {
     val snap = snapshot(spark, base)
-    // the scan resolves mapping and the rewrite conforms its staged
-    // files to physical names below; only CDC staging stays refused
-    require(snap.columnMappingMode == "none" || !cdfEnabled(snap),
-      "updateWhere on a column-mapped Delta table with Change Data " +
-      "Feed enabled is not implemented (physical-named cdc staging) — " +
-      "refusing")
+    // the scan resolves mapping; the rewrite AND the CDC rows conform
+    // their staged files to physical names (stageCdc)
     requireDmlWritable(snap, "updateWhere", mutatesRows = true)
     val generated = DeltaInterop.generatedColumnsOf(snap.schema).toMap
     set.keys.foreach { c =>
@@ -519,7 +539,7 @@ object DeltaDml {
         val cdcDf = pre.select(snap.schema.fieldNames.map(col): _*)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage")))
-        stageCdc(cdcDf, base, snap.partitionColumns)
+        stageCdc(cdcDf, base, snap)
       }
     val cdcLines = cdcAdds.map(cdcJson(_, base))
     // mapped tables: the rewritten files must carry PHYSICAL names
@@ -586,11 +606,8 @@ object DeltaDml {
     val key = keys.head // the skipping (stats-range) key
     val snap = snapshot(spark, base)
     // the scan resolves mapping, stats are looked up by PHYSICAL name,
-    // and the merged staging conforms below; only CDC staging refuses
-    require(snap.columnMappingMode == "none" || !cdfEnabled(snap),
-      "mergeUpsert on a column-mapped Delta table with Change Data " +
-      "Feed enabled is not implemented (physical-named cdc staging) — " +
-      "refusing")
+    // and both the merged staging and the CDC rows conform to
+    // physical names (stageCdc)
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
     DeltaInterop.identityColumnOf(snap.schema).foreach { id =>
       throw new IllegalArgumentException(
@@ -685,7 +702,7 @@ object DeltaDml {
             .withColumn("_change_type", lit("update_postimage")))
           .unionByName(inserted.select(cols: _*)
             .withColumn("_change_type", lit("insert")))
-        stageCdc(cdcDf, base, snap.partitionColumns)
+        stageCdc(cdcDf, base, snap)
       }
     val cdcLines = cdcAdds.map(cdcJson(_, base))
     // survivors of touched files (keys not updated) + ALL update rows

@@ -666,7 +666,11 @@ object DeltaInterop {
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
       .map { f =>
-        if (!idMode) f.copy(name = snap.physicalName(f.name))
+        // `_change_type` is a CDF metadata column OUTSIDE the mapped
+        // table schema — `_change_data` files carry it by name in both
+        // mapping modes (delta-spark's shape), so it resolves by name
+        if (f.name == "_change_type") f
+        else if (!idMode) f.copy(name = snap.physicalName(f.name))
         else {
           val id = snap.fieldId(f.name).getOrElse(throw new IllegalStateException(
             s"columnMapping.mode=id but field '${f.name}' has no " +

@@ -136,15 +136,51 @@ class AlterColumnSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, base)
       .where(col("price").isNull).count() == 0,
       "mapped DML staged logical-named files (NULL resurrection)")
-    // with CDF on, mapped row-mutating DML still refuses loudly
-    val cbase = tmp()
-    DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v"), cbase,
+  }
+
+  test("delta: mapped tables with CDF on stage physical-named change rows") {
+    import graft.sources.DeltaDml
+    val base = tmp()
+    DeltaInterop.overwrite(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), base,
       configuration = Map("delta.enableChangeDataFeed" -> "true"))
-    DeltaInterop.enableColumnMapping(spark, cbase)
-    intercept[IllegalArgumentException] {
-      DeltaDml.mergeUpsert(spark, cbase,
-        Seq((1L, 2.0)).toDF("k", "v"), "k")
-    }
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.renameColumn(spark, base, "v", "price")
+    val v0 = DeltaInterop.snapshot(spark, base).version
+    // all three mutating paths on the renamed table, with CDF staging
+    DeltaDml.updateWhere(spark, base, col("k") === 2L,
+      Map("price" -> lit(22.0)))
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((3L, 33.0), (9L, 90.0)).toDF("k", "price"), "k")
+    DeltaDml.deleteVectoredWhere(spark, base, col("k") === 1L)
+    // table value correct through the mapped DML
+    assert(DeltaInterop.read(spark, base).orderBy("k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((2L, 22.0), (3L, 33.0), (9L, 90.0)))
+    // the change feed resolves the physical-named cdc files back to
+    // LOGICAL columns — a logical-named staging or unmapped read
+    // would surface `price` as NULL here
+    val feed = DeltaDml.readChangeFeed(spark, base, v0 + 1)
+      .select(col("k"), col("price"), col("_change_type"))
+    assert(feed.where(col("price").isNull).count() == 0,
+      "mapped cdc rows read back NULL (name resolution broken)")
+    val byType = feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    // UPDATE k=2 and MERGE-matched k=3 → pre+post pairs; MERGE k=9 →
+    // insert; DV delete k=1 → delete
+    assert(byType == Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+      "insert" -> 1L, "delete" -> 1L), s"got $byType")
+    // exact rows: update pre/post images carry the renamed column
+    assert(feed.where(col("_change_type") === "update_postimage" &&
+        col("k") === 2L)
+      .select("k", "price").as[(Long, Double)].head() == ((2L, 22.0)))
+    // the staged files themselves must be PHYSICAL-named (protocol
+    // shape for external mapped readers)
+    val cdcFile = new java.io.File(base, "_change_data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val physCols = spark.read.parquet(cdcFile.getPath).columns.toSet
+    assert(!physCols.contains("price") && physCols.contains("_change_type"),
+      s"cdc files must carry physical names, got $physCols")
   }
 
   test("delta: schema evolution preserves the table id") {
