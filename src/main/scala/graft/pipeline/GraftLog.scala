@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.collection.mutable
@@ -10,6 +8,8 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.TableIO
 
 /** graft-log: a minimal self-contained commit-log table format over plain
   * parquet — the zero-dependency stand-in for Delta/Iceberg that
@@ -83,7 +83,12 @@ object GraftLog {
                             schemaJson: Option[String],
                             dvFiles: Seq[String] = Seq.empty)
 
-  private def logDir(base: String) = new File(base, "_graft_log")
+  // every byte of table state goes through the TableIO seam — the
+  // local impl is hard-link POSIX; object-store deployments swap
+  // TableIO.current (see TableIO's scaladoc for the operation mapping)
+  private def io: TableIO = TableIO()
+
+  private def logDir(base: String) = TableIO.join(base, "_graft_log")
 
   private def logName(version: Long) = f"$version%020d.json"
 
@@ -116,10 +121,10 @@ object GraftLog {
   }
 
   private def commitsOnce(base: String): Seq[Commit] = {
-    val files = Option(logDir(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
-    files.toSeq.map { f =>
-      val n = mapper.readTree(f)
+    val files = io.list(logDir(base))
+      .filter(CommitName.matches).sorted
+    files.map { f =>
+      val n = mapper.readTree(io.readString(TableIO.join(logDir(base), f)))
       def arr(field: String): Seq[String] = {
         val a = n.get(field)
         if (a == null) Seq.empty
@@ -227,7 +232,7 @@ object GraftLog {
              expectedVersion: Option[Long] = None,
              addDv: Seq[String] = Seq.empty,
              removeDv: Seq[String] = Seq.empty): Long = {
-    logDir(base).mkdirs()
+    io.mkdirs(logDir(base))
     var attempt = 0
     while (true) {
       txnId.foreach { id =>
@@ -260,36 +265,24 @@ object GraftLog {
       txnId.foreach(node.put("txnId", _))
       schemaJson.foreach(node.put("schemaJson", _))
       putStats(node, stats)
-      val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
-      Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
-      try {
-        // Atomic-EXCLUSIVE slot claim via hard link: link(2) fails with
-        // EEXIST if the slot is taken. (A rename would NOT work here —
-        // POSIX rename silently REPLACES an existing target, so two
-        // racing writers would both "win" the version and one commit
-        // would be torn away; the thread-race spec caught exactly that.)
-        // Content is fully written before the link, so readers only ever
-        // see complete commit files. On an object store, the equivalent
-        // is a conditional PUT (if-none-match).
-        Files.createLink(new File(logDir(base), logName(next)).toPath,
-          tmp.toPath)
-        Files.deleteIfExists(tmp.toPath)
+      val tmp = TableIO.join(logDir(base), s".tmp_${UUID.randomUUID()}.json")
+      io.writeString(tmp, mapper.writeValueAsString(node))
+      // Atomic-EXCLUSIVE slot claim (TableIO.putIfAbsent): locally a
+      // hard link — link(2) fails with EEXIST if the slot is taken. (A
+      // rename would NOT work here — POSIX rename silently REPLACES an
+      // existing target, so two racing writers would both "win" the
+      // version and one commit would be torn away; the thread-race spec
+      // caught exactly that.) Content is fully written before the
+      // claim, so readers only ever see complete commit files. On an
+      // object store this is a conditional PUT (if-none-match). Real
+      // I/O failures (ENOSPC, permissions) propagate from putIfAbsent —
+      // only a lost claim counts as a version race.
+      if (io.putIfAbsent(tmp, TableIO.join(logDir(base), logName(next))))
         return next
-      } catch {
-        // ONLY EEXIST is a version race. Other FileSystemExceptions
-        // (no hard-link support, ENOSPC, permissions) are real failures —
-        // retrying them would spin maxRetries times and then blame a
-        // nonexistent race, hiding the actual cause.
-        case e: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp.toPath)
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new java.io.IOException(
-              s"graft-log commit lost $maxRetries version races under $base", e)
-        case e: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp.toPath)
-          throw e
-      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.io.IOException(
+          s"graft-log commit lost $maxRetries version races under $base")
     }
     -1L // unreachable
   }
@@ -319,20 +312,20 @@ object GraftLog {
     * under `base` (NOT yet visible — only a commit publishes them).
     * Returns the staged file names. */
   def stageFiles(df: DataFrame, base: String): Seq[String] = {
-    new File(base).mkdirs()
-    val scratch = new File(base, s".stage_${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(scratch.getPath)
+    io.mkdirs(base)
+    val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(scratch)
     val id = UUID.randomUUID().toString
-    val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    val parts = io.list(scratch)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .sorted
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = s"$id-$i.parquet"
-      Files.move(p.toPath, Paths.get(base, name), StandardCopyOption.ATOMIC_MOVE)
+      io.move(TableIO.join(scratch, p), TableIO.join(base, name))
       name
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
-    named.toSeq
+    io.deleteRecursively(scratch)
+    named
   }
 
   /** Stage files AND collect per-file zone maps (min/max) for
@@ -986,7 +979,8 @@ object GraftLog {
   def compactIncremental(spark: SparkSession, base: String,
                          minBytes: Long, targetRowsPerFile: Long): Long = {
     val snap = snapshot(base)
-    val small = snap.files.filter(f => new File(base, f).length() < minBytes)
+    val small = snap.files.filter(f =>
+      io.length(TableIO.join(base, f)) < minBytes)
     if (small.size <= 1) return snap.version // nothing to fold
     // dv-aware: folding a dv-carrying small file materializes only its
     // survivors (entries pointing at the folded file go stale-harmless —
@@ -1027,7 +1021,7 @@ object GraftLog {
     if (cur.version == versionAsOf) return cur.version
     val tgt = snapshot(base, Some(versionAsOf))
     val missing = (tgt.files ++ tgt.dvFiles)
-      .filterNot(f => new File(base, f).exists())
+      .filterNot(f => io.exists(TableIO.join(base, f)))
     require(missing.isEmpty,
       s"cannot RESTORE $base to version $versionAsOf: " +
       s"${missing.mkString(", ")} deleted (vacuumed?) — refusing")
@@ -1602,21 +1596,19 @@ object GraftLog {
       // must not degrade after vacuum
       putStats(node, baseline.fileStats.filter { case (file, _) =>
         baseline.files.contains(file) })
-      val tmp = new File(logDir(base), s".tmp_${UUID.randomUUID()}.json")
-      Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
-      Files.move(tmp.toPath,
-        new File(logDir(base), logName(firstKept.version)).toPath,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      val tmp = TableIO.join(logDir(base), s".tmp_${UUID.randomUUID()}.json")
+      io.writeString(tmp, mapper.writeValueAsString(node))
+      io.moveReplace(tmp, TableIO.join(logDir(base), logName(firstKept.version)))
       // only after the checkpoint is durable: drop the squashed entries
-      dropLog.foreach(c => new File(logDir(base), logName(c.version)).delete())
+      dropLog.foreach(c => io.delete(TableIO.join(logDir(base), logName(c.version))))
     }
     val cutoff = System.currentTimeMillis() - math.max(0L, retentionMs)
-    val onDisk = Option(new File(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val onDisk = io.list(base).filter(_.endsWith(".parquet"))
     var deleted = 0
     onDisk.foreach { f =>
-      if (!needed.contains(f.getName) && f.lastModified() <= cutoff) {
-        if (f.delete()) deleted += 1
+      if (!needed.contains(f) &&
+          io.lastModified(TableIO.join(base, f)) <= cutoff) {
+        if (io.delete(TableIO.join(base, f))) deleted += 1
       }
     }
     deleted

@@ -487,8 +487,8 @@ object GraftSql {
           val snap = graft.sources.DeltaInterop.snapshot(spark, base)
           ("delta", base, snap.partitionColumns,
             snap.files.size.toLong,
-            snap.files.map(f => graft.sources.DeltaInterop
-              .resolveDataFile(base, f.path).length()).sum,
+            snap.files.map(f => graft.sources.TableIO().length(
+              graft.sources.DeltaInterop.resolveDataFile(base, f.path))).sum,
             snap.version)
         case LogTable(base) =>
           val snap = GraftLog.snapshot(base)

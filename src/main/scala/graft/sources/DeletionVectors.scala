@@ -214,10 +214,16 @@ object DeletionVectors {
   /** Read one DV blob out of a `.bin` storage file at `offset`:
     * [4B BE size][data][4B BE crc32(data)], with the file's leading
     * version byte checked once. */
-  def readFromFile(f: File, offset: Int): Array[Long] = {
-    val bytes = Files.readAllBytes(f.toPath)
+  def readFromFile(f: File, offset: Int): Array[Long] =
+    readDvBlob(Files.readAllBytes(f.toPath), offset, f.toString)
+
+  /** Decode one DV blob out of a `.bin` storage file's BYTES at
+    * `offset`: [4B BE size][data][4B BE crc32(data)], with the file's
+    * leading version byte checked once. Byte-based so the format layer
+    * reads through its storage seam (TableIO). */
+  def readDvBlob(bytes: Array[Byte], offset: Int, where: String): Array[Long] = {
     require(bytes.nonEmpty && bytes(0) == 1,
-      s"unsupported deletion-vector file version ${if (bytes.isEmpty) "<empty>" else bytes(0)} in $f")
+      s"unsupported deletion-vector file version ${if (bytes.isEmpty) "<empty>" else bytes(0)} in $where")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     bb.position(offset)
     val size = bb.getInt
@@ -226,7 +232,7 @@ object DeletionVectors {
     val expectCrc = bb.getInt.toLong & 0xffffffffL
     val crc = new CRC32(); crc.update(data)
     require(crc.getValue == expectCrc,
-      s"deletion-vector checksum mismatch in $f at offset $offset")
+      s"deletion-vector checksum mismatch in $where at offset $offset")
     decodeDvData(data)
   }
 
@@ -234,6 +240,15 @@ object DeletionVectors {
     * in the descriptor. Layout per spec: version byte, then the framed
     * blob. */
   def writeDvFile(f: File, positions: Seq[Long]): Int = {
+    val (bytes, off) = dvFileBytes(positions)
+    Files.write(f.toPath, bytes)
+    off
+  }
+
+  /** The single-DV storage file's BYTES plus the blob offset to record
+    * in the descriptor (layout per spec: version byte, then the framed
+    * blob) — byte-based so the format layer writes through TableIO. */
+  def dvFileBytes(positions: Seq[Long]): (Array[Byte], Int) = {
     val data = dvDataBytes(positions)
     val crc = new CRC32(); crc.update(data)
     val bb = ByteBuffer.allocate(1 + 4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
@@ -241,8 +256,7 @@ object DeletionVectors {
     bb.putInt(data.length)     // blob frame at offset 1
     bb.put(data)
     bb.putInt((crc.getValue & 0xffffffffL).toInt)
-    Files.write(f.toPath, bb.array())
-    1 // offset of the size-prefixed blob
+    (bb.array(), 1) // offset of the size-prefixed blob
   }
 
   /** Canonical UUID string → the `u`-storage pathOrInlineDv suffix

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-import java.nio.file.Files
 import java.util.UUID
 
 import scala.collection.mutable
@@ -89,11 +87,11 @@ object DeltaDml {
     * bins, `_change_data` parquet, rewritten data files): the retry
     * re-derives everything from the fresh snapshot, so the loser's
     * files would otherwise accumulate unreferenced until a vacuum. */
+  private def io: TableIO = TableIO()
+
   private def discardStaged(base: String, relPaths: Seq[String]): Unit =
-    relPaths.foreach { r =>
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        DeltaInterop.resolveDataFile(base, r))
-    }
+    relPaths.foreach(r =>
+      io.delete(DeltaInterop.resolveDataFile(base, r)))
 
   /** Is Change Data Feed enabled on this table? (The OSS property.) */
   private def cdfEnabled(snap: DeltaSnapshot): Boolean =
@@ -155,7 +153,7 @@ object DeltaDml {
     a.partitionValues.foreach { case (k, v) =>
       if (v == null) pv.putNull(k) else pv.put(k, v)
     }
-    c.put("size", DeltaInterop.resolveDataFile(base, a.path).length())
+    c.put("size", io.length(DeltaInterop.resolveDataFile(base, a.path)))
     c.put("dataChange", false)
     mapper.writeValueAsString(node)
   }
@@ -328,8 +326,11 @@ object DeltaDml {
             val all = (old ++ newPos).distinct.sorted
             val uuid = UUID.randomUUID()
             val binName = s"deletion_vector_$uuid.bin"
-            val off = DeletionVectors.writeDvFile(
-              new File(baseStr, binName), all)
+            // executor-side write through the storage seam (an
+            // object-store deployment installs TableIO.current on the
+            // executors too)
+            val (binBytes, off) = DeletionVectors.dvFileBytes(all)
+            TableIO().writeBytes(TableIO.join(baseStr, binName), binBytes)
             val size = DeletionVectors.dvDataBytes(all).length
             (key, DeletionVectors.encodeUuid(uuid), off, size,
               all.length.toLong, binName)
@@ -804,9 +805,8 @@ object DeltaDml {
     require(fromVersion <= end,
       s"fromVersion $fromVersion is beyond version $end of $base")
     val dir = logDir(base)
-    val commitFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
-      .map(f => (f.getName.stripSuffix(".json").toLong, f))
+    val commitFiles = io.list(dir).filter(CommitName.matches).sorted
+      .map(f => (f.stripSuffix(".json").toLong, TableIO.join(dir, f)))
       .filter { case (v, _) => v >= fromVersion && v <= end }
     require(commitFiles.map(_._1).toSet == (fromVersion to end).toSet,
       s"log of $base is missing commits in [$fromVersion, $end] " +
@@ -835,12 +835,12 @@ object DeltaDml {
         .drop("__delta_file", "__delta_pos")
     }
 
-    val parts: Seq[DataFrame] = commitFiles.toSeq.flatMap { case (v, cf) =>
-      val ts = cf.lastModified()
+    val parts: Seq[DataFrame] = commitFiles.flatMap { case (v, cf) =>
+      val ts = io.lastModified(cf)
       val cdcE = mutable.ArrayBuffer.empty[AddFile]
       val addE = mutable.ArrayBuffer.empty[AddFile]
       val removeE = mutable.ArrayBuffer.empty[(String, Option[DvDescriptor])]
-      Files.readAllLines(cf.toPath).forEach { line =>
+      io.readLines(cf).foreach { line =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
           Option(n.get("cdc")).foreach { c =>

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.collection.mutable
@@ -38,8 +36,13 @@ import org.apache.spark.sql.types._
 object DeltaInterop {
   private val mapper = new ObjectMapper()
 
+  // every byte of table state goes through the TableIO seam — local
+  // hard-link POSIX by default; object-store deployments swap
+  // TableIO.current (see TableIO's scaladoc for the operation mapping)
+  private def io: TableIO = TableIO()
+
   private[sources] val CommitName = "^[0-9]{20}\\.json$".r
-  private[sources] def logDir(base: String) = new File(base, "_delta_log")
+  private[sources] def logDir(base: String) = TableIO.join(base, "_delta_log")
   private[sources] def commitName(v: Long) = f"$v%020d.json"
   private def checkpointName(v: Long) = f"$v%020d.checkpoint.parquet"
 
@@ -133,24 +136,23 @@ object DeltaInterop {
   def snapshot(spark: SparkSession, base: String,
                versionAsOf: Option[Long] = None): DeltaSnapshot = {
     val dir = logDir(base)
-    require(dir.isDirectory, s"not a Delta table (no _delta_log): $base")
-    val commitFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName))
-      .sortBy(_.getName)
-    require(commitFiles.nonEmpty || new File(dir, "_last_checkpoint").exists(),
+    require(io.isDirectory(dir), s"not a Delta table (no _delta_log): $base")
+    val commitFiles = io.list(dir).filter(CommitName.matches).sorted
+    require(commitFiles.nonEmpty ||
+      io.exists(TableIO.join(dir, "_last_checkpoint")),
       s"empty _delta_log in $base")
     val headVersion = commitFiles.lastOption
-      .map(_.getName.stripSuffix(".json").toLong)
+      .map(_.stripSuffix(".json").toLong)
     // checkpoint hint (the protocol's _last_checkpoint side file)
-    val lastCp = Option(new File(dir, "_last_checkpoint"))
-      .filter(_.exists())
-      .map(f => mapper.readTree(f).get("version").asLong())
+    val lastCp = Option(TableIO.join(dir, "_last_checkpoint"))
+      .filter(io.exists)
+      .map(f => mapper.readTree(io.readString(f)).get("version").asLong())
     val target = versionAsOf
       .orElse(headVersion)
       .orElse(lastCp)
       .getOrElse(throw new IllegalStateException(s"cannot resolve head of $base"))
     versionAsOf.foreach { v =>
-      val known = commitFiles.map(_.getName.stripSuffix(".json").toLong).toSet
+      val known = commitFiles.map(_.stripSuffix(".json").toLong).toSet
       require(known.contains(v) || lastCp.contains(v),
         s"version $v not in _delta_log of $base (have ${known.toSeq.sorted})")
     }
@@ -386,27 +388,26 @@ object DeltaInterop {
       // carries the non-file actions plus `sidecar` actions naming
       // _delta_log/_sidecars/ parquet files that hold the add/remove
       // file actions.
-      val single = new File(dir, checkpointName(cv))
+      val single = TableIO.join(dir, checkpointName(cv))
       val partRe = (f"$cv%020d" + "\\.checkpoint\\.[0-9]{10}\\.[0-9]{10}\\.parquet").r
       val v2Re = (f"$cv%020d" + "\\.checkpoint\\.[0-9A-Za-z_-]+\\.(parquet|json)").r
-      val v1Parts = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => partRe.matches(f.getName)).sortBy(_.getName)
+      val v1Parts = io.list(dir).filter(partRe.matches).sorted
       val sidecarPaths: Seq[String] =
-        if (single.exists()) applyCheckpointFrame(spark.read.parquet(single.getPath))
+        if (io.exists(single)) applyCheckpointFrame(spark.read.parquet(single))
         else if (v1Parts.nonEmpty)
-          applyCheckpointFrame(spark.read.parquet(v1Parts.map(_.getPath).toSeq: _*))
+          applyCheckpointFrame(spark.read.parquet(
+            v1Parts.map(TableIO.join(dir, _)): _*))
         else {
-          val v2 = Option(dir.listFiles()).getOrElse(Array.empty)
-            .filter(f => v2Re.matches(f.getName)).sortBy(_.getName)
+          val v2 = io.list(dir).filter(v2Re.matches).sorted
           require(v2.nonEmpty, s"_last_checkpoint names version $cv but no " +
             s"checkpoint parquet found in $dir")
           val top = v2.last // newest uniqueId wins if several attempts exist
-          if (top.getName.endsWith(".json")) {
+          if (top.endsWith(".json")) {
             // JSON top-level form: newline-delimited actions, parsed
             // driver-side (non-file actions + sidecar refs only —
             // metadata-scale by the spec's own design)
             val sidecars = mutable.Buffer.empty[String]
-            Files.readAllLines(top.toPath).forEach { line =>
+            io.readLines(TableIO.join(dir, top)).foreach { line =>
               if (line.nonEmpty) {
                 val n = mapper.readTree(line)
                 Option(n.get("protocol")).foreach(applyProtocol)
@@ -419,31 +420,32 @@ object DeltaInterop {
               }
             }
             sidecars.toSeq
-          } else applyCheckpointFrame(spark.read.parquet(top.getPath))
+          } else applyCheckpointFrame(
+            spark.read.parquet(TableIO.join(dir, top)))
         }
       if (sidecarPaths.nonEmpty) {
         // sidecar files live under _delta_log/_sidecars/ (relative
         // paths; absolute ones resolve as given) and hold file actions
         // with the same struct shapes as a v1 checkpoint
         val resolved = sidecarPaths.map { p =>
-          val f = new File(p)
-          if (f.isAbsolute) f else new File(new File(dir, "_sidecars"), p)
+          if (p.startsWith("/")) p
+          else TableIO.join(TableIO.join(dir, "_sidecars"), p)
         }
-        resolved.foreach(f => require(f.exists(),
-          s"v2 checkpoint of $base names sidecar ${f.getPath} which does " +
+        resolved.foreach(f => require(io.exists(f),
+          s"v2 checkpoint of $base names sidecar $f which does " +
           "not exist — refusing (the live file set would be incomplete)"))
-        applyCheckpointFrame(spark.read.parquet(resolved.map(_.getPath): _*))
+        applyCheckpointFrame(spark.read.parquet(resolved: _*))
       }
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
     commitFiles
       .filter { f =>
-        val v = f.getName.stripSuffix(".json").toLong
+        val v = f.stripSuffix(".json").toLong
         v >= replayFrom && v <= target
       }
       .foreach { f =>
-        Files.readAllLines(f.toPath).forEach { line =>
+        io.readLines(TableIO.join(dir, f)).foreach { line =>
           if (line.nonEmpty) {
             val n = mapper.readTree(line)
             Option(n.get("protocol")).foreach(applyProtocol)
@@ -470,13 +472,12 @@ object DeltaInterop {
     * here exactly as it is in delta-spark. */
   def history(spark: SparkSession, base: String): DataFrame = {
     val dir = logDir(base)
-    require(dir.isDirectory, s"not a Delta table (no _delta_log): $base")
-    val rows = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
+    require(io.isDirectory(dir), s"not a Delta table (no _delta_log): $base")
+    val rows = io.list(dir).filter(CommitName.matches).sorted
       .map { f =>
         var op: String = null
         var adds = 0L; var removes = 0L
-        Files.readAllLines(f.toPath).forEach { line =>
+        io.readLines(TableIO.join(dir, f)).foreach { line =>
           if (line.nonEmpty) {
             val n = mapper.readTree(line)
             Option(n.get("commitInfo")).flatMap(ci => Option(ci.get("operation")))
@@ -485,9 +486,9 @@ object DeltaInterop {
             if (n.has("remove")) removes += 1
           }
         }
-        (f.getName.stripSuffix(".json").toLong, op, adds, removes,
-          new java.sql.Timestamp(f.lastModified()))
-      }.toSeq
+        (f.stripSuffix(".json").toLong, op, adds, removes,
+          new java.sql.Timestamp(io.lastModified(TableIO.join(dir, f))))
+      }
     import spark.implicits._
     rows.toDF("version", "operation", "n_adds", "n_removes", "timestamp")
   }
@@ -512,17 +513,16 @@ object DeltaInterop {
     require(fromVersion <= head.version,
       s"fromVersion $fromVersion is beyond head ${head.version} of $base")
     val dir = logDir(base)
-    val perVersion = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
-      .map(f => (f.getName.stripSuffix(".json").toLong, f))
+    val perVersion = io.list(dir).filter(CommitName.matches).sorted
+      .map(f => (f.stripSuffix(".json").toLong, TableIO.join(dir, f)))
       .filter { case (v, _) => v > fromVersion && v <= head.version }
     require(perVersion.map(_._1).toSet ==
       ((fromVersion + 1) to head.version).toSet,
       s"log of $base is missing commits in ($fromVersion, ${head.version}] " +
       "(checkpoint-compacted?) — incremental read cannot be gap-free")
-    val parts = perVersion.toSeq.flatMap { case (v, f) =>
+    val parts = perVersion.flatMap { case (v, f) =>
       val adds = mutable.ArrayBuffer.empty[AddFile]
-      Files.readAllLines(f.toPath).forEach { line =>
+      io.readLines(f).foreach { line =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
           Option(n.get("remove")).foreach { r =>
@@ -568,12 +568,12 @@ object DeltaInterop {
     * modification time (the in-commit commitInfo timestamp is optional).
     * Driver-side listing only; no data I/O. */
   def versionAtTimestamp(base: String, tsMillis: Long): Long = {
-    val candidates = Option(logDir(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName))
-      .filter(_.lastModified() <= tsMillis)
+    val candidates = io.list(logDir(base))
+      .filter(CommitName.matches)
+      .filter(f => io.lastModified(TableIO.join(logDir(base), f)) <= tsMillis)
     require(candidates.nonEmpty,
       s"no Delta commit at or before ${new java.sql.Timestamp(tsMillis)} in $base")
-    candidates.map(_.getName.stripSuffix(".json").toLong).max
+    candidates.map(_.stripSuffix(".json").toLong).max
   }
 
   /** Read a Delta table into a DataFrame (head, or `versionAsOf`, or
@@ -859,12 +859,12 @@ object DeltaInterop {
           DeletionVectors.z85DecodeBytes(d.pathOrInlineDv).take(d.sizeInBytes))
       case "u" =>
         val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
-        val dir = if (prefix.isEmpty) new File(base) else new File(base, prefix)
-        DeletionVectors.readFromFile(
-          new File(dir, s"deletion_vector_$uuid.bin"),
-          d.offset.getOrElse(1))
+        val dir = if (prefix.isEmpty) base else TableIO.join(base, prefix)
+        val p = TableIO.join(dir, s"deletion_vector_$uuid.bin")
+        DeletionVectors.readDvBlob(io.readBytes(p), d.offset.getOrElse(1), p)
       case "p" =>
-        DeletionVectors.readFromFile(new File(d.pathOrInlineDv), d.offset.getOrElse(1))
+        DeletionVectors.readDvBlob(io.readBytes(d.pathOrInlineDv),
+          d.offset.getOrElse(1), d.pathOrInlineDv)
       case other =>
         throw new IllegalArgumentException(s"deletion-vector storageType '$other'")
     }
@@ -877,38 +877,39 @@ object DeltaInterop {
     * pairs. */
   private[sources] def stageAdds(df: DataFrame, base: String,
                         partitionBy: Seq[String]): Seq[AddFile] = {
-    new File(base).mkdirs()
-    val scratch = new File(base, s".stage_${UUID.randomUUID()}")
+    io.mkdirs(base)
+    val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
     if (partitionBy.isEmpty) {
-      df.write.mode("overwrite").parquet(scratch.getPath)
+      df.write.mode("overwrite").parquet(scratch)
       val id = UUID.randomUUID().toString
-      val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
+      val parts = io.list(scratch)
+        .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+        .sorted
       val adds = parts.zipWithIndex.map { case (p, i) =>
         val name = s"$id-$i.parquet"
-        Files.move(p.toPath, Paths.get(base, name), StandardCopyOption.ATOMIC_MOVE)
+        io.move(TableIO.join(scratch, p), TableIO.join(base, name))
         AddFile(name, Map.empty)
-      }.toSeq
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      }
+      io.deleteRecursively(scratch)
       adds
     } else {
       df.write.mode("overwrite").partitionBy(partitionBy: _*)
-        .parquet(scratch.getPath)
+        .parquet(scratch)
       // hive-style dirs <col>=<val>/part-*.parquet → add actions with
       // explicit partitionValues (the protocol's source of truth; the
       // directory layout is just convention)
       val adds = mutable.ArrayBuffer.empty[AddFile]
-      def walk(d: File, pv: Map[String, String]): Unit =
-        Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach {
-          case f if f.isDirectory && f.getName.contains("=") =>
+      def walk(d: String, pv: Map[String, String]): Unit =
+        io.list(d).sorted.foreach { name =>
+          val f = TableIO.join(d, name)
+          if (io.isDirectory(f) && name.contains("=")) {
             // Spark's partitionBy wrote this dir with Hive-style %XX
             // escaping — unescape with the same convention (NOT
             // URLDecoder: '+' is a literal plus in a path)
-            val Array(k, v) = f.getName.split("=", 2)
+            val Array(k, v) = name.split("=", 2)
             val dec = PathCodec.unescapePathName(v)
             walk(f, pv + (k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec)))
-          case f if f.getName.startsWith("part-") && f.getName.endsWith(".parquet") =>
+          } else if (name.startsWith("part-") && name.endsWith(".parquet")) {
             val id = UUID.randomUUID().toString
             // on-disk layout: Hive-escaped dir names; logged add.path:
             // the RFC percent-encoding of that on-disk relative path
@@ -916,13 +917,13 @@ object DeltaInterop {
             val rel = pv.map { case (k, v) =>
               s"$k=${PathCodec.escapePathName(if (v == null) "__HIVE_DEFAULT_PARTITION__" else v)}"
             }.mkString("/") + s"/$id.parquet"
-            Files.createDirectories(Paths.get(base, rel).getParent)
-            Files.move(f.toPath, Paths.get(base, rel), StandardCopyOption.ATOMIC_MOVE)
+            io.mkdirs(TableIO.join(base, rel.split("/").dropRight(1).mkString("/")))
+            io.move(f, TableIO.join(base, rel))
             adds += AddFile(PathCodec.percentEncodePath(rel), pv)
-          case _ => ()
+          }
         }
       walk(scratch, Map.empty)
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+      io.deleteRecursively(scratch)
       adds.toSeq
     }
   }
@@ -1024,27 +1025,27 @@ object DeltaInterop {
                           operation: String = ""): Unit = {
     val lines =
       if (operation.isEmpty) lines0 else commitInfoJson(operation) +: lines0
-    val dir = logDir(base); dir.mkdirs()
-    val tmp = new File(dir, s".tmp_${UUID.randomUUID()}.json")
-    Files.writeString(tmp.toPath, lines.mkString("", "\n", "\n"))
-    val dst = new File(dir, commitName(version))
+    val dir = logDir(base); io.mkdirs(dir)
+    val tmp = TableIO.join(dir, s".tmp_${UUID.randomUUID()}.json")
+    io.writeString(tmp, lines.mkString("", "\n", "\n"))
     // atomic put-if-absent = the commit (Delta's log store contract)
-    AtomicCommit.publish(tmp.toPath, dst.toPath,
-      s"delta commit $version already exists in $base")
+    if (!io.putIfAbsent(tmp, TableIO.join(dir, commitName(version))))
+      throw new java.util.ConcurrentModificationException(
+        s"delta commit $version already exists in $base")
   }
 
   /** add/remove.path resolution (protocol §Add File and Remove File):
     * the path is percent-encoded and RELATIVE to the table root, OR an
     * ABSOLUTE path — shallow clones reference the SOURCE table's files
     * that way, so every reader/maintenance path must resolve both. */
-  private[graft] def resolveDataFile(base: String, rawPath: String): File = {
+  private[graft] def resolveDataFile(base: String, rawPath: String): String = {
     val p = PathCodec.percentDecode(rawPath)
     val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
-    if (noScheme.startsWith("/")) new File(noScheme) else new File(base, p)
+    if (noScheme.startsWith("/")) noScheme else TableIO.join(base, p)
   }
 
   private[sources] def resolveDataPath(base: String, rawPath: String): String =
-    resolveDataFile(base, rawPath).getPath
+    resolveDataFile(base, rawPath)
 
   private[sources] def addJson(a: AddFile, base: String,
                       dataChange: Boolean = true): String = {
@@ -1056,8 +1057,8 @@ object DeltaInterop {
       if (v == null) pv.putNull(k) else pv.put(k, v)
     }
     val f = resolveDataFile(base, a.path)
-    add.put("size", f.length())
-    add.put("modificationTime", f.lastModified())
+    add.put("size", io.length(f))
+    add.put("modificationTime", io.lastModified(f))
     add.put("dataChange", dataChange)
     a.dv.foreach { d =>
       val dv = add.putObject("deletionVector")
@@ -1135,9 +1136,8 @@ object DeltaInterop {
   }
 
   private[sources] def currentVersion(base: String): Option[Long] = {
-    val fs = Option(logDir(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName))
-    if (fs.isEmpty) None else Some(fs.map(_.getName.stripSuffix(".json").toLong).max)
+    val fs = io.list(logDir(base)).filter(CommitName.matches)
+    if (fs.isEmpty) None else Some(fs.map(_.stripSuffix(".json").toLong).max)
   }
 
   /** Create-or-replace the table (commit 0 = protocol+metaData+adds;
@@ -1252,8 +1252,8 @@ object DeltaInterop {
           data.length, distinct.size.toLong)
       } else {
         val uuid = UUID.randomUUID()
-        val off = DeletionVectors.writeDvFile(
-          new File(base, s"deletion_vector_$uuid.bin"), distinct)
+        val (bytes, off) = DeletionVectors.dvFileBytes(distinct)
+        io.writeBytes(TableIO.join(base, s"deletion_vector_$uuid.bin"), bytes)
         DvDescriptor("u", DeletionVectors.encodeUuid(uuid), Some(off),
           data.length, distinct.size.toLong)
       }
@@ -1403,8 +1403,8 @@ object DeltaInterop {
             throw new IllegalStateException(s"no commits under $base"))
           // inspect every commit that won a version we attempted
           (v to head).foreach { wv =>
-            val wf = new File(logDir(base), commitName(wv))
-            if (wf.exists()) Files.readAllLines(wf.toPath).forEach { line =>
+            val wf = TableIO.join(logDir(base), commitName(wv))
+            if (io.exists(wf)) io.readLines(wf).foreach { line =>
               if (line.nonEmpty) {
                 val n = mapper.readTree(line)
                 if (n.has("metaData") || n.has("protocol"))
@@ -1499,7 +1499,7 @@ object DeltaInterop {
       "OPTIMIZE on a columnMapping.mode=id table is not supported " +
       "(physical schema unrecoverable); compact it with a writer that is")
     def sizeOf(f: AddFile): Long =
-      resolveDataFile(base, f.path).length()
+      io.length(resolveDataFile(base, f.path))
     val byPartition = snap.files.groupBy(_.partitionValues)
     val newAdds = mutable.ArrayBuffer.empty[AddFile]
     val removed = mutable.ArrayBuffer.empty[AddFile]
@@ -1631,9 +1631,9 @@ object DeltaInterop {
              retainMillis: Long = 7L * 24 * 3600 * 1000,
              dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot(spark, base)
-    val root = new File(base).getCanonicalFile
+    val root = PathCodec.absNorm(base)
     val live: Set[String] = snap.files.flatMap { f =>
-      val data = resolveDataFile(base, f.path).getCanonicalPath
+      val data = PathCodec.absNorm(resolveDataFile(base, f.path))
       // EVERY on-disk DV storage form is live while its file is:
       // "u" = UUID-derived bin under the table, "p" = absolute path
       // (external writers use it — deleting one breaks every read)
@@ -1641,9 +1641,10 @@ object DeltaInterop {
         d.storageType match {
           case "u" =>
             val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
-            val dir = if (prefix.isEmpty) root else new File(root, prefix)
-            Some(new File(dir, s"deletion_vector_$uuid.bin").getCanonicalPath)
-          case "p" => Some(new File(d.pathOrInlineDv).getCanonicalPath)
+            val dir = if (prefix.isEmpty) root else TableIO.join(root, prefix)
+            Some(PathCodec.absNorm(
+              TableIO.join(dir, s"deletion_vector_$uuid.bin")))
+          case "p" => Some(PathCodec.absNorm(d.pathOrInlineDv))
           case _ => None // "i" inline lives in the log itself
         }
       }
@@ -1657,40 +1658,43 @@ object DeltaInterop {
     // retention window so time travel / RESTORE inside it keep working.
     // Orphans (never logged) fall back to their own mtime.
     val tombstonedAt = mutable.HashMap.empty[String, Long]
-    Option(logDir(base).listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName)).sortBy(_.getName)
-      .foreach { cf =>
-        Files.readAllLines(cf.toPath).forEach { line =>
+    io.list(logDir(base)).filter(CommitName.matches).sorted
+      .foreach { cfName =>
+        val cf = TableIO.join(logDir(base), cfName)
+        io.readLines(cf).foreach { line =>
           if (line.nonEmpty) {
             val n = mapper.readTree(line)
             Option(n.get("remove")).foreach { r =>
-              val p = resolveDataFile(base,
-                r.get("path").asText()).getCanonicalPath
-              tombstonedAt(p) = cf.lastModified() // latest remove wins
+              val p = PathCodec.absNorm(resolveDataFile(base,
+                r.get("path").asText()))
+              tombstonedAt(p) = io.lastModified(cf) // latest remove wins
             }
           }
         }
       }
     val deleted = mutable.ArrayBuffer.empty[String]
-    def walk(d: File): Unit =
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val hidden = f.getName.startsWith(".") || f.getName.startsWith("_")
-        if (f.isDirectory) { if (!hidden) walk(f) }
-        else if (!hidden && !live.contains(f.getCanonicalPath) &&
-                 tombstonedAt.getOrElse(f.getCanonicalPath,
-                   f.lastModified()) <= cutoff) {
-          val rel = root.toPath.relativize(f.toPath.toAbsolutePath.normalize).toString
+    def walk(d: String): Unit =
+      io.list(d).foreach { name =>
+        val f = TableIO.join(d, name)
+        val hidden = name.startsWith(".") || name.startsWith("_")
+        if (io.isDirectory(f)) { if (!hidden) walk(f) }
+        else if (!hidden && !live.contains(PathCodec.absNorm(f)) &&
+                 tombstonedAt.getOrElse(PathCodec.absNorm(f),
+                   io.lastModified(f)) <= cutoff) {
+          val rel = PathCodec.absNorm(f).stripPrefix(root).stripPrefix("/")
           if (dryRun) deleted += rel
-          else if (f.delete()) deleted += rel
+          else if (io.delete(f)) deleted += rel
         }
       }
     walk(root)
     // drop now-empty partition directories (cosmetic, like Delta)
-    def prune(d: File): Boolean = {
-      val kids = Option(d.listFiles()).getOrElse(Array.empty)
-      val allGone = kids.forall(k => k.isDirectory && prune(k))
-      if (allGone && d != root && !d.getName.startsWith("_") &&
-          !d.getName.startsWith(".")) d.delete() else false
+    def prune(d: String): Boolean = {
+      val kids = io.list(d)
+      val allGone = kids.forall(k =>
+        io.isDirectory(TableIO.join(d, k)) && prune(TableIO.join(d, k)))
+      val name = d.split("/").last
+      if (allGone && d != root && !name.startsWith("_") &&
+          !name.startsWith(".")) io.delete(d) else false
     }
     if (!dryRun) prune(root)
     deleted.toSeq.sorted
@@ -1965,8 +1969,8 @@ object DeltaInterop {
       case e: java.util.ConcurrentModificationException =>
         // losing attempt: its ids were minted against a stale mark —
         // drop the staged files before the caller recomputes
-        adds.foreach(a => org.apache.commons.io.FileUtils.deleteQuietly(
-          new File(base, PathCodec.percentDecode(a.path))))
+        adds.foreach(a => io.delete(
+          TableIO.join(base, PathCodec.percentDecode(a.path))))
         throw e
     }
     v
@@ -2185,23 +2189,23 @@ object DeltaInterop {
     // version whose reads then fail on the missing .bin — resolve each
     // DV exactly as vacuum's live set does ("u" UUID bin under the
     // table, "p" absolute path; "i" inline lives in the log itself)
-    val root = new File(base).getCanonicalFile
-    def requiredPaths(f: AddFile): Seq[File] = {
+    val root = PathCodec.absNorm(base)
+    def requiredPaths(f: AddFile): Seq[String] = {
       val data = resolveDataFile(base, f.path)
       val dvBin = f.dv.flatMap { d =>
         d.storageType match {
           case "u" =>
             val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
-            val dir = if (prefix.isEmpty) root else new File(root, prefix)
-            Some(new File(dir, s"deletion_vector_$uuid.bin"))
-          case "p" => Some(new File(d.pathOrInlineDv))
+            val dir = if (prefix.isEmpty) root else TableIO.join(root, prefix)
+            Some(TableIO.join(dir, s"deletion_vector_$uuid.bin"))
+          case "p" => Some(d.pathOrInlineDv)
           case _ => None
         }
       }
       Seq(data) ++ dvBin
     }
     val missing = tgt.files.flatMap(f =>
-      requiredPaths(f).filterNot(_.exists()).map(_ => f))
+      requiredPaths(f).filterNot(io.exists).map(_ => f))
     require(missing.isEmpty,
       s"cannot RESTORE $base to version $versionAsOf: data files or " +
       s"deletion vectors of ${missing.map(_.path).distinct} were deleted " +
@@ -2238,17 +2242,17 @@ object DeltaInterop {
     require(currentVersion(dstBase).isEmpty,
       s"shallow clone target is already a Delta table: $dstBase")
     val snap = snapshot(spark, srcBase, versionAsOf)
-    val srcRoot = new File(srcBase).getCanonicalFile
+    val srcRoot = PathCodec.absNorm(srcBase)
     val adds = snap.files.map { f =>
-      val abs = resolveDataFile(srcBase, f.path).getCanonicalPath
+      val abs = PathCodec.absNorm(resolveDataFile(srcBase, f.path))
       val dv = f.dv.map { d =>
         d.storageType match {
           case "u" =>
             val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
-            val dir = if (prefix.isEmpty) srcRoot else new File(srcRoot, prefix)
+            val dir = if (prefix.isEmpty) srcRoot else TableIO.join(srcRoot, prefix)
             d.copy(storageType = "p",
-              pathOrInlineDv =
-                new File(dir, s"deletion_vector_$uuid.bin").getCanonicalPath)
+              pathOrInlineDv = PathCodec.absNorm(
+                TableIO.join(dir, s"deletion_vector_$uuid.bin")))
           case _ => d // "p" already absolute; "i" inline travels in the log
         }
       }
@@ -2293,35 +2297,35 @@ object DeltaInterop {
     require(currentVersion(dstBase).isEmpty,
       s"deep clone target is already a Delta table: $dstBase")
     val snap = snapshot(spark, srcBase, versionAsOf)
-    val srcRoot = new File(srcBase).getCanonicalFile
-    val dstRoot = new File(dstBase).getCanonicalFile
-    dstRoot.mkdirs()
+    val srcRoot = PathCodec.absNorm(srcBase)
+    val dstRoot = PathCodec.absNorm(dstBase)
+    io.mkdirs(dstRoot)
     val adds = snap.files.zipWithIndex.map { case (f, i) =>
       val src = resolveDataFile(srcBase, f.path)
       val decoded = PathCodec.percentDecode(f.path)
       val (relPath, dst) =
         if (decoded.startsWith("/") || decoded.startsWith("file:")) {
           // absolute source (cloning a shallow clone): flatten into root
-          val name = s"clone-$i-${src.getName}"
-          (name, new File(dstRoot, name))
-        } else (f.path, new File(dstRoot, decoded))
-      dst.getParentFile.mkdirs()
-      Files.createLink(dst.toPath, src.toPath)
+          val name = s"clone-$i-${src.split("/").last}"
+          (name, TableIO.join(dstRoot, name))
+        } else (f.path, TableIO.join(dstRoot, decoded))
+      io.mkdirs(dst.split("/").dropRight(1).mkString("/"))
+      // local: hard link (zero copy); object store: server-side copy
+      io.mirror(src, dst)
       val dv = f.dv.map { d =>
         d.storageType match {
           case "u" =>
             val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
-            val sdir = if (prefix.isEmpty) srcRoot else new File(srcRoot, prefix)
-            val sbin = new File(sdir, s"deletion_vector_$uuid.bin")
-            val dbin = new File(dstRoot, sbin.getName)
-            if (!dbin.exists()) Files.createLink(dbin.toPath, sbin.toPath)
-            d.copy(storageType = "p",
-              pathOrInlineDv = dbin.getCanonicalPath)
+            val sdir = if (prefix.isEmpty) srcRoot else TableIO.join(srcRoot, prefix)
+            val sbin = TableIO.join(sdir, s"deletion_vector_$uuid.bin")
+            val dbin = TableIO.join(dstRoot, sbin.split("/").last)
+            io.mirror(sbin, dbin)
+            d.copy(storageType = "p", pathOrInlineDv = PathCodec.absNorm(dbin))
           case "p" =>
-            val sbin = new File(d.pathOrInlineDv)
-            val dbin = new File(dstRoot, sbin.getName)
-            if (!dbin.exists()) Files.createLink(dbin.toPath, sbin.toPath)
-            d.copy(pathOrInlineDv = dbin.getCanonicalPath)
+            val sbin = d.pathOrInlineDv
+            val dbin = TableIO.join(dstRoot, sbin.split("/").last)
+            io.mirror(sbin, dbin)
+            d.copy(pathOrInlineDv = PathCodec.absNorm(dbin))
           case _ => d // "i" inline travels in the log
         }
       }
@@ -2350,7 +2354,7 @@ object DeltaInterop {
                        txnVersion: Long,
                        partitionBy: Seq[String] = Seq.empty): Boolean = {
     val spark = df0.sparkSession
-    val exists = logDir(base).isDirectory
+    val exists = io.isDirectory(logDir(base))
     val snapOpt = if (exists) Some(snapshot(spark, base)) else None
     if (snapOpt.exists(_.txnVersions.get(appId).exists(_ >= txnVersion)))
       return false // replayed batch — skip BEFORE staging any data
@@ -2455,7 +2459,7 @@ object DeltaInterop {
 
   private def cpAddRow(base: String, f: AddFile): org.apache.spark.sql.Row =
     org.apache.spark.sql.Row(f.path, f.partitionValues,
-      resolveDataFile(base, f.path).length(), 0L, true,
+      io.length(resolveDataFile(base, f.path)), 0L, true,
       f.dv.map(d => org.apache.spark.sql.Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
       f.stats.orNull)
@@ -2485,29 +2489,27 @@ object DeltaInterop {
       } ++
       snap.files.map(f => Row(null, null, cpAddRow(base, f), null)))
     require(parts >= 1, s"checkpoint parts $parts")
-    val scratch = new File(base, s".cp_${UUID.randomUUID()}")
+    val scratch = TableIO.join(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), cpSchema)
-      .write.mode("overwrite").parquet(scratch.getPath)
-    val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+      .write.mode("overwrite").parquet(scratch)
+    val staged = io.list(scratch)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .sorted
     require(staged.nonEmpty, "checkpoint write produced no part file")
     if (parts == 1) {
-      val dst = new File(logDir(base), checkpointName(snap.version))
-      Files.move(staged.head.toPath, dst.toPath,
-        StandardCopyOption.REPLACE_EXISTING)
+      io.moveReplace(TableIO.join(scratch, staged.head),
+        TableIO.join(logDir(base), checkpointName(snap.version)))
     } else {
       staged.zipWithIndex.foreach { case (f, i) =>
-        val dst = new File(logDir(base),
-          f"${snap.version}%020d.checkpoint.${i + 1}%010d.${staged.length}%010d.parquet")
-        Files.move(f.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        io.moveReplace(TableIO.join(scratch, f), TableIO.join(logDir(base),
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.${staged.length}%010d.parquet"))
       }
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    io.deleteRecursively(scratch)
     val lc = mapper.createObjectNode()
     lc.put("version", snap.version); lc.put("size", rows.size.toLong)
     if (parts > 1) lc.put("parts", staged.length)
-    Files.writeString(new File(logDir(base), "_last_checkpoint").toPath,
+    io.writeString(TableIO.join(logDir(base), "_last_checkpoint"),
       mapper.writeValueAsString(lc))
     snap.version
   }
@@ -2531,24 +2533,24 @@ object DeltaInterop {
     require(sidecarParts >= 1, s"sidecar parts $sidecarParts")
     val snap = snapshot(spark, base)
     val log = logDir(base)
-    val sidecarDir = new File(log, "_sidecars"); sidecarDir.mkdirs()
+    val sidecarDir = TableIO.join(log, "_sidecars"); io.mkdirs(sidecarDir)
     // 1. sidecars: the file actions, parallelized
     val addRows = snap.files.map(f => Row(cpAddRow(base, f)))
-    val scratch = new File(base, s".cp2_${UUID.randomUUID()}")
+    val scratch = TableIO.join(base, s".cp2_${UUID.randomUUID()}")
     spark.createDataFrame(
       spark.sparkContext.parallelize(addRows, sidecarParts),
       StructType(Seq(StructField("add", cpAddType))))
-      .write.mode("overwrite").parquet(scratch.getPath)
-    val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+      .write.mode("overwrite").parquet(scratch)
+    val staged = io.list(scratch)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .sorted
     require(staged.nonEmpty, "v2 checkpoint wrote no sidecar part")
     val sidecars = staged.map { f =>
       val name = s"${UUID.randomUUID()}.parquet"
-      Files.move(f.toPath, new File(sidecarDir, name).toPath)
+      io.move(TableIO.join(scratch, f), TableIO.join(sidecarDir, name))
       name
-    }.toSeq
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    }
+    io.deleteRecursively(scratch)
     // 2. the UUID-named top level: non-file actions + sidecar refs
     val topSchema = StructType(Seq(
       StructField("protocol", cpProtocolType),
@@ -2570,21 +2572,21 @@ object DeltaInterop {
         Row(null, null, Row(app, v), null)
       } ++
       sidecars.map(n => Row(null, null, null,
-        Row(n, new File(sidecarDir, n).length(), 0L))))
-    val scratch2 = new File(base, s".cp2top_${UUID.randomUUID()}")
+        Row(n, io.length(TableIO.join(sidecarDir, n)), 0L))))
+    val scratch2 = TableIO.join(base, s".cp2top_${UUID.randomUUID()}")
     spark.createDataFrame(
       spark.sparkContext.parallelize(topRows, 1), topSchema)
-      .write.mode("overwrite").parquet(scratch2.getPath)
-    val top = Option(scratch2.listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .write.mode("overwrite").parquet(scratch2)
+    val top = io.list(scratch2)
+      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no v2 top-level staged"))
-    Files.move(top.toPath, new File(log,
-      f"${snap.version}%020d.checkpoint.${UUID.randomUUID()}.parquet").toPath)
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch2)
+    io.move(TableIO.join(scratch2, top), TableIO.join(log,
+      f"${snap.version}%020d.checkpoint.${UUID.randomUUID()}.parquet"))
+    io.deleteRecursively(scratch2)
     val lc = mapper.createObjectNode()
     lc.put("version", snap.version)
     lc.put("size", (topRows.size + addRows.size).toLong)
-    Files.writeString(new File(log, "_last_checkpoint").toPath,
+    io.writeString(TableIO.join(log, "_last_checkpoint"),
       mapper.writeValueAsString(lc))
     snap.version
   }

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.collection.mutable
@@ -148,24 +146,33 @@ object IcebergInterop {
     }
   }
 
-  private def metadataDir(base: String) = new File(base, "metadata")
+  // every byte of table state goes through the TableIO seam — local
+  // hard-link POSIX by default; object-store deployments swap
+  // TableIO.current (see TableIO's scaladoc for the operation mapping)
+  private def io: TableIO = TableIO()
+
+  private def metadataDir(base: String) = TableIO.join(base, "metadata")
 
   /** Latest metadata JSON: version-hint.text if present (Hadoop catalog
     * convention), else the highest vN.metadata.json. */
-  private def currentMetadataFile(base: String): File = {
+  private def currentMetadataFile(base: String): String = {
     val dir = metadataDir(base)
-    require(dir.isDirectory, s"not an Iceberg table (no metadata dir): $base")
-    val hint = new File(dir, "version-hint.text")
-    if (hint.exists()) {
-      val v = Files.readString(hint.toPath).trim.toLong
-      new File(dir, s"v$v.metadata.json")
+    require(io.isDirectory(dir), s"not an Iceberg table (no metadata dir): $base")
+    val hint = TableIO.join(dir, "version-hint.text")
+    if (io.exists(hint)) {
+      val v = io.readString(hint).trim.toLong
+      TableIO.join(dir, s"v$v.metadata.json")
     } else {
-      val vs = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("v[0-9]+\\.metadata\\.json"))
+      val vs = io.list(dir).filter(_.matches("v[0-9]+\\.metadata\\.json"))
       require(vs.nonEmpty, s"no vN.metadata.json under $dir")
-      vs.maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+      TableIO.join(dir, vs.maxBy(
+        _.stripPrefix("v").stripSuffix(".metadata.json").toLong))
     }
   }
+
+  /** The current metadata JSON, parsed — through the storage seam. */
+  private def readMeta(base: String): JsonNode =
+    mapper.readTree(io.readString(currentMetadataFile(base)))
 
   /** Iceberg schema JSON → Spark schema (public type mapping from the
     * spec's "Schemas and Data Types" section). */
@@ -223,9 +230,9 @@ object IcebergInterop {
     * table root (Iceberg paths are absolute URIs; fixtures move). */
   private def resolvePath(base: String, p: String): String = {
     val tail = p.replaceFirst("^[a-z0-9+.-]+://[^/]*", "") // strip scheme+authority
-    val name = new File(tail).getName
-    if (new File(tail).exists()) tail
-    else if (tail.contains("/data/") || new File(s"$base/data/$name").exists())
+    val name = tail.split("/").last
+    if (io.exists(tail)) tail
+    else if (tail.contains("/data/") || io.exists(s"$base/data/$name"))
       s"$base/data/$name"
     else s"$base/metadata/$name" // manifests + manifest lists live here
   }
@@ -239,11 +246,11 @@ object IcebergInterop {
   /** Row count from the parquet FOOTER (block metadata) — no data
     * pages, no Spark job; the cheap way to record manifest
     * record_count for a just-staged file. */
-  private def footerRowCount(spark: SparkSession, f: File): Long = {
+  private def footerRowCount(spark: SparkSession, f: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(f.getPath),
+      new org.apache.hadoop.fs.Path(f),
       spark.sessionState.newHadoopConf()))
     try {
       import scala.jdk.CollectionConverters._
@@ -251,8 +258,10 @@ object IcebergInterop {
     } finally reader.close()
   }
 
-  private def readAvro(f: File): Seq[GenericRecord] = {
-    val reader = DataFileReader.openReader(f, new GenericDatumReader[GenericRecord]())
+  private def readAvro(f: String): Seq[GenericRecord] = {
+    val reader = DataFileReader.openReader(
+      new org.apache.avro.file.SeekableByteArrayInput(io.readBytes(f)),
+      new GenericDatumReader[GenericRecord]())
     try {
       val out = mutable.ArrayBuffer.empty[GenericRecord]
       while (reader.hasNext) out += reader.next()
@@ -264,8 +273,10 @@ object IcebergInterop {
     * filtered copy of a manifest another writer may have produced
     * (compaction must preserve entries byte-compatibly, whatever
     * optional columns that writer used). */
-  private def readAvroWithSchema(f: File): (AvroSchema, Seq[GenericRecord]) = {
-    val reader = DataFileReader.openReader(f, new GenericDatumReader[GenericRecord]())
+  private def readAvroWithSchema(f: String): (AvroSchema, Seq[GenericRecord]) = {
+    val reader = DataFileReader.openReader(
+      new org.apache.avro.file.SeekableByteArrayInput(io.readBytes(f)),
+      new GenericDatumReader[GenericRecord]())
     try {
       val out = mutable.ArrayBuffer.empty[GenericRecord]
       while (reader.hasNext) out += reader.next()
@@ -276,7 +287,7 @@ object IcebergInterop {
   /** Resolve the table state at `snapshotId` (current by default). */
   def snapshot(spark: SparkSession, base: String,
                snapshotId: Option[Long] = None): IcebergSnapshot = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val fv = meta.get("format-version").asInt()
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
     // current schema (schemas list + current-schema-id; v1 fallback "schema")
@@ -327,8 +338,8 @@ object IcebergInterop {
         }.getOrElse(Map.empty)
     }
 
-    val manifestList = new File(resolvePath(base,
-      snap.get("manifest-list").asText()))
+    val manifestList = resolvePath(base,
+      snap.get("manifest-list").asText())
     val files = mutable.ArrayBuffer.empty[DataFileEntry]
     val deletes = mutable.ArrayBuffer.empty[PositionDeleteFile]
     val eqDeletes = mutable.ArrayBuffer.empty[EqualityDeleteFile]
@@ -340,7 +351,7 @@ object IcebergInterop {
       // the manifest's sequence number; entries without their own
       // sequence_number inherit it (spec §Sequence Number Inheritance)
       val manifestSeq = opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L)
-      val mPath = new File(resolvePath(base, m.get("manifest_path").toString))
+      val mPath = resolvePath(base, m.get("manifest_path").toString)
       readAvro(mPath).foreach { e =>
         val status = e.get("status").toString.toInt
         if (status != 2) { // 0 existing, 1 added, 2 deleted
@@ -389,11 +400,11 @@ object IcebergInterop {
             require(fileContent == 1 || fileContent == 2,
               s"unsupported file content $fileContent in an Iceberg delete " +
               "manifest (refusing)")
-            val f = new File(resolvePath(base, df.get("file_path").toString))
+            val f = resolvePath(base, df.get("file_path").toString)
             val recCount = opt(df, "record_count")
               .map(_.toString.toLong).getOrElse(-1L)
             if (fileContent == 1)
-              deletes += PositionDeleteFile(f.getPath, entrySeq, f.length(),
+              deletes += PositionDeleteFile(f, entrySeq, io.length(f),
                 recCount)
             else {
               import scala.jdk.CollectionConverters._
@@ -405,8 +416,8 @@ object IcebergInterop {
               }.getOrElse(Seq.empty)
               require(ids.nonEmpty,
                 "equality delete file without equality_ids — cannot apply (refusing)")
-              eqDeletes += EqualityDeleteFile(f.getPath, entrySeq, ids,
-                f.length(), recCount)
+              eqDeletes += EqualityDeleteFile(f, entrySeq, ids,
+                io.length(f), recCount)
             }
           }
         }
@@ -421,7 +432,7 @@ object IcebergInterop {
     * lets callers time-travel a cached table without re-running the
     * commits that built it. */
   def snapshotIds(base: String): Seq[Long] = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val snaps = meta.get("snapshots")
     (0 until snaps.size()).map(i => snaps.get(i).get("snapshot-id").asLong())
   }
@@ -429,7 +440,7 @@ object IcebergInterop {
   /** (snapshot-id, timestamp-ms) per recorded snapshot, commit order —
     * what a caller picks an as-of instant from. */
   def snapshotTimestamps(base: String): Seq[(Long, Long)] = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val snaps = meta.get("snapshots")
     (0 until snaps.size()).map(snaps.get).map(s =>
       (s.get("snapshot-id").asLong(),
@@ -443,7 +454,7 @@ object IcebergInterop {
     * error, naming the earliest. Ties (several snapshots stamped the
     * same millisecond) resolve to the latest in commit order. */
   def snapshotIdAsOf(base: String, tsMillis: Long): Long = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val snaps = meta.get("snapshots")
     val pairs = (0 until snaps.size()).map(snaps.get).map(s =>
       (s.get("snapshot-id").asLong(),
@@ -663,7 +674,7 @@ object IcebergInterop {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val fileMap = kept.map(f =>
-      (f.rawPath, PathCodec.metadataPathKey(new File(f.path)), f.seq))
+      (f.rawPath, PathCodec.metadataPathKey(f.path), f.seq))
       .toDF("__raw", "__ice_file", "__data_seq")
     var out =
       if (keepCoords) scan // coords already attached above
@@ -828,7 +839,7 @@ object IcebergInterop {
   /** One manifest-list row worth of state the writer must preserve when
     * carrying a manifest into the next snapshot: path, content kind,
     * sequence number, adding snapshot. */
-  private final case class ManifestRef(file: File, content: Int,
+  private final case class ManifestRef(file: String, content: Int,
                                        seq: Long, addedSnapshotId: Long)
 
   /** The current snapshot's manifests with their recorded content and
@@ -843,20 +854,20 @@ object IcebergInterop {
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not in $base"))
-    readAvro(new File(resolvePath(base, cur.get("manifest-list").asText())))
+    readAvro(resolvePath(base, cur.get("manifest-list").asText()))
       .map { r =>
-        ManifestRef(new File(resolvePath(base, r.get("manifest_path").toString)),
+        ManifestRef(resolvePath(base, r.get("manifest_path").toString),
           opt(r, "content").map(_.toString.toInt).getOrElse(0),
           opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
           r.get("added_snapshot_id").toString.toLong)
       }
   }
 
-  private def writeManifestList(f: File, rows: Seq[ManifestRef]): Unit =
+  private def writeManifestList(f: String, rows: Seq[ManifestRef]): Unit =
     writeAvro(f, manifestFileSchema, rows.map { m =>
       val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", m.file.getAbsolutePath)
-      r.put("manifest_length", m.file.length())
+      r.put("manifest_path", PathCodec.absNorm(m.file))
+      r.put("manifest_length", io.length(m.file))
       r.put("partition_spec_id", 0)
       r.put("content", m.content)
       r.put("sequence_number", m.seq)
@@ -1018,7 +1029,7 @@ object IcebergInterop {
     * A bound lands only when BOTH min and max are representable —
     * one-sided bounds would make the admit test asymmetric. */
   private def collectBounds(spark: SparkSession, schema: StructType,
-                            staged: Seq[File], idOf: String => Long)
+                            staged: Seq[String], idOf: String => Long)
       : Map[String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
     import org.apache.spark.sql.functions._
     def orderable(dt: DataType): Boolean = dt match {
@@ -1031,7 +1042,7 @@ object IcebergInterop {
     if (staged.isEmpty) return Map.empty
     val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.flatMap { case (f, _) =>
       Seq(min(col(f.name)), max(col(f.name))) }
-    spark.read.parquet(staged.map(_.getPath): _*)
+    spark.read.parquet(staged: _*)
       .groupBy(regexp_replace(col("_metadata.file_path"),
         PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1067,17 +1078,20 @@ object IcebergInterop {
     arr
   }
 
-  private def writeAvro(f: File, schema: AvroSchema,
+  private def writeAvro(f: String, schema: AvroSchema,
                         rows: Seq[GenericRecord]): Unit = {
+    // written to bytes, published through the storage seam
+    val baos = new java.io.ByteArrayOutputStream()
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, f)
+    w.create(schema, baos)
     try rows.foreach(w.append) finally w.close()
+    io.writeBytes(f, baos.toByteArray)
   }
 
   private final case class TableState(
       version: Long, lastSnapshotId: Long,
       snapshots: Seq[(Long, String)], // (snapshotId, manifest-list path)
-      liveManifests: Seq[File])       // manifests of the CURRENT snapshot
+      liveManifests: Seq[String])     // manifests of the CURRENT snapshot
 
   /** Commit `df` as the next snapshot. `mode` "overwrite" starts the
     * file set fresh; "append" carries the previous snapshot's manifests
@@ -1161,11 +1175,11 @@ object IcebergInterop {
                                  branch: Option[String] = None): Long = {
     val partitionBy = spec.map(_._1)
     val spark = df.sparkSession
-    val metaDir = metadataDir(base); metaDir.mkdirs()
-    val dataDir = new File(base, "data"); dataDir.mkdirs()
-    val hint = new File(metaDir, "version-hint.text")
+    val metaDir = metadataDir(base); io.mkdirs(metaDir)
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+    val hint = TableIO.join(metaDir, "version-hint.text")
     val prev: Option[JsonNode] =
-      if (hint.exists()) Some(mapper.readTree(currentMetadataFile(base))) else None
+      if (io.exists(hint)) Some(readMeta(base)) else None
     // Branch writes (write-audit-publish): the new snapshot chains off
     // the BRANCH head and only the branch ref moves — main stays where
     // it is until fastForward publishes. A missing ref forks from the
@@ -1227,20 +1241,19 @@ object IcebergInterop {
     // bounded by the partition count (a production writer fans this out,
     // same as Iceberg's own fan-out writer).
     val id = UUID.randomUUID().toString
-    val dataFiles: Seq[(File, Map[String, Any])] =
+    val dataFiles: Seq[(String, Map[String, Any])] =
       if (partitionBy.isEmpty) {
-        val scratch = new File(base, s".stage_${UUID.randomUUID()}")
-        dfIds.write.mode("overwrite").parquet(scratch.getPath)
-        val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
+        val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
+        dfIds.write.mode("overwrite").parquet(scratch)
+        val parts = io.list(scratch)
+          .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+          .sorted
         val staged = parts.zipWithIndex.map { case (p, i) =>
           val name = s"$id-$i.parquet"
-          Files.move(p.toPath, Paths.get(dataDir.getPath, name),
-            StandardCopyOption.ATOMIC_MOVE)
-          (new File(dataDir, name), Map.empty[String, Any])
-        }.toSeq
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          io.move(TableIO.join(scratch, p), TableIO.join(dataDir, name))
+          (TableIO.join(dataDir, name), Map.empty[String, Any])
+        }
+        io.deleteRecursively(scratch)
         staged
       } else {
         val tuples = df.select(derived.map { case (n, c, _) => c.as(n) }: _*)
@@ -1252,17 +1265,16 @@ object IcebergInterop {
           val pred = derived.zipWithIndex.map { case ((_, c, _), i) =>
             if (t.isNullAt(i)) c.isNull else c === t.get(i)
           }.reduce(_ && _)
-          val scratch = new File(base, s".stage_${UUID.randomUUID()}")
+          val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
           dfIds.filter(pred).coalesce(1).write.mode("overwrite")
-            .parquet(scratch.getPath)
-          val part = Option(scratch.listFiles()).getOrElse(Array.empty)
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .parquet(scratch)
+          val part = io.list(scratch)
+            .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
             .getOrElse(throw new IllegalStateException("no part file staged"))
           val name = s"$id-$pi.parquet"
-          Files.move(part.toPath, Paths.get(dataDir.getPath, name),
-            StandardCopyOption.ATOMIC_MOVE)
-          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
-          (new File(dataDir, name), values)
+          io.move(TableIO.join(scratch, part), TableIO.join(dataDir, name))
+          io.deleteRecursively(scratch)
+          (TableIO.join(dataDir, name), values)
         }
       }
 
@@ -1274,21 +1286,21 @@ object IcebergInterop {
     val snapshotId = prev.map(nextSnapshotId).getOrElse(1L)
     val entrySchema = entrySchemaFor(partTypes)
     val mName = s"manifest-$id.avro"
-    val mFile = new File(metaDir, mName)
+    val mFile = TableIO.join(metaDir, mName)
     val entries = dataFiles.map { case (f, pv) =>
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", 1); rec.put("snapshot_id", snapshotId)
       val dfSchema = entrySchema.getField("data_file").schema()
       val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", 0)
-      dfr.put("file_path", f.getAbsolutePath)
+      dfr.put("file_path", PathCodec.absNorm(f))
       dfr.put("file_format", "PARQUET")
       // record_count is the spec's REQUIRED per-file row count (field
       // 103) — the filesTable and scan planners read it, so it must be
       // real, from the same one grouped scan that collects bounds
       dfr.put("record_count",
         boundsByFile.get(PathCodec.metadataPathKey(f)).map(_._1).getOrElse(0L))
-      dfr.put("file_size_in_bytes", f.length())
+      dfr.put("file_size_in_bytes", io.length(f))
       boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
@@ -1312,7 +1324,7 @@ object IcebergInterop {
             prev.get.get("current-snapshot-id").asLong()))
       else Seq.empty
     val mlName = s"snap-$snapshotId-$id.avro"
-    val mlFile = new File(metaDir, mlName)
+    val mlFile = TableIO.join(metaDir, mlName)
     writeManifestList(mlFile,
       carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId))
 
@@ -1321,7 +1333,7 @@ object IcebergInterop {
     // names or paths into JSON text breaks on the first quote or
     // backslash in a column name
     val version = prev.flatMap(_ => Some(
-      Files.readString(hint.toPath).trim.toLong + 1)).getOrElse(1L)
+      io.readString(hint).trim.toLong + 1)).getOrElse(1L)
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     // table-uuid is the TABLE's identity, not the commit's: spec
@@ -1393,18 +1405,19 @@ object IcebergInterop {
       .foreach(pid => snapNode.put("parent-snapshot-id", pid))
     snapNode.put("sequence-number", snapshotId)
     snapNode.put("timestamp-ms", committedAtMs)
-    snapNode.put("manifest-list", mlFile.getAbsolutePath)
+    snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
     val sm = snapNode.putObject("summary")
     sm.put("operation", mode)
     summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     snapNode.put("schema-id", schemaIdUsed)
-    val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
-    Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
-    val dst = new File(metaDir, s"v$version.metadata.json")
+    val tmp = TableIO.join(metaDir, s".tmp_${UUID.randomUUID()}")
+    io.writeString(tmp, mapper.writeValueAsString(root))
+    val dst = TableIO.join(metaDir, s"v$version.metadata.json")
     // atomic put-if-absent = the metadata commit
-    AtomicCommit.publish(tmp.toPath, dst.toPath,
-      s"iceberg metadata v$version already exists in $base")
-    Files.writeString(hint.toPath, version.toString)
+    if (!io.putIfAbsent(tmp, dst))
+      throw new java.util.ConcurrentModificationException(
+        s"iceberg metadata v$version already exists in $base")
+    io.writeString(hint, version.toString)
     snapshotId
   }
 
@@ -1429,9 +1442,9 @@ object IcebergInterop {
   def addPositionDeletes(spark: SparkSession, base: String,
                          deletes: Seq[(String, Seq[Long])]): Long = {
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     require(prev.get("format-version").asInt() == 2,
       "position deletes are an Iceberg format-v2 feature")
     val snapshotId = nextSnapshotId(prev)
@@ -1442,27 +1455,27 @@ object IcebergInterop {
     val rows = deletes.flatMap { case (p, ps) => ps.distinct.map(pos => (p, pos)) }
       .sorted
     require(rows.nonEmpty, "no positions to delete")
-    val scratch = new File(base, s".stage_$id")
-    rows.toDF("file_path", "pos").coalesce(1).write.parquet(scratch.getPath)
-    val pf = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val scratch = TableIO.join(base, s".stage_$id")
+    rows.toDF("file_path", "pos").coalesce(1).write.parquet(scratch)
+    val pf = io.list(scratch)
+      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no delete part file staged"))
-    val dataDir = new File(base, "data"); dataDir.mkdirs()
-    val delFile = new File(dataDir, s"delete-$id.parquet")
-    Files.move(pf.toPath, delFile.toPath, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+    val delFile = TableIO.join(dataDir, s"delete-$id.parquet")
+    io.move(TableIO.join(scratch, pf), delFile)
+    io.deleteRecursively(scratch)
 
     // 2. the delete manifest (a content=1 file entry)
     val entrySchema = entrySchemaFor(Seq.empty)
-    val mFile = new File(metaDir, s"manifest-del-$id.avro")
+    val mFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
     val rec = new GenericData.Record(entrySchema)
     rec.put("status", 1); rec.put("snapshot_id", snapshotId)
     val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
     dfr.put("content", 1) // 1 = position deletes
-    dfr.put("file_path", delFile.getAbsolutePath)
+    dfr.put("file_path", PathCodec.absNorm(delFile))
     dfr.put("file_format", "PARQUET")
     dfr.put("record_count", rows.size.toLong)
-    dfr.put("file_size_in_bytes", delFile.length())
+    dfr.put("file_size_in_bytes", io.length(delFile))
     rec.put("data_file", dfr)
     writeAvro(mFile, entrySchema, Seq(rec))
 
@@ -1559,9 +1572,9 @@ object IcebergInterop {
                                         scope: IcebergSnapshot => Seq[DataFileEntry],
                                         classify: DataFrame => DataFrame): Long = {
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     require(prev.get("format-version").asInt() == 2,
       "position deletes are an Iceberg format-v2 feature")
     val snap = snapshot(spark, base)
@@ -1570,7 +1583,7 @@ object IcebergInterop {
     // normalized scan path → the manifest's EXACT file_path string (the
     // coordinate system delete files must reference) — metadata scale
     val rawByKey = snap.files.map(f =>
-      (PathCodec.metadataPathKey(new File(f.path)), f.rawPath))
+      (PathCodec.metadataPathKey(f.path), f.rawPath))
       .toDF("__ice_file", "__raw")
     // persisted: the classification scan (parquet read + delete anti
     // joins) feeds BOTH the sizing count and the staged write — without
@@ -1588,23 +1601,23 @@ object IcebergInterop {
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
     val parts = math.max(1, math.ceil(n / 4e6).toInt)
-    val scratch = new File(base, s".stage_$id")
+    val scratch = TableIO.join(base, s".stage_$id")
     matched.repartitionByRange(parts, col("file_path"), col("pos"))
       .sortWithinPartitions("file_path", "pos") // spec: sorted delete files
-      .write.parquet(scratch.getPath)
-    val dataDir = new File(base, "data"); dataDir.mkdirs()
-    val delFiles = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName).zipWithIndex.map { case (pf, i) =>
-        val dst = new File(dataDir, s"delete-$id-$i.parquet")
-        Files.move(pf.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+      .write.parquet(scratch)
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+    val delFiles = io.list(scratch)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .sorted.zipWithIndex.map { case (pf, i) =>
+        val dst = TableIO.join(dataDir, s"delete-$id-$i.parquet")
+        io.move(TableIO.join(scratch, pf), dst)
         dst
       }.toSeq
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    io.deleteRecursively(scratch)
     matched.unpersist()
     // per-delete-file record counts: one grouped scan, one row per file
     val counts: Map[String, Long] = spark.read
-      .parquet(delFiles.map(_.getPath): _*)
+      .parquet(delFiles: _*)
       .groupBy(regexp_replace(col("_metadata.file_path"),
         PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
       .count().as[(String, Long)].collect().toMap
@@ -1614,15 +1627,15 @@ object IcebergInterop {
       rec.put("status", 1); rec.put("snapshot_id", snapshotId)
       val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
       dfr.put("content", 1) // 1 = position deletes
-      dfr.put("file_path", df.getAbsolutePath)
+      dfr.put("file_path", PathCodec.absNorm(df))
       dfr.put("file_format", "PARQUET")
       dfr.put("record_count",
         counts.getOrElse(PathCodec.metadataPathKey(df), 0L))
-      dfr.put("file_size_in_bytes", df.length())
+      dfr.put("file_size_in_bytes", io.length(df))
       rec.put("data_file", dfr)
       rec
     }
-    val mFile = new File(metaDir, s"manifest-del-$id.avro")
+    val mFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
     writeAvro(mFile, entrySchema, recs)
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
   }
@@ -1664,7 +1677,7 @@ object IcebergInterop {
     // files without changing table data — the changelog must emit
     // NOTHING for them, not a spurious delete+insert of every row
     val opById: Map[Long, String] = {
-      val meta = mapper.readTree(currentMetadataFile(base))
+      val meta = readMeta(base)
       val ss = meta.get("snapshots")
       (0 until ss.size()).map(ss.get).map(s =>
         s.get("snapshot-id").asLong() ->
@@ -1710,7 +1723,7 @@ object IcebergInterop {
           else {
             import spark.implicits._
             val keyDf = carried.map(f =>
-              (PathCodec.metadataPathKey(new File(f.path)), f.rawPath, f.seq))
+              (PathCodec.metadataPathKey(f.path), f.rawPath, f.seq))
               .toDF("__ice_file", "file_path", "__seq")
             val liveBefore = assembleRead(spark, prev, carried, keepCoords = true)
               .join(broadcast(keyDf), Seq("__ice_file"))
@@ -1782,9 +1795,9 @@ object IcebergInterop {
                          rows: DataFrame, equalityCols: Seq[String]): Long = {
     require(equalityCols.nonEmpty, "equality delete needs at least one column")
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     require(prev.get("format-version").asInt() == 2,
       "equality deletes are an Iceberg format-v2 feature")
     val snapshotId = nextSnapshotId(prev)
@@ -1801,7 +1814,7 @@ object IcebergInterop {
   private def stageEqDeleteManifest(spark: SparkSession, base: String,
                                     prev: JsonNode, rows: DataFrame,
                                     equalityCols: Seq[String],
-                                    snapshotId: Long, id: String): File = {
+                                    snapshotId: Long, id: String): String = {
     val metaDir = metadataDir(base)
     // table schema name → field id (ids, not names, are the contract)
     val schemaNode0 = {
@@ -1825,27 +1838,27 @@ object IcebergInterop {
         col(c).as(c, new MetadataBuilder()
           .putLong("parquet.field.id", fid.toLong).build())
       }: _*).dropDuplicates(equalityCols)
-    val scratch = new File(base, s".stage_$id")
-    proj.coalesce(1).write.parquet(scratch.getPath)
-    val pf = Option(scratch.listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val scratch = TableIO.join(base, s".stage_$id")
+    proj.coalesce(1).write.parquet(scratch)
+    val pf = io.list(scratch)
+      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("no delete part file staged"))
-    val dataDir = new File(base, "data"); dataDir.mkdirs()
-    val delFile = new File(dataDir, s"eqdelete-$id.parquet")
-    Files.move(pf.toPath, delFile.toPath, StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+    val delFile = TableIO.join(dataDir, s"eqdelete-$id.parquet")
+    io.move(TableIO.join(scratch, pf), delFile)
+    io.deleteRecursively(scratch)
 
     // 2. the delete manifest (a content=2 file entry with equality_ids)
     val entrySchema = entrySchemaFor(Seq.empty)
-    val mFile = new File(metaDir, s"manifest-eqdel-$id.avro")
+    val mFile = TableIO.join(metaDir, s"manifest-eqdel-$id.avro")
     val rec = new GenericData.Record(entrySchema)
     rec.put("status", 1); rec.put("snapshot_id", snapshotId)
     val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
     dfr.put("content", 2) // 2 = equality deletes
-    dfr.put("file_path", delFile.getAbsolutePath)
+    dfr.put("file_path", PathCodec.absNorm(delFile))
     dfr.put("file_format", "PARQUET")
     dfr.put("record_count", footerRowCount(spark, delFile))
-    dfr.put("file_size_in_bytes", delFile.length())
+    dfr.put("file_size_in_bytes", io.length(delFile))
     dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
     rec.put("data_file", dfr)
     writeAvro(mFile, entrySchema, Seq(rec))
@@ -1861,24 +1874,24 @@ object IcebergInterop {
   private def stageDataManifest(df: DataFrame, base: String,
                                 partCols: Seq[String], snapshotId: Long,
                                 idTag: String,
-                                idOf: String => Long): File = {
+                                idOf: String => Long): String = {
     val spark = df.sparkSession
     val metaDir = metadataDir(base)
-    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
     val dfIds = withFieldIds(df, idOf)
-    val dataFiles: Seq[(File, Map[String, Any])] =
+    val dataFiles: Seq[(String, Map[String, Any])] =
       if (partCols.isEmpty) {
-        val scratch = new File(base, s".stage_$idTag")
-        dfIds.write.mode("overwrite").parquet(scratch.getPath)
-        val parts = Option(scratch.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
+        val scratch = TableIO.join(base, s".stage_$idTag")
+        dfIds.write.mode("overwrite").parquet(scratch)
+        val parts = io.list(scratch)
+          .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+          .sorted
         val staged = parts.zipWithIndex.map { case (p, i) =>
-          val dst = new File(dataDir, s"$idTag-$i.parquet")
-          Files.move(p.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+          val dst = TableIO.join(dataDir, s"$idTag-$i.parquet")
+          io.move(TableIO.join(scratch, p), dst)
           (dst, Map.empty[String, Any])
         }.toSeq
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        io.deleteRecursively(scratch)
         staged
       } else {
         import org.apache.spark.sql.functions.col
@@ -1890,15 +1903,15 @@ object IcebergInterop {
           val pred = partCols.zipWithIndex.map { case (c, i) =>
             if (t.isNullAt(i)) col(c).isNull else col(c) === t.get(i)
           }.reduce(_ && _)
-          val scratch = new File(base, s".stage_$idTag-$pi")
+          val scratch = TableIO.join(base, s".stage_$idTag-$pi")
           dfIds.filter(pred).coalesce(1).write.mode("overwrite")
-            .parquet(scratch.getPath)
-          val part = Option(scratch.listFiles()).getOrElse(Array.empty)
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .parquet(scratch)
+          val part = io.list(scratch)
+            .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
             .getOrElse(throw new IllegalStateException("no part file staged"))
-          val dst = new File(dataDir, s"$idTag-$pi.parquet")
-          Files.move(part.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
-          org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+          val dst = TableIO.join(dataDir, s"$idTag-$pi.parquet")
+          io.move(TableIO.join(scratch, part), dst)
+          io.deleteRecursively(scratch)
           (dst, values)
         }
       }
@@ -1913,11 +1926,11 @@ object IcebergInterop {
       val dfSchema = entrySchema.getField("data_file").schema()
       val dfr = new GenericData.Record(dfSchema)
       dfr.put("content", 0)
-      dfr.put("file_path", f.getAbsolutePath)
+      dfr.put("file_path", PathCodec.absNorm(f))
       dfr.put("file_format", "PARQUET")
       dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
         .map(_._1).getOrElse(0L))
-      dfr.put("file_size_in_bytes", f.length())
+      dfr.put("file_size_in_bytes", io.length(f))
       boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
@@ -1930,7 +1943,7 @@ object IcebergInterop {
       rec.put("data_file", dfr)
       rec
     }
-    val mFile = new File(metaDir, s"manifest-$idTag.avro")
+    val mFile = TableIO.join(metaDir, s"manifest-$idTag.avro")
     writeAvro(mFile, entrySchema, entries)
     mFile
   }
@@ -1954,9 +1967,9 @@ object IcebergInterop {
                   keys: Seq[String]): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     require(prev.get("format-version").asInt() == 2,
       "equality-delete merges are an Iceberg format-v2 feature")
     val snap = snapshot(spark, base)
@@ -2081,9 +2094,9 @@ object IcebergInterop {
                            set: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.{col, when}
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     val snap = snapshot(spark, base)
     require(snap.specFields.forall(_.transform == "identity"),
       "updateWhere on a transformed partition spec is not implemented")
@@ -2115,9 +2128,9 @@ object IcebergInterop {
       .collect().map(_.getString(0)).toSet
     if (touchedKeys.isEmpty) return prev.get("current-snapshot-id").asLong()
     val touched = snap.files.filter(f =>
-      touchedKeys.contains(PathCodec.metadataPathKey(new File(f.path))))
+      touchedKeys.contains(PathCodec.metadataPathKey(f.path)))
     val survivors = snap.files.filterNot(f =>
-      touchedKeys.contains(PathCodec.metadataPathKey(new File(f.path))))
+      touchedKeys.contains(PathCodec.metadataPathKey(f.path)))
     // rewrite ONLY the touched files: survivors verbatim, matches
     // updated, their deletes folded (assembleRead applies them)
     val touchedScan = mark(assembleRead(spark, snap, touched))
@@ -2141,7 +2154,7 @@ object IcebergInterop {
     * summaries (−1 if none) — the read side of the exactly-once sink
     * contract. Metadata parse only. */
   def lastBatchId(base: String, appId: String): Long = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val snaps = meta.get("snapshots")
     (0 until snaps.size()).map(snaps.get).flatMap { s =>
       Option(s.get("summary")).flatMap { sm =>
@@ -2170,7 +2183,7 @@ object IcebergInterop {
   def appendIdempotent(df: DataFrame, base: String, appId: String,
                        batchId: Long,
                        partitionBy: Seq[String] = Seq.empty): Boolean = {
-    val exists = new File(metadataDir(base), "version-hint.text").exists()
+    val exists = io.exists(TableIO.join(metadataDir(base), "version-hint.text"))
     if (exists && lastBatchId(base, appId) >= batchId)
       return false // replayed batch — skip BEFORE staging any data
     commitSnapshotSpec(df, base, if (exists) "append" else "overwrite",
@@ -2193,7 +2206,7 @@ object IcebergInterop {
                          partitionBy: Seq[String]): Seq[(String, IceTransform)] = {
     val asIdentity: Seq[(String, IceTransform)] =
       partitionBy.map(c => c -> (IceTransform.Identity: IceTransform))
-    if (!new File(metadataDir(base), "version-hint.text").exists())
+    if (!io.exists(TableIO.join(metadataDir(base), "version-hint.text")))
       return asIdentity
     val spec = tableSpec(spark, base)
     if (partitionBy.nonEmpty) {
@@ -2229,7 +2242,7 @@ object IcebergInterop {
                                          operation: String,
                                          summary: Map[String, String] = Map.empty): Long = {
     val metaDir = metadataDir(base)
-    val mlFile = new File(metaDir, s"snap-$snapshotId-$id.avro")
+    val mlFile = TableIO.join(metaDir, s"snap-$snapshotId-$id.avro")
     writeManifestList(mlFile, refs)
     val root = prev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     val committedAtMs = clock() // one instant per commit
@@ -2244,7 +2257,7 @@ object IcebergInterop {
       .filter(_ > 0).foreach(p => snapNode.put("parent-snapshot-id", p))
     snapNode.put("sequence-number", snapshotId)
     snapNode.put("timestamp-ms", committedAtMs)
-    snapNode.put("manifest-list", mlFile.getAbsolutePath)
+    snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
     val sm = snapNode.putObject("summary")
     sm.put("operation", operation)
     summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
@@ -2257,7 +2270,7 @@ object IcebergInterop {
   /** Tail of a delete commit: every current manifest carried + the new
     * delete manifest. */
   private def commitDeleteSnapshot(base: String, prev: JsonNode,
-                                   mFile: File, snapshotId: Long,
+                                   mFile: String, snapshotId: Long,
                                    id: String): Long =
     commitManifestListSnapshot(base, prev,
       currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId, snapshotId),
@@ -2291,50 +2304,48 @@ object IcebergInterop {
                         olderThanMs: Option[Long] = None,
                         dryRun: Boolean = false): Seq[String] = {
     val metaDir = metadataDir(base)
-    require(new File(metaDir, "version-hint.text").exists(),
+    require(io.exists(TableIO.join(metaDir, "version-hint.text")),
       s"not an Iceberg table (no version hint): $base")
     val cutoff = olderThanMs.getOrElse(clock() - 3L * 24 * 3600 * 1000)
-    val metaJsons = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".metadata.json"))
+    val metaJsons = io.list(metaDir).filter(_.endsWith(".metadata.json"))
     val reachable = scala.collection.mutable.Set[String]()
-    reachable += new File(metaDir, "version-hint.text").getCanonicalPath
-    metaJsons.foreach { mj =>
-      reachable += mj.getCanonicalPath
-      val meta = mapper.readTree(mj)
+    reachable += PathCodec.absNorm(
+      TableIO.join(metaDir, "version-hint.text"))
+    metaJsons.foreach { mjName =>
+      val mj = TableIO.join(metaDir, mjName)
+      reachable += PathCodec.absNorm(mj)
+      val meta = mapper.readTree(io.readString(mj))
       val snaps = Option(meta.get("snapshots"))
       val all = snaps.map(s => (0 until s.size()).map(s.get)).getOrElse(Seq.empty)
       all.foreach { s =>
-        val ml = new File(resolvePath(base, s.get("manifest-list").asText()))
-        reachable += ml.getCanonicalPath
-        if (ml.exists()) readAvro(ml).foreach { m =>
-          val mf = new File(resolvePath(base, m.get("manifest_path").toString))
-          reachable += mf.getCanonicalPath
-          if (mf.exists()) readAvro(mf).foreach { e =>
+        val ml = resolvePath(base, s.get("manifest-list").asText())
+        reachable += PathCodec.absNorm(ml)
+        if (io.exists(ml)) readAvro(ml).foreach { m =>
+          val mf = resolvePath(base, m.get("manifest_path").toString)
+          reachable += PathCodec.absNorm(mf)
+          if (io.exists(mf)) readAvro(mf).foreach { e =>
             val df = e.get("data_file").asInstanceOf[GenericRecord]
-            reachable += new File(
-              resolvePath(base, df.get("file_path").toString)).getCanonicalPath
+            reachable += PathCodec.absNorm(
+              resolvePath(base, df.get("file_path").toString))
           }
         }
       }
     }
-    val root = new File(base).getCanonicalFile
-    val stream = java.nio.file.Files.walk(root.toPath)
-    val candidates =
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(_.toFile).toVector
-      } finally stream.close()
-    candidates
-      .filter(f => !reachable.contains(f.getCanonicalPath))
-      .filter(_.lastModified() < cutoff)
-      .sortBy(_.getPath)
+    val root = PathCodec.absNorm(base)
+    def walkFiles(d: String): Vector[String] =
+      io.list(d).toVector.flatMap { name =>
+        val f = TableIO.join(d, name)
+        if (io.isDirectory(f)) walkFiles(f) else Vector(f)
+      }
+    walkFiles(root)
+      .filter(f => !reachable.contains(PathCodec.absNorm(f)))
+      .filter(f => io.lastModified(f) < cutoff)
+      .sorted
       .flatMap { f =>
-        val p = f.getCanonicalPath
-        if (dryRun || f.delete())
-          Some(if (p.startsWith(root.getPath))
-            root.toPath.relativize(f.toPath).toString else p)
+        val p = PathCodec.absNorm(f)
+        if (dryRun || io.delete(f))
+          Some(if (p.startsWith(root))
+            p.stripPrefix(root).stripPrefix("/") else p)
         else None
       }
   }
@@ -2357,9 +2368,9 @@ object IcebergInterop {
                       retainLast: Int = 1): Seq[String] = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val meta = readMeta(base)
     val snaps = meta.get("snapshots")
     val all = (0 until snaps.size()).map(snaps.get)
     val currentId = meta.get("current-snapshot-id").asLong()
@@ -2402,31 +2413,30 @@ object IcebergInterop {
     // manifests → data/delete files (conservatively including
     // deleted-status entries)
     def reachable(of: Seq[JsonNode]): Set[String] = of.flatMap { s =>
-      val ml = new File(resolvePath(base, s.get("manifest-list").asText()))
+      val ml = resolvePath(base, s.get("manifest-list").asText())
       val viaManifests =
-        if (!ml.exists()) Seq.empty
+        if (!io.exists(ml)) Seq.empty
         else readAvro(ml).flatMap { m =>
-          val mf = new File(resolvePath(base, m.get("manifest_path").toString))
+          val mf = resolvePath(base, m.get("manifest_path").toString)
           val entries =
-            if (!mf.exists()) Seq.empty
+            if (!io.exists(mf)) Seq.empty
             else readAvro(mf).map { e =>
               val df = e.get("data_file").asInstanceOf[GenericRecord]
-              new File(resolvePath(base, df.get("file_path").toString))
-                .getCanonicalPath
+              PathCodec.absNorm(
+                resolvePath(base, df.get("file_path").toString))
             }
-          mf.getCanonicalPath +: entries
+          PathCodec.absNorm(mf) +: entries
         }
-      ml.getCanonicalPath +: viaManifests
+      PathCodec.absNorm(ml) +: viaManifests
     }.toSet
 
     val expired = all.filterNot(retained.contains)
     val keep = reachable(retained)
-    val root = new File(base).getCanonicalFile
+    val root = PathCodec.absNorm(base)
     val deleted = (reachable(expired) -- keep).toSeq.sorted.flatMap { p =>
-      val f = new File(p)
-      if (f.exists() && f.delete())
-        Some(if (p.startsWith(root.getPath))
-          root.toPath.relativize(f.toPath).toString else p)
+      if (io.exists(p) && io.delete(p))
+        Some(if (p.startsWith(root)) p.stripPrefix(root).stripPrefix("/")
+             else p)
       else None
     }
 
@@ -2485,11 +2495,11 @@ object IcebergInterop {
     * survive any later fold. Shared by rewrite_manifests (existing
     * entries at their recorded seqs) and cherryPick (added entries at
     * the new snapshot's seq). */
-  private def writeEntriesManifest(metaDir: File, name: String,
+  private def writeEntriesManifest(metaDir: String, name: String,
                                    files: Seq[DataFileEntry],
                                    snapshotId: Long, status: Int,
                                    seqOf: DataFileEntry => Long,
-                                   partTypes: Seq[(String, DataType)]): File = {
+                                   partTypes: Seq[(String, DataType)]): String = {
     def parsePv(dt: DataType, s: String): Any =
       if (s == null) null else dt match {
         case IntegerType => Int.box(s.toInt)
@@ -2512,7 +2522,7 @@ object IcebergInterop {
       dfr.put("file_format", "PARQUET")
       dfr.put("record_count", f.recordCount)
       dfr.put("file_size_in_bytes",
-        if (f.sizeBytes >= 0) f.sizeBytes else new File(f.path).length())
+        if (f.sizeBytes >= 0) f.sizeBytes else io.length(f.path))
       if (f.lowerBounds.nonEmpty)
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", f.lowerBounds))
       if (f.upperBounds.nonEmpty)
@@ -2527,16 +2537,16 @@ object IcebergInterop {
       rec.put("data_file", dfr)
       rec
     }
-    val mFile = new File(metaDir, name)
+    val mFile = TableIO.join(metaDir, name)
     writeAvro(mFile, entrySchema, entries)
     mFile
   }
 
   def rewriteManifests(spark: SparkSession, base: String): Long = {
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     val snap = snapshot(spark, base)
     require(snap.specFields.forall(_.transform == "identity"),
       "rewriteManifests on a transformed partition spec is not " +
@@ -2595,9 +2605,9 @@ object IcebergInterop {
                                    sortBy: Seq[String],
                                    filesPerPartition: Int): Long = {
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    require(hint.exists(), s"not an Iceberg table (no version hint): $base")
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
     val snap = snapshot(spark, base)
     require(snap.specFields.forall(_.transform == "identity"),
       "rewriteDataFiles on a transformed partition spec (bucket/truncate/" +
@@ -2609,7 +2619,7 @@ object IcebergInterop {
     }
     val groups = snap.files
       .filter(f => sortBy.nonEmpty ||
-        new File(f.path).length() < smallFileBytes)
+        io.length(f.path) < smallFileBytes)
       .groupBy(_.partitionValues)
       .filter(_._2.size >= minInputFiles)
     if (groups.isEmpty) return prev.get("current-snapshot-id").asLong()
@@ -2618,7 +2628,7 @@ object IcebergInterop {
     val survivors = snap.files.filterNot(f => rewrittenRaw.contains(f.rawPath))
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
-    val dataDir = new File(base, "data"); dataDir.mkdirs()
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
 
     // 1. per partition: read the group's LIVE rows (deletes folded) and
     // stage bin-packed replacements. Driver loop bounded by partitions,
@@ -2641,7 +2651,7 @@ object IcebergInterop {
         val live = assembleRead(spark, snap, fs)
         val shaped =
           if (sortBy.isEmpty) {
-            val bytes = fs.map(f => new File(f.path).length()).sum
+            val bytes = fs.map(f => io.length(f.path)).sum
             val n = math.max(1,
               math.ceil(bytes.toDouble / targetFileBytes).toInt)
             live.coalesce(n)
@@ -2650,18 +2660,18 @@ object IcebergInterop {
             live.repartitionByRange(filesPerPartition, sortBy.map(col): _*)
               .sortWithinPartitions(sortBy.map(col): _*)
           }
-        val scratch = new File(base, s".stage_$id-$gi")
+        val scratch = TableIO.join(base, s".stage_$id-$gi")
         withFieldIds(shaped, schemaIdOf(snap.schema))
           .write.mode("overwrite")
-          .parquet(scratch.getPath)
-        val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName).zipWithIndex.map { case (p, i) =>
-            val dst = new File(dataDir, s"$id-$gi-$i.parquet")
-            Files.move(p.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE)
+          .parquet(scratch)
+        val staged = io.list(scratch)
+          .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+          .sorted.zipWithIndex.map { case (p, i) =>
+            val dst = TableIO.join(dataDir, s"$id-$gi-$i.parquet")
+            io.move(TableIO.join(scratch, p), dst)
             dst
           }.toSeq
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        io.deleteRecursively(scratch)
         val boundsByFile =
           collectBounds(spark, snap.schema, staged, schemaIdOf(snap.schema))
         staged.foreach { f =>
@@ -2670,11 +2680,11 @@ object IcebergInterop {
           val dfSchema = entrySchema.getField("data_file").schema()
           val dfr = new GenericData.Record(dfSchema)
           dfr.put("content", 0)
-          dfr.put("file_path", f.getAbsolutePath)
+          dfr.put("file_path", PathCodec.absNorm(f))
           dfr.put("file_format", "PARQUET")
           dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
             .map(_._1).getOrElse(0L))
-          dfr.put("file_size_in_bytes", f.length())
+          dfr.put("file_size_in_bytes", io.length(f))
           boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
             dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
             dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
@@ -2690,7 +2700,7 @@ object IcebergInterop {
           newEntries += rec
         }
     }
-    val mFile = new File(metaDir, s"manifest-$id.avro")
+    val mFile = TableIO.join(metaDir, s"manifest-$id.avro")
     writeAvro(mFile, entrySchema, newEntries.toSeq)
 
     // 2. carry existing manifests, filtered: rewritten data files out
@@ -2746,7 +2756,7 @@ object IcebergInterop {
       if (kept.size == recs.size) Some(m)
       else if (kept.isEmpty) None
       else {
-        val nf = new File(metaDir,
+        val nf = TableIO.join(metaDir,
           s"manifest-filtered-${UUID.randomUUID()}.avro")
         writeAvro(nf, sch, kept)
         Some(m.copy(file = nf))
@@ -2760,15 +2770,15 @@ object IcebergInterop {
       base: String,
       node: com.fasterxml.jackson.databind.node.ObjectNode): Long = {
     val metaDir = metadataDir(base)
-    val hint = new File(metaDir, "version-hint.text")
-    val version = Files.readString(hint.toPath).trim.toLong + 1
-    val tmp = new File(metaDir, s".tmp_${UUID.randomUUID()}")
-    Files.writeString(tmp.toPath, mapper.writeValueAsString(node))
-    val dst = new File(metaDir, s"v$version.metadata.json")
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    val version = io.readString(hint).trim.toLong + 1
+    val tmp = TableIO.join(metaDir, s".tmp_${UUID.randomUUID()}")
+    io.writeString(tmp, mapper.writeValueAsString(node))
     // atomic put-if-absent = the metadata commit
-    AtomicCommit.publish(tmp.toPath, dst.toPath,
-      s"iceberg metadata v$version already exists in $base")
-    Files.writeString(hint.toPath, version.toString)
+    if (!io.putIfAbsent(tmp, TableIO.join(metaDir, s"v$version.metadata.json")))
+      throw new java.util.ConcurrentModificationException(
+        s"iceberg metadata v$version already exists in $base")
+    io.writeString(hint, version.toString)
     version
   }
 
@@ -2785,7 +2795,7 @@ object IcebergInterop {
     * (snapshot_id, sequence_number, operation, is_current). Pure
     * metadata parse, no file I/O beyond the current metadata.json. */
   def snapshotsTable(spark: SparkSession, base: String): DataFrame = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val cur = meta.get("current-snapshot-id").asLong()
     val ss = meta.get("snapshots")
     val rows = (0 until ss.size()).map(ss.get).map { s =>
@@ -2844,7 +2854,7 @@ object IcebergInterop {
         // file length rather than summing sentinels into total_bytes
         (part, fs.map(_.recordCount).sum, fs.size.toLong,
           fs.map(f => if (f.sizeBytes >= 0) f.sizeBytes
-                      else new File(f.path).length()).sum)
+                      else io.length(f.path)).sum)
       }
       .toDF("partition", "record_count", "file_count", "total_bytes")
   }
@@ -2861,7 +2871,7 @@ object IcebergInterop {
     * (commit order = the snapshots array; rollbacks append a new
     * current pointer rather than rewriting history). */
   def historyTable(spark: SparkSession, base: String): DataFrame = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     val cur = meta.get("current-snapshot-id").asLong()
     val snaps = meta.get("snapshots")
     import spark.implicits._
@@ -2878,7 +2888,7 @@ object IcebergInterop {
     * table (still time-travelable, reclaimable later by
     * `expireSnapshots`). Refuses ids the table doesn't have. */
   def rollbackTo(base: String, snapshotId: Long): Long = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val snaps = meta.get("snapshots")
     val known = (0 until snaps.size())
@@ -2911,7 +2921,7 @@ object IcebergInterop {
   private def putRef(base: String, name: String, snapshotId: Long,
                      refType: String, allowMove: Boolean): Long = {
     require(name != "main", "'main' is the implicit current branch")
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val snaps = meta.get("snapshots")
     val known = (0 until snaps.size())
@@ -2936,7 +2946,7 @@ object IcebergInterop {
 
   /** Drop a ref; its snapshot becomes expirable again. */
   def dropRef(base: String, name: String): Unit = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     require(meta.has("refs") && meta.get("refs").has(name),
       s"no ref '$name' in $base")
@@ -2947,7 +2957,7 @@ object IcebergInterop {
 
   /** Resolve a ref name to its snapshot id ("main" = current). */
   def resolveRef(base: String, name: String): Long = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     if (name == "main") return meta.get("current-snapshot-id").asLong()
     Option(meta.get("refs")).flatMap(r => Option(r.get(name)))
       .map(_.get("snapshot-id").asLong())
@@ -2957,7 +2967,7 @@ object IcebergInterop {
 
   /** All refs of a table: (name, type, snapshot-id). */
   def refs(base: String): Seq[(String, String, Long)] = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
     import scala.jdk.CollectionConverters._
     Option(meta.get("refs")).map(_.fields().asScala.map { e =>
       (e.getKey, e.getValue.get("type").asText(),
@@ -2978,8 +2988,7 @@ object IcebergInterop {
     * path already does. O(1) in table size. The new column is nullable
     * by construction. */
   def addColumn(base: String, name: String, dt: DataType): Long = {
-    val metaFile = currentMetadataFile(base)
-    val meta = mapper.readTree(metaFile)
+    val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val schemas = meta.get("schemas")
     val curId = meta.get("current-schema-id").asInt()
@@ -3014,7 +3023,7 @@ object IcebergInterop {
     * invariant Iceberg's by-id column resolution rests on. */
   private def evolveSchema(base: String, op: String)
                           (edit: Seq[JsonNode] => Seq[JsonNode]): Long = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val schemas = meta.get("schemas")
     val curId = meta.get("current-schema-id").asInt()
@@ -3112,7 +3121,7 @@ object IcebergInterop {
     * replace/delete snapshots entangle removed state and refuse. */
   def cherryPick(spark: SparkSession, base: String,
                  snapshotId: Long): Long = {
-    val prev = mapper.readTree(currentMetadataFile(base))
+    val prev = readMeta(base)
     val snaps = prev.get("snapshots")
     val picked = (0 until snaps.size()).map(snaps.get)
       .find(_.get("snapshot-id").asLong() == snapshotId)
@@ -3160,7 +3169,7 @@ object IcebergInterop {
     * commits, which needs a merge that deliberately does not exist
     * here. The branch ref stays (drop it with dropRef when done). */
   def fastForward(base: String, branchName: String): Long = {
-    val meta = mapper.readTree(currentMetadataFile(base))
+    val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val target = Option(meta.get("refs"))
       .flatMap(r => Option(r.get(branchName)))

@@ -103,6 +103,8 @@ private[sources] object PathCodec {
     * DeltaInteropSpec). Both sides of any file-identity join must
     * normalize through this convention: scheme stripped, URI
     * percent-encoding applied. */
+  def metadataPathKey(p: String): String = metadataPathKey(new File(p))
+
   def metadataPathKey(f: File): String =
     // absolute + lexically normalized, NOT canonical: Spark's
     // `_metadata.file_path` does not resolve symlinks, so resolving
@@ -110,6 +112,13 @@ private[sources] object PathCodec {
     // a symlinked table root (e.g. macOS /tmp → /private/tmp)
     f.getAbsoluteFile.toPath.normalize.toUri.toString
       .replaceFirst("^file:/+", "/").stripSuffix("/")
+
+  /** Absolute + lexically-normalized path string — the identity key
+    * vacuum/clone use to match recorded paths against listed ones (NOT
+    * canonical: no symlink resolution, same rationale as
+    * metadataPathKey; both sides of every comparison use this). */
+  def absNorm(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
 
   /** The matching Spark-side normalization of `_metadata.file_path`:
     * strip the scheme, keep the percent-encoded path. */

@@ -1,12 +1,9 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.sources.DeltaInterop
+import graft.sources.{DeltaInterop, TableIO}
 
 /** Streaming CHANGE-FEED source over a Delta table — the streaming
   * analogue of `DeltaDml.readChangeFeed`, built the same way as
@@ -42,10 +39,12 @@ object DeltaStream {
     * required to repeat the file's deletionVector descriptor, so the
     * action alone cannot prove a removed file was DV-free — the state,
     * built from every add action since version 0, can. */
+  private def io: TableIO = TableIO()
+
   private def syncState(feedDir: String): (Long, Set[String]) = {
-    val f = new File(feedDir, CdfMarker)
-    if (!f.exists()) return (-1L, Set.empty)
-    val n = mapper.readTree(f)
+    val f = TableIO.join(feedDir, CdfMarker)
+    if (!io.exists(f)) return (-1L, Set.empty)
+    val n = mapper.readTree(io.readString(f))
     val dv = Option(n.get("dvPaths")).map(a =>
       (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty)
     (n.get("syncedVersion").asLong(), dv)
@@ -55,21 +54,21 @@ object DeltaStream {
     * (EEXIST on a link is success; the marker lands atomically after
     * all links). Returns the synced version. */
   def syncCdfFeed(base: String, feedDir: String): Long = {
-    new File(feedDir).mkdirs()
+    io.mkdirs(feedDir)
     val (from, dvPaths0) = syncState(feedDir)
     val dvPaths = scala.collection.mutable.Set.empty[String] ++ dvPaths0
-    val logDir = new File(base, "_delta_log")
-    require(logDir.isDirectory, s"not a Delta table (no _delta_log): $base")
-    val fresh = Option(logDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => CommitName.matches(f.getName)).sortBy(f => f.getName)
-      .map(f => (f.getName.stripSuffix(".json").toLong, f))
+    val logDir = TableIO.join(base, "_delta_log")
+    require(io.isDirectory(logDir), s"not a Delta table (no _delta_log): $base")
+    val fresh = io.list(logDir)
+      .filter(CommitName.matches).sorted
+      .map(f => (f.stripSuffix(".json").toLong, TableIO.join(logDir, f)))
       .filter(_._1 > from)
     if (fresh.isEmpty) return from
     fresh.foreach { case (v, cf) =>
       val cdc = scala.collection.mutable.ArrayBuffer.empty[String]
       val adds = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
       val removes = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
-      Files.readAllLines(cf.toPath).forEach { line =>
+      io.readLines(cf).foreach { line =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
           Option(n.get("cdc")).foreach(c => cdc += c.get("path").asText())
@@ -88,9 +87,8 @@ object DeltaStream {
       def link(rel: String, tag: String): Unit = {
         // flatten subdirectories (_change_data/...) into the link name
         val flat = rel.replace("/", "__")
-        val target = Paths.get(feedDir, f"v$v%020d-$tag-$flat")
-        try Files.createLink(target, Paths.get(base, rel))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        io.mirror(TableIO.join(base, rel),
+          TableIO.join(feedDir, f"v$v%020d-$tag-$flat"))
       }
       if (cdc.nonEmpty) cdc.foreach(link(_, "c"))
       else {
@@ -117,10 +115,9 @@ object DeltaStream {
     stateNode.put("syncedVersion", head)
     val arr = stateNode.putArray("dvPaths")
     dvPaths.toSeq.sorted.foreach(arr.add)
-    val tmp = Paths.get(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, mapper.writeValueAsString(stateNode))
-    Files.move(tmp, Paths.get(feedDir, CdfMarker),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = TableIO.join(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
+    io.writeString(tmp, mapper.writeValueAsString(stateNode))
+    io.moveReplace(tmp, TableIO.join(feedDir, CdfMarker))
     head
   }
 

@@ -1,11 +1,10 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.pipeline.GraftLog
+import graft.sources.TableIO
 
 /** Streaming SOURCE over a graft-log table — the Delta-streaming-source
   * analogue that completes the table format's streaming story (the sink
@@ -46,9 +45,12 @@ object GraftLogStream {
   private val SyncMarker = "_sync.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private def io: TableIO = TableIO()
+
   private def syncedVersion(feedDir: String): Long = {
-    val f = new File(feedDir, SyncMarker)
-    if (!f.exists()) 0L else mapper.readTree(f).get("syncedVersion").asLong()
+    val f = TableIO.join(feedDir, SyncMarker)
+    if (!io.exists(f)) 0L
+    else mapper.readTree(io.readString(f)).get("syncedVersion").asLong()
   }
 
   /** Advance the feed mirror to the current log head. Idempotent and
@@ -59,7 +61,7 @@ object GraftLogStream {
                onRewrite: String = "fail"): Long = {
     require(Set("fail", "ignore", "reemit").contains(onRewrite),
       s"onRewrite must be fail|ignore|reemit, got '$onRewrite'")
-    new File(feedDir).mkdirs()
+    io.mkdirs(feedDir)
     val from = syncedVersion(feedDir)
     val fresh = GraftLog.commits(base).filter(_.version > from)
     if (fresh.isEmpty) return from
@@ -79,24 +81,23 @@ object GraftLogStream {
           case "reemit" => true
         }
       if (link) c.add.foreach { name =>
-        val target = Paths.get(feedDir, f"v${c.version}%020d-$name")
-        try Files.createLink(target, Paths.get(base, name))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        io.mirror(TableIO.join(base, name),
+          TableIO.join(feedDir, f"v${c.version}%020d-$name"))
       }
     }
     val head = fresh.last.version
-    val tmp = Paths.get(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"""{"syncedVersion":$head}""")
-    Files.move(tmp, Paths.get(feedDir, SyncMarker),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = TableIO.join(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
+    io.writeString(tmp, s"""{"syncedVersion":$head}""")
+    io.moveReplace(tmp, TableIO.join(feedDir, SyncMarker))
     head
   }
 
   private val CdfMarker = "_cdf_sync.json"
 
   private def cdfSyncedVersion(feedDir: String): Long = {
-    val f = new File(feedDir, CdfMarker)
-    if (!f.exists()) 0L else mapper.readTree(f).get("syncedVersion").asLong()
+    val f = TableIO.join(feedDir, CdfMarker)
+    if (!io.exists(f)) 0L
+    else mapper.readTree(io.readString(f)).get("syncedVersion").asLong()
   }
 
   /** Advance the CHANGE-FEED mirror: every commit links BOTH sides of
@@ -108,7 +109,7 @@ object GraftLogStream {
     * disk, so vacuum retention bounds the reachable history (Delta's
     * contract). Idempotent and crash-safe exactly like `syncFeed`. */
   def syncCdfFeed(base: String, feedDir: String): Long = {
-    new File(feedDir).mkdirs()
+    io.mkdirs(feedDir)
     val from = cdfSyncedVersion(feedDir)
     val fresh = GraftLog.commits(base).filter(_.version > from)
     if (fresh.isEmpty) return from
@@ -124,18 +125,16 @@ object GraftLogStream {
             s"v${c.version} (${c.operation}); purge deletes first " +
             "(GraftLog.purgeDeletes) or use batch GraftLog.readChangeFeed")
       def link(names: Seq[String], tag: String): Unit = names.foreach { name =>
-        val target = Paths.get(feedDir, f"v${c.version}%020d-$tag-$name")
-        try Files.createLink(target, Paths.get(base, name))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        io.mirror(TableIO.join(base, name),
+          TableIO.join(feedDir, f"v${c.version}%020d-$tag-$name"))
       }
       link(c.add, "i")
       link(c.remove, "d")
     }
     val head = fresh.last.version
-    val tmp = Paths.get(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"""{"syncedVersion":$head}""")
-    Files.move(tmp, Paths.get(feedDir, CdfMarker),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = TableIO.join(feedDir, s".tmp_cdf_${java.util.UUID.randomUUID()}")
+    io.writeString(tmp, s"""{"syncedVersion":$head}""")
+    io.moveReplace(tmp, TableIO.join(feedDir, CdfMarker))
     head
   }
 

@@ -1,11 +1,8 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.IcebergInterop
+import graft.sources.{IcebergInterop, TableIO}
 
 /** Streaming SOURCE over an Iceberg table — the third leg of the
   * streaming-source triangle (graft-log: `GraftLogStream`, Delta CDF:
@@ -33,18 +30,20 @@ object IcebergStream {
   private val ChangelogMarker = "_iceberg_changelog_sync.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private def io: TableIO = TableIO()
+
   private def syncedSnapshot(feedDir: String,
                              marker: String = SyncMarker): Option[Long] = {
-    val f = new File(feedDir, marker)
-    if (!f.exists()) None
-    else Some(mapper.readTree(f).get("syncedSnapshotId").asLong())
+    val f = TableIO.join(feedDir, marker)
+    if (!io.exists(f)) None
+    else Some(mapper.readTree(io.readString(f))
+      .get("syncedSnapshotId").asLong())
   }
 
   private def writeMarker(feedDir: String, marker: String, head: Long): Unit = {
-    val tmp = Paths.get(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, s"""{"syncedSnapshotId":$head}""")
-    Files.move(tmp, Paths.get(feedDir, marker),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = TableIO.join(feedDir, s".tmp_sync_${java.util.UUID.randomUUID()}")
+    io.writeString(tmp, s"""{"syncedSnapshotId":$head}""")
+    io.moveReplace(tmp, TableIO.join(feedDir, marker))
   }
 
   private def requireNotExpired(base: String, feedDir: String,
@@ -65,7 +64,7 @@ object IcebergStream {
                onRewrite: String = "fail"): Long = {
     require(Set("fail", "ignore", "reemit").contains(onRewrite),
       s"onRewrite must be fail|ignore|reemit, got '$onRewrite'")
-    new File(feedDir).mkdirs()
+    io.mkdirs(feedDir)
     val ids = IcebergInterop.snapshotIds(base)
     if (ids.isEmpty) return -1L
     val from = syncedSnapshot(feedDir)
@@ -110,10 +109,9 @@ object IcebergStream {
           case "reemit" => true
         }
       if (link) added.foreach { raw =>
-        val src = Paths.get(paths(raw))
-        val flat = s"s$sid-${src.getFileName}"
-        try Files.createLink(Paths.get(feedDir, flat), src)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        val src = paths(raw)
+        val flat = s"s$sid-${src.split("/").last}"
+        io.mirror(src, TableIO.join(feedDir, flat))
       }
       prevFiles = paths.keySet
       prevDeletes = snap.deletes.size + snap.eqDeletes.size
@@ -146,7 +144,7 @@ object IcebergStream {
   def syncChangelogFeed(spark: SparkSession, base: String,
                         feedDir: String): Long = {
     import org.apache.spark.sql.functions.{col, lit}
-    new File(feedDir).mkdirs()
+    io.mkdirs(feedDir)
     val ids = IcebergInterop.snapshotIds(base)
     if (ids.isEmpty) return -1L
     val from = syncedSnapshot(feedDir, ChangelogMarker)
@@ -161,7 +159,7 @@ object IcebergStream {
       // if it exists the whole slice was already staged and linked
       // (parts link in DESCENDING index order, 0 last), so a crash
       // between p0 and the feed marker costs nothing on replay
-      if (!new File(feedDir, s"chg-$sid-p0.parquet").exists()) {
+      if (!io.exists(TableIO.join(feedDir, s"chg-$sid-p0.parquet"))) {
         val (slice, touched) =
           if (sid == ids.head) {
             val snap = IcebergInterop.snapshot(spark, base, Some(sid))
@@ -189,33 +187,29 @@ object IcebergStream {
         // assignment deterministic for the crash-replay contract above
         val nParts = math.max(1, touched)
         val parts = plain.repartition(nParts, plain.columns.map(col): _*)
-        val scratch = new File(feedDir,
+        val scratch = TableIO.join(feedDir,
           s".stage_${java.util.UUID.randomUUID()}")
-        parts.write.parquet(scratch.getPath)
-        val staged = Option(scratch.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
+        parts.write.parquet(scratch)
+        val staged = io.list(scratch)
+          .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+          .sorted
         staged.zipWithIndex.reverse.foreach { case (p, i) =>
-          try Files.createLink(
-            Paths.get(feedDir, s"chg-$sid-p$i.parquet"), p.toPath)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          io.mirror(TableIO.join(scratch, p),
+            TableIO.join(feedDir, s"chg-$sid-p$i.parquet"))
         }
         // empty slices (replace snapshots emit nothing; empty parts
         // write no file) still need the p0 sentinel for the fast path
         if (staged.isEmpty) {
-          val empty = new File(scratch, "empty")
+          val empty = TableIO.join(scratch, "empty")
           plain.limit(0).coalesce(1).write.mode("overwrite")
-            .parquet(empty.getPath)
-          val p = Option(empty.listFiles()).getOrElse(Array.empty)
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet"))
+            .parquet(empty)
+          val p = io.list(empty)
+            .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
             .getOrElse(throw new IllegalStateException("no empty part staged"))
-          try Files.createLink(
-            Paths.get(feedDir, s"chg-$sid-p0.parquet"), p.toPath)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          io.mirror(TableIO.join(empty, p),
+            TableIO.join(feedDir, s"chg-$sid-p0.parquet"))
         }
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch)
+        io.deleteRecursively(scratch)
       }
     }
     val head = fresh.last

@@ -27,7 +27,7 @@ class DeltaProtocolSpec extends graft.SparkSpec {
   }
 
   private def lastCommitProtocol(base: String): Option[(Int, Int, Set[String], Set[String])] = {
-    val dir = DeltaInterop.logDir(base)
+    val dir = new java.io.File(DeltaInterop.logDir(base))
     val last = dir.listFiles().filter(_.getName.endsWith(".json"))
       .maxBy(_.getName)
     Files.readAllLines(last.toPath).toArray.map(_.toString).collectFirst {
@@ -132,7 +132,7 @@ class DeltaProtocolSpec extends graft.SparkSpec {
     DeltaInterop.checkpoint(spark, base)
     // drop the JSON history the checkpoint covers — replay must now
     // recover the protocol from the checkpoint parquet alone
-    DeltaInterop.logDir(base).listFiles()
+    new java.io.File(DeltaInterop.logDir(base)).listFiles()
       .filter(_.getName.endsWith(".json")).foreach(_.delete())
     val snap = DeltaInterop.snapshot(spark, base)
     assert(snap.minWriterVersion == 7)
