@@ -132,12 +132,4 @@ private[sources] object PathCodec {
   * the winner's commit instead of conflicting). The staged tmp file is
   * removed on EVERY exit path, so transient IO failures never leak
   * `.tmp_*` files into the log directory. */
-private[sources] object AtomicCommit {
-  def publish(tmp: java.nio.file.Path, dst: java.nio.file.Path,
-              conflictMessage: => String): Unit =
-    try java.nio.file.Files.createLink(dst, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(conflictMessage)
-    } finally java.nio.file.Files.deleteIfExists(tmp)
-}
+

@@ -129,14 +129,34 @@ object DeltaStream {
   def tailChangeFeed(spark: SparkSession, base: String, feedDir: String,
                      options: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.MetadataBuilder
     val snap = DeltaInterop.snapshot(spark, base)
     require(snap.partitionColumns.isEmpty,
       "streaming CDF tail supports unpartitioned tables (partition " +
       "columns are not in the data files; use batch readChangeFeed)")
-    require(snap.columnMappingMode == "none",
-      "streaming CDF tail supports unmapped tables only")
     syncCdfFeed(base, feedDir)
-    val schema = StructType(snap.schema.fields :+
+    // Column-mapped tables: the mirrored files (cdc AND data) carry
+    // PHYSICAL column names / parquet field ids — scan by the physical
+    // shape, project back to logical names after (the same resolution
+    // the batch mapped-scan path does). `_change_type` is a CDF
+    // metadata column outside the mapped schema, always by name.
+    val idMode = snap.columnMappingMode == "id"
+    if (idMode)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val physFields = snap.schema.fields.map { f =>
+      if (snap.columnMappingMode == "none") f
+      else if (idMode) {
+        val id = snap.fieldId(f.name).getOrElse(throw new IllegalStateException(
+          s"columnMapping.mode=id but field '${f.name}' has no " +
+          "delta.columnMapping.id — corrupt metadata (refusing)"))
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", id).build())
+      } else f.copy(name = snap.physicalName(f.name))
+    }
+    def scanName(logical: String): String =
+      if (idMode || snap.columnMappingMode == "none") logical
+      else snap.physicalName(logical)
+    val schema = StructType(physFields :+
       StructField("_change_type", StringType))
     spark.readStream.schema(schema).options(options).parquet(feedDir)
       .select(col("*"), col("_metadata.file_name").as("__cdf_file"))
@@ -148,6 +168,8 @@ object DeltaStream {
         .when(regexp_extract(col("__cdf_file"), "^v\\d{20}-(c|i|d)-", 1) === "d",
           lit("delete"))
         .otherwise(lit("insert")))
-      .drop("__cdf_file")
+      .select(snap.schema.fields.map(f =>
+        col(s"`${scanName(f.name)}`").as(f.name)) ++
+        Seq(col("_change_type"), col("_commit_version")): _*)
   }
 }

@@ -105,7 +105,7 @@ class DeltaStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion-vector"))
   }
 
-  test("partitioned and mapped tables are refused with guidance") {
+  test("partitioned tables are refused with guidance") {
     val base = freshBase("part")
     DeltaInterop.overwrite(
       Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"),
@@ -114,5 +114,32 @@ class DeltaStreamSpec extends SparkSpec {
       DeltaStream.tailChangeFeed(spark, base, freshBase("part_feed"))
     }
     assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("column-mapped tables stream: physical-named mirror, logical rows") {
+    val base = freshBase("mapped")
+    val feed = freshBase("mapped_feed")
+    DeltaInterop.overwrite(
+      (0L until 10L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      base, configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.renameColumn(spark, base, "v", "price")
+    // mapped DML with CDF staging (physical-named cdc files), then a
+    // mapped append (physical-named data file via the file-diff tag)
+    DeltaDml.updateWhere(spark, base, col("k") < 2,
+      Map("price" -> (col("price") + 100.0)))
+    DeltaInterop.append(Seq((50L, 5.0)).toDF("k", "price").coalesce(1), base)
+    val stream = DeltaStream.tailChangeFeed(spark, base, feed)
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"))
+    val got = EventStreams.drainAvailableNow(stream)
+      .as[(String, Long, Double)].collect()
+      .map { case (t, n, sp) => t -> ((n, sp)) }.toMap
+    // a logical-named scan of physical files would read price as NULL —
+    // the sums prove the physical→logical resolution end to end
+    assert(got("insert") ==
+      ((11L, (0L until 10L).map(_ * 1.0).sum + 5.0)), s"got $got")
+    assert(got("update_preimage") == ((2L, 1.0)), s"got $got")
+    assert(got("update_postimage") == ((2L, 201.0)), s"got $got")
   }
 }
