@@ -10,7 +10,8 @@ import graft.sources.{DeltaDml, DeltaInterop, IcebergInterop}
 
 /** Randomized DDL/DML sequence fuzz: the SAME seeded operation
   * sequence (insert / add column / rename column / drop column /
-  * delete-where) runs against all three formats AND a driver-side
+  * delete-where / subquery delete / subquery update / maintenance /
+  * restore) runs against all three formats AND a driver-side
   * model; final tables must match the model AND each other exactly.
   * This is the adversarial check for the evolution frontier — each
   * format takes a different mechanism (Delta column mapping, Iceberg
@@ -85,7 +86,58 @@ class DdlFuzzSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { opIdx =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
+        case 8 => // SUBQUERY DELETE: k [NOT] IN (key frame)
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          val negated = rnd.nextBoolean()
+          val keys = model.rows.map(_("k").asInstanceOf[Long])
+            .filter(_ % m == r) ++ Seq(nextKey + 1000, nextKey + 2000)
+          val src = keys.toDF("k")
+          if (negated) {
+            DeltaDml.deleteVectoredNotInSource(spark, dbase, src, Seq("k"),
+              keepNullKeys = true)
+            IcebergInterop.deletePositionsNotInSource(spark, ibase, src, "k",
+              keepNullKeys = true)
+            GraftLog.deleteVectoredNotInSource(spark, lbase, src, "k",
+              keepNullKeys = true)
+            model.rows = model.rows.filter(row =>
+              keys.contains(row("k").asInstanceOf[Long]))
+          } else {
+            DeltaDml.deleteVectoredInSource(spark, dbase, src, Seq("k"))
+            IcebergInterop.deletePositionsInSource(spark, ibase, src, "k")
+            GraftLog.deleteVectoredInSource(spark, lbase, src, "k")
+            model.rows = model.rows.filterNot(row =>
+              keys.contains(row("k").asInstanceOf[Long]))
+          }
+          recordRestorePoint()
+        case 9 => // SUBQUERY UPDATE: SET c += d WHERE k IN (keys) AND gate
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          val m2 = 2 + rnd.nextInt(3); val r2 = rnd.nextInt(m2)
+          val c = model.cols(rnd.nextInt(model.cols.size))
+          val d = (1 + rnd.nextInt(9)).toDouble
+          val keys = model.rows.map(_("k").asInstanceOf[Long])
+            .filter(_ % m == r) ++ Seq(nextKey + 3000)
+          val src = keys.toDF("k")
+          val extra = Some(col("k") % m2 === r2)
+          val set: Map[String, org.apache.spark.sql.Column] =
+            Map(c -> (col(c) + lit(d)))
+          DeltaDml.updateInSource(spark, dbase, src, "k", set,
+            negated = false, extra = extra)
+          IcebergInterop.updateInSource(spark, ibase, src, "k", set,
+            negated = false, extra = extra)
+          GraftLog.updateInSource(spark, lbase, src, "k", set,
+            negated = false, extra = extra)
+          def bump2(v: Any): Any = v match {
+            case x: java.lang.Double => Double.box(x + d)
+            case null => null
+          }
+          model.rows = model.rows.map { row =>
+            val k = row("k").asInstanceOf[Long]
+            if (keys.contains(k) && k % m2 == r2)
+              row + (c -> bump2(row.getOrElse(c, null)))
+            else row
+          }
+          recordRestorePoint()
         case 0 => // INSERT a batch under the current schema
           val (df, rows) = insertFrame(1 + rnd.nextInt(4))
           DeltaInterop.append(df, dbase)
