@@ -1923,6 +1923,42 @@ object SparkEntry {
       .orderBy(col("change_type"))
   }
 
+  /** Iceberg partition spec EVOLUTION (q223): era A commits under
+    * identity(o_orderpriority); the spec then evolves to
+    * bucket[8](o_custkey) in a METADATA-ONLY commit (no data file
+    * touched — the 100 TB property: re-laying out a table's future
+    * without rewriting its past); era B appends under the new spec.
+    * The readEq scan prunes era-B files to ONE bucket while
+    * conservatively keeping era-A files (their partition records do
+    * not carry the bucket field — a file can never be pruned by a
+    * field it predates) and the row predicate decides; the oracle is
+    * the same aggregate over raw orders, so a lost era, a wrongly
+    * pruned pre-evolution file, or a bucket mismatch all fail.
+    * Reference: no partition evolution (static hive-style layout,
+    * spark/jobs/gold_aggregation.py). */
+  private def qIcebergSpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_evolved_orders", dir, "orders") { p =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(
+        o.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+        p, partitionBy = Seq("o_orderpriority"))
+      IcebergInterop.evolveSpec(s, p,
+        add = Seq("o_custkey" -> IcebergInterop.IceTransform.Bucket(8)),
+        drop = Seq("o_orderpriority"))
+      IcebergInterop.append(
+        o.filter(col("o_orderkey") % 2 === 1).coalesce(1), p)
+    }
+    IcebergInterop.readEq(s, base, Map("o_custkey" -> 371L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Streaming Delta CDF (q184): the same change history as q180, but
     * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
     * hard-link mirror + Spark's checkpointed parquet file stream — and
@@ -5273,6 +5309,7 @@ object SparkEntry {
       ((s, dir) => qSubqueryDml(s, dir, "iceberg")),
     "q221_delta_v2_checkpoint" -> (qDeltaV2Checkpoint _),
     "q222_delta_mapped_cdf" -> (qDeltaMappedCdf _),
+    "q223_iceberg_spec_evolution" -> (qIcebergSpecEvolution _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6479,6 +6516,14 @@ object SparkEntry {
          SELECT change_type, count(*) AS n_rows,
            CAST(sum(totalprice) AS DOUBLE) AS total_price
          FROM changes GROUP BY change_type ORDER BY change_type""",
+    // the evolved table is era A (even orderkeys, identity spec) plus
+    // era B (odd orderkeys, bucket spec) = ALL orders; a wrongly pruned
+    // pre-evolution file or a bucket mismatch loses rows
+    "q223_iceberg_spec_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_custkey = 371
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

@@ -283,6 +283,56 @@ object GraftSql {
      """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
+  private val AddPartFieldRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+""" +
+     """([^;]+?)\s*;?\s*""").r
+  private val DropPartFieldRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+""" +
+     """([^;]+?)\s*;?\s*""").r
+
+  /** One transform expression of Iceberg's partition DDL — a bare
+    * column (identity), `bucket(N, col)`, `truncate(col, W)`, or
+    * `years|months|days|hours(col)` — as (source column, transform). */
+  private def parsePartTransform(rest0: String)
+  : (String, graft.sources.IcebergInterop.IceTransform) = {
+    import graft.sources.IcebergInterop.IceTransform
+    val rest = rest0.trim.replace("`", "")
+    val FnRe = """(?is)(\w+)\s*\(\s*([^)]+?)\s*\)""".r
+    rest match {
+      case FnRe(fn, args0) =>
+        val args = args0.split(',').map(_.trim).toSeq
+        def one(): String = {
+          require(args.size == 1,
+            s"$fn takes one column, got (${args.mkString(", ")})"); args.head }
+        fn.toLowerCase match {
+          case "bucket" =>
+            require(args.size == 2 && args.head.forall(_.isDigit),
+              s"bucket takes (N, col), got (${args.mkString(", ")})")
+            (args(1), IceTransform.Bucket(args.head.toInt))
+          case "truncate" =>
+            require(args.size == 2,
+              s"truncate takes (col, W), got (${args.mkString(", ")})")
+            // Iceberg's SQL order is (col, W); accept (W, col) too
+            if (args(1).forall(_.isDigit))
+              (args.head, IceTransform.Truncate(args(1).toInt))
+            else {
+              require(args.head.forall(_.isDigit),
+                s"truncate needs an integer width in (${args.mkString(", ")})")
+              (args(1), IceTransform.Truncate(args.head.toInt))
+            }
+          case "year" | "years" => (one(), IceTransform.Year)
+          case "month" | "months" => (one(), IceTransform.Month)
+          case "day" | "days" => (one(), IceTransform.Day)
+          case "hour" | "hours" => (one(), IceTransform.Hour)
+          case other => throw new IllegalArgumentException(
+            s"unknown partition transform '$other' (have bucket, " +
+            "truncate, years, months, days, hours)")
+        }
+      case c if c.matches("""(?s)[\w]+""") => (c, IceTransform.Identity)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse partition field '$other'")
+    }
+  }
 
   /** The CREATE TABLE statement that re-creates the table's DEFINITION
     * (columns, partitioning, properties, location) through this same
@@ -505,7 +555,62 @@ object GraftSql {
       Some(Seq((fmt, loc2, parts, nf, bytes, ver2)).toDF(
         "format", "location", "partition_columns", "num_files",
         "size_in_bytes", "version"))
+    // Iceberg partition evolution (spec §Partition Evolution) —
+    // metadata only: future writes use the new default spec, existing
+    // files keep their old partition records and reads prune each file
+    // through the spec it was written under. Iceberg-only surface:
+    // graft-log tables are unpartitioned by design, and Delta cannot
+    // change partitioning without rewriting the table.
+    case AddPartFieldRe(t, rest) if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, "ADD PARTITION FIELD")
+      Some(evolvePartitionSql(spark, name, h, add = Some(rest), drop = None))
+    case DropPartFieldRe(t, rest) if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, "DROP PARTITION FIELD")
+      Some(evolvePartitionSql(spark, name, h, add = None, drop = Some(rest)))
     case _ => None
+  }
+
+  private def evolvePartitionSql(spark: SparkSession, name: String,
+                                 h: Handler, add: Option[String],
+                                 drop: Option[String]): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = h match {
+      case IceTable(b) => b
+      case _ => throw new IllegalArgumentException(
+        s"ALTER TABLE ... ${if (add.isDefined) "ADD" else "DROP"} " +
+        s"PARTITION FIELD: '$name' is not an Iceberg table — partition " +
+        "evolution is an Iceberg feature (Delta/graft-log partitioning " +
+        "is fixed at write time)")
+    }
+    val specId = add match {
+      case Some(rest) =>
+        IcebergInterop.evolveSpec(spark, base,
+          add = Seq(parsePartTransform(rest)))
+      case None =>
+        val (src, tr) = parsePartTransform(drop.get)
+        // resolve to the spec field's conventional name and check the
+        // dropped definition is the one the user named — dropping
+        // `bucket(8, c)` must not silently remove a bucket[16] field
+        val fieldName =
+          if (tr == IcebergInterop.IceTransform.Identity) src
+          else s"$src${tr.suffix}"
+        val cur = IcebergInterop.snapshot(spark, base)
+        cur.specFields.find(_.name == fieldName).foreach { f =>
+          require(tr == IcebergInterop.IceTransform.Identity ||
+              f.transform == tr.spec,
+            s"partition field '$fieldName' is ${f.transform}, not " +
+            s"${tr.spec} — name the field's actual transform")
+        }
+        IcebergInterop.evolveSpec(spark, base, add = Seq.empty,
+          drop = Seq(fieldName))
+    }
+    refreshView(spark, name, h)
+    import spark.implicits._
+    val spec = IcebergInterop.tableSpec(spark, base)
+      .map { case (c, t) => s"$c=${t.spec}" }.mkString(", ")
+    Seq((if (add.isDefined) "ADD PARTITION FIELD"
+         else "DROP PARTITION FIELD", specId.toLong, spec))
+      .toDF("operation", "spec_id", "default_spec")
   }
 
   /** `COPY INTO <t> FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON

@@ -95,12 +95,19 @@ object IcebergInterop {
                                       sizeBytes: Long,
                                       recordCount: Long = -1L)
 
-  /** One field of the default partition spec: `name` keys the manifest
-    * partition records, `transform` is the spec string (identity /
-    * bucket[N] / truncate[W] / day), `sourceId` the schema field id of
-    * the source column. */
-  final case class SpecField(name: String, transform: String, sourceId: Int)
+  /** One field of a partition spec: `name` keys the manifest partition
+    * records, `transform` is the spec string (identity / bucket[N] /
+    * truncate[W] / day), `sourceId` the schema field id of the source
+    * column, `fieldId` the spec field's own id (1000+; stable across
+    * spec evolution — a field kept by a later spec keeps its id). */
+  final case class SpecField(name: String, transform: String, sourceId: Int,
+                             fieldId: Int = -1)
 
+  /** `specFields` is the DEFAULT spec (what new writes partition by);
+    * `specsById` holds every spec the table has ever had — after
+    * partition evolution, live data files may still carry partition
+    * records of an older spec, and pruning must consult the spec each
+    * file was written under (absent field → keep the file). */
   final case class IcebergSnapshot(
       snapshotId: Long,
       schema: StructType,
@@ -109,7 +116,18 @@ object IcebergInterop {
       deletes: Seq[PositionDeleteFile] = Seq.empty,
       eqDeletes: Seq[EqualityDeleteFile] = Seq.empty,
       specFields: Seq[SpecField] = Seq.empty,
-      fieldNamesById: Map[Int, String] = Map.empty)
+      fieldNamesById: Map[Int, String] = Map.empty,
+      specsById: Map[Int, Seq[SpecField]] = Map.empty,
+      defaultSpecId: Int = 0) {
+    /** True iff every live data file's partition record matches the
+      * default spec's field set — i.e. no live file predates the last
+      * partition evolution. Maintenance that restamps partition records
+      * under the default spec is only sound when this holds. */
+    def uniformSpec: Boolean = {
+      val want = specFields.map(_.name).toSet
+      files.forall(_.partitionValues.keySet == want)
+    }
+  }
 
   /** Partition transforms supported by the writer + transform-aware
     * pruning (public spec §Partition Transforms). */
@@ -308,21 +326,27 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wantId not found in $base"))
 
-    // default partition spec, all fields: identity columns drive the
-    // legacy partitionFilters path; bucket/truncate/day prune through
-    // readEq's transform-aware translation
-    val specFields: Seq[SpecField] = Option(meta.get("partition-specs")).map { specs =>
-      val want = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-      (0 until specs.size()).map(specs.get)
-        .find(s => s.get("spec-id").asInt() == want)
-        .map { s =>
+    // every partition spec the table has had (spec evolution keeps old
+    // specs in metadata — their field names still key older files'
+    // partition records); the DEFAULT spec drives new writes, identity
+    // columns of it drive the legacy partitionFilters path, and
+    // bucket/truncate/day prune through readEq's transform-aware
+    // translation across ALL specs
+    val defaultSpecId: Int =
+      Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specsById: Map[Int, Seq[SpecField]] =
+      Option(meta.get("partition-specs")).map { specs =>
+        (0 until specs.size()).map(specs.get).map { s =>
           val fs = s.get("fields")
-          (0 until fs.size()).map(fs.get).map(f => SpecField(
-            f.get("name").asText(),
-            Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
-            Option(f.get("source-id")).map(_.asInt()).getOrElse(-1)))
-        }.getOrElse(Seq.empty)
-    }.getOrElse(Seq.empty)
+          s.get("spec-id").asInt() ->
+            (0 until fs.size()).map(fs.get).map(f => SpecField(
+              f.get("name").asText(),
+              Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+              Option(f.get("source-id")).map(_.asInt()).getOrElse(-1),
+              Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+    val specFields: Seq[SpecField] = specsById.getOrElse(defaultSpecId, Seq.empty)
     val partCols: Seq[String] =
       specFields.filter(_.transform == "identity").map(_.name)
     // schema field id → name (the source-id resolution for transforms)
@@ -425,7 +449,8 @@ object IcebergInterop {
     }
     IcebergSnapshot(wantId, schema, partCols,
       files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq,
-      eqDeletes.distinctBy(_.path).toSeq, specFields, namesById)
+      eqDeletes.distinctBy(_.path).toSeq, specFields, namesById,
+      specsById, defaultSpecId)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -489,10 +514,19 @@ object IcebergInterop {
     // without that metadata, so plain parquet reads are unaffected.
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snap = snapshot(spark, base, snapshotId)
-    partitionFilters.keys.foreach(k => require(
-      snap.partitionColumns.contains(k),
-      s"'$k' is not an identity partition column of $base " +
-      s"(have ${snap.partitionColumns})"))
+    partitionFilters.keys.foreach { k =>
+      require(snap.partitionColumns.contains(k),
+        s"'$k' is not an identity partition column of $base " +
+        s"(have ${snap.partitionColumns})")
+      // partitionFilters prune WITHOUT a row-level residual, so every
+      // live file must actually record the field — after partition
+      // evolution, files written under an older spec don't, and
+      // pruning them away would silently drop their rows
+      require(snap.files.forall(_.partitionValues.contains(k)),
+        s"partition field '$k' is not recorded for every live data " +
+        s"file of $base (the partition spec evolved) — use readEq, " +
+        "which keeps pre-evolution files and filters rows")
+    }
     val kept =
       if (partitionFilters.isEmpty) snap.files
       else snap.files.filter(f => partitionFilters.forall {
@@ -514,9 +548,13 @@ object IcebergInterop {
                 partitionFilters: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snap = snapshot(spark, base, snapshotId)
-    partitionFilters.keys.foreach(k => require(
-      snap.partitionColumns.contains(k),
-      s"'$k' is not an identity partition column of $base"))
+    partitionFilters.keys.foreach { k =>
+      require(snap.partitionColumns.contains(k),
+        s"'$k' is not an identity partition column of $base")
+      require(snap.files.forall(_.partitionValues.contains(k)),
+        s"partition field '$k' is not recorded for every live data " +
+        s"file of $base (the partition spec evolved) — use readEq")
+    }
     val f0 = snap.schema(column)
     require(f0.metadata.contains("parquet.field.id"),
       s"column '$column' carries no field id — cannot resolve bounds")
@@ -548,17 +586,25 @@ object IcebergInterop {
              snapshotId: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snap = snapshot(spark, base, snapshotId)
+    // fields of EVERY spec the table has had: after partition evolution
+    // a live file prunes through whatever spec it was written under —
+    // its partition record carries exactly that spec's field names, and
+    // a field the record does not have says nothing about the file
+    // (absent → keep). Pruning stays a performance decision; the row
+    // predicate below is the correctness.
+    val allSpecFields = snap.specsById.values.flatten.toSeq
+      .distinctBy(f => (f.name, f.transform, f.sourceId))
     val bySource: Map[String, Seq[SpecField]] =
-      snap.specFields.groupBy(f => snap.fieldNamesById.getOrElse(f.sourceId, ""))
+      allSpecFields.groupBy(f => snap.fieldNamesById.getOrElse(f.sourceId, ""))
     val expected: Seq[(String, String)] = filters.toSeq.flatMap { case (c, v) =>
       val fs = bySource.getOrElse(c, Seq.empty)
       require(fs.nonEmpty,
         s"'$c' feeds no partition-spec field of $base " +
-        s"(spec: ${snap.specFields.map(f => s"${f.name}=${f.transform}").mkString(", ")})")
+        s"(specs: ${allSpecFields.map(f => s"${f.name}=${f.transform}").mkString(", ")})")
       fs.map(f => f.name -> transformScalar(IceTransform.parse(f.transform), v))
     }
     val kept = snap.files.filter(f => expected.forall {
-      case (name, v) => f.partitionValues.get(name).contains(v) })
+      case (name, v) => f.partitionValues.get(name).forall(_ == v) })
     import org.apache.spark.sql.functions.{col, lit}
     val pred = filters.map { case (c, v) => col(c) === lit(v) }
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -799,12 +845,21 @@ object IcebergInterop {
       s"unsupported identity-partition type $other")
   }
 
-  private def entrySchemaFor(partCols: Seq[(String, DataType)]): AvroSchema = {
+  /** Manifest-entry avro schema for a partition layout. `fieldIds`
+    * (when non-empty) are the spec's REAL field ids — appends into an
+    * evolved table must stamp the table's ids, not a positional re-mint
+    * (same invariant as schema field ids); creates default to 1000+i. */
+  private def entrySchemaFor(partCols: Seq[(String, DataType)],
+                             fieldIds: Seq[Int] = Seq.empty): AvroSchema = {
     val partitionField =
       if (partCols.isEmpty) ""
       else {
-        val fs = partCols.zipWithIndex.map { case ((c, dt), i) =>
-          s"""{"name":"$c","type":[${avroPrimitive(dt)},"null"],"field-id":${1000 + i}}"""
+        val ids =
+          if (fieldIds.nonEmpty) fieldIds else partCols.indices.map(1000 + _)
+        require(ids.size == partCols.size,
+          s"spec field id count ${ids.size} != field count ${partCols.size}")
+        val fs = partCols.zip(ids).map { case ((c, dt), fid) =>
+          s"""{"name":"$c","type":[${avroPrimitive(dt)},"null"],"field-id":$fid}"""
         }.mkString(",")
         s""",{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$fs]}}"""
       }
@@ -838,9 +893,12 @@ object IcebergInterop {
 
   /** One manifest-list row worth of state the writer must preserve when
     * carrying a manifest into the next snapshot: path, content kind,
-    * sequence number, adding snapshot. */
+    * sequence number, adding snapshot, and the partition spec the
+    * manifest's entries were stamped under (spec evolution makes this
+    * vary across live manifests). */
   private final case class ManifestRef(file: String, content: Int,
-                                       seq: Long, addedSnapshotId: Long)
+                                       seq: Long, addedSnapshotId: Long,
+                                       specId: Int = 0)
 
   /** The current snapshot's manifests with their recorded content and
     * sequence numbers (defaults for v1 lists without those columns). */
@@ -859,7 +917,8 @@ object IcebergInterop {
         ManifestRef(resolvePath(base, r.get("manifest_path").toString),
           opt(r, "content").map(_.toString.toInt).getOrElse(0),
           opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
-          r.get("added_snapshot_id").toString.toLong)
+          r.get("added_snapshot_id").toString.toLong,
+          opt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0))
       }
   }
 
@@ -868,7 +927,7 @@ object IcebergInterop {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", PathCodec.absNorm(m.file))
       r.put("manifest_length", io.length(m.file))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", m.specId)
       r.put("content", m.content)
       r.put("sequence_number", m.seq)
       r.put("added_snapshot_id", m.addedSnapshotId)
@@ -1214,11 +1273,6 @@ object IcebergInterop {
           s"append would put nullable values into required column ${t.name}")
       }
     }
-    // derived partition fields (name, column expr, value type) — for
-    // identity specs these are just the source columns
-    val derived = spec.map { case (src, t) => derivedField(df, src, t) }
-    val partTypes: Seq[(String, DataType)] =
-      derived.map { case (n, _, dt) => n -> dt }
     // Appends into an existing table must stamp the TABLE's field ids
     // and carry its schema history forward: after evolution (RENAME
     // keeps ids, DROP leaves gaps, ADD appends past last-column-id) a
@@ -1231,6 +1285,50 @@ object IcebergInterop {
         DataType.fromJson(icebergSchemaToSparkJson(m)).asInstanceOf[StructType])
       case None => positionalIdOf(df.schema)
     }
+    // The TABLE's stored default spec is authoritative on append: its
+    // field NAMES key the new files' partition records (a renamed
+    // source column does not rename the spec field) and its field IDS
+    // stamp the entry schema — same no-re-mint invariant as schema ids.
+    // The caller's (source, transform) pairs must match it positionally
+    // (appendSpec derives them from this very spec).
+    val storedSpec: Option[(Int, Seq[SpecField])] = appendMeta.map { m =>
+      val want = Option(m.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      val specs = m.get("partition-specs")
+      val fields = (0 until specs.size()).map(specs.get)
+        .find(_.get("spec-id").asInt() == want)
+        .map { s =>
+          val fs = s.get("fields")
+          (0 until fs.size()).map(fs.get).map(f => SpecField(
+            f.get("name").asText(), f.get("transform").asText(),
+            f.get("source-id").asInt(),
+            Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
+        }.getOrElse(Seq.empty)
+      want -> fields
+    }
+    storedSpec.foreach { case (_, fields) =>
+      require(fields.size == spec.size,
+        s"append spec has ${spec.size} field(s) but the table's default " +
+        s"spec has ${fields.size} — pass the table's spec (tableSpec)")
+      fields.zip(spec).foreach { case (sf, (src, t)) =>
+        require(sf.transform == t.spec && sf.sourceId == idOf(src),
+          s"append spec field (${src}=${t.spec}) does not match the " +
+          s"table's default spec field (${sf.name}=${sf.transform} of " +
+          s"source-id ${sf.sourceId})")
+      }
+    }
+    // derived partition fields (name, column expr, value type) — for
+    // identity specs these are just the source columns; on append the
+    // stored spec's names override the convention names
+    val derived: Seq[(String, org.apache.spark.sql.Column, DataType)] = {
+      val conv = spec.map { case (src, t) => derivedField(df, src, t) }
+      storedSpec match {
+        case Some((_, fields)) => conv.zip(fields).map {
+          case ((_, c, dt), sf) => (sf.name, c, dt) }
+        case None => conv
+      }
+    }
+    val partTypes: Seq[(String, DataType)] =
+      derived.map { case (n, _, dt) => n -> dt }
     // stage through an id-stamped projection so the parquet files carry
     // Iceberg field ids (the physical half of id-based resolution)
     val dfIds = withFieldIds(df, idOf)
@@ -1284,7 +1382,8 @@ object IcebergInterop {
     val boundsByFile =
       collectBounds(spark, df.schema, dataFiles.map(_._1), idOf)
     val snapshotId = prev.map(nextSnapshotId).getOrElse(1L)
-    val entrySchema = entrySchemaFor(partTypes)
+    val entrySchema = entrySchemaFor(partTypes,
+      storedSpec.map(_._2.map(_.fieldId)).getOrElse(Seq.empty))
     val mName = s"manifest-$id.avro"
     val mFile = TableIO.join(metaDir, mName)
     val entries = dataFiles.map { case (f, pv) =>
@@ -1326,7 +1425,8 @@ object IcebergInterop {
     val mlName = s"snap-$snapshotId-$id.avro"
     val mlFile = TableIO.join(metaDir, mlName)
     writeManifestList(mlFile,
-      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId))
+      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId,
+        storedSpec.map(_._1).getOrElse(0)))
 
     // 4. new metadata json + version hint (atomic rename commit) —
     // assembled with the Jackson node API end to end: interpolating
@@ -1360,17 +1460,31 @@ object IcebergInterop {
         root.putArray("schemas").add(schemaNode(df.schema))
         0
     }
-    root.put("default-spec-id", 0)
-    val spec0 = root.putArray("partition-specs").addObject()
-    spec0.put("spec-id", 0)
-    val specFields = spec0.putArray("fields")
-    spec.zipWithIndex.foreach { case ((src, t), i) =>
-      val fn = specFields.addObject()
-      fn.put("name", derived(i)._1); fn.put("transform", t.spec)
-      fn.put("source-id", idOf(src)) // table ids on append, 1..n fresh
-      fn.put("field-id", 1000 + i)
+    storedSpec match {
+      case Some((wantId, _)) =>
+        // an append changes data, not partition layout: carry the full
+        // spec history VERBATIM (older specs still describe older
+        // files' partition records) — re-minting a single spec-id 0
+        // here would erase partition evolution
+        root.put("default-spec-id", wantId)
+        root.set[JsonNode]("partition-specs",
+          appendMeta.get.get("partition-specs").deepCopy())
+        root.put("last-partition-id",
+          Option(appendMeta.get.get("last-partition-id")).map(_.asInt())
+            .getOrElse(999 + spec.size))
+      case None =>
+        root.put("default-spec-id", 0)
+        val spec0 = root.putArray("partition-specs").addObject()
+        spec0.put("spec-id", 0)
+        val specFields = spec0.putArray("fields")
+        spec.zipWithIndex.foreach { case ((src, t), i) =>
+          val fn = specFields.addObject()
+          fn.put("name", derived(i)._1); fn.put("transform", t.spec)
+          fn.put("source-id", idOf(src)) // table ids on append, 1..n fresh
+          fn.put("field-id", 1000 + i)
+        }
+        root.put("last-partition-id", 999 + spec.size)
     }
-    root.put("last-partition-id", 999 + spec.size)
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")
@@ -1874,7 +1988,8 @@ object IcebergInterop {
   private def stageDataManifest(df: DataFrame, base: String,
                                 partCols: Seq[String], snapshotId: Long,
                                 idTag: String,
-                                idOf: String => Long): String = {
+                                idOf: String => Long,
+                                specFieldIds: Seq[Int] = Seq.empty): String = {
     val spark = df.sparkSession
     val metaDir = metadataDir(base)
     val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
@@ -1917,7 +2032,7 @@ object IcebergInterop {
       }
     val partTypes: Seq[(String, DataType)] =
       partCols.map(c => c -> df.schema(c).dataType)
-    val entrySchema = entrySchemaFor(partTypes)
+    val entrySchema = entrySchemaFor(partTypes, specFieldIds)
     val boundsByFile =
       collectBounds(spark, df.schema, dataFiles.map(_._1), idOf)
     val entries = dataFiles.map { case (f, pv) =>
@@ -2005,11 +2120,11 @@ object IcebergInterop {
     val delM = stageEqDeleteManifest(spark, base, prev,
       updates.select(keys.map(col): _*), keys, snapshotId, id)
     val dataM = stageDataManifest(updates, base, snap.partitionColumns,
-      snapshotId, id, schemaIdOf(snap.schema))
+      snapshotId, id, schemaIdOf(snap.schema), snap.specFields.map(_.fieldId))
     commitManifestListSnapshot(base, prev,
       currentManifests(base, prev) ++ Seq(
-        ManifestRef(delM, 1, snapshotId, snapshotId),
-        ManifestRef(dataM, 0, snapshotId, snapshotId)),
+        ManifestRef(delM, 1, snapshotId, snapshotId, snap.defaultSpecId),
+        ManifestRef(dataM, 0, snapshotId, snapshotId, snap.defaultSpecId)),
       snapshotId, id, "overwrite")
   }
 
@@ -2142,11 +2257,12 @@ object IcebergInterop {
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
     val dataM = stageDataManifest(updated, base, snap.partitionColumns,
-      snapshotId, id, schemaIdOf(snap.schema))
+      snapshotId, id, schemaIdOf(snap.schema), snap.specFields.map(_.fieldId))
     val carried = carryManifestsWithout(spark, base, prev,
       touched.map(_.rawPath).toSet, survivors)
     commitManifestListSnapshot(base, prev,
-      carried :+ ManifestRef(dataM, 0, snapshotId, snapshotId),
+      carried :+ ManifestRef(dataM, 0, snapshotId, snapshotId,
+        snap.defaultSpecId),
       snapshotId, id, "overwrite")
   }
 
@@ -2273,7 +2389,9 @@ object IcebergInterop {
                                    mFile: String, snapshotId: Long,
                                    id: String): Long =
     commitManifestListSnapshot(base, prev,
-      currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId, snapshotId),
+      currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId,
+        snapshotId,
+        Option(prev.get("default-spec-id")).map(_.asInt()).getOrElse(0)),
       snapshotId, id, "delete")
 
   /** Append; `partitionBy` must repeat the table's partition spec (the
@@ -2499,7 +2617,8 @@ object IcebergInterop {
                                    files: Seq[DataFileEntry],
                                    snapshotId: Long, status: Int,
                                    seqOf: DataFileEntry => Long,
-                                   partTypes: Seq[(String, DataType)]): String = {
+                                   partTypes: Seq[(String, DataType)],
+                                   specFieldIds: Seq[Int] = Seq.empty): String = {
     def parsePv(dt: DataType, s: String): Any =
       if (s == null) null else dt match {
         case IntegerType => Int.box(s.toInt)
@@ -2509,7 +2628,7 @@ object IcebergInterop {
         case other => throw new IllegalArgumentException(
           s"unsupported identity-partition type $other in manifest write")
       }
-    val entrySchema = entrySchemaFor(partTypes)
+    val entrySchema = entrySchemaFor(partTypes, specFieldIds)
     val entries = files.map { f =>
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", status)
@@ -2551,6 +2670,11 @@ object IcebergInterop {
     require(snap.specFields.forall(_.transform == "identity"),
       "rewriteManifests on a transformed partition spec is not " +
       "implemented — refusing")
+    require(snap.uniformSpec,
+      "rewriteManifests restamps every live entry's partition record " +
+      "under the default spec — some live files still carry an older " +
+      "spec's record (partition evolution); compact those files away " +
+      "first (refusing)")
     val manifests = currentManifests(base, prev)
     val dataManifests = manifests.filter(_.content == 0)
     if (dataManifests.size <= 1)
@@ -2563,11 +2687,13 @@ object IcebergInterop {
       snap.files.sortBy(_.path), snapshotId,
       status = 0, // existing — this snapshot adds no data
       seqOf = _.seq, // explicit per-entry seq, not inherited
-      partTypes = partTypes)
+      partTypes = partTypes,
+      specFieldIds = snap.specFields.map(_.fieldId))
     // the manifest-level seq is only the INHERITANCE fallback; every
     // entry above carries its own, so the current high seq is correct
     val newRef = ManifestRef(mFile, 0,
-      prev.get("last-sequence-number").asLong(), snapshotId)
+      prev.get("last-sequence-number").asLong(), snapshotId,
+      snap.defaultSpecId)
     commitManifestListSnapshot(base, prev,
       manifests.filter(_.content == 1) :+ newRef,
       snapshotId, id, "replace")
@@ -2612,6 +2738,12 @@ object IcebergInterop {
     require(snap.specFields.forall(_.transform == "identity"),
       "rewriteDataFiles on a transformed partition spec (bucket/truncate/" +
       "time) is not implemented — refusing")
+    require(snap.uniformSpec,
+      "rewriteDataFiles restamps replacement files' partition records " +
+      "from the inputs' records, which must all be of the DEFAULT spec " +
+      "— some live files still carry an older spec's record (partition " +
+      "evolution); rewrite those through overwriteTransformed/DML first " +
+      "(refusing)")
     sortBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
       require(!snap.partitionColumns.contains(c),
@@ -2644,7 +2776,7 @@ object IcebergInterop {
       }
     val partTypes: Seq[(String, DataType)] =
       snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
-    val entrySchema = entrySchemaFor(partTypes)
+    val entrySchema = entrySchemaFor(partTypes, snap.specFields.map(_.fieldId))
     val newEntries = mutable.ArrayBuffer.empty[GenericRecord]
     groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(",")).zipWithIndex.foreach {
       case ((pv, fs), gi) =>
@@ -2708,7 +2840,8 @@ object IcebergInterop {
     val carried = carryManifestsWithout(spark, base, prev, rewrittenRaw,
       survivors)
     commitManifestListSnapshot(base, prev,
-      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId),
+      carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId,
+        snap.defaultSpecId),
       snapshotId, id, "replace")
   }
 
@@ -3079,10 +3212,13 @@ object IcebergInterop {
       .map(f => f.metadata.getLong("parquet.field.id").toInt)
       .getOrElse(throw new IllegalArgumentException(
         s"no column '$name' in $base"))
-    require(!snap.specFields.exists(_.sourceId == fid),
+    // EVERY spec counts, not just the default: after partition
+    // evolution, older live files still carry partition records of
+    // older specs, and those records resolve through this source id
+    val specRefs = snap.specsById.values.flatten.filter(_.sourceId == fid)
+    require(specRefs.isEmpty,
       s"cannot drop '$name': partition spec field " +
-      s"${snap.specFields.filter(_.sourceId == fid).map(_.name).mkString(",")} " +
-      "sources it")
+      s"${specRefs.map(_.name).toSeq.distinct.mkString(",")} sources it")
     val eqRefs = snap.eqDeletes.filter(_.equalityFieldIds.contains(fid))
     require(eqRefs.isEmpty,
       s"cannot drop '$name': ${eqRefs.size} live equality-delete file(s) " +
@@ -3091,6 +3227,138 @@ object IcebergInterop {
     evolveSchema(base, "drop") { fields =>
       fields.filterNot(_.get("name").asText() == name)
     }
+  }
+
+  /** Partition spec evolution (public spec §Partition Evolution):
+    * commit a NEW default spec — metadata only, no snapshot, no data
+    * file touched. Old specs stay in metadata because live files
+    * written under them keep their old partition records; reads prune
+    * each file through whatever spec fields its own record carries
+    * (absent field → file kept), so evolution never changes results,
+    * only which future writes get which layout.
+    *
+    * `add` appends derived fields, named by the writer's convention
+    * (source name + transform suffix, e.g. `o_custkey_bucket`);
+    * `drop` removes fields of the current default spec, matched by
+    * spec-field name or by source column name. A re-added field
+    * identical (name, source, transform) to one in ANY prior spec
+    * reuses that field's id — spec field ids are forever, like schema
+    * ids; a name that collides with a DIFFERENT prior definition
+    * refuses, because one name meaning two things would make partition
+    * records ambiguous across files. */
+  def evolveSpec(spark: SparkSession, base: String,
+                 add: Seq[(String, IceTransform)],
+                 drop: Seq[String] = Seq.empty): Int = {
+    require(add.nonEmpty || drop.nonEmpty, "evolveSpec: nothing to change")
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schema = DataType.fromJson(icebergSchemaToSparkJson(meta))
+      .asInstanceOf[StructType]
+    val idOf = schemaIdOf(schema)
+    val namesById: Map[Int, String] = schema.fields.flatMap(f =>
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id").toInt -> f.name)
+      else None).toMap
+    val specsArr = meta.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val all: Seq[(Int, Seq[SpecField])] =
+      (0 until specsArr.size()).map(specsArr.get).map { s =>
+        val fs = s.get("fields")
+        s.get("spec-id").asInt() ->
+          (0 until fs.size()).map(fs.get).map(f => SpecField(
+            f.get("name").asText(), f.get("transform").asText(),
+            f.get("source-id").asInt(),
+            Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
+      }
+    val defId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val cur: Seq[SpecField] = all.find(_._1 == defId).map(_._2)
+      .getOrElse(Seq.empty)
+
+    // drops: by spec-field name or by source column name (must resolve
+    // to exactly one field of the CURRENT default spec)
+    val dropped: Seq[SpecField] = drop.map { d =>
+      val hits = cur.filter(f =>
+        f.name == d || namesById.get(f.sourceId).contains(d))
+      require(hits.nonEmpty,
+        s"no partition field '$d' in the default spec of $base " +
+        s"(have ${cur.map(_.name).mkString(", ")})")
+      require(hits.size == 1,
+        s"'$d' matches ${hits.size} partition fields " +
+        s"(${hits.map(_.name).mkString(", ")}) — drop by spec-field name")
+      hits.head
+    }
+    val remaining = cur.filterNot(f => dropped.exists(_.fieldId == f.fieldId))
+
+    // adds: validate source + transform/type support (mirrors what the
+    // writer's derivedField can stamp), then name conventionally and
+    // reuse-or-mint the spec field id
+    val allFields = all.flatMap(_._2)
+    var lastPartId = Option(meta.get("last-partition-id")).map(_.asInt())
+      .getOrElse((allFields.map(_.fieldId) :+ 999).max)
+    val added: Seq[SpecField] = add.map { case (src, t) =>
+      val f = schema.fields.find(_.name == src).getOrElse(
+        throw new IllegalArgumentException(s"no column '$src' in $base"))
+      val ok = t match {
+        case IceTransform.Identity => f.dataType match {
+          case IntegerType | LongType | StringType | DoubleType => true
+          case _ => false }
+        case IceTransform.Bucket(_) => f.dataType match {
+          case IntegerType | LongType | StringType | DateType |
+               TimestampType | TimestampNTZType => true
+          case _ => false }
+        case IceTransform.Truncate(_) => f.dataType match {
+          case IntegerType | LongType | StringType => true
+          case _ => false }
+        case IceTransform.Hour => f.dataType match {
+          case TimestampType => true
+          case _ => false }
+        case _ => f.dataType match { // day / month / year
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false }
+      }
+      require(ok, s"transform ${t.spec} unsupported on column '$src' " +
+        s"of type ${f.dataType.catalogString}")
+      val sid = idOf(src).toInt
+      val name = if (t == IceTransform.Identity) src else s"$src${t.suffix}"
+      require(!remaining.exists(_.name == name),
+        s"partition field '$name' already in the default spec")
+      require(!remaining.exists(f2 =>
+          f2.sourceId == sid && f2.transform == t.spec),
+        s"the default spec already partitions by ${t.spec} of '$src' " +
+        s"(field ${remaining.find(f2 => f2.sourceId == sid &&
+          f2.transform == t.spec).map(_.name).get})")
+      val fieldId = allFields.find(_.name == name) match {
+        case Some(p) if p.sourceId == sid && p.transform == t.spec =>
+          p.fieldId // identical re-add: the id is forever
+        case Some(p) =>
+          throw new IllegalArgumentException(
+            s"partition field name '$name' was already used by an " +
+            s"earlier spec for ${p.transform} of source-id ${p.sourceId} " +
+            "— one name cannot mean two things across specs (refusing)")
+        case None => lastPartId += 1; lastPartId
+      }
+      SpecField(name, t.spec, sid, fieldId)
+    }
+    require(added.nonEmpty || dropped.nonEmpty, "evolveSpec: no-op")
+    val newFields = remaining ++ added
+    require(newFields.map(_.name).distinct.size == newFields.size,
+      "duplicate field names in the evolved spec")
+
+    val newSpecId = all.map(_._1).max + 1
+    val ns = specsArr.addObject()
+    ns.put("spec-id", newSpecId)
+    val nf = ns.putArray("fields")
+    newFields.foreach { f =>
+      val o = nf.addObject()
+      o.put("name", f.name); o.put("transform", f.transform)
+      o.put("source-id", f.sourceId); o.put("field-id", f.fieldId)
+    }
+    meta.put("default-spec-id", newSpecId)
+    meta.put("last-partition-id",
+      math.max(lastPartId, newFields.map(_.fieldId).foldLeft(0)(math.max)))
+    meta.put("last-updated-ms", clock())
+    commitMetadataVersion(base, meta)
+    newSpecId
   }
 
   def append(df: DataFrame, base: String,
@@ -3152,11 +3420,20 @@ object IcebergInterop {
     val id = UUID.randomUUID().toString
     val partTypes: Seq[(String, DataType)] =
       cur.partitionColumns.map(c => c -> cur.schema(c).dataType)
+    // the picked files' partition records restamp under main's DEFAULT
+    // spec — sound only if they were written under it
+    require(added.forall(_.partitionValues.keySet ==
+        cur.specFields.map(_.name).toSet),
+      "cherryPick would restamp picked files' partition records under " +
+      "the default spec, but they were written under an older spec " +
+      "(partition evolution) — refusing")
     val mFile = writeEntriesManifest(metadataDir(base),
       s"manifest-pick-$id.avro", added.sortBy(_.path), newId,
-      status = 1, seqOf = _ => newId, partTypes = partTypes)
+      status = 1, seqOf = _ => newId, partTypes = partTypes,
+      specFieldIds = cur.specFields.map(_.fieldId))
     commitManifestListSnapshot(base, prev,
-      currentManifests(base, prev) :+ ManifestRef(mFile, 0, newId, newId),
+      currentManifests(base, prev) :+ ManifestRef(mFile, 0, newId, newId,
+        cur.defaultSpecId),
       newId, id, "append",
       summary = Map("graft.source-snapshot-id" -> snapshotId.toString))
   }
