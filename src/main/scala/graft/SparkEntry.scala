@@ -1959,6 +1959,40 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Delta row tracking (q224, protocol §Row Tracking): stable row ids
+    * through the whole lifecycle — enable BACKFILLS era A (ids in file
+    * position order = o_orderkey order by construction), an append
+    * allocates era B's range from the domainMetadata high-water mark,
+    * a DV DELETE drops rows without moving surviving positions, and a
+    * copy-on-write UPDATE materializes preserved ids into the
+    * rewritten file. The oracle recomputes every surviving row's id
+    * with row_number() over the same ordering — sum(row_id) per group
+    * fails if ANY row's id shifted at ANY step. */
+  private def qDeltaRowTracking(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = cachedFixture("delta_rowtracking_orders", dir, "orders") { p =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1).sortWithinPartitions("o_orderkey"), p)
+      DeltaInterop.enableRowTracking(s, p)
+      DeltaInterop.append(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .coalesce(1).sortWithinPartitions("o_orderkey"), p)
+      DeltaDml.deleteVectoredWhere(s, p, col("o_custkey") % 7 === 3)
+      DeltaDml.updateWhere(s, p, col("o_custkey") % 5 === 1,
+        Map("totalprice" -> (col("totalprice") * 2)))
+    }
+    DeltaInterop.readWithRowIds(s, base)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("_row_id")).as("sum_row_id"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Streaming Delta CDF (q184): the same change history as q180, but
     * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
     * hard-link mirror + Spark's checkpointed parquet file stream — and
@@ -5310,6 +5344,7 @@ object SparkEntry {
     "q221_delta_v2_checkpoint" -> (qDeltaV2Checkpoint _),
     "q222_delta_mapped_cdf" -> (qDeltaMappedCdf _),
     "q223_iceberg_spec_evolution" -> (qIcebergSpecEvolution _),
+    "q224_delta_row_tracking" -> (qDeltaRowTracking _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6524,6 +6559,32 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_custkey = 371
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // row ids recomputed independently: era A = even orderkeys in
+    // orderkey order from 0, era B = odd orderkeys offset by |A|; the
+    // DV delete keeps ids, the UPDATE doubles matched totalprice but
+    // must not move any id — sum(rid) per group pins all of it
+    "q224_delta_row_tracking" ->
+      """WITH a AS (
+           SELECT o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+           FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (
+           SELECT o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+               + row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+           FROM orders WHERE o_orderkey % 2 = 1),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         d AS (SELECT * FROM u WHERE o_custkey % 7 <> 3),
+         f AS (SELECT o_orderstatus, rid,
+                 CASE WHEN o_custkey % 5 = 1
+                      THEN CAST(tp * 2 AS DECIMAL(18,2)) ELSE tp END AS tp
+               FROM d)
+         SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(rid) AS BIGINT) AS sum_row_id,
+           CAST(sum(tp) AS DOUBLE) AS total_price
+         FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

@@ -57,6 +57,12 @@ object DeltaDml {
   private val upheldWriterFeatures = Set(
     "deletionVectors", "appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "timestampNtz",
+    // row tracking: DV deletes leave positions (and so ids) untouched;
+    // updateWhere materializes preserved ids into rewritten files and
+    // advances the high-water mark; appends allocate fresh id ranges
+    // (DeltaInterop.appendRowTracked). MERGE and file-rewriting
+    // maintenance refuse on row-tracked tables (their own guards).
+    "rowTracking", "domainMetadata",
     // generated columns: UPDATE recomputes them on post-images and
     // refuses direct SET; MERGE derives/validates them on the source.
     // identity columns: appends assign under an OCC mark guard; UPDATE
@@ -78,6 +84,17 @@ object DeltaDml {
     require(unknown.isEmpty,
       s"$op: table declares writer features ${unknown.mkString(",")} whose " +
       "contracts this engine does not implement — refusing per protocol")
+    // rowTracking SUPPORTED but not ENABLED (feature declared, no
+    // delta.enableRowTracking): the protocol still obliges every
+    // commit to assign fresh baseRowId ranges and advance the mark —
+    // our DML does that work only on enabled tables (the state
+    // enableRowTracking establishes: domain + backfilled ids)
+    require(!snap.writerFeatureSet.contains("rowTracking") ||
+        snap.rowTrackingEnabled,
+      s"$op: writer feature rowTracking is declared but " +
+      "delta.enableRowTracking is not set — the supported-but-not-" +
+      "enabled state (fresh id assignment without stability) is not " +
+      "implemented; run enableRowTracking or drop the feature")
     require(!snap.configuration.get("delta.appendOnly")
         .exists(_.equalsIgnoreCase("true")),
       s"$op on an append-only Delta table (delta.appendOnly=true) — refusing")
@@ -464,6 +481,19 @@ object DeltaDml {
     // the scan resolves mapping; the rewrite AND the CDC rows conform
     // their staged files to physical names (stageCdc)
     requireDmlWritable(snap, "updateWhere", mutatesRows = true)
+    val rowTracked = snap.rowTrackingEnabled
+    if (rowTracked) {
+      require(snap.columnMappingMode == "none",
+        "UPDATE on a rowTracking + columnMapping table is not " +
+        "implemented — refusing (materialized row-id columns would " +
+        "need physical-name staging)")
+      require(!cdfEnabled(snap),
+        "UPDATE on a rowTracking + changeDataFeed table is not " +
+        "implemented — refusing")
+      snap.files.foreach(f => require(f.baseRowId.isDefined,
+        s"live file ${f.path} carries no baseRowId — corrupt " +
+        "row-tracking state (refusing)"))
+    }
     val generated = DeltaInterop.generatedColumnsOf(snap.schema).toMap
     set.keys.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
@@ -496,7 +526,13 @@ object DeltaDml {
       val regenerated = generated.foldLeft(swapped) { case (d, (c, sql)) =>
         d.withColumn(c, expr(sql).cast(snap.schema(c).dataType))
       }
-      regenerated.select(snap.schema.fieldNames.map(col): _*)
+      // the row-tracking materialized columns (when attached) ride
+      // along OUTSIDE the table schema into the rewritten files
+      val keepExtras = Seq(DeltaInterop.MaterializedRowIdCol,
+          DeltaInterop.MaterializedRowVerCol)
+        .filter(regenerated.columns.contains)
+      regenerated.select(
+        (snap.schema.fieldNames ++ keepExtras).map(col): _*)
     }
     // census scan scoped by add.stats: files whose [min,max] provably
     // exclude the selector are never opened (conservative, same
@@ -523,9 +559,41 @@ object DeltaDml {
       .collect().map(_.getString(0)).toSet
     if (touchedKeys.isEmpty) return snap.version // no match → no commit
     val touched = snap.files.filter(f => touchedKeys.contains(fileKeyOf(base, f)))
-    // rewrite ONLY the touched files: survivors verbatim, matches updated
-    val touchedScan = mark(assembleScan(spark, base,
-        snap.copy(files = touched), keepCoords = false))
+    val v = snap.version + 1
+    // rewrite ONLY the touched files: survivors verbatim, matches
+    // updated. Row tracking (protocol §Row Tracking): every rewritten
+    // row MATERIALIZES its row id (resolved from the source file's
+    // materialized column, else baseRowId + position) and its commit
+    // version — updated rows move to THIS commit's version, surviving
+    // rows keep theirs — so ids stay stable across copy-on-write.
+    val touchedScan0 = mark(assembleScan(spark, base,
+        snap.copy(files = touched), keepCoords = rowTracked,
+        extraCols =
+          if (!rowTracked) Seq.empty
+          else Seq(
+            org.apache.spark.sql.types.StructField(
+              DeltaInterop.MaterializedRowIdCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              DeltaInterop.MaterializedRowVerCol,
+              org.apache.spark.sql.types.LongType))))
+    val touchedScan =
+      if (!rowTracked) touchedScan0
+      else {
+        import spark.implicits._
+        val fileMap = touched.map(f => (fileKeyOf(base, f),
+            f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(0L)))
+          .toDF("__delta_file", "__base_rid", "__def_ver")
+        touchedScan0.join(broadcast(fileMap), Seq("__delta_file"))
+          .withColumn(DeltaInterop.MaterializedRowIdCol,
+            coalesce(col(DeltaInterop.MaterializedRowIdCol),
+              col("__base_rid") + col("__delta_pos")))
+          .withColumn(DeltaInterop.MaterializedRowVerCol,
+            when(col("__upd"), lit(v)).otherwise(
+              coalesce(col(DeltaInterop.MaterializedRowVerCol),
+                col("__def_ver"))))
+          .drop("__delta_file", "__delta_pos", "__base_rid", "__def_ver")
+      }
     val updated = applySet(touchedScan, gated = true)
     // CHECK constraints validate the post-image of MATCHED rows only
     // (survivors already satisfied them at their own write time)
@@ -547,15 +615,30 @@ object DeltaDml {
     // (and physical partitionValues keys), same as any append
     val updatedPhys = DeltaInterop.conformToPhysical(snap, updated)
     val physParts = snap.partitionColumns.map(snap.physicalName)
-    val adds = collectAddStats(spark, base,
+    val adds0 = collectAddStats(spark, base,
       stageAdds(updatedPhys, base, physParts),
       StructType(updatedPhys.schema.filterNot(f =>
         physParts.contains(f.name))))
-    val v = snap.version + 1
+    // row tracking: every add still needs a fresh baseRowId range (the
+    // protocol requires it even when all rows carry materialized ids)
+    // and the commit advances the high-water mark domain
+    var hwm = snap.rowIdHighWaterMark
+    val adds =
+      if (!rowTracked) adds0
+      else adds0.map { a =>
+        val n = DeltaInterop.numRecordsOf(a)
+        val r = a.copy(baseRowId = Some(hwm + 1),
+          defaultRowCommitVersion = Some(v))
+        hwm += n
+        r
+      }
+    val domainLines =
+      if (rowTracked) Seq(DeltaInterop.rowTrackingDomainJson(hwm))
+      else Seq.empty
     try writeCommit(base, v,
       cdcLines ++
         touched.map(f => removeJson(f.path, f.dv, dataChange = true)) ++
-        adds.map(addJson(_, base)),
+        adds.map(addJson(_, base)) ++ domainLines,
       operation = "UPDATE")
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -610,6 +693,10 @@ object DeltaDml {
     // and both the merged staging and the CDC rows conform to
     // physical names (stageCdc)
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
+    require(!snap.rowTrackingEnabled,
+      "MERGE on a rowTracking table is not implemented — refusing " +
+      "(rewritten/inserted rows would need materialized row ids); " +
+      "compose updateWhere / deleteVectored / append instead")
     DeltaInterop.identityColumnOf(snap.schema).foreach { id =>
       throw new IllegalArgumentException(
         s"mergeUpsert into a table with IDENTITY column '${id._1}' is " +

@@ -67,7 +67,14 @@ object DeltaInterop {
     * minValues / maxValues / nullCount), verbatim, for data skipping. */
   final case class AddFile(path: String, partitionValues: Map[String, String],
                            dv: Option[DvDescriptor] = None,
-                           stats: Option[String] = None)
+                           stats: Option[String] = None,
+                           // row tracking (protocol §Row Tracking): the
+                           // first fresh row id of this file and the
+                           // commit version its rows default to — rows
+                           // without materialized values resolve as
+                           // baseRowId + row_index / this version
+                           baseRowId: Option[Long] = None,
+                           defaultRowCommitVersion: Option[Long] = None)
 
   final case class DeltaSnapshot(
       version: Long,
@@ -93,7 +100,21 @@ object DeltaInterop {
       writerFeatureSet: Set[String] = Set.empty,
       // metaData.id — the table's stable identity; INSERT OVERWRITE
       // replaces contents, not the table, so it must carry this forward
-      tableId: Option[String] = None) {
+      tableId: Option[String] = None,
+      // domainMetadata actions (protocol §Domain Metadata): domain →
+      // configuration JSON string; row tracking keeps its row-id
+      // high-water mark in domain `delta.rowTracking`
+      domains: Map[String, String] = Map.empty) {
+
+    def rowTrackingEnabled: Boolean =
+      configuration.get("delta.enableRowTracking").contains("true")
+
+    /** Row-id high-water mark from the `delta.rowTracking` domain
+      * (-1 when no id was ever allocated — fresh ids start at 0). */
+    def rowIdHighWaterMark: Long =
+      domains.get("delta.rowTracking")
+        .map(cfg => mapper.readTree(cfg).get("rowIdHighWaterMark").asLong())
+        .getOrElse(-1L)
     /** Physical parquet column name for a logical schema field. In
       * `name` mapping mode the protocol stores it in the field's
       * metadata (`delta.columnMapping.physicalName`); otherwise the
@@ -255,7 +276,20 @@ object DeltaInterop {
         }
       val p = a.get("path").asText()
       live += p -> AddFile(p, m, parseDv(a.get("deletionVector")),
-        Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+        Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+        Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+        Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+          .map(_.asLong()))
+    }
+    // domainMetadata actions (protocol §Domain Metadata): per-domain
+    // REPLACE semantics; `removed` tombstones the domain
+    val domains = mutable.HashMap.empty[String, String]
+    def applyDomainMetadata(d: JsonNode): Unit = {
+      val name = d.get("domain").asText()
+      if (Option(d.get("removed")).exists(_.asBoolean())) domains -= name
+      else domains(name) =
+        Option(d.get("configuration")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("")
     }
     def applyRemove(r: JsonNode): Unit = {
       // File identity in log reconciliation is (path, dvId): a DV
@@ -337,10 +371,14 @@ object DeltaInterop {
           .asInstanceOf[StructType].fieldNames.toSet
         val hasDv = addFields.contains("deletionVector")
         val hasStats = addFields.contains("stats")
+        val hasRowIds = addFields.contains("baseRowId")
         val selCols = Seq("add.path", "add.partitionValues") ++
           (if (hasDv) Seq("add.deletionVector") else Nil) ++
-          (if (hasStats) Seq("add.stats") else Nil)
+          (if (hasStats) Seq("add.stats") else Nil) ++
+          (if (hasRowIds)
+             Seq("add.baseRowId", "add.defaultRowCommitVersion") else Nil)
         val statsIdx = if (hasDv) 3 else 2
+        val rowIdIdx = statsIdx + (if (hasStats) 1 else 0)
         cp.select(selCols.head, selCols.tail: _*)
           .where(col("path").isNotNull)
           .collect() // one row per live file — metadata-scale
@@ -359,8 +397,22 @@ object DeltaInterop {
             } else None
             val st = if (hasStats && !r.isNullAt(statsIdx))
               Some(r.getString(statsIdx)) else None
-            live += r.getString(0) -> AddFile(r.getString(0), pv, dv, st)
+            // row-tracking fields MUST survive checkpointing — losing a
+            // baseRowId re-mints different row ids on the next read
+            val brid = if (hasRowIds && !r.isNullAt(rowIdIdx))
+              Some(r.getLong(rowIdIdx)) else None
+            val drcv = if (hasRowIds && !r.isNullAt(rowIdIdx + 1))
+              Some(r.getLong(rowIdIdx + 1)) else None
+            live += r.getString(0) -> AddFile(r.getString(0), pv, dv, st,
+              brid, drcv)
           }
+      }
+      if (cols.contains("domainMetadata")) {
+        cp.select("domainMetadata.domain", "domainMetadata.configuration")
+          .where(col("domain").isNotNull)
+          .collect() // one row per domain — metadata-scale
+          .foreach(r => domains(r.getString(0)) =
+            Option(r.getString(1)).getOrElse(""))
       }
       if (cols.contains("txn")) {
         cp.select("txn.appId", "txn.version")
@@ -415,6 +467,7 @@ object DeltaInterop {
                 Option(n.get("add")).foreach(applyAdd)
                 Option(n.get("remove")).foreach(applyRemove)
                 Option(n.get("txn")).foreach(applyTxn)
+                Option(n.get("domainMetadata")).foreach(applyDomainMetadata)
                 Option(n.get("sidecar")).foreach(s =>
                   sidecars += s.get("path").asText())
               }
@@ -453,6 +506,7 @@ object DeltaInterop {
             Option(n.get("add")).foreach(applyAdd)
             Option(n.get("remove")).foreach(applyRemove)
             Option(n.get("txn")).foreach(applyTxn)
+            Option(n.get("domainMetadata")).foreach(applyDomainMetadata)
           }
         }
       }
@@ -461,7 +515,8 @@ object DeltaInterop {
       .asInstanceOf[StructType]
     DeltaSnapshot(target, schema, partCols, live.values.toSeq, cmMode,
       txns.toMap, tableConf, protoFeatures.toSet,
-      minReader, minWriter, readerFeats, writerFeats, tableId)
+      minReader, minWriter, readerFeats, writerFeats, tableId,
+      domains.toMap)
   }
 
   /** DESCRIBE HISTORY: one row per JSON commit still in the log —
@@ -645,7 +700,13 @@ object DeltaInterop {
     * re-attachment. */
   private[sources] def assembleScan(spark: SparkSession, base: String,
                                     snap: DeltaSnapshot,
-                                    keepCoords: Boolean = false): DataFrame = {
+                                    keepCoords: Boolean = false,
+                                    // physical-named columns OUTSIDE the
+                                    // table schema to read as-is (null
+                                    // for files lacking them) — the
+                                    // row-tracking materialized columns
+                                    extraCols: Seq[StructField] = Seq.empty)
+  : DataFrame = {
     def pvOf(f: AddFile, logical: String): Option[String] =
       f.partitionValues.get(snap.physicalName(logical))
         .orElse(f.partitionValues.get(logical))
@@ -678,15 +739,16 @@ object DeltaInterop {
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putLong("parquet.field.id", id).build())
         }
-      })
+      } ++ extraCols.map(_.copy(nullable = true)))
     // with keepCoords the caller gets two extra columns — `__delta_file`
     // (normalized on-disk path) and `__delta_pos` (raw parquet
     // row_index, the DV coordinate system) — for row-level DML
-    val outSchema =
-      if (!keepCoords) snap.schema
-      else StructType(snap.schema.fields ++ Seq(
-        StructField("__delta_file", StringType),
-        StructField("__delta_pos", LongType)))
+    val outSchema = StructType(
+      (if (!keepCoords) snap.schema.fields
+       else snap.schema.fields ++ Seq(
+         StructField("__delta_file", StringType),
+         StructField("__delta_pos", LongType))) ++
+      extraCols.map(_.copy(nullable = true)))
     if (snap.files.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -737,7 +799,8 @@ object DeltaInterop {
       if (keepCoords) coords0.withColumn("__delta_pos", col("_metadata.row_index"))
       else coords0
     val coordCols: Seq[org.apache.spark.sql.Column] =
-      if (keepCoords) Seq(col("__delta_file"), col("__delta_pos")) else Seq.empty
+      (if (keepCoords) Seq(col("__delta_file"), col("__delta_pos"))
+       else Seq.empty) ++ extraCols.map(f => col(f.name))
     if (snap.partitionColumns.isEmpty)
       subtractDv(coords).select(snap.schema.fieldNames.map(n =>
         col(scanName(n)).as(n)) ++ coordCols: _*)
@@ -1069,8 +1132,41 @@ object DeltaInterop {
       dv.put("cardinality", d.cardinality)
     }
     a.stats.foreach(s => add.put("stats", s))
+    a.baseRowId.foreach(b => add.put("baseRowId", b))
+    a.defaultRowCommitVersion.foreach(v =>
+      add.put("defaultRowCommitVersion", v))
     mapper.writeValueAsString(node)
   }
+
+  /** One domainMetadata action line (protocol §Domain Metadata). */
+  private[sources] def domainMetadataJson(domain: String,
+                                          configuration: String,
+                                          removed: Boolean = false): String = {
+    val node = mapper.createObjectNode()
+    val d = node.putObject("domainMetadata")
+    d.put("domain", domain)
+    d.put("configuration", configuration)
+    d.put("removed", removed)
+    mapper.writeValueAsString(node)
+  }
+
+  /** The `delta.rowTracking` domain action carrying the row-id
+    * high-water mark. */
+  private[sources] def rowTrackingDomainJson(highWaterMark: Long): String = {
+    val cfg = mapper.createObjectNode()
+    cfg.put("rowIdHighWaterMark", highWaterMark)
+    domainMetadataJson("delta.rowTracking", mapper.writeValueAsString(cfg))
+  }
+
+  /** numRecords from an add's stats JSON — the row count row tracking
+    * allocates id ranges by. Refuses stat-less files loudly: allocating
+    * a guessed range would collide ids. */
+  private[sources] def numRecordsOf(a: AddFile): Long =
+    a.stats.flatMap(s => Option(mapper.readTree(s).get("numRecords")))
+      .map(_.asLong())
+      .getOrElse(throw new IllegalStateException(
+        s"add ${a.path} carries no numRecords stat — cannot allocate " +
+        "row ids for it"))
 
   private def metaJson(schema: StructType, partitionBy: Seq[String],
                        tableId: String,
@@ -1319,6 +1415,15 @@ object DeltaInterop {
   def append(df0: DataFrame, base: String,
              partitionBy: Seq[String] = Seq.empty): Long = {
     val snap = snapshot(df0.sparkSession, base)
+    // rowTracking declared but not enabled still obliges every commit
+    // to assign fresh baseRowId ranges (protocol §Row Tracking) — work
+    // this writer does only on enabled tables (appendRowTracked below)
+    require(!snap.writerFeatureSet.contains("rowTracking") ||
+        snap.rowTrackingEnabled,
+      "append: writer feature rowTracking is declared but " +
+      "delta.enableRowTracking is not set — the supported-but-not-" +
+      "enabled state (fresh id assignment without stability) is not " +
+      "implemented; run enableRowTracking or drop the feature")
     identityColumnOf(snap.schema).foreach {
       case (name, start, step, hwm, allowExplicit) =>
         require(!df0.columns.contains(name) || allowExplicit,
@@ -1362,9 +1467,145 @@ object DeltaInterop {
     val adds = collectAddStats(df.sparkSession, base,
       stageAdds(df, base, physParts),
       StructType(df.schema.filterNot(f => physParts.contains(f.name))))
+    if (snap.rowTrackingEnabled)
+      return appendRowTracked(df.sparkSession, base, snap, adds)
     val v = snap.version + 1
     commitReconciled(base, v, adds.map(addJson(_, base)),
       operation = "WRITE", removedPaths = Set.empty)
+  }
+
+  // ------------------------------------------------- row tracking
+
+  /** Physical names of the materialized row-id / row-commit-version
+    * columns (protocol §Row Tracking: recorded as table properties so
+    * every writer agrees where preserved values live). Fixed names —
+    * deterministic fixtures — validated against the schema at enable. */
+  private[sources] val MaterializedRowIdCol = "_row_id_col_graft"
+  private[sources] val MaterializedRowVerCol = "_row_commit_col_graft"
+
+  /** Enable row tracking (protocol §Row Tracking) on an existing table:
+    * one commit upgrades the protocol (writer features `rowTracking` +
+    * `domainMetadata`, minWriterVersion 7), records the table
+    * properties, BACKFILLS every live file with a `baseRowId` (files in
+    * path order, ranges sized by each add's numRecords stat) and writes
+    * the `delta.rowTracking` high-water mark domain. Metadata-only — no
+    * data file is touched; a row's id is baseRowId + its position until
+    * some rewrite materializes it. */
+  def enableRowTracking(spark: SparkSession, base: String): Long = {
+    val snap = snapshot(spark, base)
+    if (snap.rowTrackingEnabled) return snap.version
+    require(!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true"),
+      "rowTracking + changeDataFeed on one table is not implemented — " +
+      "refusing (cdc staging would need row-id-aware change files)")
+    require(identityColumnOf(snap.schema).isEmpty,
+      "rowTracking on a table with an IDENTITY column is not " +
+      "implemented — refusing (two allocators would race one commit)")
+    Seq(MaterializedRowIdCol, MaterializedRowVerCol).foreach { c =>
+      require(!snap.schema.fieldNames.contains(c),
+        s"schema already has a column named '$c' — cannot materialize " +
+        "row tracking values")
+    }
+    var next = snap.rowIdHighWaterMark + 1
+    val readds = snap.files.sortBy(_.path).map { f =>
+      val n = numRecordsOf(f)
+      val a = f.copy(baseRowId = Some(next),
+        defaultRowCommitVersion = Some(snap.version + 1))
+      next += n
+      a
+    }
+    val conf = snap.configuration +
+      ("delta.enableRowTracking" -> "true") +
+      ("delta.rowTracking.materializedRowIdColumnName" ->
+        MaterializedRowIdCol) +
+      ("delta.rowTracking.materializedRowCommitVersionColumnName" ->
+        MaterializedRowVerCol)
+    val lines =
+      upgradeProtocolJson(snap, Set.empty,
+        Set("rowTracking", "domainMetadata"), 1, 7) ::
+      metaJson(snap.schema, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString), conf) ::
+      rowTrackingDomainJson(next - 1) ::
+      readds.map(addJson(_, base, dataChange = false)).toList
+    writeCommit(base, snap.version + 1, lines, "ENABLE ROW TRACKING")
+    snap.version + 1
+  }
+
+  /** Append into a row-tracking table: fresh `baseRowId` ranges come
+    * from the high-water mark, so the commit races other allocators on
+    * the SAME state — no blind rebase (commitReconciled re-attempts the
+    * same lines, which would double-allocate ids); a lost race re-reads
+    * the snapshot and re-derives ids/versions from the new mark. The
+    * staged files are reused across attempts — only metadata moves. */
+  private def appendRowTracked(spark: SparkSession, base: String,
+                               snap0: DeltaSnapshot,
+                               adds: Seq[AddFile]): Long = {
+    var s = snap0
+    var attempt = 0
+    while (true) {
+      val v = s.version + 1
+      var next = s.rowIdHighWaterMark + 1
+      val withIds = adds.map { a =>
+        val n = numRecordsOf(a)
+        val r = a.copy(baseRowId = Some(next),
+          defaultRowCommitVersion = Some(v))
+        next += n
+        r
+      }
+      val lines = withIds.map(addJson(_, base)) :+
+        rowTrackingDomainJson(next - 1)
+      try {
+        writeCommit(base, v, lines, "WRITE")
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 10) throw e
+          s = snapshot(spark, base)
+          require(s.rowTrackingEnabled,
+            s"row tracking was disabled concurrently on $base — refusing")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Read with the row-tracking columns `_row_id` and
+    * `_row_commit_version` attached (protocol §Row Tracking): each
+    * row's values resolve as the file's MATERIALIZED columns when
+    * present (rows copied by a rewrite carry their original ids there)
+    * else baseRowId + row_index / defaultRowCommitVersion. DV deletes
+    * never move surviving rows, so position-derived ids are stable
+    * across them by construction. One broadcast of (file → baseRowId,
+    * version) — metadata scale; the scan stays fully distributed. */
+  def readWithRowIds(spark: SparkSession, base: String,
+                     versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, base, versionAsOf)
+    require(snap.rowTrackingEnabled,
+      s"row tracking is not enabled on $base (enableRowTracking first)")
+    val ridCol = snap.configuration.getOrElse(
+      "delta.rowTracking.materializedRowIdColumnName", MaterializedRowIdCol)
+    val verCol = snap.configuration.getOrElse(
+      "delta.rowTracking.materializedRowCommitVersionColumnName",
+      MaterializedRowVerCol)
+    snap.files.foreach(f => require(f.baseRowId.isDefined &&
+        f.defaultRowCommitVersion.isDefined,
+      s"live file ${f.path} carries no baseRowId/defaultRowCommitVersion " +
+      "— corrupt row-tracking state (refusing)"))
+    import spark.implicits._
+    val scan = assembleScan(spark, base, snap, keepCoords = true,
+      extraCols = Seq(StructField(ridCol, LongType),
+        StructField(verCol, LongType)))
+    val fileMap = snap.files.map(f =>
+      (PathCodec.metadataPathKey(resolveDataFile(base, f.path)),
+        f.baseRowId.get, f.defaultRowCommitVersion.get))
+      .toDF("__delta_file", "__base_rid", "__def_ver")
+    scan.join(broadcast(fileMap), Seq("__delta_file"))
+      .withColumn("_row_id",
+        coalesce(col(ridCol), col("__base_rid") + col("__delta_pos")))
+      .withColumn("_row_commit_version",
+        coalesce(col(verCol), col("__def_ver")))
+      .select(snap.schema.fieldNames.map(col) ++
+        Seq(col("_row_id"), col("_row_commit_version")): _*)
   }
 
   /** Optimistic-concurrency commit with conflict reconciliation, the
@@ -1498,6 +1739,10 @@ object DeltaInterop {
     require(snap.columnMappingMode != "id",
       "OPTIMIZE on a columnMapping.mode=id table is not supported " +
       "(physical schema unrecoverable); compact it with a writer that is")
+    require(!snap.rowTrackingEnabled,
+      "OPTIMIZE on a rowTracking table is not implemented — refusing " +
+      "(bin-packing would re-position rows without materializing their " +
+      "row ids)")
     def sizeOf(f: AddFile): Long =
       io.length(resolveDataFile(base, f.path))
     val byPartition = snap.files.groupBy(_.partitionValues)
@@ -1545,6 +1790,10 @@ object DeltaInterop {
     require(snap.columnMappingMode != "id",
       "REORG on a columnMapping.mode=id table is not supported " +
       "(physical schema unrecoverable)")
+    require(!snap.rowTrackingEnabled,
+      "REORG on a rowTracking table is not implemented — refusing " +
+      "(the purge rewrite would re-position rows without materializing " +
+      "their row ids)")
     val byPartition = snap.files
       .filter(_.dv.exists(_.cardinality > 0)).groupBy(_.partitionValues)
     if (byPartition.isEmpty) return None
@@ -1585,6 +1834,10 @@ object DeltaInterop {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode != "id",
       "OPTIMIZE on a columnMapping.mode=id table is not supported")
+    require(!snap.rowTrackingEnabled,
+      "OPTIMIZE ZORDER on a rowTracking table is not implemented — " +
+      "refusing (the clustering rewrite would re-position rows without " +
+      "materializing their row ids)")
     require(zorderBy.nonEmpty, "zorderBy needs at least one column")
     zorderBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
@@ -2450,7 +2703,15 @@ object DeltaInterop {
       StructField("cardinality", LongType)))),
     // stats survive checkpointing or data skipping dies at the
     // first log compaction
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    // row-tracking fields survive checkpointing or every row id
+    // silently re-mints after the first log compaction
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
+  private val cpDomainType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
   // txn state survives checkpointing or a restarted streaming sink
   // whose history was compacted away double-writes its batches
   private val cpTxnType = StructType(Seq(
@@ -2462,7 +2723,9 @@ object DeltaInterop {
       io.length(resolveDataFile(base, f.path)), 0L, true,
       f.dv.map(d => org.apache.spark.sql.Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
-      f.stats.orNull)
+      f.stats.orNull,
+      f.baseRowId.map(Long.box).orNull,
+      f.defaultRowCommitVersion.map(Long.box).orNull)
 
   def checkpointParts(spark: SparkSession, base: String, parts: Int): Long = {
     val snap = snapshot(spark, base)
@@ -2470,7 +2733,10 @@ object DeltaInterop {
       StructField("protocol", cpProtocolType),
       StructField("metaData", cpMetaDataType),
       StructField("add", cpAddType),
-      StructField("txn", cpTxnType)))
+      StructField("txn", cpTxnType),
+      // domainMetadata survives checkpointing or the row-tracking
+      // high-water mark resets and fresh ids collide with live ones
+      StructField("domainMetadata", cpDomainType)))
     import org.apache.spark.sql.Row
     // the table's RECORDED protocol, verbatim — reconstructing it from
     // snapshot shape (has DVs? mapped?) would drop any feature the log
@@ -2481,13 +2747,16 @@ object DeltaInterop {
       if (snap.writerFeatureSet.isEmpty) null
       else snap.writerFeatureSet.toSeq.sorted)
     val rows =
-      Row(protoRow, null, null, null) ::
+      Row(protoRow, null, null, null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns,
-        snap.configuration), null, null) ::
+        snap.configuration), null, null, null) ::
       (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, null, Row(app, v))
+        Row(null, null, null, Row(app, v), null)
       } ++
-      snap.files.map(f => Row(null, null, cpAddRow(base, f), null)))
+      snap.domains.toList.sortBy(_._1).map { case (d, cfg) =>
+        Row(null, null, null, null, Row(d, cfg, false))
+      } ++
+      snap.files.map(f => Row(null, null, cpAddRow(base, f), null, null)))
     require(parts >= 1, s"checkpoint parts $parts")
     val scratch = TableIO.join(base, s".cp_${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), cpSchema)
@@ -2556,6 +2825,7 @@ object DeltaInterop {
       StructField("protocol", cpProtocolType),
       StructField("metaData", cpMetaDataType),
       StructField("txn", cpTxnType),
+      StructField("domainMetadata", cpDomainType),
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
@@ -2565,13 +2835,16 @@ object DeltaInterop {
         if (snap.readerFeatureSet.isEmpty) null
         else snap.readerFeatureSet.toSeq.sorted,
         if (snap.writerFeatureSet.isEmpty) null
-        else snap.writerFeatureSet.toSeq.sorted), null, null, null) ::
+        else snap.writerFeatureSet.toSeq.sorted), null, null, null, null) ::
       Row(null, Row(snap.tableId.getOrElse("graft-delta"), snap.schema.json,
-        snap.partitionColumns, snap.configuration), null, null) ::
+        snap.partitionColumns, snap.configuration), null, null, null) ::
       (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>
-        Row(null, null, Row(app, v), null)
+        Row(null, null, Row(app, v), null, null)
       } ++
-      sidecars.map(n => Row(null, null, null,
+      snap.domains.toList.sortBy(_._1).map { case (d, cfg) =>
+        Row(null, null, null, Row(d, cfg, false), null)
+      } ++
+      sidecars.map(n => Row(null, null, null, null,
         Row(n, io.length(TableIO.join(sidecarDir, n)), 0L))))
     val scratch2 = TableIO.join(base, s".cp2top_${UUID.randomUUID()}")
     spark.createDataFrame(

@@ -1,0 +1,209 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DeltaDml, DeltaInterop}
+
+/** Row tracking (public Delta protocol §Row Tracking): stable row ids
+  * assigned at commit time — baseRowId + position until a rewrite
+  * MATERIALIZES them into the file, a domainMetadata high-water mark
+  * gating allocation, and id stability across DV deletes (positions
+  * never move) and copy-on-write UPDATE (ids travel in the
+  * materialized column). */
+class DeltaRowTrackingSpec extends SparkSpec {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("delta_rt_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  /** One-file table of (id, v) rows 0..n-1 in id order, row tracking
+    * enabled — row_id == id by construction. */
+  private def tracked(n: Int): String = {
+    val base = tmp()
+    DeltaInterop.overwrite(
+      spark.range(n).toDF("id").withColumn("v", lit(1L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    DeltaInterop.enableRowTracking(spark, base)
+    base
+  }
+
+  test("enable backfills ids and readWithRowIds resolves them") {
+    val base = tracked(10)
+    val got = DeltaInterop.readWithRowIds(spark, base)
+      .orderBy("id").collect()
+    assert(got.map(_.getAs[Long]("_row_id")).toSeq == (0L until 10L))
+    // backfilled rows default to the enabling commit's version
+    assert(got.map(_.getAs[Long]("_row_commit_version")).distinct.toSeq ==
+      Seq(1L))
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.rowTrackingEnabled)
+    assert(snap.rowIdHighWaterMark == 9L)
+    assert(snap.files.forall(_.baseRowId.isDefined))
+    assert(snap.writerFeatureSet.contains("rowTracking"))
+    assert(snap.writerFeatureSet.contains("domainMetadata"))
+    assert(snap.minWriterVersion == 7)
+  }
+
+  test("appends allocate fresh id ranges above the high-water mark") {
+    val base = tracked(10)
+    DeltaInterop.append(
+      spark.range(100, 105).toDF("id").withColumn("v", lit(2L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    val got = DeltaInterop.readWithRowIds(spark, base)
+    assert(got.count() == 15)
+    assert(got.agg(max("_row_id")).head().getLong(0) == 14L)
+    val appended = got.filter(col("id") >= 100).orderBy("id").collect()
+    assert(appended.map(_.getAs[Long]("_row_id")).toSeq == (10L until 15L))
+    assert(appended.map(_.getAs[Long]("_row_commit_version")).distinct
+      .toSeq == Seq(2L))
+    assert(DeltaInterop.snapshot(spark, base).rowIdHighWaterMark == 14L)
+  }
+
+  test("DV delete never moves surviving ids") {
+    val base = tracked(10)
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") % 3 === 0)
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.length == 6)
+    // id column == row id by construction, so survivors must still match
+    got.foreach(r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id")))
+  }
+
+  test("copy-on-write UPDATE materializes preserved ids; versions split") {
+    val base = tracked(10)
+    val v = DeltaDml.updateWhere(spark, base, col("id") >= 7,
+      Map("v" -> lit(9L)))
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.length == 10)
+    got.foreach(r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id"),
+        s"row ${r.getAs[Long]("id")} lost its id in the rewrite"))
+    // updated rows moved to the UPDATE's commit version; survivors in
+    // the SAME rewritten file keep their original one (materialized)
+    got.foreach { r =>
+      val want = if (r.getAs[Long]("id") >= 7) v else 1L
+      assert(r.getAs[Long]("_row_commit_version") == want)
+    }
+    assert(got.filter(_.getAs[Long]("id") >= 7)
+      .forall(_.getAs[Long]("v") == 9L))
+    // the rewrite allocated a fresh (unused) base range — hwm advanced
+    assert(DeltaInterop.snapshot(spark, base).rowIdHighWaterMark >= 9L)
+  }
+
+  test("update-then-delete-then-append: ids stay consistent end to end") {
+    val base = tracked(20)
+    DeltaDml.updateWhere(spark, base, col("id") < 5, Map("v" -> lit(7L)))
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") % 4 === 1)
+    DeltaInterop.append(
+      spark.range(200, 203).toDF("id").withColumn("v", lit(3L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    val got = DeltaInterop.readWithRowIds(spark, base)
+    val olds = got.filter(col("id") < 200).collect()
+    olds.foreach(r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id")))
+    // the UPDATE rewrite burned a fresh base range (ids are unique and
+    // stable, not dense — same shape as Delta's own allocator), so the
+    // append's ids are simply contiguous above everything live
+    val news = got.filter(col("id") >= 200).orderBy("id").collect()
+    val newIds = news.map(_.getAs[Long]("_row_id")).toSeq
+    assert(newIds == (newIds.head until newIds.head + 3))
+    assert(newIds.head > olds.map(_.getAs[Long]("_row_id")).max)
+    // all ids unique
+    val ids = got.select("_row_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("row-tracking state survives checkpoint replay") {
+    val base = tracked(10)
+    DeltaInterop.append(
+      spark.range(50, 55).toDF("id").withColumn("v", lit(2L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    val cpv = DeltaInterop.checkpoint(spark, base)
+    // force true checkpoint dependence: drop the JSON commits the
+    // checkpoint covers (the q221 pattern)
+    val log = new java.io.File(base, "_delta_log")
+    (0L to cpv).foreach { v =>
+      new java.io.File(log, f"$v%020d.json").delete()
+    }
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.rowIdHighWaterMark == 14L,
+      "domainMetadata must survive checkpointing")
+    assert(snap.files.forall(_.baseRowId.isDefined),
+      "add.baseRowId must survive checkpointing")
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.map(_.getAs[Long]("_row_id")).toSeq ==
+      ((0L until 10L) ++ (10L until 15L)))
+  }
+
+  test("rewriting maintenance and MERGE refuse on row-tracked tables") {
+    val base = tracked(10)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaDml.mergeUpsert(spark, base,
+        spark.range(3).toDF("id").withColumn("v", lit(5L)), "id")
+    }
+    assert(e1.getMessage.contains("rowTracking"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.optimize(spark, base)
+    }
+    assert(e2.getMessage.contains("rowTracking"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaInterop.reorgPurge(spark, base)
+    }
+    assert(e3.getMessage.contains("rowTracking"))
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaInterop.optimizeZorder(spark, base, Seq("v"))
+    }
+    assert(e4.getMessage.contains("rowTracking"))
+  }
+
+  test("rowTracking declared without enablement refuses writes") {
+    // a foreign writer's "supported but not enabled" table: the feature
+    // obliges fresh id assignment on every commit, state this engine
+    // maintains only via the enableRowTracking shape — refuse loudly
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    Files.write(
+      new java.io.File(base, "_delta_log/00000000000000000001.json").toPath,
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+       """"writerFeatures":["rowTracking","domainMetadata"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaInterop.append(spark.range(3).toDF("id"), base)
+    }
+    assert(e1.getMessage.contains("rowTracking"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaDml.updateWhere(spark, base, col("id") < 5,
+        Map("id" -> lit(0L)))
+    }
+    assert(e2.getMessage.contains("rowTracking"))
+    // enableRowTracking is the supported → enabled transition
+    DeltaInterop.enableRowTracking(spark, base)
+    DeltaInterop.append(spark.range(20, 23).toDF("id").coalesce(1), base)
+    val ids = DeltaInterop.readWithRowIds(spark, base)
+      .select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == 13 && ids.distinct.length == 13)
+  }
+
+  test("enable refuses unsupported combinations and double-enable no-ops") {
+    val cdf = tmp()
+    DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), cdf,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.enableRowTracking(spark, cdf)
+    }
+    assert(e.getMessage.contains("changeDataFeed"))
+    val base = tracked(5)
+    val v = DeltaInterop.snapshot(spark, base).version
+    assert(DeltaInterop.enableRowTracking(spark, base) == v,
+      "enabling twice must not re-commit")
+    // a non-tracked table refuses the row-id read loudly
+    val plain = tmp()
+    DeltaInterop.overwrite(spark.range(3).toDF("id"), plain)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.readWithRowIds(spark, plain)
+    }
+    assert(e2.getMessage.contains("not enabled"))
+  }
+}
