@@ -1694,15 +1694,26 @@ object DeltaInterop {
     * rewritten files. */
   private def readPhysical(spark: SparkSession, base: String,
                            snap: DeltaSnapshot,
-                           files: Seq[AddFile]): DataFrame = {
+                           files: Seq[AddFile],
+                           // keep `__delta_file` (normalized on-disk
+                           // path) on every row — the binned rewrite
+                           // joins it to a file→bin map
+                           keepFile: Boolean = false): DataFrame = {
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
       .map(f => f.copy(name = snap.physicalName(f.name))))
     val paths = files.map(f => resolveDataPath(base, f.path))
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+    val outCols = dataSchema.fieldNames.map(col) ++
+      (if (keepFile) Seq(col("__delta_file")) else Seq.empty)
     val dvFiles = files.filter(_.dv.exists(_.cardinality > 0))
-    if (dvFiles.isEmpty) scan
-    else {
+    if (dvFiles.isEmpty) {
+      if (!keepFile) scan
+      else scan.withColumn("__delta_file",
+          regexp_replace(col("_metadata.file_path"),
+            PathCodec.metadataFilePathNormalizeRegex, "/"))
+        .select(outCols: _*)
+    } else {
       import spark.implicits._
       val deleted: Seq[(String, Long)] = dvFiles.flatMap { f =>
         val key = PathCodec.metadataPathKey(resolveDataFile(base, f.path))
@@ -1714,8 +1725,74 @@ object DeltaInterop {
         .withColumn("__delta_pos", col("_metadata.row_index"))
         .join(broadcast(deleted.toDF("__delta_file", "__delta_pos")),
           Seq("__delta_file", "__delta_pos"), "left_anti")
-        .select(dataSchema.fieldNames.map(col): _*)
+        .select(outCols: _*)
     }
+  }
+
+  /** First-fit-decreasing packing of files into bins whose on-disk
+    * sizes sum to at most `target` — a file larger than the target
+    * gets its own bin. Bounds every rewritten file's size by
+    * construction. */
+  private def packBins(fs: Seq[AddFile], sizeOf: AddFile => Long,
+                       target: Long): Seq[Seq[AddFile]] = {
+    val bins = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[AddFile], Long)]
+    fs.sortBy(f => (-sizeOf(f), f.path)).foreach { f =>
+      val s = sizeOf(f)
+      bins.indexWhere(_._2 + s <= target) match {
+        case -1 => bins += ((mutable.ArrayBuffer(f), s))
+        case i => bins(i) = (bins(i)._1 += f, bins(i)._2 + s)
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
+  /** Rewrite the given (partitionValues, file set) bins in ONE
+    * distributed job: every bin's survivors scan together, a broadcast
+    * file→bin join routes rows, `repartition(__bin)` gives each bin a
+    * single writing task, and `partitionBy(__bin)` splits the output —
+    * one replacement file per bin. The shape this replaces ran one
+    * job per PARTITION through a `coalesce(1)` funnel: a large
+    * partition's whole rewrite moved through one task and landed in
+    * one unbounded file. Returns add actions (stats attached by one
+    * grouped scan), omitting bins whose rows were all DV-deleted. */
+  private def rewriteBinned(spark: SparkSession, base: String,
+                            snap: DeltaSnapshot,
+                            bins: Seq[(Map[String, String], Seq[AddFile])])
+      : Seq[AddFile] = {
+    if (bins.isEmpty) return Seq.empty
+    import spark.implicits._
+    val binOf: Seq[(String, Int)] = bins.zipWithIndex.flatMap {
+      case ((_, fs), b) => fs.map(f =>
+        PathCodec.metadataPathKey(resolveDataFile(base, f.path)) -> b)
+    }
+    val scan = readPhysical(spark, base, snap,
+      bins.flatMap(_._2), keepFile = true)
+    val scratch = TableIO.join(base, s".opt_${UUID.randomUUID()}")
+    scan.join(broadcast(binOf.toDF("__delta_file", "__bin")),
+        Seq("__delta_file"))
+      .drop("__delta_file")
+      .repartition(col("__bin"))
+      .write.mode("overwrite").partitionBy("__bin").parquet(scratch)
+    val id = UUID.randomUUID().toString
+    val staged = mutable.ArrayBuffer.empty[AddFile]
+    io.list(scratch).filter(_.startsWith("__bin=")).sorted.foreach { d =>
+      val b = PathCodec.unescapePathName(d.stripPrefix("__bin=")).toInt
+      val dir = TableIO.join(scratch, d)
+      io.list(dir)
+        .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+        .sorted.foreach { p =>
+          // same flat layout + explicit partitionValues the old path
+          // produced (directory layout is convention, add.pv is truth)
+          val name = s"$id-${staged.size}.parquet"
+          io.move(TableIO.join(dir, p), TableIO.join(base, name))
+          staged += AddFile(name, bins(b)._1)
+        }
+    }
+    io.deleteRecursively(scratch)
+    collectAddStats(spark, base, staged.toSeq,
+      StructType(snap.schema.fields
+        .filterNot(f => snap.partitionColumns.contains(f.name))
+        .map(f => f.copy(name = snap.physicalName(f.name)))))
   }
 
   /** OPTIMIZE: bin-packing compaction, exactly as Delta's OPTIMIZE
@@ -1734,7 +1811,8 @@ object DeltaInterop {
     * partition group, and untouched partitions cost nothing. Returns
     * the committed version, or None when nothing qualified. */
   def optimize(spark: SparkSession, base: String,
-               smallFileBytes: Long = 128L << 20): Option[Long] = {
+               smallFileBytes: Long = 128L << 20,
+               targetFileBytes: Long = 1L << 30): Option[Long] = {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode != "id",
       "OPTIMIZE on a columnMapping.mode=id table is not supported " +
@@ -1745,32 +1823,31 @@ object DeltaInterop {
       "row ids)")
     def sizeOf(f: AddFile): Long =
       io.length(resolveDataFile(base, f.path))
-    val byPartition = snap.files.groupBy(_.partitionValues)
-    val newAdds = mutable.ArrayBuffer.empty[AddFile]
+    // candidate selection is driver-side metadata; the rewrite is ONE
+    // distributed job over every selected bin (rewriteBinned), each
+    // output file bounded by targetFileBytes via first-fit packing
+    val bins = mutable.ArrayBuffer.empty[(Map[String, String], Seq[AddFile])]
     val removed = mutable.ArrayBuffer.empty[AddFile]
-    byPartition.foreach { case (pv, fs) =>
-      val candidates = fs.filter(f =>
-        sizeOf(f) < smallFileBytes || f.dv.exists(_.cardinality > 0))
-      // one surviving clean file is already optimal for this partition
-      val worthIt = candidates.size >= 2 ||
-        candidates.exists(_.dv.exists(_.cardinality > 0))
-      if (candidates.nonEmpty && worthIt) {
-        val rows = readPhysical(spark, base, snap, candidates).coalesce(1)
-        val staged = stageAdds(rows, base, Seq.empty)
-          .map(_.copy(partitionValues = pv))
-        newAdds ++= collectAddStats(spark, base, staged,
-          StructType(snap.schema.fields
-            .filterNot(f => snap.partitionColumns.contains(f.name))
-            .map(f => f.copy(name = snap.physicalName(f.name)))))
-        removed ++= candidates
+    snap.files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toString).foreach { case (pv, fs) =>
+        val candidates = fs.filter(f =>
+          sizeOf(f) < smallFileBytes || f.dv.exists(_.cardinality > 0))
+        // one surviving clean file is already optimal for this partition
+        val worthIt = candidates.size >= 2 ||
+          candidates.exists(_.dv.exists(_.cardinality > 0))
+        if (candidates.nonEmpty && worthIt) {
+          packBins(candidates, sizeOf, targetFileBytes)
+            .foreach(b => bins += ((pv, b)))
+          removed ++= candidates
+        }
       }
-    }
     if (removed.isEmpty) None
     else {
+      val newAdds = rewriteBinned(spark, base, snap, bins.toSeq)
       val v = snap.version + 1
       writeCommit(base, v,
         removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
-          newAdds.toSeq.map(addJson(_, base, dataChange = false)),
+          newAdds.map(addJson(_, base, dataChange = false)),
         operation = "OPTIMIZE")
       Some(v)
     }
@@ -1785,7 +1862,8 @@ object DeltaInterop {
     * guarantee). Clean files are untouched regardless of size. Commits
     * `dataChange=false`: downstream CDF consumers and streams see a
     * layout change, not new data. */
-  def reorgPurge(spark: SparkSession, base: String): Option[Long] = {
+  def reorgPurge(spark: SparkSession, base: String,
+                 targetFileBytes: Long = 1L << 30): Option[Long] = {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode != "id",
       "REORG on a columnMapping.mode=id table is not supported " +
@@ -1797,22 +1875,22 @@ object DeltaInterop {
     val byPartition = snap.files
       .filter(_.dv.exists(_.cardinality > 0)).groupBy(_.partitionValues)
     if (byPartition.isEmpty) return None
-    val newAdds = mutable.ArrayBuffer.empty[AddFile]
+    def sizeOf(f: AddFile): Long =
+      io.length(resolveDataFile(base, f.path))
+    // every purged partition's survivors rewrite in ONE distributed
+    // job, output files bounded by targetFileBytes (a fully-deleted
+    // bin yields no file — its removes still commit)
+    val bins = mutable.ArrayBuffer.empty[(Map[String, String], Seq[AddFile])]
     val removed = mutable.ArrayBuffer.empty[AddFile]
-    byPartition.foreach { case (pv, fs) =>
-      val rows = readPhysical(spark, base, snap, fs).coalesce(1)
-      val staged = stageAdds(rows, base, Seq.empty)
-        .map(_.copy(partitionValues = pv))
-      newAdds ++= collectAddStats(spark, base, staged,
-        StructType(snap.schema.fields
-          .filterNot(f => snap.partitionColumns.contains(f.name))
-          .map(f => f.copy(name = snap.physicalName(f.name)))))
+    byPartition.toSeq.sortBy(_._1.toString).foreach { case (pv, fs) =>
+      packBins(fs, sizeOf, targetFileBytes).foreach(b => bins += ((pv, b)))
       removed ++= fs
     }
+    val newAdds = rewriteBinned(spark, base, snap, bins.toSeq)
     val v = snap.version + 1
     writeCommit(base, v,
       removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
-        newAdds.toSeq.map(addJson(_, base, dataChange = false)),
+        newAdds.map(addJson(_, base, dataChange = false)),
       operation = "REORG")
     Some(v)
   }

@@ -1088,8 +1088,15 @@ object IcebergInterop {
     * A bound lands only when BOTH min and max are representable —
     * one-sided bounds would make the admit test asymmetric. */
   private def collectBounds(spark: SparkSession, schema: StructType,
-                            staged: Seq[String], idOf: String => Long)
-      : Map[String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
+                            staged: Seq[String], idOf: String => Long,
+                            // derived partition (name, expr) pairs to
+                            // recover per file in the SAME scan — each
+                            // staged file holds exactly one partition
+                            // tuple, so first() reads the constant back
+                            partVals: Seq[(String, org.apache.spark.sql.Column)] =
+                              Seq.empty)
+      : Map[String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]],
+                     Map[String, Any])] = {
     import org.apache.spark.sql.functions._
     def orderable(dt: DataType): Boolean = dt match {
       case _: NumericType | StringType | DateType |
@@ -1099,8 +1106,11 @@ object IcebergInterop {
     val statCols = schema.fields.zipWithIndex
       .filter { case (f, _) => orderable(f.dataType) }.toSeq
     if (staged.isEmpty) return Map.empty
-    val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.flatMap { case (f, _) =>
-      Seq(min(col(f.name)), max(col(f.name))) }
+    val aggs = Seq(count(lit(1)).as("__nr")) ++
+      statCols.flatMap { case (f, _) =>
+        Seq(min(col(f.name)), max(col(f.name))) } ++
+      partVals.map { case (n, c) => first(c, ignoreNulls = false).as(s"__pv_$n") }
+    val pvBase = 2 + statCols.size * 2
     spark.read.parquet(staged: _*)
       .groupBy(regexp_replace(col("_metadata.file_path"),
         PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
@@ -1116,8 +1126,53 @@ object IcebergInterop {
             hi += idOf(f.name).toInt -> mx
           }
         }
-        r.getString(0) -> (r.getLong(1), lo.result(), hi.result())
+        val pv: Map[String, Any] = partVals.zipWithIndex.map {
+          case ((n, _), i) => n -> r.get(pvBase + i) }.toMap
+        r.getString(0) -> (r.getLong(1), lo.result(), hi.result(), pv)
       }.toMap
+  }
+
+  /** Stage a partitioned frame's data files in ONE distributed write:
+    * the derived partition expressions ride along as duplicate `__gp`
+    * columns that `write.partitionBy` strips into directory names — so
+    * the SOURCE columns stay inside the data files (Iceberg keeps
+    * partition sources in data, unlike hive/Delta) — and repartitioning
+    * on the tuple gives each partition one writing task (one file per
+    * tuple, the same layout as before). The shape this replaces ran one
+    * full-input Spark job per partition tuple with a `coalesce(1)`
+    * funnel — P× the input scanned and P job launches; at 100 TB the
+    * fan-out must happen inside one shuffle. Partition VALUES are not
+    * parsed back from the escaped directory names — `collectBounds`
+    * recovers each file's constant tuple from the data itself in the
+    * scan it already runs. Returns staged paths, deterministically
+    * ordered. */
+  private def stagePartitioned(dfIds: DataFrame, base: String,
+                               dataDir: String,
+                               derived: Seq[(String, org.apache.spark.sql.Column)],
+                               idTag: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val gp = derived.indices.map(i => s"__gp$i")
+    val scratch = TableIO.join(base, s".stage_$idTag")
+    dfIds.select(dfIds.columns.map(col) ++
+        derived.zip(gp).map { case ((_, c), g) => c.as(g) }: _*)
+      .repartition(gp.map(col): _*)
+      .write.mode("overwrite").partitionBy(gp: _*).parquet(scratch)
+    // walk the partition tree (one level per spec field; null values
+    // land under __HIVE_DEFAULT_PARTITION__) — bounded by #files
+    def walk(dir: String): Seq[String] =
+      io.list(dir).flatMap { n =>
+        val p = TableIO.join(dir, n)
+        if (io.isDirectory(p)) walk(p)
+        else if (n.startsWith("part-") && n.endsWith(".parquet")) Seq(p)
+        else Seq.empty
+      }
+    val staged = walk(scratch).sorted.zipWithIndex.map { case (p, i) =>
+      val dst = TableIO.join(dataDir, s"$idTag-$i.parquet")
+      io.move(p, dst)
+      dst
+    }
+    io.deleteRecursively(scratch)
+    staged
   }
 
   /** Bounds map → the avro map-as-array branch of the entry schema. */
@@ -1334,12 +1389,11 @@ object IcebergInterop {
     val dfIds = withFieldIds(df, idOf)
 
     // 1. stage data files. Identity partitioning keeps the partition
-    // columns IN the data files (Iceberg's shape, unlike Delta/hive) and
-    // writes one file set per partition tuple; the driver loop is
-    // bounded by the partition count (a production writer fans this out,
-    // same as Iceberg's own fan-out writer).
+    // columns IN the data files (Iceberg's shape, unlike Delta/hive);
+    // partitioned frames fan out through ONE distributed partitionBy
+    // write (stagePartitioned), never a per-tuple job loop.
     val id = UUID.randomUUID().toString
-    val dataFiles: Seq[(String, Map[String, Any])] =
+    val stagedPaths: Seq[String] =
       if (partitionBy.isEmpty) {
         val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
         dfIds.write.mode("overwrite").parquet(scratch)
@@ -1349,38 +1403,25 @@ object IcebergInterop {
         val staged = parts.zipWithIndex.map { case (p, i) =>
           val name = s"$id-$i.parquet"
           io.move(TableIO.join(scratch, p), TableIO.join(dataDir, name))
-          (TableIO.join(dataDir, name), Map.empty[String, Any])
+          TableIO.join(dataDir, name)
         }
         io.deleteRecursively(scratch)
         staged
-      } else {
-        val tuples = df.select(derived.map { case (n, c, _) => c.as(n) }: _*)
-          .distinct()
-          .collect() // bounded by partition count
-        tuples.toSeq.sortBy(_.toString).zipWithIndex.map { case (t, pi) =>
-          val values: Map[String, Any] =
-            derived.zipWithIndex.map { case ((n, _, _), i) => n -> t.get(i) }.toMap
-          val pred = derived.zipWithIndex.map { case ((_, c, _), i) =>
-            if (t.isNullAt(i)) c.isNull else c === t.get(i)
-          }.reduce(_ && _)
-          val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
-          dfIds.filter(pred).coalesce(1).write.mode("overwrite")
-            .parquet(scratch)
-          val part = io.list(scratch)
-            .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no part file staged"))
-          val name = s"$id-$pi.parquet"
-          io.move(TableIO.join(scratch, part), TableIO.join(dataDir, name))
-          io.deleteRecursively(scratch)
-          (TableIO.join(dataDir, name), values)
-        }
-      }
+      } else stagePartitioned(dfIds, base, dataDir,
+        derived.map { case (n, c, _) => (n, c) }, id)
 
     // 2. one new manifest for the added files, each entry carrying
     // per-file [lower, upper] bounds per field id (spec field-ids
-    // 125/128) — the metadata that lets readRange skip files
+    // 125/128) — the metadata that lets readRange skip files — and,
+    // for partitioned tables, the file's partition tuple read back
+    // from the data in the same scan
     val boundsByFile =
-      collectBounds(spark, df.schema, dataFiles.map(_._1), idOf)
+      collectBounds(spark, df.schema, stagedPaths, idOf,
+        derived.map { case (n, c, _) => (n, c) })
+    val dataFiles: Seq[(String, Map[String, Any])] = stagedPaths.map { f =>
+      f -> boundsByFile.get(PathCodec.metadataPathKey(f))
+        .map(_._4).getOrElse(Map.empty[String, Any])
+    }
     val snapshotId = prev.map(nextSnapshotId).getOrElse(1L)
     val entrySchema = entrySchemaFor(partTypes,
       storedSpec.map(_._2.map(_.fieldId)).getOrElse(Seq.empty))
@@ -1400,7 +1441,7 @@ object IcebergInterop {
       dfr.put("record_count",
         boundsByFile.get(PathCodec.metadataPathKey(f)).map(_._1).getOrElse(0L))
       dfr.put("file_size_in_bytes", io.length(f))
-      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
+      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi, _) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
       }
@@ -1994,7 +2035,8 @@ object IcebergInterop {
     val metaDir = metadataDir(base)
     val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
     val dfIds = withFieldIds(df, idOf)
-    val dataFiles: Seq[(String, Map[String, Any])] =
+    import org.apache.spark.sql.functions.col
+    val stagedPaths: Seq[String] =
       if (partCols.isEmpty) {
         val scratch = TableIO.join(base, s".stage_$idTag")
         dfIds.write.mode("overwrite").parquet(scratch)
@@ -2004,37 +2046,22 @@ object IcebergInterop {
         val staged = parts.zipWithIndex.map { case (p, i) =>
           val dst = TableIO.join(dataDir, s"$idTag-$i.parquet")
           io.move(TableIO.join(scratch, p), dst)
-          (dst, Map.empty[String, Any])
+          dst
         }.toSeq
         io.deleteRecursively(scratch)
         staged
-      } else {
-        import org.apache.spark.sql.functions.col
-        val tuples = df.select(partCols.map(col): _*).distinct()
-          .collect() // bounded by partition count
-        tuples.toSeq.sortBy(_.toString).zipWithIndex.map { case (t, pi) =>
-          val values: Map[String, Any] =
-            partCols.zipWithIndex.map { case (c, i) => c -> t.get(i) }.toMap
-          val pred = partCols.zipWithIndex.map { case (c, i) =>
-            if (t.isNullAt(i)) col(c).isNull else col(c) === t.get(i)
-          }.reduce(_ && _)
-          val scratch = TableIO.join(base, s".stage_$idTag-$pi")
-          dfIds.filter(pred).coalesce(1).write.mode("overwrite")
-            .parquet(scratch)
-          val part = io.list(scratch)
-            .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException("no part file staged"))
-          val dst = TableIO.join(dataDir, s"$idTag-$pi.parquet")
-          io.move(TableIO.join(scratch, part), dst)
-          io.deleteRecursively(scratch)
-          (dst, values)
-        }
-      }
+      } else stagePartitioned(dfIds, base, dataDir,
+        partCols.map(c => (c, col(c))), idTag)
     val partTypes: Seq[(String, DataType)] =
       partCols.map(c => c -> df.schema(c).dataType)
     val entrySchema = entrySchemaFor(partTypes, specFieldIds)
     val boundsByFile =
-      collectBounds(spark, df.schema, dataFiles.map(_._1), idOf)
+      collectBounds(spark, df.schema, stagedPaths, idOf,
+        partCols.map(c => (c, col(c))))
+    val dataFiles: Seq[(String, Map[String, Any])] = stagedPaths.map { f =>
+      f -> boundsByFile.get(PathCodec.metadataPathKey(f))
+        .map(_._4).getOrElse(Map.empty[String, Any])
+    }
     val entries = dataFiles.map { case (f, pv) =>
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", 1); rec.put("snapshot_id", snapshotId)
@@ -2046,7 +2073,7 @@ object IcebergInterop {
       dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
         .map(_._1).getOrElse(0L))
       dfr.put("file_size_in_bytes", io.length(f))
-      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
+      boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi, _) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
       }
@@ -2817,7 +2844,7 @@ object IcebergInterop {
           dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
             .map(_._1).getOrElse(0L))
           dfr.put("file_size_in_bytes", io.length(f))
-          boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi) =>
+          boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi, _) =>
             dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
             dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
           }

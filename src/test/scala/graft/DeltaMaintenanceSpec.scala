@@ -36,6 +36,60 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(got.agg(sum("id")).head().getLong(0) == (0 until 30).sum)
   }
 
+  test("optimize bounds output files by targetFileBytes and fans out in one job") {
+    val base = tmp()
+    // six ~equal small files; a tiny target forces multiple bins —
+    // output size is bounded by construction, never one unbounded file
+    (0 until 6).foreach(i => (if (i == 0)
+        DeltaInterop.overwrite(spark.range(i * 1000, (i + 1) * 1000).toDF("id")
+          .coalesce(1), base)
+      else DeltaInterop.append(spark.range(i * 1000, (i + 1) * 1000).toDF("id")
+        .coalesce(1), base)))
+    val sizes0 = DeltaInterop.snapshot(spark, base).files.map(f =>
+      new File(base, f.path).length())
+    val target = sizes0.max * 2 + sizes0.min // fits 2–3 files per bin
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DeltaInterop.optimize(spark, base, targetFileBytes = target)
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a constant number of jobs (AQE splits the broadcast-join write
+    // into a few), NOT one per partition/bin — the old per-partition
+    // loop would launch ≥6 write jobs + 6 stats jobs here
+    assert(jobs <= 8, s"optimize launched $jobs jobs")
+    val files = DeltaInterop.snapshot(spark, base).files
+    assert(files.size >= 2 && files.size < 6,
+      s"expected binned output, got ${files.size} files")
+    files.foreach { f =>
+      // parquet re-encoding shifts sizes; allow headroom over target
+      assert(new File(base, f.path).length() <= target * 3 / 2,
+        s"output file ${f.path} exceeds the target bound")
+    }
+    val got = DeltaInterop.read(spark, base)
+    assert(got.count() == 6000)
+    assert(got.agg(sum("id")).head().getLong(0) == (0L until 6000L).sum)
+  }
+
+  test("reorg purge of a fully-deleted file emits no empty add") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    DeltaInterop.append(spark.range(10, 20).toDF("id").coalesce(1), base)
+    graft.sources.DeltaDml.deleteVectoredWhere(spark, base, col("id") < 10)
+    DeltaInterop.reorgPurge(spark, base)
+    val snap = DeltaInterop.snapshot(spark, base)
+    // the fully-deleted file's bin produced nothing; the clean file and
+    // no empty replacement remain
+    assert(snap.files.size == 1)
+    assert(snap.files.forall(_.dv.forall(_.cardinality == 0)))
+    assert(DeltaInterop.read(spark, base).count() == 10)
+  }
+
   test("optimize commits the swap with dataChange=false on both sides") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base)

@@ -524,6 +524,34 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("not an identity partition column"))
   }
 
+  test("partitioned commit fans out in one write job, not one per tuple") {
+    // the staging path must be a single distributed partitionBy write
+    // + one bounds/values scan — a per-tuple job loop (P full-input
+    // scans through coalesce(1) funnels) would show ≥16 jobs here
+    val base = tmp()
+    val df = spark.range(160).select(col("id"),
+      (col("id") % 16).cast("int").as("bucket"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IcebergInterop.overwrite(df, base, partitionBy = Seq("bucket"))
+      // listener events are async — give the bus a beat to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 6, s"partitioned commit launched $jobs jobs — " +
+      "staging degenerated to a per-partition loop")
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.files.length == 16) // one file per tuple
+    assert(snap.files.map(_.partitionValues("bucket")).sorted ==
+      (0 until 16).map(_.toString).sorted)
+    assert(IcebergInterop.read(spark, base).count() == 160)
+  }
+
   test("predicates on an Iceberg read reach the parquet scan (pushdown intact)") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(100).toDF("id"), base)
