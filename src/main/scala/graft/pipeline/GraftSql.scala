@@ -543,13 +543,14 @@ object GraftSql {
         case LogTable(base) =>
           val snap = GraftLog.snapshot(base)
           ("graftlog", base, Seq.empty[String], snap.files.size.toLong,
-            snap.files.map(f => new java.io.File(base, f).length()).sum,
+            snap.files.map(f => graft.sources.TableIO().length(
+              graft.sources.TableIO.join(base, f))).sum,
             snap.version)
         case IceTable(base) =>
           val snap = graft.sources.IcebergInterop.snapshot(spark, base)
           ("iceberg", base, snap.partitionColumns,
             snap.files.size.toLong,
-            snap.files.map(f => new java.io.File(f.path).length()).sum,
+            snap.files.map(f => graft.sources.TableIO().length(f.path)).sum,
             snap.snapshotId)
       }
       Some(Seq((fmt, loc2, parts, nf, bytes, ver2)).toDF(
@@ -633,16 +634,21 @@ object GraftSql {
     val format = fmt.toLowerCase
     require(Set("parquet", "csv", "json").contains(format),
       s"COPY INTO FILEFORMAT must be PARQUET, CSV or JSON — got $fmt")
-    val src = new java.io.File(path)
-    require(src.exists(), s"COPY INTO source not found: $path")
+    val tio = graft.sources.TableIO()
+    require(tio.exists(path), s"COPY INTO source not found: $path")
     val matcher = pattern.map(p =>
       java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
-    val files = (if (src.isFile) Array(src)
-                 else Option(src.listFiles()).getOrElse(Array.empty))
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".") &&
-        matcher.forall(_.matches(java.nio.file.Paths.get(f.getName))))
-      .sortBy(_.getName)
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val files: Seq[String] =
+      (if (!tio.isDirectory(path)) Seq(path)
+       else tio.list(path).sorted
+         .map(n => graft.sources.TableIO.join(path, n))
+         .filterNot(tio.isDirectory))
+      .filter { p =>
+        val n = nameOf(p)
+        !n.startsWith("_") && !n.startsWith(".") &&
+        matcher.forall(_.matches(java.nio.file.Paths.get(n)))
+      }
     // the DECLARED schema governs conformance (the read view's schema
     // reports parquet nullability, not the table contract — an Iceberg
     // required column would look nullable there and fail the commit)
@@ -656,7 +662,7 @@ object GraftSql {
       case IceTable(base) =>
         graft.sources.IcebergInterop.snapshot(spark, base).schema
     }
-    def conform(raw: DataFrame, f: java.io.File): DataFrame = {
+    def conform(raw: DataFrame, f: String): DataFrame = {
       require(raw.columns.toSet == tableSchema.fieldNames.toSet,
         s"COPY INTO source file $f must carry exactly the table " +
         s"columns (${tableSchema.fieldNames.mkString(",")}), " +
@@ -673,10 +679,10 @@ object GraftSql {
         tight.as(fld.name)
       }: _*)
     }
-    def readFile(f: java.io.File): DataFrame = format match {
-      case "parquet" => spark.read.parquet(f.getPath)
-      case "csv" => spark.read.option("header", "true").csv(f.getPath)
-      case _ => spark.read.json(f.getPath)
+    def readFile(f: String): DataFrame = format match {
+      case "parquet" => spark.read.parquet(f)
+      case "csv" => spark.read.option("header", "true").csv(f)
+      case _ => spark.read.json(f)
     }
     // ledger pre-check: skip a recorded file without even reading it
     val loaded: String => Boolean = h match {
@@ -692,7 +698,10 @@ object GraftSql {
     }
     var nLoaded = 0L
     files.foreach { f =>
-      val id = s"copyinto:${f.getCanonicalPath}"
+      // ledger id = the file's normalized absolute path (pure string
+      // math — no filesystem probe, so it works against any store)
+      val id = "copyinto:" +
+        java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString
       if (!loaded(id)) {
         val batch = conform(readFile(f), f)
         h match {
@@ -849,10 +858,12 @@ object GraftSql {
 
   private def tableExistsAt(provider: String, base: String): Boolean =
     provider match {
-      case "graftlog" => new java.io.File(base, "_graft_log").exists()
-      case "delta" => new java.io.File(base, "_delta_log").exists()
-      case "iceberg" =>
-        new java.io.File(base, "metadata/version-hint.text").exists()
+      case "graftlog" => graft.sources.TableIO().exists(
+        graft.sources.TableIO.join(base, "_graft_log"))
+      case "delta" => graft.sources.TableIO().exists(
+        graft.sources.TableIO.join(base, "_delta_log"))
+      case "iceberg" => graft.sources.TableIO().exists(
+        graft.sources.TableIO.join(base, "metadata/version-hint.text"))
       case _ => false
     }
 
@@ -1063,7 +1074,7 @@ object GraftSql {
     val h = tablesOf(spark).remove(name)
     spark.catalog.dropTempView(name)
     if (d.purge)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(h.base))
+      graft.sources.TableIO().deleteRecursively(h.base)
     result(spark, if (d.purge) "DROP TABLE PURGE" else "DROP TABLE", -1L)
   }
 

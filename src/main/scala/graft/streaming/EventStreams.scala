@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Storage seam — all directory swaps, markers and checkpoint
+    * cleanup go through it (same zero-`java.io.File` invariant as the
+    * table-format layer). */
+  private def io: graft.sources.TableIO = graft.sources.TableIO()
+
   /** The events table's schema as read by Tables.load (ts already micros). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -264,7 +269,7 @@ object EventStreams {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       if (prevProv.isEmpty) spark.conf.unset(provKey)
       else spark.conf.set(provKey, prevProv)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      io.deleteRecursively(ckpt)
     }
     spark.table(sink)
   }
@@ -286,7 +291,7 @@ object EventStreams {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      io.deleteRecursively(ckpt)
     }
   }
 
@@ -317,7 +322,7 @@ object EventStreams {
         .start().awaitTermination()
     } finally {
       if (ephemeral)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        io.deleteRecursively(ckpt)
     }
   }
 
@@ -350,7 +355,7 @@ object EventStreams {
         .start().awaitTermination()
     } finally {
       if (ephemeral)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        io.deleteRecursively(ckpt)
     }
   }
 
@@ -383,7 +388,7 @@ object EventStreams {
         .start().awaitTermination()
     } finally {
       if (ephemeral)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        io.deleteRecursively(ckpt)
     }
   }
 
@@ -426,7 +431,7 @@ object EventStreams {
         .start().awaitTermination()
     } finally {
       if (ephemeral)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        io.deleteRecursively(ckpt)
     }
   }
 
@@ -458,24 +463,22 @@ object EventStreams {
       stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val spark = batch.sparkSession
-          val gold = new java.io.File(goldPath)
-          val old = new java.io.File(goldPath + "__old")
+          val oldPath = goldPath + "__old"
           // crash repair: swap died between renames → previous snapshot
           // is intact under __old; restore it before merging.
-          if (!gold.exists() && old.exists() && !old.renameTo(gold))
-            throw new java.io.IOException(s"gold repair failed: $old -> $gold")
+          if (!io.exists(goldPath) && io.exists(oldPath))
+            io.move(oldPath, goldPath)
           // The marker is scoped to the CHECKPOINT identity: batchIds
           // restart at 0 for every new query, so a fresh invocation (new
           // checkpoint) merging into an existing gold table must not be
           // mistaken for a replay — only the same checkpoint re-delivering
           // an already-merged batchId is.
           val ckptId = ckpt
-          val marker = new java.io.File(gold, "_graft_batchid")
+          val marker = graft.sources.TableIO.join(goldPath, "_graft_batchid")
           val lastMerged =
-            if (marker.exists()) {
+            if (io.exists(marker)) {
               val Array(storedCkpt, storedBatch) =
-                java.nio.file.Files.readString(marker.toPath).trim
-                  .split('\n').padTo(2, "-1")
+                io.readString(marker).trim.split('\n').padTo(2, "-1")
               if (storedCkpt == ckptId) storedBatch.trim.toLong else -1L
             } else -1L
           if (batchId <= lastMerged) {
@@ -489,7 +492,7 @@ object EventStreams {
                 count(lit(1)).as("n_events"),
                 sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_value_dec"))
             val merged =
-              (if (gold.exists())
+              (if (io.exists(goldPath))
                  spark.read.parquet(goldPath)
                    .select(col(key), col("n_events"),
                      col("sum_value_dec").cast(DecimalType(38, 2)).as("sum_value_dec"))
@@ -500,19 +503,17 @@ object EventStreams {
                 .agg(
                   sum(col("n_events")).as("n_events"),
                   sum(col("sum_value_dec")).cast(DecimalType(38, 2)).as("sum_value_dec"))
-            val staging = new java.io.File(goldPath + "__staging")
-            merged.write.mode("overwrite").parquet(staging.getPath)
+            val staging = goldPath + "__staging"
+            merged.write.mode("overwrite").parquet(staging)
             // marker commits atomically with the snapshot (same rename);
             // underscore-prefixed files are invisible to parquet readers
-            java.nio.file.Files.writeString(
-              new java.io.File(staging, "_graft_batchid").toPath,
+            io.writeString(
+              graft.sources.TableIO.join(staging, "_graft_batchid"),
               s"$ckptId\n$batchId")
-            org.apache.commons.io.FileUtils.deleteQuietly(old)
-            if (gold.exists() && !gold.renameTo(old))
-              throw new java.io.IOException(s"gold retire failed: $gold -> $old")
-            if (!staging.renameTo(gold))
-              throw new java.io.IOException(s"gold swap failed: $staging -> $gold")
-            org.apache.commons.io.FileUtils.deleteQuietly(old)
+            io.deleteRecursively(oldPath)
+            if (io.exists(goldPath)) io.move(goldPath, oldPath)
+            io.move(staging, goldPath)
+            io.deleteRecursively(oldPath)
           }
           ()
         }
@@ -521,7 +522,7 @@ object EventStreams {
         .start().awaitTermination()
     } finally {
       if (ephemeral)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        io.deleteRecursively(ckpt)
     }
   }
 
@@ -612,20 +613,18 @@ object EventStreams {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val hconf = spark.sessionState.newHadoopConf()
-    val parts = {
-      val f = new java.io.File(path)
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-          .toSeq
-      else Seq(f)
-    }
+    val parts: Seq[String] =
+      if (io.isDirectory(path))
+        io.list(path)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .map(n => graft.sources.TableIO.join(path, n))
+      else Seq(path)
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var rows = 0L
     val ok = parts.forall { file =>
       val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.getPath), hconf))
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), hconf))
       try {
         import scala.jdk.CollectionConverters._
         reader.getFooter.getBlocks.asScala.forall { block =>
