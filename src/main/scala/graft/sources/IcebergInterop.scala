@@ -1283,6 +1283,23 @@ object IcebergInterop {
         s"(case when unix_micros(`$src`) % 86400000000 < 0 then -1 else 0 end) as int)"
     }
 
+  /** The table's DEFAULT partition spec as recorded: (spec-id, fields). */
+  private def defaultSpecOf(m: JsonNode): (Int, Seq[SpecField]) = {
+    val want = Option(m.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    val specs = Option(m.get("partition-specs"))
+      .getOrElse(mapper.createArrayNode())
+    val fields = (0 until specs.size()).map(specs.get)
+      .find(_.get("spec-id").asInt() == want)
+      .map { s =>
+        val fs = s.get("fields")
+        (0 until fs.size()).map(fs.get).map(f => SpecField(
+          f.get("name").asText(), f.get("transform").asText(),
+          f.get("source-id").asInt(),
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
+      }.getOrElse(Seq.empty)
+    want -> fields
+  }
+
   private def commitSnapshotSpec(df: DataFrame, base: String, mode: String,
                                  spec: Seq[(String, IceTransform)],
                                  summary: Map[String, String] = Map.empty,
@@ -1346,20 +1363,8 @@ object IcebergInterop {
     // stamp the entry schema — same no-re-mint invariant as schema ids.
     // The caller's (source, transform) pairs must match it positionally
     // (appendSpec derives them from this very spec).
-    val storedSpec: Option[(Int, Seq[SpecField])] = appendMeta.map { m =>
-      val want = Option(m.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-      val specs = m.get("partition-specs")
-      val fields = (0 until specs.size()).map(specs.get)
-        .find(_.get("spec-id").asInt() == want)
-        .map { s =>
-          val fs = s.get("fields")
-          (0 until fs.size()).map(fs.get).map(f => SpecField(
-            f.get("name").asText(), f.get("transform").asText(),
-            f.get("source-id").asInt(),
-            Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
-        }.getOrElse(Seq.empty)
-      want -> fields
-    }
+    val storedSpec: Option[(Int, Seq[SpecField])] =
+      appendMeta.map(defaultSpecOf)
     storedSpec.foreach { case (_, fields) =>
       require(fields.size == spec.size,
         s"append spec has ${spec.size} field(s) but the table's default " +
@@ -1422,9 +1427,31 @@ object IcebergInterop {
       f -> boundsByFile.get(PathCodec.metadataPathKey(f))
         .map(_._4).getOrElse(Map.empty[String, Any])
     }
-    val snapshotId = prev.map(nextSnapshotId).getOrElse(1L)
+    // ---- publish. Everything below depends on the PREVIOUS metadata
+    // and participates in the optimistic-concurrency retry: staged
+    // data files and their bounds are reused verbatim across attempts;
+    // only the manifest/list/metadata (metadata-scale avro + json)
+    // rewrite with the rebased snapshot id. The retry loop after this
+    // function rebases ONLY when the winning commit changed neither
+    // the current schema nor the default spec — the two things the
+    // staged files' field ids and partition records were stamped
+    // against; anything else refuses loudly.
+    def attemptPublish(prevA: Option[JsonNode]): Long = {
+    val appendMetaA: Option[JsonNode] =
+      if (mode == "append") prevA.filter(_.has("schemas")) else None
+    val storedSpecA: Option[(Int, Seq[SpecField])] =
+      appendMetaA.map(defaultSpecOf)
+    val branchBaseIdA: Option[Long] = branch.map { b =>
+      val m = prevA.get
+      Option(m.get("refs")).flatMap(r => Option(r.get(b))).map { ref =>
+        require(ref.get("type").asText() == "branch",
+          s"ref '$b' is a tag — tags are immutable, cannot write to one")
+        ref.get("snapshot-id").asLong()
+      }.getOrElse(m.get("current-snapshot-id").asLong())
+    }
+    val snapshotId = prevA.map(nextSnapshotId).getOrElse(1L)
     val entrySchema = entrySchemaFor(partTypes,
-      storedSpec.map(_._2.map(_.fieldId)).getOrElse(Seq.empty))
+      storedSpecA.map(_._2.map(_.fieldId)).getOrElse(Seq.empty))
     val mName = s"manifest-$id.avro"
     val mFile = TableIO.join(metaDir, mName)
     val entries = dataFiles.map { case (f, pv) =>
@@ -1458,22 +1485,22 @@ object IcebergInterop {
     // 3. manifest list = new manifest (+ carried manifests on append,
     // preserving their recorded content kinds and sequence numbers)
     val carried: Seq[ManifestRef] =
-      if (mode == "append" && prev.isDefined)
-        manifestsOfSnapshot(base, prev.get,
-          branchBaseId.getOrElse(
-            prev.get.get("current-snapshot-id").asLong()))
+      if (mode == "append" && prevA.isDefined)
+        manifestsOfSnapshot(base, prevA.get,
+          branchBaseIdA.getOrElse(
+            prevA.get.get("current-snapshot-id").asLong()))
       else Seq.empty
     val mlName = s"snap-$snapshotId-$id.avro"
     val mlFile = TableIO.join(metaDir, mlName)
     writeManifestList(mlFile,
       carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId,
-        storedSpec.map(_._1).getOrElse(0)))
+        storedSpecA.map(_._1).getOrElse(0)))
 
     // 4. new metadata json + version hint (atomic rename commit) —
     // assembled with the Jackson node API end to end: interpolating
     // names or paths into JSON text breaks on the first quote or
     // backslash in a column name
-    val version = prev.flatMap(_ => Some(
+    val version = prevA.flatMap(_ => Some(
       io.readString(hint).trim.toLong + 1)).getOrElse(1L)
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -1481,13 +1508,13 @@ object IcebergInterop {
     // readers may verify it across metadata versions, so it must
     // persist from the first commit on (minted only at creation)
     root.put("table-uuid",
-      prev.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
+      prevA.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
         .getOrElse(UUID.randomUUID().toString))
     root.put("location", base)
     val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", committedAtMs)
-    val schemaIdUsed = appendMeta match {
+    val schemaIdUsed = appendMetaA match {
       case Some(m) =>
         // carry the evolved schema history VERBATIM: ids, gaps,
         // last-column-id and all — an append changes data, not schema
@@ -1501,7 +1528,7 @@ object IcebergInterop {
         root.putArray("schemas").add(schemaNode(df.schema))
         0
     }
-    storedSpec match {
+    storedSpecA match {
       case Some((wantId, _)) =>
         // an append changes data, not partition layout: carry the full
         // spec history VERBATIM (older specs still describe older
@@ -1509,9 +1536,9 @@ object IcebergInterop {
         // here would erase partition evolution
         root.put("default-spec-id", wantId)
         root.set[JsonNode]("partition-specs",
-          appendMeta.get.get("partition-specs").deepCopy())
+          appendMetaA.get.get("partition-specs").deepCopy())
         root.put("last-partition-id",
-          Option(appendMeta.get.get("last-partition-id")).map(_.asInt())
+          Option(appendMetaA.get.get("last-partition-id")).map(_.asInt())
             .getOrElse(999 + spec.size))
       case None =>
         root.put("default-spec-id", 0)
@@ -1530,11 +1557,11 @@ object IcebergInterop {
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")
     root.put("current-snapshot-id",
-      if (branch.isDefined) prev.get.get("current-snapshot-id").asLong()
+      if (branch.isDefined) prevA.get.get("current-snapshot-id").asLong()
       else snapshotId)
     // named refs survive every rebuild: a tag dropped by a later
     // append would silently unpin its snapshot from expiration
-    prev.foreach { m =>
+    prevA.foreach { m =>
       Option(m.get("refs")).foreach(r =>
         root.set[JsonNode]("refs", r.deepCopy()))
     }
@@ -1548,15 +1575,15 @@ object IcebergInterop {
       r.put("snapshot-id", snapshotId); r.put("type", "branch")
     }
     val snapsArr = root.putArray("snapshots")
-    prev.foreach { m =>
+    prevA.foreach { m =>
       val snaps = m.get("snapshots")
       (0 until snaps.size()).foreach(i => snapsArr.add(snaps.get(i)))
     }
     val snapNode = snapsArr.addObject()
     snapNode.put("snapshot-id", snapshotId)
     // the ancestry link fastForward's publish check walks
-    branchBaseId.orElse(
-      prev.map(_.get("current-snapshot-id").asLong()).filter(_ > 0))
+    branchBaseIdA.orElse(
+      prevA.map(_.get("current-snapshot-id").asLong()).filter(_ > 0))
       .foreach(pid => snapNode.put("parent-snapshot-id", pid))
     snapNode.put("sequence-number", snapshotId)
     snapNode.put("timestamp-ms", committedAtMs)
@@ -1574,6 +1601,38 @@ object IcebergInterop {
         s"iceberg metadata v$version already exists in $base")
     io.writeString(hint, version.toString)
     snapshotId
+    } // attemptPublish
+
+    // Optimistic-concurrency reconciliation (the contract Iceberg's
+    // own SnapshotProducer retry implements): an APPEND depends on no
+    // existing file, so losing the metadata version race to another
+    // writer is recoverable — re-read the winner's metadata, verify it
+    // changed neither the current schema nor the default spec, and
+    // republish the SAME staged files chained onto the new head. Two
+    // interleaved disjoint appends both land. Non-append modes (an
+    // overwrite losing a race would erase the winner's rows) and
+    // schema/spec races refuse with the original exception.
+    var prevNow = prev
+    var attempt = 0
+    while (true) {
+      try return attemptPublish(prevNow)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 10 || mode != "append" || prev.isEmpty) throw e
+          val m = readMeta(base)
+          val sameSchema =
+            icebergSchemaToSparkJson(prev.get) == icebergSchemaToSparkJson(m)
+          val sameSpec = defaultSpecOf(prev.get) == defaultSpecOf(m)
+          if (!sameSchema || !sameSpec)
+            throw new java.util.ConcurrentModificationException(
+              s"append to $base lost the commit race to a concurrent " +
+              "schema or partition-spec change — the staged files were " +
+              "stamped against the old definition; re-run the append", e)
+          prevNow = Some(m)
+      }
+    }
+    -1L // unreachable
   }
 
   private def icebergSchemaToSparkJson(meta: JsonNode): String = {
@@ -1993,30 +2052,44 @@ object IcebergInterop {
         col(c).as(c, new MetadataBuilder()
           .putLong("parquet.field.id", fid.toLong).build())
       }: _*).dropDuplicates(equalityCols)
+    // multi-part staging for large key sets: ~4M keys per delete file
+    // (the deletePositionsClassified bound) — a CDC batch retiring tens
+    // of millions of keys must not funnel through one writer/one file.
+    // Small batches keep the single-file shape (parts = 1).
+    val nKeys = proj.count()
+    val parts = math.max(1L, (nKeys + 4000000L - 1L) / 4000000L).toInt
     val scratch = TableIO.join(base, s".stage_$id")
-    proj.coalesce(1).write.parquet(scratch)
-    val pf = io.list(scratch)
-      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no delete part file staged"))
+    proj.repartition(parts, equalityCols.map(col): _*)
+      .write.parquet(scratch)
+    val pfs = io.list(scratch)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .sorted
+    require(pfs.nonEmpty, "no delete part file staged")
     val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
-    val delFile = TableIO.join(dataDir, s"eqdelete-$id.parquet")
-    io.move(TableIO.join(scratch, pf), delFile)
+    val delFiles = pfs.zipWithIndex.map { case (pf, i) =>
+      val delFile = TableIO.join(dataDir, s"eqdelete-$id-$i.parquet")
+      io.move(TableIO.join(scratch, pf), delFile)
+      delFile
+    }
     io.deleteRecursively(scratch)
 
-    // 2. the delete manifest (a content=2 file entry with equality_ids)
+    // 2. the delete manifest (content=2 file entries with equality_ids)
     val entrySchema = entrySchemaFor(Seq.empty)
     val mFile = TableIO.join(metaDir, s"manifest-eqdel-$id.avro")
-    val rec = new GenericData.Record(entrySchema)
-    rec.put("status", 1); rec.put("snapshot_id", snapshotId)
-    val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
-    dfr.put("content", 2) // 2 = equality deletes
-    dfr.put("file_path", PathCodec.absNorm(delFile))
-    dfr.put("file_format", "PARQUET")
-    dfr.put("record_count", footerRowCount(spark, delFile))
-    dfr.put("file_size_in_bytes", io.length(delFile))
-    dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
-    rec.put("data_file", dfr)
-    writeAvro(mFile, entrySchema, Seq(rec))
+    val recs = delFiles.map { delFile =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+      val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+      dfr.put("content", 2) // 2 = equality deletes
+      dfr.put("file_path", PathCodec.absNorm(delFile))
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", footerRowCount(spark, delFile))
+      dfr.put("file_size_in_bytes", io.length(delFile))
+      dfr.put("equality_ids", java.util.Arrays.asList(ids.map(Int.box): _*))
+      rec.put("data_file", dfr)
+      rec
+    }
+    writeAvro(mFile, entrySchema, recs)
     mFile
   }
 
