@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.io.File
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.Files
 import java.util.zip.CRC32
 
 import scala.collection.mutable
@@ -211,12 +209,6 @@ object DeletionVectors {
     deserializePositions(bb)
   }
 
-  /** Read one DV blob out of a `.bin` storage file at `offset`:
-    * [4B BE size][data][4B BE crc32(data)], with the file's leading
-    * version byte checked once. */
-  def readFromFile(f: File, offset: Int): Array[Long] =
-    readDvBlob(Files.readAllBytes(f.toPath), offset, f.toString)
-
   /** Decode one DV blob out of a `.bin` storage file's BYTES at
     * `offset`: [4B BE size][data][4B BE crc32(data)], with the file's
     * leading version byte checked once. Byte-based so the format layer
@@ -234,15 +226,6 @@ object DeletionVectors {
     require(crc.getValue == expectCrc,
       s"deletion-vector checksum mismatch in $where at offset $offset")
     decodeDvData(data)
-  }
-
-  /** Write a single-DV storage file; returns the blob offset to record
-    * in the descriptor. Layout per spec: version byte, then the framed
-    * blob. */
-  def writeDvFile(f: File, positions: Seq[Long]): Int = {
-    val (bytes, off) = dvFileBytes(positions)
-    Files.write(f.toPath, bytes)
-    off
   }
 
   /** The single-DV storage file's BYTES plus the blob offset to record

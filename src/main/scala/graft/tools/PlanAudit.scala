@@ -125,8 +125,13 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // capture codegen-fallback warnings while the queries run
+    // capture codegen-fallback and unpartitioned-window warnings while
+    // the queries run (the latter is Spark's own one-task-funnel alarm;
+    // the static SinglePartition check misses windows whose input
+    // arrived single-partition without a fresh exchange)
     val codegenHits =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val windowHits =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val capture = new org.apache.logging.log4j.core.appender.AbstractAppender(
         "graft-plan-audit", null,
@@ -138,6 +143,8 @@ object PlanAudit {
         if (m.contains("Expr codegen error") ||
             m.contains("Codegen disabled for this expression"))
           codegenHits.add(m.linesIterator.next().take(200))
+        if (m.contains("No Partition Defined for Window"))
+          windowHits.add(m.linesIterator.next().take(200))
       }
     }
     capture.start()
@@ -152,6 +159,7 @@ object PlanAudit {
     val t0 = System.nanoTime()
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val before = codegenHits.size
+      val beforeW = windowHits.size
       try {
         val df = fn(spark, sfDir)
         df.collect() // AQE: the final plan exists only after execution
@@ -159,6 +167,9 @@ object PlanAudit {
         findings ++= audit(name, df.queryExecution.executedPlan)
         if (codegenHits.size > before)
           findings :+= s"$name: codegen fallback — ${codegenHits.peek()}"
+        if (windowHits.size > beforeW && !allow.contains(name))
+          findings :+= s"$name: unpartitioned Window — whole dataset " +
+            "through one task (use Relational.globalRank/groupedRank)"
       } catch {
         case e: Throwable =>
           findings :+= s"$name: EXECUTION FAILED " +
