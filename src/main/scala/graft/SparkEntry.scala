@@ -1963,14 +1963,17 @@ object SparkEntry {
     * through the whole lifecycle — enable BACKFILLS era A (ids in file
     * position order = o_orderkey order by construction), an append
     * allocates era B's range from the domainMetadata high-water mark,
-    * a DV DELETE drops rows without moving surviving positions, and a
+    * a DV DELETE drops rows without moving surviving positions, a
     * copy-on-write UPDATE materializes preserved ids into the
-    * rewritten file. The oracle recomputes every surviving row's id
-    * with row_number() over the same ordering — sum(row_id) per group
-    * fails if ANY row's id shifted at ANY step. */
+    * rewritten file, a matched-only MERGE carries each replaced row's
+    * id into its post-image, and OPTIMIZE folds the DVs through the
+    * binned rewrite without moving a single id. The oracle recomputes
+    * every surviving row's id with row_number() over the same ordering
+    * — sum(row_id) per group fails if ANY row's id shifted at ANY
+    * step. */
   private def qDeltaRowTracking(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{DeltaDml, DeltaInterop}
-    val base = cachedFixture("delta_rowtracking_orders", dir, "orders") { p =>
+    val base = cachedFixture("delta_rowtracking_orders_v2", dir, "orders") { p =>
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
@@ -1984,6 +1987,15 @@ object SparkEntry {
       DeltaDml.deleteVectoredWhere(s, p, col("o_custkey") % 7 === 3)
       DeltaDml.updateWhere(s, p, col("o_custkey") % 5 === 1,
         Map("totalprice" -> (col("totalprice") * 2)))
+      // matched-only MERGE (every source key survives the delete, so
+      // nothing inserts): each post-image must keep its old row's id
+      DeltaDml.mergeUpsert(s, p,
+        o.filter(col("o_custkey") % 7 =!= 3 && col("o_custkey") % 11 === 4)
+          .withColumn("totalprice",
+            (col("totalprice") + lit(1000)).cast(DecimalType(18, 2))),
+        "o_orderkey")
+      // fold the delete vectors; id-invariant by materialization
+      DeltaInterop.optimize(s, p)
     }
     DeltaInterop.readWithRowIds(s, base)
       .groupBy(col("o_orderstatus"))
@@ -6561,8 +6573,10 @@ object SparkEntry {
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // row ids recomputed independently: era A = even orderkeys in
     // orderkey order from 0, era B = odd orderkeys offset by |A|; the
-    // DV delete keeps ids, the UPDATE doubles matched totalprice but
-    // must not move any id — sum(rid) per group pins all of it
+    // DV delete keeps ids, the UPDATE doubles matched totalprice, the
+    // matched-only MERGE replaces custkey%11=4 rows with original
+    // tp+1000 post-images, OPTIMIZE folds vectors — none may move an
+    // id; sum(rid) per group pins all of it
     "q224_delta_row_tracking" ->
       """WITH a AS (
            SELECT o_custkey, o_orderstatus,
@@ -6577,14 +6591,18 @@ object SparkEntry {
            FROM orders WHERE o_orderkey % 2 = 1),
          u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
          d AS (SELECT * FROM u WHERE o_custkey % 7 <> 3),
-         f AS (SELECT o_orderstatus, rid,
+         f AS (SELECT o_custkey, o_orderstatus, rid, tp AS tp0,
                  CASE WHEN o_custkey % 5 = 1
                       THEN CAST(tp * 2 AS DECIMAL(18,2)) ELSE tp END AS tp
-               FROM d)
+               FROM d),
+         g AS (SELECT o_orderstatus, rid,
+                 CASE WHEN o_custkey % 11 = 4
+                      THEN CAST(tp0 + 1000 AS DECIMAL(18,2)) ELSE tp END AS tp
+               FROM f)
          SELECT o_orderstatus, count(*) AS n_orders,
            CAST(sum(rid) AS BIGINT) AS sum_row_id,
            CAST(sum(tp) AS DOUBLE) AS total_price
-         FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+         FROM g GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

@@ -58,10 +58,11 @@ object DeltaDml {
     "deletionVectors", "appendOnly", "invariants", "checkConstraints",
     "changeDataFeed", "columnMapping", "timestampNtz",
     // row tracking: DV deletes leave positions (and so ids) untouched;
-    // updateWhere materializes preserved ids into rewritten files and
-    // advances the high-water mark; appends allocate fresh id ranges
-    // (DeltaInterop.appendRowTracked). MERGE and file-rewriting
-    // maintenance refuse on row-tracked tables (their own guards).
+    // updateWhere/MERGE materialize preserved ids into rewritten files
+    // and advance the high-water mark; appends allocate fresh id
+    // ranges (DeltaInterop.appendRowTracked); OPTIMIZE/REORG
+    // materialize (id, version) through the binned rewrite. ZORDER
+    // refuses (its own guard).
     "rowTracking", "domainMetadata",
     // generated columns: UPDATE recomputes them on post-images and
     // refuses direct SET; MERGE derives/validates them on the source.
@@ -693,10 +694,18 @@ object DeltaDml {
     // and both the merged staging and the CDC rows conform to
     // physical names (stageCdc)
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
-    require(!snap.rowTrackingEnabled,
-      "MERGE on a rowTracking table is not implemented — refusing " +
-      "(rewritten/inserted rows would need materialized row ids); " +
-      "compose updateWhere / deleteVectored / append instead")
+    val rowTracked = snap.rowTrackingEnabled
+    if (rowTracked) {
+      require(snap.columnMappingMode == "none",
+        "MERGE on a rowTracking + columnMapping table is not " +
+        "implemented — refusing")
+      require(!cdfEnabled(snap),
+        "MERGE on a rowTracking + changeDataFeed table is not " +
+        "implemented — refusing")
+      snap.files.foreach(f => require(f.baseRowId.isDefined,
+        s"live file ${f.path} carries no baseRowId — corrupt " +
+        "row-tracking state (refusing)"))
+    }
     DeltaInterop.identityColumnOf(snap.schema).foreach { id =>
       throw new IllegalArgumentException(
         s"mergeUpsert into a table with IDENTITY column '${id._1}' is " +
@@ -767,9 +776,38 @@ object DeltaDml {
         .collect().map(_.getInt(0)).toSet // ≤ #files rows
     val touchedIdx = touchedBounded ++ statless
     val touched = touchedIdx.toSeq.sorted.map(snap.files)
+    val v = snap.version + 1
+    // Row tracking (protocol §Row Tracking): the touched scan resolves
+    // every row's id and commit version (materialized column else
+    // baseRowId + position) so survivors carry BOTH forward and
+    // matched post-images inherit their old row's id with THIS
+    // commit's version — stable ids across the upsert. A key matching
+    // several target rows collapses to one post-image (this merge's
+    // replace-by-key contract); it keeps the MIN of the old ids, the
+    // others die with their rows.
+    val ridCol = DeltaInterop.MaterializedRowIdCol
+    val rverCol = DeltaInterop.MaterializedRowVerCol
     val touchedScan =
       if (touched.isEmpty) null
-      else assembleScan(spark, base, snap.copy(files = touched))
+      else if (!rowTracked) assembleScan(spark, base, snap.copy(files = touched))
+      else {
+        import spark.implicits._
+        val scan0 = assembleScan(spark, base, snap.copy(files = touched),
+          keepCoords = true, extraCols = Seq(
+            org.apache.spark.sql.types.StructField(ridCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(rverCol,
+              org.apache.spark.sql.types.LongType)))
+        val fileMap = touched.map(f => (fileKeyOf(base, f),
+            f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(0L)))
+          .toDF("__delta_file", "__base_rid", "__def_ver")
+        scan0.join(broadcast(fileMap), Seq("__delta_file"))
+          .withColumn(ridCol,
+            coalesce(col(ridCol), col("__base_rid") + col("__delta_pos")))
+          .withColumn(rverCol,
+            coalesce(col(rverCol), col("__def_ver")))
+          .drop("__delta_file", "__delta_pos", "__base_rid", "__def_ver")
+      }
     // CDF images from the pre-merge state of the touched slice
     val cdcAdds =
       if (!cdfEnabled(snap)) Seq.empty[AddFile]
@@ -793,25 +831,71 @@ object DeltaDml {
         stageCdc(cdcDf, base, snap)
       }
     val cdcLines = cdcAdds.map(cdcJson(_, base))
-    // survivors of touched files (keys not updated) + ALL update rows
-    val merged =
-      if (touched.isEmpty) updates
-      else touchedScan.join(updates.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
-        .select(snap.schema.fieldNames.map(col): _*)
-        .unionByName(updates.select(snap.schema.fieldNames.map(col): _*))
-    // mapped tables stage under physical names, like any append
-    val mergedPhys = DeltaInterop.conformToPhysical(snap, merged)
+    // survivors of touched files (keys not updated) + ALL update rows.
+    // Row tracking stages TWO file sets: the rewritten slice (survivors
+    // + matched post-images, ids MATERIALIZED) and the inserts (plain —
+    // their ids resolve as the fresh range's baseRowId + position).
     val physParts = snap.partitionColumns.map(snap.physicalName)
-    val adds = collectAddStats(spark, base,
-      stageAdds(mergedPhys, base, physParts),
-      StructType(mergedPhys.schema.filterNot(f =>
-        physParts.contains(f.name))))
-    val v = snap.version + 1
+    def stageSet(df: DataFrame): Seq[AddFile] = {
+      // mapped tables stage under physical names, like any append
+      val phys = DeltaInterop.conformToPhysical(snap, df)
+      val adds = collectAddStats(spark, base, stageAdds(phys, base, physParts),
+        StructType(phys.schema.filterNot(f => physParts.contains(f.name))))
+      // a staged file the stats scan saw NO row group for is empty (an
+      // all-matched or all-new merge leaves one side with zero rows) —
+      // drop it instead of committing an empty add
+      val (empty, live) = adds.partition(_.stats.isEmpty)
+      discardStaged(base, empty.map(_.path))
+      live
+    }
+    val schemaCols = snap.schema.fieldNames.map(col)
+    val adds0: Seq[AddFile] =
+      if (!rowTracked) {
+        val merged =
+          if (touched.isEmpty) updates
+          else touchedScan.join(updates.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+            .select(schemaCols: _*)
+            .unionByName(updates.select(schemaCols: _*))
+        stageSet(merged)
+      } else if (touched.isEmpty) {
+        stageSet(updates) // nothing matched by stats range: all inserts
+      } else {
+        val withIds = (snap.schema.fieldNames :+ ridCol :+ rverCol).map(col)
+        val updKeys = updates.select(keys.map(col): _*).distinct()
+        val survivors = touchedScan.join(updKeys, keys, "left_anti")
+          .select(withIds: _*)
+        val oldIds = touchedScan.join(updKeys, keys, "left_semi")
+          .groupBy(keys.map(col): _*).agg(min(col(ridCol)).as("__old_rid"))
+        val matchedNew = updates.join(oldIds, keys, "inner")
+          .withColumn(ridCol, col("__old_rid"))
+          .withColumn(rverCol, lit(v))
+          .select(withIds: _*)
+        val inserted = updates
+          .join(oldIds.select(keys.map(col): _*), keys, "left_anti")
+          .select(schemaCols: _*)
+        stageSet(survivors.unionByName(matchedNew)) ++ stageSet(inserted)
+      }
+    // row tracking: every add gets a fresh burn range off the mark
+    // (materialized values override where present); the commit
+    // advances the high-water-mark domain
+    var hwm = snap.rowIdHighWaterMark
+    val adds =
+      if (!rowTracked) adds0
+      else adds0.map { a =>
+        val n = DeltaInterop.numRecordsOf(a)
+        val r = a.copy(baseRowId = Some(hwm + 1),
+          defaultRowCommitVersion = Some(v))
+        hwm += n
+        r
+      }
+    val domainLines =
+      if (rowTracked) Seq(DeltaInterop.rowTrackingDomainJson(hwm))
+      else Seq.empty
     try writeCommit(base, v,
       cdcLines ++
         touched.map(f => removeJson(f.path, f.dv, dataChange = true)) ++
-        adds.map(addJson(_, base)),
+        adds.map(addJson(_, base)) ++ domainLines,
       operation = "MERGE")
     catch {
       case e: java.util.ConcurrentModificationException =>

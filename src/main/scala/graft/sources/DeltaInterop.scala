@@ -1698,20 +1698,29 @@ object DeltaInterop {
                            // keep `__delta_file` (normalized on-disk
                            // path) on every row — the binned rewrite
                            // joins it to a file→bin map
-                           keepFile: Boolean = false): DataFrame = {
+                           keepFile: Boolean = false,
+                           // additionally read the materialized
+                           // row-tracking columns (null where a file
+                           // lacks them) and keep `__delta_pos`
+                           withRowIds: Boolean = false): DataFrame = {
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-      .map(f => f.copy(name = snap.physicalName(f.name))))
+      .map(f => f.copy(name = snap.physicalName(f.name))) ++
+      (if (withRowIds) Seq(
+        StructField(MaterializedRowIdCol, LongType),
+        StructField(MaterializedRowVerCol, LongType)) else Seq.empty))
     val paths = files.map(f => resolveDataPath(base, f.path))
     val scan = spark.read.schema(dataSchema).parquet(paths: _*)
     val outCols = dataSchema.fieldNames.map(col) ++
-      (if (keepFile) Seq(col("__delta_file")) else Seq.empty)
+      (if (keepFile) Seq(col("__delta_file")) else Seq.empty) ++
+      (if (withRowIds) Seq(col("__delta_pos")) else Seq.empty)
     val dvFiles = files.filter(_.dv.exists(_.cardinality > 0))
     if (dvFiles.isEmpty) {
-      if (!keepFile) scan
+      if (!keepFile && !withRowIds) scan
       else scan.withColumn("__delta_file",
           regexp_replace(col("_metadata.file_path"),
             PathCodec.metadataFilePathNormalizeRegex, "/"))
+        .withColumn("__delta_pos", col("_metadata.row_index"))
         .select(outCols: _*)
     } else {
       import spark.implicits._
@@ -1728,6 +1737,29 @@ object DeltaInterop {
         .select(outCols: _*)
     }
   }
+
+  /** Fresh burn ranges + the advanced high-water-mark domain for a
+    * row-tracked commit's adds. Every row in a binned rewrite carries
+    * a MATERIALIZED id, so the fresh range is burned, never read — but
+    * the protocol still requires baseRowId on every committed add and
+    * a monotone mark. No-op on untracked tables. */
+  private def withRowIdRanges(snap: DeltaSnapshot, adds: Seq[AddFile],
+                              v: Long): (Seq[AddFile], Seq[String]) =
+    if (!snap.rowTrackingEnabled) (adds, Seq.empty)
+    else {
+      snap.files.foreach(f => require(f.baseRowId.isDefined,
+        s"live file ${f.path} carries no baseRowId — corrupt " +
+        "row-tracking state (refusing)"))
+      var hwm = snap.rowIdHighWaterMark
+      val out = adds.map { a =>
+        val n = numRecordsOf(a)
+        val r = a.copy(baseRowId = Some(hwm + 1),
+          defaultRowCommitVersion = Some(v))
+        hwm += n
+        r
+      }
+      (out, Seq(rowTrackingDomainJson(hwm)))
+    }
 
   /** First-fit-decreasing packing of files into bins whose on-disk
     * sizes sum to at most `target` — a file larger than the target
@@ -1761,12 +1793,35 @@ object DeltaInterop {
       : Seq[AddFile] = {
     if (bins.isEmpty) return Seq.empty
     import spark.implicits._
+    val files = bins.flatMap(_._2)
     val binOf: Seq[(String, Int)] = bins.zipWithIndex.flatMap {
       case ((_, fs), b) => fs.map(f =>
         PathCodec.metadataPathKey(resolveDataFile(base, f.path)) -> b)
     }
-    val scan = readPhysical(spark, base, snap,
-      bins.flatMap(_._2), keepFile = true)
+    val tracked = snap.rowTrackingEnabled
+    // row tracking: the compaction moves rows between files, so every
+    // surviving row's id AND commit version MATERIALIZE into the
+    // rewritten file (resolved from the source file's materialized
+    // columns else baseRowId + position) — ids stay stable through the
+    // dataChange=false swap, exactly the §Row Tracking preservation
+    // contract for OPTIMIZE
+    val scan0 = readPhysical(spark, base, snap, files,
+      keepFile = true, withRowIds = tracked)
+    val scan =
+      if (!tracked) scan0
+      else {
+        val fileMap = files.map(f =>
+            (PathCodec.metadataPathKey(resolveDataFile(base, f.path)),
+              f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(0L)))
+          .toDF("__delta_file", "__base_rid", "__def_ver")
+        scan0.join(broadcast(fileMap), Seq("__delta_file"))
+          .withColumn(MaterializedRowIdCol,
+            coalesce(col(MaterializedRowIdCol),
+              col("__base_rid") + col("__delta_pos")))
+          .withColumn(MaterializedRowVerCol,
+            coalesce(col(MaterializedRowVerCol), col("__def_ver")))
+          .drop("__delta_pos", "__base_rid", "__def_ver")
+      }
     val scratch = TableIO.join(base, s".opt_${UUID.randomUUID()}")
     scan.join(broadcast(binOf.toDF("__delta_file", "__bin")),
         Seq("__delta_file"))
@@ -1792,7 +1847,10 @@ object DeltaInterop {
     collectAddStats(spark, base, staged.toSeq,
       StructType(snap.schema.fields
         .filterNot(f => snap.partitionColumns.contains(f.name))
-        .map(f => f.copy(name = snap.physicalName(f.name)))))
+        .map(f => f.copy(name = snap.physicalName(f.name))) ++
+        (if (tracked) Seq(
+          StructField(MaterializedRowIdCol, LongType),
+          StructField(MaterializedRowVerCol, LongType)) else Seq.empty)))
   }
 
   /** OPTIMIZE: bin-packing compaction, exactly as Delta's OPTIMIZE
@@ -1817,10 +1875,6 @@ object DeltaInterop {
     require(snap.columnMappingMode != "id",
       "OPTIMIZE on a columnMapping.mode=id table is not supported " +
       "(physical schema unrecoverable); compact it with a writer that is")
-    require(!snap.rowTrackingEnabled,
-      "OPTIMIZE on a rowTracking table is not implemented — refusing " +
-      "(bin-packing would re-position rows without materializing their " +
-      "row ids)")
     def sizeOf(f: AddFile): Long =
       io.length(resolveDataFile(base, f.path))
     // candidate selection is driver-side metadata; the rewrite is ONE
@@ -1843,11 +1897,14 @@ object DeltaInterop {
       }
     if (removed.isEmpty) None
     else {
-      val newAdds = rewriteBinned(spark, base, snap, bins.toSeq)
+      val newAdds0 = rewriteBinned(spark, base, snap, bins.toSeq)
       val v = snap.version + 1
+      // row tracking: ids+versions are materialized in the rewritten
+      // files (rewriteBinned); the adds still carry fresh burn ranges
+      val (newAdds, domainLines) = withRowIdRanges(snap, newAdds0, v)
       writeCommit(base, v,
         removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
-          newAdds.map(addJson(_, base, dataChange = false)),
+          newAdds.map(addJson(_, base, dataChange = false)) ++ domainLines,
         operation = "OPTIMIZE")
       Some(v)
     }
@@ -1868,10 +1925,6 @@ object DeltaInterop {
     require(snap.columnMappingMode != "id",
       "REORG on a columnMapping.mode=id table is not supported " +
       "(physical schema unrecoverable)")
-    require(!snap.rowTrackingEnabled,
-      "REORG on a rowTracking table is not implemented — refusing " +
-      "(the purge rewrite would re-position rows without materializing " +
-      "their row ids)")
     val byPartition = snap.files
       .filter(_.dv.exists(_.cardinality > 0)).groupBy(_.partitionValues)
     if (byPartition.isEmpty) return None
@@ -1886,11 +1939,12 @@ object DeltaInterop {
       packBins(fs, sizeOf, targetFileBytes).foreach(b => bins += ((pv, b)))
       removed ++= fs
     }
-    val newAdds = rewriteBinned(spark, base, snap, bins.toSeq)
+    val newAdds0 = rewriteBinned(spark, base, snap, bins.toSeq)
     val v = snap.version + 1
+    val (newAdds, domainLines) = withRowIdRanges(snap, newAdds0, v)
     writeCommit(base, v,
       removed.toSeq.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
-        newAdds.map(addJson(_, base, dataChange = false)),
+        newAdds.map(addJson(_, base, dataChange = false)) ++ domainLines,
       operation = "REORG")
     Some(v)
   }

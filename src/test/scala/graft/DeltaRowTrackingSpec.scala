@@ -137,21 +137,68 @@ class DeltaRowTrackingSpec extends SparkSpec {
       ((0L until 10L) ++ (10L until 15L)))
   }
 
-  test("rewriting maintenance and MERGE refuse on row-tracked tables") {
+  test("MERGE preserves matched ids and mints fresh ones for inserts") {
+    import spark.implicits._
     val base = tracked(10)
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaDml.mergeUpsert(spark, base,
-        spark.range(3).toDF("id").withColumn("v", lit(5L)), "id")
+    // keys 3,4 match (update), 100,101 insert
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((3L, 30L), (4L, 40L), (100L, 7L), (101L, 7L))
+        .toDF("id", "v"), "id")
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.length == 12)
+    // matched rows keep their pre-merge ids (id == row_id by construction)
+    got.filter(_.getAs[Long]("id") < 100).foreach { r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id"),
+        s"row ${r.getAs[Long]("id")} lost its id in the merge")
     }
-    assert(e1.getMessage.contains("rowTracking"))
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaInterop.optimize(spark, base)
+    // matched rows moved to the merge's commit version; untouched
+    // survivors in the rewritten file keep their original one
+    val verByCase = got.filter(_.getAs[Long]("id") < 100)
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("_row_commit_version")))
+    verByCase.foreach { case (id, ver) =>
+      if (id == 3L || id == 4L) assert(ver == 2L, s"id $id ver $ver")
+      else assert(ver == 1L, s"id $id ver $ver")
     }
-    assert(e2.getMessage.contains("rowTracking"))
-    val e3 = intercept[IllegalArgumentException] {
-      DeltaInterop.reorgPurge(spark, base)
-    }
-    assert(e3.getMessage.contains("rowTracking"))
+    assert(got.filter(r => r.getAs[Long]("id") == 3L)
+      .forall(_.getAs[Long]("v") == 30L))
+    // inserted rows got fresh unique ids above the old live set
+    val insIds = got.filter(_.getAs[Long]("id") >= 100)
+      .map(_.getAs[Long]("_row_id")).toSeq
+    assert(insIds.forall(_ > 9L) && insIds.distinct.length == 2)
+    val all = got.map(_.getAs[Long]("_row_id")).toSeq
+    assert(all.distinct.length == all.length, "row ids must stay unique")
+  }
+
+  test("OPTIMIZE and REORG materialize ids; ZORDER still refuses") {
+    val base = tracked(10)
+    // split history: enable(1) + two appends → 3 files, then a DV
+    // delete → OPTIMIZE folds everything, REORG purges vectors; every
+    // surviving row must keep its id AND its original commit version
+    DeltaInterop.append(
+      spark.range(100, 105).toDF("id").withColumn("v", lit(2L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") % 5 === 2)
+    val before = DeltaInterop.readWithRowIds(spark, base)
+      .orderBy("id")
+      .select("id", "_row_id", "_row_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(DeltaInterop.optimize(spark, base).isDefined)
+    val afterOpt = DeltaInterop.readWithRowIds(spark, base)
+      .orderBy("id")
+      .select("id", "_row_id", "_row_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(afterOpt == before,
+      "OPTIMIZE must preserve every (id, row_id, commit_version) triple")
+    // a fresh DV delete then REORG: the purge rewrite keeps ids too
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") === 101)
+    DeltaInterop.reorgPurge(spark, base)
+    val afterReorg = DeltaInterop.readWithRowIds(spark, base)
+      .orderBy("id")
+      .select("id", "_row_id", "_row_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(afterReorg == before.filterNot(_._1 == 101L))
+    assert(DeltaInterop.snapshot(spark, base).files
+      .forall(_.dv.forall(_.cardinality == 0)))
     val e4 = intercept[IllegalArgumentException] {
       DeltaInterop.optimizeZorder(spark, base, Seq("v"))
     }
