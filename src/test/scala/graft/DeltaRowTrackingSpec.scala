@@ -205,6 +205,45 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(e4.getMessage.contains("rowTracking"))
   }
 
+  test("RESTORE keeps the id mark monotone; pre-enable restore refuses writes") {
+    val base = tracked(10) // v1 = enable
+    DeltaInterop.append(
+      spark.range(50, 55).toDF("id").withColumn("v", lit(2L))
+        .coalesce(1).sortWithinPartitions("id"), base) // v2, ids 10..14
+    DeltaInterop.restore(spark, base, 1L) // drop the append
+    // restored rows keep their backfilled ids; the high-water mark
+    // does NOT regress (protocol: ids are unique across all history —
+    // time-travel readers of v2 still own 10..14)
+    val got = DeltaInterop.readWithRowIds(spark, base)
+    assert(got.count() == 10)
+    assert(DeltaInterop.snapshot(spark, base).rowIdHighWaterMark == 14L,
+      "RESTORE must not regress the row-id high-water mark")
+    DeltaInterop.append(
+      spark.range(70, 72).toDF("id").withColumn("v", lit(3L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    val ids = DeltaInterop.readWithRowIds(spark, base)
+      .select("_row_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.length == 12)
+    assert(ids.max == 16L, "post-restore append allocates above the mark")
+    // restoring to BEFORE enablement leaves feature-declared-but-not-
+    // enabled (the protocol action is history, the property rolls
+    // back) — writes refuse loudly; re-enabling repairs, monotone
+    val base2 = tmp()
+    DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), base2) // v0
+    DeltaInterop.enableRowTracking(spark, base2) // v1
+    DeltaInterop.restore(spark, base2, 0L) // v2: property off, feature on
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.append(spark.range(5, 8).toDF("id").coalesce(1), base2)
+    }
+    assert(e.getMessage.contains("rowTracking"))
+    DeltaInterop.enableRowTracking(spark, base2) // re-enable re-backfills
+    val ids2 = DeltaInterop.readWithRowIds(spark, base2)
+      .select("_row_id").collect().map(_.getLong(0)).toSeq
+    // the re-backfill allocates ABOVE the surviving mark (old 0..4 are
+    // burned with the un-restored state)
+    assert(ids2.length == 5 && ids2.min == 5L)
+  }
+
   test("rowTracking declared without enablement refuses writes") {
     // a foreign writer's "supported but not enabled" table: the feature
     // obliges fresh id assignment on every commit, state this engine
