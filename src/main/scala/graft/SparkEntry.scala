@@ -2005,6 +2005,50 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Deterministic train/val/test split (q225): every document lands in
+    * exactly one bucket by where md5(doc_id) falls in the hash space —
+    * map-only, shuffle-free, and a stable row property (growing the
+    * corpus never moves an existing row across the train/eval
+    * boundary). The oracle recomputes the same hex-threshold CASE in
+    * DuckDB: md5 is bit-identical everywhere, so counts and sums must
+    * match exactly. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.hashSplit(
+        Tables.load(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
+  /** CONVERT TO DELTA (q226): an identity-partitioned Iceberg table
+    * converts into a Delta table by metadata alone — add actions
+    * reference the SAME parquet files, manifest bounds become
+    * add.stats, partition records become partitionValues. The oracle
+    * replays the range-scoped aggregate on raw orders: a conversion
+    * that lost a file, a partition value or a bound mis-translation
+    * that pruned a holding file all hash-mismatch. */
+  private def qConvertToDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, IcebergInterop, TableIO}
+    val base = cachedFixture("convert_ice_orders", dir, "orders") { p =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(
+        o.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        TableIO.join(p, "ice"), partitionBy = Seq("o_orderstatus"))
+      DeltaInterop.convertFromIceberg(s,
+        TableIO.join(p, "ice"), TableIO.join(p, "delta"))
+    }
+    DeltaInterop.readRange(s, graft.sources.TableIO.join(base, "delta"),
+        "o_orderkey", None, Some(5000L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Streaming Delta CDF (q184): the same change history as q180, but
     * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
     * hard-link mirror + Spark's checkpointed parquet file stream — and
@@ -5357,6 +5401,8 @@ object SparkEntry {
     "q222_delta_mapped_cdf" -> (qDeltaMappedCdf _),
     "q223_iceberg_spec_evolution" -> (qIcebergSpecEvolution _),
     "q224_delta_row_tracking" -> (qDeltaRowTracking _),
+    "q225_hash_split" -> (qHashSplit _),
+    "q226_convert_to_delta" -> (qConvertToDelta _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6603,6 +6649,23 @@ object SparkEntry {
            CAST(sum(rid) AS BIGINT) AS sum_row_id,
            CAST(sum(tp) AS DOUBLE) AS total_price
          FROM g GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // 0.8*16^8 = 0xcccccccc, 0.9*16^8 = 0xe6666666 — the same hex
+    // thresholds Sampling.hashSplit derives; md5 is bit-identical
+    "q225_hash_split" ->
+      """SELECT CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+             THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+             THEN 'val'
+           ELSE 'test' END AS split,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "q226_convert_to_delta" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey <= 5000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

@@ -24,6 +24,33 @@ object Sampling {
                           hexThreshold: String): DataFrame =
     df.filter(substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold))
 
+  /** Deterministic train/val/test SPLIT: every row lands in exactly one
+    * named bucket, decided by where its md5(key) 8-hex prefix falls in
+    * the [0, 16^8) hash space — fraction boundaries become hex-string
+    * thresholds compared lexicographically (lowercase hex sorts like
+    * the number it encodes), so the whole assignment is ONE map-only
+    * projection: no shuffle, no state, and the split is a stable row
+    * property — re-running the pipeline, re-partitioning the cluster
+    * or GROWING the dataset never moves an existing row between
+    * splits (the leakage guarantee a train/eval boundary exists for).
+    * `splits` are (name, fraction) with fractions summing to ~1; the
+    * last split absorbs rounding. */
+  def hashSplit(df: DataFrame, key: Column,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "a split needs at least two buckets")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val space = math.pow(16, 8)
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cum.map(f => f"${math.floor(f * space).toLong}%08x")
+    val h = substring(md5(key.cast("string")), 1, 8)
+    val bucket = splits.init.zip(thresholds).foldRight(
+        lit(splits.last._1)) { case (((name, _), t), rest) =>
+      when(h < lit(t), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", bucket)
+  }
+
   /** Stratified fixed-size sample: exactly min(n, |stratum|) rows per
     * stratum, chosen by md5 order of the key (uniform within the
     * stratum, reproducible, engine-portable). One shuffle on the strata

@@ -2610,6 +2610,108 @@ object DeltaInterop {
     v
   }
 
+  /** CONVERT TO DELTA, Iceberg source, zero copy: a NEW Delta table
+    * whose add actions reference the Iceberg table's CURRENT live
+    * parquet files by ABSOLUTE path — not one data byte moves (the
+    * shape of Delta's own `CONVERT TO DELTA iceberg.`). Identity
+    * partition fields become Delta partition columns (values carried
+    * verbatim from the manifests' partition records); the manifests'
+    * per-file record counts and column bounds convert into `add.stats`
+    * (numRecords/minValues/maxValues), so data skipping works from the
+    * first read without ever opening a footer. Refused states, each a
+    * silent-corruption hazard: merge-on-read deletes (converting only
+    * the data files would resurrect soft-deleted rows — compact with
+    * `rewriteDataFiles` first), transformed partition specs (Delta has
+    * no transform partitioning), and mixed-era partition records after
+    * spec evolution. The source table stays intact and independently
+    * writable — same shared-files hazard as a shallow clone: the
+    * SOURCE's maintenance can delete files the convert references. */
+  def convertFromIceberg(spark: SparkSession, iceBase: String,
+                         dstBase: String): Long = {
+    require(currentVersion(dstBase).isEmpty,
+      s"convert target is already a Delta table: $dstBase")
+    val ice = IcebergInterop.snapshot(spark, iceBase)
+    require(ice.deletes.isEmpty && ice.eqDeletes.isEmpty,
+      s"CONVERT of $iceBase: live merge-on-read deletes (positional " +
+      s"${ice.deletes.size}, equality ${ice.eqDeletes.size}) — converting " +
+      "data files alone would resurrect deleted rows; rewriteDataFiles " +
+      "(compaction folds deletes) first")
+    require(ice.specFields.forall(_.transform == "identity"),
+      s"CONVERT of $iceBase: transformed partition spec (" +
+      ice.specFields.filterNot(_.transform == "identity")
+        .map(f => s"${f.name}=${f.transform}").mkString(",") +
+      ") — Delta has no transform partitioning; only identity converts")
+    require(ice.uniformSpec,
+      s"CONVERT of $iceBase: live files predate the last partition " +
+      "evolution (mixed-era partition records) — rewriteDataFiles first")
+    // field-id metadata stays OUT of the Delta schema (it is Iceberg's
+    // resolution mechanism; Delta resolves by name here)
+    val schema = StructType(ice.schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val partCols = ice.partitionColumns
+    val idOf: Map[String, Int] = ice.fieldNamesById.map(_.swap)
+    def jsonValue(o: com.fasterxml.jackson.databind.node.ObjectNode,
+                  name: String, dt: DataType, decoded: Any): Boolean =
+      (dt, decoded) match {
+        case (ByteType | ShortType | IntegerType | LongType, l: Long) =>
+          o.put(name, l); true
+        case (FloatType | DoubleType, d: Double) =>
+          if (d.isNaN || d.isInfinite) false else { o.put(name, d); true }
+        case (StringType, s: String) => o.put(name, s); true
+        case (DateType, epochDay: Long) =>
+          o.put(name, java.time.LocalDate.ofEpochDay(epochDay).toString); true
+        case (TimestampType, us: Long) =>
+          o.put(name, java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L).toString); true
+        case (TimestampNTZType, us: Long) =>
+          o.put(name, java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toString); true
+        case (_, d: java.math.BigDecimal) => o.put(name, d); true
+        case _ => false
+      }
+    def statsOf(f: IcebergInterop.DataFileEntry): Option[String] = {
+      if (f.recordCount < 0) return None
+      val root = mapper.createObjectNode()
+      root.put("numRecords", f.recordCount)
+      val mnO = mapper.createObjectNode(); val mxO = mapper.createObjectNode()
+      schema.fields.filterNot(fd => partCols.contains(fd.name)).foreach { fd =>
+        for (id <- idOf.get(fd.name);
+             lo <- f.lowerBounds.get(id); hi <- f.upperBounds.get(id);
+             lv <- IcebergInterop.SingleValue.decode(fd.dataType, lo);
+             hv <- IcebergInterop.SingleValue.decode(fd.dataType, hi)) {
+          // min and max land together or not at all (asymmetric bounds
+          // would skew the admit test)
+          val probe = mapper.createObjectNode()
+          if (jsonValue(probe, "mn", fd.dataType, lv) &&
+              jsonValue(probe, "mx", fd.dataType, hv)) {
+            mnO.set[JsonNode](fd.name, probe.get("mn"))
+            mxO.set[JsonNode](fd.name, probe.get("mx"))
+          }
+        }
+      }
+      root.set[JsonNode]("minValues", mnO)
+      root.set[JsonNode]("maxValues", mxO)
+      Some(mapper.writeValueAsString(root))
+    }
+    val adds = ice.files.map { f =>
+      val abs = PathCodec.absNorm(f.path)
+      AddFile(
+        // encode the tail only: a leading "//" would parse as a URI
+        // authority inside percentEncodePath's quoting constructor
+        "/" + PathCodec.percentEncodePath(abs.substring(1)),
+        f.partitionValues, None, statsOf(f))
+    }
+    writeCommit(dstBase, 0L,
+      Seq(protocolJson,
+        metaJson(schema, partCols, UUID.randomUUID().toString)) ++
+        adds.map(addJson(_, dstBase)),
+      operation = "CONVERT")
+    0L
+  }
+
   /** Shallow clone: a NEW Delta table whose add actions reference the
     * SOURCE table's data files by ABSOLUTE path — zero bytes of data
     * copied (Delta's `CREATE TABLE ... SHALLOW CLONE`). The clone gets

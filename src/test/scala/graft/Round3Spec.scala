@@ -78,6 +78,31 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 100 && a.size < 230)
   }
 
+  test("hashSplit: disjoint cover, stable under growth, fractions land") {
+    val df = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.hashSplit(df, col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    // every row in exactly one bucket
+    assert(got.size == 2000)
+    val sizes = got.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    // loose bands (deterministic, so these never flake)
+    assert(sizes("train") > 1500 && sizes("train") < 1700, sizes.toString)
+    assert(sizes("val") > 120 && sizes("val") < 280, sizes.toString)
+    assert(sizes("test") > 120 && sizes("test") < 280, sizes.toString)
+    // the leakage guarantee: growing the dataset never moves a row
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), col("id"),
+      splits).as[(Long, String)].collect().toMap
+    got.foreach { case (id, s) => assert(grown(id) == s,
+      s"row $id moved from $s to ${grown(id)} when the corpus grew") }
+    // and repartitioning changes nothing
+    val reparted = Sampling.hashSplit(df.repartition(17), col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(reparted == got)
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(df, col("id"), Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
   test("stratifiedSample returns exactly min(n, stratum size) rows per stratum") {
     val df = (1L to 95L).map(i => (s"s${i % 3}", i)).toDF("g", "id")
     val got = Sampling.stratifiedSample(df, Seq(col("g")), col("id"), 10)
