@@ -2049,6 +2049,36 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CONVERT to Iceberg (q227, the q226 reverse): a Delta table's live
+    * files become an Iceberg table by metadata alone — add.stats decode
+    * into manifest record counts and bounds, and a name mapping (spec
+    * §Name Mapping) records that the files carry no parquet field ids
+    * so reads resolve by name. The range-scoped aggregate proves the
+    * manifests' translated bounds prune correctly (a wrong bound that
+    * dropped a holding file loses rows → hash mismatch). */
+  private def qConvertToIceberg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, IcebergInterop, TableIO}
+    val base = cachedFixture("convert_delta_lineitem", dir, "lineitem") { p =>
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("quantity"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      DeltaInterop.overwrite(
+        l.repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"),
+        TableIO.join(p, "delta"))
+      IcebergInterop.convertFromDelta(s,
+        TableIO.join(p, "delta"), TableIO.join(p, "ice"))
+    }
+    IcebergInterop.readRange(s, graft.sources.TableIO.join(base, "ice"),
+        "l_orderkey", None, Some(3000L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("quantity")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Streaming Delta CDF (q184): the same change history as q180, but
     * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
     * hard-link mirror + Spark's checkpointed parquet file stream — and
@@ -5403,6 +5433,7 @@ object SparkEntry {
     "q224_delta_row_tracking" -> (qDeltaRowTracking _),
     "q225_hash_split" -> (qHashSplit _),
     "q226_convert_to_delta" -> (qConvertToDelta _),
+    "q227_convert_to_iceberg" -> (qConvertToIceberg _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6666,6 +6697,13 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders WHERE o_orderkey <= 5000
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q227_convert_to_iceberg" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+         FROM lineitem WHERE l_orderkey <= 3000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

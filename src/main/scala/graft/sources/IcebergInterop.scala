@@ -316,7 +316,17 @@ object IcebergInterop {
         .getOrElse(throw new IllegalStateException(s"schema-id $want not found"))
     }.orElse(Option(meta.get("schema")))
       .getOrElse(throw new IllegalStateException(s"no schema in metadata of $base"))
-    val schema = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
+    // name-mapped tables (spec §Name Mapping Serialization — what
+    // CONVERT records for parquet written without field ids): resolve
+    // BY NAME — leaving the id metadata on would make Spark's reader
+    // demand ids the converted files don't have
+    val nameMapped = Option(meta.get("properties"))
+      .exists(_.has("schema.name-mapping.default"))
+    val schema = {
+      val s0 = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
+      if (!nameMapped) s0
+      else StructType(s0.fields.map(f => f.copy(metadata = Metadata.empty)))
+    }
 
     val snaps = Option(meta.get("snapshots")).getOrElse(
       throw new IllegalStateException(s"no snapshots in $base"))
@@ -556,9 +566,16 @@ object IcebergInterop {
         s"file of $base (the partition spec evolved) — use readEq")
     }
     val f0 = snap.schema(column)
-    require(f0.metadata.contains("parquet.field.id"),
-      s"column '$column' carries no field id — cannot resolve bounds")
-    val fid = f0.metadata.getLong("parquet.field.id").toInt
+    // bounds keys are schema field ids — resolved from the field's
+    // metadata, or (name-mapped converted tables, whose Spark schema
+    // carries no id metadata) from the metadata JSON's id map
+    val fid: Int =
+      if (f0.metadata.contains("parquet.field.id"))
+        f0.metadata.getLong("parquet.field.id").toInt
+      else snap.fieldNamesById.collectFirst {
+        case (id, n) if n == column => id
+      }.getOrElse(throw new IllegalArgumentException(
+        s"column '$column' carries no field id — cannot resolve bounds"))
     val dt = f0.dataType
     val loK = lo.flatMap(SingleValue.boundKey(dt, _))
     val hiK = hi.flatMap(SingleValue.boundKey(dt, _))
@@ -2997,6 +3014,154 @@ object IcebergInterop {
     }
   }
 
+  /** CONVERT a Delta table into a NEW Iceberg table, zero copy (the
+    * reverse of `DeltaInterop.convertFromIceberg`; the shape of
+    * Iceberg's own `snapshot`/`migrate` actions): one manifest
+    * references the Delta table's live parquet by ABSOLUTE path, and
+    * each add's recorded `stats` JSON decodes into the manifest's
+    * per-file record counts and bounds — so `readRange` prunes from the
+    * first scan without opening a footer (a stats-less add falls back
+    * to one driver footer read for its record count, which the spec
+    * REQUIRES to be real). Refused states: live deletion vectors
+    * (converting only the data files would resurrect soft-deleted
+    * rows — `reorgPurge` first), column mapping (Iceberg resolves by
+    * field id; a mapped table's physical names don't carry), and
+    * partitioned tables (Delta keeps partition columns OUT of the data
+    * files, Iceberg's identity layout needs them IN — rewrite to
+    * migrate). The source stays intact and independently writable;
+    * shared-files hazard as with any zero-copy convert. */
+  def convertFromDelta(spark: SparkSession, deltaBase: String,
+                       dstBase: String): Long = {
+    val metaDir = metadataDir(dstBase)
+    require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
+      s"convert target is already an Iceberg table: $dstBase")
+    val snap = DeltaInterop.snapshot(spark, deltaBase)
+    require(snap.columnMappingMode == "none",
+      s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
+      "— Iceberg resolves by field id, the mapped physical names do not " +
+      "carry; rewrite the table unmapped first")
+    require(!snap.files.exists(_.dv.exists(_.cardinality > 0)),
+      s"CONVERT of $deltaBase: live deletion vectors — converting data " +
+      "files alone would resurrect soft-deleted rows; REORG (purge) first")
+    require(snap.partitionColumns.isEmpty,
+      s"CONVERT of $deltaBase: partitioned Delta tables keep partition " +
+      s"columns (${snap.partitionColumns.mkString(",")}) out of their " +
+      "data files, which Iceberg's identity layout requires in them — " +
+      "rewrite to migrate")
+    val schema = StructType(snap.schema.fields.map(f =>
+      f.copy(metadata = new MetadataBuilder().build())))
+    val idOf = positionalIdOf(schema)
+    // one add's stats JSON → (recordCount, bounds) in Iceberg's
+    // single-value binary form; min+max land together or not at all
+    def decodeStats(a: DeltaInterop.AddFile)
+        : (Option[Long], Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+      val node = a.stats.flatMap(s =>
+        try Some(mapper.readTree(s)) catch { case _: Exception => None })
+      val n = node.flatMap(j => Option(j.get("numRecords")).map(_.asLong()))
+      val lo = Map.newBuilder[Int, Array[Byte]]
+      val hi = Map.newBuilder[Int, Array[Byte]]
+      def typed(dt: DataType, v: JsonNode): Option[Any] =
+        try dt match {
+          case IntegerType => Some(Int.box(v.asInt()))
+          case LongType => Some(Long.box(v.asLong()))
+          case FloatType => Some(Float.box(v.asDouble().toFloat))
+          case DoubleType => Some(Double.box(v.asDouble()))
+          case StringType => Some(v.asText())
+          case DateType => Some(java.sql.Date.valueOf(v.asText()))
+          case TimestampType => Some(java.sql.Timestamp.from(
+            java.time.Instant.parse(v.asText())))
+          case _: DecimalType =>
+            Some(new java.math.BigDecimal(v.asText()))
+          case _ => None
+        } catch { case _: Exception => None }
+      node.foreach { j =>
+        val mns = Option(j.get("minValues")); val mxs = Option(j.get("maxValues"))
+        schema.fields.foreach { f =>
+          for (mn <- mns.flatMap(o => Option(o.get(f.name)));
+               mx <- mxs.flatMap(o => Option(o.get(f.name)));
+               lv <- typed(f.dataType, mn); hv <- typed(f.dataType, mx);
+               lb <- SingleValue.encode(f.dataType, lv);
+               hb <- SingleValue.encode(f.dataType, hv)) {
+            lo += idOf(f.name).toInt -> lb
+            hi += idOf(f.name).toInt -> hb
+          }
+        }
+      }
+      (n, lo.result(), hi.result())
+    }
+    io.mkdirs(metaDir)
+    val id = UUID.randomUUID().toString
+    val snapshotId = 1L
+    val entrySchema = entrySchemaFor(Seq.empty)
+    val entries = snap.files.map { f =>
+      val abs = PathCodec.absNorm(
+        DeltaInterop.resolveDataFile(deltaBase, f.path))
+      val (n, lo, hi) = decodeStats(f)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfSchema)
+      dfr.put("content", 0)
+      dfr.put("file_path", abs)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count",
+        n.getOrElse(footerRowCount(spark, abs))) // spec: must be real
+      dfr.put("file_size_in_bytes", io.length(abs))
+      if (lo.nonEmpty) {
+        dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
+        dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
+      }
+      rec.put("data_file", dfr)
+      rec
+    }
+    val mFile = TableIO.join(metaDir, s"manifest-$id.avro")
+    writeAvro(mFile, entrySchema, entries)
+    val mlFile = TableIO.join(metaDir, s"snap-$snapshotId-$id.avro")
+    writeManifestList(mlFile,
+      Seq(ManifestRef(mFile, 0, snapshotId, snapshotId, 0)))
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", UUID.randomUUID().toString)
+    root.put("location", dstBase)
+    // the converted files carry NO parquet field ids (Delta writes
+    // none) — record the spec's name mapping so readers resolve BY
+    // NAME (spec §Name Mapping Serialization); snapshot() honors it
+    val nm = mapper.createArrayNode()
+    schema.fields.foreach { f =>
+      val e = nm.addObject()
+      e.put("field-id", idOf(f.name))
+      e.putArray("names").add(f.name)
+    }
+    root.putObject("properties").put("schema.name-mapping.default",
+      mapper.writeValueAsString(nm))
+    root.put("last-sequence-number", snapshotId)
+    root.put("last-updated-ms", clock())
+    root.put("last-column-id", schema.size)
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode(schema))
+    root.put("default-spec-id", 0)
+    val spec0 = root.putArray("partition-specs").addObject()
+    spec0.put("spec-id", 0); spec0.putArray("fields")
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val so = root.putArray("sort-orders").addObject()
+    so.put("order-id", 0); so.putArray("fields")
+    root.put("current-snapshot-id", snapshotId)
+    val sn = root.putArray("snapshots").addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", snapshotId)
+    sn.put("timestamp-ms", root.get("last-updated-ms").asLong())
+    sn.put("manifest-list", PathCodec.absNorm(mlFile))
+    sn.putObject("summary").put("operation", "append")
+    sn.put("schema-id", 0)
+    val tmp = TableIO.join(metaDir, s".tmp_${UUID.randomUUID()}")
+    io.writeString(tmp, mapper.writeValueAsString(root))
+    require(io.putIfAbsent(tmp, TableIO.join(metaDir, "v1.metadata.json")),
+      s"convert target raced another writer: $dstBase")
+    io.writeString(TableIO.join(metaDir, "version-hint.text"), "1")
+    snapshotId
+  }
+
   /** Atomically publish `node` as the next vN.metadata.json + hint —
     * the commit step every metadata-only operation shares. */
   private def commitMetadataVersion(
@@ -3283,7 +3448,15 @@ object IcebergInterop {
     * written under the old name), only the name in the NEW schema
     * changes. O(1) in table size; this is exactly why Iceberg resolves
     * columns by id. */
-  def renameColumn(base: String, from: String, to: String): Long =
+  def renameColumn(base: String, from: String, to: String): Long = {
+    // name-mapped tables (CONVERT sources without parquet field ids)
+    // resolve BY NAME: renaming would silently read NULL from every
+    // pre-rename file — the exact failure id-resolution prevents
+    require(!Option(readMeta(base).get("properties"))
+        .exists(_.has("schema.name-mapping.default")),
+      s"RENAME on name-mapped table $base (converted from files " +
+      "without parquet field ids) would silently null pre-rename " +
+      "files — rewriteDataFiles first to stamp ids")
     evolveSchema(base, "rename") { fields =>
       require(fields.exists(_.get("name").asText() == from),
         s"no column '$from' in $base")
@@ -3296,6 +3469,7 @@ object IcebergInterop {
         } else f
       }
     }
+  }
 
   /** Schema evolution: DROP COLUMN — the NEW schema omits the field;
     * data files keep the physical column as dead weight (reclaimed by

@@ -62,6 +62,60 @@ class ConvertToDeltaSpec extends SparkSpec {
       "source Iceberg table must be unaffected by the convert's DML")
   }
 
+  test("convertFromDelta: value-exact, zero copy, stats carry into manifests") {
+    val dl = tmp() + "/d"; val dst = tmp() + "/i"
+    DeltaInterop.overwrite(
+      spark.range(1000).toDF("id")
+        .repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"), dl)
+    val srcFiles = DeltaInterop.snapshot(spark, dl).files
+      .map(f => PathCodec.absNorm(DeltaInterop.resolveDataFile(dl, f.path)))
+      .toSet
+    IcebergInterop.convertFromDelta(spark, dl, dst)
+    val got = IcebergInterop.read(spark, dst)
+    assert(got.count() == 1000)
+    assert(got.agg(sum("id")).head().getLong(0) == (0L until 1000L).sum)
+    // zero copy: every manifest entry IS a Delta data file
+    val ice = IcebergInterop.snapshot(spark, dst)
+    ice.files.foreach(f => assert(srcFiles.contains(PathCodec.absNorm(f.path)),
+      s"manifest entry ${f.path} is not a source file"))
+    // add.stats became manifest bounds: a narrow range opens ≤2 of 4
+    val narrow = IcebergInterop.readRange(spark, dst, "id",
+      Some(10L), Some(20L))
+    assert(narrow.count() == 11)
+    assert(narrow.inputFiles.length <= 2,
+      s"bounds did not prune: ${narrow.inputFiles.length} files read")
+    // the convert is a real Iceberg table: appends work, source intact
+    IcebergInterop.append(spark.range(1000, 1010).toDF("id").coalesce(1), dst)
+    assert(IcebergInterop.read(spark, dst).count() == 1010)
+    assert(DeltaInterop.read(spark, dl).count() == 1000)
+  }
+
+  test("convertFromDelta refuses DVs, column mapping and partitions") {
+    val dl = tmp() + "/d"
+    DeltaInterop.overwrite(
+      spark.range(20).toDF("id").repartitionByRange(2, col("id")), dl)
+    graft.sources.DeltaDml.deleteVectoredWhere(spark, dl, col("id") < 5)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.convertFromDelta(spark, dl, tmp() + "/i")
+    }
+    assert(e1.getMessage.contains("REORG"))
+    // purging the vectors repairs the state; the convert then succeeds
+    DeltaInterop.reorgPurge(spark, dl)
+    val dst = tmp() + "/i2"
+    IcebergInterop.convertFromDelta(spark, dl, dst)
+    assert(IcebergInterop.read(spark, dst).count() == 15)
+
+    val part = tmp() + "/p"
+    DeltaInterop.overwrite(
+      spark.range(30).select(col("id"), (col("id") % 3).cast("int").as("b")),
+      part, partitionBy = Seq("b"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.convertFromDelta(spark, part, tmp() + "/i")
+    }
+    assert(e2.getMessage.contains("partition"))
+  }
+
   test("merge-on-read deletes and transformed specs refuse") {
     val ice = tmp()
     IcebergInterop.overwrite(
