@@ -283,6 +283,9 @@ object GraftSql {
      """\s*(?:VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+([`\w.]+)\s+TO\s+(DELTA|ICEBERG)\s+AS\s+""" +
+     """([`\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val AddPartFieldRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+""" +
      """([^;]+?)\s*;?\s*""").r
@@ -409,6 +412,36 @@ object GraftSql {
     * DESCRIBE HISTORY returns the format's commit log as a frame. */
   private def maintenanceSql(spark: SparkSession,
                              text: String): Option[DataFrame] = text match {
+    // CONVERT <src> TO DELTA|ICEBERG AS <name> LOCATION '<dst>' —
+    // zero-copy cross-format conversion (the engine-side shape of
+    // Delta's CONVERT TO DELTA / Iceberg's snapshot action): the new
+    // table references the source's data files; refusal matrix (DVs,
+    // merge-on-read deletes, mapping, transformed specs, partitioned
+    // Delta sources) lives in the convert implementations
+    case ConvertRe(src, fmt, newName, loc) =>
+      val (_, h) = maintTable(spark, src, "CONVERT")
+      val name = newName.toLowerCase.replace("`", "")
+      require(!tablesOf(spark).contains(name),
+        s"table '$name' is already registered — pick another name")
+      (h, fmt.toUpperCase) match {
+        case (IceTable(base), "DELTA") =>
+          graft.sources.DeltaInterop.convertFromIceberg(spark, base, loc)
+          registerDeltaTable(spark, name, loc)
+        case (DeltaTable(base), "ICEBERG") =>
+          graft.sources.IcebergInterop.convertFromDelta(spark, base, loc)
+          registerIcebergTable(spark, name, loc)
+        case (IceTable(_), "ICEBERG") | (DeltaTable(_), "DELTA") =>
+          throw new IllegalArgumentException(
+            s"CONVERT: '$src' is already ${fmt.toLowerCase} — use CLONE")
+        case (LogTable(_), _) =>
+          throw new IllegalArgumentException(
+            "CONVERT from a graft-log table is not supported — " +
+            "its vectored-delete state has no zero-copy translation; " +
+            "CREATE TABLE ... AS SELECT instead")
+        case other => throw new IllegalArgumentException(
+          s"CONVERT: unsupported source/format pair $other")
+      }
+      Some(result(spark, "CONVERT", 0L))
     case OptimizeRe(t, zcols) =>
       val (name, h) = maintTable(spark, t, "OPTIMIZE")
       val zorder = Option(zcols).map(

@@ -60,9 +60,8 @@ object DeltaDml {
     // row tracking: DV deletes leave positions (and so ids) untouched;
     // updateWhere/MERGE materialize preserved ids into rewritten files
     // and advance the high-water mark; appends allocate fresh id
-    // ranges (DeltaInterop.appendRowTracked); OPTIMIZE/REORG
-    // materialize (id, version) through the binned rewrite. ZORDER
-    // refuses (its own guard).
+    // ranges (DeltaInterop.appendRowTracked); OPTIMIZE/REORG/ZORDER
+    // materialize (id, version) through their rewrites.
     "rowTracking", "domainMetadata",
     // generated columns: UPDATE recomputes them on post-images and
     // refuses direct SET; MERGE derives/validates them on the source.

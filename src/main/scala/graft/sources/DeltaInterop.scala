@@ -1966,10 +1966,6 @@ object DeltaInterop {
     val snap = snapshot(spark, base)
     require(snap.columnMappingMode != "id",
       "OPTIMIZE on a columnMapping.mode=id table is not supported")
-    require(!snap.rowTrackingEnabled,
-      "OPTIMIZE ZORDER on a rowTracking table is not implemented — " +
-      "refusing (the clustering rewrite would re-position rows without " +
-      "materializing their row ids)")
     require(zorderBy.nonEmpty, "zorderBy needs at least one column")
     zorderBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
@@ -1977,13 +1973,42 @@ object DeltaInterop {
         s"'$c' is a partition column — z-ordering it is meaningless")
     }
     if (snap.files.isEmpty) return None
+    val tracked = snap.rowTrackingEnabled
+    if (tracked) snap.files.foreach(f => require(f.baseRowId.isDefined,
+      s"live file ${f.path} carries no baseRowId — corrupt " +
+      "row-tracking state (refusing)"))
     val zPhys = zorderBy.map(snap.physicalName)
     val dataFields = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-      .map(f => f.copy(name = snap.physicalName(f.name))))
+      .map(f => f.copy(name = snap.physicalName(f.name))) ++
+      (if (tracked) Seq(
+        StructField(MaterializedRowIdCol, LongType),
+        StructField(MaterializedRowVerCol, LongType)) else Seq.empty))
     val newAdds = mutable.ArrayBuffer.empty[AddFile]
     snap.files.groupBy(_.partitionValues).foreach { case (pv, fs) =>
-      val rows = readPhysical(spark, base, snap, fs)
+      // row tracking: the clustering rewrite re-positions rows, so
+      // every row's (id, commit version) MATERIALIZES into the new
+      // files — resolved from the source's materialized columns else
+      // baseRowId + position, same contract as the binned rewrite
+      val rows0 = readPhysical(spark, base, snap, fs,
+        keepFile = tracked, withRowIds = tracked)
+      val rows1 =
+        if (!tracked) rows0
+        else {
+          import spark.implicits._
+          val fileMap = fs.map(f =>
+              (PathCodec.metadataPathKey(resolveDataFile(base, f.path)),
+                f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(0L)))
+            .toDF("__delta_file", "__base_rid", "__def_ver")
+          rows0.join(broadcast(fileMap), Seq("__delta_file"))
+            .withColumn(MaterializedRowIdCol,
+              coalesce(col(MaterializedRowIdCol),
+                col("__base_rid") + col("__delta_pos")))
+            .withColumn(MaterializedRowVerCol,
+              coalesce(col(MaterializedRowVerCol), col("__def_ver")))
+            .drop("__delta_file", "__delta_pos", "__base_rid", "__def_ver")
+        }
+      val rows = rows1
         .withColumn("__graft_z",
           graft.functions.VecExpressions.zorderNativeN(zPhys.map(col): _*))
         .repartitionByRange(filesPerPartition, col("__graft_z"))
@@ -1994,9 +2019,10 @@ object DeltaInterop {
       newAdds ++= collectAddStats(spark, base, staged, dataFields)
     }
     val v = snap.version + 1
+    val (adds, domainLines) = withRowIdRanges(snap, newAdds.toSeq, v)
     writeCommit(base, v,
       snap.files.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
-        newAdds.toSeq.map(addJson(_, base, dataChange = false)),
+        adds.map(addJson(_, base, dataChange = false)) ++ domainLines,
       operation = "OPTIMIZE")
     Some(v)
   }

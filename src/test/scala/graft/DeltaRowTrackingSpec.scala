@@ -169,7 +169,7 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(all.distinct.length == all.length, "row ids must stay unique")
   }
 
-  test("OPTIMIZE and REORG materialize ids; ZORDER still refuses") {
+  test("OPTIMIZE, REORG and ZORDER materialize ids through rewrites") {
     val base = tracked(10)
     // split history: enable(1) + two appends → 3 files, then a DV
     // delete → OPTIMIZE folds everything, REORG purges vectors; every
@@ -199,10 +199,15 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(afterReorg == before.filterNot(_._1 == 101L))
     assert(DeltaInterop.snapshot(spark, base).files
       .forall(_.dv.forall(_.cardinality == 0)))
-    val e4 = intercept[IllegalArgumentException] {
-      DeltaInterop.optimizeZorder(spark, base, Seq("v"))
-    }
-    assert(e4.getMessage.contains("rowTracking"))
+    // ZORDER re-clusters rows across files — ids and versions must
+    // materialize through the re-layout too
+    DeltaInterop.optimizeZorder(spark, base, Seq("v"), filesPerPartition = 3)
+    val afterZ = DeltaInterop.readWithRowIds(spark, base)
+      .orderBy("id")
+      .select("id", "_row_id", "_row_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(afterZ == before.filterNot(_._1 == 101L),
+      "ZORDER must preserve every (id, row_id, commit_version) triple")
   }
 
   test("RESTORE keeps the id mark monotone; pre-enable restore refuses writes") {

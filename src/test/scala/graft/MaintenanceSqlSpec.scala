@@ -34,6 +34,36 @@ class MaintenanceSqlSpec extends SparkSpec {
       .head().getLong(0) == (0L until 40L).map(_ * 2).sum)
   }
 
+  test("CONVERT statement: both directions register readable tables; refusals") {
+    // Iceberg → Delta
+    val ice = freshBase("conv_ice")
+    IcebergInterop.overwrite(
+      spark.range(100).toDF("id").repartitionByRange(2, col("id")), ice)
+    GraftSql.registerIcebergTable(spark, "maint_conv_src", ice)
+    val dl = freshBase("conv_delta_dst")
+    val res = GraftSql.sql(spark,
+      s"CONVERT maint_conv_src TO DELTA AS maint_conv_d LOCATION '$dl'")
+    assert(res.select("operation").head().getString(0) == "CONVERT")
+    assert(spark.sql("SELECT sum(id) AS s FROM maint_conv_d")
+      .head().getLong(0) == (0L until 100L).sum)
+    // Delta → Iceberg, statement-chained off the converted table
+    val ice2 = freshBase("conv_ice_dst")
+    GraftSql.sql(spark,
+      s"CONVERT maint_conv_d TO ICEBERG AS maint_conv_i LOCATION '$ice2'")
+    assert(spark.sql("SELECT count(*) AS n FROM maint_conv_i")
+      .head().getLong(0) == 100L)
+    // same-format and graft-log sources refuse
+    val e1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"CONVERT maint_conv_d TO DELTA AS x LOCATION '${freshBase("x1")}'"))
+    assert(e1.getMessage.contains("CLONE"))
+    val log = freshBase("conv_log")
+    GraftLog.overwrite((0L until 5L).map(k => (k, k)).toDF("k", "v"), log)
+    GraftSql.registerTable(spark, "maint_conv_log", log)
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"CONVERT maint_conv_log TO DELTA AS x LOCATION '${freshBase("x2")}'"))
+    assert(e2.getMessage.contains("graft-log"))
+  }
+
   test("RESTORE TABLE returns a graft-log table to a pre-DML version") {
     val base = freshBase("log_restore")
     GraftLog.overwriteClustered(
