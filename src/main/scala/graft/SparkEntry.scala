@@ -2079,6 +2079,27 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Decontaminated training split (q228): the two dataset-hygiene ops
+    * composed the way a real pipeline runs them — hashSplit draws the
+    * deterministic train/eval boundary, decontaminate then drops every
+    * train document sharing a 5-gram with ANY eval document (the
+    * leakage the boundary exists to prevent). The oracle replays both
+    * steps in DuckDB: identical md5 thresholds, identical gram
+    * algebra. */
+  private def qDecontaminatedSplit(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.ops.Sampling.hashSplit(
+      Tables.load(s, dir, "documents"), col("doc_id"),
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val clean = graft.ops.TextAnalysis.decontaminate(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"),
+      col("doc_id"), col("text"), n = 5)
+    clean.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_clean_train"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Streaming Delta CDF (q184): the same change history as q180, but
     * consumed through `DeltaStream.tailChangeFeed` — the commit-driven
     * hard-link mirror + Spark's checkpointed parquet file stream — and
@@ -5434,6 +5455,7 @@ object SparkEntry {
     "q225_hash_split" -> (qHashSplit _),
     "q226_convert_to_delta" -> (qConvertToDelta _),
     "q227_convert_to_iceberg" -> (qConvertToIceberg _),
+    "q228_decontaminated_split" -> (qDecontaminatedSplit _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6704,6 +6726,27 @@ object SparkEntry {
            AS sum_price
          FROM lineitem WHERE l_orderkey <= 3000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // 0.9*16^8 = 0xe6666666 (hashSplit's threshold); gram algebra
+    // mirrors q101's oracle
+    "q228_decontaminated_split" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars, text,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,8) < 'e6666666'
+                THEN 'train' ELSE 'test' END AS split
+         FROM documents),
+       t AS (SELECT doc_id, split, string_split(text,' ') AS toks FROM s),
+       g AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+               generate_series(1, len(toks)-4),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+             FROM t WHERE len(toks) >= 5),
+       testg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+       dirty AS (SELECT DISTINCT doc_id FROM g
+                 WHERE split = 'train' AND gram IN (SELECT gram FROM testg)),
+       clean AS (SELECT * FROM s WHERE split = 'train'
+                 AND doc_id NOT IN (SELECT doc_id FROM dirty))
+       SELECT lang, count(*) AS n_clean_train,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM clean GROUP BY lang ORDER BY lang""",
     "q216_token_budget" ->
       """WITH t AS (
            SELECT doc_id, n_chars,

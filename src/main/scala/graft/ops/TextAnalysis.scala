@@ -222,6 +222,29 @@ object TextAnalysis {
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
   }
 
+  /** DECONTAMINATE the train split: drop every train document that
+    * shares at least one distinct n-gram with ANY test document — the
+    * enforcement half of [[contamination]] (which only reports). The
+    * train/eval boundary is worthless if eval text leaks into
+    * training; this removes the leak train-side, keeping the eval set
+    * intact. Shape at 100 TB: one distinct-gram explode per side, one
+    * gram-keyed semi join to name the offending train docs, one anti
+    * join back — all linear shuffles keyed by gram/id, never doc×doc.
+    * Train docs shorter than n tokens carry no gram and survive by
+    * construction. Returns the surviving train rows, columns intact. */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: Column,
+                    text: Column, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .withColumn("__toks", tokens(text))
+      .filter(size(col("__toks")) >= n)
+      .select(idCol.as("__doc_id"),
+        explode(array_distinct(shingles(col("__toks"), n))).as("__gram"))
+    val testGrams = grams(test).select(col("__gram")).distinct()
+    val dirty = grams(train).join(testGrams, Seq("__gram"), "left_semi")
+      .select(col("__doc_id")).distinct()
+    train.join(dirty, idCol === col("__doc_id"), "left_anti")
+  }
+
   /** Polynomial rolling fingerprint over token hashes, mod 2^31−1 at
     * every step so the fold can never overflow a long under ANSI mode:
     * fp = ((fp·31 mod p) + (xxhash64(token) mod p)) mod p. Pure

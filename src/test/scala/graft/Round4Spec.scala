@@ -262,6 +262,23 @@ class ContaminationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((10L, 5L, 2L), (20L, 1L, 0L)))
   }
+
+  test("decontaminate drops exactly the leaking train docs; short docs survive") {
+    val train = Seq(
+      (1L, "a b c d e f"),  // shares "a b" with test doc 10 → drops
+      (2L, "x y z w v u"),  // disjoint → survives
+      (3L, "tiny"))         // < n tokens: no grams → survives
+      .toDF("doc_id", "text")
+    val test = Seq((10L, "a b c q r s")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, test,
+      col("doc_id"), col("text"), n = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L))
+    // columns pass through intact
+    assert(TextAnalysis.decontaminate(train, test,
+      col("doc_id"), col("text"), n = 2).columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
 }
 
 class SketchesSpec extends SparkSpec {
