@@ -1206,14 +1206,31 @@ object GraftSql {
         mappingReq.foreach(m => require(m == "name",
           s"delta.columnMapping.mode '$m' is not an upgrade target " +
           "(mode 'id' needs parquet field ids pre-upgrade files lack)"))
-        val rest = props - "delta.columnMapping.mode"
+        // row tracking is an UPGRADE, not a property flip: enablement
+        // must backfill baseRowIds, raise the protocol and write the
+        // high-water-mark domain — a bare property would leave every
+        // write refusing on the half-state
+        val rowTrackReq = props.get("delta.enableRowTracking")
+        rowTrackReq.foreach(rt => require(rt.equalsIgnoreCase("true"),
+          "disabling row tracking is not implemented — readers may " +
+          "depend on the ids; drop and rewrite the table instead"))
+        props.keys.find(_.startsWith("delta.rowTracking.")).foreach(k =>
+          throw new IllegalArgumentException(
+            s"'$k' is engine-managed (set by the row-tracking upgrade) " +
+            "— setting it directly would corrupt id resolution"))
+        val rest = props - "delta.columnMapping.mode" -
+          "delta.enableRowTracking"
         val v1 =
           if (mappingReq.isDefined)
             graft.sources.DeltaInterop.enableColumnMapping(spark, base)
           else -1L
+        val v2 =
+          if (rowTrackReq.isDefined)
+            graft.sources.DeltaInterop.enableRowTracking(spark, base)
+          else v1
         if (rest.nonEmpty)
           graft.sources.DeltaInterop.setProperties(spark, base, rest)
-        else v1
+        else v2
       case other => throw new IllegalArgumentException(
         s"SET TBLPROPERTIES is supported on Delta tables only " +
         s"(${other.getClass.getSimpleName.stripSuffix("$")} has no " +

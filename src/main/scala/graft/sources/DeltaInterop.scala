@@ -2462,6 +2462,11 @@ object DeltaInterop {
     require(!props.contains("delta.columnMapping.mode"),
       "column mapping is enabled through enableColumnMapping (it " +
       "assigns ids and physical names), not a raw property set")
+    require(!props.contains("delta.enableRowTracking") &&
+        !props.keys.exists(_.startsWith("delta.rowTracking.")),
+      "row tracking is enabled through enableRowTracking (it backfills " +
+      "baseRowIds, raises the protocol and writes the high-water-mark " +
+      "domain), not a raw property set")
     val snap = snapshot(spark, base)
     val v = snap.version + 1
     writeCommit(base, v, Seq(

@@ -277,6 +277,32 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(ids.length == 13 && ids.distinct.length == 13)
   }
 
+  test("SQL TBLPROPERTIES routes row-tracking enablement through the upgrade") {
+    import graft.pipeline.GraftSql
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(8).toDF("id").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "rt_sql_t", base)
+    GraftSql.sql(spark,
+      "ALTER TABLE rt_sql_t SET TBLPROPERTIES " +
+      "('delta.enableRowTracking' = 'true')")
+    val snap = DeltaInterop.snapshot(spark, base)
+    // a bare property flip would leave no backfill/domain — the SQL
+    // path must run the full upgrade
+    assert(snap.rowTrackingEnabled)
+    assert(snap.rowIdHighWaterMark == 7L)
+    assert(snap.files.forall(_.baseRowId.isDefined))
+    assert(DeltaInterop.readWithRowIds(spark, base).count() == 8)
+    // disabling and engine-managed keys refuse
+    val e1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE rt_sql_t SET TBLPROPERTIES " +
+      "('delta.enableRowTracking' = 'false')"))
+    assert(e1.getMessage.contains("disabling"))
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE rt_sql_t SET TBLPROPERTIES " +
+      "('delta.rowTracking.materializedRowIdColumnName' = 'x')"))
+    assert(e2.getMessage.contains("engine-managed"))
+  }
+
   test("enable refuses unsupported combinations and double-enable no-ops") {
     val cdf = tmp()
     DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), cdf,
