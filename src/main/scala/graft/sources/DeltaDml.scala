@@ -487,9 +487,9 @@ object DeltaDml {
         "UPDATE on a rowTracking + columnMapping table is not " +
         "implemented — refusing (materialized row-id columns would " +
         "need physical-name staging)")
-      require(!cdfEnabled(snap),
-        "UPDATE on a rowTracking + changeDataFeed table is not " +
-        "implemented — refusing")
+      // CDF composes: change rows are LOGICAL (schema + _change_type,
+      // no id columns — the cdc projections select schema fields), and
+      // the rewrite's id materialization is independent of them
       snap.files.foreach(f => require(f.baseRowId.isDefined,
         s"live file ${f.path} carries no baseRowId — corrupt " +
         "row-tracking state (refusing)"))
@@ -697,9 +697,6 @@ object DeltaDml {
     if (rowTracked) {
       require(snap.columnMappingMode == "none",
         "MERGE on a rowTracking + columnMapping table is not " +
-        "implemented — refusing")
-      require(!cdfEnabled(snap),
-        "MERGE on a rowTracking + changeDataFeed table is not " +
         "implemented — refusing")
       snap.files.foreach(f => require(f.baseRowId.isDefined,
         s"live file ${f.path} carries no baseRowId — corrupt " +

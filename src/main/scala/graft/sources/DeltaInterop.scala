@@ -1494,10 +1494,9 @@ object DeltaInterop {
   def enableRowTracking(spark: SparkSession, base: String): Long = {
     val snap = snapshot(spark, base)
     if (snap.rowTrackingEnabled) return snap.version
-    require(!snap.configuration.get("delta.enableChangeDataFeed")
-        .contains("true"),
-      "rowTracking + changeDataFeed on one table is not implemented — " +
-      "refusing (cdc staging would need row-id-aware change files)")
+    // CDF composes: the enable commit's backfill re-adds carry
+    // dataChange=false (the change feed emits nothing for them) and
+    // change rows stay LOGICAL — no refusal needed
     require(identityColumnOf(snap.schema).isEmpty,
       "rowTracking on a table with an IDENTITY column is not " +
       "implemented — refusing (two allocators would race one commit)")

@@ -303,14 +303,40 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(e2.getMessage.contains("engine-managed"))
   }
 
-  test("enable refuses unsupported combinations and double-enable no-ops") {
-    val cdf = tmp()
-    DeltaInterop.overwrite(spark.range(5).toDF("id").coalesce(1), cdf,
+  test("row tracking composes with Change Data Feed") {
+    import spark.implicits._
+    val base = tmp()
+    DeltaInterop.overwrite(
+      spark.range(10).toDF("id").withColumn("v", lit(1L))
+        .coalesce(1).sortWithinPartitions("id"), base,
       configuration = Map("delta.enableChangeDataFeed" -> "true"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.enableRowTracking(spark, cdf)
-    }
-    assert(e.getMessage.contains("changeDataFeed"))
+    DeltaInterop.enableRowTracking(spark, base) // v1
+    // the enable's backfill re-adds are dataChange=false: no change rows
+    assert(DeltaDml.readChangeFeed(spark, base, fromVersion = 1L)
+      .filter(col("_commit_version") === 1L).count() == 0)
+    DeltaDml.updateWhere(spark, base, col("id") < 3,
+      Map("v" -> lit(5L)))                                  // v2
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") === 7) // v3
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((4L, 9L), (100L, 9L)).toDF("id", "v"), "id")      // v4
+    val feed = DeltaDml.readChangeFeed(spark, base, fromVersion = 2L)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map(
+      "update_preimage" -> 4L,  // 3 from UPDATE + 1 merge-matched
+      "update_postimage" -> 4L,
+      "delete" -> 1L,
+      "insert" -> 1L), byType.toString)
+    // change rows are LOGICAL — no row-id columns leak into the feed
+    assert(!feed.columns.exists(_.startsWith("_row_")))
+    // and ids stayed stable through the CDF-enabled DML
+    val got = DeltaInterop.readWithRowIds(spark, base)
+      .filter(col("id") < 100).collect()
+    got.foreach(r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id")))
+  }
+
+  test("enable refuses unsupported combinations and double-enable no-ops") {
     val base = tracked(5)
     val v = DeltaInterop.snapshot(spark, base).version
     assert(DeltaInterop.enableRowTracking(spark, base) == v,

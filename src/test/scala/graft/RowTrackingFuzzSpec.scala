@@ -30,9 +30,12 @@ class RowTrackingFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val base = tmp()
     var nextKey = 100L
+    // CDF on: every DML step also stages change rows, compounding the
+    // coverage (cdc staging must never disturb id materialization)
     DeltaInterop.overwrite(
       spark.range(20).toDF("id").withColumn("v", lit(1L))
-        .coalesce(1).sortWithinPartitions("id"), base)
+        .coalesce(1).sortWithinPartitions("id"), base,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
     DeltaInterop.enableRowTracking(spark, base)
 
     // key → recorded row id; everSeen = every id ever allocated to a
@@ -115,6 +118,12 @@ class RowTrackingFuzzSpec extends SparkSpec {
         case _ => ()
       }
     }
+    // the whole fuzzed history must assemble as a change feed (cdc
+    // actions where written, DV-aware file diffs elsewhere)
+    val feed = DeltaDml.readChangeFeed(spark, base, fromVersion = 1L)
+    assert(feed.count() >= 0L)
+    assert(feed.columns.contains("_change_type") &&
+      !feed.columns.exists(_.startsWith("_row_")))
   }
 
   test("seeded row-tracking sequences keep every id stable and unique") {
