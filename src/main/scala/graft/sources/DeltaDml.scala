@@ -483,10 +483,12 @@ object DeltaDml {
     requireDmlWritable(snap, "updateWhere", mutatesRows = true)
     val rowTracked = snap.rowTrackingEnabled
     if (rowTracked) {
-      require(snap.columnMappingMode == "none",
-        "UPDATE on a rowTracking + columnMapping table is not " +
-        "implemented — refusing (materialized row-id columns would " +
-        "need physical-name staging)")
+      // name-mode column mapping composes: the materialized id
+      // columns are physical by construction (conformToPhysical
+      // passes them through) and the scan resolves the rest
+      require(snap.columnMappingMode != "id",
+        "UPDATE on a rowTracking + columnMapping.mode=id table is " +
+        "not implemented — refusing")
       // CDF composes: change rows are LOGICAL (schema + _change_type,
       // no id columns — the cdc projections select schema fields), and
       // the rewrite's id materialization is independent of them
@@ -695,9 +697,9 @@ object DeltaDml {
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
     val rowTracked = snap.rowTrackingEnabled
     if (rowTracked) {
-      require(snap.columnMappingMode == "none",
-        "MERGE on a rowTracking + columnMapping table is not " +
-        "implemented — refusing")
+      require(snap.columnMappingMode != "id",
+        "MERGE on a rowTracking + columnMapping.mode=id table is " +
+        "not implemented — refusing")
       snap.files.foreach(f => require(f.baseRowId.isDefined,
         s"live file ${f.path} carries no baseRowId — corrupt " +
         "row-tracking state (refusing)"))

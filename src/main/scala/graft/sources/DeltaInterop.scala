@@ -1376,13 +1376,18 @@ object DeltaInterop {
     * return the frame untouched. */
   private[sources] def conformToPhysical(snap: DeltaSnapshot, df: DataFrame): DataFrame = {
     if (snap.columnMappingMode == "none") return df
+    // the row-tracking materialized columns are PHYSICAL by
+    // construction (never part of the logical schema, fixed names
+    // recorded in table properties) — they ride through untouched
+    val extras = Set(MaterializedRowIdCol, MaterializedRowVerCol)
+    val nonExtra = df.schema.fieldNames.filterNot(extras.contains)
     val physToLogical =
       snap.schema.fieldNames.map(n => snap.physicalName(n) -> n).toMap
     val logicalOf: String => String =
-      if (df.schema.fieldNames.forall(physToLogical.contains)) physToLogical
+      if (nonExtra.forall(physToLogical.contains)) physToLogical
       else {
         val logical = snap.schema.fieldNames.toSet
-        val bad = df.schema.fieldNames.filterNot(logical.contains)
+        val bad = nonExtra.filterNot(logical.contains)
         require(bad.isEmpty,
           s"append to column-mapped table: columns ${bad.mkString(",")} " +
           s"are neither physical nor logical names of the table " +
@@ -1394,6 +1399,9 @@ object DeltaInterop {
     if (idMode)
       df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     df.select(df.schema.fieldNames.map { n =>
+      if (extras.contains(n)) {
+        col(n)
+      } else {
       val logical = logicalOf(n)
       val phys = snap.physicalName(logical)
       if (idMode) {
@@ -1403,6 +1411,7 @@ object DeltaInterop {
         col(n).as(phys,
           new MetadataBuilder().putLong("parquet.field.id", id).build())
       } else col(n).as(phys)
+      }
     }: _*)
   }
 

@@ -336,6 +336,33 @@ class DeltaRowTrackingSpec extends SparkSpec {
       assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id")))
   }
 
+  test("row tracking composes with name-mode column mapping and renames") {
+    import spark.implicits._
+    val base = tmp()
+    DeltaInterop.overwrite(
+      spark.range(10).toDF("id").withColumn("v", lit(1L))
+        .coalesce(1).sortWithinPartitions("id"), base)
+    DeltaInterop.enableColumnMapping(spark, base)
+    DeltaInterop.enableRowTracking(spark, base)
+    // rename mid-history: physical names diverge from logical — the
+    // materialized id columns (physical by construction) must not care
+    DeltaInterop.renameColumn(spark, base, "v", "val")
+    DeltaDml.updateWhere(spark, base, col("id") < 4,
+      Map("val" -> lit(7L)))
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") === 6)
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((2L, 9L), (50L, 9L)).toDF("id", "val"), "id")
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.length == 10) // 10 - 1 deleted + 1 inserted
+    got.filter(_.getAs[Long]("id") < 50).foreach(r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id"),
+        s"row ${r.getAs[Long]("id")} lost its id on the mapped table"))
+    assert(got.filter(_.getAs[Long]("id") == 2L)
+      .forall(_.getAs[Long]("val") == 9L))
+    val ids = got.map(_.getAs[Long]("_row_id")).toSeq
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("enable refuses unsupported combinations and double-enable no-ops") {
     val base = tracked(5)
     val v = DeltaInterop.snapshot(spark, base).version
