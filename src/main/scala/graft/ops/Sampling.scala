@@ -42,7 +42,11 @@ object Sampling {
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     val space = math.pow(16, 8)
     val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
-    val thresholds = cum.map(f => f"${math.floor(f * space).toLong}%08x")
+    // Clamp to the top of the 8-hex space: a cumulative fraction that
+    // rounds to exactly 16^8 would format as the 9-char '100000000',
+    // which sorts BELOW most 8-char hashes and misroutes rows.
+    val thresholds = cum.map(f =>
+      f"${math.min(math.floor(f * space).toLong, space.toLong - 1)}%08x")
     val h = substring(md5(key.cast("string")), 1, 8)
     val bucket = splits.init.zip(thresholds).foldRight(
         lit(splits.last._1)) { case (((name, _), t), rest) =>

@@ -731,10 +731,12 @@ object GraftSql {
     }
     var nLoaded = 0L
     files.foreach { f =>
-      // ledger id = the file's normalized absolute path (pure string
-      // math — no filesystem probe, so it works against any store)
-      val id = "copyinto:" +
-        java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString
+      // ledger id = the file's normalized absolute path. absNorm keeps
+      // scheme-qualified paths (s3a://…) verbatim-scheme + segment-
+      // normalized, so the id never depends on the driver's cwd — the
+      // exactly-once guarantee must survive reloading from a different
+      // working directory.
+      val id = "copyinto:" + graft.sources.PathCodec.absNorm(f)
       if (!loaded(id)) {
         val batch = conform(readFile(f), f)
         h match {

@@ -1569,6 +1569,27 @@ object DeltaInterop {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
           if (attempt > 10) throw e
+          // Mirror commitReconciled's winner inspection: the staged
+          // files were conformed against the snapshot's metaData
+          // (column-mapping physical names, constraints, protocol), so
+          // a winning commit that changed either invalidates them —
+          // republishing e.g. logical-named parquet into a now
+          // physically-named table would read back as silent NULLs.
+          val head = currentVersion(base).getOrElse(
+            throw new IllegalStateException(s"no commits under $base"))
+          (v to head).foreach { wv =>
+            val wf = TableIO.join(logDir(base), commitName(wv))
+            if (io.exists(wf)) io.readLines(wf).foreach { line =>
+              if (line.nonEmpty) {
+                val n = mapper.readTree(line)
+                if (n.has("metaData") || n.has("protocol"))
+                  throw new java.util.ConcurrentModificationException(
+                    s"concurrent commit $wv of $base changed table " +
+                    "metadata/protocol — refusing to rebase a row-tracked " +
+                    "append staged against the old definition")
+              }
+            }
+          }
           s = snapshot(spark, base)
           require(s.rowTrackingEnabled,
             s"row tracking was disabled concurrently on $base — refusing")

@@ -94,8 +94,41 @@ final class HadoopTableIO(mkConf: () => Configuration)
     try out.write(bytes) finally out.close()
   }
 
+  /** Schemes where `create(overwrite = false)` is a true atomic claim:
+    * HDFS arbitrates exclusive create at the namenode; local and view
+    * filesystems inherit POSIX O_EXCL. Object-store connectors (s3a,
+    * gs, abfs, …) historically check existence at `create()` and land
+    * the object at `close()` — last-writer-wins, NOT a claim — unless
+    * the connector maps exclusive create to a conditional PUT. */
+  private val AtomicCreateSchemes = Set("hdfs", "file", "viewfs", "webhdfs")
+
+  /** Capability strings a connector may publish when exclusive create
+    * is honored as a conditional PUT (S3A publishes the first when
+    * `fs.s3a.create.conditional.enabled` is on, Hadoop 3.4.1+). */
+  private val ConditionalCreateCapabilities = Seq(
+    "fs.s3a.capability.conditional.create", "fs.capability.create.conditional")
+
+  private def supportsAtomicCreate(p: Path): Boolean = {
+    val f = fs(p)
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    AtomicCreateSchemes.contains(scheme) ||
+      conf.getTrimmedStringCollection("graft.io.atomic-create.schemes")
+        .contains(scheme) ||
+      ConditionalCreateCapabilities.exists(c =>
+        try f.hasPathCapability(p, c) catch { case _: Exception => false })
+  }
+
   override def putIfAbsent(src: String, dst: String): Boolean = {
     val s = hp(src); val d = hp(dst)
+    // Every format's optimistic-concurrency claim on a commit version
+    // rests on this primitive being an atomic claim. Refusing loudly on
+    // a store that silently last-writer-wins beats corrupting a log.
+    if (!supportsAtomicCreate(d))
+      throw new UnsupportedOperationException(
+        s"putIfAbsent($dst): scheme '${Option(fs(d).getUri.getScheme).getOrElse("file")}' " +
+        "does not guarantee atomic exclusive create (two racing committers could " +
+        "both win). Enable the connector's conditional-create support and add the " +
+        "scheme to 'graft.io.atomic-create.schemes' to opt in.")
     val payload = readBytes(src)
     try {
       val claimed =

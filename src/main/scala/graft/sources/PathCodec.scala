@@ -20,7 +20,7 @@ import java.nio.charset.StandardCharsets
   *     uppercase `%XX`, everything else (including spaces and '+') is
   *     literal.
   */
-private[sources] object PathCodec {
+private[graft] object PathCodec {
 
   private def hexVal(c: Char): Int =
     if (c >= '0' && c <= '9') c - '0'
@@ -116,9 +116,42 @@ private[sources] object PathCodec {
   /** Absolute + lexically-normalized path string — the identity key
     * vacuum/clone use to match recorded paths against listed ones (NOT
     * canonical: no symlink resolution, same rationale as
-    * metadataPathKey; both sides of every comparison use this). */
-  def absNorm(p: String): String =
-    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    * metadataPathKey; both sides of every comparison use this).
+    *
+    * Scheme-qualified paths (`s3a://…`, `hdfs://…`) are normalized with
+    * pure string math: `java.nio.file.Paths.get` would treat the whole
+    * string as a RELATIVE local path and prepend the driver's cwd, so
+    * the same store object would mint a different identity from a
+    * different working directory. */
+  def absNorm(p: String): String = p match {
+    case SchemePathRegex(scheme, rest) =>
+      val (authority, path) =
+        if (rest.startsWith("//")) {
+          val after = rest.drop(2)
+          val slash = after.indexOf('/')
+          if (slash < 0) (Some(after), "/")
+          else (Some(after.take(slash)), after.drop(slash))
+        } else (None, rest)
+      val segs = scala.collection.mutable.ListBuffer.empty[String]
+      path.split('/').foreach {
+        case "" | "." => ()
+        case ".." => if (segs.nonEmpty) segs.remove(segs.size - 1)
+        case s => segs += s
+      }
+      val norm = "/" + segs.mkString("/")
+      authority match {
+        case Some(a) => s"$scheme://$a$norm"
+        case None => s"$scheme:$norm"
+      }
+    case _ =>
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+  }
+
+  // scheme ≥2 chars and a rooted remainder: excludes Windows drive
+  // letters ("C:/x") and opaque relative URIs ("a:b"), which fall to
+  // the local-path branch
+  private val SchemePathRegex =
+    "^([a-zA-Z][a-zA-Z0-9+.-]+):(/.*)$".r
 
   /** The matching Spark-side normalization of `_metadata.file_path`:
     * strip the scheme, keep the percent-encoded path. */

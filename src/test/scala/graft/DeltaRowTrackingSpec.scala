@@ -376,4 +376,83 @@ class DeltaRowTrackingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not enabled"))
   }
+
+  /** Delegate-everything TableIO proxy that runs `inject` once, right
+    * before the victim's first _delta_log commit claim — the
+    * deterministic race harness DeltaOccSpec/IcebergOccSpec use. */
+  private final class RaceInjector(inject: () => Unit)
+      extends graft.sources.TableIO {
+    private val under = graft.sources.LocalTableIO
+    @volatile private var injected = false
+    def exists(p: String) = under.exists(p)
+    def isDirectory(p: String) = under.isDirectory(p)
+    def list(d: String) = under.list(d)
+    def length(p: String) = under.length(p)
+    def lastModified(p: String) = under.lastModified(p)
+    def mkdirs(d: String) = under.mkdirs(d)
+    def readBytes(p: String) = under.readBytes(p)
+    def readString(p: String) = under.readString(p)
+    def readLines(p: String) = under.readLines(p)
+    def writeBytes(p: String, b: Array[Byte]) = under.writeBytes(p, b)
+    def putIfAbsent(s: String, d: String) = {
+      if (!injected && d.contains("_delta_log") && d.endsWith(".json")) {
+        injected = true
+        inject() // the competing writer wins this version
+      }
+      under.putIfAbsent(s, d)
+    }
+    def mirror(s: String, d: String) = under.mirror(s, d)
+    def moveReplace(s: String, d: String) = under.moveReplace(s, d)
+    def move(s: String, d: String) = under.move(s, d)
+    def delete(p: String) = under.delete(p)
+    def deleteRecursively(p: String) = under.deleteRecursively(p)
+  }
+
+  private def withInjector[A](inject: () => Unit)(body: => A): A = {
+    val prior = graft.sources.TableIO.current
+    graft.sources.TableIO.current = new RaceInjector(inject)
+    try body finally graft.sources.TableIO.current = prior
+  }
+
+  test("row-tracked append racing a metadata change refuses (no blind rebase)") {
+    // the staged files were conformed against the OLD metaData; a
+    // winner that changed schema/column mapping/protocol invalidates
+    // them — rebasing blindly would publish e.g. logical-named parquet
+    // into a now physically-named table (silent NULLs on read)
+    val base = tracked(10)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withInjector(() => DeltaInterop.addColumns(spark, base,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType))))) {
+        DeltaInterop.append(
+          spark.range(100, 105).toDF("id").withColumn("v", lit(2L))
+            .coalesce(1), base)
+      }
+    }
+    assert(e.getMessage.contains("metadata"))
+    // the refused append left no rows; the winner's schema change landed
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.schema.fieldNames.contains("w"))
+    assert(DeltaInterop.read(spark, base).count() == 10)
+  }
+
+  test("row-tracked append racing a disjoint append rebases with fresh ids") {
+    val base = tracked(10)
+    withInjector(() => DeltaInterop.append(
+      spark.range(200, 205).toDF("id").withColumn("v", lit(2L))
+        .coalesce(1), base)) {
+      DeltaInterop.append(
+        spark.range(100, 105).toDF("id").withColumn("v", lit(3L))
+          .coalesce(1), base)
+    }
+    val got = DeltaInterop.readWithRowIds(spark, base)
+    assert(got.count() == 20)
+    // the loser re-derived its id range from the winner's new mark:
+    // ids stay dense and DISTINCT (a blind rebase would double-allocate)
+    val ids = got.select("_row_id").as[Long](org.apache.spark.sql.Encoders
+      .scalaLong).collect().sorted.toSeq
+    assert(ids == (0L until 20L))
+    assert(DeltaInterop.snapshot(spark, base).rowIdHighWaterMark == 19L)
+  }
 }

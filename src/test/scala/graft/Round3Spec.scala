@@ -103,6 +103,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(df, col("id"), Seq("a" -> 0.5, "b" -> 0.2)))
   }
 
+  test("hashSplit: a cumulative fraction reaching 1.0 clamps inside the hex space") {
+    // trailing ~0 fraction → the second threshold is floor(1.0 * 16^8),
+    // which unclamped formats as the 9-char '100000000' and sorts BELOW
+    // every hash not starting with '0' — sending ~half the corpus to
+    // the empty bucket. Clamped to 'ffffffff' it stays 8 hex chars.
+    val df = (1L to 2000L).toDF("id")
+    val got = Sampling.hashSplit(df, col("id"),
+      Seq("a" -> 0.5, "b" -> 0.5, "c" -> 0.0))
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 2000)
+    val sizes = got.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(sizes("a") > 900 && sizes("a") < 1100, sizes.toString)
+    assert(sizes.getOrElse("b", 0) > 900 && sizes.getOrElse("b", 0) < 1100,
+      sizes.toString)
+    assert(sizes.getOrElse("c", 0) <= 1, sizes.toString)
+  }
+
   test("stratifiedSample returns exactly min(n, stratum size) rows per stratum") {
     val df = (1L to 95L).map(i => (s"s${i % 3}", i)).toDF("g", "id")
     val got = Sampling.stratifiedSample(df, Seq(col("g")), col("id"), 10)

@@ -49,6 +49,37 @@ class HadoopTableIOSpec extends SparkSpec {
     assert(io.readString(s"$dir/slot") == "third")
   }
 
+  test("putIfAbsent refuses schemes without atomic exclusive create") {
+    // a store whose create(overwrite=false) is last-writer-wins (the
+    // default object-store shape) cannot arbitrate a commit-version
+    // claim — serving putIfAbsent there would silently corrupt every
+    // format's OCC. The guard refuses unless the deployment opts the
+    // scheme in after enabling the connector's conditional create.
+    val dir = tmp()
+    val io = new HadoopTableIO(() => {
+      val c = new org.apache.hadoop.conf.Configuration()
+      c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      c.set("fs.mockstore.impl", classOf[MockStoreFileSystem].getName)
+      c
+    })
+    io.writeString(s"$dir/a.tmp", "payload")
+    val e = intercept[UnsupportedOperationException](
+      io.putIfAbsent(s"$dir/a.tmp", s"mockstore:$dir/slot"))
+    assert(e.getMessage.contains("atomic") &&
+      e.getMessage.contains("mockstore"))
+    // explicit opt-in (deployment enabled conditional create) serves it
+    val optedIn = new HadoopTableIO(() => {
+      val c = new org.apache.hadoop.conf.Configuration()
+      c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      c.set("fs.mockstore.impl", classOf[MockStoreFileSystem].getName)
+      c.set("graft.io.atomic-create.schemes", "mockstore")
+      c
+    })
+    optedIn.writeString(s"$dir/b.tmp", "payload")
+    assert(optedIn.putIfAbsent(s"$dir/b.tmp", s"mockstore:$dir/slot"))
+    assert(optedIn.readString(s"mockstore:$dir/slot") == "payload")
+  }
+
   test("readLines/list/length match the local impl's semantics") {
     val dir = tmp()
     val io = hio
@@ -111,4 +142,12 @@ class HadoopTableIOSpec extends SparkSpec {
       assert(one.count() == 10)
     }
   }
+}
+
+/** A local-disk FileSystem masquerading as an object-store scheme whose
+  * exclusive create is NOT a trustworthy atomic claim — exercises the
+  * putIfAbsent capability guard. */
+class MockStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockstore:///")
+  override def getScheme: String = "mockstore"
 }
