@@ -46,8 +46,17 @@ object Bench {
     // Untimed warmup at the smallest SF: pays JVM/codegen/class-loading
     // cost (~60s cold) once, so timed numbers measure the queries, not
     // JIT warmup. Steady-state is what a long-lived cluster session sees.
+    // SPARK_GRAFT_BENCH_ONLY=q01,q44: time a named subset (the sf1
+    // headline spot-check) — exact name or name-prefix match
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = only match {
+      case None => SparkEntry.queries
+      case Some(sel) => SparkEntry.queries.filter { case (name, _) =>
+        sel.exists(p => name == p || name.startsWith(p + "_")) }
+    }
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
+    benchQueries.foreach { case (name, fn) =>
       runCapped(spark, s"warm_$name", () => { fn(spark, warmDir).count(); () }, cap)
     }
     // Compact warmup garbage BEFORE timing starts: on this VM a
@@ -61,7 +70,7 @@ object Bench {
     // to run with zero code change). The min is the steady-state cost —
     // the number that actually predicts cluster behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val repTimes = SparkEntry.queries.map { case (name, fn) =>
+    val repTimes = benchQueries.map { case (name, fn) =>
       name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         runCapped(spark, name, () => { fn(spark, sfDir).count(); () }, cap)

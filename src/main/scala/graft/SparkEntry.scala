@@ -2079,6 +2079,37 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Partitioned CONVERT to Iceberg (q229): the COMMON migration shape —
+    * a PARTITIONED Delta table (the reference's own silver layout:
+    * silver_transformation.py:61-64 partitions by ingestion_date)
+    * converts zero-copy. Delta keeps partition columns out of the data
+    * files, so the convert records identity partition tuples in the
+    * manifests and the read path resolves the absent column per file
+    * (Iceberg spec §Column Projection — the Hive-migration contract).
+    * The query reads ONE partition through the typed identity-filter
+    * path and groups BY the projected column: a wrong tuple, a lost
+    * file, or a broken projection each hash-mismatch against DuckDB
+    * replaying the same filter on raw orders. */
+  private def qConvertPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, IcebergInterop, TableIO}
+    val base = cachedFixture("convert_part_orders", dir, "orders") { p =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(o, TableIO.join(p, "delta"),
+        partitionBy = Seq("o_orderstatus"))
+      IcebergInterop.convertFromDelta(s,
+        TableIO.join(p, "delta"), TableIO.join(p, "ice"))
+    }
+    IcebergInterop.readEq(s, graft.sources.TableIO.join(base, "ice"),
+        Map("o_orderstatus" -> "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Decontaminated training split (q228): the two dataset-hygiene ops
     * composed the way a real pipeline runs them — hashSplit draws the
     * deterministic train/eval boundary, decontaminate then drops every
@@ -2915,6 +2946,51 @@ object SparkEntry {
       s"""SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(totalprice) AS DOUBLE) AS total
          FROM $name GROUP BY o_orderstatus ORDER BY status""")
+  }
+
+  /** Correlated-EXISTS UPDATE (q230): `UPDATE t SET ... WHERE EXISTS
+    * (SELECT 1 FROM s WHERE s.k = t.k AND <inner>)` on all three
+    * formats — the single-equality correlation lowers to the SAME
+    * distributed semi-join mark the IN path runs (never a collected
+    * key list, never a per-row subquery), with the inner conjuncts
+    * staying subquery-side. Value-exact vs DuckDB replaying the EXISTS
+    * as a CASE expression over each format's copy. */
+  private def qSqlUpdateExists(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    def orders() = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("q230_cust")
+    val frames = Seq("delta", "log", "iceberg").map { format =>
+      val name = s"q230_${format}_t"
+      val base = freshCopyFixture(s"updexists_${format}_orders", dir,
+          "orders") { p =>
+        format match {
+          case "delta" => graft.sources.DeltaInterop.overwrite(
+            orders().repartitionByRange(4, col("o_orderkey")), p)
+          case "log" => graft.pipeline.GraftLog.overwriteClustered(
+            orders(), p, Seq("o_custkey"), nFiles = 4)
+          case "iceberg" => graft.sources.IcebergInterop.overwrite(
+            orders().repartitionByRange(4, col("o_orderkey")), p)
+        }
+      }
+      format match {
+        case "delta" => GraftSql.registerDeltaTable(s, name, base)
+        case "log" => GraftSql.registerTable(s, name, base)
+        case "iceberg" => GraftSql.registerIcebergTable(s, name, base)
+      }
+      GraftSql.sql(s,
+        s"UPDATE $name SET totalprice = totalprice * 2 WHERE EXISTS " +
+        s"(SELECT 1 FROM q230_cust c WHERE c.c_custkey = $name.o_custkey " +
+        "AND c.c_acctbal < 0)")
+      s.sql(
+        s"""SELECT '$format' AS fmt, o_orderstatus AS status,
+           count(*) AS n_orders, CAST(sum(totalprice) AS DOUBLE) AS total
+           FROM $name GROUP BY o_orderstatus""")
+    }
+    frames.reduce(_ unionByName _).orderBy(col("fmt"), col("status"))
   }
 
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
@@ -5456,6 +5532,8 @@ object SparkEntry {
     "q226_convert_to_delta" -> (qConvertToDelta _),
     "q227_convert_to_iceberg" -> (qConvertToIceberg _),
     "q228_decontaminated_split" -> (qDecontaminatedSplit _),
+    "q229_convert_partitioned" -> (qConvertPartitioned _),
+    "q230_sql_update_exists" -> (qSqlUpdateExists _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6726,6 +6804,27 @@ object SparkEntry {
            AS sum_price
          FROM lineitem WHERE l_orderkey <= 3000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q229_convert_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         count(DISTINCT o_custkey) AS n_cust
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q230_sql_update_exists" ->
+      """WITH upd AS (
+           SELECT o_orderstatus,
+             CASE WHEN EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey
+                                 AND c.c_acctbal < 0)
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                       AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS totalprice
+           FROM orders o),
+         f AS (SELECT unnest(['delta','iceberg','log']) AS fmt)
+         SELECT f.fmt, upd.o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(totalprice) AS DOUBLE) AS total
+         FROM upd CROSS JOIN f
+         GROUP BY 1, 2 ORDER BY fmt, status""",
     // 0.9*16^8 = 0xe6666666 (hashSplit's threshold); gram algebra
     // mirrors q101's oracle
     "q228_decontaminated_split" ->

@@ -52,7 +52,7 @@ import graft.sources.TableIO
   */
 object GraftLog {
 
-  private val mapper = new ObjectMapper()
+  private[pipeline] val mapper = new ObjectMapper()
 
   /** Per-column stats of one data file. `minMax` holds [min, max] as raw
     * JSON nodes (numeric or text — compared by node type at prune time);

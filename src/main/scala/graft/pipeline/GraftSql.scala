@@ -415,9 +415,11 @@ object GraftSql {
     // CONVERT <src> TO DELTA|ICEBERG AS <name> LOCATION '<dst>' —
     // zero-copy cross-format conversion (the engine-side shape of
     // Delta's CONVERT TO DELTA / Iceberg's snapshot action): the new
-    // table references the source's data files; refusal matrix (DVs,
-    // merge-on-read deletes, mapping, transformed specs, partitioned
-    // Delta sources) lives in the convert implementations
+    // table references the source's data files (partitioned Delta
+    // sources convert zero-copy too — identity tuples ride in the
+    // manifests, spec §Column Projection); refusal matrix (DVs,
+    // merge-on-read deletes, mapping, transformed specs) lives in the
+    // convert implementations
     case ConvertRe(src, fmt, newName, loc) =>
       val (_, h) = maintTable(spark, src, "CONVERT")
       val name = newName.toLowerCase.replace("`", "")
@@ -433,11 +435,49 @@ object GraftSql {
         case (IceTable(_), "ICEBERG") | (DeltaTable(_), "DELTA") =>
           throw new IllegalArgumentException(
             s"CONVERT: '$src' is already ${fmt.toLowerCase} — use CLONE")
-        case (LogTable(_), _) =>
-          throw new IllegalArgumentException(
-            "CONVERT from a graft-log table is not supported — " +
-            "its vectored-delete state has no zero-copy translation; " +
-            "CREATE TABLE ... AS SELECT instead")
+        case (LogTable(base), f @ ("DELTA" | "ICEBERG")) =>
+          // vectored-delete state has no zero-copy translation — fold
+          // the DVs into clean files first (purge rewrites ONLY the
+          // DV-referenced files; a clean table purges for free), then
+          // the live files convert by metadata alone
+          GraftLog.purgeDeletes(spark, base)
+          val snap = GraftLog.snapshot(base)
+          val schema = snap.schemaJson.map(j =>
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .getOrElse(spark.read.parquet(
+              snap.files.map(p => s"$base/$p"): _*).schema)
+          // graft-log's tracked per-file min/max translate into
+          // Delta-style stats JSON, so both targets' data skipping
+          // works from the first read
+          val statsJson: Map[String, String] = snap.files.flatMap { p =>
+            val abs = graft.sources.PathCodec.absNorm(s"$base/$p")
+            snap.fileStats.get(p).map { fs =>
+              val root = GraftLog.mapper.createObjectNode()
+              val mnO = root.putObject("minValues")
+              val mxO = root.putObject("maxValues")
+              fs.foreach { case (c, cs) =>
+                cs.minMax.foreach { case (mn, mx) =>
+                  mnO.set[com.fasterxml.jackson.databind.JsonNode](c, mn)
+                  mxO.set[com.fasterxml.jackson.databind.JsonNode](c, mx)
+                }
+              }
+              abs -> GraftLog.mapper.writeValueAsString(root)
+            }
+          }.toMap
+          val absFiles = snap.files.map(p =>
+            graft.sources.PathCodec.absNorm(s"$base/$p"))
+          f match {
+            case "DELTA" =>
+              graft.sources.DeltaInterop.convertFromParquetFiles(
+                spark, loc, absFiles, schema, statsJson.get _)
+              registerDeltaTable(spark, name, loc)
+            case _ =>
+              graft.sources.IcebergInterop.writeConvertedIceberg(
+                spark, loc, schema, Seq.empty,
+                absFiles.map(a => (a, statsJson.get(a), Map.empty[String, String])))
+              registerIcebergTable(spark, name, loc)
+          }
         case other => throw new IllegalArgumentException(
           s"CONVERT: unsupported source/format pair $other")
       }
@@ -1625,6 +1665,66 @@ object GraftSql {
     case other => Seq(other)
   }
 
+  /** Lower a correlated `EXISTS (SELECT ... FROM s WHERE s.k = t.k
+    * [AND <inner conjuncts>])` to the membership shape the formats'
+    * `updateInSource` already runs as a DISTRIBUTED semi join: a
+    * single-equality correlation is exactly
+    * `t.k IN (SELECT s.k FROM s WHERE <inner conjuncts>)` — identical
+    * NULL semantics (an UNKNOWN correlation never matches, so a NULL
+    * outer key is untouched either way). The outer reference must be
+    * qualified by the target's name or alias; exactly ONE correlated
+    * equality is supported, and no other conjunct may touch the outer
+    * row (that shape is a real join condition → MERGE). */
+  private def lowerCorrelatedExists(name: String, aliases: Set[String],
+                                    plan: LogicalPlan): (String, LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.catalyst.expressions.And
+    val quals = (aliases + name).map(_.toLowerCase)
+    def isOuter(a: UnresolvedAttribute): Boolean =
+      a.nameParts.length == 2 && quals.contains(a.nameParts.head.toLowerCase)
+    def touchesOuter(e: Expression): Boolean = e.exists {
+      case a: UnresolvedAttribute => isOuter(a)
+      case _ => false
+    }
+    val (projected, cond, child) = plan match {
+      case Project(_, Filter(c, ch)) => (true, c, ch)
+      case Filter(c, ch) => (false, c, ch)
+      case _ => throw new IllegalArgumentException(
+        "UPDATE ... WHERE EXISTS: the subquery carries no correlation " +
+        "filter — an uncorrelated EXISTS is a table-level gate, not a " +
+        "row selector; use MERGE or a scalar condition")
+    }
+    val _ = projected // EXISTS ignores the subquery's projection list
+    val conjuncts = splitConjuncts(cond)
+    val (corr, inner) = conjuncts.partition {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        isOuter(a) ^ isOuter(b)
+      case _ => false
+    }
+    inner.filter(touchesOuter).foreach { e =>
+      throw new IllegalArgumentException(
+        s"UPDATE ... WHERE EXISTS: conjunct '${e.sql}' references the " +
+        "target row in a non-equality shape — that is a join condition; " +
+        "express it as MERGE INTO ... WHEN MATCHED THEN UPDATE")
+    }
+    require(corr.size == 1,
+      s"UPDATE ... WHERE EXISTS supports exactly ONE correlated " +
+      s"equality (got ${corr.size}) — multi-key correlation → MERGE")
+    val (outerA, innerA) = corr.head match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        if (isOuter(a)) (a, b) else (b, a)
+      case other => throw new IllegalStateException(
+        s"unreachable: non-equality in corr set: ${other.sql}")
+    }
+    require(!isOuter(innerA),
+      s"UPDATE ... WHERE EXISTS: '${corr.head.sql}' relates the target " +
+      "row to itself — the correlation must compare an inner column to " +
+      "a target column")
+    val filtered = inner.reduceOption(And)
+      .map(Filter(_, child)).getOrElse(child)
+    (outerA.nameParts.last, Project(Seq(innerA), filtered))
+  }
+
   private def runUpdate(spark: SparkSession, name: String,
                         u: UpdateTable): DataFrame = {
     val h = tablesOf(spark).get(name)
@@ -1647,10 +1747,14 @@ object GraftSql {
           Some((a.nameParts.last, lq.plan, false))
         case Seq(Not(InSubquery(Seq(a: UnresolvedAttribute), lq))) =>
           Some((a.nameParts.last, lq.plan, true))
+        case Seq(e: Exists) =>
+          val (key, subPlan) = lowerCorrelatedExists(
+            name, aliasOf(u.table).toSet, e.plan)
+          Some((key, subPlan, false))
         case _ => throw new IllegalArgumentException(
-          "UPDATE supports at most ONE `<col> [NOT] IN (SELECT ...)` " +
-          "conjunct (EXISTS and correlated subqueries refuse) — express " +
-          "richer conditions as MERGE INTO ... USING (SELECT ...) WHEN " +
+          "UPDATE supports at most ONE `<col> [NOT] IN (SELECT ...)` or " +
+          "correlated `EXISTS (SELECT ...)` conjunct — express richer " +
+          "conditions as MERGE INTO ... USING (SELECT ...) WHEN " +
           "MATCHED THEN UPDATE")
       }
     // A multi-part SET target is accepted ONLY as <table-or-alias>.<col>:
@@ -1810,7 +1914,12 @@ object GraftSql {
           GraftLog.upsertScoped(spark, base, effSource, keys.head)
         else GraftLog.upsert(spark, base, effSource, keys)
       case DeltaTable(base) =>
-        graft.sources.DeltaDml.mergeUpsertKeys(spark, base, effSource, keys)
+        // MERGE schema evolution (delta-spark's schema.autoMerge):
+        // explicit session opt-in — new SOURCE columns evolve the table
+        // (nullable adds; old rows read NULL) and the merge lands values
+        graft.sources.DeltaDml.mergeUpsertKeys(spark, base, effSource, keys,
+          evolveSchema = spark.conf.getOption(
+            "spark.graft.delta.autoMerge").exists(_.toBoolean))
       case IceTable(base) =>
         // duplicate-source check lives inside the Iceberg merge
         graft.sources.IcebergInterop.mergeUpsert(spark, base, effSource, keys)

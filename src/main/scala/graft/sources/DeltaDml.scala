@@ -483,12 +483,11 @@ object DeltaDml {
     requireDmlWritable(snap, "updateWhere", mutatesRows = true)
     val rowTracked = snap.rowTrackingEnabled
     if (rowTracked) {
-      // name-mode column mapping composes: the materialized id
-      // columns are physical by construction (conformToPhysical
-      // passes them through) and the scan resolves the rest
-      require(snap.columnMappingMode != "id",
-        "UPDATE on a rowTracking + columnMapping.mode=id table is " +
-        "not implemented — refusing")
+      // column mapping composes in BOTH modes: the materialized id
+      // columns are physical by construction (conformToPhysical passes
+      // them through — in id mode they stay id-less and resolve by
+      // their fixed names, while mapped columns are stamped with their
+      // mapping ids), and the scan resolves the rest.
       // CDF composes: change rows are LOGICAL (schema + _change_type,
       // no id columns — the cdc projections select schema fields), and
       // the rewrite's id materialization is independent of them
@@ -672,8 +671,26 @@ object DeltaDml {
     * range excludes every update head-key cannot match the full
     * composite either, so pruning on the leading key alone is
     * conservative and exact — pick the clustered column first). */
+  /** `evolveSchema` (delta-spark's `schema.autoMerge`, OFF by default):
+    * source columns absent from the table are ADDED first (nullable,
+    * appended — `DeltaInterop.addColumns` semantics: old files read
+    * them as NULL), then the merge lands their values. Two commits
+    * (evolution, then merge) — the schema change is visible one
+    * version before the data, the same observable order as running
+    * ALTER TABLE ADD COLUMNS + MERGE by hand. Explicit opt-in because
+    * a typo'd source column silently widening the table is the classic
+    * autoMerge hazard. */
   def mergeUpsertKeys(spark: SparkSession, base: String, updates0: DataFrame,
-                      keys: Seq[String], maxConflictRetries: Int = 5): Long = {
+                      keys: Seq[String], maxConflictRetries: Int = 5,
+                      evolveSchema: Boolean = false): Long = {
+    if (evolveSchema) {
+      val have = snapshot(spark, base).schema.fieldNames.toSet
+      val extra = updates0.schema.fields.filterNot(f => have.contains(f.name))
+      if (extra.nonEmpty)
+        DeltaInterop.addColumns(spark, base,
+          org.apache.spark.sql.types.StructType(
+            extra.map(_.copy(nullable = true))))
+    }
     var attempt = 0
     while (true) {
       try return mergeUpsertOnce(spark, base, updates0, keys)
@@ -697,9 +714,6 @@ object DeltaDml {
     requireDmlWritable(snap, "mergeUpsert", mutatesRows = true)
     val rowTracked = snap.rowTrackingEnabled
     if (rowTracked) {
-      require(snap.columnMappingMode != "id",
-        "MERGE on a rowTracking + columnMapping.mode=id table is " +
-        "not implemented — refusing")
       snap.files.foreach(f => require(f.baseRowId.isDefined,
         s"live file ${f.path} carries no baseRowId — corrupt " +
         "row-tracking state (refusing)"))

@@ -1732,9 +1732,32 @@ object DeltaInterop {
                            // row-tracking columns (null where a file
                            // lacks them) and keep `__delta_pos`
                            withRowIds: Boolean = false): DataFrame = {
+    // id-mode tables resolve by parquet field id (physical names in the
+    // files are free to diverge from the metadata's physicalName): the
+    // read schema carries the mapping ids, and the session confs make
+    // Spark's reader match by them AND the downstream staging writes
+    // stamp them back into rewritten files. The materialized
+    // row-tracking columns have no mapping id by construction — they
+    // resolve by their fixed physical names in both modes (per-field
+    // fallback, same as assembleScan's extraCols).
+    val idMode = snap.columnMappingMode == "id"
+    if (idMode) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
     val dataSchema = StructType(snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
-      .map(f => f.copy(name = snap.physicalName(f.name))) ++
+      .map { f =>
+        val phys = f.copy(name = snap.physicalName(f.name))
+        if (!idMode) phys
+        else {
+          val id = snap.fieldId(f.name).getOrElse(throw new IllegalStateException(
+            s"columnMapping.mode=id but field '${f.name}' has no " +
+            "delta.columnMapping.id — corrupt metadata (refusing)"))
+          phys.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", id).build())
+        }
+      } ++
       (if (withRowIds) Seq(
         StructField(MaterializedRowIdCol, LongType),
         StructField(MaterializedRowVerCol, LongType)) else Seq.empty))
@@ -1888,10 +1911,11 @@ object DeltaInterop {
     * OPTIMIZE materializes away) are rewritten into as few files as
     * possible, and the swap is committed as remove+add actions with
     * `dataChange=false` so downstream CDF/streaming consumers know no
-    * row changed. Data files are read at the physical level, so `none`
-    * and `name` column-mapping tables compact without ever resolving
-    * logical names; `id` tables are refused (their physical schema is
-    * not recoverable from metadata alone in this reader).
+    * row changed. Data files are read at the physical level: `none` and
+    * `name` tables compact by physical column name; `id` tables resolve
+    * by parquet field id (readPhysical stamps the mapping ids into the
+    * read schema, and the rewrite stamps them back into the staged
+    * files — physical names in id-mode files are free to diverge).
     *
     * Scale shape: candidate selection is driver-side metadata over the
     * file list; the rewrite itself is one distributed scan+write per
@@ -1901,9 +1925,6 @@ object DeltaInterop {
                smallFileBytes: Long = 128L << 20,
                targetFileBytes: Long = 1L << 30): Option[Long] = {
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode != "id",
-      "OPTIMIZE on a columnMapping.mode=id table is not supported " +
-      "(physical schema unrecoverable); compact it with a writer that is")
     def sizeOf(f: AddFile): Long =
       io.length(resolveDataFile(base, f.path))
     // candidate selection is driver-side metadata; the rewrite is ONE
@@ -1951,9 +1972,6 @@ object DeltaInterop {
   def reorgPurge(spark: SparkSession, base: String,
                  targetFileBytes: Long = 1L << 30): Option[Long] = {
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode != "id",
-      "REORG on a columnMapping.mode=id table is not supported " +
-      "(physical schema unrecoverable)")
     val byPartition = snap.files
       .filter(_.dv.exists(_.cardinality > 0)).groupBy(_.partitionValues)
     if (byPartition.isEmpty) return None
@@ -1993,8 +2011,6 @@ object DeltaInterop {
                      zorderBy: Seq[String],
                      filesPerPartition: Int = 8): Option[Long] = {
     val snap = snapshot(spark, base)
-    require(snap.columnMappingMode != "id",
-      "OPTIMIZE on a columnMapping.mode=id table is not supported")
     require(zorderBy.nonEmpty, "zorderBy needs at least one column")
     zorderBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
@@ -2767,6 +2783,37 @@ object DeltaInterop {
     writeCommit(dstBase, 0L,
       Seq(protocolJson,
         metaJson(schema, partCols, UUID.randomUUID().toString)) ++
+        adds.map(addJson(_, dstBase)),
+      operation = "CONVERT")
+    0L
+  }
+
+  /** CONVERT a set of plain parquet files into a NEW Delta table, zero
+    * copy — the engine-side shape of Delta's own
+    * `CONVERT TO DELTA parquet.`...`` : one commit whose add actions
+    * reference the files by ABSOLUTE path (the same mechanism shallow
+    * clones use), no data byte moves. `statsOf` (keyed by the file's
+    * normalized absolute path) supplies Delta-style `add.stats` JSON
+    * when the caller holds engine-side statistics — graft-log's tracked
+    * per-file min/max translate directly, so data skipping works from
+    * the first read. Unpartitioned by construction (the callers'
+    * sources carry no hive layout). */
+  def convertFromParquetFiles(spark: SparkSession, dstBase: String,
+                              files: Seq[String], schema: StructType,
+                              statsOf: String => Option[String] = _ => None): Long = {
+    require(currentVersion(dstBase).isEmpty,
+      s"convert target is already a Delta table: $dstBase")
+    require(files.nonEmpty, "convertFromParquetFiles: no files to convert")
+    val clean = StructType(schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val adds = files.map { f =>
+      val abs = PathCodec.absNorm(f)
+      AddFile("/" + PathCodec.percentEncodePath(abs.substring(1)),
+        Map.empty, None, statsOf(abs))
+    }
+    writeCommit(dstBase, 0L,
+      Seq(protocolJson,
+        metaJson(clean, Seq.empty, UUID.randomUUID().toString)) ++
         adds.map(addJson(_, dstBase)),
       operation = "CONVERT")
     0L

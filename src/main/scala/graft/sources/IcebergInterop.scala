@@ -118,7 +118,14 @@ object IcebergInterop {
       specFields: Seq[SpecField] = Seq.empty,
       fieldNamesById: Map[Int, String] = Map.empty,
       specsById: Map[Int, Seq[SpecField]] = Map.empty,
-      defaultSpecId: Int = 0) {
+      defaultSpecId: Int = 0,
+      // name-mapped tables (schema.name-mapping.default) were converted
+      // from files written WITHOUT parquet field ids — and, for
+      // partitioned converts, without their identity-partition columns
+      // in the data files (the Delta layout). The read path projects
+      // those columns from the manifests' partition tuples (spec
+      // §Column Projection).
+      nameMapped: Boolean = false) {
     /** True iff every live data file's partition record matches the
       * default spec's field set — i.e. no live file predates the last
       * partition evolution. Maintenance that restamps partition records
@@ -460,7 +467,7 @@ object IcebergInterop {
     IcebergSnapshot(wantId, schema, partCols,
       files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq,
       eqDeletes.distinctBy(_.path).toSeq, specFields, namesById,
-      specsById, defaultSpecId)
+      specsById, defaultSpecId, nameMapped)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -655,7 +662,14 @@ object IcebergInterop {
         s"expected timestamp value, got ${other.getClass.getSimpleName}")
     }
     t match {
-      case IceTransform.Identity => v.toString
+      case IceTransform.Identity => v match {
+        // date identity values live in partition records as epoch-day
+        // ints (spec single-value form) — stringify the same way, or
+        // every date filter would wrongly prune every file
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+        case d: java.time.LocalDate => d.toEpochDay.toString
+        case other => other.toString
+      }
       case IceTransform.Bucket(n) => (v match {
         case s: String => bucketString(s, n)
         case ts: java.sql.Timestamp => bucketLong(micros(ts), n)
@@ -718,16 +732,43 @@ object IcebergInterop {
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    val scan0 = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
-    val scan =
-      if (!keepCoords) scan0
-      else scan0.withColumn("__ice_file",
+    // Column projection (spec §Column Projection): a converted table's
+    // data files carry neither field ids nor (partitioned Delta) their
+    // identity-partition columns — those resolve per file from the
+    // manifests' partition tuples. The identity invariant makes the
+    // fill exact even for files that DO store the column (every row's
+    // value equals the tuple's), so coalesce is value-preserving on
+    // mixed tables (converted files + post-convert appends).
+    val projectCols: Seq[(SpecField, StructField)] =
+      if (!snap.nameMapped) Seq.empty
+      else snap.specFields.filter(_.transform == "identity").flatMap(sf =>
+        snap.fieldNamesById.get(sf.sourceId)
+          .flatMap(n => snap.schema.fields.find(_.name == n)).map(sf -> _))
+    val needFileCol = keepCoords || projectCols.nonEmpty ||
+      snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty
+    val scanRaw = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
+    val scan1 =
+      if (!needFileCol) scanRaw
+      else {
+        // attach provenance BEFORE any join: _metadata only resolves on
+        // the file-scan relation itself
+        val withFile = scanRaw.withColumn("__ice_file",
           org.apache.spark.sql.functions.regexp_replace(
             org.apache.spark.sql.functions.col("_metadata.file_path"),
             PathCodec.metadataFilePathNormalizeRegex, "/"))
-        .withColumn("__ice_pos",
-          org.apache.spark.sql.functions.col("_metadata.row_index"))
-    if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty) return scan
+        if (keepCoords || snap.deletes.nonEmpty)
+          withFile.withColumn("__ice_pos",
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+        else withFile
+      }
+    val scan =
+      if (projectCols.isEmpty) scan1
+      else projectIdentityPartitions(spark, snap, kept, scan1, projectCols)
+    if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty) {
+      val cols = snap.schema.fieldNames.toSeq ++
+        (if (keepCoords) Seq("__ice_file", "__ice_pos") else Seq.empty)
+      return scan.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    }
 
     // v2 merge-on-read. Both delete kinds need the row's provenance:
     // the data file identity (for position deletes) and its data
@@ -739,11 +780,7 @@ object IcebergInterop {
     val fileMap = kept.map(f =>
       (f.rawPath, PathCodec.metadataPathKey(f.path), f.seq))
       .toDF("__raw", "__ice_file", "__data_seq")
-    var out =
-      if (keepCoords) scan // coords already attached above
-      else scan.withColumn("__ice_file",
-        regexp_replace(col("_metadata.file_path"),
-          PathCodec.metadataFilePathNormalizeRegex, "/"))
+    var out = scan // __ice_file (and __ice_pos when needed) attached above
 
     if (snap.deletes.nonEmpty) {
       // Position deletes: (file_path, pos) rows; apply to data files
@@ -769,9 +806,7 @@ object IcebergInterop {
       val delSide =
         if (snap.deletes.map(_.sizeBytes).sum <= (64L << 20)) broadcast(resolved)
         else resolved
-      out = out
-        .withColumn("__ice_pos", col("_metadata.row_index"))
-        .join(delSide, Seq("__ice_file", "__ice_pos"), "left_anti")
+      out = out.join(delSide, Seq("__ice_file", "__ice_pos"), "left_anti")
       if (!keepCoords) out = out.drop("__ice_pos")
     }
 
@@ -811,6 +846,47 @@ object IcebergInterop {
     val coordCols =
       if (keepCoords) Seq(col("__ice_file"), col("__ice_pos")) else Seq.empty
     out.select(snap.schema.fieldNames.map(col) ++ coordCols: _*)
+  }
+
+  /** Fill identity-partition columns from the manifests' per-file
+    * partition tuples (spec §Column Projection — how a zero-copy
+    * convert of a partitioned Delta table reads back whole): ONE
+    * broadcast of (file → tuple values) — metadata scale, the file
+    * list is already on the driver — joined on the scan's provenance
+    * column; the scan itself stays fully distributed. `coalesce` keeps
+    * stored values where a file carries the column (identity makes
+    * them equal by invariant), fills where it doesn't. */
+  private def projectIdentityPartitions(
+      spark: SparkSession, snap: IcebergSnapshot, kept: Seq[DataFileEntry],
+      scan: DataFrame,
+      projectCols: Seq[(SpecField, StructField)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = projectCols.map(_._2.name)
+    val tupleSchema = StructType(
+      StructField("__ice_file", StringType) +:
+        projectCols.map { case (_, f) =>
+          StructField(s"__ice_part_${f.name}", StringType) })
+    val rows = kept.map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        PathCodec.metadataPathKey(f.path) +:
+          projectCols.map { case (sf, _) =>
+            f.partitionValues.getOrElse(sf.name, null) })
+    }
+    val tuples = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), tupleSchema)
+    // typed fill value: partition records stringify dates as epoch days
+    def typedFill(f: StructField): org.apache.spark.sql.Column =
+      f.dataType match {
+      case DateType =>
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          col(s"__ice_part_${f.name}").cast(IntegerType))
+      case dt => col(s"__ice_part_${f.name}").cast(dt)
+    }
+    val joined = scan.join(broadcast(tuples), Seq("__ice_file"), "left")
+    val filled = projectCols.foldLeft(joined) { case (df, (_, f)) =>
+      df.withColumn(f.name, coalesce(col(f.name), typedFill(f)))
+    }
+    filled.drop(names.map(n => s"__ice_part_$n"): _*)
   }
 
   // ------------------------------------------------------------- writer
@@ -858,9 +934,37 @@ object IcebergInterop {
     case LongType => "\"long\""
     case StringType => "\"string\""
     case DoubleType => "\"double\""
+    // spec: date = days from 1970-01-01, stored as avro int
+    case DateType => """{"type":"int","logicalType":"date"}"""
     case other => throw new IllegalArgumentException(
       s"unsupported identity-partition type $other")
   }
+
+  /** JVM value → avro partition-record value: dates ride as epoch-day
+    * ints (the spec's single-value form for `date`); everything else is
+    * already the avro-native box. */
+  private def avroPartitionValue(v: Any): Any = v match {
+    case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+    case other => other
+  }
+
+  /** Stringified partition value → typed avro value for a partition
+    * record. Dates accept BOTH the manifest form (epoch days, what our
+    * own snapshots stringify back) and the Hive/Delta civil form
+    * ("2023-01-05", what CONVERT reads from Delta add actions). */
+  private def parsePartitionValue(dt: DataType, s: String): Any =
+    if (s == null) null else dt match {
+      case IntegerType => Int.box(s.toInt)
+      case LongType => Long.box(s.toLong)
+      case DoubleType => Double.box(s.toDouble)
+      case StringType => s
+      case DateType =>
+        if (s.matches("-?\\d+")) Int.box(s.toInt)
+        else Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported identity-partition type $other in manifest write")
+    }
 
   /** Manifest-entry avro schema for a partition layout. `fieldIds`
     * (when non-empty) are the spec's REAL field ids — appends into an
@@ -1491,7 +1595,7 @@ object IcebergInterop {
       }
       if (partitionBy.nonEmpty) {
         val pr = new GenericData.Record(dfSchema.getField("partition").schema())
-        pv.foreach { case (k, v) => pr.put(k, v) }
+        pv.foreach { case (k, v) => pr.put(k, avroPartitionValue(v)) }
         dfr.put("partition", pr)
       }
       rec.put("data_file", dfr)
@@ -1528,6 +1632,11 @@ object IcebergInterop {
       prevA.flatMap(m => Option(m.get("table-uuid")).map(_.asText()))
         .getOrElse(UUID.randomUUID().toString))
     root.put("location", base)
+    // table properties persist across commits (a data write never edits
+    // them): dropping schema.name-mapping.default here would leave a
+    // converted table's id-less files unreadable after the first append
+    prevA.foreach(m => Option(m.get("properties")).foreach(p =>
+      root.set[JsonNode]("properties", p.deepCopy())))
     val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", committedAtMs)
@@ -1710,7 +1819,8 @@ object IcebergInterop {
     rec.put("data_file", dfr)
     writeAvro(mFile, entrySchema, Seq(rec))
 
-    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+    commitDeleteSnapshot(base, prev, mFile, snapshotId, id,
+      referencedRaw = Some(deletes.map(_._1).toSet))
   }
 
   /** Files the predicate can possibly match, by manifest [lower,
@@ -1868,7 +1978,12 @@ object IcebergInterop {
     }
     val mFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
     writeAvro(mFile, entrySchema, recs)
-    commitDeleteSnapshot(base, prev, mFile, snapshotId, id)
+    // referenced data files (distinct refs ≤ live file count — metadata
+    // scale): lets the commit rebase over a racing disjoint append
+    val referenced = spark.read.parquet(delFiles: _*)
+      .select("file_path").distinct().as[String].collect().toSet
+    commitDeleteSnapshot(base, prev, mFile, snapshotId, id,
+      referencedRaw = Some(referenced))
   }
 
   /** Row-level CHANGELOG over snapshot ids in (fromSnapshotId,
@@ -2169,7 +2284,7 @@ object IcebergInterop {
       }
       if (partCols.nonEmpty) {
         val pr = new GenericData.Record(dfSchema.getField("partition").schema())
-        pv.foreach { case (k, v) => pr.put(k, v) }
+        pv.foreach { case (k, v) => pr.put(k, avroPartitionValue(v)) }
         dfr.put("partition", pr)
       }
       rec.put("data_file", dfr)
@@ -2469,47 +2584,123 @@ object IcebergInterop {
     * the list, append the snapshot node (operation + optional summary
     * properties, e.g. a streaming sink's batch id), and publish the
     * next metadata version atomically. */
+  /** Loser-side reconciliation for a non-append snapshot commit — the
+    * contract Iceberg's SnapshotProducer implements for replace/delete
+    * snapshots: on a lost metadata-version race, `check` inspects the
+    * winner's head for TRUE conflicts (files this commit rewrites or
+    * references no longer live, new deletes that would be lost) and
+    * throws to refuse; `buildRefs` then rebuilds the manifest list
+    * against the new head at a fresh snapshot id. The staged manifest
+    * avro is REUSED verbatim across attempts — its entries carry no
+    * explicit sequence_number, so they inherit the rebased list's
+    * (spec §Sequence Number Inheritance exists exactly for this). */
+  private final case class SnapshotRebase(
+      check: JsonNode => Unit,
+      buildRefs: (JsonNode, Long) => Seq[ManifestRef])
+
   private def commitManifestListSnapshot(base: String, prev: JsonNode,
                                          refs: Seq[ManifestRef],
                                          snapshotId: Long, id: String,
                                          operation: String,
-                                         summary: Map[String, String] = Map.empty): Long = {
+                                         summary: Map[String, String] = Map.empty,
+                                         rebase: Option[SnapshotRebase] = None): Long = {
     val metaDir = metadataDir(base)
-    val mlFile = TableIO.join(metaDir, s"snap-$snapshotId-$id.avro")
-    writeManifestList(mlFile, refs)
-    val root = prev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-    val committedAtMs = clock() // one instant per commit
-    root.put("last-sequence-number", snapshotId)
-    root.put("current-snapshot-id", snapshotId)
-    root.put("last-updated-ms", committedAtMs)
-    val snapNode = mapper.createObjectNode()
-    snapNode.put("snapshot-id", snapshotId)
-    // ancestry link for fastForward's publish check and cherryPick's
-    // added-files derivation
-    Option(prev.get("current-snapshot-id")).map(_.asLong())
-      .filter(_ > 0).foreach(p => snapNode.put("parent-snapshot-id", p))
-    snapNode.put("sequence-number", snapshotId)
-    snapNode.put("timestamp-ms", committedAtMs)
-    snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
-    val sm = snapNode.putObject("summary")
-    sm.put("operation", operation)
-    summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
-    snapNode.put("schema-id", root.get("current-schema-id").asInt())
-    root.withArray("snapshots").add(snapNode)
-    commitMetadataVersion(base, root)
-    snapshotId
+    var curPrev = prev
+    var curId = snapshotId
+    var curRefs = refs
+    var attempt = 0
+    while (true) {
+      val mlFile = TableIO.join(metaDir, s"snap-$curId-$id.avro")
+      writeManifestList(mlFile, curRefs)
+      val root = curPrev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      val committedAtMs = clock() // one instant per commit
+      root.put("last-sequence-number", curId)
+      root.put("current-snapshot-id", curId)
+      root.put("last-updated-ms", committedAtMs)
+      val snapNode = mapper.createObjectNode()
+      snapNode.put("snapshot-id", curId)
+      // ancestry link for fastForward's publish check and cherryPick's
+      // added-files derivation
+      Option(curPrev.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ > 0).foreach(p => snapNode.put("parent-snapshot-id", p))
+      snapNode.put("sequence-number", curId)
+      snapNode.put("timestamp-ms", committedAtMs)
+      snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
+      val sm = snapNode.putObject("summary")
+      sm.put("operation", operation)
+      summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
+      snapNode.put("schema-id", root.get("current-schema-id").asInt())
+      root.withArray("snapshots").add(snapNode)
+      try {
+        commitMetadataVersion(base, root)
+        return curId
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val rb = rebase.getOrElse(throw e)
+          if (attempt > 10) throw e
+          val head = readMeta(base)
+          // the staged files/manifests were shaped against prev's
+          // definition: a winner that changed schema or default spec
+          // invalidates them regardless of file overlap
+          if (icebergSchemaToSparkJson(prev) != icebergSchemaToSparkJson(head) ||
+              defaultSpecOf(prev) != defaultSpecOf(head))
+            throw new java.util.ConcurrentModificationException(
+              s"$operation on $base lost the commit race to a concurrent " +
+              "schema or partition-spec change — refusing to rebase", e)
+          rb.check(head) // throws on true conflicts
+          curPrev = head
+          curId = nextSnapshotId(head)
+          curRefs = rb.buildRefs(head, curId)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Tail of a delete commit: every current manifest carried + the new
-    * delete manifest. */
+    * delete manifest. `referencedRaw` (position deletes only) names the
+    * data files the delete rows target — with it, a lost version race
+    * REBASES onto the winner's head as long as every referenced file is
+    * still live there (a winner that rewrote one invalidates the
+    * recorded positions → refuse). Equality deletes pass None and
+    * refuse on any race: rebasing would raise their sequence number
+    * past the winner's files and delete rows it never saw. */
   private def commitDeleteSnapshot(base: String, prev: JsonNode,
                                    mFile: String, snapshotId: Long,
-                                   id: String): Long =
+                                   id: String,
+                                   referencedRaw: Option[Set[String]] = None): Long = {
+    def deleteRef(newId: Long) = ManifestRef(mFile, 1, newId, newId,
+      Option(prev.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+    val rebase = referencedRaw.map(refs => SnapshotRebase(
+      check = head => {
+        val live = snapshotLiveRaw(base, head)
+        if (!refs.subsetOf(live))
+          throw new java.util.ConcurrentModificationException(
+            s"position delete on $base lost the race to a commit that " +
+            "rewrote a referenced data file — the recorded positions " +
+            "no longer apply, refusing")
+      },
+      buildRefs = (head, newId) =>
+        currentManifests(base, head) :+ deleteRef(newId)))
     commitManifestListSnapshot(base, prev,
-      currentManifests(base, prev) :+ ManifestRef(mFile, 1, snapshotId,
-        snapshotId,
-        Option(prev.get("default-spec-id")).map(_.asInt()).getOrElse(0)),
-      snapshotId, id, "delete")
+      currentManifests(base, prev) :+ deleteRef(snapshotId),
+      snapshotId, id, "delete", rebase = rebase)
+  }
+
+  /** Raw (manifest-recorded) paths of every live data file at `head`'s
+    * current snapshot — driver-side manifest walk, metadata scale. */
+  private def snapshotLiveRaw(base: String, head: JsonNode): Set[String] = {
+    val raws = mutable.Set.empty[String]
+    manifestsOfSnapshot(base, head, head.get("current-snapshot-id").asLong())
+      .filter(_.content == 0).foreach { m =>
+        readAvro(m.file).foreach { e =>
+          if (e.get("status").toString.toInt != 2)
+            raws += e.get("data_file").asInstanceOf[GenericRecord]
+              .get("file_path").toString
+        }
+      }
+    raws.toSet
+  }
 
   /** Append; `partitionBy` must repeat the table's partition spec (the
     * fixture-writer contract — a real writer reads it from metadata). */
@@ -2736,15 +2927,7 @@ object IcebergInterop {
                                    seqOf: DataFileEntry => Long,
                                    partTypes: Seq[(String, DataType)],
                                    specFieldIds: Seq[Int] = Seq.empty): String = {
-    def parsePv(dt: DataType, s: String): Any =
-      if (s == null) null else dt match {
-        case IntegerType => Int.box(s.toInt)
-        case LongType => Long.box(s.toLong)
-        case DoubleType => Double.box(s.toDouble)
-        case StringType => s
-        case other => throw new IllegalArgumentException(
-          s"unsupported identity-partition type $other in manifest write")
-      }
+    def parsePv(dt: DataType, s: String): Any = parsePartitionValue(dt, s)
     val entrySchema = entrySchemaFor(partTypes, specFieldIds)
     val entries = files.map { f =>
       val rec = new GenericData.Record(entrySchema)
@@ -2882,15 +3065,7 @@ object IcebergInterop {
     // 1. per partition: read the group's LIVE rows (deletes folded) and
     // stage bin-packed replacements. Driver loop bounded by partitions,
     // same shape as the writer's fan-out.
-    def parsePv(dt: DataType, s: String): Any =
-      if (s == null) null else dt match {
-        case IntegerType => Int.box(s.toInt)
-        case LongType => Long.box(s.toLong)
-        case DoubleType => Double.box(s.toDouble)
-        case StringType => s
-        case other => throw new IllegalArgumentException(
-          s"unsupported identity-partition type $other in compaction")
-      }
+    def parsePv(dt: DataType, s: String): Any = parsePartitionValue(dt, s)
     val partTypes: Seq[(String, DataType)] =
       snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
     val entrySchema = entrySchemaFor(partTypes, snap.specFields.map(_.fieldId))
@@ -2956,10 +3131,51 @@ object IcebergInterop {
     // (by name), dead-weight delete files out (by reachability/sequence)
     val carried = carryManifestsWithout(spark, base, prev, rewrittenRaw,
       survivors)
+    // Losing the version race to a concurrent append is the NORMAL
+    // state of a maintained table — rebase like SnapshotProducer:
+    // re-carry the winner's head manifests (its appends ride along)
+    // and republish the same replacement files, refusing only on true
+    // conflicts (the rewritten inputs vanished, or new deletes landed
+    // that the replacement files would outrank and lose).
+    val prevSeq = prev.get("last-sequence-number").asLong()
+    val rebase = SnapshotRebase(
+      check = head => {
+        val headSnap = snapshot(spark, base,
+          Some(head.get("current-snapshot-id").asLong()))
+        val liveRaw = headSnap.files.map(_.rawPath).toSet
+        if (!rewrittenRaw.subsetOf(liveRaw))
+          throw new java.util.ConcurrentModificationException(
+            s"rewriteDataFiles on $base lost the race to a commit that " +
+            "removed or rewrote files this compaction also rewrites — " +
+            "conflicting writes, refusing")
+        if (headSnap.eqDeletes.exists(_.seq > prevSeq))
+          throw new java.util.ConcurrentModificationException(
+            s"rewriteDataFiles on $base raced a concurrent equality " +
+            "delete — the replacement files' higher sequence would " +
+            "outrank it and resurrect rows, refusing")
+        headSnap.deletes.filter(_.seq > prevSeq).foreach { d =>
+          val touched = spark.read.parquet(d.path).select("file_path")
+            .distinct().collect().map(_.getString(0)).toSet
+          if (touched.exists(rewrittenRaw.contains))
+            throw new java.util.ConcurrentModificationException(
+              s"rewriteDataFiles on $base raced a position delete " +
+              "referencing a rewritten file — its positions would be " +
+              "lost, refusing")
+        }
+      },
+      buildRefs = (head, newId) => {
+        val headSnap = snapshot(spark, base,
+          Some(head.get("current-snapshot-id").asLong()))
+        val headSurvivors =
+          headSnap.files.filterNot(f => rewrittenRaw.contains(f.rawPath))
+        carryManifestsWithout(spark, base, head, rewrittenRaw,
+          headSurvivors) :+
+          ManifestRef(mFile, 0, newId, newId, snap.defaultSpecId)
+      })
     commitManifestListSnapshot(base, prev,
       carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId,
         snap.defaultSpecId),
-      snapshotId, id, "replace")
+      snapshotId, id, "replace", rebase = Some(rebase))
   }
 
   /** The current snapshot's manifests with the `rewrittenRaw` data
@@ -3032,9 +3248,6 @@ object IcebergInterop {
     * shared-files hazard as with any zero-copy convert. */
   def convertFromDelta(spark: SparkSession, deltaBase: String,
                        dstBase: String): Long = {
-    val metaDir = metadataDir(dstBase)
-    require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
-      s"convert target is already an Iceberg table: $dstBase")
     val snap = DeltaInterop.snapshot(spark, deltaBase)
     require(snap.columnMappingMode == "none",
       s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
@@ -3043,19 +3256,54 @@ object IcebergInterop {
     require(!snap.files.exists(_.dv.exists(_.cardinality > 0)),
       s"CONVERT of $deltaBase: live deletion vectors — converting data " +
       "files alone would resurrect soft-deleted rows; REORG (purge) first")
-    require(snap.partitionColumns.isEmpty,
-      s"CONVERT of $deltaBase: partitioned Delta tables keep partition " +
-      s"columns (${snap.partitionColumns.mkString(",")}) out of their " +
-      "data files, which Iceberg's identity layout requires in them — " +
-      "rewrite to migrate")
     val schema = StructType(snap.schema.fields.map(f =>
       f.copy(metadata = new MetadataBuilder().build())))
+    // Partitioned Delta tables keep partition columns OUT of their data
+    // files. That's fine zero-copy: the spec's identity layout stores
+    // each file's partition tuple in the MANIFEST, and §Column
+    // Projection says a field id absent from a data file resolves from
+    // that tuple when an identity partition field exists for it — the
+    // same contract Iceberg's own Hive-table migration rides. We write
+    // the identity spec + per-file partition records here; the read
+    // path fills the columns per file.
+    val partTypes: Seq[(String, DataType)] =
+      snap.partitionColumns.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $c missing from the schema of $deltaBase"))
+        f.dataType match {
+          case IntegerType | LongType | DoubleType | StringType | DateType => ()
+          case other => throw new IllegalArgumentException(
+            s"CONVERT of $deltaBase: identity-partition type $other on " +
+            s"'$c' has no manifest partition-record mapping — rewrite to migrate")
+        }
+        c -> f.dataType
+      }
+    val fileSpecs = snap.files.map { f =>
+      (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
+        f.stats, f.partitionValues)
+    }
+    writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs)
+  }
+
+  /** Shared tail of every zero-copy convert INTO Iceberg (Delta tables,
+    * graft-log tables, plain parquet): build one manifest referencing
+    * `files` — (absolute path, optional Delta-style stats JSON,
+    * identity partition values) — plus the v1 metadata with a name
+    * mapping (the sources' parquet carries no field ids). */
+  private[graft] def writeConvertedIceberg(
+      spark: SparkSession, dstBase: String, schema: StructType,
+      partTypes: Seq[(String, DataType)],
+      files: Seq[(String, Option[String], Map[String, String])]): Long = {
+    val metaDir = metadataDir(dstBase)
+    require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
+      s"convert target is already an Iceberg table: $dstBase")
     val idOf = positionalIdOf(schema)
     // one add's stats JSON → (recordCount, bounds) in Iceberg's
     // single-value binary form; min+max land together or not at all
-    def decodeStats(a: DeltaInterop.AddFile)
+    def decodeStats(stats: Option[String])
         : (Option[Long], Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
-      val node = a.stats.flatMap(s =>
+      val node = stats.flatMap(s =>
         try Some(mapper.readTree(s)) catch { case _: Exception => None })
       val n = node.flatMap(j => Option(j.get("numRecords")).map(_.asLong()))
       val lo = Map.newBuilder[Int, Array[Byte]]
@@ -3092,11 +3340,31 @@ object IcebergInterop {
     io.mkdirs(metaDir)
     val id = UUID.randomUUID().toString
     val snapshotId = 1L
-    val entrySchema = entrySchemaFor(Seq.empty)
-    val entries = snap.files.map { f =>
-      val abs = PathCodec.absNorm(
-        DeltaInterop.resolveDataFile(deltaBase, f.path))
-      val (n, lo, hi) = decodeStats(f)
+    val entrySchema = entrySchemaFor(partTypes)
+    val entries = files.map { case (abs, stats, partitionValues) =>
+      val (n, lo0, hi0) = decodeStats(stats)
+      // an identity-partitioned file is single-valued on its partition
+      // columns — record that value as the file's bounds too, so
+      // readRange prunes on the partition column without the identity
+      // filter path (Delta's adds never carry stats for them)
+      val (lo, hi) = partTypes.foldLeft((lo0, hi0)) {
+        case ((l, h), (c, dt)) =>
+          val typed = Option(partitionValues.getOrElse(c, null)).flatMap {
+            s => try dt match {
+              case IntegerType => Some(Int.box(s.toInt))
+              case LongType => Some(Long.box(s.toLong))
+              case DoubleType => Some(Double.box(s.toDouble))
+              case StringType => Some(s)
+              case DateType => Some(java.sql.Date.valueOf(s))
+              case _ => None
+            } catch { case _: Exception => None }
+          }
+          typed.flatMap(v => SingleValue.encode(dt, v)) match {
+            case Some(b) =>
+              (l + (idOf(c).toInt -> b), h + (idOf(c).toInt -> b))
+            case None => (l, h)
+          }
+      }
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", 1); rec.put("snapshot_id", snapshotId)
       val dfSchema = entrySchema.getField("data_file").schema()
@@ -3110,6 +3378,13 @@ object IcebergInterop {
       if (lo.nonEmpty) {
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
+      }
+      if (partTypes.nonEmpty) {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        partTypes.foreach { case (c, dt) =>
+          pr.put(c, parsePartitionValue(dt, partitionValues.getOrElse(c, null)))
+        }
+        dfr.put("partition", pr)
       }
       rec.put("data_file", dfr)
       rec
@@ -3141,8 +3416,16 @@ object IcebergInterop {
     root.putArray("schemas").add(schemaNode(schema))
     root.put("default-spec-id", 0)
     val spec0 = root.putArray("partition-specs").addObject()
-    spec0.put("spec-id", 0); spec0.putArray("fields")
-    root.put("last-partition-id", 999)
+    spec0.put("spec-id", 0)
+    val specFieldsNode = spec0.putArray("fields")
+    partTypes.zipWithIndex.foreach { case ((c, _), i) =>
+      val fn = specFieldsNode.addObject()
+      fn.put("name", c)
+      fn.put("transform", "identity")
+      fn.put("source-id", idOf(c))
+      fn.put("field-id", 1000 + i)
+    }
+    root.put("last-partition-id", 999 + partTypes.size)
     root.put("default-sort-order-id", 0)
     val so = root.putArray("sort-orders").addObject()
     so.put("order-id", 0); so.putArray("fields")

@@ -35,6 +35,15 @@ object Readers {
     spark.read.schema(schema)
       .option("multiLine", multiLine.toString).json(path)
 
+  /** S2b: JSONL (one JSON document per line) — the 100 TB shape. A
+    * multiLine file is ONE unsplittable task however big it is; JSONL
+    * splits at newlines, so a large file fans out across the cluster
+    * like any text source (spark.sql.files.maxPartitionBytes decides
+    * the split size). Prefer this for corpora; `json(multiLine=true)`
+    * stays as the reference-parity reader for pretty-printed exports. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S3: XML with rowTag (reference: spark/jobs/xml_bronze_ingestion.py:27-30;
     * native in Spark 4.x — no external spark-xml package). Schema
     * INFERENCE scans the XML twice (sample pass + read pass) — faithful

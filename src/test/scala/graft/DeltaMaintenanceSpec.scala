@@ -305,14 +305,19 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(got.agg(sum("v")).head().getLong(0) == (0 until 9).map(_ * 7).sum)
   }
 
-  test("optimize refuses columnMapping id mode loudly") {
+  test("optimize compacts columnMapping id-mode tables by field id") {
+    // id-mode files resolve by parquet field id — physical names are
+    // free to diverge. The compaction reads by id, restamps ids into
+    // the replacement file, and values survive bit-exact.
     val base = tmp()
     val df = spark.range(6).select(col("id"), (col("id") + 1).as("v"))
     DeltaInterop.overwriteColumnMapped(df.repartition(2), base,
       Map("id" -> "col-1", "v" -> "col-2"), mode = "id")
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.optimize(spark, base)
-    }
-    assert(e.getMessage.contains("id"))
+    assert(DeltaInterop.optimize(spark, base).nonEmpty)
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.files.size == 1, s"expected one compacted file: ${snap.files}")
+    val got = DeltaInterop.read(spark, base).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 6L).map(i => (i, i + 1)))
   }
 }

@@ -363,6 +363,66 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("row tracking composes with id-mode column mapping") {
+    import spark.implicits._
+    val base = tmp()
+    // id-mode table with DIVERGED physical names — the id-mode point:
+    // resolution is by parquet field id, physical names are free. The
+    // materialized row-tracking columns carry no mapping id and resolve
+    // by their fixed physical names (per-field fallback).
+    DeltaInterop.overwriteColumnMapped(
+      spark.range(10).toDF("id").withColumn("v", lit(1L))
+        .coalesce(1).sortWithinPartitions("id"),
+      base, physicalFor = n => s"phys_$n", mode = "id")
+    DeltaInterop.enableRowTracking(spark, base)
+    DeltaDml.updateWhere(spark, base, col("id") < 4, Map("v" -> lit(7L)))
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") === 6)
+    DeltaDml.mergeUpsert(spark, base,
+      Seq((2L, 9L), (50L, 9L)).toDF("id", "v"), "id")
+    // OPTIMIZE materializes ids through an id-mode rewrite (the
+    // refusal that fell away): reads by field id, restamps ids into
+    // the replacement files
+    assert(DeltaInterop.optimize(spark, base,
+      smallFileBytes = 1L << 30).nonEmpty)
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.length == 10) // 10 - 1 deleted + 1 inserted
+    got.filter(_.getAs[Long]("id") < 50).foreach(r =>
+      assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id"),
+        s"row ${r.getAs[Long]("id")} lost its id on the id-mapped table"))
+    assert(got.filter(r => r.getAs[Long]("id") < 4 && r.getAs[Long]("id") != 2)
+      .forall(_.getAs[Long]("v") == 7L), "update lost on the id-mapped table")
+    assert(got.filter(_.getAs[Long]("id") == 2L)
+      .forall(_.getAs[Long]("v") == 9L))
+    assert(!got.exists(_.getAs[Long]("id") == 6L))
+    val ids = got.map(_.getAs[Long]("_row_id")).toSeq
+    assert(ids.distinct.length == ids.length)
+    // ZORDER also composes: full id-mode rewrite, ids preserved
+    assert(DeltaInterop.optimizeZorder(spark, base, Seq("v")).nonEmpty)
+    val z = DeltaInterop.readWithRowIds(spark, base)
+      .orderBy("id").collect()
+    assert(z.map(_.getAs[Long]("_row_id")).toSeq == ids,
+      "z-order rewrite moved row ids on the id-mapped table")
+  }
+
+  test("REORG purges DVs on an id-mode row-tracked table") {
+    import spark.implicits._
+    val base = tmp()
+    DeltaInterop.overwriteColumnMapped(
+      spark.range(8).toDF("id").withColumn("v", lit(1L))
+        .coalesce(1).sortWithinPartitions("id"),
+      base, physicalFor = n => s"c$n", mode = "id")
+    DeltaInterop.enableRowTracking(spark, base)
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") < 3)
+    assert(DeltaInterop.reorgPurge(spark, base).nonEmpty)
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.files.forall(_.dv.forall(_.cardinality == 0L)),
+      "REORG left live deletion vectors")
+    val got = DeltaInterop.readWithRowIds(spark, base).orderBy("id").collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq == (3L until 8L))
+    // survivors keep their original ids through the purge rewrite
+    got.foreach(r => assert(r.getAs[Long]("_row_id") == r.getAs[Long]("id")))
+  }
+
   test("enable refuses unsupported combinations and double-enable no-ops") {
     val base = tracked(5)
     val v = DeltaInterop.snapshot(spark, base).version

@@ -64,6 +64,44 @@ class GraftSqlSpec extends SparkSpec {
       .head().getDouble(0) == 10.0 + 22.0 + 30.0 + 90.0)
   }
 
+  test("MERGE schema evolution: new source columns land behind the opt-in") {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = freshBase("merge_evolve")
+    DeltaInterop.overwrite(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1), base)
+    GraftSql.registerDeltaTable(spark, "sql_merge_ev", base)
+    Seq((2L, 22.0, "eu"), (9L, 90.0, "us")).toDF("k", "v", "region")
+      .createOrReplaceTempView("sql_merge_ev_src")
+    val stmt =
+      """MERGE INTO sql_merge_ev t USING sql_merge_ev_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *"""
+    // without the opt-in the extra column refuses (a typo'd source
+    // column must not silently widen the table)
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark, stmt))
+    assert(e.getMessage.contains("exactly the table columns"))
+    spark.conf.set("spark.graft.delta.autoMerge", "true")
+    try {
+      GraftSql.sql(spark, stmt)
+      val got = spark.table("sql_merge_ev")
+        .select("k", "v", "region").as[(Long, Double, Option[String])]
+        .collect().sortBy(_._1).toSeq
+      // evolved: merged rows carry values, untouched old rows read NULL
+      assert(got == Seq((1L, 10.0, None), (2L, 22.0, Some("eu")),
+        (9L, 90.0, Some("us"))))
+      assert(DeltaInterop.snapshot(spark, base).schema.fieldNames.toSeq ==
+        Seq("k", "v", "region"))
+    } finally spark.conf.unset("spark.graft.delta.autoMerge")
+    // the API flag composes the same way
+    val base2 = freshBase("merge_evolve_api")
+    DeltaInterop.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), base2)
+    DeltaDml.mergeUpsertKeys(spark, base2,
+      Seq((1L, 5.0, 7L)).toDF("k", "v", "w"), Seq("k"),
+      evolveSchema = true)
+    assert(DeltaInterop.read(spark, base2).select("k", "v", "w")
+      .as[(Long, Double, Long)].collect().toSeq == Seq((1L, 5.0, 7L)))
+  }
+
   test("MERGE with a subquery source works (Spark parses, we dispatch)") {
     val base = freshBase("mergesub")
     GraftLog.overwriteClustered(
@@ -541,12 +579,29 @@ class GraftSqlSpec extends SparkSpec {
       "(SELECT kk FROM sql_updsub_src)")
     assert(spark.table("sql_updsub_i").filter(col("v") === -1.0)
       .select("k").as[Long].collect().sorted.toSeq == Seq(2L, 5L))
-    // EXISTS still refuses toward MERGE
+    // correlated EXISTS with a QUALIFIED outer reference lowers to the
+    // same distributed semi-join mark (inner conjuncts stay
+    // subquery-side)
+    GraftSql.sql(spark, "UPDATE sql_updsub_l SET v = -2 WHERE EXISTS " +
+      "(SELECT 1 FROM sql_updsub_src s " +
+      "WHERE s.kk = sql_updsub_l.k AND s.kk < 5)")
+    assert(spark.table("sql_updsub_l").filter(col("v") === -2.0)
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+    // an UNQUALIFIED outer reference is ambiguous (it could name an
+    // inner column) → refuses toward MERGE rather than guessing
     val u = intercept[IllegalArgumentException] {
       GraftSql.sql(spark, "UPDATE sql_updsub_l SET v = 0 WHERE EXISTS " +
         "(SELECT 1 FROM sql_updsub_src WHERE kk = k)")
     }
-    assert(u.getMessage.contains("MERGE INTO"))
+    assert(u.getMessage.contains("MERGE"))
+    // a non-equality conjunct touching the target row is a real join
+    // condition — refuses
+    val u2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "UPDATE sql_updsub_l SET v = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM sql_updsub_src s WHERE s.kk = sql_updsub_l.k " +
+        "AND s.kk > sql_updsub_l.g)")
+    }
+    assert(u2.getMessage.contains("join condition"))
   }
 
   test("ALTER TABLE ADD COLUMNS evolves all three formats; old rows read NULL") {

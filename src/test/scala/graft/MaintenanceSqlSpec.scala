@@ -52,16 +52,56 @@ class MaintenanceSqlSpec extends SparkSpec {
       s"CONVERT maint_conv_d TO ICEBERG AS maint_conv_i LOCATION '$ice2'")
     assert(spark.sql("SELECT count(*) AS n FROM maint_conv_i")
       .head().getLong(0) == 100L)
-    // same-format and graft-log sources refuse
+    // same-format sources refuse
     val e1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
       s"CONVERT maint_conv_d TO DELTA AS x LOCATION '${freshBase("x1")}'"))
     assert(e1.getMessage.contains("CLONE"))
+  }
+
+  test("CONVERT from a graft-log table: purge composes, both targets exact") {
+    // vectored-delete state has no zero-copy translation — the dispatch
+    // folds the DVs into clean files (purge rewrites ONLY the
+    // DV-referenced files), then the live files convert by metadata
+    // alone and the tracked min/max carry as stats
     val log = freshBase("conv_log")
-    GraftLog.overwrite((0L until 5L).map(k => (k, k)).toDF("k", "v"), log)
+    // clustered write so the log TRACKS per-file min/max on k (plain
+    // overwrite records none) — the convert must carry them
+    GraftLog.overwriteClustered(
+      (0L until 40L).map(k => (k, k * 2)).toDF("k", "v"), log,
+      clusterCols = Seq("k"), nFiles = 4)
+    GraftLog.deleteVectored(spark, log, col("k") < 10)
     GraftSql.registerTable(spark, "maint_conv_log", log)
-    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
-      s"CONVERT maint_conv_log TO DELTA AS x LOCATION '${freshBase("x2")}'"))
-    assert(e2.getMessage.contains("graft-log"))
+    val dl = freshBase("conv_log_delta")
+    GraftSql.sql(spark,
+      s"CONVERT maint_conv_log TO DELTA AS maint_conv_ld LOCATION '$dl'")
+    assert(spark.sql("SELECT sum(v) AS s FROM maint_conv_ld")
+      .head().getLong(0) == (10L until 40L).map(_ * 2).sum)
+    // zero copy after the purge: every Delta add IS a graft-log live file
+    val liveAbs = GraftLog.snapshot(log).files
+      .map(p => graft.sources.PathCodec.absNorm(s"$log/$p")).toSet
+    graft.sources.DeltaInterop.snapshot(spark, dl).files.foreach { f =>
+      assert(liveAbs.contains(graft.sources.PathCodec.absNorm(
+        graft.sources.DeltaInterop.resolveDataFile(dl, f.path))),
+        s"converted add ${f.path} is not a graft-log live file")
+    }
+    // stats carried: a narrow range on k opens a strict file subset
+    val narrow = graft.sources.DeltaInterop.readRange(spark, dl, "k",
+      Some(35L), None)
+    assert(narrow.count() == 5)
+    assert(narrow.inputFiles.length <
+      graft.sources.DeltaInterop.read(spark, dl).inputFiles.length,
+      "graft-log stats did not carry into add.stats")
+    // the Iceberg direction off the SAME source
+    val ice = freshBase("conv_log_ice")
+    GraftSql.sql(spark,
+      s"CONVERT maint_conv_log TO ICEBERG AS maint_conv_li LOCATION '$ice'")
+    assert(spark.sql("SELECT sum(v) AS s FROM maint_conv_li")
+      .head().getLong(0) == (10L until 40L).map(_ * 2).sum)
+    // the source stays live and independently writable
+    GraftLog.append((100L until 103L).map(k => (k, k)).toDF("k", "v"), log)
+    assert(GraftLog.read(spark, log).count() == 33)
+    assert(spark.sql("SELECT count(*) AS n FROM maint_conv_ld")
+      .head().getLong(0) == 30L, "source DML leaked into the convert")
   }
 
   test("RESTORE TABLE returns a graft-log table to a pre-DML version") {

@@ -85,13 +85,18 @@ class ConvertToDeltaSpec extends SparkSpec {
     assert(narrow.count() == 11)
     assert(narrow.inputFiles.length <= 2,
       s"bounds did not prune: ${narrow.inputFiles.length} files read")
-    // the convert is a real Iceberg table: appends work, source intact
+    // the convert is a real Iceberg table: appends work, source intact.
+    // The post-append assert must RESOLVE COLUMNS, not just count():
+    // count() reads row-group metadata only, which once hid an append
+    // dropping schema.name-mapping.default (making id-less converted
+    // files unreadable by any column-resolving scan).
     IcebergInterop.append(spark.range(1000, 1010).toDF("id").coalesce(1), dst)
-    assert(IcebergInterop.read(spark, dst).count() == 1010)
+    assert(IcebergInterop.read(spark, dst).agg(sum("id")).head().getLong(0) ==
+      (0L until 1010L).sum)
     assert(DeltaInterop.read(spark, dl).count() == 1000)
   }
 
-  test("convertFromDelta refuses DVs, column mapping and partitions") {
+  test("convertFromDelta refuses DVs and column mapping") {
     val dl = tmp() + "/d"
     DeltaInterop.overwrite(
       spark.range(20).toDF("id").repartitionByRange(2, col("id")), dl)
@@ -105,15 +110,78 @@ class ConvertToDeltaSpec extends SparkSpec {
     val dst = tmp() + "/i2"
     IcebergInterop.convertFromDelta(spark, dl, dst)
     assert(IcebergInterop.read(spark, dst).count() == 15)
+  }
 
-    val part = tmp() + "/p"
+  test("partitioned convertFromDelta: zero copy, column projection, pruning") {
+    // the common migration shape (the reference's own silver table is
+    // partitioned): Delta keeps partition columns OUT of the data
+    // files — the convert records identity partition tuples in the
+    // manifest and the read path projects the column per file (spec
+    // §Column Projection), so the files are NOT rewritten
+    val part = tmp() + "/p"; val dst = tmp() + "/i"
     DeltaInterop.overwrite(
       spark.range(30).select(col("id"), (col("id") % 3).cast("int").as("b")),
       part, partitionBy = Seq("b"))
-    val e2 = intercept[IllegalArgumentException] {
-      IcebergInterop.convertFromDelta(spark, part, tmp() + "/i")
-    }
-    assert(e2.getMessage.contains("partition"))
+    val srcFiles = DeltaInterop.snapshot(spark, part).files
+      .map(f => PathCodec.absNorm(DeltaInterop.resolveDataFile(part, f.path)))
+      .toSet
+    IcebergInterop.convertFromDelta(spark, part, dst)
+    // zero copy: every manifest entry IS a Delta data file, none rewritten
+    val ice = IcebergInterop.snapshot(spark, dst)
+    assert(ice.partitionColumns == Seq("b"))
+    ice.files.foreach(f => assert(srcFiles.contains(PathCodec.absNorm(f.path)),
+      s"manifest entry ${f.path} is not a source file — the convert copied"))
+    // value-exact INCLUDING the projected partition column
+    val got = IcebergInterop.read(spark, dst)
+      .select("id", "b").as[(Long, Int)].collect().toSet
+    assert(got == (0L until 30L).map(i => (i, (i % 3).toInt)).toSet)
+    // partition pruning works cross-format: one partition's files only
+    val one = IcebergInterop.read(spark, dst,
+      partitionFilters = Map("b" -> "2"))
+    assert(one.select("id").as[Long].collect().toSet ==
+      (0L until 30L).filter(_ % 3 == 2).toSet)
+    assert(one.inputFiles.length < IcebergInterop.read(spark, dst)
+      .inputFiles.length, "partition filter did not prune files")
+    // typed pruning through readEq too
+    assert(IcebergInterop.readEq(spark, dst, Map("b" -> 2)).count() == 10)
+    // the convert is a real partitioned Iceberg table: appends inherit
+    // the spec; mixed reads (converted + native files) stay exact
+    IcebergInterop.append(
+      spark.range(30, 33).select(col("id"), lit(1).as("b")).coalesce(1), dst)
+    assert(IcebergInterop.readEq(spark, dst, Map("b" -> 1))
+      .select("id").as[Long].collect().toSet ==
+      ((0L until 30L).filter(_ % 3 == 1) ++ (30L until 33L)).toSet)
+    // source stays intact and independently writable
+    assert(DeltaInterop.read(spark, part).count() == 30)
+    DeltaInterop.append(spark.range(100, 102)
+      .select(col("id"), lit(0).as("b")).coalesce(1), part,
+      partitionBy = Seq("b"))
+    assert(DeltaInterop.read(spark, part).count() == 32)
+    assert(IcebergInterop.read(spark, dst).count() == 33,
+      "source DML leaked into the converted table")
+  }
+
+  test("date-partitioned convertFromDelta (the reference's silver shape)") {
+    val part = tmp() + "/p"; val dst = tmp() + "/i"
+    DeltaInterop.overwrite(
+      spark.range(20).select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 2).cast("int")).as("ingestion_date")),
+      part, partitionBy = Seq("ingestion_date"))
+    IcebergInterop.convertFromDelta(spark, part, dst)
+    val got = IcebergInterop.read(spark, dst)
+    assert(got.count() == 20)
+    // the projected date column reads back value-exact
+    val dates = got.select("ingestion_date").distinct()
+      .as[java.sql.Date].collect().map(_.toString).toSet
+    assert(dates == Set("2024-01-01", "2024-01-02"))
+    // typed identity pruning on a date value
+    val one = IcebergInterop.readEq(spark, dst,
+      Map("ingestion_date" -> java.sql.Date.valueOf("2024-01-02")))
+    assert(one.select("id").as[Long].collect().toSet ==
+      (0L until 20L).filter(_ % 2 == 1).toSet)
+    assert(one.inputFiles.length < got.inputFiles.length,
+      "date identity filter did not prune files")
   }
 
   test("merge-on-read deletes and transformed specs refuse") {

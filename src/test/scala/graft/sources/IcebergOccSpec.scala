@@ -90,6 +90,77 @@ class IcebergOccSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 10)
   }
 
+  test("rewriteDataFiles racing a disjoint append rebases — both land") {
+    // concurrent maintenance + ingest is the NORMAL state of a large
+    // table: the compaction loses the metadata version race, re-carries
+    // the winner's head manifests (the append rides along) and
+    // republishes the SAME replacement files at the next version —
+    // Iceberg's SnapshotProducer retry contract
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(6).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(6, 12).toDF("id").coalesce(1), base)
+    withInjector(() =>
+      IcebergInterop.append(
+        spark.range(100, 105).toDF("id").coalesce(1), base)) {
+      IcebergInterop.rewriteDataFiles(spark, base)
+    }
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 17)
+    assert(got.agg(sum("id")).head().getLong(0) ==
+      (0L until 12L).sum + (100L until 105L).sum)
+    // the compaction really landed: the two small inputs collapsed into
+    // one replacement, and the winner's appended file survives beside it
+    val files = IcebergInterop.snapshot(spark, base).files
+    assert(files.size == 2, s"expected replacement + winner, got $files")
+    // all three commits are real snapshots: base(2) + winner + rebased
+    assert(IcebergInterop.snapshotsTable(spark, base).count() == 4)
+  }
+
+  test("rewriteDataFiles racing a conflicting rewrite refuses") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(6).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(6, 12).toDF("id").coalesce(1), base)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withInjector(() => IcebergInterop.rewriteDataFiles(spark, base)) {
+        IcebergInterop.rewriteDataFiles(spark, base)
+      }
+    }
+    assert(e.getMessage.contains("conflicting") ||
+      e.getMessage.contains("removed or rewrote"))
+    // the winner's compaction is the table state, value-intact
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 12)
+    assert(IcebergInterop.snapshot(spark, base).files.size == 1)
+  }
+
+  test("position delete racing a disjoint append rebases — both land") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
+    withInjector(() =>
+      IcebergInterop.append(
+        spark.range(100, 105).toDF("id").coalesce(1), base)) {
+      IcebergInterop.deletePositionsWhere(spark, base, col("id") < 4)
+    }
+    val got = IcebergInterop.read(spark, base)
+    assert(got.count() == 11)
+    assert(got.agg(sum("id")).head().getLong(0) ==
+      (4L until 10L).sum + (100L until 105L).sum)
+  }
+
+  test("position delete racing a rewrite of its target refuses") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(6).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(6, 12).toDF("id").coalesce(1), base)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withInjector(() => IcebergInterop.rewriteDataFiles(spark, base)) {
+        IcebergInterop.deletePositionsWhere(spark, base, col("id") < 4)
+      }
+    }
+    assert(e.getMessage.contains("referenced data file"))
+    // the winner's compaction is intact; no rows vanished
+    assert(IcebergInterop.read(spark, base).count() == 12)
+  }
+
   test("overwrite losing the race refuses (would erase the winner)") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
