@@ -1165,13 +1165,17 @@ object GraftLog {
                      sourceKeys: DataFrame, key: String,
                      set: Map[String, Column], negated: Boolean = false,
                      extra: Option[Column] = None,
-                     maxConflictRetries: Int = 5): Long = {
+                     maxConflictRetries: Int = 5,
+                     // NOT EXISTS semantics: a NULL target key has no
+                     // match, so NOT EXISTS is TRUE and the row updates
+                     // (NOT IN leaves it — UNKNOWN); flip per statement
+                     includeNullKeys: Boolean = false): Long = {
     val flag = sourceKeys.select(col(key)).distinct()
       .withColumn("__in_sub", lit(true)).persist()
     try {
       val member =
         if (negated) coalesce(col("__in_sub"), lit(false)) === lit(false) &&
-          col(key).isNotNull
+          (if (includeNullKeys) lit(true) else col(key).isNotNull)
         else coalesce(col("__in_sub"), lit(false))
       val upd = extra.map(e => member && coalesce(e, lit(false)))
         .getOrElse(member)

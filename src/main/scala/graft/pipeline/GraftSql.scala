@@ -1580,7 +1580,7 @@ object GraftSql {
     // classifier — Delta deletion vectors, graft-log DVs, Iceberg
     // position deletes — never a collected driver list (billions of
     // keys at 100 TB).
-    import org.apache.spark.sql.catalyst.expressions.{InSubquery, Not}
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, Not}
     val subqueryRouted: Option[Long] = d.condition match {
       case InSubquery(Seq(a: UnresolvedAttribute), lq) =>
         Some(deleteBySubquery(spark, h, a.nameParts.last, lq.plan,
@@ -1588,6 +1588,29 @@ object GraftSql {
       case Not(InSubquery(Seq(a: UnresolvedAttribute), lq)) =>
         Some(deleteBySubquery(spark, h, a.nameParts.last, lq.plan,
           negated = true))
+      case e: Exists =>
+        // correlated EXISTS lowers to the SAME membership semi join the
+        // IN route runs (single-equality correlation ≡ IN; identical
+        // NULL semantics) — see lowerCorrelatedExists
+        val (key, subPlan) = lowerCorrelatedExists(
+          name, aliasOf(d.table).toSet, e.plan)
+        Some(deleteBySubquery(spark, h, key, subPlan, negated = false))
+      case Not(e: Exists) =>
+        // NOT EXISTS anti-join — NOT the same as NOT IN: a NULL target
+        // key has no match, so NOT EXISTS is TRUE and the row DELETES
+        // (keepNullKeys=false), and inner NULLs are inert (an equality
+        // anti join never matches them) — no three-valued refusal
+        val (key, subPlan) = lowerCorrelatedExists(
+          name, aliasOf(d.table).toSet, e.plan)
+        val sub = subqueryFrame(spark, key, subPlan)
+        Some(h match {
+          case DeltaTable(b) => graft.sources.DeltaDml
+            .deleteVectoredNotInSource(spark, b, sub, Seq(key))
+          case LogTable(b) =>
+            GraftLog.deleteVectoredNotInSource(spark, b, sub, key)
+          case IceTable(b) => graft.sources.IcebergInterop
+            .deletePositionsNotInSource(spark, b, sub, key)
+        })
       case _ => None
     }
     val v = subqueryRouted.getOrElse {
@@ -1740,21 +1763,29 @@ object GraftSql {
       case _: InSubquery | _: Exists => true
       case _ => false
     })
-    val subqueryRoute: Option[(String, LogicalPlan, Boolean)] =
+    // membership mode: IN / NOT IN carry SQL's three-valued contracts
+    // (subquery-NULL refusal, NULL target keys untouched); NOT EXISTS
+    // is the anti join proper — NULL target keys DO update, and inner
+    // NULLs are inert
+    val subqueryRoute: Option[(String, LogicalPlan, String)] =
       subConjs match {
         case Seq() => None
         case Seq(InSubquery(Seq(a: UnresolvedAttribute), lq)) =>
-          Some((a.nameParts.last, lq.plan, false))
+          Some((a.nameParts.last, lq.plan, "in"))
         case Seq(Not(InSubquery(Seq(a: UnresolvedAttribute), lq))) =>
-          Some((a.nameParts.last, lq.plan, true))
+          Some((a.nameParts.last, lq.plan, "notin"))
         case Seq(e: Exists) =>
           val (key, subPlan) = lowerCorrelatedExists(
             name, aliasOf(u.table).toSet, e.plan)
-          Some((key, subPlan, false))
+          Some((key, subPlan, "in"))
+        case Seq(Not(e: Exists)) =>
+          val (key, subPlan) = lowerCorrelatedExists(
+            name, aliasOf(u.table).toSet, e.plan)
+          Some((key, subPlan, "notexists"))
         case _ => throw new IllegalArgumentException(
           "UPDATE supports at most ONE `<col> [NOT] IN (SELECT ...)` or " +
-          "correlated `EXISTS (SELECT ...)` conjunct — express richer " +
-          "conditions as MERGE INTO ... USING (SELECT ...) WHEN " +
+          "correlated `[NOT] EXISTS (SELECT ...)` conjunct — express " +
+          "richer conditions as MERGE INTO ... USING (SELECT ...) WHEN " +
           "MATCHED THEN UPDATE")
       }
     // A multi-part SET target is accepted ONLY as <table-or-alias>.<col>:
@@ -1781,20 +1812,25 @@ object GraftSql {
         target -> GraftBridge.column(unqualify(a.value))
       }.toMap
     val v = subqueryRoute match {
-      case Some((key, subPlan, negated)) =>
+      case Some((key, subPlan, mode)) =>
+        val negated = mode != "in"
+        val includeNullKeys = mode == "notexists"
         val extra = scalarConjs
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
           .map(c => GraftBridge.column(unqualify(c)))
         val sub = subqueryFrame(spark, key, subPlan)
         def route(src: DataFrame): Long = h match {
           case DeltaTable(b) => graft.sources.DeltaDml.updateInSource(
-            spark, b, src, key, set, negated, extra)
+            spark, b, src, key, set, negated, extra,
+            includeNullKeys = includeNullKeys)
           case IceTable(b) => graft.sources.IcebergInterop.updateInSource(
-            spark, b, src, key, set, negated, extra)
+            spark, b, src, key, set, negated, extra,
+            includeNullKeys = includeNullKeys)
           case LogTable(b) => GraftLog.updateInSource(
-            spark, b, src, key, set, negated, extra)
+            spark, b, src, key, set, negated, extra,
+            includeNullKeys = includeNullKeys)
         }
-        if (negated) {
+        if (mode == "notin") {
           // subquery-NULL three-valued edge, same contract as DELETE
           val cached = sub.persist()
           try { requireNoNullKeys(cached, key, "UPDATE"); route(cached) }

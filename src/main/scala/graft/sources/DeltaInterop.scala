@@ -1283,7 +1283,8 @@ object DeltaInterop {
   def overwriteColumnMapped(df: DataFrame, base: String,
                             physicalFor: String => String,
                             partitionBy: Seq[String] = Seq.empty,
-                            mode: String = "name"): Long = {
+                            mode: String = "name",
+                            extraConfig: Map[String, String] = Map.empty): Long = {
     require(mode == "name" || mode == "id", s"columnMapping mode $mode")
     require(currentVersion(base).isEmpty,
       s"column-mapped fixture writer only creates tables ($base exists)")
@@ -1312,7 +1313,8 @@ object DeltaInterop {
     })
     val cfg = Map(
       "delta.columnMapping.mode" -> mode,
-      "delta.columnMapping.maxColumnId" -> df.schema.size.toString)
+      "delta.columnMapping.maxColumnId" -> df.schema.size.toString) ++
+      extraConfig
     val proto =
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
     writeCommit(base, 0L,

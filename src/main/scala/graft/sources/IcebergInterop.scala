@@ -2353,11 +2353,23 @@ object IcebergInterop {
       updates.select(keys.map(col): _*), keys, snapshotId, id)
     val dataM = stageDataManifest(updates, base, snap.partitionColumns,
       snapshotId, id, schemaIdOf(snap.schema), snap.specFields.map(_.fieldId))
+    // A lost race REBASES and stays SERIALIZABLE-equivalent by the
+    // upsert's own keyed semantics: the rebased equality delete's
+    // higher sequence retires ANY older row with an update key —
+    // including rows a concurrent winner appended or merged — and the
+    // update row replaces it, exactly the serial append-then-merge
+    // outcome. No file is rewritten, so there is no liveness conflict
+    // to check beyond the generic schema/spec guard.
+    def refsAt(sid: Long) = Seq(
+      ManifestRef(delM, 1, sid, sid, snap.defaultSpecId),
+      ManifestRef(dataM, 0, sid, sid, snap.defaultSpecId))
     commitManifestListSnapshot(base, prev,
-      currentManifests(base, prev) ++ Seq(
-        ManifestRef(delM, 1, snapshotId, snapshotId, snap.defaultSpecId),
-        ManifestRef(dataM, 0, snapshotId, snapshotId, snap.defaultSpecId)),
-      snapshotId, id, "overwrite")
+      currentManifests(base, prev) ++ refsAt(snapshotId),
+      snapshotId, id, "overwrite",
+      rebase = Some(SnapshotRebase(
+        check = _ => (),
+        buildRefs = (head, newId) =>
+          currentManifests(base, head) ++ refsAt(newId))))
   }
 
   /** Any nondeterministic expression in the ANALYZED plan? (Unresolved
@@ -2400,14 +2412,18 @@ object IcebergInterop {
                      sourceKeys: DataFrame, key: String,
                      set: Map[String, org.apache.spark.sql.Column],
                      negated: Boolean = false,
-                     extra: Option[org.apache.spark.sql.Column] = None): Long = {
+                     extra: Option[org.apache.spark.sql.Column] = None,
+                     // NOT EXISTS semantics: a NULL target key has no
+                     // match, so NOT EXISTS is TRUE and the row updates
+                     // (NOT IN leaves it — UNKNOWN); flip per statement
+                     includeNullKeys: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
     val flag = sourceKeys.select(col(key)).distinct()
       .withColumn("__in_sub", lit(true)).persist()
     try {
       val member =
         if (negated) coalesce(col("__in_sub"), lit(false)) === lit(false) &&
-          col(key).isNotNull
+          (if (includeNullKeys) lit(true) else col(key).isNotNull)
         else coalesce(col("__in_sub"), lit(false))
       val upd = extra.map(e => member && coalesce(e, lit(false)))
         .getOrElse(member)
@@ -2490,12 +2506,54 @@ object IcebergInterop {
     val id = UUID.randomUUID().toString
     val dataM = stageDataManifest(updated, base, snap.partitionColumns,
       snapshotId, id, schemaIdOf(snap.schema), snap.specFields.map(_.fieldId))
+    val touchedRaw = touched.map(_.rawPath).toSet
     val carried = carryManifestsWithout(spark, base, prev,
-      touched.map(_.rawPath).toSet, survivors)
+      touchedRaw, survivors)
+    // Losing the version race rebases at SNAPSHOT isolation (Iceberg's
+    // write.update.isolation-level=snapshot): a concurrent disjoint
+    // append/merge commutes — its rows were not re-evaluated against
+    // this predicate, which snapshot isolation permits — while true
+    // conflicts refuse: the rewritten inputs vanished (a winner
+    // rewrote/removed them), a newer equality delete the replacement
+    // files would outrank, or a newer position delete aimed at a
+    // rewritten file whose positions would be lost.
+    val prevSeq = prev.get("last-sequence-number").asLong()
+    val rebase = SnapshotRebase(
+      check = head => {
+        val headSnap = snapshot(spark, base,
+          Some(head.get("current-snapshot-id").asLong()))
+        if (!touchedRaw.subsetOf(headSnap.files.map(_.rawPath).toSet))
+          throw new java.util.ConcurrentModificationException(
+            s"updateWhere on $base lost the race to a commit that " +
+            "removed or rewrote files this update also rewrites — " +
+            "conflicting writes, refusing")
+        if (headSnap.eqDeletes.exists(_.seq > prevSeq))
+          throw new java.util.ConcurrentModificationException(
+            s"updateWhere on $base raced a concurrent equality delete — " +
+            "the rewritten files' higher sequence would outrank it and " +
+            "resurrect rows, refusing")
+        headSnap.deletes.filter(_.seq > prevSeq).foreach { d =>
+          val refs = spark.read.parquet(d.path).select("file_path")
+            .distinct().collect().map(_.getString(0)).toSet
+          if (refs.exists(touchedRaw.contains))
+            throw new java.util.ConcurrentModificationException(
+              s"updateWhere on $base raced a position delete referencing " +
+              "a rewritten file — its positions would be lost, refusing")
+        }
+      },
+      buildRefs = (head, newId) => {
+        val headSnap = snapshot(spark, base,
+          Some(head.get("current-snapshot-id").asLong()))
+        val headSurvivors =
+          headSnap.files.filterNot(f => touchedRaw.contains(f.rawPath))
+        carryManifestsWithout(spark, base, head, touchedRaw,
+          headSurvivors) :+
+          ManifestRef(dataM, 0, newId, newId, snap.defaultSpecId)
+      })
     commitManifestListSnapshot(base, prev,
       carried :+ ManifestRef(dataM, 0, snapshotId, snapshotId,
         snap.defaultSpecId),
-      snapshotId, id, "overwrite")
+      snapshotId, id, "overwrite", rebase = Some(rebase))
   }
 
   /** Latest streaming batch id recorded for `appId` in snapshot

@@ -602,6 +602,24 @@ class GraftSqlSpec extends SparkSpec {
         "AND s.kk > sql_updsub_l.g)")
     }
     assert(u2.getMessage.contains("join condition"))
+    // DELETE WHERE EXISTS takes the same lowering (semi-join DV delete)
+    GraftSql.sql(spark, "DELETE FROM sql_updsub_l WHERE EXISTS " +
+      "(SELECT 1 FROM sql_updsub_src s " +
+      "WHERE s.kk = sql_updsub_l.k AND s.kk >= 5)")
+    assert(spark.table("sql_updsub_l").select("k").as[Long]
+      .collect().sorted.toSeq == (0L until 10L).filterNot(_ == 5L))
+    // NOT EXISTS is the anti join PROPER, not NOT IN: the NULL-key row
+    // has no match, so NOT EXISTS is TRUE and the row UPDATES — the
+    // NOT IN statement above left it untouched (UNKNOWN)
+    GraftSql.sql(spark, "UPDATE sql_updsub_dn SET v = -9 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sql_updsub_src s WHERE s.kk = sql_updsub_dn.k)")
+    assert(spark.table("sql_updsub_dn").select("v").as[Double]
+      .collect().sorted.toSeq == Seq(-9.0, -9.0, 5.0))
+    // and DELETE WHERE NOT EXISTS deletes every unmatched row
+    GraftSql.sql(spark, "DELETE FROM sql_updsub_l WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sql_updsub_src s WHERE s.kk = sql_updsub_l.k)")
+    assert(spark.table("sql_updsub_l").select("k").as[Long]
+      .collect().toSeq == Seq(2L))
   }
 
   test("ALTER TABLE ADD COLUMNS evolves all three formats; old rows read NULL") {

@@ -26,16 +26,30 @@ class RowTrackingFuzzSpec extends SparkSpec {
     d.deleteOnExit(); d.getPath
   }
 
-  private def runSequence(seed: Int, nOps: Int): Unit = {
+  /** `mapped`: "none" (plain), "name" (logical↔physical names), or
+    * "id" (resolution by parquet field id — DIVERGED physical names,
+    * the Uniform/converted-table shape). Same op set, same model, same
+    * invariants in every mode. */
+  private def runSequence(seed: Int, nOps: Int,
+                          mapped: String = "none"): Unit = {
     val rnd = new scala.util.Random(seed)
     val base = tmp()
     var nextKey = 100L
     // CDF on: every DML step also stages change rows, compounding the
     // coverage (cdc staging must never disturb id materialization)
-    DeltaInterop.overwrite(
-      spark.range(20).toDF("id").withColumn("v", lit(1L))
-        .coalesce(1).sortWithinPartitions("id"), base,
-      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val cdf = Map("delta.enableChangeDataFeed" -> "true")
+    val seedDf = spark.range(20).toDF("id").withColumn("v", lit(1L))
+      .coalesce(1).sortWithinPartitions("id")
+    mapped match {
+      case "none" =>
+        DeltaInterop.overwrite(seedDf, base, configuration = cdf)
+      case "name" =>
+        DeltaInterop.overwrite(seedDf, base, configuration = cdf)
+        DeltaInterop.enableColumnMapping(spark, base)
+      case "id" =>
+        DeltaInterop.overwriteColumnMapped(seedDf, base,
+          physicalFor = n => s"phys_$n", mode = "id", extraConfig = cdf)
+    }
     DeltaInterop.enableRowTracking(spark, base)
 
     // key → recorded row id; everSeen = every id ever allocated to a
@@ -128,7 +142,15 @@ class RowTrackingFuzzSpec extends SparkSpec {
 
   test("seeded row-tracking sequences keep every id stable and unique") {
     runSequence(seed = 42, nOps = 16)
-    runSequence(seed = 7, nOps = 16)
+    runSequence(seed = 7, nOps = 16, mapped = "name")
     runSequence(seed = 2026, nOps = 24)
+  }
+
+  test("id-mode mapped sequences: field-id resolution end to end") {
+    // the same op soup over a table whose physical names DIVERGE from
+    // the logical schema — every read resolves by parquet field id and
+    // every rewrite must restamp ids, or values silently NULL
+    runSequence(seed = 11, nOps = 16, mapped = "id")
+    runSequence(seed = 300, nOps = 20, mapped = "id")
   }
 }

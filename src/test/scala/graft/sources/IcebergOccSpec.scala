@@ -161,6 +161,75 @@ class IcebergOccSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 12)
   }
 
+  test("equality-delete merge racing an append rebases serializably") {
+    // merge-on-read upserts are keyed: the rebased equality delete's
+    // higher sequence retires even rows the WINNER appended under a
+    // merge key, and the merge row replaces them — exactly the serial
+    // append-then-merge outcome
+    val base = tmp()
+    IcebergInterop.overwrite(
+      spark.range(5).select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(1), base)
+    withInjector(() =>
+      IcebergInterop.append(
+        spark.createDataFrame(Seq((2L, 999L), (100L, 1000L)))
+          .toDF("id", "v").coalesce(1), base)) {
+      IcebergInterop.mergeUpsert(spark, base,
+        spark.createDataFrame(Seq((2L, -2L), (50L, -50L))).toDF("id", "v"),
+        Seq("id"))
+    }
+    val got = IcebergInterop.read(spark, base)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq.sorted
+    // winner's disjoint row (100) lands; winner's id=2 row is RETIRED
+    // by the rebased merge (serial order: append, then merge)
+    assert(got == Seq((0L, 0L), (1L, 10L), (2L, -2L), (3L, 30L),
+      (4L, 40L), (50L, -50L), (100L, 1000L)), got.toString)
+  }
+
+  test("copy-on-write UPDATE racing an append rebases at snapshot isolation") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      spark.range(6).select(col("id"), (col("id") * 10).as("v"))
+        .coalesce(1), base)
+    withInjector(() =>
+      IcebergInterop.append(
+        spark.createDataFrame(Seq((1L, 777L))).toDF("id", "v")
+          .coalesce(1), base)) {
+      IcebergInterop.updateWhere(spark, base, col("id") < 3,
+        Map("v" -> lit(-1L)))
+    }
+    val got = IcebergInterop.read(spark, base)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq.sorted
+    // snapshot isolation: the update's census ran against the OLD
+    // snapshot, so the winner's (1, 777) row — though it matches the
+    // predicate — is NOT updated (Iceberg's isolation-level=snapshot
+    // contract); the old rows updated, survivors intact, winner lands
+    assert(got == Seq((0L, -1L), (1L, -1L), (1L, 777L), (2L, -1L),
+      (3L, 30L), (4L, 40L), (5L, 50L)), got.toString)
+  }
+
+  test("copy-on-write UPDATE racing a rewrite of its input refuses") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(6)
+      .select(col("id"), (col("id") * 10).as("v")).coalesce(1), base)
+    IcebergInterop.append(spark.range(6, 12)
+      .select(col("id"), (col("id") * 10).as("v")).coalesce(1), base)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withInjector(() => IcebergInterop.rewriteDataFiles(spark, base)) {
+        IcebergInterop.updateWhere(spark, base, col("id") < 3,
+          Map("v" -> lit(-1L)))
+      }
+    }
+    assert(e.getMessage.contains("removed or rewrote"))
+    assert(IcebergInterop.read(spark, base).count() == 12)
+  }
+
   test("overwrite losing the race refuses (would erase the winner)") {
     val base = tmp()
     IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base)
