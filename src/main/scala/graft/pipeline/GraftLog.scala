@@ -734,6 +734,27 @@ object GraftLog {
                         snap: Snapshot): DataFrame =
     spark.read.parquet(snap.dvFiles.map(f => s"$base/$f"): _*)
 
+  /** Live deletion state as (file name → deleted row ordinals) — the
+    * carrier zero-copy CONVERT uses to translate this log's DV sidecars
+    * into the target format's own merge-on-read encoding (Delta DVs /
+    * Iceberg position deletes share the row-index coordinate system).
+    * Collect bounded by the DELETED row count — bitmap scale, the same
+    * cost any DV subtraction pays. */
+  def deletedPositions(spark: SparkSession,
+                       base: String): Map[String, Seq[Long]] = {
+    val snap = snapshot(base)
+    if (snap.dvFiles.isEmpty) return Map.empty
+    import spark.implicits._
+    val live = snap.files.toSet
+    dvEntries(spark, base, snap)
+      .select(col("__dv_file"), col("__dv_pos")).distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1)
+      // entries referencing files later rewritten away are dead weight
+      .collect { case (f, rs) if live.contains(f) =>
+        f -> rs.map(_._2).toSeq.sorted }
+  }
+
   /** Above this many deleted positions the DV anti join falls back from
     * broadcast to a shuffled join — a table carrying more un-purged
     * deletes than this should run `purgeDeletes` anyway. */

@@ -436,12 +436,16 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"CONVERT: '$src' is already ${fmt.toLowerCase} — use CLONE")
         case (LogTable(base), f @ ("DELTA" | "ICEBERG")) =>
-          // vectored-delete state has no zero-copy translation — fold
-          // the DVs into clean files first (purge rewrites ONLY the
-          // DV-referenced files; a clean table purges for free), then
-          // the live files convert by metadata alone
-          GraftLog.purgeDeletes(spark, base)
+          // fully zero-copy, vectored-delete state included: the log's
+          // DV sidecars share the row-index coordinate system with both
+          // targets' merge-on-read encodings, so deleted positions
+          // TRANSLATE (Delta DVs / Iceberg position deletes) and no
+          // data file is touched
           val snap = GraftLog.snapshot(base)
+          val deleted: Map[String, Seq[Long]] =
+            GraftLog.deletedPositions(spark, base).map { case (p, ps) =>
+              graft.sources.PathCodec.absNorm(s"$base/$p") -> ps
+            }
           val schema = snap.schemaJson.map(j =>
             org.apache.spark.sql.types.DataType.fromJson(j)
               .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -470,12 +474,14 @@ object GraftSql {
           f match {
             case "DELTA" =>
               graft.sources.DeltaInterop.convertFromParquetFiles(
-                spark, loc, absFiles, schema, statsJson.get _)
+                spark, loc, absFiles, schema, statsJson.get _,
+                positionDeletes = deleted)
               registerDeltaTable(spark, name, loc)
             case _ =>
               graft.sources.IcebergInterop.writeConvertedIceberg(
                 spark, loc, schema, Seq.empty,
-                absFiles.map(a => (a, statsJson.get(a), Map.empty[String, String])))
+                absFiles.map(a => (a, statsJson.get(a), Map.empty[String, String])),
+                positionDeletes = deleted.toSeq)
               registerIcebergTable(spark, name, loc)
           }
         case other => throw new IllegalArgumentException(

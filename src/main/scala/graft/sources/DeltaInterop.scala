@@ -2709,11 +2709,13 @@ object DeltaInterop {
     require(currentVersion(dstBase).isEmpty,
       s"convert target is already a Delta table: $dstBase")
     val ice = IcebergInterop.snapshot(spark, iceBase)
-    require(ice.deletes.isEmpty && ice.eqDeletes.isEmpty,
-      s"CONVERT of $iceBase: live merge-on-read deletes (positional " +
-      s"${ice.deletes.size}, equality ${ice.eqDeletes.size}) — converting " +
-      "data files alone would resurrect deleted rows; rewriteDataFiles " +
-      "(compaction folds deletes) first")
+    // position deletes CARRY (translated to deletion vectors below —
+    // one coordinate system); equality deletes have no Delta analogue:
+    // their value-match semantics would need a scan to positionalize
+    require(ice.eqDeletes.isEmpty,
+      s"CONVERT of $iceBase: live equality deletes " +
+      s"(${ice.eqDeletes.size}) have no Delta encoding — " +
+      "rewriteDataFiles (compaction folds deletes) first")
     require(ice.specFields.forall(_.transform == "identity"),
       s"CONVERT of $iceBase: transformed partition spec (" +
       ice.specFields.filterNot(_.transform == "identity")
@@ -2774,16 +2776,59 @@ object DeltaInterop {
       root.set[JsonNode]("maxValues", mxO)
       Some(mapper.writeValueAsString(root))
     }
+    // merge-on-read position deletes → deletion vectors: same
+    // coordinate system (parquet row index). Gate by sequence (a delete
+    // applies to data sequences ≤ its own), group per data file, and
+    // write one roaring-bitmap .bin per file under the NEW table (the
+    // "u" storage type — the clone's vacuum never walks the source).
+    // The grouping collect is bounded by the DELETED row count — the
+    // same bitmap-scale cost any DV construction pays.
+    val dvOf: Map[String, DvDescriptor] =
+      if (ice.deletes.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col, lit}
+        import spark.implicits._
+        val delRows = ice.deletes.map(d =>
+          spark.read.parquet(d.path)
+            .select(col("file_path"), col("pos"))
+            .withColumn("__dseq", lit(d.seq)))
+          .reduce(_ unionByName _)
+        val fileSeq = ice.files.map(f => (f.rawPath, f.seq))
+          .toDF("file_path", "__fseq")
+        val applicable = delRows
+          .join(broadcast(fileSeq), Seq("file_path"))
+          .where(col("__dseq") >= col("__fseq"))
+          .select(col("file_path"), col("pos")).distinct()
+          .as[(String, Long)].collect()
+        io.mkdirs(dstBase)
+        applicable.groupBy(_._1).map { case (raw, rows) =>
+          val positions = rows.map(_._2).toSeq.sorted
+          val uuid = UUID.randomUUID()
+          val data = DeletionVectors.dvDataBytes(positions)
+          val (bytes, off) = DeletionVectors.dvFileBytes(positions)
+          io.writeBytes(
+            TableIO.join(dstBase, s"deletion_vector_$uuid.bin"), bytes)
+          raw -> DvDescriptor("u", DeletionVectors.encodeUuid(uuid),
+            Some(off), data.length, positions.size.toLong)
+        }
+      }
     val adds = ice.files.map { f =>
       val abs = PathCodec.absNorm(f.path)
       AddFile(
         // encode the tail only: a leading "//" would parse as a URI
         // authority inside percentEncodePath's quoting constructor
         "/" + PathCodec.percentEncodePath(abs.substring(1)),
-        f.partitionValues, None, statsOf(f))
+        f.partitionValues, dvOf.get(f.rawPath), statsOf(f))
     }
+    // carried DVs oblige the feature protocol (reader 3 / writer 7 +
+    // deletionVectors), exactly as a DV-writing DELETE would declare
+    val proto =
+      if (dvOf.isEmpty) protocolJson
+      else """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
     writeCommit(dstBase, 0L,
-      Seq(protocolJson,
+      Seq(proto,
         metaJson(schema, partCols, UUID.randomUUID().toString)) ++
         adds.map(addJson(_, dstBase)),
       operation = "CONVERT")
@@ -2800,21 +2845,46 @@ object DeltaInterop {
     * per-file min/max translate directly, so data skipping works from
     * the first read. Unpartitioned by construction (the callers'
     * sources carry no hive layout). */
+  /** `positionDeletes` (file's normalized absolute path → deleted row
+    * ordinals) carries the SOURCE's merge-on-read state: the ordinals
+    * become per-file deletion vectors (roaring `.bin`s under the new
+    * table, "u" storage) and the commit declares the feature protocol —
+    * no data file is rewritten. */
   def convertFromParquetFiles(spark: SparkSession, dstBase: String,
                               files: Seq[String], schema: StructType,
-                              statsOf: String => Option[String] = _ => None): Long = {
+                              statsOf: String => Option[String] = _ => None,
+                              positionDeletes: Map[String, Seq[Long]] =
+                                Map.empty): Long = {
     require(currentVersion(dstBase).isEmpty,
       s"convert target is already a Delta table: $dstBase")
     require(files.nonEmpty, "convertFromParquetFiles: no files to convert")
     val clean = StructType(schema.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    io.mkdirs(dstBase)
+    val dvOf: Map[String, DvDescriptor] =
+      positionDeletes.filter(_._2.nonEmpty).map { case (p, ps) =>
+        val positions = ps.distinct.sorted
+        val uuid = UUID.randomUUID()
+        val data = DeletionVectors.dvDataBytes(positions)
+        val (bytes, off) = DeletionVectors.dvFileBytes(positions)
+        io.writeBytes(
+          TableIO.join(dstBase, s"deletion_vector_$uuid.bin"), bytes)
+        PathCodec.absNorm(p) -> DvDescriptor("u",
+          DeletionVectors.encodeUuid(uuid), Some(off), data.length,
+          positions.size.toLong)
+      }
     val adds = files.map { f =>
       val abs = PathCodec.absNorm(f)
       AddFile("/" + PathCodec.percentEncodePath(abs.substring(1)),
-        Map.empty, None, statsOf(abs))
+        Map.empty, dvOf.get(abs), statsOf(abs))
     }
+    val proto =
+      if (dvOf.isEmpty) protocolJson
+      else """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
     writeCommit(dstBase, 0L,
-      Seq(protocolJson,
+      Seq(proto,
         metaJson(clean, Seq.empty, UUID.randomUUID().toString)) ++
         adds.map(addJson(_, dstBase)),
       operation = "CONVERT")

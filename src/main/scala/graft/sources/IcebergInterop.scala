@@ -3296,14 +3296,16 @@ object IcebergInterop {
     * per-file record counts and bounds — so `readRange` prunes from the
     * first scan without opening a footer (a stats-less add falls back
     * to one driver footer read for its record count, which the spec
-    * REQUIRES to be real). Refused states: live deletion vectors
-    * (converting only the data files would resurrect soft-deleted
-    * rows — `reorgPurge` first), column mapping (Iceberg resolves by
-    * field id; a mapped table's physical names don't carry), and
-    * partitioned tables (Delta keeps partition columns OUT of the data
-    * files, Iceberg's identity layout needs them IN — rewrite to
-    * migrate). The source stays intact and independently writable;
-    * shared-files hazard as with any zero-copy convert. */
+    * REQUIRES to be real). Live deletion vectors CARRY: DV ordinals and
+    * Iceberg position deletes share one coordinate system (parquet row
+    * index), so soft-deleted state translates into a position-delete
+    * file + content=1 manifest — no purge, no data file rewritten.
+    * Partitioned tables carry via spec §Column Projection (identity
+    * tuples in the manifests; the read path fills the column per file).
+    * Refused: column mapping (Iceberg resolves by field id; a mapped
+    * table's physical names don't carry). The source stays intact and
+    * independently writable; shared-files hazard as with any zero-copy
+    * convert. */
   def convertFromDelta(spark: SparkSession, deltaBase: String,
                        dstBase: String): Long = {
     val snap = DeltaInterop.snapshot(spark, deltaBase)
@@ -3311,9 +3313,6 @@ object IcebergInterop {
       s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
       "— Iceberg resolves by field id, the mapped physical names do not " +
       "carry; rewrite the table unmapped first")
-    require(!snap.files.exists(_.dv.exists(_.cardinality > 0)),
-      s"CONVERT of $deltaBase: live deletion vectors — converting data " +
-      "files alone would resurrect soft-deleted rows; REORG (purge) first")
     val schema = StructType(snap.schema.fields.map(f =>
       f.copy(metadata = new MetadataBuilder().build())))
     // Partitioned Delta tables keep partition columns OUT of their data
@@ -3341,18 +3340,37 @@ object IcebergInterop {
       (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
         f.stats, f.partitionValues)
     }
-    writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs)
+    // live deletion vectors CARRY: Delta DV ordinals and Iceberg
+    // position deletes share one coordinate system (parquet row index),
+    // so the soft-deleted state translates into the target's own
+    // merge-on-read encoding — no purge, no data file rewritten. DV
+    // decode is driver-side but bitmap-sized (the same scale every DV
+    // read pays).
+    val positionDeletes: Seq[(String, Seq[Long])] =
+      snap.files.filter(_.dv.exists(_.cardinality > 0)).map { f =>
+        (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
+          DeltaInterop.resolveDvPositions(deltaBase, f.dv.get).toSeq)
+      }
+    writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs,
+      positionDeletes)
   }
 
   /** Shared tail of every zero-copy convert INTO Iceberg (Delta tables,
     * graft-log tables, plain parquet): build one manifest referencing
     * `files` — (absolute path, optional Delta-style stats JSON,
     * identity partition values) — plus the v1 metadata with a name
-    * mapping (the sources' parquet carries no field ids). */
+    * mapping (the sources' parquet carries no field ids).
+    * `positionDeletes` (data-file abs path → deleted row ordinals)
+    * carries the SOURCE's merge-on-read state: Delta deletion vectors
+    * are positionally identical to Iceberg position deletes, so they
+    * translate into one sorted delete parquet + a content=1 manifest at
+    * the same sequence as the data (a position delete applies to data
+    * sequences ≤ its own) — no data file is rewritten. */
   private[graft] def writeConvertedIceberg(
       spark: SparkSession, dstBase: String, schema: StructType,
       partTypes: Seq[(String, DataType)],
-      files: Seq[(String, Option[String], Map[String, String])]): Long = {
+      files: Seq[(String, Option[String], Map[String, String])],
+      positionDeletes: Seq[(String, Seq[Long])] = Seq.empty): Long = {
     val metaDir = metadataDir(dstBase)
     require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
       s"convert target is already an Iceberg table: $dstBase")
@@ -3449,9 +3467,42 @@ object IcebergInterop {
     }
     val mFile = TableIO.join(metaDir, s"manifest-$id.avro")
     writeAvro(mFile, entrySchema, entries)
+    // translated merge-on-read deletes: one sorted (file_path, pos)
+    // parquet + one content=1 manifest, both at the data's sequence
+    val deleteRefs: Seq[ManifestRef] =
+      if (positionDeletes.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val rows = positionDeletes.flatMap { case (p, ps) =>
+          ps.distinct.map(pos => (p, pos)) }.sorted
+        val scratch = TableIO.join(dstBase, s".stage_conv_$id")
+        rows.toDF("file_path", "pos").coalesce(1).write.parquet(scratch)
+        val pf = io.list(scratch)
+          .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            "no delete part file staged during convert"))
+        val dataDir = TableIO.join(dstBase, "data"); io.mkdirs(dataDir)
+        val delFile = TableIO.join(dataDir, s"delete-conv-$id.parquet")
+        io.move(TableIO.join(scratch, pf), delFile)
+        io.deleteRecursively(scratch)
+        val delSchema = entrySchemaFor(Seq.empty)
+        val rec = new GenericData.Record(delSchema)
+        rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+        val dfr = new GenericData.Record(
+          delSchema.getField("data_file").schema())
+        dfr.put("content", 1) // position deletes
+        dfr.put("file_path", PathCodec.absNorm(delFile))
+        dfr.put("file_format", "PARQUET")
+        dfr.put("record_count", rows.size.toLong)
+        dfr.put("file_size_in_bytes", io.length(delFile))
+        rec.put("data_file", dfr)
+        val dmFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
+        writeAvro(dmFile, delSchema, Seq(rec))
+        Seq(ManifestRef(dmFile, 1, snapshotId, snapshotId, 0))
+      }
     val mlFile = TableIO.join(metaDir, s"snap-$snapshotId-$id.avro")
     writeManifestList(mlFile,
-      Seq(ManifestRef(mFile, 0, snapshotId, snapshotId, 0)))
+      ManifestRef(mFile, 0, snapshotId, snapshotId, 0) +: deleteRefs)
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", UUID.randomUUID().toString)

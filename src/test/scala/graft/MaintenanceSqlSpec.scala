@@ -58,11 +58,12 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(e1.getMessage.contains("CLONE"))
   }
 
-  test("CONVERT from a graft-log table: purge composes, both targets exact") {
-    // vectored-delete state has no zero-copy translation — the dispatch
-    // folds the DVs into clean files (purge rewrites ONLY the
-    // DV-referenced files), then the live files convert by metadata
-    // alone and the tracked min/max carry as stats
+  test("CONVERT from a graft-log table: DV state carries, both targets exact") {
+    // FULLY zero-copy, vectored-delete state included: the log's DV
+    // sidecars share the row-index coordinate system with both targets'
+    // merge-on-read encodings, so deleted positions TRANSLATE (Delta
+    // DVs / Iceberg position deletes) — no purge, no data file touched;
+    // the tracked min/max carry as stats
     val log = freshBase("conv_log")
     // clustered write so the log TRACKS per-file min/max on k (plain
     // overwrite records none) — the convert must carry them
@@ -70,20 +71,27 @@ class MaintenanceSqlSpec extends SparkSpec {
       (0L until 40L).map(k => (k, k * 2)).toDF("k", "v"), log,
       clusterCols = Seq("k"), nFiles = 4)
     GraftLog.deleteVectored(spark, log, col("k") < 10)
+    val preConvertFiles = GraftLog.snapshot(log).files
+      .map(p => graft.sources.PathCodec.absNorm(s"$log/$p")).toSet
     GraftSql.registerTable(spark, "maint_conv_log", log)
     val dl = freshBase("conv_log_delta")
     GraftSql.sql(spark,
       s"CONVERT maint_conv_log TO DELTA AS maint_conv_ld LOCATION '$dl'")
     assert(spark.sql("SELECT sum(v) AS s FROM maint_conv_ld")
       .head().getLong(0) == (10L until 40L).map(_ * 2).sum)
-    // zero copy after the purge: every Delta add IS a graft-log live file
-    val liveAbs = GraftLog.snapshot(log).files
-      .map(p => graft.sources.PathCodec.absNorm(s"$log/$p")).toSet
-    graft.sources.DeltaInterop.snapshot(spark, dl).files.foreach { f =>
-      assert(liveAbs.contains(graft.sources.PathCodec.absNorm(
+    // zero copy WITHOUT purging: every Delta add IS an ORIGINAL
+    // graft-log data file (DV-referenced ones included), and the
+    // soft-deleted state rides as real Delta deletion vectors
+    val dsnap = graft.sources.DeltaInterop.snapshot(spark, dl)
+    dsnap.files.foreach { f =>
+      assert(preConvertFiles.contains(graft.sources.PathCodec.absNorm(
         graft.sources.DeltaInterop.resolveDataFile(dl, f.path))),
-        s"converted add ${f.path} is not a graft-log live file")
+        s"converted add ${f.path} is not an original graft-log file — " +
+        "the convert rewrote data")
     }
+    assert(dsnap.files.flatMap(_.dv).map(_.cardinality).sum == 10L,
+      "deleted positions did not translate into deletion vectors")
+    assert(dsnap.writerFeatureSet.contains("deletionVectors"))
     // stats carried: a narrow range on k opens a strict file subset
     val narrow = graft.sources.DeltaInterop.readRange(spark, dl, "k",
       Some(35L), None)
@@ -91,12 +99,18 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(narrow.inputFiles.length <
       graft.sources.DeltaInterop.read(spark, dl).inputFiles.length,
       "graft-log stats did not carry into add.stats")
-    // the Iceberg direction off the SAME source
+    // the Iceberg direction off the SAME source: deletes ride as
+    // position-delete files (merge-on-read), values exact
     val ice = freshBase("conv_log_ice")
     GraftSql.sql(spark,
       s"CONVERT maint_conv_log TO ICEBERG AS maint_conv_li LOCATION '$ice'")
     assert(spark.sql("SELECT sum(v) AS s FROM maint_conv_li")
       .head().getLong(0) == (10L until 40L).map(_ * 2).sum)
+    val isnap = graft.sources.IcebergInterop.snapshot(spark, ice)
+    assert(isnap.deletes.nonEmpty,
+      "deleted positions did not translate into position deletes")
+    isnap.files.foreach(f => assert(preConvertFiles.contains(
+      graft.sources.PathCodec.absNorm(f.path))))
     // the source stays live and independently writable
     GraftLog.append((100L until 103L).map(k => (k, k)).toDF("k", "v"), log)
     assert(GraftLog.read(spark, log).count() == 33)

@@ -96,20 +96,36 @@ class ConvertToDeltaSpec extends SparkSpec {
     assert(DeltaInterop.read(spark, dl).count() == 1000)
   }
 
-  test("convertFromDelta refuses DVs and column mapping") {
+  test("convertFromDelta carries deletion vectors as position deletes") {
+    // DV ordinals and Iceberg position deletes share the parquet
+    // row-index coordinate system — the soft-deleted state TRANSLATES,
+    // no purge, no data file rewritten
     val dl = tmp() + "/d"
     DeltaInterop.overwrite(
       spark.range(20).toDF("id").repartitionByRange(2, col("id")), dl)
     graft.sources.DeltaDml.deleteVectoredWhere(spark, dl, col("id") < 5)
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergInterop.convertFromDelta(spark, dl, tmp() + "/i")
-    }
-    assert(e1.getMessage.contains("REORG"))
-    // purging the vectors repairs the state; the convert then succeeds
-    DeltaInterop.reorgPurge(spark, dl)
-    val dst = tmp() + "/i2"
+    val srcFiles = DeltaInterop.snapshot(spark, dl).files
+      .map(f => PathCodec.absNorm(DeltaInterop.resolveDataFile(dl, f.path)))
+      .toSet
+    val dst = tmp() + "/i"
     IcebergInterop.convertFromDelta(spark, dl, dst)
+    val got = IcebergInterop.read(spark, dst)
+    assert(got.select("id").as[Long].collect().toSet ==
+      (5L until 20L).toSet, "carried deletes did not apply on read")
+    val isnap = IcebergInterop.snapshot(spark, dst)
+    assert(isnap.deletes.nonEmpty, "no position-delete file written")
+    isnap.files.foreach(f => assert(srcFiles.contains(
+      PathCodec.absNorm(f.path)),
+      s"data file ${f.path} is not a source file — the convert rewrote"))
+    // the converted table's own maintenance can fold the carried
+    // deletes later, exactly as with natively-written ones
+    IcebergInterop.rewriteDataFiles(spark, dst)
+    assert(IcebergInterop.snapshot(spark, dst).deletes.isEmpty)
     assert(IcebergInterop.read(spark, dst).count() == 15)
+    // the SOURCE's DV state is untouched
+    assert(DeltaInterop.read(spark, dl).count() == 15)
+    assert(DeltaInterop.snapshot(spark, dl).files
+      .flatMap(_.dv).map(_.cardinality).sum == 5L)
   }
 
   test("partitioned convertFromDelta: zero copy, column projection, pruning") {
@@ -184,20 +200,47 @@ class ConvertToDeltaSpec extends SparkSpec {
       "date identity filter did not prune files")
   }
 
-  test("merge-on-read deletes and transformed specs refuse") {
+  test("convertFromIceberg carries position deletes as deletion vectors") {
     val ice = tmp()
     IcebergInterop.overwrite(
       spark.range(20).toDF("id").repartitionByRange(2, col("id")), ice)
     IcebergInterop.deletePositionsWhere(spark, ice, col("id") < 5)
+    val srcFiles = IcebergInterop.snapshot(spark, ice).files
+      .map(f => PathCodec.absNorm(f.path)).toSet
+    val dst = tmp() + "/t"
+    DeltaInterop.convertFromIceberg(spark, ice, dst)
+    val got = DeltaInterop.read(spark, dst)
+    assert(got.select("id").as[Long].collect().toSet ==
+      (5L until 20L).toSet, "carried deletes did not apply on read")
+    val dsnap = DeltaInterop.snapshot(spark, dst)
+    assert(dsnap.files.flatMap(_.dv).map(_.cardinality).sum == 5L,
+      "position deletes did not translate into deletion vectors")
+    assert(dsnap.writerFeatureSet.contains("deletionVectors"))
+    dsnap.files.foreach(f => assert(srcFiles.contains(
+      PathCodec.absNorm(DeltaInterop.resolveDataFile(dst, f.path))),
+      s"add ${f.path} is not a source file — the convert rewrote"))
+    // the converted table's own REORG can purge the carried vectors
+    DeltaInterop.reorgPurge(spark, dst)
+    assert(DeltaInterop.snapshot(spark, dst).files
+      .forall(_.dv.forall(_.cardinality == 0L)))
+    assert(DeltaInterop.read(spark, dst).count() == 15)
+    // the SOURCE's merge-on-read state is untouched
+    assert(IcebergInterop.snapshot(spark, ice).deletes.nonEmpty)
+    assert(IcebergInterop.read(spark, ice).count() == 15)
+  }
+
+  test("equality deletes and transformed specs still refuse") {
+    // equality deletes match by VALUE — positionalizing them would need
+    // a scan; Delta has no value-match encoding
+    val ice = tmp()
+    IcebergInterop.overwrite(
+      spark.range(10).toDF("id").coalesce(1), ice)
+    IcebergInterop.addEqualityDeletes(spark, ice,
+      spark.range(3).toDF("id"), Seq("id"))
     val e1 = intercept[IllegalArgumentException] {
       DeltaInterop.convertFromIceberg(spark, ice, tmp() + "/t")
     }
-    assert(e1.getMessage.contains("rewriteDataFiles"))
-    // compaction folds the deletes; the convert then succeeds exactly
-    IcebergInterop.rewriteDataFiles(spark, ice)
-    val dst = tmp() + "/t2"
-    DeltaInterop.convertFromIceberg(spark, ice, dst)
-    assert(DeltaInterop.read(spark, dst).count() == 15)
+    assert(e1.getMessage.contains("equality"))
 
     val ice2 = tmp()
     IcebergInterop.overwriteTransformed(
