@@ -2714,8 +2714,9 @@ object DeltaInterop {
     // their value-match semantics would need a scan to positionalize
     require(ice.eqDeletes.isEmpty,
       s"CONVERT of $iceBase: live equality deletes " +
-      s"(${ice.eqDeletes.size}) have no Delta encoding — " +
-      "rewriteDataFiles (compaction folds deletes) first")
+      s"(${ice.eqDeletes.size}) have no Delta encoding — run " +
+      "IcebergInterop.positionalizeEqualityDeletes first (one scan, " +
+      "no data-file rewrite) or rewriteDataFiles (compaction)")
     require(ice.specFields.forall(_.transform == "identity"),
       s"CONVERT of $iceBase: transformed partition spec (" +
       ice.specFields.filterNot(_.transform == "identity")

@@ -822,10 +822,18 @@ object IcebergInterop {
       // linear equi-join on the equality key.
       out = out.join(broadcast(fileMap.select("__ice_file", "__data_seq")),
         Seq("__ice_file"))
-      val idToName = snap.schema.fields.flatMap(f =>
-        if (f.metadata.contains("parquet.field.id"))
-          Some(f.metadata.getLong("parquet.field.id").toInt -> f.name)
-        else None).toMap
+      // name-mapped (converted) tables strip the parquet.field.id
+      // metadata — their equality ids resolve through the metadata
+      // JSON's own id map instead (the same fallback readRange uses
+      // for bound keys); the delete FILES still read by name (their
+      // columns carry the logical names)
+      val idToName: Map[Int, String] = {
+        val fromMeta = snap.schema.fields.flatMap(f =>
+          if (f.metadata.contains("parquet.field.id"))
+            Some(f.metadata.getLong("parquet.field.id").toInt -> f.name)
+          else None).toMap
+        if (fromMeta.nonEmpty) fromMeta else snap.fieldNamesById
+      }
       snap.eqDeletes.groupBy(d => (d.seq, d.equalityFieldIds)).toSeq
         .sortBy(_._1._1).foreach { case ((seq, ids), fs) =>
           val names = ids.map(id => idToName.getOrElse(id,
@@ -3017,6 +3025,146 @@ object IcebergInterop {
     val mFile = TableIO.join(metaDir, name)
     writeAvro(mFile, entrySchema, entries)
     mFile
+  }
+
+  /** Positionalize equality deletes: ONE distributed scan computes the
+    * row coordinates each live equality delete currently kills (the
+    * same null-safe value match + strict sequence gate `assembleRead`
+    * applies, flipped to a SEMI join), commits them as a sorted
+    * position-delete file, and drops the equality-delete files from the
+    * delete manifests in the SAME snapshot. Value-equivalent by
+    * construction: a position delete at the new head sequence kills
+    * exactly the rows the equality delete killed (files appended later
+    * carry higher sequences either way). This is the maintenance step
+    * that unlocks CONVERT TO DELTA of a CDC-upserted table WITHOUT
+    * compaction — position deletes translate to deletion vectors, data
+    * files stay untouched. Scan cost: the live table once, scoped to
+    * nothing less (equality deletes carry no bounds); still no
+    * rewrite of any data file. */
+  def positionalizeEqualityDeletes(spark: SparkSession, base: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
+    val metaDir = metadataDir(base)
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    val prev = readMeta(base)
+    val snap = snapshot(spark, base)
+    if (snap.eqDeletes.isEmpty)
+      return prev.get("current-snapshot-id").asLong()
+    // live-modulo-position-deletes scan with coordinates: the rows the
+    // equality deletes still see (position-deleted rows are already
+    // dead and must not re-die positionally)
+    val scan0 = assembleRead(spark, snap.copy(eqDeletes = Seq.empty),
+      snap.files, keepCoords = true)
+    val fileMap = snap.files.map(f =>
+      (PathCodec.metadataPathKey(f.path), f.rawPath, f.seq))
+      .toDF("__ice_file", "__raw", "__data_seq")
+    val scan = scan0.join(broadcast(fileMap), Seq("__ice_file")).persist()
+    try {
+      val idToName = snap.fieldNamesById
+      val deadParts = snap.eqDeletes
+        .groupBy(d => (d.seq, d.equalityFieldIds)).toSeq.map {
+          case ((seq, ids), fs) =>
+            val names = ids.map(id => idToName.getOrElse(id,
+              throw new IllegalStateException(
+                s"equality_ids references field id $id not present in " +
+                "the current schema (refusing)")))
+            val delSchema = StructType(names.map(n => snap.schema(n)))
+            val del = spark.read.schema(delSchema)
+              .parquet(fs.map(_.path): _*).dropDuplicates(names)
+              .select(names.map(n => col(n).as(s"__eq_$n")): _*)
+            val delSide =
+              if (fs.map(_.sizeBytes).sum <= (64L << 20)) broadcast(del)
+              else del
+            val cond = names.map(n => col(n) <=> col(s"__eq_$n"))
+              .reduce(_ && _) && col("__data_seq") < lit(seq)
+            scan.join(delSide, cond, "left_semi")
+              .select(col("__raw").as("file_path"),
+                col("__ice_pos").as("pos"))
+        }
+      val dead = deadParts.reduce(_ unionByName _)
+        .dropDuplicates("file_path", "pos")
+      val snapshotId = nextSnapshotId(prev)
+      val id = UUID.randomUUID().toString
+      val n = dead.count()
+      // stage the sorted position-delete parquet (spec: sorted)
+      val carried = manifestsWithoutEqDeletes(base, prev)
+      if (n == 0) {
+        // nothing currently matches — just drop the dead-weight
+        // equality-delete files
+        return commitManifestListSnapshot(base, prev, carried,
+          snapshotId, id, "replace")
+      }
+      val parts = math.max(1, math.ceil(n / 4e6).toInt)
+      val scratch = TableIO.join(base, s".stage_$id")
+      dead.repartitionByRange(parts, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(scratch)
+      val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+      val delFiles = io.list(scratch)
+        .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+        .sorted.zipWithIndex.map { case (pf, i) =>
+          val dst = TableIO.join(dataDir, s"delete-poseq-$id-$i.parquet")
+          io.move(TableIO.join(scratch, pf), dst)
+          dst
+        }.toSeq
+      io.deleteRecursively(scratch)
+      val counts: Map[String, Long] = spark.read.parquet(delFiles: _*)
+        .groupBy(org.apache.spark.sql.functions.regexp_replace(
+          col("_metadata.file_path"),
+          PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
+        .count().as[(String, Long)].collect().toMap
+      val entrySchema = entrySchemaFor(Seq.empty)
+      val recs = delFiles.map { df =>
+        val rec = new GenericData.Record(entrySchema)
+        rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+        val dfr = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        dfr.put("content", 1) // position deletes
+        dfr.put("file_path", PathCodec.absNorm(df))
+        dfr.put("file_format", "PARQUET")
+        dfr.put("record_count",
+          counts.getOrElse(PathCodec.metadataPathKey(df), 0L))
+        dfr.put("file_size_in_bytes", io.length(df))
+        rec.put("data_file", dfr)
+        rec
+      }
+      val mFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
+      writeAvro(mFile, entrySchema, recs)
+      commitManifestListSnapshot(base, prev,
+        carried :+ ManifestRef(mFile, 1, snapshotId, snapshotId,
+          Option(prev.get("default-spec-id")).map(_.asInt()).getOrElse(0)),
+        snapshotId, id, "replace")
+    } finally scan.unpersist()
+  }
+
+  /** The current manifests with every equality-delete FILE dropped:
+    * data manifests carry verbatim; delete manifests keep only their
+    * position-delete entries (filtered copies under the original
+    * sequence), all-equality manifests drop entirely. */
+  private def manifestsWithoutEqDeletes(base: String,
+                                        prev: JsonNode): Seq[ManifestRef] = {
+    val metaDir = metadataDir(base)
+    currentManifests(base, prev).flatMap { m =>
+      if (m.content == 0) Some(m)
+      else {
+        val (sch, recs) = readAvroWithSchema(m.file)
+        val kept = recs.filter { e =>
+          e.get("status").toString.toInt != 2 && {
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            opt(dfr, "content").map(_.toString.toInt).getOrElse(0) != 2
+          }
+        }
+        if (kept.size == recs.size) Some(m)
+        else if (kept.isEmpty) None
+        else {
+          val nf = TableIO.join(metaDir,
+            s"manifest-filtered-${UUID.randomUUID()}.avro")
+          writeAvro(nf, sch, kept)
+          Some(m.copy(file = nf))
+        }
+      }
+    }
   }
 
   def rewriteManifests(spark: SparkSession, base: String): Long = {

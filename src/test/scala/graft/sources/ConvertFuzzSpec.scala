@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Model-based cross-format CONVERT fuzz: a seeded op soup (append, DV
+  * / position delete, copy-on-write or merge-on-read update, keyed
+  * merge) runs against a live table while a driver model tracks the
+  * exact (id → v) contents; at random points the table CONVERTS to the
+  * other format into a fresh dir, the converted copy must equal the
+  * model VALUE-EXACTLY, and the sequence then continues ON THE CONVERT
+  * (it becomes the new source). Round-tripping Delta→Iceberg→Delta→…
+  * composes DV↔position-delete carry, equality-delete
+  * positionalization, name mapping and column projection with live DML
+  * in every interleaving — the cheapest way to find a translation bug
+  * no hand-written pairing thought of. */
+class ConvertFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("convfuzz_").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  private def runSequence(seed: Int, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    var fmt = if (rnd.nextBoolean()) "delta" else "iceberg"
+    var base = tmp() + "/t0"
+    var nextKey = 100L
+    var converts = 0
+
+    // the driver model: exact expected contents
+    var model: Map[Long, Long] = (0L until 16L).map(k => k -> (k * 10)).toMap
+    val seedDf = model.toSeq.toDF("id", "v").coalesce(1)
+    if (fmt == "delta") DeltaInterop.overwrite(seedDf, base)
+    else IcebergInterop.overwrite(seedDf, base)
+
+    def contents(): Map[Long, Long] = {
+      val df = if (fmt == "delta") DeltaInterop.read(spark, base)
+               else IcebergInterop.read(spark, base)
+      df.select("id", "v").as[(Long, Long)].collect().toMap
+    }
+    def check(op: String): Unit = {
+      val got = contents()
+      assert(got == model,
+        s"seed=$seed after $op on $fmt ($converts converts): " +
+        s"missing=${(model.keySet -- got.keySet).toSeq.sorted.take(8)} " +
+        s"extra=${(got.keySet -- model.keySet).toSeq.sorted.take(8)} " +
+        s"diff=${model.collect { case (k, v) if got.get(k).exists(_ != v) =>
+          (k, v, got(k)) }.take(8)}")
+    }
+
+    (1 to nOps).foreach { _ =>
+      rnd.nextInt(6) match {
+        case 0 => // append fresh keys
+          val ks = (0 until 1 + rnd.nextInt(3)).map(_ =>
+            { val k = nextKey; nextKey += 1; k })
+          val df = ks.map(k => (k, k * 10)).toDF("id", "v").coalesce(1)
+          if (fmt == "delta") DeltaInterop.append(df, base)
+          else IcebergInterop.append(df, base)
+          model ++= ks.map(k => k -> (k * 10))
+          check("append")
+        case 1 if model.nonEmpty => // merge-on-read delete
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          if (fmt == "delta")
+            DeltaDml.deleteVectoredWhere(spark, base, col("id") % m === r)
+          else
+            IcebergInterop.deletePositionsWhere(spark, base,
+              col("id") % m === r)
+          model = model.filterNot { case (k, _) => k % m == r }
+          check("delete")
+        case 2 if model.nonEmpty => // update
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          if (fmt == "delta")
+            DeltaDml.updateWhere(spark, base, col("id") % m === r,
+              Map("v" -> (col("v") + lit(1L))))
+          else
+            IcebergInterop.updateWhere(spark, base, col("id") % m === r,
+              Map("v" -> (col("v") + lit(1L))))
+          model = model.map { case (k, v) =>
+            k -> (if (k % m == r) v + 1 else v) }
+          check("update")
+        case 3 => // keyed merge: touch some existing + insert fresh
+          val existing = model.keys.toSeq.sorted.take(1 + rnd.nextInt(2))
+          val fresh = (0 until 1).map(_ =>
+            { val k = nextKey; nextKey += 1; k })
+          val src = (existing ++ fresh).map(k => (k, -k)).toDF("id", "v")
+          if (fmt == "delta") DeltaDml.mergeUpsert(spark, base, src, "id")
+          else IcebergInterop.mergeUpsert(spark, base, src, Seq("id"))
+          model ++= (existing ++ fresh).map(k => k -> -k)
+          check("merge")
+        case _ => // CONVERT to the other format and continue there
+          converts += 1
+          val dst = tmp() + s"/t$converts"
+          if (fmt == "delta") {
+            IcebergInterop.convertFromDelta(spark, base, dst)
+            fmt = "iceberg"
+          } else {
+            // CDC merges leave equality deletes — positionalize (one
+            // scan, no rewrite), then the zero-copy convert carries
+            // the positional state as deletion vectors
+            IcebergInterop.positionalizeEqualityDeletes(spark, base)
+            DeltaInterop.convertFromIceberg(spark, base, dst)
+            fmt = "delta"
+          }
+          base = dst
+          check("convert")
+      }
+    }
+    assert(converts >= 1, s"seed=$seed drew no convert — widen nOps")
+  }
+
+  test("seeded DML + convert round trips stay value-exact") {
+    runSequence(seed = 4, nOps = 18)
+    runSequence(seed = 77, nOps = 18)
+    runSequence(seed = 2027, nOps = 24)
+  }
+}

@@ -229,6 +229,46 @@ class ConvertToDeltaSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, ice).count() == 15)
   }
 
+  test("positionalizeEqualityDeletes unlocks the CDC-upserted convert") {
+    // a CDC-upserted table carries equality deletes (value-match, no
+    // Delta encoding); positionalizing them — one scan, no data-file
+    // rewrite — turns them into position deletes, which then translate
+    // into deletion vectors on convert
+    val ice = tmp()
+    IcebergInterop.overwrite(
+      spark.range(12).select(col("id"), (col("id") * 10).as("v"))
+        .repartitionByRange(2, col("id")), ice)
+    IcebergInterop.mergeUpsert(spark, ice,
+      spark.createDataFrame(Seq((3L, -3L), (7L, -7L), (50L, -50L)))
+        .toDF("id", "v"), Seq("id"))
+    assert(IcebergInterop.snapshot(spark, ice).eqDeletes.nonEmpty)
+    val before = IcebergInterop.read(spark, ice)
+      .as[(Long, Long)].collect().toSet
+    IcebergInterop.positionalizeEqualityDeletes(spark, ice)
+    val snap = IcebergInterop.snapshot(spark, ice)
+    assert(snap.eqDeletes.isEmpty, "equality deletes survived")
+    assert(snap.deletes.nonEmpty, "no position deletes written")
+    assert(IcebergInterop.read(spark, ice)
+      .as[(Long, Long)].collect().toSet == before,
+      "positionalization changed table contents")
+    // the convert now succeeds, deletes riding as DVs
+    val dst = tmp() + "/d"
+    DeltaInterop.convertFromIceberg(spark, ice, dst)
+    assert(DeltaInterop.read(spark, dst)
+      .as[(Long, Long)].collect().toSet == before)
+    assert(DeltaInterop.snapshot(spark, dst).files
+      .flatMap(_.dv).map(_.cardinality).sum == 2L) // rows 3 and 7 died
+    // an equality delete matching NOTHING drops as dead weight
+    val ice2 = tmp()
+    IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), ice2)
+    IcebergInterop.addEqualityDeletes(spark, ice2,
+      spark.range(100, 103).toDF("id"), Seq("id"))
+    IcebergInterop.positionalizeEqualityDeletes(spark, ice2)
+    val s2 = IcebergInterop.snapshot(spark, ice2)
+    assert(s2.eqDeletes.isEmpty && s2.deletes.isEmpty)
+    assert(IcebergInterop.read(spark, ice2).count() == 5)
+  }
+
   test("equality deletes and transformed specs still refuse") {
     // equality deletes match by VALUE — positionalizing them would need
     // a scan; Delta has no value-match encoding
