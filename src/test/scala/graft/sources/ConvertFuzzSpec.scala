@@ -23,22 +23,42 @@ class ConvertFuzzSpec extends SparkSpec {
     d.deleteOnExit(); d.getPath
   }
 
-  private def runSequence(seed: Int, nOps: Int): Unit = {
+  /** `partitioned`: the tables carry an identity partition column
+    * `b = id % 3` end to end — Delta keeps it OUT of its data files, so
+    * every Delta→Iceberg convert exercises the manifest partition
+    * tuples + per-file column projection (spec §Column Projection)
+    * UNDER live DML, and every rewrite on the converted side must
+    * restore the column into its output. */
+  private def runSequence(seed: Int, nOps: Int,
+                          partitioned: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
     var fmt = if (rnd.nextBoolean()) "delta" else "iceberg"
     var base = tmp() + "/t0"
     var nextKey = 100L
     var converts = 0
+    val parts = if (partitioned) Seq("b") else Seq.empty
 
     // the driver model: exact expected contents
     var model: Map[Long, Long] = (0L until 16L).map(k => k -> (k * 10)).toMap
-    val seedDf = model.toSeq.toDF("id", "v").coalesce(1)
-    if (fmt == "delta") DeltaInterop.overwrite(seedDf, base)
-    else IcebergInterop.overwrite(seedDf, base)
+    def withPart(pairs: Seq[(Long, Long)]) = {
+      val df = pairs.toDF("id", "v")
+      if (partitioned) df.withColumn("b", (col("id") % 3).cast("int"))
+      else df
+    }
+    val seedDf = withPart(model.toSeq).coalesce(1)
+    if (fmt == "delta") DeltaInterop.overwrite(seedDf, base, parts)
+    else IcebergInterop.overwrite(seedDf, base, parts)
 
     def contents(): Map[Long, Long] = {
       val df = if (fmt == "delta") DeltaInterop.read(spark, base)
                else IcebergInterop.read(spark, base)
+      // the partition column must ALSO read back right (projection!)
+      if (partitioned) {
+        val bad = df.filter(col("b") =!= (col("id") % 3).cast("int"))
+          .limit(1).collect()
+        assert(bad.isEmpty,
+          s"seed=$seed: partition column drifted: ${bad.toSeq}")
+      }
       df.select("id", "v").as[(Long, Long)].collect().toMap
     }
     def check(op: String): Unit = {
@@ -56,9 +76,9 @@ class ConvertFuzzSpec extends SparkSpec {
         case 0 => // append fresh keys
           val ks = (0 until 1 + rnd.nextInt(3)).map(_ =>
             { val k = nextKey; nextKey += 1; k })
-          val df = ks.map(k => (k, k * 10)).toDF("id", "v").coalesce(1)
-          if (fmt == "delta") DeltaInterop.append(df, base)
-          else IcebergInterop.append(df, base)
+          val df = withPart(ks.map(k => (k, k * 10))).coalesce(1)
+          if (fmt == "delta") DeltaInterop.append(df, base, parts)
+          else IcebergInterop.append(df, base) // inherits the spec
           model ++= ks.map(k => k -> (k * 10))
           check("append")
         case 1 if model.nonEmpty => // merge-on-read delete
@@ -85,7 +105,7 @@ class ConvertFuzzSpec extends SparkSpec {
           val existing = model.keys.toSeq.sorted.take(1 + rnd.nextInt(2))
           val fresh = (0 until 1).map(_ =>
             { val k = nextKey; nextKey += 1; k })
-          val src = (existing ++ fresh).map(k => (k, -k)).toDF("id", "v")
+          val src = withPart((existing ++ fresh).map(k => (k, -k)))
           if (fmt == "delta") DeltaDml.mergeUpsert(spark, base, src, "id")
           else IcebergInterop.mergeUpsert(spark, base, src, Seq("id"))
           model ++= (existing ++ fresh).map(k => k -> -k)
@@ -115,5 +135,10 @@ class ConvertFuzzSpec extends SparkSpec {
     runSequence(seed = 4, nOps = 18)
     runSequence(seed = 77, nOps = 18)
     runSequence(seed = 2027, nOps = 24)
+  }
+
+  test("partitioned round trips: column projection holds under DML") {
+    runSequence(seed = 13, nOps = 18, partitioned = true)
+    runSequence(seed = 555, nOps = 22, partitioned = true)
   }
 }
