@@ -2993,6 +2993,50 @@ object SparkEntry {
     frames.reduce(_ unionByName _).orderBy(col("fmt"), col("status"))
   }
 
+  /** Partitioned Delta CDF stream (q231): the q180 change history on a
+    * PARTITIONED table — the reference's own silver shape
+    * (silver_transformation.py:61-64 partitions by ingest date) —
+    * consumed through `DeltaStream.tailChangeFeed`. The mirror links
+    * every file under Hive-layout partition directories built from the
+    * actions' partitionValues, so the file stream's partition discovery
+    * recovers `o_orderpriority` (never physically present in the data
+    * files); grouping the feed BY the partition column proves the
+    * values survive the dir round trip (incl. '4-NOT SPECIFIED', the
+    * value with a space). Oracle: the full change history replayed as
+    * SQL over `orders`, v0 load included. */
+  private def qPartitionedCdfStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    import graft.streaming.{DeltaStream, EventStreams}
+    val base = cachedFixture("delta_cdf_part_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(ords.repartition(2), p,
+        partitionBy = Seq("o_orderpriority"),
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaDml.updateWhere(s, p, col("o_orderkey") <= 2000,          // v1
+        Map("totalprice" -> (col("totalprice") + lit(100))))
+      DeltaDml.deleteVectoredWhere(s, p, col("o_custkey") % 9 === 4) // v2
+      DeltaInterop.append(Tables.load(s, dir, "orders")              // v3
+        .filter(col("o_orderkey") < 100)
+        .select((col("o_orderkey") + lit(1000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+        .coalesce(1), p, partitionBy = Seq("o_orderpriority"))
+    }
+    // the mirror + checkpoint ARE streaming state: fresh per run
+    val feed = fixtureDir("delta_cdf_part_feed", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feed))
+    val net = DeltaStream.tailChangeFeed(s, base, feed)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("totalprice")).as("tp_dec"))
+    EventStreams.drainAvailableNow(net)
+      .select(col("priority"), col("change_type"), col("n_rows"),
+        col("tp_dec").cast("double").as("total_price"))
+      .orderBy(col("priority"), col("change_type"))
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5534,6 +5578,7 @@ object SparkEntry {
     "q228_decontaminated_split" -> (qDecontaminatedSplit _),
     "q229_convert_partitioned" -> (qConvertPartitioned _),
     "q230_sql_update_exists" -> (qSqlUpdateExists _),
+    "q231_partitioned_cdf_stream" -> (qPartitionedCdfStream _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6825,6 +6870,31 @@ object SparkEntry {
            CAST(sum(totalprice) AS DOUBLE) AS total
          FROM upd CROSS JOIN f
          GROUP BY 1, 2 ORDER BY fmt, status""",
+    "q231_partitioned_cdf_stream" ->
+      """SELECT priority, change_type, count(*) AS n_rows,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_orderpriority AS priority, 'insert' AS change_type,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT o_orderpriority, 'update_preimage',
+             CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT o_orderpriority, 'update_postimage',
+             CAST(o_totalprice AS DECIMAL(18,2)) + 100
+           FROM orders WHERE o_orderkey <= 2000
+           UNION ALL
+           SELECT o_orderpriority, 'delete',
+             CAST(o_totalprice AS DECIMAL(18,2)) +
+               CASE WHEN o_orderkey <= 2000 THEN 100 ELSE 0 END
+           FROM orders WHERE o_custkey % 9 = 4
+           UNION ALL
+           SELECT o_orderpriority, 'insert',
+             CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 100
+         ) GROUP BY priority, change_type ORDER BY priority, change_type""",
     // 0.9*16^8 = 0xe6666666 (hashSplit's threshold); gram algebra
     // mirrors q101's oracle
     "q228_decontaminated_split" ->

@@ -185,8 +185,9 @@ object DeltaDml {
     * `delta.enableChangeDataFeed=true`, the same matched rows are also
     * staged as `_change_data` delete rows with a `cdc` action.
     *
-    * Column-mapped tables are refused (the cdc files and protocol row
-    * would need the mapping feature set — not claimed here).
+    * Column-mapped tables compose: `stageCdc` writes the change files
+    * under physical names (name mode) / field-id metadata (id mode),
+    * the same conformance the data files get.
     * Version-collision retries re-derive everything from the fresh
     * snapshot, so a lost race never deletes against stale coordinates. */
   def deleteVectoredWhere(spark: SparkSession, base: String,

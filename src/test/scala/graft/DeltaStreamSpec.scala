@@ -105,15 +105,74 @@ class DeltaStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion-vector"))
   }
 
-  test("partitioned tables are refused with guidance") {
+  test("partitioned CDF tail equals the batch feed; partition values recover from dirs") {
     val base = freshBase("part")
-    DeltaInterop.overwrite(
-      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"),
-      base, partitionBy = Seq("p"))
+    val feed = freshBase("part_feed")
+    // partition values exercise the Hive-escape surface: a '/', a ':',
+    // an '=', and a NULL (→ __HIVE_DEFAULT_PARTITION__)
+    val rows = Seq((1L, "a/b", 1.0), (2L, "x:y=z", 2.0), (3L, null, 3.0),
+      (4L, "plain", 4.0), (5L, "plain", 5.0))
+    DeltaInterop.overwrite(rows.toDF("k", "p", "v").repartition(1), base,
+      partitionBy = Seq("p"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaDml.updateWhere(spark, base, col("k") === 4L,
+      Map("v" -> (col("v") + 100.0)))                         // v1: cdc
+    DeltaDml.deleteVectoredWhere(spark, base, col("k") === 1L) // v2: cdc
+    DeltaInterop.append(Seq((6L, "late", 6.0)).toDF("k", "p", "v")
+      .coalesce(1), base, partitionBy = Seq("p"))              // v3: add
+    val stream = DeltaStream.tailChangeFeed(spark, base, feed)
+    val got = EventStreams.drainAvailableNow(stream, mode = "append")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    val batch = DeltaDml.readChangeFeed(spark, base, fromVersion = 0L)
+      .select("k", "p", "v", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // the partition column round-trips every escape shape, nulls included
+    assert(got.map(_._2).contains("a/b") && got.map(_._2).contains("x:y=z")
+      && got.exists(_._2 == null) && got.map(_._2).contains("late"))
+  }
+
+  test("skipChangeCommits drops a DV commit entirely; appends keep flowing") {
+    val base = freshBase("skipchg")
+    val feed = freshBase("skipchg_feed")
+    DeltaInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base) // v0, no CDF
+    DeltaDml.deleteVectoredWhere(spark, base, col("id") < 3)   // v1: DV, no cdc
+    DeltaInterop.append(spark.range(100, 103).toDF("id").coalesce(1), base) // v2
+    val got = EventStreams.drainAvailableNow(
+      DeltaStream.tailChangeFeed(spark, base, feed, skipChangeCommits = true),
+      mode = "append")
+      .as[(Long, String, Long)].collect().toSet
+    // v0's 10 inserts + v2's 3 — NOTHING for the skipped v1 (delta-spark's
+    // skipChangeCommits contract: data-changing commits are ignored whole)
+    assert(got.map(_._3) == Set(0L, 2L))
+    assert(got.count(_._3 == 0L) == 10 && got.count(_._3 == 2L) == 3)
+    assert(got.forall(_._2 == "insert"))
+    // the default still refuses the same log loudly
     val e = intercept[IllegalArgumentException] {
-      DeltaStream.tailChangeFeed(spark, base, freshBase("part_feed"))
+      DeltaStream.syncCdfFeed(base, freshBase("skipchg_feed2"))
     }
-    assert(e.getMessage.contains("unpartitioned"))
+    assert(e.getMessage.contains("skipChangeCommits"))
+  }
+
+  test("partitioned + column-mapped tables stream: physical dirs, logical rows") {
+    val base = freshBase("partmapped")
+    val feed = freshBase("partmapped_feed")
+    DeltaInterop.overwriteColumnMapped(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("k", "p", "v")
+        .repartition(1),
+      base, physicalFor = n => s"phys_$n", partitionBy = Seq("p"),
+      extraConfig = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaDml.updateWhere(spark, base, col("k") === 1L,
+      Map("v" -> (col("v") + 100.0)))                          // v1: cdc
+    val stream = DeltaStream.tailChangeFeed(spark, base, feed)
+    val got = EventStreams.drainAvailableNow(stream, mode = "append")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    val batch = DeltaDml.readChangeFeed(spark, base, fromVersion = 0L)
+      .select("k", "p", "v", "_change_type", "_commit_version")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+    // partition values resolved from phys_p=... dirs back to logical p
+    assert(got.map(_._2) == Set("a", "b"))
   }
 
   test("column-mapped tables stream: physical-named mirror, logical rows") {
