@@ -3037,6 +3037,41 @@ object SparkEntry {
       .orderBy(col("priority"), col("change_type"))
   }
 
+  /** Iceberg format-v3 deletion vectors (q232): a v3 table takes two
+    * row-level DELETEs — each writes puffin DELETION VECTORS (spec v3
+    * §Deletion Vectors), the second MERGING into the first file's
+    * vector (at most one DV per data file) — then an append. The read
+    * subtracts the vectors merge-on-read; the oracle replays the
+    * deletes as filters over `orders`, so a vector that dropped,
+    * resurrected, or double-masked a row hash-mismatches. The blob
+    * framing is byte-identical to Delta's DV frame (IcebergV3Spec pins
+    * that), which is what `CONVERT ... TO ICEBERG3` rides. */
+  private def qIcebergV3Dv(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_v3_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(ords.repartition(4), p, formatVersion = 3)
+      IcebergInterop.deletePositionsWhere(s, p,
+        col("o_custkey") % 7 === 3)                         // DV per file
+      IcebergInterop.deletePositionsWhere(s, p,
+        col("o_orderkey") <= 1500)                          // merges
+      IcebergInterop.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + lit(2000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+        .coalesce(1), p)
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast(DoubleType).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("status"))
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5579,6 +5614,7 @@ object SparkEntry {
     "q229_convert_partitioned" -> (qConvertPartitioned _),
     "q230_sql_update_exists" -> (qSqlUpdateExists _),
     "q231_partitioned_cdf_stream" -> (qPartitionedCdfStream _),
+    "q232_iceberg_v3_dv" -> (qIcebergV3Dv _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6895,6 +6931,18 @@ object SparkEntry {
              CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey < 100
          ) GROUP BY priority, change_type ORDER BY priority, change_type""",
+    "q232_iceberg_v3_dv" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price,
+         count(DISTINCT o_custkey) AS n_cust
+         FROM (
+           SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+           WHERE o_custkey % 7 <> 3 AND o_orderkey > 1500
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+           WHERE o_orderkey < 50
+         ) GROUP BY o_orderstatus ORDER BY status""",
     // 0.9*16^8 = 0xe6666666 (hashSplit's threshold); gram algebra
     // mirrors q101's oracle
     "q228_decontaminated_split" ->

@@ -284,7 +284,7 @@ object GraftSql {
   private val DetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
   private val ConvertRe =
-    ("""(?is)\s*CONVERT\s+([`\w.]+)\s+TO\s+(DELTA|ICEBERG)\s+AS\s+""" +
+    ("""(?is)\s*CONVERT\s+([`\w.]+)\s+TO\s+(DELTA|ICEBERG3?)\s+AS\s+""" +
      """([`\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val AddPartFieldRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+""" +
@@ -432,10 +432,21 @@ object GraftSql {
         case (DeltaTable(base), "ICEBERG") =>
           graft.sources.IcebergInterop.convertFromDelta(spark, base, loc)
           registerIcebergTable(spark, name, loc)
+        case (DeltaTable(base), "ICEBERG3") =>
+          // format-v3 target: live deletion vectors carry BYTE-VERBATIM
+          // (the puffin DV blob is Delta's frame, spec v3 §Deletion
+          // Vectors) — no decode, no positionalization
+          graft.sources.IcebergInterop.convertFromDelta(spark, base, loc,
+            formatVersion = 3)
+          registerIcebergTable(spark, name, loc)
+        case (IceTable(base), "ICEBERG3") =>
+          throw new IllegalArgumentException(
+            s"CONVERT: '$src' is already iceberg — upgrade in place with " +
+            "ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')")
         case (IceTable(_), "ICEBERG") | (DeltaTable(_), "DELTA") =>
           throw new IllegalArgumentException(
             s"CONVERT: '$src' is already ${fmt.toLowerCase} — use CLONE")
-        case (LogTable(base), f @ ("DELTA" | "ICEBERG")) =>
+        case (LogTable(base), f @ ("DELTA" | "ICEBERG" | "ICEBERG3")) =>
           // fully zero-copy, vectored-delete state included: the log's
           // DV sidecars share the row-index coordinate system with both
           // targets' merge-on-read encodings, so deleted positions
@@ -477,6 +488,17 @@ object GraftSql {
                 spark, loc, absFiles, schema, statsJson.get _,
                 positionDeletes = deleted)
               registerDeltaTable(spark, name, loc)
+            case "ICEBERG3" =>
+              // graft-log DV sidecars re-frame as puffin blobs (same
+              // bitmap serialization; only the container differs)
+              graft.sources.IcebergInterop.writeConvertedIceberg(
+                spark, loc, schema, Seq.empty,
+                absFiles.map(a => (a, statsJson.get(a), Map.empty[String, String])),
+                formatVersion = 3,
+                dvBlobs = deleted.toSeq.map { case (p, ps) =>
+                  (p, graft.sources.Puffin.dvBlobBytes(ps),
+                    ps.distinct.size.toLong) })
+              registerIcebergTable(spark, name, loc)
             case _ =>
               graft.sources.IcebergInterop.writeConvertedIceberg(
                 spark, loc, schema, Seq.empty,
@@ -1279,9 +1301,19 @@ object GraftSql {
         if (rest.nonEmpty)
           graft.sources.DeltaInterop.setProperties(spark, base, rest)
         else v2
+      case IceTable(base) =>
+        // the one Iceberg property with table-changing semantics here:
+        // 'format-version' upgrades route through the metadata commit
+        // (v2 → v3 unlocks deletion-vector deletes); anything else has
+        // no property store in this engine and refuses
+        require(props.keySet == Set("format-version"),
+          "Iceberg SET TBLPROPERTIES supports 'format-version' only " +
+          s"(got ${props.keys.mkString(", ")})")
+        graft.sources.IcebergInterop.upgradeFormatVersion(base,
+          props("format-version").trim.toInt)
       case other => throw new IllegalArgumentException(
-        s"SET TBLPROPERTIES is supported on Delta tables only " +
-        s"(${other.getClass.getSimpleName.stripSuffix("$")} has no " +
+        s"SET TBLPROPERTIES is supported on Delta and Iceberg tables " +
+        s"only (${other.getClass.getSimpleName.stripSuffix("$")} has no " +
         "property store)")
     }
     refreshView(spark, name, h)

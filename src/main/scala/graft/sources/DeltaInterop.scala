@@ -932,6 +932,36 @@ object DeltaInterop {
         throw new IllegalArgumentException(s"deletion-vector storageType '$other'")
     }
 
+  /** The FRAMED blob bytes of a deletion vector —
+    * [4B BE size][magic+bitmap][4B BE CRC-32] — exactly as stored. This
+    * framing is byte-identical to an Iceberg v3 puffin
+    * `deletion-vector-v1` blob (the v3 spec adopted Delta's), so
+    * CONVERT carries vectors verbatim: no decode, no re-serialize. */
+  private[sources] def resolveDvBlobFrame(base: String,
+                                          d: DvDescriptor): Array[Byte] =
+    d.storageType match {
+      case "i" =>
+        val data = DeletionVectors.z85DecodeBytes(d.pathOrInlineDv)
+          .take(d.sizeInBytes)
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        val bb = java.nio.ByteBuffer.allocate(4 + data.length + 4)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(data.length); bb.put(data)
+        bb.putInt((crc.getValue & 0xffffffffL).toInt)
+        bb.array()
+      case "u" =>
+        val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
+        val dir = if (prefix.isEmpty) base else TableIO.join(base, prefix)
+        val p = TableIO.join(dir, s"deletion_vector_$uuid.bin")
+        val off = d.offset.getOrElse(1)
+        io.readBytes(p).slice(off, off + 4 + d.sizeInBytes + 4)
+      case "p" =>
+        val off = d.offset.getOrElse(1)
+        io.readBytes(d.pathOrInlineDv).slice(off, off + 4 + d.sizeInBytes + 4)
+      case other =>
+        throw new IllegalArgumentException(s"deletion-vector storageType '$other'")
+    }
+
   // ------------------------------------------------------------- writer
 
   /** Stage a frame's rows as uniquely-named parquet files under `base`
@@ -2784,16 +2814,40 @@ object DeltaInterop {
     // "u" storage type — the clone's vacuum never walks the source).
     // The grouping collect is bounded by the DELETED row count — the
     // same bitmap-scale cost any DV construction pays.
+    // v3 deletion vectors carry their framed blob bytes VERBATIM — the
+    // puffin deletion-vector-v1 frame IS a Delta DV frame (the v3 spec
+    // adopted Delta's), so each becomes a `.bin` of version byte +
+    // blob, no decode at all. A v3 DV supersedes any position-delete
+    // rows for its file (the v3 writer folded them in).
+    val (iceDvs, icePosDels) = ice.deletes.partition(_.dv)
+    val dvCarried: Map[String, DvDescriptor] = iceDvs.map { d =>
+      val blob = io.readBytes(d.path).slice(d.contentOffset.getOrElse(
+          throw new IllegalStateException(
+            s"DV entry ${d.path} lacks content_offset (refusing)")).toInt,
+        (d.contentOffset.get + d.contentSize.getOrElse(d.sizeBytes)).toInt)
+      val uuid = UUID.randomUUID()
+      io.mkdirs(dstBase)
+      io.writeBytes(TableIO.join(dstBase, s"deletion_vector_$uuid.bin"),
+        1.toByte +: blob)
+      val card =
+        if (d.recordCount >= 0) d.recordCount
+        else graft.sources.Puffin.readDvBlob(blob, 0, blob.length,
+          d.path).length.toLong
+      d.referencedDataFile.get -> DvDescriptor("u",
+        DeletionVectors.encodeUuid(uuid), Some(1),
+        blob.length - 8, card) // size = data bytes (frame minus len+crc)
+    }.toMap
     val dvOf: Map[String, DvDescriptor] =
-      if (ice.deletes.isEmpty) Map.empty
+      if (icePosDels.isEmpty) dvCarried
       else {
         import org.apache.spark.sql.functions.{broadcast, col, lit}
         import spark.implicits._
-        val delRows = ice.deletes.map(d =>
+        val delRows = icePosDels.map(d =>
           spark.read.parquet(d.path)
             .select(col("file_path"), col("pos"))
             .withColumn("__dseq", lit(d.seq)))
           .reduce(_ unionByName _)
+          .filter(!col("file_path").isin(dvCarried.keys.toSeq: _*))
         val fileSeq = ice.files.map(f => (f.rawPath, f.seq))
           .toDF("file_path", "__fseq")
         val applicable = delRows
@@ -2811,7 +2865,7 @@ object DeltaInterop {
             TableIO.join(dstBase, s"deletion_vector_$uuid.bin"), bytes)
           raw -> DvDescriptor("u", DeletionVectors.encodeUuid(uuid),
             Some(off), data.length, positions.size.toLong)
-        }
+        } ++ dvCarried
       }
     val adds = ice.files.map { f =>
       val abs = PathCodec.absNorm(f.path)

@@ -81,9 +81,19 @@ object IcebergInterop {
                                  sizeBytes: Long = -1L)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
-    * of (file_path, pos) rows + the delete's sequence number. */
+    * of (file_path, pos) rows + the delete's sequence number.
+    * In format v3 the same manifest slot carries DELETION VECTORS
+    * (spec v3 §Deletion Vectors): `file_format=PUFFIN` with
+    * `referenced_data_file` naming the ONE data file the vector masks
+    * and `content_offset`/`content_size_in_bytes` framing the blob —
+    * `dv.isDefined` distinguishes the two shapes. */
   final case class PositionDeleteFile(path: String, seq: Long, sizeBytes: Long,
-                                      recordCount: Long = -1L)
+                                      recordCount: Long = -1L,
+                                      referencedDataFile: Option[String] = None,
+                                      contentOffset: Option[Long] = None,
+                                      contentSize: Option[Long] = None) {
+    def dv: Boolean = referencedDataFile.isDefined
+  }
 
   /** One live equality-delete file (v2 merge-on-read): resolved parquet
     * whose rows hold the values of the `equality_ids` columns; a data
@@ -125,7 +135,8 @@ object IcebergInterop {
       // in the data files (the Delta layout). The read path projects
       // those columns from the manifests' partition tuples (spec
       // §Column Projection).
-      nameMapped: Boolean = false) {
+      nameMapped: Boolean = false,
+      formatVersion: Int = 2) {
     /** True iff every live data file's partition record matches the
       * default spec's field set — i.e. no live file predates the last
       * partition evolution. Maintenance that restamps partition records
@@ -314,7 +325,8 @@ object IcebergInterop {
                snapshotId: Option[Long] = None): IcebergSnapshot = {
     val meta = readMeta(base)
     val fv = meta.get("format-version").asInt()
-    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv")
+    require(fv == 1 || fv == 2 || fv == 3,
+      s"unsupported Iceberg format-version $fv")
     // current schema (schemas list + current-schema-id; v1 fallback "schema")
     val schemaNode = Option(meta.get("schemas")).map { ss =>
       val want = meta.get("current-schema-id").asInt()
@@ -401,7 +413,11 @@ object IcebergInterop {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = opt(df, "content").map(_.toString.toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("PARQUET"),
+          // puffin is legal ONLY for v3 deletion-vector entries
+          // (content=1 in a delete manifest with referenced_data_file)
+          require(fmt.equalsIgnoreCase("PARQUET") ||
+              (fmt.equalsIgnoreCase("PUFFIN") && content == 1 &&
+               fileContent == 1),
             s"unsupported Iceberg data file format $fmt")
           if (content == 0) {
             require(fileContent == 0,
@@ -446,7 +462,13 @@ object IcebergInterop {
               .map(_.toString.toLong).getOrElse(-1L)
             if (fileContent == 1)
               deletes += PositionDeleteFile(f, entrySeq, io.length(f),
-                recCount)
+                recCount,
+                referencedDataFile =
+                  opt(df, "referenced_data_file").map(_.toString),
+                contentOffset =
+                  opt(df, "content_offset").map(_.toString.toLong),
+                contentSize =
+                  opt(df, "content_size_in_bytes").map(_.toString.toLong))
             else {
               import scala.jdk.CollectionConverters._
               val ids = opt(df, "equality_ids").map {
@@ -465,9 +487,10 @@ object IcebergInterop {
       }
     }
     IcebergSnapshot(wantId, schema, partCols,
-      files.distinctBy(_.path).toSeq, deletes.distinctBy(_.path).toSeq,
+      files.distinctBy(_.path).toSeq,
+      deletes.distinctBy(d => (d.path, d.contentOffset)).toSeq,
       eqDeletes.distinctBy(_.path).toSeq, specFields, namesById,
-      specsById, defaultSpecId, nameMapped)
+      specsById, defaultSpecId, nameMapped, fv)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -783,19 +806,47 @@ object IcebergInterop {
     var out = scan // __ice_file (and __ice_pos when needed) attached above
 
     if (snap.deletes.nonEmpty) {
-      // Position deletes: (file_path, pos) rows; apply to data files
-      // with seq ≤ the delete's. Delete rows reference data files by
-      // the manifest's EXACT file_path string, so they resolve through
-      // a broadcast (raw path → identity, seq) map — which also drops
-      // deletes aimed at pruned or dead files — then subtract by ONE
-      // anti join on (file, row_index).
-      val delSchema = StructType(Seq(
-        StructField("file_path", StringType),
-        StructField("pos", LongType)))
-      val deletesDf = snap.deletes.groupBy(_.seq).toSeq.map { case (seq, fs) =>
-        spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+      // Two encodings share the delete-manifest slot: v2 position-
+      // delete PARQUET ((file_path, pos) rows) and v3 DELETION VECTORS
+      // (puffin blobs, one per referenced data file).
+      val (dvDels, posDels) = snap.deletes.partition(_.dv)
+      // v3 DVs: decode driver-side — bounded by the on-disk DV bytes
+      // (compressed bitmaps, metadata scale), the exact shape of the
+      // Delta DV read path — into (referenced raw path, pos, seq) rows.
+      val dvRows: Seq[(String, Long, Long)] = dvDels.flatMap { d =>
+        val bytes = io.readBytes(d.path)
+        val ps = Puffin.readDvBlob(bytes, d.contentOffset.getOrElse(
+            throw new IllegalStateException(
+              s"DV entry ${d.path} lacks content_offset (refusing)")),
+          d.contentSize.getOrElse(d.sizeBytes), d.path)
+        require(d.recordCount < 0 || ps.length.toLong == d.recordCount,
+          s"deletion vector ${d.path} decodes ${ps.length} positions but " +
+          s"declares ${d.recordCount} — corrupt DV (refusing)")
+        ps.map(p => (d.referencedDataFile.get, p, d.seq))
+      }
+      // a DV supersedes position-delete rows aimed at its file: v3
+      // forbids NEW position-delete files, so any DV postdates every
+      // position delete for its target, and the DV writer merged those
+      // positions into the vector — drop them instead of double-applying
+      val dvRefs: Set[String] = dvRows.map(_._1).toSet
+      import spark.implicits._
+      val dvDf = dvRows.toDF("file_path", "pos", "__del_seq")
+      val posParts = posDels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType)))
+        val df0 = spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
           .withColumn("__del_seq", lit(seq))
-      }.reduce(_ unionByName _)
+        if (dvRefs.isEmpty) df0
+        else df0.filter(!col("file_path").isin(dvRefs.toSeq: _*))
+      }
+      // Delete rows reference data files by the manifest's EXACT
+      // file_path string, so they resolve through a broadcast
+      // (raw path → identity, seq) map — which also drops deletes
+      // aimed at pruned or dead files — then subtract by ONE anti
+      // join on (file, row_index); position deletes and DVs apply to
+      // data files with seq ≤ the delete's.
+      val deletesDf = (posParts :+ dvDf).reduce(_ unionByName _)
       val resolved = deletesDf
         .join(broadcast(fileMap), col("file_path") === col("__raw"))
         .where(col("__data_seq") <= col("__del_seq"))
@@ -1005,7 +1056,10 @@ object IcebergInterop {
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
          |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"field-id":135,"default":null},
          |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"field-id":125,"default":null},
-         |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"field-id":128,"default":null}
+         |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"field-id":128,"default":null},
+         |  {"name":"referenced_data_file","type":["null","string"],"field-id":143,"default":null},
+         |  {"name":"content_offset","type":["null","long"],"field-id":144,"default":null},
+         |  {"name":"content_size_in_bytes","type":["null","long"],"field-id":145,"default":null}
          |  $partitionField
          |]}}]}""".stripMargin.replaceAll("\n", ""))
   }
@@ -1344,10 +1398,11 @@ object IcebergInterop {
   private def commitSnapshot(df: DataFrame, base: String, mode: String,
                              partitionBy: Seq[String] = Seq.empty,
                              summary: Map[String, String] = Map.empty,
-                             branch: Option[String] = None): Long =
+                             branch: Option[String] = None,
+                             createFormatVersion: Int = 2): Long =
     commitSnapshotSpec(df, base, mode,
       partitionBy.map(c => c -> (IceTransform.Identity: IceTransform)),
-      summary, branch)
+      summary, branch, createFormatVersion)
 
   /** The derived partition column for one spec entry: identity passes
     * the source through; bucket runs the codegen'd murmur3 expression;
@@ -1432,7 +1487,10 @@ object IcebergInterop {
   private def commitSnapshotSpec(df: DataFrame, base: String, mode: String,
                                  spec: Seq[(String, IceTransform)],
                                  summary: Map[String, String] = Map.empty,
-                                 branch: Option[String] = None): Long = {
+                                 branch: Option[String] = None,
+                                 createFormatVersion: Int = 2): Long = {
+    require(createFormatVersion == 2 || createFormatVersion == 3,
+      s"format-version $createFormatVersion (this writer speaks 2 and 3)")
     val partitionBy = spec.map(_._1)
     val spark = df.sparkSession
     val metaDir = metadataDir(base); io.mkdirs(metaDir)
@@ -1632,7 +1690,10 @@ object IcebergInterop {
     val version = prevA.flatMap(_ => Some(
       io.readString(hint).trim.toLong + 1)).getOrElse(1L)
     val root = mapper.createObjectNode()
-    root.put("format-version", 2)
+    // the format version is the TABLE's, chosen at creation and carried
+    // on every rebuild (upgrades go through upgradeFormatVersion)
+    root.put("format-version",
+      prevA.map(_.get("format-version").asInt()).getOrElse(createFormatVersion))
     // table-uuid is the TABLE's identity, not the commit's: spec
     // readers may verify it across metadata versions, so it must
     // persist from the first commit on (minted only at creation)
@@ -1778,8 +1839,10 @@ object IcebergInterop {
   }
 
   def overwrite(df: DataFrame, base: String,
-                partitionBy: Seq[String] = Seq.empty): Long =
-    commitSnapshot(df, base, "overwrite", partitionBy)
+                partitionBy: Seq[String] = Seq.empty,
+                formatVersion: Int = 2): Long =
+    commitSnapshot(df, base, "overwrite", partitionBy,
+      createFormatVersion = formatVersion)
 
   /** Commit position deletes as a new v2 snapshot — the merge-on-read
     * shape Flink/Spark v2 writers produce: one (file_path, pos) parquet
@@ -1794,7 +1857,9 @@ object IcebergInterop {
     require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
     val prev = readMeta(base)
     require(prev.get("format-version").asInt() == 2,
-      "position deletes are an Iceberg format-v2 feature")
+      "position-delete FILES are format-v2 only (v3 forbids new ones — " +
+      "deletes on a v3 table write deletion vectors; use the *Where/" +
+      "*InSource forms)")
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
 
@@ -1924,8 +1989,10 @@ object IcebergInterop {
     val hint = TableIO.join(metaDir, "version-hint.text")
     require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
     val prev = readMeta(base)
-    require(prev.get("format-version").asInt() == 2,
-      "position deletes are an Iceberg format-v2 feature")
+    val fv = prev.get("format-version").asInt()
+    require(fv == 2 || fv == 3,
+      "row-level deletes need Iceberg format v2 (position-delete files) " +
+      "or v3 (deletion vectors)")
     val snap = snapshot(spark, base)
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1949,6 +2016,8 @@ object IcebergInterop {
     if (n == 0) return prev.get("current-snapshot-id").asLong()
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
+    if (fv == 3) return commitDvDelete(spark, base, prev, snap, matched,
+      snapshotId, id)
     val parts = math.max(1, math.ceil(n / 4e6).toInt)
     val scratch = TableIO.join(base, s".stage_$id")
     matched.repartitionByRange(parts, col("file_path"), col("pos"))
@@ -1992,6 +2061,180 @@ object IcebergInterop {
       .select("file_path").distinct().as[String].collect().toSet
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id,
       referencedRaw = Some(referenced))
+  }
+
+  /** All delete coordinates of `dels` as one (file_path, pos) frame,
+    * whatever their encoding: position-delete parquet scans
+    * distributed; v3 deletion vectors decode driver-side (bounded by
+    * the on-disk bitmap bytes, the Delta-DV read shape). */
+  private def deleteCoordsDf(spark: SparkSession,
+                             dels: Seq[PositionDeleteFile]): DataFrame = {
+    import spark.implicits._
+    val delSchema = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType)))
+    val (dvs, pds) = dels.partition(_.dv)
+    val parts =
+      (if (pds.isEmpty) Seq.empty
+       else Seq(spark.read.schema(delSchema).parquet(pds.map(_.path): _*))) ++
+      (if (dvs.isEmpty) Seq.empty
+       else Seq(dvs.flatMap { d =>
+         Puffin.readDvBlob(io.readBytes(d.path),
+           d.contentOffset.getOrElse(throw new IllegalStateException(
+             s"DV entry ${d.path} lacks content_offset (refusing)")),
+           d.contentSize.getOrElse(d.sizeBytes), d.path)
+           .map(p => (d.referencedDataFile.get, p))
+       }.toDF("file_path", "pos")))
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delSchema))
+  }
+
+  /** Format-v3 DELETE tail (spec v3 §Deletion Vectors): the matched
+    * coordinates fold into DELETION VECTORS — one puffin file per
+    * touched data file, serialized and written ON THE EXECUTORS where
+    * the grouped coordinates already are (the exact shape of the Delta
+    * DV writer); only one descriptor row per file returns to the
+    * driver. The new vector REPLACES every older delete for its file:
+    * the executor task unions the file's previous DV (read through the
+    * storage seam) and any v2-era position-delete rows for the file
+    * union in as a dataframe side — so readers may ignore superseded
+    * deletes, exactly as the spec requires ("a deletion vector must
+    * contain all positions previously deleted for its data file").
+    * The commit carries every current manifest minus superseded DV
+    * entries, and rebases over racing DISJOINT commits: the check
+    * refuses when a winner rewrote a referenced file or touched any of
+    * the same files' vectors (the union base would be stale). */
+  private def commitDvDelete(spark: SparkSession, base: String,
+                             prev: JsonNode, snap: IcebergSnapshot,
+                             matched: DataFrame, snapshotId: Long,
+                             id: String): Long = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val metaDir = metadataDir(base)
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+    // touched data files — bounded by the live file count, the same
+    // metadata-scale collect every DML census here does
+    val touchedRaw: Set[String] =
+      matched.select("file_path").distinct().as[String].collect().toSet
+    // v2-era position-delete rows for touched files (upgrade path):
+    // they fold into the new vector so it supersedes them
+    val legacy = snap.deletes.filterNot(_.dv)
+    val toFold =
+      if (legacy.isEmpty) matched
+      else {
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("pos", LongType)))
+        matched.unionByName(
+          spark.read.schema(delSchema).parquet(legacy.map(_.path): _*)
+            .join(broadcast(touchedRaw.toSeq.toDF("file_path")),
+              Seq("file_path"), "left_semi"))
+      }
+    def dvKeyOf(s: IcebergSnapshot): Map[String, (String, Long)] =
+      s.deletes.filter(_.dv).flatMap(d => d.referencedDataFile.map(r =>
+        r -> (d.path, d.contentOffset.getOrElse(-1L)))).toMap
+    val dvByRawB = spark.sparkContext.broadcast(
+      snap.deletes.filter(_.dv).flatMap(d => d.referencedDataFile.map(r =>
+        r -> (d.path, d.contentOffset.getOrElse(-1L),
+          d.contentSize.getOrElse(d.sizeBytes)))).toMap)
+    val baseStr = base
+    val sid = snapshotId
+    val written: Array[(String, String, Long, Long, Long)] =
+      toFold.groupBy("file_path").agg(collect_list(col("pos")).as("ps"))
+        .as[(String, Seq[Long])]
+        .mapPartitions { it =>
+          it.map { case (raw, ps) =>
+            val old = dvByRawB.value.get(raw).map { case (p, off, len) =>
+              Puffin.readDvBlob(TableIO().readBytes(p), off, len, p).toSeq
+            }.getOrElse(Seq.empty)
+            val all = (old ++ ps).distinct.sorted
+            val name = s"dv-${UUID.randomUUID()}.puffin"
+            val (bytes, locs) = Puffin.dvFileBytes(Seq(raw -> all), sid, sid)
+            TableIO().writeBytes(
+              TableIO.join(TableIO.join(baseStr, "data"), name), bytes)
+            (raw, name, locs.head.offset, locs.head.length,
+              locs.head.cardinality)
+          }
+        }
+        .collect() // ONE ROW PER TOUCHED FILE — metadata scale
+    matched.unpersist()
+    val entrySchema = entrySchemaFor(Seq.empty)
+    val recs = written.toSeq.map { case (raw, name, off, len, card) =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+      val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+      val p = TableIO.join(dataDir, name)
+      dfr.put("content", 1) // DVs live in the position-delete slot
+      dfr.put("file_path", PathCodec.absNorm(p))
+      dfr.put("file_format", "PUFFIN")
+      dfr.put("record_count", card)
+      dfr.put("file_size_in_bytes", io.length(p))
+      dfr.put("referenced_data_file", raw)
+      dfr.put("content_offset", off)
+      dfr.put("content_size_in_bytes", len)
+      rec.put("data_file", dfr)
+      rec
+    }
+    val mFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
+    writeAvro(mFile, entrySchema, recs)
+    def deleteRef(newId: Long) = ManifestRef(mFile, 1, newId, newId,
+      Option(prev.get("default-spec-id")).map(_.asInt()).getOrElse(0))
+    val rebase = SnapshotRebase(
+      check = head => {
+        val live = snapshotLiveRaw(base, head)
+        if (!touchedRaw.subsetOf(live))
+          throw new java.util.ConcurrentModificationException(
+            s"DV delete on $base lost the race to a commit that rewrote " +
+            "a referenced data file — the recorded positions no longer " +
+            "apply, refusing")
+        // the staged vectors are old ∪ new; a winner that changed any
+        // touched file's vector makes that union stale
+        val headDv = dvKeyOf(snapshot(spark, base))
+        val prevDv = dvKeyOf(snap)
+        touchedRaw.foreach { r =>
+          if (headDv.get(r) != prevDv.get(r))
+            throw new java.util.ConcurrentModificationException(
+              s"DV delete on $base lost the race to a commit that also " +
+              s"rewrote the deletion vector of $r — refusing to publish " +
+              "a vector folded from the stale one")
+        }
+      },
+      buildRefs = (head, newId) =>
+        carryManifestsWithoutDv(base, head, touchedRaw) :+ deleteRef(newId))
+    commitManifestListSnapshot(base, prev,
+      carryManifestsWithoutDv(base, prev, touchedRaw) :+ deleteRef(snapshotId),
+      snapshotId, id, "delete", rebase = Some(rebase))
+  }
+
+  /** Carry every current manifest forward, dropping DV entries whose
+    * referenced data file is in `touchedRaw` (the new vector replaces
+    * them — at most one DV per data file, spec v3). Pure metadata:
+    * unlike position-delete liveness this never opens a delete file. */
+  private def carryManifestsWithoutDv(base: String, prev: JsonNode,
+                                      touchedRaw: Set[String]): Seq[ManifestRef] = {
+    val metaDir = metadataDir(base)
+    currentManifests(base, prev).flatMap { m =>
+      if (m.content == 0) Some(m)
+      else {
+        val (sch, recs) = readAvroWithSchema(m.file)
+        val kept = recs.filter { e =>
+          e.get("status").toString.toInt != 2 && {
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            val ref = opt(dfr, "referenced_data_file").map(_.toString)
+            !ref.exists(touchedRaw.contains)
+          }
+        }
+        if (kept.size == recs.size) Some(m)
+        else if (kept.isEmpty) None
+        else {
+          val nf = TableIO.join(metaDir,
+            s"manifest-filtered-${UUID.randomUUID()}.avro")
+          writeAvro(nf, sch, kept)
+          Some(m.copy(file = nf))
+        }
+      }
+    }
   }
 
   /** Row-level CHANGELOG over snapshot ids in (fromSnapshotId,
@@ -2082,20 +2325,16 @@ object IcebergInterop {
             val liveBefore = assembleRead(spark, prev, carried, keepCoords = true)
               .join(broadcast(keyDf), Seq("__ice_file"))
               .withColumn("pos", col("__ice_pos"))
-            val delSchema = StructType(Seq(
-              StructField("file_path", StringType),
-              StructField("pos", LongType)))
             val posDead =
               if (newDel.isEmpty) None
               else {
-                val newCoords = spark.read.schema(delSchema)
-                  .parquet(newDel.map(_.path): _*)
+                val newCoords = deleteCoordsDf(spark, newDel)
                 // subtract coordinates already dead before this snapshot
+                // (a v3 DV rewrite is a SUPERSET of the file's previous
+                // deletes, so the anti join leaves exactly the fresh ones)
                 val fresh =
                   if (prev.deletes.isEmpty) newCoords
-                  else newCoords.join(
-                    spark.read.schema(delSchema)
-                      .parquet(prev.deletes.map(_.path): _*),
+                  else newCoords.join(deleteCoordsDf(spark, prev.deletes),
                     Seq("file_path", "pos"), "left_anti")
                 Some(liveBefore.join(fresh, Seq("file_path", "pos"), "left_semi"))
               }
@@ -2152,8 +2391,9 @@ object IcebergInterop {
     val hint = TableIO.join(metaDir, "version-hint.text")
     require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
     val prev = readMeta(base)
-    require(prev.get("format-version").asInt() == 2,
-      "equality deletes are an Iceberg format-v2 feature")
+    require(Set(2, 3).contains(prev.get("format-version").asInt()),
+      "equality deletes need Iceberg format v2+ (v3 keeps them legal " +
+      "alongside deletion vectors)")
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
     val mFile = stageEqDeleteManifest(spark, base, prev, rows, equalityCols,
@@ -2325,8 +2565,8 @@ object IcebergInterop {
     val hint = TableIO.join(metaDir, "version-hint.text")
     require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
     val prev = readMeta(base)
-    require(prev.get("format-version").asInt() == 2,
-      "equality-delete merges are an Iceberg format-v2 feature")
+    require(Set(2, 3).contains(prev.get("format-version").asInt()),
+      "equality-delete merges need Iceberg format v2+")
     val snap = snapshot(spark, base)
     require(snap.specFields.forall(_.transform == "identity"),
       "mergeUpsert on a transformed partition spec is not implemented")
@@ -3051,6 +3291,10 @@ object IcebergInterop {
     val snap = snapshot(spark, base)
     if (snap.eqDeletes.isEmpty)
       return prev.get("current-snapshot-id").asLong()
+    require(snap.formatVersion == 2,
+      "positionalizeEqualityDeletes writes position-delete files, which " +
+      "format v3 forbids — fold the equality deletes on v3 with a " +
+      "rewrite (rewriteDataFiles) instead")
     // live-modulo-position-deletes scan with coordinates: the rows the
     // equality deletes still see (position-deleted rows are already
     // dead and must not re-die positionally)
@@ -3402,6 +3646,12 @@ object IcebergInterop {
       val content = opt(dfr, "content").map(_.toString.toInt).getOrElse(0)
       val path = resolvePath(base, dfr.get("file_path").toString)
       if (content == 1) {
+        // v3 deletion vectors name their one target in the entry
+        // itself — dead iff that file was rewritten (pure metadata)
+        opt(dfr, "referenced_data_file").map(_.toString) match {
+          case Some(ref) => return !rewrittenRaw.contains(ref)
+          case None =>
+        }
         // position deletes: dead iff every referenced data file was
         // rewritten (one bounded distinct per delete file)
         val refs =
@@ -3455,7 +3705,7 @@ object IcebergInterop {
     * independently writable; shared-files hazard as with any zero-copy
     * convert. */
   def convertFromDelta(spark: SparkSession, deltaBase: String,
-                       dstBase: String): Long = {
+                       dstBase: String, formatVersion: Int = 2): Long = {
     val snap = DeltaInterop.snapshot(spark, deltaBase)
     require(snap.columnMappingMode == "none",
       s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
@@ -3491,16 +3741,28 @@ object IcebergInterop {
     // live deletion vectors CARRY: Delta DV ordinals and Iceberg
     // position deletes share one coordinate system (parquet row index),
     // so the soft-deleted state translates into the target's own
-    // merge-on-read encoding — no purge, no data file rewritten. DV
-    // decode is driver-side but bitmap-sized (the same scale every DV
-    // read pays).
+    // merge-on-read encoding — no purge, no data file rewritten.
+    //  - v2 target: positions decode driver-side (bitmap-sized, the
+    //    same scale every DV read pays) into one sorted delete parquet;
+    //  - v3 target: the framed blob bytes pass through VERBATIM into a
+    //    puffin file — the v3 spec adopted Delta's DV framing exactly
+    //    so no decode happens at all.
+    val dvFiles = snap.files.filter(_.dv.exists(_.cardinality > 0))
     val positionDeletes: Seq[(String, Seq[Long])] =
-      snap.files.filter(_.dv.exists(_.cardinality > 0)).map { f =>
+      if (formatVersion == 3) Seq.empty
+      else dvFiles.map { f =>
         (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
           DeltaInterop.resolveDvPositions(deltaBase, f.dv.get).toSeq)
       }
+    val dvBlobs: Seq[(String, Array[Byte], Long)] =
+      if (formatVersion != 3) Seq.empty
+      else dvFiles.map { f =>
+        (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
+          DeltaInterop.resolveDvBlobFrame(deltaBase, f.dv.get),
+          f.dv.get.cardinality)
+      }
     writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs,
-      positionDeletes)
+      positionDeletes, formatVersion, dvBlobs)
   }
 
   /** Shared tail of every zero-copy convert INTO Iceberg (Delta tables,
@@ -3518,7 +3780,15 @@ object IcebergInterop {
       spark: SparkSession, dstBase: String, schema: StructType,
       partTypes: Seq[(String, DataType)],
       files: Seq[(String, Option[String], Map[String, String])],
-      positionDeletes: Seq[(String, Seq[Long])] = Seq.empty): Long = {
+      positionDeletes: Seq[(String, Seq[Long])] = Seq.empty,
+      formatVersion: Int = 2,
+      dvBlobs: Seq[(String, Array[Byte], Long)] = Seq.empty): Long = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"format-version $formatVersion (this writer speaks 2 and 3)")
+    require(dvBlobs.isEmpty || formatVersion == 3,
+      "deletion-vector blobs need a format-v3 target")
+    require(positionDeletes.isEmpty || formatVersion == 2,
+      "v3 forbids position-delete files — pass dvBlobs instead")
     val metaDir = metadataDir(dstBase)
     require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
       s"convert target is already an Iceberg table: $dstBase")
@@ -3615,10 +3885,43 @@ object IcebergInterop {
     }
     val mFile = TableIO.join(metaDir, s"manifest-$id.avro")
     writeAvro(mFile, entrySchema, entries)
+    // v3 targets: the source's deletion vectors carry as ONE puffin
+    // file, each blob's bytes VERBATIM (the Delta frame is already a
+    // puffin deletion-vector-v1 blob — see Puffin's scaladoc), plus a
+    // content=1 manifest of DV entries at the data's sequence
+    val dvRefs: Seq[ManifestRef] =
+      if (dvBlobs.isEmpty) Seq.empty
+      else {
+        val dataDir = TableIO.join(dstBase, "data"); io.mkdirs(dataDir)
+        val (bytes, locs) =
+          Puffin.dvFileBytesFramed(dvBlobs, snapshotId, snapshotId)
+        val pufFile = TableIO.join(dataDir, s"dv-conv-$id.puffin")
+        io.writeBytes(pufFile, bytes)
+        val delSchema = entrySchemaFor(Seq.empty)
+        val recs = locs.map { l =>
+          val rec = new GenericData.Record(delSchema)
+          rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+          val dfr = new GenericData.Record(
+            delSchema.getField("data_file").schema())
+          dfr.put("content", 1)
+          dfr.put("file_path", PathCodec.absNorm(pufFile))
+          dfr.put("file_format", "PUFFIN")
+          dfr.put("record_count", l.cardinality)
+          dfr.put("file_size_in_bytes", io.length(pufFile))
+          dfr.put("referenced_data_file", l.referencedDataFile)
+          dfr.put("content_offset", l.offset)
+          dfr.put("content_size_in_bytes", l.length)
+          rec.put("data_file", dfr)
+          rec
+        }
+        val dmFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
+        writeAvro(dmFile, delSchema, recs)
+        Seq(ManifestRef(dmFile, 1, snapshotId, snapshotId, 0))
+      }
     // translated merge-on-read deletes: one sorted (file_path, pos)
     // parquet + one content=1 manifest, both at the data's sequence
     val deleteRefs: Seq[ManifestRef] =
-      if (positionDeletes.isEmpty) Seq.empty
+      if (positionDeletes.isEmpty) dvRefs
       else {
         import spark.implicits._
         val rows = positionDeletes.flatMap { case (p, ps) =>
@@ -3652,7 +3955,7 @@ object IcebergInterop {
     writeManifestList(mlFile,
       ManifestRef(mFile, 0, snapshotId, snapshotId, 0) +: deleteRefs)
     val root = mapper.createObjectNode()
-    root.put("format-version", 2)
+    root.put("format-version", formatVersion)
     root.put("table-uuid", UUID.randomUUID().toString)
     root.put("location", dstBase)
     // the converted files carry NO parquet field ids (Delta writes
@@ -3835,6 +4138,26 @@ object IcebergInterop {
       s"snapshot $snapshotId not in $base (have $known)")
     meta.put("current-snapshot-id", snapshotId)
     commitMetadataVersion(base, meta)
+  }
+
+  /** Upgrade the table's format version in place (Iceberg's
+    * `ALTER TABLE ... SET TBLPROPERTIES('format-version'='3')`) — a
+    * metadata-only commit. v2 → v3 is always legal: existing
+    * position-delete files stay readable, and the FIRST v3 delete that
+    * touches a file folds its recorded positions into the new deletion
+    * vector (commitDvDelete's legacy union). Downgrades refuse. */
+  def upgradeFormatVersion(base: String, to: Int): Long = {
+    require(to == 2 || to == 3, s"format-version $to (writer speaks 2 and 3)")
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cur = meta.get("format-version").asInt()
+    if (cur == to) return meta.get("current-snapshot-id").asLong()
+    require(to > cur,
+      s"cannot downgrade format-version $cur → $to (v3 state — deletion " +
+      "vectors — has no v2 encoding)")
+    meta.put("format-version", to)
+    commitMetadataVersion(base, meta)
+    meta.get("current-snapshot-id").asLong()
   }
 
   // -------------------------------------------------------------- refs
