@@ -2063,6 +2063,18 @@ object IcebergInterop {
       referencedRaw = Some(referenced))
   }
 
+  /** The data files a row-level delete entry references: a DV names
+    * its one target in the manifest entry (pure metadata); a position-
+    * delete parquet needs one bounded distinct scan. */
+  private def deleteFileRefs(spark: SparkSession,
+                             d: PositionDeleteFile): Set[String] =
+    d.referencedDataFile match {
+      case Some(ref) => Set(ref)
+      case None =>
+        spark.read.parquet(d.path).select("file_path")
+          .distinct().collect().map(_.getString(0)).toSet
+    }
+
   /** All delete coordinates of `dels` as one (file_path, pos) frame,
     * whatever their encoding: position-delete parquet scans
     * distributed; v3 deletion vectors decode driver-side (bounded by
@@ -2781,11 +2793,9 @@ object IcebergInterop {
             "the rewritten files' higher sequence would outrank it and " +
             "resurrect rows, refusing")
         headSnap.deletes.filter(_.seq > prevSeq).foreach { d =>
-          val refs = spark.read.parquet(d.path).select("file_path")
-            .distinct().collect().map(_.getString(0)).toSet
-          if (refs.exists(touchedRaw.contains))
+          if (deleteFileRefs(spark, d).exists(touchedRaw.contains))
             throw new java.util.ConcurrentModificationException(
-              s"updateWhere on $base raced a position delete referencing " +
+              s"updateWhere on $base raced a row-level delete referencing " +
               "a rewritten file — its positions would be lost, refusing")
         }
       },
@@ -3604,11 +3614,9 @@ object IcebergInterop {
             "delete — the replacement files' higher sequence would " +
             "outrank it and resurrect rows, refusing")
         headSnap.deletes.filter(_.seq > prevSeq).foreach { d =>
-          val touched = spark.read.parquet(d.path).select("file_path")
-            .distinct().collect().map(_.getString(0)).toSet
-          if (touched.exists(rewrittenRaw.contains))
+          if (deleteFileRefs(spark, d).exists(rewrittenRaw.contains))
             throw new java.util.ConcurrentModificationException(
-              s"rewriteDataFiles on $base raced a position delete " +
+              s"rewriteDataFiles on $base raced a row-level delete " +
               "referencing a rewritten file — its positions would be " +
               "lost, refusing")
         }

@@ -118,6 +118,34 @@ class MaintenanceSqlSpec extends SparkSpec {
       .head().getLong(0) == 30L, "source DML leaked into the convert")
   }
 
+  test("CONVERT graft-log TO ICEBERG3: DV state re-frames as puffin vectors") {
+    val log = freshBase("conv_log3")
+    GraftLog.overwriteClustered(
+      (0L until 30L).map(k => (k, k * 3)).toDF("k", "v"), log,
+      clusterCols = Seq("k"), nFiles = 3)
+    GraftLog.deleteVectored(spark, log, col("k") % 6 === 1)
+    val preConvertFiles = GraftLog.snapshot(log).files
+      .map(p => graft.sources.PathCodec.absNorm(s"$log/$p")).toSet
+    GraftSql.registerTable(spark, "maint_conv_log3", log)
+    val ice = freshBase("conv_log3_ice")
+    GraftSql.sql(spark,
+      s"CONVERT maint_conv_log3 TO ICEBERG3 AS maint_conv_l3 LOCATION '$ice'")
+    assert(spark.sql("SELECT sum(v) AS s FROM maint_conv_l3")
+      .head().getLong(0) == (0L until 30L).filterNot(_ % 6 == 1).map(_ * 3).sum)
+    val isnap = graft.sources.IcebergInterop.snapshot(spark, ice)
+    assert(isnap.formatVersion == 3)
+    assert(isnap.deletes.nonEmpty && isnap.deletes.forall(_.dv),
+      s"graft-log DV state must land as v3 deletion vectors: ${isnap.deletes}")
+    assert(isnap.deletes.map(_.recordCount).sum == 5)
+    isnap.files.foreach(f => assert(preConvertFiles.contains(
+      graft.sources.PathCodec.absNorm(f.path)),
+      "the v3 convert rewrote a data file"))
+    // the converted table's own v3 DML composes on the carried vectors
+    GraftSql.sql(spark, "DELETE FROM maint_conv_l3 WHERE k = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM maint_conv_l3")
+      .head().getLong(0) == 24L)
+  }
+
   test("RESTORE TABLE returns a graft-log table to a pre-DML version") {
     val base = freshBase("log_restore")
     GraftLog.overwriteClustered(

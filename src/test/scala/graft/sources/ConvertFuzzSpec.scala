@@ -32,7 +32,11 @@ class ConvertFuzzSpec extends SparkSpec {
   private def runSequence(seed: Int, nOps: Int,
                           partitioned: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
-    var fmt = if (rnd.nextBoolean()) "delta" else "iceberg"
+    // three format states: delta, iceberg (v2), iceberg3 (deletion
+    // vectors) — every convert and DML op composes across all of them
+    var fmt = rnd.nextInt(3) match {
+      case 0 => "delta"; case 1 => "iceberg"; case 2 => "iceberg3"
+    }
     var base = tmp() + "/t0"
     var nextKey = 100L
     var converts = 0
@@ -47,7 +51,8 @@ class ConvertFuzzSpec extends SparkSpec {
     }
     val seedDf = withPart(model.toSeq).coalesce(1)
     if (fmt == "delta") DeltaInterop.overwrite(seedDf, base, parts)
-    else IcebergInterop.overwrite(seedDf, base, parts)
+    else IcebergInterop.overwrite(seedDf, base, parts,
+      formatVersion = if (fmt == "iceberg3") 3 else 2)
 
     def contents(): Map[Long, Long] = {
       val df = if (fmt == "delta") DeltaInterop.read(spark, base)
@@ -72,13 +77,13 @@ class ConvertFuzzSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { _ =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // append fresh keys
           val ks = (0 until 1 + rnd.nextInt(3)).map(_ =>
             { val k = nextKey; nextKey += 1; k })
           val df = withPart(ks.map(k => (k, k * 10))).coalesce(1)
           if (fmt == "delta") DeltaInterop.append(df, base, parts)
-          else IcebergInterop.append(df, base) // inherits the spec
+          else IcebergInterop.append(df, base) // inherits spec + version
           model ++= ks.map(k => k -> (k * 10))
           check("append")
         case 1 if model.nonEmpty => // merge-on-read delete
@@ -110,19 +115,35 @@ class ConvertFuzzSpec extends SparkSpec {
           else IcebergInterop.mergeUpsert(spark, base, src, Seq("id"))
           model ++= (existing ++ fresh).map(k => k -> -k)
           check("merge")
+        case 4 if fmt == "iceberg" => // in-place v2 → v3 upgrade
+          IcebergInterop.upgradeFormatVersion(base, 3)
+          fmt = "iceberg3"
+          check("upgrade")
         case _ => // CONVERT to the other format and continue there
           converts += 1
           val dst = tmp() + s"/t$converts"
-          if (fmt == "delta") {
-            IcebergInterop.convertFromDelta(spark, base, dst)
-            fmt = "iceberg"
-          } else {
-            // CDC merges leave equality deletes — positionalize (one
-            // scan, no rewrite), then the zero-copy convert carries
-            // the positional state as deletion vectors
-            IcebergInterop.positionalizeEqualityDeletes(spark, base)
-            DeltaInterop.convertFromIceberg(spark, base, dst)
-            fmt = "delta"
+          fmt match {
+            case "delta" =>
+              // target version drawn too: v3 carries DV blobs verbatim,
+              // v2 decodes them into position deletes
+              val v3 = rnd.nextBoolean()
+              IcebergInterop.convertFromDelta(spark, base, dst,
+                formatVersion = if (v3) 3 else 2)
+              fmt = if (v3) "iceberg3" else "iceberg"
+            case "iceberg" =>
+              // CDC merges leave equality deletes — positionalize (one
+              // scan, no rewrite), then the zero-copy convert carries
+              // the positional state as deletion vectors
+              IcebergInterop.positionalizeEqualityDeletes(spark, base)
+              DeltaInterop.convertFromIceberg(spark, base, dst)
+              fmt = "delta"
+            case _ => // iceberg3
+              // v3 forbids positionalization; a sorted rewrite folds
+              // any live equality deletes (and vectors) first
+              if (IcebergInterop.snapshot(spark, base).eqDeletes.nonEmpty)
+                IcebergInterop.rewriteDataFilesSorted(spark, base, Seq("id"))
+              DeltaInterop.convertFromIceberg(spark, base, dst)
+              fmt = "delta"
           }
           base = dst
           check("convert")
