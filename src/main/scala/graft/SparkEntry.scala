@@ -3072,6 +3072,36 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  /** Iceberg v3 row lineage (q233): the v3 mirror of q224's Delta row
+    * tracking. A v3 table is created range-sorted on o_orderkey so the
+    * spec's first_row_id inheritance assigns `_row_id` = the global
+    * orderkey rank; a DV DELETE then kills rows WITHOUT moving
+    * survivors' positions, and a copy-on-write UPDATE rewrites files
+    * while MATERIALIZING every surviving row's id. The oracle
+    * re-derives the ids independently (row_number() over orderkey) and
+    * replays the DML as filters — per-group `sum(_row_id)` hash-matches
+    * ONLY if no id ever shifted at any step. */
+  private def qIcebergV3Lineage(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_v3_lineage_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      IcebergInterop.overwrite(ords, p, formatVersion = 3)
+      IcebergInterop.deletePositionsWhere(s, p, col("o_custkey") % 9 === 4)
+      IcebergInterop.updateWhere(s, p, col("o_orderkey") <= 2000,
+        Map("totalprice" -> (col("totalprice") + lit(100))))
+    }
+    IcebergInterop.readWithRowIds(s, base)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("_row_id")).as("sum_row_id"),
+        sum(col("totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy(col("status"))
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5615,6 +5645,7 @@ object SparkEntry {
     "q230_sql_update_exists" -> (qSqlUpdateExists _),
     "q231_partitioned_cdf_stream" -> (qPartitionedCdfStream _),
     "q232_iceberg_v3_dv" -> (qIcebergV3Dv _),
+    "q233_iceberg_v3_lineage" -> (qIcebergV3Lineage _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6943,6 +6974,18 @@ object SparkEntry {
            SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
            WHERE o_orderkey < 50
          ) GROUP BY o_orderstatus ORDER BY status""",
+    "q233_iceberg_v3_lineage" ->
+      """WITH ids AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+           FROM orders)
+         SELECT o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(rid) AS BIGINT) AS sum_row_id,
+           CAST(sum(CASE WHEN o_orderkey <= 2000 THEN tp + 100 ELSE tp END)
+                AS DOUBLE) AS total_price
+         FROM ids WHERE o_custkey % 9 <> 4
+         GROUP BY o_orderstatus ORDER BY status""",
     // 0.9*16^8 = 0xe6666666 (hashSplit's threshold); gram algebra
     // mirrors q101's oracle
     "q228_decontaminated_split" ->

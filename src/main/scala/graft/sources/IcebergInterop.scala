@@ -78,7 +78,12 @@ object IcebergInterop {
                                  lowerBounds: Map[Int, Array[Byte]] = Map.empty,
                                  upperBounds: Map[Int, Array[Byte]] = Map.empty,
                                  recordCount: Long = -1L,
-                                 sizeBytes: Long = -1L)
+                                 sizeBytes: Long = -1L,
+                                 // spec v3 §Row Lineage: the id of the
+                                 // file's first row — explicit in the
+                                 // entry or inherited from the manifest
+                                 // (resolved at snapshot() time)
+                                 firstRowId: Option[Long] = None)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number.
@@ -186,6 +191,21 @@ object IcebergInterop {
   // hard-link POSIX by default; object-store deployments swap
   // TableIO.current (see TableIO's scaladoc for the operation mapping)
   private def io: TableIO = TableIO()
+
+  /** Row-lineage metadata columns (spec v3 §Row Lineage) and their
+    * RESERVED field ids: rewritten files materialize them; reads
+    * resolve per row as materialized-else-inherited. */
+  val RowIdCol = "_row_id"
+  val LastUpdatedSeqCol = "_last_updated_sequence_number"
+  private val RowIdFieldId = 2147483540L
+  private val LastUpdatedSeqFieldId = 2147483539L
+  private def lineageIdOf(under: String => Long): String => Long = {
+    case RowIdCol => RowIdFieldId
+    case LastUpdatedSeqCol => LastUpdatedSeqFieldId
+    case n => under(n)
+  }
+  private def lineageExtras: Seq[StructField] = Seq(
+    StructField(RowIdCol, LongType), StructField(LastUpdatedSeqCol, LongType))
 
   private def metadataDir(base: String) = TableIO.join(base, "metadata")
 
@@ -405,6 +425,11 @@ object IcebergInterop {
       // sequence_number inherit it (spec §Sequence Number Inheritance)
       val manifestSeq = opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L)
       val mPath = resolvePath(base, m.get("manifest_path").toString)
+      // spec v3 §Row Lineage first_row_id inheritance: an entry without
+      // an explicit value inherits the manifest's first_row_id plus the
+      // record counts of the PRECEDING null-valued data entries
+      val manifestFirstRowId = opt(m, "first_row_id").map(_.toString.toLong)
+      var rowIdOffset = 0L
       readAvro(mPath).foreach { e =>
         val status = e.get("status").toString.toInt
         if (status != 2) { // 0 existing, 1 added, 2 deleted
@@ -446,11 +471,20 @@ object IcebergInterop {
                   }.toMap
                 case _ => Map.empty[Int, Array[Byte]]
               }.getOrElse(Map.empty)
+            val recCount =
+              opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L)
+            val explicitFri = opt(df, "first_row_id").map(_.toString.toLong)
+            val fri = explicitFri.orElse(manifestFirstRowId.map { base0 =>
+              val v = base0 + rowIdOffset
+              rowIdOffset += math.max(0L, recCount)
+              v
+            })
             files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq,
               boundsOf("lower_bounds"), boundsOf("upper_bounds"),
-              opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L),
+              recCount,
               opt(df, "file_size_in_bytes")
-                .map(_.toString.toLong).getOrElse(-1L))
+                .map(_.toString.toLong).getOrElse(-1L),
+              firstRowId = fri)
           } else {
             // merge-on-read deletes: position (content=1) and equality
             // (content=2); anything else would resurrect rows if ignored
@@ -734,7 +768,12 @@ object IcebergInterop {
     * merge-on-read deletes. */
   private def assembleRead(spark: SparkSession, snap: IcebergSnapshot,
                            kept: Seq[DataFileEntry],
-                           keepCoords: Boolean = false): DataFrame = {
+                           keepCoords: Boolean = false,
+                           // physical columns OUTSIDE the table schema
+                           // to read as-is (null for files lacking
+                           // them) — the materialized row-lineage
+                           // columns of rewritten v3 files
+                           extraCols: Seq[StructField] = Seq.empty): DataFrame = {
     // Iceberg resolution is BY FIELD ID: the snapshot schema carries
     // parquet.field.id metadata and this conf makes Spark's reader
     // honor it. Every public read path sets it — but so must THIS
@@ -747,11 +786,12 @@ object IcebergInterop {
     // with keepCoords the caller gets `__ice_file` (normalized on-disk
     // path) and `__ice_pos` (raw parquet row_index — the position-delete
     // coordinate system) for row-level DML
-    val outSchema =
-      if (!keepCoords) snap.schema
-      else StructType(snap.schema.fields ++ Seq(
-        StructField("__ice_file", StringType),
-        StructField("__ice_pos", LongType)))
+    val outSchema = StructType(
+      (if (!keepCoords) snap.schema.fields
+       else snap.schema.fields ++ Seq(
+         StructField("__ice_file", StringType),
+         StructField("__ice_pos", LongType))) ++
+      extraCols.map(_.copy(nullable = true)))
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
@@ -769,7 +809,8 @@ object IcebergInterop {
           .flatMap(n => snap.schema.fields.find(_.name == n)).map(sf -> _))
     val needFileCol = keepCoords || projectCols.nonEmpty ||
       snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty
-    val scanRaw = spark.read.schema(snap.schema).parquet(kept.map(_.path): _*)
+    val scanRaw = spark.read.schema(StructType(snap.schema.fields ++
+      extraCols.map(_.copy(nullable = true)))).parquet(kept.map(_.path): _*)
     val scan1 =
       if (!needFileCol) scanRaw
       else {
@@ -789,7 +830,8 @@ object IcebergInterop {
       else projectIdentityPartitions(spark, snap, kept, scan1, projectCols)
     if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty) {
       val cols = snap.schema.fieldNames.toSeq ++
-        (if (keepCoords) Seq("__ice_file", "__ice_pos") else Seq.empty)
+        (if (keepCoords) Seq("__ice_file", "__ice_pos") else Seq.empty) ++
+        extraCols.map(_.name)
       return scan.select(cols.map(org.apache.spark.sql.functions.col): _*)
     }
 
@@ -904,7 +946,8 @@ object IcebergInterop {
     }
     val coordCols =
       if (keepCoords) Seq(col("__ice_file"), col("__ice_pos")) else Seq.empty
-    out.select(snap.schema.fieldNames.map(col) ++ coordCols: _*)
+    out.select(snap.schema.fieldNames.map(col) ++ coordCols ++
+      extraCols.map(f => col(f.name)): _*)
   }
 
   /** Fill identity-partition columns from the manifests' per-file
@@ -1057,6 +1100,7 @@ object IcebergInterop {
          |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"field-id":135,"default":null},
          |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"field-id":125,"default":null},
          |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"field-id":128,"default":null},
+         |  {"name":"first_row_id","type":["null","long"],"field-id":142,"default":null},
          |  {"name":"referenced_data_file","type":["null","string"],"field-id":143,"default":null},
          |  {"name":"content_offset","type":["null","long"],"field-id":144,"default":null},
          |  {"name":"content_size_in_bytes","type":["null","long"],"field-id":145,"default":null}
@@ -1071,7 +1115,8 @@ object IcebergInterop {
       |{"name":"partition_spec_id","type":"int","field-id":502},
       |{"name":"content","type":"int","field-id":517},
       |{"name":"sequence_number","type":"long","field-id":515},
-      |{"name":"added_snapshot_id","type":"long","field-id":503}
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"first_row_id","type":["null","long"],"field-id":520,"default":null}
       |]}""".stripMargin.replaceAll("\n", ""))
 
   /** One manifest-list row worth of state the writer must preserve when
@@ -1081,7 +1126,8 @@ object IcebergInterop {
     * vary across live manifests). */
   private final case class ManifestRef(file: String, content: Int,
                                        seq: Long, addedSnapshotId: Long,
-                                       specId: Int = 0)
+                                       specId: Int = 0,
+                                       firstRowId: Option[Long] = None)
 
   /** The current snapshot's manifests with their recorded content and
     * sequence numbers (defaults for v1 lists without those columns). */
@@ -1101,9 +1147,22 @@ object IcebergInterop {
           opt(r, "content").map(_.toString.toInt).getOrElse(0),
           opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
           r.get("added_snapshot_id").toString.toLong,
-          opt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0))
+          opt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0),
+          opt(r, "first_row_id").map(_.toString.toLong))
       }
   }
+
+  /** Rows a data manifest still needs lineage ids for: the record
+    * counts of its live data entries WITHOUT an explicit first_row_id
+    * (spec v3 §Row Lineage — explicit entries were assigned at an
+    * earlier commit and do not consume new ids). */
+  private def unassignedRowsOf(mFile: String): Long =
+    readAvro(mFile).filter(_.get("status").toString.toInt != 2)
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+      .filter(df => opt(df, "content").map(_.toString.toInt).getOrElse(0) == 0
+        && opt(df, "first_row_id").isEmpty)
+      .map(df => math.max(0L,
+        opt(df, "record_count").map(_.toString.toLong).getOrElse(0L))).sum
 
   private def writeManifestList(f: String, rows: Seq[ManifestRef]): Unit =
     writeAvro(f, manifestFileSchema, rows.map { m =>
@@ -1114,6 +1173,8 @@ object IcebergInterop {
       r.put("content", m.content)
       r.put("sequence_number", m.seq)
       r.put("added_snapshot_id", m.addedSnapshotId)
+      m.firstRowId.foreach(v =>
+        r.put("first_row_id", java.lang.Long.valueOf(v)))
       r
     })
 
@@ -1679,9 +1740,21 @@ object IcebergInterop {
       else Seq.empty
     val mlName = s"snap-$snapshotId-$id.avro"
     val mlFile = TableIO.join(metaDir, mlName)
+    // spec v3 §Row Lineage: the new manifest's files take ids starting
+    // at the table's next-row-id (per-file values INHERIT from this
+    // manifest-list field — nothing is stamped per entry); carried
+    // manifests keep the ids they were assigned at their own commit
+    val fvA = prevA.map(_.get("format-version").asInt())
+      .getOrElse(createFormatVersion)
+    val rowIdBase: Option[Long] =
+      if (fvA < 3) None
+      else Some(prevA.flatMap(m => Option(m.get("next-row-id"))
+        .map(_.asLong())).getOrElse(0L))
+    val addedRows = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").toString.toLong).sum
     writeManifestList(mlFile,
       carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId,
-        storedSpecA.map(_._1).getOrElse(0)))
+        storedSpecA.map(_._1).getOrElse(0), firstRowId = rowIdBase))
 
     // 4. new metadata json + version hint (atomic rename commit) —
     // assembled with the Jackson node API end to end: interpolating
@@ -1774,6 +1847,7 @@ object IcebergInterop {
       val snaps = m.get("snapshots")
       (0 until snaps.size()).foreach(i => snapsArr.add(snaps.get(i)))
     }
+    rowIdBase.foreach { b => root.put("next-row-id", b + addedRows) }
     val snapNode = snapsArr.addObject()
     snapNode.put("snapshot-id", snapshotId)
     // the ancestry link fastForward's publish check walks
@@ -1781,6 +1855,7 @@ object IcebergInterop {
       prevA.map(_.get("current-snapshot-id").asLong()).filter(_ > 0))
       .foreach(pid => snapNode.put("parent-snapshot-id", pid))
     snapNode.put("sequence-number", snapshotId)
+    rowIdBase.foreach(b => snapNode.put("first-row-id", b))
     snapNode.put("timestamp-ms", committedAtMs)
     snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
     val sm = snapNode.putObject("summary")
@@ -2754,18 +2829,49 @@ object IcebergInterop {
       touchedKeys.contains(PathCodec.metadataPathKey(f.path)))
     val survivors = snap.files.filterNot(f =>
       touchedKeys.contains(PathCodec.metadataPathKey(f.path)))
-    // rewrite ONLY the touched files: survivors verbatim, matches
-    // updated, their deletes folded (assembleRead applies them)
-    val touchedScan = mark(assembleRead(spark, snap, touched))
-    val withTemps = setTyped.foldLeft(touchedScan) { case (d, (c, e)) =>
-      d.withColumn(s"__set_$c", e) }
-    val updated = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
-      d.withColumn(c, when(col("__upd"), col(s"__set_$c")).otherwise(col(c)))
-    }.select(snap.schema.fieldNames.map(col): _*)
     val snapshotId = nextSnapshotId(prev)
+    // rewrite ONLY the touched files: survivors verbatim, matches
+    // updated, their deletes folded (assembleRead applies them).
+    // v3 row lineage rides along MATERIALIZED (spec: copy-on-write must
+    // preserve ids): every rewritten row carries its resolved _row_id,
+    // and _last_updated_sequence_number moves to THIS commit's sequence
+    // for updated rows while survivors keep theirs. (On an OCC rebase
+    // the staged files republish, so the materialized update sequence
+    // names the first ATTEMPT — a lower bound of the commit's, the
+    // snapshot-isolation approximation this path already accepts.)
+    val lineageOn = snap.formatVersion >= 3
+    val touchedScan0 =
+      if (!lineageOn) mark(assembleRead(spark, snap, touched))
+      else {
+        import spark.implicits._
+        val lineage = touched.map(f => (PathCodec.metadataPathKey(f.path),
+          f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
+        mark(assembleRead(spark, snap, touched, keepCoords = true,
+            extraCols = lineageExtras))
+          .join(org.apache.spark.sql.functions.broadcast(lineage),
+            Seq("__ice_file"))
+      }
+    val withTemps = setTyped.foldLeft(touchedScan0) { case (d, (c, e)) =>
+      d.withColumn(s"__set_$c", e) }
+    val keepCols = snap.schema.fieldNames.toSeq ++
+      (if (lineageOn) Seq(RowIdCol, LastUpdatedSeqCol) else Seq.empty)
+    val updated0 = setTyped.foldLeft(withTemps) { case (d, (c, _)) =>
+      d.withColumn(c, when(col("__upd"), col(s"__set_$c")).otherwise(col(c)))
+    }
+    val updated =
+      (if (!lineageOn) updated0
+       else updated0
+         .withColumn(RowIdCol, org.apache.spark.sql.functions.coalesce(
+           col(RowIdCol), col("__fri") + col("__ice_pos")))
+         .withColumn(LastUpdatedSeqCol, when(col("__upd"),
+             org.apache.spark.sql.functions.lit(snapshotId))
+           .otherwise(org.apache.spark.sql.functions.coalesce(
+             col(LastUpdatedSeqCol), col("__seq")))))
+        .select(keepCols.map(col): _*)
     val id = UUID.randomUUID().toString
     val dataM = stageDataManifest(updated, base, snap.partitionColumns,
-      snapshotId, id, schemaIdOf(snap.schema), snap.specFields.map(_.fieldId))
+      snapshotId, id, lineageIdOf(schemaIdOf(snap.schema)),
+      snap.specFields.map(_.fieldId))
     val touchedRaw = touched.map(_.rawPath).toSet
     val carried = carryManifestsWithout(spark, base, prev,
       touchedRaw, survivors)
@@ -2927,14 +3033,34 @@ object IcebergInterop {
     var attempt = 0
     while (true) {
       val mlFile = TableIO.join(metaDir, s"snap-$curId-$id.avro")
-      writeManifestList(mlFile, curRefs)
+      // spec v3 §Row Lineage: NEW data manifests (no first_row_id yet)
+      // take ids from the head's next-row-id, in list order; carried
+      // manifests keep the ids of their own commit. Recomputed per
+      // publish attempt — a rebase re-bases the ids on the winner.
+      val fvHead = curPrev.get("format-version").asInt()
+      var nextRid =
+        if (fvHead < 3) -1L
+        else Option(curPrev.get("next-row-id")).map(_.asLong()).getOrElse(0L)
+      val firstRidOfSnapshot = nextRid
+      val assignedRefs =
+        if (fvHead < 3) curRefs
+        else curRefs.map { m =>
+          if (m.content != 0 || m.firstRowId.isDefined) m
+          else {
+            val n = unassignedRowsOf(m.file)
+            val r = m.copy(firstRowId = Some(nextRid)); nextRid += n; r
+          }
+        }
+      writeManifestList(mlFile, assignedRefs)
       val root = curPrev.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
       val committedAtMs = clock() // one instant per commit
       root.put("last-sequence-number", curId)
       root.put("current-snapshot-id", curId)
       root.put("last-updated-ms", committedAtMs)
+      if (fvHead >= 3) root.put("next-row-id", nextRid)
       val snapNode = mapper.createObjectNode()
       snapNode.put("snapshot-id", curId)
+      if (fvHead >= 3) snapNode.put("first-row-id", firstRidOfSnapshot)
       // ancestry link for fastForward's publish check and cherryPick's
       // added-files derivation
       Option(curPrev.get("current-snapshot-id")).map(_.asLong())
@@ -3530,9 +3656,29 @@ object IcebergInterop {
       snap.partitionColumns.map(c => c -> snap.schema(c).dataType)
     val entrySchema = entrySchemaFor(partTypes, snap.specFields.map(_.fieldId))
     val newEntries = mutable.ArrayBuffer.empty[GenericRecord]
+    // v3 row lineage rides along MATERIALIZED: compaction must be
+    // id-invariant (spec: rewritten rows keep _row_id and
+    // _last_updated_sequence_number)
+    val lineageOn = snap.formatVersion >= 3
     groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(",")).zipWithIndex.foreach {
       case ((pv, fs), gi) =>
-        val live = assembleRead(spark, snap, fs)
+        val live =
+          if (!lineageOn) assembleRead(spark, snap, fs)
+          else {
+            import spark.implicits._
+            import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+            val lineage = fs.map(f => (PathCodec.metadataPathKey(f.path),
+              f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
+            assembleRead(spark, snap, fs, keepCoords = true,
+                extraCols = lineageExtras)
+              .join(broadcast(lineage), Seq("__ice_file"))
+              .withColumn(RowIdCol,
+                coalesce(col(RowIdCol), col("__fri") + col("__ice_pos")))
+              .withColumn(LastUpdatedSeqCol,
+                coalesce(col(LastUpdatedSeqCol), col("__seq")))
+              .select((snap.schema.fieldNames.toSeq ++
+                Seq(RowIdCol, LastUpdatedSeqCol)).map(col): _*)
+          }
         val shaped =
           if (sortBy.isEmpty) {
             val bytes = fs.map(f => io.length(f.path)).sum
@@ -3545,7 +3691,7 @@ object IcebergInterop {
               .sortWithinPartitions(sortBy.map(col): _*)
           }
         val scratch = TableIO.join(base, s".stage_$id-$gi")
-        withFieldIds(shaped, schemaIdOf(snap.schema))
+        withFieldIds(shaped, lineageIdOf(schemaIdOf(snap.schema)))
           .write.mode("overwrite")
           .parquet(scratch)
         val staged = io.list(scratch)
@@ -3675,6 +3821,23 @@ object IcebergInterop {
     }
     currentManifests(base, prev).flatMap { m =>
       val (sch, recs) = readAvroWithSchema(m.file)
+      // spec v3 §Row Lineage: a filtered REWRITE of a lineage-carrying
+      // data manifest must stamp each kept entry's resolved
+      // first_row_id EXPLICITLY — dropping entries would shift the
+      // inheritance offsets of everything after them
+      if (m.content == 0 && m.firstRowId.isDefined) {
+        var off = 0L
+        recs.filter(_.get("status").toString.toInt != 2).foreach { e =>
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          if (opt(dfr, "content").map(_.toString.toInt).getOrElse(0) == 0 &&
+              opt(dfr, "first_row_id").isEmpty) {
+            dfr.put("first_row_id",
+              java.lang.Long.valueOf(m.firstRowId.get + off))
+            off += math.max(0L,
+              opt(dfr, "record_count").map(_.toString.toLong).getOrElse(0L))
+          }
+        }
+      }
       val kept = recs.filter { e =>
         e.get("status").toString.toInt != 2 && {
           val dfr = e.get("data_file").asInstanceOf[GenericRecord]
@@ -3960,10 +4123,16 @@ object IcebergInterop {
         Seq(ManifestRef(dmFile, 1, snapshotId, snapshotId, 0))
       }
     val mlFile = TableIO.join(metaDir, s"snap-$snapshotId-$id.avro")
+    // spec v3 §Row Lineage: converted files take ids 0..N-1 by
+    // manifest-list inheritance (one field, no per-entry stamping)
+    val totalRecords = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").toString.toLong).sum
     writeManifestList(mlFile,
-      ManifestRef(mFile, 0, snapshotId, snapshotId, 0) +: deleteRefs)
+      ManifestRef(mFile, 0, snapshotId, snapshotId, 0,
+        firstRowId = if (formatVersion >= 3) Some(0L) else None) +: deleteRefs)
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
+    if (formatVersion >= 3) root.put("next-row-id", totalRecords)
     root.put("table-uuid", UUID.randomUUID().toString)
     root.put("location", dstBase)
     // the converted files carry NO parquet field ids (Delta writes
@@ -4001,6 +4170,7 @@ object IcebergInterop {
     val sn = root.putArray("snapshots").addObject()
     sn.put("snapshot-id", snapshotId)
     sn.put("sequence-number", snapshotId)
+    if (formatVersion >= 3) sn.put("first-row-id", 0L)
     sn.put("timestamp-ms", root.get("last-updated-ms").asLong())
     sn.put("manifest-list", PathCodec.absNorm(mlFile))
     sn.putObject("summary").put("operation", "append")
@@ -4164,6 +4334,10 @@ object IcebergInterop {
       s"cannot downgrade format-version $cur → $to (v3 state — deletion " +
       "vectors — has no v2 encoding)")
     meta.put("format-version", to)
+    // spec v3 §Row Lineage: initialize the id space; pre-upgrade files
+    // carry NO first_row_id, so their rows read _row_id NULL until a
+    // rewrite materializes ids (the spec's lazy-upgrade contract)
+    if (to == 3 && !meta.has("next-row-id")) meta.put("next-row-id", 0L)
     commitMetadataVersion(base, meta)
     meta.get("current-snapshot-id").asLong()
   }
@@ -4245,6 +4419,36 @@ object IcebergInterop {
   }
 
   /** Read the table AS OF a named ref. */
+  /** Read with the row-lineage columns `_row_id` and
+    * `_last_updated_sequence_number` attached (spec v3 §Row Lineage):
+    * per row, the file's MATERIALIZED columns when present (rewritten
+    * files carry their rows' original ids there), else
+    * first_row_id + row position / the file's data sequence number.
+    * Files with no assigned first_row_id (pre-upgrade files) read NULL
+    * ids — the spec's lazy-upgrade contract. One broadcast of
+    * (file → first_row_id, seq), metadata scale; the scan stays fully
+    * distributed. DV deletes never move surviving rows, so
+    * position-derived ids are stable across them by construction. */
+  def readWithRowIds(spark: SparkSession, base: String,
+                     snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, base, snapshotId)
+    require(snap.formatVersion >= 3,
+      s"row lineage is an Iceberg format-v3 feature " +
+      s"($base is v${snap.formatVersion})")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scan = assembleRead(spark, snap, snap.files, keepCoords = true,
+      extraCols = lineageExtras)
+    val lineage = snap.files.map(f => (PathCodec.metadataPathKey(f.path),
+      f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
+    scan.join(broadcast(lineage), Seq("__ice_file"))
+      .withColumn(RowIdCol,
+        coalesce(col(RowIdCol), col("__fri") + col("__ice_pos")))
+      .withColumn(LastUpdatedSeqCol,
+        coalesce(col(LastUpdatedSeqCol), col("__seq")))
+      .drop("__ice_file", "__ice_pos", "__fri", "__seq")
+  }
+
   def readRef(spark: SparkSession, base: String, name: String): DataFrame =
     read(spark, base, Some(resolveRef(base, name)))
 

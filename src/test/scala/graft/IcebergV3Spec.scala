@@ -307,6 +307,173 @@ class IcebergV3Spec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 9)
   }
 
+  // ------------------------------------------------------ row lineage
+
+  private def lineage(base: String): Map[Long, (Long, Long)] =
+    IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol, IcebergInterop.LastUpdatedSeqCol)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, rid, seq) => k -> ((rid, seq)) }.toMap
+
+  test("row lineage: creation assigns 0..n-1; appends continue; ids unique") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(10).toDF("id").coalesce(1), base,
+      formatVersion = 3)
+    assert(meta(base).get("next-row-id").asLong() == 10L)
+    val l0 = lineage(base)
+    assert(l0.values.map(_._1).toSeq.sorted == (0L until 10L),
+      s"creation ids must be 0..9, got $l0")
+    IcebergInterop.append(spark.range(100, 105).toDF("id").coalesce(1), base)
+    assert(meta(base).get("next-row-id").asLong() == 15L)
+    val l1 = lineage(base)
+    assert(l1.values.map(_._1).toSeq.sorted == (0L until 15L),
+      "append must continue the id space without overlap")
+    // ids of the original rows did not move
+    l0.foreach { case (k, (rid, _)) => assert(l1(k)._1 == rid) }
+  }
+
+  test("row lineage: DV delete keeps surviving ids; update preserves + bumps seq") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 20L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1), base,
+      formatVersion = 3)
+    val before = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 5)
+    val afterDel = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(afterDel.keySet == (5L until 20L).toSet)
+    afterDel.foreach { case (k, rid) => assert(rid == before(k),
+      s"DV delete moved the id of row $k") }
+    val preSeq = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.LastUpdatedSeqCol)
+      .as[(Long, Long)].collect().toMap
+    IcebergInterop.updateWhere(spark, base, col("id") >= 18,
+      Map("v" -> (col("v") + 100.0)))
+    val after = IcebergInterop.readWithRowIds(spark, base)
+      .select(col("id"), col(IcebergInterop.RowIdCol),
+        col(IcebergInterop.LastUpdatedSeqCol), col("v"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(after.keySet == (5L until 20L).toSet)
+    after.foreach { case (k, (rid, _, _)) => assert(rid == before(k),
+      s"copy-on-write update moved the id of row $k") }
+    // updated rows moved to the update's sequence; survivors kept theirs
+    assert(after(18L)._2 > preSeq(18L) && after(19L)._2 > preSeq(19L))
+    assert(after(10L)._2 == preSeq(10L))
+    assert(after(18L)._3 == 118.0 && after(10L)._3 == 10.0)
+  }
+
+  test("row lineage: compaction is id-invariant (materialized through the rewrite)") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(30).toDF("id").repartition(3), base,
+      formatVersion = 3)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") % 5 === 0)
+    val before = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(before.values.toSeq.distinct.size == before.size, "ids unique")
+    IcebergInterop.rewriteDataFiles(spark, base)
+    assert(IcebergInterop.snapshot(spark, base).deletes.isEmpty)
+    val after = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(after == before,
+      s"compaction moved row ids: ${(after.toSet -- before.toSet).take(5)}")
+  }
+
+  test("row lineage: v2 → v3 upgrade reads NULL ids until rewritten; new writes get ids") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(8).toDF("id").coalesce(1), base) // v2
+    IcebergInterop.upgradeFormatVersion(base, 3)
+    assert(meta(base).get("next-row-id").asLong() == 0L)
+    IcebergInterop.append(spark.range(100, 103).toDF("id").coalesce(1), base)
+    val got = IcebergInterop.readWithRowIds(spark, base)
+      .select(col("id"), col(IcebergInterop.RowIdCol))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // pre-upgrade rows: NULL (the spec's lazy contract); new rows: 0..2
+    (0L until 8L).foreach(k => assert(got(k).isEmpty,
+      s"pre-upgrade row $k must read NULL _row_id"))
+    assert((100L until 103L).flatMap(k => got(k)).sorted == (0L until 3L))
+    // a sorted rewrite materializes fresh ids for the legacy rows
+    IcebergInterop.rewriteDataFilesSorted(spark, base, Seq("id"),
+      filesPerPartition = 1)
+    val after = lineage(base)
+    assert(after.values.map(_._1).toSeq.distinct.size == 11,
+      s"post-rewrite ids must be unique and non-null: $after")
+    // new-row ids survived the rewrite (they were real before it)
+    assert((100L until 103L).map(k => after(k)._1).sorted == (0L until 3L))
+  }
+
+  test("row lineage: partial-touch update stamps the filtered carry explicitly") {
+    // three files in ONE manifest; the update touches one, so the carry
+    // rewrites a FILTERED manifest — dropping an entry shifts the
+    // inheritance offsets unless the kept entries' ids are stamped
+    // explicitly (the exact bug the stamping prevents)
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 30L).map(i => (i, i * 1.0)).toDF("id", "v")
+        .repartitionByRange(3, col("id")), base, formatVersion = 3)
+    val before = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(before.values.toSeq.distinct.size == 30)
+    // touch exactly the range holding id 0 (one file of the three)
+    IcebergInterop.updateWhere(spark, base, col("id") === 0L,
+      Map("v" -> lit(999.0)))
+    val after = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(after == before,
+      s"surviving files' ids shifted after the filtered carry: " +
+      s"${after.toSet.diff(before.toSet).toSeq.sortBy(_._1).take(6)}")
+  }
+
+  test("row lineage: merge mints fresh ids for upserts, keeps untouched rows") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 10L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1), base,
+      formatVersion = 3)
+    val before = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    IcebergInterop.mergeUpsert(spark, base,
+      Seq((3L, -3.0), (50L, -50.0)).toDF("id", "v").coalesce(1), Seq("id"))
+    val after = IcebergInterop.readWithRowIds(spark, base)
+      .select("id", IcebergInterop.RowIdCol).as[(Long, Long)].collect().toMap
+    assert(after.keySet == (0L until 10L).toSet + 50L)
+    // untouched rows keep their ids; the equality-delete upsert mints
+    // fresh ones for BOTH the updated key and the insert (the
+    // merge-on-read trade-off: the old row retires, a new row lands)
+    ((0L until 10L).toSet - 3L).foreach(k => assert(after(k) == before(k)))
+    assert(after(3L) != before(3L) && after(3L) >= 10L && after(50L) >= 10L)
+    assert(after.values.toSeq.distinct.size == after.size, "ids stay unique")
+  }
+
+  test("maintenance never reclaims a live vector; expired DVs go with their snapshots") {
+    val base = tmp()
+    IcebergInterop.withClock(IcebergInterop.tickingClock(1000L, 1000L)) {
+      IcebergInterop.overwrite(spark.range(20).toDF("id").coalesce(1), base,
+        formatVersion = 3)
+      IcebergInterop.deletePositionsWhere(spark, base, col("id") < 3)  // DV 1
+      IcebergInterop.deletePositionsWhere(spark, base, col("id") < 6)  // DV 2 (supersedes)
+    }
+    val livePuffin = IcebergInterop.snapshot(spark, base).deletes.map(_.path)
+    // orphan sweep with an ALL-files cutoff: the live vector must survive,
+    // the superseded one (unreferenced by ANY snapshot? no — still in
+    // snapshot 2's manifests) stays too until its snapshots expire
+    val orphans = IcebergInterop.removeOrphanFiles(spark, base,
+      olderThanMs = Some(Long.MaxValue), dryRun = true)
+    livePuffin.foreach(p => assert(!orphans.exists(p.endsWith),
+      s"orphan sweep would reclaim the LIVE vector $p"))
+    // expire everything but the head: the superseded DV 1 becomes
+    // unreachable and is physically reclaimed; the live one survives
+    val head = IcebergInterop.snapshotIds(base).last
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 1)
+    assert(IcebergInterop.read(spark, base).count() == 14)
+    val remaining = new File(base, "data").listFiles()
+      .filter(_.getName.endsWith(".puffin")).map(_.getName).toSet
+    assert(livePuffin.map(_.split("/").last).toSet == remaining,
+      s"expected only the live vector to remain, got $remaining")
+    assert(IcebergInterop.snapshotIds(base) == Seq(head))
+  }
+
   /** Same injection seam as IcebergOccSpec: the competing commit runs
     * inside the loser's metadata publish. */
   private final class RaceProxy(inject: () => Unit)

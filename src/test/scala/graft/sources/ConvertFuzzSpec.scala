@@ -67,6 +67,17 @@ class ConvertFuzzSpec extends SparkSpec {
       df.select("id", "v").as[(Long, Long)].collect().toMap
     }
     def check(op: String): Unit = {
+      // v3 row-lineage invariant: every assigned _row_id is unique
+      // (files of an upgraded table may legally read NULL until
+      // rewritten — the spec's lazy contract)
+      if (fmt == "iceberg3") {
+        val ids = IcebergInterop.readWithRowIds(spark, base)
+          .select(IcebergInterop.RowIdCol).collect()
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        assert(ids.distinct.length == ids.length,
+          s"seed=$seed after $op: duplicate _row_id values " +
+          s"(${ids.groupBy(identity).filter(_._2.length > 1).keys.take(5)})")
+      }
       val got = contents()
       assert(got == model,
         s"seed=$seed after $op on $fmt ($converts converts): " +
