@@ -201,6 +201,20 @@ object DeletionVectors {
     bb.array()
   }
 
+  /** Frame DV data bytes as the shared blob layout
+    * [4B BE size][data][4B BE CRC-32(data)] — the framing BOTH Delta's
+    * `.bin` storage and Iceberg v3's puffin `deletion-vector-v1` blobs
+    * use (one definition; a framing fix cannot diverge between them). */
+  def frameDvData(data: Array[Byte]): Array[Byte] = {
+    val crc = new CRC32(); crc.update(data)
+    val bb = ByteBuffer.allocate(4 + data.length + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(data.length)
+    bb.put(data)
+    bb.putInt((crc.getValue & 0xffffffffL).toInt)
+    bb.array()
+  }
+
   /** Decode DV data bytes (magic-checked) into positions. */
   def decodeDvData(data: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
@@ -232,14 +246,8 @@ object DeletionVectors {
     * in the descriptor (layout per spec: version byte, then the framed
     * blob) — byte-based so the format layer writes through TableIO. */
   def dvFileBytes(positions: Seq[Long]): (Array[Byte], Int) = {
-    val data = dvDataBytes(positions)
-    val crc = new CRC32(); crc.update(data)
-    val bb = ByteBuffer.allocate(1 + 4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
-    bb.put(1.toByte)           // file format version
-    bb.putInt(data.length)     // blob frame at offset 1
-    bb.put(data)
-    bb.putInt((crc.getValue & 0xffffffffL).toInt)
-    (bb.array(), 1) // offset of the size-prefixed blob
+    val frame = frameDvData(dvDataBytes(positions))
+    ((1.toByte +: frame), 1) // version byte, then the framed blob
   }
 
   /** Canonical UUID string → the `u`-storage pathOrInlineDv suffix

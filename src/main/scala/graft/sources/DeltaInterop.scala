@@ -941,14 +941,9 @@ object DeltaInterop {
                                           d: DvDescriptor): Array[Byte] =
     d.storageType match {
       case "i" =>
-        val data = DeletionVectors.z85DecodeBytes(d.pathOrInlineDv)
-          .take(d.sizeInBytes)
-        val crc = new java.util.zip.CRC32(); crc.update(data)
-        val bb = java.nio.ByteBuffer.allocate(4 + data.length + 4)
-          .order(java.nio.ByteOrder.BIG_ENDIAN)
-        bb.putInt(data.length); bb.put(data)
-        bb.putInt((crc.getValue & 0xffffffffL).toInt)
-        bb.array()
+        DeletionVectors.frameDvData(
+          DeletionVectors.z85DecodeBytes(d.pathOrInlineDv)
+            .take(d.sizeInBytes))
       case "u" =>
         val (prefix, uuid) = DeletionVectors.decodeUuid(d.pathOrInlineDv)
         val dir = if (prefix.isEmpty) base else TableIO.join(base, prefix)
@@ -2847,7 +2842,8 @@ object DeltaInterop {
             .select(col("file_path"), col("pos"))
             .withColumn("__dseq", lit(d.seq)))
           .reduce(_ unionByName _)
-          .filter(!col("file_path").isin(dvCarried.keys.toSeq: _*))
+          .join(broadcast(dvCarried.keys.toSeq.toDF("file_path")),
+            Seq("file_path"), "left_anti")
         val fileSeq = ice.files.map(f => (f.rawPath, f.seq))
           .toDF("file_path", "__fseq")
         val applicable = delRows

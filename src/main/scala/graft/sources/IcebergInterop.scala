@@ -857,10 +857,7 @@ object IcebergInterop {
       // Delta DV read path — into (referenced raw path, pos, seq) rows.
       val dvRows: Seq[(String, Long, Long)] = dvDels.flatMap { d =>
         val bytes = io.readBytes(d.path)
-        val ps = Puffin.readDvBlob(bytes, d.contentOffset.getOrElse(
-            throw new IllegalStateException(
-              s"DV entry ${d.path} lacks content_offset (refusing)")),
-          d.contentSize.getOrElse(d.sizeBytes), d.path)
+        val ps = Puffin.readDvBlob(bytes, dvOffsetOf(d), dvSizeOf(d), d.path)
         require(d.recordCount < 0 || ps.length.toLong == d.recordCount,
           s"deletion vector ${d.path} decodes ${ps.length} positions but " +
           s"declares ${d.recordCount} — corrupt DV (refusing)")
@@ -873,6 +870,9 @@ object IcebergInterop {
       val dvRefs: Set[String] = dvRows.map(_._1).toSet
       import spark.implicits._
       val dvDf = dvRows.toDF("file_path", "pos", "__del_seq")
+      // superseded rows drop via ONE broadcast anti join — a literal
+      // isin() would grow the plan linearly with the DV count
+      val dvRefsDf = dvRefs.toSeq.toDF("file_path")
       val posParts = posDels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
         val delSchema = StructType(Seq(
           StructField("file_path", StringType),
@@ -880,7 +880,7 @@ object IcebergInterop {
         val df0 = spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
           .withColumn("__del_seq", lit(seq))
         if (dvRefs.isEmpty) df0
-        else df0.filter(!col("file_path").isin(dvRefs.toSeq: _*))
+        else df0.join(broadcast(dvRefsDf), Seq("file_path"), "left_anti")
       }
       // Delete rows reference data files by the manifest's EXACT
       // file_path string, so they resolve through a broadcast
@@ -1163,6 +1163,18 @@ object IcebergInterop {
         && opt(df, "first_row_id").isEmpty)
       .map(df => math.max(0L,
         opt(df, "record_count").map(_.toString.toLong).getOrElse(0L))).sum
+
+  /** DV blob coordinates from a manifest entry — both fields are
+    * spec-REQUIRED for deletion vectors; a tolerant fallback (e.g. the
+    * whole file length) would slice footer bytes into the blob and
+    * surface as a checksum failure conversions later. Refuse at the
+    * source instead. */
+  private def dvOffsetOf(d: PositionDeleteFile): Long =
+    d.contentOffset.getOrElse(throw new IllegalStateException(
+      s"DV entry ${d.path} lacks content_offset (refusing)"))
+  private def dvSizeOf(d: PositionDeleteFile): Long =
+    d.contentSize.getOrElse(throw new IllegalStateException(
+      s"DV entry ${d.path} lacks content_size_in_bytes (refusing)"))
 
   private def writeManifestList(f: String, rows: Seq[ManifestRef]): Unit =
     writeAvro(f, manifestFileSchema, rows.map { m =>
@@ -2088,11 +2100,17 @@ object IcebergInterop {
       .select(col("__raw").as("file_path"), col("__ice_pos").as("pos"))
       .persist()
     val n = matched.count() // one bounded scalar (also materializes)
-    if (n == 0) return prev.get("current-snapshot-id").asLong()
+    if (n == 0) {
+      matched.unpersist(blocking = false)
+      return prev.get("current-snapshot-id").asLong()
+    }
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
-    if (fv == 3) return commitDvDelete(spark, base, prev, snap, matched,
-      snapshotId, id)
+    if (fv == 3)
+      return try commitDvDelete(spark, base, prev, snap, matched,
+        snapshotId, id)
+      finally matched.unpersist(blocking = false)
+    try {
     val parts = math.max(1, math.ceil(n / 4e6).toInt)
     val scratch = TableIO.join(base, s".stage_$id")
     matched.repartitionByRange(parts, col("file_path"), col("pos"))
@@ -2136,6 +2154,7 @@ object IcebergInterop {
       .select("file_path").distinct().as[String].collect().toSet
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id,
       referencedRaw = Some(referenced))
+    } finally matched.unpersist(blocking = false)
   }
 
   /** The data files a row-level delete entry references: a DV names
@@ -2166,10 +2185,8 @@ object IcebergInterop {
        else Seq(spark.read.schema(delSchema).parquet(pds.map(_.path): _*))) ++
       (if (dvs.isEmpty) Seq.empty
        else Seq(dvs.flatMap { d =>
-         Puffin.readDvBlob(io.readBytes(d.path),
-           d.contentOffset.getOrElse(throw new IllegalStateException(
-             s"DV entry ${d.path} lacks content_offset (refusing)")),
-           d.contentSize.getOrElse(d.sizeBytes), d.path)
+         Puffin.readDvBlob(io.readBytes(d.path), dvOffsetOf(d),
+             dvSizeOf(d), d.path)
            .map(p => (d.referencedDataFile.get, p))
        }.toDF("file_path", "pos")))
     parts.reduceOption(_ unionByName _).getOrElse(
@@ -2205,7 +2222,10 @@ object IcebergInterop {
     val touchedRaw: Set[String] =
       matched.select("file_path").distinct().as[String].collect().toSet
     // v2-era position-delete rows for touched files (upgrade path):
-    // they fold into the new vector so it supersedes them
+    // they fold into the new vector so it supersedes them — gated by
+    // data sequence exactly as the read path applies them (a delete
+    // only ever masked files with seq ≤ its own; folding an
+    // inapplicable row would bake a wrongful permanent delete)
     val legacy = snap.deletes.filterNot(_.dv)
     val toFold =
       if (legacy.isEmpty) matched
@@ -2213,18 +2233,24 @@ object IcebergInterop {
         val delSchema = StructType(Seq(
           StructField("file_path", StringType),
           StructField("pos", LongType)))
-        matched.unionByName(
-          spark.read.schema(delSchema).parquet(legacy.map(_.path): _*)
-            .join(broadcast(touchedRaw.toSeq.toDF("file_path")),
-              Seq("file_path"), "left_semi"))
+        val touchedSeq = snap.files
+          .filter(f => touchedRaw.contains(f.rawPath))
+          .map(f => (f.rawPath, f.seq)).toDF("file_path", "__fseq")
+        val legacyRows = legacy.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+          spark.read.schema(delSchema).parquet(fs.map(_.path): _*)
+            .withColumn("__dseq", lit(seq))
+        }.reduce(_ unionByName _)
+          .join(broadcast(touchedSeq), Seq("file_path"))
+          .where(col("__fseq") <= col("__dseq"))
+          .select(col("file_path"), col("pos"))
+        matched.unionByName(legacyRows)
       }
     def dvKeyOf(s: IcebergSnapshot): Map[String, (String, Long)] =
       s.deletes.filter(_.dv).flatMap(d => d.referencedDataFile.map(r =>
         r -> (d.path, d.contentOffset.getOrElse(-1L)))).toMap
     val dvByRawB = spark.sparkContext.broadcast(
       snap.deletes.filter(_.dv).flatMap(d => d.referencedDataFile.map(r =>
-        r -> (d.path, d.contentOffset.getOrElse(-1L),
-          d.contentSize.getOrElse(d.sizeBytes)))).toMap)
+        r -> (d.path, dvOffsetOf(d), dvSizeOf(d)))).toMap)
     val baseStr = base
     val sid = snapshotId
     val written: Array[(String, String, Long, Long, Long)] =
@@ -2276,8 +2302,11 @@ object IcebergInterop {
             "a referenced data file — the recorded positions no longer " +
             "apply, refusing")
         // the staged vectors are old ∪ new; a winner that changed any
-        // touched file's vector makes that union stale
-        val headDv = dvKeyOf(snapshot(spark, base))
+        // touched file's vector makes that union stale. Derived from
+        // the SAME head the rebase will build against — a live re-read
+        // could see an even newer racer and validate the wrong state.
+        val headDv = dvKeyOf(snapshot(spark, base,
+          Some(head.get("current-snapshot-id").asLong())))
         val prevDv = dvKeyOf(snap)
         touchedRaw.foreach { r =>
           if (headDv.get(r) != prevDv.get(r))
@@ -2842,15 +2871,9 @@ object IcebergInterop {
     val lineageOn = snap.formatVersion >= 3
     val touchedScan0 =
       if (!lineageOn) mark(assembleRead(spark, snap, touched))
-      else {
-        import spark.implicits._
-        val lineage = touched.map(f => (PathCodec.metadataPathKey(f.path),
-          f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
+      else attachLineage(touched,
         mark(assembleRead(spark, snap, touched, keepCoords = true,
-            extraCols = lineageExtras))
-          .join(org.apache.spark.sql.functions.broadcast(lineage),
-            Seq("__ice_file"))
-      }
+          extraCols = lineageExtras)))
     val withTemps = setTyped.foldLeft(touchedScan0) { case (d, (c, e)) =>
       d.withColumn(s"__set_$c", e) }
     val keepCols = snap.schema.fieldNames.toSeq ++
@@ -2860,13 +2883,11 @@ object IcebergInterop {
     }
     val updated =
       (if (!lineageOn) updated0
-       else updated0
-         .withColumn(RowIdCol, org.apache.spark.sql.functions.coalesce(
-           col(RowIdCol), col("__fri") + col("__ice_pos")))
+       else updated0 // ids already resolved by attachLineage; updated
+         // rows move to THIS commit's sequence, survivors keep theirs
          .withColumn(LastUpdatedSeqCol, when(col("__upd"),
              org.apache.spark.sql.functions.lit(snapshotId))
-           .otherwise(org.apache.spark.sql.functions.coalesce(
-             col(LastUpdatedSeqCol), col("__seq")))))
+           .otherwise(col(LastUpdatedSeqCol))))
         .select(keepCols.map(col): _*)
     val id = UUID.randomUUID().toString
     val dataM = stageDataManifest(updated, base, snap.partitionColumns,
@@ -3045,7 +3066,14 @@ object IcebergInterop {
       val assignedRefs =
         if (fvHead < 3) curRefs
         else curRefs.map { m =>
-          if (m.content != 0 || m.firstRowId.isDefined) m
+          // only THIS commit's new manifests take ids — a CARRIED
+          // pre-upgrade manifest stays unassigned (its rows read NULL
+          // until a rewrite materializes ids, the same lazy contract
+          // the append path and upgradeFormatVersion document; eagerly
+          // assigning here would make _row_id depend on which DML ran
+          // first). Old-schema manifests also cannot carry the field.
+          if (m.content != 0 || m.firstRowId.isDefined ||
+              m.addedSnapshotId != curId) m
           else {
             val n = unassignedRowsOf(m.file)
             val r = m.copy(firstRowId = Some(nextRid)); nextRid += n; r
@@ -3665,17 +3693,9 @@ object IcebergInterop {
         val live =
           if (!lineageOn) assembleRead(spark, snap, fs)
           else {
-            import spark.implicits._
-            import org.apache.spark.sql.functions.{broadcast, coalesce, col}
-            val lineage = fs.map(f => (PathCodec.metadataPathKey(f.path),
-              f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
-            assembleRead(spark, snap, fs, keepCoords = true,
-                extraCols = lineageExtras)
-              .join(broadcast(lineage), Seq("__ice_file"))
-              .withColumn(RowIdCol,
-                coalesce(col(RowIdCol), col("__fri") + col("__ice_pos")))
-              .withColumn(LastUpdatedSeqCol,
-                coalesce(col(LastUpdatedSeqCol), col("__seq")))
+            import org.apache.spark.sql.functions.col
+            attachLineage(fs, assembleRead(spark, snap, fs,
+                keepCoords = true, extraCols = lineageExtras))
               .select((snap.schema.fieldNames.toSeq ++
                 Seq(RowIdCol, LastUpdatedSeqCol)).map(col): _*)
           }
@@ -3825,7 +3845,9 @@ object IcebergInterop {
       // data manifest must stamp each kept entry's resolved
       // first_row_id EXPLICITLY — dropping entries would shift the
       // inheritance offsets of everything after them
-      if (m.content == 0 && m.firstRowId.isDefined) {
+      if (m.content == 0 && m.firstRowId.isDefined &&
+          sch.getField("data_file").schema()
+            .getField("first_row_id") != null) {
         var off = 0L
         recs.filter(_.get("status").toString.toInt != 2).foreach { e =>
           val dfr = e.get("data_file").asInstanceOf[GenericRecord]
@@ -4419,6 +4441,28 @@ object IcebergInterop {
   }
 
   /** Read the table AS OF a named ref. */
+  /** Attach per-row lineage to a coordinate-keeping scan of `files`
+    * (produced with keepCoords = true and extraCols = lineageExtras):
+    * ONE metadata-scale broadcast of (file → first_row_id, seq), then
+    * `_row_id` / `_last_updated_sequence_number` resolve per row as
+    * materialized-else-inherited. The single definition of id
+    * resolution — reads, copy-on-write updates and compaction all call
+    * this, so the mixed materialized/NULL case cannot diverge. */
+  private def attachLineage(files: Seq[DataFileEntry],
+                            scan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = scan.sparkSession
+    import spark.implicits._
+    val lineage = files.map(f => (PathCodec.metadataPathKey(f.path),
+      f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
+    scan.join(broadcast(lineage), Seq("__ice_file"))
+      .withColumn(RowIdCol,
+        coalesce(col(RowIdCol), col("__fri") + col("__ice_pos")))
+      .withColumn(LastUpdatedSeqCol,
+        coalesce(col(LastUpdatedSeqCol), col("__seq")))
+      .drop("__fri", "__seq")
+  }
+
   /** Read with the row-lineage columns `_row_id` and
     * `_last_updated_sequence_number` attached (spec v3 §Row Lineage):
     * per row, the file's MATERIALIZED columns when present (rewritten
@@ -4435,18 +4479,10 @@ object IcebergInterop {
     require(snap.formatVersion >= 3,
       s"row lineage is an Iceberg format-v3 feature " +
       s"($base is v${snap.formatVersion})")
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val scan = assembleRead(spark, snap, snap.files, keepCoords = true,
-      extraCols = lineageExtras)
-    val lineage = snap.files.map(f => (PathCodec.metadataPathKey(f.path),
-      f.firstRowId, f.seq)).toDF("__ice_file", "__fri", "__seq")
-    scan.join(broadcast(lineage), Seq("__ice_file"))
-      .withColumn(RowIdCol,
-        coalesce(col(RowIdCol), col("__fri") + col("__ice_pos")))
-      .withColumn(LastUpdatedSeqCol,
-        coalesce(col(LastUpdatedSeqCol), col("__seq")))
-      .drop("__ice_file", "__ice_pos", "__fri", "__seq")
+    attachLineage(snap.files,
+      assembleRead(spark, snap, snap.files, keepCoords = true,
+        extraCols = lineageExtras))
+      .drop("__ice_file", "__ice_pos")
   }
 
   def readRef(spark: SparkSession, base: String, name: String): DataFrame =

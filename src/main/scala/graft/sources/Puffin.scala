@@ -43,15 +43,8 @@ object Puffin {
   /** One framed deletion-vector blob: length-prefixed magic+bitmap with
     * a trailing CRC-32 — `DeletionVectors.dvDataBytes` IS the
     * magic+bitmap (the shared Delta framing, see object scaladoc). */
-  def dvBlobBytes(positions: Seq[Long]): Array[Byte] = {
-    val data = DeletionVectors.dvDataBytes(positions)
-    val crc = new CRC32(); crc.update(data)
-    val bb = ByteBuffer.allocate(4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
-    bb.putInt(data.length)
-    bb.put(data)
-    bb.putInt((crc.getValue & 0xffffffffL).toInt)
-    bb.array()
-  }
+  def dvBlobBytes(positions: Seq[Long]): Array[Byte] =
+    DeletionVectors.frameDvData(DeletionVectors.dvDataBytes(positions))
 
   /** A whole puffin file holding one DV blob per referenced data file.
     * Returns the file bytes plus each blob's location for the manifest

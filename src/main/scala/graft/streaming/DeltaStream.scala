@@ -47,7 +47,11 @@ object DeltaStream {
   /** Hive-layout partition prefix ("k1=v1/k2=v2/") for an action's
     * partitionValues — keys SORTED so every file agrees on one
     * directory structure, values escaped with Spark's own rules so the
-    * read side's partition discovery parses them back verbatim. */
+    * read side's partition discovery parses them back verbatim. Empty
+    * strings fold into the default-partition marker alongside NULL —
+    * the Hive directory layout cannot distinguish them (Spark's own
+    * partitioned writers have the same collapse), so both read back as
+    * NULL; the batch readChangeFeed keeps the exact action values. */
   private def pvDir(pv: Map[String, String]): String =
     if (pv.isEmpty) ""
     else pv.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -85,18 +85,24 @@ object IcebergStream {
         IcebergInterop.snapshot(spark, base, Some(sid)).files
           .map(_.rawPath).toSet
     }
-    var prevDeletes: Int = from match {
-      case None => 0
+    // delete files tracked by PATH SET, not count: a v3 deletion-vector
+    // rewrite REPLACES the file's vector (new puffin path, same count),
+    // which a size comparison would silently miss — and the skipped
+    // retraction would never reach the stream
+    var prevDeletes: Set[String] = from match {
+      case None => Set.empty
       case Some(sid) =>
         val s = IcebergInterop.snapshot(spark, base, Some(sid))
-        s.deletes.size + s.eqDeletes.size
+        (s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)).toSet
     }
     fresh.foreach { sid =>
       val snap = IcebergInterop.snapshot(spark, base, Some(sid))
       val paths = snap.files.map(f => f.rawPath -> f.path).toMap
       val added = paths.keySet -- prevFiles
       val removed = prevFiles -- paths.keySet
-      val newDeletes = (snap.deletes.size + snap.eqDeletes.size) > prevDeletes
+      val curDeletes =
+        (snap.deletes.map(_.path) ++ snap.eqDeletes.map(_.path)).toSet
+      val newDeletes = (curDeletes -- prevDeletes).nonEmpty
       val isRewrite = (removed.nonEmpty || newDeletes) && prevFiles.nonEmpty
       val link: Boolean =
         if (!isRewrite) true
@@ -114,7 +120,7 @@ object IcebergStream {
         io.mirror(src, TableIO.join(feedDir, flat))
       }
       prevFiles = paths.keySet
-      prevDeletes = snap.deletes.size + snap.eqDeletes.size
+      prevDeletes = curDeletes
     }
     val head = fresh.last
     writeMarker(feedDir, SyncMarker, head)

@@ -149,4 +149,25 @@ class IcebergStreamSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("delete files"))
   }
+
+  test("a v3 vector REWRITE (same delete count) still classifies as a rewrite") {
+    // a second DV delete on the same file REPLACES the vector: delete
+    // count stays equal, only the path changes — tracked by path set,
+    // not size, or the retraction silently never reaches the stream
+    val base = freshBase("v3dv")
+    IcebergInterop.overwrite(spark.range(12).toDF("id").coalesce(1), base,
+      formatVersion = 3)
+    val feed = freshBase("v3dv_feed")
+    IcebergStream.syncFeed(spark, base, feed)                 // head synced
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 2)
+    intercept[IllegalStateException] {
+      IcebergStream.syncFeed(spark, base, feed)               // 0 → 1 vector
+    }
+    IcebergStream.syncFeed(spark, base, feed, onRewrite = "ignore")
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 4)
+    val e = intercept[IllegalStateException] {
+      IcebergStream.syncFeed(spark, base, feed)               // 1 → 1 REPLACED
+    }
+    assert(e.getMessage.contains("non-append"))
+  }
 }
