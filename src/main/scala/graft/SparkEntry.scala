@@ -3102,6 +3102,49 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  /** Iceberg v3 default values (q234): a v3 table takes
+    * `ALTER TABLE ... ADD COLUMNS (bonus DOUBLE DEFAULT 2.5)` — the
+    * spec's initial-default fills every PRE-ADD row at read (files
+    * written under the older schema, resolved per file through the
+    * snapshot→schema history), while an append that CARRIES the column
+    * keeps its real values and an append that OMITS it materializes
+    * the write-default. The oracle replays the fill as CASE logic over
+    * `orders`, so a fill that leaked onto post-add rows, missed a
+    * pre-add file, or defaulted a real value hash-mismatches. */
+  private def qIcebergV3Defaults(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_v3_defaults_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(ords.repartition(2), p, formatVersion = 3)
+      IcebergInterop.addColumn(p, "bonus",
+        org.apache.spark.sql.types.DoubleType, default = Some(2.5))
+      // post-add append WITH the column: real values survive the fill
+      IcebergInterop.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select((col("o_orderkey") + lit(3000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"),
+          (col("o_custkey") % 10).cast("double").as("bonus"))
+        .coalesce(1), p)
+      // post-add append WITHOUT it: the write-default materializes
+      IcebergInterop.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + lit(4000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+        .coalesce(1), p)
+    }
+    GraftSql.registerIcebergTable(s, "q234_t", base)
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(bonus) AS DOUBLE) AS sum_bonus,
+         CAST(sum(totalprice) AS DOUBLE) AS total_price
+         FROM q234_t GROUP BY o_orderstatus ORDER BY status""")
+  }
+
   /** REPLACE TABLE (q208): CTAS, then `CREATE OR REPLACE` swaps the
     * DEFINITION (new schema + partitioning) in one commit while the
     * history stays (the oracle's derivation uses only the replaced
@@ -5646,6 +5689,7 @@ object SparkEntry {
     "q231_partitioned_cdf_stream" -> (qPartitionedCdfStream _),
     "q232_iceberg_v3_dv" -> (qIcebergV3Dv _),
     "q233_iceberg_v3_lineage" -> (qIcebergV3Lineage _),
+    "q234_iceberg_v3_defaults" -> (qIcebergV3Defaults _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6986,6 +7030,21 @@ object SparkEntry {
                 AS DOUBLE) AS total_price
          FROM ids WHERE o_custkey % 9 <> 4
          GROUP BY o_orderstatus ORDER BY status""",
+    "q234_iceberg_v3_defaults" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(bonus) AS DOUBLE) AS sum_bonus,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+         FROM (
+           SELECT o_orderstatus, o_totalprice, 2.5 AS bonus FROM orders
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice,
+             CAST(o_custkey % 10 AS DOUBLE)
+           FROM orders WHERE o_orderkey < 100
+           UNION ALL
+           SELECT o_orderstatus, o_totalprice, 2.5 FROM orders
+           WHERE o_orderkey < 50
+         ) GROUP BY o_orderstatus ORDER BY status""",
     // 0.9*16^8 = 0xe6666666 (hashSplit's threshold); gram algebra
     // mirrors q101's oracle
     "q228_decontaminated_split" ->

@@ -1388,12 +1388,23 @@ object GraftSql {
       require(c.position.isEmpty,
         "ADD COLUMNS: FIRST/AFTER positions are not supported — new " +
         "columns append at the end")
-      require(c.default.isEmpty,
-        "ADD COLUMNS: DEFAULT values are not supported — existing rows " +
-        "read new columns as NULL")
+      require(c.default.isEmpty || h.isInstanceOf[IceTable],
+        "ADD COLUMNS: DEFAULT values are an Iceberg v3 feature here — " +
+        "on this format existing rows read new columns as NULL")
       require(c.nullable,
         s"ADD COLUMNS: '${c.colName}' NOT NULL is not supported — a " +
         "non-null column with no backfill would be unreadable")
+    }
+    // a DEFAULT is a row-independent constant: evaluate it through a
+    // one-row projection (the asOfMillis shape) — column references
+    // fail loudly in analysis, exactly as SQL requires
+    def evalDefault(e: Expression, dt: org.apache.spark.sql.types.DataType): Any = {
+      val row = GraftBridge.ofRows(spark,
+        Project(Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+          org.apache.spark.sql.catalyst.expressions.Cast(e, dt),
+          "__graft_default")()), OneRowRelation())).head()
+      require(!row.isNullAt(0), s"DEFAULT evaluated to NULL: ${e.sql}")
+      row.get(0)
     }
     val st = StructType(cols.map(c =>
       StructField(c.colName, c.dataType, nullable = true)))
@@ -1402,8 +1413,9 @@ object GraftSql {
       case DeltaTable(base) =>
         graft.sources.DeltaInterop.addColumns(spark, base, st)
       case IceTable(base) =>
-        st.fields.map(f =>
-          graft.sources.IcebergInterop.addColumn(base, f.name, f.dataType))
+        cols.map(c =>
+          graft.sources.IcebergInterop.addColumn(base, c.colName, c.dataType,
+            default = c.default.map(d => evalDefault(d.child, c.dataType))))
           .last
     }
     refreshView(spark, name, h)

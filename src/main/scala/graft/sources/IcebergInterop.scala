@@ -83,7 +83,11 @@ object IcebergInterop {
                                  // file's first row — explicit in the
                                  // entry or inherited from the manifest
                                  // (resolved at snapshot() time)
-                                 firstRowId: Option[Long] = None)
+                                 firstRowId: Option[Long] = None,
+                                 // the snapshot that ADDED the file —
+                                 // resolves which schema the file was
+                                 // written under (default values)
+                                 addedSnapshotId: Long = -1L)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number.
@@ -141,7 +145,12 @@ object IcebergInterop {
       // those columns from the manifests' partition tuples (spec
       // §Column Projection).
       nameMapped: Boolean = false,
-      formatVersion: Int = 2) {
+      formatVersion: Int = 2,
+      // snapshot id → the field ids of the schema that snapshot was
+      // committed under (spec: snapshots record their schema-id) — how
+      // default-value reads decide whether a file physically carries a
+      // later-added column
+      fieldIdsAtSnapshot: Map[Long, Set[Int]] = Map.empty) {
     /** True iff every live data file's partition record matches the
       * default spec's field set — i.e. no live file predates the last
       * partition evolution. Maintenance that restamps partition records
@@ -207,6 +216,33 @@ object IcebergInterop {
   private def lineageExtras: Seq[StructField] = Seq(
     StructField(RowIdCol, LongType), StructField(LastUpdatedSeqCol, LongType))
 
+  /** Decode a field's recorded default (spec v3 §Default values, JSON
+    * single-value serialization) into a Spark literal value. Only the
+    * primitive shapes this writer records. */
+  private def decodeDefaultJson(raw: String, dt: DataType): Any = {
+    val n = mapper.readTree(raw)
+    dt match {
+      case IntegerType => n.asInt()
+      case LongType => n.asLong()
+      case FloatType => n.asDouble().toFloat
+      case DoubleType => n.asDouble()
+      case BooleanType => n.asBoolean()
+      case StringType => n.asText()
+      case other => throw new IllegalArgumentException(
+        s"default value of type $other is not supported")
+    }
+  }
+  private def initialDefaultOf(f: StructField): Option[Any] =
+    if (f.metadata.contains("iceberg.initial-default"))
+      Some(decodeDefaultJson(
+        f.metadata.getString("iceberg.initial-default"), f.dataType))
+    else None
+  private[sources] def writeDefaultOf(f: StructField): Option[Any] =
+    if (f.metadata.contains("iceberg.write-default"))
+      Some(decodeDefaultJson(
+        f.metadata.getString("iceberg.write-default"), f.dataType))
+    else None
+
   private def metadataDir(base: String) = TableIO.join(base, "metadata")
 
   /** Latest metadata JSON: version-hint.text if present (Hadoop catalog
@@ -263,9 +299,16 @@ object IcebergInterop {
           // so a renamed column must still read its original data.
           // Spark's parquet reader honors this metadata when
           // spark.sql.parquet.fieldId.read.enabled is on (read() sets it).
-          val meta = Option(f.get("id")).map(id =>
-            new MetadataBuilder().putLong("parquet.field.id", id.asLong()).build())
-            .getOrElse(Metadata.empty)
+          val mb = new MetadataBuilder()
+          Option(f.get("id")).foreach(id =>
+            mb.putLong("parquet.field.id", id.asLong()))
+          // spec v3 §Default values: carried as field metadata so the
+          // read path can fill rows of files that predate the column
+          Option(f.get("initial-default")).filterNot(_.isNull).foreach(d =>
+            mb.putString("iceberg.initial-default", d.toString))
+          Option(f.get("write-default")).filterNot(_.isNull).foreach(d =>
+            mb.putString("iceberg.write-default", d.toString))
+          val meta = mb.build()
           StructField(f.get("name").asText(),
             icebergTypeToSpark(f.get("type")),
             nullable = !f.get("required").asBoolean(),
@@ -411,6 +454,23 @@ object IcebergInterop {
         }.getOrElse(Map.empty)
     }
 
+    // snapshot id → field-id set of the schema it committed under
+    // (spec: each snapshot records its schema-id; schemas keep history)
+    val idsBySchema: Map[Int, Set[Int]] =
+      Option(meta.get("schemas")).map { ss =>
+        (0 until ss.size()).map(ss.get).map { node =>
+          val fs = node.get("fields")
+          node.get("schema-id").asInt() ->
+            (0 until fs.size()).map(i => fs.get(i).get("id").asInt()).toSet
+        }.toMap
+      }.getOrElse(Map.empty)
+    val fieldIdsAtSnapshot: Map[Long, Set[Int]] =
+      (0 until snaps.size()).map(snaps.get).flatMap { s =>
+        Option(s.get("schema-id")).flatMap(sid =>
+          idsBySchema.get(sid.asInt()).map(ids =>
+            s.get("snapshot-id").asLong() -> ids))
+      }.toMap
+
     val manifestList = resolvePath(base,
       snap.get("manifest-list").asText())
     val files = mutable.ArrayBuffer.empty[DataFileEntry]
@@ -435,6 +495,8 @@ object IcebergInterop {
         if (status != 2) { // 0 existing, 1 added, 2 deleted
           val entrySeq = opt(e, "sequence_number")
             .map(_.toString.toLong).getOrElse(manifestSeq)
+          val entrySnapId = opt(e, "snapshot_id")
+            .map(_.toString.toLong).getOrElse(-1L)
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fileContent = opt(df, "content").map(_.toString.toInt).getOrElse(0)
           val fmt = df.get("file_format").toString
@@ -484,7 +546,8 @@ object IcebergInterop {
               recCount,
               opt(df, "file_size_in_bytes")
                 .map(_.toString.toLong).getOrElse(-1L),
-              firstRowId = fri)
+              firstRowId = fri,
+              addedSnapshotId = entrySnapId)
           } else {
             // merge-on-read deletes: position (content=1) and equality
             // (content=2); anything else would resurrect rows if ignored
@@ -524,7 +587,7 @@ object IcebergInterop {
       files.distinctBy(_.path).toSeq,
       deletes.distinctBy(d => (d.path, d.contentOffset)).toSeq,
       eqDeletes.distinctBy(_.path).toSeq, specFields, namesById,
-      specsById, defaultSpecId, nameMapped, fv)
+      specsById, defaultSpecId, nameMapped, fv, fieldIdsAtSnapshot)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -807,8 +870,12 @@ object IcebergInterop {
       else snap.specFields.filter(_.transform == "identity").flatMap(sf =>
         snap.fieldNamesById.get(sf.sourceId)
           .flatMap(n => snap.schema.fields.find(_.name == n)).map(sf -> _))
+    // spec v3 §Default values: fields carrying an initial-default fill
+    // rows of files written under a schema that PREDATES the column
+    val defaulted: Seq[(StructField, Any)] =
+      snap.schema.fields.toSeq.flatMap(f => initialDefaultOf(f).map(f -> _))
     val needFileCol = keepCoords || projectCols.nonEmpty ||
-      snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty
+      snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty || defaulted.nonEmpty
     val scanRaw = spark.read.schema(StructType(snap.schema.fields ++
       extraCols.map(_.copy(nullable = true)))).parquet(kept.map(_.path): _*)
     val scan1 =
@@ -825,9 +892,45 @@ object IcebergInterop {
             org.apache.spark.sql.functions.col("_metadata.row_index"))
         else withFile
       }
-    val scan =
+    val scan0 =
       if (projectCols.isEmpty) scan1
       else projectIdentityPartitions(spark, snap, kept, scan1, projectCols)
+    // per-file default fill: a file carries a later-added column iff
+    // the schema at its ADDING snapshot had the field (one driver
+    // metadata lookup per file; an expired adding snapshot falls back
+    // to one footer read). `when(hasField, stored).otherwise(default)`
+    // keeps REAL NULLs written after the add — only physically-absent
+    // columns fill.
+    val scan = if (defaulted.isEmpty) scan0 else {
+      import spark.implicits._
+      val presence: Seq[(String, Seq[Boolean])] = kept.map { f =>
+        val flags = defaulted.map { case (fd, _) =>
+          val fid =
+            if (fd.metadata.contains("parquet.field.id"))
+              fd.metadata.getLong("parquet.field.id").toInt
+            else -1
+          snap.fieldIdsAtSnapshot.get(f.addedSnapshotId) match {
+            case Some(ids) if fid >= 0 => ids.contains(fid)
+            case _ =>
+              spark.read.parquet(f.path).schema.fieldNames.contains(fd.name)
+          }
+        }
+        PathCodec.metadataPathKey(f.path) -> flags
+      }
+      val presDf = presence.map { case (k, fl) => (k, fl) }
+        .toDF("__ice_file", "__has")
+      val joined = scan0.join(
+        org.apache.spark.sql.functions.broadcast(presDf), Seq("__ice_file"))
+      defaulted.zipWithIndex.foldLeft(joined) {
+        case (d, ((fd, dv), i)) =>
+          d.withColumn(fd.name, org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.element_at(
+                org.apache.spark.sql.functions.col("__has"), i + 1),
+              org.apache.spark.sql.functions.col(fd.name))
+            .otherwise(org.apache.spark.sql.functions.lit(dv)
+              .cast(fd.dataType)))
+      }.drop("__has")
+    }
     if (snap.deletes.isEmpty && snap.eqDeletes.isEmpty) {
       val cols = snap.schema.fieldNames.toSeq ++
         (if (keepCoords) Seq("__ice_file", "__ice_pos") else Seq.empty) ++
@@ -4496,9 +4599,23 @@ object IcebergInterop {
     * and read back as NULL through the field-id projection the read
     * path already does. O(1) in table size. The new column is nullable
     * by construction. */
-  def addColumn(base: String, name: String, dt: DataType): Long = {
+  def addColumn(base: String, name: String, dt: DataType,
+                default: Option[Any] = None): Long = {
     val meta = readMeta(base)
       .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    // spec v3 §Default values: initial-default (fills rows of files
+    // that predate the column) + write-default (fills writers that
+    // omit it) — both the same value here, the ADD COLUMN ... DEFAULT
+    // shape. v3-only; name-mapped tables strip the field metadata the
+    // read fill rides on, so they refuse.
+    default.foreach { _ =>
+      require(meta.get("format-version").asInt() >= 3,
+        "column defaults are an Iceberg format-v3 feature (upgrade first)")
+      require(!Option(meta.get("properties"))
+          .exists(_.has("schema.name-mapping.default")),
+        "column defaults on a name-mapped (converted) table are not " +
+        "supported — the by-name resolution strips the default metadata")
+    }
     val schemas = meta.get("schemas")
     val curId = meta.get("current-schema-id").asInt()
     val cur = (0 until schemas.size()).map(schemas.get)
@@ -4521,6 +4638,20 @@ object IcebergInterop {
     added.put("id", newFieldId); added.put("name", name)
     added.put("required", false)
     added.put("type", sparkTypeToIceberg(dt))
+    default.foreach { v =>
+      def put(field: String): Unit = v match {
+        case i: Int => added.put(field, i)
+        case l: Long => added.put(field, l)
+        case f: Float => added.put(field, f)
+        case d: Double => added.put(field, d)
+        case b: Boolean => added.put(field, b)
+        case st: String => added.put(field, st)
+        case other => throw new IllegalArgumentException(
+          s"default value $other (${other.getClass.getSimpleName}) is " +
+          "not a supported primitive")
+      }
+      put("initial-default"); put("write-default")
+    }
     meta.put("current-schema-id", newSchemaId)
     meta.put("last-column-id", newFieldId)
     commitMetadataVersion(base, meta)
@@ -4747,9 +4878,25 @@ object IcebergInterop {
   }
 
   def append(df: DataFrame, base: String,
-             partitionBy: Seq[String] = Seq.empty): Long =
-    commitSnapshotSpec(df, base, "append",
-      appendSpec(df.sparkSession, base, partitionBy))
+             partitionBy: Seq[String] = Seq.empty): Long = {
+    // spec v3 §Default values: a writer that OMITS a defaulted column
+    // materializes its write-default (the schema-shape check below
+    // would otherwise refuse the narrower frame)
+    val snapSchema = snapshot(df.sparkSession, base).schema
+    val missing = snapSchema.fields.filterNot(f =>
+      df.columns.contains(f.name))
+    val filled =
+      if (missing.isEmpty || !missing.forall(f => writeDefaultOf(f).isDefined))
+        df
+      else missing.foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(writeDefaultOf(f).get)
+            .cast(f.dataType))
+      }.select(snapSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toSeq: _*)
+    commitSnapshotSpec(filled, base, "append",
+      appendSpec(filled.sparkSession, base, partitionBy))
+  }
 
   /** Write-audit-publish, step 1: append onto a BRANCH. The new
     * snapshot chains off the branch head (forking from main if the

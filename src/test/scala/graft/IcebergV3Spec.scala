@@ -4,6 +4,7 @@ import java.io.File
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import graft.sources.{DeletionVectors, IcebergInterop, Puffin}
 
 /** Iceberg format-version 3: deletion vectors in puffin files (table
@@ -472,6 +473,83 @@ class IcebergV3Spec extends SparkSpec {
     assert(livePuffin.map(_.split("/").last).toSet == remaining,
       s"expected only the live vector to remain, got $remaining")
     assert(IcebergInterop.snapshotIds(base) == Seq(head))
+  }
+
+  // --------------------------------------------------- default values
+
+  test("default values: old files fill, real NULLs survive, write-default applies") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 6L).map(i => (i, s"u$i")).toDF("id", "name").coalesce(1),
+      base, formatVersion = 3)
+    IcebergInterop.addColumn(base, "score", DoubleType, default = Some(1.5))
+    // pre-add rows read the initial-default, not NULL
+    val l0 = IcebergInterop.read(spark, base)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(l0 == (0L until 6L).map(_ -> 1.5).toMap, s"got $l0")
+    // an append CARRYING the column keeps real values AND real NULLs
+    IcebergInterop.append(
+      Seq((10L, "x", java.lang.Double.valueOf(9.0)),
+        (11L, "y", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "name", "score").coalesce(1), base)
+    val l1 = IcebergInterop.read(spark, base)
+      .select(col("id"), col("score")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(l1(10L) == Some(9.0))
+    assert(l1(11L).isEmpty, "a REAL NULL written after the add must stay NULL")
+    assert(l1(0L) == Some(1.5))
+    // an append OMITTING the column materializes the write-default
+    IcebergInterop.append(
+      Seq((20L, "z")).toDF("id", "name").coalesce(1), base)
+    val l2 = IcebergInterop.read(spark, base)
+      .filter(col("id") === 20L).select("score").head()
+    assert(l2.getDouble(0) == 1.5)
+    // compaction materializes the fill; values unchanged after
+    IcebergInterop.rewriteDataFilesSorted(spark, base, Seq("id"),
+      filesPerPartition = 1)
+    val l3 = IcebergInterop.read(spark, base)
+      .select(col("id"), col("score")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(l3 == l1 + (20L -> Some(1.5)), s"rewrite changed values: $l3")
+  }
+
+  test("default values: expired adding snapshot falls back to the file footer") {
+    val base = tmp()
+    IcebergInterop.withClock(IcebergInterop.tickingClock(1000L, 1000L)) {
+      IcebergInterop.overwrite(spark.range(4).toDF("id").coalesce(1), base,
+        formatVersion = 3)
+      IcebergInterop.append(spark.range(10, 12).toDF("id").coalesce(1), base)
+    }
+    IcebergInterop.addColumn(base, "tag", StringType, default = Some("old"))
+    // expire the first snapshot: its files stay live (carried) but the
+    // snapshot-id → schema lookup is gone — presence must resolve from
+    // the footer instead of misfiring either way
+    IcebergInterop.expireSnapshots(spark, base, retainLast = 1)
+    val got = IcebergInterop.read(spark, base)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got.values.toSet == Set("old"), s"got $got")
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("default values: SQL ADD COLUMNS DEFAULT on v3; v2 and name-mapped refuse") {
+    import graft.pipeline.GraftSql
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 5L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1), base,
+      formatVersion = 3)
+    GraftSql.registerIcebergTable(spark, "v3def", base)
+    GraftSql.sql(spark,
+      "ALTER TABLE v3def ADD COLUMNS (bonus DOUBLE DEFAULT 1.0 + 1.5)")
+    assert(spark.sql("SELECT sum(bonus) FROM v3def").head().getDouble(0) == 12.5)
+    // v2 refuses with the upgrade hint
+    val v2 = tmp()
+    IcebergInterop.overwrite(spark.range(3).toDF("id").coalesce(1), v2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.addColumn(v2, "x", IntegerType, default = Some(1))
+    }
+    assert(e.getMessage.contains("format-v3"))
   }
 
   /** Same injection seam as IcebergOccSpec: the competing commit runs
