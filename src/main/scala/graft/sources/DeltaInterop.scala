@@ -2816,10 +2816,15 @@ object DeltaInterop {
     // rows for its file (the v3 writer folded them in).
     val (iceDvs, icePosDels) = ice.deletes.partition(_.dv)
     val dvCarried: Map[String, DvDescriptor] = iceDvs.map { d =>
-      val blob = io.readBytes(d.path).slice(d.contentOffset.getOrElse(
-          throw new IllegalStateException(
-            s"DV entry ${d.path} lacks content_offset (refusing)")).toInt,
-        (d.contentOffset.get + d.contentSize.getOrElse(d.sizeBytes)).toInt)
+      // sizeBytes is the whole puffin FILE length — slicing with it
+      // would pull footer bytes into the carried blob, so a
+      // spec-invalid entry missing content_size refuses (same contract
+      // as dvSizeOf on the read path)
+      val off = d.contentOffset.getOrElse(throw new IllegalStateException(
+        s"DV entry ${d.path} lacks content_offset (refusing)"))
+      val len = d.contentSize.getOrElse(throw new IllegalStateException(
+        s"DV entry ${d.path} lacks content_size_in_bytes (refusing)"))
+      val blob = io.readBytes(d.path).slice(off.toInt, (off + len).toInt)
       val uuid = UUID.randomUUID()
       io.mkdirs(dstBase)
       io.writeBytes(TableIO.join(dstBase, s"deletion_vector_$uuid.bin"),

@@ -384,12 +384,10 @@ object IcebergInterop {
   }
 
   /** Resolve the table state at `snapshotId` (current by default). */
-  def snapshot(spark: SparkSession, base: String,
-               snapshotId: Option[Long] = None): IcebergSnapshot = {
-    val meta = readMeta(base)
-    val fv = meta.get("format-version").asInt()
-    require(fv == 1 || fv == 2 || fv == 3,
-      s"unsupported Iceberg format-version $fv")
+  /** Current table schema from the metadata JSON ALONE — no
+    * manifest-list or manifest reads. The cheap path for callers that
+    * need only the shape (e.g. append's write-default fill). */
+  private[sources] def schemaFromMeta(meta: JsonNode, base: String): StructType = {
     // current schema (schemas list + current-schema-id; v1 fallback "schema")
     val schemaNode = Option(meta.get("schemas")).map { ss =>
       val want = meta.get("current-schema-id").asInt()
@@ -404,11 +402,20 @@ object IcebergInterop {
     // demand ids the converted files don't have
     val nameMapped = Option(meta.get("properties"))
       .exists(_.has("schema.name-mapping.default"))
-    val schema = {
-      val s0 = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
-      if (!nameMapped) s0
-      else StructType(s0.fields.map(f => f.copy(metadata = Metadata.empty)))
-    }
+    val s0 = icebergTypeToSpark(schemaNode).asInstanceOf[StructType]
+    if (!nameMapped) s0
+    else StructType(s0.fields.map(f => f.copy(metadata = Metadata.empty)))
+  }
+
+  def snapshot(spark: SparkSession, base: String,
+               snapshotId: Option[Long] = None): IcebergSnapshot = {
+    val meta = readMeta(base)
+    val fv = meta.get("format-version").asInt()
+    require(fv == 1 || fv == 2 || fv == 3,
+      s"unsupported Iceberg format-version $fv")
+    val nameMapped = Option(meta.get("properties"))
+      .exists(_.has("schema.name-mapping.default"))
+    val schema = schemaFromMeta(meta, base)
 
     val snaps = Option(meta.get("snapshots")).getOrElse(
       throw new IllegalStateException(s"no snapshots in $base"))
@@ -895,14 +902,23 @@ object IcebergInterop {
     val scan0 =
       if (projectCols.isEmpty) scan1
       else projectIdentityPartitions(spark, snap, kept, scan1, projectCols)
-    // per-file default fill: a file carries a later-added column iff
-    // the schema at its ADDING snapshot had the field (one driver
-    // metadata lookup per file; an expired adding snapshot falls back
-    // to one footer read). `when(hasField, stored).otherwise(default)`
-    // keeps REAL NULLs written after the add — only physically-absent
-    // columns fill.
+    // per-file default fill. The reference readers key on field-id
+    // ABSENCE IN THE FILE (spec v3 §Default values), so the footer is
+    // ground truth. The adding snapshot's schema is used only as a
+    // NEGATIVE proof — a file written under a schema without the field
+    // cannot carry it — which skips the footer for every pre-add file;
+    // post-add files get one footer read each (an external writer may
+    // have physically omitted an optional defaulted column even though
+    // the schema had it). Cost is bounded by post-add file count, only
+    // on tables that HAVE defaulted columns.
+    // `when(hasField, stored).otherwise(default)` keeps REAL NULLs
+    // written after the add — only physically-absent columns fill.
     val scan = if (defaulted.isEmpty) scan0 else {
       import spark.implicits._
+      val footerNames = scala.collection.mutable.Map.empty[String, Set[String]]
+      def inFooter(path: String, name: String): Boolean =
+        footerNames.getOrElseUpdate(path,
+          spark.read.parquet(path).schema.fieldNames.toSet).contains(name)
       val presence: Seq[(String, Seq[Boolean])] = kept.map { f =>
         val flags = defaulted.map { case (fd, _) =>
           val fid =
@@ -910,9 +926,8 @@ object IcebergInterop {
               fd.metadata.getLong("parquet.field.id").toInt
             else -1
           snap.fieldIdsAtSnapshot.get(f.addedSnapshotId) match {
-            case Some(ids) if fid >= 0 => ids.contains(fid)
-            case _ =>
-              spark.read.parquet(f.path).schema.fieldNames.contains(fd.name)
+            case Some(ids) if fid >= 0 && !ids.contains(fid) => false
+            case _ => inFooter(f.path, fd.name)
           }
         }
         PathCodec.metadataPathKey(f.path) -> flags
@@ -2419,8 +2434,35 @@ object IcebergInterop {
               "a vector folded from the stale one")
         }
       },
-      buildRefs = (head, newId) =>
-        carryManifestsWithoutDv(base, head, touchedRaw) :+ deleteRef(newId))
+      buildRefs = (head, newId) => {
+        if (newId != snapshotId) {
+          // the staged puffin footers and manifest entries named the
+          // FIRST-ATTEMPT id; after a rebase the snapshot publishes
+          // under newId, so restage both — external validators of the
+          // puffin footer / entry snapshot_id must see an id that
+          // actually committed. Blob bytes precede the footer in the
+          // puffin layout, so offsets/lengths are invariant (guarded).
+          written.foreach { case (raw, name, off, len, _) =>
+            val p = TableIO.join(dataDir, name)
+            val poss = Puffin.readDvBlob(io.readBytes(p), off, len, p)
+            val (bytes, locs) =
+              Puffin.dvFileBytes(Seq(raw -> poss.toSeq), newId, newId)
+            require(locs.head.offset == off && locs.head.length == len,
+              s"puffin restage moved blob framing for $p (refusing)")
+            io.writeBytes(p, bytes)
+          }
+          val (sch2, recs2) = readAvroWithSchema(mFile)
+          recs2.foreach { r =>
+            r.asInstanceOf[GenericData.Record].put("snapshot_id", newId)
+            val dfr = r.get("data_file").asInstanceOf[GenericData.Record]
+            // footer JSON length can shift with the id digits
+            dfr.put("file_size_in_bytes",
+              io.length(dfr.get("file_path").toString))
+          }
+          writeAvro(mFile, sch2, recs2)
+        }
+        carryManifestsWithoutDv(base, head, touchedRaw) :+ deleteRef(newId)
+      })
     commitManifestListSnapshot(base, prev,
       carryManifestsWithoutDv(base, prev, touchedRaw) :+ deleteRef(snapshotId),
       snapshotId, id, "delete", rebase = Some(rebase))
@@ -4881,19 +4923,34 @@ object IcebergInterop {
              partitionBy: Seq[String] = Seq.empty): Long = {
     // spec v3 §Default values: a writer that OMITS a defaulted column
     // materializes its write-default (the schema-shape check below
-    // would otherwise refuse the narrower frame)
-    val snapSchema = snapshot(df.sparkSession, base).schema
-    val missing = snapSchema.fields.filterNot(f =>
-      df.columns.contains(f.name))
+    // would otherwise refuse the narrower frame). Schema comes from
+    // the metadata JSON alone — no manifest walk — and a
+    // not-yet-existing table skips the fill (append still CREATES it;
+    // appendSpec keeps the caller's columns as identity).
     val filled =
-      if (missing.isEmpty || !missing.forall(f => writeDefaultOf(f).isDefined))
-        df
-      else missing.foldLeft(df) { (d, f) =>
-        d.withColumn(f.name,
-          org.apache.spark.sql.functions.lit(writeDefaultOf(f).get)
-            .cast(f.dataType))
-      }.select(snapSchema.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toSeq: _*)
+      if (!io.isDirectory(metadataDir(base))) df
+      else {
+        val snapSchema = schemaFromMeta(readMeta(base), base)
+        val missing = snapSchema.fields.filterNot(f =>
+          df.columns.contains(f.name))
+        if (missing.isEmpty ||
+            !missing.forall(f => writeDefaultOf(f).isDefined)) df
+        else {
+          // the fill only WIDENS a narrower frame — columns the table
+          // doesn't know still refuse loudly (a misspelled defaulted
+          // column must not be silently discarded)
+          val unknown = df.columns.filterNot(snapSchema.fieldNames.contains)
+          require(unknown.isEmpty,
+            s"append frame has columns not in the table schema of $base: " +
+            unknown.mkString(", "))
+          missing.foldLeft(df) { (d, f) =>
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.lit(writeDefaultOf(f).get)
+                .cast(f.dataType))
+          }.select(snapSchema.fieldNames
+            .map(org.apache.spark.sql.functions.col).toSeq: _*)
+        }
+      }
     commitSnapshotSpec(filled, base, "append",
       appendSpec(filled.sparkSession, base, partitionBy))
   }

@@ -288,7 +288,40 @@ class IcebergV3Spec extends SparkSpec {
     assert(got.count() == 11)
     assert(got.agg(sum("id")).head().getLong(0) ==
       (4L until 10L).sum + (100L until 105L).sum)
-    assert(IcebergInterop.snapshot(spark, base).deletes.forall(_.dv))
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.deletes.forall(_.dv))
+    // the rebase RESTAGES the puffin footer and manifest entry: both
+    // must name the id that actually PUBLISHED (an external validator
+    // of the footer would otherwise see a snapshot that never
+    // committed)
+    val publishedId = meta(base).get("current-snapshot-id").asLong()
+    val dv = snap.deletes.find(_.dv).get
+    val bytes = Files.readAllBytes(new File(dv.path).toPath)
+    val payloadSize = java.nio.ByteBuffer
+      .wrap(bytes, bytes.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val payload = new String(bytes, bytes.length - 12 - payloadSize,
+      payloadSize, java.nio.charset.StandardCharsets.UTF_8)
+    val footer = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().readTree(payload)
+    val footerSnapIds = (0 until footer.get("blobs").size())
+      .map(i => footer.get("blobs").get(i).get("snapshot-id").asLong()).toSet
+    assert(footerSnapIds == Set(publishedId),
+      s"puffin footer names $footerSnapIds, published $publishedId")
+    // the staged manifest's entry snapshot_id matches too
+    import scala.jdk.CollectionConverters._
+    val delMan = new File(base, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-del-") &&
+        f.getName.endsWith(".avro")).maxBy(_.lastModified())
+    val rdr2 = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](delMan,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entryIds = rdr2.iterator().asScala
+      .map(_.get("snapshot_id").toString.toLong).toSet
+    rdr2.close()
+    assert(entryIds == Set(publishedId),
+      s"manifest entries name $entryIds, published $publishedId")
   }
 
   test("v3 DV delete racing a DV rewrite of the same file refuses") {
@@ -550,6 +583,96 @@ class IcebergV3Spec extends SparkSpec {
       IcebergInterop.addColumn(v2, "x", IntegerType, default = Some(1))
     }
     assert(e.getMessage.contains("format-v3"))
+  }
+
+  test("append to a not-yet-existing base still CREATES the table") {
+    val base = tmp() + "/fresh"
+    IcebergInterop.append(spark.range(5).toDF("id").coalesce(1), base)
+    assert(IcebergInterop.read(spark, base).count() == 5)
+  }
+
+  test("default fill refuses unknown incoming columns (no silent discard)") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 3L).map(i => (i, s"u$i")).toDF("id", "name").coalesce(1),
+      base, formatVersion = 3)
+    IcebergInterop.addColumn(base, "bonus", DoubleType, default = Some(2.0))
+    // a misspelled defaulted column must refuse loudly, not be dropped
+    // and replaced by the default
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.append(
+        Seq((9L, "x", 7.0)).toDF("id", "name", "bonus_").coalesce(1), base)
+    }
+    assert(e.getMessage.contains("bonus_"), e.getMessage)
+    assert(IcebergInterop.read(spark, base).count() == 3)
+  }
+
+  test("default values: post-add file PHYSICALLY omitting the column " +
+       "reads initial-default (footer is ground truth)") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(3).toDF("id").coalesce(1), base,
+      formatVersion = 3)
+    IcebergInterop.addColumn(base, "tag", StringType, default = Some("old"))
+    IcebergInterop.append(
+      Seq((10L, "new10"), (11L, "new11")).toDF("id", "tag").coalesce(1), base)
+    // simulate an EXTERNAL writer: the adding-snapshot schema had the
+    // field, but the file on disk physically omits the optional column.
+    // Iceberg's reference readers key on field-id absence in the file
+    // → initial-default, not NULL.
+    val post = IcebergInterop.snapshot(spark, base).files
+      .filter(f => spark.read.parquet(f.path).columns.contains("tag"))
+    assert(post.nonEmpty)
+    post.foreach { f =>
+      val stripped = spark.read.parquet(f.path).drop("tag")
+      val outDir = Files.createTempDirectory("strip_").toFile.getPath
+      stripped.coalesce(1).write.mode("overwrite").parquet(outDir)
+      val part = new File(outDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, new File(f.path).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val got = IcebergInterop.read(spark, base)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "old", 1L -> "old", 2L -> "old",
+      10L -> "old", 11L -> "old"), s"got $got")
+  }
+
+  test("CONVERT v3→Delta refuses a DV entry missing content_size_in_bytes") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(8).toDF("id").coalesce(1), base,
+      formatVersion = 3)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 3)
+    // strip content_size_in_bytes from the DV manifest entry — a
+    // spec-invalid table; the carry must refuse rather than slice the
+    // puffin FILE length (footer bytes) into the Delta blob
+    val metaDir = new File(base, "metadata")
+    val delMan = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("manifest-del-") &&
+        f.getName.endsWith(".avro"))
+      .maxBy(_.lastModified())
+    val rdr = new DataFileReader[GenericRecord](delMan,
+      new GenericDatumReader[GenericRecord]())
+    val sch = rdr.getSchema
+    val recs = rdr.iterator().asScala.toList
+    rdr.close()
+    recs.foreach { r =>
+      val dfr = r.get("data_file").asInstanceOf[GenericRecord]
+      if (dfr.get("content_size_in_bytes") != null)
+        dfr.put("content_size_in_bytes", null)
+    }
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, delMan)
+    recs.foreach(w.append)
+    w.close()
+    val dst = tmp() + "/delta"
+    val e = intercept[IllegalStateException] {
+      graft.sources.DeltaInterop.convertFromIceberg(spark, base, dst)
+    }
+    assert(e.getMessage.contains("content_size_in_bytes"), e.getMessage)
   }
 
   /** Same injection seam as IcebergOccSpec: the competing commit runs
