@@ -154,6 +154,14 @@ object DeltaInterop {
 
   /** Resolve the table state at `versionAsOf` (head by default) by
     * checkpoint + JSON replay, exactly as the protocol prescribes. */
+  /** Commit-tail length at or above which snapshot() fans the JSON
+    * fetches over executors as a Spark job instead of a driver loop.
+    * Below it the job-submission overhead exceeds the reads. */
+  private[sources] def logFanoutThreshold(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.delta.logFanout")
+      .map(_.toInt).getOrElse(64)
+
   def snapshot(spark: SparkSession, base: String,
                versionAsOf: Option[Long] = None): DeltaSnapshot = {
     val dir = logDir(base)
@@ -492,24 +500,41 @@ object DeltaInterop {
     }
 
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
-    commitFiles
-      .filter { f =>
-        val v = f.stripSuffix(".json").toLong
-        v >= replayFrom && v <= target
+    val tail = commitFiles.filter { f =>
+      val v = f.stripSuffix(".json").toLong
+      v >= replayFrom && v <= target
+    }
+    // log-tail FETCH fans over executors above a threshold: reading N
+    // commit JSONs is one storage round trip each and independent per
+    // file — at 10k+ commits between checkpoints a driver loop
+    // serializes on IO latency. The APPLY stays an ordered driver fold
+    // (the protocol's reconciliation is a state machine over versions);
+    // the shipped lines are commit-metadata scale, far below the
+    // checkpoint frame already read above.
+    val tailLines: Seq[Seq[String]] =
+      if (tail.size < logFanoutThreshold(spark))
+        tail.map(f => io.readLines(TableIO.join(dir, f)))
+      else {
+        val paths = tail.map(f => TableIO.join(dir, f))
+        val slices = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(paths.zipWithIndex, slices)
+          .map { case (p, i) => (i, TableIO().readLines(p)) }
+          .collect().sortBy(_._1).map(_._2).toSeq
       }
-      .foreach { f =>
-        io.readLines(TableIO.join(dir, f)).foreach { line =>
-          if (line.nonEmpty) {
-            val n = mapper.readTree(line)
-            Option(n.get("protocol")).foreach(applyProtocol)
-            Option(n.get("metaData")).foreach(applyMetaData)
-            Option(n.get("add")).foreach(applyAdd)
-            Option(n.get("remove")).foreach(applyRemove)
-            Option(n.get("txn")).foreach(applyTxn)
-            Option(n.get("domainMetadata")).foreach(applyDomainMetadata)
-          }
+    tailLines.foreach { lines =>
+      lines.foreach { line =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          Option(n.get("protocol")).foreach(applyProtocol)
+          Option(n.get("metaData")).foreach(applyMetaData)
+          Option(n.get("add")).foreach(applyAdd)
+          Option(n.get("remove")).foreach(applyRemove)
+          Option(n.get("txn")).foreach(applyTxn)
+          Option(n.get("domainMetadata")).foreach(applyDomainMetadata)
         }
       }
+    }
     val schema = DataType.fromJson(schemaJson.getOrElse(
       throw new IllegalStateException(s"no metaData action found in $base")))
       .asInstanceOf[StructType]

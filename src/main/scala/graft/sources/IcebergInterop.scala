@@ -26,10 +26,11 @@ import org.apache.spark.sql.types._
   * against spec-format fixtures, including hand-crafted ones.
   *
   * Scale notes:
-  *  - metadata resolution is driver-side and bounded by manifest count,
-  *    the same contract Iceberg's own planning has (a production reader
-  *    would fan manifest reads over executors once manifests number in
-  *    the thousands — the avro decode per manifest is independent);
+  *  - metadata resolution reads the manifest LIST on the driver (one
+  *    small avro) and fans the per-manifest entry decode over executors
+  *    as a Spark job once manifests reach `manifestFanoutThreshold`
+  *    (the decode per manifest is independent; below the threshold the
+  *    driver walk wins on job-submission overhead);
   *  - unlike Delta, Iceberg data files CONTAIN identity-partition
   *    columns, so no re-attachment pass is needed;
   *  - resolved files go to the parquet reader as one multi-path scan
@@ -407,6 +408,125 @@ object IcebergInterop {
     else StructType(s0.fields.map(f => f.copy(metadata = Metadata.empty)))
   }
 
+  /** One manifest-list row, reduced to what the entry decode needs —
+    * the shippable unit of the executor-parallel planning path. */
+  private[sources] final case class ManifestFrame(
+      path: String, content: Int, seq: Long, firstRowId: Option[Long])
+
+  /** Decode ONE manifest's live entries. Pure per-manifest (row-id
+    * inheritance resets at each manifest boundary — spec v3 §Row
+    * Lineage), so calls are independent: the fan-out path runs this on
+    * executors, the small-table path inline on the driver. Storage
+    * access goes through TableIO() resolved AT CALL TIME, the same
+    * contract the DV write path uses executor-side. */
+  private[sources] def decodeManifest(base: String, fr: ManifestFrame)
+  : (Seq[DataFileEntry], Seq[PositionDeleteFile], Seq[EqualityDeleteFile]) = {
+    val files = mutable.ArrayBuffer.empty[DataFileEntry]
+    val deletes = mutable.ArrayBuffer.empty[PositionDeleteFile]
+    val eqDeletes = mutable.ArrayBuffer.empty[EqualityDeleteFile]
+    var rowIdOffset = 0L
+    readAvro(fr.path).foreach { e =>
+      val status = e.get("status").toString.toInt
+      if (status != 2) { // 0 existing, 1 added, 2 deleted
+        val entrySeq = opt(e, "sequence_number")
+          .map(_.toString.toLong).getOrElse(fr.seq)
+        val entrySnapId = opt(e, "snapshot_id")
+          .map(_.toString.toLong).getOrElse(-1L)
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val fileContent = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+        val fmt = df.get("file_format").toString
+        // puffin is legal ONLY for v3 deletion-vector entries
+        // (content=1 in a delete manifest with referenced_data_file)
+        require(fmt.equalsIgnoreCase("PARQUET") ||
+            (fmt.equalsIgnoreCase("PUFFIN") && fr.content == 1 &&
+             fileContent == 1),
+          s"unsupported Iceberg data file format $fmt")
+        if (fr.content == 0) {
+          require(fileContent == 0,
+            "Iceberg delete file in a data manifest — unsupported (refusing)")
+          // partition record: field names = partition names (identity);
+          // values stringified for engine-neutral comparison
+          val pv: Map[String, String] = opt(df, "partition").map {
+            case r: GenericRecord =>
+              import scala.jdk.CollectionConverters._
+              r.getSchema.getFields.asScala.map(f =>
+                f.name() -> Option(r.get(f.name())).map(_.toString).orNull).toMap
+            case _ => Map.empty[String, String]
+          }.getOrElse(Map.empty)
+          val raw = df.get("file_path").toString
+          // lower/upper bounds: avro map-as-array of (key int, value
+          // bytes) records, keyed by field id — the inputs to
+          // readRange's manifest-level data skipping
+          def boundsOf(field: String): Map[Int, Array[Byte]] =
+            opt(df, field).map {
+              case l: java.util.Collection[_] =>
+                import scala.jdk.CollectionConverters._
+                l.asScala.collect { case r: GenericRecord =>
+                  val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+                  val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+                  r.get("key").toString.toInt -> arr
+                }.toMap
+              case _ => Map.empty[Int, Array[Byte]]
+            }.getOrElse(Map.empty)
+          val recCount =
+            opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L)
+          val explicitFri = opt(df, "first_row_id").map(_.toString.toLong)
+          val fri = explicitFri.orElse(fr.firstRowId.map { base0 =>
+            val v = base0 + rowIdOffset
+            rowIdOffset += math.max(0L, recCount)
+            v
+          })
+          files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq,
+            boundsOf("lower_bounds"), boundsOf("upper_bounds"),
+            recCount,
+            opt(df, "file_size_in_bytes")
+              .map(_.toString.toLong).getOrElse(-1L),
+            firstRowId = fri,
+            addedSnapshotId = entrySnapId)
+        } else {
+          // merge-on-read deletes: position (content=1) and equality
+          // (content=2); anything else would resurrect rows if ignored
+          require(fileContent == 1 || fileContent == 2,
+            s"unsupported file content $fileContent in an Iceberg delete " +
+            "manifest (refusing)")
+          val f = resolvePath(base, df.get("file_path").toString)
+          val recCount = opt(df, "record_count")
+            .map(_.toString.toLong).getOrElse(-1L)
+          if (fileContent == 1)
+            deletes += PositionDeleteFile(f, entrySeq, io.length(f),
+              recCount,
+              referencedDataFile =
+                opt(df, "referenced_data_file").map(_.toString),
+              contentOffset =
+                opt(df, "content_offset").map(_.toString.toLong),
+              contentSize =
+                opt(df, "content_size_in_bytes").map(_.toString.toLong))
+          else {
+            import scala.jdk.CollectionConverters._
+            val ids = opt(df, "equality_ids").map {
+              case l: java.util.List[_] =>
+                l.asScala.map(_.toString.toInt).toSeq
+              case other => throw new IllegalStateException(
+                s"equality_ids of unexpected shape $other")
+            }.getOrElse(Seq.empty)
+            require(ids.nonEmpty,
+              "equality delete file without equality_ids — cannot apply (refusing)")
+            eqDeletes += EqualityDeleteFile(f, entrySeq, ids,
+              io.length(f), recCount)
+          }
+        }
+      }
+    }
+    (files.toSeq, deletes.toSeq, eqDeletes.toSeq)
+  }
+
+  /** Manifest count at or above which planning fans the per-manifest
+    * avro decode over executors as a Spark job instead of a driver
+    * loop. Below it the job-submission overhead exceeds the decode. */
+  private[sources] def manifestFanoutThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("graft.iceberg.manifestFanout")
+      .map(_.toInt).getOrElse(64)
+
   def snapshot(spark: SparkSession, base: String,
                snapshotId: Option[Long] = None): IcebergSnapshot = {
     val meta = readMeta(base)
@@ -480,116 +600,41 @@ object IcebergInterop {
 
     val manifestList = resolvePath(base,
       snap.get("manifest-list").asText())
-    val files = mutable.ArrayBuffer.empty[DataFileEntry]
-    val deletes = mutable.ArrayBuffer.empty[PositionDeleteFile]
-    val eqDeletes = mutable.ArrayBuffer.empty[EqualityDeleteFile]
-    readAvro(manifestList).foreach { m =>
+    // manifest-list framing stays a driver read (ONE small avro); the
+    // per-manifest entry decode is independent, so above the fan-out
+    // threshold it runs as a Spark job — planning no longer serializes
+    // on the driver when manifests number in the thousands. Results
+    // come back in manifest-list order either way (the collect is the
+    // same metadata-scale entry list the driver walk produced).
+    val frames: Seq[ManifestFrame] = readAvro(manifestList).map { m =>
       // content 0 = data manifest, 1 = delete manifest (v2)
       val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
       require(content == 0 || content == 1,
         s"unknown Iceberg manifest content $content (refusing)")
       // the manifest's sequence number; entries without their own
-      // sequence_number inherit it (spec §Sequence Number Inheritance)
-      val manifestSeq = opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L)
-      val mPath = resolvePath(base, m.get("manifest_path").toString)
-      // spec v3 §Row Lineage first_row_id inheritance: an entry without
-      // an explicit value inherits the manifest's first_row_id plus the
-      // record counts of the PRECEDING null-valued data entries
-      val manifestFirstRowId = opt(m, "first_row_id").map(_.toString.toLong)
-      var rowIdOffset = 0L
-      readAvro(mPath).foreach { e =>
-        val status = e.get("status").toString.toInt
-        if (status != 2) { // 0 existing, 1 added, 2 deleted
-          val entrySeq = opt(e, "sequence_number")
-            .map(_.toString.toLong).getOrElse(manifestSeq)
-          val entrySnapId = opt(e, "snapshot_id")
-            .map(_.toString.toLong).getOrElse(-1L)
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          val fileContent = opt(df, "content").map(_.toString.toInt).getOrElse(0)
-          val fmt = df.get("file_format").toString
-          // puffin is legal ONLY for v3 deletion-vector entries
-          // (content=1 in a delete manifest with referenced_data_file)
-          require(fmt.equalsIgnoreCase("PARQUET") ||
-              (fmt.equalsIgnoreCase("PUFFIN") && content == 1 &&
-               fileContent == 1),
-            s"unsupported Iceberg data file format $fmt")
-          if (content == 0) {
-            require(fileContent == 0,
-              "Iceberg delete file in a data manifest — unsupported (refusing)")
-            // partition record: field names = partition names (identity);
-            // values stringified for engine-neutral comparison
-            val pv: Map[String, String] = opt(df, "partition").map {
-              case r: GenericRecord =>
-                import scala.jdk.CollectionConverters._
-                r.getSchema.getFields.asScala.map(f =>
-                  f.name() -> Option(r.get(f.name())).map(_.toString).orNull).toMap
-              case _ => Map.empty[String, String]
-            }.getOrElse(Map.empty)
-            val raw = df.get("file_path").toString
-            // lower/upper bounds: avro map-as-array of (key int, value
-            // bytes) records, keyed by field id — the inputs to
-            // readRange's manifest-level data skipping
-            def boundsOf(field: String): Map[Int, Array[Byte]] =
-              opt(df, field).map {
-                case l: java.util.Collection[_] =>
-                  import scala.jdk.CollectionConverters._
-                  l.asScala.collect { case r: GenericRecord =>
-                    val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
-                    val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
-                    r.get("key").toString.toInt -> arr
-                  }.toMap
-                case _ => Map.empty[Int, Array[Byte]]
-              }.getOrElse(Map.empty)
-            val recCount =
-              opt(df, "record_count").map(_.toString.toLong).getOrElse(-1L)
-            val explicitFri = opt(df, "first_row_id").map(_.toString.toLong)
-            val fri = explicitFri.orElse(manifestFirstRowId.map { base0 =>
-              val v = base0 + rowIdOffset
-              rowIdOffset += math.max(0L, recCount)
-              v
-            })
-            files += DataFileEntry(resolvePath(base, raw), pv, raw, entrySeq,
-              boundsOf("lower_bounds"), boundsOf("upper_bounds"),
-              recCount,
-              opt(df, "file_size_in_bytes")
-                .map(_.toString.toLong).getOrElse(-1L),
-              firstRowId = fri,
-              addedSnapshotId = entrySnapId)
-          } else {
-            // merge-on-read deletes: position (content=1) and equality
-            // (content=2); anything else would resurrect rows if ignored
-            require(fileContent == 1 || fileContent == 2,
-              s"unsupported file content $fileContent in an Iceberg delete " +
-              "manifest (refusing)")
-            val f = resolvePath(base, df.get("file_path").toString)
-            val recCount = opt(df, "record_count")
-              .map(_.toString.toLong).getOrElse(-1L)
-            if (fileContent == 1)
-              deletes += PositionDeleteFile(f, entrySeq, io.length(f),
-                recCount,
-                referencedDataFile =
-                  opt(df, "referenced_data_file").map(_.toString),
-                contentOffset =
-                  opt(df, "content_offset").map(_.toString.toLong),
-                contentSize =
-                  opt(df, "content_size_in_bytes").map(_.toString.toLong))
-            else {
-              import scala.jdk.CollectionConverters._
-              val ids = opt(df, "equality_ids").map {
-                case l: java.util.List[_] =>
-                  l.asScala.map(_.toString.toInt).toSeq
-                case other => throw new IllegalStateException(
-                  s"equality_ids of unexpected shape $other")
-              }.getOrElse(Seq.empty)
-              require(ids.nonEmpty,
-                "equality delete file without equality_ids — cannot apply (refusing)")
-              eqDeletes += EqualityDeleteFile(f, entrySeq, ids,
-                io.length(f), recCount)
-            }
-          }
-        }
-      }
+      // sequence_number inherit it (spec §Sequence Number Inheritance);
+      // first_row_id likewise seeds the per-manifest inheritance walk
+      // (spec v3 §Row Lineage)
+      ManifestFrame(resolvePath(base, m.get("manifest_path").toString),
+        content,
+        opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L),
+        opt(m, "first_row_id").map(_.toString.toLong))
     }
+    val decoded: Seq[(Seq[DataFileEntry], Seq[PositionDeleteFile],
+                      Seq[EqualityDeleteFile])] =
+      if (frames.size < manifestFanoutThreshold(spark))
+        frames.map(fr => decodeManifest(base, fr))
+      else {
+        val b = base
+        val slices = math.max(1, math.min(frames.size,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(frames.zipWithIndex, slices)
+          .map { case (fr, i) => (i, decodeManifest(b, fr)) }
+          .collect().sortBy(_._1).map(_._2).toSeq
+      }
+    val files = decoded.flatMap(_._1)
+    val deletes = decoded.flatMap(_._2)
+    val eqDeletes = decoded.flatMap(_._3)
     IcebergSnapshot(wantId, schema, partCols,
       files.distinctBy(_.path).toSeq,
       deletes.distinctBy(d => (d.path, d.contentOffset)).toSeq,
