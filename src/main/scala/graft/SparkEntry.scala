@@ -3582,6 +3582,52 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Iceberg v3 streaming sink (q235): micro-batches land in a
+    * FORMAT-V3 table — exactly-once via snapshot-summary batch ids
+    * (a poisoned replay of batch 0 is required to be skipped) — and
+    * each batch claims its own `_row_id` space through first_row_id
+    * inheritance (spec v3 §Row Lineage). The result carries the
+    * lineage invariants as columns the oracle derives from raw
+    * counts alone: ids are unique (n_distinct_ids = total rows) and
+    * contiguous from zero (min 0, max n-1) — a replayed batch,
+    * dropped batch, or id-space collision between batches breaks one
+    * of them. */
+  private def qStreamIcebergV3(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_v3_stream_events", dir, "events") { p =>
+      val stream = graft.streaming.EventStreams.readEventStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.streaming.EventStreams.streamIngestIceberg(stream, p,
+        appId = Some("graft-q235"), formatVersion = 3)
+      // crash-between-commit-and-offset replay: must be gated, and must
+      // not burn lineage id space
+      val poison = Tables.load(s, dir, "events")
+        .select((col("event_id") + lit(10000000L)).as("event_id"),
+          col("event_type"), (col("value") + lit(1000.0)).as("value"))
+        .filter(col("event_id") < 10000050L)
+      val applied = IcebergInterop.appendIdempotent(poison, p, "graft-q235", 0L)
+      require(!applied,
+        "replayed micro-batch must be skipped by the snapshot-summary gate")
+      // a later real batch extends the id space contiguously
+      val extra = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 40)
+        .select((col("event_id") + lit(20000000L)).as("event_id"),
+          col("event_type"), col("value"))
+        .coalesce(1)
+      require(IcebergInterop.appendIdempotent(extra, p, "graft-q235", 99L),
+        "fixture: the follow-up batch must commit")
+    }
+    val withIds = IcebergInterop.readWithRowIds(s, base)
+    val global = withIds.agg(
+      countDistinct(col(IcebergInterop.RowIdCol)).as("n_distinct_ids"),
+      min(col(IcebergInterop.RowIdCol)).as("min_row_id"),
+      max(col(IcebergInterop.RowIdCol)).as("max_row_id"))
+    withIds.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .crossJoin(broadcast(global))
+      .orderBy(col("event_type"))
+  }
+
   /** MERGE with WHEN NOT MATCHED BY SOURCE (q194): first the FULL-SYNC
     * shape (all three clauses — the table becomes exactly the source,
     * one atomic definition-preserving overwrite), then the
@@ -5690,6 +5736,7 @@ object SparkEntry {
     "q232_iceberg_v3_dv" -> (qIcebergV3Dv _),
     "q233_iceberg_v3_lineage" -> (qIcebergV3Lineage _),
     "q234_iceberg_v3_defaults" -> (qIcebergV3Defaults _),
+    "q235_iceberg_v3_stream" -> (qStreamIcebergV3 _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6538,6 +6585,18 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q235_iceberg_v3_stream" ->
+      """WITH src AS (
+           SELECT event_id, event_type, value FROM events
+           UNION ALL
+           SELECT event_id + 20000000, event_type, value FROM events
+           WHERE event_id < 40)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           (SELECT count(*) FROM src) AS n_distinct_ids,
+           CAST(0 AS BIGINT) AS min_row_id,
+           (SELECT count(*) - 1 FROM src) AS max_row_id
+         FROM src GROUP BY event_type ORDER BY event_type""",
     "q193_iceberg_sql_dml" ->
       """SELECT bucket, count(*) AS n_orders,
          CAST(sum(price) AS DOUBLE) AS total_price

@@ -287,6 +287,33 @@ object IcebergInterop {
           val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")").split(",")
           DecimalType(p.trim.toInt, sc.trim.toInt)
         case s if s.startsWith("fixed[") => BinaryType
+        // spec v3 §Primitive Types: `unknown` marks a column whose type
+        // could not be determined — always optional, never written, all
+        // reads produce null. Mapped to a tagged StringType placeholder
+        // (the struct branch enforces optionality and stamps the tag);
+        // the data files never carry the column, so the scan yields
+        // NULLs with no special machinery.
+        case "unknown" => NullType
+        // v3 types this engine does NOT read — refuse with guidance
+        // rather than mis-map (a silently-wrong precision or encoding
+        // on a foreign table is worse than an error)
+        case s @ ("timestamp_ns" | "timestamptz_ns") =>
+          throw new IllegalArgumentException(
+            s"Iceberg v3 type '$s' (nanosecond timestamp) is not readable " +
+            "by this engine: Spark timestamps are microsecond precision. " +
+            "Rewrite the column as timestamp/timestamptz (microseconds), " +
+            "or expose the raw nanosecond count as a long in the " +
+            "producing engine.")
+        case "variant" =>
+          throw new IllegalArgumentException(
+            "Iceberg v3 type 'variant' is not readable by this engine. " +
+            "Shred the column to typed fields or serialize it to a JSON " +
+            "string in the producing engine.")
+        case s if s.startsWith("geometry") || s.startsWith("geography") =>
+          throw new IllegalArgumentException(
+            s"Iceberg v3 type '$s' is not readable by this engine. " +
+            "Expose the well-known-binary bytes as a plain binary column " +
+            "in the producing engine.")
         case other => throw new IllegalArgumentException(
           s"unsupported Iceberg type: $other")
       }
@@ -309,9 +336,19 @@ object IcebergInterop {
             mb.putString("iceberg.initial-default", d.toString))
           Option(f.get("write-default")).filterNot(_.isNull).foreach(d =>
             mb.putString("iceberg.write-default", d.toString))
-          val meta = mb.build()
-          StructField(f.get("name").asText(),
-            icebergTypeToSpark(f.get("type")),
+          val sparkType = icebergTypeToSpark(f.get("type"))
+          // `unknown` (v3): the placeholder must stay optional (the
+          // spec requires it) and is tagged so nothing ever writes it
+          val (finalType, meta) =
+            if (sparkType == NullType) {
+              require(!f.get("required").asBoolean(),
+                s"Iceberg 'unknown'-typed field ${f.get("name").asText()} " +
+                "is marked required — the v3 spec requires it optional " +
+                "(refusing)")
+              mb.putBoolean("iceberg.unknown-type", true)
+              (StringType, mb.build())
+            } else (sparkType, mb.build())
+          StructField(f.get("name").asText(), finalType,
             nullable = !f.get("required").asBoolean(),
             metadata = meta)
         })
@@ -3163,13 +3200,19 @@ object IcebergInterop {
     * instead). */
   def appendIdempotent(df: DataFrame, base: String, appId: String,
                        batchId: Long,
-                       partitionBy: Seq[String] = Seq.empty): Boolean = {
+                       partitionBy: Seq[String] = Seq.empty,
+                       formatVersion: Int = 2): Boolean = {
     val exists = io.exists(TableIO.join(metadataDir(base), "version-hint.text"))
     if (exists && lastBatchId(base, appId) >= batchId)
       return false // replayed batch — skip BEFORE staging any data
+    // formatVersion only shapes CREATION (first batch); appends onto an
+    // existing table inherit its version — on v3 each batch claims its
+    // own `_row_id` space via first_row_id inheritance (spec v3 §Row
+    // Lineage), so lineage ids stay unique across batches.
     commitSnapshotSpec(df, base, if (exists) "append" else "overwrite",
       appendSpec(df.sparkSession, base, partitionBy), summary = Map(
-        "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString))
+        "graft.app-id" -> appId, "graft.batch-id" -> batchId.toString),
+      createFormatVersion = formatVersion)
     true
   }
 

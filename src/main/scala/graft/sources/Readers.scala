@@ -64,6 +64,30 @@ object Readers {
            props: Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** MySQL connection URL hardened for ingestion (reference:
+    * spark/jobs/mysql_bronze_ingestion.py:65-94 reads
+    * `sales.transactions`, db/init.sql:4-10): MySQL permits the
+    * zero-date `'0000-00-00 00:00:00'`, which the Connector/J driver
+    * throws on by default mid-scan. `zeroDateTimeBehavior=convertToNull`
+    * maps them to NULL — the only representation Spark's TimestampType
+    * has for them — so a single bad row can't kill a bronze load.
+    * Appends the parameter only when the caller hasn't set it. */
+  def mysqlJdbcUrl(url: String): String =
+    if (url.toLowerCase(java.util.Locale.ROOT)
+          .contains("zerodatetimebehavior=")) url
+    else if (url.contains("?")) s"$url&zeroDateTimeBehavior=convertToNull"
+    else s"$url?zeroDateTimeBehavior=convertToNull"
+
+  /** S4 for MySQL specifically: the plain scan with the zero-date
+    * guard applied to the URL. Type mapping notes (Spark's MySQL
+    * dialect, pinned in JdbcDialectSpec against the same shapes):
+    * DATETIME → timestamp, BIGINT UNSIGNED → decimal(20,0) (values
+    * above Long.MaxValue are legal), TINYINT(1) → boolean unless
+    * tinyInt1isBit=false. */
+  def mysqlJdbc(spark: SparkSession, url: String, table: String,
+                props: Properties): DataFrame =
+    jdbc(spark, mysqlJdbcUrl(url), table, props)
+
   /** S4 at scale: range-partitioned JDBC scan — `numPartitions` parallel
     * readers over `partitionColumn` strides. This is what the reference's
     * single-partition scan must become on any table that matters. */

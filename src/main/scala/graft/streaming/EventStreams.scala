@@ -371,7 +371,8 @@ object EventStreams {
     * query keeps. */
   def streamIngestIceberg(stream: DataFrame, base: String,
                           appId: Option[String] = None,
-                          checkpoint: Option[String] = None): Unit = {
+                          checkpoint: Option[String] = None,
+                          formatVersion: Int = 2): Unit = {
     val ephemeral = checkpoint.isEmpty
     val ckpt = checkpoint.getOrElse(
       s"/dev/shm/graft_ice_ckpt_${java.util.UUID.randomUUID()}")
@@ -380,7 +381,7 @@ object EventStreams {
       stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.sources.IcebergInterop.appendIdempotent(
-            batch, base, app, batchId)
+            batch, base, app, batchId, formatVersion = formatVersion)
           ()
         }
         .option("checkpointLocation", ckpt)

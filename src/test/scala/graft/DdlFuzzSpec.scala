@@ -31,7 +31,11 @@ class DdlFuzzSpec extends SparkSpec {
   private final case class Model(var cols: Vector[String],
                                  var rows: Vector[Map[String, Any]])
 
-  private def runSequence(seed: Int, nOps: Int): Unit = {
+  private def runSequence(seed: Int, nOps: Int,
+                          icebergV3: Boolean = false,
+                          withDefaults: Boolean = false): Unit = {
+    require(!withDefaults || icebergV3,
+      "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
     // adversarial: no read may have primed session confs — the first
     // operation of a fresh session must stand on its own (the exact
@@ -79,7 +83,8 @@ class DdlFuzzSpec extends SparkSpec {
       val (df, rows) = insertFrame(5)
       DeltaInterop.overwrite(df, dbase)
       DeltaInterop.enableColumnMapping(spark, dbase) // rename/drop need it
-      IcebergInterop.overwrite(df.coalesce(1), ibase)
+      IcebergInterop.overwrite(df.coalesce(1), ibase,
+        formatVersion = if (icebergV3) 3 else 2)
       GraftLog.overwrite(df, lbase)
       model.rows = rows.toVector
       recordRestorePoint()
@@ -148,10 +153,31 @@ class DdlFuzzSpec extends SparkSpec {
         case 1 => // ADD COLUMN (metadata-only everywhere)
           val c = freshCol()
           val st = StructType(Seq(StructField(c, DoubleType)))
-          DeltaInterop.addColumns(spark, dbase, st)
-          IcebergInterop.addColumn(ibase, c, DoubleType)
-          GraftLog.addColumns(lbase, st)
-          model.cols :+= c // existing rows lack it → NULL
+          if (withDefaults && rnd.nextBoolean()) {
+            // the DEFAULTS dimension: Iceberg fills pre-add rows via v3
+            // initial-default METADATA alone; Delta/graft-log (no
+            // retroactive defaults in their protocols) take the
+            // equivalent explicit backfill UPDATE. All three must then
+            // agree through every later op — a fill leaking onto
+            // post-add rows, dying in compaction/rename/restore, or
+            // missing a pre-add file diverges here.
+            val d0 = (1 + rnd.nextInt(9)) * 0.25
+            IcebergInterop.addColumn(ibase, c, DoubleType,
+              default = Some(d0))
+            DeltaInterop.addColumns(spark, dbase, st)
+            DeltaDml.updateWhere(spark, dbase, col(c).isNull,
+              Map(c -> lit(d0)))
+            GraftLog.addColumns(lbase, st)
+            GraftLog.updateWhere(spark, lbase, col(c).isNull,
+              Map(c -> lit(d0)))
+            model.cols :+= c
+            model.rows = model.rows.map(_ + (c -> Double.box(d0)))
+          } else {
+            DeltaInterop.addColumns(spark, dbase, st)
+            IcebergInterop.addColumn(ibase, c, DoubleType)
+            GraftLog.addColumns(lbase, st)
+            model.cols :+= c // existing rows lack it → NULL
+          }
           restorePoints.clear() // schema moved — old points unrestorable
         case 2 if model.cols.size >= 1 => // RENAME a non-key column
           val from = model.cols(rnd.nextInt(model.cols.size))
@@ -254,6 +280,19 @@ class DdlFuzzSpec extends SparkSpec {
         assert(normalized(df) == expected,
           s"seed=$seed: $fmt diverged from the model")
     }
+    if (icebergV3) {
+      // the LINEAGE invariant survives every interleaving: after any
+      // mix of DML, evolution, maintenance, and restore, every live
+      // row still carries a row id and no two rows share one
+      val ids = IcebergInterop.readWithRowIds(spark, ibase)
+        .select(IcebergInterop.RowIdCol).collect()
+      assert(ids.forall(!_.isNullAt(0)),
+        s"seed=$seed: a v3 row lost its lineage id")
+      val longs = ids.map(_.getLong(0)).toSeq
+      assert(longs.distinct.size == longs.size,
+        s"seed=$seed: duplicate v3 lineage ids after the sequence")
+      assert(longs.size == model.rows.size)
+    }
   }
 
   test("seeded DDL/DML sequences agree across all formats and the model") {
@@ -263,5 +302,14 @@ class DdlFuzzSpec extends SparkSpec {
     // a longer sequence reaches deeper op interleavings (restore after
     // maintenance after evolution) that short runs rarely compose
     runSequence(seed = 2026, nOps = 34)
+  }
+
+  test("v3 sequences: defaults-after-evolution and lineage hold " +
+       "against the model") {
+    runSequence(seed = 99, nOps = 20, icebergV3 = true,
+      withDefaults = true)
+    runSequence(seed = 2718, nOps = 26, icebergV3 = true,
+      withDefaults = true)
+    runSequence(seed = 31337, nOps = 20, icebergV3 = true)
   }
 }

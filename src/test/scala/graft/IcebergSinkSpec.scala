@@ -17,6 +17,15 @@ class IcebergSinkSpec extends SparkSpec {
     d.deleteOnExit(); d.getPath
   }
 
+  private def formatVersionOf(base: String): Int = {
+    val v = Files.readString(
+      new java.io.File(base, "metadata/version-hint.text").toPath).trim
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(Files.readString(
+        new java.io.File(base, s"metadata/v$v.metadata.json").toPath))
+      .get("format-version").asInt()
+  }
+
   test("appendIdempotent creates the table and gates replays") {
     val base = tmp()
     val df = spark.range(10).toDF("id").coalesce(1)
@@ -63,6 +72,59 @@ class IcebergSinkSpec extends SparkSpec {
     // streamed small files fold away with the maintenance compaction
     IcebergInterop.rewriteDataFiles(spark, base)
     assert(IcebergInterop.read(spark, base).count() == 120)
+  }
+
+  test("streaming into a v3 table: exactly-once holds and each batch " +
+       "claims its own row-lineage id space") {
+    val base = tmp()
+    val df0 = spark.range(10).toDF("id").coalesce(1)
+    assert(IcebergInterop.appendIdempotent(df0, base, "v3app", 0L,
+      formatVersion = 3))
+    assert(formatVersionOf(base) == 3)
+    val df1 = spark.range(10, 16).toDF("id").coalesce(1)
+    assert(IcebergInterop.appendIdempotent(df1, base, "v3app", 1L))
+    // replay-poisoned batch 1 → skipped, no snapshot, no id space burned
+    val idsBefore = IcebergInterop.snapshotIds(base)
+    assert(!IcebergInterop.appendIdempotent(df1, base, "v3app", 1L))
+    assert(IcebergInterop.snapshotIds(base) == idsBefore)
+    val df2 = spark.range(16, 20).toDF("id").coalesce(1)
+    assert(IcebergInterop.appendIdempotent(df2, base, "v3app", 2L))
+    // lineage: every row has an id, all unique ACROSS batches, and the
+    // overall space is the contiguous 0..n-1 the inheritance assigns
+    val withIds = IcebergInterop.readWithRowIds(spark, base)
+      .select(col("id"), col(IcebergInterop.RowIdCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withIds.size == 20)
+    assert(withIds.values.toSeq.sorted == (0L until 20L).toSeq,
+      s"row ids must be 0..19, got ${withIds.values.toSeq.sorted}")
+    // a DV delete on the streamed table keeps survivors' ids stable
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 3)
+    val after = IcebergInterop.readWithRowIds(spark, base)
+      .select(col("id"), col(IcebergInterop.RowIdCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == 17)
+    after.foreach { case (id, rid) => assert(withIds(id) == rid) }
+  }
+
+  test("streamIngestIceberg with formatVersion=3 creates a v3 table " +
+       "exactly-once across a restart") {
+    val base = tmp(); val srcDir = tmp(); val ckpt = tmp() + "/ckpt"
+    spark.range(50).toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    def stream() = spark.readStream.schema("id LONG").parquet(srcDir)
+    EventStreams.streamIngestIceberg(stream(), base,
+      appId = Some("v3-restart"), checkpoint = Some(ckpt),
+      formatVersion = 3)
+    assert(formatVersionOf(base) == 3)
+    assert(IcebergInterop.read(spark, base).count() == 50)
+    // restart, same checkpoint: no new input → no new commits, and the
+    // lineage space is not burned by the no-op run
+    EventStreams.streamIngestIceberg(stream(), base,
+      appId = Some("v3-restart"), checkpoint = Some(ckpt),
+      formatVersion = 3)
+    val ids = IcebergInterop.readWithRowIds(spark, base)
+      .select(col(IcebergInterop.RowIdCol)).collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == (0L until 50L).toSeq)
   }
 
   test("appends inherit a partitioned table's spec instead of erasing it") {

@@ -675,6 +675,65 @@ class IcebergV3Spec extends SparkSpec {
     assert(e.getMessage.contains("content_size_in_bytes"), e.getMessage)
   }
 
+  /** Rewrite the current metadata JSON's schema, appending a raw
+    * field node (simulating a foreign v3 writer using types this
+    * engine may not implement). */
+  private def addForeignField(base: String, fieldJson: String): Unit = {
+    val v = Files.readString(
+      new File(base, "metadata/version-hint.text").toPath).trim
+    val p = new File(base, s"metadata/v$v.metadata.json").toPath
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val root = m.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val want = root.get("current-schema-id").asInt()
+    val ss = root.get("schemas")
+    (0 until ss.size()).map(ss.get)
+      .find(_.get("schema-id").asInt() == want).get
+      .get("fields").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .add(m.readTree(fieldJson))
+    Files.writeString(p, m.writeValueAsString(root))
+  }
+
+  test("v3 types: 'unknown' columns read as all-NULL (tolerated)") {
+    val base = tmp()
+    IcebergInterop.overwrite(spark.range(4).toDF("id").coalesce(1), base,
+      formatVersion = 3)
+    addForeignField(base,
+      """{"id":99,"name":"mystery","required":false,"type":"unknown"}""")
+    val got = IcebergInterop.read(spark, base)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "mystery"))
+    val rows = got.select("id", "mystery").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.isNullAt(1)), "unknown-typed column must be NULL")
+    // required unknown is spec-invalid → loud refusal
+    addForeignField(base,
+      """{"id":100,"name":"m2","required":true,"type":"unknown"}""")
+    val e = intercept[IllegalArgumentException](IcebergInterop.read(spark, base))
+    assert(e.getMessage.contains("unknown"), e.getMessage)
+  }
+
+  test("v3 types: timestamp_ns / variant / geometry refuse with guidance") {
+    def freshWith(fieldJson: String): String = {
+      val base = tmp()
+      IcebergInterop.overwrite(spark.range(2).toDF("id").coalesce(1), base,
+        formatVersion = 3)
+      addForeignField(base, fieldJson)
+      base
+    }
+    val e1 = intercept[IllegalArgumentException](IcebergInterop.read(spark,
+      freshWith("""{"id":50,"name":"t","required":false,"type":"timestamp_ns"}""")))
+    assert(e1.getMessage.contains("nanosecond") &&
+      e1.getMessage.contains("microsecond"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](IcebergInterop.read(spark,
+      freshWith("""{"id":51,"name":"v","required":false,"type":"variant"}""")))
+    assert(e2.getMessage.contains("variant") &&
+      e2.getMessage.contains("JSON"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](IcebergInterop.read(spark,
+      freshWith("""{"id":52,"name":"g","required":false,"type":"geometry(srid:4326)"}""")))
+    assert(e3.getMessage.contains("geometry") &&
+      e3.getMessage.contains("binary"), e3.getMessage)
+  }
+
   /** Same injection seam as IcebergOccSpec: the competing commit runs
     * inside the loser's metadata publish. */
   private final class RaceProxy(inject: () => Unit)
