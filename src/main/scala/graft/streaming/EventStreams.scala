@@ -549,12 +549,19 @@ object EventStreams {
       case f if f.name == "ts" => StructField("ts", physical)
       case f => f
     })
-    val raw = spark.readStream
-      .schema(streamSchema)
-      // FileStreamSource requires a directory; glob-filter to the events
-      // file inside the shared testdata dir.
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // Two on-disk shapes serve the same table: the driver's testdata is
+    // a SINGLE FILE named events.parquet (stream the parent dir with a
+    // glob, since FileStreamSource requires a directory), while any
+    // Spark-written copy (ScaleTestdata, a real deployment) is a
+    // DIRECTORY of part files (stream it directly — the glob would
+    // match no leaf and silently yield an empty stream).
+    val raw =
+      if (graft.sources.TableIO().isDirectory(path))
+        spark.readStream.schema(streamSchema).parquet(path)
+      else
+        spark.readStream.schema(streamSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
     val converted = physical match {
       case LongType          => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType     => raw
