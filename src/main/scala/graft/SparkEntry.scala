@@ -3628,6 +3628,42 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Iceberg TYPE PROMOTION (q236): the spec's legal widenings as O(1)
+    * metadata — o_custkey is created as a 32-bit int, promoted to
+    * BIGINT, then an append lands keys a 32-bit column could not hold.
+    * Old files keep their narrow physical type and read through the
+    * wider one (Spark's parquet widening); manifest bounds decode by
+    * STORED width so range pruning survives the promotion. The oracle
+    * replays the union in DuckDB — a clipped value, a file read wrong
+    * through the width change, or a dropped pre-promotion row
+    * hash-mismatches. */
+  private def qTypePromotion(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_promote_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast(IntegerType).as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.overwrite(ords.repartition(2), p)
+      IcebergInterop.promoteColumnType(p, "o_custkey",
+        org.apache.spark.sql.types.LongType)
+      IcebergInterop.append(Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + lit(5000000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(5000000000L)).as("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+        .coalesce(1), p)
+    }
+    IcebergInterop.read(s, base)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("sum_cust"),
+        sum(col("totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy(col("status"))
+  }
+
   /** MERGE with WHEN NOT MATCHED BY SOURCE (q194): first the FULL-SYNC
     * shape (all three clauses — the table becomes exactly the source,
     * one atomic definition-preserving overwrite), then the
@@ -5737,6 +5773,7 @@ object SparkEntry {
     "q233_iceberg_v3_lineage" -> (qIcebergV3Lineage _),
     "q234_iceberg_v3_defaults" -> (qIcebergV3Defaults _),
     "q235_iceberg_v3_stream" -> (qStreamIcebergV3 _),
+    "q236_type_promotion" -> (qTypePromotion _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6585,6 +6622,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q236_type_promotion" ->
+      """WITH src AS (
+           SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+             o_orderstatus, o_totalprice FROM orders
+           UNION ALL
+           SELECT o_orderkey + 5000000000,
+             CAST(o_custkey AS BIGINT) + 5000000000,
+             o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey < 50)
+         SELECT o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+         FROM src GROUP BY o_orderstatus ORDER BY status""",
     "q235_iceberg_v3_stream" ->
       """WITH src AS (
            SELECT event_id, event_type, value FROM events

@@ -531,6 +531,38 @@ object GraftLog {
     rewriteAs(base, snap, current.drop(cols: _*), "dropColumns")
   }
 
+  /** Type promotion as an HONEST copy-on-write rewrite: graft-log has
+    * no per-file schema history to read narrow files through a wider
+    * type, so the whole table is cast and rewritten in one atomic
+    * commit. Only the lossless widenings are served (int→long,
+    * float→double, decimal precision at same scale) — the same legal
+    * set Iceberg's metadata-only promotion allows, so SQL behaves
+    * identically across formats modulo cost. */
+  def promoteColumnRewrite(spark: SparkSession, base: String,
+                           name: String,
+                           to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val snap = snapshot(base)
+    val current = read(spark, base)
+    val f = current.schema.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' in $base"))
+    val legal = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+    require(legal,
+      s"'${f.dataType.simpleString}' -> '${to.simpleString}' is not a " +
+      "lossless type promotion (int->long, float->double, decimal " +
+      "precision widening at the same scale) — anything else would " +
+      "corrupt existing values")
+    rewriteAs(base, snap, current.withColumn(name,
+      org.apache.spark.sql.functions.col(name).cast(to)), "promoteColumn")
+  }
+
   private def rewriteAs(base: String, snap: Snapshot, projected: DataFrame,
                         op: String): Long = {
     val staged = stageFiles(projected, base) // materialized BEFORE commit

@@ -145,6 +145,11 @@ object GraftSql {
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runRenameColumn(spark, t.multipartIdentifier.last.toLowerCase,
           column.name, newName)
+      case AlterColumns(t: UnresolvedTable, specs)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runAlterColumnType(spark,
+          t.multipartIdentifier.last.toLowerCase, specs)
       case DropColumns(t: UnresolvedTable, columns, ifExists)
           if tablesOf(spark)
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
@@ -1231,6 +1236,47 @@ object GraftSql {
     }
     refreshView(spark, name, h)
     result(spark, "RENAME COLUMN", v)
+  }
+
+  /** `ALTER TABLE <t> ALTER COLUMN <c> TYPE <T>`: Iceberg serves the
+    * spec's legal promotions (int→long, float→double, decimal
+    * precision widening) as O(1) metadata — old files keep their
+    * narrower physical type and read through the wider one; graft-log
+    * takes an honest copy-on-write cast rewrite. Delta refuses with
+    * guidance: widening there is the `typeWidening` table feature this
+    * engine does not write. Only the TYPE change is served — comment /
+    * position / nullability alterations refuse rather than silently
+    * no-op. */
+  private def runAlterColumnType(spark: SparkSession, name: String,
+                                 specs: Seq[AlterColumnSpec]): DataFrame = {
+    val h = tablesOf(spark).get(name)
+    require(specs.nonEmpty, "ALTER COLUMN: no alterations given")
+    val v = specs.map { s =>
+      require(s.newDataType.isDefined &&
+          s.newNullability.isEmpty && s.newComment.isEmpty &&
+          s.newPosition.isEmpty && s.newDefaultExpression.isEmpty &&
+          !s.dropDefault,
+        "ALTER COLUMN: only TYPE <newType> is supported here")
+      require(s.column.name.length == 1,
+        s"ALTER COLUMN: nested field '${s.column.name.mkString(".")}' " +
+        "is not supported — only top-level columns")
+      val colName = s.column.name.head
+      val to = s.newDataType.get
+      h match {
+        case LogTable(base) =>
+          GraftLog.promoteColumnRewrite(spark, base, colName, to)
+        case IceTable(base) =>
+          graft.sources.IcebergInterop.promoteColumnType(base, colName, to)
+        case DeltaTable(_) =>
+          throw new UnsupportedOperationException(
+            "ALTER COLUMN TYPE on a Delta table needs the protocol's " +
+            "typeWidening writer feature, which this engine does not " +
+            "write — CONVERT to Iceberg for metadata-only promotion, " +
+            "or rewrite the table with the wider schema")
+      }
+    }.last
+    refreshView(spark, name, h)
+    result(spark, "ALTER COLUMN TYPE", v)
   }
 
   /** `ALTER TABLE <t> DROP COLUMN[S] ...`: metadata-only narrowing on

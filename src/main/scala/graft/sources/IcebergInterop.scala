@@ -834,7 +834,17 @@ object IcebergInterop {
       require(fs.nonEmpty,
         s"'$c' feeds no partition-spec field of $base " +
         s"(specs: ${allSpecFields.map(f => s"${f.name}=${f.transform}").mkString(", ")})")
-      fs.map(f => f.name -> transformScalar(IceTransform.parse(f.transform), v))
+      fs.flatMap { f =>
+        // forward compatibility: a FOREIGN spec field whose transform
+        // this engine doesn't implement (a future or multi-arg
+        // transform) must not kill the read — pruning via that field is
+        // skipped and the row predicate below keeps the result exact.
+        // Writes still refuse (appendSpec parses strictly: the engine
+        // cannot PRODUCE partition values it doesn't understand).
+        val t = try Some(IceTransform.parse(f.transform))
+                catch { case _: IllegalArgumentException => None }
+        t.map(tt => f.name -> transformScalar(tt, v))
+      }
     }
     val kept = snap.files.filter(f => expected.forall {
       case (name, v) => f.partitionValues.get(name).forall(_ == v) })
@@ -1440,9 +1450,15 @@ object IcebergInterop {
       val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
       dt match {
         case IntegerType => Some(buf.getInt.toLong)
-        case LongType => Some(buf.getLong)
+        // a 4-byte bound under a wider type is a PRE-PROMOTION file's
+        // (spec serialization widths are fixed per type): decode by the
+        // stored width and widen — range pruning keeps working across
+        // int→long / float→double promotion
+        case LongType =>
+          Some(if (b.length == 4) buf.getInt.toLong else buf.getLong)
         case FloatType => Some(buf.getFloat.toDouble)
-        case DoubleType => Some(buf.getDouble)
+        case DoubleType =>
+          Some(if (b.length == 4) buf.getFloat.toDouble else buf.getDouble)
         case StringType => Some(new String(b, "UTF-8"))
         case DateType => Some(buf.getInt.toLong)
         case TimestampType | TimestampNTZType => Some(buf.getLong)
@@ -4839,6 +4855,48 @@ object IcebergInterop {
           val c = f.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
           c.put("name", to); c
         } else f
+      }
+    }
+  }
+
+  /** Schema evolution: TYPE PROMOTION (spec §Schema Evolution — the
+    * three primitive widenings every Iceberg reader must serve:
+    * int→long, float→double, decimal(P,S)→decimal(P',S) with P'>P).
+    * Metadata-only: the field keeps its id, old data files keep their
+    * narrower physical type and read through the wider one (Spark's
+    * parquet reader widens; manifest bounds decode by their STORED
+    * width, so range pruning keeps working across the promotion).
+    * Everything else — narrowing, scale changes, cross-family casts —
+    * refuses: they would silently corrupt values the old files hold. */
+  def promoteColumnType(base: String, name: String, to: DataType): Long = {
+    val target = sparkTypeToIceberg(to)
+    evolveSchema(base, "promote") { fields =>
+      val f = fields.find(_.get("name").asText() == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$name' in $base"))
+      val from = f.get("type").asText()
+      val legal = (from, target) match {
+        case ("int", "long") => true
+        case ("float", "double") => true
+        case (fd, td) if fd.startsWith("decimal(") && td.startsWith("decimal(") =>
+          def ps(s: String): (Int, Int) = {
+            val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+              .split(","); (p.trim.toInt, sc.trim.toInt)
+          }
+          val (p1, s1) = ps(fd); val (p2, s2) = ps(td)
+          s1 == s2 && p2 > p1
+        case _ => false
+      }
+      require(legal,
+        s"'$from' -> '$target' is not a legal Iceberg type promotion " +
+        "(spec permits int->long, float->double, and decimal precision " +
+        "widening at the same scale); anything else would corrupt the " +
+        "values existing files hold")
+      fields.map { fl =>
+        if (fl.get("name").asText() == name) {
+          val c = fl.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+          c.put("type", target); c
+        } else fl
       }
     }
   }

@@ -281,6 +281,124 @@ class AlterColumnSpec extends SparkSpec {
       s"rename broke bound resolution: ${ranged.inputFiles.toSeq}")
   }
 
+  test("iceberg: TYPE promotion int->long is metadata-only; old files " +
+       "read widened; bounds still prune by stored width") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0 until 50).map(k => (k, k * 1.0)).toDF("n", "v")
+        .select(col("n").cast(IntegerType).as("n"), col("v"))
+        .repartitionByRange(2, col("n")).sortWithinPartitions("n"), base)
+    val filesBefore = IcebergInterop.snapshot(spark, base).files.map(_.path)
+    IcebergInterop.promoteColumnType(base, "n", LongType)
+    // metadata-only: same data files, wider schema, exact values
+    val snap = IcebergInterop.snapshot(spark, base)
+    assert(snap.files.map(_.path) == filesBefore)
+    assert(snap.schema("n").dataType == LongType)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.schema("n").dataType == LongType)
+    assert(got.agg(sum("n")).head().getLong(0) == (0 until 50).sum)
+    // appends carry values a 32-bit column could not hold
+    IcebergInterop.append(
+      Seq((10000000000L, 1.5)).toDF("n", "v").coalesce(1), base)
+    assert(IcebergInterop.read(spark, base)
+      .agg(max("n")).head().getLong(0) == 10000000000L)
+    // pre-promotion bounds are 4-byte ints; post-promotion 8-byte longs
+    // — range pruning must decode each by its STORED width
+    val ranged = IcebergInterop.readRange(spark, base, "n",
+      Some(45L), Some(49L))
+    assert(ranged.count() == 5)
+    assert(ranged.inputFiles.length == 1,
+      s"promotion broke bound pruning: ${ranged.inputFiles.toSeq}")
+  }
+
+  test("iceberg: illegal type changes refuse loudly") {
+    import org.apache.spark.sql.types._
+    val base = tmp()
+    IcebergInterop.overwrite(
+      Seq((1L, 1.0f, BigDecimal("12.34"))).toDF("l", "f", "d")
+        .select(col("l"), col("f").cast(FloatType).as("f"),
+          col("d").cast(DecimalType(10, 2)).as("d")).coalesce(1), base)
+    // narrowing, cross-family, and scale changes all refuse
+    intercept[IllegalArgumentException](
+      IcebergInterop.promoteColumnType(base, "l", IntegerType))
+    intercept[IllegalArgumentException](
+      IcebergInterop.promoteColumnType(base, "l", StringType))
+    intercept[IllegalArgumentException](
+      IcebergInterop.promoteColumnType(base, "d", DecimalType(12, 4)))
+    // the legal decimal widen (same scale, more precision) serves
+    IcebergInterop.promoteColumnType(base, "d", DecimalType(14, 2))
+    assert(IcebergInterop.read(spark, base).schema("d").dataType ==
+      DecimalType(14, 2))
+    // float -> double
+    IcebergInterop.promoteColumnType(base, "f", DoubleType)
+    assert(IcebergInterop.read(spark, base)
+      .agg(sum("f")).head().getDouble(0) == 1.0)
+  }
+
+  test("SQL ALTER COLUMN TYPE: iceberg metadata-only, graft-log " +
+       "copy-on-write, delta refuses with guidance") {
+    import org.apache.spark.sql.types.IntegerType
+    val ice = tmp(); val log = tmp(); val del = tmp()
+    val src = (0 until 20).map(k => (k, k * 2.0)).toDF("n", "v")
+      .select(col("n").cast(IntegerType).as("n"), col("v"))
+    IcebergInterop.overwrite(src.coalesce(1), ice)
+    GraftLog.overwrite(src, log)
+    DeltaInterop.overwrite(src, del)
+    GraftSql.registerIcebergTable(spark, "promo_ice", ice)
+    GraftSql.registerTable(spark, "promo_log", log)
+    GraftSql.registerDeltaTable(spark, "promo_del", del)
+    GraftSql.sql(spark, "ALTER TABLE promo_ice ALTER COLUMN n TYPE BIGINT")
+    GraftSql.sql(spark, "ALTER TABLE promo_log ALTER COLUMN n TYPE BIGINT")
+    Seq("promo_ice", "promo_log").foreach { t =>
+      val df = spark.table(t)
+      assert(df.schema("n").dataType ==
+        org.apache.spark.sql.types.LongType, t)
+      assert(df.agg(sum("n")).head().getLong(0) == (0 until 20).sum, t)
+    }
+    val e = intercept[UnsupportedOperationException](GraftSql.sql(spark,
+      "ALTER TABLE promo_del ALTER COLUMN n TYPE BIGINT"))
+    assert(e.getMessage.contains("typeWidening"), e.getMessage)
+  }
+
+  test("iceberg: a FOREIGN partition-spec transform degrades to " +
+       "no-pruning reads; writes refuse") {
+    val base = tmp()
+    IcebergInterop.overwrite(
+      (0L until 40L).map(k => (k, k % 4)).toDF("id", "k"),
+      base, partitionBy = Seq("k"))
+    // simulate a table written by a future engine: rewrite the spec's
+    // transform to something this engine does not implement
+    val metaDir = new File(base, "metadata")
+    val v = Files.readString(
+      new File(metaDir, "version-hint.text").toPath).trim
+    val p = new File(metaDir, s"v$v.metadata.json").toPath
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val root = m.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specs = root.get("partition-specs")
+    (0 until specs.size()).foreach { i =>
+      val fs = specs.get(i).get("fields")
+      (0 until fs.size()).foreach { j =>
+        fs.get(j).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("transform", "supertransform[8,2]")
+      }
+    }
+    Files.writeString(p, m.writeValueAsString(root))
+    // plain read: exact (the transform never mattered to the scan)
+    assert(IcebergInterop.read(spark, base).count() == 40)
+    // point read through the foreign spec: pruning is skipped, the row
+    // predicate keeps the result exact — the read must NOT die
+    val got = IcebergInterop.readEq(spark, base, Map("k" -> 2L))
+    assert(got.count() == 10)
+    // writes refuse: the engine cannot PRODUCE partition values for a
+    // transform it does not understand
+    intercept[IllegalArgumentException] {
+      IcebergInterop.append(
+        Seq((100L, 0L)).toDF("id", "k").coalesce(1), base)
+    }
+  }
+
   // ---------------------------------------------------------- graft-log
 
   test("graft-log: rename/drop are copy-on-write; re-add cannot resurrect") {
