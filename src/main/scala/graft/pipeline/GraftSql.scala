@@ -1238,15 +1238,14 @@ object GraftSql {
     result(spark, "RENAME COLUMN", v)
   }
 
-  /** `ALTER TABLE <t> ALTER COLUMN <c> TYPE <T>`: Iceberg serves the
-    * spec's legal promotions (int→long, float→double, decimal
-    * precision widening) as O(1) metadata — old files keep their
-    * narrower physical type and read through the wider one; graft-log
-    * takes an honest copy-on-write cast rewrite. Delta refuses with
-    * guidance: widening there is the `typeWidening` table feature this
-    * engine does not write. Only the TYPE change is served — comment /
-    * position / nullability alterations refuse rather than silently
-    * no-op. */
+  /** `ALTER TABLE <t> ALTER COLUMN <c> TYPE <T>`: the same legal
+    * promotions on every format (int→long, float→double, decimal
+    * precision widening) — Iceberg and Delta as O(1) metadata (field-id
+    * resolution / the typeWidening table feature; old files keep their
+    * narrower physical type and read through the wider one), graft-log
+    * as an honest copy-on-write cast rewrite. Only the TYPE change is
+    * served — comment / position / nullability alterations refuse
+    * rather than silently no-op. */
   private def runAlterColumnType(spark: SparkSession, name: String,
                                  specs: Seq[AlterColumnSpec]): DataFrame = {
     val h = tablesOf(spark).get(name)
@@ -1267,12 +1266,8 @@ object GraftSql {
           GraftLog.promoteColumnRewrite(spark, base, colName, to)
         case IceTable(base) =>
           graft.sources.IcebergInterop.promoteColumnType(base, colName, to)
-        case DeltaTable(_) =>
-          throw new UnsupportedOperationException(
-            "ALTER COLUMN TYPE on a Delta table needs the protocol's " +
-            "typeWidening writer feature, which this engine does not " +
-            "write — CONVERT to Iceberg for metadata-only promotion, " +
-            "or rewrite the table with the wider schema")
+        case DeltaTable(base) =>
+          graft.sources.DeltaInterop.widenColumnType(spark, base, colName, to)
       }
     }.last
     refreshView(spark, name, h)

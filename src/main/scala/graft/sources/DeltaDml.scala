@@ -69,7 +69,12 @@ object DeltaDml {
     // refuses SET on the identity column (row identity is immutable);
     // MERGE refuses below (inserted rows would need mark-advancing
     // assignment inside the merge commit)
-    "generatedColumns", "identityColumns")
+    "generatedColumns", "identityColumns",
+    // type widening: the writer obligations are (a) never narrow and
+    // (b) record further changes in delta.typeChanges — both live in
+    // DeltaInterop.widenColumnType; DML just writes the current
+    // (already-wide) schema, which every staging path here does
+    "typeWidening", "typeWidening-preview")
 
   /** The protocol's writer contract for this table, checked before any
     * DML: unknown declared writer features refuse; `delta.appendOnly`

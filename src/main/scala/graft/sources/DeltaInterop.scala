@@ -143,7 +143,10 @@ object DeltaInterop {
   // `columnMapping` also fits inside minReaderVersion 2 via the table
   // property — both routes land in the same read path.
   private val supportedReaderFeatures =
-    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
+    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
+      // widened columns read through Spark's parquet type widening;
+      // both the final and preview feature names gate the same path
+      "typeWidening", "typeWidening-preview")
 
   /** Above this many total deleted positions the DV anti join stops
     * broadcasting (same bound as graft-log's own DV read path — a table
@@ -2614,6 +2617,62 @@ object DeltaInterop {
       metaJson(mapped, snap.partitionColumns,
         snap.tableId.getOrElse(UUID.randomUUID().toString), cfg)),
       operation = "SET TBLPROPERTIES")
+    v
+  }
+
+  /** `ALTER TABLE ALTER COLUMN TYPE`: the protocol's TYPE WIDENING
+    * table feature (PROTOCOL.md §Type Widening) — metadata-only, like
+    * Iceberg's promotion: the commit upgrades to table features with
+    * typeWidening in BOTH feature lists (readers that cannot widen
+    * must refuse), writes a metaData action whose schemaString carries
+    * the wider type, and records the change in the field's
+    * `delta.typeChanges` metadata (fromType/toType), the history
+    * delta-spark keeps for stats/partition-value reconciliation. Old
+    * files keep their narrow physical type; the parquet reader widens
+    * at scan (the same machinery the Iceberg promotion rides).
+    * Served widenings mirror Iceberg's legal set — int→long,
+    * float→double, decimal precision at the same scale — so SQL
+    * behaves identically across formats. */
+  def widenColumnType(spark: SparkSession, base: String,
+                      name: String, to: DataType): Long = {
+    val snap = snapshot(spark, base)
+    val f = snap.schema.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' in $base"))
+    val legal = (f.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+    require(legal,
+      s"'${f.dataType.simpleString}' -> '${to.simpleString}' is not a " +
+      "type widening this engine serves (int->long, float->double, " +
+      "decimal precision widening at the same scale) — anything else " +
+      "would corrupt the values existing files hold")
+    val change = new MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName).build()
+    val prior =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty[Metadata]
+    val widened = StructType(snap.schema.fields.map { fl =>
+      if (fl.name == name)
+        fl.copy(dataType = to,
+          metadata = new MetadataBuilder().withMetadata(fl.metadata)
+            .putMetadataArray("delta.typeChanges", prior :+ change).build())
+      else fl
+    })
+    val v = snap.version + 1
+    writeCommit(base, v, Seq(
+      upgradeProtocolJson(snap,
+        Set("typeWidening"), Set("typeWidening"), 3, 7),
+      metaJson(widened, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration)),
+      operation = "ALTER COLUMN")
     v
   }
 

@@ -336,8 +336,7 @@ class AlterColumnSpec extends SparkSpec {
       .agg(sum("f")).head().getDouble(0) == 1.0)
   }
 
-  test("SQL ALTER COLUMN TYPE: iceberg metadata-only, graft-log " +
-       "copy-on-write, delta refuses with guidance") {
+  test("SQL ALTER COLUMN TYPE widens on ALL three formats identically") {
     import org.apache.spark.sql.types.IntegerType
     val ice = tmp(); val log = tmp(); val del = tmp()
     val src = (0 until 20).map(k => (k, k * 2.0)).toDF("n", "v")
@@ -348,17 +347,52 @@ class AlterColumnSpec extends SparkSpec {
     GraftSql.registerIcebergTable(spark, "promo_ice", ice)
     GraftSql.registerTable(spark, "promo_log", log)
     GraftSql.registerDeltaTable(spark, "promo_del", del)
-    GraftSql.sql(spark, "ALTER TABLE promo_ice ALTER COLUMN n TYPE BIGINT")
-    GraftSql.sql(spark, "ALTER TABLE promo_log ALTER COLUMN n TYPE BIGINT")
-    Seq("promo_ice", "promo_log").foreach { t =>
+    Seq("promo_ice", "promo_log", "promo_del").foreach { t =>
+      GraftSql.sql(spark, s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT")
       val df = spark.table(t)
       assert(df.schema("n").dataType ==
         org.apache.spark.sql.types.LongType, t)
       assert(df.agg(sum("n")).head().getLong(0) == (0 until 20).sum, t)
     }
-    val e = intercept[UnsupportedOperationException](GraftSql.sql(spark,
-      "ALTER TABLE promo_del ALTER COLUMN n TYPE BIGINT"))
-    assert(e.getMessage.contains("typeWidening"), e.getMessage)
+  }
+
+  test("delta: typeWidening is metadata-only; feature gates declared; " +
+       "DML and checkpoint survive the widened column") {
+    import graft.sources.DeltaDml
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = tmp()
+    DeltaInterop.overwrite(
+      (0 until 30).map(k => (k, k * 1.0)).toDF("n", "v")
+        .select(col("n").cast(IntegerType).as("n"), col("v")), base)
+    val filesBefore = DeltaInterop.snapshot(spark, base).files.map(_.path)
+    DeltaInterop.widenColumnType(spark, base, "n", LongType)
+    val snap = DeltaInterop.snapshot(spark, base)
+    // metadata-only, and the protocol declares the feature BOTH ways
+    // (a reader that cannot widen must refuse this table)
+    assert(snap.files.map(_.path) == filesBefore)
+    assert(snap.minReaderVersion == 3 && snap.minWriterVersion == 7)
+    assert(snap.readerFeatureSet.contains("typeWidening"))
+    assert(snap.writerFeatureSet.contains("typeWidening"))
+    assert(snap.schema("n").dataType == LongType)
+    // the change history lands in the field metadata
+    val tc = snap.schema("n").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc.head.getString("fromType") == "integer" &&
+      tc.head.getString("toType") == "long")
+    // old narrow files read widened, exactly
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema("n").dataType == LongType)
+    assert(got.agg(sum("n")).head().getLong(0) == (0 until 30).sum)
+    // appends carry 64-bit values; DML and checkpoint keep everything
+    DeltaInterop.append(
+      Seq((8000000000L, 9.0)).toDF("n", "v").coalesce(1), base)
+    DeltaDml.deleteVectoredWhere(spark, base, col("n") < 3)
+    DeltaInterop.checkpoint(spark, base)
+    val after = DeltaInterop.read(spark, base)
+    assert(after.count() == 28)
+    assert(after.agg(max("n")).head().getLong(0) == 8000000000L)
+    // illegal changes refuse
+    intercept[IllegalArgumentException](
+      DeltaInterop.widenColumnType(spark, base, "n", IntegerType))
   }
 
   test("iceberg: a FOREIGN partition-spec transform degrades to " +
