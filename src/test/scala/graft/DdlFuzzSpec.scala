@@ -33,7 +33,8 @@ class DdlFuzzSpec extends SparkSpec {
 
   private def runSequence(seed: Int, nOps: Int,
                           icebergV3: Boolean = false,
-                          withDefaults: Boolean = false): Unit = {
+                          withDefaults: Boolean = false,
+                          withPromotion: Boolean = false): Unit = {
     require(!withDefaults || icebergV3,
       "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
@@ -46,7 +47,12 @@ class DdlFuzzSpec extends SparkSpec {
     var nameCounter = 0
     def freshCol(): String = { nameCounter += 1; s"c$nameCounter" }
     val c0 = freshCol()
-    val model = Model(Vector(c0), Vector.empty)
+    // the PROMOTION dimension: one extra INT column that a mid-sequence
+    // op may widen to long on ALL three formats at once (Iceberg
+    // metadata promotion, Delta typeWidening, graft-log copy-on-write)
+    var intCol: Option[String] = if (withPromotion) Some("p0") else None
+    var intPromoted = false
+    val model = Model(Vector(c0) ++ intCol, Vector.empty)
 
     // RESTORE targets: (delta version, iceberg snapshot id, graft-log
     // version, model rows at that point). Only points with the CURRENT
@@ -65,13 +71,20 @@ class DdlFuzzSpec extends SparkSpec {
 
 
     def insertFrame(n: Int): (DataFrame, Seq[Map[String, Any]]) = {
+      def valueOf(c: String, k: Long): Any =
+        if (intCol.contains(c)) {
+          val v = k * 7 + 3
+          if (intPromoted) v else v.toInt
+        } else (k * 31 + c.drop(1).toLong) * 0.5
       val rows = (0 until n).map { _ =>
         val k = nextKey; nextKey += 1
-        Map[String, Any]("k" -> k) ++
-          model.cols.map(c => c -> (k * 31 + c.drop(1).toLong) * 0.5)
+        Map[String, Any]("k" -> k) ++ model.cols.map(c => c -> valueOf(c, k))
       }
       val schema = StructType(StructField("k", LongType) +:
-        model.cols.map(c => StructField(c, DoubleType)))
+        model.cols.map(c => StructField(c,
+          if (intCol.contains(c))
+            (if (intPromoted) LongType else IntegerType)
+          else DoubleType)))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.map(m =>
           Row.fromSeq("k" +: model.cols map (c => m(c)))), 1), schema)
@@ -115,10 +128,14 @@ class DdlFuzzSpec extends SparkSpec {
               keys.contains(row("k").asInstanceOf[Long]))
           }
           recordRestorePoint()
-        case 9 => // SUBQUERY UPDATE: SET c += d WHERE k IN (keys) AND gate
+        case 9 if model.cols.exists(!intCol.contains(_)) =>
+          // SUBQUERY UPDATE: SET c += d WHERE k IN (keys) AND gate
+          // (double columns only — += on the int column would silently
+          // change its type)
+          val doubles = model.cols.filterNot(intCol.contains)
           val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
           val m2 = 2 + rnd.nextInt(3); val r2 = rnd.nextInt(m2)
-          val c = model.cols(rnd.nextInt(model.cols.size))
+          val c = doubles(rnd.nextInt(doubles.size))
           val d = (1 + rnd.nextInt(9)).toDouble
           val keys = model.rows.map(_("k").asInstanceOf[Long])
             .filter(_ % m == r) ++ Seq(nextKey + 3000)
@@ -185,6 +202,7 @@ class DdlFuzzSpec extends SparkSpec {
           DeltaInterop.renameColumn(spark, dbase, from, to)
           IcebergInterop.renameColumn(ibase, from, to)
           GraftLog.renameColumnRewrite(spark, lbase, from, to)
+          if (intCol.contains(from)) intCol = Some(to)
           model.cols = model.cols.map(c => if (c == from) to else c)
           model.rows = model.rows.map(r =>
             if (r.contains(from)) r - from + (to -> r(from)) else r)
@@ -194,6 +212,7 @@ class DdlFuzzSpec extends SparkSpec {
           DeltaInterop.dropColumns(spark, dbase, Seq(c))
           IcebergInterop.dropColumn(spark, ibase, c)
           GraftLog.dropColumnsRewrite(spark, lbase, Seq(c))
+          if (intCol.contains(c)) intCol = None
           model.cols = model.cols.filterNot(_ == c)
           model.rows = model.rows.map(_ - c)
           restorePoints.clear()
@@ -242,26 +261,47 @@ class DdlFuzzSpec extends SparkSpec {
           GraftLog.restore(spark, lbase, lv)
           model.rows = rows
           recordRestorePoint() // the restored state is again a point
-        case _ => // UPDATE SET c = c + d WHERE k % m = r
-          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
-          val c = model.cols(rnd.nextInt(model.cols.size))
-          val d = (1 + rnd.nextInt(9)).toDouble
-          val pred = col("k") % m === r
-          def bump(v: Any): Any = v match {
-            case x: java.lang.Double => Double.box(x + d)
-            case null => null // SQL: NULL + d stays NULL
+        case 5 if withPromotion && intCol.isDefined && !intPromoted =>
+          // PROMOTE the int column to long on ALL three formats in one
+          // step: Iceberg O(1) metadata, Delta typeWidening feature
+          // commit, graft-log honest cast rewrite — then every later op
+          // (DML, rename, drop, maintenance, restore) composes on top
+          val c = intCol.get
+          DeltaInterop.widenColumnType(spark, dbase, c, LongType)
+          IcebergInterop.promoteColumnType(ibase, c, LongType)
+          GraftLog.promoteColumnRewrite(spark, lbase, c, LongType)
+          intPromoted = true
+          model.rows = model.rows.map { r =>
+            r.get(c) match {
+              case Some(i: java.lang.Integer) => r + (c -> Long.box(i.toLong))
+              case _ => r
+            }
           }
-          DeltaDml.updateWhere(spark, dbase, pred,
-            Map(c -> (col(c) + lit(d))))
-          IcebergInterop.updateWhere(spark, ibase, pred,
-            Map(c -> (col(c) + lit(d))))
-          GraftLog.updateWhere(spark, lbase, pred,
-            Map(c -> (col(c) + lit(d))))
-          model.rows = model.rows.map(row =>
-            if (row("k").asInstanceOf[Long] % m == r)
-              row + (c -> bump(row.getOrElse(c, null)))
-            else row)
-          recordRestorePoint()
+          restorePoints.clear() // schema moved — old points unrestorable
+        case _ => // UPDATE SET c = c + d WHERE k % m = r (doubles only:
+          // += on the int column would silently change its type)
+          val doubles = model.cols.filterNot(intCol.contains)
+          if (doubles.nonEmpty) {
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val c = doubles(rnd.nextInt(doubles.size))
+            val d = (1 + rnd.nextInt(9)).toDouble
+            val pred = col("k") % m === r
+            def bump(v: Any): Any = v match {
+              case x: java.lang.Double => Double.box(x + d)
+              case null => null // SQL: NULL + d stays NULL
+            }
+            DeltaDml.updateWhere(spark, dbase, pred,
+              Map(c -> (col(c) + lit(d))))
+            IcebergInterop.updateWhere(spark, ibase, pred,
+              Map(c -> (col(c) + lit(d))))
+            GraftLog.updateWhere(spark, lbase, pred,
+              Map(c -> (col(c) + lit(d))))
+            model.rows = model.rows.map(row =>
+              if (row("k").asInstanceOf[Long] % m == r)
+                row + (c -> bump(row.getOrElse(c, null)))
+              else row)
+            recordRestorePoint()
+          }
       }
     }
 
@@ -311,5 +351,12 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 2718, nOps = 26, icebergV3 = true,
       withDefaults = true)
     runSequence(seed = 31337, nOps = 20, icebergV3 = true)
+  }
+
+  test("promotion sequences: a mid-sequence int->long widening " +
+       "composes with every later op on all three formats") {
+    runSequence(seed = 4242, nOps = 22, withPromotion = true)
+    runSequence(seed = 161803, nOps = 26, icebergV3 = true,
+      withDefaults = true, withPromotion = true)
   }
 }
