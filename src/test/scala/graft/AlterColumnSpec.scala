@@ -433,6 +433,38 @@ class AlterColumnSpec extends SparkSpec {
     }
   }
 
+  test("CONVERT carries a widened/promoted column across formats " +
+       "value-exact") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // Delta widened -> Iceberg: the converted table's schema is the
+    // WIDE type; pre-widening int32 files read widened on the other side
+    val del = tmp()
+    DeltaInterop.overwrite(
+      (0 until 25).map(k => (k, k * 2.0)).toDF("n", "v")
+        .select(col("n").cast(IntegerType).as("n"), col("v")), del)
+    DeltaInterop.widenColumnType(spark, del, "n", LongType)
+    DeltaInterop.append(
+      Seq((7000000000L, 1.0)).toDF("n", "v").coalesce(1), del)
+    val ice = tmp() + "/ice"
+    IcebergInterop.convertFromDelta(spark, del, ice)
+    val gotIce = IcebergInterop.read(spark, ice)
+    assert(gotIce.schema("n").dataType == LongType)
+    assert(gotIce.agg(sum("n")).head().getLong(0) ==
+      (0 until 25).sum.toLong + 7000000000L)
+    // Iceberg promoted -> Delta: same contract in the other direction
+    val ice2 = tmp()
+    IcebergInterop.overwrite(
+      (0 until 25).map(k => (k, k * 2.0)).toDF("n", "v")
+        .select(col("n").cast(IntegerType).as("n"), col("v"))
+        .coalesce(1), ice2)
+    IcebergInterop.promoteColumnType(ice2, "n", LongType)
+    val del2 = tmp() + "/delta"
+    DeltaInterop.convertFromIceberg(spark, ice2, del2)
+    val gotDel = DeltaInterop.read(spark, del2)
+    assert(gotDel.schema("n").dataType == LongType)
+    assert(gotDel.agg(sum("n")).head().getLong(0) == (0 until 25).sum)
+  }
+
   // ---------------------------------------------------------- graft-log
 
   test("graft-log: rename/drop are copy-on-write; re-add cannot resurrect") {
