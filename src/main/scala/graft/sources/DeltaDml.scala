@@ -74,7 +74,11 @@ object DeltaDml {
     // (b) record further changes in delta.typeChanges — both live in
     // DeltaInterop.widenColumnType; DML just writes the current
     // (already-wide) schema, which every staging path here does
-    "typeWidening", "typeWidening-preview")
+    "typeWidening", "typeWidening-preview",
+    // in-commit timestamps: writeCommit itself detects an ICT table
+    // from its predecessor commit and stamps a strictly-monotone
+    // inCommitTimestamp into every commit — the whole writer contract
+    "inCommitTimestamp")
 
   /** The protocol's writer contract for this table, checked before any
     * DML: unknown declared writer features refuse; `delta.appendOnly`

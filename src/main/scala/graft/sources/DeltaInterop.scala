@@ -560,17 +560,22 @@ object DeltaInterop {
       .map { f =>
         var op: String = null
         var adds = 0L; var removes = 0L
+        var ict: Option[Long] = None
         io.readLines(TableIO.join(dir, f)).foreach { line =>
           if (line.nonEmpty) {
             val n = mapper.readTree(line)
-            Option(n.get("commitInfo")).flatMap(ci => Option(ci.get("operation")))
-              .foreach(o => op = o.asText())
+            Option(n.get("commitInfo")).foreach { ci =>
+              Option(ci.get("operation")).foreach(o => op = o.asText())
+              Option(ci.get("inCommitTimestamp"))
+                .foreach(t => ict = Some(t.asLong()))
+            }
             if (n.has("add")) adds += 1
             if (n.has("remove")) removes += 1
           }
         }
         (f.stripSuffix(".json").toLong, op, adds, removes,
-          new java.sql.Timestamp(io.lastModified(TableIO.join(dir, f))))
+          new java.sql.Timestamp(ict.getOrElse(
+            io.lastModified(TableIO.join(dir, f)))))
       }
     import spark.implicits._
     rows.toDF("version", "operation", "n_adds", "n_removes", "timestamp")
@@ -648,12 +653,14 @@ object DeltaInterop {
 
   /** Timestamp time travel: the newest version whose commit landed at or
     * before `ts` — per protocol, a commit's timestamp is its log file's
-    * modification time (the in-commit commitInfo timestamp is optional).
-    * Driver-side listing only; no data I/O. */
+    * modification time UNLESS the table writes in-commit timestamps,
+    * which are then authoritative (commitTimestamp resolves per file:
+    * mtime before the enablement boundary, ICT after). Driver-side
+    * metadata reads only; no data I/O. */
   def versionAtTimestamp(base: String, tsMillis: Long): Long = {
     val candidates = io.list(logDir(base))
       .filter(CommitName.matches)
-      .filter(f => io.lastModified(TableIO.join(logDir(base), f)) <= tsMillis)
+      .filter(f => commitTimestamp(base, f) <= tsMillis)
     require(candidates.nonEmpty,
       s"no Delta commit at or before ${new java.sql.Timestamp(tsMillis)} in $base")
     candidates.map(_.stripSuffix(".json").toLong).max
@@ -1127,20 +1134,53 @@ object DeltaInterop {
   /** The audit action delta-spark writes first in every commit; readers
     * that don't know it skip it (ours included). `timestamp` 0 keeps
     * fixtures byte-deterministic — history() timestamps come from file
-    * mtime, the same source the protocol prescribes for time travel. */
-  private def commitInfoJson(operation: String): String = {
+    * mtime, the same source the protocol prescribes for time travel —
+    * EXCEPT on in-commit-timestamp tables, where the protocol makes
+    * `inCommitTimestamp` authoritative and mandatory. */
+  private def commitInfoJson(operation: String,
+                             ict: Option[Long]): String = {
     val node = mapper.createObjectNode()
     val ci = node.putObject("commitInfo")
-    ci.put("timestamp", 0L)
-    ci.put("operation", operation)
+    ci.put("timestamp", ict.getOrElse(0L))
+    ict.foreach(t => ci.put("inCommitTimestamp", t))
+    ci.put("operation", if (operation.isEmpty) "WRITE" else operation)
     ci.putObject("operationParameters")
     mapper.writeValueAsString(node)
   }
 
+  /** Injectable clock for in-commit timestamps (deterministic tests). */
+  @volatile private var ictClock: () => Long = () => System.currentTimeMillis()
+  def withIctClock[A](clock: () => Long)(body: => A): A = {
+    val prior = ictClock; ictClock = clock
+    try body finally ictClock = prior
+  }
+
+  /** The previous commit's inCommitTimestamp, if the table writes them
+    * (protocol §In-Commit Timestamps: once enabled, EVERY later commit
+    * carries one — so the predecessor's presence IS the enablement
+    * check; one small JSON read, no log replay). */
+  private def prevIct(base: String, version: Long): Option[Long] = {
+    if (version == 0) return None
+    val f = TableIO.join(logDir(base), commitName(version - 1))
+    if (!io.exists(f)) return None
+    io.readLines(f).headOption.flatMap { line =>
+      try Option(mapper.readTree(line).get("commitInfo"))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+      catch { case _: Exception => None }
+    }
+  }
+
   private[sources] def writeCommit(base: String, version: Long, lines0: Seq[String],
-                          operation: String = ""): Unit = {
+                          operation: String = "",
+                          ictOverride: Option[Long] = None): Unit = {
+    // in-commit timestamps: strictly monotone, clock-or-predecessor+1
+    // (a stalled or backwards clock must not break the ordering the
+    // protocol's timestamp time travel relies on)
+    val ict: Option[Long] = ictOverride.orElse(
+      prevIct(base, version).map(p => math.max(ictClock(), p + 1)))
     val lines =
-      if (operation.isEmpty) lines0 else commitInfoJson(operation) +: lines0
+      if (operation.isEmpty && ict.isEmpty) lines0
+      else commitInfoJson(operation, ict) +: lines0
     val dir = logDir(base); io.mkdirs(dir)
     val tmp = TableIO.join(dir, s".tmp_${UUID.randomUUID()}.json")
     io.writeString(tmp, lines.mkString("", "\n", "\n"))
@@ -2676,6 +2716,46 @@ object DeltaInterop {
     v
   }
 
+  /** Enable IN-COMMIT TIMESTAMPS (protocol §In-Commit Timestamps):
+    * from this commit on, every commit's commitInfo carries a strictly
+    * monotone `inCommitTimestamp` that is AUTHORITATIVE for timestamp
+    * time travel (file mtime — lost by copies, clock-skewed across
+    * writers — stops mattering). The enablement commit itself carries
+    * the first ICT and records the enablement version/timestamp
+    * properties, so readers can time-travel across the boundary
+    * (mtime before, ICT after). Writer feature only — readers that
+    * ignore it still read correctly. */
+  def enableInCommitTimestamps(spark: SparkSession, base: String): Long = {
+    val snap = snapshot(spark, base)
+    if (snap.configuration.get("delta.enableInCommitTimestamps")
+          .contains("true")) return snap.version
+    val v = snap.version + 1
+    val ict = math.max(ictClock(),
+      io.lastModified(TableIO.join(logDir(base), commitName(snap.version))) + 1)
+    writeCommit(base, v, Seq(
+      upgradeProtocolJson(snap, Set.empty, Set("inCommitTimestamp"), 3, 7),
+      metaJson(snap.schema, snap.partitionColumns,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration ++ Map(
+          "delta.enableInCommitTimestamps" -> "true",
+          "delta.inCommitTimestampEnablementVersion" -> v.toString,
+          "delta.inCommitTimestampEnablementTimestamp" -> ict.toString))),
+      operation = "SET TBLPROPERTIES", ictOverride = Some(ict))
+    v
+  }
+
+  /** A commit's effective timestamp: its inCommitTimestamp when the
+    * table writes them, else the log file's mtime (the protocol's
+    * pre-ICT clock). */
+  private def commitTimestamp(base: String, file: String): Long = {
+    val p = TableIO.join(logDir(base), file)
+    io.readLines(p).headOption.flatMap { line =>
+      try Option(mapper.readTree(line).get("commitInfo"))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+      catch { case _: Exception => None }
+    }.getOrElse(io.lastModified(p))
+  }
+
   /** `ALTER TABLE RENAME COLUMN`: a pure logical-schema edit under
     * column mapping — the field's mapping id and physicalName ride
     * along unchanged, so no data file, stat key, deletion vector or
@@ -3294,11 +3374,15 @@ object DeltaInterop {
     // the table's RECORDED protocol, verbatim — reconstructing it from
     // snapshot shape (has DVs? mapped?) would drop any feature the log
     // declares beyond what this engine itself writes (e.g. invariants)
+    // feature lists EXIST (possibly empty) exactly when the version
+    // demands them — nulling an EMPTY reader-3 list would make the
+    // recovery's v3-without-features refusal fire on a legal protocol
+    // (e.g. a writer-feature-only table like inCommitTimestamp)
     val protoRow = Row(snap.minReaderVersion, snap.minWriterVersion,
-      if (snap.readerFeatureSet.isEmpty) null
-      else snap.readerFeatureSet.toSeq.sorted,
-      if (snap.writerFeatureSet.isEmpty) null
-      else snap.writerFeatureSet.toSeq.sorted)
+      if (snap.minReaderVersion >= 3) snap.readerFeatureSet.toSeq.sorted
+      else null,
+      if (snap.minWriterVersion >= 7) snap.writerFeatureSet.toSeq.sorted
+      else null)
     val rows =
       Row(protoRow, null, null, null, null) ::
       Row(null, Row("graft-delta", snap.schema.json, snap.partitionColumns,
@@ -3385,10 +3469,10 @@ object DeltaInterop {
         StructField("modificationTime", LongType))))))
     val topRows =
       Row(Row(snap.minReaderVersion, snap.minWriterVersion,
-        if (snap.readerFeatureSet.isEmpty) null
-        else snap.readerFeatureSet.toSeq.sorted,
-        if (snap.writerFeatureSet.isEmpty) null
-        else snap.writerFeatureSet.toSeq.sorted), null, null, null, null) ::
+        if (snap.minReaderVersion >= 3) snap.readerFeatureSet.toSeq.sorted
+        else null,
+        if (snap.minWriterVersion >= 7) snap.writerFeatureSet.toSeq.sorted
+        else null), null, null, null, null) ::
       Row(null, Row(snap.tableId.getOrElse("graft-delta"), snap.schema.json,
         snap.partitionColumns, snap.configuration), null, null, null) ::
       (snap.txnVersions.toList.sortBy(_._1).map { case (app, v) =>

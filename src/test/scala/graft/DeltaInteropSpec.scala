@@ -99,11 +99,12 @@ class DeltaInteropSpec extends SparkSpec {
   test("reader v3: unknown readerFeatures refused, supported ones accepted") {
     val base = tmp()
     DeltaInterop.overwrite(spark.range(3).toDF("id"), base)
-    // a feature this engine does not implement → protocol-mandated refusal
+    // a feature this engine does not implement → protocol-mandated
+    // refusal (typeWidening moved OFF this list when widening landed)
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureCollations"]}}""" + "\n")
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("futureCollations"))
     // an implemented feature set → the same table reads fine
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"]}}""" + "\n")
