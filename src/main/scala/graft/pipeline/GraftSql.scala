@@ -1329,8 +1329,16 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"'$k' is engine-managed (set by the row-tracking upgrade) " +
             "— setting it directly would corrupt id resolution"))
+        // in-commit timestamps are likewise an UPGRADE: the enablement
+        // commit must raise the protocol, stamp the first ICT and
+        // record the enablement version — a bare property flip would
+        // leave commits without the timestamps the property promises
+        val ictReq = props.get("delta.enableInCommitTimestamps")
+        ictReq.foreach(v => require(v.equalsIgnoreCase("true"),
+          "disabling in-commit timestamps is not implemented — " +
+          "timestamp time travel may depend on them"))
         val rest = props - "delta.columnMapping.mode" -
-          "delta.enableRowTracking"
+          "delta.enableRowTracking" - "delta.enableInCommitTimestamps"
         val v1 =
           if (mappingReq.isDefined)
             graft.sources.DeltaInterop.enableColumnMapping(spark, base)
@@ -1339,9 +1347,13 @@ object GraftSql {
           if (rowTrackReq.isDefined)
             graft.sources.DeltaInterop.enableRowTracking(spark, base)
           else v1
+        val v3 =
+          if (ictReq.isDefined)
+            graft.sources.DeltaInterop.enableInCommitTimestamps(spark, base)
+          else v2
         if (rest.nonEmpty)
           graft.sources.DeltaInterop.setProperties(spark, base, rest)
-        else v2
+        else v3
       case IceTable(base) =>
         // the one Iceberg property with table-changing semantics here:
         // 'format-version' upgrades route through the metadata commit

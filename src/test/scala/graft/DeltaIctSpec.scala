@@ -92,6 +92,28 @@ class DeltaIctSpec extends SparkSpec {
       "pre-enablement commits keep the mtime clock")
   }
 
+  test("SQL: SET TBLPROPERTIES routes ICT enablement as an UPGRADE") {
+    import graft.pipeline.GraftSql
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(6).toDF("id"), base)
+    GraftSql.registerDeltaTable(spark, "ict_t", base)
+    DeltaInterop.withIctClock(() => 8000L) {
+      GraftSql.sql(spark,
+        "ALTER TABLE ict_t SET TBLPROPERTIES " +
+        "('delta.enableInCommitTimestamps'='true')")
+      GraftSql.sql(spark, "DELETE FROM ict_t WHERE id = 2")
+    }
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(snap.writerFeatureSet.contains("inCommitTimestamp"))
+    assert(ictOf(base, 1L).isDefined && ictOf(base, 2L).isDefined)
+    assert(ictOf(base, 2L).get > ictOf(base, 1L).get)
+    assert(spark.table("ict_t").count() == 5)
+    // disabling refuses
+    intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE ict_t SET TBLPROPERTIES " +
+      "('delta.enableInCommitTimestamps'='false')"))
+  }
+
   test("a FOREIGN table declaring inCommitTimestamp: our DML upholds " +
        "the contract (every commit stamps a monotone ICT)") {
     val base = tmp()
