@@ -730,6 +730,35 @@ object IcebergInterop {
     * own metadata-pruning contract for identity partitions. Data files
     * carry identity-partition columns (unlike Delta), so no value
     * re-attachment happens: pruning only shrinks the scan. */
+  /** Merge table properties (metadata-only commit). The write.metadata
+    * retention knobs land here: `previous-versions-max` bounds the
+    * metadata-log, `delete-after-commit.enabled` reclaims versions
+    * that fell out of the window on every later commit. */
+  def setTableProperties(base: String, props: Map[String, String]): Long = {
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val p = Option(meta.get("properties"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(meta.putObject("properties"))
+    props.foreach { case (k, v) => p.put(k, v) }
+    meta.put("last-updated-ms", clock())
+    commitMetadataVersion(base, meta)
+  }
+
+  /** TIMESTAMP AS OF: the snapshot that was current at `tsMillis`,
+    * resolved from the metadata's `snapshot-log` (spec §Table
+    * Metadata) — one metadata read, no manifest I/O. */
+  def snapshotIdAtTimestamp(base: String, tsMillis: Long): Long = {
+    val lg = Option(readMeta(base).get("snapshot-log"))
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
+    val at = lg.filter(_.get("timestamp-ms").asLong() <= tsMillis)
+    require(at.nonEmpty,
+      s"no Iceberg snapshot at or before " +
+      s"${new java.sql.Timestamp(tsMillis)} in $base (snapshot-log has " +
+      s"${lg.size} entries)")
+    at.last.get("snapshot-id").asLong()
+  }
+
   def read(spark: SparkSession, base: String,
            snapshotId: Option[Long] = None,
            partitionFilters: Map[String, String] = Map.empty): DataFrame = {
@@ -2090,6 +2119,7 @@ object IcebergInterop {
     sm.put("operation", mode)
     summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     snapNode.put("schema-id", schemaIdUsed)
+    val logProps = attachMetadataLogs(base, version, root, committedAtMs)
     val tmp = TableIO.join(metaDir, s".tmp_${UUID.randomUUID()}")
     io.writeString(tmp, mapper.writeValueAsString(root))
     val dst = TableIO.join(metaDir, s"v$version.metadata.json")
@@ -2098,6 +2128,7 @@ object IcebergInterop {
       throw new java.util.ConcurrentModificationException(
         s"iceberg metadata v$version already exists in $base")
     io.writeString(hint, version.toString)
+    pruneMetadataVersions(base, version, logProps)
     snapshotId
     } // attemptPublish
 
@@ -4446,6 +4477,8 @@ object IcebergInterop {
     sn.put("manifest-list", PathCodec.absNorm(mlFile))
     sn.putObject("summary").put("operation", "append")
     sn.put("schema-id", 0)
+    attachMetadataLogs(dstBase, 1L, root,
+      root.get("last-updated-ms").asLong())
     val tmp = TableIO.join(metaDir, s".tmp_${UUID.randomUUID()}")
     io.writeString(tmp, mapper.writeValueAsString(root))
     require(io.putIfAbsent(tmp, TableIO.join(metaDir, "v1.metadata.json")),
@@ -4456,12 +4489,91 @@ object IcebergInterop {
 
   /** Atomically publish `node` as the next vN.metadata.json + hint —
     * the commit step every metadata-only operation shares. */
+  /** Spec §Table Metadata: rebuild `metadata-log` (previous metadata
+    * files, newest last, trimmed to write.metadata
+    * .previous-versions-max) and `snapshot-log` (current-snapshot-id
+    * history — the input to TIMESTAMP AS OF) on the node about to
+    * publish as `version`. Shared by BOTH metadata writers (the
+    * snapshot publish path and the metadata-only commit), reading the
+    * predecessor file so callers that build fresh roots need no
+    * knowledge of either log. Returns the table properties (for the
+    * retention step after publish). */
+  private def attachMetadataLogs(
+      base: String, version: Long,
+      node: com.fasterxml.jackson.databind.node.ObjectNode,
+      timestampMs: Long): Map[String, String] = {
+    val metaDir = metadataDir(base)
+    val props: Map[String, String] = Option(node.get("properties")).map { p =>
+      val it = p.fields(); val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }.getOrElse(Map.empty)
+    val keepMax = props.get("write.metadata.previous-versions-max")
+      .map(_.toInt).getOrElse(100)
+    val prevFile = TableIO.join(metaDir, s"v${version - 1}.metadata.json")
+    val prevMeta: Option[JsonNode] =
+      if (version <= 1 || !io.exists(prevFile)) None
+      else Some(mapper.readTree(io.readString(prevFile)))
+    val mlog = node.putArray("metadata-log")
+    prevMeta.foreach { pm =>
+      val carried = Option(pm.get("metadata-log"))
+        .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
+      (carried :+ {
+        val e = mapper.createObjectNode()
+        e.put("timestamp-ms",
+          Option(pm.get("last-updated-ms")).map(_.asLong()).getOrElse(0L))
+        e.put("metadata-file", PathCodec.absNorm(prevFile))
+        (e: JsonNode)
+      }).takeRight(keepMax).foreach(mlog.add)
+    }
+    val liveSnapIds: Set[Long] = Option(node.get("snapshots"))
+      .map(ss => (0 until ss.size()).map(ss.get(_).get("snapshot-id").asLong())
+        .toSet).getOrElse(Set.empty)
+    val slog = node.putArray("snapshot-log")
+    prevMeta.flatMap(pm => Option(pm.get("snapshot-log")))
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
+      // expired snapshots leave the log (spec: entries may be trimmed
+      // when their snapshot is no longer in the table)
+      .filter(e => liveSnapIds.contains(e.get("snapshot-id").asLong()))
+      .foreach(slog.add)
+    val newCurrent = Option(node.get("current-snapshot-id")).map(_.asLong())
+    val prevCurrent = prevMeta
+      .flatMap(pm => Option(pm.get("current-snapshot-id")).map(_.asLong()))
+    newCurrent.filter(c => c >= 0 && !prevCurrent.contains(c)).foreach { c =>
+      val e = slog.addObject()
+      e.put("timestamp-ms", timestampMs)
+      e.put("snapshot-id", c)
+    }
+    props
+  }
+
+  /** Bounded metadata growth (write.metadata.delete-after-commit
+    * .enabled): versions that fell out of the retained window go — at
+    * 100 TB a table commits thousands of times and an unbounded vN
+    * chain is real storage + listing cost. */
+  private def pruneMetadataVersions(base: String, version: Long,
+                                    props: Map[String, String]): Unit =
+    if (props.get("write.metadata.delete-after-commit.enabled")
+          .contains("true")) {
+      val keepMax = props.get("write.metadata.previous-versions-max")
+        .map(_.toInt).getOrElse(100)
+      val metaDir = metadataDir(base)
+      var k = version - keepMax - 1
+      while (k >= 1 &&
+             io.exists(TableIO.join(metaDir, s"v$k.metadata.json"))) {
+        io.delete(TableIO.join(metaDir, s"v$k.metadata.json"))
+        k -= 1
+      }
+    }
+
   private def commitMetadataVersion(
       base: String,
       node: com.fasterxml.jackson.databind.node.ObjectNode): Long = {
     val metaDir = metadataDir(base)
     val hint = TableIO.join(metaDir, "version-hint.text")
     val version = io.readString(hint).trim.toLong + 1
+    val props = attachMetadataLogs(base, version, node,
+      Option(node.get("last-updated-ms")).map(_.asLong()).getOrElse(0L))
     val tmp = TableIO.join(metaDir, s".tmp_${UUID.randomUUID()}")
     io.writeString(tmp, mapper.writeValueAsString(node))
     // atomic put-if-absent = the metadata commit
@@ -4469,6 +4581,7 @@ object IcebergInterop {
       throw new java.util.ConcurrentModificationException(
         s"iceberg metadata v$version already exists in $base")
     io.writeString(hint, version.toString)
+    pruneMetadataVersions(base, version, props)
     version
   }
 
