@@ -706,6 +706,20 @@ object IcebergInterop {
     * same millisecond) resolve to the latest in commit order. */
   def snapshotIdAsOf(base: String, tsMillis: Long): Long = {
     val meta = readMeta(base)
+    // the snapshot-log (spec §Table Metadata) is the CURRENT-at-time
+    // record — authoritative when present: after a ROLLBACK the newest
+    // snapshot entry is no longer what a reader at that time saw, and
+    // only the log captures the re-pointing. Tables from writers that
+    // keep no log fall back to commit-ordered snapshot timestamps.
+    val lg = Option(meta.get("snapshot-log"))
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
+    if (lg.nonEmpty) {
+      val at = lg.filter(_.get("timestamp-ms").asLong() <= tsMillis)
+      require(at.nonEmpty,
+        s"no snapshot of $base current at or before $tsMillis ms " +
+        s"(snapshot-log starts at ${lg.head.get("timestamp-ms").asLong()} ms)")
+      return at.last.get("snapshot-id").asLong()
+    }
     val snaps = meta.get("snapshots")
     val pairs = (0 until snaps.size()).map(snaps.get).map(s =>
       (s.get("snapshot-id").asLong(),
@@ -745,19 +759,10 @@ object IcebergInterop {
     commitMetadataVersion(base, meta)
   }
 
-  /** TIMESTAMP AS OF: the snapshot that was current at `tsMillis`,
-    * resolved from the metadata's `snapshot-log` (spec §Table
-    * Metadata) — one metadata read, no manifest I/O. */
-  def snapshotIdAtTimestamp(base: String, tsMillis: Long): Long = {
-    val lg = Option(readMeta(base).get("snapshot-log"))
-      .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
-    val at = lg.filter(_.get("timestamp-ms").asLong() <= tsMillis)
-    require(at.nonEmpty,
-      s"no Iceberg snapshot at or before " +
-      s"${new java.sql.Timestamp(tsMillis)} in $base (snapshot-log has " +
-      s"${lg.size} entries)")
-    at.last.get("snapshot-id").asLong()
-  }
+  /** TIMESTAMP AS OF — alias of [[snapshotIdAsOf]] (snapshot-log
+    * preferred, snapshot timestamps as the foreign-table fallback). */
+  def snapshotIdAtTimestamp(base: String, tsMillis: Long): Long =
+    snapshotIdAsOf(base, tsMillis)
 
   def read(spark: SparkSession, base: String,
            snapshotId: Option[Long] = None,
@@ -4699,6 +4704,9 @@ object IcebergInterop {
     require(known.contains(snapshotId),
       s"snapshot $snapshotId not in $base (have $known)")
     meta.put("current-snapshot-id", snapshotId)
+    // the rollback IS an event in time: its snapshot-log entry must
+    // carry the rollback's clock, not the previous commit's
+    meta.put("last-updated-ms", clock())
     commitMetadataVersion(base, meta)
   }
 

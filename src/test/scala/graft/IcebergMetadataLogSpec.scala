@@ -83,6 +83,22 @@ class IcebergMetadataLogSpec extends SparkSpec {
     }
   }
 
+  test("after a ROLLBACK, TIMESTAMP AS OF sees what a reader at that " +
+       "time saw — the snapshot-log, not snapshot recency, decides") {
+    val base = tmp()
+    IcebergInterop.withClock(IcebergInterop.tickingClock(1000L, 1000L)) {
+      IcebergInterop.overwrite(spark.range(4).toDF("id").coalesce(1), base) // @1000, snap 1
+      IcebergInterop.append(spark.range(4, 9).toDF("id").coalesce(1), base) // @2000, snap 2
+      IcebergInterop.rollbackTo(base, 1L)                                   // @3000 (or later)
+    }
+    // at t=5000 the CURRENT table is snapshot 1 (4 rows); resolving by
+    // "newest snapshot <= ts" would wrongly return snapshot 2 (9 rows)
+    assert(IcebergInterop.snapshotIdAsOf(base, 5000L) == 1L)
+    assert(IcebergInterop.readAsOfTimestamp(spark, base, 5000L).count() == 4)
+    // before the rollback, at t=2500, readers saw snapshot 2
+    assert(IcebergInterop.snapshotIdAsOf(base, 2500L) == 2L)
+  }
+
   test("delete-after-commit reclaims metadata versions beyond the " +
        "window; the table stays fully readable") {
     val base = tmp()
