@@ -1033,13 +1033,18 @@ object DeltaDml {
     }
 
     val parts: Seq[DataFrame] = commitFiles.flatMap { case (v, cf) =>
-      val ts = io.lastModified(cf)
       val cdcE = mutable.ArrayBuffer.empty[AddFile]
       val addE = mutable.ArrayBuffer.empty[AddFile]
       val removeE = mutable.ArrayBuffer.empty[(String, Option[DvDescriptor])]
+      // the commit's clock: in-commit timestamp when the table writes
+      // them (authoritative per protocol), else the file's mtime
+      var ict: Option[Long] = None
       io.readLines(cf).foreach { line =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
+          Option(n.get("commitInfo")).foreach(ci =>
+            Option(ci.get("inCommitTimestamp"))
+              .foreach(t => ict = Some(t.asLong())))
           Option(n.get("cdc")).foreach { c =>
             cdcE += AddFile(c.get("path").asText(),
               parsePv(c.get("partitionValues")))
@@ -1057,6 +1062,7 @@ object DeltaDml {
           }
         }
       }
+      val ts = ict.getOrElse(io.lastModified(cf))
       if (cdcE.nonEmpty) {
         // authoritative change files: data columns + _change_type, pv
         // re-attached from the cdc action exactly like data files

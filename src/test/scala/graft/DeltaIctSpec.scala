@@ -114,6 +114,22 @@ class DeltaIctSpec extends SparkSpec {
       "('delta.enableInCommitTimestamps'='false')"))
   }
 
+  test("CDF reports _commit_timestamp from the ICT, not file mtime") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(10).toDF("id"), base,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaInterop.withIctClock(() => 9000000000000L) {
+      DeltaInterop.enableInCommitTimestamps(spark, base) // v1
+      DeltaDml.updateWhere(spark, base, col("id") === 4L,
+        Map("id" -> lit(400L))) // v2
+    }
+    val feed = DeltaDml.readChangeFeed(spark, base, 2L)
+    val tsv = feed.select("_commit_timestamp").distinct()
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(tsv.size == 1 && tsv.head == ictOf(base, 2L).get,
+      s"CDF timestamps $tsv != ICT ${ictOf(base, 2L)}")
+  }
+
   test("a FOREIGN table declaring inCommitTimestamp: our DML upholds " +
        "the contract (every commit stamps a monotone ICT)") {
     val base = tmp()
