@@ -3664,6 +3664,54 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  /** Iceberg TIMESTAMP AS OF across a ROLLBACK (q237): the case only
+    * the snapshot-log (spec §Table Metadata) resolves correctly. Under
+    * an injected ticking clock the table takes an append (@2000), a
+    * rollback to the creation snapshot (@3000), and a fresh append
+    * (@4000); the query reads AS OF 3500 — between the rollback and
+    * the later append — when the CURRENT table was the rolled-back-to
+    * creation state. Resolving by newest-snapshot-at-or-before-ts
+    * (the pre-snapshot-log fallback) would return the rolled-OVER
+    * append instead; the oracle is the plain creation aggregate, so
+    * that wrong resolution hash-mismatches. */
+  private def qIcebergAsOfRollback(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = cachedFixture("iceberg_asof_rollback_orders", dir, "orders") { p =>
+      // one FIXED clock per operation (an op calls clock() several
+      // times — a ticking clock would scatter its timestamps)
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      IcebergInterop.withClock(() => 1000L) {
+        IcebergInterop.overwrite(ords.repartition(2), p)        // snap 1
+      }
+      IcebergInterop.withClock(() => 2000L) {
+        IcebergInterop.append(Tables.load(s, dir, "orders")     // snap 2
+          .filter(col("o_orderkey") < 100)
+          .select((col("o_orderkey") + lit(4000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .coalesce(1), p)
+      }
+      IcebergInterop.withClock(() => 3000L) {
+        IcebergInterop.rollbackTo(p, 1L)
+      }
+      IcebergInterop.withClock(() => 4000L) {
+        IcebergInterop.append(Tables.load(s, dir, "orders")     // snap 3
+          .filter(col("o_orderkey") < 50)
+          .select((col("o_orderkey") + lit(5000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .coalesce(1), p)
+      }
+    }
+    IcebergInterop.readAsOfTimestamp(s, base, 3500L)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy(col("status"))
+  }
+
   /** MERGE with WHEN NOT MATCHED BY SOURCE (q194): first the FULL-SYNC
     * shape (all three clauses — the table becomes exactly the source,
     * one atomic definition-preserving overwrite), then the
@@ -5774,6 +5822,7 @@ object SparkEntry {
     "q234_iceberg_v3_defaults" -> (qIcebergV3Defaults _),
     "q235_iceberg_v3_stream" -> (qStreamIcebergV3 _),
     "q236_type_promotion" -> (qTypePromotion _),
+    "q237_asof_rollback" -> (qIcebergAsOfRollback _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6622,6 +6671,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q237_asof_rollback" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
     "q236_type_promotion" ->
       """WITH src AS (
            SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
