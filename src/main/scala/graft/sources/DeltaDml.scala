@@ -78,7 +78,11 @@ object DeltaDml {
     // in-commit timestamps: writeCommit itself detects an ICT table
     // from its predecessor commit and stamps a strictly-monotone
     // inCommitTimestamp into every commit — the whole writer contract
-    "inCommitTimestamp")
+    "inCommitTimestamp",
+    // vacuumProtocolCheck: the obligation is on VACUUM (verify the
+    // protocol before deleting), which our vacuum meets by replaying
+    // the snapshot — and on writers only to not strip the feature
+    "vacuumProtocolCheck")
 
   /** The protocol's writer contract for this table, checked before any
     * DML: unknown declared writer features refuse; `delta.appendOnly`

@@ -146,7 +146,13 @@ object DeltaInterop {
     Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint",
       // widened columns read through Spark's parquet type widening;
       // both the final and preview feature names gate the same path
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      // vacuumProtocolCheck imposes NO read-time obligation (it gates
+      // VACUUM implementations: check the protocol before deleting —
+      // which our vacuum does by replaying the snapshot first); tables
+      // carrying it (delta-spark writes it alongside v2Checkpoint)
+      // must not refuse to read
+      "vacuumProtocolCheck")
 
   /** Above this many total deleted positions the DV anti join stops
     * broadcasting (same bound as graft-log's own DV read path — a table

@@ -359,4 +359,14 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 161803, nOps = 26, icebergV3 = true,
       withDefaults = true, withPromotion = true)
   }
+
+  test("a full sequence through OBJECT-STORE semantics: flat keys, " +
+       "conditional-PUT claims, copy mirrors — same model agreement") {
+    val prior = graft.sources.TableIO.current
+    graft.sources.TableIO.current =
+      new graft.sources.ObjectStoreTableIO(conditionalCreate = true)
+    try runSequence(seed = 8088, nOps = 20, icebergV3 = true,
+      withPromotion = true)
+    finally graft.sources.TableIO.current = prior
+  }
 }

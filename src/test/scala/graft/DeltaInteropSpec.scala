@@ -106,8 +106,10 @@ class DeltaInteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](DeltaInterop.read(spark, base))
     assert(e.getMessage.contains("futureCollations"))
     // an implemented feature set → the same table reads fine
+    // (vacuumProtocolCheck imposes no read obligation and delta-spark
+    // writes it alongside v2Checkpoint — it must not refuse)
     Files.writeString(new File(s"$base/_delta_log/00000000000000000001.json").toPath,
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping","timestampNtz","vacuumProtocolCheck"]}}""" + "\n")
     assert(DeltaInterop.read(spark, base).count() == 3)
   }
 
