@@ -291,6 +291,12 @@ object GraftSql {
   private val ConvertRe =
     ("""(?is)\s*CONVERT\s+([`\w.]+)\s+TO\s+(DELTA|ICEBERG3?)\s+AS\s+""" +
      """([`\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
+  private val CreateRefRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+CREATE\s+(TAG|BRANCH)\s+""" +
+     """([`\w-]+)\s*(?:AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val DropRefRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+(TAG|BRANCH)\s+""" +
+     """([`\w-]+)\s*;?\s*""").r
   private val AddPartFieldRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+""" +
      """([^;]+?)\s*;?\s*""").r
@@ -674,6 +680,35 @@ object GraftSql {
     case DropPartFieldRe(t, rest) if registered(spark, t) =>
       val (name, h) = maintTable(spark, t, "DROP PARTITION FIELD")
       Some(evolvePartitionSql(spark, name, h, add = None, drop = Some(rest)))
+    // Iceberg refs (spec §Snapshot References): named TAGs pin a
+    // snapshot (audit/release anchors that survive expireSnapshots'
+    // ref-retention rules), BRANCHes are writable lines readable via
+    // `VERSION AS OF '<name>'` and published with fastForward
+    case CreateRefRe(t, kind, refName, verOpt) if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, s"CREATE ${kind.toUpperCase}")
+      val base = h match {
+        case IceTable(b) => b
+        case _ => throw new IllegalArgumentException(
+          s"CREATE ${kind.toUpperCase}: '$name' is not an Iceberg table " +
+          "— named refs are an Iceberg feature")
+      }
+      val sid = Option(verOpt).map(_.toLong).getOrElse(
+        graft.sources.IcebergInterop.resolveRef(base, "main"))
+      val rn = refName.replace("`", "")
+      if (kind.equalsIgnoreCase("TAG"))
+        graft.sources.IcebergInterop.createTag(base, rn, sid)
+      else graft.sources.IcebergInterop.createBranch(base, rn, sid)
+      Some(result(spark, s"CREATE ${kind.toUpperCase}", sid))
+    case DropRefRe(t, kind, refName) if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, s"DROP ${kind.toUpperCase}")
+      val base = h match {
+        case IceTable(b) => b
+        case _ => throw new IllegalArgumentException(
+          s"DROP ${kind.toUpperCase}: '$name' is not an Iceberg table " +
+          "— named refs are an Iceberg feature")
+      }
+      graft.sources.IcebergInterop.dropRef(base, refName.replace("`", ""))
+      Some(result(spark, s"DROP ${kind.toUpperCase}", -1L))
     case _ => None
   }
 

@@ -161,4 +161,45 @@ class IcebergWapSpec extends SparkSpec {
     val got = IcebergInterop.readEq(spark, base, Map("g" -> "A"))
     assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("SQL: CREATE/DROP TAG and BRANCH; VERSION AS OF reads the ref") {
+    import graft.pipeline.GraftSql
+    val base = fresh("sql_refs")
+    IcebergInterop.overwrite(spark.range(6).toDF("id").coalesce(1), base)
+    IcebergInterop.append(spark.range(6, 10).toDF("id").coalesce(1), base)
+    GraftSql.registerIcebergTable(spark, "refs_t", base)
+    // tag pinned to an EXPLICIT older snapshot
+    GraftSql.sql(spark, "ALTER TABLE refs_t CREATE TAG rel-1 AS OF VERSION 1")
+    // branch from the current head
+    GraftSql.sql(spark, "ALTER TABLE refs_t CREATE BRANCH audit")
+    val refs = IcebergInterop.refs(base).map(r => (r._1, r._2)).toMap
+    assert(refs("rel-1") == "tag" && refs("audit") == "branch")
+    // the tag reads the OLD state through SQL time travel
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM refs_t VERSION AS OF 'rel-1'")
+      .head().getLong(0) == 6)
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM refs_t VERSION AS OF 'audit'")
+      .head().getLong(0) == 10)
+    // a branch append stays invisible on main, visible via the ref
+    IcebergInterop.appendToBranch(
+      spark.range(100, 103).toDF("id").coalesce(1), base, "audit")
+    assert(spark.table("refs_t").count() == 10)
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM refs_t VERSION AS OF 'audit'")
+      .head().getLong(0) == 13)
+    // drop: the refs disappear; main is untouched
+    GraftSql.sql(spark, "ALTER TABLE refs_t DROP TAG rel-1")
+    GraftSql.sql(spark, "ALTER TABLE refs_t DROP BRANCH audit")
+    assert(!IcebergInterop.refs(base).map(_._1).toSet
+      .exists(Set("rel-1", "audit")))
+    assert(spark.table("refs_t").count() == 10)
+    // on a non-Iceberg table the statement refuses
+    val del = fresh("sql_refs_delta")
+    graft.sources.DeltaInterop.overwrite(spark.range(3).toDF("id"), del)
+    GraftSql.registerDeltaTable(spark, "refs_d", del)
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE refs_d CREATE TAG t1"))
+    assert(e.getMessage.contains("Iceberg"), e.getMessage)
+  }
 }
