@@ -3299,8 +3299,21 @@ object DeltaInterop {
   /** Write a classic v1 parquet checkpoint of the CURRENT state and the
     * `_last_checkpoint` pointer — the protocol's log-compaction step.
     * Action columns: protocol / metaData / add (one non-null per row). */
-  def checkpoint(spark: SparkSession, base: String): Long =
-    checkpointParts(spark, base, 1)
+  def checkpoint(spark: SparkSession, base: String): Long = {
+    // delta.checkpointPolicy routes the layout (delta-spark's own
+    // property): 'v2' → UUID-named top file + sidecars, the shape
+    // that keeps checkpointing a million-file table off one writer;
+    // 'classic' (default) → the single-file v1 form
+    val policy = snapshot(spark, base).configuration
+      .getOrElse("delta.checkpointPolicy", "classic")
+    policy match {
+      case "v2" => checkpointV2(spark, base)
+      case "classic" => checkpointParts(spark, base, 1)
+      case other => throw new IllegalArgumentException(
+        s"delta.checkpointPolicy '$other' is not a policy the protocol " +
+        "defines (classic | v2)")
+    }
+  }
 
   /** Multi-part form (`NNN.checkpoint.<i>.<k>.parquet`), the layout the
     * protocol allows for tables whose action list outgrows one file —

@@ -130,6 +130,27 @@ class DeltaIctSpec extends SparkSpec {
       s"CDF timestamps $tsv != ICT ${ictOf(base, 2L)}")
   }
 
+  test("delta.checkpointPolicy=v2 routes checkpoint() to the " +
+       "sidecar layout; replay stays value-exact") {
+    val base = tmp()
+    DeltaInterop.overwrite(spark.range(30).toDF("id"), base,
+      configuration = Map("delta.checkpointPolicy" -> "v2"))
+    DeltaInterop.append(spark.range(30, 40).toDF("id").coalesce(1), base)
+    DeltaInterop.checkpoint(spark, base)
+    val logDir = new java.io.File(base, "_delta_log")
+    assert(logDir.listFiles().exists(f =>
+      f.getName.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]+\\.parquet")),
+      "policy v2 must produce a UUID-named v2 checkpoint")
+    assert(new java.io.File(logDir, "_sidecars").exists())
+    DeltaInterop.append(spark.range(40, 45).toDF("id").coalesce(1), base)
+    assert(DeltaInterop.read(spark, base).count() == 45)
+    // unknown policy refuses
+    val b2 = tmp()
+    DeltaInterop.overwrite(spark.range(3).toDF("id"), b2,
+      configuration = Map("delta.checkpointPolicy" -> "v3-nope"))
+    intercept[IllegalArgumentException](DeltaInterop.checkpoint(spark, b2))
+  }
+
   test("a FOREIGN table declaring inCommitTimestamp: our DML upholds " +
        "the contract (every commit stamps a monotone ICT)") {
     val base = tmp()
