@@ -3712,6 +3712,43 @@ object SparkEntry {
       .orderBy(col("status"))
   }
 
+  /** Delta in-commit timestamps (q238): the table enables ICT under
+    * injected clocks, takes a DV DELETE, then an append; the query
+    * reads TIMESTAMP AS OF between them. The commits' FILE MTIMES are
+    * all "now" — ICTs are the only clock that can resolve this, so a
+    * reader still using mtime finds no commit at the target timestamp
+    * at all and a reader picking the wrong side of either commit
+    * hash-mismatches the oracle's delete-only replay. */
+  private def qDeltaIctTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaDml, DeltaInterop}
+    val base = cachedFixture("delta_ict_orders", dir, "orders") { p =>
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      DeltaInterop.overwrite(ords.repartition(2), p)           // v0 (mtime era)
+      DeltaInterop.withIctClock(() => 9000000000000L) {
+        DeltaInterop.enableInCommitTimestamps(s, p)            // v1
+      }
+      DeltaInterop.withIctClock(() => 9100000000000L) {
+        DeltaDml.deleteVectoredWhere(s, p,
+          col("o_custkey") % 8 === 5)                          // v2
+      }
+      DeltaInterop.withIctClock(() => 9200000000000L) {
+        DeltaInterop.append(Tables.load(s, dir, "orders")      // v3
+          .filter(col("o_orderkey") < 100)
+          .select((col("o_orderkey") + lit(6000000L)).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+          .coalesce(1), p)
+      }
+    }
+    DeltaInterop.read(s, base, timestampAsOf = Some(9150000000000L))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy(col("status"))
+  }
+
   /** MERGE with WHEN NOT MATCHED BY SOURCE (q194): first the FULL-SYNC
     * shape (all three clauses — the table becomes exactly the source,
     * one atomic definition-preserving overwrite), then the
@@ -5823,6 +5860,7 @@ object SparkEntry {
     "q235_iceberg_v3_stream" -> (qStreamIcebergV3 _),
     "q236_type_promotion" -> (qTypePromotion _),
     "q237_asof_rollback" -> (qIcebergAsOfRollback _),
+    "q238_delta_ict_travel" -> (qDeltaIctTravel _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6671,6 +6709,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q238_delta_ict_travel" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+         FROM orders WHERE o_custkey % 8 <> 5
+         GROUP BY o_orderstatus ORDER BY status""",
     "q237_asof_rollback" ->
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
