@@ -276,6 +276,9 @@ object GraftSql {
      """\s*(DRY\s+RUN)?\s*;?\s*""").r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+""" +
+     """'([^']+)'\s*;?\s*""").r
   private val HistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([`\w.]+)\s*;?\s*""".r
   private val CopyIntoRe =
@@ -583,6 +586,26 @@ object GraftSql {
           // Iceberg has no dense version numbers — RESTORE takes the
           // SNAPSHOT ID (the unit its own rollback procedure uses)
           graft.sources.IcebergInterop.rollbackTo(base, ver.toLong)
+      }
+      refreshView(spark, name, h)
+      Some(result(spark, "RESTORE", v))
+    // timestamp form: each format resolves the version current at the
+    // instant through its own clock record (Delta: in-commit
+    // timestamps when written, else mtime; Iceberg: the snapshot-log,
+    // so a restore ACROSS a rollback lands on what readers then saw)
+    case RestoreTsRe(t, tsLit) =>
+      val (name, h) = maintTable(spark, t, "RESTORE")
+      val ms = java.sql.Timestamp.valueOf(tsLit.trim).getTime
+      val v = h match {
+        case LogTable(base) =>
+          GraftLog.restore(spark, base,
+            GraftLog.snapshot(base, asOfTimestampMs = Some(ms)).version)
+        case DeltaTable(base) =>
+          graft.sources.DeltaInterop.restore(spark, base,
+            graft.sources.DeltaInterop.versionAtTimestamp(base, ms))
+        case IceTable(base) =>
+          graft.sources.IcebergInterop.rollbackTo(base,
+            graft.sources.IcebergInterop.snapshotIdAsOf(base, ms))
       }
       refreshView(spark, name, h)
       Some(result(spark, "RESTORE", v))

@@ -469,4 +469,44 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(GraftLog.read(spark, base).as[(Long, Long)].collect().map(_._1)
       .sorted.toSeq == (10L until 30L).toSeq)
   }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves per-format clocks " +
+       "(Delta ICT, Iceberg snapshot-log)") {
+    // Delta: the in-commit timestamps ARE the clock
+    val dbase = freshBase("rts_delta")
+    DeltaInterop.overwrite(spark.range(10).toDF("id"), dbase)
+    DeltaInterop.withIctClock(() => 9000000000000L) {
+      DeltaInterop.enableInCommitTimestamps(spark, dbase)
+    }
+    DeltaInterop.withIctClock(() => 9100000000000L) {
+      DeltaInterop.append(spark.range(10, 14).toDF("id").coalesce(1), dbase)
+    }
+    DeltaInterop.withIctClock(() => 9200000000000L) {
+      DeltaInterop.append(spark.range(14, 20).toDF("id").coalesce(1), dbase)
+    }
+    GraftSql.registerDeltaTable(spark, "rts_delta", dbase)
+    // restore to between the two appends → 14 rows
+    GraftSql.sql(spark,
+      "RESTORE TABLE rts_delta TO TIMESTAMP AS OF '2259-01-01 00:00:00'")
+    assert(spark.table("rts_delta").count() == 14)
+    // Iceberg: the snapshot-log decides — across a ROLLBACK
+    val ibase = freshBase("rts_ice")
+    IcebergInterop.withClock(() => 1000L) {
+      IcebergInterop.overwrite(spark.range(5).toDF("id").coalesce(1), ibase)
+    }
+    IcebergInterop.withClock(() => 2000L) {
+      IcebergInterop.append(spark.range(5, 9).toDF("id").coalesce(1), ibase)
+    }
+    IcebergInterop.withClock(() => 3000L) {
+      IcebergInterop.rollbackTo(ibase, 1L)
+    }
+    IcebergInterop.withClock(() => 4000L) {
+      IcebergInterop.append(spark.range(20, 23).toDF("id").coalesce(1), ibase)
+    }
+    GraftSql.registerIcebergTable(spark, "rts_ice", ibase)
+    // at epoch+3500ms the current table was the rolled-back creation
+    GraftSql.sql(spark,
+      "RESTORE TABLE rts_ice TO TIMESTAMP AS OF '1970-01-01 00:00:03.5'")
+    assert(spark.table("rts_ice").count() == 5)
+  }
 }
