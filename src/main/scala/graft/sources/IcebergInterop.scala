@@ -4681,12 +4681,27 @@ object IcebergInterop {
   def historyTable(spark: SparkSession, base: String): DataFrame = {
     val meta = readMeta(base)
     val cur = meta.get("current-snapshot-id").asLong()
-    val snaps = meta.get("snapshots")
     import spark.implicits._
-    (0 until snaps.size()).map { i =>
-      val s = snaps.get(i)
-      (s.get("timestamp-ms").asLong(), s.get("snapshot-id").asLong(),
-        s.get("snapshot-id").asLong() == cur)
+    // Iceberg's `history` metadata table is the SNAPSHOT-LOG: one row
+    // per time the table's current snapshot changed — a ROLLBACK
+    // appears as its own entry re-naming the old id, which snapshot
+    // creation times alone cannot express. Foreign tables without a
+    // log fall back to creation order.
+    val lg = Option(meta.get("snapshot-log"))
+      .map(a => (0 until a.size()).map(a.get)).getOrElse(Seq.empty)
+    val rows =
+      if (lg.nonEmpty)
+        lg.map(e => (e.get("timestamp-ms").asLong(),
+          e.get("snapshot-id").asLong()))
+      else {
+        val snaps = meta.get("snapshots")
+        (0 until snaps.size()).map { i =>
+          val s = snaps.get(i)
+          (s.get("timestamp-ms").asLong(), s.get("snapshot-id").asLong())
+        }
+      }
+    rows.zipWithIndex.map { case ((ts, sid), i) =>
+      (ts, sid, i == rows.size - 1 && sid == cur)
     }.toDF("made_current_at_ms", "snapshot_id", "is_current")
   }
 

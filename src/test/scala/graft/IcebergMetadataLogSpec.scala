@@ -97,6 +97,12 @@ class IcebergMetadataLogSpec extends SparkSpec {
     assert(IcebergInterop.readAsOfTimestamp(spark, base, 5000L).count() == 4)
     // before the rollback, at t=2500, readers saw snapshot 2
     assert(IcebergInterop.snapshotIdAsOf(base, 2500L) == 2L)
+    // the history metadata table shows the rollback as its OWN row
+    val hist = IcebergInterop.historyTable(spark, base)
+      .orderBy("made_current_at_ms").collect()
+    assert(hist.map(_.getLong(1)).toSeq == Seq(1L, 2L, 1L),
+      "history must show snapshot 1 made current AGAIN by the rollback")
+    assert(hist.map(_.getBoolean(2)).toSeq == Seq(false, false, true))
   }
 
   test("delete-after-commit reclaims metadata versions beyond the " +
