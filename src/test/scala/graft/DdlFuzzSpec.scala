@@ -34,7 +34,8 @@ class DdlFuzzSpec extends SparkSpec {
   private def runSequence(seed: Int, nOps: Int,
                           icebergV3: Boolean = false,
                           withDefaults: Boolean = false,
-                          withPromotion: Boolean = false): Unit = {
+                          withPromotion: Boolean = false,
+                          withIct: Boolean = false): Unit = {
     require(!withDefaults || icebergV3,
       "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
@@ -99,6 +100,10 @@ class DdlFuzzSpec extends SparkSpec {
       IcebergInterop.overwrite(df.coalesce(1), ibase,
         formatVersion = if (icebergV3) 3 else 2)
       GraftLog.overwrite(df, lbase)
+      // the ICT dimension: from here every Delta commit in the
+      // sequence — DML, evolution, maintenance, restore — must stamp a
+      // strictly monotone in-commit timestamp (asserted at the end)
+      if (withIct) DeltaInterop.enableInCommitTimestamps(spark, dbase)
       model.rows = rows.toVector
       recordRestorePoint()
     }
@@ -320,6 +325,33 @@ class DdlFuzzSpec extends SparkSpec {
         assert(normalized(df) == expected,
           s"seed=$seed: $fmt diverged from the model")
     }
+    if (withIct) {
+      // every Delta commit after enablement carries a strictly
+      // monotone in-commit timestamp, whatever ops the seed composed
+      val logDir = new java.io.File(dbase, "_delta_log")
+      val perCommit: Seq[Option[Long]] = logDir.listFiles()
+        .filter(_.getName.matches("\\d{20}\\.json"))
+        .sortBy(_.getName)
+        .map { f =>
+          val first = java.nio.file.Files.readAllLines(f.toPath).get(0)
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(first)
+          Option(n.get("commitInfo"))
+            .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+            .map(_.asLong())
+        }.toSeq
+      val firstIct = perCommit.indexWhere(_.isDefined)
+      assert(firstIct >= 0, s"seed=$seed: no ICT commit found")
+      val after = perCommit.drop(firstIct)
+      assert(after.forall(_.isDefined),
+        s"seed=$seed: a post-enablement commit lacks an ICT " +
+        s"(${after.count(_.isEmpty)} missing of ${after.size})")
+      val icts = after.flatten
+      assert(icts == icts.sorted && icts.distinct.size == icts.size,
+        s"seed=$seed: ICTs not strictly monotone: $icts")
+      assert(icts.size >= nOps / 2,
+        s"seed=$seed: suspiciously few ICT commits (${icts.size})")
+    }
     if (icebergV3) {
       // the LINEAGE invariant survives every interleaving: after any
       // mix of DML, evolution, maintenance, and restore, every live
@@ -358,6 +390,13 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 4242, nOps = 22, withPromotion = true)
     runSequence(seed = 161803, nOps = 26, icebergV3 = true,
       withDefaults = true, withPromotion = true)
+  }
+
+  test("ICT sequences: every Delta commit stamps a monotone in-commit " +
+       "timestamp through any op composition") {
+    runSequence(seed = 777, nOps = 22, withIct = true)
+    runSequence(seed = 271828, nOps = 20, icebergV3 = true,
+      withPromotion = true, withIct = true)
   }
 
   test("a full sequence through OBJECT-STORE semantics: flat keys, " +
