@@ -270,7 +270,8 @@ object GraftSql {
   // loudly — falling through would surface Spark's parse error, which
   // misdiagnoses a perfectly valid maintenance statement.
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([`\w.]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+([`\w.]+)\s*(?:WHERE\s+(.+?))?""" +
+     """\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+([`\w.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS)?""" +
      """\s*(DRY\s+RUN)?\s*;?\s*""").r
@@ -524,22 +525,46 @@ object GraftSql {
           s"CONVERT: unsupported source/format pair $other")
       }
       Some(result(spark, "CONVERT", 0L))
-    case OptimizeRe(t, zcols) =>
+    case OptimizeRe(t, whereCl, zcols) =>
       val (name, h) = maintTable(spark, t, "OPTIMIZE")
       val zorder = Option(zcols).map(
         _.split(',').map(_.trim.replace("`", "")).toSeq.filter(_.nonEmpty))
+      // OPTIMIZE ... WHERE: equality conjunctions on partition columns
+      // only (delta-spark's own restriction) — values compared against
+      // the log's serialized partition records, the same contract as
+      // read(partitionFilters)
+      val pf: Map[String, String] = Option(whereCl).map { w =>
+        w.split("(?i)\\s+AND\\s+").map { c =>
+          val EqRe = """(?s)\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|(\S+))\s*""".r
+          c match {
+            case EqRe(k, q, bare) =>
+              k.toLowerCase -> Option(q).getOrElse(bare)
+            case other => throw new IllegalArgumentException(
+              s"OPTIMIZE WHERE supports equality conjunctions on " +
+              s"partition columns only (got '$other')")
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+      require(pf.isEmpty || zorder.isEmpty,
+        "OPTIMIZE WHERE does not combine with ZORDER BY here — scope " +
+        "the clustering rewrite by partition via the API instead")
       val v = (h, zorder) match {
         case (DeltaTable(base), None) =>
-          graft.sources.DeltaInterop.optimize(spark, base)
+          graft.sources.DeltaInterop.optimize(spark, base,
+              partitionFilter = pf)
             .getOrElse(graft.sources.DeltaInterop.snapshot(spark, base).version)
         case (DeltaTable(base), Some(cols)) =>
           graft.sources.DeltaInterop.optimizeZorder(spark, base, cols)
             .getOrElse(graft.sources.DeltaInterop.snapshot(spark, base).version)
         case (LogTable(base), None) =>
+          require(pf.isEmpty,
+            "OPTIMIZE WHERE on a graft-log table: graft-log tables are " +
+            "unpartitioned — compaction is always whole-table")
           GraftLog.compactIncremental(spark, base,
             minBytes = 128L << 20, targetRowsPerFile = 1L << 20)
         case (IceTable(base), None) =>
-          graft.sources.IcebergInterop.rewriteDataFiles(spark, base)
+          graft.sources.IcebergInterop.rewriteDataFiles(spark, base,
+            partitionFilter = pf)
         case (_, Some(_)) => throw new IllegalArgumentException(
           "OPTIMIZE ... ZORDER BY is a Delta clustering rewrite — for " +
           "graft-log use overwriteClustered, for Iceberg a sorted rewrite")

@@ -2024,8 +2024,16 @@ object DeltaInterop {
     * the committed version, or None when nothing qualified. */
   def optimize(spark: SparkSession, base: String,
                smallFileBytes: Long = 128L << 20,
-               targetFileBytes: Long = 1L << 30): Option[Long] = {
+               targetFileBytes: Long = 1L << 30,
+               partitionFilter: Map[String, String] = Map.empty): Option[Long] = {
     val snap = snapshot(spark, base)
+    // OPTIMIZE ... WHERE: compact only matching partitions — the
+    // whole-table walk is wrong on a 100 TB table when one hot
+    // partition took the day's small-file churn
+    partitionFilter.keys.foreach(k =>
+      require(snap.partitionColumns.contains(k),
+        s"OPTIMIZE WHERE: '$k' is not a partition column of $base " +
+        s"(partitioned by ${snap.partitionColumns.mkString(", ")})"))
     def sizeOf(f: AddFile): Long =
       io.length(resolveDataFile(base, f.path))
     // candidate selection is driver-side metadata; the rewrite is ONE
@@ -2034,6 +2042,8 @@ object DeltaInterop {
     val bins = mutable.ArrayBuffer.empty[(Map[String, String], Seq[AddFile])]
     val removed = mutable.ArrayBuffer.empty[AddFile]
     snap.files.groupBy(_.partitionValues).toSeq
+      .filter { case (pv, _) =>
+        partitionFilter.forall { case (k, v) => pv.get(k).contains(v) } }
       .sortBy(_._1.toString).foreach { case (pv, fs) =>
         val candidates = fs.filter(f =>
           sizeOf(f) < smallFileBytes || f.dv.exists(_.cardinality > 0))

@@ -3901,10 +3901,11 @@ object IcebergInterop {
   def rewriteDataFiles(spark: SparkSession, base: String,
                        smallFileBytes: Long = 32L << 20,
                        targetFileBytes: Long = 128L << 20,
-                       minInputFiles: Int = 2): Long = {
+                       minInputFiles: Int = 2,
+                       partitionFilter: Map[String, String] = Map.empty): Long = {
     require(minInputFiles >= 2, "compaction needs >=2 input files per bin")
     rewriteDataFilesCore(spark, base, smallFileBytes, targetFileBytes,
-      minInputFiles, Seq.empty, 0)
+      minInputFiles, Seq.empty, 0, partitionFilter)
   }
 
   /** Sort-based rewrite — the Iceberg analogue of Delta's OPTIMIZE
@@ -3920,7 +3921,7 @@ object IcebergInterop {
     require(sortBy.nonEmpty, "sorted rewrite needs >=1 sort column")
     require(filesPerPartition >= 1, "filesPerPartition must be >=1")
     rewriteDataFilesCore(spark, base, Long.MaxValue, Long.MaxValue,
-      1, sortBy, filesPerPartition)
+      1, sortBy, filesPerPartition, Map.empty)
   }
 
   private def rewriteDataFilesCore(spark: SparkSession, base: String,
@@ -3928,7 +3929,8 @@ object IcebergInterop {
                                    targetFileBytes: Long,
                                    minInputFiles: Int,
                                    sortBy: Seq[String],
-                                   filesPerPartition: Int): Long = {
+                                   filesPerPartition: Int,
+                                   partitionFilter: Map[String, String]): Long = {
     val metaDir = metadataDir(base)
     val hint = TableIO.join(metaDir, "version-hint.text")
     require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
@@ -3948,7 +3950,17 @@ object IcebergInterop {
       require(!snap.partitionColumns.contains(c),
         s"'$c' is a partition column — sorting it is meaningless")
     }
+    // OPTIMIZE ... WHERE: compact only the matching identity
+    // partitions — a 100 TB table compacts its hot partition, not the
+    // world
+    partitionFilter.keys.foreach(k =>
+      require(snap.partitionColumns.contains(k),
+        s"rewriteDataFiles partitionFilter: '$k' is not an identity " +
+        s"partition column of $base " +
+        s"(partitioned by ${snap.partitionColumns.mkString(", ")})"))
     val groups = snap.files
+      .filter(f => partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).contains(v) })
       .filter(f => sortBy.nonEmpty ||
         io.length(f.path) < smallFileBytes)
       .groupBy(_.partitionValues)

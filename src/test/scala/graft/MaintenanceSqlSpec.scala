@@ -509,4 +509,54 @@ class MaintenanceSqlSpec extends SparkSpec {
       "RESTORE TABLE rts_ice TO TIMESTAMP AS OF '1970-01-01 00:00:03.5'")
     assert(spark.table("rts_ice").count() == 5)
   }
+
+  test("OPTIMIZE ... WHERE compacts ONLY the named partition") {
+    // Delta: 3 partitions x 3 small files; scope to k=1
+    val dbase = freshBase("opt_where_delta")
+    (0 until 3).foreach { r =>
+      val batch = spark.range(r * 30, r * 30 + 30)
+        .select(col("id"), (col("id") % 3).cast("string").as("k"))
+        .repartition(1)
+      if (r == 0) DeltaInterop.overwrite(batch, dbase, partitionBy = Seq("k"))
+      else DeltaInterop.append(batch, dbase, partitionBy = Seq("k"))
+    }
+    val before = DeltaInterop.snapshot(spark, dbase).files
+    assert(before.count(_.partitionValues("k") == "1") == 3)
+    GraftSql.registerDeltaTable(spark, "opt_where_d", dbase)
+    GraftSql.sql(spark, "OPTIMIZE opt_where_d WHERE k = '1'")
+    val after = DeltaInterop.snapshot(spark, dbase).files
+    assert(after.count(_.partitionValues("k") == "1") == 1,
+      "the scoped partition must compact to one file")
+    // every OTHER partition's files survive BY NAME
+    val untouchedBefore = before.filterNot(_.partitionValues("k") == "1")
+      .map(_.path).toSet
+    val untouchedAfter = after.filterNot(_.partitionValues("k") == "1")
+      .map(_.path).toSet
+    assert(untouchedAfter == untouchedBefore,
+      "OPTIMIZE WHERE must not rewrite other partitions")
+    assert(DeltaInterop.read(spark, dbase).count() == 90)
+    // a non-partition column refuses
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "OPTIMIZE opt_where_d WHERE id = '5'"))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // Iceberg: same contract
+    val ibase = freshBase("opt_where_ice")
+    (0 until 3).foreach { r =>
+      IcebergInterop.append(
+        spark.range(r * 30, r * 30 + 30)
+          .select(col("id"), (col("id") % 3).as("k"))
+          .repartition(1), ibase, partitionBy = Seq("k"))
+    }
+    val ibefore = IcebergInterop.snapshot(spark, ibase).files
+    GraftSql.registerIcebergTable(spark, "opt_where_i", ibase)
+    GraftSql.sql(spark, "OPTIMIZE opt_where_i WHERE k = '2'")
+    val iafter = IcebergInterop.snapshot(spark, ibase).files
+    assert(iafter.count(_.partitionValues.get("k").contains("2")) == 1)
+    val iUntouchedBefore = ibefore
+      .filterNot(_.partitionValues.get("k").contains("2")).map(_.path).toSet
+    val iUntouchedAfter = iafter
+      .filterNot(_.partitionValues.get("k").contains("2")).map(_.path).toSet
+    assert(iUntouchedAfter == iUntouchedBefore)
+    assert(IcebergInterop.read(spark, ibase).count() == 90)
+  }
 }
