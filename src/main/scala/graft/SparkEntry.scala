@@ -1475,6 +1475,23 @@ object SparkEntry {
       Tables.load(s, dir, "documents"), col("doc_id"), col("text"), bands = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental corpus dedup (q241): the corpus (80% of documents) is
+    * indexed ONCE into the portable band-signature table; the incoming
+    * batch (20%) dedupes against that index + within itself without
+    * re-shingling the corpus — the daily-crawl-vs-100 TB-history shape.
+    * Oracle replays the full md5 hash family, both drop rules and the
+    * survivor aggregate in DuckDB. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val index = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"))
+    Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), index)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
     * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
     * by nature; this proves the algorithm row-exact cross-engine). */
@@ -2229,6 +2246,77 @@ object SparkEntry {
       """SELECT o_custkey % 100 AS bucket, count(*) AS n_orders,
          CAST(sum(totalprice) AS DOUBLE) AS total_price
          FROM q183_t GROUP BY o_custkey % 100 ORDER BY bucket""")
+  }
+
+  /** Delta Universal Format (q239): ONE base holding `_delta_log` plus
+    * an Iceberg mirror over the SAME data files (the public
+    * `delta.universalFormat.enabledFormats` contract). Statements
+    * mutate the Delta side — the statement layer republishes the
+    * mirror after each commit — a programmatic append lags until the
+    * explicit catch-up sync, and the FINAL read goes through the
+    * ICEBERG reader at the same base: a stale mirror, a missed DV
+    * translation, or a dropped manifest all hash-mismatch against the
+    * oracle's replay. */
+  private def qDeltaUniform(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.{DeltaInterop, IcebergInterop, Uniform}
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("delta_uniform_orders", dir, "orders") { p =>
+      DeltaInterop.overwrite(
+        ords.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), p)
+    }
+    Uniform.enable(s, base)
+    GraftSql.registerDeltaTable(s, "q239_t", base)
+    // INSERT = append-only mirror increment (manifest reuse), DELETE =
+    // DV state translated to position deletes — both auto-synced
+    GraftSql.sql(s,
+      """INSERT INTO q239_t
+         SELECT o_orderkey + 5000000 AS o_orderkey, o_custkey,
+                CAST(totalprice + 50 AS DECIMAL(18,2)) AS totalprice
+         FROM q239_t WHERE o_orderkey < 200""")
+    GraftSql.sql(s, "DELETE FROM q239_t WHERE o_custkey % 7 = 3")
+    // a programmatic append lags the mirror; the explicit sync is the
+    // catch-up path every non-SQL writer rides
+    DeltaInterop.append(ords.filter(col("o_orderkey").between(300, 400))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(6000000L)), base)
+    Uniform.sync(s, base)
+    IcebergInterop.read(s, base)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Delta liquid clustering (q240): CTAS CLUSTER BY → INSERT →
+    * OPTIMIZE (= incremental clustering of the un-clustered churn; the
+    * CTAS files cluster, the INSERT's files cluster in the second
+    * round while the first round's outputs survive by name). The final
+    * range-filtered aggregate reads the clustered layout — file k-ranges
+    * are near-disjoint so the stats-pruned scan opens few files. */
+  private def qLiquidClustering(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    val base = fixtureDir("liquid_orders", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+      .createOrReplaceTempView("q240_src")
+    GraftSql.sql(s,
+      s"""CREATE TABLE q240_t USING delta CLUSTER BY (o_custkey)
+          LOCATION '$base' AS SELECT * FROM q240_src""")
+    GraftSql.sql(s, "OPTIMIZE q240_t")
+    GraftSql.sql(s,
+      """INSERT INTO q240_t SELECT o_orderkey + 5000000 AS o_orderkey,
+         o_custkey, CAST(totalprice + 25 AS DECIMAL(18,2)) AS totalprice
+         FROM q240_t WHERE o_orderkey < 500""")
+    GraftSql.sql(s, "OPTIMIZE q240_t")
+    s.sql("""SELECT o_custkey % 50 AS bucket, count(*) AS n_orders,
+             CAST(sum(totalprice) AS DOUBLE) AS total_price
+             FROM q240_t WHERE o_custkey BETWEEN 100 AND 700
+             GROUP BY o_custkey % 50 ORDER BY bucket""")
   }
 
   /** Iceberg changelog (q185): the snapshot-diff CDC read — an append
@@ -5861,6 +5949,9 @@ object SparkEntry {
     "q236_type_promotion" -> (qTypePromotion _),
     "q237_asof_rollback" -> (qIcebergAsOfRollback _),
     "q238_delta_ict_travel" -> (qDeltaIctTravel _),
+    "q239_delta_uniform" -> (qDeltaUniform _),
+    "q240_liquid_clustering" -> (qLiquidClustering _),
+    "q241_incremental_dedup" -> (qIncrementalDedup _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6709,6 +6800,60 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q241_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, b,
+             list_min(list_transform(s,
+               x -> substr(md5(x || '|' || CAST(b AS VARCHAR)), 1, 8))) AS sig
+           FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+           WHERE len(s) > 0),
+         corpus AS (SELECT b, sig FROM sigs WHERE doc_id % 5 <> 0),
+         inc AS (SELECT doc_id, b, sig FROM sigs WHERE doc_id % 5 = 0),
+         dropped AS (
+           SELECT DISTINCT i.doc_id
+           FROM inc i JOIN corpus c ON i.b = c.b AND i.sig = c.sig
+           UNION
+           SELECT DISTINCT a.doc_id
+           FROM inc a JOIN inc c2
+             ON a.b = c2.b AND a.sig = c2.sig AND c2.doc_id < a.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE doc_id % 5 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         GROUP BY lang ORDER BY lang""",
+    "q240_liquid_clustering" ->
+      """SELECT o_custkey % 50 AS bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) + 25
+           FROM orders WHERE o_orderkey < 500
+         ) WHERE o_custkey BETWEEN 100 AND 700
+         GROUP BY o_custkey % 50 ORDER BY bucket""",
+    "q239_delta_uniform" ->
+      """SELECT bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey % 100 AS bucket, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_custkey % 7 <> 3
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 50
+           FROM orders WHERE o_orderkey < 200 AND o_custkey % 7 <> 3
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey BETWEEN 300 AND 400
+         ) GROUP BY bucket ORDER BY bucket""",
     "q238_delta_ict_travel" ->
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -124,26 +124,77 @@ object Dedup {
     * (e.g. a dedup manifest consumed by a non-Spark system). */
   def minhashPortablePairs(docs: DataFrame, id: Column, text: Column,
                            bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), text.as("text"))
-      .repartition(col("doc_id"))
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"), shingleSet(col("toks"), shingleN).as("s"))
-      .filter(size(col("s")) > 0)
-    // all band signatures in ONE pass over the shingle set (a per-band
-    // union would re-tokenize/re-shingle the corpus `bands` times), and
-    // persisted so the self-join's two sides don't recompute it either
-    // (profiled 5.5 s → ~1 s at sf0.1)
-    val sigs = sh.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_min(transform(col("s"),
-          x => substring(md5(concat(x, lit("|"), b.cast("string"))), 1, 8)))))
-        .as(Seq("b", "sig")))
+    val sigs = portableBandSigs(docs, id, text, bands, shingleN)
+      // persisted so the self-join's two sides don't recompute the
+      // shingling (profiled 5.5 s → ~1 s at sf0.1)
       .persist()
     sigs.as("a").join(sigs.as("c"),
       col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
         col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** (doc_id, b, sig): every band's portable min-signature in ONE pass
+    * over the shingle set (a per-band union would re-tokenize the
+    * corpus `bands` times). Docs with no shingles emit no rows — they
+    * can never collide. Shared by [[minhashPortablePairs]],
+    * [[minhashIndex]] and [[dedupAgainstIndex]]. */
+  private def portableBandSigs(docs: DataFrame, id: Column, text: Column,
+                               bands: Int, shingleN: Int): DataFrame = {
+    val sh = docs.select(id.as("doc_id"), text.as("text"))
+      .repartition(col("doc_id"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), shingleSet(col("toks"), shingleN).as("s"))
+      .filter(size(col("s")) > 0)
+    sh.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_min(transform(col("s"),
+          x => substring(md5(concat(x, lit("|"), b.cast("string"))), 1, 8)))))
+        .as(Seq("b", "sig")))
+  }
+
+  /** Portable band-signature INDEX of a corpus — the artifact an
+    * incremental dedup pipeline persists beside the data: one row per
+    * (doc, band) with the md5-family min signature. Indexing is one
+    * map-only pass over the corpus; from then on each incoming batch
+    * joins THIS table instead of re-shingling the whole history — at
+    * 100 TB the difference between deduping a day's crawl in minutes
+    * and re-processing the corpus nightly. */
+  def minhashIndex(docs: DataFrame, id: Column, text: Column,
+                   bands: Int = 4, shingleN: Int = 3): DataFrame =
+    portableBandSigs(docs, id, text, bands, shingleN)
+
+  /** Dedupe an INCOMING batch against an indexed corpus and within
+    * itself, never touching corpus text. A doc drops iff
+    *  (a) any of its band signatures appears in the index (a corpus
+    *      near-duplicate already exists), or
+    *  (b) it shares a band signature with a smaller-id incoming doc
+    *      (first-id-wins inside the batch, whatever that doc's own
+    *      fate — the same monotone rule every LSH dedup sweep uses so
+    *      the result is order-free and replayable).
+    * Both checks are equi-joins on (b, sig) — bucketed, never
+    * all-pairs. Docs with no shingles (empty/one-token text) have no
+    * signatures and always survive. Returns the surviving incoming
+    * rows; union the survivors' [[minhashIndex]] into the stored index
+    * to advance the corpus. */
+  def dedupAgainstIndex(incoming: DataFrame, id: Column, text: Column,
+                        index: DataFrame, bands: Int = 4,
+                        shingleN: Int = 3): DataFrame = {
+    val sigs = portableBandSigs(incoming, id, text, bands, shingleN)
+      // feeds the corpus semi-join AND both sides of the in-batch
+      // self-join — unpersisted, the shingling runs three times
+      .persist()
+    val corpusHit = sigs
+      .join(index.select(col("b"), col("sig")), Seq("b", "sig"), "left_semi")
+      .select(col("doc_id"))
+    val shadowed = sigs.as("a").join(sigs.as("c"),
+        col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
+          col("c.doc_id") < col("a.doc_id"), "left_semi")
+      .select(col("doc_id"))
+    incoming.join(corpusHit.union(shadowed).distinct()
+        .withColumnRenamed("doc_id", "__drop_id"),
+      id === col("__drop_id"), "left_anti")
   }
 
   /** 64-bit SimHash over xxhash64 token hashes: bit i of the result is

@@ -98,8 +98,17 @@ object GraftSql {
   /** Execute one SQL statement. MERGE INTO / DELETE FROM / UPDATE on
     * registered tables run through the format's DML and return a
     * one-row frame (operation, version); everything else is
-    * `spark.sql`. */
+    * `spark.sql`. After the statement, UniForm mirrors of any Delta
+    * table it committed to catch up (the statement layer is this
+    * engine's post-commit hook — the same place delta-spark runs its
+    * IcebergConverter). */
   def sql(spark: SparkSession, text: String): DataFrame = {
+    val out = sqlImpl(spark, text)
+    graft.sources.Uniform.tickTouched(spark)
+    out
+  }
+
+  private def sqlImpl(spark: SparkSession, text: String): DataFrame = {
     // Maintenance statements (OPTIMIZE / VACUUM / RESTORE / DESCRIBE
     // HISTORY) are warehouse-SQL idioms Spark's parser does not know —
     // intercepted by shape BEFORE parsePlan (whose failure would
@@ -159,6 +168,11 @@ object GraftSql {
           if tablesOf(spark)
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runSetProperties(spark, t.multipartIdentifier.last.toLowerCase, props)
+      case org.apache.spark.sql.catalyst.plans.logical.AlterTableClusterBy(
+            t: UnresolvedTable, specOpt)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runClusterBy(spark, t.multipartIdentifier.last.toLowerCase, specOpt)
       // CHECK parses to its own node (the child is a pre-built
       // violation Filter over the relation — ignored here; the runner
       // probes existing data itself); PRIMARY KEY/UNIQUE/FK arrive as
@@ -1096,12 +1110,24 @@ object GraftSql {
     require(props.isEmpty || provider == "delta",
       s"TBLPROPERTIES are supported on Delta tables only (got " +
       s"${props.keys.mkString(",")} for $provider)")
+    // CLUSTER BY parses into the partitioning list as its own
+    // transform — split it out: it is Delta liquid clustering, not a
+    // partition spec
+    val clusterCols: Seq[String] = partitioning.collect {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.toSeq.map(_.fieldNames().mkString("."))
+    }.flatten
+    val parting = partitioning.filterNot(_.isInstanceOf[
+      org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    require(clusterCols.isEmpty || provider == "delta",
+      "CLUSTER BY is Delta liquid clustering — the other providers " +
+      "take PARTITIONED BY (or the clustered writers)")
     // Iceberg accepts the full transform grammar; the other providers
     // take plain columns only (identityCols refuses with guidance)
-    val iceSpec = if (provider == "iceberg") iceTransformSpec(partitioning)
+    val iceSpec = if (provider == "iceberg") iceTransformSpec(parting)
                   else Seq.empty
     val partCols = if (provider == "iceberg") iceSpec.map(_._1)
-                   else identityCols(partitioning)
+                   else identityCols(parting)
     require(partCols.isEmpty || provider != "graftlog",
       "graft-log tables do not partition by directory — use the " +
       "clustered writers (overwriteClustered) for layout control")
@@ -1138,8 +1164,12 @@ object GraftSql {
       case "iceberg" =>
         graft.sources.IcebergInterop.overwriteTransformed(df, base, iceSpec)
     }
+    val v2 =
+      if (clusterCols.isEmpty) v
+      else graft.sources.DeltaInterop.enableClustering(spark, base,
+        clusterCols)
     registerAs(spark, name, provider, base)
-    result(spark, "CREATE TABLE", v)
+    result(spark, "CREATE TABLE", v2)
   }
 
   private def schemaOf(spark: SparkSession,
@@ -1153,6 +1183,31 @@ object GraftSql {
         "IDENTITY, which this front-end does not support")
       StructField(cd.name, cd.dataType, cd.nullable)
     })
+  }
+
+  /** `ALTER TABLE ... CLUSTER BY (cols)`: switch a Delta table to
+    * liquid clustering, or change its clustering columns (every file
+    * clustered under the old columns re-clusters at the next
+    * OPTIMIZE). */
+  private def runClusterBy(spark: SparkSession, name: String,
+      spec: Option[org.apache.spark.sql.catalyst.catalog.ClusterBySpec])
+      : DataFrame = {
+    val h = tablesOf(spark).get(name)
+    h match {
+      case DeltaTable(base) =>
+        val cols = spec.getOrElse(throw new IllegalArgumentException(
+          "ALTER TABLE ... CLUSTER BY NONE is not implemented — " +
+          "re-create the table to drop clustering"))
+          .columnNames.map(_.fieldNames().mkString("."))
+        val v = graft.sources.DeltaInterop.enableClustering(spark, base,
+          cols.toSeq)
+        refreshView(spark, name, h)
+        result(spark, "CLUSTER BY", v)
+      case _ => throw new IllegalArgumentException(
+        s"ALTER TABLE $name CLUSTER BY: liquid clustering is a Delta " +
+        "feature (graft-log has overwriteClustered; Iceberg has sort " +
+        "orders via rewrite)")
+    }
   }
 
   private def runCreateTable(spark: SparkSession, name: String,

@@ -63,6 +63,12 @@ object DeltaDml {
     // ranges (DeltaInterop.appendRowTracked); OPTIMIZE/REORG/ZORDER
     // materialize (id, version) through their rewrites.
     "rowTracking", "domainMetadata",
+    // liquid clustering: the obligation is state fidelity, not
+    // clustering itself (that is OPTIMIZE-time work) — every rewrite
+    // preserves add.tags and the delta.clustering domain survives
+    // replay/checkpointing; fresh DML files land untagged and become
+    // the next OPTIMIZE's candidates
+    "clustering",
     // generated columns: UPDATE recomputes them on post-images and
     // refuses direct SET; MERGE derives/validates them on the source.
     // identity columns: appends assign under an OCC mark guard; UPDATE

@@ -74,7 +74,12 @@ object DeltaInterop {
                            // without materialized values resolve as
                            // baseRowId + row_index / this version
                            baseRowId: Option[Long] = None,
-                           defaultRowCommitVersion: Option[Long] = None)
+                           defaultRowCommitVersion: Option[Long] = None,
+                           // protocol §Add File `tags`: opaque per-file
+                           // metadata. Liquid clustering keeps its
+                           // clustered-state markers here; foreign
+                           // writers' tags ride through rewrites
+                           tags: Map[String, String] = Map.empty)
 
   final case class DeltaSnapshot(
       version: Long,
@@ -292,11 +297,20 @@ object DeltaInterop {
           b.result()
         }
       val p = a.get("path").asText()
+      val tags = Option(a.get("tags")).filterNot(_.isNull).map { t =>
+        val it = t.fields(); val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, String])
       live += p -> AddFile(p, m, parseDv(a.get("deletionVector")),
         Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
         Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
         Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
-          .map(_.asLong()))
+          .map(_.asLong()),
+        tags)
     }
     // domainMetadata actions (protocol §Domain Metadata): per-domain
     // REPLACE semantics; `removed` tombstones the domain
@@ -389,13 +403,16 @@ object DeltaInterop {
         val hasDv = addFields.contains("deletionVector")
         val hasStats = addFields.contains("stats")
         val hasRowIds = addFields.contains("baseRowId")
+        val hasTags = addFields.contains("tags")
         val selCols = Seq("add.path", "add.partitionValues") ++
           (if (hasDv) Seq("add.deletionVector") else Nil) ++
           (if (hasStats) Seq("add.stats") else Nil) ++
           (if (hasRowIds)
-             Seq("add.baseRowId", "add.defaultRowCommitVersion") else Nil)
+             Seq("add.baseRowId", "add.defaultRowCommitVersion") else Nil) ++
+          (if (hasTags) Seq("add.tags") else Nil)
         val statsIdx = if (hasDv) 3 else 2
         val rowIdIdx = statsIdx + (if (hasStats) 1 else 0)
+        val tagsIdx = rowIdIdx + (if (hasRowIds) 2 else 0)
         cp.select(selCols.head, selCols.tail: _*)
           .where(col("path").isNotNull)
           .collect() // one row per live file — metadata-scale
@@ -420,8 +437,13 @@ object DeltaInterop {
               Some(r.getLong(rowIdIdx)) else None
             val drcv = if (hasRowIds && !r.isNullAt(rowIdIdx + 1))
               Some(r.getLong(rowIdIdx + 1)) else None
+            // tags survive checkpointing or clustering state (and any
+            // foreign writer's markers) silently resets at compaction
+            val tg = if (hasTags && !r.isNullAt(tagsIdx))
+              r.getMap[String, String](tagsIdx).toMap
+            else Map.empty[String, String]
             live += r.getString(0) -> AddFile(r.getString(0), pv, dv, st,
-              brid, drcv)
+              brid, drcv, tg)
           }
       }
       if (cols.contains("domainMetadata")) {
@@ -1194,6 +1216,10 @@ object DeltaInterop {
     if (!io.putIfAbsent(tmp, TableIO.join(dir, commitName(version))))
       throw new java.util.ConcurrentModificationException(
         s"delta commit $version already exists in $base")
+    // UniForm hook: mark the base so the statement layer's drain can
+    // republish the Iceberg mirror (a cheap set-add for every table;
+    // the drain skips non-uniform bases after one version probe)
+    Uniform.markDirty(base)
   }
 
   /** add/remove.path resolution (protocol §Add File and Remove File):
@@ -1234,6 +1260,10 @@ object DeltaInterop {
     a.baseRowId.foreach(b => add.put("baseRowId", b))
     a.defaultRowCommitVersion.foreach(v =>
       add.put("defaultRowCommitVersion", v))
+    if (a.tags.nonEmpty) {
+      val t = add.putObject("tags")
+      a.tags.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    }
     mapper.writeValueAsString(node)
   }
 
@@ -2027,6 +2057,14 @@ object DeltaInterop {
                targetFileBytes: Long = 1L << 30,
                partitionFilter: Map[String, String] = Map.empty): Option[Long] = {
     val snap = snapshot(spark, base)
+    // clustered tables: plain OPTIMIZE IS incremental liquid
+    // clustering (delta-spark's own dispatch)
+    if (clusteringColumns(snap).nonEmpty) {
+      require(partitionFilter.isEmpty,
+        "OPTIMIZE WHERE on a clustered table: clustered tables are " +
+        "unpartitioned — there is no partition to scope to")
+      return optimizeClustered(spark, base)
+    }
     // OPTIMIZE ... WHERE: compact only matching partitions — the
     // whole-table walk is wrong on a 100 TB table when one hot
     // partition took the day's small-file churn
@@ -2122,15 +2160,27 @@ object DeltaInterop {
                      zorderBy: Seq[String],
                      filesPerPartition: Int = 8): Option[Long] = {
     val snap = snapshot(spark, base)
+    zorderRewrite(spark, base, snap, snap.files, zorderBy,
+      filesPerPartition, tags = Map.empty)
+  }
+
+  /** Shared Z-order clustering rewrite over a SELECTED file set:
+    * OPTIMIZE ZORDER BY rewrites everything; liquid clustering passes
+    * only the not-yet-clustered candidates (and its state tags).
+    * Untouched files survive by name. */
+  private def zorderRewrite(spark: SparkSession, base: String,
+                            snap: DeltaSnapshot, files: Seq[AddFile],
+                            zorderBy: Seq[String], filesPerPartition: Int,
+                            tags: Map[String, String]): Option[Long] = {
     require(zorderBy.nonEmpty, "zorderBy needs at least one column")
     zorderBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c), s"no column '$c' in $base")
       require(!snap.partitionColumns.contains(c),
         s"'$c' is a partition column — z-ordering it is meaningless")
     }
-    if (snap.files.isEmpty) return None
+    if (files.isEmpty) return None
     val tracked = snap.rowTrackingEnabled
-    if (tracked) snap.files.foreach(f => require(f.baseRowId.isDefined,
+    if (tracked) files.foreach(f => require(f.baseRowId.isDefined,
       s"live file ${f.path} carries no baseRowId — corrupt " +
       "row-tracking state (refusing)"))
     val zPhys = zorderBy.map(snap.physicalName)
@@ -2141,7 +2191,7 @@ object DeltaInterop {
         StructField(MaterializedRowIdCol, LongType),
         StructField(MaterializedRowVerCol, LongType)) else Seq.empty))
     val newAdds = mutable.ArrayBuffer.empty[AddFile]
-    snap.files.groupBy(_.partitionValues).foreach { case (pv, fs) =>
+    files.groupBy(_.partitionValues).foreach { case (pv, fs) =>
       // row tracking: the clustering rewrite re-positions rows, so
       // every row's (id, commit version) MATERIALIZES into the new
       // files — resolved from the source's materialized columns else
@@ -2171,16 +2221,92 @@ object DeltaInterop {
         .sortWithinPartitions(col("__graft_z"))
         .drop("__graft_z")
       val staged = stageAdds(rows, base, Seq.empty)
-        .map(_.copy(partitionValues = pv))
+        .map(_.copy(partitionValues = pv, tags = tags))
       newAdds ++= collectAddStats(spark, base, staged, dataFields)
     }
     val v = snap.version + 1
     val (adds, domainLines) = withRowIdRanges(snap, newAdds.toSeq, v)
     writeCommit(base, v,
-      snap.files.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
+      files.map(r => removeJson(r.path, r.dv, dataChange = false)) ++
         adds.map(addJson(_, base, dataChange = false)) ++ domainLines,
       operation = "OPTIMIZE")
     Some(v)
+  }
+
+  /** Tag recording WHICH columns a clustered file was clustered by —
+    * a file is "already clustered" only when this matches the current
+    * clustering columns, so ALTER ... CLUSTER BY invalidates every old
+    * file without touching one. `clusteringProvider` is delta-spark's
+    * own liquid marker. */
+  private[graft] val ClusterColsTag = "graft.clusteringColumns"
+
+  /** Clustering columns from the `delta.clustering` domain (protocol
+    * §Clustered Table); empty = not a clustered table. */
+  def clusteringColumns(snap: DeltaSnapshot): Seq[String] =
+    snap.domains.get("delta.clustering").toSeq.flatMap { cfg =>
+      val n = mapper.readTree(cfg).get("clusteringColumns")
+      (0 until n.size()).map { i =>
+        val part = n.get(i)
+        require(part.size() == 1,
+          "nested clustering column paths are not supported")
+        part.get(0).asText()
+      }
+    }
+
+  /** Turn a table into a clustered table (liquid clustering, the shape
+    * delta-spark's `CLUSTER BY` records): one metadata-only commit —
+    * protocol upgrade (writer features `clustering` + `domainMetadata`)
+    * plus the `delta.clustering` domain with the column list. Also the
+    * ALTER path: changing the columns rewrites only the domain; every
+    * file clustered under the OLD columns becomes a candidate again at
+    * the next OPTIMIZE (its [[ClusterColsTag]] no longer matches). No
+    * data file is touched here — clustering happens at OPTIMIZE time,
+    * incrementally. */
+  def enableClustering(spark: SparkSession, base: String,
+                       cols: Seq[String]): Long = {
+    val snap = snapshot(spark, base)
+    require(cols.nonEmpty && cols.size <= 4,
+      "CLUSTER BY takes 1 to 4 columns (delta-spark's own bound)")
+    cols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"no column '$c' in $base"))
+    require(snap.partitionColumns.isEmpty,
+      "clustered tables are unpartitioned (liquid clustering REPLACES " +
+      "hive partitioning, it does not compose with it)")
+    if (clusteringColumns(snap) == cols) return snap.version
+    val cfg = mapper.createObjectNode()
+    val arr = cfg.putArray("clusteringColumns")
+    cols.foreach(c => arr.addArray().add(c))
+    writeCommit(base, snap.version + 1,
+      upgradeProtocolJson(snap, Set.empty,
+        Set("clustering", "domainMetadata"), 1, 7) ::
+        domainMetadataJson("delta.clustering",
+          mapper.writeValueAsString(cfg)) :: Nil,
+      operation = "CLUSTER BY")
+    snap.version + 1
+  }
+
+  /** OPTIMIZE on a clustered table = INCREMENTAL liquid clustering:
+    * candidates are the files not yet clustered at the CURRENT
+    * clustering columns (missing/stale [[ClusterColsTag]]) plus DV
+    * carriers; already-clustered clean files survive by name, so the
+    * rewrite cost tracks the un-clustered churn since the last
+    * OPTIMIZE, not the table size — the property that makes clustering
+    * maintainable on a 100 TB table. (One level, no ZCube hierarchy:
+    * repeated increments can overlap in z-range; a full re-cluster is
+    * `optimizeZorder` on the clustering columns.) */
+  def optimizeClustered(spark: SparkSession, base: String,
+                        filesPerPartition: Int = 8): Option[Long] = {
+    val snap = snapshot(spark, base)
+    val cols = clusteringColumns(snap)
+    require(cols.nonEmpty,
+      s"$base is not a clustered table — use optimize/optimizeZorder")
+    val tagVal = cols.mkString(",")
+    def alreadyClustered(f: AddFile): Boolean =
+      f.tags.get(ClusterColsTag).contains(tagVal) &&
+        f.dv.forall(_.cardinality == 0)
+    val candidates = snap.files.filterNot(alreadyClustered)
+    zorderRewrite(spark, base, snap, candidates, cols, filesPerPartition,
+      tags = Map("clusteringProvider" -> "liquid", ClusterColsTag -> tagVal))
   }
 
   /** VACUUM: physically delete files under the table root that the
@@ -2198,6 +2324,11 @@ object DeltaInterop {
              retainMillis: Long = 7L * 24 * 3600 * 1000,
              dryRun: Boolean = false): Seq[String] = {
     val snap = snapshot(spark, base)
+    // a LAGGING UniForm mirror may still reference files only the old
+    // live set holds; syncing first pins the mirror to exactly the
+    // current live set, which vacuum never deletes
+    if (Uniform.isEnabled(snap) && !dryRun)
+      IcebergInterop.syncUniformFromDelta(spark, base, Some(snap))
     val root = PathCodec.absNorm(base)
     val live: Set[String] = snap.files.flatMap { f =>
       val data = PathCodec.absNorm(resolveDataFile(base, f.path))
@@ -2240,11 +2371,22 @@ object DeltaInterop {
         }
       }
     val deleted = mutable.ArrayBuffer.empty[String]
+    // a UniForm table's Iceberg mirror lives beside the log under
+    // `metadata/` (+ translated delete parquets under `data/`) — those
+    // files are live to ICEBERG readers but invisible to the Delta
+    // log, so the walk must never enter the mirror directories
+    val mirrorDirs: Set[String] =
+      if (Uniform.isEnabled(snap))
+        Set(TableIO.join(root, "metadata"), TableIO.join(root, "data"))
+          .map(PathCodec.absNorm)
+      else Set.empty
     def walk(d: String): Unit =
       io.list(d).foreach { name =>
         val f = TableIO.join(d, name)
         val hidden = name.startsWith(".") || name.startsWith("_")
-        if (io.isDirectory(f)) { if (!hidden) walk(f) }
+        if (io.isDirectory(f)) {
+          if (!hidden && !mirrorDirs.contains(PathCodec.absNorm(f))) walk(f)
+        }
         else if (!hidden && !live.contains(PathCodec.absNorm(f)) &&
                  tombstonedAt.getOrElse(PathCodec.absNorm(f),
                    io.lastModified(f)) <= cutoff) {
@@ -2646,6 +2788,10 @@ object DeltaInterop {
   def enableColumnMapping(spark: SparkSession, base: String): Long = {
     val snap = snapshot(spark, base)
     if (snap.columnMappingMode != "none") return snap.version
+    require(!Uniform.isEnabled(snap),
+      s"column mapping on $base would break its UniForm mirror (Iceberg " +
+      "resolves the mirror by name mapping; mapped physical names do " +
+      "not carry) — disable uniform first")
     val mapped = StructType(snap.schema.fields.zipWithIndex.map {
       case (f, i) =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
@@ -3369,7 +3515,10 @@ object DeltaInterop {
     // row-tracking fields survive checkpointing or every row id
     // silently re-mints after the first log compaction
     StructField("baseRowId", LongType),
-    StructField("defaultRowCommitVersion", LongType)))
+    StructField("defaultRowCommitVersion", LongType),
+    // tags survive checkpointing or clustering state (and any foreign
+    // writer's per-file markers) silently resets at compaction
+    StructField("tags", MapType(StringType, StringType))))
   private val cpDomainType = StructType(Seq(
     StructField("domain", StringType),
     StructField("configuration", StringType),
@@ -3387,7 +3536,8 @@ object DeltaInterop {
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
       f.stats.orNull,
       f.baseRowId.map(Long.box).orNull,
-      f.defaultRowCommitVersion.map(Long.box).orNull)
+      f.defaultRowCommitVersion.map(Long.box).orNull,
+      if (f.tags.nonEmpty) f.tags else null)
 
   def checkpointParts(spark: SparkSession, base: String, parts: Int): Long = {
     val snap = snapshot(spark, base)

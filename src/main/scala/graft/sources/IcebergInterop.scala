@@ -1947,6 +1947,15 @@ object IcebergInterop {
     // staged files' field ids and partition records were stamped
     // against; anything else refuses loudly.
     def attemptPublish(prevA: Option[JsonNode]): Long = {
+    // UniForm mirrors are read-only on the Iceberg side: a snapshot
+    // committed here would diverge from the Delta log and the next
+    // sync would silently erase it
+    prevA.foreach { m =>
+      require(!Option(m.get("properties")).exists(_.has(Uniform.TrackKey)),
+        s"the Iceberg metadata at $base is a UniForm mirror of the " +
+        "Delta table at the same location — it is read-only on the " +
+        "Iceberg side; write through the Delta table instead")
+    }
     val appendMetaA: Option[JsonNode] =
       if (mode == "append") prevA.filter(_.has("schemas")) else None
     val storedSpecA: Option[(Int, Seq[SpecField])] =
@@ -4194,95 +4203,19 @@ object IcebergInterop {
     * table's physical names don't carry). The source stays intact and
     * independently writable; shared-files hazard as with any zero-copy
     * convert. */
-  def convertFromDelta(spark: SparkSession, deltaBase: String,
-                       dstBase: String, formatVersion: Int = 2): Long = {
-    val snap = DeltaInterop.snapshot(spark, deltaBase)
-    require(snap.columnMappingMode == "none",
-      s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
-      "— Iceberg resolves by field id, the mapped physical names do not " +
-      "carry; rewrite the table unmapped first")
-    val schema = StructType(snap.schema.fields.map(f =>
-      f.copy(metadata = new MetadataBuilder().build())))
-    // Partitioned Delta tables keep partition columns OUT of their data
-    // files. That's fine zero-copy: the spec's identity layout stores
-    // each file's partition tuple in the MANIFEST, and §Column
-    // Projection says a field id absent from a data file resolves from
-    // that tuple when an identity partition field exists for it — the
-    // same contract Iceberg's own Hive-table migration rides. We write
-    // the identity spec + per-file partition records here; the read
-    // path fills the columns per file.
-    val partTypes: Seq[(String, DataType)] =
-      snap.partitionColumns.map { c =>
-        val f = schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition column $c missing from the schema of $deltaBase"))
-        f.dataType match {
-          case IntegerType | LongType | DoubleType | StringType | DateType => ()
-          case other => throw new IllegalArgumentException(
-            s"CONVERT of $deltaBase: identity-partition type $other on " +
-            s"'$c' has no manifest partition-record mapping — rewrite to migrate")
-        }
-        c -> f.dataType
-      }
-    val fileSpecs = snap.files.map { f =>
-      (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
-        f.stats, f.partitionValues)
-    }
-    // live deletion vectors CARRY: Delta DV ordinals and Iceberg
-    // position deletes share one coordinate system (parquet row index),
-    // so the soft-deleted state translates into the target's own
-    // merge-on-read encoding — no purge, no data file rewritten.
-    //  - v2 target: positions decode driver-side (bitmap-sized, the
-    //    same scale every DV read pays) into one sorted delete parquet;
-    //  - v3 target: the framed blob bytes pass through VERBATIM into a
-    //    puffin file — the v3 spec adopted Delta's DV framing exactly
-    //    so no decode happens at all.
-    val dvFiles = snap.files.filter(_.dv.exists(_.cardinality > 0))
-    val positionDeletes: Seq[(String, Seq[Long])] =
-      if (formatVersion == 3) Seq.empty
-      else dvFiles.map { f =>
-        (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
-          DeltaInterop.resolveDvPositions(deltaBase, f.dv.get).toSeq)
-      }
-    val dvBlobs: Seq[(String, Array[Byte], Long)] =
-      if (formatVersion != 3) Seq.empty
-      else dvFiles.map { f =>
-        (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
-          DeltaInterop.resolveDvBlobFrame(deltaBase, f.dv.get),
-          f.dv.get.cardinality)
-      }
-    writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs,
-      positionDeletes, formatVersion, dvBlobs)
-  }
-
-  /** Shared tail of every zero-copy convert INTO Iceberg (Delta tables,
-    * graft-log tables, plain parquet): build one manifest referencing
-    * `files` — (absolute path, optional Delta-style stats JSON,
-    * identity partition values) — plus the v1 metadata with a name
-    * mapping (the sources' parquet carries no field ids).
-    * `positionDeletes` (data-file abs path → deleted row ordinals)
-    * carries the SOURCE's merge-on-read state: Delta deletion vectors
-    * are positionally identical to Iceberg position deletes, so they
-    * translate into one sorted delete parquet + a content=1 manifest at
-    * the same sequence as the data (a position delete applies to data
-    * sequences ≤ its own) — no data file is rewritten. */
-  private[graft] def writeConvertedIceberg(
-      spark: SparkSession, dstBase: String, schema: StructType,
-      partTypes: Seq[(String, DataType)],
+  /** One data manifest over converted file specs — (absolute path,
+    * optional Delta-style stats JSON, identity partition values).
+    * Entries decode the source's stats into Iceberg bounds and carry
+    * per-file partition records; an identity-partitioned file is
+    * single-valued on its partition columns, so those values double as
+    * bounds and readRange prunes on them (Delta's adds never carry
+    * stats for partition columns). Returns (manifestPath, total record
+    * count). Shared by the one-shot CONVERT and the UniForm sync. */
+  private def writeConvertManifest(
+      spark: SparkSession, metaDir: String, schema: StructType,
+      partTypes: Seq[(String, DataType)], idOf: String => Long,
       files: Seq[(String, Option[String], Map[String, String])],
-      positionDeletes: Seq[(String, Seq[Long])] = Seq.empty,
-      formatVersion: Int = 2,
-      dvBlobs: Seq[(String, Array[Byte], Long)] = Seq.empty): Long = {
-    require(formatVersion == 2 || formatVersion == 3,
-      s"format-version $formatVersion (this writer speaks 2 and 3)")
-    require(dvBlobs.isEmpty || formatVersion == 3,
-      "deletion-vector blobs need a format-v3 target")
-    require(positionDeletes.isEmpty || formatVersion == 2,
-      "v3 forbids position-delete files — pass dvBlobs instead")
-    val metaDir = metadataDir(dstBase)
-    require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
-      s"convert target is already an Iceberg table: $dstBase")
-    val idOf = positionalIdOf(schema)
+      snapshotId: Long, id: String): (String, Long) = {
     // one add's stats JSON → (recordCount, bounds) in Iceberg's
     // single-value binary form; min+max land together or not at all
     def decodeStats(stats: Option[String])
@@ -4321,16 +4254,9 @@ object IcebergInterop {
       }
       (n, lo.result(), hi.result())
     }
-    io.mkdirs(metaDir)
-    val id = UUID.randomUUID().toString
-    val snapshotId = 1L
     val entrySchema = entrySchemaFor(partTypes)
     val entries = files.map { case (abs, stats, partitionValues) =>
       val (n, lo0, hi0) = decodeStats(stats)
-      // an identity-partitioned file is single-valued on its partition
-      // columns — record that value as the file's bounds too, so
-      // readRange prunes on the partition column without the identity
-      // filter path (Delta's adds never carry stats for them)
       val (lo, hi) = partTypes.foldLeft((lo0, hi0)) {
         case ((l, h), (c, dt)) =>
           val typed = Option(partitionValues.getOrElse(c, null)).flatMap {
@@ -4375,6 +4301,414 @@ object IcebergInterop {
     }
     val mFile = TableIO.join(metaDir, s"manifest-$id.avro")
     writeAvro(mFile, entrySchema, entries)
+    val totalRecords = entries.map(_.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").toString.toLong).sum
+    (mFile, totalRecords)
+  }
+
+  /** Translated merge-on-read position deletes (data-file abs path →
+    * deleted row ordinals): one sorted (file_path, pos) parquet + one
+    * content=1 manifest at `seq` (a position delete applies to data
+    * sequences ≤ its own). Shared by CONVERT (seq = snapshot 1) and
+    * the UniForm sync (seq = the publishing snapshot's sequence). */
+  private def writePositionDeleteManifest(
+      spark: SparkSession, base: String, metaDir: String,
+      positionDeletes: Seq[(String, Seq[Long])],
+      snapshotId: Long, seq: Long, id: String): Option[ManifestRef] = {
+    if (positionDeletes.isEmpty) return None
+    import spark.implicits._
+    val rows = positionDeletes.flatMap { case (p, ps) =>
+      ps.distinct.map(pos => (p, pos)) }.sorted
+    val scratch = TableIO.join(base, s".stage_conv_$id")
+    rows.toDF("file_path", "pos").coalesce(1).write.parquet(scratch)
+    val pf = io.list(scratch)
+      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        "no delete part file staged during convert"))
+    val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
+    val delFile = TableIO.join(dataDir, s"delete-conv-$id.parquet")
+    io.move(TableIO.join(scratch, pf), delFile)
+    io.deleteRecursively(scratch)
+    val delSchema = entrySchemaFor(Seq.empty)
+    val rec = new GenericData.Record(delSchema)
+    rec.put("status", 1); rec.put("snapshot_id", snapshotId)
+    val dfr = new GenericData.Record(
+      delSchema.getField("data_file").schema())
+    dfr.put("content", 1) // position deletes
+    dfr.put("file_path", PathCodec.absNorm(delFile))
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", rows.size.toLong)
+    dfr.put("file_size_in_bytes", io.length(delFile))
+    rec.put("data_file", dfr)
+    val dmFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
+    writeAvro(dmFile, delSchema, Seq(rec))
+    Some(ManifestRef(dmFile, 1, seq, snapshotId, 0))
+  }
+
+  def convertFromDelta(spark: SparkSession, deltaBase: String,
+                       dstBase: String, formatVersion: Int = 2,
+                       trackUniform: Boolean = false): Long = {
+    val snap = DeltaInterop.snapshot(spark, deltaBase)
+    require(snap.columnMappingMode == "none",
+      s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
+      "— Iceberg resolves by field id, the mapped physical names do not " +
+      "carry; rewrite the table unmapped first")
+    val schema = StructType(snap.schema.fields.map(f =>
+      f.copy(metadata = new MetadataBuilder().build())))
+    // Partitioned Delta tables keep partition columns OUT of their data
+    // files. That's fine zero-copy: the spec's identity layout stores
+    // each file's partition tuple in the MANIFEST, and §Column
+    // Projection says a field id absent from a data file resolves from
+    // that tuple when an identity partition field exists for it — the
+    // same contract Iceberg's own Hive-table migration rides. We write
+    // the identity spec + per-file partition records here; the read
+    // path fills the columns per file.
+    val partTypes: Seq[(String, DataType)] =
+      deltaIdentityPartTypes(schema, snap.partitionColumns,
+        s"CONVERT of $deltaBase")
+    val fileSpecs = snap.files.map { f =>
+      (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
+        f.stats, f.partitionValues)
+    }
+    // live deletion vectors CARRY: Delta DV ordinals and Iceberg
+    // position deletes share one coordinate system (parquet row index),
+    // so the soft-deleted state translates into the target's own
+    // merge-on-read encoding — no purge, no data file rewritten.
+    //  - v2 target: positions decode driver-side (bitmap-sized, the
+    //    same scale every DV read pays) into one sorted delete parquet;
+    //  - v3 target: the framed blob bytes pass through VERBATIM into a
+    //    puffin file — the v3 spec adopted Delta's DV framing exactly
+    //    so no decode happens at all.
+    val dvFiles = snap.files.filter(_.dv.exists(_.cardinality > 0))
+    val positionDeletes: Seq[(String, Seq[Long])] =
+      if (formatVersion == 3) Seq.empty
+      else dvFiles.map { f =>
+        (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
+          DeltaInterop.resolveDvPositions(deltaBase, f.dv.get).toSeq)
+      }
+    val dvBlobs: Seq[(String, Array[Byte], Long)] =
+      if (formatVersion != 3) Seq.empty
+      else dvFiles.map { f =>
+        (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
+          DeltaInterop.resolveDvBlobFrame(deltaBase, f.dv.get),
+          f.dv.get.cardinality)
+      }
+    writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs,
+      positionDeletes, formatVersion, dvBlobs,
+      extraProps = if (trackUniform)
+        Map(Uniform.TrackKey -> snap.version.toString) else Map.empty)
+  }
+
+  /** Identity partition columns → (name, type), refusing types without
+    * a manifest partition-record mapping. */
+  private def deltaIdentityPartTypes(
+      schema: StructType, partitionColumns: Seq[String],
+      label: String): Seq[(String, DataType)] =
+    partitionColumns.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$label: partition column $c missing from the schema"))
+      f.dataType match {
+        case IntegerType | LongType | DoubleType | StringType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"$label: identity-partition type $other on '$c' has no " +
+          "manifest partition-record mapping — rewrite to migrate")
+      }
+      c -> f.dataType
+    }
+
+  /** UniForm-style metadata maintenance (Delta's Universal Format —
+    * the public `delta.universalFormat.enabledFormats` contract): make
+    * the Iceberg metadata under `<base>/metadata` reflect the Delta
+    * table AT THE SAME base, so Iceberg readers see every Delta commit
+    * without a copy. The first call publishes the zero-copy conversion
+    * in place; each later call publishes ONE new Iceberg snapshot per
+    * catch-up:
+    *  - append-only Delta progress (every previously-live file still
+    *    live with identical DV state, schema unchanged) REUSES every
+    *    existing manifest and adds one manifest for the new files —
+    *    Iceberg's own incremental-commit shape, O(new files) metadata
+    *    work no matter how large the table;
+    *  - anything else (DELETE / UPDATE / OPTIMIZE / RESTORE /
+    *    overwrite) publishes an `overwrite` snapshot over the current
+    *    live set, live deletion vectors translated to position deletes
+    *    (the shared CONVERT translation — no data file rewritten);
+    *  - Delta ADD COLUMNS / type widening evolve the Iceberg schema in
+    *    the same commit: existing names keep their field ids, new
+    *    names mint past last-column-id, and a same-name type change
+    *    must be an Iceberg-legal promotion.
+    * The mirrored Delta version rides in the table properties
+    * ([[Uniform.TrackKey]]) and each snapshot's summary; a sync that
+    * finds itself current is a no-op, and a lost metadata race
+    * re-reads and retries (the sync always converges on Delta HEAD).
+    * Snapshot history is trimmed to `graft.uniform.keep-snapshots`
+    * (default 20; ref-pinned and current snapshots always kept) so a
+    * commit-per-minute table does not grow its mirror without bound. */
+  private[graft] def syncUniformFromDelta(
+      spark: SparkSession, base: String,
+      preread: Option[DeltaInterop.DeltaSnapshot] = None): Long = {
+    val metaDir = metadataDir(base)
+    val hint = TableIO.join(metaDir, "version-hint.text")
+    var attempt = 0
+    while (true) {
+      val snap =
+        if (attempt == 0) preread.getOrElse(DeltaInterop.snapshot(spark, base))
+        else DeltaInterop.snapshot(spark, base)
+      require(snap.columnMappingMode == "none",
+        s"UniForm sync of $base: column mapping " +
+        s"'${snap.columnMappingMode}' — the mirror resolves by name " +
+        "mapping and mapped physical names do not carry")
+      val enabled = Uniform.enabledFormats(snap)
+      require(enabled.forall(_ == "iceberg"),
+        s"UniForm sync of $base: enabledFormats " +
+        s"'${enabled.mkString(",")}' — this engine mirrors to iceberg only")
+      try {
+        if (!io.exists(hint))
+          return convertFromDelta(spark, base, base, trackUniform = true)
+        val meta = readMeta(base)
+        require(meta.get("format-version").asInt() == 2,
+          s"UniForm mirror at $base has format-version " +
+          s"${meta.get("format-version").asInt()} — the sync publishes v2")
+        val tracked = Option(meta.get("properties"))
+          .flatMap(p => Option(p.get(Uniform.TrackKey)))
+          .map(_.asText().toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"$base already has Iceberg metadata NOT managed by UniForm " +
+            "sync — refusing to overwrite a foreign table's metadata"))
+        if (tracked >= snap.version)
+          return meta.get("current-snapshot-id").asLong()
+        return publishUniformIncrement(spark, base, snap, meta, tracked)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > 5) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def publishUniformIncrement(
+      spark: SparkSession, base: String,
+      snap: DeltaInterop.DeltaSnapshot, meta: JsonNode,
+      tracked: Long): Long = {
+    val metaDir = metadataDir(base)
+    val iceSchema = DataType.fromJson(icebergSchemaToSparkJson(meta))
+      .asInstanceOf[StructType]
+    val deltaSchema = StructType(snap.schema.fields.map(f =>
+      f.copy(metadata = new MetadataBuilder().build())))
+    def shape(s: StructType) = s.fields.map(f =>
+      (f.name, f.dataType, f.nullable)).toSeq
+    val schemaChanged = shape(iceSchema) != shape(deltaSchema)
+    // the mirror's identity partition spec is pinned at enable time —
+    // Delta changes partitioning only through a definition swap
+    // (REPLACE TABLE), which needs a fresh mirror
+    val (specId, specFields) = defaultSpecOf(meta)
+    require(specFields.forall(_.transform == "identity") &&
+        specFields.map(_.name) == snap.partitionColumns,
+      s"UniForm sync of $base: the Delta partitioning " +
+      s"(${snap.partitionColumns.mkString(",")}) no longer matches the " +
+      s"mirror's spec (${specFields.map(_.name).mkString(",")}) — a " +
+      "definition swap needs a fresh mirror")
+    val partTypes = deltaIdentityPartTypes(deltaSchema,
+      snap.partitionColumns, s"UniForm sync of $base")
+    // field ids: existing names keep theirs, new names mint past
+    // last-column-id (spec: ids are never reused); a same-name type
+    // change must be a legal promotion so the id keeps carrying the
+    // column
+    val curIds: Map[String, Long] = iceSchema.fields.flatMap(f =>
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.name -> f.metadata.getLong("parquet.field.id")) else None
+    ).toMap
+    iceSchema.fields.foreach { cur =>
+      deltaSchema.fields.find(_.name == cur.name)
+        .filter(_.dataType != cur.dataType).foreach { d =>
+          val legal = (cur.dataType, d.dataType) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case (a: DecimalType, b: DecimalType) =>
+              b.scale == a.scale && b.precision >= a.precision
+            case _ => false
+          }
+          require(legal, s"UniForm sync of $base: column '${cur.name}' " +
+            s"changed ${cur.dataType} -> ${d.dataType}, not an " +
+            "Iceberg-legal type promotion (refusing)")
+        }
+    }
+    var lastColId = meta.get("last-column-id").asLong()
+    val assignedIds: Map[String, Long] = deltaSchema.fields.map { f =>
+      f.name -> curIds.getOrElse(f.name, { lastColId += 1; lastColId })
+    }.toMap
+    val idOf: String => Long = n => assignedIds.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"no field '$n' in ${deltaSchema.fieldNames.mkString(",")}"))
+    // fast path: every previously-live file still live with identical
+    // DV state → append snapshot reusing every existing manifest
+    def dvKeyOf(f: DeltaInterop.AddFile): String =
+      f.dv.filter(_.cardinality > 0).map(d =>
+        s"${d.pathOrInlineDv}:${d.offset.getOrElse(-1L)}:${d.cardinality}")
+        .getOrElse("")
+    val newFiles: Seq[(DeltaInterop.AddFile, String)] = snap.files.map(f =>
+      (f, PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path))))
+    val newByPath: Map[String, String] =
+      newFiles.map { case (f, abs) => abs -> dvKeyOf(f) }.toMap
+    // the tracked version replays from the SAME log (time travel); a
+    // log whose tail was cleaned past it degrades to the full rebuild
+    val prevDelta: Option[DeltaInterop.DeltaSnapshot] =
+      try Some(DeltaInterop.snapshot(spark, base, Some(tracked)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val prevPaths: Set[String] = prevDelta.map(_.files.map(f =>
+      PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path))).toSet)
+      .getOrElse(Set.empty)
+    val appendOnly = !schemaChanged && prevDelta.exists(_.files.forall { f =>
+      val abs = PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path))
+      newByPath.get(abs).contains(dvKeyOf(f))
+    })
+    val added = newFiles.filter { case (_, abs) => !prevPaths.contains(abs) }
+    val fastPath = appendOnly &&
+      added.forall(_._1.dv.forall(_.cardinality == 0))
+    val id = UUID.randomUUID().toString
+    val newSnapId = nextSnapshotId(meta)
+    val newSeq = meta.get("last-sequence-number").asLong() + 1
+    val (mlRefs, op) =
+      if (fastPath) {
+        val specs = added.map { case (f, abs) =>
+          (abs, f.stats, f.partitionValues) }
+        val (mFile, _) = writeConvertManifest(spark, metaDir,
+          deltaSchema, partTypes, idOf, specs, newSnapId, id)
+        (currentManifests(base, meta) :+
+          ManifestRef(mFile, 0, newSeq, newSnapId, specId), "append")
+      } else {
+        val specs = newFiles.map { case (f, abs) =>
+          (abs, f.stats, f.partitionValues) }
+        val (mFile, _) = writeConvertManifest(spark, metaDir,
+          deltaSchema, partTypes, idOf, specs, newSnapId, id)
+        val positionDeletes = snap.files
+          .filter(_.dv.exists(_.cardinality > 0)).map { f =>
+            (PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path)),
+              DeltaInterop.resolveDvPositions(base, f.dv.get).toSeq)
+          }
+        val delRef = writePositionDeleteManifest(spark, base, metaDir,
+          positionDeletes, newSnapId, newSeq, id)
+        (ManifestRef(mFile, 0, newSeq, newSnapId, specId) +: delRef.toSeq,
+          "overwrite")
+      }
+    val mlFile = TableIO.join(metaDir, s"snap-$newSnapId-$id.avro")
+    writeManifestList(mlFile, mlRefs)
+    val root = meta.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val committedAtMs = clock()
+    root.put("last-sequence-number", newSeq)
+    root.put("last-updated-ms", committedAtMs)
+    val propsNode = root.get("properties")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemaIdUsed =
+      if (!schemaChanged) meta.get("current-schema-id").asInt()
+      else {
+        val ss = root.get("schemas")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        val newSid = (0 until ss.size())
+          .map(ss.get(_).get("schema-id").asInt()).max + 1
+        val node = mapper.createObjectNode()
+        node.put("type", "struct"); node.put("schema-id", newSid)
+        val fieldsArr = node.putArray("fields")
+        deltaSchema.fields.foreach { f =>
+          val fn = fieldsArr.addObject()
+          fn.put("id", idOf(f.name)); fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.put("type", sparkTypeToIceberg(f.dataType))
+        }
+        ss.add(node)
+        root.put("current-schema-id", newSid)
+        root.put("last-column-id", lastColId)
+        // refresh the name mapping — the Delta files carry no parquet
+        // field ids, so readers resolve the mirror by name
+        val nm = mapper.createArrayNode()
+        deltaSchema.fields.foreach { f =>
+          val e = nm.addObject()
+          e.put("field-id", idOf(f.name))
+          e.putArray("names").add(f.name)
+        }
+        propsNode.put("schema.name-mapping.default",
+          mapper.writeValueAsString(nm))
+        newSid
+      }
+    propsNode.put(Uniform.TrackKey, snap.version.toString)
+    val parentId = meta.get("current-snapshot-id").asLong()
+    val snapsArr = root.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val snapNode = snapsArr.addObject()
+    snapNode.put("snapshot-id", newSnapId)
+    if (parentId > 0) snapNode.put("parent-snapshot-id", parentId)
+    snapNode.put("sequence-number", newSeq)
+    snapNode.put("timestamp-ms", committedAtMs)
+    snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
+    val sm = snapNode.putObject("summary")
+    sm.put("operation", op)
+    sm.put(Uniform.TrackKey, snap.version.toString)
+    snapNode.put("schema-id", schemaIdUsed)
+    root.put("current-snapshot-id", newSnapId)
+    // bounded history: keep the newest K snapshots plus anything a ref
+    // pins. Metadata-only (like expireSnapshots' node trim) — orphaned
+    // manifest lists stay on disk for a storage-side sweep; the Delta
+    // VACUUM never touches the mirror directories.
+    val keep = Option(propsNode.get("graft.uniform.keep-snapshots"))
+      .map(_.asText().toInt).getOrElse(20)
+    val pinned: Set[Long] = Option(root.get("refs")).map { r =>
+      val it = r.fields(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next().getValue.get("snapshot-id").asLong()
+      b.result()
+    }.getOrElse(Set.empty) + newSnapId
+    if (snapsArr.size() > keep) {
+      val all = (0 until snapsArr.size()).map(snapsArr.get)
+      val keepIds = all.sortBy(s => (s.get("sequence-number").asLong(),
+          s.get("snapshot-id").asLong()))
+        .takeRight(keep).map(_.get("snapshot-id").asLong()).toSet ++ pinned
+      val survivors = all.filter(s =>
+        keepIds.contains(s.get("snapshot-id").asLong()))
+      if (survivors.size < all.size) {
+        val na = mapper.createArrayNode()
+        survivors.foreach(na.add)
+        root.set[JsonNode]("snapshots", na)
+      }
+    }
+    commitMetadataVersion(base, root, uniformManaged = true)
+    newSnapId
+  }
+
+  /** Shared tail of every zero-copy convert INTO Iceberg (Delta tables,
+    * graft-log tables, plain parquet): build one manifest referencing
+    * `files` — (absolute path, optional Delta-style stats JSON,
+    * identity partition values) — plus the v1 metadata with a name
+    * mapping (the sources' parquet carries no field ids).
+    * `positionDeletes` (data-file abs path → deleted row ordinals)
+    * carries the SOURCE's merge-on-read state: Delta deletion vectors
+    * are positionally identical to Iceberg position deletes, so they
+    * translate into one sorted delete parquet + a content=1 manifest at
+    * the same sequence as the data (a position delete applies to data
+    * sequences ≤ its own) — no data file is rewritten. */
+  private[graft] def writeConvertedIceberg(
+      spark: SparkSession, dstBase: String, schema: StructType,
+      partTypes: Seq[(String, DataType)],
+      files: Seq[(String, Option[String], Map[String, String])],
+      positionDeletes: Seq[(String, Seq[Long])] = Seq.empty,
+      formatVersion: Int = 2,
+      dvBlobs: Seq[(String, Array[Byte], Long)] = Seq.empty,
+      extraProps: Map[String, String] = Map.empty): Long = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"format-version $formatVersion (this writer speaks 2 and 3)")
+    require(dvBlobs.isEmpty || formatVersion == 3,
+      "deletion-vector blobs need a format-v3 target")
+    require(positionDeletes.isEmpty || formatVersion == 2,
+      "v3 forbids position-delete files — pass dvBlobs instead")
+    val metaDir = metadataDir(dstBase)
+    require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
+      s"convert target is already an Iceberg table: $dstBase")
+    val idOf = positionalIdOf(schema)
+    io.mkdirs(metaDir)
+    val id = UUID.randomUUID().toString
+    val snapshotId = 1L
+    val (mFile, totalRecords) = writeConvertManifest(spark, metaDir,
+      schema, partTypes, idOf, files, snapshotId, id)
     // v3 targets: the source's deletion vectors carry as ONE puffin
     // file, each blob's bytes VERBATIM (the Delta frame is already a
     // puffin deletion-vector-v1 blob — see Puffin's scaladoc), plus a
@@ -4410,42 +4744,12 @@ object IcebergInterop {
       }
     // translated merge-on-read deletes: one sorted (file_path, pos)
     // parquet + one content=1 manifest, both at the data's sequence
-    val deleteRefs: Seq[ManifestRef] =
-      if (positionDeletes.isEmpty) dvRefs
-      else {
-        import spark.implicits._
-        val rows = positionDeletes.flatMap { case (p, ps) =>
-          ps.distinct.map(pos => (p, pos)) }.sorted
-        val scratch = TableIO.join(dstBase, s".stage_conv_$id")
-        rows.toDF("file_path", "pos").coalesce(1).write.parquet(scratch)
-        val pf = io.list(scratch)
-          .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            "no delete part file staged during convert"))
-        val dataDir = TableIO.join(dstBase, "data"); io.mkdirs(dataDir)
-        val delFile = TableIO.join(dataDir, s"delete-conv-$id.parquet")
-        io.move(TableIO.join(scratch, pf), delFile)
-        io.deleteRecursively(scratch)
-        val delSchema = entrySchemaFor(Seq.empty)
-        val rec = new GenericData.Record(delSchema)
-        rec.put("status", 1); rec.put("snapshot_id", snapshotId)
-        val dfr = new GenericData.Record(
-          delSchema.getField("data_file").schema())
-        dfr.put("content", 1) // position deletes
-        dfr.put("file_path", PathCodec.absNorm(delFile))
-        dfr.put("file_format", "PARQUET")
-        dfr.put("record_count", rows.size.toLong)
-        dfr.put("file_size_in_bytes", io.length(delFile))
-        rec.put("data_file", dfr)
-        val dmFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
-        writeAvro(dmFile, delSchema, Seq(rec))
-        Seq(ManifestRef(dmFile, 1, snapshotId, snapshotId, 0))
-      }
+    val deleteRefs: Seq[ManifestRef] = dvRefs ++
+      writePositionDeleteManifest(spark, dstBase, metaDir,
+        positionDeletes, snapshotId, snapshotId, id)
     val mlFile = TableIO.join(metaDir, s"snap-$snapshotId-$id.avro")
     // spec v3 §Row Lineage: converted files take ids 0..N-1 by
     // manifest-list inheritance (one field, no per-entry stamping)
-    val totalRecords = entries.map(_.get("data_file")
-      .asInstanceOf[GenericRecord].get("record_count").toString.toLong).sum
     writeManifestList(mlFile,
       ManifestRef(mFile, 0, snapshotId, snapshotId, 0,
         firstRowId = if (formatVersion >= 3) Some(0L) else None) +: deleteRefs)
@@ -4463,8 +4767,11 @@ object IcebergInterop {
       e.put("field-id", idOf(f.name))
       e.putArray("names").add(f.name)
     }
-    root.putObject("properties").put("schema.name-mapping.default",
+    val propsNode = root.putObject("properties")
+    propsNode.put("schema.name-mapping.default",
       mapper.writeValueAsString(nm))
+    extraProps.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      propsNode.put(k, v) }
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", clock())
     root.put("last-column-id", schema.size)
@@ -4585,7 +4892,18 @@ object IcebergInterop {
 
   private def commitMetadataVersion(
       base: String,
-      node: com.fasterxml.jackson.databind.node.ObjectNode): Long = {
+      node: com.fasterxml.jackson.databind.node.ObjectNode,
+      uniformManaged: Boolean = false): Long = {
+    // UniForm mirrors are read-only on the Iceberg side (the sync is
+    // the only writer): a metadata-only commit here — property set,
+    // rollback, tag, expire — would diverge from the Delta table the
+    // mirror is derived from and be erased by the next sync
+    if (!uniformManaged &&
+        Option(node.get("properties")).exists(_.has(Uniform.TrackKey)))
+      throw new IllegalStateException(
+        s"the Iceberg metadata at $base is a UniForm mirror of the " +
+        "Delta table at the same location — it is read-only on the " +
+        "Iceberg side; mutate the Delta table and the sync republishes")
     val metaDir = metadataDir(base)
     val hint = TableIO.join(metaDir, "version-hint.text")
     val version = io.readString(hint).trim.toLong + 1

@@ -348,6 +348,10 @@ object EventStreams {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.sources.DeltaInterop.appendIdempotent(
             batch, base, app, batchId)
+          // micro-batches commit off the SQL-statement thread, so the
+          // UniForm mirror of a streaming target catches up here —
+          // per batch, not per statement (a no-op for plain tables)
+          graft.sources.Uniform.tickTouched(batch.sparkSession)
           ()
         }
         .option("checkpointLocation", ckpt)

@@ -35,7 +35,8 @@ class DdlFuzzSpec extends SparkSpec {
                           icebergV3: Boolean = false,
                           withDefaults: Boolean = false,
                           withPromotion: Boolean = false,
-                          withIct: Boolean = false): Unit = {
+                          withIct: Boolean = false,
+                          withUniform: Boolean = false): Unit = {
     require(!withDefaults || icebergV3,
       "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
@@ -96,7 +97,12 @@ class DdlFuzzSpec extends SparkSpec {
     locally {
       val (df, rows) = insertFrame(5)
       DeltaInterop.overwrite(df, dbase)
-      DeltaInterop.enableColumnMapping(spark, dbase) // rename/drop need it
+      if (withUniform)
+        // the UNIFORM dimension: the Delta leg carries an Iceberg
+        // mirror that must equal the table after EVERY op. Mirrors
+        // refuse column mapping, so rename/drop remap to inserts below
+        graft.sources.Uniform.enable(spark, dbase)
+      else DeltaInterop.enableColumnMapping(spark, dbase) // rename/drop need it
       IcebergInterop.overwrite(df.coalesce(1), ibase,
         formatVersion = if (icebergV3) 3 else 2)
       GraftLog.overwrite(df, lbase)
@@ -109,7 +115,10 @@ class DdlFuzzSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { opIdx =>
-      rnd.nextInt(10) match {
+      val drawn = rnd.nextInt(10)
+      val kind =
+        if (withUniform && (drawn == 2 || drawn == 3)) 0 else drawn
+      kind match {
         case 8 => // SUBQUERY DELETE: k [NOT] IN (key frame)
           val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
           val negated = rnd.nextBoolean()
@@ -308,6 +317,19 @@ class DdlFuzzSpec extends SparkSpec {
             recordRestorePoint()
           }
       }
+      if (withUniform) {
+        // the mirror must equal the Delta table after EVERY op —
+        // catch-up sync then value-exact compare through the Iceberg
+        // reader at the same base
+        graft.sources.Uniform.sync(spark, dbase)
+        val want = ("k" +: model.cols).map(col)
+        val dRows = DeltaInterop.read(spark, dbase)
+          .select(want: _*).orderBy("k").collect().toSeq
+        val mRows = IcebergInterop.read(spark, dbase)
+          .select(want: _*).orderBy("k").collect().toSeq
+        assert(mRows == dRows,
+          s"seed=$seed op=$opIdx: the uniform mirror diverged from Delta")
+      }
     }
 
     // final comparison: every format vs the model, column by column
@@ -397,6 +419,13 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 777, nOps = 22, withIct = true)
     runSequence(seed = 271828, nOps = 20, icebergV3 = true,
       withPromotion = true, withIct = true)
+  }
+
+  test("uniform sequences: the Iceberg mirror equals the Delta table " +
+       "after every operation") {
+    runSequence(seed = 5150, nOps = 20, withUniform = true)
+    runSequence(seed = 62831, nOps = 22, withUniform = true,
+      withPromotion = true)
   }
 
   test("a full sequence through OBJECT-STORE semantics: flat keys, " +

@@ -79,6 +79,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupAgainstIndex: corpus hits and in-batch shadows drop; rest survive") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "some corpus document about completely other things today"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+    val incoming = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // corpus dup
+      (21L, "a genuinely novel incoming document nothing resembles"),
+      (22L, "a genuinely novel incoming document nothing resembles"), // in-batch dup of 21
+      (23L, "")) // no shingles — must survive
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupAgainstIndex(incoming, col("doc_id"),
+      col("text"), index).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(21L, 23L))
+  }
+
+  test("dedupAgainstIndex never reads corpus text: a detached index works") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // persist the index and dedupe a batch against the STORED table —
+    // the corpus frame itself is gone
+    val p = "/tmp/graft_test_dedup_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    Dedup.minhashIndex(corpus, col("doc_id"), col("text"))
+      .write.parquet(p)
+    val stored = spark.read.parquet(p)
+    val incoming = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "unrelated fresh text with new tokens only"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.dedupAgainstIndex(incoming, col("doc_id"),
+      col("text"), stored).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(3L))
+  }
+
   test("simhash: identical docs share signatures, unrelated docs differ") {
     val sigs = Dedup.simhashSignatures(docs, col("doc_id"),
       TextAnalysis.tokens(col("text")))
