@@ -2319,6 +2319,39 @@ object SparkEntry {
              GROUP BY o_custkey % 50 ORDER BY bucket""")
   }
 
+  /** Delta mirror of an Iceberg-primary table (q242) — q239 reversed:
+    * statements mutate the ICEBERG side (the statement layer
+    * republishes the Delta mirror), a programmatic Iceberg append lags
+    * until the explicit catch-up sync, and the FINAL read goes through
+    * the DELTA reader at the same base. Same op sequence as q239, so
+    * the two directions share one oracle shape. */
+  private def qIcebergMirror(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.{DeltaInterop, DeltaMirror, IcebergInterop}
+    val ords = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("totalprice"))
+    val base = freshCopyFixture("iceberg_mirror_orders", dir, "orders") { p =>
+      IcebergInterop.overwrite(ords.coalesce(1), p)
+    }
+    DeltaMirror.enable(s, base)
+    GraftSql.registerIcebergTable(s, "q242_t", base)
+    GraftSql.sql(s,
+      """INSERT INTO q242_t SELECT o_orderkey + 5000000 AS o_orderkey,
+         o_custkey, CAST(totalprice + 50 AS DECIMAL(18,2)) AS totalprice
+         FROM q242_t WHERE o_orderkey < 200""")
+    GraftSql.sql(s, "DELETE FROM q242_t WHERE o_custkey % 7 = 3")
+    IcebergInterop.append(ords.filter(col("o_orderkey").between(300, 400))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(6000000L))
+      .coalesce(1), base)
+    DeltaMirror.sync(s, base)
+    DeltaInterop.read(s, base)
+      .groupBy((col("o_custkey") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("totalprice")).cast("double").as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Iceberg changelog (q185): the snapshot-diff CDC read — an append
     * emits inserts, a positional DELETE emits exactly the newly-masked
     * rows. The oracle recomputes both classes from the raw orders
@@ -5952,6 +5985,7 @@ object SparkEntry {
     "q239_delta_uniform" -> (qDeltaUniform _),
     "q240_liquid_clustering" -> (qLiquidClustering _),
     "q241_incremental_dedup" -> (qIncrementalDedup _),
+    "q242_iceberg_mirror" -> (qIcebergMirror _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6838,6 +6872,24 @@ object SparkEntry {
            FROM orders WHERE o_orderkey < 500
          ) WHERE o_custkey BETWEEN 100 AND 700
          GROUP BY o_custkey % 50 ORDER BY bucket""",
+    // q242 replays the SAME op sequence as q239, Iceberg-primary —
+    // identical oracle shape
+    "q242_iceberg_mirror" ->
+      """SELECT bucket, count(*) AS n_orders,
+         CAST(sum(price) AS DOUBLE) AS total_price
+         FROM (
+           SELECT o_custkey % 100 AS bucket, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_custkey % 7 <> 3
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 50
+           FROM orders WHERE o_orderkey < 200 AND o_custkey % 7 <> 3
+           UNION ALL
+           SELECT o_custkey % 100, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey BETWEEN 300 AND 400
+         ) GROUP BY bucket ORDER BY bucket""",
     "q239_delta_uniform" ->
       """SELECT bucket, count(*) AS n_orders,
          CAST(sum(price) AS DOUBLE) AS total_price

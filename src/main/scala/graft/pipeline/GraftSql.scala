@@ -105,6 +105,7 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = {
     val out = sqlImpl(spark, text)
     graft.sources.Uniform.tickTouched(spark)
+    graft.sources.DeltaMirror.tickTouched(spark)
     out
   }
 

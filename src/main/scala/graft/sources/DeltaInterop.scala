@@ -1200,7 +1200,17 @@ object DeltaInterop {
 
   private[sources] def writeCommit(base: String, version: Long, lines0: Seq[String],
                           operation: String = "",
-                          ictOverride: Option[Long] = None): Unit = {
+                          ictOverride: Option[Long] = None,
+                          allowMirror: Boolean = false): Unit = {
+    // a Delta MIRROR of an Iceberg table (marker beside the log) is
+    // read-only on the Delta side: a commit here would diverge from
+    // the Iceberg truth and be erased by the next sync. One existence
+    // probe — the single choke point every Delta commit passes.
+    if (!allowMirror && isIcebergMirror(base))
+      throw new IllegalStateException(
+        s"$base is a Delta mirror of the Iceberg table at the same " +
+        "location — read-only on the Delta side; write through Iceberg " +
+        "and the sync republishes")
     // in-commit timestamps: strictly monotone, clock-or-predecessor+1
     // (a stalled or backwards clock must not break the ordering the
     // protocol's timestamp time travel relies on)
@@ -2323,6 +2333,11 @@ object DeltaInterop {
   def vacuum(spark: SparkSession, base: String,
              retainMillis: Long = 7L * 24 * 3600 * 1000,
              dryRun: Boolean = false): Seq[String] = {
+    require(!isIcebergMirror(base),
+      s"VACUUM on $base: the Delta log is a MIRROR of the Iceberg " +
+      "table at the same location — its walk would delete files only " +
+      "Iceberg history references; maintain through Iceberg " +
+      "(expireSnapshots / rewriteDataFiles) and re-sync")
     val snap = snapshot(spark, base)
     // a LAGGING UniForm mirror may still reference files only the old
     // live set holds; syncing first pins the mirror to exactly the
@@ -3055,10 +3070,196 @@ object DeltaInterop {
     * spec evolution. The source table stays intact and independently
     * writable — same shared-files hazard as a shallow clone: the
     * SOURCE's maintenance can delete files the convert references. */
+  /** One live Iceberg data file in Delta terms: encoded absolute add
+    * path, partition record, translated stats JSON, and (lazily) its
+    * merge-on-read delete state — the caller writes `.bin`s only for
+    * files it actually (re)adds, so an incremental mirror sync never
+    * re-materializes unchanged deletion vectors. */
+  private final case class IceFileState(
+      rawPath: String, addPath: String,
+      partitionValues: Map[String, String], stats: Option[String],
+      dv: Option[IceDvPayload])
+
+  private sealed trait IceDvPayload {
+    def cardinality: Long
+    /** Digest of the SORTED deleted positions — the change-detection
+      * key an incremental sync compares against the mirror's recorded
+      * DV (encoding-independent: a v3 blob and a positional translation
+      * of the same dead rows digest identically). */
+    def positionsDigest: String
+    /** Write the roaring `.bin` under `dir`, return its descriptor. */
+    def writeBin(dir: String): DvDescriptor
+  }
+
+  private def digestOfPositions(ps: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ps.sorted.foreach { p =>
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(p).array()) }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** v3 deletion vector carried VERBATIM — the puffin
+    * deletion-vector-v1 frame IS a Delta DV frame (the v3 spec adopted
+    * Delta's), so the `.bin` is version byte + blob, no decode. */
+  private final case class IceDvBlob(blob: Array[Byte], card: Long)
+      extends IceDvPayload {
+    def cardinality: Long = card
+    lazy val positionsDigest: String = digestOfPositions(
+      graft.sources.Puffin.readDvBlob(blob, 0, blob.length,
+        "<carried>").toSeq)
+    def writeBin(dir: String): DvDescriptor = {
+      val uuid = UUID.randomUUID()
+      io.mkdirs(dir)
+      io.writeBytes(TableIO.join(dir, s"deletion_vector_$uuid.bin"),
+        1.toByte +: blob)
+      DvDescriptor("u", DeletionVectors.encodeUuid(uuid), Some(1),
+        blob.length - 8, card) // size = data bytes (frame minus len+crc)
+    }
+  }
+
+  /** v2 position deletes for one file, decoded and sequence-gated. */
+  private final case class IcePositions(positions: Seq[Long])
+      extends IceDvPayload {
+    def cardinality: Long = positions.size.toLong
+    def positionsDigest: String = digestOfPositions(positions)
+    def writeBin(dir: String): DvDescriptor = {
+      val uuid = UUID.randomUUID()
+      val data = DeletionVectors.dvDataBytes(positions)
+      val (bytes, off) = DeletionVectors.dvFileBytes(positions)
+      io.mkdirs(dir)
+      io.writeBytes(TableIO.join(dir, s"deletion_vector_$uuid.bin"), bytes)
+      DvDescriptor("u", DeletionVectors.encodeUuid(uuid), Some(off),
+        data.length, positions.size.toLong)
+    }
+  }
+
+  /** Delta mirror of an Iceberg-primary table (the shape Apache XTable
+    * maintains, reversed from UniForm): `_delta_log/` beside the
+    * Iceberg `metadata/` under ONE base, over the same data files. The
+    * mirrored Iceberg snapshot id rides in the mirror's table
+    * configuration; the Delta side is read-only (writeCommit's marker
+    * guard). */
+  private[graft] val MirrorTrackKey = "graft.mirror.iceberg-snapshot"
+  private val mirrorMarkerName = ".graft-mirror-of-iceberg"
+
+  private[graft] def isIcebergMirror(base: String): Boolean =
+    io.exists(TableIO.join(logDir(base), mirrorMarkerName))
+
+  /** Catch the Delta mirror up to the Iceberg table's current
+    * snapshot. First call publishes the zero-copy conversion in place
+    * (and drops the read-only marker beside the log); later calls diff
+    * the live-file state and publish ONE Delta commit: removes for
+    * files the Iceberg side dropped or whose delete state changed,
+    * adds (with translated stats + freshly-materialized deletion
+    * vectors) for new or changed files — unchanged files and their
+    * `.bin`s carry verbatim, so a pure Iceberg append syncs as O(new
+    * files) metadata. Schema: added columns mirror; a removed or
+    * retyped column refuses (an unmapped Delta mirror cannot express
+    * Iceberg's id-based rename/drop — re-create the mirror). A sync
+    * that finds itself current is a no-op. */
+  private[graft] def syncMirrorFromIceberg(spark: SparkSession,
+                                           base: String): Long = {
+    val curIce = IcebergInterop.resolveRef(base, "main")
+    if (currentVersion(base).isEmpty) {
+      io.mkdirs(logDir(base))
+      io.writeString(TableIO.join(logDir(base), mirrorMarkerName), "iceberg")
+      return convertFromIceberg(spark, base, base,
+        configuration = Map(MirrorTrackKey -> curIce.toString),
+        mirror = true)
+    }
+    val snap = snapshot(spark, base)
+    val tracked = snap.configuration.get(MirrorTrackKey).map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"$base has a Delta log NOT managed by the Iceberg mirror sync " +
+        "— refusing to overwrite a foreign table's log"))
+    if (tracked == curIce) return snap.version
+    val (schema, partCols, files) = icebergDeltaState(spark, base)
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType))
+    shape(snap.schema).foreach { case (n, dt) =>
+      val now = schema.fields.find(_.name == n)
+      require(now.isDefined,
+        s"mirror sync of $base: column '$n' left the Iceberg schema — " +
+        "an unmapped Delta mirror cannot express an id-based " +
+        "rename/drop; re-create the mirror")
+      require(now.get.dataType == dt,
+        s"mirror sync of $base: column '$n' changed type " +
+        s"$dt -> ${now.get.dataType} — re-create the mirror")
+    }
+    require(partCols == snap.partitionColumns,
+      s"mirror sync of $base: the Iceberg partition spec changed " +
+      s"(${partCols.mkString(",")} vs mirrored " +
+      s"${snap.partitionColumns.mkString(",")}) — re-create the mirror")
+    // live-state diff on (path, deleted-positions digest)
+    val prevByPath: Map[String, AddFile] =
+      snap.files.map(f => f.path -> f).toMap
+    def prevDigest(f: AddFile): Option[String] =
+      f.dv.filter(_.cardinality > 0)
+        .map(d => digestOfPositions(resolveDvPositions(base, d).toSeq))
+    def newDigest(f: IceFileState): Option[String] =
+      f.dv.filter(_.cardinality > 0).map(_.positionsDigest)
+    val newByPath = files.map(f => f.addPath -> f).toMap
+    val removes = snap.files.filter { f =>
+      !newByPath.contains(f.path) ||
+        newDigest(newByPath(f.path)) != prevDigest(f)
+    }
+    val adds = files.filter { f =>
+      !prevByPath.contains(f.addPath) ||
+        prevDigest(prevByPath(f.addPath)) != newDigest(f)
+    }.map(f => AddFile(f.addPath, f.partitionValues,
+      f.dv.filter(_.cardinality > 0).map(_.writeBin(base)), f.stats))
+    // a DV appearing on a previously DV-free mirror obliges the
+    // feature protocol before any add declares one
+    val needDvProto = adds.exists(_.dv.isDefined) &&
+      !snap.protocolFeatures.contains("deletionVectors")
+    val protoLines =
+      if (!needDvProto) Nil
+      else List(upgradeProtocolJson(snap,
+        Set("deletionVectors"), Set("deletionVectors"), 3, 7))
+    val lines = protoLines ++
+      List(metaJson(schema, partCols,
+        snap.tableId.getOrElse(UUID.randomUUID().toString),
+        snap.configuration + (MirrorTrackKey -> curIce.toString))) ++
+      removes.map(r => removeJson(r.path, r.dv, dataChange = true)) ++
+      adds.map(addJson(_, base))
+    writeCommit(base, snap.version + 1, lines, operation = "MIRROR SYNC",
+      allowMirror = true)
+    snap.version + 1
+  }
+
   def convertFromIceberg(spark: SparkSession, iceBase: String,
-                         dstBase: String): Long = {
+                         dstBase: String,
+                         configuration: Map[String, String] = Map.empty,
+                         mirror: Boolean = false): Long = {
     require(currentVersion(dstBase).isEmpty,
       s"convert target is already a Delta table: $dstBase")
+    val (schema, partCols, files) = icebergDeltaState(spark, iceBase)
+    io.mkdirs(dstBase)
+    val adds = files.map(f => AddFile(f.addPath, f.partitionValues,
+      f.dv.map(_.writeBin(dstBase)), f.stats))
+    // carried DVs oblige the feature protocol (reader 3 / writer 7 +
+    // deletionVectors), exactly as a DV-writing DELETE would declare
+    val proto =
+      if (adds.forall(_.dv.isEmpty)) protocolJson
+      else """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
+    writeCommit(dstBase, 0L,
+      Seq(proto,
+        metaJson(schema, partCols, UUID.randomUUID().toString,
+          configuration)) ++
+        adds.map(addJson(_, dstBase)),
+      operation = "CONVERT", allowMirror = mirror)
+    0L
+  }
+
+  /** The full Delta-shaped state of an Iceberg table's CURRENT
+    * snapshot: Spark schema (field-id metadata stripped — Delta
+    * resolves by name), identity partition columns, and one
+    * [[IceFileState]] per live data file (stats translated from the
+    * manifests' bounds, merge-on-read delete state as a lazy payload).
+    * Shared by the one-shot CONVERT and the live Delta mirror. */
+  private def icebergDeltaState(spark: SparkSession, iceBase: String)
+      : (StructType, Seq[String], Seq[IceFileState]) = {
     val ice = IcebergInterop.snapshot(spark, iceBase)
     // position deletes CARRY (translated to deletion vectors below —
     // one coordinate system); equality deletes have no Delta analogue:
@@ -3128,43 +3329,31 @@ object DeltaInterop {
       root.set[JsonNode]("maxValues", mxO)
       Some(mapper.writeValueAsString(root))
     }
-    // merge-on-read position deletes → deletion vectors: same
-    // coordinate system (parquet row index). Gate by sequence (a delete
-    // applies to data sequences ≤ its own), group per data file, and
-    // write one roaring-bitmap .bin per file under the NEW table (the
-    // "u" storage type — the clone's vacuum never walks the source).
-    // The grouping collect is bounded by the DELETED row count — the
-    // same bitmap-scale cost any DV construction pays.
-    // v3 deletion vectors carry their framed blob bytes VERBATIM — the
-    // puffin deletion-vector-v1 frame IS a Delta DV frame (the v3 spec
-    // adopted Delta's), so each becomes a `.bin` of version byte +
-    // blob, no decode at all. A v3 DV supersedes any position-delete
-    // rows for its file (the v3 writer folded them in).
+    // merge-on-read delete state → per-file PAYLOADS (no bin written
+    // here — the caller materializes bins only for files it actually
+    // (re)adds). v3 deletion vectors carry their framed blob bytes
+    // verbatim and supersede any position-delete rows for their file;
+    // v2 position deletes decode with the sequence gate (a delete
+    // applies to data sequences ≤ its own). The grouping collect is
+    // bounded by the DELETED row count — the same bitmap-scale cost any
+    // DV construction pays. A spec-invalid DV entry missing
+    // content_offset/size refuses (slicing with the file length would
+    // pull footer bytes into the carried blob).
     val (iceDvs, icePosDels) = ice.deletes.partition(_.dv)
-    val dvCarried: Map[String, DvDescriptor] = iceDvs.map { d =>
-      // sizeBytes is the whole puffin FILE length — slicing with it
-      // would pull footer bytes into the carried blob, so a
-      // spec-invalid entry missing content_size refuses (same contract
-      // as dvSizeOf on the read path)
+    val blobOf: Map[String, IceDvPayload] = iceDvs.map { d =>
       val off = d.contentOffset.getOrElse(throw new IllegalStateException(
         s"DV entry ${d.path} lacks content_offset (refusing)"))
       val len = d.contentSize.getOrElse(throw new IllegalStateException(
         s"DV entry ${d.path} lacks content_size_in_bytes (refusing)"))
       val blob = io.readBytes(d.path).slice(off.toInt, (off + len).toInt)
-      val uuid = UUID.randomUUID()
-      io.mkdirs(dstBase)
-      io.writeBytes(TableIO.join(dstBase, s"deletion_vector_$uuid.bin"),
-        1.toByte +: blob)
       val card =
         if (d.recordCount >= 0) d.recordCount
         else graft.sources.Puffin.readDvBlob(blob, 0, blob.length,
           d.path).length.toLong
-      d.referencedDataFile.get -> DvDescriptor("u",
-        DeletionVectors.encodeUuid(uuid), Some(1),
-        blob.length - 8, card) // size = data bytes (frame minus len+crc)
+      d.referencedDataFile.get -> (IceDvBlob(blob, card): IceDvPayload)
     }.toMap
-    val dvOf: Map[String, DvDescriptor] =
-      if (icePosDels.isEmpty) dvCarried
+    val posOf: Map[String, IceDvPayload] =
+      if (icePosDels.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{broadcast, col, lit}
         import spark.implicits._
@@ -3173,7 +3362,7 @@ object DeltaInterop {
             .select(col("file_path"), col("pos"))
             .withColumn("__dseq", lit(d.seq)))
           .reduce(_ unionByName _)
-          .join(broadcast(dvCarried.keys.toSeq.toDF("file_path")),
+          .join(broadcast(blobOf.keys.toSeq.toDF("file_path")),
             Seq("file_path"), "left_anti")
         val fileSeq = ice.files.map(f => (f.rawPath, f.seq))
           .toDF("file_path", "__fseq")
@@ -3182,39 +3371,20 @@ object DeltaInterop {
           .where(col("__dseq") >= col("__fseq"))
           .select(col("file_path"), col("pos")).distinct()
           .as[(String, Long)].collect()
-        io.mkdirs(dstBase)
         applicable.groupBy(_._1).map { case (raw, rows) =>
-          val positions = rows.map(_._2).toSeq.sorted
-          val uuid = UUID.randomUUID()
-          val data = DeletionVectors.dvDataBytes(positions)
-          val (bytes, off) = DeletionVectors.dvFileBytes(positions)
-          io.writeBytes(
-            TableIO.join(dstBase, s"deletion_vector_$uuid.bin"), bytes)
-          raw -> DvDescriptor("u", DeletionVectors.encodeUuid(uuid),
-            Some(off), data.length, positions.size.toLong)
-        } ++ dvCarried
+          raw -> (IcePositions(rows.map(_._2).toSeq.sorted): IceDvPayload)
+        }.toMap
       }
-    val adds = ice.files.map { f =>
+    val files = ice.files.map { f =>
       val abs = PathCodec.absNorm(f.path)
-      AddFile(
+      IceFileState(f.rawPath,
         // encode the tail only: a leading "//" would parse as a URI
         // authority inside percentEncodePath's quoting constructor
         "/" + PathCodec.percentEncodePath(abs.substring(1)),
-        f.partitionValues, dvOf.get(f.rawPath), statsOf(f))
+        f.partitionValues, statsOf(f),
+        blobOf.get(f.rawPath).orElse(posOf.get(f.rawPath)))
     }
-    // carried DVs oblige the feature protocol (reader 3 / writer 7 +
-    // deletionVectors), exactly as a DV-writing DELETE would declare
-    val proto =
-      if (dvOf.isEmpty) protocolJson
-      else """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}"""
-    writeCommit(dstBase, 0L,
-      Seq(proto,
-        metaJson(schema, partCols, UUID.randomUUID().toString)) ++
-        adds.map(addJson(_, dstBase)),
-      operation = "CONVERT")
-    0L
+    (schema, partCols, files)
   }
 
   /** CONVERT a set of plain parquet files into a NEW Delta table, zero

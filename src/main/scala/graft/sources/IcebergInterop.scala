@@ -2143,6 +2143,8 @@ object IcebergInterop {
         s"iceberg metadata v$version already exists in $base")
     io.writeString(hint, version.toString)
     pruneMetadataVersions(base, version, logProps)
+    // Delta-mirror hook (see commitMetadataVersion)
+    DeltaMirror.markDirty(base)
     snapshotId
     } // attemptPublish
 
@@ -3560,6 +3562,11 @@ object IcebergInterop {
     val metaDir = metadataDir(base)
     val hint = TableIO.join(metaDir, "version-hint.text")
     require(io.exists(hint), s"not an Iceberg table (no version hint): $base")
+    // a LAGGING Delta mirror may reference files only expired
+    // snapshots hold; syncing first pins it to the current live set,
+    // which expire never deletes
+    if (DeltaInterop.isIcebergMirror(base))
+      DeltaInterop.syncMirrorFromIceberg(spark, base)
     val meta = readMeta(base)
     val snaps = meta.get("snapshots")
     val all = (0 until snaps.size()).map(snaps.get)
@@ -4917,6 +4924,10 @@ object IcebergInterop {
         s"iceberg metadata v$version already exists in $base")
     io.writeString(hint, version.toString)
     pruneMetadataVersions(base, version, props)
+    // Delta-mirror hook: the statement layer's drain republishes the
+    // mirror of an Iceberg-primary table (one set-add; non-mirror
+    // bases cost the drain one marker probe)
+    DeltaMirror.markDirty(base)
     version
   }
 
