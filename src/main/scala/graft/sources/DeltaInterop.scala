@@ -3172,7 +3172,15 @@ object DeltaInterop {
       .getOrElse(throw new IllegalStateException(
         s"$base has a Delta log NOT managed by the Iceberg mirror sync " +
         "— refusing to overwrite a foreign table's log"))
-    if (tracked == curIce) return snap.version
+    def strippedShape(s: StructType) = s.fields
+      .map(f => (f.name, f.dataType, f.nullable)).toSeq
+    if (tracked == curIce &&
+        // schema evolution is metadata-ONLY on Iceberg (no new
+        // snapshot) — an id-equality no-op check alone would miss an
+        // ADD COLUMN forever
+        strippedShape(IcebergInterop.currentSparkSchema(base)) ==
+          strippedShape(snap.schema))
+      return snap.version
     val (schema, partCols, files) = icebergDeltaState(spark, base)
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType))
     shape(snap.schema).foreach { case (n, dt) =>

@@ -2180,6 +2180,15 @@ object IcebergInterop {
     -1L // unreachable
   }
 
+  /** The table's CURRENT schema as a Spark StructType (field-id
+    * metadata attached) — one metadata-json read, no manifest walk.
+    * The Delta-mirror sync compares this against the mirror's schema:
+    * Iceberg schema evolution is metadata-only (no new snapshot), so a
+    * snapshot-id equality check alone would miss it. */
+  private[sources] def currentSparkSchema(base: String): StructType =
+    DataType.fromJson(icebergSchemaToSparkJson(readMeta(base)))
+      .asInstanceOf[StructType]
+
   private def icebergSchemaToSparkJson(meta: JsonNode): String = {
     val ss = meta.get("schemas")
     val want = meta.get("current-schema-id").asInt()

@@ -36,7 +36,8 @@ class DdlFuzzSpec extends SparkSpec {
                           withDefaults: Boolean = false,
                           withPromotion: Boolean = false,
                           withIct: Boolean = false,
-                          withUniform: Boolean = false): Unit = {
+                          withUniform: Boolean = false,
+                          withMirror: Boolean = false): Unit = {
     require(!withDefaults || icebergV3,
       "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
@@ -110,6 +111,11 @@ class DdlFuzzSpec extends SparkSpec {
       // sequence — DML, evolution, maintenance, restore — must stamp a
       // strictly monotone in-commit timestamp (asserted at the end)
       if (withIct) DeltaInterop.enableInCommitTimestamps(spark, dbase)
+      // the MIRROR dimension: the Iceberg leg carries a read-only
+      // Delta log that must equal the table after EVERY op. Mirrors
+      // refuse rename/drop/promotion (unmapped Delta cannot express
+      // Iceberg's id-based evolution), so those ops remap to inserts
+      if (withMirror) graft.sources.DeltaMirror.enable(spark, ibase)
       model.rows = rows.toVector
       recordRestorePoint()
     }
@@ -117,7 +123,8 @@ class DdlFuzzSpec extends SparkSpec {
     (1 to nOps).foreach { opIdx =>
       val drawn = rnd.nextInt(10)
       val kind =
-        if (withUniform && (drawn == 2 || drawn == 3)) 0 else drawn
+        if ((withUniform || withMirror) && (drawn == 2 || drawn == 3)) 0
+        else drawn
       kind match {
         case 8 => // SUBQUERY DELETE: k [NOT] IN (key frame)
           val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
@@ -330,6 +337,17 @@ class DdlFuzzSpec extends SparkSpec {
         assert(mRows == dRows,
           s"seed=$seed op=$opIdx: the uniform mirror diverged from Delta")
       }
+      if (withMirror) {
+        // symmetric: the Delta mirror must equal the Iceberg leg
+        graft.sources.DeltaMirror.sync(spark, ibase)
+        val want = ("k" +: model.cols).map(col)
+        val iRows = IcebergInterop.read(spark, ibase)
+          .select(want: _*).orderBy("k").collect().toSeq
+        val mRows = DeltaInterop.read(spark, ibase)
+          .select(want: _*).orderBy("k").collect().toSeq
+        assert(mRows == iRows,
+          s"seed=$seed op=$opIdx: the Delta mirror diverged from Iceberg")
+      }
     }
 
     // final comparison: every format vs the model, column by column
@@ -426,6 +444,13 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 5150, nOps = 20, withUniform = true)
     runSequence(seed = 62831, nOps = 22, withUniform = true,
       withPromotion = true)
+  }
+
+  test("mirror sequences: the Delta mirror equals the Iceberg table " +
+       "after every operation") {
+    runSequence(seed = 90210, nOps = 20, withMirror = true)
+    runSequence(seed = 14142, nOps = 22, withMirror = true,
+      icebergV3 = true)
   }
 
   test("a full sequence through OBJECT-STORE semantics: flat keys, " +
