@@ -3140,7 +3140,20 @@ object DeltaInterop {
     * configuration; the Delta side is read-only (writeCommit's marker
     * guard). */
   private[graft] val MirrorTrackKey = "graft.mirror.iceberg-snapshot"
+  /** Iceberg field id → mirror column name at the LAST sync — the key
+    * that lets the next sync tell a RENAME (same id, new name) from a
+    * drop+add, exactly as Iceberg's own readers do. */
+  private[graft] val MirrorFieldsKey = "graft.mirror.fields"
   private val mirrorMarkerName = ".graft-mirror-of-iceberg"
+
+  private def mirrorFieldsJson(s: StructType): String = {
+    val node = mapper.createObjectNode()
+    s.fields.foreach { f =>
+      if (f.metadata.contains("parquet.field.id"))
+        node.put(f.metadata.getLong("parquet.field.id").toString, f.name)
+    }
+    mapper.writeValueAsString(node)
+  }
 
   private[graft] def isIcebergMirror(base: String): Boolean =
     io.exists(TableIO.join(logDir(base), mirrorMarkerName))
@@ -3164,7 +3177,9 @@ object DeltaInterop {
       io.mkdirs(logDir(base))
       io.writeString(TableIO.join(logDir(base), mirrorMarkerName), "iceberg")
       return convertFromIceberg(spark, base, base,
-        configuration = Map(MirrorTrackKey -> curIce.toString),
+        configuration = Map(MirrorTrackKey -> curIce.toString,
+          MirrorFieldsKey ->
+            mirrorFieldsJson(IcebergInterop.currentSparkSchema(base))),
         mirror = true)
     }
     val snap = snapshot(spark, base)
@@ -3182,21 +3197,92 @@ object DeltaInterop {
           strippedShape(snap.schema))
       return snap.version
     val (schema, partCols, files) = icebergDeltaState(spark, base)
-    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType))
-    shape(snap.schema).foreach { case (n, dt) =>
-      val now = schema.fields.find(_.name == n)
-      require(now.isDefined,
-        s"mirror sync of $base: column '$n' left the Iceberg schema — " +
-        "an unmapped Delta mirror cannot express an id-based " +
-        "rename/drop; re-create the mirror")
-      require(now.get.dataType == dt,
-        s"mirror sync of $base: column '$n' changed type " +
-        s"$dt -> ${now.get.dataType} — re-create the mirror")
-    }
     require(partCols == snap.partitionColumns,
       s"mirror sync of $base: the Iceberg partition spec changed " +
       s"(${partCols.mkString(",")} vs mirrored " +
       s"${snap.partitionColumns.mkString(",")}) — re-create the mirror")
+    // ---- id-based schema mirroring ----------------------------------
+    // Iceberg evolves by FIELD ID: a rename keeps the id, a drop
+    // retires it. The last sync's id→name map (table configuration)
+    // tells the two apart; renames/drops then mirror as Delta
+    // columnMapping mode `id` with delta.columnMapping.id = the
+    // ICEBERG field id — the same ids our Iceberg writer stamps into
+    // every data file's parquet schema, so the mapped Delta scan
+    // resolves columns exactly like an Iceberg reader would. Tables
+    // whose FILES carry no ids (converted ones reading via Iceberg's
+    // name mapping) refuse id-based evolution.
+    val iceWithIds = IcebergInterop.currentSparkSchema(base)
+    def iceIdOf(f: StructField): Long =
+      if (f.metadata.contains("parquet.field.id"))
+        f.metadata.getLong("parquet.field.id") else -1L
+    val newFields: Seq[(Long, StructField)] =
+      iceWithIds.fields.toSeq.map(f => iceIdOf(f) -> f)
+    val prevIdMap: Map[Long, String] =
+      snap.configuration.get(MirrorFieldsKey).map { js =>
+        val n = mapper.readTree(js)
+        val it = n.fields(); val b = Map.newBuilder[Long, String]
+        while (it.hasNext) {
+          val e = it.next(); b += e.getKey.toLong -> e.getValue.asText()
+        }
+        b.result()
+      }.getOrElse(
+        // a mirror created before the id map existed: seed by NAME
+        // match (heals on this sync's write)
+        newFields.filter { case (_, f) =>
+          snap.schema.fieldNames.contains(f.name) }
+          .map { case (id, f) => id -> f.name }.toMap)
+    val renames = newFields.flatMap { case (id, f) =>
+      prevIdMap.get(id).filter(_ != f.name).map(old => (old, f.name)) }
+    val droppedNames = (prevIdMap.keySet -- newFields.map(_._1).toSet)
+      .toSeq.map(prevIdMap).filter(snap.schema.fieldNames.contains)
+    renames.foreach { case (old, _) =>
+      require(!snap.partitionColumns.contains(old),
+        s"mirror sync of $base: partition column '$old' renamed — " +
+        "carried files key their partition records by the old name; " +
+        "re-create the mirror") }
+    // legal type promotions mirror as-is (the Delta scan widens narrow
+    // old files exactly like the typeWidening feature's reads do);
+    // anything else refuses
+    var promoted = false
+    newFields.foreach { case (id, f) =>
+      prevIdMap.get(id).flatMap(old =>
+        snap.schema.fields.find(_.name == old))
+        .filter(_.dataType != f.dataType).foreach { p =>
+          val legal = (p.dataType, f.dataType) match {
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case (a: DecimalType, b: DecimalType) =>
+              b.scale == a.scale && b.precision >= a.precision
+            case _ => false
+          }
+          require(legal, s"mirror sync of $base: column '${f.name}' " +
+            s"changed ${p.dataType} -> ${f.dataType}, not a legal " +
+            "promotion — re-create the mirror")
+          promoted = true
+        }
+    }
+    val needMapNow = (renames.nonEmpty || droppedNames.nonEmpty) &&
+      snap.columnMappingMode == "none"
+    if (needMapNow)
+      require(!IcebergInterop.hasNameMapping(base),
+        s"mirror sync of $base: the Iceberg schema renamed/dropped a " +
+        "column but the data files carry NO field ids (name-mapped " +
+        "table) — an id-mapped Delta mirror cannot resolve them; " +
+        "re-create the mirror")
+    val mapped = needMapNow || snap.columnMappingMode == "id"
+    val mirrorSchema: StructType =
+      if (!mapped) schema
+      else StructType(iceWithIds.fields.map { f =>
+        f.copy(metadata = new MetadataBuilder()
+          .putLong("delta.columnMapping.id", iceIdOf(f))
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+      })
+    val mappingCfg: Map[String, String] =
+      if (!mapped) Map.empty
+      else Map("delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" ->
+          newFields.map(_._1).max.toString)
     // live-state diff on (path, deleted-positions digest)
     val prevByPath: Map[String, AddFile] =
       snap.files.map(f => f.path -> f).toMap
@@ -3215,18 +3301,34 @@ object DeltaInterop {
         prevDigest(prevByPath(f.addPath)) != newDigest(f)
     }.map(f => AddFile(f.addPath, f.partitionValues,
       f.dv.filter(_.cardinality > 0).map(_.writeBin(base)), f.stats))
-    // a DV appearing on a previously DV-free mirror obliges the
-    // feature protocol before any add declares one
+    // feature obligations this sync introduces: a first DV, a first
+    // type promotion, a first id-mapping — declared in ONE protocol
+    // action (feature route when anything needs 3/7; mapping alone on
+    // a legacy protocol takes the legacy reader-2/writer-5 route,
+    // feature arrays being INVALID below 3/7)
     val needDvProto = adds.exists(_.dv.isDefined) &&
       !snap.protocolFeatures.contains("deletionVectors")
+    val needWiden = promoted &&
+      !snap.protocolFeatures.contains("typeWidening")
+    val addFeat =
+      (if (needDvProto) Set("deletionVectors") else Set.empty[String]) ++
+      (if (needWiden) Set("typeWidening") else Set.empty) ++
+      (if (needMapNow) Set("columnMapping") else Set.empty)
     val protoLines =
-      if (!needDvProto) Nil
-      else List(upgradeProtocolJson(snap,
-        Set("deletionVectors"), Set("deletionVectors"), 3, 7))
+      if (addFeat.isEmpty) Nil
+      else if (needDvProto || needWiden ||
+               snap.minReaderVersion >= 3 || snap.minWriterVersion >= 7)
+        List(upgradeProtocolJson(snap, addFeat, addFeat, 3, 7))
+      else
+        List(s"""{"protocol":{"minReaderVersion":${
+          math.max(2, snap.minReaderVersion)},"minWriterVersion":${
+          math.max(5, snap.minWriterVersion)}}}""")
     val lines = protoLines ++
-      List(metaJson(schema, partCols,
+      List(metaJson(mirrorSchema, partCols,
         snap.tableId.getOrElse(UUID.randomUUID().toString),
-        snap.configuration + (MirrorTrackKey -> curIce.toString))) ++
+        snap.configuration ++ mappingCfg +
+          (MirrorTrackKey -> curIce.toString) +
+          (MirrorFieldsKey -> mirrorFieldsJson(iceWithIds)))) ++
       removes.map(r => removeJson(r.path, r.dv, dataChange = true)) ++
       adds.map(addJson(_, base))
     writeCommit(base, snap.version + 1, lines, operation = "MIRROR SYNC",

@@ -2189,6 +2189,13 @@ object IcebergInterop {
     DataType.fromJson(icebergSchemaToSparkJson(readMeta(base)))
       .asInstanceOf[StructType]
 
+  /** True iff the table resolves its data files by NAME MAPPING (spec
+    * §Name Mapping Serialization) — i.e. the files carry NO parquet
+    * field ids, so an id-mapped Delta mirror cannot resolve them. */
+  private[sources] def hasNameMapping(base: String): Boolean =
+    Option(readMeta(base).get("properties"))
+      .exists(_.has("schema.name-mapping.default"))
+
   private def icebergSchemaToSparkJson(meta: JsonNode): String = {
     val ss = meta.get("schemas")
     val want = meta.get("current-schema-id").asInt()

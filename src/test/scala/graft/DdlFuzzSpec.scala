@@ -112,9 +112,9 @@ class DdlFuzzSpec extends SparkSpec {
       // strictly monotone in-commit timestamp (asserted at the end)
       if (withIct) DeltaInterop.enableInCommitTimestamps(spark, dbase)
       // the MIRROR dimension: the Iceberg leg carries a read-only
-      // Delta log that must equal the table after EVERY op. Mirrors
-      // refuse rename/drop/promotion (unmapped Delta cannot express
-      // Iceberg's id-based evolution), so those ops remap to inserts
+      // Delta log that must equal the table after EVERY op — including
+      // rename/drop (the mirror upgrades itself to id-mapping and
+      // resolves old files by Iceberg field id) and type promotion
       if (withMirror) graft.sources.DeltaMirror.enable(spark, ibase)
       model.rows = rows.toVector
       recordRestorePoint()
@@ -122,8 +122,11 @@ class DdlFuzzSpec extends SparkSpec {
 
     (1 to nOps).foreach { opIdx =>
       val drawn = rnd.nextInt(10)
+      // uniform mirrors refuse mapped Delta, so rename/drop remap to
+      // inserts there; the ICEBERG-primary mirror handles id-based
+      // evolution (id-mapped Delta mirror) and keeps the full op mix
       val kind =
-        if ((withUniform || withMirror) && (drawn == 2 || drawn == 3)) 0
+        if (withUniform && (drawn == 2 || drawn == 3)) 0
         else drawn
       kind match {
         case 8 => // SUBQUERY DELETE: k [NOT] IN (key frame)
@@ -451,6 +454,8 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 90210, nOps = 20, withMirror = true)
     runSequence(seed = 14142, nOps = 22, withMirror = true,
       icebergV3 = true)
+    runSequence(seed = 27182, nOps = 22, withMirror = true,
+      withPromotion = true)
   }
 
   test("a full sequence through OBJECT-STORE semantics: flat keys, " +

@@ -148,6 +148,54 @@ class DeltaMirrorSpec extends SparkSpec {
       == (20L until 30L).map(_ * 3).sum)
   }
 
+  test("Iceberg RENAME mirrors via id-mapping; DROP retires the column") {
+    val base = freshBase("rename")
+    IcebergInterop.overwrite((0L until 40L).map(k => (k, k * 2, s"t$k"))
+      .toDF("id", "v", "tag").coalesce(1), base)
+    DeltaMirror.enable(spark, base)
+    // rename keeps the Iceberg field id; the mirror upgrades to
+    // columnMapping mode `id` — delta.columnMapping.id = the field id
+    // the data files already carry
+    IcebergInterop.renameColumn(base, "v", "score")
+    DeltaMirror.sync(spark, base)
+    val snap1 = DeltaInterop.snapshot(spark, base)
+    assert(snap1.columnMappingMode == "id")
+    assert(snap1.schema.fieldNames.toSeq == Seq("id", "score", "tag"))
+    // OLD files (written pre-rename) resolve by field id, value-exact
+    assert(DeltaInterop.read(spark, base).agg(sum("score")).head().getLong(0)
+      == (0L until 40L).map(_ * 2).sum)
+    // appends under the new name land and read back
+    IcebergInterop.append((40L until 50L).map(k => (k, k * 2, s"t$k"))
+      .toDF("id", "score", "tag").coalesce(1), base)
+    DeltaMirror.sync(spark, base)
+    assert(DeltaInterop.read(spark, base).agg(sum("score")).head().getLong(0)
+      == (0L until 50L).map(_ * 2).sum)
+    // DROP retires the column from the mirror schema
+    IcebergInterop.dropColumn(spark, base, "tag")
+    DeltaMirror.sync(spark, base)
+    val snap2 = DeltaInterop.snapshot(spark, base)
+    assert(snap2.schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(DeltaInterop.read(spark, base).columns.toSeq ==
+      Seq("id", "score"))
+  }
+
+  test("Iceberg type promotion mirrors as a widened read") {
+    val base = freshBase("promote")
+    val df0 = (0 until 30).map(k => (k.toLong, k * 10)).toDF("id", "n")
+    IcebergInterop.overwrite(df0.coalesce(1), base)
+    DeltaMirror.enable(spark, base)
+    IcebergInterop.promoteColumnType(base, "n",
+      org.apache.spark.sql.types.LongType)
+    IcebergInterop.append((30L until 40L).map(k => (k, k * 10L))
+      .toDF("id", "n").coalesce(1), base)
+    DeltaMirror.sync(spark, base)
+    val got = DeltaInterop.read(spark, base)
+    assert(got.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.agg(sum("n")).head().getLong(0) ==
+      (0L until 40L).map(_ * 10).sum)
+  }
+
   test("statement-layer auto-sync: Iceberg SQL DML maintains the mirror") {
     val base = freshBase("sqlhook")
     val df0 = (0L until 50L).map(k => (k, k * 2)).toDF("id", "v")
