@@ -2803,10 +2803,6 @@ object DeltaInterop {
   def enableColumnMapping(spark: SparkSession, base: String): Long = {
     val snap = snapshot(spark, base)
     if (snap.columnMappingMode != "none") return snap.version
-    require(!Uniform.isEnabled(snap),
-      s"column mapping on $base would break its UniForm mirror (Iceberg " +
-      "resolves the mirror by name mapping; mapped physical names do " +
-      "not carry) — disable uniform first")
     val mapped = StructType(snap.schema.fields.zipWithIndex.map {
       case (f, i) =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)

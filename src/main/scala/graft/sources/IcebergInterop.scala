@@ -151,7 +151,13 @@ object IcebergInterop {
       // committed under (spec: snapshots record their schema-id) — how
       // default-value reads decide whether a file physically carries a
       // later-added column
-      fieldIdsAtSnapshot: Map[Long, Set[Int]] = Map.empty) {
+      fieldIdsAtSnapshot: Map[Long, Set[Int]] = Map.empty,
+      // spec §Name Mapping: field id → the FILE column name (first
+      // entry of `names`). Differs from the schema name after the
+      // SOURCE renamed a column (a mirror of a column-mapped Delta
+      // table keeps the physical name here) — the read resolves files
+      // under this name and projects back to the schema name
+      nameMappingNames: Map[Int, String] = Map.empty) {
     /** True iff every live data file's partition record matches the
       * default spec's field set — i.e. no live file predates the last
       * partition evolution. Maintenance that restamps partition records
@@ -672,11 +678,24 @@ object IcebergInterop {
     val files = decoded.flatMap(_._1)
     val deletes = decoded.flatMap(_._2)
     val eqDeletes = decoded.flatMap(_._3)
+    val nameMappingNames: Map[Int, String] =
+      Option(meta.get("properties"))
+        .flatMap(p => Option(p.get("schema.name-mapping.default")))
+        .map { nmStr =>
+          val arr = mapper.readTree(nmStr.asText())
+          (0 until arr.size()).map(arr.get).flatMap { e =>
+            val names = e.get("names")
+            if (names != null && names.size() > 0)
+              Some(e.get("field-id").asInt() -> names.get(0).asText())
+            else None
+          }.toMap
+        }.getOrElse(Map.empty)
     IcebergSnapshot(wantId, schema, partCols,
       files.distinctBy(_.path).toSeq,
       deletes.distinctBy(d => (d.path, d.contentOffset)).toSeq,
       eqDeletes.distinctBy(_.path).toSeq, specFields, namesById,
-      specsById, defaultSpecId, nameMapped, fv, fieldIdsAtSnapshot)
+      specsById, defaultSpecId, nameMapped, fv, fieldIdsAtSnapshot,
+      nameMappingNames)
   }
 
   /** All snapshot ids recorded in the current metadata, oldest first —
@@ -1009,7 +1028,21 @@ object IcebergInterop {
       snap.schema.fields.toSeq.flatMap(f => initialDefaultOf(f).map(f -> _))
     val needFileCol = keepCoords || projectCols.nonEmpty ||
       snap.deletes.nonEmpty || snap.eqDeletes.nonEmpty || defaulted.nonEmpty
-    val scanRaw = spark.read.schema(StructType(snap.schema.fields ++
+    // spec §Name Mapping: files resolve under the MAPPED column name —
+    // identical to the schema name for plain converts, the SOURCE's
+    // physical name when the mirrored table renamed a mapped column.
+    // The scan reads the mapped names and projects back right after
+    // the _metadata attach.
+    val fileNameOf: Map[String, String] =
+      if (!snap.nameMapped) Map.empty
+      else snap.fieldNamesById.flatMap { case (id, n) =>
+        snap.nameMappingNames.get(id).filter(_ != n).map(n -> _) }
+    val readFields = snap.schema.fields.map(f =>
+      fileNameOf.get(f.name).map(m => f.copy(name = m)).getOrElse(f))
+    require(readFields.map(_.name).distinct.length == readFields.length,
+      s"name mapping maps two fields onto one file column " +
+      s"(${readFields.map(_.name).mkString(",")}) — refusing")
+    val scanRaw = spark.read.schema(StructType(readFields ++
       extraCols.map(_.copy(nullable = true)))).parquet(kept.map(_.path): _*)
     val scan1 =
       if (!needFileCol) scanRaw
@@ -1025,9 +1058,23 @@ object IcebergInterop {
             org.apache.spark.sql.functions.col("_metadata.row_index"))
         else withFile
       }
+    // project mapped file columns back to their schema names — the
+    // rest of the assembly (and every caller) speaks schema names
+    val scan1n =
+      if (fileNameOf.isEmpty) scan1
+      else {
+        val inv = fileNameOf.map(_.swap)
+        scan1.select(scan1.columns.toSeq.map { c =>
+          inv.get(c) match {
+            case Some(logical) =>
+              org.apache.spark.sql.functions.col(c).as(logical)
+            case None => org.apache.spark.sql.functions.col(c)
+          }
+        }: _*)
+      }
     val scan0 =
-      if (projectCols.isEmpty) scan1
-      else projectIdentityPartitions(spark, snap, kept, scan1, projectCols)
+      if (projectCols.isEmpty) scan1n
+      else projectIdentityPartitions(spark, snap, kept, scan1n, projectCols)
     // per-file default fill. The reference readers key on field-id
     // ABSENCE IN THE FILE (spec v3 §Default values), so the footer is
     // ground truth. The adding snapshot's schema is used only as a
@@ -1258,13 +1305,21 @@ object IcebergInterop {
   /** Iceberg schema document for a Spark schema — built with the
     * Jackson node API so field names (quotes, backslashes, anything)
     * are JSON-escaped correctly rather than interpolated raw. */
-  private def schemaNode(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+  private def schemaNode(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode =
+    schemaNodeWith(schema, positionalIdOf(schema), 0)
+
+  /** Schema node with CALLER-SUPPLIED field ids — converts from
+    * column-mapped Delta sources bind Iceberg field ids to the
+    * source's mapping ids (stable across renames), not positions. */
+  private def schemaNodeWith(schema: StructType, idOf: String => Long,
+                             schemaId: Int)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
-    node.put("type", "struct"); node.put("schema-id", 0)
+    node.put("type", "struct"); node.put("schema-id", schemaId)
     val fields = node.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.foreach { f =>
       val fn = fields.addObject()
-      fn.put("id", i + 1); fn.put("name", f.name)
+      fn.put("id", idOf(f.name)); fn.put("name", f.name)
       fn.put("required", !f.nullable)
       fn.put("type", sparkTypeToIceberg(f.dataType))
     }
@@ -4238,7 +4293,10 @@ object IcebergInterop {
       spark: SparkSession, metaDir: String, schema: StructType,
       partTypes: Seq[(String, DataType)], idOf: String => Long,
       files: Seq[(String, Option[String], Map[String, String])],
-      snapshotId: Long, id: String): (String, Long) = {
+      snapshotId: Long, id: String,
+      // Delta stats JSON keys per logical column — column-mapped
+      // tables key their stats by PHYSICAL name
+      statsNameOf: String => String = identity): (String, Long) = {
     // one add's stats JSON → (recordCount, bounds) in Iceberg's
     // single-value binary form; min+max land together or not at all
     def decodeStats(stats: Option[String])
@@ -4265,8 +4323,8 @@ object IcebergInterop {
       node.foreach { j =>
         val mns = Option(j.get("minValues")); val mxs = Option(j.get("maxValues"))
         schema.fields.foreach { f =>
-          for (mn <- mns.flatMap(o => Option(o.get(f.name)));
-               mx <- mxs.flatMap(o => Option(o.get(f.name)));
+          for (mn <- mns.flatMap(o => Option(o.get(statsNameOf(f.name))));
+               mx <- mxs.flatMap(o => Option(o.get(statsNameOf(f.name))));
                lv <- typed(f.dataType, mn); hv <- typed(f.dataType, mx);
                lb <- SingleValue.encode(f.dataType, lv);
                hb <- SingleValue.encode(f.dataType, hv)) {
@@ -4372,10 +4430,26 @@ object IcebergInterop {
                        dstBase: String, formatVersion: Int = 2,
                        trackUniform: Boolean = false): Long = {
     val snap = DeltaInterop.snapshot(spark, deltaBase)
-    require(snap.columnMappingMode == "none",
-      s"CONVERT of $deltaBase: column mapping '${snap.columnMappingMode}' " +
-      "— Iceberg resolves by field id, the mapped physical names do not " +
-      "carry; rewrite the table unmapped first")
+    // column-mapped sources CONVERT zero-copy too: the Iceberg field
+    // ids become the source's MAPPING ids (both are rename-stable), the
+    // name mapping (or, in id mode, the parquet field ids the files
+    // already carry) resolves the files' physical columns, and stats
+    // decode under their physical keys
+    val mapped = snap.columnMappingMode != "none"
+    val idMode = snap.columnMappingMode == "id"
+    val idOfOpt: Option[String => Long] =
+      if (!mapped) None
+      else Some(n => snap.fieldId(n).getOrElse(
+        throw new IllegalStateException(
+          s"CONVERT of $deltaBase: mapped column '$n' lacks " +
+          "delta.columnMapping.id — corrupt metadata (refusing)")))
+    val physOf: String => String =
+      if (!mapped) identity else snap.physicalName
+    val lastColOpt: Option[Long] =
+      if (!mapped) None
+      else Some(snap.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong)
+        .getOrElse(snap.schema.fieldNames.map(n => idOfOpt.get(n)).max))
     val schema = StructType(snap.schema.fields.map(f =>
       f.copy(metadata = new MetadataBuilder().build())))
     // Partitioned Delta tables keep partition columns OUT of their data
@@ -4389,9 +4463,15 @@ object IcebergInterop {
     val partTypes: Seq[(String, DataType)] =
       deltaIdentityPartTypes(schema, snap.partitionColumns,
         s"CONVERT of $deltaBase")
+    // mapped adds key partitionValues by PHYSICAL name; the manifests'
+    // partition records key by the spec's (logical) field names
+    val pvLogical: Map[String, String] =
+      snap.partitionColumns.map(c => snap.physicalName(c) -> c).toMap
     val fileSpecs = snap.files.map { f =>
       (PathCodec.absNorm(DeltaInterop.resolveDataFile(deltaBase, f.path)),
-        f.stats, f.partitionValues)
+        f.stats,
+        f.partitionValues.map { case (k, v) =>
+          pvLogical.getOrElse(k, k) -> v })
     }
     // live deletion vectors CARRY: Delta DV ordinals and Iceberg
     // position deletes share one coordinate system (parquet row index),
@@ -4419,7 +4499,9 @@ object IcebergInterop {
     writeConvertedIceberg(spark, dstBase, schema, partTypes, fileSpecs,
       positionDeletes, formatVersion, dvBlobs,
       extraProps = if (trackUniform)
-        Map(Uniform.TrackKey -> snap.version.toString) else Map.empty)
+        Map(Uniform.TrackKey -> snap.version.toString) else Map.empty,
+      idOfOpt = idOfOpt, physNameOf = physOf,
+      omitNameMapping = idMode, lastColumnIdOpt = lastColOpt)
   }
 
   /** Identity partition columns → (name, type), refusing types without
@@ -4456,10 +4538,15 @@ object IcebergInterop {
     *    overwrite) publishes an `overwrite` snapshot over the current
     *    live set, live deletion vectors translated to position deletes
     *    (the shared CONVERT translation — no data file rewritten);
-    *  - Delta ADD COLUMNS / type widening evolve the Iceberg schema in
-    *    the same commit: existing names keep their field ids, new
-    *    names mint past last-column-id, and a same-name type change
-    *    must be an Iceberg-legal promotion.
+    *  - Delta schema changes evolve the Iceberg schema (metadata-only
+    *    when no file moved — Iceberg's own shape). Unmapped tables:
+    *    existing NAMES keep their field ids, new names mint past
+    *    last-column-id. COLUMN-MAPPED tables: the Iceberg field ids
+    *    ARE the mapping ids (both rename-stable), so RENAME and DROP
+    *    mirror too — the name mapping tracks the files' physical
+    *    column names (omitted in id mode, whose files carry the ids
+    *    themselves). A type change must be an Iceberg-legal promotion
+    *    either way.
     * The mirrored Delta version rides in the table properties
     * ([[Uniform.TrackKey]]) and each snapshot's summary; a sync that
     * finds itself current is a no-op, and a lost metadata race
@@ -4477,10 +4564,6 @@ object IcebergInterop {
       val snap =
         if (attempt == 0) preread.getOrElse(DeltaInterop.snapshot(spark, base))
         else DeltaInterop.snapshot(spark, base)
-      require(snap.columnMappingMode == "none",
-        s"UniForm sync of $base: column mapping " +
-        s"'${snap.columnMappingMode}' — the mirror resolves by name " +
-        "mapping and mapped physical names do not carry")
       val enabled = Uniform.enabledFormats(snap)
       require(enabled.forall(_ == "iceberg"),
         s"UniForm sync of $base: enabledFormats " +
@@ -4534,33 +4617,62 @@ object IcebergInterop {
       "definition swap needs a fresh mirror")
     val partTypes = deltaIdentityPartTypes(deltaSchema,
       snap.partitionColumns, s"UniForm sync of $base")
-    // field ids: existing names keep theirs, new names mint past
-    // last-column-id (spec: ids are never reused); a same-name type
-    // change must be a legal promotion so the id keeps carrying the
-    // column
+    val mapped = snap.columnMappingMode != "none"
+    val idMode = snap.columnMappingMode == "id"
+    val physOf: String => String =
+      if (!mapped) identity else snap.physicalName
+    def legalPromotion(from: DataType, to: DataType): Boolean =
+      (from, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.scale == a.scale && b.precision >= a.precision
+        case _ => false
+      }
+    // field ids. Unmapped: existing NAMES keep their ids, new names
+    // mint past last-column-id (spec: ids are never reused) — renames
+    // are impossible unmapped, so name identity is sound. Mapped: the
+    // ids ARE the mapping ids (both rename-stable), so renames and
+    // drops mirror as ordinary schema evolution. A type change must be
+    // a legal promotion either way.
     val curIds: Map[String, Long] = iceSchema.fields.flatMap(f =>
       if (f.metadata.contains("parquet.field.id"))
         Some(f.name -> f.metadata.getLong("parquet.field.id")) else None
     ).toMap
-    iceSchema.fields.foreach { cur =>
+    var lastColId = meta.get("last-column-id").asLong()
+    val assignedIds: Map[String, Long] =
+      if (mapped) {
+        val m = deltaSchema.fields.map(f => f.name ->
+          snap.fieldId(f.name).getOrElse(throw new IllegalStateException(
+            s"UniForm sync of $base: mapped column '${f.name}' lacks " +
+            "delta.columnMapping.id — corrupt metadata (refusing)"))).toMap
+        lastColId = math.max(lastColId, m.values.max)
+        m
+      } else deltaSchema.fields.map { f =>
+        f.name -> curIds.getOrElse(f.name, { lastColId += 1; lastColId })
+      }.toMap
+    if (mapped) {
+      val iceById: Map[Long, StructField] = iceSchema.fields.flatMap(f =>
+        if (f.metadata.contains("parquet.field.id"))
+          Some(f.metadata.getLong("parquet.field.id") -> f) else None).toMap
+      deltaSchema.fields.foreach { d =>
+        iceById.get(assignedIds(d.name))
+          .filter(_.dataType != d.dataType).foreach { cur =>
+            require(legalPromotion(cur.dataType, d.dataType),
+              s"UniForm sync of $base: column '${d.name}' changed " +
+              s"${cur.dataType} -> ${d.dataType}, not an Iceberg-legal " +
+              "type promotion (refusing)")
+          }
+      }
+    } else iceSchema.fields.foreach { cur =>
       deltaSchema.fields.find(_.name == cur.name)
         .filter(_.dataType != cur.dataType).foreach { d =>
-          val legal = (cur.dataType, d.dataType) match {
-            case (IntegerType, LongType) => true
-            case (FloatType, DoubleType) => true
-            case (a: DecimalType, b: DecimalType) =>
-              b.scale == a.scale && b.precision >= a.precision
-            case _ => false
-          }
-          require(legal, s"UniForm sync of $base: column '${cur.name}' " +
-            s"changed ${cur.dataType} -> ${d.dataType}, not an " +
-            "Iceberg-legal type promotion (refusing)")
+          require(legalPromotion(cur.dataType, d.dataType),
+            s"UniForm sync of $base: column '${cur.name}' changed " +
+            s"${cur.dataType} -> ${d.dataType}, not an Iceberg-legal " +
+            "type promotion (refusing)")
         }
     }
-    var lastColId = meta.get("last-column-id").asLong()
-    val assignedIds: Map[String, Long] = deltaSchema.fields.map { f =>
-      f.name -> curIds.getOrElse(f.name, { lastColId += 1; lastColId })
-    }.toMap
     val idOf: String => Long = n => assignedIds.getOrElse(n,
       throw new IllegalArgumentException(
         s"no field '$n' in ${deltaSchema.fieldNames.mkString(",")}"))
@@ -4582,11 +4694,61 @@ object IcebergInterop {
     val prevPaths: Set[String] = prevDelta.map(_.files.map(f =>
       PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path))).toSet)
       .getOrElse(Set.empty)
-    val appendOnly = !schemaChanged && prevDelta.exists(_.files.forall { f =>
+    val filesCarried = prevDelta.exists(_.files.forall { f =>
       val abs = PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path))
       newByPath.get(abs).contains(dvKeyOf(f))
     })
+    val appendOnly = !schemaChanged && filesCarried
     val added = newFiles.filter { case (_, abs) => !prevPaths.contains(abs) }
+    // mapped adds key partitionValues by PHYSICAL name; the manifests'
+    // partition records key by the spec's (logical) field names
+    val pvLogical: Map[String, String] =
+      snap.partitionColumns.map(c => snap.physicalName(c) -> c).toMap
+    def specOf(f: DeltaInterop.AddFile, abs: String) =
+      (abs, f.stats,
+        f.partitionValues.map { case (k, v) =>
+          pvLogical.getOrElse(k, k) -> v })
+    // the evolved-schema publisher, shared by the metadata-only path
+    // (a pure Delta rename/widen/mapping upgrade — no snapshot needed)
+    // and the snapshot path
+    def attachEvolvedSchema(
+        root: com.fasterxml.jackson.databind.node.ObjectNode): Int = {
+      val ss = root.get("schemas")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val newSid = (0 until ss.size())
+        .map(ss.get(_).get("schema-id").asInt()).max + 1
+      ss.add(schemaNodeWith(deltaSchema, idOf, newSid))
+      root.put("current-schema-id", newSid)
+      root.put("last-column-id", lastColId)
+      if (!idMode) {
+        // refresh the name mapping — the files resolve by their
+        // physical column names (logical names when unmapped)
+        val nm = mapper.createArrayNode()
+        deltaSchema.fields.foreach { f =>
+          val e = nm.addObject()
+          e.put("field-id", idOf(f.name))
+          e.putArray("names").add(physOf(f.name))
+        }
+        root.get("properties")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("schema.name-mapping.default",
+            mapper.writeValueAsString(nm))
+      }
+      newSid
+    }
+    if (schemaChanged && filesCarried && added.isEmpty) {
+      // metadata-only Delta change: evolve the mirror schema WITHOUT a
+      // snapshot (Iceberg's own shape for schema evolution)
+      val root = meta.deepCopy()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      attachEvolvedSchema(root)
+      root.get("properties")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put(Uniform.TrackKey, snap.version.toString)
+      root.put("last-updated-ms", clock())
+      commitMetadataVersion(base, root, uniformManaged = true)
+      return meta.get("current-snapshot-id").asLong()
+    }
     val fastPath = appendOnly &&
       added.forall(_._1.dv.forall(_.cardinality == 0))
     val id = UUID.randomUUID().toString
@@ -4594,17 +4756,17 @@ object IcebergInterop {
     val newSeq = meta.get("last-sequence-number").asLong() + 1
     val (mlRefs, op) =
       if (fastPath) {
-        val specs = added.map { case (f, abs) =>
-          (abs, f.stats, f.partitionValues) }
+        val specs = added.map { case (f, abs) => specOf(f, abs) }
         val (mFile, _) = writeConvertManifest(spark, metaDir,
-          deltaSchema, partTypes, idOf, specs, newSnapId, id)
+          deltaSchema, partTypes, idOf, specs, newSnapId, id,
+          statsNameOf = physOf)
         (currentManifests(base, meta) :+
           ManifestRef(mFile, 0, newSeq, newSnapId, specId), "append")
       } else {
-        val specs = newFiles.map { case (f, abs) =>
-          (abs, f.stats, f.partitionValues) }
+        val specs = newFiles.map { case (f, abs) => specOf(f, abs) }
         val (mFile, _) = writeConvertManifest(spark, metaDir,
-          deltaSchema, partTypes, idOf, specs, newSnapId, id)
+          deltaSchema, partTypes, idOf, specs, newSnapId, id,
+          statsNameOf = physOf)
         val positionDeletes = snap.files
           .filter(_.dv.exists(_.cardinality > 0)).map { f =>
             (PathCodec.absNorm(DeltaInterop.resolveDataFile(base, f.path)),
@@ -4626,35 +4788,7 @@ object IcebergInterop {
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val schemaIdUsed =
       if (!schemaChanged) meta.get("current-schema-id").asInt()
-      else {
-        val ss = root.get("schemas")
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-        val newSid = (0 until ss.size())
-          .map(ss.get(_).get("schema-id").asInt()).max + 1
-        val node = mapper.createObjectNode()
-        node.put("type", "struct"); node.put("schema-id", newSid)
-        val fieldsArr = node.putArray("fields")
-        deltaSchema.fields.foreach { f =>
-          val fn = fieldsArr.addObject()
-          fn.put("id", idOf(f.name)); fn.put("name", f.name)
-          fn.put("required", !f.nullable)
-          fn.put("type", sparkTypeToIceberg(f.dataType))
-        }
-        ss.add(node)
-        root.put("current-schema-id", newSid)
-        root.put("last-column-id", lastColId)
-        // refresh the name mapping — the Delta files carry no parquet
-        // field ids, so readers resolve the mirror by name
-        val nm = mapper.createArrayNode()
-        deltaSchema.fields.foreach { f =>
-          val e = nm.addObject()
-          e.put("field-id", idOf(f.name))
-          e.putArray("names").add(f.name)
-        }
-        propsNode.put("schema.name-mapping.default",
-          mapper.writeValueAsString(nm))
-        newSid
-      }
+      else attachEvolvedSchema(root)
     propsNode.put(Uniform.TrackKey, snap.version.toString)
     val parentId = meta.get("current-snapshot-id").asLong()
     val snapsArr = root.get("snapshots")
@@ -4716,7 +4850,15 @@ object IcebergInterop {
       positionDeletes: Seq[(String, Seq[Long])] = Seq.empty,
       formatVersion: Int = 2,
       dvBlobs: Seq[(String, Array[Byte], Long)] = Seq.empty,
-      extraProps: Map[String, String] = Map.empty): Long = {
+      extraProps: Map[String, String] = Map.empty,
+      // column-mapped Delta sources: field ids = the mapping ids
+      // (stable across renames), stats/file columns under PHYSICAL
+      // names; id-mode files carry the ids themselves so the name
+      // mapping is omitted entirely
+      idOfOpt: Option[String => Long] = None,
+      physNameOf: String => String = identity,
+      omitNameMapping: Boolean = false,
+      lastColumnIdOpt: Option[Long] = None): Long = {
     require(formatVersion == 2 || formatVersion == 3,
       s"format-version $formatVersion (this writer speaks 2 and 3)")
     require(dvBlobs.isEmpty || formatVersion == 3,
@@ -4726,12 +4868,13 @@ object IcebergInterop {
     val metaDir = metadataDir(dstBase)
     require(!io.exists(TableIO.join(metaDir, "version-hint.text")),
       s"convert target is already an Iceberg table: $dstBase")
-    val idOf = positionalIdOf(schema)
+    val idOf = idOfOpt.getOrElse(positionalIdOf(schema))
     io.mkdirs(metaDir)
     val id = UUID.randomUUID().toString
     val snapshotId = 1L
     val (mFile, totalRecords) = writeConvertManifest(spark, metaDir,
-      schema, partTypes, idOf, files, snapshotId, id)
+      schema, partTypes, idOf, files, snapshotId, id,
+      statsNameOf = physNameOf)
     // v3 targets: the source's deletion vectors carry as ONE puffin
     // file, each blob's bytes VERBATIM (the Delta frame is already a
     // puffin deletion-vector-v1 blob — see Puffin's scaladoc), plus a
@@ -4781,25 +4924,30 @@ object IcebergInterop {
     if (formatVersion >= 3) root.put("next-row-id", totalRecords)
     root.put("table-uuid", UUID.randomUUID().toString)
     root.put("location", dstBase)
-    // the converted files carry NO parquet field ids (Delta writes
-    // none) — record the spec's name mapping so readers resolve BY
-    // NAME (spec §Name Mapping Serialization); snapshot() honors it
-    val nm = mapper.createArrayNode()
-    schema.fields.foreach { f =>
-      val e = nm.addObject()
-      e.put("field-id", idOf(f.name))
-      e.putArray("names").add(f.name)
-    }
     val propsNode = root.putObject("properties")
-    propsNode.put("schema.name-mapping.default",
-      mapper.writeValueAsString(nm))
+    if (!omitNameMapping) {
+      // unless the files carry parquet field ids themselves (id-mode
+      // Delta sources), record the spec's name mapping so readers
+      // resolve by the files' COLUMN NAMES — the source's physical
+      // names for mapped tables, the logical names otherwise (spec
+      // §Name Mapping Serialization); snapshot() honors it
+      val nm = mapper.createArrayNode()
+      schema.fields.foreach { f =>
+        val e = nm.addObject()
+        e.put("field-id", idOf(f.name))
+        e.putArray("names").add(physNameOf(f.name))
+      }
+      propsNode.put("schema.name-mapping.default",
+        mapper.writeValueAsString(nm))
+    }
     extraProps.toSeq.sortBy(_._1).foreach { case (k, v) =>
       propsNode.put(k, v) }
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", clock())
-    root.put("last-column-id", schema.size)
+    root.put("last-column-id",
+      lastColumnIdOpt.getOrElse(schema.size.toLong))
     root.put("current-schema-id", 0)
-    root.putArray("schemas").add(schemaNode(schema))
+    root.putArray("schemas").add(schemaNodeWith(schema, idOf, 0))
     root.put("default-spec-id", 0)
     val spec0 = root.putArray("partition-specs").addObject()
     spec0.put("spec-id", 0)

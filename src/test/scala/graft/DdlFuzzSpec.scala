@@ -98,12 +98,12 @@ class DdlFuzzSpec extends SparkSpec {
     locally {
       val (df, rows) = insertFrame(5)
       DeltaInterop.overwrite(df, dbase)
-      if (withUniform)
-        // the UNIFORM dimension: the Delta leg carries an Iceberg
-        // mirror that must equal the table after EVERY op. Mirrors
-        // refuse column mapping, so rename/drop remap to inserts below
-        graft.sources.Uniform.enable(spark, dbase)
-      else DeltaInterop.enableColumnMapping(spark, dbase) // rename/drop need it
+      DeltaInterop.enableColumnMapping(spark, dbase) // rename/drop need it
+      // the UNIFORM dimension: the Delta leg carries an Iceberg mirror
+      // that must equal the table after EVERY op — the MAPPED table's
+      // mirror binds Iceberg field ids to the mapping ids, so the full
+      // op mix (rename/drop/promotion included) mirrors
+      if (withUniform) graft.sources.Uniform.enable(spark, dbase)
       IcebergInterop.overwrite(df.coalesce(1), ibase,
         formatVersion = if (icebergV3) 3 else 2)
       GraftLog.overwrite(df, lbase)
@@ -121,14 +121,7 @@ class DdlFuzzSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { opIdx =>
-      val drawn = rnd.nextInt(10)
-      // uniform mirrors refuse mapped Delta, so rename/drop remap to
-      // inserts there; the ICEBERG-primary mirror handles id-based
-      // evolution (id-mapped Delta mirror) and keeps the full op mix
-      val kind =
-        if (withUniform && (drawn == 2 || drawn == 3)) 0
-        else drawn
-      kind match {
+      rnd.nextInt(10) match {
         case 8 => // SUBQUERY DELETE: k [NOT] IN (key frame)
           val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
           val negated = rnd.nextBoolean()

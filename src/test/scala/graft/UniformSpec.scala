@@ -136,10 +136,48 @@ class UniformSpec extends SparkSpec {
     val e3 = intercept[IllegalStateException](
       IcebergInterop.rollbackTo(base, 1L))
     assert(e3.getMessage.contains("read-only"))
-    // and enabling column mapping on the Delta side refuses too
-    val e4 = intercept[IllegalArgumentException](
-      DeltaInterop.enableColumnMapping(spark, base))
-    assert(e4.getMessage.contains("UniForm"))
+  }
+
+  test("mapped UniForm: RENAME and DROP mirror via the mapping ids") {
+    val base = freshBase("mapped")
+    DeltaInterop.overwrite((0L until 60L).map(k => (k, k * 2, s"t$k"))
+      .toDF("id", "v", "tag").coalesce(1), base)
+    DeltaInterop.enableColumnMapping(spark, base)
+    Uniform.enable(spark, base)
+    val idBefore = {
+      val m = meta(base); val fs = m.get("schemas").get(0).get("fields")
+      (0 until fs.size()).map(fs.get)
+        .find(_.get("name").asText() == "v").get.get("id").asInt()
+    }
+    // rename is metadata-only on BOTH sides: the mirror keeps the
+    // field id (= the Delta mapping id) and publishes no snapshot
+    val snapBefore = meta(base).get("current-snapshot-id").asLong()
+    DeltaInterop.renameColumn(spark, base, "v", "score")
+    Uniform.sync(spark, base)
+    val m1 = meta(base)
+    assert(m1.get("current-snapshot-id").asLong() == snapBefore,
+      "a pure rename must not publish a snapshot")
+    val curSid = m1.get("current-schema-id").asInt()
+    val fields1 = {
+      val ss = m1.get("schemas")
+      (0 until ss.size()).map(ss.get)
+        .find(_.get("schema-id").asInt() == curSid).get.get("fields")
+    }
+    val byName = (0 until fields1.size()).map(fields1.get)
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    assert(byName("score") == idBefore) // the id carried the rename
+    // old files resolve through the name mapping (physical name 'v')
+    assert(IcebergInterop.read(spark, base).agg(sum("score"))
+      .head().getLong(0) == (0L until 60L).map(_ * 2).sum)
+    // DROP retires the column; appends under the new shape mirror
+    DeltaInterop.dropColumns(spark, base, Seq("tag"))
+    DeltaInterop.append((60L until 70L).map(k => (k, k * 2))
+      .toDF("id", "score").coalesce(1), base)
+    Uniform.sync(spark, base)
+    val got = IcebergInterop.read(spark, base)
+    assert(got.columns.toSeq == Seq("id", "score"))
+    assert(got.agg(sum("score")).head().getLong(0)
+      == (0L until 70L).map(_ * 2).sum)
   }
 
   test("Delta ADD COLUMNS evolves the mirror schema; field ids stable") {
