@@ -1227,9 +1227,11 @@ object DeltaInterop {
       throw new java.util.ConcurrentModificationException(
         s"delta commit $version already exists in $base")
     // UniForm hook: mark the base so the statement layer's drain can
-    // republish the Iceberg mirror (a cheap set-add for every table;
-    // the drain skips non-uniform bases after one version probe)
-    Uniform.markDirty(base)
+    // republish the Iceberg mirror. Only a metaData-carrying commit
+    // can flip the uniform property, so the drain skips
+    // known-not-uniform bases with zero I/O on plain data commits.
+    Uniform.markDirty(base,
+      metaChanged = lines.exists(_.contains("\"metaData\"")))
   }
 
   /** add/remove.path resolution (protocol §Add File and Remove File):

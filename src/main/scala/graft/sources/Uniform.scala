@@ -66,9 +66,19 @@ object Uniform {
   // uniform-enabled get one log-replay per new version, never a sync)
   private val seen =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // cached enablement per base: only a metaData-carrying commit can
+  // flip the property, so plain data commits on a known-not-uniform
+  // table drain with ZERO I/O (a full log replay per statement per
+  // committed table measurably taxed the bench's DML fixtures)
+  private val enabledCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private[sources] def markDirty(base: String): Unit =
-    dirty.add(PathCodec.absNorm(base))
+  private[sources] def markDirty(base: String,
+                                 metaChanged: Boolean = true): Unit = {
+    val key = PathCodec.absNorm(base)
+    if (metaChanged) enabledCache.remove(key)
+    dirty.add(key)
+  }
 
   // last sync failure per base — the drain must NOT fail the
   // statement that triggered it (the Delta commit is already durable;
@@ -93,14 +103,19 @@ object Uniform {
     while (it.hasNext) {
       val base = it.next(); it.remove()
       try {
-        val head = DeltaInterop.currentVersion(base).getOrElse(-1L)
-        val last = seen.get(base)
-        if (head >= 0 && (last == null || last.longValue != head)) {
-          val snap = DeltaInterop.snapshot(spark, base)
-          if (isEnabled(snap))
-            IcebergInterop.syncUniformFromDelta(spark, base, Some(snap))
-          seen.put(base, snap.version)
-          syncErrors.remove(base)
+        val known = enabledCache.get(base)
+        if (known == null || known.booleanValue) {
+          val head = DeltaInterop.currentVersion(base).getOrElse(-1L)
+          val last = seen.get(base)
+          if (head >= 0 && (last == null || last.longValue != head)) {
+            val snap = DeltaInterop.snapshot(spark, base)
+            val on = isEnabled(snap)
+            enabledCache.put(base, java.lang.Boolean.valueOf(on))
+            if (on)
+              IcebergInterop.syncUniformFromDelta(spark, base, Some(snap))
+            seen.put(base, snap.version)
+            syncErrors.remove(base)
+          }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
