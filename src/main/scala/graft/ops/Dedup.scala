@@ -125,9 +125,13 @@ object Dedup {
   def minhashPortablePairs(docs: DataFrame, id: Column, text: Column,
                            bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val sigs = portableBandSigs(docs, id, text, bands, shingleN)
-      // persisted so the self-join's two sides don't recompute the
-      // shingling (profiled 5.5 s → ~1 s at sf0.1)
-      .persist()
+      // materialized so the self-join's two sides don't recompute the
+      // shingling (profiled 5.5 s → ~1 s at sf0.1). localCheckpoint,
+      // NOT persist(): the result is returned lazily so there is no
+      // place to unpersist, and CacheManager entries pin blocks until
+      // explicit unpersist — checkpoint blocks are GC-reclaimed with
+      // the plan, so long-lived sessions don't accumulate cache
+      .localCheckpoint()
     sigs.as("a").join(sigs.as("c"),
       col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
         col("a.doc_id") < col("c.doc_id"))
@@ -183,8 +187,10 @@ object Dedup {
                         shingleN: Int = 3): DataFrame = {
     val sigs = portableBandSigs(incoming, id, text, bands, shingleN)
       // feeds the corpus semi-join AND both sides of the in-batch
-      // self-join — unpersisted, the shingling runs three times
-      .persist()
+      // self-join — unmaterialized, the shingling runs three times.
+      // localCheckpoint over persist() for the same GC-reclaim reason
+      // as minhashPortablePairs (lazy return, nowhere to unpersist)
+      .localCheckpoint()
     val corpusHit = sigs
       .join(index.select(col("b"), col("sig")), Seq("b", "sig"), "left_semi")
       .select(col("doc_id"))

@@ -2391,9 +2391,16 @@ object DeltaInterop {
     // a UniForm table's Iceberg mirror lives beside the log under
     // `metadata/` (+ translated delete parquets under `data/`) — those
     // files are live to ICEBERG readers but invisible to the Delta
-    // log, so the walk must never enter the mirror directories
+    // log, so the walk must never enter the mirror directories. Keyed
+    // on the mirror's ON-DISK presence (version-hint.text), not the
+    // current UniForm property: disabling UniForm leaves the old
+    // mirror beside the table, and a walk into it would delete
+    // manifests piecemeal as they age — corrupting the table for any
+    // Iceberg reader still pointed at the base.
+    val mirrorOnDisk = io.exists(TableIO.join(
+      TableIO.join(root, "metadata"), "version-hint.text"))
     val mirrorDirs: Set[String] =
-      if (Uniform.isEnabled(snap))
+      if (Uniform.isEnabled(snap) || mirrorOnDisk)
         Set(TableIO.join(root, "metadata"), TableIO.join(root, "data"))
           .map(PathCodec.absNorm)
       else Set.empty
@@ -3173,12 +3180,23 @@ object DeltaInterop {
     val curIce = IcebergInterop.resolveRef(base, "main")
     if (currentVersion(base).isEmpty) {
       io.mkdirs(logDir(base))
-      io.writeString(TableIO.join(logDir(base), mirrorMarkerName), "iceberg")
-      return convertFromIceberg(spark, base, base,
-        configuration = Map(MirrorTrackKey -> curIce.toString,
-          MirrorFieldsKey ->
-            mirrorFieldsJson(IcebergInterop.currentSparkSchema(base))),
-        mirror = true)
+      // the marker precedes commit 0 so Delta writers refuse for the
+      // whole conversion window, but a FAILED convert (equality
+      // deletes, unsupported type) must not leave it beside an empty
+      // log — that would poison every later Delta write AND Iceberg
+      // maintenance (expireSnapshots pre-syncs mirrors) until someone
+      // hand-deletes the file
+      val marker = TableIO.join(logDir(base), mirrorMarkerName)
+      io.writeString(marker, "iceberg")
+      try {
+        return convertFromIceberg(spark, base, base,
+          configuration = Map(MirrorTrackKey -> curIce.toString,
+            MirrorFieldsKey ->
+              mirrorFieldsJson(IcebergInterop.currentSparkSchema(base))),
+          mirror = true)
+      } catch {
+        case t: Throwable => io.delete(marker); throw t
+      }
     }
     val snap = snapshot(spark, base)
     val tracked = snap.configuration.get(MirrorTrackKey).map(_.toLong)
@@ -3276,11 +3294,16 @@ object DeltaInterop {
           .putString("delta.columnMapping.physicalName", f.name)
           .build())
       })
+    // maxColumnId must NEVER decrease (Delta spec invariant external
+    // readers validate) — after the Iceberg side drops its highest-id
+    // column, max(current ids) alone would regress it
+    val prevMaxColId = snap.configuration
+      .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
     val mappingCfg: Map[String, String] =
       if (!mapped) Map.empty
       else Map("delta.columnMapping.mode" -> "id",
         "delta.columnMapping.maxColumnId" ->
-          newFields.map(_._1).max.toString)
+          math.max(newFields.map(_._1).max, prevMaxColId).toString)
     // live-state diff on (path, deleted-positions digest)
     val prevByPath: Map[String, AddFile] =
       snap.files.map(f => f.path -> f).toMap

@@ -4749,6 +4749,20 @@ object IcebergInterop {
       commitMetadataVersion(base, root, uniformManaged = true)
       return meta.get("current-snapshot-id").asLong()
     }
+    if (appendOnly && added.isEmpty) {
+      // property-only Delta commit (SET TBLPROPERTIES, CLUSTER BY, …):
+      // no file, DV or schema change — advance the track key via a
+      // metadata-only version instead of publishing an empty append
+      // snapshot (one per property commit is pointless manifest churn)
+      val root = meta.deepCopy()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.get("properties")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put(Uniform.TrackKey, snap.version.toString)
+      root.put("last-updated-ms", clock())
+      commitMetadataVersion(base, root, uniformManaged = true)
+      return meta.get("current-snapshot-id").asLong()
+    }
     val fastPath = appendOnly &&
       added.forall(_._1.dv.forall(_.cardinality == 0))
     val id = UUID.randomUUID().toString

@@ -216,6 +216,48 @@ class DeltaMirrorSpec extends SparkSpec {
            sortedRows(IcebergInterop.read(spark, base)))
   }
 
+  test("a failed initial convert leaves no mirror marker behind") {
+    val base = freshBase("failconv")
+    IcebergInterop.overwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").coalesce(1), base)
+    IcebergInterop.addEqualityDeletes(spark, base,
+      Seq((2L, "b")).toDF("k", "s"), Seq("k"))
+    // live equality deletes have no Delta encoding — enable refuses,
+    // and the refusal must NOT leave the read-only marker beside an
+    // empty log (that would poison Delta writes and Iceberg
+    // maintenance forever)
+    val e = intercept[IllegalArgumentException](DeltaMirror.enable(spark, base))
+    assert(e.getMessage.contains("equality deletes"))
+    assert(!DeltaMirror.isMirror(base))
+    // the refusal isn't sticky: positionalize and retry succeeds
+    IcebergInterop.positionalizeEqualityDeletes(spark, base)
+    DeltaMirror.enable(spark, base)
+    assert(DeltaMirror.isMirror(base))
+    assert(sortedRows(DeltaInterop.read(spark, base)) ==
+           sortedRows(IcebergInterop.read(spark, base)))
+    assert(DeltaInterop.read(spark, base).count() == 2L)
+  }
+
+  test("mirror maxColumnId never decreases when the highest-id column drops") {
+    val base = freshBase("maxcol")
+    IcebergInterop.overwrite((0L until 20L).map(k => (k, k * 2, s"t$k"))
+      .toDF("id", "v", "tag").coalesce(1), base)
+    DeltaMirror.enable(spark, base)
+    IcebergInterop.renameColumn(base, "v", "score") // forces id-mapping
+    DeltaMirror.sync(spark, base)
+    val m1 = DeltaInterop.snapshot(spark, base)
+      .configuration("delta.columnMapping.maxColumnId").toLong
+    assert(m1 == 3L) // fields id/score/tag = ids 1/2/3
+    // dropping the HIGHEST-id column must not regress maxColumnId —
+    // Delta spec invariant external readers validate
+    IcebergInterop.dropColumn(spark, base, "tag")
+    DeltaMirror.sync(spark, base)
+    val m2 = DeltaInterop.snapshot(spark, base)
+      .configuration("delta.columnMapping.maxColumnId").toLong
+    assert(m2 == m1)
+    assert(DeltaInterop.read(spark, base).columns.toSeq == Seq("id", "score"))
+  }
+
   test("a foreign Delta log at the base refuses the mirror sync") {
     val base = freshBase("foreign")
     IcebergInterop.overwrite((0L until 10L).toDF("id"), base)

@@ -324,4 +324,43 @@ class UniformSpec extends SparkSpec {
     assert(Uniform.lastSyncError(base)
       .exists(_.getMessage.contains("NOT managed")))
   }
+
+  test("a property-only Delta commit advances the track key without a snapshot") {
+    val base = freshBase("proponly")
+    DeltaInterop.overwrite((0L until 30L).toDF("id").coalesce(1), base)
+    Uniform.enable(spark, base)
+    val snapsBefore = IcebergInterop.snapshotIds(base).size
+    val manifestsBefore = new File(base, "metadata").list()
+      .count(_.startsWith("manifest-"))
+    val v = DeltaInterop.setProperties(spark, base,
+      Map("graft.test.note" -> "x"))
+    Uniform.sync(spark, base)
+    // tracked, but via a metadata-only version — no empty append
+    // snapshot, no empty manifest
+    assert(trackedVersion(base) == v)
+    assert(IcebergInterop.snapshotIds(base).size == snapsBefore)
+    assert(new File(base, "metadata").list()
+      .count(_.startsWith("manifest-")) == manifestsBefore)
+    assert(IcebergInterop.read(spark, base).count() == 30L)
+  }
+
+  test("VACUUM never enters a stale mirror after UniForm is disabled") {
+    val base = freshBase("vacstale")
+    DeltaInterop.overwrite((0L until 50L).toDF("id").coalesce(1), base)
+    Uniform.enable(spark, base)
+    // a full rewrite tombstones the original files — bait for vacuum
+    DeltaInterop.overwrite((50L until 100L).toDF("id").coalesce(1), base)
+    Uniform.sync(spark, base)
+    val mirrorFiles = new File(base, "metadata").list().toSet
+    // disable UniForm: the property goes away but the mirror stays on
+    // disk — vacuum must STILL refuse to walk metadata/ and data/, or
+    // it deletes manifests piecemeal and corrupts the abandoned mirror
+    DeltaInterop.setProperties(spark, base, Map(Uniform.PropKey -> ""))
+    val reclaimed = DeltaInterop.vacuum(spark, base, retainMillis = 0L)
+    assert(!reclaimed.exists(p =>
+      p.startsWith("metadata/") || p.startsWith("data/")))
+    assert(new File(base, "metadata").list().toSet == mirrorFiles)
+    // the (stale but uncorrupted) mirror still reads its last sync
+    assert(IcebergInterop.read(spark, base).count() == 50L)
+  }
 }
