@@ -2366,28 +2366,6 @@ object DeltaInterop {
       Seq(data) ++ dvBin
     }.toSet
     val cutoff = System.currentTimeMillis() - retainMillis
-    // Retention clocks from the TOMBSTONING commit (Delta's
-    // deletionTimestamp contract — here the commit file's mtime, the
-    // same clock time travel uses), NOT from the data file's own mtime:
-    // a file written long ago but removed a minute ago must survive the
-    // retention window so time travel / RESTORE inside it keep working.
-    // Orphans (never logged) fall back to their own mtime.
-    val tombstonedAt = mutable.HashMap.empty[String, Long]
-    io.list(logDir(base)).filter(CommitName.matches).sorted
-      .foreach { cfName =>
-        val cf = TableIO.join(logDir(base), cfName)
-        io.readLines(cf).foreach { line =>
-          if (line.nonEmpty) {
-            val n = mapper.readTree(line)
-            Option(n.get("remove")).foreach { r =>
-              val p = PathCodec.absNorm(resolveDataFile(base,
-                r.get("path").asText()))
-              tombstonedAt(p) = io.lastModified(cf) // latest remove wins
-            }
-          }
-        }
-      }
-    val deleted = mutable.ArrayBuffer.empty[String]
     // a UniForm table's Iceberg mirror lives beside the log under
     // `metadata/` (+ translated delete parquets under `data/`) — those
     // files are live to ICEBERG readers but invisible to the Delta
@@ -2404,6 +2382,48 @@ object DeltaInterop {
         Set(TableIO.join(root, "metadata"), TableIO.join(root, "data"))
           .map(PathCodec.absNorm)
       else Set.empty
+    val commitFiles: Seq[String] =
+      io.list(logDir(base)).filter(CommitName.matches).sorted
+        .map(TableIO.join(logDir(base), _))
+    val deleted: Seq[String] =
+      if (snap.files.size < GcListing.fanoutThreshold(spark))
+        vacuumDriverWalk(base, root, live, commitFiles, mirrorDirs,
+          cutoff, dryRun)
+      else
+        vacuumFanout(spark, base, root, live, commitFiles, mirrorDirs,
+          cutoff, dryRun)
+    // drop now-empty partition directories (cosmetic, like Delta) —
+    // bounded by the dirs that actually lost files, never a re-walk
+    if (!dryRun) pruneEmptyParents(root, deleted)
+    deleted.sorted
+  }
+
+  /** The small-table VACUUM fast path: one driver recursion, deleting
+    * as it walks. Retention clocks from the TOMBSTONING commit (Delta's
+    * deletionTimestamp contract — here the commit file's mtime, the
+    * same clock time travel uses), NOT from the data file's own mtime:
+    * a file written long ago but removed a minute ago must survive the
+    * retention window so time travel / RESTORE inside it keep working.
+    * Orphans (never logged) fall back to their own mtime. */
+  private def vacuumDriverWalk(base: String, root: String,
+                               live: Set[String],
+                               commitFiles: Seq[String],
+                               mirrorDirs: Set[String], cutoff: Long,
+                               dryRun: Boolean): Seq[String] = {
+    val tombstonedAt = mutable.HashMap.empty[String, Long]
+    commitFiles.foreach { cf =>
+      io.readLines(cf).foreach { line =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          Option(n.get("remove")).foreach { r =>
+            val p = PathCodec.absNorm(resolveDataFile(base,
+              r.get("path").asText()))
+            tombstonedAt(p) = io.lastModified(cf) // latest remove wins
+          }
+        }
+      }
+    }
+    val deleted = mutable.ArrayBuffer.empty[String]
     def walk(d: String): Unit =
       io.list(d).foreach { name =>
         val f = TableIO.join(d, name)
@@ -2420,17 +2440,73 @@ object DeltaInterop {
         }
       }
     walk(root)
-    // drop now-empty partition directories (cosmetic, like Delta)
-    def prune(d: String): Boolean = {
-      val kids = io.list(d)
-      val allGone = kids.forall(k =>
-        io.isDirectory(TableIO.join(d, k)) && prune(TableIO.join(d, k)))
-      val name = d.split("/").last
-      if (allGone && d != root && !name.startsWith("_") &&
-          !name.startsWith(".")) io.delete(d) else false
-    }
-    if (!dryRun) prune(root)
-    deleted.toSeq.sorted
+    deleted.toSeq
+  }
+
+  /** The at-scale VACUUM path: listing, tombstone extraction, the
+    * live-set diff and the deletes all run as Spark jobs. At 10⁶–10⁷
+    * files the driver never holds the candidate list (only the live
+    * set, which the snapshot it already replayed pins anyway) and
+    * never serializes a root walk — orphans fall out of a distributed
+    * anti-join, delta-spark's own VACUUM shape. Semantics identical to
+    * [[vacuumDriverWalk]] (same retention clocks, same skip rules);
+    * GcScaleSpec pins dry-run list equality between the two. */
+  private def vacuumFanout(spark: SparkSession, base: String, root: String,
+                           live: Set[String], commitFiles: Seq[String],
+                           mirrorDirs: Set[String], cutoff: Long,
+                           dryRun: Boolean): Seq[String] = {
+    import spark.implicits._
+    val b = base
+    // (path, commit version, commit mtime): the driver walk applies
+    // removes in ascending version order, so "latest remove wins" ==
+    // max-by-version here
+    val tomb = spark.createDataset(
+        commitFiles.map(cf => (cf, cf.split('/').last
+          .takeWhile(_ != '.').toLong)))
+      .repartition(math.max(1, math.min(commitFiles.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { case (cf, v) =>
+        val eio = TableIO()
+        val m = eio.lastModified(cf)
+        eio.readLines(cf).filter(_.nonEmpty).flatMap { line =>
+          val n = mapper.readTree(line)
+          Option(n.get("remove")).map(r => (PathCodec.absNorm(
+            resolveDataFile(b, r.get("path").asText())), v, m))
+        }
+      }.toDF("p", "v", "tm")
+      .groupBy("p").agg(max(struct(col("v"), col("tm"))).as("x"))
+      .select(col("p"), col("x.tm").as("tm"))
+    val cand = GcListing.listFiles(spark, root, mirrorDirs,
+      skipHidden = true).toDF("p", "fm")
+    val liveDs = live.toSeq.toDF("p")
+    val dead = cand
+      .join(liveDs, Seq("p"), "left_anti")
+      .join(tomb, Seq("p"), "left_outer")
+      .where(coalesce(col("tm"), col("fm")) <= lit(cutoff))
+      .select(col("p")).as[String]
+    GcListing.reap(spark, root, dead, dryRun)
+  }
+
+  /** Remove directories emptied by a vacuum (cosmetic, like Delta):
+    * bottom-up from the parents of the deleted files only — never a
+    * fresh recursive walk, so the cost tracks the reclaim, not the
+    * table. `delete` on a non-empty dir fails harmlessly, which makes
+    * re-checking a parent after each pruned child safe. */
+  private def pruneEmptyParents(root: String, deletedRel: Seq[String]): Unit = {
+    def tryPrune(relDir: String): Unit =
+      if (relDir.nonEmpty) {
+        val name = relDir.split('/').last
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+            io.list(TableIO.join(root, relDir)).isEmpty &&
+            io.delete(TableIO.join(root, relDir))) {
+          val i = relDir.lastIndexOf('/')
+          if (i > 0) tryPrune(relDir.take(i))
+        }
+      }
+    deletedRel.flatMap { rel =>
+      val i = rel.lastIndexOf('/')
+      if (i <= 0) None else Some(rel.take(i))
+    }.distinct.sortBy(-_.count(_ == '/')).foreach(tryPrune)
   }
 
   /** Schema evolution: ADD COLUMN(s), exactly as Delta's `ALTER TABLE

@@ -3563,6 +3563,19 @@ object IcebergInterop {
     * cost proportional to file COUNT, never data bytes. Returns
     * deleted paths (table-relative where possible). */
   /** `dryRun`: list the orphans, delete nothing. */
+  /** Manifest-list paths of every snapshot recorded in one metadata
+    * version — object-level (NOT a local def) so the GC fan-out's
+    * executor closure stays statically linked instead of capturing
+    * the module. */
+  private def manifestListPathsOf(base: String, mjName: String): Seq[String] = {
+    val meta = mapper.readTree(
+      TableIO().readString(TableIO.join(metadataDir(base), mjName)))
+    Option(meta.get("snapshots")).map(s => (0 until s.size()).map(s.get)
+      .map(x => PathCodec.absNorm(
+        resolvePath(base, x.get("manifest-list").asText()))).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
   def removeOrphanFiles(spark: SparkSession, base: String,
                         olderThanMs: Option[Long] = None,
                         dryRun: Boolean = false): Seq[String] = {
@@ -3571,46 +3584,115 @@ object IcebergInterop {
       s"not an Iceberg table (no version hint): $base")
     val cutoff = olderThanMs.getOrElse(clock() - 3L * 24 * 3600 * 1000)
     val metaJsons = io.list(metaDir).filter(_.endsWith(".metadata.json"))
-    val reachable = scala.collection.mutable.Set[String]()
-    reachable += PathCodec.absNorm(
-      TableIO.join(metaDir, "version-hint.text"))
-    metaJsons.foreach { mjName =>
-      val mj = TableIO.join(metaDir, mjName)
-      reachable += PathCodec.absNorm(mj)
-      val meta = mapper.readTree(io.readString(mj))
-      val snaps = Option(meta.get("snapshots"))
-      val all = snaps.map(s => (0 until s.size()).map(s.get)).getOrElse(Seq.empty)
-      all.foreach { s =>
-        val ml = resolvePath(base, s.get("manifest-list").asText())
-        reachable += PathCodec.absNorm(ml)
-        if (io.exists(ml)) readAvro(ml).foreach { m =>
-          val mf = resolvePath(base, m.get("manifest_path").toString)
-          reachable += PathCodec.absNorm(mf)
-          if (io.exists(mf)) readAvro(mf).foreach { e =>
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            reachable += PathCodec.absNorm(
-              resolvePath(base, df.get("file_path").toString))
-          }
+    val root = PathCodec.absNorm(base)
+    val b = base
+    val threshold = GcListing.fanoutThreshold(spark)
+    // manifest-list paths across EVERY metadata version (a retained
+    // older version can still reach files the current one dropped);
+    // the per-version json parse fans when versions number in the
+    // thousands. The collected list is metadata-scale (one path per
+    // snapshot × version, deduped), never file-scale.
+    val mlPaths: Seq[String] =
+      if (metaJsons.size < threshold)
+        metaJsons.flatMap(manifestListPathsOf(b, _)).distinct
+      else {
+        import spark.implicits._
+        spark.createDataset(metaJsons)
+          .repartition(math.max(1, math.min(metaJsons.size,
+            spark.sparkContext.defaultParallelism)))
+          .flatMap(manifestListPathsOf(b, _)).distinct().collect().toSeq
+      }
+    // a Delta MIRROR of this table (the XTable shape) keeps its log
+    // under `_delta_log/` at the same base — Iceberg metadata never
+    // reaches it, so the reachability diff would reap the mirror's
+    // commits as orphans; the walk must never enter it
+    val skipDirs = Set(PathCodec.absNorm(TableIO.join(root, "_delta_log")))
+    val pinned = Seq(
+      PathCodec.absNorm(TableIO.join(metaDir, "version-hint.text"))) ++
+      metaJsons.map(n => PathCodec.absNorm(TableIO.join(metaDir, n)))
+    // manifest count is the file-scale proxy (Iceberg sizes manifests
+    // to ~8 MB): a table can hold ONE snapshot over thousands of
+    // manifests, so the mlPaths count alone must not pick the driver
+    // path. When metadata versions and snapshots are few, framing the
+    // manifest lists on the driver is cheap and yields the real count.
+    val manifestRefs: Option[Seq[String]] =
+      if (metaJsons.size >= threshold || mlPaths.size >= threshold) None
+      else {
+        val refs = mlPaths.flatMap { ml =>
+          if (!io.exists(ml)) Seq.empty
+          else readAvro(ml).map(m => PathCodec.absNorm(
+            resolvePath(base, m.get("manifest_path").toString)))
+        }.distinct
+        if (refs.size < threshold) Some(refs) else None
+      }
+    if (manifestRefs.isDefined) {
+      // small-table fast path: driver crawl + driver walk
+      val reachable = scala.collection.mutable.Set[String]()
+      reachable ++= pinned
+      reachable ++= mlPaths
+      manifestRefs.get.foreach { mf =>
+        reachable += mf
+        if (io.exists(mf)) readAvro(mf).foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          reachable += PathCodec.absNorm(
+            resolvePath(base, df.get("file_path").toString))
         }
       }
+      def walkFiles(d: String): Vector[String] =
+        io.list(d).toVector.flatMap { name =>
+          val f = TableIO.join(d, name)
+          if (io.isDirectory(f)) {
+            if (skipDirs.contains(PathCodec.absNorm(f))) Vector.empty
+            else walkFiles(f)
+          } else Vector(f)
+        }
+      walkFiles(root)
+        .filter(f => !reachable.contains(PathCodec.absNorm(f)))
+        .filter(f => io.lastModified(f) < cutoff)
+        .sorted
+        .flatMap { f =>
+          val p = PathCodec.absNorm(f)
+          if (dryRun || io.delete(f))
+            Some(if (p.startsWith(root))
+              p.stripPrefix(root).stripPrefix("/") else p)
+          else None
+        }
+    } else {
+      // at-scale path: the reachable set is built level by level as
+      // Spark jobs (manifest lists → manifests → entries — the same
+      // executor-side decode the planning fan-out uses) and the orphan
+      // decision is a distributed anti-join against the distributed
+      // listing. The driver never holds a per-file string set: at
+      // 10⁶–10⁷ files and thousands of metadata versions that set is
+      // hundreds of MB and a serial crawl, the last GC scale-killer.
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      val mls = spark.createDataset(mlPaths)
+        .repartition(math.max(1, math.min(mlPaths.size,
+          spark.sparkContext.defaultParallelism)))
+      val manifests = mls.flatMap { ml =>
+        val eio = TableIO()
+        if (!eio.exists(ml)) Seq.empty[String]
+        else readAvro(ml).map(m => PathCodec.absNorm(
+          resolvePath(b, m.get("manifest_path").toString)))
+      }.distinct()
+      val entries = manifests.flatMap { mf =>
+        val eio = TableIO()
+        if (!eio.exists(mf)) Seq.empty[String]
+        else readAvro(mf).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          PathCodec.absNorm(resolvePath(b, df.get("file_path").toString))
+        }
+      }
+      val reachable = mls.union(manifests).union(entries)
+        .union(spark.createDataset(pinned)).toDF("p")
+      val cand = GcListing.listFiles(spark, root, skipDirs,
+        skipHidden = false).toDF("p", "fm")
+      val dead = cand.join(reachable, Seq("p"), "left_anti")
+        .where(col("fm") < lit(cutoff))
+        .select(col("p")).as[String]
+      GcListing.reap(spark, root, dead, dryRun)
     }
-    val root = PathCodec.absNorm(base)
-    def walkFiles(d: String): Vector[String] =
-      io.list(d).toVector.flatMap { name =>
-        val f = TableIO.join(d, name)
-        if (io.isDirectory(f)) walkFiles(f) else Vector(f)
-      }
-    walkFiles(root)
-      .filter(f => !reachable.contains(PathCodec.absNorm(f)))
-      .filter(f => io.lastModified(f) < cutoff)
-      .sorted
-      .flatMap { f =>
-        val p = PathCodec.absNorm(f)
-        if (dryRun || io.delete(f))
-          Some(if (p.startsWith(root))
-            p.stripPrefix(root).stripPrefix("/") else p)
-        else None
-      }
   }
 
   /** Expire old snapshots, exactly as Iceberg's `expire_snapshots`
