@@ -1196,12 +1196,15 @@ object GraftSql {
     val h = tablesOf(spark).get(name)
     h match {
       case DeltaTable(base) =>
-        val cols = spec.getOrElse(throw new IllegalArgumentException(
-          "ALTER TABLE ... CLUSTER BY NONE is not implemented — " +
-          "re-create the table to drop clustering"))
-          .columnNames.map(_.fieldNames().mkString("."))
-        val v = graft.sources.DeltaInterop.enableClustering(spark, base,
-          cols.toSeq)
+        // CLUSTER BY NONE parses as an absent spec: metadata-only
+        // domain tombstone, the table goes back to bin-pack OPTIMIZE
+        val v = spec match {
+          case None => graft.sources.DeltaInterop
+            .disableClustering(spark, base)
+          case Some(s) => graft.sources.DeltaInterop.enableClustering(
+            spark, base,
+            s.columnNames.map(_.fieldNames().mkString(".")).toSeq)
+        }
         refreshView(spark, name, h)
         result(spark, "CLUSTER BY", v)
       case _ => throw new IllegalArgumentException(

@@ -2297,15 +2297,36 @@ object DeltaInterop {
     snap.version + 1
   }
 
+  /** Tags recording the OPTIMIZE generation ("cube") that wrote a
+    * clustered file and that cube's merge level — the state that turns
+    * repeated increments into an LSM hierarchy instead of an
+    * ever-growing pile of overlapping z-ranges. */
+  private[graft] val ClusterCubeTag = "graft.clusteringCube"
+  private[graft] val ClusterLevelTag = "graft.clusteringLevel"
+
+  /** Cubes per level at or above which OPTIMIZE merges the level into
+    * ONE cube a level up (LSM fan-in). */
+  private def clusteringFanIn(spark: SparkSession): Int =
+    spark.conf.getOption("graft.clustering.fanin").map(_.toInt).getOrElse(4)
+
   /** OPTIMIZE on a clustered table = INCREMENTAL liquid clustering:
     * candidates are the files not yet clustered at the CURRENT
     * clustering columns (missing/stale [[ClusterColsTag]]) plus DV
     * carriers; already-clustered clean files survive by name, so the
     * rewrite cost tracks the un-clustered churn since the last
     * OPTIMIZE, not the table size — the property that makes clustering
-    * maintainable on a 100 TB table. (One level, no ZCube hierarchy:
-    * repeated increments can overlap in z-range; a full re-cluster is
-    * `optimizeZorder` on the clustering columns.) */
+    * maintainable on a 100 TB table.
+    *
+    * Increments form an LSM hierarchy: each OPTIMIZE writes one z-
+    * ordered "cube" (tagged [[ClusterCubeTag]]/[[ClusterLevelTag]]);
+    * once a level holds [[clusteringFanIn]] cubes they merge into one
+    * cube a level up, cascading. So after N churn+OPTIMIZE rounds the
+    * table holds at most (fanIn−1)·log_fanIn(N)+1 cubes — z-range
+    * overlap (scan read-amplification) stays logarithmic in rounds
+    * instead of linear, and each row is rewritten O(log N) times
+    * total, never per round. Files clustered before cube tracking
+    * share one "legacy" pseudo-cube at level 0 and fold into the
+    * hierarchy at the first merge that reaches them. */
   def optimizeClustered(spark: SparkSession, base: String,
                         filesPerPartition: Int = 8): Option[Long] = {
     val snap = snapshot(spark, base)
@@ -2316,9 +2337,47 @@ object DeltaInterop {
     def alreadyClustered(f: AddFile): Boolean =
       f.tags.get(ClusterColsTag).contains(tagVal) &&
         f.dv.forall(_.cardinality == 0)
-    val candidates = snap.files.filterNot(alreadyClustered)
-    zorderRewrite(spark, base, snap, candidates, cols, filesPerPartition,
-      tags = Map("clusteringProvider" -> "liquid", ClusterColsTag -> tagVal))
+    val (clustered, churn) = snap.files.partition(alreadyClustered)
+    val cubes: Map[(Int, String), Seq[AddFile]] = clustered.groupBy(f =>
+      (f.tags.get(ClusterLevelTag).map(_.toInt).getOrElse(0),
+        f.tags.getOrElse(ClusterCubeTag, "legacy")))
+    val fanIn = clusteringFanIn(spark)
+    val merge = mutable.ArrayBuffer.empty[AddFile]
+    merge ++= churn
+    var carrying = churn.nonEmpty
+    var level = 0
+    var outLevel = 0
+    var cascading = true
+    while (cascading) {
+      val atLevel = cubes.keys.count(_._1 == level)
+      if (atLevel > 0 &&
+          atLevel + (if (carrying) 1 else 0) >= fanIn) {
+        merge ++= cubes.collect {
+          case ((l, _), fs) if l == level => fs }.flatten
+        carrying = true
+        outLevel = level + 1
+        level += 1
+      } else cascading = false
+    }
+    if (merge.isEmpty) return None
+    zorderRewrite(spark, base, snap, merge.toSeq, cols, filesPerPartition,
+      tags = Map("clusteringProvider" -> "liquid", ClusterColsTag -> tagVal,
+        ClusterCubeTag -> UUID.randomUUID().toString,
+        ClusterLevelTag -> outLevel.toString))
+  }
+
+  /** `ALTER TABLE ... CLUSTER BY NONE`: drop liquid clustering —
+    * metadata-only (the `delta.clustering` domain is tombstoned, the
+    * protocol keeps its features, per-file cube tags become inert).
+    * OPTIMIZE then bin-packs; the data keeps its physical layout until
+    * rewrites churn it. Idempotent on unclustered tables. */
+  def disableClustering(spark: SparkSession, base: String): Long = {
+    val snap = snapshot(spark, base)
+    if (clusteringColumns(snap).isEmpty) return snap.version
+    writeCommit(base, snap.version + 1,
+      domainMetadataJson("delta.clustering", "", removed = true) :: Nil,
+      operation = "CLUSTER BY")
+    snap.version + 1
   }
 
   /** VACUUM: physically delete files under the table root that the

@@ -181,4 +181,70 @@ class LiquidClusteringSpec extends SparkSpec {
       GraftSql.sql(spark, "ALTER TABLE liquid_log_t CLUSTER BY (a)"))
     assert(e.getMessage.contains("Delta"))
   }
+
+  test("increments form an LSM hierarchy: cube count stays logarithmic " +
+       "under churn") {
+    val base = freshBase("lsm")
+    DeltaInterop.overwrite(df(0 until 200).repartition(2), base)
+    DeltaInterop.enableClustering(spark, base, Seq("k"))
+    DeltaInterop.optimize(spark, base)
+    // 10 churn+OPTIMIZE rounds; single-level accretion would leave ~11
+    // overlapping increments — the fan-in-4 hierarchy must keep the
+    // cube count (and so the z-range overlap any point scan pays)
+    // bounded by (fanIn-1)·levels+1
+    (1 to 10).foreach { r =>
+      DeltaInterop.append(df(200 * r until 200 * (r + 1)).repartition(2), base)
+      assert(DeltaInterop.optimize(spark, base).isDefined)
+    }
+    val snap = DeltaInterop.snapshot(spark, base)
+    val cubes = snap.files.flatMap(_.tags.get(DeltaInterop.ClusterCubeTag))
+      .distinct
+    assert(snap.files.forall(_.tags.contains(DeltaInterop.ClusterCubeTag)))
+    assert(cubes.size <= 5, s"11 rounds left ${cubes.size} cubes — " +
+      "the hierarchy is not merging")
+    // file-skip bound: no point of the key space is covered by more
+    // files than there are cubes (each cube is internally disjoint)
+    val bounds = snap.files.map { f =>
+      val st = mapper.readTree(f.stats.get)
+      (st.get("minValues").get("k").asLong(),
+        st.get("maxValues").get("k").asLong())
+    }
+    val worstOverlap = (0L until 1000L by 37L).map(p =>
+      bounds.count { case (lo, hi) => lo <= p && p <= hi }).max
+    assert(worstOverlap <= cubes.size,
+      s"point overlap $worstOverlap exceeds cube count ${cubes.size}")
+    // values invariant through every merge
+    assert(DeltaInterop.read(spark, base).agg(sum("id")).head().getLong(0)
+      == (0L until 2200L).sum)
+    // and a final no-op when nothing changed
+    assert(DeltaInterop.optimize(spark, base).isEmpty)
+  }
+
+  test("CLUSTER BY NONE drops clustering metadata-only; re-enable works") {
+    val base = freshBase("none")
+    DeltaInterop.overwrite(df(0 until 300).repartition(3), base)
+    DeltaInterop.enableClustering(spark, base, Seq("k"))
+    DeltaInterop.optimize(spark, base)
+    val filesBefore = DeltaInterop.snapshot(spark, base).files.map(_.path)
+    GraftSql.registerDeltaTable(spark, "liquid_none_t", base)
+    GraftSql.sql(spark, "ALTER TABLE liquid_none_t CLUSTER BY NONE")
+    val snap = DeltaInterop.snapshot(spark, base)
+    assert(DeltaInterop.clusteringColumns(snap).isEmpty)
+    // metadata-only: no data file moved
+    assert(snap.files.map(_.path) == filesBefore)
+    // idempotent
+    val v = snap.version
+    assert(DeltaInterop.disableClustering(spark, base) == v)
+    // OPTIMIZE now bin-packs instead of clustering (no liquid tags on
+    // its outputs)
+    DeltaInterop.append(df(300 until 320).repartition(4), base)
+    DeltaInterop.optimize(spark, base, smallFileBytes = 1L << 30)
+    val packed = DeltaInterop.snapshot(spark, base)
+    assert(packed.files.exists(!_.tags.contains("clusteringProvider")))
+    // re-enable clusters fresh churn again
+    DeltaInterop.enableClustering(spark, base, Seq("k"))
+    assert(DeltaInterop.optimize(spark, base).isDefined)
+    assert(DeltaInterop.read(spark, base).agg(sum("id")).head().getLong(0)
+      == (0L until 320L).sum)
+  }
 }
