@@ -1492,6 +1492,28 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** PERSISTED incremental dedup (q243): the index lives as a
+    * graft-log table; two daily batches run through
+    * `Dedup.dedupeAndAdvance` — batch 1's SURVIVORS' signatures land
+    * in the index atomically (txn-idempotent), so batch 2 dedupes
+    * against corpus + batch-1 survivors without either being
+    * re-shingled. Oracle replays the whole two-step advance in DuckDB. */
+  private def qDedupIndexPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val base = fixtureDir("dedup_index", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Dedup.buildIndex(s, base,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4),
+      col("doc_id"), col("text"))
+    Dedup.dedupeAndAdvance(s, base, docs.filter(col("doc_id") % 5 === 4),
+      col("doc_id"), col("text"), txnId = Some("batch-1"))
+    Dedup.dedupeAndAdvance(s, base, docs.filter(col("doc_id") % 5 === 0),
+      col("doc_id"), col("text"), txnId = Some("batch-2"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
     * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
     * by nature; this proves the algorithm row-exact cross-engine). */
@@ -5986,6 +6008,7 @@ object SparkEntry {
     "q240_liquid_clustering" -> (qLiquidClustering _),
     "q241_incremental_dedup" -> (qIncrementalDedup _),
     "q242_iceberg_mirror" -> (qIcebergMirror _),
+    "q243_dedup_index_pipeline" -> (qDedupIndexPipeline _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6860,6 +6883,46 @@ object SparkEntry {
          FROM documents
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
+         GROUP BY lang ORDER BY lang""",
+    "q243_dedup_index_pipeline" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+               i -> array_to_string(list_slice(t, i, i+2), ' '))) AS s
+           FROM toks),
+         sigs AS (
+           SELECT doc_id, b,
+             list_min(list_transform(s,
+               x -> substr(md5(x || '|' || CAST(b AS VARCHAR)), 1, 8))) AS sig
+           FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+           WHERE len(s) > 0),
+         corpus AS (SELECT doc_id, b, sig FROM sigs
+           WHERE doc_id % 5 NOT IN (0, 4)),
+         b1 AS (SELECT doc_id, b, sig FROM sigs WHERE doc_id % 5 = 4),
+         drop1 AS (
+           SELECT DISTINCT i.doc_id
+           FROM b1 i JOIN corpus c ON i.b = c.b AND i.sig = c.sig
+           UNION
+           SELECT DISTINCT a.doc_id
+           FROM b1 a JOIN b1 c2
+             ON a.b = c2.b AND a.sig = c2.sig AND c2.doc_id < a.doc_id),
+         idx2 AS (SELECT doc_id, b, sig FROM corpus
+           UNION ALL
+           SELECT doc_id, b, sig FROM b1
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+         b2 AS (SELECT doc_id, b, sig FROM sigs WHERE doc_id % 5 = 0),
+         drop2 AS (
+           SELECT DISTINCT i.doc_id
+           FROM b2 i JOIN idx2 c ON i.b = c.b AND i.sig = c.sig
+           UNION
+           SELECT DISTINCT a.doc_id
+           FROM b2 a JOIN b2 c2
+             ON a.b = c2.b AND a.sig = c2.sig AND c2.doc_id < a.doc_id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE doc_id % 5 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM drop2)
          GROUP BY lang ORDER BY lang""",
     "q240_liquid_clustering" ->
       """SELECT o_custkey % 50 AS bucket, count(*) AS n_orders,

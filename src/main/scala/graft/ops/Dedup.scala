@@ -171,8 +171,11 @@ object Dedup {
 
   /** Dedupe an INCOMING batch against an indexed corpus and within
     * itself, never touching corpus text. A doc drops iff
-    *  (a) any of its band signatures appears in the index (a corpus
-    *      near-duplicate already exists), or
+    *  (a) any of its band signatures appears in the index under a
+    *      DIFFERENT doc_id (a corpus near-duplicate already exists —
+    *      a doc's own previously-advanced signatures never kill it,
+    *      which is what makes a crash-replayed batch return the same
+    *      survivors), or
     *  (b) it shares a band signature with a smaller-id incoming doc
     *      (first-id-wins inside the batch, whatever that doc's own
     *      fate — the same monotone rule every LSH dedup sweep uses so
@@ -181,7 +184,7 @@ object Dedup {
     * all-pairs. Docs with no shingles (empty/one-token text) have no
     * signatures and always survive. Returns the surviving incoming
     * rows; union the survivors' [[minhashIndex]] into the stored index
-    * to advance the corpus. */
+    * to advance the corpus (or let [[dedupeAndAdvance]] do both). */
   def dedupAgainstIndex(incoming: DataFrame, id: Column, text: Column,
                         index: DataFrame, bands: Int = 4,
                         shingleN: Int = 3): DataFrame = {
@@ -191,8 +194,11 @@ object Dedup {
       // localCheckpoint over persist() for the same GC-reclaim reason
       // as minhashPortablePairs (lazy return, nowhere to unpersist)
       .localCheckpoint()
-    val corpusHit = sigs
-      .join(index.select(col("b"), col("sig")), Seq("b", "sig"), "left_semi")
+    val corpusHit = sigs.as("a")
+      .join(index.select(col("doc_id").as("__idx_id"),
+          col("b"), col("sig")).as("i"),
+        col("a.b") === col("i.b") && col("a.sig") === col("i.sig") &&
+          col("a.doc_id") =!= col("__idx_id"), "left_semi")
       .select(col("doc_id"))
     val shadowed = sigs.as("a").join(sigs.as("c"),
         col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
@@ -201,6 +207,41 @@ object Dedup {
     incoming.join(corpusHit.union(shadowed).distinct()
         .withColumnRenamed("doc_id", "__drop_id"),
       id === col("__drop_id"), "left_anti")
+  }
+
+  /** Create (or replace) the PERSISTED band-signature index of a
+    * corpus: one graft-log table holding [[minhashIndex]]'s
+    * (doc_id, b, sig) rows. One map-only pass over the corpus text —
+    * the 100 TB history is shingled exactly once, ever. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, base: String,
+                 docs: DataFrame, id: Column, text: Column,
+                 bands: Int = 4, shingleN: Int = 3): Long =
+    graft.pipeline.GraftLog.overwrite(
+      minhashIndex(docs, id, text, bands, shingleN), base)
+
+  /** One incremental-dedup step against the PERSISTED index at `base`:
+    * dedupe `incoming` (vs the index and within itself, the
+    * [[dedupAgainstIndex]] rules), then atomically append the
+    * SURVIVORS' signatures to the index in one graft-log commit.
+    * `txnId` makes the advance idempotent (graft-log txn actions): a
+    * batch replayed after a crash between the index commit and the
+    * caller's own offset commit appends nothing — and because a doc's
+    * own indexed signatures never kill it, the replay also returns the
+    * SAME survivors. The daily-crawl loop is thus two calls:
+    * buildIndex once, dedupeAndAdvance per batch. */
+  def dedupeAndAdvance(spark: org.apache.spark.sql.SparkSession,
+                       base: String, incoming: DataFrame, id: Column,
+                       text: Column, txnId: Option[String] = None,
+                       bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val index = graft.pipeline.GraftLog.read(spark, base)
+    // materialized BEFORE the advance: the survivors' plan reads the
+    // index, and a lazy plan re-run after the append would see the
+    // batch's own signatures
+    val survivors = dedupAgainstIndex(incoming, id, text, index,
+      bands, shingleN).localCheckpoint()
+    graft.pipeline.GraftLog.append(
+      minhashIndex(survivors, id, text, bands, shingleN), base, txnId)
+    survivors
   }
 
   /** 64-bit SimHash over xxhash64 token hashes: bit i of the result is

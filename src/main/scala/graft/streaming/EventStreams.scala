@@ -386,6 +386,11 @@ object EventStreams {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.sources.IcebergInterop.appendIdempotent(
             batch, base, app, batchId, formatVersion = formatVersion)
+          // micro-batches commit off the SQL-statement thread, so a
+          // DELTA mirror of a streaming Iceberg target catches up here
+          // — per batch, not per statement (a no-op for plain tables);
+          // symmetric with streamIngestDelta's UniForm tick
+          graft.sources.DeltaMirror.tickTouched(batch.sparkSession)
           ()
         }
         .option("checkpointLocation", ckpt)

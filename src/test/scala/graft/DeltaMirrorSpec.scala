@@ -216,6 +216,27 @@ class DeltaMirrorSpec extends SparkSpec {
            sortedRows(IcebergInterop.read(spark, base)))
   }
 
+  test("the streaming Iceberg sink maintains the Delta mirror per batch") {
+    val base = freshBase("streamsink")
+    val df0 = (0L until 10L).toDF("id")
+    // nullable creation schema: streamed batches arrive nullable, and
+    // the Iceberg append gate refuses nullable-into-required
+    IcebergInterop.overwrite(spark.createDataFrame(df0.rdd,
+      org.apache.spark.sql.types.StructType(
+        df0.schema.fields.map(_.copy(nullable = true)))).coalesce(1), base)
+    DeltaMirror.enable(spark, base)
+    val srcDir = freshBase("streamsink_src")
+    spark.range(100, 140).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.EventStreams.streamIngestIceberg(
+      spark.readStream.schema("id LONG").parquet(srcDir), base)
+    // NO manual DeltaMirror.sync anywhere — the sink's per-batch tick
+    // kept the mirror current
+    assert(sortedRows(DeltaInterop.read(spark, base).select("id")) ==
+           sortedRows(IcebergInterop.read(spark, base).select("id")))
+    assert(DeltaInterop.read(spark, base).count() == 50L)
+  }
+
   test("a failed initial convert leaves no mirror marker behind") {
     val base = freshBase("failconv")
     IcebergInterop.overwrite(

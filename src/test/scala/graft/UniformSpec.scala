@@ -344,6 +344,28 @@ class UniformSpec extends SparkSpec {
     assert(IcebergInterop.read(spark, base).count() == 30L)
   }
 
+  test("the streaming Delta sink maintains the Iceberg mirror per batch") {
+    val base = freshBase("streamsink")
+    val df0 = (0L until 10L).toDF("id")
+    // nullable creation schema: streamed batches arrive nullable
+    DeltaInterop.overwrite(spark.createDataFrame(df0.rdd,
+      org.apache.spark.sql.types.StructType(
+        df0.schema.fields.map(_.copy(nullable = true)))).coalesce(1), base)
+    Uniform.enable(spark, base)
+    val srcDir = freshBase("streamsink_src")
+    spark.range(100, 140).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.EventStreams.streamIngestDelta(
+      spark.readStream.schema("id LONG").parquet(srcDir), base)
+    // NO manual Uniform.sync anywhere — the sink's per-batch tick
+    // kept the mirror current
+    assert(trackedVersion(base) ==
+      DeltaInterop.snapshot(spark, base).version)
+    assert(sortedRows(IcebergInterop.read(spark, base).select("id")) ==
+           sortedRows(DeltaInterop.read(spark, base).select("id")))
+    assert(IcebergInterop.read(spark, base).count() == 50L)
+  }
+
   test("VACUUM never enters a stale mirror after UniForm is disabled") {
     val base = freshBase("vacstale")
     DeltaInterop.overwrite((0L until 50L).toDF("id").coalesce(1), base)

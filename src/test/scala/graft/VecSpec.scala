@@ -115,6 +115,47 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(3L))
   }
 
+  test("dedupeAndAdvance: survivors advance the persisted index; " +
+       "replay is idempotent") {
+    import graft.pipeline.GraftLog
+    val base = "/tmp/graft_test_dedup_advance"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Dedup.buildIndex(spark, base, corpus, col("doc_id"), col("text"))
+    val batch1 = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // corpus dup
+      (21L, "a genuinely novel incoming document nothing resembles"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.dedupeAndAdvance(spark, base, batch1,
+      col("doc_id"), col("text"), txnId = Some("b1"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(21L))
+    // the advance appended ONLY the survivor's signatures
+    val idxDocs = GraftLog.read(spark, base)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxDocs == Set(10L, 21L))
+    // batch 2 collides with batch-1's SURVIVOR, not only the corpus
+    val batch2 = Seq(
+      (30L, "a genuinely novel incoming document nothing resembles"),
+      (31L, "another entirely distinct third wave document arrives"))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.dedupeAndAdvance(spark, base, batch2,
+      col("doc_id"), col("text"), txnId = Some("b2"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(31L))
+    // REPLAY batch 1 with the same txnId: the index does not change
+    // (txn idempotence) AND the survivors come back identical — a
+    // doc's own indexed signatures never kill it
+    val rowsBefore = GraftLog.read(spark, base).count()
+    val s1replay = Dedup.dedupeAndAdvance(spark, base, batch1,
+      col("doc_id"), col("text"), txnId = Some("b1"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1replay == s1)
+    assert(GraftLog.read(spark, base).count() == rowsBefore)
+  }
+
   test("simhash: identical docs share signatures, unrelated docs differ") {
     val sigs = Dedup.simhashSignatures(docs, col("doc_id"),
       TextAnalysis.tokens(col("text")))
