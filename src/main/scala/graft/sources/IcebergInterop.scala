@@ -310,11 +310,13 @@ object IcebergInterop {
             "Rewrite the column as timestamp/timestamptz (microseconds), " +
             "or expose the raw nanosecond count as a long in the " +
             "producing engine.")
-        case "variant" =>
-          throw new IllegalArgumentException(
-            "Iceberg v3 type 'variant' is not readable by this engine. " +
-            "Shred the column to typed fields or serialize it to a JSON " +
-            "string in the producing engine.")
+        // spec v3 §Primitive Types: variant = semi-structured value,
+        // stored in parquet as the (metadata binary, value binary)
+        // group of the open Variant encoding — exactly what Spark's
+        // VariantType reads and writes, so the mapping is direct.
+        // Bounds are never written for variant (it is unordered), and
+        // the stats scan's orderable() filter already skips it.
+        case "variant" => VariantType
         case s if s.startsWith("geometry") || s.startsWith("geography") =>
           throw new IllegalArgumentException(
             s"Iceberg v3 type '$s' is not readable by this engine. " +
@@ -1298,6 +1300,7 @@ object IcebergInterop {
     case TimestampType => "timestamptz"
     case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case VariantType => "variant" // v3-only; the write paths gate it
     case other => throw new IllegalArgumentException(
       s"writer does not map Spark type $other to Iceberg")
   }
@@ -1869,6 +1872,13 @@ object IcebergInterop {
                                  createFormatVersion: Int = 2): Long = {
     require(createFormatVersion == 2 || createFormatVersion == 3,
       s"format-version $createFormatVersion (this writer speaks 2 and 3)")
+    // variant is a v3 type (spec §Primitive Types): creating a v2
+    // table with one would write metadata v2 readers cannot parse
+    if (df.schema.exists(_.dataType == VariantType))
+      require(createFormatVersion >= 3 ||
+        io.exists(TableIO.join(metadataDir(base), "version-hint.text")) &&
+          readMeta(base).get("format-version").asInt() >= 3,
+        "variant columns require format-version 3 — pass formatVersion = 3")
     val partitionBy = spec.map(_._1)
     val spark = df.sparkSession
     val metaDir = metadataDir(base); io.mkdirs(metaDir)

@@ -712,7 +712,7 @@ class IcebergV3Spec extends SparkSpec {
     assert(e.getMessage.contains("unknown"), e.getMessage)
   }
 
-  test("v3 types: timestamp_ns / variant / geometry refuse with guidance") {
+  test("v3 types: timestamp_ns / geometry refuse with guidance") {
     def freshWith(fieldJson: String): String = {
       val base = tmp()
       IcebergInterop.overwrite(spark.range(2).toDF("id").coalesce(1), base,
@@ -724,14 +724,53 @@ class IcebergV3Spec extends SparkSpec {
       freshWith("""{"id":50,"name":"t","required":false,"type":"timestamp_ns"}""")))
     assert(e1.getMessage.contains("nanosecond") &&
       e1.getMessage.contains("microsecond"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException](IcebergInterop.read(spark,
-      freshWith("""{"id":51,"name":"v","required":false,"type":"variant"}""")))
-    assert(e2.getMessage.contains("variant") &&
-      e2.getMessage.contains("JSON"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](IcebergInterop.read(spark,
       freshWith("""{"id":52,"name":"g","required":false,"type":"geometry(srid:4326)"}""")))
     assert(e3.getMessage.contains("geometry") &&
       e3.getMessage.contains("binary"), e3.getMessage)
+  }
+
+  test("v3 variant: round-trips value-exact; v2 refuses; foreign add reads NULL") {
+    import org.apache.spark.sql.functions.{col, parse_json, to_json}
+    val base = tmp()
+    val docs = Seq(
+      (1L, """{"kind":"text","tokens":128,"tags":["a","b"]}"""),
+      (2L, """{"kind":"image","w":640,"h":480,"nested":{"x":1.5}}"""),
+      (3L, """[1,2,3,{"deep":true}]"""),
+      (4L, """"just a string"""")).toDF("id", "js")
+    val withVariant = docs.select(col("id"),
+      parse_json(col("js")).as("meta")).coalesce(1)
+    IcebergInterop.overwrite(withVariant, base, formatVersion = 3)
+    // schema maps by the spec: variant ↔ VariantType
+    val got = IcebergInterop.read(spark, base)
+    assert(got.schema("meta").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    // value-exact against the JSON oracle (to_json normalizes both)
+    val expect = docs.select(col("id"),
+        to_json(parse_json(col("js"))).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.select(col("id"), to_json(col("meta")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+    // appends carry variants too; variant_get extracts typed fields
+    IcebergInterop.append(Seq((5L, """{"kind":"audio","tokens":7}"""))
+      .toDF("id", "js").select(col("id"),
+        parse_json(col("js")).as("meta")).coalesce(1), base)
+    val kinds = IcebergInterop.read(spark, base)
+      .selectExpr("id", "variant_get(meta, '$.kind', 'string') AS kind")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(kinds(5L).contains("audio") && kinds(2L).contains("image"))
+    // a v2 target refuses variant columns loudly
+    val e = intercept[IllegalArgumentException](IcebergInterop.overwrite(
+      withVariant, tmp(), formatVersion = 2))
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+    // a variant column added by a FOREIGN writer (no data) reads NULL
+    val base2 = tmp()
+    IcebergInterop.overwrite(spark.range(3).toDF("id").coalesce(1), base2,
+      formatVersion = 3)
+    addForeignField(base2,
+      """{"id":51,"name":"v","required":false,"type":"variant"}""")
+    val rows = IcebergInterop.read(spark, base2).select("id", "v").collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(1)))
   }
 
   /** Same injection seam as IcebergOccSpec: the competing commit runs
