@@ -565,6 +565,21 @@ object IcebergInterop {
     (files.toSeq, deletes.toSeq, eqDeletes.toSeq)
   }
 
+  /** Top-level field names in one parquet file's footer — ground truth
+    * for the v3 default-fill presence check. Plain parquet-hadoop, no
+    * SparkSession: runs on the driver (memoized small tables) or in
+    * executor tasks (the footer fan-out). */
+  private def parquetFooterFieldNames(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rd.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally rd.close()
+  }
+
   /** Manifest count at or above which planning fans the per-manifest
     * avro decode over executors as a Spark job instead of a driver
     * loop. Below it the job-submission overhead exceeds the decode. */
@@ -1090,20 +1105,38 @@ object IcebergInterop {
     // written after the add — only physically-absent columns fill.
     val scan = if (defaulted.isEmpty) scan0 else {
       import spark.implicits._
-      val footerNames = scala.collection.mutable.Map.empty[String, Set[String]]
-      def inFooter(path: String, name: String): Boolean =
-        footerNames.getOrElseUpdate(path,
-          spark.read.parquet(path).schema.fieldNames.toSet).contains(name)
+      val fids: Seq[Int] = defaulted.map { case (fd, _) =>
+        if (fd.metadata.contains("parquet.field.id"))
+          fd.metadata.getLong("parquet.field.id").toInt
+        else -1
+      }
+      // files the schema proof does NOT fully decide need one footer
+      // read each; above the planning fan-out threshold those reads
+      // run as a Spark job (a foreign 10⁶-file defaulted table must
+      // not serialize footer I/O on the driver)
+      def decidedBySchema(f: DataFileEntry, i: Int): Option[Boolean] =
+        snap.fieldIdsAtSnapshot.get(f.addedSnapshotId) match {
+          case Some(ids) if fids(i) >= 0 && !ids.contains(fids(i)) =>
+            Some(false)
+          case _ => None
+        }
+      val footerFiles: Seq[String] = kept.filter(f =>
+        defaulted.indices.exists(i => decidedBySchema(f, i).isEmpty))
+        .map(_.path).distinct
+      val footerNames: Map[String, Set[String]] =
+        if (footerFiles.size < manifestFanoutThreshold(spark))
+          footerFiles.map(p => p -> parquetFooterFieldNames(p)).toMap
+        else {
+          val slices = math.max(1, math.min(footerFiles.size,
+            spark.sparkContext.defaultParallelism * 4))
+          spark.sparkContext.parallelize(footerFiles, slices)
+            .map(p => p -> parquetFooterFieldNames(p))
+            .collect().toMap
+        }
       val presence: Seq[(String, Seq[Boolean])] = kept.map { f =>
-        val flags = defaulted.map { case (fd, _) =>
-          val fid =
-            if (fd.metadata.contains("parquet.field.id"))
-              fd.metadata.getLong("parquet.field.id").toInt
-            else -1
-          snap.fieldIdsAtSnapshot.get(f.addedSnapshotId) match {
-            case Some(ids) if fid >= 0 && !ids.contains(fid) => false
-            case _ => inFooter(f.path, fd.name)
-          }
+        val flags = defaulted.zipWithIndex.map { case ((fd, _), i) =>
+          decidedBySchema(f, i).getOrElse(
+            footerNames(f.path).contains(fd.name))
         }
         PathCodec.metadataPathKey(f.path) -> flags
       }

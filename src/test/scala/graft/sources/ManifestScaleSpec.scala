@@ -204,4 +204,35 @@ class ManifestScaleSpec extends graft.SparkSpec {
     assert(jobs == 0, s"5 commits must not submit a job (got $jobs)")
     assert(snap.files.size == 5)
   }
+
+  test("Iceberg: defaulted-column footer presence fans over executors, " +
+       "flags identical to the driver reads") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    val base = tmp()
+    // pre-add files (schema proof decides: column absent) ...
+    IcebergInterop.overwrite(
+      (0L until 40L).toDF("id").repartition(4), base, formatVersion = 3)
+    IcebergInterop.addColumn(base, "score",
+      org.apache.spark.sql.types.DoubleType, default = Some(1.5))
+    // ... and post-add files (footer reads decide: column present)
+    IcebergInterop.append(
+      (40L until 60L).map(k => (k, k * 2.0)).toDF("id", "score")
+        .repartition(2), base)
+    def totals() = IcebergInterop.read(spark, base)
+      .agg(sum(col("score"))).head().getDouble(0)
+    val expect = 40 * 1.5 + (40L until 60L).map(_ * 2.0).sum
+    // driver path (threshold above the file count)
+    spark.conf.set("graft.iceberg.manifestFanout", "1000000")
+    val driverTotal = try totals()
+      finally spark.conf.unset("graft.iceberg.manifestFanout")
+    // fan-out path (threshold below): identical fill, and the footer
+    // reads actually run as a Spark job
+    spark.conf.set("graft.iceberg.manifestFanout", "1")
+    val (fanTotal, jobs) = try jobsDuring(totals())
+      finally spark.conf.unset("graft.iceberg.manifestFanout")
+    assert(jobs >= 1, "footer fan-out must run as a Spark job")
+    assert(math.abs(driverTotal - expect) < 1e-9)
+    assert(fanTotal == driverTotal)
+  }
 }
