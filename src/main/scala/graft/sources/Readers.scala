@@ -88,6 +88,27 @@ object Readers {
                 props: Properties): DataFrame =
     jdbc(spark, mysqlJdbcUrl(url), table, props)
 
+  /** S4 at 100×: register a DSv2 JDBC catalog with AGGREGATE pushdown.
+    * `spark.table("<name>.<schema>.<table>")` scans then compile
+    * COUNT/SUM/MIN/MAX/AVG + GROUP BY into the source's SQL (visible
+    * as `PushedAggregates` in the scan), so a bronze job that only
+    * needs per-group totals moves group-count rows over the wire, not
+    * the table. The v1 `jdbc()` path cannot do this — aggregate
+    * pushdown is a DSv2 capability (Spark's JDBCScanBuilder implements
+    * SupportsPushDownAggregates) — which is why the catalog route
+    * exists alongside it. Limit/offset/column pruning push down too. */
+  def jdbcCatalog(spark: SparkSession, name: String, url: String,
+                  props: Map[String, String] = Map.empty): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", url)
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+    spark.conf.set(s"spark.sql.catalog.$name.pushDownOffset", "true")
+    props.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
+  }
+
   /** S4 at scale: range-partitioned JDBC scan — `numPartitions` parallel
     * readers over `partitionColumn` strides. This is what the reference's
     * single-partition scan must become on any table that matters. */

@@ -93,4 +93,29 @@ class JdbcDialectSpec extends SparkSpec {
     val set = "jdbc:mysql://db:3306/sales?zeroDateTimeBehavior=round"
     assert(mysqlJdbcUrl(set) == set, "caller's explicit setting wins")
   }
+
+  test("DSv2 catalog pushes GROUP BY aggregates into the source SQL") {
+    import org.apache.spark.sql.functions.{count, sum}
+    val rows = (1 to 100).map(i =>
+      (i.toLong, (i % 4).toLong, BigDecimal(i).setScale(2)))
+      .toDF("id", "grp", "amount")
+      .withColumn("amount",
+        org.apache.spark.sql.functions.col("amount").cast(DecimalType(10, 2)))
+    rows.write.mode("overwrite").jdbc(url, "t_push_agg", props)
+    graft.sources.Readers.jdbcCatalog(spark, "srcdb", url)
+    // Derby folds unquoted identifiers to upper case; the DSv2 catalog
+    // looks names up verbatim
+    val agg = spark.table("srcdb.APP.T_PUSH_AGG")
+      .groupBy("grp").agg(count("*").as("n"), sum("amount").as("total"))
+    // the aggregate reached the SCAN: group-count rows cross the wire,
+    // not the table — the property that matters at 100× source size
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan.take(2000))
+    assert(plan.contains("COUNT") && plan.contains("SUM"), plan.take(2000))
+    val got = agg.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSet
+    val expect = (1 to 100).groupBy(_ % 4).map { case (g, is) =>
+      (g.toLong, is.size.toLong, is.map(_.toDouble).sum) }.toSet
+    assert(got == expect)
+  }
 }
