@@ -2148,6 +2148,11 @@ object IcebergInterop {
     // converted table's id-less files unreadable after the first append
     prevA.foreach(m => Option(m.get("properties")).foreach(p =>
       root.set[JsonNode]("properties", p.deepCopy())))
+    // statistics files persist across data commits (snapshot-keyed;
+    // readers judge staleness by the recorded snapshot-id — Iceberg's
+    // own behavior, refreshed by ANALYZE/compaction, never dropped)
+    prevA.foreach(m => Option(m.get("statistics")).foreach(s =>
+      root.set[JsonNode]("statistics", s.deepCopy())))
     val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", committedAtMs)
@@ -3606,17 +3611,27 @@ object IcebergInterop {
     * cost proportional to file COUNT, never data bytes. Returns
     * deleted paths (table-relative where possible). */
   /** `dryRun`: list the orphans, delete nothing. */
-  /** Manifest-list paths of every snapshot recorded in one metadata
-    * version — object-level (NOT a local def) so the GC fan-out's
-    * executor closure stays statically linked instead of capturing
-    * the module. */
-  private def manifestListPathsOf(base: String, mjName: String): Seq[String] = {
+  /** GC roots of one metadata version: (path, isManifestList) — the
+    * manifest-list per snapshot (decoded further) plus any STATISTICS
+    * files (pinned as-is: they are metadata-referenced but never
+    * manifest-reachable, so the reachability diff would reap them).
+    * Object-level (NOT a local def) so the GC fan-out's executor
+    * closure stays statically linked instead of capturing the module. */
+  private def metadataGcRefsOf(base: String, mjName: String)
+  : Seq[(String, Boolean)] = {
     val meta = mapper.readTree(
       TableIO().readString(TableIO.join(metadataDir(base), mjName)))
-    Option(meta.get("snapshots")).map(s => (0 until s.size()).map(s.get)
-      .map(x => PathCodec.absNorm(
-        resolvePath(base, x.get("manifest-list").asText()))).toSeq)
+    val mls = Option(meta.get("snapshots"))
+      .map(s => (0 until s.size()).map(s.get)
+        .map(x => (PathCodec.absNorm(
+          resolvePath(base, x.get("manifest-list").asText())), true)).toSeq)
       .getOrElse(Seq.empty)
+    val stats = Option(meta.get("statistics"))
+      .map(s => (0 until s.size()).map(s.get)
+        .map(x => (PathCodec.absNorm(
+          x.get("statistics-path").asText()), false)).toSeq)
+      .getOrElse(Seq.empty)
+    mls ++ stats
   }
 
   def removeOrphanFiles(spark: SparkSession, base: String,
@@ -3635,16 +3650,18 @@ object IcebergInterop {
     // the per-version json parse fans when versions number in the
     // thousands. The collected list is metadata-scale (one path per
     // snapshot × version, deduped), never file-scale.
-    val mlPaths: Seq[String] =
+    val gcRefs: Seq[(String, Boolean)] =
       if (metaJsons.size < threshold)
-        metaJsons.flatMap(manifestListPathsOf(b, _)).distinct
+        metaJsons.flatMap(metadataGcRefsOf(b, _)).distinct
       else {
         import spark.implicits._
         spark.createDataset(metaJsons)
           .repartition(math.max(1, math.min(metaJsons.size,
             spark.sparkContext.defaultParallelism)))
-          .flatMap(manifestListPathsOf(b, _)).distinct().collect().toSeq
+          .flatMap(metadataGcRefsOf(b, _)).distinct().collect().toSeq
       }
+    val mlPaths: Seq[String] = gcRefs.collect { case (p, true) => p }
+    val statsPaths: Seq[String] = gcRefs.collect { case (p, false) => p }
     // a Delta MIRROR of this table (the XTable shape) keeps its log
     // under `_delta_log/` at the same base — Iceberg metadata never
     // reaches it, so the reachability diff would reap the mirror's
@@ -3652,7 +3669,8 @@ object IcebergInterop {
     val skipDirs = Set(PathCodec.absNorm(TableIO.join(root, "_delta_log")))
     val pinned = Seq(
       PathCodec.absNorm(TableIO.join(metaDir, "version-hint.text"))) ++
-      metaJsons.map(n => PathCodec.absNorm(TableIO.join(metaDir, n)))
+      metaJsons.map(n => PathCodec.absNorm(TableIO.join(metaDir, n))) ++
+      statsPaths
     // manifest count is the file-scale proxy (Iceberg sizes manifests
     // to ~8 MB): a table can hold ONE snapshot over thousands of
     // manifests, so the mlPaths count alone must not pick the driver
@@ -3736,6 +3754,152 @@ object IcebergInterop {
         .select(col("p")).as[String]
       GcListing.reap(spark, root, dead, dryRun)
     }
+  }
+
+  // ---- table statistics: theta-sketch NDV (spec §Table Statistics) --
+
+  /** Value → the bytes the theta sketch hashes: the spec's single-value
+    * binary serialization where defined (numerics, date/timestamp,
+    * decimals — so an external engine hashing per the spec agrees),
+    * UTF-8 for strings (uncapped: the 64-char bounds truncation must
+    * not alias distinct values). None (skip) for NULL / unsupported. */
+  private def sketchBytes(dt: DataType, v: Any): Option[Array[Byte]] =
+    (dt, v) match {
+      case (_, null) => None
+      case (StringType, s: String) => Some(s.getBytes("UTF-8"))
+      case _ => SingleValue.encode(dt, v)
+    }
+
+  /** Compute per-column NDV theta sketches for the CURRENT snapshot and
+    * publish them as an Iceberg STATISTICS file: one puffin
+    * `apache-datasketches-theta-v1` blob per column — real Apache
+    * DataSketches compact sketches (the library Spark ships), so any
+    * Iceberg engine (Trino, Spark's iceberg runtime) consumes the
+    * bytes directly. Sketches build DISTRIBUTEDLY: per-partition
+    * update sketches, merged by theta Union in a treeReduce — one scan,
+    * fixed 2^lgK-bounded state per task, no value ever collects. The
+    * metadata `statistics` entry replaces any prior one (single current
+    * stats file, Iceberg's own convention). Returns the NDV estimate
+    * per column. */
+  def computeNdvStats(spark: SparkSession, base: String,
+                      cols: Seq[String]): Map[String, Long] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+    require(cols.nonEmpty, "computeNdvStats needs >=1 column")
+    val snap = snapshot(spark, base)
+    val fids: Seq[Int] = cols.map { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"no column '$c' in $base"))
+      require(f.metadata.contains("parquet.field.id"),
+        s"column '$c' carries no field id — cannot key a statistics blob")
+      f.metadata.getLong("parquet.field.id").toInt
+    }
+    val df = read(spark, base)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val types = df.schema.fields.map(_.dataType).toSeq
+    val n = cols.size
+    def emptySketches: Array[Array[Byte]] =
+      Array.fill(n)(UpdateSketch.builder().build()
+        .compact(true, null).toByteArray)
+    def merge(a: Array[Array[Byte]], b: Array[Array[Byte]])
+    : Array[Array[Byte]] =
+      a.zip(b).map { case (x, y) =>
+        val u = SetOperation.builder().buildUnion()
+        u.union(Sketches.wrapSketch(Memory.wrap(x)))
+        u.union(Sketches.wrapSketch(Memory.wrap(y)))
+        u.getResult(true, null).toByteArray
+      }
+    val rdd = df.rdd.mapPartitions { it =>
+      val sks = Array.fill(n)(UpdateSketch.builder().build())
+      it.foreach { row =>
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i))
+            sketchBytes(types(i), row.get(i)).foreach(sks(i).update)
+          i += 1
+        }
+      }
+      Iterator.single(sks.map(_.compact(true, null).toByteArray))
+    }
+    val sketches: Array[Array[Byte]] =
+      if (rdd.isEmpty()) emptySketches else rdd.treeReduce(merge)
+    val ndv: Seq[Long] = sketches.toSeq.map(b =>
+      Math.round(Sketches.wrapSketch(Memory.wrap(b)).getEstimate))
+    val seqNum = readMeta(base).get("last-sequence-number").asLong()
+    val blobs = cols.indices.map(i => Puffin.StatsBlob(
+      Puffin.ThetaBlobType, Seq(fids(i)), snap.snapshotId, seqNum,
+      sketches(i), Map("ndv" -> ndv(i).toString)))
+    val (fileBytes, footerSize, _) = Puffin.statsFileBytes(blobs)
+    val metaDir = metadataDir(base)
+    val statsPath = TableIO.join(metaDir,
+      s"${snap.snapshotId}-${UUID.randomUUID()}.stats")
+    io.writeBytes(statsPath, fileBytes)
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val statsArr = meta.putArray("statistics") // replace: ONE current file
+    val entry = statsArr.addObject()
+    entry.put("snapshot-id", snap.snapshotId)
+    entry.put("statistics-path", PathCodec.absNorm(statsPath))
+    entry.put("file-size-in-bytes", fileBytes.length.toLong)
+    entry.put("file-footer-size-in-bytes", footerSize)
+    val bm = entry.putArray("blob-metadata")
+    blobs.foreach { b =>
+      val e = bm.addObject()
+      e.put("type", b.blobType)
+      e.put("snapshot-id", b.snapshotId)
+      e.put("sequence-number", b.sequenceNumber)
+      val fs = e.putArray("fields"); b.fields.foreach(fs.add)
+      val ps = e.putObject("properties")
+      b.properties.foreach { case (k, v) => ps.put(k, v) }
+    }
+    commitMetadataVersion(base, meta)
+    cols.zip(ndv).toMap
+  }
+
+  /** NDV estimate for a column from the table's statistics file —
+    * recomputed from the sketch bytes (ground truth), not the recorded
+    * property. None when no statistics file covers the column. Also
+    * returns the snapshot the sketch was taken at, so callers can
+    * judge staleness. */
+  def ndvEstimate(base: String, colName: String): Option[(Long, Long)] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.Sketches
+    val meta = readMeta(base)
+    val fid: Long = schemaFromMeta(meta, base).fields
+      .find(_.name == colName)
+      .filter(_.metadata.contains("parquet.field.id"))
+      .map(_.metadata.getLong("parquet.field.id"))
+      .getOrElse(return None)
+    val stats = Option(meta.get("statistics")).getOrElse(return None)
+    (0 until stats.size()).map(stats.get).reverseIterator.flatMap { s =>
+      val path = s.get("statistics-path").asText()
+      if (!io.exists(path)) None
+      else Puffin.statsBlobs(io.readBytes(path)).collectFirst {
+        case (t, fields, off, len, _)
+            if t == Puffin.ThetaBlobType && fields == Seq(fid.toInt) =>
+          val sk = Sketches.wrapSketch(Memory.wrap(
+            java.util.Arrays.copyOfRange(io.readBytes(path),
+              off.toInt, (off + len).toInt)))
+          (s.get("snapshot-id").asLong(), Math.round(sk.getEstimate))
+      }
+    }.nextOption()
+  }
+
+  /** Read for a JOIN with the NDV-informed broadcast choice: when every
+    * join key's sketched NDV is at or under `maxNdv` (a dimension
+    * table's key NDV ≈ its row count), the scan gets an explicit
+    * broadcast hint — the decision a size-only planner cannot make
+    * when the dim is wide on disk but small in rows. Falls back to the
+    * plain read (planner's own choice) when no statistics cover the
+    * keys. */
+  def readWithNdvBroadcast(spark: SparkSession, base: String,
+                           joinCols: Seq[String],
+                           maxNdv: Long = 1000000L): DataFrame = {
+    val df = read(spark, base)
+    val ndvs = joinCols.map(c => ndvEstimate(base, c))
+    if (ndvs.nonEmpty && ndvs.forall(_.exists(_._2 <= maxNdv)))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
   }
 
   /** Expire old snapshots, exactly as Iceberg's `expire_snapshots`
@@ -4305,10 +4469,38 @@ object IcebergInterop {
           headSurvivors) :+
           ManifestRef(mFile, 0, newId, newId, snap.defaultSpecId)
       })
-    commitManifestListSnapshot(base, prev,
+    val committed = commitManifestListSnapshot(base, prev,
       carried :+ ManifestRef(mFile, 0, snapshotId, snapshotId,
         snap.defaultSpecId),
       snapshotId, id, "replace", rebase = Some(rebase))
+    refreshNdvStatsIfPresent(spark, base)
+    committed
+  }
+
+  /** Compaction hook: a table that carries theta NDV statistics gets
+    * them recomputed at the new snapshot (Iceberg's own ANALYZE-on-
+    * maintenance habit) — the stats file is how downstream planners
+    * pick broadcast sides, and compaction is the natural refresh
+    * point. Columns whose field ids no longer resolve (dropped) fall
+    * out silently. No-op for tables without statistics. */
+  private def refreshNdvStatsIfPresent(spark: SparkSession,
+                                       base: String): Unit = {
+    val meta = readMeta(base)
+    val stats = Option(meta.get("statistics")).getOrElse(return)
+    if (stats.size() == 0) return
+    val schema = schemaFromMeta(meta, base)
+    val nameByFid: Map[Int, String] = schema.fields.flatMap(f =>
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id").toInt -> f.name)
+      else None).toMap
+    val cols = (0 until stats.size()).map(stats.get).flatMap { s =>
+      val bm = s.get("blob-metadata")
+      (0 until bm.size()).map(bm.get).flatMap { b =>
+        val fs = b.get("fields")
+        if (fs.size() == 1) nameByFid.get(fs.get(0).asInt()) else None
+      }
+    }.distinct
+    if (cols.nonEmpty) { computeNdvStats(spark, base, cols); () }
   }
 
   /** The current snapshot's manifests with the `rewrittenRaw` data

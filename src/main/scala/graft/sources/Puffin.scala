@@ -31,6 +31,17 @@ object Puffin {
 
   val Magic: Array[Byte] = "PFA1".getBytes(StandardCharsets.UTF_8)
   val DvBlobType = "deletion-vector-v1"
+  /** Puffin spec blob type: a serialized Apache DataSketches compact
+    * theta sketch of a column's values — the NDV statistic Iceberg's
+    * `statistics` metadata carries and engines (Trino, Spark's iceberg
+    * runtime) read for cardinality-based planning. */
+  val ThetaBlobType = "apache-datasketches-theta-v1"
+
+  /** One statistics blob headed for a puffin statistics file. */
+  final case class StatsBlob(blobType: String, fields: Seq[Int],
+                             snapshotId: Long, sequenceNumber: Long,
+                             bytes: Array[Byte],
+                             properties: Map[String, String])
 
   /** Where one DV blob landed inside a puffin file: the manifest entry
     * fields (content_offset / content_size_in_bytes) point straight at
@@ -98,6 +109,51 @@ object Puffin {
     (out.toByteArray, locs)
   }
 
+  /** A whole puffin STATISTICS file (spec: same container as DV
+    * sidecars, blob bytes raw at (offset, length), typed in the
+    * footer). Returns the file bytes, the footer size (Iceberg's
+    * statistics metadata records `file-footer-size-in-bytes`), and
+    * each blob's (offset, length) in input order. */
+  def statsFileBytes(blobs: Seq[StatsBlob])
+  : (Array[Byte], Long, Seq[(Long, Long)]) = {
+    require(blobs.nonEmpty, "puffin statistics file needs >=1 blob")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    val locs = blobs.map { b =>
+      val offset = out.size().toLong
+      out.write(b.bytes)
+      (offset, b.bytes.length.toLong)
+    }
+    val footerStart = out.size()
+    out.write(Magic)
+    val payload = mapper.createObjectNode()
+    val blobsNode = payload.putArray("blobs")
+    blobs.zip(locs).foreach { case (b, (off, len)) =>
+      val n = blobsNode.addObject()
+      n.put("type", b.blobType)
+      val fs = n.putArray("fields")
+      b.fields.foreach(fs.add)
+      n.put("snapshot-id", b.snapshotId)
+      n.put("sequence-number", b.sequenceNumber)
+      n.put("offset", off)
+      n.put("length", len)
+      if (b.properties.nonEmpty) {
+        val props = n.putObject("properties")
+        b.properties.foreach { case (k, v) => props.put(k, v) }
+      }
+    }
+    val payloadBytes =
+      mapper.writeValueAsString(payload).getBytes(StandardCharsets.UTF_8)
+    out.write(payloadBytes)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payloadBytes.length)
+    tail.putInt(0)
+    out.write(tail.array())
+    out.write(Magic)
+    val bytes = out.toByteArray
+    (bytes, (bytes.length - footerStart).toLong, locs)
+  }
+
   /** Decode one DV blob at (offset, length) — the manifest-entry
     * coordinates — into sorted positions. Validates the frame: length
     * prefix consistent with the entry's, magic, CRC. */
@@ -119,12 +175,33 @@ object Puffin {
     DeletionVectors.decodeDvData(data) // magic-checked inside
   }
 
-  /** Footer blob metadata: (type, offset, length, properties) per blob.
-    * The scan path resolves blobs through manifest entries instead;
-    * this is the interop/validation surface (what an external reader
-    * that only has the puffin file would use). */
-  def blobs(bytes: Array[Byte])
-  : Seq[(String, Long, Long, Map[String, String])] = {
+  /** Footer blob metadata WITH field ids: (type, fields, offset,
+    * length, properties) — the statistics-file read surface (a theta
+    * blob's `fields` names the column it sketches). */
+  def statsBlobs(bytes: Array[Byte])
+  : Seq[(String, Seq[Int], Long, Long, Map[String, String])] = {
+    val node = footerPayload(bytes)
+    val arr = node.get("blobs")
+    (0 until arr.size()).map(arr.get).map { b =>
+      val fields = Option(b.get("fields")).map(f =>
+        (0 until f.size()).map(f.get(_).asInt()).toSeq).getOrElse(Seq.empty)
+      (b.get("type").asText(), fields, b.get("offset").asLong(),
+        b.get("length").asLong(), propsOf(b))
+    }
+  }
+
+  private def propsOf(b: com.fasterxml.jackson.databind.JsonNode)
+  : Map[String, String] =
+    Option(b.get("properties")).map { p =>
+      val bld = Map.newBuilder[String, String]
+      val it = p.fields()
+      while (it.hasNext) {
+        val e = it.next(); bld += e.getKey -> e.getValue.asText() }
+      bld.result()
+    }.getOrElse(Map.empty[String, String])
+
+  private def footerPayload(bytes: Array[Byte])
+  : com.fasterxml.jackson.databind.JsonNode = {
     def magicAt(off: Int): Boolean =
       off >= 0 && off + 4 <= bytes.length &&
         java.util.Arrays.equals(bytes.slice(off, off + 4), Magic)
@@ -137,19 +214,20 @@ object Puffin {
     require((flags & 1) == 0, "compressed puffin footer payload — unsupported")
     val payloadStart = bytes.length - 12 - payloadSize
     require(magicAt(payloadStart - 4), "puffin footer start magic missing")
-    val payload = new String(bytes, payloadStart, payloadSize,
-      StandardCharsets.UTF_8)
-    val node = mapper.readTree(payload)
-    val arr = node.get("blobs")
+    mapper.readTree(new String(bytes, payloadStart, payloadSize,
+      StandardCharsets.UTF_8))
+  }
+
+  /** Footer blob metadata: (type, offset, length, properties) per blob.
+    * The scan path resolves blobs through manifest entries instead;
+    * this is the interop/validation surface (what an external reader
+    * that only has the puffin file would use). */
+  def blobs(bytes: Array[Byte])
+  : Seq[(String, Long, Long, Map[String, String])] = {
+    val arr = footerPayload(bytes).get("blobs")
     (0 until arr.size()).map(arr.get).map { b =>
-      val props = Option(b.get("properties")).map { p =>
-        val bld = Map.newBuilder[String, String]
-        val it = p.fields()
-        while (it.hasNext) { val e = it.next(); bld += e.getKey -> e.getValue.asText() }
-        bld.result()
-      }.getOrElse(Map.empty[String, String])
       (b.get("type").asText(), b.get("offset").asLong(),
-        b.get("length").asLong(), props)
+        b.get("length").asLong(), propsOf(b))
     }
   }
 }
