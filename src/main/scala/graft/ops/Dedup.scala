@@ -32,6 +32,33 @@ object Dedup {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
+  /** Bounded persist for the signature frames: persist() entries are
+    * CacheManager-pinned until explicit unpersist, so a long-lived
+    * session calling these ops repeatedly would accumulate blocks
+    * (round-12 ADVICE). A plain localCheckpoint fixes the leak but
+    * loses the PLAN-KEYED cache reuse repeated identical queries rely
+    * on (a re-run of the same dedup finds the previous call's sigs
+    * still cached — profiled ~3× on the cluster/index pipelines) and
+    * adds an eager extra job per call. So: persist, but keep only the
+    * last few frames alive. Entries with the same canonical plan share
+    * ONE CacheManager slot, so re-persisting an equal plan refreshes
+    * its queue position instead of double-registering (unpersisting
+    * the old handle would kill the shared entry). */
+  private val MaxLivePersists = 8
+  private val persisted =
+    new java.util.ArrayDeque[(org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan, DataFrame)]()
+  private def persistBounded(df: DataFrame): DataFrame = synchronized {
+    val canon = df.queryExecution.analyzed.canonicalized
+    val it = persisted.iterator()
+    while (it.hasNext) if (it.next()._1 == canon) it.remove()
+    val p = df.persist()
+    persisted.addLast((canon, p))
+    while (persisted.size > MaxLivePersists)
+      persisted.removeFirst()._2.unpersist(false)
+    p
+  }
+
   /** k-permutation MinHash signatures, computed MAP-ONLY: murmur3-hash
     * each shingle in place, then one native single-pass expression
     * (graft.functions.MinHashSig) folds all k universal-hash minima
@@ -124,14 +151,8 @@ object Dedup {
     * (e.g. a dedup manifest consumed by a non-Spark system). */
   def minhashPortablePairs(docs: DataFrame, id: Column, text: Column,
                            bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sigs = portableBandSigs(docs, id, text, bands, shingleN)
-      // materialized so the self-join's two sides don't recompute the
-      // shingling (profiled 5.5 s → ~1 s at sf0.1). localCheckpoint,
-      // NOT persist(): the result is returned lazily so there is no
-      // place to unpersist, and CacheManager entries pin blocks until
-      // explicit unpersist — checkpoint blocks are GC-reclaimed with
-      // the plan, so long-lived sessions don't accumulate cache
-      .localCheckpoint()
+    val sigs = persistBounded(
+      portableBandSigs(docs, id, text, bands, shingleN))
     sigs.as("a").join(sigs.as("c"),
       col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
         col("a.doc_id") < col("c.doc_id"))
@@ -188,12 +209,10 @@ object Dedup {
   def dedupAgainstIndex(incoming: DataFrame, id: Column, text: Column,
                         index: DataFrame, bands: Int = 4,
                         shingleN: Int = 3): DataFrame = {
-    val sigs = portableBandSigs(incoming, id, text, bands, shingleN)
-      // feeds the corpus semi-join AND both sides of the in-batch
-      // self-join — unmaterialized, the shingling runs three times.
-      // localCheckpoint over persist() for the same GC-reclaim reason
-      // as minhashPortablePairs (lazy return, nowhere to unpersist)
-      .localCheckpoint()
+    // feeds the corpus semi-join AND both sides of the in-batch
+    // self-join — unmaterialized, the shingling runs three times
+    val sigs = persistBounded(
+      portableBandSigs(incoming, id, text, bands, shingleN))
     val corpusHit = sigs.as("a")
       .join(index.select(col("doc_id").as("__idx_id"),
           col("b"), col("sig")).as("i"),
@@ -234,9 +253,11 @@ object Dedup {
                        text: Column, txnId: Option[String] = None,
                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val index = graft.pipeline.GraftLog.read(spark, base)
-    // materialized BEFORE the advance: the survivors' plan reads the
-    // index, and a lazy plan re-run after the append would see the
-    // batch's own signatures
+    // materialized EAGERLY before the advance (localCheckpoint, not a
+    // lazy persist): the survivors' plan reads the index, and a plan
+    // first evaluated after the append would see the batch's own
+    // signatures — harmless under the self-ignoring join rules, but
+    // the eager cut makes the pre-advance read explicit
     val survivors = dedupAgainstIndex(incoming, id, text, index,
       bands, shingleN).localCheckpoint()
     graft.pipeline.GraftLog.append(
@@ -315,7 +336,7 @@ object Dedup {
     // every round, and an unmaterialized `edges` lineage (e.g. a whole
     // LSH pipeline) would be recomputed per round otherwise
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().persist()
     val nodeType = und.schema("src").dataType
     if (und.count() <= smallGraphThreshold) {
       import scala.jdk.CollectionConverters._
@@ -348,7 +369,7 @@ object Dedup {
           org.apache.spark.sql.types.StructField("comp", nodeType))))
     }
     var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+      .withColumn("comp", col("node")).persist()
     var iter = 0
     while (iter < maxIter) {
       val roundT0 = System.nanoTime()
@@ -373,7 +394,7 @@ object Dedup {
         .select(col("node"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
           col("prev"))
-        .localCheckpoint()
+        .persist()
       val changed = next.filter(col("comp") =!= col("prev")).limit(1).count()
       labels.unpersist()
       labels = next // checkpointed; the stray `prev` column is projected

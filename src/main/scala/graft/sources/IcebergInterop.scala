@@ -3874,13 +3874,16 @@ object IcebergInterop {
     (0 until stats.size()).map(stats.get).reverseIterator.flatMap { s =>
       val path = s.get("statistics-path").asText()
       if (!io.exists(path)) None
-      else Puffin.statsBlobs(io.readBytes(path)).collectFirst {
-        case (t, fields, off, len, _)
-            if t == Puffin.ThetaBlobType && fields == Seq(fid.toInt) =>
-          val sk = Sketches.wrapSketch(Memory.wrap(
-            java.util.Arrays.copyOfRange(io.readBytes(path),
-              off.toInt, (off + len).toInt)))
-          (s.get("snapshot-id").asLong(), Math.round(sk.getEstimate))
+      else {
+        val bytes = io.readBytes(path)
+        Puffin.statsBlobs(bytes).collectFirst {
+          case (t, fields, off, len, _)
+              if t == Puffin.ThetaBlobType && fields == Seq(fid.toInt) =>
+            val sk = Sketches.wrapSketch(Memory.wrap(
+              java.util.Arrays.copyOfRange(bytes,
+                off.toInt, (off + len).toInt)))
+            (s.get("snapshot-id").asLong(), Math.round(sk.getEstimate))
+        }
       }
     }.nextOption()
   }
