@@ -1514,6 +1514,35 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** NDV-statistics-driven broadcast join (q244): the customer dim
+    * publishes as an Iceberg table, `ANALYZE TABLE ... FOR COLUMNS`
+    * records its theta-sketch key NDV, and the read side turns the
+    * small NDV into an explicit broadcast hint for the orders join —
+    * the planning decision a size-only estimator cannot make. Values
+    * oracle-checked here; the plan property (broadcast on, control
+    * off) is pinned in PuffinStatsSpec. */
+  private def qNdvBroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("ndv_customer", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    IcebergInterop.overwrite(cust.repartition(2), base)
+    GraftSql.registerIcebergTable(s, "ndv_customer_t", base)
+    GraftSql.sql(s,
+      "ANALYZE TABLE ndv_customer_t COMPUTE STATISTICS FOR COLUMNS c_custkey")
+    val dim = IcebergInterop.readWithNdvBroadcast(s, base, Seq("c_custkey"))
+    Tables.load(s, dir, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("dec_total"))
+      .select(col("c_nationkey"), col("n_orders"),
+        col("dec_total").cast("double").as("total_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
     * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
     * by nature; this proves the algorithm row-exact cross-engine). */
@@ -6009,6 +6038,7 @@ object SparkEntry {
     "q241_incremental_dedup" -> (qIncrementalDedup _),
     "q242_iceberg_mirror" -> (qIcebergMirror _),
     "q243_dedup_index_pipeline" -> (qDedupIndexPipeline _),
+    "q244_ndv_broadcast_join" -> (qNdvBroadcastJoin _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6884,6 +6914,12 @@ object SparkEntry {
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
          GROUP BY lang ORDER BY lang""",
+    "q244_ndv_broadcast_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q243_dedup_index_pipeline" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          sh AS (SELECT doc_id,

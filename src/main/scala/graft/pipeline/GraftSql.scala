@@ -174,6 +174,13 @@ object GraftSql {
           if tablesOf(spark)
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runClusterBy(spark, t.multipartIdentifier.last.toLowerCase, specOpt)
+      case org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn(
+            t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+            colsOpt, allColumns)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runAnalyze(spark, t.multipartIdentifier.last.toLowerCase,
+          colsOpt, allColumns)
       // CHECK parses to its own node (the child is a pre-built
       // violation Filter over the relation — ignored here; the runner
       // probes existing data itself); PRIMARY KEY/UNIQUE/FK arrive as
@@ -1815,6 +1822,37 @@ object GraftSql {
   private def result(spark: SparkSession, op: String, version: Long): DataFrame = {
     import spark.implicits._
     Seq((op, version)).toDF("operation", "version")
+  }
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS [c, ...]`:
+    * on an Iceberg table, publish per-column theta-sketch NDV
+    * statistics (`IcebergInterop.computeNdvStats` — a puffin
+    * statistics file + the spec's metadata entry, the input
+    * `readWithNdvBroadcast` consumes). ALL COLUMNS analyzes every
+    * NDV-sketchable column. Returns (column, ndv). */
+  private def runAnalyze(spark: SparkSession, name: String,
+                         cols: Option[Seq[String]],
+                         allColumns: Boolean): DataFrame = {
+    import spark.implicits._
+    tablesOf(spark).get(name) match {
+      case IceTable(base) =>
+        val target: Seq[String] =
+          if (allColumns)
+            graft.sources.IcebergInterop.currentSparkSchema(base)
+              .fields.filter(f =>
+                graft.sources.IcebergInterop.ndvSketchable(f.dataType))
+              .map(_.name).toSeq
+          else cols.getOrElse(Seq.empty)
+        require(target.nonEmpty,
+          s"ANALYZE TABLE $name: no NDV-sketchable columns to analyze")
+        val ndv = graft.sources.IcebergInterop
+          .computeNdvStats(spark, base, target)
+        target.map(c => (c, ndv(c))).toDF("column", "ndv")
+      case _ => throw new IllegalArgumentException(
+        s"ANALYZE TABLE $name: theta NDV statistics files are an " +
+        "Iceberg feature (Delta and graft-log carry per-file min/max " +
+        "stats in their logs instead)")
+    }
   }
 
   private def runDelete(spark: SparkSession, name: String,

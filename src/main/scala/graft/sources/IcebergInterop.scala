@@ -2288,7 +2288,7 @@ object IcebergInterop {
     * The Delta-mirror sync compares this against the mirror's schema:
     * Iceberg schema evolution is metadata-only (no new snapshot), so a
     * snapshot-id equality check alone would miss it. */
-  private[sources] def currentSparkSchema(base: String): StructType =
+  private[graft] def currentSparkSchema(base: String): StructType =
     DataType.fromJson(icebergSchemaToSparkJson(readMeta(base)))
       .asInstanceOf[StructType]
 
@@ -3770,6 +3770,15 @@ object IcebergInterop {
       case _ => SingleValue.encode(dt, v)
     }
 
+  /** Types [[computeNdvStats]] can sketch (NDV of a binary blob or a
+    * nested struct is not meaningful planning input). */
+  private[graft] def ndvSketchable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | StringType |
+         DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Compute per-column NDV theta sketches for the CURRENT snapshot and
     * publish them as an Iceberg STATISTICS file: one puffin
     * `apache-datasketches-theta-v1` blob per column — real Apache
@@ -3790,6 +3799,9 @@ object IcebergInterop {
     val fids: Seq[Int] = cols.map { c =>
       val f = snap.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no column '$c' in $base"))
+      require(ndvSketchable(f.dataType),
+        s"column '$c' (${f.dataType.simpleString}) is not NDV-sketchable" +
+        " — a silent 0 would poison broadcast decisions")
       require(f.metadata.contains("parquet.field.id"),
         s"column '$c' carries no field id — cannot key a statistics blob")
       f.metadata.getLong("parquet.field.id").toInt
@@ -4004,8 +4016,27 @@ object IcebergInterop {
     val newRoot = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
     val arr = newRoot.putArray("snapshots")
     retained.foreach(arr.add)
+    // spec §Table Statistics: statistics files of EXPIRED snapshots are
+    // dropped with them (a sketch keyed to a snapshot no reader can
+    // resolve is dead weight); retained-snapshot stats carry
+    val retainedIds = retained
+      .map(_.get("snapshot-id").asLong()).toSet
+    val statsDeleted = Option(meta.get("statistics")).toSeq.flatMap { st =>
+      val keepArr = newRoot.putArray("statistics")
+      (0 until st.size()).map(st.get).flatMap { s =>
+        if (retainedIds.contains(s.get("snapshot-id").asLong())) {
+          keepArr.add(s.deepCopy[JsonNode]()); None
+        } else {
+          val p = PathCodec.absNorm(s.get("statistics-path").asText())
+          if (io.exists(p) && io.delete(p))
+            Some(if (p.startsWith(root))
+              p.stripPrefix(root).stripPrefix("/") else p)
+          else None
+        }
+      }
+    }
     commitMetadataVersion(base, newRoot)
-    deleted
+    deleted ++ statsDeleted
   }
 
   /** Data-file COMPACTION — the `rewrite_data_files` maintenance

@@ -119,6 +119,59 @@ class PuffinStatsSpec extends SparkSpec {
     assert(IcebergInterop.ndvEstimate(base, "id").map(_._2).contains(100L))
   }
 
+  test("ANALYZE TABLE SQL routes to the statistics file; refusals") {
+    import graft.pipeline.GraftSql
+    val base = freshBase("analyze")
+    IcebergInterop.overwrite((0L until 500L).map(k => (k, k % 25, "x" * 3))
+      .toDF("id", "g", "blobish").coalesce(1), base)
+    GraftSql.registerIcebergTable(spark, "puffin_an_t", base)
+    val out = GraftSql.sql(spark,
+      "ANALYZE TABLE puffin_an_t COMPUTE STATISTICS FOR COLUMNS id, g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("id" -> 500L, "g" -> 25L))
+    assert(IcebergInterop.ndvEstimate(base, "g").map(_._2).contains(25L))
+    // ALL COLUMNS covers every sketchable column
+    val all = GraftSql.sql(spark,
+      "ANALYZE TABLE puffin_an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("id", "g", "blobish"))
+    // non-Iceberg tables refuse with guidance
+    val dbase = freshBase("analyze_delta")
+    graft.sources.DeltaInterop.overwrite((0L until 5L).toDF("id"), dbase)
+    GraftSql.registerDeltaTable(spark, "puffin_an_d", dbase)
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ANALYZE TABLE puffin_an_d COMPUTE STATISTICS FOR COLUMNS id"))
+    assert(e.getMessage.contains("Iceberg"), e.getMessage)
+  }
+
+  test("un-sketchable columns refuse instead of silently sketching nothing") {
+    val base = freshBase("unsketchable")
+    IcebergInterop.overwrite(
+      (0L until 10L).map(k => (k, Array[Byte](k.toByte)))
+        .toDF("id", "payload").coalesce(1), base)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.computeNdvStats(spark, base, Seq("payload")))
+    assert(e.getMessage.contains("not NDV-sketchable"), e.getMessage)
+  }
+
+  test("expireSnapshots drops statistics files of expired snapshots") {
+    val base = freshBase("expire")
+    IcebergInterop.overwrite((0L until 40L).toDF("id").coalesce(1), base)
+    IcebergInterop.computeNdvStats(spark, base, Seq("id"))
+    val statsFile = new File(base, "metadata").list()
+      .find(_.endsWith(".stats")).get
+    // a full rewrite strands the analyzed snapshot; expiring it must
+    // take the now-unresolvable statistics entry and file with it
+    IcebergInterop.overwrite((40L until 90L).toDF("id").coalesce(1), base)
+    val reclaimed = IcebergInterop.expireSnapshots(spark, base)
+    assert(reclaimed.exists(_.endsWith(".stats")), reclaimed.toString)
+    assert(!new File(base, s"metadata/$statsFile").exists())
+    assert(IcebergInterop.ndvEstimate(base, "id").isEmpty)
+    // re-analyzing the current snapshot works and survives expire
+    IcebergInterop.computeNdvStats(spark, base, Seq("id"))
+    assert(IcebergInterop.ndvEstimate(base, "id").map(_._2).contains(50L))
+  }
+
   test("compaction refreshes the sketches at the new snapshot") {
     val base = freshBase("refresh")
     IcebergInterop.overwrite(
