@@ -3728,24 +3728,7 @@ object IcebergInterop {
       // hundreds of MB and a serial crawl, the last GC scale-killer.
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, lit}
-      val mls = spark.createDataset(mlPaths)
-        .repartition(math.max(1, math.min(mlPaths.size,
-          spark.sparkContext.defaultParallelism)))
-      val manifests = mls.flatMap { ml =>
-        val eio = TableIO()
-        if (!eio.exists(ml)) Seq.empty[String]
-        else readAvro(ml).map(m => PathCodec.absNorm(
-          resolvePath(b, m.get("manifest_path").toString)))
-      }.distinct()
-      val entries = manifests.flatMap { mf =>
-        val eio = TableIO()
-        if (!eio.exists(mf)) Seq.empty[String]
-        else readAvro(mf).map { e =>
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          PathCodec.absNorm(resolvePath(b, df.get("file_path").toString))
-        }
-      }
-      val reachable = mls.union(manifests).union(entries)
+      val reachable = reachableFromManifestLists(spark, b, mlPaths)
         .union(spark.createDataset(pinned)).toDF("p")
       val cand = GcListing.listFiles(spark, root, skipDirs,
         skipHidden = false).toDF("p", "fm")
@@ -3754,6 +3737,36 @@ object IcebergInterop {
         .select(col("p")).as[String]
       GcListing.reap(spark, root, dead, dryRun)
     }
+  }
+
+  /** Every path a set of manifest lists can reach, as a DATASET built
+    * level by level in Spark jobs (manifest lists → manifests →
+    * entries, deleted-status entries conservatively included) — the
+    * distributed reachability stage shared by remove_orphan_files and
+    * expire_snapshots at scale. */
+  private def reachableFromManifestLists(
+      spark: SparkSession, base: String,
+      mlPaths: Seq[String]): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val b = base
+    val mls = spark.createDataset(mlPaths)
+      .repartition(math.max(1, math.min(math.max(mlPaths.size, 1),
+        spark.sparkContext.defaultParallelism)))
+    val manifests = mls.flatMap { ml =>
+      val eio = TableIO()
+      if (!eio.exists(ml)) Seq.empty[String]
+      else readAvro(ml).map(m => PathCodec.absNorm(
+        resolvePath(b, m.get("manifest_path").toString)))
+    }.distinct()
+    val entries = manifests.flatMap { mf =>
+      val eio = TableIO()
+      if (!eio.exists(mf)) Seq.empty[String]
+      else readAvro(mf).map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        PathCodec.absNorm(resolvePath(b, df.get("file_path").toString))
+      }
+    }
+    mls.union(manifests).union(entries)
   }
 
   // ---- table statistics: theta-sketch NDV (spec §Table Statistics) --
@@ -4003,14 +4016,37 @@ object IcebergInterop {
     }.toSet
 
     val expired = all.filterNot(retained.contains)
-    val keep = reachable(retained)
     val root = PathCodec.absNorm(base)
-    val deleted = (reachable(expired) -- keep).toSeq.sorted.flatMap { p =>
-      if (io.exists(p) && io.delete(p))
-        Some(if (p.startsWith(root)) p.stripPrefix(root).stripPrefix("/")
-             else p)
-      else None
-    }
+    def mlsOf(of: Seq[JsonNode]): Seq[String] = of.map(s =>
+      PathCodec.absNorm(resolvePath(base, s.get("manifest-list").asText())))
+      .distinct
+    val (retainedMls, expiredMls) = (mlsOf(retained), mlsOf(expired))
+    // same fan-out decision as remove_orphan_files: manifest count is
+    // the file-scale proxy; below the threshold the driver crawl wins
+    val threshold = GcListing.fanoutThreshold(spark)
+    val smallEnough =
+      if (retainedMls.size + expiredMls.size >= threshold) false
+      else (retainedMls ++ expiredMls).flatMap { ml =>
+        if (!io.exists(ml)) Seq.empty
+        else readAvro(ml).map(_.get("manifest_path").toString)
+      }.distinct.size < threshold
+    val deleted: Seq[String] =
+      if (smallEnough)
+        (reachable(expired) -- reachable(retained)).toSeq.sorted.flatMap { p =>
+          if (io.exists(p) && io.delete(p))
+            Some(if (p.startsWith(root)) p.stripPrefix(root).stripPrefix("/")
+                 else p)
+          else None
+        }
+      else {
+        // at 10⁶–10⁷ files the two reachability sets are hundreds of
+        // MB of driver strings; build both as Spark jobs and take the
+        // difference as a distributed except — only the (bounded)
+        // reclaim list ever reaches the driver
+        val dead = reachableFromManifestLists(spark, base, expiredMls)
+          .except(reachableFromManifestLists(spark, base, retainedMls))
+        GcListing.reap(spark, root, dead, dryRun = false)
+      }
 
     // commit the pruned snapshot list as a new metadata version
     val newRoot = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]

@@ -172,6 +172,32 @@ class GcScaleSpec extends graft.SparkSpec {
       .count() == 60L)
   }
 
+  test("expire_snapshots fan-out reclaims exactly the driver crawl's list") {
+    // two IDENTICAL tables (expire mutates): driver-mode on one,
+    // fan-out on the other — reclaim lists and surviving state match
+    def build(): String = {
+      val base = tmp()
+      IcebergInterop.overwrite((0L until 40L).toDF("id").repartition(4), base)
+      IcebergInterop.append((40L until 60L).toDF("id").repartition(2), base)
+      IcebergInterop.overwrite((100L until 130L).toDF("id").repartition(3), base)
+      base
+    }
+    val a = build()
+    val b = tmp()
+    new File(b).delete()
+    org.apache.commons.io.FileUtils.copyDirectory(new File(a), new File(b))
+    val driverList = withFanout(1000000)(
+      IcebergInterop.expireSnapshots(spark, a))
+    val (fanList, fanJobs) = jobsDuring(withFanout(1)(
+      IcebergInterop.expireSnapshots(spark, b)))
+    assert(fanJobs >= 1, "fan-out expire must run as a Spark job")
+    assert(driverList.nonEmpty)
+    assert(fanList == driverList)
+    assert(IcebergInterop.read(spark, b).agg(sum("id")).head().getLong(0)
+      == (100L until 130L).sum)
+    assert(IcebergInterop.snapshotIds(b).size == 1)
+  }
+
   test("remove_orphan_files never reaps a Delta mirror's _delta_log") {
     val base = tmp()
     IcebergInterop.overwrite((0L until 30L).toDF("id").coalesce(1), base)
