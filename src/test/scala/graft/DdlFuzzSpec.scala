@@ -37,7 +37,9 @@ class DdlFuzzSpec extends SparkSpec {
                           withPromotion: Boolean = false,
                           withIct: Boolean = false,
                           withUniform: Boolean = false,
-                          withMirror: Boolean = false): Unit = {
+                          withMirror: Boolean = false,
+                          withClustering: Boolean = false,
+                          withNdvStats: Boolean = false): Unit = {
     require(!withDefaults || icebergV3,
       "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
@@ -116,6 +118,15 @@ class DdlFuzzSpec extends SparkSpec {
       // rename/drop (the mirror upgrades itself to id-mapping and
       // resolves old files by Iceberg field id) and type promotion
       if (withMirror) graft.sources.DeltaMirror.enable(spark, ibase)
+      // the CLUSTERING dimension: the Delta leg is liquid-clustered on
+      // k from the start — every OPTIMIZE in the sequence is an
+      // incremental LSM-cube pass, value-preserving by contract
+      if (withClustering) DeltaInterop.enableClustering(spark, dbase, Seq("k"))
+      // the NDV-STATS dimension: the Iceberg leg carries a theta
+      // statistics file from the start — compaction must refresh it,
+      // expire must keep-or-drop it coherently, and the final estimate
+      // must be exact for the surviving keys
+      if (withNdvStats) IcebergInterop.computeNdvStats(spark, ibase, Seq("k"))
       model.rows = rows.toVector
       recordRestorePoint()
     }
@@ -244,12 +255,15 @@ class DdlFuzzSpec extends SparkSpec {
           recordRestorePoint()
         case 6 => // MAINTENANCE — value-preserving by contract, so the
           // model does NOT move; any drift is a maintenance bug
-          rnd.nextInt(4) match {
+          rnd.nextInt(if (withClustering) 5 else 4) match {
             case 0 => DeltaInterop.checkpoint(spark, dbase)
             case 1 => DeltaInterop.optimize(spark, dbase,
               smallFileBytes = 1L << 20)
             case 2 => DeltaInterop.vacuum(spark, dbase, retainMillis = 0L)
             case 3 => DeltaInterop.reorgPurge(spark, dbase)
+            case 4 => // CLUSTER BY NONE round trip (metadata-only both ways)
+              DeltaInterop.disableClustering(spark, dbase)
+              DeltaInterop.enableClustering(spark, dbase, Seq("k"))
           }
           rnd.nextInt(4) match {
             case 0 => IcebergInterop.rewriteDataFiles(spark, ibase,
@@ -388,6 +402,23 @@ class DdlFuzzSpec extends SparkSpec {
       assert(icts.size >= nOps / 2,
         s"seed=$seed: suspiciously few ICT commits (${icts.size})")
     }
+    if (withClustering) {
+      // the clustering domain survived every op (maintenance included);
+      // value equality above proves the LSM rewrites lost nothing
+      assert(DeltaInterop.clusteringColumns(
+        DeltaInterop.snapshot(spark, dbase)) == Seq("k"),
+        s"seed=$seed: clustering domain lost")
+    }
+    if (withNdvStats) {
+      // whatever compaction refreshed or expire dropped along the way,
+      // re-analyzing at HEAD is exact for the surviving keys (theta is
+      // exact below nominal k at these sizes)
+      val ndv = IcebergInterop.computeNdvStats(spark, ibase, Seq("k"))("k")
+      val want = model.rows.map(_("k")).distinct.size.toLong
+      assert(ndv == want, s"seed=$seed: NDV $ndv != $want distinct keys")
+      assert(IcebergInterop.ndvEstimate(ibase, "k").map(_._2)
+        .contains(want))
+    }
     if (icebergV3) {
       // the LINEAGE invariant survives every interleaving: after any
       // mix of DML, evolution, maintenance, and restore, every live
@@ -449,6 +480,14 @@ class DdlFuzzSpec extends SparkSpec {
       icebergV3 = true)
     runSequence(seed = 27182, nOps = 22, withMirror = true,
       withPromotion = true)
+  }
+
+  test("clustered + NDV-stats sequences: liquid cubes and theta " +
+       "statistics survive every op composition") {
+    runSequence(seed = 141421, nOps = 22, withClustering = true)
+    runSequence(seed = 173205, nOps = 22, withNdvStats = true)
+    runSequence(seed = 223606, nOps = 24, withClustering = true,
+      withNdvStats = true, withPromotion = true)
   }
 
   test("a full sequence through OBJECT-STORE semantics: flat keys, " +
