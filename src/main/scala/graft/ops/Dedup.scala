@@ -213,6 +213,14 @@ object Dedup {
     // self-join — unmaterialized, the shingling runs three times
     val sigs = persistBounded(
       portableBandSigs(incoming, id, text, bands, shingleN))
+    dedupWithSigs(incoming, id, sigs, index)
+  }
+
+  /** The [[dedupAgainstIndex]] drop rules over PRE-COMPUTED batch
+    * signatures — shared with [[dedupeAndAdvance]], which reuses the
+    * same sigs frame for the index advance instead of re-shingling. */
+  private def dedupWithSigs(incoming: DataFrame, id: Column,
+                            sigs: DataFrame, index: DataFrame): DataFrame = {
     val corpusHit = sigs.as("a")
       .join(index.select(col("doc_id").as("__idx_id"),
           col("b"), col("sig")).as("i"),
@@ -253,15 +261,21 @@ object Dedup {
                        text: Column, txnId: Option[String] = None,
                        bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val index = graft.pipeline.GraftLog.read(spark, base)
+    val sigs = persistBounded(
+      portableBandSigs(incoming, id, text, bands, shingleN))
     // materialized EAGERLY before the advance (localCheckpoint, not a
     // lazy persist): the survivors' plan reads the index, and a plan
     // first evaluated after the append would see the batch's own
     // signatures — harmless under the self-ignoring join rules, but
     // the eager cut makes the pre-advance read explicit
-    val survivors = dedupAgainstIndex(incoming, id, text, index,
-      bands, shingleN).localCheckpoint()
+    val survivors = dedupWithSigs(incoming, id, sigs, index)
+      .localCheckpoint()
+    // the advance reuses the batch's already-computed signatures —
+    // one semi-join on the survivor ids, never a second shingling pass
     graft.pipeline.GraftLog.append(
-      minhashIndex(survivors, id, text, bands, shingleN), base, txnId)
+      sigs.join(survivors.select(id.as("__sid")),
+          col("doc_id") === col("__sid"), "left_semi"),
+      base, txnId)
     survivors
   }
 
