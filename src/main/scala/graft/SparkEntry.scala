@@ -1543,6 +1543,32 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Iceberg partition statistics (q245, spec §Partition Statistics):
+    * lineitem publishes as an Iceberg table partitioned by
+    * l_returnflag, a merge-on-read position delete lands
+    * (l_orderkey%10==0), and `computePartitionStats` writes the
+    * per-partition stats parquet from METADATA aggregation — no data
+    * scan for the data-side counts, one delete-parquet scan for
+    * classic position-delete attribution. The oracle recomputes every
+    * per-partition count from the raw rows in DuckDB, proving the
+    * metadata math exact. */
+  private def qPartitionStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("pstats_lineitem", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    IcebergInterop.overwrite(li.repartition(4), base,
+      partitionBy = Seq("l_returnflag"))
+    IcebergInterop.deletePositionsWhere(s, base, col("l_orderkey") % 10 === 0)
+    IcebergInterop.computePartitionStats(s, base)
+    IcebergInterop.partitionStats(s, base).get
+      .select(col("l_returnflag"), col("data_record_count"),
+        col("position_delete_record_count"), col("total_record_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
     * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
     * by nature; this proves the algorithm row-exact cross-engine). */
@@ -6039,6 +6065,7 @@ object SparkEntry {
     "q242_iceberg_mirror" -> (qIcebergMirror _),
     "q243_dedup_index_pipeline" -> (qDedupIndexPipeline _),
     "q244_ndv_broadcast_join" -> (qNdvBroadcastJoin _),
+    "q245_partition_stats" -> (qPartitionStats _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6914,6 +6941,14 @@ object SparkEntry {
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
          GROUP BY lang ORDER BY lang""",
+    "q245_partition_stats" ->
+      """SELECT l_returnflag,
+         count(*) AS data_record_count,
+         CAST(sum(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS position_delete_record_count,
+         CAST(count(*) - sum(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS total_record_count
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q244_ndv_broadcast_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

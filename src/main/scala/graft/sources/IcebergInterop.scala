@@ -2153,6 +2153,8 @@ object IcebergInterop {
     // own behavior, refreshed by ANALYZE/compaction, never dropped)
     prevA.foreach(m => Option(m.get("statistics")).foreach(s =>
       root.set[JsonNode]("statistics", s.deepCopy())))
+    prevA.foreach(m => Option(m.get("partition-statistics")).foreach(s =>
+      root.set[JsonNode]("partition-statistics", s.deepCopy())))
     val committedAtMs = clock() // ONE instant per commit
     root.put("last-sequence-number", snapshotId)
     root.put("last-updated-ms", committedAtMs)
@@ -3626,11 +3628,11 @@ object IcebergInterop {
         .map(x => (PathCodec.absNorm(
           resolvePath(base, x.get("manifest-list").asText())), true)).toSeq)
       .getOrElse(Seq.empty)
-    val stats = Option(meta.get("statistics"))
-      .map(s => (0 until s.size()).map(s.get)
+    val stats = Seq("statistics", "partition-statistics").flatMap(key =>
+      Option(meta.get(key)).map(s => (0 until s.size()).map(s.get)
         .map(x => (PathCodec.absNorm(
           x.get("statistics-path").asText()), false)).toSeq)
-      .getOrElse(Seq.empty)
+        .getOrElse(Seq.empty))
     mls ++ stats
   }
 
@@ -3913,6 +3915,165 @@ object IcebergInterop {
     }.nextOption()
   }
 
+  // ---- partition statistics (spec §Partition Statistics) ------------
+
+  /** Compute the CURRENT snapshot's per-partition statistics file and
+    * record the `partition-statistics` metadata entry (replacing any
+    * prior one — single current file, like the NDV stats). Exact
+    * values, from metadata only where possible:
+    *  - data_record_count / data_file_count /
+    *    total_data_file_size_in_bytes aggregate the manifests' per-file
+    *    record counts and sizes — no data scan;
+    *  - position-delete counts attribute by referenced data file (DVs
+    *    name it in metadata; classic v2 delete files get ONE
+    *    distributed scan of the delete parquets joined to the
+    *    file→partition map);
+    *  - equality deletes are global in this engine (partition=null
+    *    scope), so their rows/files report under the null partition;
+    *  - total_record_count (live rows) is emitted only when it is
+    *    exact: data rows − position-deleted rows, omitted (null) for
+    *    partitions equality deletes could touch — a wrong "accurate
+    *    count" is worse than an absent optional field (the spec marks
+    *    it optional).
+    * Identity partition fields are typed by their source column;
+    * transformed fields (bucket/truncate/day results) stay strings.
+    * Returns the snapshot id the stats are keyed to. */
+  def computePartitionStats(spark: SparkSession, base: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast => bcast, _}
+    import spark.implicits._
+    val snap = snapshot(spark, base)
+    val partCols: Seq[String] = snap.specFields.map(_.name)
+    def keyOf(pv: Map[String, String]): Seq[String] =
+      partCols.map(c => pv.getOrElse(c, null))
+    // data-side aggregates: pure metadata
+    val dataAgg: Map[Seq[String], (Long, Int, Long)] =
+      snap.files.groupBy(f => keyOf(f.partitionValues)).map {
+        case (k, fs) => k -> ((fs.map(_.recordCount).sum, fs.size,
+          fs.map(f => math.max(f.sizeBytes, 0L)).sum))
+      }
+    // position deletes by referenced file (DVs / v3) — metadata only
+    val partOfFile: Map[String, Seq[String]] = snap.files.map(f =>
+      PathCodec.metadataPathKey(f.path) -> keyOf(f.partitionValues)).toMap
+    val dvDeletes: Map[Seq[String], (Long, Int)] = snap.deletes
+      .filter(_.referencedDataFile.isDefined)
+      .groupBy(d => partOfFile.getOrElse(
+        PathCodec.metadataPathKey(resolvePath(base,
+          d.referencedDataFile.get)), Seq.fill(partCols.size)(null)))
+      .map { case (k, ds) =>
+        k -> ((ds.map(_.recordCount).sum, ds.size)) }
+    // classic v2 position-delete files: one distributed scan of the
+    // delete parquets, counted per (delete file, referenced data file)
+    // then attributed to the referenced file's partition; a delete FILE
+    // spanning partitions counts once per partition it touches
+    val classic = snap.deletes.filterNot(_.referencedDataFile.isDefined)
+    val classicDeletes: Map[Seq[String], (Long, Int)] =
+      if (classic.isEmpty) Map.empty
+      else {
+        val perPair = spark.read.parquet(classic.map(_.path): _*)
+          .select(col("file_path"),
+            col("_metadata.file_path").as("__del_file"))
+          .groupBy(col("__del_file"), col("file_path"))
+          .agg(count(lit(1)).as("n"))
+          .collect() // one row per (delete file, data file) — metadata-scale
+          .map(r => (r.getString(0),
+            partOfFile.getOrElse(
+              PathCodec.metadataPathKey(r.getString(1)),
+              Seq.fill(partCols.size)(null: String)),
+            r.getLong(2)))
+        val recCounts = perPair.groupBy(_._2)
+          .map { case (k, xs) => k -> xs.map(_._3).sum }
+        val fileCounts = perPair.map(x => (x._2, x._1)).distinct
+          .groupBy(_._1).map { case (k, xs) => k -> xs.size }
+        recCounts.map { case (k, n) =>
+          k -> ((n, fileCounts.getOrElse(k, 0))) }
+      }
+    val posDeletes: Map[Seq[String], (Long, Int)] =
+      (dvDeletes.keySet ++ classicDeletes.keySet).map { k =>
+        val a = dvDeletes.getOrElse(k, (0L, 0))
+        val b = classicDeletes.getOrElse(k, (0L, 0))
+        k -> ((a._1 + b._1, a._2 + b._2))
+      }.toMap
+    // equality deletes: global scope in this engine → null partition
+    val nullKey = Seq.fill(partCols.size)(null: String)
+    val eqRows = snap.eqDeletes.map(_.recordCount).sum
+    val eqFiles = snap.eqDeletes.size
+    val allKeys = (dataAgg.keySet ++ posDeletes.keySet ++
+      (if (eqFiles > 0) Set(nullKey) else Set.empty)).toSeq
+    val committedAt = readMeta(base).get("last-updated-ms").asLong()
+    val outRows: Seq[org.apache.spark.sql.Row] = allKeys.map { k =>
+      val (dr, df_, sz) = dataAgg.getOrElse(k, (0L, 0, 0L))
+      val (pr, pf) = posDeletes.getOrElse(k, (0L, 0))
+      val (er, ef) = if (eqFiles > 0 && k == nullKey) (eqRows, eqFiles)
+                     else (0L, 0)
+      val total: Option[Long] =
+        if (eqFiles > 0) None else Some(dr - pr)
+      org.apache.spark.sql.Row.fromSeq(
+        k ++ Seq(snap.defaultSpecId, dr, df_, sz, pr, pf,
+          er, ef, total.map(Long.box).orNull, committedAt, snap.snapshotId))
+    }
+    // identity fields typed by source column; transform results stay
+    // strings (documented)
+    val srcType: Map[String, DataType] = snap.schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    val partFields = snap.specFields.map { sf =>
+      val dt = if (sf.transform == "identity")
+        srcType.getOrElse(sf.name, StringType) else StringType
+      StructField(sf.name, dt, nullable = true)
+    }
+    val statsSchema = StructType(partFields ++ Seq(
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_record_count", LongType, nullable = false),
+      StructField("position_delete_file_count", IntegerType, nullable = false),
+      StructField("equality_delete_record_count", LongType, nullable = false),
+      StructField("equality_delete_file_count", IntegerType, nullable = false),
+      StructField("total_record_count", LongType, nullable = true),
+      StructField("last_updated_at", LongType, nullable = true),
+      StructField("last_updated_snapshot_id", LongType, nullable = true)))
+    // build with STRING partition values (the manifests' form), then
+    // cast identity fields to their source types in one pass — Spark's
+    // own cast semantics, not a re-implementation
+    val untypedSchema = StructType(partFields.map(f =>
+      f.copy(dataType = StringType)) ++ statsSchema.drop(partFields.size))
+    val untyped = spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, 1), untypedSchema)
+    val retyped = partFields.foldLeft(untyped) { (d, f) =>
+      d.withColumn(f.name, col(f.name).cast(f.dataType)) }
+      .select(statsSchema.fieldNames.map(col): _*)
+    val metaDir = metadataDir(base)
+    val tmpDir = TableIO.join(metaDir, s".pstats_${UUID.randomUUID()}")
+    retyped.coalesce(1).write.parquet(tmpDir)
+    val part = io.list(tmpDir)
+      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no stats part file"))
+    val statsPath = TableIO.join(metaDir,
+      s"partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet")
+    io.move(TableIO.join(tmpDir, part), statsPath)
+    io.deleteRecursively(tmpDir)
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = meta.putArray("partition-statistics")
+    val entry = arr.addObject()
+    entry.put("snapshot-id", snap.snapshotId)
+    entry.put("statistics-path", PathCodec.absNorm(statsPath))
+    entry.put("file-size-in-bytes", io.length(statsPath))
+    commitMetadataVersion(base, meta)
+    snap.snapshotId
+  }
+
+  /** The recorded partition-statistics file as a DataFrame (None when
+    * the table carries none). */
+  def partitionStats(spark: SparkSession, base: String)
+  : Option[DataFrame] = {
+    val meta = readMeta(base)
+    Option(meta.get("partition-statistics")).filter(_.size() > 0).map { s =>
+      spark.read.parquet(s.get(s.size() - 1)
+        .get("statistics-path").asText())
+    }
+  }
+
   /** Read for a JOIN with the NDV-informed broadcast choice: when every
     * join key's sketched NDV is at or under `maxNdv` (a dimension
     * table's key NDV ≈ its row count), the scan gets an explicit
@@ -4057,17 +4218,19 @@ object IcebergInterop {
     // resolve is dead weight); retained-snapshot stats carry
     val retainedIds = retained
       .map(_.get("snapshot-id").asLong()).toSet
-    val statsDeleted = Option(meta.get("statistics")).toSeq.flatMap { st =>
-      val keepArr = newRoot.putArray("statistics")
-      (0 until st.size()).map(st.get).flatMap { s =>
-        if (retainedIds.contains(s.get("snapshot-id").asLong())) {
-          keepArr.add(s.deepCopy[JsonNode]()); None
-        } else {
-          val p = PathCodec.absNorm(s.get("statistics-path").asText())
-          if (io.exists(p) && io.delete(p))
-            Some(if (p.startsWith(root))
-              p.stripPrefix(root).stripPrefix("/") else p)
-          else None
+    val statsDeleted = Seq("statistics", "partition-statistics").flatMap {
+      key => Option(meta.get(key)).toSeq.flatMap { st =>
+        val keepArr = newRoot.putArray(key)
+        (0 until st.size()).map(st.get).flatMap { s =>
+          if (retainedIds.contains(s.get("snapshot-id").asLong())) {
+            keepArr.add(s.deepCopy[JsonNode]()); None
+          } else {
+            val p = PathCodec.absNorm(s.get("statistics-path").asText())
+            if (io.exists(p) && io.delete(p))
+              Some(if (p.startsWith(root))
+                p.stripPrefix(root).stripPrefix("/") else p)
+            else None
+          }
         }
       }
     }

@@ -1,0 +1,98 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.sources.IcebergInterop
+
+/** Iceberg partition statistics (spec §Partition Statistics): one
+  * parquet file per compute with exact per-partition data/delete
+  * aggregates, recorded in table metadata, carried across commits,
+  * and GC-protected. The honest-total contract: total_record_count
+  * (live rows) is emitted only when exact — data rows minus
+  * position-deleted rows — and omitted when equality deletes could
+  * touch the partition. */
+class IcebergPartitionStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshBase(name: String): String = {
+    val p = s"/tmp/graft_test_pstats_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(p))
+    p
+  }
+
+  test("per-partition aggregates are exact; identity fields typed") {
+    val base = freshBase("exact")
+    val df = (0L until 300L).map(k => (k, (k % 3).toInt, s"r$k"))
+      .toDF("id", "p", "tag")
+    IcebergInterop.overwrite(df.repartition(4), base, partitionBy = Seq("p"))
+    IcebergInterop.computePartitionStats(spark, base)
+    val stats = IcebergInterop.partitionStats(spark, base).get
+    assert(stats.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = stats.select("p", "data_record_count", "total_record_count")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0 -> ((100L, 100L)), 1 -> ((100L, 100L)),
+      2 -> ((100L, 100L))))
+    assert(stats.agg(sum("data_file_count")).head().getLong(0) >= 3)
+  }
+
+  test("position deletes attribute to their partition; totals stay exact") {
+    val base = freshBase("posdel")
+    val df = (0L until 200L).map(k => (k, (k % 2).toInt))
+      .toDF("id", "p")
+    IcebergInterop.overwrite(df.repartition(2), base, partitionBy = Seq("p"))
+    // v2 merge-on-read delete of ids 0..19 (all in both partitions)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 20)
+    IcebergInterop.computePartitionStats(spark, base)
+    val stats = IcebergInterop.partitionStats(spark, base).get
+    val byP = stats.select("p", "data_record_count",
+        "position_delete_record_count", "total_record_count")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byP(0) == ((100L, 10L, 90L)))
+    assert(byP(1) == ((100L, 10L, 90L)))
+    // the live-row total matches the actual read
+    assert(stats.agg(sum("total_record_count")).head().getLong(0) ==
+      IcebergInterop.read(spark, base).count())
+  }
+
+  test("equality deletes report under the null partition; totals omitted") {
+    val base = freshBase("eqdel")
+    IcebergInterop.overwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s").coalesce(1), base)
+    IcebergInterop.addEqualityDeletes(spark, base,
+      Seq((2L, "b")).toDF("k", "s"), Seq("k"))
+    IcebergInterop.computePartitionStats(spark, base)
+    val stats = IcebergInterop.partitionStats(spark, base).get
+    assert(stats.agg(sum("equality_delete_record_count"))
+      .head().getLong(0) == 1L)
+    // a wrong "accurate count" is worse than an absent optional field
+    assert(stats.where(col("total_record_count").isNotNull).count() == 0)
+  }
+
+  test("entries carry across commits, expire drops them, GC pins the file") {
+    val base = freshBase("lifecycle")
+    IcebergInterop.overwrite((0L until 50L).toDF("id").coalesce(1), base)
+    IcebergInterop.computePartitionStats(spark, base)
+    // carried across a data commit
+    IcebergInterop.append((50L until 80L).toDF("id").coalesce(1), base)
+    assert(IcebergInterop.partitionStats(spark, base).isDefined)
+    // never reaped as an orphan (both GC modes)
+    val cutoff = Some(System.currentTimeMillis() + 60000L)
+    for (fan <- Seq(1000000, 1)) {
+      spark.conf.set("graft.gc.fanout", fan.toString)
+      val reaped = try IcebergInterop.removeOrphanFiles(
+        spark, base, cutoff, dryRun = true)
+      finally spark.conf.unset("graft.gc.fanout")
+      assert(!reaped.exists(_.contains("partition-stats")),
+        s"fanout=$fan would reap the stats file: $reaped")
+    }
+    // expiring the analyzed snapshot takes the entry and file with it
+    IcebergInterop.overwrite((100L until 120L).toDF("id").coalesce(1), base)
+    val reclaimed = IcebergInterop.expireSnapshots(spark, base)
+    assert(reclaimed.exists(_.contains("partition-stats")),
+      reclaimed.toString)
+    assert(IcebergInterop.partitionStats(spark, base).isEmpty)
+  }
+}
