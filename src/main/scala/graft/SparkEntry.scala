@@ -1569,6 +1569,37 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sorted Iceberg layout end-to-end (q246, spec §Sorting): lineitem
+    * publishes unsorted, `ALTER TABLE ... WRITE ORDERED BY l_orderkey`
+    * records the sort order + range distribution, the rewrite lands
+    * globally range-clustered files with stamped `sort_order_id`, and
+    * `readRange` answers a key-range aggregate off the manifests'
+    * now-DISJOINT per-file bounds — scanning a small fraction of the
+    * files where the unsorted layout would scan all of them. Values
+    * oracle-checked; the disjointness itself is pinned in
+    * IcebergSortOrderSpec. */
+  private def qSortedTableScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("sorted_lineitem", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    IcebergInterop.overwrite(li.repartition(4), base)
+    GraftSql.registerIcebergTable(s, "q246_sorted_t", base)
+    GraftSql.sql(s, "ALTER TABLE q246_sorted_t WRITE ORDERED BY l_orderkey")
+    IcebergInterop.overwrite(li.repartition(4), base)
+    IcebergInterop.readRange(s, base, "l_orderkey",
+        Some(1000L), Some(5000L))
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 5000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("dq"))
+      .select(col("l_returnflag"), col("n_items"),
+        col("dq").cast("double").as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
     * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
     * by nature; this proves the algorithm row-exact cross-engine). */
@@ -6066,6 +6097,7 @@ object SparkEntry {
     "q243_dedup_index_pipeline" -> (qDedupIndexPipeline _),
     "q244_ndv_broadcast_join" -> (qNdvBroadcastJoin _),
     "q245_partition_stats" -> (qPartitionStats _),
+    "q246_sorted_table_scan" -> (qSortedTableScan _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6941,6 +6973,13 @@ object SparkEntry {
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
          GROUP BY lang ORDER BY lang""",
+    "q246_sorted_table_scan" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 5000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q245_partition_stats" ->
       """SELECT l_returnflag,
          count(*) AS data_record_count,

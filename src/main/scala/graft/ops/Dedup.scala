@@ -408,7 +408,16 @@ object Dedup {
         .select(col("node"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
           col("prev"))
-        .persist()
+        // localCheckpoint, NOT persist: the loop's plan references the
+        // previous round's plan TWICE (m1 self-join), so without
+        // lineage truncation the logical plan doubles per round —
+        // ~2^30-char plan strings by round 30, minutes of string
+        // building per round. persist() caches data but keeps the
+        // full lineage; the bounded-persist registry is for
+        // STRAIGHT-LINE reuse, never for iterative loops. (This loop
+        // unpersists its frames explicitly, so the round-12 cache-
+        // accumulation finding never applied here.)
+        .localCheckpoint()
       val changed = next.filter(col("comp") =!= col("prev")).limit(1).count()
       labels.unpersist()
       labels = next // checkpointed; the stray `prev` column is projected

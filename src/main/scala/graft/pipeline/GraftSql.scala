@@ -181,6 +181,13 @@ object GraftSql {
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runAnalyze(spark, t.multipartIdentifier.last.toLowerCase,
           colsOpt, allColumns)
+      case org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable(
+            t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+            partitionSpec, _)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        runAnalyzeTable(spark, t.multipartIdentifier.last.toLowerCase,
+          partitionSpec)
       // CHECK parses to its own node (the child is a pre-built
       // violation Filter over the relation — ignored here; the runner
       // probes existing data itself); PRIMARY KEY/UNIQUE/FK arrive as
@@ -329,6 +336,21 @@ object GraftSql {
   private val DropPartFieldRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+PARTITION\s+FIELD\s+""" +
      """([^;]+?)\s*;?\s*""").r
+  // Iceberg's write-layout DDL (the Spark-extensions syntax):
+  //   WRITE ORDERED BY c1 [ASC|DESC], ...       → range-distribute + sort
+  //   WRITE LOCALLY ORDERED BY ...              → sort only (no shuffle)
+  //   WRITE DISTRIBUTED BY PARTITION
+  //     [LOCALLY ORDERED BY ...]                → hash-distribute [+ sort]
+  //   WRITE UNORDERED                           → reset both
+  private val WriteOrderedRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+WRITE\s+""" +
+     """(DISTRIBUTED\s+BY\s+PARTITION\s+)?(LOCALLY\s+)?ORDERED\s+BY\s+""" +
+     """([^;]+?)\s*;?\s*""").r
+  private val WriteDistributedRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+WRITE\s+DISTRIBUTED\s+BY\s+""" +
+     """PARTITION\s*;?\s*""").r
+  private val WriteUnorderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
 
   /** One transform expression of Iceberg's partition DDL — a bare
     * column (identity), `bucket(N, col)`, `truncate(col, W)`, or
@@ -750,6 +772,41 @@ object GraftSql {
     case DropPartFieldRe(t, rest) if registered(spark, t) =>
       val (name, h) = maintTable(spark, t, "DROP PARTITION FIELD")
       Some(evolvePartitionSql(spark, name, h, add = None, drop = Some(rest)))
+    // Iceberg write-layout DDL: sort order (spec §Sorting) + the
+    // write.distribution-mode property steering the pre-write shuffle.
+    // ORDERED BY without LOCALLY range-distributes (globally disjoint
+    // per-file ranges — the layout readRange prunes best); LOCALLY
+    // keeps the incoming distribution and only sorts within tasks.
+    case WriteOrderedRe(t, distOpt, locallyOpt, cols)
+        if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, "WRITE ORDERED BY")
+      val base = iceBaseOf(name, h, "WRITE ORDERED BY")
+      val fields = cols.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        val parts = c.replace("`", "").split("\\s+")
+        val asc = parts.length < 2 || !parts(1).equalsIgnoreCase("DESC")
+        (parts(0), asc)
+      }.toSeq
+      graft.sources.IcebergInterop.setSortOrder(base, fields)
+      val mode =
+        if (Option(distOpt).exists(_.nonEmpty)) "hash"
+        else if (Option(locallyOpt).exists(_.nonEmpty)) "none"
+        else "range"
+      val v = graft.sources.IcebergInterop.setTableProperties(base,
+        Map("write.distribution-mode" -> mode))
+      Some(result(spark, "WRITE ORDERED BY", v))
+    case WriteDistributedRe(t) if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, "WRITE DISTRIBUTED BY PARTITION")
+      val base = iceBaseOf(name, h, "WRITE DISTRIBUTED BY PARTITION")
+      val v = graft.sources.IcebergInterop.setTableProperties(base,
+        Map("write.distribution-mode" -> "hash"))
+      Some(result(spark, "WRITE DISTRIBUTED BY PARTITION", v))
+    case WriteUnorderedRe(t) if registered(spark, t) =>
+      val (name, h) = maintTable(spark, t, "WRITE UNORDERED")
+      val base = iceBaseOf(name, h, "WRITE UNORDERED")
+      graft.sources.IcebergInterop.setSortOrder(base, Seq.empty)
+      val v = graft.sources.IcebergInterop.setTableProperties(base,
+        Map("write.distribution-mode" -> "none"))
+      Some(result(spark, "WRITE UNORDERED", v))
     // Iceberg refs (spec §Snapshot References): named TAGs pin a
     // snapshot (audit/release anchors that survive expireSnapshots'
     // ref-retention rules), BRANCHes are writable lines readable via
@@ -781,6 +838,15 @@ object GraftSql {
       Some(result(spark, s"DROP ${kind.toUpperCase}", -1L))
     case _ => None
   }
+
+  private def iceBaseOf(name: String, h: Handler, stmt: String): String =
+    h match {
+      case IceTable(b) => b
+      case _ => throw new IllegalArgumentException(
+        s"$stmt: '$name' is not an Iceberg table — write-layout DDL " +
+        "is an Iceberg feature (Delta clusters via CLUSTER BY / " +
+        "OPTIMIZE ZORDER)")
+    }
 
   private def evolvePartitionSql(spark: SparkSession, name: String,
                                  h: Handler, add: Option[String],
@@ -1852,6 +1918,31 @@ object GraftSql {
         s"ANALYZE TABLE $name: theta NDV statistics files are an " +
         "Iceberg feature (Delta and graft-log carry per-file min/max " +
         "stats in their logs instead)")
+    }
+  }
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS` (table-level, no FOR
+    * COLUMNS): on an Iceberg table, publish the spec's
+    * partition-statistics file (`IcebergInterop.computePartitionStats`
+    * — per-partition data/delete aggregates from manifest metadata)
+    * and return it. Partition-scoped analyze
+    * (`PARTITION (p='v')`) refuses — the stats file always covers the
+    * whole table, per spec. */
+  private def runAnalyzeTable(spark: SparkSession, name: String,
+                              partitionSpec: Map[String, Option[String]])
+  : DataFrame = {
+    require(partitionSpec.isEmpty,
+      s"ANALYZE TABLE $name PARTITION (...): the partition-statistics " +
+      "file always covers every partition of the current snapshot; " +
+      "drop the PARTITION clause")
+    tablesOf(spark).get(name) match {
+      case IceTable(base) =>
+        graft.sources.IcebergInterop.computePartitionStats(spark, base)
+        graft.sources.IcebergInterop.partitionStats(spark, base).get
+      case _ => throw new IllegalArgumentException(
+        s"ANALYZE TABLE $name: partition statistics files are an " +
+        "Iceberg feature (Delta and graft-log carry per-file stats " +
+        "in their logs instead)")
     }
   }
 

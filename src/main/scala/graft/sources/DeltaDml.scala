@@ -177,7 +177,7 @@ object DeltaDml {
         }: _*)
       }
     stageAdds(physDf, s"$base/_change_data",
-      snap.partitionColumns.map(snap.physicalName))
+      snap.partitionColumns.map(snap.physicalName), snap.configuration)
       .map(a => a.copy(path = s"_change_data/${a.path}"))
   }
 
@@ -641,7 +641,7 @@ object DeltaDml {
     val updatedPhys = DeltaInterop.conformToPhysical(snap, updated)
     val physParts = snap.partitionColumns.map(snap.physicalName)
     val adds0 = collectAddStats(spark, base,
-      stageAdds(updatedPhys, base, physParts),
+      stageAdds(updatedPhys, base, physParts, snap.configuration),
       StructType(updatedPhys.schema.filterNot(f =>
         physParts.contains(f.name))))
     // row tracking: every add still needs a fresh baseRowId range (the
@@ -875,7 +875,8 @@ object DeltaDml {
     def stageSet(df: DataFrame): Seq[AddFile] = {
       // mapped tables stage under physical names, like any append
       val phys = DeltaInterop.conformToPhysical(snap, df)
-      val adds = collectAddStats(spark, base, stageAdds(phys, base, physParts),
+      val adds = collectAddStats(spark, base,
+        stageAdds(phys, base, physParts, snap.configuration),
         StructType(phys.schema.filterNot(f => physParts.contains(f.name))))
       // a staged file the stats scan saw NO row group for is empty (an
       // all-matched or all-new merge leaves one side with zero rows) —

@@ -1025,9 +1025,20 @@ object DeltaInterop {
   /** Stage a frame's rows as uniquely-named parquet files under `base`
     * (partition columns EXCLUDED from the data files, per protocol when
     * `partitionBy` is set) and return add-action (path, partitionValues)
-    * pairs. */
+    * pairs.
+    *
+    * `config` is the table's (or the definition-being-written's)
+    * configuration: when `delta.autoOptimize.optimizeWrite` is true, a
+    * partitioned staging REBALANCEs on the partition columns first —
+    * without it every input task fans out a file per partition value
+    * it holds (1000 tasks × 100 partitions = 100k small files per
+    * write at cluster scale); with it each partition value's rows
+    * co-locate, small values share tasks under AQE, and a skewed
+    * value still splits at the advisory partition size (no
+    * one-task-per-partition straggler). Default off, like delta-spark. */
   private[sources] def stageAdds(df: DataFrame, base: String,
-                        partitionBy: Seq[String]): Seq[AddFile] = {
+                        partitionBy: Seq[String],
+                        config: Map[String, String] = Map.empty): Seq[AddFile] = {
     io.mkdirs(base)
     val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
     if (partitionBy.isEmpty) {
@@ -1044,7 +1055,11 @@ object DeltaInterop {
       io.deleteRecursively(scratch)
       adds
     } else {
-      df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      val toWrite =
+        if (config.get("delta.autoOptimize.optimizeWrite").contains("true"))
+          df.hint("rebalance", partitionBy.map(col): _*)
+        else df
+      toWrite.write.mode("overwrite").partitionBy(partitionBy: _*)
         .parquet(scratch)
       // hive-style dirs <col>=<val>/part-*.parquet → add actions with
       // explicit partitionValues (the protocol's source of truth; the
@@ -1391,7 +1406,8 @@ object DeltaInterop {
     // constraints forward (INSERT OVERWRITE, TRUNCATE) validates its
     // new contents against them before staging
     validateConstraints(configuration, df, "overwrite")
-    val adds = collectAddStats(spark, base, stageAdds(df, base, partitionBy),
+    val adds = collectAddStats(spark, base,
+      stageAdds(df, base, partitionBy, configuration),
       StructType(df.schema.filterNot(f => partitionBy.contains(f.name))))
     val v = currentVersion(base).map(_ + 1).getOrElse(0L)
     val removes = if (v == 0) Seq.empty else snapshot(spark, base).files
@@ -1443,7 +1459,7 @@ object DeltaInterop {
       }
     }
     val adds = collectAddStats(df.sparkSession, base,
-      stageAdds(physDf, base, partitionBy.map(physicalFor)),
+      stageAdds(physDf, base, partitionBy.map(physicalFor), extraConfig),
       StructType(physDf.schema.filterNot(f =>
         partitionBy.map(physicalFor).contains(f.name))))
     val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -1617,13 +1633,18 @@ object DeltaInterop {
     // staging and partitionValues keys are physical-named
     val physParts = effPartitionBy.map(snap.physicalName)
     val adds = collectAddStats(df.sparkSession, base,
-      stageAdds(df, base, physParts),
+      stageAdds(df, base, physParts, snap.configuration),
       StructType(df.schema.filterNot(f => physParts.contains(f.name))))
-    if (snap.rowTrackingEnabled)
-      return appendRowTracked(df.sparkSession, base, snap, adds)
+    if (snap.rowTrackingEnabled) {
+      val v = appendRowTracked(df.sparkSession, base, snap, adds)
+      maybeAutoCompact(df.sparkSession, base, snap.configuration)
+      return v
+    }
     val v = snap.version + 1
-    commitReconciled(base, v, adds.map(addJson(_, base)),
+    val out = commitReconciled(base, v, adds.map(addJson(_, base)),
       operation = "WRITE", removedPaths = Set.empty)
+    maybeAutoCompact(df.sparkSession, base, snap.configuration)
+    out
   }
 
   // ------------------------------------------------- row tracking
@@ -2118,6 +2139,45 @@ object DeltaInterop {
           newAdds.map(addJson(_, base, dataChange = false)) ++ domainLines,
         operation = "OPTIMIZE")
       Some(v)
+    }
+  }
+
+  /** `delta.autoOptimize.autoCompact`: best-effort post-commit
+    * compaction after an add-carrying write. When any partition (or
+    * the table root when unpartitioned) accumulates at least
+    * `spark.databricks.delta.autoCompact.minNumFiles` (default 50,
+    * delta-spark's knob) files under 128 MB, run one OPTIMIZE commit —
+    * candidate selection scopes itself to the small-file partitions,
+    * untouched partitions cost nothing. The pairing with
+    * `optimizeWrite` is deliberate: optimized writes stop the
+    * per-write fan-out, auto-compact mops up the residual
+    * many-small-commits accretion a streaming sink or frequent-append
+    * pipeline still produces. Best-effort by contract (delta-spark's
+    * own behavior): a compaction failure surfaces on stderr, never
+    * fails the write that triggered it. Only append-shaped commits
+    * hook it; OPTIMIZE itself never re-triggers. */
+  private[sources] def maybeAutoCompact(spark: SparkSession, base: String,
+                                        config: Map[String, String]): Unit = {
+    // the caller's pre-commit snapshot carries the configuration, and a
+    // data commit cannot change it — so non-enabled tables (the common
+    // case) skip with ZERO log I/O
+    if (!config.get("delta.autoOptimize.autoCompact").contains("true"))
+      return
+    try {
+      val snap = snapshot(spark, base)
+      val minN = spark.conf.getOption(
+        "spark.databricks.delta.autoCompact.minNumFiles")
+        .map(_.toInt).getOrElse(50)
+      val smallBytes = 128L << 20
+      val worst = snap.files.groupBy(_.partitionValues).values
+        .map(_.count(f => io.length(resolveDataFile(base, f.path)) < smallBytes))
+        .foldLeft(0)(math.max)
+      if (worst >= minN)
+        optimize(spark, base, smallFileBytes = smallBytes)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[delta] auto-compact of $base skipped: ${e.getMessage}")
     }
   }
 
@@ -2703,7 +2763,7 @@ object DeltaInterop {
     val full = applyGeneratedColumns(schema, df, "overwriteGenerated")
     validateConstraints(configuration, full, "overwriteGenerated")
     val adds = collectAddStats(df.sparkSession, base,
-      stageAdds(full, base, partitionBy),
+      stageAdds(full, base, partitionBy, configuration),
       StructType(full.schema.filterNot(f => partitionBy.contains(f.name))))
     val proto =
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
@@ -2784,7 +2844,7 @@ object DeltaInterop {
       identityField(name, start, step, hwm) +: df.schema.fields)
     val full = withIds.select(schema.fieldNames.map(col): _*)
     val adds = collectAddStats(df.sparkSession, base,
-      stageAdds(full, base, partitionBy),
+      stageAdds(full, base, partitionBy, configuration),
       StructType(full.schema.filterNot(f => partitionBy.contains(f.name))))
     val proto =
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""
@@ -3869,7 +3929,8 @@ object DeltaInterop {
       case None => partitionBy
     }
     val adds = collectAddStats(spark, base,
-      stageAdds(df, base, effPartitionBy),
+      stageAdds(df, base, effPartitionBy,
+        snapOpt.map(_.configuration).getOrElse(Map.empty)),
       StructType(df.schema.filterNot(f => effPartitionBy.contains(f.name))))
     val txnLine = {
       val node = mapper.createObjectNode()
@@ -3885,6 +3946,10 @@ object DeltaInterop {
     writeCommit(base, snapOpt.map(_.version + 1).getOrElse(0L),
       header ++ Seq(txnLine) ++ adds.map(addJson(_, base)),
       operation = "STREAMING UPDATE")
+    // the streaming sink is the canonical small-file source: each
+    // micro-batch lands a few small files, and auto-compact (when the
+    // table opts in) folds them up without the stream pausing
+    maybeAutoCompact(spark, base, snapOpt.map(_.configuration).getOrElse(Map.empty))
     true
   }
 

@@ -88,7 +88,11 @@ object IcebergInterop {
                                  // the snapshot that ADDED the file —
                                  // resolves which schema the file was
                                  // written under (default values)
-                                 addedSnapshotId: Long = -1L)
+                                 addedSnapshotId: Long = -1L,
+                                 // spec §Sorting: the sort order the
+                                 // file's rows were written under
+                                 // (None/0 = unsorted)
+                                 sortOrderId: Option[Int] = None)
 
   /** One live position-delete file (v2 merge-on-read): resolved parquet
     * of (file_path, pos) rows + the delete's sequence number.
@@ -527,7 +531,8 @@ object IcebergInterop {
             opt(df, "file_size_in_bytes")
               .map(_.toString.toLong).getOrElse(-1L),
             firstRowId = fri,
-            addedSnapshotId = entrySnapId)
+            addedSnapshotId = entrySnapId,
+            sortOrderId = opt(df, "sort_order_id").map(_.toString.toInt))
         } else {
           // merge-on-read deletes: position (content=1) and equality
           // (content=2); anything else would resurrect rows if ignored
@@ -793,6 +798,143 @@ object IcebergInterop {
     props.foreach { case (k, v) => p.put(k, v) }
     meta.put("last-updated-ms", clock())
     commitMetadataVersion(base, meta)
+  }
+
+  /** Set the table's WRITE SORT ORDER (spec §Sorting): records a new
+    * entry in `sort-orders` (identity transform; asc = nulls-first,
+    * desc = nulls-last — Iceberg's defaults) and points
+    * `default-sort-order-id` at it. Later writes sort rows WITHIN each
+    * task by this order (a local sort — pair with
+    * `write.distribution-mode=range` for globally disjoint per-file
+    * ranges) and stamp `sort_order_id` on their data-file entries.
+    * `fields` empty resets to the unsorted order 0. Metadata-only
+    * commit; existing files keep whatever order id they recorded. */
+  def setSortOrder(base: String, fields: Seq[(String, Boolean)]): Long = {
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val orders = Option(meta.get("sort-orders"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
+      .getOrElse {
+        val a = meta.putArray("sort-orders")
+        val o0 = a.addObject(); o0.put("order-id", 0); o0.putArray("fields")
+        a
+      }
+    if (fields.isEmpty) meta.put("default-sort-order-id", 0)
+    else {
+      val idOf = schemaIdOf(currentSparkSchema(base))
+      val nextId = (0 until orders.size())
+        .map(orders.get(_).get("order-id").asInt()).max + 1
+      val o = orders.addObject()
+      o.put("order-id", nextId)
+      val fs = o.putArray("fields")
+      fields.foreach { case (c, asc) =>
+        val f = fs.addObject()
+        f.put("transform", "identity")
+        f.put("source-id", idOf(c))
+        f.put("direction", if (asc) "asc" else "desc")
+        f.put("null-order", if (asc) "nulls-first" else "nulls-last")
+      }
+      meta.put("default-sort-order-id", nextId)
+    }
+    meta.put("last-updated-ms", clock())
+    commitMetadataVersion(base, meta)
+  }
+
+  /** The table's default sort order as (order-id, (column, asc)
+    * fields) — (0, empty) when unsorted or the table metadata predates
+    * sort orders. An order this writer cannot honor IN FULL — a
+    * non-identity transform in a foreign table's order, or a field
+    * whose source column no longer resolves (an overwrite re-minted
+    * the schema) — degrades to unsorted entirely: stamping an order id
+    * on files sorted by only part of it would lie to readers. */
+  private def defaultSortOrder(base: String): (Int, Seq[(String, Boolean)]) = {
+    val meta = readMeta(base)
+    val did = Option(meta.get("default-sort-order-id"))
+      .map(_.asInt()).getOrElse(0)
+    if (did == 0) return (0, Seq.empty)
+    val nameOf: Long => Option[String] = {
+      val schema = currentSparkSchema(base)
+      val m = schema.fields.flatMap(f =>
+        if (f.metadata.contains("parquet.field.id"))
+          Some(f.metadata.getLong("parquet.field.id") -> f.name) else None
+      ).toMap
+      id => m.get(id)
+    }
+    val fields: Option[Seq[(String, Boolean)]] =
+      Option(meta.get("sort-orders")).flatMap { so =>
+        (0 until so.size()).map(so.get)
+          .find(_.get("order-id").asInt() == did).flatMap { o =>
+            val fs = o.get("fields")
+            val resolved = (0 until fs.size()).map(fs.get).map { f =>
+              if (f.get("transform").asText() != "identity") None
+              else nameOf(f.get("source-id").asLong()).map(n =>
+                n -> (f.get("direction").asText() == "asc"))
+            }
+            if (resolved.forall(_.isDefined)) Some(resolved.flatten.toSeq)
+            else None
+          }
+      }
+    fields.filter(_.nonEmpty).map(did -> _).getOrElse((0, Seq.empty))
+  }
+
+  /** The order id new data-file entries stamp: the table's default
+    * sort order when one is set AND the frame being written carries
+    * every order column (an overwrite with renamed columns degrades
+    * to unsorted — same rule `distributeForWrite` applies, so the
+    * sort and the stamp cannot diverge). */
+  private def currentWriteOrderId(base: String,
+                                  frameCols: Seq[String]): Option[Int] = {
+    if (!io.exists(TableIO.join(metadataDir(base), "version-hint.text")))
+      return None
+    val (oid, fields) = defaultSortOrder(base)
+    if (oid != 0 && fields.nonEmpty &&
+        fields.forall(f => frameCols.contains(f._1))) Some(oid) else None
+  }
+
+  /** The pre-write shuffle + local sort of a staging, from the table's
+    * `write.distribution-mode` property and default sort order. `gp`
+    * holds the derived partition-tuple columns (empty when
+    * unpartitioned):
+    *  - `hash` (partitioned default): REBALANCE on the tuple — small
+    *    tuples coalesce under AQE, a skewed tuple splits at the
+    *    advisory size (a strict `repartition(tuple)` would pin a 1 TB
+    *    partition to ONE serial task at cluster scale);
+    *  - `range`: repartitionByRange on tuple ++ sort key — globally
+    *    disjoint per-file value ranges, the layout `readRange` prunes
+    *    best (works for unpartitioned tables too: ORDERED BY alone
+    *    range-clusters the whole table);
+    *  - `none` (unpartitioned default): no shuffle.
+    * The sort order then applies WITHIN tasks — after a range
+    * distribution that totals to a global sort. */
+  private def distributeForWrite(df: DataFrame, base: String,
+                                 gp: Seq[org.apache.spark.sql.Column])
+  : DataFrame = {
+    val exists =
+      io.exists(TableIO.join(metadataDir(base), "version-hint.text"))
+    val fields = (if (exists) defaultSortOrder(base)._2 else Seq.empty)
+      .filter(_ => currentWriteOrderId(base, df.columns.toSeq).isDefined)
+    import org.apache.spark.sql.functions.col
+    val sortCols = fields.map { case (c, asc) =>
+      if (asc) col(c).asc_nulls_first else col(c).desc_nulls_last }
+    val defMode = if (gp.nonEmpty) "hash" else "none"
+    val mode =
+      if (exists)
+        Option(readMeta(base).get("properties"))
+          .flatMap(p => Option(p.get("write.distribution-mode")))
+          .map(_.asText()).getOrElse(defMode)
+      else defMode
+    val distributed = mode match {
+      case "hash"  => if (gp.nonEmpty) df.hint("rebalance", gp: _*) else df
+      case "range" =>
+        val keys = gp ++ sortCols
+        if (keys.nonEmpty) df.repartitionByRange(keys: _*) else df
+      case "none"  => df
+      case other   => throw new IllegalArgumentException(
+        s"write.distribution-mode '$other' (this writer speaks " +
+        "none, hash, range)")
+    }
+    if (sortCols.nonEmpty) distributed.sortWithinPartitions(sortCols: _*)
+    else distributed
   }
 
   /** TIMESTAMP AS OF — alias of [[snapshotIdAsOf]] (snapshot-log
@@ -1435,6 +1577,7 @@ object IcebergInterop {
          |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"field-id":135,"default":null},
          |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"field-id":125,"default":null},
          |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"field-id":128,"default":null},
+         |  {"name":"sort_order_id","type":["null","int"],"field-id":140,"default":null},
          |  {"name":"first_row_id","type":["null","long"],"field-id":142,"default":null},
          |  {"name":"referenced_data_file","type":["null","string"],"field-id":143,"default":null},
          |  {"name":"content_offset","type":["null","long"],"field-id":144,"default":null},
@@ -1733,16 +1876,29 @@ object IcebergInterop {
     * the derived partition expressions ride along as duplicate `__gp`
     * columns that `write.partitionBy` strips into directory names — so
     * the SOURCE columns stay inside the data files (Iceberg keeps
-    * partition sources in data, unlike hive/Delta) — and repartitioning
-    * on the tuple gives each partition one writing task (one file per
-    * tuple, the same layout as before). The shape this replaces ran one
-    * full-input Spark job per partition tuple with a `coalesce(1)`
-    * funnel — P× the input scanned and P job launches; at 100 TB the
-    * fan-out must happen inside one shuffle. Partition VALUES are not
-    * parsed back from the escaped directory names — `collectBounds`
-    * recovers each file's constant tuple from the data itself in the
-    * scan it already runs. Returns staged paths, deterministically
-    * ordered. */
+    * partition sources in data, unlike hive/Delta). The shuffle ahead
+    * of the write follows the table's `write.distribution-mode`
+    * property (spec §Table Properties, the Iceberg writer contract):
+    *  - `hash` (default): REBALANCE on the partition tuple — under AQE
+    *    small tuples coalesce into shared tasks (still one file per
+    *    tuple, the directories separate them) and a SKEWED tuple
+    *    splits across tasks at the advisory partition size. A strict
+    *    `repartition(tuple)` would pin each tuple to ONE task — a
+    *    straggler writing a 1 TB partition serially at 100 TB scale;
+    *  - `range`: repartitionByRange on the tuple — range-clustered
+    *    output, the mode to pair with a sort order;
+    *  - `none`: no shuffle — each input task fans its rows out to the
+    *    tuple directories it holds (use when upstream already
+    *    clustered the data; more files, zero shuffle).
+    * The shape this replaces ran one full-input Spark job per
+    * partition tuple with a `coalesce(1)` funnel — P× the input
+    * scanned and P job launches; at 100 TB the fan-out must happen
+    * inside one shuffle (or, for `none`, zero). Partition VALUES are
+    * not parsed back from the escaped directory names —
+    * `collectBounds` recovers each file's constant tuple from the
+    * data itself in the scan it already runs (constant per file in
+    * every mode: the directory split guarantees it). Returns staged
+    * paths, deterministically ordered. */
   private def stagePartitioned(dfIds: DataFrame, base: String,
                                dataDir: String,
                                derived: Seq[(String, org.apache.spark.sql.Column)],
@@ -1750,9 +1906,9 @@ object IcebergInterop {
     import org.apache.spark.sql.functions.col
     val gp = derived.indices.map(i => s"__gp$i")
     val scratch = TableIO.join(base, s".stage_$idTag")
-    dfIds.select(dfIds.columns.map(col) ++
-        derived.zip(gp).map { case ((_, c), g) => c.as(g) }: _*)
-      .repartition(gp.map(col): _*)
+    val projected = dfIds.select(dfIds.columns.map(col) ++
+      derived.zip(gp).map { case ((_, c), g) => c.as(g) }: _*)
+    distributeForWrite(projected, base, gp.map(col))
       .write.mode("overwrite").partitionBy(gp: _*).parquet(scratch)
     // walk the partition tree (one level per spec field; null values
     // land under __HIVE_DEFAULT_PARTITION__) — bounded by #files
@@ -2006,10 +2162,14 @@ object IcebergInterop {
     // partitioned frames fan out through ONE distributed partitionBy
     // write (stagePartitioned), never a per-tuple job loop.
     val id = UUID.randomUUID().toString
+    // the order id new entries stamp (the CURRENT default — resolved
+    // before staging so the sort and the stamp can't diverge)
+    val writeOrderId: Option[Int] = currentWriteOrderId(base, dfIds.columns.toSeq)
     val stagedPaths: Seq[String] =
       if (partitionBy.isEmpty) {
         val scratch = TableIO.join(base, s".stage_${UUID.randomUUID()}")
-        dfIds.write.mode("overwrite").parquet(scratch)
+        distributeForWrite(dfIds, base, Seq.empty)
+          .write.mode("overwrite").parquet(scratch)
         val parts = io.list(scratch)
           .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
           .sorted
@@ -2085,6 +2245,7 @@ object IcebergInterop {
       dfr.put("record_count",
         boundsByFile.get(PathCodec.metadataPathKey(f)).map(_._1).getOrElse(0L))
       dfr.put("file_size_in_bytes", io.length(f))
+      writeOrderId.foreach(v => dfr.put("sort_order_id", Int.box(v)))
       boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi, _) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
@@ -2197,9 +2358,19 @@ object IcebergInterop {
         }
         root.put("last-partition-id", 999 + spec.size)
     }
-    root.put("default-sort-order-id", 0)
-    val so = root.putArray("sort-orders").addObject()
-    so.put("order-id", 0); so.putArray("fields")
+    // sort orders survive every rebuild (a data commit must not reset
+    // the table's write order); fresh tables start at unsorted order 0
+    prevA.flatMap(m => Option(m.get("sort-orders"))) match {
+      case Some(orders) =>
+        root.set[JsonNode]("sort-orders", orders.deepCopy())
+        root.put("default-sort-order-id",
+          prevA.flatMap(m => Option(m.get("default-sort-order-id")))
+            .map(_.asInt()).getOrElse(0))
+      case None =>
+        root.put("default-sort-order-id", 0)
+        val so = root.putArray("sort-orders").addObject()
+        so.put("order-id", 0); so.putArray("fields")
+    }
     root.put("current-snapshot-id",
       if (branch.isDefined) prevA.get.get("current-snapshot-id").asLong()
       else snapshotId)
@@ -3016,10 +3187,12 @@ object IcebergInterop {
     val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
     val dfIds = withFieldIds(df, idOf)
     import org.apache.spark.sql.functions.col
+    val writeOrderId: Option[Int] = currentWriteOrderId(base, dfIds.columns.toSeq)
     val stagedPaths: Seq[String] =
       if (partCols.isEmpty) {
         val scratch = TableIO.join(base, s".stage_$idTag")
-        dfIds.write.mode("overwrite").parquet(scratch)
+        distributeForWrite(dfIds, base, Seq.empty)
+          .write.mode("overwrite").parquet(scratch)
         val parts = io.list(scratch)
           .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
           .sorted
@@ -3053,6 +3226,7 @@ object IcebergInterop {
       dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
         .map(_._1).getOrElse(0L))
       dfr.put("file_size_in_bytes", io.length(f))
+      writeOrderId.foreach(v => dfr.put("sort_order_id", Int.box(v)))
       boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi, _) =>
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
         dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))
@@ -4306,6 +4480,7 @@ object IcebergInterop {
       dfr.put("record_count", f.recordCount)
       dfr.put("file_size_in_bytes",
         if (f.sizeBytes >= 0) f.sizeBytes else io.length(f.path))
+      f.sortOrderId.foreach(v => dfr.put("sort_order_id", Int.box(v)))
       if (f.lowerBounds.nonEmpty)
         dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", f.lowerBounds))
       if (f.upperBounds.nonEmpty)
@@ -4525,12 +4700,28 @@ object IcebergInterop {
     * metadata pair a 100 TB fact table needs). Deletes fold in during
     * the rewrite, same replace-snapshot commit as plain compaction. */
   def rewriteDataFilesSorted(spark: SparkSession, base: String,
-                             sortBy: Seq[String],
+                             sortBy: Seq[String] = Seq.empty,
                              filesPerPartition: Int = 8): Long = {
-    require(sortBy.nonEmpty, "sorted rewrite needs >=1 sort column")
+    // no explicit columns → the table's default sort order (Iceberg's
+    // own `rewrite_data_files(strategy => 'sort')` contract); the core
+    // sorts ascending, so a desc field in the order needs an explicit
+    // sortBy rather than a silently-wrong direction
+    val effSort =
+      if (sortBy.nonEmpty) sortBy
+      else {
+        val (oid, fields) = defaultSortOrder(base)
+        require(oid != 0 && fields.nonEmpty,
+          "sorted rewrite with no columns: the table has no default " +
+          "sort order — setSortOrder / ALTER TABLE ... WRITE ORDERED " +
+          "BY first, or pass sortBy")
+        require(fields.forall(_._2),
+          "the table's sort order has a DESC field — this rewrite " +
+          "sorts ascending; pass sortBy explicitly")
+        fields.map(_._1)
+      }
     require(filesPerPartition >= 1, "filesPerPartition must be >=1")
     rewriteDataFilesCore(spark, base, Long.MaxValue, Long.MaxValue,
-      1, sortBy, filesPerPartition, Map.empty)
+      1, effSort, filesPerPartition, Map.empty)
   }
 
   private def rewriteDataFilesCore(spark: SparkSession, base: String,
@@ -4594,6 +4785,15 @@ object IcebergInterop {
     // id-invariant (spec: rewritten rows keep _row_id and
     // _last_updated_sequence_number)
     val lineageOn = snap.formatVersion >= 3
+    // replacement entries stamp the table's sort order when the
+    // requested sort IS that order (ascending identity match) — a
+    // sorted rewrite by anything else leaves the stamp off
+    val stampOid: Option[Int] = {
+      val (did, fields) = defaultSortOrder(base)
+      if (did != 0 && sortBy.nonEmpty &&
+          fields.map(_._1) == sortBy && fields.forall(_._2)) Some(did)
+      else None
+    }
     groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(",")).zipWithIndex.foreach {
       case ((pv, fs), gi) =>
         val live =
@@ -4641,6 +4841,7 @@ object IcebergInterop {
           dfr.put("record_count", boundsByFile.get(PathCodec.metadataPathKey(f))
             .map(_._1).getOrElse(0L))
           dfr.put("file_size_in_bytes", io.length(f))
+          stampOid.foreach(v => dfr.put("sort_order_id", Int.box(v)))
           boundsByFile.get(PathCodec.metadataPathKey(f)).foreach { case (_, lo, hi, _) =>
             dfr.put("lower_bounds", avroBounds(dfSchema, "lower_bounds", lo))
             dfr.put("upper_bounds", avroBounds(dfSchema, "upper_bounds", hi))

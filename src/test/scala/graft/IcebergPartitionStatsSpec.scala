@@ -71,6 +71,28 @@ class IcebergPartitionStatsSpec extends SparkSpec {
     assert(stats.where(col("total_record_count").isNotNull).count() == 0)
   }
 
+  test("ANALYZE TABLE COMPUTE STATISTICS publishes and returns the stats") {
+    import graft.pipeline.GraftSql
+    val base = freshBase("sql")
+    val df = (0L until 90L).map(k => (k, (k % 3).toInt)).toDF("id", "p")
+    IcebergInterop.overwrite(df.repartition(3), base, partitionBy = Seq("p"))
+    GraftSql.registerIcebergTable(spark, "pstats_sql_t", base)
+    val out = GraftSql.sql(spark, "ANALYZE TABLE pstats_sql_t COMPUTE STATISTICS")
+    assert(out.select(sum("data_record_count")).head().getLong(0) == 90L)
+    assert(IcebergInterop.partitionStats(spark, base).isDefined)
+    // partition-scoped analyze refuses (the file covers the whole table)
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ANALYZE TABLE pstats_sql_t PARTITION (p=1) COMPUTE STATISTICS"))
+    assert(e.getMessage.contains("PARTITION"))
+    // Delta tables refuse with guidance
+    val dbase = freshBase("sql_delta")
+    graft.sources.DeltaInterop.overwrite(df.coalesce(1), dbase)
+    GraftSql.registerDeltaTable(spark, "pstats_sql_d", dbase)
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ANALYZE TABLE pstats_sql_d COMPUTE STATISTICS"))
+    assert(e2.getMessage.contains("Iceberg feature"))
+  }
+
   test("entries carry across commits, expire drops them, GC pins the file") {
     val base = freshBase("lifecycle")
     IcebergInterop.overwrite((0L until 50L).toDF("id").coalesce(1), base)
