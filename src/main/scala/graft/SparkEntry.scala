@@ -1600,6 +1600,24 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** `SHOW PARTITIONS` SQL (q247): lineitem publishes as an Iceberg
+    * table partitioned by (l_returnflag, l_linestatus); the statement
+    * answers the distinct live tuples Hive-rendered from MANIFEST
+    * metadata only — the oracle recomputes them from the raw rows. */
+  private def qShowPartitions(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.GraftSql
+    import graft.sources.IcebergInterop
+    val base = fixtureDir("showparts_lineitem", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+    IcebergInterop.overwrite(li.repartition(4), base,
+      partitionBy = Seq("l_returnflag", "l_linestatus"))
+    GraftSql.registerIcebergTable(s, "q247_parts_t", base)
+    GraftSql.sql(s, "SHOW PARTITIONS q247_parts_t")
+      .orderBy(col("partition"))
+  }
+
   /** Portable 32-bit SimHash signatures (md5 bit-votes) — the sketch
     * family's oracle-checked twin (q34/q39's xxhash64 path is rows-only
     * by nature; this proves the algorithm row-exact cross-engine). */
@@ -6098,6 +6116,7 @@ object SparkEntry {
     "q244_ndv_broadcast_join" -> (qNdvBroadcastJoin _),
     "q245_partition_stats" -> (qPartitionStats _),
     "q246_sorted_table_scan" -> (qSortedTableScan _),
+    "q247_show_partitions" -> (qShowPartitions _),
   )
 
   /** Shared oracle for q219/q220 (same statement sequence, different
@@ -6973,6 +6992,10 @@ object SparkEntry {
          WHERE doc_id % 5 = 0
            AND doc_id NOT IN (SELECT doc_id FROM dropped)
          GROUP BY lang ORDER BY lang""",
+    "q247_show_partitions" ->
+      """SELECT DISTINCT 'l_returnflag=' || l_returnflag ||
+           '/l_linestatus=' || l_linestatus AS partition
+         FROM lineitem ORDER BY partition""",
     "q246_sorted_table_scan" ->
       """SELECT l_returnflag, count(*) AS n_items,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

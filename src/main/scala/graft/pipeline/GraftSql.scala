@@ -188,6 +188,17 @@ object GraftSql {
             .containsKey(t.multipartIdentifier.last.toLowerCase) =>
         runAnalyzeTable(spark, t.multipartIdentifier.last.toLowerCase,
           partitionSpec)
+      case org.apache.spark.sql.catalyst.plans.logical.ShowPartitions(
+            t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+            specOpt, _)
+          if tablesOf(spark)
+            .containsKey(t.multipartIdentifier.last.toLowerCase) =>
+        val filter: Map[String, String] = specOpt.collect {
+          case org.apache.spark.sql.catalyst.analysis
+                .UnresolvedPartitionSpec(m, _) => m
+        }.getOrElse(Map.empty)
+        runShowPartitions(spark,
+          t.multipartIdentifier.last.toLowerCase, filter)
       // CHECK parses to its own node (the child is a pre-built
       // violation Filter over the relation — ignored here; the runner
       // probes existing data itself); PRIMARY KEY/UNIQUE/FK arrive as
@@ -1944,6 +1955,48 @@ object GraftSql {
         "Iceberg feature (Delta and graft-log carry per-file stats " +
         "in their logs instead)")
     }
+  }
+
+  /** `SHOW PARTITIONS t [PARTITION (k=v, ...)]`: the distinct live
+    * partition tuples, Hive-rendered (`k=v/k2=v2`, one column
+    * `partition`) like Spark's own command — from LOG METADATA only
+    * (Delta add actions / Iceberg manifests), no data scan. Mapped
+    * Delta tables render logical column names. Unpartitioned tables
+    * refuse, matching Spark. */
+  private def runShowPartitions(spark: SparkSession, name: String,
+                                filter: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val tuples: Seq[Seq[(String, String)]] = tablesOf(spark).get(name) match {
+      case IceTable(base) =>
+        val snap = graft.sources.IcebergInterop.snapshot(spark, base)
+        require(snap.specFields.nonEmpty,
+          s"SHOW PARTITIONS $name: table is not partitioned")
+        val order = snap.specFields.map(_.name)
+        snap.files.map(f => order.map(c =>
+          c -> f.partitionValues.getOrElse(c, null))).distinct
+      case DeltaTable(base) =>
+        val snap = graft.sources.DeltaInterop.snapshot(spark, base)
+        require(snap.partitionColumns.nonEmpty,
+          s"SHOW PARTITIONS $name: table is not partitioned")
+        snap.files.map(f => snap.partitionColumns.map(c =>
+          c -> f.partitionValues.getOrElse(snap.physicalName(c), null)))
+          .distinct
+      case _ => throw new IllegalArgumentException(
+        s"SHOW PARTITIONS $name: graft-log tables are unpartitioned " +
+        "by design")
+    }
+    filter.keys.foreach { k =>
+      require(tuples.headOption.forall(_.exists(_._1 == k)),
+        s"SHOW PARTITIONS $name: '$k' is not a partition column")
+    }
+    tuples
+      .filter(t => filter.forall { case (k, v) =>
+        t.exists { case (c, pv) => c == k && pv == v } })
+      .map(_.map { case (k, v) =>
+        s"$k=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}" }
+        .mkString("/"))
+      .sorted
+      .toDF("partition")
   }
 
   private def runDelete(spark: SparkSession, name: String,

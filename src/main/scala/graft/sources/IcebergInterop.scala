@@ -458,9 +458,12 @@ object IcebergInterop {
   }
 
   /** One manifest-list row, reduced to what the entry decode needs —
-    * the shippable unit of the executor-parallel planning path. */
+    * the shippable unit of the executor-parallel planning path.
+    * `specId` + `summaries` feed manifest-level pruning (spec field
+    * 507) BEFORE the entry decode. */
   private[sources] final case class ManifestFrame(
-      path: String, content: Int, seq: Long, firstRowId: Option[Long])
+      path: String, content: Int, seq: Long, firstRowId: Option[Long],
+      specId: Int = 0, summaries: Option[Seq[FieldSummary]] = None)
 
   /** Decode ONE manifest's live entries. Pure per-manifest (row-id
     * inheritance resets at each manifest boundary — spec v3 §Row
@@ -592,8 +595,38 @@ object IcebergInterop {
     spark.conf.getOption("graft.iceberg.manifestFanout")
       .map(_.toInt).getOrElse(64)
 
+  /** Every partition spec the metadata records, by spec id. */
+  private def specsByIdOf(meta: JsonNode): Map[Int, Seq[SpecField]] =
+    Option(meta.get("partition-specs")).map { specs =>
+      (0 until specs.size()).map(specs.get).map { s =>
+        val fs = s.get("fields")
+        s.get("spec-id").asInt() ->
+          (0 until fs.size()).map(fs.get).map(f => SpecField(
+            f.get("name").asText(),
+            Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
+            Option(f.get("source-id")).map(_.asInt()).getOrElse(-1),
+            Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Current-schema field id → name. */
+  private def schemaNamesByIdOf(meta: JsonNode): Map[Int, String] = {
+    val ss = meta.get("schemas")
+    if (ss == null) return Map.empty
+    val wantSchema = meta.get("current-schema-id").asInt()
+    (0 until ss.size()).map(ss.get)
+      .find(_.get("schema-id").asInt() == wantSchema)
+      .map { node =>
+        val fs = node.get("fields")
+        (0 until fs.size()).map(fs.get)
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      }.getOrElse(Map.empty)
+  }
+
   def snapshot(spark: SparkSession, base: String,
-               snapshotId: Option[Long] = None): IcebergSnapshot = {
+               snapshotId: Option[Long] = None,
+               manifestPrune: Map[String, String] = Map.empty)
+  : IcebergSnapshot = {
     val meta = readMeta(base)
     val fv = meta.get("format-version").asInt()
     require(fv == 1 || fv == 2 || fv == 3,
@@ -618,33 +651,12 @@ object IcebergInterop {
     // translation across ALL specs
     val defaultSpecId: Int =
       Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    val specsById: Map[Int, Seq[SpecField]] =
-      Option(meta.get("partition-specs")).map { specs =>
-        (0 until specs.size()).map(specs.get).map { s =>
-          val fs = s.get("fields")
-          s.get("spec-id").asInt() ->
-            (0 until fs.size()).map(fs.get).map(f => SpecField(
-              f.get("name").asText(),
-              Option(f.get("transform")).map(_.asText()).getOrElse("identity"),
-              Option(f.get("source-id")).map(_.asInt()).getOrElse(-1),
-              Option(f.get("field-id")).map(_.asInt()).getOrElse(-1))).toSeq
-        }.toMap
-      }.getOrElse(Map.empty)
+    val specsById: Map[Int, Seq[SpecField]] = specsByIdOf(meta)
     val specFields: Seq[SpecField] = specsById.getOrElse(defaultSpecId, Seq.empty)
     val partCols: Seq[String] =
       specFields.filter(_.transform == "identity").map(_.name)
     // schema field id → name (the source-id resolution for transforms)
-    val namesById: Map[Int, String] = {
-      val ss = meta.get("schemas")
-      val wantSchema = meta.get("current-schema-id").asInt()
-      (0 until ss.size()).map(ss.get)
-        .find(_.get("schema-id").asInt() == wantSchema)
-        .map { node =>
-          val fs = node.get("fields")
-          (0 until fs.size()).map(fs.get)
-            .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-        }.getOrElse(Map.empty)
-    }
+    val namesById: Map[Int, String] = schemaNamesByIdOf(meta)
 
     // snapshot id → field-id set of the schema it committed under
     // (spec: each snapshot records its schema-id; schemas keep history)
@@ -683,17 +695,82 @@ object IcebergInterop {
       ManifestFrame(resolvePath(base, m.get("manifest_path").toString),
         content,
         opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L),
-        opt(m, "first_row_id").map(_.toString.toLong))
+        opt(m, "first_row_id").map(_.toString.toLong),
+        opt(m, "partition_spec_id").map(_.toString.toInt).getOrElse(0),
+        readFieldSummaries(m))
     }
+    // Manifest-level pruning (spec field 507): a DATA manifest whose
+    // field summaries exclude an identity-equality filter never gets
+    // its entries decoded — at thousands of manifests this is where
+    // pruning must start, before any per-entry work. Conservative by
+    // construction: no summaries / unresolvable field / undecodable
+    // bound → keep. Delete manifests always pass (their scope may span
+    // partitions; this engine's carry no summaries anyway).
+    val prunedFrames: Seq[ManifestFrame] =
+      if (manifestPrune.isEmpty) frames
+      else frames.filter { fr =>
+        fr.content != 0 || fr.summaries.forall { sums =>
+          val fields = specsById.getOrElse(fr.specId, Seq.empty)
+          manifestPrune.forall { case (c, v) =>
+            fields.zipWithIndex.find { case (sf, _) => sf.name == c } match {
+              case None => true // field not in this manifest's spec
+              case Some((sf, i)) if i < sums.size =>
+                val s = sums(i)
+                if (v == null) s.containsNull
+                else {
+                  // the summaries live in the TRANSFORMED domain:
+                  // identity/truncate keep the source type, the
+                  // bucket/time transforms are int surrogates
+                  def srcType: Option[DataType] = namesById.get(sf.sourceId)
+                    .flatMap(n => schema.fields.find(_.name == n))
+                    .map(_.dataType)
+                  val dt: Option[DataType] = sf.transform match {
+                    case "identity" => srcType
+                    case t if t.startsWith("bucket[") => Some(IntegerType)
+                    case "day" | "year" | "month" | "hour" =>
+                      Some(IntegerType)
+                    case t if t.startsWith("truncate[") => srcType
+                    case _ => None // unknown transform → keep
+                  }
+                  dt match {
+                    case None => true
+                    case Some(t) =>
+                      val key = try SingleValue.boundKey(t,
+                        parsePartitionValue(t, v)) catch {
+                        case _: Exception => None }
+                      def cmp(a: Any, b: Any): Int = (a, b) match {
+                        case (x: Long, y: Long) => x.compare(y)
+                        case (x: Double, y: Double) => x.compare(y)
+                        case (x: String, y: String) => x.compare(y)
+                        case (x: java.math.BigDecimal,
+                              y: java.math.BigDecimal) => x.compareTo(y)
+                        case _ => 0
+                      }
+                      key match {
+                        case None => true
+                        case Some(k) =>
+                          val loOk = s.lower.flatMap(SingleValue.decode(t, _))
+                            .forall(lo => cmp(k, lo) >= 0)
+                          val hiOk = s.upper.flatMap(SingleValue.decode(t, _))
+                            .forall(hi => cmp(k, hi) <= 0)
+                          loOk && hiOk
+                      }
+                  }
+                }
+              case Some(_) => true
+            }
+          }
+        }
+      }
     val decoded: Seq[(Seq[DataFileEntry], Seq[PositionDeleteFile],
                       Seq[EqualityDeleteFile])] =
-      if (frames.size < manifestFanoutThreshold(spark))
-        frames.map(fr => decodeManifest(base, fr))
+      if (prunedFrames.size < manifestFanoutThreshold(spark))
+        prunedFrames.map(fr => decodeManifest(base, fr))
       else {
         val b = base
-        val slices = math.max(1, math.min(frames.size,
+        val slices = math.max(1, math.min(prunedFrames.size,
           spark.sparkContext.defaultParallelism * 4))
-        spark.sparkContext.parallelize(frames.zipWithIndex, slices)
+        spark.sparkContext.parallelize(prunedFrames.zipWithIndex, slices)
           .map { case (fr, i) => (i, decodeManifest(b, fr)) }
           .collect().sortBy(_._1).map(_._2).toSeq
       }
@@ -951,7 +1028,11 @@ object IcebergInterop {
     // reader honor them. Session-scoped, but inert for any schema
     // without that metadata, so plain parquet reads are unaffected.
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val snap = snapshot(spark, base, snapshotId)
+    // the filters prune at BOTH metadata levels: whole manifests via
+    // the list's field summaries (inside snapshot), then files via
+    // their partition records below
+    val snap = snapshot(spark, base, snapshotId,
+      manifestPrune = partitionFilters)
     partitionFilters.keys.foreach { k =>
       require(snap.partitionColumns.contains(k),
         s"'$k' is not an identity partition column of $base " +
@@ -1030,7 +1111,25 @@ object IcebergInterop {
   def readEq(spark: SparkSession, base: String, filters: Map[String, Any],
              snapshotId: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val snap = snapshot(spark, base, snapshotId)
+    // the TRANSFORMED expected values double as manifest-level pruning
+    // keys (computed from metadata alone — no second planning pass): a
+    // bucket-partitioned point lookup skips every manifest whose
+    // bucket range excludes the key's bucket, before any entry decode
+    val prune: Map[String, String] = {
+      val meta = readMeta(base)
+      val names = schemaNamesByIdOf(meta)
+      val bySource0 = specsByIdOf(meta).values.flatten.toSeq
+        .distinctBy(f => (f.name, f.transform, f.sourceId))
+        .groupBy(f => names.getOrElse(f.sourceId, ""))
+      filters.toSeq.flatMap { case (c, v) =>
+        bySource0.getOrElse(c, Seq.empty).flatMap { f =>
+          val t = try Some(IceTransform.parse(f.transform))
+                  catch { case _: IllegalArgumentException => None }
+          t.map(tt => f.name -> transformScalar(tt, v))
+        }
+      }.toMap
+    }
+    val snap = snapshot(spark, base, snapshotId, manifestPrune = prune)
     // fields of EVERY spec the table has had: after partition evolution
     // a live file prunes through whatever spec it was written under —
     // its partition record carries exactly that spec's field names, and
@@ -1594,6 +1693,12 @@ object IcebergInterop {
       |{"name":"content","type":"int","field-id":517},
       |{"name":"sequence_number","type":"long","field-id":515},
       |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+      |{"name":"contains_null","type":"boolean","field-id":509},
+      |{"name":"contains_nan","type":["null","boolean"],"field-id":518,"default":null},
+      |{"name":"lower_bound","type":["null","bytes"],"field-id":510,"default":null},
+      |{"name":"upper_bound","type":["null","bytes"],"field-id":511,"default":null}
+      |]}}],"field-id":507,"default":null},
       |{"name":"first_row_id","type":["null","long"],"field-id":520,"default":null}
       |]}""".stripMargin.replaceAll("\n", ""))
 
@@ -1602,10 +1707,21 @@ object IcebergInterop {
     * sequence number, adding snapshot, and the partition spec the
     * manifest's entries were stamped under (spec evolution makes this
     * vary across live manifests). */
+  /** One `field_summary` of a manifest-list row (spec field 507/508):
+    * per-partition-field null presence + [lower, upper] value bounds in
+    * the single-value binary serialization. The summaries let a reader
+    * skip a WHOLE manifest whose partition range excludes its filter —
+    * at 100 TB (thousands of manifests) that is the metadata level
+    * pruning has to start at, before any entry is decoded. */
+  private[sources] final case class FieldSummary(
+      containsNull: Boolean,
+      lower: Option[Array[Byte]], upper: Option[Array[Byte]])
+
   private final case class ManifestRef(file: String, content: Int,
                                        seq: Long, addedSnapshotId: Long,
                                        specId: Int = 0,
-                                       firstRowId: Option[Long] = None)
+                                       firstRowId: Option[Long] = None,
+                                       partitions: Option[Seq[FieldSummary]] = None)
 
   /** The current snapshot's manifests with their recorded content and
     * sequence numbers (defaults for v1 lists without those columns). */
@@ -1626,9 +1742,30 @@ object IcebergInterop {
           opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L),
           r.get("added_snapshot_id").toString.toLong,
           opt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0),
-          opt(r, "first_row_id").map(_.toString.toLong))
+          opt(r, "first_row_id").map(_.toString.toLong),
+          readFieldSummaries(r))
       }
   }
+
+  /** Decode a manifest-list row's `partitions` field-summary array
+    * (absent in v1 lists and lists this writer produced before the
+    * field landed — None carries through and the next list write
+    * backfills it). */
+  private def readFieldSummaries(r: GenericRecord)
+  : Option[Seq[FieldSummary]] =
+    opt(r, "partitions").map {
+      case l: java.util.Collection[_] =>
+        import scala.jdk.CollectionConverters._
+        l.asScala.collect { case s: GenericRecord =>
+          def bytesOf(f: String): Option[Array[Byte]] =
+            opt(s, f).map { case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            }
+          FieldSummary(s.get("contains_null").toString.toBoolean,
+            bytesOf("lower_bound"), bytesOf("upper_bound"))
+        }.toSeq
+      case _ => Seq.empty
+    }.filter(_.nonEmpty)
 
   /** Rows a data manifest still needs lineage ids for: the record
     * counts of its live data entries WITHOUT an explicit first_row_id
@@ -1654,6 +1791,61 @@ object IcebergInterop {
     d.contentSize.getOrElse(throw new IllegalStateException(
       s"DV entry ${d.path} lacks content_size_in_bytes (refusing)"))
 
+  /** Per-field partition summaries of ONE manifest, computed from its
+    * entries' partition records (status!=2 — what any reader can see).
+    * The bound encoding is the same single-value serialization the
+    * record values came from (avro int/long/float/double are the spec's
+    * LE widths; date/timestamp partition values are already stored as
+    * their int/long surrogates). Strings over 64 chars drop the bound
+    * side (a truncated bound is not a bound). None = the manifest has
+    * no partition record (unpartitioned spec / delete manifests here). */
+  private def summarizeManifest(file: String): Option[Seq[FieldSummary]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def enc(v: Any): Option[Array[Byte]] = v match {
+      case i: java.lang.Integer => Some(ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putInt(i).array())
+      case l: java.lang.Long => Some(ByteBuffer.allocate(8)
+        .order(ByteOrder.LITTLE_ENDIAN).putLong(l).array())
+      case fl: java.lang.Float => Some(ByteBuffer.allocate(4)
+        .order(ByteOrder.LITTLE_ENDIAN).putFloat(fl).array())
+      case d: java.lang.Double => Some(ByteBuffer.allocate(8)
+        .order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+      case b: java.lang.Boolean =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case s: CharSequence =>
+        val str = s.toString
+        if (str.length <= 64) Some(str.getBytes("UTF-8")) else None
+      case _ => None
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Number, y: Number)
+          if x.isInstanceOf[java.lang.Float] || x.isInstanceOf[java.lang.Double] ||
+             y.isInstanceOf[java.lang.Float] || y.isInstanceOf[java.lang.Double] =>
+        x.doubleValue() < y.doubleValue()
+      case (x: Number, y: Number) => x.longValue() < y.longValue()
+      case (x: CharSequence, y: CharSequence) => x.toString < y.toString
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+      case _ => false
+    }
+    val records = readAvro(file)
+      .filter(_.get("status").toString.toInt != 2)
+      .map(_.get("data_file").asInstanceOf[GenericRecord])
+      .flatMap(df => Option(df.getSchema.getField("partition"))
+        .flatMap(_ => Option(df.get("partition"))
+          .collect { case p: GenericRecord => p }))
+    if (records.isEmpty) return None
+    import scala.jdk.CollectionConverters._
+    val fieldNames = records.head.getSchema.getFields.asScala.map(_.name())
+    Some(fieldNames.map { fn =>
+      val vs = records.map(_.get(fn))
+      val nonNull = vs.filter(_ != null)
+      val lo = nonNull.reduceOption((a, b) => if (lt(a, b)) a else b)
+      val hi = nonNull.reduceOption((a, b) => if (lt(a, b)) b else a)
+      FieldSummary(vs.exists(_ == null),
+        lo.flatMap(enc), hi.flatMap(enc))
+    }.toSeq)
+  }
+
   private def writeManifestList(f: String, rows: Seq[ManifestRef]): Unit =
     writeAvro(f, manifestFileSchema, rows.map { m =>
       val r = new GenericData.Record(manifestFileSchema)
@@ -1665,6 +1857,25 @@ object IcebergInterop {
       r.put("added_snapshot_id", m.addedSnapshotId)
       m.firstRowId.foreach(v =>
         r.put("first_row_id", java.lang.Long.valueOf(v)))
+      // stored summaries carry verbatim; a row without them (a
+      // just-written manifest, or a carried row from a list predating
+      // the field) computes them from the manifest now — O(new
+      // manifests) per commit, a one-time backfill for old tables
+      m.partitions.orElse(summarizeManifest(m.file)).foreach { sums =>
+        val arrSchema = manifestFileSchema.getField("partitions").schema()
+          .getTypes.get(1)
+        val arr = new GenericData.Array[GenericRecord](sums.size, arrSchema)
+        sums.foreach { s =>
+          val sr = new GenericData.Record(arrSchema.getElementType)
+          sr.put("contains_null", s.containsNull)
+          s.lower.foreach(b =>
+            sr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+          s.upper.foreach(b =>
+            sr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+          arr.add(sr)
+        }
+        r.put("partitions", arr)
+      }
       r
     })
 

@@ -559,4 +559,41 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(iUntouchedAfter == iUntouchedBefore)
     assert(IcebergInterop.read(spark, ibase).count() == 90)
   }
+
+  test("SHOW PARTITIONS: hive-rendered tuples from log metadata only") {
+    import spark.implicits._
+    val dbase = freshBase("showparts_d")
+    DeltaInterop.overwrite(
+      (0L until 60L).map(k => (k, (k % 3).toInt, (k % 2).toInt))
+        .toDF("id", "a", "b").coalesce(1),
+      dbase, partitionBy = Seq("a", "b"))
+    GraftSql.registerDeltaTable(spark, "showparts_d", dbase)
+    val got = GraftSql.sql(spark, "SHOW PARTITIONS showparts_d")
+      .as[String].collect().toSeq
+    assert(got == Seq("a=0/b=0", "a=0/b=1", "a=1/b=0", "a=1/b=1",
+      "a=2/b=0", "a=2/b=1"))
+    // PARTITION clause filters
+    assert(GraftSql.sql(spark,
+      "SHOW PARTITIONS showparts_d PARTITION (a=2)")
+      .as[String].collect().toSeq == Seq("a=2/b=0", "a=2/b=1"))
+    // Iceberg: same surface
+    val ibase = freshBase("showparts_i")
+    IcebergInterop.overwrite(
+      (0L until 30L).map(k => (k, (k % 3).toInt)).toDF("id", "p")
+        .repartition(2), ibase, partitionBy = Seq("p"))
+    GraftSql.registerIcebergTable(spark, "showparts_i", ibase)
+    assert(GraftSql.sql(spark, "SHOW PARTITIONS showparts_i")
+      .as[String].collect().toSeq == Seq("p=0", "p=1", "p=2"))
+    // unpartitioned refuses, matching Spark's own command
+    val ubase = freshBase("showparts_u")
+    DeltaInterop.overwrite((0L until 5L).toDF("id").coalesce(1), ubase)
+    GraftSql.registerDeltaTable(spark, "showparts_u", ubase)
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "SHOW PARTITIONS showparts_u"))
+    assert(e.getMessage.contains("not partitioned"))
+    // unknown filter column refuses
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SHOW PARTITIONS showparts_i PARTITION (nope=1)"))
+    assert(e2.getMessage.contains("nope"))
+  }
 }
