@@ -2618,6 +2618,46 @@ object IcebergInterop {
     snapNode.put("manifest-list", PathCodec.absNorm(mlFile))
     val sm = snapNode.putObject("summary")
     sm.put("operation", mode)
+    // spec §Metrics: the writer's own counts, plus running totals
+    // derived INCREMENTALLY from the parent summary (never a manifest
+    // walk — at thousands of manifests totals must be O(1) per
+    // commit). A parent without totals (a foreign writer, or a
+    // delete/replace snapshot that doesn't track them) breaks the
+    // chain and the totals are omitted — absent beats wrong, the spec
+    // marks them optional. Caller extras land after and may override.
+    val addedBytes = stagedPaths.map(io.length).sum
+    sm.put("added-data-files", stagedPaths.size.toString)
+    sm.put("added-records", addedRows.toString)
+    sm.put("added-files-size", addedBytes.toString)
+    val parentTotals: Option[(Long, Long, Long)] =
+      if (branch.isDefined) None
+      else prevA.flatMap { m =>
+        val pid = m.get("current-snapshot-id").asLong()
+        val snaps = m.get("snapshots")
+        (0 until snaps.size()).map(snaps.get)
+          .find(_.get("snapshot-id").asLong() == pid)
+          .flatMap(s => Option(s.get("summary")))
+          .flatMap { s =>
+            for {
+              f <- Option(s.get("total-data-files")).map(_.asText().toLong)
+              r <- Option(s.get("total-records")).map(_.asText().toLong)
+              b <- Option(s.get("total-files-size")).map(_.asText().toLong)
+            } yield (f, r, b)
+          }
+      }
+    val totals: Option[(Long, Long, Long)] =
+      if (mode == "overwrite" || prevA.isEmpty)
+        // the file set restarts (or begins) with exactly the staging
+        Some((stagedPaths.size.toLong, addedRows, addedBytes))
+      else if (mode == "append" && branch.isEmpty)
+        parentTotals.map { case (f, r, b) =>
+          (f + stagedPaths.size, r + addedRows, b + addedBytes) }
+      else None
+    totals.foreach { case (f, r, b) =>
+      sm.put("total-data-files", f.toString)
+      sm.put("total-records", r.toString)
+      sm.put("total-files-size", b.toString)
+    }
     summary.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
     snapNode.put("schema-id", schemaIdUsed)
     val logProps = attachMetadataLogs(base, version, root, committedAtMs)
@@ -4323,10 +4363,159 @@ object IcebergInterop {
     * Identity partition fields are typed by their source column;
     * transformed fields (bucket/truncate/day results) stay strings.
     * Returns the snapshot id the stats are keyed to. */
-  def computePartitionStats(spark: SparkSession, base: String): Long = {
+  /** The stats file's schema for a snapshot: identity partition fields
+    * typed by source column (transform results stay strings), then the
+    * spec's fixed stat columns. */
+  private def partitionStatsSchema(snap: IcebergSnapshot)
+  : (Seq[StructField], StructType) = {
+    val srcType: Map[String, DataType] = snap.schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    val partFields = snap.specFields.map { sf =>
+      val dt = if (sf.transform == "identity")
+        srcType.getOrElse(sf.name, StringType) else StringType
+      StructField(sf.name, dt, nullable = true)
+    }
+    (partFields, StructType(partFields ++ Seq(
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_record_count", LongType, nullable = false),
+      StructField("position_delete_file_count", IntegerType, nullable = false),
+      StructField("equality_delete_record_count", LongType, nullable = false),
+      StructField("equality_delete_file_count", IntegerType, nullable = false),
+      StructField("total_record_count", LongType, nullable = true),
+      StructField("last_updated_at", LongType, nullable = true),
+      StructField("last_updated_snapshot_id", LongType, nullable = true))))
+  }
+
+  /** Write `retyped` as the new single-file partition-statistics
+    * parquet and point the metadata's `partition-statistics` entry at
+    * it (replacing any prior one). */
+  private def publishPartitionStatsFile(spark: SparkSession, base: String,
+                                        retyped: DataFrame,
+                                        snapshotId: Long): Long = {
+    val metaDir = metadataDir(base)
+    val tmpDir = TableIO.join(metaDir, s".pstats_${UUID.randomUUID()}")
+    retyped.coalesce(1).write.parquet(tmpDir)
+    val part = io.list(tmpDir)
+      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("no stats part file"))
+    val statsPath = TableIO.join(metaDir,
+      s"partition-stats-$snapshotId-${UUID.randomUUID()}.parquet")
+    io.move(TableIO.join(tmpDir, part), statsPath)
+    io.deleteRecursively(tmpDir)
+    val meta = readMeta(base)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = meta.putArray("partition-statistics")
+    val entry = arr.addObject()
+    entry.put("snapshot-id", snapshotId)
+    entry.put("statistics-path", PathCodec.absNorm(statsPath))
+    entry.put("file-size-in-bytes", io.length(statsPath))
+    commitMetadataVersion(base, meta)
+    snapshotId
+  }
+
+  /** INCREMENTAL refresh (the procedure's incremental mode): when the
+    * previous stats file covers S0 and every snapshot S0→HEAD is a
+    * plain append (ancestry-walked, operation-checked), only the NEW
+    * files aggregate and merge into the previous rows — a 100 TB table
+    * taking daily appends never re-walks its full manifest census.
+    * None = not applicable (no prior file, a non-append snapshot in
+    * the chain, rollback broke ancestry, partition evolution since, or
+    * the previous file predates a schema change) → caller recomputes
+    * in full. */
+  private def incrementalPartitionStats(spark: SparkSession, base: String,
+                                        snap: IcebergSnapshot)
+  : Option[Long] = {
+    import org.apache.spark.sql.functions._
+    val meta = readMeta(base)
+    val prevEntry = Option(meta.get("partition-statistics"))
+      .filter(_.size() > 0).map(a => a.get(a.size() - 1))
+      .getOrElse(return None)
+    val s0 = prevEntry.get("snapshot-id").asLong()
+    val prevPath = PathCodec.absNorm(
+      prevEntry.get("statistics-path").asText())
+    if (!io.exists(prevPath)) return None
+    if (s0 == snap.snapshotId) return Some(s0) // already current
+    // ancestry walk HEAD→S0: every step must be an append
+    val snaps = meta.get("snapshots")
+    val byId = (0 until snaps.size()).map(snaps.get)
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val newIds = scala.collection.mutable.Set.empty[Long]
+    var cur = snap.snapshotId
+    while (cur != s0) {
+      val node = byId.getOrElse(cur, return None)
+      val op = Option(node.get("summary"))
+        .flatMap(x => Option(x.get("operation")))
+        .map(_.asText()).getOrElse("")
+      if (op != "append") return None
+      newIds += cur
+      cur = Option(node.get("parent-snapshot-id")).map(_.asLong())
+        .getOrElse(return None)
+    }
+    val partCols = snap.specFields.map(_.name)
+    val newFiles = snap.files.filter(f => newIds.contains(f.addedSnapshotId))
+    // partition evolution since the appends → the new files' records
+    // wouldn't key the same columns; recompute in full
+    if (newFiles.exists(f =>
+        f.partitionValues.keySet != partCols.toSet)) return None
+    val (partFields, statsSchema) = partitionStatsSchema(snap)
+    val prev = spark.read.parquet(prevPath)
+    if (prev.schema.fieldNames.toSeq != statsSchema.fieldNames.toSeq)
+      return None // schema changed since the previous stats run
+    val committedAt = meta.get("last-updated-ms").asLong()
+    val newRows: Seq[org.apache.spark.sql.Row] = newFiles
+      .groupBy(f => partCols.map(c => f.partitionValues.getOrElse(c, null)))
+      .toSeq.map { case (k, fs) =>
+        val dr = fs.map(_.recordCount).sum
+        // appends carry no deletes: the partition delta is data-only
+        // and its live-row total is exact
+        org.apache.spark.sql.Row.fromSeq(
+          k ++ Seq(snap.defaultSpecId, dr, fs.size,
+            fs.map(f => math.max(f.sizeBytes, 0L)).sum, 0L, 0, 0L, 0,
+            Long.box(dr), committedAt, snap.snapshotId))
+      }
+    val untypedSchema = StructType(partFields.map(f =>
+      f.copy(dataType = StringType)) ++ statsSchema.drop(partFields.size))
+    val newDf = partFields.foldLeft(spark.createDataFrame(
+        spark.sparkContext.parallelize(newRows, 1), untypedSchema)) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(f.dataType)) }
+      .select(statsSchema.fieldNames.map(col): _*)
+    // a partition's total stays exact only if EVERY merged row had an
+    // exact total (an equality-delete-shadowed prev row keeps null)
+    val merged = prev.unionByName(newDf)
+      .groupBy((partFields.map(_.name) :+ "spec_id").map(col): _*)
+      .agg(
+        sum("data_record_count").as("data_record_count"),
+        sum("data_file_count").as("data_file_count"),
+        sum("total_data_file_size_in_bytes")
+          .as("total_data_file_size_in_bytes"),
+        sum("position_delete_record_count")
+          .as("position_delete_record_count"),
+        sum("position_delete_file_count").as("position_delete_file_count"),
+        sum("equality_delete_record_count")
+          .as("equality_delete_record_count"),
+        sum("equality_delete_file_count").as("equality_delete_file_count"),
+        when(count(lit(1)) === count(col("total_record_count")),
+          sum("total_record_count")).otherwise(lit(null))
+          .as("total_record_count"),
+        max("last_updated_at").as("last_updated_at"),
+        max("last_updated_snapshot_id").as("last_updated_snapshot_id"))
+    val retyped = merged.select(statsSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    Some(publishPartitionStatsFile(spark, base, retyped, snap.snapshotId))
+  }
+
+  def computePartitionStats(spark: SparkSession, base: String,
+                            incremental: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{broadcast => bcast, _}
     import spark.implicits._
     val snap = snapshot(spark, base)
+    if (incremental) incrementalPartitionStats(spark, base, snap) match {
+      case Some(sid) => return sid
+      case None      => // fall through to the full census
+    }
     val partCols: Seq[String] = snap.specFields.map(_.name)
     def keyOf(pv: Map[String, String]): Seq[String] =
       partCols.map(c => pv.getOrElse(c, null))
@@ -4397,29 +4586,11 @@ object IcebergInterop {
           er, ef, total.map(Long.box).orNull, committedAt, snap.snapshotId))
     }
     // identity fields typed by source column; transform results stay
-    // strings (documented)
-    val srcType: Map[String, DataType] = snap.schema.fields
-      .map(f => f.name -> f.dataType).toMap
-    val partFields = snap.specFields.map { sf =>
-      val dt = if (sf.transform == "identity")
-        srcType.getOrElse(sf.name, StringType) else StringType
-      StructField(sf.name, dt, nullable = true)
-    }
-    val statsSchema = StructType(partFields ++ Seq(
-      StructField("spec_id", IntegerType, nullable = false),
-      StructField("data_record_count", LongType, nullable = false),
-      StructField("data_file_count", IntegerType, nullable = false),
-      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
-      StructField("position_delete_record_count", LongType, nullable = false),
-      StructField("position_delete_file_count", IntegerType, nullable = false),
-      StructField("equality_delete_record_count", LongType, nullable = false),
-      StructField("equality_delete_file_count", IntegerType, nullable = false),
-      StructField("total_record_count", LongType, nullable = true),
-      StructField("last_updated_at", LongType, nullable = true),
-      StructField("last_updated_snapshot_id", LongType, nullable = true)))
-    // build with STRING partition values (the manifests' form), then
-    // cast identity fields to their source types in one pass — Spark's
-    // own cast semantics, not a re-implementation
+    // strings (documented). Build with STRING partition values (the
+    // manifests' form), then cast identity fields to their source
+    // types in one pass — Spark's own cast semantics, not a
+    // re-implementation
+    val (partFields, statsSchema) = partitionStatsSchema(snap)
     val untypedSchema = StructType(partFields.map(f =>
       f.copy(dataType = StringType)) ++ statsSchema.drop(partFields.size))
     val untyped = spark.createDataFrame(
@@ -4427,25 +4598,7 @@ object IcebergInterop {
     val retyped = partFields.foldLeft(untyped) { (d, f) =>
       d.withColumn(f.name, col(f.name).cast(f.dataType)) }
       .select(statsSchema.fieldNames.map(col): _*)
-    val metaDir = metadataDir(base)
-    val tmpDir = TableIO.join(metaDir, s".pstats_${UUID.randomUUID()}")
-    retyped.coalesce(1).write.parquet(tmpDir)
-    val part = io.list(tmpDir)
-      .find(f => f.startsWith("part-") && f.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("no stats part file"))
-    val statsPath = TableIO.join(metaDir,
-      s"partition-stats-${snap.snapshotId}-${UUID.randomUUID()}.parquet")
-    io.move(TableIO.join(tmpDir, part), statsPath)
-    io.deleteRecursively(tmpDir)
-    val meta = readMeta(base)
-      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
-    val arr = meta.putArray("partition-statistics")
-    val entry = arr.addObject()
-    entry.put("snapshot-id", snap.snapshotId)
-    entry.put("statistics-path", PathCodec.absNorm(statsPath))
-    entry.put("file-size-in-bytes", io.length(statsPath))
-    commitMetadataVersion(base, meta)
-    snap.snapshotId
+    publishPartitionStatsFile(spark, base, retyped, snap.snapshotId)
   }
 
   /** The recorded partition-statistics file as a DataFrame (None when

@@ -93,6 +93,69 @@ class IcebergPartitionStatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("Iceberg feature"))
   }
 
+  test("appends refresh incrementally; result equals the full census") {
+    val base = freshBase("incr")
+    val df = (0L until 90L).map(k => (k, (k % 3).toInt)).toDF("id", "p")
+    IcebergInterop.overwrite(df.repartition(3), base, partitionBy = Seq("p"))
+    IcebergInterop.computePartitionStats(spark, base)
+    // two appends: one into existing partitions, one creating p=3
+    IcebergInterop.append((90L until 120L).map(k => (k, (k % 2).toInt))
+      .toDF("id", "p").coalesce(1), base, partitionBy = Seq("p"))
+    IcebergInterop.append((120L until 130L).map(k => (k, 3))
+      .toDF("id", "p").coalesce(1), base, partitionBy = Seq("p"))
+    IcebergInterop.computePartitionStats(spark, base)
+    def rows() = IcebergInterop.partitionStats(spark, base).get
+      .select("p", "data_record_count", "data_file_count",
+        "total_record_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val incremental = rows()
+    IcebergInterop.computePartitionStats(spark, base, incremental = false)
+    assert(rows() == incremental, s"incremental diverged from full")
+    assert(incremental.toSeq.map(_._2).sum == 130L, incremental.toString)
+    assert(incremental.exists(_._1 == 3))
+  }
+
+  test("the incremental path never re-reads delete parquets") {
+    val base = freshBase("incr_nodel")
+    val df = (0L until 100L).map(k => (k, (k % 2).toInt)).toDF("id", "p")
+    IcebergInterop.overwrite(df.repartition(2), base, partitionBy = Seq("p"))
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 10)
+    IcebergInterop.computePartitionStats(spark, base) // full: scans deletes
+    IcebergInterop.append((100L until 120L).map(k => (k, (k % 2).toInt))
+      .toDF("id", "p").coalesce(1), base, partitionBy = Seq("p"))
+    // corrupt the classic delete parquet ON DISK: the incremental
+    // refresh must still succeed (it merges metadata only), while a
+    // full recompute would have to re-scan it and fail
+    val classic = IcebergInterop.snapshot(spark, base).deletes
+      .filter(!_.referencedDataFile.isDefined)
+    assume(classic.nonEmpty)
+    classic.foreach(d => java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.path), "not parquet".getBytes))
+    IcebergInterop.computePartitionStats(spark, base)
+    val byP = IcebergInterop.partitionStats(spark, base).get
+      .select("p", "data_record_count", "position_delete_record_count",
+        "total_record_count")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byP(0) == ((60L, 5L, 55L)) && byP(1) == ((60L, 5L, 55L)), byP)
+    intercept[Exception](IcebergInterop.computePartitionStats(
+      spark, base, incremental = false))
+  }
+
+  test("a non-append snapshot in the chain falls back to the full census") {
+    val base = freshBase("incr_fallback")
+    val df = (0L until 60L).map(k => (k, (k % 2).toInt)).toDF("id", "p")
+    IcebergInterop.overwrite(df.repartition(2), base, partitionBy = Seq("p"))
+    IcebergInterop.computePartitionStats(spark, base)
+    IcebergInterop.deletePositionsWhere(spark, base, col("id") < 6)
+    IcebergInterop.computePartitionStats(spark, base) // must go full
+    val byP = IcebergInterop.partitionStats(spark, base).get
+      .select("p", "position_delete_record_count", "total_record_count")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byP(0) == ((3L, 27L)) && byP(1) == ((3L, 27L)), byP)
+  }
+
   test("entries carry across commits, expire drops them, GC pins the file") {
     val base = freshBase("lifecycle")
     IcebergInterop.overwrite((0L until 50L).toDF("id").coalesce(1), base)
