@@ -589,6 +589,7 @@ object DeltaInterop {
         var op: String = null
         var adds = 0L; var removes = 0L
         var ict: Option[Long] = None
+        var outRows: Option[Long] = None
         io.readLines(TableIO.join(dir, f)).foreach { line =>
           if (line.nonEmpty) {
             val n = mapper.readTree(line)
@@ -596,17 +597,22 @@ object DeltaInterop {
               Option(ci.get("operation")).foreach(o => op = o.asText())
               Option(ci.get("inCommitTimestamp"))
                 .foreach(t => ict = Some(t.asLong()))
+              Option(ci.get("operationMetrics")).flatMap(m =>
+                Option(m.get("numOutputRows"))).foreach(r =>
+                outRows = Some(r.asText().toLong))
             }
             if (n.has("add")) adds += 1
             if (n.has("remove")) removes += 1
           }
         }
         (f.stripSuffix(".json").toLong, op, adds, removes,
+          outRows.map(Long.box).orNull.asInstanceOf[java.lang.Long],
           new java.sql.Timestamp(ict.getOrElse(
             io.lastModified(TableIO.join(dir, f)))))
       }
     import spark.implicits._
-    rows.toDF("version", "operation", "n_adds", "n_removes", "timestamp")
+    rows.toDF("version", "operation", "n_adds", "n_removes",
+      "num_output_rows", "timestamp")
   }
 
   /** Incremental consumption: every row APPENDED after `fromVersion`
@@ -1180,14 +1186,51 @@ object DeltaInterop {
     * mtime, the same source the protocol prescribes for time travel —
     * EXCEPT on in-commit-timestamp tables, where the protocol makes
     * `inCommitTimestamp` authoritative and mandatory. */
-  private def commitInfoJson(operation: String,
-                             ict: Option[Long]): String = {
+  /** `commitInfo.operationMetrics` derived from the commit's own
+    * actions (delta-spark's audit surface): added/removed file counts,
+    * output bytes, and — when every add carries stats — output rows.
+    * Metadata-only: counts what the commit writes, reads nothing. */
+  private def operationMetricsOf(lines: Seq[String])
+  : Map[String, String] = {
+    var nAdd = 0; var nRemove = 0; var bytes = 0L
+    var rows = 0L; var rowsKnown = true
+    lines.foreach { l =>
+      try {
+        val n = mapper.readTree(l)
+        Option(n.get("add")).foreach { a =>
+          nAdd += 1
+          Option(a.get("size")).foreach(s => bytes += s.asLong())
+          val r = Option(a.get("stats")).flatMap { s =>
+            try Option(mapper.readTree(s.asText()).get("numRecords"))
+              .map(_.asLong())
+            catch { case _: Exception => None }
+          }
+          r match { case Some(v) => rows += v; case None => rowsKnown = false }
+        }
+        if (n.has("remove")) nRemove += 1
+      } catch { case _: Exception => }
+    }
+    if (nAdd == 0 && nRemove == 0) Map.empty
+    else Map("numFiles" -> nAdd.toString,
+      "numOutputBytes" -> bytes.toString,
+      "numRemovedFiles" -> nRemove.toString) ++
+      (if (rowsKnown && nAdd > 0)
+        Map("numOutputRows" -> rows.toString) else Map.empty)
+  }
+
+  private def commitInfoJson(operation: String, ict: Option[Long],
+                             metrics: Map[String, String] = Map.empty)
+  : String = {
     val node = mapper.createObjectNode()
     val ci = node.putObject("commitInfo")
     ci.put("timestamp", ict.getOrElse(0L))
     ict.foreach(t => ci.put("inCommitTimestamp", t))
     ci.put("operation", if (operation.isEmpty) "WRITE" else operation)
     ci.putObject("operationParameters")
+    if (metrics.nonEmpty) {
+      val om = ci.putObject("operationMetrics")
+      metrics.toSeq.sortBy(_._1).foreach { case (k, v) => om.put(k, v) }
+    }
     mapper.writeValueAsString(node)
   }
 
@@ -1233,7 +1276,7 @@ object DeltaInterop {
       prevIct(base, version).map(p => math.max(ictClock(), p + 1)))
     val lines =
       if (operation.isEmpty && ict.isEmpty) lines0
-      else commitInfoJson(operation, ict) +: lines0
+      else commitInfoJson(operation, ict, operationMetricsOf(lines0)) +: lines0
     val dir = logDir(base); io.mkdirs(dir)
     val tmp = TableIO.join(dir, s".tmp_${UUID.randomUUID()}.json")
     io.writeString(tmp, lines.mkString("", "\n", "\n"))

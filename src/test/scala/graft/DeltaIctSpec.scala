@@ -86,8 +86,8 @@ class DeltaIctSpec extends SparkSpec {
     // history reports the ICTs, not the (much later) mtimes
     val hist = DeltaInterop.history(spark, base)
       .orderBy("version").collect()
-    assert(hist(2).getTimestamp(4).getTime == ictOf(base, 2L).get)
-    assert(hist(0).getTimestamp(4).getTime ==
+    assert(hist(2).getAs[java.sql.Timestamp]("timestamp").getTime == ictOf(base, 2L).get)
+    assert(hist(0).getAs[java.sql.Timestamp]("timestamp").getTime ==
       new java.io.File(base, f"_delta_log/${0L}%020d.json").lastModified(),
       "pre-enablement commits keep the mtime clock")
   }
