@@ -39,7 +39,8 @@ class DdlFuzzSpec extends SparkSpec {
                           withUniform: Boolean = false,
                           withMirror: Boolean = false,
                           withClustering: Boolean = false,
-                          withNdvStats: Boolean = false): Unit = {
+                          withNdvStats: Boolean = false,
+                          withWriteLayout: Boolean = false): Unit = {
     require(!withDefaults || icebergV3,
       "column defaults are a v3 capability")
     val rnd = new scala.util.Random(seed)
@@ -127,6 +128,21 @@ class DdlFuzzSpec extends SparkSpec {
       // expire must keep-or-drop it coherently, and the final estimate
       // must be exact for the surviving keys
       if (withNdvStats) IcebergInterop.computeNdvStats(spark, ibase, Seq("k"))
+      // the WRITE-LAYOUT dimension: the Iceberg leg carries a sort
+      // order + range distribution from the start (every later data
+      // staging range-clusters and stamps sort_order_id), and the
+      // Delta leg opts into optimizedWrite + autoCompact with a tiny
+      // minNumFiles — ordinary inserts interleave best-effort OPTIMIZE
+      // commits mid-sequence, all value-preserving by contract
+      if (withWriteLayout) {
+        IcebergInterop.setSortOrder(ibase, Seq("k" -> true))
+        IcebergInterop.setTableProperties(ibase,
+          Map("write.distribution-mode" -> "range"))
+        DeltaInterop.setProperties(spark, dbase, Map(
+          "delta.autoOptimize.optimizeWrite" -> "true",
+          "delta.autoOptimize.autoCompact" -> "true"))
+        spark.conf.set("spark.databricks.delta.autoCompact.minNumFiles", 3)
+      }
       model.rows = rows.toVector
       recordRestorePoint()
     }
@@ -419,6 +435,20 @@ class DdlFuzzSpec extends SparkSpec {
       assert(IcebergInterop.ndvEstimate(ibase, "k").map(_._2)
         .contains(want))
     }
+    if (withWriteLayout) {
+      // the sort order survived every op (rename/drop/restore/
+      // maintenance): a COLUMN-LESS sorted rewrite still resolves it
+      // from metadata, stamps every replacement file, and preserves
+      // values exactly
+      IcebergInterop.rewriteDataFilesSorted(spark, ibase,
+        filesPerPartition = 2)
+      assert(IcebergInterop.snapshot(spark, ibase).files
+        .forall(_.sortOrderId.isDefined),
+        s"seed=$seed: sorted rewrite left unstamped files")
+      assert(normalized(IcebergInterop.read(spark, ibase)) == expected,
+        s"seed=$seed: the sorted rewrite changed values")
+      spark.conf.unset("spark.databricks.delta.autoCompact.minNumFiles")
+    }
     if (icebergV3) {
       // the LINEAGE invariant survives every interleaving: after any
       // mix of DML, evolution, maintenance, and restore, every live
@@ -488,6 +518,13 @@ class DdlFuzzSpec extends SparkSpec {
     runSequence(seed = 173205, nOps = 22, withNdvStats = true)
     runSequence(seed = 223606, nOps = 24, withClustering = true,
       withNdvStats = true, withPromotion = true)
+  }
+
+  test("write-layout sequences: sort order + range distribution and " +
+       "optimized-write/auto-compact survive every op composition") {
+    runSequence(seed = 314159, nOps = 22, withWriteLayout = true)
+    runSequence(seed = 577215, nOps = 24, withWriteLayout = true,
+      withPromotion = true, icebergV3 = true)
   }
 
   test("a full sequence through OBJECT-STORE semantics: flat keys, " +
