@@ -623,9 +623,93 @@ object IcebergInterop {
       }.getOrElse(Map.empty)
   }
 
+  /** Can a manifest's field summaries admit the filters? `eq` maps
+    * spec-field name → required stringified value (null = wants the
+    * null partition); `range` maps spec-field name → [lo, hi]
+    * stringified TRANSFORMED-domain bounds (either side open). The
+    * summaries live in the transformed domain: identity/truncate keep
+    * the source type, the bucket/time transforms are int surrogates.
+    * Anything unresolvable keeps the manifest — pruning is a
+    * performance decision, never a correctness one. */
+  private def manifestAdmits(fields: Seq[SpecField],
+                             sums: Seq[FieldSummary],
+                             namesById: Map[Int, String],
+                             schema: StructType,
+                             eq: Map[String, String],
+                             range: Map[String, (Option[String], Option[String])])
+  : Boolean = {
+    def typedOf(sf: SpecField): Option[DataType] = {
+      def srcType: Option[DataType] = namesById.get(sf.sourceId)
+        .flatMap(n => schema.fields.find(_.name == n)).map(_.dataType)
+      sf.transform match {
+        case "identity" => srcType
+        case t if t.startsWith("bucket[") => Some(IntegerType)
+        case "day" | "year" | "month" | "hour" => Some(IntegerType)
+        case t if t.startsWith("truncate[") => srcType
+        case _ => None // unknown transform → keep
+      }
+    }
+    def keyOf(t: DataType, s: String): Option[Any] =
+      try SingleValue.boundKey(t, parsePartitionValue(t, s))
+      catch { case _: Exception => None }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => x.compare(y)
+      case (x: Double, y: Double) => x.compare(y)
+      case (x: String, y: String) => x.compare(y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y)
+      case _ => 0
+    }
+    def fieldAt(c: String): Option[(SpecField, FieldSummary)] =
+      fields.zipWithIndex.collectFirst {
+        case (sf, i) if sf.name == c && i < sums.size => (sf, sums(i)) }
+    val eqOk = eq.forall { case (c, v) =>
+      fieldAt(c) match {
+        case None => true // field not in this manifest's spec
+        case Some((sf, s)) =>
+          if (v == null) s.containsNull
+          else typedOf(sf) match {
+            case None => true
+            case Some(t) => keyOf(t, v) match {
+              case None => true
+              case Some(k) =>
+                s.lower.flatMap(SingleValue.decode(t, _))
+                  .forall(lo => cmp(k, lo) >= 0) &&
+                s.upper.flatMap(SingleValue.decode(t, _))
+                  .forall(hi => cmp(k, hi) <= 0)
+            }
+          }
+      }
+    }
+    eqOk && range.forall { case (c, (lo, hi)) =>
+      fieldAt(c) match {
+        case None => true
+        case Some((sf, s)) => typedOf(sf) match {
+          case None => true
+          case Some(t) =>
+            // overlap test: [filterLo, filterHi] ∩ [lower, upper] ≠ ∅;
+            // a missing side of either interval is unbounded → keep
+            val sumLo = s.lower.flatMap(SingleValue.decode(t, _))
+            val sumHi = s.upper.flatMap(SingleValue.decode(t, _))
+            val notBelow = (hi.flatMap(keyOf(t, _)), sumLo) match {
+              case (Some(h), Some(l)) => cmp(h, l) >= 0
+              case _ => true
+            }
+            val notAbove = (lo.flatMap(keyOf(t, _)), sumHi) match {
+              case (Some(l), Some(u)) => cmp(l, u) <= 0
+              case _ => true
+            }
+            notBelow && notAbove
+        }
+      }
+    }
+  }
+
   def snapshot(spark: SparkSession, base: String,
                snapshotId: Option[Long] = None,
-               manifestPrune: Map[String, String] = Map.empty)
+               manifestPrune: Map[String, String] = Map.empty,
+               manifestPruneRange: Map[String, (Option[String], Option[String])] =
+                 Map.empty)
   : IcebergSnapshot = {
     val meta = readMeta(base)
     val fv = meta.get("format-version").asInt()
@@ -700,67 +784,18 @@ object IcebergInterop {
         readFieldSummaries(m))
     }
     // Manifest-level pruning (spec field 507): a DATA manifest whose
-    // field summaries exclude an identity-equality filter never gets
+    // field summaries exclude an equality or range filter never gets
     // its entries decoded — at thousands of manifests this is where
     // pruning must start, before any per-entry work. Conservative by
     // construction: no summaries / unresolvable field / undecodable
     // bound → keep. Delete manifests always pass (their scope may span
     // partitions; this engine's carry no summaries anyway).
     val prunedFrames: Seq[ManifestFrame] =
-      if (manifestPrune.isEmpty) frames
+      if (manifestPrune.isEmpty && manifestPruneRange.isEmpty) frames
       else frames.filter { fr =>
-        fr.content != 0 || fr.summaries.forall { sums =>
-          val fields = specsById.getOrElse(fr.specId, Seq.empty)
-          manifestPrune.forall { case (c, v) =>
-            fields.zipWithIndex.find { case (sf, _) => sf.name == c } match {
-              case None => true // field not in this manifest's spec
-              case Some((sf, i)) if i < sums.size =>
-                val s = sums(i)
-                if (v == null) s.containsNull
-                else {
-                  // the summaries live in the TRANSFORMED domain:
-                  // identity/truncate keep the source type, the
-                  // bucket/time transforms are int surrogates
-                  def srcType: Option[DataType] = namesById.get(sf.sourceId)
-                    .flatMap(n => schema.fields.find(_.name == n))
-                    .map(_.dataType)
-                  val dt: Option[DataType] = sf.transform match {
-                    case "identity" => srcType
-                    case t if t.startsWith("bucket[") => Some(IntegerType)
-                    case "day" | "year" | "month" | "hour" =>
-                      Some(IntegerType)
-                    case t if t.startsWith("truncate[") => srcType
-                    case _ => None // unknown transform → keep
-                  }
-                  dt match {
-                    case None => true
-                    case Some(t) =>
-                      val key = try SingleValue.boundKey(t,
-                        parsePartitionValue(t, v)) catch {
-                        case _: Exception => None }
-                      def cmp(a: Any, b: Any): Int = (a, b) match {
-                        case (x: Long, y: Long) => x.compare(y)
-                        case (x: Double, y: Double) => x.compare(y)
-                        case (x: String, y: String) => x.compare(y)
-                        case (x: java.math.BigDecimal,
-                              y: java.math.BigDecimal) => x.compareTo(y)
-                        case _ => 0
-                      }
-                      key match {
-                        case None => true
-                        case Some(k) =>
-                          val loOk = s.lower.flatMap(SingleValue.decode(t, _))
-                            .forall(lo => cmp(k, lo) >= 0)
-                          val hiOk = s.upper.flatMap(SingleValue.decode(t, _))
-                            .forall(hi => cmp(k, hi) <= 0)
-                          loOk && hiOk
-                      }
-                  }
-                }
-              case Some(_) => true
-            }
-          }
-        }
+        fr.content != 0 || fr.summaries.forall(sums =>
+          manifestAdmits(specsById.getOrElse(fr.specId, Seq.empty), sums,
+            namesById, schema, manifestPrune, manifestPruneRange))
       }
     val decoded: Seq[(Seq[DataFileEntry], Seq[PositionDeleteFile],
                       Seq[EqualityDeleteFile])] =
@@ -1066,7 +1101,31 @@ object IcebergInterop {
                 snapshotId: Option[Long] = None,
                 partitionFilters: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val snap = snapshot(spark, base, snapshotId)
+    // manifest-level range pruning: every spec field derived from the
+    // range column through a MONOTONE transform (identity, truncate,
+    // the time transforms — never bucket) maps [lo, hi] into the
+    // transformed domain, and the manifest-list summaries skip whole
+    // manifests whose partition range cannot intersect it. A
+    // date-partitioned 100 TB table answers a week-range query without
+    // decoding a year's manifests.
+    val rangePrune: Map[String, (Option[String], Option[String])] = {
+      val meta = readMeta(base)
+      val names = schemaNamesByIdOf(meta)
+      specsByIdOf(meta).values.flatten.toSeq
+        .distinctBy(f => (f.name, f.transform, f.sourceId))
+        .filter(f => names.get(f.sourceId).contains(column))
+        .flatMap { f =>
+          val t = try Some(IceTransform.parse(f.transform))
+                  catch { case _: IllegalArgumentException => None }
+          t.filter(!_.isInstanceOf[IceTransform.Bucket]).flatMap { tt =>
+            try Some(f.name ->
+              (lo.map(transformScalar(tt, _)), hi.map(transformScalar(tt, _))))
+            catch { case _: Exception => None }
+          }
+        }.toMap
+    }
+    val snap = snapshot(spark, base, snapshotId,
+      manifestPrune = partitionFilters, manifestPruneRange = rangePrune)
     partitionFilters.keys.foreach { k =>
       require(snap.partitionColumns.contains(k),
         s"'$k' is not an identity partition column of $base")

@@ -142,6 +142,50 @@ class IcebergManifestPruneSpec extends SparkSpec {
     intercept[Exception](IcebergInterop.read(spark, base).count())
   }
 
+  test("readRange prunes manifests by identity partition summaries") {
+    val base = freshBase("range")
+    // three appends over disjoint p-ranges → disjoint manifest summaries
+    Seq(0 -> 1, 2 -> 3, 4 -> 5).foreach { case (a, b) =>
+      IcebergInterop.append(
+        (0L until 40L).map(k => (k, if (k % 2 == 0) a else b))
+          .toDF("id", "p").coalesce(1), base, partitionBy = Seq("p"))
+    }
+    // destroy BOTH manifests outside [4, 5]: only range pruning at the
+    // manifest-list level can still answer
+    val rows = listRows(base).filter(_._1.contains("manifest-"))
+    assert(rows.size == 3)
+    rows.filter(_._2.exists(s => leInt(s.head._3.get) < 4))
+      .foreach(r => assert(new File(r._1).delete(), r._1))
+    val got = IcebergInterop.readRange(spark, base, "p",
+      Some(4), Some(5)).count()
+    assert(got == 40L)
+    intercept[Exception](IcebergInterop.read(spark, base).count())
+  }
+
+  test("readRange prunes manifests through a day transform") {
+    val base = freshBase("day")
+    import graft.sources.IcebergInterop.IceTransform
+    def day(d: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-${d}%02d 12:00:00")
+    def frame(days: Range) =
+      days.flatMap(d => (0 until 10).map(i => (d.toLong * 100 + i, day(d))))
+        .toDF("id", "ts").coalesce(1)
+    IcebergInterop.overwriteTransformed(frame(1 to 5), base,
+      Seq("ts" -> IceTransform.Day))
+    IcebergInterop.appendTransformed(frame(20 to 25), base,
+      Seq("ts" -> IceTransform.Day))
+    // destroy the January-1..5 manifest; a late-January range query
+    // must prune it via the day-surrogate summaries
+    val rows = listRows(base).filter(_._1.contains("manifest-"))
+    assert(rows.size == 2)
+    val doomed = rows.minBy(r => leInt(r._2.get.head._2.get))._1
+    assert(new File(doomed).delete())
+    val got = IcebergInterop.readRange(spark, base, "ts",
+      Some(day(21)), Some(day(24))).count()
+    assert(got == 40L)
+    intercept[Exception](IcebergInterop.read(spark, base).count())
+  }
+
   test("null partition values summarize as contains_null and match a null filter") {
     val base = freshBase("nulls")
     val withNull = Seq((1L, java.lang.Integer.valueOf(5)),
