@@ -34,7 +34,28 @@ object Tables {
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  // Per-session (dir, table, source stamp) memo of the LOADED FRAME:
+  // every call to spark.read.parquet re-lists the directory and
+  // re-reads a footer for schema on the driver — pure metadata work,
+  // but at ~250 bench queries × several loads each it is a measurable
+  // slice of every query's driver gap (guide §6: listing/planning is
+  // driver-side, single-process work). The memo caches the PLAN, never
+  // any result rows; the stamp key makes an in-place testdata
+  // regeneration (the documented drift scenario) reload instead of
+  // serving a plan over deleted files. Weak-keyed by session so closed
+  // sessions are not retained.
+  private val loaded = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val memo = loaded.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    memo.computeIfAbsent(s"$dir|$name|${tableStamp(dir, name)}",
+      _ => loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts has drifted across testdata generations: parquet
       // TIMESTAMP(NANOS) (which Spark surfaces as int64 only under the

@@ -1434,17 +1434,23 @@ object GraftLog {
     // coordinates of NEWLY deleted rows: classifier over live rows only —
     // positions already in a DV are excluded, so replaying an
     // overlapping classifier never double-records a coordinate
+    // pinned: the classification scan (parquet read + DV anti join +
+    // classifier joins) feeds BOTH the sizing count and the staged
+    // sidecar write — without the pin the whole scan runs twice
     val dels = classify(subtractDv(spark, base, snap, withRowCoords(
         readerFor(spark, snap).parquet(candidates.map(f => s"$base/$f"): _*))))
       .select(col("__file").as("__dv_file"), col("__pos").as("__dv_pos"))
-    val n = dels.count()
-    if (n == 0) return snap.version // no match → no commit
-    // right-size the sidecar: DV entries are two small columns
-    val parts = math.max(1, math.ceil(n / 4e6).toInt)
-    val staged = stageFiles(dels.repartition(parts), base)
-    commit(base, "delete_dv", Seq.empty, Seq.empty, txnId = txnId,
-      schemaJson = snap.schemaJson, expectedVersion = Some(snap.version),
-      addDv = staged)
+      .persist()
+    try {
+      val n = dels.count()
+      if (n == 0) return snap.version // no match → no commit
+      // right-size the sidecar: DV entries are two small columns
+      val parts = math.max(1, math.ceil(n / 4e6).toInt)
+      val staged = stageFiles(dels.repartition(parts), base)
+      commit(base, "delete_dv", Seq.empty, Seq.empty, txnId = txnId,
+        schemaJson = snap.schemaJson, expectedVersion = Some(snap.version),
+        addDv = staged)
+    } finally dels.unpersist(blocking = false)
   }
 
   /** Fold accumulated deletion vectors back into the data files: every

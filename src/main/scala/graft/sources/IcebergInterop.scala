@@ -2964,7 +2964,15 @@ object IcebergInterop {
       .join(broadcast(rawByKey), Seq("__ice_file"))
       .select(col("__raw").as("file_path"), col("__ice_pos").as("pos"))
       .persist()
-    val n = matched.count() // one bounded scalar (also materializes)
+    // ONE bounded job materializes the persist AND yields per-target-
+    // file match counts (rows ≤ live file count — metadata scale): the
+    // total replaces a separate count(), and the key set IS the
+    // referenced-data-files set the commit needs — the previous shape
+    // re-scanned the just-written delete parquets for it (a whole
+    // Spark job whose answer was already on the driver).
+    val byFile = matched.groupBy(col("file_path")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = byFile.map(_._2).sum
     if (n == 0) {
       matched.unpersist(blocking = false)
       return prev.get("current-snapshot-id").asLong()
@@ -2973,7 +2981,7 @@ object IcebergInterop {
     val id = UUID.randomUUID().toString
     if (fv == 3)
       return try commitDvDelete(spark, base, prev, snap, matched,
-        snapshotId, id)
+        snapshotId, id, byFile.map(_._1).toSet)
       finally matched.unpersist(blocking = false)
     try {
     val parts = math.max(1, math.ceil(n / 4e6).toInt)
@@ -2991,12 +2999,18 @@ object IcebergInterop {
       }.toSeq
     io.deleteRecursively(scratch)
     matched.unpersist()
-    // per-delete-file record counts: one grouped scan, one row per file
-    val counts: Map[String, Long] = spark.read
-      .parquet(delFiles: _*)
-      .groupBy(regexp_replace(col("_metadata.file_path"),
-        PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
-      .count().as[(String, Long)].collect().toMap
+    // per-delete-file record counts: the single-output-file case (the
+    // overwhelmingly common one — `parts` only exceeds 1 past 4M
+    // matched coordinates) is known without touching storage: all n
+    // rows landed in the one file. Only a multi-file split pays a
+    // post-write grouped scan to attribute rows to files.
+    val counts: Map[String, Long] =
+      if (delFiles.size == 1) Map(PathCodec.metadataPathKey(delFiles.head) -> n)
+      else spark.read
+        .parquet(delFiles: _*)
+        .groupBy(regexp_replace(col("_metadata.file_path"),
+          PathCodec.metadataFilePathNormalizeRegex, "/").as("__f"))
+        .count().as[(String, Long)].collect().toMap
     val entrySchema = entrySchemaFor(Seq.empty)
     val recs = delFiles.map { df =>
       val rec = new GenericData.Record(entrySchema)
@@ -3014,11 +3028,11 @@ object IcebergInterop {
     val mFile = TableIO.join(metaDir, s"manifest-del-$id.avro")
     writeAvro(mFile, entrySchema, recs)
     // referenced data files (distinct refs ≤ live file count — metadata
-    // scale): lets the commit rebase over a racing disjoint append
-    val referenced = spark.read.parquet(delFiles: _*)
-      .select("file_path").distinct().as[String].collect().toSet
+    // scale): lets the commit rebase over a racing disjoint append.
+    // Already on the driver as byFile's key set — no re-scan of the
+    // delete parquets just written.
     commitDeleteSnapshot(base, prev, mFile, snapshotId, id,
-      referencedRaw = Some(referenced))
+      referencedRaw = Some(byFile.map(_._1).toSet))
     } finally matched.unpersist(blocking = false)
   }
 
@@ -3077,15 +3091,15 @@ object IcebergInterop {
   private def commitDvDelete(spark: SparkSession, base: String,
                              prev: JsonNode, snap: IcebergSnapshot,
                              matched: DataFrame, snapshotId: Long,
-                             id: String): Long = {
+                             id: String,
+                             // touched data files, already collected by
+                             // the caller's sizing job — bounded by the
+                             // live file count, metadata scale
+                             touchedRaw: Set[String]): Long = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val metaDir = metadataDir(base)
     val dataDir = TableIO.join(base, "data"); io.mkdirs(dataDir)
-    // touched data files — bounded by the live file count, the same
-    // metadata-scale collect every DML census here does
-    val touchedRaw: Set[String] =
-      matched.select("file_path").distinct().as[String].collect().toSet
     // v2-era position-delete rows for touched files (upgrade path):
     // they fold into the new vector so it supersedes them — gated by
     // data sequence exactly as the read path applies them (a delete
