@@ -43,12 +43,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   //   G1 64g + THP(madvise):  44-140s (compaction storms)
   //   G1 16g:                 1.9s alone, 30-288s after heavy queries
   //   ParallelGC 16g:         0.85s best, occasional 25-40s full-GC spike
-  //   ParallelGC 16g + AlwaysPreTouch: 1.0-1.7s, stable  ← default
+  //   ParallelGC 16g + AlwaysPreTouch: 1.0-1.7s, stable
   // PreTouch faults the whole committed heap once at JVM start (cost sits
   // in bench's untimed warmup); ParallelGC then reuses resident pages
   // with no region uncommit/recommit, keeping GC in user space.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Round-13 remeasure at the FULL 247-query bench (the per-query table
+  // above was single-query context): deep into a 247×(warmup+2 reps)
+  // session, 16g ParallelGC's old-gen pressure inflates arbitrary
+  // queries 1.5-2.5x (q154 1.7s fresh-session → 3.5s mid-bench; q64
+  // 2.5 → 4.6). Full-bench totals, same code, back-to-back:
+  //   ParallelGC 16g + PreTouch: 148.9 / 156.1 / 152.3 s
+  //   ParallelGC 32g + PreTouch: 131.1 / 119.5 s   ← default
+  // The machine has 128 GiB; in local mode the heap IS the cluster
+  // (32 executor threads + driver share it), so 32g is ordinary
+  // executor-memory sizing (guide §5), not a bench-only trick — and it
+  // stays env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "Parallel")}GC",
 ) ++ (if (sys.env.getOrElse("SPARK_PRETOUCH", "1") == "1")
         Seq("-XX:+AlwaysPreTouch") else Seq.empty)

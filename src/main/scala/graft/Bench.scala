@@ -70,12 +70,26 @@ object Bench {
     // to run with zero code change). The min is the steady-state cost —
     // the number that actually predicts cluster behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Session cache hygiene between warmup and the timed sweep: a few
+    // query fns persist/cache intermediates their own lazy result still
+    // needs when the harness finally acts on it, so they cannot
+    // unpersist before returning — without a sweep here the warmup
+    // pass's cached blocks (and their CacheManager plan entries, which
+    // EVERY later query's planning walks in useCachedData) carry into
+    // the timed region as dead weight and GC pressure.
+    spark.catalog.clearCache()
     val repTimes = benchQueries.map { case (name, fn) =>
-      name -> (1 to reps).map { _ =>
+      val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         runCapped(spark, name, () => { fn(spark, sfDir).count(); () }, cap)
         (System.nanoTime() - t0) / 1e9
       }
+      // between QUERIES, not between reps: rep-to-rep behavior (and
+      // thus comparability with every earlier round's numbers) is
+      // unchanged; only the cross-query accumulation is capped at one
+      // query's worth of cached state.
+      spark.catalog.clearCache()
+      name -> ts
     }
     val results = repTimes.map { case (name, ts) => name -> ts.min }
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -795,12 +795,33 @@ object GraftLog {
   /** Subtract a snapshot's deletion vectors from a coordinate-carrying
     * scan frame (from `withRowCoords`): one anti join on (file, pos),
     * broadcast while the DV set is small. Keeps `__file`/`__pos`. */
+  /** DV row count straight from the parquet FOOTERS on the driver — no
+    * Spark job. The previous `dv.count()` was "metadata-only" in data
+    * terms but still a full job launch per DV-subtracting read (and a
+    * table between a vectored delete and its purge is read MANY times:
+    * every census, rewrite and snapshot read pays the subtraction). */
+  private def dvRowCount(spark: SparkSession, base: String,
+                         snap: Snapshot): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    snap.dvFiles.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$base/$f"), conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+  }
+
   private def subtractDv(spark: SparkSession, base: String, snap: Snapshot,
                          dfWithCoords: DataFrame): DataFrame = {
     if (snap.dvFiles.isEmpty) return dfWithCoords
     val dv = dvEntries(spark, base, snap)
-    // metadata-only count (parquet footers) decides the join strategy
-    val dvSide = if (dv.count() <= DvBroadcastMaxRows) broadcast(dv) else dv
+    // footer-derived count (driver-side, no job) decides join strategy
+    val dvSide =
+      if (dvRowCount(spark, base, snap) <= DvBroadcastMaxRows) broadcast(dv)
+      else dv
     dfWithCoords.join(dvSide,
       col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
       "left_anti")
