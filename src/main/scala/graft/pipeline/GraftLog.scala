@@ -718,7 +718,10 @@ object GraftLog {
               clusterCols: Seq[String] = Seq.empty): Long = {
     val snap = snapshot(base)
     val current = read(spark, base)
-    val n = current.count()
+    // sizing from footers + DV coordinates (metadata scale): at 100 TB
+    // a count() here is a full extra pass over the table just to pick
+    // the output file count
+    val n = liveRowCount(spark, base, snap, snap.files)
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     // read-dependency guard, same as upsert: compacting against a stale
     // snapshot must conflict, not silently drop a concurrent commit
@@ -795,23 +798,45 @@ object GraftLog {
   /** Subtract a snapshot's deletion vectors from a coordinate-carrying
     * scan frame (from `withRowCoords`): one anti join on (file, pos),
     * broadcast while the DV set is small. Keeps `__file`/`__pos`. */
-  /** DV row count straight from the parquet FOOTERS on the driver — no
-    * Spark job. The previous `dv.count()` was "metadata-only" in data
-    * terms but still a full job launch per DV-subtracting read (and a
-    * table between a vectored delete and its purge is read MANY times:
-    * every census, rewrite and snapshot read pays the subtraction). */
-  private def dvRowCount(spark: SparkSession, base: String,
-                         snap: Snapshot): Long = {
+  /** Row count straight from a parquet FOOTER (block metadata) on the
+    * driver — no Spark job, no data pages. */
+  private def footerRowCountOf(spark: SparkSession, path: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
-    snap.dvFiles.map { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(s"$base/$f"), conf))
-      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
-    }.sum
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sessionState.newHadoopConf()))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  /** DV row count from footers — no Spark job. The previous
+    * `dv.count()` was "metadata-only" in data terms but still a full
+    * job launch per DV-subtracting read (and a table between a
+    * vectored delete and its purge is read MANY times: every census,
+    * rewrite and snapshot read pays the subtraction). */
+  private def dvRowCount(spark: SparkSession, base: String,
+                         snap: Snapshot): Long =
+    snap.dvFiles.map(f => footerRowCountOf(spark, s"$base/$f")).sum
+
+  /** LIVE row count of `files` under `snap` from metadata alone:
+    * parquet footer row counts minus the distinct DV coordinates that
+    * reference those files. Exactly `readFiles(...).count()` — the
+    * subtraction anti-join is on distinct coordinates — without the
+    * full data scan that a count() pays (at 100 TB, sizing a compaction
+    * by re-reading the table is the wrong cost class; footers + DV
+    * bitmaps are metadata-scale). */
+  private def liveRowCount(spark: SparkSession, base: String,
+                           snap: Snapshot, files: Seq[String]): Long = {
+    val raw = files.map(f => footerRowCountOf(spark, s"$base/$f")).sum
+    if (snap.dvFiles.isEmpty) raw
+    else {
+      val inSet = files.toSet
+      val deleted = deletedPositions(spark, base)
+        .collect { case (f, ps) if inSet.contains(f) => ps.size.toLong }.sum
+      raw - deleted
+    }
   }
 
   private def subtractDv(spark: SparkSession, base: String, snap: Snapshot,
@@ -1060,7 +1085,10 @@ object GraftLog {
     // survivors (entries pointing at the folded file go stale-harmless —
     // file names are never reused)
     val smallDf = readFiles(spark, base, snap, small)
-    val n = smallDf.count()
+    // sizing from footers + DV coordinates (metadata scale) — the
+    // previous count() re-read the folded tail once just to pick an
+    // output file count, then the staged write read it again
+    val n = liveRowCount(spark, base, snap, small)
     val nFiles = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     val statCols = trackedStatCols(snap,
       smallDf.schema.fieldNames.toSeq, Seq.empty)

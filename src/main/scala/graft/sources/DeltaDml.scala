@@ -761,8 +761,13 @@ object DeltaDml {
       s"merge source must carry exactly the table columns " +
       s"(${snap.schema.fieldNames.mkString(",")}), got " +
       s"(${updates0.columns.mkString(",")})")
+    // pinned: the source frame feeds the constraint probe, the
+    // duplicate probe, the stats range-join, the CDC images and the
+    // staging writes — unmaterialized it would evaluate (joins and
+    // all) once per consumer
     val updates = updatesG.select(snap.schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      col(f.name).cast(f.dataType).as(f.name)): _*).persist()
+    try {
     // every merged row's post-image comes from `updates` (matched keys
     // take the update row, unmatched keys insert it) — one probe
     // validates all recorded CHECK constraints
@@ -942,6 +947,7 @@ object DeltaDml {
         throw e
     }
     v
+    } finally updates.unpersist(blocking = false)
   }
 
   /** The merge's data-skipping decision as a frame: which file indexes

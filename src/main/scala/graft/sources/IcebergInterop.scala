@@ -3430,7 +3430,12 @@ object IcebergInterop {
   private def stageEqDeleteManifest(spark: SparkSession, base: String,
                                     prev: JsonNode, rows: DataFrame,
                                     equalityCols: Seq[String],
-                                    snapshotId: Long, id: String): String = {
+                                    snapshotId: Long, id: String,
+                                    // distinct-key count when the caller
+                                    // already aggregated it (mergeUpsert's
+                                    // one-pass source validation) — skips
+                                    // this path's own sizing count()
+                                    nKeysHint: Option[Long] = None): String = {
     val metaDir = metadataDir(base)
     // table schema name → field id (ids, not names, are the contract)
     val schemaNode0 = {
@@ -3458,7 +3463,7 @@ object IcebergInterop {
     // (the deletePositionsClassified bound) — a CDC batch retiring tens
     // of millions of keys must not funnel through one writer/one file.
     // Small batches keep the single-file shape (parts = 1).
-    val nKeys = proj.count()
+    val nKeys = nKeysHint.getOrElse(proj.count())
     val parts = math.max(1L, (nKeys + 4000000L - 1L) / 4000000L).toInt
     val scratch = TableIO.join(base, s".stage_$id")
     proj.repartition(parts, equalityCols.map(col): _*)
@@ -3601,29 +3606,41 @@ object IcebergInterop {
       s"merge source must carry exactly the table columns " +
       s"(${snap.schema.fieldNames.mkString(",")}), got " +
       s"(${updates0.columns.mkString(",")})")
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // pinned: the source frame feeds validation, the equality-delete
+    // staging AND the data-file staging — unmaterialized it would
+    // evaluate (joins and all) once per consumer
     val updates = updates0.select(snap.schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
-    val dup = updates.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).collect()
-    require(dup.isEmpty,
+      col(f.name).cast(f.dataType).as(f.name)): _*).persist()
+    try {
+    // ONE validation pass: per-key counts fold to (max multiplicity,
+    // any-null-key, distinct-key total) — one bounded row instead of a
+    // duplicate-probe job plus a null-probe job, and the key total
+    // feeds the delete staging's file sizing (no third count there)
+    val vrow = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        max(keys.map(k => col(k).isNull).reduce(_ || _).cast("int")).as("__null"))
+      .agg(max(col("__n")).as("__maxn"),
+        max(col("__null")).as("__anynull"),
+        count(lit(1)).as("__nkeys"))
+      .head()
+    require(vrow.isNullAt(0) || vrow.getLong(0) <= 1L,
       s"merge source has duplicate (${keys.mkString(",")}) values — SQL " +
       "MERGE forbids multiple source rows per target key")
     // NULL merge keys refuse: SQL MERGE's ON equality never matches a
     // NULL, but the equality-delete FILE matches null-safely (spec) —
     // writing a null key would silently delete the target's null-keyed
     // rows instead of inserting alongside them
-    val hasNullKey = updates
-      .filter(keys.map(k => col(k).isNull).reduce(_ || _))
-      .limit(1).collect().nonEmpty
-    require(!hasNullKey,
+    require(vrow.isNullAt(1) || vrow.getInt(1) == 0,
       s"merge source has NULL (${keys.mkString(",")}) values — SQL MERGE " +
       "equality never matches NULL, but an equality delete would (it " +
       "matches null-safely); de-null or pre-filter the source")
+    val nKeys = vrow.getLong(2)
     val snapshotId = nextSnapshotId(prev)
     val id = UUID.randomUUID().toString
     val delM = stageEqDeleteManifest(spark, base, prev,
-      updates.select(keys.map(col): _*), keys, snapshotId, id)
+      updates.select(keys.map(col): _*), keys, snapshotId, id,
+      nKeysHint = Some(nKeys))
     val dataM = stageDataManifest(updates, base, snap.partitionColumns,
       snapshotId, id, schemaIdOf(snap.schema), snap.specFields.map(_.fieldId))
     // A lost race REBASES and stays SERIALIZABLE-equivalent by the
@@ -3643,6 +3660,7 @@ object IcebergInterop {
         check = _ => (),
         buildRefs = (head, newId) =>
           currentManifests(base, head) ++ refsAt(newId))))
+    } finally updates.unpersist(blocking = false)
   }
 
   /** Any nondeterministic expression in the ANALYZED plan? (Unresolved
